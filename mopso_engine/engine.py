@@ -1,0 +1,179 @@
+"""The MOPSO driver loop (SURVEY §3.4) — fit() orchestration.
+
+Per-iteration shape: ONE distributed job scores the whole swarm (all S
+candidate clusterings) against the cached neighbor-augmented points
+table; everything else (PSO update, pbest, archive) is tiny driver-side
+numpy. Compare the reference's per-iteration broadcast → per-partition
+partials → collect → driver merge (Spark_MOPSO_Avg.scala:197-302).
+
+Scale notes:
+* the points table is scanned once per iteration, from cache, with zero
+  data shuffle (only S·num_batches partial-agg rows move);
+* the kNN precompute (the only quadratic step) runs ONCE per fit and has
+  'partition_local' and 'lsh' backends for the 100 TB path;
+* swarm/archive state is O(S·k·d) doubles — never leaves the driver.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mopso_engine import init as init_mod
+from mopso_engine import metrics as metrics_mod
+from mopso_engine.assign import assign_with_labels
+from mopso_engine.objectives import evaluate_solutions, with_neighbors
+from mopso_engine.pareto import Archive, ArchiveEntry, normalize_fitness, pbest_update
+from mopso_engine.pso import init_velocity, update_swarm
+from mopso_engine.schema import MopsoConfig
+
+
+@dataclass
+class MopsoResult:
+    archive_positions: list[np.ndarray]
+    archive_fitness: np.ndarray  # (m, 2)
+    archive_fitness_normalized: np.ndarray  # (m, 2)
+    best_position: np.ndarray  # (k, d)
+    best_index: int
+    n_points: int
+    n_features: int
+    k: int
+    iterations: int
+    wall_clock_sec: float
+    history: list[dict] = field(default_factory=list)
+
+    def archive_df(self, spark) -> DataFrame:
+        """The Pareto front as a DataFrame(solution, dev, conn, dev_norm, conn_norm)."""
+        rows = [
+            (i, float(f[0]), float(f[1]), float(nf[0]), float(nf[1]))
+            for i, (f, nf) in enumerate(zip(self.archive_fitness, self.archive_fitness_normalized))
+        ]
+        return spark.createDataFrame(rows, "solution int, dev double, conn double, dev_norm double, conn_norm double")
+
+
+class MopsoEngine:
+    """Multi-objective PSO clustering on Spark DataFrames."""
+
+    def __init__(self, config: MopsoConfig | None = None):
+        self.cfg = config or MopsoConfig()
+
+    # -- helpers -----------------------------------------------------------
+    def _infer(self, points: DataFrame) -> tuple[int, int, int]:
+        """(N, d, k): count in one job; d from one row; k = distinct labels
+        when not explicit (A2/A3, Spark_MOPSO_Avg.scala:89-103)."""
+        first = points.select(F.size("features").alias("d")).first()
+        if first is None:
+            raise ValueError("empty points table")
+        d = first["d"]
+        n = points.count()
+        k = self.cfg.k
+        if k is None:
+            k = points.select("label").distinct().count()
+            if k <= 1:
+                raise ValueError("cannot infer k from labels; pass MopsoConfig(k=...)")
+        return n, d, k
+
+    # -- main entry --------------------------------------------------------
+    def fit(self, points: DataFrame) -> MopsoResult:
+        cfg = self.cfg
+        rng = np.random.default_rng(cfg.seed)
+        t0 = time.time()
+
+        pts = points.select("id", "features", "label").persist()
+        n, d, k = self._infer(pts)
+
+        bounds = init_mod.feature_bounds(pts)
+        sample = init_mod.sample_features(pts, cfg.init_sample_size, cfg.seed)
+
+        # kNN precompute: solution-independent, reused by every iteration
+        knn_mode = "partition_local" if cfg.fitness_mode == "partition_local" else cfg.knn_mode
+        nbr = with_neighbors(pts, cfg.knn_l, mode=knn_mode).persist()
+        nbr.count()  # materialize once
+        part_weighted = cfg.fitness_mode == "partition_local"
+
+        positions = init_mod.init_swarm(sample, bounds, k, cfg.n_particles, rng, method=cfg.init)
+        velocities = init_velocity(rng, positions.shape, cfg.v_min, cfg.v_max)
+        fitness = evaluate_solutions(nbr, positions, partition_weighted=part_weighted, n_total=n)
+
+        pbest_pos = positions.copy()
+        pbest_fit = fitness.copy()
+
+        archive = Archive(
+            capacity=cfg.archive_capacity,
+            crowding_formula=cfg.crowding_formula,
+            endpoint_bug=cfg.bug_compat.crowding_endpoint_bug,
+        )
+        archive.update([ArchiveEntry(positions[i].copy(), fitness[i].copy()) for i in range(cfg.n_particles)])
+
+        history: list[dict] = []
+        for iteration in range(1, cfg.iter_max + 1):
+            w = cfg.w_at(iteration)
+            gbest = archive.global_best(rng)
+            positions, velocities = update_swarm(
+                positions, velocities, pbest_pos, gbest.position, w, cfg, rng, feature_bounds=bounds
+            )
+            fitness = evaluate_solutions(nbr, positions, partition_weighted=part_weighted, n_total=n)
+            for i in range(cfg.n_particles):
+                pbest_pos[i], pbest_fit[i] = pbest_update(
+                    positions[i],
+                    fitness[i],
+                    pbest_pos[i],
+                    pbest_fit[i],
+                    rng,
+                    frozen=cfg.bug_compat.pbest_frozen,
+                    inverted=cfg.bug_compat.pbest_inverted,
+                )
+            archive.update([ArchiveEntry(positions[i].copy(), fitness[i].copy()) for i in range(cfg.n_particles)])
+            front = archive.fitness_matrix()
+            history.append(
+                {
+                    "iter": iteration,
+                    "w": w,
+                    "archive_size": len(archive.entries),
+                    "best_dev": float(front[:, 0].min()),
+                    "best_conn": float(front[:, 1].min()),
+                }
+            )
+
+        front = archive.fitness_matrix()
+        norm = normalize_fitness(front)
+        # final solution: min normalized L2 to the ideal point (knee);
+        # the reference offers max-silhouette selection, exposed via
+        # metrics.silhouette_* for callers who want it (A14).
+        best_idx = int(np.argmin((norm**2).sum(axis=1)))
+
+        nbr.unpersist()
+        return MopsoResult(
+            archive_positions=[e.position for e in archive.entries],
+            archive_fitness=front,
+            archive_fitness_normalized=norm,
+            best_position=archive.entries[best_idx].position,
+            best_index=best_idx,
+            n_points=n,
+            n_features=d,
+            k=k,
+            iterations=cfg.iter_max,
+            wall_clock_sec=time.time() - t0,
+            history=history,
+        )
+
+    def evaluate(self, points: DataFrame, result: MopsoResult) -> dict:
+        """Post-fit evaluation suite (purity/accuracy/DBI/inertia), the
+        reference's report body (Spark_MOPSO_Avg.scala:319-401)."""
+        awl = assign_with_labels(points, result.best_position).persist()
+        purity, accepted = metrics_mod.purity_accuracy(awl, result.n_points, result.k)
+        out = {
+            "purity": purity,
+            "purity_accepted": accepted,
+            "inertia": metrics_mod.inertia(awl),
+            "dbi": metrics_mod.davies_bouldin(
+                awl, result.best_position, max_not_reset=self.cfg.bug_compat.dbi_max_not_reset
+            ),
+            "cluster_sizes": {r["cluster"]: r["n"] for r in metrics_mod.cluster_sizes(awl).collect()},
+        }
+        awl.unpersist()
+        return out

@@ -1,0 +1,114 @@
+"""Ingest / egress (SURVEY §2.1, S1-S7).
+
+The reference parses headerless CSV whose last column is an integer label
+(handleDataWithOutputDataWithK, Spark_MOPSO_Avg.scala:1191-1236), with a
+0-based→1-based label remap (:1213-1220), an optional header drop
+(:1199-1202), and a label-less mode (:1224-1235). Here all of that is
+declarative: Catalyst gets the parse, the pruning and the pushdown.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver-generated parquet table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_points_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    header: bool = False,
+    labeled: bool = True,
+    zero_based_labels: bool = False,
+    sep: str = ",",
+    explicit_k: int | None = None,  # noqa: ARG001 — carried by config, kept for API parity
+) -> DataFrame:
+    """CSV → points DataFrame (S2/S4).
+
+    Mirrors the reference parse: all-but-last columns are double features,
+    the last is the class label, shifted +1 when 0-based so cluster ids
+    are always 1..k (Spark_MOPSO_Avg.scala:1208-1221). With
+    ``labeled=False`` every column is a feature and label is 0 (:1224-1235).
+    The line number becomes the stable point id.
+    """
+    df = spark.read.csv(path, header=header, inferSchema=True, sep=sep)
+    cols = df.columns
+    feat_cols = cols[:-1] if labeled else cols
+    features = F.array(*[F.col(c).cast("double") for c in feat_cols])
+    if labeled:
+        label = F.col(cols[-1]).cast("int")
+        if zero_based_labels:
+            label = label + F.lit(1)
+    else:
+        label = F.lit(0)
+    return (
+        df.select(features.alias("features"), label.alias("label"))
+        .withColumn("id", F.monotonically_increasing_id())
+        .select("id", "features", "label")
+    )
+
+
+def points_from_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's ``embeddings`` table as the labeled points table.
+
+    ``(vec_id, embedding float[], label)`` → ``(id, features array<double>,
+    label)`` with the reference's 1-based label convention.
+    """
+    return read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+        (F.col("label") + F.lit(1)).cast("int").alias("label"),
+    )
+
+
+def points_from_columns(df: DataFrame, feature_cols: list[str], label_col: str | None, id_col: str | None = None) -> DataFrame:
+    """Assemble a points table from arbitrary numeric columns."""
+    features = F.array(*[F.col(c).cast("double") for c in feature_cols])
+    label = F.col(label_col).cast("int") if label_col else F.lit(0)
+    pid = F.col(id_col).cast("long") if id_col else F.monotonically_increasing_id()
+    return df.select(pid.alias("id"), features.alias("features"), label.alias("label"))
+
+
+def timestamped_path(base: str) -> str:
+    """Output dir named yyyy-MM-dd-HH-mm-ss (NowDate, Spark_MOPSO_Avg.scala:802-807)."""
+    return os.path.join(base, datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S"))
+
+
+def write_report(report: dict, path: str) -> str:
+    """JSON report sink (replaces the reference's one-file text sink,
+    saveAsTextFile at Spark_MOPSO_Avg.scala:797). Driver-side: the report
+    is tiny control-plane data, never a distributed dataset.
+    """
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2, default=float)
+    return path
+
+
+def write_points_parquet(df: DataFrame, path: str, *, single_file: bool = False) -> None:
+    """Parquet sink; ``single_file`` reproduces the reference's
+    single-partition write (S5/X8) via coalesce(1)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").parquet(path)

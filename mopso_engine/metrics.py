@@ -1,0 +1,180 @@
+"""Evaluation metrics (SURVEY A9-A15) as DataFrame plans.
+
+Each metric takes the assignment table (id, cluster, dist[, label]) and
+is a single groupBy/window plan — replacing the reference's per-class
+job storms (k·|archive| filter+assign jobs, Spark_MOPSO_Avg.scala:342-348)
+with one shuffle each (SURVEY §4.1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def cluster_sizes(assigned: DataFrame) -> DataFrame:
+    """A8: cluster-size histogram."""
+    return assigned.groupBy("cluster").agg(F.count("*").alias("n")).orderBy("cluster")
+
+
+def purity_table(assigned_with_labels: DataFrame) -> DataFrame:
+    """A9 (getTrueRateNew): for each true label, the modal predicted
+    cluster and its count — one groupBy + one window instead of k jobs.
+
+    Returns (label, modal_cluster, modal_count, label_total).
+    Ties break to the smaller cluster id (the reference's maxBy keeps the
+    first maximum in iteration order, which over a HashMap is
+    nondeterministic — we pin a deterministic rule).
+    """
+    counts = assigned_with_labels.groupBy("label", "cluster").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("label").orderBy(F.col("cnt").desc(), F.col("cluster").asc())
+    totals = Window.partitionBy("label")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn("label_total", F.sum("cnt").over(totals))
+        .where(F.col("rn") == 1)
+        .select(
+            "label",
+            F.col("cluster").alias("modal_cluster"),
+            F.col("cnt").alias("modal_count"),
+            "label_total",
+        )
+        .orderBy("label")
+    )
+
+
+def purity_accuracy(assigned_with_labels: DataFrame, n_total: int, k: int) -> tuple[float, bool]:
+    """Global purity = Σ modal_count / N, accepted only when the modal
+    clusters of the k labels are pairwise distinct (map size == k,
+    Spark_MOPSO_Avg.scala:339-356). Returns (purity, accepted)."""
+    rows = purity_table(assigned_with_labels).collect()
+    acc = sum(r["modal_count"] for r in rows) / float(n_total)
+    distinct = len({r["modal_cluster"] for r in rows})
+    return acc, distinct == k
+
+
+def accuracy_rate(assigned_with_labels: DataFrame) -> float:
+    """A10: #(label == cluster)/N — meaningful when cluster ids align with
+    labels (getAccuracyRate, Spark_MOPSO_Avg.scala:543-554)."""
+    return (
+        assigned_with_labels.agg(
+            F.avg((F.col("label") == F.col("cluster")).cast("double")).alias("acc")
+        ).collect()[0]["acc"]
+    )
+
+
+def inertia(assigned: DataFrame) -> float:
+    """A13: Σ dist² (calInertia, Spark_MOPSO_Avg.scala:1351-1364)."""
+    return assigned.agg(F.sum(F.col("dist") * F.col("dist")).alias("sse")).collect()[0]["sse"]
+
+
+def within_cluster_mean_dist(assigned: DataFrame) -> DataFrame:
+    """A11: cluster → avg(dist) (DBI input, Spark_MOPSO_Avg.scala:1320-1325)."""
+    return assigned.groupBy("cluster").agg(F.avg("dist").alias("mean_dist")).orderBy("cluster")
+
+
+def davies_bouldin(assigned: DataFrame, centers: np.ndarray, *, max_not_reset: bool = False) -> float:
+    """A12: DBI = avg_i max_{j≠i} (s_i+s_j)/d(c_i,c_j).
+
+    One Spark aggregate (A11) + a k×k numpy loop on the driver. The
+    reference never resets the inner ``max`` across i
+    (Spark_MOPSO_Avg.scala:1317,1326-1340) — so each term is a running
+    max over ALL pairs seen so far; reproduced with
+    ``max_not_reset=True``.
+    """
+    s_rows = within_cluster_mean_dist(assigned).collect()
+    k = len(centers)
+    s = np.zeros(k)
+    for r in s_rows:
+        s[r["cluster"] - 1] = r["mean_dist"]
+    c = np.asarray(centers, dtype=np.float64)
+    total = 0.0
+    running = 0.0
+    for i in range(k):
+        m = running if max_not_reset else 0.0
+        for j in range(k):
+            if i == j:
+                continue
+            d = float(np.sqrt(((c[i] - c[j]) ** 2).sum()))
+            if d > 0:
+                m = max(m, (s[i] + s[j]) / d)
+        total += m
+        running = m
+    return total / k
+
+
+def silhouette_exact(points: DataFrame, assigned: DataFrame, *, include_self: bool = True) -> float:
+    """A14: exact O(N²) silhouette via a self-join of the assigned points.
+
+    mean over i of (b−a)/max(a,b); a = mean distance to own cluster
+    (INCLUDING self when ``include_self`` — the reference's bias,
+    Spark_MOPSO_Avg.scala:622-633), b = min over other clusters of the
+    mean distance. Quadratic: run on samples; at scale use
+    ``ml.evaluation.ClusteringEvaluator`` (squared-euclidean silhouette).
+    """
+    pts = points.select("id", "features").join(assigned.select("id", "cluster"), "id")
+    a = pts.select(
+        F.col("id").alias("i"), F.col("features").alias("fi"), F.col("cluster").alias("ci")
+    )
+    b = pts.select(
+        F.col("id").alias("j"), F.col("features").alias("fj"), F.col("cluster").alias("cj")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("fi", "fj", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    pairs = a.crossJoin(b)
+    if not include_self:
+        pairs = pairs.where(F.col("i") != F.col("j"))
+    per_cluster = (
+        pairs.select("i", "ci", "cj", dist.alias("d"))
+        .groupBy("i", "ci", "cj")
+        .agg(F.avg("d").alias("mean_d"))
+    )
+    own = per_cluster.where(F.col("ci") == F.col("cj")).select("i", F.col("mean_d").alias("a"))
+    other = (
+        per_cluster.where(F.col("ci") != F.col("cj"))
+        .groupBy("i")
+        .agg(F.min("mean_d").alias("b"))
+    )
+    sil = own.join(other, "i").select(
+        ((F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))).alias("s")
+    )
+    row = sil.agg(F.avg("s").alias("sil")).collect()[0]
+    return float(row["sil"]) if row["sil"] is not None else 0.0
+
+
+def silhouette_ml(points: DataFrame, assigned: DataFrame) -> float:
+    """Squared-euclidean silhouette via ml.ClusteringEvaluator — the cheap,
+    scalable alternative kept alongside the exact one (SURVEY A14)."""
+    from pyspark.ml.evaluation import ClusteringEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    df = (
+        points.select("id", "features")
+        .join(assigned.select("id", "cluster"), "id")
+        .select(array_to_vector("features").alias("features"), F.col("cluster").alias("prediction"))
+    )
+    return ClusteringEvaluator(predictionCol="prediction").evaluate(df)
+
+
+def minmax_normalize(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A15 as a DataFrame plan: (x−min)/(max−min) per column; constant
+    columns map to 0. One tiny aggregate + a projection."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        out = out.withColumn(
+            f"{c}_norm",
+            F.when(hi > lo, (F.col(c) - lo) / (hi - lo)).otherwise(F.lit(0.0)),
+        )
+    return out.drop(*[f"__lo_{c}" for c in cols]).drop(*[f"__hi_{c}" for c in cols])

@@ -1,0 +1,341 @@
+"""The two clustering objectives, both minimized (SURVEY A4/A5).
+
+* **Dev** — Σ over points of the distance to the assigned (nearest)
+  center (Spark_MOPSO_Avg.scala:1030-1033).
+* **Conn** — for each point take its L nearest *other* points by
+  euclidean distance; add ``1/rank`` (rank 1-based) for every neighbor
+  that lands in the SAME cluster; Σ over points
+  (Spark_MOPSO_Avg.scala:1036-1063). Note the reference's sign quirk:
+  this rewards separation, the opposite of canonical MOCK connectivity
+  (SURVEY §4.2.6) — reproduced as-is.
+
+Architecture: the kNN table is **solution-independent**, so it is
+computed ONCE per dataset and cached; each MOPSO iteration then scores
+all S candidate solutions in a single Arrow-vectorized pass + one tiny
+partial/final aggregation (S rows out). The reference instead re-scans
+per particle per iteration (Spark_MOPSO_Avg.scala:211-228).
+
+Scale: the exact kNN is the only O(N²) corner (SURVEY §7.4.1). Three
+backends: 'exact' (broadcast block-cdist — to ~10⁵ rows),
+'partition_local' (the reference Avg semantics — embarrassingly
+parallel, exactly what it did at cluster scale), and 'lsh'
+(BucketedRandomProjectionLSH approxSimilarityJoin — the 100 TB path).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from mopso_engine.assign import _distances
+
+_NBR_SCHEMA_FIELDS = [
+    StructField("id", LongType(), False),
+    StructField("features", ArrayType(DoubleType()), False),
+    StructField("nbr_feats", ArrayType(ArrayType(DoubleType())), False),
+    StructField("nbr_ranks", ArrayType(IntegerType()), False),
+]
+
+PAIRS_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("nbr_id", LongType(), False),
+        StructField("rank", IntegerType(), False),
+        StructField("nbr_dist", DoubleType(), False),
+    ]
+)
+
+
+def knn_pairs_exact(points: DataFrame, l_nbrs: int) -> DataFrame:
+    """Exact top-L neighbor pairs via broadcast block-distance.
+
+    All (id, features) are collected once into a numpy block that ships to
+    executors via Spark broadcast; each partition computes cdist(batch, all)
+    and keeps the L smallest — O(N²/P) vectorized work, no shuffle. Ties
+    break by (dist, nbr_id) for determinism (the reference relied on sort
+    stability, Spark_MOPSO_Avg.scala:1050-1052).
+    """
+    rows = points.select("id", "features").collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    feats = np.array([r["features"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)  # searchsorted self-exclusion needs sorted ids
+    ids, feats = ids[order], feats[order]
+    sc = points.sparkSession.sparkContext
+    bc = sc.broadcast((ids, feats))
+
+    def kernel(batches: Iterable[pd.DataFrame]):
+        all_ids, all_feats = bc.value
+        for pdf in batches:
+            x = np.stack(pdf["features"].to_numpy()).astype(np.float64)
+            bid = pdf["id"].to_numpy()
+            d = _distances(x, all_feats)  # (n, N)
+            # exclude self by position lookup
+            self_pos = np.searchsorted(all_ids, bid)
+            d[np.arange(len(bid)), self_pos] = np.inf
+            l_eff = min(l_nbrs, d.shape[1] - 1)
+            part = np.argpartition(d, l_eff - 1, axis=1)[:, :l_eff]
+            pd_d = np.take_along_axis(d, part, axis=1)
+            order = np.lexsort((all_ids[part], pd_d), axis=1)
+            nbr_pos = np.take_along_axis(part, order, axis=1)
+            nbr_d = np.take_along_axis(pd_d, order, axis=1)
+            n = len(bid)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(bid, l_eff),
+                    "nbr_id": all_ids[nbr_pos].ravel(),
+                    "rank": np.tile(np.arange(1, l_eff + 1, dtype=np.int32), n),
+                    "nbr_dist": nbr_d.ravel(),
+                }
+            )
+
+    return points.select("id", "features").mapInPandas(kernel, schema=PAIRS_SCHEMA)
+
+
+def knn_pairs_crossjoin(points: DataFrame, l_nbrs: int) -> DataFrame:
+    """Exact top-L pairs, pure DataFrame rendering (J2 + O4): broadcast
+    self-cross-join + windowed row_number ≤ L. The declarative twin of
+    :func:`knn_pairs_exact`, oracle-checkable in SQL; quadratic, so use on
+    samples/small N."""
+    from pyspark.sql.window import Window
+
+    a = points.select(F.col("id"), F.col("features"))
+    b = points.select(F.col("id").alias("nbr_id"), F.col("features").alias("nbr_features"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("features", "nbr_features", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("id") != F.col("nbr_id"))
+        .select("id", "nbr_id", dist.alias("nbr_dist"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("nbr_dist").asc(), F.col("nbr_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= l_nbrs)
+        .select("id", "nbr_id", "rank", "nbr_dist")
+    )
+
+
+def knn_pairs_lsh(points: DataFrame, l_nbrs: int, *, bucket_length: float = 2.0, num_tables: int = 3, oversample: int = 3) -> DataFrame:
+    """Approximate top-L pairs via BucketedRandomProjectionLSH — the scale
+    path (SURVEY §7.4.1): candidate pairs come from an LSH bucket join
+    instead of the N² cross product, then a window keeps the L best. With
+    too few candidates a point may return < L neighbors (documented
+    approximation)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window
+
+    vecs = points.select("id", array_to_vector("features").alias("vec"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=bucket_length, numHashTables=num_tables, seed=42
+    )
+    model = lsh.fit(vecs)
+    # generous threshold: we re-rank with a window anyway
+    joined = model.approxSimilarityJoin(vecs, vecs, float("inf"), distCol="nbr_dist").where(
+        F.col("datasetA.id") != F.col("datasetB.id")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("nbr_dist").asc(), F.col("nbr_id").asc())
+    return (
+        joined.select(
+            F.col("datasetA.id").alias("id"),
+            F.col("datasetB.id").alias("nbr_id"),
+            F.col("nbr_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= l_nbrs)
+        .select("id", "nbr_id", "rank", "nbr_dist")
+    )
+
+
+def with_neighbors(points: DataFrame, l_nbrs: int, mode: str = "exact") -> DataFrame:
+    """points → (id, features, label, nbr_feats, nbr_ranks), the cached
+    input of the per-iteration fitness kernel.
+
+    'partition_local' computes neighbors within each input partition only —
+    the reference Avg's semantics (Spark_MOPSO_Avg.scala:843-865) and the
+    zero-shuffle scale path; 'exact'/'lsh' build a global pair table then
+    join neighbor features back (one shuffle, done ONCE per fit).
+    """
+    if mode == "partition_local":
+        out_schema = StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("features", ArrayType(DoubleType()), False),
+                StructField("label", IntegerType(), True),
+                StructField("nbr_feats", ArrayType(ArrayType(DoubleType())), False),
+                StructField("nbr_ranks", ArrayType(IntegerType()), False),
+            ]
+        )
+
+        def kernel(batches: Iterable[pd.DataFrame]):
+            pdf = pd.concat(list(batches), ignore_index=True)
+            if pdf.empty:
+                return
+            x = np.stack(pdf["features"].to_numpy()).astype(np.float64)
+            d = _distances(x, x)
+            np.fill_diagonal(d, np.inf)
+            l_eff = min(l_nbrs, len(pdf) - 1)
+            nbr = np.argsort(d, axis=1)[:, :l_eff]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "features": pdf["features"],
+                    "label": pdf["label"],
+                    "nbr_feats": [list(map(list, x[row])) for row in nbr],
+                    "nbr_ranks": [list(range(1, l_eff + 1))] * len(pdf),
+                }
+            )
+
+        return points.select("id", "features", "label").mapInPandas(kernel, schema=out_schema)
+
+    if mode == "exact":
+        pairs = knn_pairs_exact(points, l_nbrs)
+    elif mode == "crossjoin":
+        pairs = knn_pairs_crossjoin(points, l_nbrs)
+    elif mode == "lsh":
+        pairs = knn_pairs_lsh(points, l_nbrs)
+    else:
+        raise ValueError(f"unknown knn mode: {mode}")
+
+    nbr_feats = pairs.join(
+        points.select(F.col("id").alias("nbr_id"), F.col("features").alias("nbr_f")), "nbr_id"
+    )
+    agg = nbr_feats.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("rank", "nbr_f"))).alias("nbrs")
+    )
+    return points.join(agg, "id").select(
+        "id",
+        "features",
+        "label",
+        F.col("nbrs.nbr_f").alias("nbr_feats"),
+        F.col("nbrs.rank").alias("nbr_ranks"),
+    )
+
+
+_FITNESS_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("solution", IntegerType(), False),
+        StructField("dev_p", DoubleType(), False),
+        StructField("conn_p", DoubleType(), False),
+        StructField("n_p", LongType(), False),
+    ]
+)
+
+
+def evaluate_solutions(nbr_df: DataFrame, centers_stack: np.ndarray, *, partition_weighted: bool = False, n_total: int | None = None) -> np.ndarray:
+    """Score S candidate clusterings in ONE distributed pass.
+
+    Input: the cached `with_neighbors` table. Output: (S, 2) numpy array of
+    [Dev, Conn] per solution.
+
+    Physical shape: MapInPandas (numpy batch kernel) emits S partial rows
+    per Arrow batch → HashAggregate(partial) → single tiny Exchange →
+    HashAggregate(final) → S-row collect. The data never shuffles; only
+    S·num_batches partial rows do. This is the plan that survives 100 TB.
+
+    ``partition_weighted=True`` reproduces the reference Avg's weighted
+    partial fitness: each partition's [Dev_p, Conn_p] scaled by |p|/N and
+    summed (Spark_MOPSO_Avg.scala:843-865) — requires ``n_total``.
+    """
+    cs = np.asarray(centers_stack, dtype=np.float64)
+    s, k, d_ = cs.shape
+    flat = cs.reshape(s * k, d_)
+
+    def kernel(batches: Iterable[pd.DataFrame]):
+        if partition_weighted:
+            batches = [pd.concat(list(batches), ignore_index=True)]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["features"].to_numpy()).astype(np.float64)  # (n,d)
+            n = x.shape[0]
+            nbr_list = pdf["nbr_feats"].to_numpy()
+            ranks_list = pdf["nbr_ranks"].to_numpy()
+            l_eff = max(len(r) for r in ranks_list)
+            # ragged → dense (pad with the point itself; weight 0 kills it)
+            nb = np.zeros((n, l_eff, d_), dtype=np.float64)
+            wts = np.zeros((n, l_eff), dtype=np.float64)
+            for i, (nf, rk) in enumerate(zip(nbr_list, ranks_list)):
+                m = len(rk)
+                if m:
+                    nb[i, :m] = np.stack([np.asarray(v, dtype=np.float64) for v in nf])
+                    wts[i, :m] = 1.0 / np.asarray(rk, dtype=np.float64)
+                if m < l_eff:
+                    nb[i, m:] = x[i]
+            stacked = np.concatenate([x, nb.reshape(n * l_eff, d_)], axis=0)
+            dists = _distances(stacked, flat).reshape(-1, s, k)
+            clusters = dists.argmin(axis=2)  # (n + n*l, s)
+            pt_cl = clusters[:n]  # (n, s)
+            nb_cl = clusters[n:].reshape(n, l_eff, s)
+            pt_dist = np.take_along_axis(dists[:n], pt_cl[:, None, :].transpose(0, 2, 1), axis=2)[:, :, 0]
+            dev = pt_dist.sum(axis=0)  # (s,)
+            same = nb_cl == pt_cl[:, None, :]  # (n, l, s)
+            conn = (same * wts[:, :, None]).sum(axis=(0, 1))  # (s,)
+            yield pd.DataFrame(
+                {
+                    "solution": np.arange(s, dtype=np.int32),
+                    "dev_p": dev,
+                    "conn_p": conn,
+                    "n_p": np.full(s, n, dtype=np.int64),
+                }
+            )
+
+    partials = nbr_df.select("features", "nbr_feats", "nbr_ranks").mapInPandas(
+        kernel, schema=_FITNESS_PARTIAL_SCHEMA
+    )
+    if partition_weighted:
+        if not n_total:
+            raise ValueError("partition_weighted requires n_total")
+        agg = partials.groupBy("solution").agg(
+            F.sum(F.col("dev_p") * F.col("n_p") / F.lit(float(n_total))).alias("dev"),
+            F.sum(F.col("conn_p") * F.col("n_p") / F.lit(float(n_total))).alias("conn"),
+        )
+    else:
+        agg = partials.groupBy("solution").agg(
+            F.sum("dev_p").alias("dev"), F.sum("conn_p").alias("conn")
+        )
+    rows = agg.collect()
+    out = np.zeros((s, 2), dtype=np.float64)
+    for r in rows:
+        out[r["solution"], 0] = r["dev"]
+        out[r["solution"], 1] = r["conn"]
+    return out
+
+
+def dev_of(assigned: DataFrame) -> float:
+    """Dev as a one-line aggregate over an assignment table (A4)."""
+    return assigned.agg(F.sum("dist").alias("dev")).collect()[0]["dev"]
+
+
+def conn_df(pairs: DataFrame, assigned: DataFrame) -> DataFrame:
+    """Conn as a relational plan (A5): join the (solution-independent) kNN
+    pair table with cluster assignments of both endpoints; same-cluster
+    neighbors contribute 1/rank. Returns a 1-row DataFrame(conn double)."""
+    a = assigned.select(F.col("id"), F.col("cluster").alias("c_i"))
+    b = assigned.select(F.col("id").alias("nbr_id"), F.col("cluster").alias("c_j"))
+    return (
+        pairs.join(a, "id")
+        .join(b, "nbr_id")
+        .agg(
+            F.sum(
+                F.when(F.col("c_i") == F.col("c_j"), 1.0 / F.col("rank")).otherwise(0.0)
+            ).alias("conn")
+        )
+    )

@@ -1,0 +1,55 @@
+import numpy as np
+import pytest
+
+from mopso_engine import MopsoConfig, MopsoEngine
+from mopso_engine.pareto import non_dominated_mask
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return MopsoConfig(n_particles=8, iter_max=3, knn_l=5, seed=42, init_sample_size=300)
+
+
+def test_fit_end_to_end(blobs_df, small_cfg, blobs):
+    _, x, labels, _ = blobs
+    eng = MopsoEngine(small_cfg)
+    res = eng.fit(blobs_df)
+    assert res.n_points == len(x)
+    assert res.k == 3
+    assert 1 <= len(res.archive_positions) <= small_cfg.archive_capacity
+    assert non_dominated_mask(res.archive_fitness).all()
+    assert res.archive_fitness_normalized.min() >= 0.0
+    assert res.archive_fitness_normalized.max() <= 1.0
+    ev = eng.evaluate(blobs_df, res)
+    assert ev["purity"] > 0.9  # easy blobs: near-perfect clustering
+
+
+def test_fit_deterministic_same_seed(blobs_df, small_cfg):
+    r1 = MopsoEngine(small_cfg).fit(blobs_df)
+    r2 = MopsoEngine(small_cfg).fit(blobs_df)
+    np.testing.assert_allclose(r1.archive_fitness, r2.archive_fitness, rtol=1e-12)
+    np.testing.assert_allclose(r1.best_position, r2.best_position, rtol=1e-12)
+
+
+def test_fit_partition_count_invariance_exact_mode(spark, blobs_df, small_cfg):
+    """exact fitness mode: results independent of partitioning (SURVEY §5.5)."""
+    r1 = MopsoEngine(small_cfg).fit(blobs_df.repartition(2))
+    r2 = MopsoEngine(small_cfg).fit(blobs_df.repartition(7))
+    np.testing.assert_allclose(
+        np.sort(r1.archive_fitness, axis=0), np.sort(r2.archive_fitness, axis=0), rtol=1e-9
+    )
+
+
+def test_w_schedules():
+    cfg = MopsoConfig(iter_max=30)
+    assert cfg.w_at(0) == pytest.approx(0.9)
+    assert cfg.w_at(30) == pytest.approx(0.4)
+    inc = MopsoConfig(iter_max=30, w_schedule="increasing")
+    # as-implemented reference formula grows past 1 (Spark_MOPSO_Avg.scala:199)
+    assert inc.w_at(30) == pytest.approx((0.9 + 30 * 0.5) / 30)
+
+
+def test_partition_local_mode_runs(blobs_df):
+    cfg = MopsoConfig(n_particles=4, iter_max=2, knn_l=5, fitness_mode="partition_local", seed=1)
+    res = MopsoEngine(cfg).fit(blobs_df.repartition(3))
+    assert len(res.archive_positions) >= 1

@@ -1,0 +1,86 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mopso_engine.assign import assign
+from mopso_engine.objectives import (
+    conn_df,
+    dev_of,
+    evaluate_solutions,
+    knn_pairs_crossjoin,
+    knn_pairs_exact,
+    with_neighbors,
+)
+from tests.conftest import oracle_assign, oracle_conn
+
+L = 10
+
+
+def test_knn_exact_matches_crossjoin(blobs_df):
+    a = {(r["id"], r["rank"]): r["nbr_id"] for r in knn_pairs_exact(blobs_df, L).collect()}
+    b = {(r["id"], r["rank"]): r["nbr_id"] for r in knn_pairs_crossjoin(blobs_df, L).collect()}
+    assert a == b
+
+
+def test_dev_matches_oracle(blobs_df, blobs):
+    _, x, _, c = blobs
+    assigned = assign(blobs_df, c)
+    _, dist = oracle_assign(x, c)
+    assert dev_of(assigned) == pytest.approx(dist.sum(), rel=1e-9)
+
+
+def test_conn_relational_matches_oracle(blobs_df, blobs):
+    _, x, _, c = blobs
+    cl, _ = oracle_assign(x, c)
+    pairs = knn_pairs_exact(blobs_df, L)
+    got = conn_df(pairs, assign(blobs_df, c)).collect()[0]["conn"]
+    assert got == pytest.approx(oracle_conn(x, cl, L), rel=1e-9)
+
+
+def test_evaluate_solutions_matches_oracles(blobs_df, blobs):
+    _, x, _, c = blobs
+    rng = np.random.default_rng(1)
+    stack = np.stack([c, c + rng.normal(scale=0.5, size=c.shape)])
+    nbr = with_neighbors(blobs_df, L, mode="exact")
+    fit = evaluate_solutions(nbr, stack)
+    for s in range(2):
+        cl, dist = oracle_assign(x, stack[s])
+        assert fit[s, 0] == pytest.approx(dist.sum(), rel=1e-9)
+        assert fit[s, 1] == pytest.approx(oracle_conn(x, cl, L), rel=1e-9)
+
+
+def test_partition_local_mode_weighted_sum(spark, blobs):
+    """Avg-compat mode: Σ_p (|p|/N)·[Dev_p, Conn_p] with partition-local kNN
+    (Spark_MOPSO_Avg.scala:843-865). Verified on a 2-partition layout
+    partitioned by a known key."""
+    ids, x, labels, c = blobs
+    n = len(x)
+    rows = [(int(i), [float(v) for v in xi], int(l)) for i, xi, l in zip(ids, x, labels)]
+    df = (
+        spark.createDataFrame(rows, "id long, features array<double>, label int")
+        .repartition(2, "label")
+    )
+    part_of = {
+        r["id"]: r["p"]
+        for r in df.select("id", F.spark_partition_id().alias("p")).collect()
+    }
+    nbr = with_neighbors(df, L, mode="partition_local")
+    fit = evaluate_solutions(nbr, np.stack([c]), partition_weighted=True, n_total=n)
+    exp_dev, exp_conn = 0.0, 0.0
+    for p in set(part_of.values()):
+        sel = np.array([i for i in range(n) if part_of[i] == p])
+        cl, dist = oracle_assign(x[sel], c)
+        w = len(sel) / n
+        exp_dev += w * dist.sum()
+        exp_conn += w * oracle_conn(x[sel], cl, L)
+    assert fit[0, 0] == pytest.approx(exp_dev, rel=1e-9)
+    assert fit[0, 1] == pytest.approx(exp_conn, rel=1e-9)
+
+
+def test_lsh_knn_mostly_agrees_with_exact(blobs_df):
+    from mopso_engine.objectives import knn_pairs_lsh
+
+    exact = {(r["id"], r["nbr_id"]) for r in knn_pairs_exact(blobs_df, 5).collect()}
+    approx = {(r["id"], r["nbr_id"]) for r in knn_pairs_lsh(blobs_df, 5).collect()}
+    # approximate: demand high recall on well-separated blobs
+    assert len(exact & approx) / len(exact) > 0.9
