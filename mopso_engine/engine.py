@@ -89,9 +89,21 @@ class MopsoEngine:
         bounds = init_mod.feature_bounds(pts)
         sample = init_mod.sample_features(pts, cfg.init_sample_size, cfg.seed)
 
+        # Own the parallelism instead of inheriting the session default:
+        # in exact mode results are partition-invariant, so size partitions
+        # for the CPU-bound fitness kernel (~2k rows each, capped at 4×
+        # cores). partition_local mode keeps the caller's layout — there
+        # partitioning IS the semantics (AvgLabel repartitions by label).
+        if cfg.fitness_mode == "exact":
+            dp = points.sparkSession.sparkContext.defaultParallelism
+            target = int(min(4 * dp, max(dp, -(-n // 2048))))
+            pts_k = pts.repartition(target)
+        else:
+            pts_k = pts
+
         # kNN precompute: solution-independent, reused by every iteration
         knn_mode = "partition_local" if cfg.fitness_mode == "partition_local" else cfg.knn_mode
-        nbr = with_neighbors(pts, cfg.knn_l, mode=knn_mode).persist()
+        nbr = with_neighbors(pts_k, cfg.knn_l, mode=knn_mode).persist()
         nbr.count()  # materialize once
         part_weighted = cfg.fitness_mode == "partition_local"
 

@@ -1,0 +1,154 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four tiers, all shuffle-frugal and 100 TB-shaped:
+
+* **exact** — hash-groupBy on a normalized fingerprint; one shuffle on
+  the (tiny) hash key, map-side combine does the heavy lifting.
+* **n-gram Jaccard** — word-shingle sets + a pair-join; exact but
+  quadratic per candidate group, so run it on LSH candidates (or small
+  samples), never the raw corpus.
+* **MinHash + LSH banding** — signature = min(md5(shingle ∥ seed)) per
+  band row; candidate pairs come from equality joins on banded
+  signatures: linear scans + equality shuffles only. Hash = md5 (not
+  Spark's xxhash/murmur) so results are portable across engines — the
+  DuckDB oracle computes the identical signature.
+* **SimHash** — 16-bit sign-aggregated token hashes; near-dup = equal
+  simhash (or small Hamming distance via banding the bits).
+
+Embedding-cosine near-dup lives in ext/simsearch.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mopso_engine.ext.text import tokens_col
+
+
+def normalized_text():
+    return F.lower(F.concat_ws(" ", tokens_col()))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact-duplicate groups: (fp, n_docs, keep_id) for groups with >1 doc;
+    keep_id = min doc_id (the canonical survivor)."""
+    return (
+        docs.select("doc_id", F.md5(normalized_text()).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct k-word shingles of the normalized text.
+    Pure expressions: tokens → sliding windows via transform(sequence(...))."""
+    toks = F.split(normalized_text(), " ")
+    n = F.size(toks)
+    # guard: sequence(1, 0) would count DOWN in Spark — emit no shingles
+    # for docs shorter than k tokens instead
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+
+
+def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
+
+    The shingle equality join prunes the N² space to co-shingled pairs
+    (inverted-index join); |∩| comes from the join, |∪| = |A|+|B|−|∩|.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    """
+    sh = word_shingles(docs, k).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 16) -> DataFrame:
+    """(doc_id, hash_idx, minhash): minhash_i = min over shingles of
+    md5(shingle ∥ '#' ∥ i). Min over hex strings ≡ min over the 128-bit
+    integers — portable to any engine with md5."""
+    sh = word_shingles(docs, k)
+    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx")
+    return (
+        sh.select("doc_id", "shingle", idx)
+        .select(
+            "doc_id",
+            "hash_idx",
+            F.md5(F.concat_ws("#", F.col("shingle"), F.col("hash_idx"))).alias("h"),
+        )
+        .groupBy("doc_id", "hash_idx")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, k: int = 3, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH banding: band signature = concat of the band's minhashes; docs
+    sharing a band signature are candidate near-dups. Returns
+    (doc_a, doc_b, n_bands) with doc_a < doc_b — equality joins only,
+    never a cross product (the 100 TB path)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, k, num_hashes).withColumn(
+        "band", (F.col("hash_idx") / rows_per_band).cast("int")
+    )
+    band_sig = sig.groupBy("doc_id", "band").agg(
+        F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", "hash_idx", "minhash")))).alias(
+            "band_sig"
+        )
+    )
+    a = band_sig.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    b = band_sig.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): sign-aggregated token hashes. Token hash = first
+    8 hex chars of md5 as a 32-bit int; bit j of the simhash is 1 iff
+    Σ_tokens (bit_j ? +1 : −1) > 0. Expressible identically in SQL."""
+    tok = docs.select("doc_id", F.explode(F.split(normalized_text(), " ")).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    per_bit = (
+        tok.select("doc_id", h.alias("h"), bit)
+        # python shiftright/shiftleft want literal counts; SQL takes columns
+        .select("doc_id", "bit", F.expr("CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END").alias("v"))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("v").alias("s"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(1L, bit) ELSE 0L END")).alias("simhash")
+    )

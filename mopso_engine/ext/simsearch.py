@@ -1,0 +1,126 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* **Brute-force top-k cosine** — the exactness baseline: a broadcast
+  join of the (small) query set against the corpus; scoring is a pure
+  Catalyst expression (zip_with + aggregate), so the scan stays inside
+  whole-stage codegen. Linear in corpus size, no shuffle except the
+  final per-query top-k (window over query id).
+* **IVF (inverted-file) top-k** — the scale path: corpus is bucketed by
+  nearest coarse centroid (here: the per-label centroid — deterministic
+  and oracle-friendly; at scale, a sampled k-means codebook); a query
+  probes only the ``nprobe`` nearest cells. Same plan shape as a
+  partition-pruned scan: the centroid assignment is the partition key.
+* **Embedding-cosine near-dup** — all-pairs above a cosine threshold
+  via the same broadcast pattern (use LSH or IVF blocking at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: str | Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def as_double_vecs(embeddings: DataFrame) -> DataFrame:
+    """embeddings(vec_id, embedding float[], label) → (vec_id, vec array<double>)."""
+    return embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec"), "label"
+    )
+
+
+def cosine_topk_bruteforce(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id.
+
+    (query_id, nbr_id, rank, cos_sim) — broadcast(query) × corpus, pure
+    expressions, window row_number ≤ k. Ties break on nbr_id asc.
+    """
+    vecs = as_double_vecs(embeddings)
+    q = vecs.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    pairs = vecs.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
+    cos = _dot("vec", "qvec") / (_norm("vec") * _norm("qvec"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id").asc())
+    return (
+        pairs.select("query_id", F.col("vec_id").alias("nbr_id"), F.round(cos, 6).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "cos_sim")
+    )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Deterministic coarse codebook: per-label mean vector.
+
+    (label, centroid array<double>) — posexplode + two-level agg, one
+    shuffle on (label, dim). At 100 TB labels come from a sampled
+    k-means; the plan is identical.
+    """
+    vecs = as_double_vecs(embeddings)
+    return (
+        vecs.select("label", F.posexplode("vec").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("cs"))
+        .select("label", F.col("cs.c").alias("centroid"))
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5, nprobe: int = 3
+) -> DataFrame:
+    """IVF top-k: probe only the nprobe cells whose centroid is most
+    cosine-similar to the query; exact scoring within the probed cells.
+
+    Recall < 1 by design (documented approximation); the plan replaces
+    the full corpus scan with `corpus ⋈ (query × nprobe cells)` — an
+    equality join on the cell key, which is what survives 100 TB.
+    """
+    vecs = as_double_vecs(embeddings)
+    cents = label_centroids(embeddings)  # (label, centroid) — tiny
+    q = vecs.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    qcos = _dot("qvec", "centroid") / (_norm("qvec") * _norm("centroid"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("cell_sim").desc(), F.col("label").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qvec", "label", qcos.alias("cell_sim"))
+        .withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= nprobe)
+        .select("query_id", "qvec", "label")
+    )
+    cand = vecs.join(F.broadcast(probes), "label").where(F.col("vec_id") != F.col("query_id"))
+    cos = _dot("vec", "qvec") / (_norm("vec") * _norm("qvec"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id").asc())
+    return (
+        cand.select("query_id", F.col("vec_id").alias("nbr_id"), F.round(cos, 6).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "cos_sim")
+    )
+
+
+def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """All embedding pairs with cosine ≥ threshold (near-duplicate vectors).
+    Broadcast self-join here; at scale block by IVF cell / LSH bucket
+    first and run the same scoring within blocks."""
+    vecs = as_double_vecs(embeddings)
+    a = vecs.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
+    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -149,6 +149,36 @@ def silhouette_exact(points: DataFrame, assigned: DataFrame, *, include_self: bo
     return float(row["sil"]) if row["sil"] is not None else 0.0
 
 
+def silhouette_exact_df(points: DataFrame, assigned: DataFrame, *, include_self: bool = True, ndigits: int = 6) -> DataFrame:
+    """1-row DataFrame(sil double) twin of :func:`silhouette_exact`, for
+    declarative pipelines / oracle checks."""
+    pts = points.select("id", "features").join(assigned.select("id", "cluster"), "id")
+    a = pts.select(F.col("id").alias("i"), F.col("features").alias("fi"), F.col("cluster").alias("ci"))
+    b = pts.select(F.col("id").alias("j"), F.col("features").alias("fj"), F.col("cluster").alias("cj"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("fi", "fj", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    pairs = a.crossJoin(b)
+    if not include_self:
+        pairs = pairs.where(F.col("i") != F.col("j"))
+    per_cluster = (
+        pairs.select("i", "ci", "cj", dist.alias("d"))
+        .groupBy("i", "ci", "cj")
+        .agg(F.avg("d").alias("mean_d"))
+    )
+    own = per_cluster.where(F.col("ci") == F.col("cj")).select("i", F.col("mean_d").alias("a"))
+    other = per_cluster.where(F.col("ci") != F.col("cj")).groupBy("i").agg(F.min("mean_d").alias("b"))
+    return (
+        own.join(other, "i")
+        .select(((F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))).alias("s"))
+        .agg(F.round(F.avg("s"), ndigits).alias("sil"))
+    )
+
+
 def silhouette_ml(points: DataFrame, assigned: DataFrame) -> float:
     """Squared-euclidean silhouette via ml.ClusteringEvaluator — the cheap,
     scalable alternative kept alongside the exact one (SURVEY A14)."""

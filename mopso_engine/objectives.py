@@ -168,10 +168,16 @@ def with_neighbors(points: DataFrame, l_nbrs: int, mode: str = "exact") -> DataF
     """points → (id, features, label, nbr_feats, nbr_ranks), the cached
     input of the per-iteration fitness kernel.
 
-    'partition_local' computes neighbors within each input partition only —
-    the reference Avg's semantics (Spark_MOPSO_Avg.scala:843-865) and the
-    zero-shuffle scale path; 'exact'/'lsh' build a global pair table then
-    join neighbor features back (one shuffle, done ONCE per fit).
+    Modes:
+    * 'exact' — global kNN via a broadcast of all features; the kernel
+      emits neighbor features directly, so the whole precompute is ONE
+      map stage, zero shuffles (to ~10⁵ rows: the broadcast is N·d·8 B).
+    * 'partition_local' — neighbors within each input partition only: the
+      reference Avg's semantics (Spark_MOPSO_Avg.scala:843-865) and the
+      unbounded-scale path (no broadcast, no shuffle).
+    * 'exact_pairs'/'crossjoin'/'lsh' — build a (id, nbr_id, rank) pair
+      table, then join neighbor features back (one shuffle, once per fit);
+      'lsh' is the approximate big-N path.
     """
     if mode == "partition_local":
         out_schema = StructType(
@@ -206,6 +212,54 @@ def with_neighbors(points: DataFrame, l_nbrs: int, mode: str = "exact") -> DataF
         return points.select("id", "features", "label").mapInPandas(kernel, schema=out_schema)
 
     if mode == "exact":
+        # broadcast kernel emits neighbor FEATURES directly — no pair
+        # table, no join, no shuffle: the whole precompute is one map
+        # stage over the points (plus one collect for the broadcast).
+        rows = points.select("id", "features").collect()
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        feats = np.array([r["features"] for r in rows], dtype=np.float64)
+        order = np.argsort(ids)
+        ids, feats = ids[order], feats[order]
+        bc = points.sparkSession.sparkContext.broadcast((ids, feats))
+
+        out_schema = StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("features", ArrayType(DoubleType()), False),
+                StructField("label", IntegerType(), True),
+                StructField("nbr_feats", ArrayType(ArrayType(DoubleType())), False),
+                StructField("nbr_ranks", ArrayType(IntegerType()), False),
+            ]
+        )
+
+        def kernel(batches: Iterable[pd.DataFrame]):
+            all_ids, all_feats = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.stack(pdf["features"].to_numpy()).astype(np.float64)
+                bid = pdf["id"].to_numpy()
+                d = _distances(x, all_feats)
+                self_pos = np.searchsorted(all_ids, bid)
+                d[np.arange(len(bid)), self_pos] = np.inf
+                l_eff = min(l_nbrs, d.shape[1] - 1)
+                part = np.argpartition(d, l_eff - 1, axis=1)[:, :l_eff]
+                pd_d = np.take_along_axis(d, part, axis=1)
+                ordr = np.lexsort((all_ids[part], pd_d), axis=1)
+                nbr_pos = np.take_along_axis(part, ordr, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "id": bid,
+                        "features": pdf["features"],
+                        "label": pdf["label"],
+                        "nbr_feats": [list(map(list, all_feats[row])) for row in nbr_pos],
+                        "nbr_ranks": [list(range(1, l_eff + 1))] * len(bid),
+                    }
+                )
+
+        return points.select("id", "features", "label").mapInPandas(kernel, schema=out_schema)
+
+    if mode == "exact_pairs":
         pairs = knn_pairs_exact(points, l_nbrs)
     elif mode == "crossjoin":
         pairs = knn_pairs_crossjoin(points, l_nbrs)
@@ -259,8 +313,14 @@ def evaluate_solutions(nbr_df: DataFrame, centers_stack: np.ndarray, *, partitio
     flat = cs.reshape(s * k, d_)
 
     def kernel(batches: Iterable[pd.DataFrame]):
-        if partition_weighted:
-            batches = [pd.concat(list(batches), ignore_index=True)]
+        # accumulate over the partition's batches and emit ONE partial
+        # row-set per partition: the per-iteration job becomes map-only
+        # (no Exchange at all); the driver sums S×num_partitions rows —
+        # the same control-plane merge the reference does, but over
+        # already-reduced partials (Spark_MOPSO_Avg.scala:159-174).
+        acc_dev = np.zeros(s)
+        acc_conn = np.zeros(s)
+        acc_n = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -285,37 +345,37 @@ def evaluate_solutions(nbr_df: DataFrame, centers_stack: np.ndarray, *, partitio
             pt_cl = clusters[:n]  # (n, s)
             nb_cl = clusters[n:].reshape(n, l_eff, s)
             pt_dist = np.take_along_axis(dists[:n], pt_cl[:, None, :].transpose(0, 2, 1), axis=2)[:, :, 0]
-            dev = pt_dist.sum(axis=0)  # (s,)
+            acc_dev += pt_dist.sum(axis=0)
             same = nb_cl == pt_cl[:, None, :]  # (n, l, s)
-            conn = (same * wts[:, :, None]).sum(axis=(0, 1))  # (s,)
+            acc_conn += (same * wts[:, :, None]).sum(axis=(0, 1))
+            acc_n += n
+        if acc_n:
             yield pd.DataFrame(
                 {
                     "solution": np.arange(s, dtype=np.int32),
-                    "dev_p": dev,
-                    "conn_p": conn,
-                    "n_p": np.full(s, n, dtype=np.int64),
+                    "dev_p": acc_dev,
+                    "conn_p": acc_conn,
+                    "n_p": np.full(s, acc_n, dtype=np.int64),
                 }
             )
 
-    partials = nbr_df.select("features", "nbr_feats", "nbr_ranks").mapInPandas(
-        kernel, schema=_FITNESS_PARTIAL_SCHEMA
+    rows = (
+        nbr_df.select("features", "nbr_feats", "nbr_ranks")
+        .mapInPandas(kernel, schema=_FITNESS_PARTIAL_SCHEMA)
+        .collect()
     )
+    out = np.zeros((s, 2), dtype=np.float64)
     if partition_weighted:
         if not n_total:
             raise ValueError("partition_weighted requires n_total")
-        agg = partials.groupBy("solution").agg(
-            F.sum(F.col("dev_p") * F.col("n_p") / F.lit(float(n_total))).alias("dev"),
-            F.sum(F.col("conn_p") * F.col("n_p") / F.lit(float(n_total))).alias("conn"),
-        )
+        for r in rows:
+            w = r["n_p"] / float(n_total)
+            out[r["solution"], 0] += w * r["dev_p"]
+            out[r["solution"], 1] += w * r["conn_p"]
     else:
-        agg = partials.groupBy("solution").agg(
-            F.sum("dev_p").alias("dev"), F.sum("conn_p").alias("conn")
-        )
-    rows = agg.collect()
-    out = np.zeros((s, 2), dtype=np.float64)
-    for r in rows:
-        out[r["solution"], 0] = r["dev"]
-        out[r["solution"], 1] = r["conn"]
+        for r in rows:
+            out[r["solution"], 0] += r["dev_p"]
+            out[r["solution"], 1] += r["conn_p"]
     return out
 
 
