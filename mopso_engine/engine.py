@@ -63,16 +63,21 @@ class MopsoEngine:
 
     # -- helpers -----------------------------------------------------------
     def _infer(self, points: DataFrame) -> tuple[int, int, int]:
-        """(N, d, k): count in one job; d from one row; k = distinct labels
-        when not explicit (A2/A3, Spark_MOPSO_Avg.scala:89-103)."""
+        """(N, d, k) in ONE aggregation job (+ a first() for d): the
+        reference runs separate jobs for each (A2/A3,
+        Spark_MOPSO_Avg.scala:89-103); count and distinct-label count
+        share a single scan here."""
         first = points.select(F.size("features").alias("d")).first()
         if first is None:
             raise ValueError("empty points table")
         d = first["d"]
-        n = points.count()
+        row = points.agg(
+            F.count("*").alias("n"), F.countDistinct("label").alias("k")
+        ).collect()[0]
+        n = row["n"]
         k = self.cfg.k
         if k is None:
-            k = points.select("label").distinct().count()
+            k = row["k"]
             if k <= 1:
                 raise ValueError("cannot infer k from labels; pass MopsoConfig(k=...)")
         return n, d, k
@@ -96,15 +101,17 @@ class MopsoEngine:
         # partitioning IS the semantics (AvgLabel repartitions by label).
         if cfg.fitness_mode == "exact":
             dp = points.sparkSession.sparkContext.defaultParallelism
-            target = int(min(4 * dp, max(dp, -(-n // 2048))))
-            pts_k = pts.repartition(target)
+            # ~2k rows per partition, capped at 4×cores; tiny inputs get
+            # few partitions (per-task overhead dominates them otherwise)
+            target = int(min(4 * dp, max(1, -(-n // 2048))))
+            pts_k = pts.repartition(target) if target != pts.rdd.getNumPartitions() else pts
         else:
             pts_k = pts
 
-        # kNN precompute: solution-independent, reused by every iteration
+        # kNN precompute: solution-independent, reused by every iteration;
+        # cache materializes lazily on the first fitness pass
         knn_mode = "partition_local" if cfg.fitness_mode == "partition_local" else cfg.knn_mode
         nbr = with_neighbors(pts_k, cfg.knn_l, mode=knn_mode).persist()
-        nbr.count()  # materialize once
         part_weighted = cfg.fitness_mode == "partition_local"
 
         positions = init_mod.init_swarm(sample, bounds, k, cfg.n_particles, rng, method=cfg.init)
