@@ -102,16 +102,23 @@ def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 16) -> Dat
     md5(shingle ∥ '#' ∥ i). Min over hex strings ≡ min over the 128-bit
     integers — portable to any engine with md5."""
     sh = word_shingles(docs, k)
-    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx")
-    return (
-        sh.select("doc_id", "shingle", idx)
-        .select(
-            "doc_id",
-            "hash_idx",
-            F.md5(F.concat_ws("#", F.col("shingle"), F.col("hash_idx"))).alias("h"),
-        )
-        .groupBy("doc_id", "hash_idx")
-        .agg(F.min("h").alias("minhash"))
+    # one min-aggregate column per hash: the shuffle moves |shingles| rows
+    # with 16 narrow partial-min columns (map-side combined), not the
+    # 16×-exploded row set; the (doc_id, hash_idx, minhash) shape is
+    # recovered by an unpivot AFTER aggregation.
+    aggs = [
+        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(i)))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("hash_idx"), F.col(f"h{i}").alias("minhash"))
+            for i in range(num_hashes)
+        ]
+    )
+    return wide.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.hash_idx").cast("int").alias("hash_idx"), F.col("p.minhash").alias("minhash")
     )
 
 

@@ -1,0 +1,231 @@
+"""Tests for the data-pipeline extensions (dedup/simsearch/text/
+multimodal/streaming) against python/numpy oracles and the sf0.001
+testdata."""
+
+import hashlib
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mopso_engine.ext import dedup as dd
+from mopso_engine.ext import simsearch as ss
+from mopso_engine.ext import text as tx
+from mopso_engine.ext.multimodal import (
+    assets_from_documents,
+    asset_stats,
+    decode_and_featurize,
+    frame_sample,
+)
+from mopso_engine.io import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, SF, "embeddings").cache()
+
+
+def _norm_text(t: str) -> str:
+    return " ".join(t.strip().split()).lower()
+
+
+class TestText:
+    def test_text_stats_oracle(self, docs):
+        rows = {r["doc_id"]: r for r in tx.text_stats(docs).collect()}
+        for r in docs.limit(20).collect():
+            toks = r["text"].strip().split()
+            got = rows[r["doc_id"]]
+            assert got["n_chars"] == len(r["text"])
+            assert got["n_tokens"] == len(toks)
+            assert got["mean_token_len"] == pytest.approx(
+                round(sum(map(len, toks)) / len(toks), 6)
+            )
+            assert got["distinct_ratio"] == pytest.approx(round(len(set(toks)) / len(toks), 6))
+
+    def test_token_count_oracle(self, docs):
+        rows = {r["doc_id"]: r for r in tx.token_count(docs).collect()}
+        pat = re.compile(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")
+        for r in docs.limit(20).collect():
+            got = rows[r["doc_id"]]
+            assert got["ws_tokens"] == len(r["text"].strip().split())
+            assert got["bpe_ish_tokens"] == len(pat.findall(r["text"]))
+
+    def test_fingerprint_is_md5_of_normalized(self, docs):
+        rows = {r["doc_id"]: r["fp"] for r in tx.fingerprint(docs).collect()}
+        for r in docs.limit(10).collect():
+            assert rows[r["doc_id"]] == hashlib.md5(_norm_text(r["text"]).encode()).hexdigest()
+
+    def test_lang_id_deterministic_and_scored(self, docs):
+        a = {(r["doc_id"], r["pred_lang"], r["lang_score"]) for r in tx.lang_id(docs).collect()}
+        b = {(r["doc_id"], r["pred_lang"], r["lang_score"]) for r in tx.lang_id(docs).collect()}
+        assert a == b
+        assert all(0.0 <= s <= 1.0 for _, _, s in a)
+
+
+class TestDedup:
+    def test_shingles_oracle(self, docs):
+        got = (
+            dd.word_shingles(docs.where(F.col("doc_id") < 5), k=3)
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("shingle")).alias("sh"))
+            .collect()
+        )
+        for r in docs.where(F.col("doc_id") < 5).collect():
+            toks = _norm_text(r["text"]).split(" ")
+            exp = sorted({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+            got_r = next(g["sh"] for g in got if g["doc_id"] == r["doc_id"])
+            assert got_r == exp
+
+    def test_exact_dedup_finds_planted_dups(self, spark, docs):
+        dup = docs.where(F.col("doc_id") < 10).withColumn("doc_id", F.col("doc_id") + 5000)
+        groups = dd.exact_dedup(docs.unionByName(dup)).collect()
+        assert len(groups) == 10
+        assert all(g["n_docs"] == 2 for g in groups)
+        assert all(g["keep_id"] < 5000 for g in groups)
+
+    def test_jaccard_identical_docs_is_one(self, spark, docs):
+        dup = docs.where(F.col("doc_id") < 5).withColumn("doc_id", F.col("doc_id") + 5000)
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dd.jaccard_pairs(docs.unionByName(dup), k=3, threshold=0.99).collect()
+        }
+        for i in range(5):
+            assert pairs[(i, i + 5000)] == 1.0
+
+    def test_minhash_identical_docs_same_signature(self, spark, docs):
+        dup = docs.where(F.col("doc_id") < 3).withColumn("doc_id", F.col("doc_id") + 5000)
+        sigs = dd.minhash_signatures(docs.unionByName(dup), k=3, num_hashes=8).collect()
+        by_doc = {}
+        for r in sigs:
+            by_doc.setdefault(r["doc_id"], {})[r["hash_idx"]] = r["minhash"]
+        for i in range(3):
+            assert by_doc[i] == by_doc[i + 5000]
+
+    def test_lsh_finds_planted_dups(self, spark, docs):
+        dup = docs.where(F.col("doc_id") < 5).withColumn("doc_id", F.col("doc_id") + 5000)
+        cands = {
+            (r["doc_a"], r["doc_b"])
+            for r in dd.minhash_lsh_candidates(docs.unionByName(dup)).collect()
+        }
+        for i in range(5):
+            assert (i, i + 5000) in cands
+
+    def test_simhash_identical_equal_and_in_range(self, spark, docs):
+        dup = docs.where(F.col("doc_id") < 3).withColumn("doc_id", F.col("doc_id") + 5000)
+        h = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs.unionByName(dup), bits=16).collect()}
+        for i in range(3):
+            assert h[i] == h[i + 5000]
+        assert all(0 <= v < 2**16 for v in h.values())
+
+
+class TestSimsearch:
+    def test_bruteforce_matches_numpy(self, emb):
+        rows = emb.collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        got = ss.cosine_topk_bruteforce(emb, [0, 1], k=5).collect()
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        for q in (0, 1):
+            qi = int(np.where(ids == q)[0][0])
+            cos = xn @ xn[qi]
+            cos[qi] = -np.inf
+            exp = ids[np.argsort(-cos, kind="stable")[:5]]
+            got_q = sorted(
+                [(r["rank"], r["nbr_id"], r["cos_sim"]) for r in got if r["query_id"] == q]
+            )
+            assert [g[1] for g in got_q] == list(exp)
+            for rank, nbr, sim in got_q:
+                qj = int(np.where(ids == nbr)[0][0])
+                assert sim == pytest.approx(round(float(xn[qj] @ xn[qi]), 6), abs=1e-6)
+
+    def test_ivf_matches_numpy_oracle(self, emb):
+        """IVF = exact top-k restricted to the nprobe nearest label cells —
+        verified against a numpy re-implementation (recall vs brute force
+        depends on the data's label/cosine alignment; here labels are not
+        cosine-clustered, so we check the semantics, not recall)."""
+        rows = emb.collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        labels = np.array([r["label"] for r in rows])
+        x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        cents = np.stack([x[labels == l].mean(axis=0) for l in range(labels.max() + 1)])
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        got = ss.cosine_topk_ivf(emb, [0, 1, 2], k=5, nprobe=3).collect()
+        for q in (0, 1, 2):
+            qi = int(np.where(ids == q)[0][0])
+            cells = np.argsort(-(cn @ xn[qi]), kind="stable")[:3]
+            mask = np.isin(labels, cells) & (ids != q)
+            cos = xn[mask] @ xn[qi]
+            cand_ids = ids[mask]
+            exp = set(cand_ids[np.argsort(-cos, kind="stable")[:5]])
+            got_q = {r["nbr_id"] for r in got if r["query_id"] == q}
+            assert got_q == exp
+
+    def test_neardup_symmetric_bounds(self, emb):
+        pairs = ss.cosine_neardup_pairs(emb, threshold=0.3).collect()
+        assert all(r["id_a"] < r["id_b"] for r in pairs)
+        assert all(r["cos_sim"] >= 0.3 for r in pairs)
+
+
+class TestMultimodal:
+    def test_fake_decode_deterministic(self, docs):
+        assets = assets_from_documents(docs)
+        a = {r["asset_id"]: (r["width"], r["height"], tuple(r["features"])) for r in decode_and_featurize(assets).collect()}
+        b = {r["asset_id"]: (r["width"], r["height"], tuple(r["features"])) for r in decode_and_featurize(assets).collect()}
+        assert a == b
+        w, h, f = a[0]
+        assert 16 <= w < 32 and 16 <= h < 32 and len(f) == 8
+
+    def test_real_decode_raises(self, docs):
+        assets = assets_from_documents(docs)
+        with pytest.raises(Exception, match="NotImplementedError|not available"):
+            decode_and_featurize(assets, decode="real").collect()
+
+    def test_frame_sample_counts(self, docs):
+        assets = assets_from_documents(docs.where(F.col("doc_id") < 5))
+        frames = frame_sample(assets, every_n_bytes=64).collect()
+        sizes = {r["asset_id"]: r["n_bytes"] for r in assets.collect()}
+        by_asset = {}
+        for r in frames:
+            by_asset.setdefault(r["asset_id"], []).append(r["frame_no"])
+        for aid, fns in by_asset.items():
+            assert len(fns) == -(-sizes[aid] // 64)
+
+    def test_asset_stats(self, docs):
+        row = asset_stats(assets_from_documents(docs)).collect()[0]
+        assert row["modality"] == "image"
+        assert row["n_assets"] == docs.count()
+
+
+class TestStreaming:
+    def test_stream_equals_batch(self, spark):
+        from mopso_engine.ext.streaming import (
+            read_events,
+            run_available_now,
+            windowed_counts_batch,
+            windowed_counts_stream,
+        )
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ev = read_events(spark, f"{SF}/events.parquet")
+        batch = {
+            (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in windowed_counts_batch(ev, minutes=60).collect()
+        }
+        out = run_available_now(
+            windowed_counts_stream(spark, f"{SF}/events.parquet", minutes=60),
+            query_name="evw_test",
+        )
+        stream = {
+            (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in out.collect()
+        }
+        assert stream == batch

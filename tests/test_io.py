@@ -1,0 +1,70 @@
+"""Ingest-path tests (SURVEY S4 variants: 1-based/0-based labels, header
+row, label-less mode) against temp CSV renderings of the blob fixture."""
+
+import os
+
+import pytest
+
+from mopso_engine.io import points_from_embeddings, read_points_csv
+
+
+@pytest.fixture(scope="module")
+def csv_dir(tmp_path_factory, blobs):
+    ids, x, labels, _ = blobs
+    d = tmp_path_factory.mktemp("csv")
+    # labeled, 1-based
+    with open(d / "labeled.csv", "w") as f:
+        for xi, l in zip(x, labels):
+            f.write(",".join(f"{v:.10f}" for v in xi) + f",{l}\n")
+    # labeled, 0-based
+    with open(d / "zero.csv", "w") as f:
+        for xi, l in zip(x, labels):
+            f.write(",".join(f"{v:.10f}" for v in xi) + f",{l - 1}\n")
+    # with header
+    with open(d / "header.csv", "w") as f:
+        f.write(",".join(f"f{i}" for i in range(x.shape[1])) + ",label\n")
+        for xi, l in zip(x, labels):
+            f.write(",".join(f"{v:.10f}" for v in xi) + f",{l}\n")
+    # unlabeled
+    with open(d / "unlabeled.csv", "w") as f:
+        for xi in x:
+            f.write(",".join(f"{v:.10f}" for v in xi) + "\n")
+    return str(d)
+
+
+def test_labeled_parse(spark, csv_dir, blobs):
+    _, x, labels, _ = blobs
+    df = read_points_csv(spark, os.path.join(csv_dir, "labeled.csv"))
+    rows = df.collect()
+    assert len(rows) == len(x)
+    assert {r["label"] for r in rows} == set(labels.tolist())
+    assert all(len(r["features"]) == x.shape[1] for r in rows)
+
+
+def test_zero_based_remap(spark, csv_dir, blobs):
+    _, _, labels, _ = blobs
+    df = read_points_csv(spark, os.path.join(csv_dir, "zero.csv"), zero_based_labels=True)
+    # labels shifted +1 → back to the 1-based originals
+    assert {r["label"] for r in df.collect()} == set(labels.tolist())
+
+
+def test_header_drop(spark, csv_dir, blobs):
+    _, x, _, _ = blobs
+    df = read_points_csv(spark, os.path.join(csv_dir, "header.csv"), header=True)
+    assert df.count() == len(x)
+
+
+def test_unlabeled_mode(spark, csv_dir, blobs):
+    _, x, _, _ = blobs
+    df = read_points_csv(spark, os.path.join(csv_dir, "unlabeled.csv"), labeled=False)
+    rows = df.collect()
+    assert len(rows) == len(x)
+    assert all(r["label"] == 0 for r in rows)
+    assert all(len(r["features"]) == x.shape[1] for r in rows)  # all columns are features
+
+
+def test_points_from_embeddings_schema(spark):
+    df = points_from_embeddings(spark, "/root/testdata/sf0.001")
+    assert df.schema.simpleString() == "struct<id:bigint,features:array<double>,label:int>"
+    assert df.count() == 500
+    assert df.agg({"label": "min"}).collect()[0][0] == 1  # 1-based
