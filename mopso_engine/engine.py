@@ -160,10 +160,20 @@ class MopsoEngine:
 
         front = archive.fitness_matrix()
         norm = normalize_fitness(front)
-        # final solution: min normalized L2 to the ideal point (knee);
-        # the reference offers max-silhouette selection, exposed via
-        # metrics.silhouette_* for callers who want it (A14).
-        best_idx = int(np.argmin((norm**2).sum(axis=1)))
+        if cfg.select_best == "silhouette":
+            # selectBestArchiveAsFinalResult (Spark_MOPSO_Avg.scala:578-602):
+            # max silhouette across archive entries; one assignment pass +
+            # ml.ClusteringEvaluator per entry (≤ capacity of them)
+            from mopso_engine.assign import assign as assign_fn
+
+            scores = []
+            for e in archive.entries:
+                asg = assign_fn(pts, e.position)
+                scores.append(metrics_mod.silhouette_ml(pts, asg))
+            best_idx = int(np.argmax(scores))
+        else:
+            # knee: min normalized L2 to the ideal point
+            best_idx = int(np.argmin((norm**2).sum(axis=1)))
 
         nbr.unpersist()
         return MopsoResult(

@@ -193,6 +193,19 @@ def silhouette_ml(points: DataFrame, assigned: DataFrame) -> float:
     return ClusteringEvaluator(predictionCol="prediction").evaluate(df)
 
 
+def partition_census(points: DataFrame) -> DataFrame:
+    """A16 (showBaseInfo): per-partition label census — how many rows of
+    each label landed in each partition (diagnostic for the partitioning
+    strategies of §4.2; Spark_MOPSO_Avg.scala:1267-1291). Layout-dependent
+    by nature: no oracle, used for partitioning diagnostics only."""
+    return (
+        points.select(F.spark_partition_id().alias("partition"), "label")
+        .groupBy("partition", "label")
+        .agg(F.count("*").alias("n"))
+        .orderBy("partition", "label")
+    )
+
+
 def minmax_normalize(df: DataFrame, cols: list[str]) -> DataFrame:
     """A15 as a DataFrame plan: (x−min)/(max−min) per column; constant
     columns map to 0. One tiny aggregate + a projection."""

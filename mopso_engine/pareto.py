@@ -170,6 +170,22 @@ class Archive:
         pool = [i for i in order if crowd[i] == max_c]
         return self.entries[pool[int(rng.integers(0, len(pool)))]]
 
+    def global_best_new(self, rng: np.random.Generator) -> ArchiveEntry:
+        """getGlobalBestNew — the reference's UNUSED alternative (kept for
+        surface parity, flagged as dead code there): sort by crowding asc
+        and pick uniformly among the first ~10%+1 (least-crowded) rows
+        (Spark_MOPSO_Avg.scala:943-962)."""
+        if not self.entries:
+            raise ValueError("empty archive")
+        fits = self.fitness_matrix()
+        prev = np.array([e.crowding for e in self.entries])
+        _, crowd = crowding_distance(
+            fits, prev, formula=self.crowding_formula, endpoint_bug=self.endpoint_bug
+        )
+        order = np.argsort(crowd, kind="stable")
+        top = int(len(order) * 0.1) + 1
+        return self.entries[order[int(rng.integers(0, top))]]
+
 
 def pbest_update(
     new_position: np.ndarray,

@@ -122,6 +122,13 @@ class MopsoConfig:
     #: (MOPSO_Single.scala:445-449); Avg/Particle don't.
     position_bounds: bool = False
 
+    #: Final-solution selection from the archive: 'knee' (min normalized
+    #: L2 to the ideal point; cheap) or 'silhouette' — the reference's
+    #: selectBestArchiveAsFinalResult picks the max-silhouette archive
+    #: entry (Spark_MOPSO_Avg.scala:578-602); we use the scalable
+    #: ml.ClusteringEvaluator silhouette for the sweep.
+    select_best: str = "knee"
+
     #: Swarm init: 'maximin' (reference default, Spark_MOPSO_Avg.scala:1123-1187)
     #: or 'random' / 'kmeans'.
     init: str = "maximin"

@@ -49,6 +49,20 @@ def test_w_schedules():
     assert inc.w_at(30) == pytest.approx((0.9 + 30 * 0.5) / 30)
 
 
+def test_silhouette_selection(blobs_df):
+    cfg = MopsoConfig(n_particles=4, iter_max=1, knn_l=5, seed=3, select_best="silhouette")
+    res = MopsoEngine(cfg).fit(blobs_df)
+    assert 0 <= res.best_index < len(res.archive_positions)
+
+
+def test_partition_census(blobs_df):
+    from mopso_engine.metrics import partition_census
+
+    rows = partition_census(blobs_df.repartition(3)).collect()
+    assert sum(r["n"] for r in rows) == blobs_df.count()
+    assert {r["partition"] for r in rows} <= {0, 1, 2}
+
+
 def test_partition_local_mode_runs(blobs_df):
     cfg = MopsoConfig(n_particles=4, iter_max=2, knn_l=5, fitness_mode="partition_local", seed=1)
     res = MopsoEngine(cfg).fit(blobs_df.repartition(3))

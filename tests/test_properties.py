@@ -1,0 +1,129 @@
+"""Property-based tests (SURVEY §5.2) — hypothesis over the driver-side
+control plane (no Spark needed: fast, wide input coverage)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mopso_engine.functions import euclidean, weight_vector, weighted_euclidean
+from mopso_engine.pareto import (
+    Archive,
+    ArchiveEntry,
+    crowding_distance,
+    non_dominated_mask,
+    normalize_fitness,
+)
+from mopso_engine.pso import canonicalize_centers, update_swarm
+from mopso_engine.schema import MopsoConfig
+
+fit_sets = st.lists(
+    st.tuples(
+        st.floats(0, 1000, allow_nan=False, width=32),
+        st.floats(0, 1000, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def entries(fits):
+    return [ArchiveEntry(np.zeros((1, 1)), np.array(f, dtype=float)) for f in fits]
+
+
+@given(fit_sets)
+@settings(max_examples=200, deadline=None)
+def test_archive_invariants(fits):
+    a = Archive(capacity=15)
+    a.update(entries(fits))
+    m = a.fitness_matrix()
+    assert 1 <= len(m) <= 15
+    assert non_dominated_mask(m).all()  # mutually non-dominated
+    # every original non-dominated point survives unless truncated
+    keep = non_dominated_mask(np.array(fits, dtype=float))
+    if keep.sum() <= 15:
+        surv = {tuple(f) for f in m}
+        for f, k in zip(fits, keep):
+            assert (tuple(map(float, f)) in surv) == bool(k) or not k
+
+
+@given(fit_sets)
+@settings(max_examples=100, deadline=None)
+def test_incremental_equals_batch_update(fits):
+    """Feeding candidates in two chunks reaches the same front as one
+    batch (archive update is monotone in the dominance order)."""
+    half = len(fits) // 2
+    a, b = Archive(capacity=1000), Archive(capacity=1000)
+    a.update(entries(fits))
+    b.update(entries(fits[:half]))
+    b.update(entries(fits[half:]))
+    fa = sorted(map(tuple, a.fitness_matrix()))
+    fb = sorted(map(tuple, b.fitness_matrix()))
+    assert fa == fb
+
+
+@given(fit_sets)
+@settings(max_examples=100, deadline=None)
+def test_crowding_endpoints_and_nonnegativity(fits):
+    f = np.array(fits, dtype=float)
+    order, c = crowding_distance(f)
+    assert (c >= 0).all()
+    assert np.isinf(c[order[0]]) and np.isinf(c[order[-1]])
+
+
+@given(fit_sets)
+@settings(max_examples=100, deadline=None)
+def test_normalize_bounds(fits):
+    n = normalize_fitness(np.array(fits, dtype=float))
+    assert (n >= 0).all() and (n <= 1.0 + 1e-12).all()
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=50, deadline=None)
+def test_velocity_resample_respects_bounds(seed):
+    rng = np.random.default_rng(seed)
+    cfg = MopsoConfig()
+    s, k, d = 5, 3, 4
+    pos = rng.normal(size=(s, k, d)) * 10
+    vel = rng.uniform(-1, 1, size=(s, k, d))
+    pb = pos + rng.normal(size=pos.shape)
+    gb = rng.normal(size=(k, d))
+    new_pos, new_vel = update_swarm(pos, vel, pb, gb, 0.7, cfg, rng)
+    assert (new_vel >= cfg.v_min).all() and (new_vel <= cfg.v_max).all()
+    np.testing.assert_allclose(new_pos, pos + new_vel)
+
+
+@given(
+    st.lists(st.floats(0.125, 100, allow_nan=False, width=32), min_size=2, max_size=16),
+    st.lists(st.floats(-100, 100, allow_nan=False, width=32), min_size=2, max_size=16),
+)
+@settings(max_examples=100, deadline=None)
+def test_weighted_euclidean_properties(x, y):
+    n = min(len(x), len(y))
+    x, y = np.array(x[:n]), np.array(y[:n])
+    assert weighted_euclidean(x, x) == pytest.approx(0.0, abs=1e-9)
+    assert weighted_euclidean(x, y, variant="sum") >= 0
+    w = weight_vector(x, variant="sum")
+    assert w.sum() == pytest.approx(1.0)
+    assert euclidean(x, y) == pytest.approx(float(np.linalg.norm(x - y)), rel=1e-9)
+
+
+@given(st.integers(0, 1000))
+@settings(max_examples=50, deadline=None)
+def test_canonicalize_sorts_by_first_coord(seed):
+    rng = np.random.default_rng(seed)
+    c = rng.normal(size=(6, 3))
+    cc = canonicalize_centers(c)
+    assert (np.diff(cc[:, 0]) >= 0).all()
+    assert sorted(map(tuple, c.tolist())) == sorted(map(tuple, cc.tolist()))
+
+
+def test_global_best_new_least_crowded():
+    rng = np.random.default_rng(0)
+    a = Archive(capacity=15)
+    a.update(
+        [ArchiveEntry(np.zeros((1, 1)), np.array(f, dtype=float)) for f in [(1, 10), (2, 8), (3, 7), (9, 1)]]
+    )
+    # 10%+1 of 4 = 1 → always the least-crowded (smallest crowding) row
+    picks = {tuple(a.global_best_new(rng).fitness) for _ in range(10)}
+    assert len(picks) == 1
