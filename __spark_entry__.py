@@ -474,6 +474,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = MopsoEngine(cfg).fit(pts)
         return res.archive_df(spark)
 
+    def mopso_fit_lineitem(spark, sf):
+        """The SCALE demonstration: MOPSO over a lineitem-derived points
+        table (~600k rows at sf0.1) with partition-local fitness — the
+        reference Avg's own cluster-scale semantics: no broadcast of the
+        data, no shuffle in the per-iteration job. Rows-only check."""
+        from mopso_engine.engine import MopsoEngine
+        from mopso_engine.io import points_from_columns
+
+        li = read_table(spark, sf, "lineitem")
+        pts = points_from_columns(
+            li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], None
+        ).repartition(64)  # partition_local: the caller owns the layout,
+        # exactly like the reference's repartition(numberOfSubPop)
+        # (Spark_MOPSO_Avg.scala:86); ~10k rows per partition keeps the
+        # O(p²) local kNN cheap
+        cfg = MopsoConfig(
+            k=4, n_particles=5, iter_max=2, knn_l=5, seed=42,
+            fitness_mode="partition_local",
+        )
+        res = MopsoEngine(cfg).fit(pts)
+        return res.archive_df(spark)
+
     for fn in (
         points_ingest, feature_minmax, count_and_k, assign_nearest, cluster_sizes,
         dev_inertia, avg_dist_per_cluster, purity, accuracy, dbi, silhouette,
@@ -483,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_stats, quality, lang_pred, token_counts, fingerprints,
         dedup_exact, dedup_jaccard, minhash_sigs, lsh_candidates, simhash_fp,
         ann_topk, ann_ivf, emb_neardup, multimodal_stats, mopso_fit,
+        mopso_fit_lineitem,
     ):
         q[fn.__name__] = fn
     return q

@@ -39,8 +39,9 @@ BENCH_QUERIES = [
     "simhash_fp",
     "ann_topk",
     "ann_ivf",
-    # the full algorithm (tiny budget)
+    # the full algorithm (tiny budget) + the 600k-row scale demo
     "mopso_fit",
+    "mopso_fit_lineitem",
 ]
 
 

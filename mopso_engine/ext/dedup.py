@@ -154,14 +154,21 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     Σ_tokens (bit_j ? +1 : −1) > 0. Expressible identically in SQL."""
     tok = docs.select("doc_id", F.explode(F.split(normalized_text(), " ")).alias("tok"))
     h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    per_bit = (
-        tok.select("doc_id", h.alias("h"), bit)
-        # python shiftright/shiftleft want literal counts; SQL takes columns
-        .select("doc_id", "bit", F.expr("CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END").alias("v"))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("v").alias("s"))
+    # one ±1 sum column per bit in a single groupBy — the shuffle carries
+    # |tokens| rows with 16 narrow partial sums (map-side combined), not a
+    # 16×-exploded row set; the final simhash assembles in a projection.
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    wide = tok.select("doc_id", h.alias("h")).groupBy("doc_id").agg(*aggs)
+    sim = sum(
+        [
+            F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+            for j in range(bits)
+        ],
+        start=F.lit(0).cast("long"),
     )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(1L, bit) ELSE 0L END")).alias("simhash")
-    )
+    return wide.select("doc_id", sim.alias("simhash"))

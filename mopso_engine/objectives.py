@@ -41,6 +41,36 @@ from pyspark.sql.types import (
 
 from mopso_engine.assign import _distances
 
+#: cap on the scratch distance-matrix cells per block (~32 MB of float64)
+#: — bounds executor memory regardless of partition size.
+_BLOCK_CELLS = 4_000_000
+
+
+def _topl_blocked(x: np.ndarray, ref: np.ndarray, ref_ids: np.ndarray, x_ids: np.ndarray, l_nbrs: int):
+    """Top-L neighbors of each row of x against ref, computed in row blocks
+    so the (rows × |ref|) distance matrix never exceeds ~32 MB. Rows whose
+    id appears in ref exclude themselves. Returns (nbr_pos, nbr_dist) of
+    shape (len(x), l_eff)."""
+    n_ref = ref.shape[0]
+    l_eff = min(l_nbrs, n_ref - 1)
+    block = max(1, _BLOCK_CELLS // max(1, n_ref))
+    out_pos = np.empty((len(x), l_eff), dtype=np.int64)
+    out_d = np.empty((len(x), l_eff), dtype=np.float64)
+    for s in range(0, len(x), block):
+        e = min(s + block, len(x))
+        d = _distances(x[s:e], ref)
+        pos = np.searchsorted(ref_ids, x_ids[s:e])
+        pos = np.clip(pos, 0, n_ref - 1)
+        hit = ref_ids[pos] == x_ids[s:e]
+        d[np.arange(e - s)[hit], pos[hit]] = np.inf
+        part = np.argpartition(d, l_eff - 1, axis=1)[:, :l_eff]
+        pd_d = np.take_along_axis(d, part, axis=1)
+        order = np.lexsort((ref_ids[part], pd_d), axis=1)
+        out_pos[s:e] = np.take_along_axis(part, order, axis=1)
+        out_d[s:e] = np.take_along_axis(pd_d, order, axis=1)
+    return out_pos, out_d
+
+
 _NBR_SCHEMA_FIELDS = [
     StructField("id", LongType(), False),
     StructField("features", ArrayType(DoubleType()), False),
@@ -80,17 +110,8 @@ def knn_pairs_exact(points: DataFrame, l_nbrs: int) -> DataFrame:
         for pdf in batches:
             x = np.stack(pdf["features"].to_numpy()).astype(np.float64)
             bid = pdf["id"].to_numpy()
-            d = _distances(x, all_feats)  # (n, N)
-            # exclude self by position lookup
-            self_pos = np.searchsorted(all_ids, bid)
-            d[np.arange(len(bid)), self_pos] = np.inf
-            l_eff = min(l_nbrs, d.shape[1] - 1)
-            part = np.argpartition(d, l_eff - 1, axis=1)[:, :l_eff]
-            pd_d = np.take_along_axis(d, part, axis=1)
-            order = np.lexsort((all_ids[part], pd_d), axis=1)
-            nbr_pos = np.take_along_axis(part, order, axis=1)
-            nbr_d = np.take_along_axis(pd_d, order, axis=1)
-            n = len(bid)
+            nbr_pos, nbr_d = _topl_blocked(x, all_feats, all_ids, bid, l_nbrs)
+            n, l_eff = nbr_pos.shape
             yield pd.DataFrame(
                 {
                     "id": np.repeat(bid, l_eff),
@@ -191,20 +212,36 @@ def with_neighbors(points: DataFrame, l_nbrs: int, mode: str = "exact") -> DataF
         )
 
         def kernel(batches: Iterable[pd.DataFrame]):
-            pdf = pd.concat(list(batches), ignore_index=True)
+            chunks = list(batches)
+            if not chunks:  # empty partition
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
             if pdf.empty:
                 return
+            if len(pdf) < 2:
+                # a single-row partition has no neighbors
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "features": pdf["features"],
+                        "label": pdf["label"],
+                        "nbr_feats": [[] for _ in range(len(pdf))],
+                        "nbr_ranks": [[] for _ in range(len(pdf))],
+                    }
+                )
+                return
             x = np.stack(pdf["features"].to_numpy()).astype(np.float64)
-            d = _distances(x, x)
-            np.fill_diagonal(d, np.inf)
-            l_eff = min(l_nbrs, len(pdf) - 1)
-            nbr = np.argsort(d, axis=1)[:, :l_eff]
+            ids = pdf["id"].to_numpy()
+            order = np.argsort(ids)
+            xs, ids_s = x[order], ids[order]
+            nbr_pos, _ = _topl_blocked(x, xs, ids_s, ids, l_nbrs)
+            l_eff = nbr_pos.shape[1]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "features": pdf["features"],
                     "label": pdf["label"],
-                    "nbr_feats": [list(map(list, x[row])) for row in nbr],
+                    "nbr_feats": [list(map(list, xs[row])) for row in nbr_pos],
                     "nbr_ranks": [list(range(1, l_eff + 1))] * len(pdf),
                 }
             )
@@ -239,14 +276,8 @@ def with_neighbors(points: DataFrame, l_nbrs: int, mode: str = "exact") -> DataF
                     continue
                 x = np.stack(pdf["features"].to_numpy()).astype(np.float64)
                 bid = pdf["id"].to_numpy()
-                d = _distances(x, all_feats)
-                self_pos = np.searchsorted(all_ids, bid)
-                d[np.arange(len(bid)), self_pos] = np.inf
-                l_eff = min(l_nbrs, d.shape[1] - 1)
-                part = np.argpartition(d, l_eff - 1, axis=1)[:, :l_eff]
-                pd_d = np.take_along_axis(d, part, axis=1)
-                ordr = np.lexsort((all_ids[part], pd_d), axis=1)
-                nbr_pos = np.take_along_axis(part, ordr, axis=1)
+                nbr_pos, _ = _topl_blocked(x, all_feats, all_ids, bid, l_nbrs)
+                l_eff = nbr_pos.shape[1]
                 yield pd.DataFrame(
                     {
                         "id": bid,

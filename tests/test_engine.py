@@ -67,3 +67,13 @@ def test_partition_local_mode_runs(blobs_df):
     cfg = MopsoConfig(n_particles=4, iter_max=2, knn_l=5, fitness_mode="partition_local", seed=1)
     res = MopsoEngine(cfg).fit(blobs_df.repartition(3))
     assert len(res.archive_positions) >= 1
+
+
+def test_partition_local_survives_empty_and_singleton_partitions(spark):
+    """More partitions than rows → empty partitions and 1-row partitions
+    (no neighbors) must not crash the local-kNN kernel."""
+    rows = [(i, [float(i), 0.0], 1 + i % 2) for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, features array<double>, label int").repartition(10)
+    cfg = MopsoConfig(k=2, n_particles=3, iter_max=1, knn_l=3, fitness_mode="partition_local", seed=0)
+    res = MopsoEngine(cfg).fit(df)
+    assert len(res.archive_positions) >= 1
