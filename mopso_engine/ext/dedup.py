@@ -41,27 +41,25 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def word_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct k-word shingles of the normalized text.
+def word_shingles(docs: DataFrame, k: int = 3, *, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) — k-word shingles of the normalized text.
 
-    posexplode + window `lead`: the tokenizing split runs ONCE per doc
-    (an inline `transform(sequence(...), i -> slice(toks, i, k))` would
-    re-evaluate the split per shingle — measured 5× slower), then k-grams
-    assemble from lead() neighbors. One shuffle on doc_id; linear in
-    token count — the shape that survives wide corpora."""
-    from pyspark.sql.window import Window
-
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split(normalized_text(), " ")).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    sh = tok.select(
-        "doc_id",
-        F.concat_ws(" ", *parts).alias("shingle"),
-        F.lead("tok", k - 1).over(w).alias("_tail"),
-    )
-    return sh.where(F.col("_tail").isNotNull()).select("doc_id", "shingle").distinct()
+    ZERO-shuffle, linear construction: k parallel `slice`s of the token
+    array zipped positionally, then one `transform` — each expression
+    touches the tokens O(1) times per row. (Both naive alternatives lose:
+    an inline `transform(sequence(i), slice(toks, i, k))` re-evaluates the
+    split per shingle — O(tokens²); posexplode + window lead() costs a
+    shuffle.) ``distinct`` dedups within the doc via array_distinct —
+    still no shuffle; pass False when the consumer is dup-insensitive
+    (minhash: min over a multiset == min over its set)."""
+    toks = F.split(normalized_text(), " ")
+    n = F.size(toks)
+    width = F.greatest(n - F.lit(k - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, i + 1, width).alias(f"w{i}") for i in range(k)])
+    sh = F.transform(z, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(k)]))
+    if distinct:
+        sh = F.array_distinct(sh)
+    return docs.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
@@ -101,7 +99,7 @@ def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 16) -> Dat
     """(doc_id, hash_idx, minhash): minhash_i = min over shingles of
     md5(shingle ∥ '#' ∥ i). Min over hex strings ≡ min over the 128-bit
     integers — portable to any engine with md5."""
-    sh = word_shingles(docs, k)
+    sh = word_shingles(docs, k, distinct=False)  # min() is dup-insensitive
     # one min-aggregate column per hash: the shuffle moves |shingles| rows
     # with 16 narrow partial-min columns (map-side combined), not the
     # 16×-exploded row set; the (doc_id, hash_idx, minhash) shape is

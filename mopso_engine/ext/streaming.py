@@ -81,14 +81,65 @@ def windowed_counts_stream(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str = "events_windowed") -> DataFrame:
+def user_running_stats_stream(
+    spark: SparkSession, events_path: str
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via applyInPandasWithState:
+    per-user running event count / value sum / last-seen timestamp,
+    maintained across micro-batches in group state (the
+    'custom stateful operator' pattern the brief calls for).
+
+    State = (n_events long, sum_value double, last_ts long); each
+    micro-batch folds its rows into the state and emits the updated row
+    (update semantics). Scale shape: state is partitioned by user_id —
+    the same hash-partitioning a batch groupBy would use, but persisted
+    in the state store between batches.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os as _os
+
+    base, fname = _os.path.dirname(events_path), _os.path.basename(events_path)
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", fname)
+        .parquet(base)
+    )
+
+    out_schema = "user_id long, n_events long, sum_value double, last_ts_ns long"
+    state_schema = "n_events long, sum_value double, last_ts_ns long"
+
+    def fold(key, pdfs, state: GroupState):
+        n, sv, lt = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            sv += float(pdf["value"].sum())
+            lt = max(lt, int(pdf["ts"].max()))
+        state.update((n, sv, lt))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [sv], "last_ts_ns": [lt]}
+        )
+
+    return (
+        src.groupBy("user_id")
+        .applyInPandasWithState(
+            fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str = "events_windowed", *, output_mode: str = "complete"
+) -> DataFrame:
     """Execute the streaming plan over all currently-available input
     (Trigger.AvailableNow) into an in-memory sink; returns the result as a
     batch DataFrame. Deterministic: the stream drains and stops."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -137,6 +137,56 @@ class MopsoConfig:
 
     bug_compat: BugCompat = field(default_factory=BugCompat)
 
+    @classmethod
+    def variant(cls, name: str, **overrides) -> "MopsoConfig":
+        """Config replicating one of the reference's four programs
+        as-implemented — algorithm-level bit-parity flags included
+        (SURVEY §2 aliases; RNG streams are numpy, not Scala):
+
+        * 'single'    — MOPSO_Single.scala: decreasing w, product crowding,
+          c1/c2 = 1.42/1.63, position bounds resampled, inverted pbest
+          applied, exact/global fitness.
+        * 'avg'       — Spark_MOPSO_Avg.scala: increasing w, avg crowding,
+          c1/c2 = 1/2, partition-weighted partition-local fitness, pbest
+          FROZEN (the discard bug), no position bounds.
+        * 'avg_label' — Spark_MOPSO_Avg_labelPartition.scala: same engine
+          flags as 'avg'; the label co-location is data layout — call
+          ``points.repartition(n, "label")`` before fit (the engine keeps
+          your layout in partition_local mode).
+        * 'particle'  — Spark_MOPSO_Particle.scala: increasing w, product
+          crowding, c1/c2 = 1/2, exact/global fitness, NO velocity
+          resample, inverted pbest applied.
+        """
+        base: dict
+        if name == "single":
+            base = dict(
+                w_schedule="decreasing", crowding_formula="product",
+                c1=1.42, c2=1.63, position_bounds=True, velocity_resample=True,
+                fitness_mode="exact",
+                bug_compat=BugCompat(pbest_inverted=True, crowding_endpoint_bug=True,
+                                     dbi_max_not_reset=True),
+            )
+        elif name in ("avg", "avg_label"):
+            base = dict(
+                w_schedule="increasing", crowding_formula="avg",
+                c1=1.0, c2=2.0, position_bounds=False, velocity_resample=True,
+                fitness_mode="partition_local",
+                bug_compat=BugCompat(pbest_frozen=True, pbest_inverted=True,
+                                     crowding_endpoint_bug=True, dbi_max_not_reset=True),
+            )
+        elif name == "particle":
+            base = dict(
+                w_schedule="increasing", crowding_formula="product",
+                c1=1.0, c2=2.0, position_bounds=False, velocity_resample=False,
+                fitness_mode="exact",
+                bug_compat=BugCompat(pbest_inverted=True, crowding_endpoint_bug=True,
+                                     dbi_max_not_reset=True),
+            )
+        else:
+            raise ValueError(f"unknown variant: {name!r} (single|avg|avg_label|particle)")
+        base.update(overrides)
+        return cls(**base)
+
     def w_at(self, iteration: int) -> float:
         """Inertia-weight schedule (SURVEY F4)."""
         if self.w_schedule == "decreasing":

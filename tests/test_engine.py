@@ -40,6 +40,26 @@ def test_fit_partition_count_invariance_exact_mode(spark, blobs_df, small_cfg):
     )
 
 
+def test_variant_factory_flags():
+    s = MopsoConfig.variant("single")
+    assert (s.w_schedule, s.crowding_formula, s.c1, s.c2) == ("decreasing", "product", 1.42, 1.63)
+    assert s.position_bounds and s.bug_compat.pbest_inverted and not s.bug_compat.pbest_frozen
+    a = MopsoConfig.variant("avg")
+    assert (a.w_schedule, a.crowding_formula, a.fitness_mode) == ("increasing", "avg", "partition_local")
+    assert a.bug_compat.pbest_frozen
+    p = MopsoConfig.variant("particle")
+    assert not p.velocity_resample and p.fitness_mode == "exact"
+    assert MopsoConfig.variant("avg_label", iter_max=7).iter_max == 7
+    with pytest.raises(ValueError):
+        MopsoConfig.variant("nope")
+
+
+def test_variant_avg_runs_e2e(blobs_df):
+    cfg = MopsoConfig.variant("avg", n_particles=4, iter_max=2, knn_l=5, seed=2)
+    res = MopsoEngine(cfg).fit(blobs_df.repartition(3))
+    assert len(res.archive_positions) >= 1
+
+
 def test_w_schedules():
     cfg = MopsoConfig(iter_max=30)
     assert cfg.w_at(0) == pytest.approx(0.9)

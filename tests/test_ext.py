@@ -229,3 +229,32 @@ class TestStreaming:
             for r in out.collect()
         }
         assert stream == batch
+
+    def test_stateful_user_stats_matches_batch(self, spark):
+        """The applyInPandasWithState operator's drained state equals the
+        batch groupBy over the same events."""
+        from pyspark.sql import functions as F
+
+        from mopso_engine.ext.streaming import (
+            read_events,
+            run_available_now,
+            user_running_stats_stream,
+        )
+
+        out = run_available_now(
+            user_running_stats_stream(spark, f"{SF}/events.parquet"),
+            query_name="user_stats_test",
+            output_mode="update",
+        )
+        # keep the LAST update per user (availableNow may run >1 batch)
+        got = {}
+        for r in out.collect():
+            got[r["user_id"]] = (r["n_events"], round(r["sum_value"], 4))
+        ev = read_events(spark, f"{SF}/events.parquet")
+        exp = {
+            r["user_id"]: (r["n"], round(r["sv"], 4))
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+            .collect()
+        }
+        assert got == exp
