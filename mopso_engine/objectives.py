@@ -74,7 +74,7 @@ def _topl_blocked(x: np.ndarray, ref: np.ndarray, ref_ids: np.ndarray, x_ids: np
 _NBR_SCHEMA_FIELDS = [
     StructField("id", LongType(), False),
     StructField("features", ArrayType(DoubleType()), False),
-    StructField("nbr_feats", ArrayType(ArrayType(DoubleType())), False),
+    StructField("nbr_flat", ArrayType(DoubleType()), False),
     StructField("nbr_ranks", ArrayType(IntegerType()), False),
 ]
 
@@ -186,7 +186,7 @@ def knn_pairs_lsh(points: DataFrame, l_nbrs: int, *, bucket_length: float = 2.0,
 
 
 def with_neighbors(points: DataFrame, l_nbrs: int, mode: str = "exact") -> DataFrame:
-    """points → (id, features, label, nbr_feats, nbr_ranks), the cached
+    """points → (id, features, label, nbr_flat, nbr_ranks), the cached
     input of the per-iteration fitness kernel.
 
     Modes:
@@ -206,7 +206,7 @@ def with_neighbors(points: DataFrame, l_nbrs: int, mode: str = "exact") -> DataF
                 StructField("id", LongType(), False),
                 StructField("features", ArrayType(DoubleType()), False),
                 StructField("label", IntegerType(), True),
-                StructField("nbr_feats", ArrayType(ArrayType(DoubleType())), False),
+                StructField("nbr_flat", ArrayType(DoubleType()), False),
                 StructField("nbr_ranks", ArrayType(IntegerType()), False),
             ]
         )
@@ -225,7 +225,7 @@ def with_neighbors(points: DataFrame, l_nbrs: int, mode: str = "exact") -> DataF
                         "id": pdf["id"],
                         "features": pdf["features"],
                         "label": pdf["label"],
-                        "nbr_feats": [[] for _ in range(len(pdf))],
+                        "nbr_flat": [[] for _ in range(len(pdf))],
                         "nbr_ranks": [[] for _ in range(len(pdf))],
                     }
                 )
@@ -236,12 +236,14 @@ def with_neighbors(points: DataFrame, l_nbrs: int, mode: str = "exact") -> DataF
             xs, ids_s = x[order], ids[order]
             nbr_pos, _ = _topl_blocked(x, xs, ids_s, ids, l_nbrs)
             l_eff = nbr_pos.shape[1]
+            d_ = x.shape[1]
+            flat = xs[nbr_pos.ravel()].reshape(len(pdf), l_eff * d_)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "features": pdf["features"],
                     "label": pdf["label"],
-                    "nbr_feats": [list(map(list, xs[row])) for row in nbr_pos],
+                    "nbr_flat": list(flat),
                     "nbr_ranks": [list(range(1, l_eff + 1))] * len(pdf),
                 }
             )
@@ -264,7 +266,7 @@ def with_neighbors(points: DataFrame, l_nbrs: int, mode: str = "exact") -> DataF
                 StructField("id", LongType(), False),
                 StructField("features", ArrayType(DoubleType()), False),
                 StructField("label", IntegerType(), True),
-                StructField("nbr_feats", ArrayType(ArrayType(DoubleType())), False),
+                StructField("nbr_flat", ArrayType(DoubleType()), False),
                 StructField("nbr_ranks", ArrayType(IntegerType()), False),
             ]
         )
@@ -278,12 +280,14 @@ def with_neighbors(points: DataFrame, l_nbrs: int, mode: str = "exact") -> DataF
                 bid = pdf["id"].to_numpy()
                 nbr_pos, _ = _topl_blocked(x, all_feats, all_ids, bid, l_nbrs)
                 l_eff = nbr_pos.shape[1]
+                d_ = x.shape[1]
+                flat = all_feats[nbr_pos.ravel()].reshape(len(bid), l_eff * d_)
                 yield pd.DataFrame(
                     {
                         "id": bid,
                         "features": pdf["features"],
                         "label": pdf["label"],
-                        "nbr_feats": [list(map(list, all_feats[row])) for row in nbr_pos],
+                        "nbr_flat": list(flat),
                         "nbr_ranks": [list(range(1, l_eff + 1))] * len(bid),
                     }
                 )
@@ -309,7 +313,7 @@ def with_neighbors(points: DataFrame, l_nbrs: int, mode: str = "exact") -> DataF
         "id",
         "features",
         "label",
-        F.col("nbrs.nbr_f").alias("nbr_feats"),
+        F.flatten(F.col("nbrs.nbr_f")).alias("nbr_flat"),
         F.col("nbrs.rank").alias("nbr_ranks"),
     )
 
@@ -357,19 +361,34 @@ def evaluate_solutions(nbr_df: DataFrame, centers_stack: np.ndarray, *, partitio
                 continue
             x = np.stack(pdf["features"].to_numpy()).astype(np.float64)  # (n,d)
             n = x.shape[0]
-            nbr_list = pdf["nbr_feats"].to_numpy()
+            flat_list = pdf["nbr_flat"].to_numpy()
             ranks_list = pdf["nbr_ranks"].to_numpy()
             l_eff = max(len(r) for r in ranks_list)
-            # ragged → dense (pad with the point itself; weight 0 kills it)
-            nb = np.zeros((n, l_eff, d_), dtype=np.float64)
+            if l_eff == 0:
+                # no neighbors anywhere in the batch: Conn contributes 0
+                dists = _distances(x, flat).reshape(n, s, k)
+                pt_cl = dists.argmin(axis=2)
+                pt_dist = np.take_along_axis(dists, pt_cl[:, :, None], axis=2)[:, :, 0]
+                acc_dev += pt_dist.sum(axis=0)
+                acc_n += n
+                continue
             wts = np.zeros((n, l_eff), dtype=np.float64)
-            for i, (nf, rk) in enumerate(zip(nbr_list, ranks_list)):
-                m = len(rk)
-                if m:
-                    nb[i, :m] = np.stack([np.asarray(v, dtype=np.float64) for v in nf])
-                    wts[i, :m] = 1.0 / np.asarray(rk, dtype=np.float64)
-                if m < l_eff:
-                    nb[i, m:] = x[i]
+            lens = np.fromiter((len(f) for f in flat_list), dtype=np.int64, count=n)
+            if (lens == l_eff * d_).all():
+                nb = np.stack(flat_list).astype(np.float64).reshape(n, l_eff, d_)
+                for i, rk in enumerate(ranks_list):
+                    wts[i] = 1.0 / np.asarray(rk, dtype=np.float64)
+            else:
+                # ragged rows (short partitions / LSH misses): pad with the
+                # point itself; weight 0 kills the padding's contribution
+                nb = np.zeros((n, l_eff, d_), dtype=np.float64)
+                for i, (nf, rk) in enumerate(zip(flat_list, ranks_list)):
+                    m = len(rk)
+                    if m:
+                        nb[i, :m] = np.asarray(nf, dtype=np.float64).reshape(m, d_)
+                        wts[i, :m] = 1.0 / np.asarray(rk, dtype=np.float64)
+                    if m < l_eff:
+                        nb[i, m:] = x[i]
             stacked = np.concatenate([x, nb.reshape(n * l_eff, d_)], axis=0)
             dists = _distances(stacked, flat).reshape(-1, s, k)
             clusters = dists.argmin(axis=2)  # (n + n*l, s)
@@ -391,7 +410,7 @@ def evaluate_solutions(nbr_df: DataFrame, centers_stack: np.ndarray, *, partitio
             )
 
     rows = (
-        nbr_df.select("features", "nbr_feats", "nbr_ranks")
+        nbr_df.select("features", "nbr_flat", "nbr_ranks")
         .mapInPandas(kernel, schema=_FITNESS_PARTIAL_SCHEMA)
         .collect()
     )

@@ -77,6 +77,16 @@ def test_partition_local_mode_weighted_sum(spark, blobs):
     assert fit[0, 1] == pytest.approx(exp_conn, rel=1e-9)
 
 
+def test_pairs_based_neighbors_match_broadcast_path(blobs_df, blobs):
+    """The join-based with_neighbors tail ('crossjoin' mode) must produce
+    the same fitness as the broadcast-exact path."""
+    _, x, _, c = blobs
+    stack = np.stack([c])
+    f_exact = evaluate_solutions(with_neighbors(blobs_df, 5, mode="exact"), stack)
+    f_pairs = evaluate_solutions(with_neighbors(blobs_df, 5, mode="crossjoin"), stack)
+    np.testing.assert_allclose(f_exact, f_pairs, rtol=1e-9)
+
+
 def test_lsh_knn_mostly_agrees_with_exact(blobs_df):
     from mopso_engine.objectives import knn_pairs_lsh
 
