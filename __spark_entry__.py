@@ -445,6 +445,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """16-bit SimHash per document."""
         return dd.simhash(read_table(spark, sf, "documents"), bits=16)
 
+    def dedup_verified(spark, sf):
+        """The LSH → exact-verify composition: MinHash banding proposes
+        candidate pairs, exact Jaccard scores ONLY those (the scale-true
+        dedup pipeline)."""
+        docs = read_table(spark, sf, "documents")
+        cands = dd.minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=4)
+        return dd.jaccard_on_candidates(docs, cands, k=3)
+
+    def events_sessionized(spark, sf):
+        """Sessionization via windows: a session breaks after a >30 min gap;
+        per user: session count and the largest session (events)."""
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # cast-to-double keeps sub-second precision (unix_timestamp truncates,
+        # which would disagree with the oracle's epoch() at gap boundaries)
+        gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double"), 1).over(w)
+        sess = (
+            ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+            .withColumn("sess_id", F.sum("new_sess").over(w))
+        )
+        per_sess = sess.groupBy("user_id", "sess_id").agg(F.count("*").alias("n_ev"))
+        return per_sess.groupBy("user_id").agg(
+            F.count("*").alias("n_sessions"), F.max("n_ev").alias("max_session_events")
+        )
+
+    def user_stats(spark, sf):
+        """Per-user running totals (the batch twin of the stateful
+        applyInPandasWithState operator in ext/streaming)."""
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        return ev.groupBy("user_id").agg(
+            F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")
+        )
+
+    def q6_forecast(spark, sf):
+        """TPC-H Q6 shape: tight filter + single scalar aggregate — the
+        pushdown/pruning showcase."""
+        li = read_table(spark, sf, "lineitem")
+        return (
+            li.where(
+                (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+                & (F.col("l_discount") >= 0.03)
+                & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        )
+
     # ---- similarity search --------------------------------------------------
     def ann_topk(spark, sf):
         """Brute-force exact top-5 cosine neighbors for query ids 0-4."""
@@ -504,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_windowed, events_stream,
         text_stats, quality, lang_pred, token_counts, fingerprints,
         dedup_exact, dedup_jaccard, minhash_sigs, lsh_candidates, simhash_fp,
+        dedup_verified, events_sessionized, user_stats, q6_forecast,
         ann_topk, ann_ivf, emb_neardup, multimodal_stats, mopso_fit,
         mopso_fit_lineitem,
     ):
@@ -830,6 +883,64 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
         FROM pb GROUP BY 1
+    """
+
+    o["dedup_verified"] = f"""
+        WITH {_mh},
+        band_sig AS (
+          SELECT doc_id, (hash_idx // 4)::INT AS band,
+                 array_to_string(list_sort(list(hash_idx::VARCHAR || ':' || minhash)), '|') AS band_sig
+          FROM mh GROUP BY doc_id, band),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM band_sig a JOIN band_sig b
+            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        ji AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS ni
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2)
+        SELECT c.doc_a, c.doc_b,
+               round(coalesce(ni, 0)*1.0/(sa.n + sb.n - coalesce(ni, 0)), 6) AS jaccard
+        FROM cand c
+        LEFT JOIN ji ON ji.doc_a = c.doc_a AND ji.doc_b = c.doc_b
+        JOIN sz sa ON sa.doc_id = c.doc_a
+        JOIN sz sb ON sb.doc_id = c.doc_b
+    """
+
+    o["events_sessionized"] = """
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM g),
+        ps AS (SELECT user_id, sess_id, count(*) AS n_ev FROM s GROUP BY 1, 2)
+        SELECT user_id, count(*)::BIGINT AS n_sessions, max(n_ev)::BIGINT AS max_session_events
+        FROM ps GROUP BY 1
+    """
+
+    o["user_stats"] = """
+        SELECT user_id, count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1
+    """
+
+    o["q6_forecast"] = """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24
     """
 
     _ann_base = """

@@ -22,9 +22,12 @@ BENCH_QUERIES = [
     # relational layer
     "q1_pricing",
     "q3_shipping",
+    "q6_forecast",
     "nation_revenue",
     "top_parts",
     "events_windowed",
+    "events_sessionized",
+    "user_stats",
     # points/assignment family
     "assign_nearest",
     "purity",
@@ -35,6 +38,7 @@ BENCH_QUERIES = [
     "text_stats",
     "lang_pred",
     "dedup_jaccard",
+    "dedup_verified",
     "lsh_candidates",
     "simhash_fp",
     "ann_topk",
@@ -49,19 +53,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-    from pyspark.sql import SparkSession
+    from mopso_engine.session import build_session
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("mopso-engine-bench")
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", "24g")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    spark = build_session(master=f"local[{cpus}]", app_name="mopso-engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry_mod

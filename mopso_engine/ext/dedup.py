@@ -62,17 +62,35 @@ def word_shingles(docs: DataFrame, k: int = 3, *, distinct: bool = True) -> Data
     return docs.select("doc_id", F.explode(sh).alias("shingle"))
 
 
-def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
+def jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.5, *, max_shingle_df: int | None = None
+) -> DataFrame:
     """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
 
     The shingle equality join prunes the N² space to co-shingled pairs
     (inverted-index join); |∩| comes from the join, |∪| = |A|+|B|−|∩|.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+
+    ``max_shingle_df`` is the skew lever for wide corpora: shingles whose
+    document frequency exceeds it are dropped from the JOIN side (they are
+    stop-shingles — each contributes df² candidate pairs while carrying
+    almost no discriminative signal). Set sizes still count every shingle,
+    so the jaccard of surviving pairs only *underestimates* |∩| on the
+    dropped hot keys — candidate recall trades against the join blow-up,
+    the standard inverted-index trick. AQE skew-join splitting handles the
+    residual imbalance.
     """
     sh = word_shingles(docs, k).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    join_side = sh
+    if max_shingle_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        join_side = sh.join(
+            F.broadcast(df_counts.where(F.col("df") <= max_shingle_df).select("shingle")),
+            "shingle",
+        )
+    a = join_side.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = join_side.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -92,6 +110,45 @@ def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFr
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_on_candidates(docs: DataFrame, candidates: DataFrame, k: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for given (doc_a, doc_b)
+    candidate pairs — the verification stage of the LSH → verify
+    composition (the 100 TB dedup shape: candidates are tiny relative to
+    the corpus, so they broadcast; the corpus-side work is two
+    semi-joined shingle scans, never a pair blow-up)."""
+    sh = word_shingles(docs, k).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    cand = candidates.select("doc_a", "doc_b")
+    a = sh.join(F.broadcast(cand.select(F.col("doc_a").alias("doc_id")).distinct()), "doc_id").select(
+        F.col("doc_id").alias("doc_a"), "shingle"
+    )
+    b = sh.join(F.broadcast(cand.select(F.col("doc_b").alias("doc_id")).distinct()), "doc_id").select(
+        F.col("doc_id").alias("doc_b"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .join(F.broadcast(cand), ["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
     )
 
 

@@ -1,0 +1,51 @@
+"""Tuned SparkSession factory — the engine's recommended configuration,
+with the 100 TB rationale spelled out per knob.
+
+Local testing uses local[N]; on a real cluster only master/memory change —
+the SQL knobs below are the ones that decide whether the plans in this
+repo stay shuffle-frugal at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    *,
+    master: str = "local[32]",
+    app_name: str = "mopso-engine",
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "24g",
+) -> SparkSession:
+    """SparkSession with the engine's scale-oriented defaults.
+
+    * ``spark.sql.adaptive.enabled`` + coalesce — AQE right-sizes
+      post-shuffle partitions at runtime, so a fixed shuffle_partitions
+      only needs to be an upper bound; skewJoin splits hot keys in the
+      dedup/ANN equality joins.
+    * ``spark.sql.shuffle.partitions`` — upper bound ≈ 2-3× total cores
+      locally; on a cluster, ≈ 2× total executor cores (AQE coalesces down).
+    * ``spark.sql.files.maxPartitionBytes`` 128m — scan partitions sized so
+      a row batch plus the fitness kernel's scratch (~32 MB blocked
+      distance matrix, see objectives._BLOCK_CELLS) fits executor memory.
+    * Arrow batch 8192 — the pandas-UDF kernels vectorize well past 2k
+      rows; larger batches just raise peak memory.
+    """
+    cores = 32
+    if master.startswith("local[") and master[6:-1].isdigit():
+        cores = int(master[6:-1])
+    sp = shuffle_partitions or max(2 * cores, 16)
+    return (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .getOrCreate()
+    )

@@ -91,6 +91,23 @@ class TestDedup:
         assert all(g["n_docs"] == 2 for g in groups)
         assert all(g["keep_id"] < 5000 for g in groups)
 
+    def test_jaccard_stop_shingle_cap_underestimates(self, spark, docs):
+        """max_shingle_df drops hot shingles from the join: surviving pairs
+        report ≤ the uncapped jaccard and no new pairs appear."""
+        sub = docs.where(F.col("doc_id") < 100)
+        full = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dd.jaccard_pairs(sub, threshold=0.0).collect()}
+        capped = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dd.jaccard_pairs(sub, threshold=0.0, max_shingle_df=5).collect()}
+        assert set(capped) <= set(full)
+        assert all(capped[p] <= full[p] + 1e-9 for p in capped)
+
+    def test_jaccard_on_candidates_matches_full(self, spark, docs):
+        sub = docs.where(F.col("doc_id") < 100)
+        cands = dd.minhash_lsh_candidates(sub)
+        got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dd.jaccard_on_candidates(sub, cands).collect()}
+        full = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dd.jaccard_pairs(sub, threshold=0.0).collect()}
+        for p, j in got.items():
+            assert j == pytest.approx(full.get(p, 0.0), abs=1e-9)
+
     def test_jaccard_identical_docs_is_one(self, spark, docs):
         dup = docs.where(F.col("doc_id") < 5).withColumn("doc_id", F.col("doc_id") + 5000)
         pairs = {
