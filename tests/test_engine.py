@@ -89,6 +89,14 @@ def test_partition_local_mode_runs(blobs_df):
     assert len(res.archive_positions) >= 1
 
 
+def test_lsh_knn_mode_fit_runs(blobs_df):
+    """knn_mode='lsh' — the approximate big-N Conn path — end to end."""
+    cfg = MopsoConfig(n_particles=3, iter_max=1, knn_l=5, knn_mode="lsh", seed=5)
+    res = MopsoEngine(cfg).fit(blobs_df)
+    assert len(res.archive_positions) >= 1
+    assert np.isfinite(res.archive_fitness).all()
+
+
 def test_partition_local_survives_empty_and_singleton_partitions(spark):
     """More partitions than rows → empty partitions and 1-row partitions
     (no neighbors) must not crash the local-kNN kernel."""
