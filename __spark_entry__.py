@@ -497,6 +497,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
         )
 
+    def value_quantiles(spark, sf):
+        """Exact interpolated quantiles per event type (percentile_cont
+        semantics — identical interpolation in DuckDB)."""
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        return ev.groupBy("event_type").agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+
+    def sales_rollup(spark, sf):
+        """ROLLUP aggregate (grouping-sets surface — beyond the reference,
+        free with Catalyst): per (returnflag, linestatus), per returnflag,
+        and grand total."""
+        li = read_table(spark, sf, "lineitem")
+        return li.rollup("l_returnflag", "l_linestatus").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+
     # ---- similarity search --------------------------------------------------
     def ann_topk(spark, sf):
         """Brute-force exact top-5 cosine neighbors for query ids 0-4."""
@@ -556,7 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_windowed, events_stream,
         text_stats, quality, lang_pred, token_counts, fingerprints,
         dedup_exact, dedup_jaccard, minhash_sigs, lsh_candidates, simhash_fp,
-        dedup_verified, events_sessionized, user_stats, q6_forecast,
+        dedup_verified, events_sessionized, user_stats, q6_forecast, sales_rollup,
+        value_quantiles,
         ann_topk, ann_ivf, emb_neardup, multimodal_stats, mopso_fit,
         mopso_fit_lineitem,
     ):
@@ -932,6 +955,21 @@ def oracle_sql() -> dict[str, str]:
     o["user_stats"] = """
         SELECT user_id, count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1
+    """
+
+    o["value_quantiles"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY 1
+    """
+
+    o["sales_rollup"] = """
+        SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """
 
     o["q6_forecast"] = """

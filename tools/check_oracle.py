@@ -86,19 +86,28 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--hostile",
+        action="store_true",
+        help="simulate an unknown driver session: Spark defaults (200 shuffle "
+        "partitions, no AQE) and a non-UTC session timezone",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("check-oracle")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
-        .getOrCreate()
-    )
+    builder = SparkSession.builder.master("local[8]").appName("check-oracle").config(
+        "spark.ui.enabled", "false"
+    ).config("spark.driver.memory", "8g")
+    if args.hostile:
+        builder = builder.config("spark.sql.adaptive.enabled", "false").config(
+            "spark.sql.session.timeZone", "America/New_York"
+        )
+    else:
+        builder = builder.config("spark.sql.shuffle.partitions", "16").config(
+            "spark.sql.adaptive.enabled", "true"
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
