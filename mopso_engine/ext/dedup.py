@@ -30,6 +30,19 @@ def normalized_text():
     return F.lower(F.concat_ws(" ", tokens_col()))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small corpora often arrive as one parquet partition — which makes
+    the (CPU-heavy) shingling expressions single-threaded. Spread to the
+    cluster's parallelism when the input is under-partitioned; a
+    round-robin shuffle of the raw docs is far cheaper than serial
+    evaluation. No-op for already-wide inputs (100 TB scans arrive wide)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact-duplicate groups: (fp, n_docs, keep_id) for groups with >1 doc;
     keep_id = min doc_id (the canonical survivor)."""
@@ -52,6 +65,7 @@ def word_shingles(docs: DataFrame, k: int = 3, *, distinct: bool = True) -> Data
     shuffle.) ``distinct`` dedups within the doc via array_distinct —
     still no shuffle; pass False when the consumer is dup-insensitive
     (minhash: min over a multiset == min over its set)."""
+    docs = _spread(docs)
     toks = F.split(normalized_text(), " ")
     n = F.size(toks)
     width = F.greatest(n - F.lit(k - 1), F.lit(0))
