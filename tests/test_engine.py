@@ -89,6 +89,18 @@ def test_partition_local_mode_runs(blobs_df):
     assert len(res.archive_positions) >= 1
 
 
+def test_avg_label_layout_reproducible(blobs_df):
+    """AvgLabel semantics (SURVEY §7.4.4): with a DETERMINISTIC layout —
+    repartition(n, 'label') — partition_local fitness is reproducible
+    run-to-run (random round-robin layouts are documented as not)."""
+    cfg = MopsoConfig.variant("avg_label", n_particles=4, iter_max=2, knn_l=5, seed=9)
+    r1 = MopsoEngine(cfg).fit(blobs_df.repartition(2, "label"))
+    r2 = MopsoEngine(cfg).fit(blobs_df.repartition(2, "label"))
+    np.testing.assert_allclose(
+        np.sort(r1.archive_fitness, axis=0), np.sort(r2.archive_fitness, axis=0), rtol=1e-12
+    )
+
+
 def test_lsh_knn_mode_fit_runs(blobs_df):
     """knn_mode='lsh' — the approximate big-N Conn path — end to end."""
     cfg = MopsoConfig(n_particles=3, iter_max=1, knn_l=5, knn_mode="lsh", seed=5)

@@ -247,6 +247,20 @@ class TestStreaming:
         }
         assert stream == batch
 
+    def test_stream_runs_twice_in_one_session(self, spark):
+        """The driver may invoke a streaming query repeatedly in one
+        session — unique memory-sink names must make that safe."""
+        import os
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as em
+
+        q = em.queries()["events_stream"]
+        a = q(spark, SF).count()
+        b = q(spark, SF).count()
+        assert a == b > 0
+
     def test_stateful_user_stats_matches_batch(self, spark):
         """The applyInPandasWithState operator's drained state equals the
         batch groupBy over the same events."""
