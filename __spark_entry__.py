@@ -450,6 +450,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         candidate pairs, exact Jaccard scores ONLY those (the scale-true
         dedup pipeline)."""
         docs = read_table(spark, sf, "documents")
+        # one materialized shingle table feeds BOTH the MinHash banding and
+        # the exact verification (min over distinct ≡ min over multiset)
+        # deliberately no persist on the candidate subtree: its three uses
+        # (two semi-joins + the pair join) execute as independent parallel
+        # broadcast jobs, which measured faster than serializing a cache
+        # materialization; when dedup_jaccard ran earlier in the session its
+        # persisted shingle table is reused via plan matching
         cands = dd.minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=4)
         return dd.jaccard_on_candidates(docs, cands, k=3)
 

@@ -127,13 +127,17 @@ def jaccard_pairs(
     )
 
 
-def jaccard_on_candidates(docs: DataFrame, candidates: DataFrame, k: int = 3) -> DataFrame:
+def jaccard_on_candidates(
+    docs: DataFrame, candidates: DataFrame, k: int = 3, *, shingles: DataFrame | None = None
+) -> DataFrame:
     """Exact n-gram Jaccard computed ONLY for given (doc_a, doc_b)
     candidate pairs — the verification stage of the LSH → verify
     composition (the 100 TB dedup shape: candidates are tiny relative to
     the corpus, so they broadcast; the corpus-side work is two
-    semi-joined shingle scans, never a pair blow-up)."""
-    sh = word_shingles(docs, k).persist()
+    semi-joined shingle scans, never a pair blow-up). Pass ``shingles``
+    to reuse an already-materialized (doc_id, shingle) table (e.g. the one
+    the candidate generator was built from)."""
+    sh = shingles if shingles is not None else word_shingles(docs, k).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cand = candidates.select("doc_a", "doc_b")
     a = sh.join(F.broadcast(cand.select(F.col("doc_a").alias("doc_id")).distinct()), "doc_id").select(
@@ -166,11 +170,13 @@ def jaccard_on_candidates(docs: DataFrame, candidates: DataFrame, k: int = 3) ->
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 16) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, k: int = 3, num_hashes: int = 16, *, shingles: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, hash_idx, minhash): minhash_i = min over shingles of
     md5(shingle ∥ '#' ∥ i). Min over hex strings ≡ min over the 128-bit
     integers — portable to any engine with md5."""
-    sh = word_shingles(docs, k, distinct=False)  # min() is dup-insensitive
+    sh = shingles if shingles is not None else word_shingles(docs, k, distinct=False)  # min() is dup-insensitive
     # one min-aggregate column per hash: the shuffle moves |shingles| rows
     # with 16 narrow partial-min columns (map-side combined), not the
     # 16×-exploded row set; the (doc_id, hash_idx, minhash) shape is
@@ -192,14 +198,15 @@ def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 16) -> Dat
 
 
 def minhash_lsh_candidates(
-    docs: DataFrame, k: int = 3, num_hashes: int = 16, bands: int = 4
+    docs: DataFrame, k: int = 3, num_hashes: int = 16, bands: int = 4,
+    *, shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: band signature = concat of the band's minhashes; docs
     sharing a band signature are candidate near-dups. Returns
     (doc_a, doc_b, n_bands) with doc_a < doc_b — equality joins only,
     never a cross product (the 100 TB path)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, k, num_hashes).withColumn(
+    sig = minhash_signatures(docs, k, num_hashes, shingles=shingles).withColumn(
         "band", (F.col("hash_idx") / rows_per_band).cast("int")
     )
     band_sig = sig.groupBy("doc_id", "band").agg(

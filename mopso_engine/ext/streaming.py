@@ -130,6 +130,29 @@ def user_running_stats_stream(
     )
 
 
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def stream_dedup(spark: SparkSession, docs_path: str) -> DataFrame:
+    """Streaming exact dedup: fingerprint each incoming document and keep
+    the first occurrence per fingerprint via streaming dropDuplicates —
+    state is the fingerprint set (bounded by a watermark in production;
+    here the synthetic docs carry no event time, so state is unbounded
+    and documented as such). The streaming face of ext.dedup.exact_dedup.
+    """
+    import os as _os
+
+    from mopso_engine.ext.dedup import normalized_text
+
+    base, fname = _os.path.dirname(docs_path), _os.path.basename(docs_path)
+    src = spark.readStream.schema(DOCS_SCHEMA).option("pathGlobFilter", fname).parquet(base)
+    return (
+        src.withColumn("fp", F.md5(normalized_text()))
+        .select("doc_id", "fp")
+        .dropDuplicates(["fp"])
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str = "events_windowed", *, output_mode: str = "complete"
 ) -> DataFrame:

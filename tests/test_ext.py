@@ -261,6 +261,19 @@ class TestStreaming:
         b = q(spark, SF).count()
         assert a == b > 0
 
+    def test_stream_dedup_keeps_distinct_fingerprints(self, spark):
+        from mopso_engine.ext.streaming import run_available_now, stream_dedup
+
+        out = run_available_now(
+            stream_dedup(spark, f"{SF}/documents.parquet"),
+            query_name="dedup_stream_test",
+            output_mode="append",
+        )
+        rows = out.collect()
+        n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+        assert len(rows) == len({r["fp"] for r in rows})  # one row per fp
+        assert 0 < len(rows) <= n_docs
+
     def test_stateful_user_stats_matches_batch(self, spark):
         """The applyInPandasWithState operator's drained state equals the
         batch groupBy over the same events."""
