@@ -176,6 +176,7 @@ class MopsoEngine:
             best_idx = int(np.argmin((norm**2).sum(axis=1)))
 
         nbr.unpersist()
+        pts.unpersist()
         return MopsoResult(
             archive_positions=[e.position for e in archive.entries],
             archive_fitness=front,
