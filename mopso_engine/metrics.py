@@ -45,6 +45,37 @@ def purity_table(assigned_with_labels: DataFrame) -> DataFrame:
     )
 
 
+def purity_all_solutions(points: DataFrame, centers_stack) -> DataFrame:
+    """A9 for a WHOLE archive in one pass: multi-solution assignment +
+    one groupBy + one window — versus the reference's k·|archive| separate
+    filter+assign jobs (Spark_MOPSO_Avg.scala:325-356, SURVEY §4.1).
+
+    Returns (solution, label, modal_cluster, modal_count, label_total).
+    """
+    from pyspark.sql.window import Window as W
+
+    from mopso_engine.assign import assign_all_solutions
+
+    awl = assign_all_solutions(points, centers_stack).join(
+        points.select("id", "label"), "id"
+    )
+    counts = awl.groupBy("solution", "label", "cluster").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("solution", "label").orderBy(F.col("cnt").desc(), F.col("cluster").asc())
+    totals = W.partitionBy("solution", "label")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn("label_total", F.sum("cnt").over(totals))
+        .where(F.col("rn") == 1)
+        .select(
+            "solution",
+            "label",
+            F.col("cluster").alias("modal_cluster"),
+            F.col("cnt").alias("modal_count"),
+            "label_total",
+        )
+    )
+
+
 def purity_accuracy(assigned_with_labels: DataFrame, n_total: int, k: int) -> tuple[float, bool]:
     """Global purity = Σ modal_count / N, accepted only when the modal
     clusters of the k labels are pairwise distinct (map size == k,

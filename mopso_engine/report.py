@@ -49,6 +49,17 @@ def build_report(engine: MopsoEngine, points: DataFrame, result: MopsoResult, *,
         "mopso_eval": engine.evaluate(points, result),
         "history": result.history,
     }
+    # per-archive-solution purity, all solutions in ONE distributed pass
+    # (the reference runs k·|archive| jobs here, Spark_MOPSO_Avg.scala:325-356)
+    stack = np.stack(result.archive_positions)
+    per_sol: dict[int, list] = {}
+    for r in metrics_mod.purity_all_solutions(points, stack).collect():
+        per_sol.setdefault(r["solution"], []).append(r)
+    for i, entry in enumerate(report["archive"]):
+        rows = per_sol.get(i, [])
+        got = sum(r["modal_count"] for r in rows)
+        entry["purity"] = got / result.n_points if result.n_points else 0.0
+        entry["purity_accepted"] = len({r["modal_cluster"] for r in rows}) == result.k
     if kmeans_baseline:
         km = kmeans_centers(points, result.k, seed=cfg.seed)
         awl = assign_with_labels(points, km).persist()

@@ -40,6 +40,35 @@ def test_purity_table_oracle(assigned, blobs):
         assert rows[int(lab)] == (modal, int(best), int((labels == lab).sum()))
 
 
+def test_purity_all_solutions_matches_per_solution(blobs_df, blobs):
+    _, x, _, c = blobs
+    rng = np.random.default_rng(4)
+    stack = np.stack([c, c + rng.normal(scale=0.5, size=c.shape)])
+    multi = M.purity_all_solutions(blobs_df, stack).collect()
+    for s in range(2):
+        single = {
+            (r["label"]): (r["modal_cluster"], r["modal_count"], r["label_total"])
+            for r in M.purity_table(assign(blobs_df, stack[s]).join(blobs_df.select("id", "label"), "id")).collect()
+        }
+        got = {
+            r["label"]: (r["modal_cluster"], r["modal_count"], r["label_total"])
+            for r in multi
+            if r["solution"] == s
+        }
+        assert got == single
+
+
+def test_report_has_per_solution_purity(blobs_df):
+    from mopso_engine import MopsoConfig, MopsoEngine
+    from mopso_engine.report import build_report
+
+    eng = MopsoEngine(MopsoConfig(n_particles=4, iter_max=1, knn_l=5, seed=11))
+    res = eng.fit(blobs_df)
+    rep = build_report(eng, blobs_df, res, kmeans_baseline=True)
+    assert all("purity" in e and "purity_accepted" in e for e in rep["archive"])
+    assert "kmeans_baseline" in rep
+
+
 def test_inertia_oracle(assigned, blobs):
     _, x, _, c = blobs
     _, dist = oracle_assign(x, c)
