@@ -111,7 +111,14 @@ class MopsoEngine:
         # kNN precompute: solution-independent, reused by every iteration;
         # cache materializes lazily on the first fitness pass
         knn_mode = "partition_local" if cfg.fitness_mode == "partition_local" else cfg.knn_mode
-        nbr = with_neighbors(pts_k, cfg.knn_l, mode=knn_mode).persist()
+        if knn_mode == "exact":
+            from mopso_engine.objectives import MAX_EXACT_KNN_ROWS
+
+            if n > MAX_EXACT_KNN_ROWS:
+                # exact mode would broadcast the whole table — fall back to
+                # the reference's own cluster-scale semantics
+                knn_mode = "partition_local"
+        nbr = with_neighbors(pts_k, cfg.knn_l, mode=knn_mode, n_rows=n).persist()
         part_weighted = cfg.fitness_mode == "partition_local"
 
         positions = init_mod.init_swarm(sample, bounds, k, cfg.n_particles, rng, method=cfg.init)

@@ -201,7 +201,15 @@ def knn_pairs_lsh(points: DataFrame, l_nbrs: int, *, bucket_length: float = 2.0,
     )
 
 
-def with_neighbors(points: DataFrame, l_nbrs: int, mode: str = "exact") -> DataFrame:
+#: exact mode collects+broadcasts the full (id, features) table; beyond
+#: this many rows that is a driver/executor memory foot-gun — callers
+#: should switch to 'partition_local' (reference semantics) or 'lsh'.
+MAX_EXACT_KNN_ROWS = 200_000
+
+
+def with_neighbors(
+    points: DataFrame, l_nbrs: int, mode: str = "exact", *, n_rows: int | None = None
+) -> DataFrame:
     """points → (id, label, self_nbr_flat, nbr_n), the cached input of the
     per-iteration fitness kernel.
 
@@ -262,6 +270,13 @@ def with_neighbors(points: DataFrame, l_nbrs: int, mode: str = "exact") -> DataF
         # broadcast kernel emits neighbor FEATURES directly — no pair
         # table, no join, no shuffle: the whole precompute is one map
         # stage over the points (plus one collect for the broadcast).
+        n = n_rows if n_rows is not None else points.count()
+        if n > MAX_EXACT_KNN_ROWS:
+            raise ValueError(
+                f"knn mode 'exact' broadcasts all {n} rows to every executor; "
+                f"beyond {MAX_EXACT_KNN_ROWS} rows use mode='partition_local' "
+                "(the reference's own cluster-scale semantics) or mode='lsh'"
+            )
         rows = points.select("id", "features").collect()
         ids = np.array([r["id"] for r in rows], dtype=np.int64)
         feats = np.array([r["features"] for r in rows], dtype=np.float64)

@@ -87,6 +87,11 @@ def test_pairs_based_neighbors_match_broadcast_path(blobs_df, blobs):
     np.testing.assert_allclose(f_exact, f_pairs, rtol=1e-9)
 
 
+def test_exact_mode_refuses_oversized_broadcast(blobs_df):
+    with pytest.raises(ValueError, match="partition_local"):
+        with_neighbors(blobs_df, 5, mode="exact", n_rows=10**9)
+
+
 def test_lsh_knn_mostly_agrees_with_exact(blobs_df):
     from mopso_engine.objectives import knn_pairs_lsh
 
