@@ -504,6 +504,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
         )
 
+    def big_orders(spark, sf):
+        """TPC-H Q18 shape: HAVING-filtered aggregate joined back to its
+        dimensions (large-volume orders)."""
+        li = read_table(spark, sf, "lineitem")
+        o = read_table(spark, sf, "orders")
+        c = read_table(spark, sf, "customer")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("tq"))
+            .where(F.col("tq") > 150)
+        )
+        return (
+            big.join(o, big.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select(
+                "c_name",
+                "o_orderkey",
+                F.round("tq", 2).alias("total_qty"),
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+            )
+        )
+
+    def customers_without_orders(spark, sf):
+        """Anti-join surface: customers with no high-value (>300k) order
+        (every synthetic customer has SOME order, so the plain version
+        would be a degenerate empty check)."""
+        o = read_table(spark, sf, "orders").where(F.col("o_totalprice") > 300000)
+        c = read_table(spark, sf, "customer")
+        return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+
+    def active_custkeys_diff(spark, sf):
+        """Set-difference surface: custkeys active in 1995 but not 1996."""
+        o = read_table(spark, sf, "orders")
+        y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+        y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+        # subtract = set EXCEPT (exceptAll would keep keys present in both
+        # years whenever the 1995 multiplicity is higher — not set semantics)
+        return y95.subtract(y96).select(F.col("o_custkey").alias("custkey"))
+
     def value_quantiles(spark, sf):
         """Exact interpolated quantiles per event type (percentile_cont
         semantics — identical interpolation in DuckDB)."""
@@ -586,7 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_stats, quality, lang_pred, token_counts, fingerprints,
         dedup_exact, dedup_jaccard, minhash_sigs, lsh_candidates, simhash_fp,
         dedup_verified, events_sessionized, user_stats, q6_forecast, sales_rollup,
-        value_quantiles,
+        value_quantiles, big_orders, customers_without_orders, active_custkeys_diff,
         ann_topk, ann_ivf, emb_neardup, multimodal_stats, mopso_fit,
         mopso_fit_lineitem,
     ):
@@ -962,6 +1003,32 @@ def oracle_sql() -> dict[str, str]:
     o["user_stats"] = """
         SELECT user_id, count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1
+    """
+
+    o["big_orders"] = """
+        WITH big AS (
+          SELECT l_orderkey, sum(l_quantity) AS tq
+          FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
+        SELECT c.c_name, o.o_orderkey, round(b.tq, 2) AS total_qty,
+               round(o.o_totalprice, 2) AS o_totalprice
+        FROM big b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    """
+
+    o["customers_without_orders"] = """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """
+
+    o["active_custkeys_diff"] = """
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        WHERE year(o_orderdate) = 1996
     """
 
     o["value_quantiles"] = """
