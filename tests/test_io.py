@@ -63,6 +63,26 @@ def test_unlabeled_mode(spark, csv_dir, blobs):
     assert all(len(r["features"]) == x.shape[1] for r in rows)  # all columns are features
 
 
+def test_write_report_and_parquet_sinks(spark, tmp_path, blobs_df):
+    import glob
+    import json
+
+    from mopso_engine.io import timestamped_path, write_points_parquet, write_report
+
+    p = write_report({"a": 1, "nested": {"b": [1.5]}}, str(tmp_path / "r" / "report.json"))
+    assert json.load(open(p)) == {"a": 1, "nested": {"b": [1.5]}}
+
+    out = str(tmp_path / "pts")
+    write_points_parquet(blobs_df, out, single_file=True)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == 1  # single-partition write (reference S5/X8)
+    assert spark.read.parquet(out).count() == blobs_df.count()
+
+    tp = timestamped_path(str(tmp_path))
+    assert tp.startswith(str(tmp_path))
+    assert len(tp.split("/")[-1]) == 19  # yyyy-MM-dd-HH-mm-ss
+
+
 def test_points_from_embeddings_schema(spark):
     df = points_from_embeddings(spark, "/root/testdata/sf0.001")
     assert df.schema.simpleString() == "struct<id:bigint,features:array<double>,label:int>"
