@@ -545,6 +545,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # years whenever the 1995 multiplicity is higher — not set semantics)
         return y95.subtract(y96).select(F.col("o_custkey").alias("custkey"))
 
+    def active_custkeys_both(spark, sf):
+        """Set-intersection surface: custkeys active in both 1995 and 1996."""
+        o = read_table(spark, sf, "orders")
+        y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+        y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+        return y95.intersect(y96).select(F.col("o_custkey").alias("custkey"))
+
     def value_quantiles(spark, sf):
         """Exact interpolated quantiles per event type (percentile_cont
         semantics — identical interpolation in DuckDB)."""
@@ -628,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_exact, dedup_jaccard, minhash_sigs, lsh_candidates, simhash_fp,
         dedup_verified, events_sessionized, user_stats, q6_forecast, sales_rollup,
         value_quantiles, big_orders, customers_without_orders, active_custkeys_diff,
+        active_custkeys_both,
         ann_topk, ann_ivf, emb_neardup, multimodal_stats, mopso_fit,
         mopso_fit_lineitem,
     ):
@@ -1027,6 +1035,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT o_custkey AS custkey FROM orders
         WHERE year(o_orderdate) = 1995
         EXCEPT
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        WHERE year(o_orderdate) = 1996
+    """
+
+    o["active_custkeys_both"] = """
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        WHERE year(o_orderdate) = 1995
+        INTERSECT
         SELECT DISTINCT o_custkey AS custkey FROM orders
         WHERE year(o_orderdate) = 1996
     """
