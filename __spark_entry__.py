@@ -278,7 +278,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "left_anti",
         )
         w = Window.orderBy("f2", "f1", "sid")
-        n = front.count()
+        # endpoint rank via count(*) OVER () — same single-pass window the
+        # oracle uses; no driver-side count action re-evaluating the
+        # dominance anti-join subtree
+        n = F.count("*").over(Window.partitionBy())
         return (
             front.withColumn("rn", F.row_number().over(w))
             .withColumn(

@@ -67,6 +67,8 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    from mopso_engine.ext.dedup import clear_shingle_caches
+
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -74,6 +76,9 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # release query-lifetime executor caches so one query's storage
+        # doesn't leak into the next timing
+        clear_shingle_caches()
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -88,14 +88,18 @@ def assign_with_labels(points: DataFrame, centers: np.ndarray, **kw) -> DataFram
     return assign(points, centers, **kw).join(points.select("id", "label"), "id")
 
 
-def assign_all_solutions(points: DataFrame, centers_stack: np.ndarray) -> DataFrame:
+def assign_all_solutions(
+    points: DataFrame, centers_stack: np.ndarray, *, exact_math: bool = False
+) -> DataFrame:
     """Multi-candidate assignment: (id, solution, cluster, dist) for a whole
     swarm in ONE pass over the data (SURVEY §3.4 — replaces the reference's
-    per-particle passes). centers_stack: (S, k, d).
+    per-particle passes). centers_stack: (S, k, d). ``exact_math`` as in
+    :func:`assign` — use when the result is hash-compared to a SQL oracle.
     """
     cs = np.asarray(centers_stack, dtype=np.float64)
     s, k, d_ = cs.shape
     flat = cs.reshape(s * k, d_)
+    dist_fn = _distances_exact if exact_math else _distances
 
     out_schema = StructType(
         [
@@ -110,7 +114,7 @@ def assign_all_solutions(points: DataFrame, centers_stack: np.ndarray) -> DataFr
         for pdf in batches:
             x = np.stack(pdf["features"].to_numpy()).astype(np.float64)
             n = x.shape[0]
-            dists = _distances(x, flat).reshape(n, s, k)
+            dists = dist_fn(x, flat).reshape(n, s, k)
             idx = dists.argmin(axis=2)  # (n, s)
             best = np.take_along_axis(dists, idx[:, :, None], axis=2)[:, :, 0]
             ids = np.repeat(pdf["id"].to_numpy(), s)

@@ -97,14 +97,28 @@ class MopsoEngine:
         # Own the parallelism instead of inheriting the session default:
         # in exact mode results are partition-invariant, so size partitions
         # for the CPU-bound fitness kernel (~2k rows each, capped at 4×
-        # cores). partition_local mode keeps the caller's layout — there
-        # partitioning IS the semantics (AvgLabel repartitions by label).
+        # cores). Hash-partition on id + sort within partitions: the layout
+        # (and with it the float-summation order of the fitness partials)
+        # becomes a pure function of the data — independent of input file
+        # splits, cpu count and arrow batch size — so a seeded fit is
+        # bit-reproducible across session configs (the property the
+        # post-hoc fit oracle pins). partition_local mode keeps the
+        # caller's layout — there partitioning IS the semantics (AvgLabel
+        # repartitions by label).
         if cfg.fitness_mode == "exact":
             dp = points.sparkSession.sparkContext.defaultParallelism
             # ~2k rows per partition, capped at 4×cores; tiny inputs get
             # few partitions (per-task overhead dominates them otherwise)
             target = int(min(4 * dp, max(1, -(-n // 2048))))
-            pts_k = pts.repartition(target) if target != pts.rdd.getNumPartitions() else pts
+            pts_k = pts.repartition(target, "id").sortWithinPartitions("id")
+        elif cfg.partition_by_label:
+            # AvgLabel's layout affordance (Spark_MOPSO_Avg_labelPartition
+            # .scala:77-85): co-locate each ground-truth label's rows so the
+            # partition-local Conn neighborhoods are label-pure — and, with
+            # the deterministic hash layout + in-partition sort, a seeded
+            # avg_label fit replays identically.
+            target = cfg.n_partitions or k
+            pts_k = pts.repartition(target, "label").sortWithinPartitions("id")
         else:
             pts_k = pts
 

@@ -30,17 +30,58 @@ def normalized_text():
     return F.lower(F.concat_ws(" ", tokens_col()))
 
 
+#: inputs whose Catalyst size estimate is under this many bytes get
+#: repartitioned to the cluster parallelism before the CPU-heavy shingling
+#: expressions (small corpora often arrive as ONE parquet partition).
+_SPREAD_MAX_BYTES = 64 * 1024 * 1024
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Small corpora often arrive as one parquet partition — which makes
     the (CPU-heavy) shingling expressions single-threaded. Spread to the
-    cluster's parallelism when the input is under-partitioned; a
-    round-robin shuffle of the raw docs is far cheaper than serial
-    evaluation. No-op for already-wide inputs (100 TB scans arrive wide)."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
+    cluster's parallelism when the input is SMALL by the optimizer's own
+    size estimate (file sizes for scans, literal sizes for local data) —
+    a round-robin shuffle of a few MB of raw docs is far cheaper than
+    serial evaluation. Large inputs (100 TB scans arrive wide) are left
+    untouched: no shuffle, no RDD-lineage probe (df.rdd would force a
+    plan conversion just to read a partition count)."""
+    try:
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # stats unavailable (non-JVM backend) — don't touch the plan
+        return df
+    if size < _SPREAD_MAX_BYTES:
+        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df
+
+
+#: persisted shingle tables created internally by jaccard_pairs /
+#: jaccard_on_candidates when no ``shingles=`` is passed. The persist is
+#: load-bearing (the shingle table feeds 2-3 subtrees of one query), but
+#: its lifetime outlives the returned lazy DataFrame — so the handles are
+#: registered here and callers that run many queries in one session own
+#: the cleanup: call :func:`clear_shingle_caches` after the action.
+_SHINGLE_CACHES: list[DataFrame] = []
+
+
+def _persist_shingles(sh: DataFrame) -> DataFrame:
+    sh = sh.persist()
+    _SHINGLE_CACHES.append(sh)
+    return sh
+
+
+def clear_shingle_caches() -> int:
+    """Unpersist every internally-created shingle cache; returns how many
+    were released. Safe to call at any time — the backing plans recompute
+    if a not-yet-executed DataFrame still references them."""
+    n = 0
+    while _SHINGLE_CACHES:
+        df = _SHINGLE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -77,7 +118,12 @@ def word_shingles(docs: DataFrame, k: int = 3, *, distinct: bool = True) -> Data
 
 
 def jaccard_pairs(
-    docs: DataFrame, k: int = 3, threshold: float = 0.5, *, max_shingle_df: int | None = None
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    *,
+    max_shingle_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
 
@@ -93,8 +139,12 @@ def jaccard_pairs(
     dropped hot keys — candidate recall trades against the join blow-up,
     the standard inverted-index trick. AQE skew-join splitting handles the
     residual imbalance.
+
+    Pass ``shingles`` to reuse an already-materialized (doc_id, shingle)
+    table and own its lifecycle; otherwise an internal persist is
+    registered for :func:`clear_shingle_caches`.
     """
-    sh = word_shingles(docs, k).persist()
+    sh = shingles if shingles is not None else _persist_shingles(word_shingles(docs, k))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     join_side = sh
     if max_shingle_df is not None:
@@ -136,8 +186,9 @@ def jaccard_on_candidates(
     the corpus, so they broadcast; the corpus-side work is two
     semi-joined shingle scans, never a pair blow-up). Pass ``shingles``
     to reuse an already-materialized (doc_id, shingle) table (e.g. the one
-    the candidate generator was built from)."""
-    sh = shingles if shingles is not None else word_shingles(docs, k).persist()
+    the candidate generator was built from); otherwise an internal persist
+    is registered for :func:`clear_shingle_caches`."""
+    sh = shingles if shingles is not None else _persist_shingles(word_shingles(docs, k))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cand = candidates.select("doc_a", "doc_b")
     a = sh.join(F.broadcast(cand.select(F.col("doc_a").alias("doc_id")).distinct()), "doc_id").select(

@@ -104,7 +104,7 @@ PAIRS_SCHEMA = StructType(
 )
 
 
-def knn_pairs_exact(points: DataFrame, l_nbrs: int) -> DataFrame:
+def knn_pairs_exact(points: DataFrame, l_nbrs: int, *, n_rows: int | None = None) -> DataFrame:
     """Exact top-L neighbor pairs via broadcast block-distance.
 
     All (id, features) are collected once into a numpy block that ships to
@@ -112,7 +112,20 @@ def knn_pairs_exact(points: DataFrame, l_nbrs: int) -> DataFrame:
     and keeps the L smallest — O(N²/P) vectorized work, no shuffle. Ties
     break by (dist, nbr_id) for determinism (the reference relied on sort
     stability, Spark_MOPSO_Avg.scala:1050-1052).
+
+    Guarded by ``MAX_EXACT_KNN_ROWS``: the full-table collect + broadcast
+    is a driver/executor memory foot-gun beyond ~10⁵ rows — callers with
+    bigger tables must use 'partition_local' or 'lsh'. Pass ``n_rows``
+    when already known to skip the extra count job.
     """
+    n = n_rows if n_rows is not None else points.count()
+    if n > MAX_EXACT_KNN_ROWS:
+        raise ValueError(
+            f"knn_pairs_exact collects all {n} rows to the driver and broadcasts "
+            f"them to every executor; beyond {MAX_EXACT_KNN_ROWS} rows use "
+            "mode='partition_local' (the reference's own cluster-scale semantics) "
+            "or mode='lsh'"
+        )
     rows = points.select("id", "features").collect()
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     feats = np.array([r["features"] for r in rows], dtype=np.float64)
@@ -307,7 +320,7 @@ def with_neighbors(
         return points.select("id", "features", "label").mapInPandas(kernel, schema=out_schema)
 
     if mode == "exact_pairs":
-        pairs = knn_pairs_exact(points, l_nbrs)
+        pairs = knn_pairs_exact(points, l_nbrs, n_rows=n_rows)
     elif mode == "crossjoin":
         pairs = knn_pairs_crossjoin(points, l_nbrs)
     elif mode == "lsh":
@@ -366,12 +379,19 @@ def evaluate_solutions(nbr_df: DataFrame, centers_stack: np.ndarray, *, partitio
         # (no Exchange at all); the driver sums S×num_partitions rows —
         # the same control-plane merge the reference does, but over
         # already-reduced partials (Spark_MOPSO_Avg.scala:159-174).
+        # The partition is concatenated BEFORE reduction so the float
+        # summation order depends only on the row order within the
+        # partition, not on spark.sql.execution.arrow.maxRecordsPerBatch —
+        # with a deterministic layout (hash repartition + sortWithin
+        # Partitions) the fitness, and hence the whole seeded PSO
+        # trajectory, is bit-reproducible across session configs. Memory
+        # is bounded by the partition sizing the engine owns (~2k rows in
+        # exact mode, maxPartitionBytes-capped scans in partition_local).
         acc_dev = np.zeros(s)
         acc_conn = np.zeros(s)
         acc_n = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
+        chunks = [pdf for pdf in batches if len(pdf)]
+        for pdf in [pd.concat(chunks, ignore_index=True)] if chunks else []:
             packed = np.stack(pdf["self_nbr_flat"].to_numpy()).astype(np.float64)
             n = packed.shape[0]
             l_tot = packed.shape[1] // d_ - 1  # = L (uniform padding)

@@ -115,6 +115,15 @@ class MopsoConfig:
     #: 'lsh' (BucketedRandomProjectionLSH approx; the 100 TB path).
     knn_mode: str = "exact"
 
+    #: AvgLabel layout (Spark_MOPSO_Avg_labelPartition.scala:77-85): in
+    #: partition_local mode, hash-repartition the points by ground-truth
+    #: label (into ``n_partitions`` or k partitions) so each partition's
+    #: Conn neighborhood is label-pure — and deterministic, making a seeded
+    #: avg_label fit reproducible (random layouts are not). Ignored in
+    #: exact mode, which owns its own deterministic layout.
+    partition_by_label: bool = False
+    n_partitions: int | None = None
+
     #: Velocity out of [v_min, v_max] is *resampled* uniform (not clipped)
     #: (Spark_MOPSO_Avg.scala:528-530); Particle variant skips it.
     velocity_resample: bool = True
@@ -150,9 +159,10 @@ class MopsoConfig:
           c1/c2 = 1/2, partition-weighted partition-local fitness, pbest
           FROZEN (the discard bug), no position bounds.
         * 'avg_label' — Spark_MOPSO_Avg_labelPartition.scala: same engine
-          flags as 'avg'; the label co-location is data layout — call
-          ``points.repartition(n, "label")`` before fit (the engine keeps
-          your layout in partition_local mode).
+          flags as 'avg' plus ``partition_by_label=True`` — the engine
+          hash-repartitions by ground-truth label before the fit
+          (deterministic layout ⇒ a seeded avg_label fit replays
+          identically; set ``n_partitions`` to override the default k).
         * 'particle'  — Spark_MOPSO_Particle.scala: increasing w, product
           crowding, c1/c2 = 1/2, exact/global fitness, NO velocity
           resample, inverted pbest applied.
@@ -171,6 +181,7 @@ class MopsoConfig:
                 w_schedule="increasing", crowding_formula="avg",
                 c1=1.0, c2=2.0, position_bounds=False, velocity_resample=True,
                 fitness_mode="partition_local",
+                partition_by_label=(name == "avg_label"),
                 bug_compat=BugCompat(pbest_frozen=True, pbest_inverted=True,
                                      crowding_endpoint_bug=True, dbi_max_not_reset=True),
             )

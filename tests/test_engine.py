@@ -117,3 +117,26 @@ def test_partition_local_survives_empty_and_singleton_partitions(spark):
     cfg = MopsoConfig(k=2, n_particles=3, iter_max=1, knn_l=3, fitness_mode="partition_local", seed=0)
     res = MopsoEngine(cfg).fit(df)
     assert len(res.archive_positions) >= 1
+
+
+def test_avg_label_engine_affordance_replays_identically(blobs_df):
+    """partition_by_label=True: the ENGINE owns the label co-location
+    (Spark_MOPSO_Avg_labelPartition.scala:77-85) — no caller repartition —
+    and two seeded fits produce bit-identical archives."""
+    cfg = MopsoConfig.variant("avg_label", n_particles=4, iter_max=2, knn_l=5, seed=9)
+    assert cfg.partition_by_label
+    r1 = MopsoEngine(cfg).fit(blobs_df)
+    r2 = MopsoEngine(cfg).fit(blobs_df)
+    np.testing.assert_array_equal(r1.archive_fitness, r2.archive_fitness)
+    for p1, p2 in zip(r1.archive_positions, r2.archive_positions):
+        np.testing.assert_array_equal(p1, p2)
+
+
+def test_exact_mode_layout_invariance_bitwise(blobs_df, small_cfg):
+    """The engine's hash-by-id layout makes an exact-mode fit BIT-identical
+    regardless of the caller's partitioning (the property the post-hoc fit
+    oracle relies on)."""
+    r1 = MopsoEngine(small_cfg).fit(blobs_df.repartition(2))
+    r2 = MopsoEngine(small_cfg).fit(blobs_df.repartition(7))
+    np.testing.assert_array_equal(r1.archive_fitness, r2.archive_fitness)
+    np.testing.assert_array_equal(r1.best_position, r2.best_position)

@@ -99,3 +99,10 @@ def test_lsh_knn_mostly_agrees_with_exact(blobs_df):
     approx = {(r["id"], r["nbr_id"]) for r in knn_pairs_lsh(blobs_df, 5).collect()}
     # approximate: demand high recall on well-separated blobs
     assert len(exact & approx) / len(exact) > 0.9
+
+
+def test_knn_pairs_exact_refuses_oversized_collect(blobs_df):
+    """The MAX_EXACT_KNN_ROWS guard lives in knn_pairs_exact itself — a
+    direct call on a big table must fail fast, not OOM the driver."""
+    with pytest.raises(ValueError, match="partition_local"):
+        knn_pairs_exact(blobs_df, 5, n_rows=10**9)
