@@ -587,7 +587,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ss.cosine_topk_ivf(read_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=5, nprobe=3)
 
     def emb_neardup(spark, sf):
-        """Embedding-cosine near-duplicate pairs (cos ≥ 0.4)."""
+        """Embedding-cosine near-duplicate pairs (cos ≥ 0.4) via sign-LSH
+        bucketed candidates + exact verification — equality joins only,
+        never a cross product (the oracle reproduces the same blocking
+        from the same literal hyperplanes)."""
         return ss.cosine_neardup_pairs(read_table(spark, sf, "embeddings"), threshold=0.4)
 
     # ---- multimodal plumbing ------------------------------------------------
@@ -1122,11 +1125,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, nbr_id, rank::INT AS rank, round(c, 6) AS cos_sim FROM rk WHERE rank <= 5
     """
 
-    o["emb_neardup"] = """
-        WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    # Same sign-LSH blocking as the Spark plan, from the SAME literal
+    # hyperplanes (lsh_planes(64, 32, seed=7)) — DuckDB recomputes the
+    # bucket assignment, the candidate equality join and the exact
+    # verification independently.
+    _planes = ss.lsh_planes(64, 32, 7)
+    _plane_rows = ",\n          ".join(
+        f"({j}, CAST([{', '.join(repr(float(v)) for v in _planes[j])}] AS DOUBLE[]))"
+        for j in range(32)
+    )
+    o["emb_neardup"] = f"""
+        WITH planes(bit, pv) AS (VALUES
+          {_plane_rows}),
+        p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        bits AS (
+          SELECT p.vec_id, pl.bit,
+                 CASE WHEN list_sum(list_transform(list_zip(p.v, pl.pv), x -> x[1]*x[2])) >= 0
+                      THEN '1' ELSE '0' END AS b
+          FROM p, planes pl),
+        sig AS (
+          SELECT vec_id, (bit // 4)::INT AS band, string_agg(b, '' ORDER BY bit) AS sig
+          FROM bits GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
         pr AS (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b, unnest(a.v) AS x, unnest(b.v) AS y
-          FROM p a JOIN p b ON a.vec_id < b.vec_id),
+          SELECT c.id_a, c.id_b, unnest(pa.v) AS x, unnest(pb.v) AS y
+          FROM cand c JOIN p pa ON pa.vec_id = c.id_a JOIN p pb ON pb.vec_id = c.id_b),
         dots AS (
           SELECT id_a, id_b, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
           FROM pr GROUP BY 1, 2)

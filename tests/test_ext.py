@@ -191,6 +191,24 @@ class TestSimsearch:
         assert all(r["id_a"] < r["id_b"] for r in pairs)
         assert all(r["cos_sim"] >= 0.3 for r in pairs)
 
+    def test_neardup_blocked_is_subset_of_bruteforce_with_recall(self, emb):
+        """Sign-LSH blocking: every reported pair is a true ≥-threshold
+        pair (verification is exact), and recall against the O(N²)
+        baseline is substantial at this band/row setting."""
+        full = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in ss.cosine_neardup_bruteforce(emb, threshold=0.3).collect()
+        }
+        blocked = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in ss.cosine_neardup_pairs(emb, threshold=0.3).collect()
+        }
+        assert blocked  # non-degenerate
+        assert set(blocked) <= set(full)
+        for k, v in blocked.items():
+            assert v == full[k]  # scores are exact, only recall is approximate
+        assert len(blocked) / len(full) >= 0.4
+
 
 class TestMultimodal:
     def test_fake_decode_deterministic(self, docs):

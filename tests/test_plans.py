@@ -71,3 +71,12 @@ def test_points_projection_prunes_label(spark):
     pts = points_from_embeddings(spark, SF).select("id", "features")
     plan = plan_of(pts)
     assert "label" not in plan
+
+
+def test_neardup_blocked_has_no_cartesian_product(spark):
+    """VERDICT r1 #2: emb_neardup must be bucketed equality joins, never an
+    all-pairs cross product."""
+    emb = read_table(spark, SF, "embeddings")
+    plan = plan_of(ss.cosine_neardup_pairs(emb, threshold=0.4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
