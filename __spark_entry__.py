@@ -82,6 +82,68 @@ _DOCS_DUP_SQL = (
     "SELECT doc_id+100000 AS doc_id, text, lang, source, n_chars FROM documents WHERE doc_id<50"
 )
 
+
+# --------------------------------------------------------------------------
+# the MOPSO fits + their post-hoc oracle (VERDICT r1 #1)
+#
+# The fit is iterative + seeded, so no SQL can derive the archive from the
+# tables alone. But the fit is BIT-deterministic (hash-partitioned layout,
+# in-partition sort, batch-order-independent kernel reduction — see
+# engine.py/objectives.py), so tools/gen_fit_oracle.py records the archive
+# POSITIONS it produces at the driver's correctness scale (sf0.01) and the
+# oracle re-derives [Dev, Conn] for those positions RELATIONALLY in DuckDB
+# (assignment + kNN + grouped sums over the raw tables — only the seeded
+# RNG output is injected as literals). The Spark query re-scores the same
+# positions through mopso_engine.rescore (declarative plans, not the
+# fitness kernel) and flags kernel/relational agreement, so a fitness-
+# kernel regression breaks the driver's hash gate two ways: changed
+# trajectories → positions diverge from the recorded ones → values
+# mismatch; same trajectories but wrong kernel values → kernel_ok=false.
+# Regenerate after any engine change: python tools/gen_fit_oracle.py
+# --------------------------------------------------------------------------
+
+_FIT_ORACLE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tools", "fit_oracle_data.json"
+)
+
+
+def _fit_embeddings(spark: SparkSession, sf: str):
+    """The tiny-budget seeded exact-mode fit on the embeddings points
+    table; shared by queries()['mopso_fit'] and tools/gen_fit_oracle.py."""
+    from mopso_engine.engine import MopsoEngine
+
+    pts = points_from_embeddings(spark, sf)
+    cfg = MopsoConfig(n_particles=6, iter_max=2, knn_l=5, seed=42)
+    return MopsoEngine(cfg).fit(pts), pts
+
+
+def _fit_lineitem(spark: SparkSession, sf: str):
+    """The SCALE demonstration fit: partition-local fitness over a
+    lineitem-derived points table (~600k rows at sf0.1) — the reference
+    Avg's own cluster-scale semantics (no data broadcast, map-only
+    per-iteration jobs, Spark_MOPSO_Avg.scala:86,843-865). The row id is
+    a deterministic hash of the full row, and the layout is an explicit
+    hash-repartition + in-partition sort, so the seeded fit replays
+    bit-identically regardless of input splits or cpu count."""
+    from mopso_engine.engine import MopsoEngine
+    from mopso_engine.io import points_from_columns
+
+    li = read_table(spark, sf, "lineitem").withColumn(
+        "pid",
+        F.xxhash64(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        ),
+    )
+    pts = points_from_columns(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], None, id_col="pid"
+    ).repartition(64, "id").sortWithinPartitions("id")
+    cfg = MopsoConfig(
+        k=4, n_particles=5, iter_max=2, knn_l=5, seed=42,
+        fitness_mode="partition_local",
+    )
+    return MopsoEngine(cfg).fit(pts), pts
+
 #: shared oracle CTEs ------------------------------------------------------
 
 _CENT_CTE = """
@@ -598,38 +660,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Typed-metadata aggregate over the fabricated binary asset table."""
         return asset_stats(assets_from_documents(read_table(spark, sf, "documents")))
 
-    # ---- the full algorithm (non-SQL-expressible; rows-only check) ----------
+    # ---- the full algorithm + post-hoc relational oracle --------------------
     def mopso_fit(spark, sf):
-        """End-to-end seeded MOPSO fit (tiny budget) — Pareto front out.
-        Iterative + stateful: no SQL oracle (driver does rows-only)."""
-        from mopso_engine.engine import MopsoEngine
+        """End-to-end seeded MOPSO fit (tiny budget), post-hoc verified:
+        the archive's [Dev, Conn] are RE-COMPUTED relationally
+        (assignment + kNN-pair joins, mopso_engine.rescore) and compared
+        to the fitness kernel's values (kernel_ok); the oracle re-derives
+        the same numbers in DuckDB from the recorded archive positions."""
+        import math
 
-        pts = points_from_embeddings(spark, sf)
-        cfg = MopsoConfig(n_particles=6, iter_max=2, knn_l=5, seed=42)
-        res = MopsoEngine(cfg).fit(pts)
-        return res.archive_df(spark)
+        from mopso_engine.rescore import rescore_archive
+
+        res, pts = _fit_embeddings(spark, sf)
+        rows = rescore_archive(pts, res.archive_positions, knn_l=5, n_rows=res.n_points)
+        out = []
+        for s, dev, conn in rows:
+            kd, kc = (float(v) for v in res.archive_fitness[s])
+            ok = math.isclose(kd, dev, rel_tol=1e-6) and math.isclose(kc, conn, rel_tol=1e-6)
+            out.append((s, round(dev, 4), round(conn, 4), ok))
+        return spark.createDataFrame(
+            out, "solution int, dev double, conn double, kernel_ok boolean"
+        )
 
     def mopso_fit_lineitem(spark, sf):
-        """The SCALE demonstration: MOPSO over a lineitem-derived points
-        table (~600k rows at sf0.1) with partition-local fitness — the
-        reference Avg's own cluster-scale semantics: no broadcast of the
-        data, no shuffle in the per-iteration job. Rows-only check."""
-        from mopso_engine.engine import MopsoEngine
-        from mopso_engine.io import points_from_columns
+        """The scale-demonstration fit (see _fit_lineitem), post-hoc
+        verified: global Dev re-computed relationally per archive entry
+        (oracle re-derives it from the recorded positions over lineitem);
+        Conn is partition-local — layout semantics DuckDB cannot see — so
+        the oracle pins the recorded value as a regression literal; the
+        archive's mutual non-dominance is checked driver-side."""
+        from mopso_engine.pareto import non_dominated_mask
+        from mopso_engine.rescore import rescore_dev
 
-        li = read_table(spark, sf, "lineitem")
-        pts = points_from_columns(
-            li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], None
-        ).repartition(64)  # partition_local: the caller owns the layout,
-        # exactly like the reference's repartition(numberOfSubPop)
-        # (Spark_MOPSO_Avg.scala:86); ~10k rows per partition keeps the
-        # O(p²) local kNN cheap
-        cfg = MopsoConfig(
-            k=4, n_particles=5, iter_max=2, knn_l=5, seed=42,
-            fitness_mode="partition_local",
+        res, pts = _fit_lineitem(spark, sf)
+        devs = rescore_dev(pts, res.archive_positions)
+        mask = non_dominated_mask(res.archive_fitness)
+        out = [
+            (s, round(dev, 0), round(float(res.archive_fitness[s][1]), 4), bool(mask[s]))
+            for s, dev in devs
+        ]
+        return spark.createDataFrame(
+            out, "solution int, dev double, conn double, nondominated boolean"
         )
-        res = MopsoEngine(cfg).fit(pts)
-        return res.archive_df(spark)
 
     for fn in (
         points_ingest, feature_minmax, count_and_k, assign_nearest, cluster_sizes,
@@ -1166,5 +1238,93 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    # mopso_fit: iterative/stateful — intentionally no oracle (rows-only).
+    # mopso_fit / mopso_fit_lineitem: the archive positions recorded by
+    # tools/gen_fit_oracle.py (the fits are bit-deterministic) let DuckDB
+    # re-derive the objectives relationally — see the comment block at
+    # _FIT_ORACLE_PATH. Valid at the driver's correctness scale (sf0.01);
+    # absent file ⇒ graceful fallback to the rows-only check.
+    if os.path.exists(_FIT_ORACLE_PATH):
+        import json
+
+        with open(_FIT_ORACLE_PATH) as f:
+            fit_data = json.load(f)
+        o["mopso_fit"] = _fit_oracle_embeddings_sql(fit_data["mopso_fit"])
+        o["mopso_fit_lineitem"] = _fit_oracle_lineitem_sql(fit_data["mopso_fit_lineitem"])
     return o
+
+
+def _fit_oracle_embeddings_sql(d: dict) -> str:
+    """Full-strength oracle for mopso_fit: DuckDB recomputes assignment,
+    Dev, the global L=5 kNN and Conn from the embeddings table, for the
+    recorded archive positions (the only injected literals)."""
+    positions = d["positions"]
+    vals = ",\n          ".join(
+        f"({s}, {c + 1}, CAST([{', '.join(repr(float(v)) for v in pos[c])}] AS DOUBLE[]))"
+        for s, pos in enumerate(positions)
+        for c in range(len(pos))
+    )
+    return f"""
+        WITH cents(sol, cl, cv) AS (VALUES
+          {vals}),
+        cent AS (SELECT sol, cl, r.range AS dim, cv[r.range] AS c FROM cents, range(1,65) r),
+        adist AS (
+          SELECT e.vec_id AS id, ct.sol, ct.cl,
+                 sqrt(sum((e.embedding[ct.dim]::DOUBLE - ct.c)*(e.embedding[ct.dim]::DOUBLE - ct.c))) AS d
+          FROM embeddings e, cent ct
+          GROUP BY 1, 2, 3),
+        asg AS (
+          SELECT id, sol, cl AS cluster, d
+          FROM (SELECT *, row_number() OVER (PARTITION BY id, sol ORDER BY d, cl) AS rn FROM adist)
+          WHERE rn = 1),
+        dev AS (SELECT sol, sum(d) AS dev FROM asg GROUP BY 1),
+        pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        pd0 AS (
+          SELECT a.id AS id, b.id AS nbr_id, unnest(a.v) AS x, unnest(b.v) AS y
+          FROM pts a JOIN pts b ON a.id <> b.id),
+        pd AS (SELECT id, nbr_id, sqrt(sum((x-y)*(x-y))) AS d FROM pd0 GROUP BY 1, 2),
+        rk AS (SELECT id, nbr_id, row_number() OVER (PARTITION BY id ORDER BY d, nbr_id) AS rank FROM pd),
+        conn AS (
+          SELECT ai.sol, sum(CASE WHEN ai.cluster = aj.cluster THEN 1.0/rk.rank ELSE 0 END) AS conn
+          FROM rk JOIN asg ai ON ai.id = rk.id
+                  JOIN asg aj ON aj.id = rk.nbr_id AND aj.sol = ai.sol
+          WHERE rk.rank <= 5 GROUP BY 1)
+        SELECT d.sol::INT AS solution, round(d.dev, 4) AS dev, round(c.conn, 4) AS conn,
+               true AS kernel_ok
+        FROM dev d JOIN conn c ON c.sol = d.sol
+    """
+
+
+def _fit_oracle_lineitem_sql(d: dict) -> str:
+    """Oracle for mopso_fit_lineitem: global Dev recomputed from the
+    recorded positions over lineitem in ONE scan (inline 4-dim distances,
+    least() over the k=4 centers — no unnest, no per-point grouping);
+    the partition-local Conn is pinned as a recorded regression literal
+    (its layout semantics are invisible to SQL — documented weaker leg)."""
+    positions = d["positions"]
+    cols = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+    def dist_expr(center):
+        # parenthesize the literal: a negative center would otherwise
+        # render as `col--0.4`, which SQL lexes as a line comment
+        terms = " + ".join(
+            f"({col}-({repr(float(c))}))*({col}-({repr(float(c))}))"
+            for col, c in zip(cols, center)
+        )
+        return f"sqrt({terms})"
+
+    aggs = ", ".join(
+        f"round(sum(least({', '.join(dist_expr(c) for c in pos)})), 0) AS d{s}"
+        for s, pos in enumerate(positions)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT {s} AS sol, d{s} AS dev FROM agg" for s in range(len(positions))
+    )
+    kern = ", ".join(f"({s}, {repr(float(c))})" for s, c in enumerate(d["conn_rounded"]))
+    return f"""
+        WITH agg AS (SELECT {aggs} FROM lineitem),
+        devs AS ({union}),
+        kern(sol, conn) AS (VALUES {kern})
+        SELECT devs.sol::INT AS solution, devs.dev AS dev, kern.conn::DOUBLE AS conn,
+               true AS nondominated
+        FROM devs JOIN kern ON kern.sol = devs.sol
+    """

@@ -46,11 +46,22 @@ from mopso_engine.assign import _distances
 _BLOCK_CELLS = 4_000_000
 
 
-def _topl_blocked(x: np.ndarray, ref: np.ndarray, ref_ids: np.ndarray, x_ids: np.ndarray, l_nbrs: int):
+def _topl_blocked(
+    x: np.ndarray,
+    ref: np.ndarray,
+    ref_ids: np.ndarray,
+    x_ids: np.ndarray,
+    l_nbrs: int,
+    *,
+    dist_fn=None,
+):
     """Top-L neighbors of each row of x against ref, computed in row blocks
     so the (rows × |ref|) distance matrix never exceeds ~32 MB. Rows whose
     id appears in ref exclude themselves. Returns (nbr_pos, nbr_dist) of
-    shape (len(x), l_eff)."""
+    shape (len(x), l_eff). ``dist_fn`` defaults to the BLAS gemm form;
+    pass assign._distances_exact when ranks must reproduce a SQL oracle's
+    Σ(x−y)² distances bit-for-bit."""
+    dist_fn = dist_fn or _distances
     n_ref = ref.shape[0]
     l_eff = min(l_nbrs, n_ref - 1)
     block = max(1, _BLOCK_CELLS // max(1, n_ref))
@@ -58,7 +69,7 @@ def _topl_blocked(x: np.ndarray, ref: np.ndarray, ref_ids: np.ndarray, x_ids: np
     out_d = np.empty((len(x), l_eff), dtype=np.float64)
     for s in range(0, len(x), block):
         e = min(s + block, len(x))
-        d = _distances(x[s:e], ref)
+        d = dist_fn(x[s:e], ref)
         pos = np.searchsorted(ref_ids, x_ids[s:e])
         pos = np.clip(pos, 0, n_ref - 1)
         hit = ref_ids[pos] == x_ids[s:e]
@@ -104,7 +115,9 @@ PAIRS_SCHEMA = StructType(
 )
 
 
-def knn_pairs_exact(points: DataFrame, l_nbrs: int, *, n_rows: int | None = None) -> DataFrame:
+def knn_pairs_exact(
+    points: DataFrame, l_nbrs: int, *, n_rows: int | None = None, exact_math: bool = False
+) -> DataFrame:
     """Exact top-L neighbor pairs via broadcast block-distance.
 
     All (id, features) are collected once into a numpy block that ships to
@@ -133,13 +146,16 @@ def knn_pairs_exact(points: DataFrame, l_nbrs: int, *, n_rows: int | None = None
     ids, feats = ids[order], feats[order]
     sc = points.sparkSession.sparkContext
     bc = sc.broadcast((ids, feats))
+    from mopso_engine.assign import _distances_exact
+
+    dist_fn = _distances_exact if exact_math else None
 
     def kernel(batches: Iterable[pd.DataFrame]):
         all_ids, all_feats = bc.value
         for pdf in batches:
             x = np.stack(pdf["features"].to_numpy()).astype(np.float64)
             bid = pdf["id"].to_numpy()
-            nbr_pos, nbr_d = _topl_blocked(x, all_feats, all_ids, bid, l_nbrs)
+            nbr_pos, nbr_d = _topl_blocked(x, all_feats, all_ids, bid, l_nbrs, dist_fn=dist_fn)
             n, l_eff = nbr_pos.shape
             yield pd.DataFrame(
                 {

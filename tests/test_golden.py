@@ -34,3 +34,26 @@ def test_golden_seeded_fit(blobs_df):
     front = sorted(map(tuple, np.round(res.archive_fitness, 6).tolist()))
     np.testing.assert_allclose(front, GOLDEN_FRONT, rtol=1e-6)
     np.testing.assert_allclose(np.round(res.best_position, 6), GOLDEN_BEST, rtol=1e-6)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/testdata/sf0.01"), reason="driver testdata absent"
+)
+def test_fit_oracle_data_is_fresh(spark):
+    """The recorded archive positions (tools/fit_oracle_data.json) must be
+    what the seeded fits actually produce — catches an engine change that
+    moved the PSO trajectory without a rerun of tools/gen_fit_oracle.py."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+
+    if not __import__("os").path.exists(em._FIT_ORACLE_PATH):
+        pytest.skip("fit oracle data not generated")
+    with open(em._FIT_ORACLE_PATH) as f:
+        data = json.load(f)
+    res_e, _ = em._fit_embeddings(spark, data["sf_dir"])
+    got = [p.tolist() for p in res_e.archive_positions]
+    assert len(got) == len(data["mopso_fit"]["positions"])
+    np.testing.assert_allclose(got, data["mopso_fit"]["positions"], rtol=1e-12)
