@@ -498,6 +498,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """3-gram Jaccard pairs ≥ 0.5 via inverted-index join."""
         return dd.jaccard_pairs(read_table(spark, sf, "documents"), k=3, threshold=0.5)
 
+    def dedup_jaccard_capped(spark, sf):
+        """The skew lever engaged (VERDICT r1 #5): same inverted-index
+        Jaccard with max_shingle_df=4 — stop-shingles (df > 4) are dropped
+        from the JOIN side so no key can contribute df² candidate pairs;
+        set sizes still count every shingle, so surviving pairs report a
+        documented underestimate. The oracle reproduces the same cap."""
+        return dd.jaccard_pairs(
+            read_table(spark, sf, "documents"), k=3, threshold=0.5, max_shingle_df=4
+        )
+
     def minhash_sigs(spark, sf):
         """MinHash signatures (16 md5 hashes over 3-word shingles)."""
         return dd.minhash_signatures(read_table(spark, sf, "documents"), k=3, num_hashes=16)
@@ -710,7 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q1_pricing, q3_shipping, nation_revenue, top_parts, order_priorities,
         events_windowed, events_stream,
         text_stats, quality, lang_pred, token_counts, fingerprints,
-        dedup_exact, dedup_jaccard, minhash_sigs, lsh_candidates, simhash_fp,
+        dedup_exact, dedup_jaccard, dedup_jaccard_capped, minhash_sigs, lsh_candidates, simhash_fp,
         dedup_verified, events_sessionized, user_stats, q6_forecast, sales_rollup,
         value_quantiles, big_orders, customers_without_orders, active_custkeys_diff,
         active_custkeys_both,
@@ -1004,6 +1014,20 @@ def oracle_sql() -> dict[str, str]:
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, round(ni*1.0/(sa.n + sb.n - ni), 6) AS jaccard
+        FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        WHERE ni*1.0/(sa.n + sb.n - ni) >= 0.5
+    """
+
+    o["dedup_jaccard_capped"] = f"""
+        WITH {_sh},
+        dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        js AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle) WHERE dfc.df <= 4),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+          FROM js a JOIN js b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc_a, doc_b, round(ni*1.0/(sa.n + sb.n - ni), 6) AS jaccard
         FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b

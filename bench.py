@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "text_stats",
     "lang_pred",
     "dedup_jaccard",
+    "dedup_jaccard_capped",
     "dedup_verified",
     "lsh_candidates",
     "simhash_fp",

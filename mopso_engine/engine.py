@@ -183,14 +183,12 @@ class MopsoEngine:
         norm = normalize_fitness(front)
         if cfg.select_best == "silhouette":
             # selectBestArchiveAsFinalResult (Spark_MOPSO_Avg.scala:578-602):
-            # max silhouette across archive entries; one assignment pass +
-            # ml.ClusteringEvaluator per entry (≤ capacity of them)
-            from mopso_engine.assign import assign as assign_fn
-
-            scores = []
-            for e in archive.entries:
-                asg = assign_fn(pts, e.position)
-                scores.append(metrics_mod.silhouette_ml(pts, asg))
+            # max squared-euclidean silhouette across archive entries — ONE
+            # multi-solution stats pass + ONE coefficient pass for the whole
+            # archive (silhouette_all_solutions) instead of 2 jobs per entry
+            scores = metrics_mod.silhouette_all_solutions(
+                pts, np.stack([e.position for e in archive.entries])
+            )
             best_idx = int(np.argmax(scores))
         else:
             # knee: min normalized L2 to the ideal point
