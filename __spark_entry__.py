@@ -117,6 +117,19 @@ def _fit_embeddings(spark: SparkSession, sf: str):
     return MopsoEngine(cfg).fit(pts), pts
 
 
+def _fit_embeddings_full(spark: SparkSession, sf: str):
+    """The REFERENCE-budget fit (VERDICT r1 #8): 50 particles × 10
+    iterations × L=10 × archive 15 — the reference's own constants
+    (Spark_MOPSO_Avg.scala:31-39) — exposing the per-iteration driver-loop
+    overhead the tiny-budget fit hides. Benched at sf0.1; oracle-verified
+    at sf0.01 like mopso_fit."""
+    from mopso_engine.engine import MopsoEngine
+
+    pts = points_from_embeddings(spark, sf)
+    cfg = MopsoConfig(n_particles=50, iter_max=10, knn_l=10, seed=42)
+    return MopsoEngine(cfg).fit(pts), pts
+
+
 def _fit_lineitem(spark: SparkSession, sf: str):
     """The SCALE demonstration fit: partition-local fitness over a
     lineitem-derived points table (~600k rows at sf0.1) — the reference
@@ -692,6 +705,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out, "solution int, dev double, conn double, kernel_ok boolean"
         )
 
+    def mopso_fit_full(spark, sf):
+        """The reference-budget fit (50×10×L10, see _fit_embeddings_full),
+        post-hoc verified exactly like mopso_fit."""
+        import math
+
+        from mopso_engine.rescore import rescore_archive
+
+        res, pts = _fit_embeddings_full(spark, sf)
+        rows = rescore_archive(pts, res.archive_positions, knn_l=10, n_rows=res.n_points)
+        out = []
+        for s, dev, conn in rows:
+            kd, kc = (float(v) for v in res.archive_fitness[s])
+            ok = math.isclose(kd, dev, rel_tol=1e-6) and math.isclose(kc, conn, rel_tol=1e-6)
+            out.append((s, round(dev, 4), round(conn, 4), ok))
+        return spark.createDataFrame(
+            out, "solution int, dev double, conn double, kernel_ok boolean"
+        )
+
     def mopso_fit_lineitem(spark, sf):
         """The scale-demonstration fit (see _fit_lineitem), post-hoc
         verified: global Dev re-computed relationally per archive entry
@@ -725,7 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         value_quantiles, big_orders, customers_without_orders, active_custkeys_diff,
         active_custkeys_both,
         ann_topk, ann_ivf, emb_neardup, multimodal_stats, mopso_fit,
-        mopso_fit_lineitem,
+        mopso_fit_full, mopso_fit_lineitem,
     ):
         q[fn.__name__] = fn
     return q
@@ -1272,15 +1303,20 @@ def oracle_sql() -> dict[str, str]:
 
         with open(_FIT_ORACLE_PATH) as f:
             fit_data = json.load(f)
-        o["mopso_fit"] = _fit_oracle_embeddings_sql(fit_data["mopso_fit"])
+        o["mopso_fit"] = _fit_oracle_embeddings_sql(fit_data["mopso_fit"], knn_l=5)
+        if "mopso_fit_full" in fit_data:
+            o["mopso_fit_full"] = _fit_oracle_embeddings_sql(
+                fit_data["mopso_fit_full"], knn_l=10
+            )
         o["mopso_fit_lineitem"] = _fit_oracle_lineitem_sql(fit_data["mopso_fit_lineitem"])
     return o
 
 
-def _fit_oracle_embeddings_sql(d: dict) -> str:
-    """Full-strength oracle for mopso_fit: DuckDB recomputes assignment,
-    Dev, the global L=5 kNN and Conn from the embeddings table, for the
-    recorded archive positions (the only injected literals)."""
+def _fit_oracle_embeddings_sql(d: dict, *, knn_l: int) -> str:
+    """Full-strength oracle for mopso_fit / mopso_fit_full: DuckDB
+    recomputes assignment, Dev, the global L=``knn_l`` kNN and Conn from
+    the embeddings table, for the recorded archive positions (the only
+    injected literals)."""
     positions = d["positions"]
     vals = ",\n          ".join(
         f"({s}, {c + 1}, CAST([{', '.join(repr(float(v)) for v in pos[c])}] AS DOUBLE[]))"
@@ -1311,7 +1347,7 @@ def _fit_oracle_embeddings_sql(d: dict) -> str:
           SELECT ai.sol, sum(CASE WHEN ai.cluster = aj.cluster THEN 1.0/rk.rank ELSE 0 END) AS conn
           FROM rk JOIN asg ai ON ai.id = rk.id
                   JOIN asg aj ON aj.id = rk.nbr_id AND aj.sol = ai.sol
-          WHERE rk.rank <= 5 GROUP BY 1)
+          WHERE rk.rank <= {knn_l} GROUP BY 1)
         SELECT d.sol::INT AS solution, round(d.dev, 4) AS dev, round(c.conn, 4) AS conn,
                true AS kernel_ok
         FROM dev d JOIN conn c ON c.sol = d.sol

@@ -44,10 +44,15 @@ BENCH_QUERIES = [
     "simhash_fp",
     "ann_topk",
     "ann_ivf",
-    # the full algorithm (tiny budget) + the 600k-row scale demo
+    # the full algorithm: tiny budget, the reference's 50x10xL10 budget,
+    # and the 600k-row partition-local scale demo
     "mopso_fit",
+    "mopso_fit_full",
     "mopso_fit_lineitem",
 ]
+
+#: iterations of the reference-budget fit — for the s/iteration readout
+FIT_FULL_ITERS = 10
 
 
 def main() -> None:
@@ -94,6 +99,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if "mopso_fit_full" in timings:
+        # per-iteration driver-loop cost of the reference-budget fit
+        # (includes its one-off kNN precompute + post-hoc rescore)
+        out["fit_full_sec_per_iter"] = round(timings["mopso_fit_full"] / FIT_FULL_ITERS, 3)
     print(json.dumps(out))
     spark.stop()
 

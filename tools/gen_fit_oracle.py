@@ -39,12 +39,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     res_e, _ = em._fit_embeddings(spark, sf)
+    res_f, _ = em._fit_embeddings_full(spark, sf)
     res_l, _ = em._fit_lineitem(spark, sf)
     data = {
         "sf_dir": sf,
         "mopso_fit": {
             "positions": [p.tolist() for p in res_e.archive_positions],
             "fitness": res_e.archive_fitness.tolist(),
+        },
+        "mopso_fit_full": {
+            "positions": [p.tolist() for p in res_f.archive_positions],
+            "fitness": res_f.archive_fitness.tolist(),
         },
         "mopso_fit_lineitem": {
             "positions": [p.tolist() for p in res_l.archive_positions],
@@ -57,6 +62,7 @@ def main() -> None:
     print(
         f"wrote {em._FIT_ORACLE_PATH}: "
         f"mopso_fit={len(data['mopso_fit']['positions'])} entries, "
+        f"mopso_fit_full={len(data['mopso_fit_full']['positions'])} entries, "
         f"mopso_fit_lineitem={len(data['mopso_fit_lineitem']['positions'])} entries"
     )
     spark.stop()
