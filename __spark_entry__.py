@@ -192,14 +192,26 @@ sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
 """
 )
 
-_MINHASH_CTE = (
-    _SHINGLE_CTE
-    + """,
-mh AS (SELECT doc_id, i.range::INT AS hash_idx, min(md5(shingle || '#' || i.range::VARCHAR)) AS minhash
-       FROM sh, range(0,16) i
-       GROUP BY doc_id, i.range)
+def _minhash_cte() -> str:
+    """Shingles → minhash signatures with the SAME universal-hash
+    constants as ext.dedup.minhash_signatures (one md5 per shingle +
+    16 integer mixes mod 2^61−1)."""
+    from mopso_engine.ext.dedup import MERSENNE61, minhash_constants
+
+    consts = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_constants(16)))
+    return (
+        _SHINGLE_CTE
+        + f""",
+mhc(hash_idx, a, b) AS (VALUES {consts}),
+hsh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+mh AS (SELECT doc_id, c.hash_idx::INT AS hash_idx, min((c.a * h + c.b) % {MERSENNE61}) AS minhash
+       FROM hsh, mhc c
+       GROUP BY doc_id, c.hash_idx)
 """
-)
+    )
+
+
+_MINHASH_CTE = _minhash_cte()
 
 
 # --------------------------------------------------------------------------

@@ -7,11 +7,12 @@ Four tiers, all shuffle-frugal and 100 TB-shaped:
 * **n-gram Jaccard** — word-shingle sets + a pair-join; exact but
   quadratic per candidate group, so run it on LSH candidates (or small
   samples), never the raw corpus.
-* **MinHash + LSH banding** — signature = min(md5(shingle ∥ seed)) per
-  band row; candidate pairs come from equality joins on banded
-  signatures: linear scans + equality shuffles only. Hash = md5 (not
-  Spark's xxhash/murmur) so results are portable across engines — the
-  DuckDB oracle computes the identical signature.
+* **MinHash + LSH banding** — signature_i = min over shingles of the
+  universal hash (a_i·md5_32(shingle) + b_i) mod (2^61−1); candidate
+  pairs come from equality joins on banded signatures: linear scans +
+  equality shuffles only. One md5 per shingle (not one per hash seed);
+  md5 + integer mixes (not Spark's xxhash/murmur) keep results portable
+  across engines — the DuckDB oracle computes the identical signature.
 * **SimHash** — 16-bit sign-aggregated token hashes; near-dup = equal
   simhash (or small Hamming distance via banding the bits).
 
@@ -221,22 +222,45 @@ def jaccard_on_candidates(
     )
 
 
+#: modulus of the minhash universal-hash family (Mersenne prime 2^61−1):
+#: with a < 2^31 and the 32-bit base hash, a·h + b < 2^63 — no int64
+#: overflow in either engine (Spark runs ANSI; overflow would throw).
+MERSENNE61 = (1 << 61) - 1
+
+
+def minhash_constants(num_hashes: int = 16, seed: int = 11):
+    """Deterministic (a_i, b_i) pairs of the universal-hash family
+    h_i(x) = (a_i·x + b_i) mod (2^61−1); a_i odd < 2^31, b_i < 2^31.
+    The SAME constants are embedded in the Spark plan and the SQL oracle."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 2**30, size=num_hashes) * 2 + 1
+    b = rng.integers(0, 2**31, size=num_hashes)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = 3, num_hashes: int = 16, *, shingles: DataFrame | None = None
 ) -> DataFrame:
-    """(doc_id, hash_idx, minhash): minhash_i = min over shingles of
-    md5(shingle ∥ '#' ∥ i). Min over hex strings ≡ min over the 128-bit
-    integers — portable to any engine with md5."""
+    """(doc_id, hash_idx, minhash long): minhash_i = min over shingles of
+    (a_i·h + b_i) mod (2^61−1), where h is the first 8 md5 hex chars of
+    the shingle as a 32-bit int. ONE md5 per shingle + num_hashes integer
+    mixes — 16× less hashing than the md5-per-seed formulation, and
+    portable: any engine with md5 and 64-bit integers computes the
+    identical signature (DuckDB oracle does)."""
     sh = shingles if shingles is not None else word_shingles(docs, k, distinct=False)  # min() is dup-insensitive
+    consts = minhash_constants(num_hashes)
+    h32 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
     # one min-aggregate column per hash: the shuffle moves |shingles| rows
     # with 16 narrow partial-min columns (map-side combined), not the
     # 16×-exploded row set; the (doc_id, hash_idx, minhash) shape is
     # recovered by an unpivot AFTER aggregation.
     aggs = [
-        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(i)))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(MERSENNE61)).alias(f"h{i}")
+        for i, (a, b) in enumerate(consts)
     ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    wide = sh.select("doc_id", h32.alias("h32")).groupBy("doc_id").agg(*aggs)
     pairs = F.array(
         *[
             F.struct(F.lit(i).alias("hash_idx"), F.col(f"h{i}").alias("minhash"))

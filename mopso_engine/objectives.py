@@ -61,10 +61,16 @@ def _topl_blocked(
     shape (len(x), l_eff). ``dist_fn`` defaults to the BLAS gemm form;
     pass assign._distances_exact when ranks must reproduce a SQL oracle's
     Σ(x−y)² distances bit-for-bit."""
-    dist_fn = dist_fn or _distances
     n_ref = ref.shape[0]
     l_eff = min(l_nbrs, n_ref - 1)
-    block = max(1, _BLOCK_CELLS // max(1, n_ref))
+    if dist_fn is None:
+        dist_fn = _distances
+        block = max(1, _BLOCK_CELLS // max(1, n_ref))
+    else:
+        # the exact Σ(x−y)² formula materializes a (block, n_ref, d)
+        # difference tensor — size the block so THAT stays ~32 MB, not
+        # just the (block, n_ref) output matrix
+        block = max(1, _BLOCK_CELLS // max(1, n_ref * ref.shape[1]))
     out_pos = np.empty((len(x), l_eff), dtype=np.int64)
     out_d = np.empty((len(x), l_eff), dtype=np.float64)
     for s in range(0, len(x), block):

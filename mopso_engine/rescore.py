@@ -37,6 +37,12 @@ def rescore_archive(
     objective semantics. Eager: persists the multi-solution assignment
     for its two uses and releases it before returning.
     """
+    # spread the CPU-bound exact kNN + multi-solution assignment kernels:
+    # a small parquet corpus arrives as one scan partition, which would
+    # serialize the quadratic work (results are layout-independent; the
+    # grouped sums absorb reorder noise well below the oracle rounding)
+    dp = pts.sparkSession.sparkContext.defaultParallelism
+    pts = pts.repartition(dp, "id")
     stack = np.stack(positions)
     asg = assign_all_solutions(pts, stack, exact_math=True).persist()
     try:
