@@ -579,6 +579,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").alias("n_sessions"), F.max("n_ev").alias("max_session_events")
         )
 
+    def events_asof(spark, sf):
+        """As-of join (point-in-time correctness primitive): every click
+        event gets the value of the user's LATEST STRICTLY-PRIOR purchase
+        — union + ordered-window rendering, ONE shuffle on user_id, no
+        range-pair explosion."""
+        from mopso_engine.ext.pipeline import asof_join
+        from mopso_engine.ext.streaming import read_events
+
+        _utc(spark)
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+        out = asof_join(clicks, purchases, key="user_id", time="ts", payload=["value"])
+        return out.select(
+            "event_id",
+            "user_id",
+            F.round("value", 4).alias("click_value"),
+            F.round("asof_value", 4).alias("last_purchase_value"),
+        )
+
+    def docs_sample(spark, sf):
+        """Deterministic stratified hash-sample: per-language keep rates
+        as ONE map-only codegen'd filter (replayable, join-stable — the
+        pipeline mixing knob); the oracle computes the identical md5
+        predicate."""
+        from mopso_engine.ext import pipeline as pl
+
+        docs = read_table(spark, sf, "documents")
+        return pl.sample_by_hash(
+            docs, "doc_id", {"en": 0.5, "de": 0.25, "zh": 0.1}, stratum="lang"
+        ).select("doc_id", "lang")
+
+    def simhash_neardup(spark, sf):
+        """SimHash Hamming-≤3 pairs via 4-band chunk equality joins with
+        PIGEONHOLE-GUARANTEED recall + exact bit_count(xor) verification —
+        so the blocked plan must equal the oracle's brute-force all-pairs
+        answer exactly."""
+        return dd.simhash_hamming_pairs(
+            _docs_with_dups(read_table(spark, sf, "documents")), bits=16, bands=4, max_hamming=3
+        )
+
+    def events_sessions_native(spark, sf):
+        """Native session windows (F.session_window): gap-merged sessions
+        per user with [first, last+gap) bounds — the engine-managed twin
+        of the hand-rolled events_sessionized."""
+        from mopso_engine.ext.streaming import read_events, session_window_batch
+
+        _utc(spark)
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        return session_window_batch(ev, gap_minutes=30).select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+
     def user_stats(spark, sf):
         """Per-user running totals (the batch twin of the stateful
         applyInPandasWithState operator in ext/streaming)."""
@@ -764,7 +823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_windowed, events_stream,
         text_stats, quality, lang_pred, token_counts, fingerprints,
         dedup_exact, dedup_jaccard, dedup_jaccard_capped, minhash_sigs, lsh_candidates, simhash_fp,
-        dedup_verified, events_sessionized, user_stats, q6_forecast, sales_rollup,
+        dedup_verified, events_sessionized, events_asof, docs_sample, simhash_neardup,
+        events_sessions_native, user_stats, q6_forecast, sales_rollup,
         value_quantiles, big_orders, customers_without_orders, active_custkeys_diff,
         active_custkeys_both,
         ann_topk, ann_ivf, emb_neardup, multimodal_stats, mopso_fit,
@@ -1156,6 +1216,74 @@ def oracle_sql() -> dict[str, str]:
     o["user_stats"] = """
         SELECT user_id, count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1
+    """
+
+    o["events_asof"] = """
+        WITH u AS (
+          SELECT event_id, user_id, ts, value, 1 AS is_l, NULL::DOUBLE AS pv
+          FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT NULL, user_id, ts, NULL, 0 AS is_l, value AS pv
+          FROM events WHERE event_type = 'purchase'),
+        w AS (
+          SELECT *,
+                 last_value(pv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_l DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_value
+          FROM u)
+        SELECT event_id, user_id, round(value, 4) AS click_value,
+               round(asof_value, 4) AS last_purchase_value
+        FROM w WHERE is_l = 1
+    """
+
+    o["docs_sample"] = """
+        SELECT doc_id, lang FROM documents
+        WHERE (('0x' || substr(md5(doc_id::VARCHAR || '#s0'), 1, 8))::BIGINT)::DOUBLE
+              / 4294967296.0
+              < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'zh' THEN 0.1
+                          ELSE 0.0 END
+    """
+
+    # brute-force all-pairs twin: the banded plan has pigeonhole-guaranteed
+    # recall at hamming<=3 over 4 bands, so it must match this EXACTLY
+    o["simhash_neardup"] = f"""
+        WITH ddq AS ({_DOCS_DUP_SQL}),
+        tok AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+          FROM ddq),
+        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM tok),
+        pb AS (
+          SELECT doc_id, b.range AS bit,
+                 sum(CASE WHEN (hv >> b.range) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM h, range(0,16) b GROUP BY 1, 2),
+        sim AS (
+          SELECT doc_id,
+                 sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+          FROM pb GROUP BY 1)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+    o["events_sessions_native"] = """
+        WITH g AS (
+          SELECT user_id, ts, value, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id, ts, value,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM g)
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+        FROM s GROUP BY user_id, sess_id
     """
 
     o["big_orders"] = """

@@ -27,6 +27,8 @@ BENCH_QUERIES = [
     "top_parts",
     "events_windowed",
     "events_sessionized",
+    "events_sessions_native",
+    "events_asof",
     "user_stats",
     # points/assignment family
     "assign_nearest",
@@ -37,11 +39,13 @@ BENCH_QUERIES = [
     # text / dedup / simsearch extensions
     "text_stats",
     "lang_pred",
+    "docs_sample",
     "dedup_jaccard",
     "dedup_jaccard_capped",
     "dedup_verified",
     "lsh_candidates",
     "simhash_fp",
+    "simhash_neardup",
     "ann_topk",
     "ann_ivf",
     # the full algorithm: tiny budget, the reference's 50x10xL10 budget,

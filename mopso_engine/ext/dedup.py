@@ -299,6 +299,46 @@ def minhash_lsh_candidates(
     )
 
 
+def simhash_hamming_pairs(
+    docs: DataFrame, *, bits: int = 16, bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): doc pairs whose SimHash fingerprints differ
+    in ≤ ``max_hamming`` bits — banded with GUARANTEED recall: split the
+    ``bits`` into ``bands`` equal chunks; by pigeonhole any pair within
+    Hamming distance < bands shares at least one chunk exactly, so an
+    equality join per chunk finds every qualifying pair (max_hamming must
+    be < bands). Verification is exact bit_count(xor). Equality joins
+    only — the same LSH → verify shape as the MinHash stack, but with a
+    recall proof instead of a probability."""
+    if max_hamming >= bands:
+        raise ValueError("guaranteed recall needs max_hamming < bands")
+    width = bits // bands
+    sh = simhash(docs, bits)
+    chunk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * width).bitwiseAND(F.lit((1 << width) - 1)).alias("chunk"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("p")
+    bc = sh.select("doc_id", "simhash", chunk).select(
+        "doc_id", "simhash", F.col("p.band").alias("band"), F.col("p.chunk").alias("chunk")
+    )
+    a = bc.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "chunk")
+    b = bc.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "chunk")
+    return (
+        a.join(b, ["band", "chunk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """(doc_id, simhash): sign-aggregated token hashes. Token hash = first
     8 hex chars of md5 as a 32-bit int; bit j of the simhash is 1 iff

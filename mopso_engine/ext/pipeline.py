@@ -1,0 +1,109 @@
+"""Training-data pipeline primitives beyond the reference surface:
+deterministic sampling and as-of joins (SURVEY north-star extensions).
+
+Both are single-shuffle-or-less plans chosen for the 100 TB path:
+
+* **hash sampling** — a map-only filter: u(row) = first 8 md5 hex chars
+  of (key ∥ salt) scaled to [0, 1); keep u < fraction. Deterministic,
+  replayable, join-stable (the same row always samples the same way),
+  portable to any engine with md5 — the oracle computes the identical
+  predicate. No sort, no shuffle, no sampleBy seed drift across retries.
+* **as-of join** — "for each left event, the latest prior right event
+  with the same key" via the union + ordered window trick: tag both
+  sides, union, ONE hash-shuffle on the key, last(right-payload,
+  ignorenulls) over rows-unbounded-preceding-to-1-preceding, keep left
+  rows. Linear state, no range-explosion pair join, no per-row probe —
+  the plan a stream-table point-in-time join compiles to at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: scale of the 32-bit md5 prefix → uniform [0, 1)
+_HASH_SPACE = float(1 << 32)
+
+
+def hash_uniform(key: Column | str, *, salt: str = "s0") -> Column:
+    """Deterministic per-row uniform in [0, 1) from md5(key ∥ salt)."""
+    h = F.conv(F.substring(F.md5(F.concat_ws("#", key, F.lit(salt))), 1, 8), 16, 10)
+    return h.cast("double") / F.lit(_HASH_SPACE)
+
+
+def sample_by_hash(
+    df: DataFrame,
+    key: str,
+    fraction: float | dict[str, float],
+    *,
+    stratum: str | None = None,
+    salt: str = "s0",
+) -> DataFrame:
+    """Deterministic (exact-replay) sample: keep rows with
+    hash_uniform(key) < fraction. With ``stratum`` + a dict, each stratum
+    gets its own rate (unlisted strata default to 0) — the standard
+    per-source mixing knob of a training-data pipeline, as one map-only
+    codegen'd filter."""
+    u = hash_uniform(key, salt=salt)
+    if isinstance(fraction, dict):
+        if stratum is None:
+            raise ValueError("a fraction dict requires a stratum column")
+        expr = F.lit(0.0)
+        for k, v in fraction.items():
+            expr = F.when(F.col(stratum) == k, F.lit(float(v))).otherwise(expr)
+        return df.where(u < expr)
+    return df.where(u < F.lit(float(fraction)))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    time: str,
+    payload: list[str],
+    strict: bool = True,
+) -> DataFrame:
+    """For every left row, the payload of the LATEST right row with the
+    same ``key`` and right.time < left.time (≤ when ``strict=False``).
+
+    Union + ordered window rendering: one shuffle on ``key``, linear
+    scan; right payloads travel as nullable columns filled by
+    last(..., ignorenulls). Output: left columns + ``asof_<payload>``
+    columns (null when no prior right row exists).
+    """
+    lcols = left.columns
+    if key not in lcols or time not in lcols:
+        raise ValueError(f"left side must carry the {key!r} and {time!r} columns")
+    tagged_l = left.select(
+        *[F.col(c) for c in lcols],
+        F.lit(1).alias("__is_l"),
+        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}") for p in payload],
+    )
+    tagged_r = right.select(
+        F.col(key),
+        F.col(time),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in (key, time)
+        ],
+        F.lit(0).alias("__is_l"),
+        *[F.col(p).alias(f"__p_{p}") for p in payload],
+    )
+    u = tagged_l.unionByName(tagged_r)
+    # right rows sort before left rows at equal timestamps iff strict:
+    # a strictly-prior right row is visible, a simultaneous one is not
+    order = [F.col(time).asc(), F.col("__is_l").asc() if not strict else F.col("__is_l").desc()]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = u
+    for p in payload:
+        out = out.withColumn(f"asof_{p}", F.last(f"__p_{p}", ignorenulls=True).over(w))
+    return out.where(F.col("__is_l") == 1).select(
+        *lcols, *[F.col(f"asof_{p}") for p in payload]
+    )

@@ -81,6 +81,61 @@ def windowed_counts_stream(
     )
 
 
+def session_window_batch(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
+    """Native session windows (F.session_window): per (user, session) —
+    events merge while gaps stay under ``gap_minutes``. One shuffle on
+    (user_id, merged session); the oracle derives identical sessions with
+    the lag-gap rule (session_end = last event + gap, Spark's window.end
+    semantics). Batch twin of :func:`session_window_stream`."""
+    win = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        events.groupBy(win.alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_stream(
+    spark: SparkSession,
+    events_path: str,
+    *,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming session windows: the same merge through readStream with a
+    watermark bounding session state — sessions close (and state evicts)
+    once the watermark passes their gap horizon."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os as _os
+
+    base, fname = _os.path.dirname(events_path), _os.path.basename(events_path)
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", fname)
+        .parquet(base)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    win = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def user_running_stats_stream(
     spark: SparkSession, events_path: str
 ) -> DataFrame:

@@ -1,0 +1,110 @@
+"""Pipeline primitives: deterministic hash sampling, as-of join, SimHash
+Hamming banding, native session windows."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mopso_engine.ext import dedup as dd
+from mopso_engine.ext.pipeline import asof_join, hash_uniform, sample_by_hash
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_sample_by_hash_deterministic_and_stratified(spark, docs):
+    a = {r["doc_id"] for r in sample_by_hash(docs, "doc_id", 0.3).select("doc_id").collect()}
+    b = {r["doc_id"] for r in sample_by_hash(docs, "doc_id", 0.3).select("doc_id").collect()}
+    assert a == b  # exact replay
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n  # ~30%
+    # nested property: a smaller fraction is a SUBSET of a larger one
+    sub = {r["doc_id"] for r in sample_by_hash(docs, "doc_id", 0.1).select("doc_id").collect()}
+    assert sub <= a
+    # stratified: only listed strata survive
+    strat = sample_by_hash(docs, "doc_id", {"en": 1.0}, stratum="lang")
+    assert strat.where(F.col("lang") != "en").count() == 0
+
+
+def test_sample_by_hash_dict_requires_stratum(docs):
+    with pytest.raises(ValueError, match="stratum"):
+        sample_by_hash(docs, "doc_id", {"en": 0.5})
+
+
+def test_asof_join_strict_and_null_semantics(spark):
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(5)), (1, 11, t(10)), (2, 20, t(3)), (3, 30, t(1))],
+        "k int, lid int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, 100.0, t(4)), (1, 200.0, t(10)), (2, 300.0, t(2)), (2, 400.0, t(9))],
+        "k int, v double, ts timestamp",
+    )
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(left, right, key="k", time="ts", payload=["v"]).collect()
+    }
+    assert got[10] == 100.0  # t(4) < t(5)
+    assert got[11] == 100.0  # the t(10) right row is simultaneous — excluded (strict)
+    assert got[20] == 300.0  # t(2) < t(3); t(9) is later
+    assert got[30] is None  # no prior right row
+    loose = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(left, right, key="k", time="ts", payload=["v"], strict=False).collect()
+    }
+    assert loose[11] == 200.0  # simultaneous row visible when strict=False
+
+
+def test_simhash_hamming_banding_has_exact_recall(spark, docs):
+    """Pigeonhole guarantee: the 4-band blocked plan equals the O(N²)
+    brute force EXACTLY for max_hamming < bands."""
+    sub = docs.where(F.col("doc_id") < 120)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dd.simhash_hamming_pairs(sub, bits=16, bands=4, max_hamming=3).collect()
+    }
+    sh = {r["doc_id"]: r["simhash"] for r in dd.simhash(sub, bits=16).collect()}
+    ids = sorted(sh)
+    brute = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    assert got == brute
+
+
+def test_simhash_hamming_rejects_unprovable_threshold(docs):
+    with pytest.raises(ValueError, match="recall"):
+        dd.simhash_hamming_pairs(docs, bits=16, bands=4, max_hamming=4)
+
+
+def test_session_window_stream_matches_batch(spark):
+    from mopso_engine.ext.streaming import (
+        read_events,
+        run_available_now,
+        session_window_batch,
+        session_window_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_events(spark, f"{SF}/events.parquet")
+    batch = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["sum_value"])
+        for r in session_window_batch(ev, gap_minutes=30).collect()
+    }
+    out = run_available_now(
+        session_window_stream(spark, f"{SF}/events.parquet", gap_minutes=30),
+        query_name="sessw_test",
+    )
+    stream = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["sum_value"])
+        for r in out.collect()
+    }
+    assert stream == batch and len(batch) > 0
