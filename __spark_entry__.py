@@ -617,9 +617,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """SimHash Hamming-≤3 pairs via 4-band chunk equality joins with
         PIGEONHOLE-GUARANTEED recall + exact bit_count(xor) verification —
         so the blocked plan must equal the oracle's brute-force all-pairs
-        answer exactly."""
+        answer exactly. 32-bit fingerprints ⇒ 8-bit band chunks (256
+        bucket values per band) keep candidate buckets fine-grained —
+        16-bit fingerprints would funnel every doc into 16 buckets and
+        quadratically blow the candidate set at scale."""
         return dd.simhash_hamming_pairs(
-            _docs_with_dups(read_table(spark, sf, "documents")), bits=16, bands=4, max_hamming=3
+            _docs_with_dups(read_table(spark, sf, "documents")), bits=32, bands=4, max_hamming=3
         )
 
     def events_sessions_native(spark, sf):
@@ -1255,7 +1258,7 @@ def oracle_sql() -> dict[str, str]:
         pb AS (
           SELECT doc_id, b.range AS bit,
                  sum(CASE WHEN (hv >> b.range) & 1 = 1 THEN 1 ELSE -1 END) AS s
-          FROM h, range(0,16) b GROUP BY 1, 2),
+          FROM h, range(0,32) b GROUP BY 1, 2),
         sim AS (
           SELECT doc_id,
                  sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash

@@ -313,7 +313,10 @@ def simhash_hamming_pairs(
     if max_hamming >= bands:
         raise ValueError("guaranteed recall needs max_hamming < bands")
     width = bits // bands
-    sh = simhash(docs, bits)
+    # the fingerprint table feeds both sides of the band self-join — cache
+    # it (tiny: one long per doc) instead of recomputing the token-hash
+    # aggregation twice; registered for clear_shingle_caches()
+    sh = _persist_shingles(simhash(docs, bits))
     chunk = F.explode(
         F.array(
             *[
@@ -345,19 +348,21 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     Σ_tokens (bit_j ? +1 : −1) > 0. Expressible identically in SQL."""
     tok = docs.select("doc_id", F.explode(F.split(normalized_text(), " ")).alias("tok"))
     h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
-    # one ±1 sum column per bit in a single groupBy — the shuffle carries
-    # |tokens| rows with 16 narrow partial sums (map-side combined), not a
-    # 16×-exploded row set; the final simhash assembles in a projection.
+    # one bit-sum column per bit in a single groupBy — the shuffle carries
+    # |tokens| rows with `bits` narrow partial sums (map-side combined),
+    # not a bits×-exploded row set. Σ(±1) ≡ 2·Σbit − n, so plain bit sums
+    # (branch-free in codegen) + one count replace the CASE-WHEN sums;
+    # bit_j of the simhash is set iff 2·b_j > n. The final fingerprint
+    # assembles in a projection.
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b{j}")
         for j in range(bits)
-    ]
+    ] + [F.count("*").alias("ntok")]
     wide = tok.select("doc_id", h.alias("h")).groupBy("doc_id").agg(*aggs)
     sim = sum(
         [
-            F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(2 * F.col(f"b{j}") > F.col("ntok"), F.lit(1 << j).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
             for j in range(bits)
         ],
         start=F.lit(0).cast("long"),
