@@ -548,17 +548,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_verified(spark, sf):
         """The LSH → exact-verify composition: MinHash banding proposes
         candidate pairs, exact Jaccard scores ONLY those (the scale-true
-        dedup pipeline)."""
+        dedup pipeline). ONE shared distinct-shingle SUBTREE feeds both
+        the banding and the verification (min over the distinct set ≡ min
+        over the multiset, and Jaccard needs distinct sizes) — dedup via
+        plan/exchange reuse, NOT via persist: measured twice (r1 and r2),
+        an eager cache materialization serializes the three dependent
+        broadcast subtrees and nearly doubles wall-clock at bench scale;
+        at 100 TB persist the handle explicitly (`shingles=` is the API)
+        when the corpus scan, not the join fan-out, dominates."""
         docs = read_table(spark, sf, "documents")
-        # one materialized shingle table feeds BOTH the MinHash banding and
-        # the exact verification (min over distinct ≡ min over multiset)
-        # deliberately no persist on the candidate subtree: its three uses
-        # (two semi-joins + the pair join) execute as independent parallel
-        # broadcast jobs, which measured faster than serializing a cache
-        # materialization; when dedup_jaccard ran earlier in the session its
-        # persisted shingle table is reused via plan matching
-        cands = dd.minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=4)
-        return dd.jaccard_on_candidates(docs, cands, k=3)
+        sh = dd.word_shingles(docs, 3)
+        cands = dd.minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=4, shingles=sh)
+        return dd.jaccard_on_candidates(docs, cands, k=3, shingles=sh)
 
     def events_sessionized(spark, sf):
         """Sessionization via windows: a session breaks after a >30 min gap;
