@@ -737,6 +737,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
 
+    def q4_priority(spark, sf):
+        """TPC-H Q4 shape: EXISTS → left-semi join (orders in 1995 with at
+        least one deep-discounted line), priority histogram."""
+        o = read_table(spark, sf, "orders").where(F.year("o_orderdate") == 1995)
+        li = read_table(spark, sf, "lineitem").where(F.col("l_discount") > 0.05)
+        return (
+            o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+        )
+
+    def q13_custdist(spark, sf):
+        """TPC-H Q13 shape: customer order-count distribution via LEFT
+        OUTER join + two-level aggregate (zero-order customers included)."""
+        c = read_table(spark, sf, "customer")
+        o = read_table(spark, sf, "orders").where(F.col("o_totalprice") > 150000)
+        per_cust = (
+            c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+        )
+        return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+    def q16_supplier_variety(spark, sf):
+        """TPC-H Q16 shape: distinct-supplier count per part brand/type
+        (count-distinct after a join)."""
+        li = read_table(spark, sf, "lineitem")
+        p = read_table(spark, sf, "part")
+        return (
+            li.join(p, li.l_partkey == p.p_partkey)
+            .groupBy("p_brand", "p_type")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        )
+
+    def q22_idle_customers(spark, sf):
+        """TPC-H Q22 shape: scalar-subquery threshold (above-average
+        account balance) + anti join (no 1995 order)."""
+        c = read_table(spark, sf, "customer")
+        o95 = read_table(spark, sf, "orders").where(F.year("o_orderdate") == 1995)
+        avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+        rich = c.crossJoin(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("ab"))
+        return (
+            rich.join(o95, rich.c_custkey == o95.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("numcust"),
+                F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            )
+        )
+
+    def orders_window_suite(spark, sf):
+        """Window-function breadth over one shuffle: rank / dense_rank /
+        lag-delta / cumulative sum / 3-row moving average per customer's
+        order history (customers < 100 to keep the result compact)."""
+        o = read_table(spark, sf, "orders").where(F.col("o_custkey") < 100)
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+        wmov = w.rowsBetween(-2, 0)
+        return o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).cast("int").alias("rnk"),
+            F.dense_rank().over(w).cast("int").alias("drnk"),
+            F.round(F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w), 2).alias("price_delta"),
+            F.round(F.sum("o_totalprice").over(wsum), 2).alias("cum_spend"),
+            F.round(F.avg("o_totalprice").over(wmov), 4).alias("mov_avg3"),
+        )
+
+    def events_interval_join(spark, sf):
+        """Interval (range) join: purchases within the 30 minutes BEFORE
+        each click of the same user — equality join on user_id with the
+        range as a join-time filter (sort-merge + predicate, never a
+        cross product), the batch twin of a stream-stream interval join."""
+        from mopso_engine.ext.streaming import read_events
+
+        _utc(spark)
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        clicks = ev.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+        )
+        buys = ev.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("b_user"), F.col("ts").alias("bts"), "value"
+        )
+        j = clicks.join(
+            buys,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("bts") < F.col("cts"))
+            & (F.col("bts") >= F.col("cts") - F.expr("INTERVAL 30 MINUTES")),
+        )
+        return j.groupBy("click_id", "user_id").agg(
+            F.count("*").alias("n_buys"), F.round(F.sum("value"), 4).alias("buy_value")
+        )
+
     # ---- similarity search --------------------------------------------------
     def ann_topk(spark, sf):
         """Brute-force exact top-5 cosine neighbors for query ids 0-4."""
@@ -829,6 +922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_exact, dedup_jaccard, dedup_jaccard_capped, minhash_sigs, lsh_candidates, simhash_fp,
         dedup_verified, events_sessionized, events_asof, docs_sample, simhash_neardup,
         events_sessions_native, user_stats, q6_forecast, sales_rollup,
+        q4_priority, q13_custdist, q16_supplier_variety, q22_idle_customers,
+        orders_window_suite, events_interval_join,
         value_quantiles, big_orders, customers_without_orders, active_custkeys_diff,
         active_custkeys_both,
         ann_topk, ann_ivf, emb_neardup, multimodal_stats, mopso_fit,
@@ -1337,6 +1432,69 @@ def oracle_sql() -> dict[str, str]:
                round(sum(l_extendedprice), 2) AS revenue
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    o["q4_priority"] = """
+        SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        FROM orders o
+        WHERE year(o_orderdate) = 1995
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+        GROUP BY 1
+    """
+
+    o["q13_custdist"] = """
+        WITH per_cust AS (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+          GROUP BY 1)
+        SELECT c_count, count(*)::BIGINT AS custdist FROM per_cust GROUP BY 1
+    """
+
+    o["q16_supplier_variety"] = """
+        SELECT p.p_brand, p.p_type, count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    """
+
+    o["q22_idle_customers"] = """
+        SELECT c_mktsegment, count(*)::BIGINT AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND year(o.o_orderdate) = 1995)
+        GROUP BY 1
+    """
+
+    o["orders_window_suite"] = """
+        SELECT o_custkey, o_orderkey,
+               rank() OVER w::INT AS rnk,
+               dense_rank() OVER w::INT AS drnk,
+               round(o_totalprice - lag(o_totalprice) OVER w, 2) AS price_delta,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING), 2) AS cum_spend,
+               round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3
+        FROM orders
+        WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """
+
+    o["events_interval_join"] = """
+        SELECT c.event_id AS click_id, c.user_id,
+               count(*)::BIGINT AS n_buys, round(sum(b.value), 4) AS buy_value
+        FROM events c
+        JOIN events b ON b.user_id = c.user_id
+                     AND b.event_type = 'purchase'
+                     AND b.ts < c.ts
+                     AND b.ts >= c.ts - INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click'
+        GROUP BY 1, 2
     """
 
     o["q6_forecast"] = """

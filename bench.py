@@ -22,9 +22,15 @@ BENCH_QUERIES = [
     # relational layer
     "q1_pricing",
     "q3_shipping",
+    "q4_priority",
     "q6_forecast",
+    "q13_custdist",
+    "q16_supplier_variety",
+    "q22_idle_customers",
     "nation_revenue",
     "top_parts",
+    "orders_window_suite",
+    "events_interval_join",
     "events_windowed",
     "events_sessionized",
     "events_sessions_native",

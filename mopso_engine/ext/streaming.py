@@ -136,6 +136,52 @@ def session_window_stream(
     )
 
 
+def interval_join_stream(
+    spark: SparkSession,
+    events_path: str,
+    *,
+    minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM interval join: purchases within the ``minutes``
+    before each click of the same user. Both sides carry watermarks so
+    the join state is range-bounded and evictable (the engine derives the
+    state horizon from the watermark + the interval condition). Emits the
+    joined rows (aggregate downstream or in batch — chaining another
+    stateful operator is kept out of the demo for clarity)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os as _os
+
+    base, fname = _os.path.dirname(events_path), _os.path.basename(events_path)
+
+    def src():
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", fname)
+            .parquet(base)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+
+    clicks = (
+        src()
+        .where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts"))
+        .withWatermark("cts", watermark)
+    )
+    buys = (
+        src()
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("b_user"), F.col("ts").alias("bts"), "value")
+        .withWatermark("bts", watermark)
+    )
+    return clicks.join(
+        buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("bts") < F.col("cts"))
+        & (F.col("bts") >= F.col("cts") - F.expr(f"INTERVAL {minutes} MINUTES")),
+    ).select("click_id", "user_id", "bts", "value")
+
+
 def user_running_stats_stream(
     spark: SparkSession, events_path: str
 ) -> DataFrame:

@@ -108,3 +108,35 @@ def test_session_window_stream_matches_batch(spark):
         for r in out.collect()
     }
     assert stream == batch and len(batch) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Stream-stream interval join (watermarked both sides) drains to the
+    same joined row set as the batch range join."""
+    from pyspark.sql import functions as F
+
+    from mopso_engine.ext.streaming import interval_join_stream, read_events, run_available_now
+
+    ev = read_events(spark, f"{SF}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("bts"), "value"
+    )
+    batch = {
+        (r["click_id"], str(r["bts"]))
+        for r in clicks.join(
+            buys,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("bts") < F.col("cts"))
+            & (F.col("bts") >= F.col("cts") - F.expr("INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+    out = run_available_now(
+        interval_join_stream(spark, f"{SF}/events.parquet", minutes=30),
+        query_name="ssj_test",
+        output_mode="append",
+    )
+    stream = {(r["click_id"], str(r["bts"])) for r in out.collect()}
+    assert stream == batch and len(batch) > 0
