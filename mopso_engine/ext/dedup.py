@@ -55,16 +55,25 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-#: persisted shingle tables created internally by jaccard_pairs /
-#: jaccard_on_candidates when no ``shingles=`` is passed. The persist is
-#: load-bearing (the shingle table feeds 2-3 subtrees of one query), but
-#: its lifetime outlives the returned lazy DataFrame — so the handles are
-#: registered here and callers that run many queries in one session own
-#: the cleanup: call :func:`clear_shingle_caches` after the action.
+#: registry for persisted shingle tables a CALLER asks us to track (via
+#: :func:`persist_shingles`). The dedup operators themselves no longer
+#: persist anything internally: measured at sf0.1/local[32] (round 3), an
+#: internal ``persist()`` of the shared shingle subtree made
+#: ``jaccard_pairs`` 3-5× SLOWER (18-26 s vs 3.6-7.2 s) and
+#: ``simhash_hamming_pairs`` up to 10× slower (48 s vs 4.7 s): the
+#: InMemoryRelation boundary defeats whole-stage codegen fusion and
+#: Catalyst's ReusedExchange already dedups the shared subtree without
+#: materializing it — the same result ``dedup_verified`` measured in r1/r2.
+#: At 100 TB, persist explicitly (``shingles=persist_shingles(...)``) only
+#: when the corpus SCAN dominates the join fan-out, and release with
+#: :func:`clear_shingle_caches`.
 _SHINGLE_CACHES: list[DataFrame] = []
 
 
-def _persist_shingles(sh: DataFrame) -> DataFrame:
+def persist_shingles(sh: DataFrame) -> DataFrame:
+    """Persist a shingle/fingerprint table and register it for
+    :func:`clear_shingle_caches`. Opt-in: callers own the decision (see
+    the registry note above for why the operators never persist)."""
     sh = sh.persist()
     _SHINGLE_CACHES.append(sh)
     return sh
@@ -142,10 +151,11 @@ def jaccard_pairs(
     residual imbalance.
 
     Pass ``shingles`` to reuse an already-materialized (doc_id, shingle)
-    table and own its lifecycle; otherwise an internal persist is
-    registered for :func:`clear_shingle_caches`.
+    table and own its lifecycle; by default the shared shingle subtree is
+    deduped by ReusedExchange, not a persist (measured 3-5× faster — see
+    the module registry note).
     """
-    sh = shingles if shingles is not None else _persist_shingles(word_shingles(docs, k))
+    sh = shingles if shingles is not None else word_shingles(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     join_side = sh
     if max_shingle_df is not None:
@@ -187,9 +197,10 @@ def jaccard_on_candidates(
     the corpus, so they broadcast; the corpus-side work is two
     semi-joined shingle scans, never a pair blow-up). Pass ``shingles``
     to reuse an already-materialized (doc_id, shingle) table (e.g. the one
-    the candidate generator was built from); otherwise an internal persist
-    is registered for :func:`clear_shingle_caches`."""
-    sh = shingles if shingles is not None else _persist_shingles(word_shingles(docs, k))
+    the candidate generator was built from); by default the shared shingle
+    subtree is deduped by ReusedExchange, not a persist (measured faster —
+    see the module registry note)."""
+    sh = shingles if shingles is not None else word_shingles(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cand = candidates.select("doc_a", "doc_b")
     a = sh.join(F.broadcast(cand.select(F.col("doc_a").alias("doc_id")).distinct()), "doc_id").select(
@@ -313,10 +324,10 @@ def simhash_hamming_pairs(
     if max_hamming >= bands:
         raise ValueError("guaranteed recall needs max_hamming < bands")
     width = bits // bands
-    # the fingerprint table feeds both sides of the band self-join — cache
-    # it (tiny: one long per doc) instead of recomputing the token-hash
-    # aggregation twice; registered for clear_shingle_caches()
-    sh = _persist_shingles(simhash(docs, bits))
+    # the fingerprint table feeds both sides of the band self-join —
+    # ReusedExchange dedups the token-hash aggregation without a persist
+    # (an explicit persist measured ~10× SLOWER at sf0.1; registry note)
+    sh = simhash(docs, bits)
     chunk = F.explode(
         F.array(
             *[

@@ -201,6 +201,16 @@ class TestSimsearch:
             got_q = {r["nbr_id"] for r in got if r["query_id"] == q}
             assert got_q == exp
 
+    def test_band_kernel_matches_expression_twin(self, emb):
+        """The Arrow band-signature kernel's sequential-over-dims
+        accumulation must be BIT-IDENTICAL to the interpreted Catalyst
+        fold (same IEEE-754 op order) — bucket assignments feed the SQL
+        oracle, so even a single flipped sign bit would surface as a
+        correctness mismatch."""
+        a = sorted(map(tuple, ss.sign_lsh_bands(emb, dim=64).collect()))
+        b = sorted(map(tuple, ss._sign_lsh_bands_expr(emb, dim=64).collect()))
+        assert a == b
+
     def test_neardup_symmetric_bounds(self, emb):
         pairs = ss.cosine_neardup_pairs(emb, threshold=0.3).collect()
         assert all(r["id_a"] < r["id_b"] for r in pairs)
