@@ -863,7 +863,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mopso_engine.rescore import rescore_archive
 
         res, pts = _fit_embeddings(spark, sf)
-        rows = rescore_archive(pts, res.archive_positions, knn_l=5, n_rows=res.n_points)
+        rows = rescore_archive(
+            pts, res.archive_positions, knn_l=5, n_rows=res.n_points,
+            knn_mode=res.knn_mode_used, layout_partitions=res.layout_partitions,
+        )
         out = []
         for s, dev, conn in rows:
             kd, kc = (float(v) for v in res.archive_fitness[s])
@@ -881,7 +884,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mopso_engine.rescore import rescore_archive
 
         res, pts = _fit_embeddings_full(spark, sf)
-        rows = rescore_archive(pts, res.archive_positions, knn_l=10, n_rows=res.n_points)
+        rows = rescore_archive(
+            pts, res.archive_positions, knn_l=10, n_rows=res.n_points,
+            knn_mode=res.knn_mode_used, layout_partitions=res.layout_partitions,
+        )
         out = []
         for s, dev, conn in rows:
             kd, kc = (float(v) for v in res.archive_fitness[s])

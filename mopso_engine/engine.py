@@ -45,6 +45,14 @@ class MopsoResult:
     iterations: int
     wall_clock_sec: float
     history: list[dict] = field(default_factory=list)
+    #: kNN mode the fit ACTUALLY used after the exact→partition_local
+    #: fallback (rescore must replay the same neighbor semantics)
+    knn_mode_used: str = "exact"
+    #: partition count of the deterministic (repartition(m,"id") +
+    #: in-partition sort) layout, when the fit built one — with it a
+    #: rescorer can rebuild the layout, and with it the partition-local
+    #: neighbor sets, exactly; None = caller's layout was kept
+    layout_partitions: int | None = None
 
     def archive_df(self, spark) -> DataFrame:
         """The Pareto front as a DataFrame(solution, dev, conn, dev_norm, conn_norm)."""
@@ -105,12 +113,14 @@ class MopsoEngine:
         # post-hoc fit oracle pins). partition_local mode keeps the
         # caller's layout — there partitioning IS the semantics (AvgLabel
         # repartitions by label).
+        layout_partitions: int | None = None
         if cfg.fitness_mode == "exact":
             dp = points.sparkSession.sparkContext.defaultParallelism
             # ~2k rows per partition, capped at 4×cores; tiny inputs get
             # few partitions (per-task overhead dominates them otherwise)
             target = int(min(4 * dp, max(1, -(-n // 2048))))
             pts_k = pts.repartition(target, "id").sortWithinPartitions("id")
+            layout_partitions = target
         elif cfg.partition_by_label:
             # AvgLabel's layout affordance (Spark_MOPSO_Avg_labelPartition
             # .scala:77-85): co-locate each ground-truth label's rows so the
@@ -208,6 +218,8 @@ class MopsoEngine:
             iterations=cfg.iter_max,
             wall_clock_sec=time.time() - t0,
             history=history,
+            knn_mode_used=knn_mode,
+            layout_partitions=layout_partitions,
         )
 
     def evaluate(self, points: DataFrame, result: MopsoResult) -> dict:

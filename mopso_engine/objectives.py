@@ -175,6 +175,42 @@ def knn_pairs_exact(
     return points.select("id", "features").mapInPandas(kernel, schema=PAIRS_SCHEMA)
 
 
+def knn_pairs_partition_local(points: DataFrame, l_nbrs: int) -> DataFrame:
+    """Top-L neighbor pairs WITHIN each input partition — the pair-table
+    rendering of ``with_neighbors(mode='partition_local')``: same
+    per-partition concat, same sorted-ref ``_topl_blocked`` call, same
+    default distance math, so it reproduces the fit kernel's neighbor
+    sets and ranks EXACTLY for any points table laid out the way the fit
+    laid it out. No collect, no broadcast, no shuffle — the rescore path
+    for fits beyond ``MAX_EXACT_KNN_ROWS`` (layout is semantics here:
+    callers must pass the same deterministic layout the engine built,
+    see ``MopsoEngine.fit``)."""
+
+    def kernel(batches: Iterable[pd.DataFrame]):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if len(pdf) < 2:
+            return
+        x = np.stack(pdf["features"].to_numpy()).astype(np.float64)
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        xs, ids_s = x[order], ids[order]
+        nbr_pos, nbr_d = _topl_blocked(x, xs, ids_s, ids, l_nbrs)
+        n, l_eff = nbr_pos.shape
+        yield pd.DataFrame(
+            {
+                "id": np.repeat(ids, l_eff),
+                "nbr_id": ids_s[nbr_pos].ravel(),
+                "rank": np.tile(np.arange(1, l_eff + 1, dtype=np.int32), n),
+                "nbr_dist": nbr_d.ravel(),
+            }
+        )
+
+    return points.select("id", "features").mapInPandas(kernel, schema=PAIRS_SCHEMA)
+
+
 def knn_pairs_crossjoin(points: DataFrame, l_nbrs: int) -> DataFrame:
     """Exact top-L pairs, pure DataFrame rendering (J2 + O4): broadcast
     self-cross-join + windowed row_number ≤ L. The declarative twin of

@@ -23,31 +23,65 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mopso_engine.assign import assign_all_solutions
-from mopso_engine.objectives import knn_pairs_exact
+from mopso_engine.objectives import knn_pairs_exact, knn_pairs_partition_local
 
 
 def rescore_archive(
-    pts: DataFrame, positions: list[np.ndarray], knn_l: int, *, n_rows: int | None = None
+    pts: DataFrame,
+    positions: list[np.ndarray],
+    knn_l: int,
+    *,
+    n_rows: int | None = None,
+    knn_mode: str = "exact",
+    layout_partitions: int | None = None,
 ) -> list[tuple[int, float, float]]:
     """[(solution, dev, conn)] for each archive position, recomputed
     relationally with exact-math distances (oracle-reproducible).
 
     Dev = Σ nearest-center distance; Conn = Σ 1/rank over same-cluster
-    top-``knn_l`` neighbors — the reference's global ('exact' mode)
-    objective semantics. Eager: persists the multi-solution assignment
-    for its two uses and releases it before returning.
+    top-``knn_l`` neighbors. ``knn_mode`` must be the mode the fit
+    ACTUALLY used (``MopsoResult.knn_mode_used``):
+
+    * ``'exact'`` — global neighbors via the collect+broadcast block
+      kernel (valid to ``MAX_EXACT_KNN_ROWS``; the engine's own fallback
+      guarantees no real fit exceeds it in this mode);
+    * ``'partition_local'`` — neighbors from
+      :func:`knn_pairs_partition_local` over the fit's deterministic
+      layout, rebuilt here from ``layout_partitions``
+      (``MopsoResult.layout_partitions``): no collect, no broadcast —
+      the unbounded-scale path, and the ONLY semantics that can agree
+      with a big fit's kernel (an exact global rescore of a
+      partition-local fit would disagree by construction).
+
+    Eager: persists the multi-solution assignment for its two uses and
+    releases it before returning.
     """
-    # spread the CPU-bound exact kNN + multi-solution assignment kernels:
-    # a small parquet corpus arrives as one scan partition, which would
-    # serialize the quadratic work (results are layout-independent; the
-    # grouped sums absorb reorder noise well below the oracle rounding)
-    dp = pts.sparkSession.sparkContext.defaultParallelism
-    pts = pts.repartition(dp, "id")
     stack = np.stack(positions)
+    if knn_mode == "partition_local":
+        if layout_partitions is None:
+            raise ValueError(
+                "partition_local rescore needs the fit's layout_partitions "
+                "(MopsoResult.layout_partitions) — neighbor sets are a "
+                "function of the layout"
+            )
+        # rebuild the fit's layout bit-for-bit: hash-partition on id +
+        # in-partition sort is a pure function of (data, partition count)
+        pts = pts.repartition(layout_partitions, "id").sortWithinPartitions("id")
+        pairs = knn_pairs_partition_local(pts, knn_l)
+    elif knn_mode == "exact":
+        # spread the CPU-bound exact kNN + multi-solution assignment
+        # kernels: a small parquet corpus arrives as one scan partition,
+        # which would serialize the quadratic work (results are
+        # layout-independent; the grouped sums absorb reorder noise well
+        # below the oracle rounding)
+        dp = pts.sparkSession.sparkContext.defaultParallelism
+        pts = pts.repartition(dp, "id")
+        pairs = knn_pairs_exact(pts, knn_l, n_rows=n_rows, exact_math=True)
+    else:
+        raise ValueError(f"unknown rescore knn_mode: {knn_mode}")
     asg = assign_all_solutions(pts, stack, exact_math=True).persist()
     try:
         dev_rows = asg.groupBy("solution").agg(F.sum("dist").alias("dev")).collect()
-        pairs = knn_pairs_exact(pts, knn_l, n_rows=n_rows, exact_math=True)
         a = asg.select("id", "solution", F.col("cluster").alias("c_i"))
         b = asg.select(
             F.col("id").alias("nbr_id_b"),

@@ -132,6 +132,36 @@ def test_avg_label_engine_affordance_replays_identically(blobs_df):
         np.testing.assert_array_equal(p1, p2)
 
 
+def test_rescore_agrees_beyond_exact_knn_ceiling(blobs_df, small_cfg, monkeypatch):
+    """VERDICT r2 #4: a fit whose N exceeds MAX_EXACT_KNN_ROWS falls back
+    to partition-local neighbors — the rescore must replay THOSE
+    semantics (same layout, same pair generator) instead of raising in
+    knn_pairs_exact. Force the fallback by shrinking the ceiling, then
+    check the relational rescore agrees with the fitness kernel."""
+    import math
+
+    import mopso_engine.objectives as obj
+    from mopso_engine.rescore import rescore_archive
+
+    monkeypatch.setattr(obj, "MAX_EXACT_KNN_ROWS", 50)  # blobs >> 50 rows
+    res = MopsoEngine(small_cfg).fit(blobs_df)
+    assert res.knn_mode_used == "partition_local"
+    assert res.layout_partitions is not None
+    rows = rescore_archive(
+        blobs_df,
+        res.archive_positions,
+        knn_l=small_cfg.knn_l,
+        n_rows=res.n_points,
+        knn_mode=res.knn_mode_used,
+        layout_partitions=res.layout_partitions,
+    )
+    assert len(rows) == len(res.archive_positions)
+    for s, dev, conn in rows:
+        kd, kc = (float(v) for v in res.archive_fitness[s])
+        assert math.isclose(kd, dev, rel_tol=1e-6)
+        assert math.isclose(kc, conn, rel_tol=1e-6)
+
+
 def test_exact_mode_layout_invariance_bitwise(blobs_df, small_cfg):
     """The engine's hash-by-id layout makes an exact-mode fit BIT-identical
     regardless of the caller's partitioning (the property the post-hoc fit
