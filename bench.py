@@ -48,14 +48,21 @@ BENCH_QUERIES = [
     "docs_sample",
     "dedup_jaccard",
     "dedup_jaccard_capped",
+    # planted-hot-shingle pair: measures the skew cap's benefit (the
+    # uncapped twin pays ~(n/3)^2 intersection rows per hot shingle)
+    "dedup_jaccard_skewed_uncapped",
+    "dedup_jaccard_skewed",
     "dedup_verified",
     "lsh_candidates",
     "simhash_fp",
     "simhash_neardup",
     "ann_topk",
     "ann_ivf",
-    # the full algorithm: tiny budget, the reference's 50x10xL10 budget,
-    # and the 600k-row partition-local scale demo
+    # the full algorithm: tiny budget (fit-only — the r01-comparable
+    # number — and fit+rescore, separated per VERDICT r2 #6), the
+    # reference's 50x10xL10 budget, and the 600k-row partition-local
+    # scale demo
+    "mopso_fit_only",
     "mopso_fit",
     "mopso_fit_full",
     "mopso_fit_lineitem",

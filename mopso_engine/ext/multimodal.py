@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + typed
 metadata, processed with Arrow-batched ``mapInPandas`` kernels.
 
-The decode step is STUBBED (no imaging/audio libs in this container,
-SURVEY §7.0): ``decode=fake`` produces a deterministic fake decode from
-the bytes themselves so the Spark-side plumbing — schema, batch shape,
-partitioning — is real and testable; ``decode=real`` raises
-NotImplementedError where PIL/librosa would be called.
+Decode modes: ``fake`` (deterministic digest-derived decode — works in
+any container, so the Spark-side plumbing — schema, batch shape,
+partitioning — is always testable), ``real`` (Pillow image decode +
+8-bin grayscale histogram features; requires PIL on the executors and
+raises a clear ImportError otherwise), and ``auto`` (real iff PIL
+imports, else fake — the mode a mixed fleet would run). This container
+ships no imaging libs (SURVEY §7.0), so ``real`` is exercised only
+where PIL exists; the test suite skips it cleanly.
 
 Scale shape: binary columns ride the normal columnar scan; kernels are
 per-batch vectorized; nothing shuffles until an explicit aggregate.
@@ -74,15 +77,62 @@ def _fake_decode(payload: bytes, dim: int = 8) -> tuple[int, int, np.ndarray]:
     return w, h, feats
 
 
+def pil_available() -> bool:
+    """True iff Pillow imports (driver-side probe; executors share the
+    environment in local mode — on a real cluster, ship PIL in the
+    executor env)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _real_decode(payload: bytes, dim: int = 8) -> tuple[int, int, np.ndarray]:
+    """Pillow image decode → (width, height, dim-bin grayscale histogram
+    normalized to sum 1). Import inside the function: the kernel closure
+    must not capture a module the executors may lack."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(payload))
+    g = np.asarray(img.convert("L"), dtype=np.float64)
+    hist, _ = np.histogram(g, bins=dim, range=(0.0, 256.0))
+    total = hist.sum()
+    feats = hist.astype(np.float64) / (total if total else 1.0)
+    return img.width, img.height, feats
+
+
 def decode_and_featurize(assets: DataFrame, *, decode: str = "fake", dim: int = 8) -> DataFrame:
     """(asset_id, width, height, features): the decode → feature-extract
-    kernel. Arrow-batched; one output row per asset; no shuffle."""
+    kernel. Arrow-batched; one output row per asset; no shuffle.
+
+    ``decode='auto'`` picks the real Pillow decoder when it imports and
+    falls back to the fake decoder otherwise (clean skip, no raise);
+    ``decode='real'`` insists on Pillow and raises ImportError up front
+    (driver-side, not mid-job) when it is absent."""
+    if decode == "auto":
+        decode = "real" if pil_available() else "fake"
     if decode == "real":
-        def kernel(batches):  # pragma: no cover - requires imaging libs
-            raise NotImplementedError(
-                "real media decode requires PIL/torchvision/librosa — not available in this environment; use decode='fake'"
+        if not pil_available():
+            raise ImportError(
+                "decode='real' requires Pillow, which is not importable here; "
+                "use decode='auto' to fall back to the fake decoder"
             )
-            yield  # make it a generator
+
+        def kernel(batches):  # pragma: no cover - requires imaging libs
+            for pdf in batches:
+                rows = [_real_decode(p, dim) for p in pdf["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pdf["asset_id"],
+                        "width": [r[0] for r in rows],
+                        "height": [r[1] for r in rows],
+                        "features": [r[2] for r in rows],
+                    }
+                )
     elif decode == "fake":
         def kernel(batches):
             for pdf in batches:

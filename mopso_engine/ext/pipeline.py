@@ -96,6 +96,13 @@ def asof_join(
     # right rows sort before left rows at equal timestamps iff strict:
     # a strictly-prior right row is visible, a simultaneous one is not
     order = [F.col(time).asc(), F.col("__is_l").asc() if not strict else F.col("__is_l").desc()]
+    # deterministic winner among right rows tied on (key, time): without
+    # this, last(..., ignorenulls) resolves the tie by partition arrival
+    # order — engine- and layout-dependent. Payload columns asc/nulls-last
+    # mirrors the oracle's `ASC NULLS LAST`; only right-right ties are
+    # affected (left rows never tie with right rows — __is_l differs —
+    # and left-left order is irrelevant to an ignorenulls scan).
+    order += [F.col(f"__p_{p}").asc_nulls_last() for p in payload]
     w = (
         Window.partitionBy(key)
         .orderBy(*order)

@@ -402,6 +402,35 @@ def with_neighbors(
     )
 
 
+#: fitness-kernel reduction block: matches the exact-mode layout's ~2k-row
+#: partition sizing (engine.py), so engine-owned layouts reduce in one
+#: block exactly as before; only oversized caller-owned partitions split.
+_REDUCE_BLOCK_ROWS = 2048
+
+
+def _fixed_blocks(batches: "Iterable[pd.DataFrame]", block_rows: int):
+    """Re-chunk a stream of Arrow batches into fixed ``block_rows`` blocks
+    (last block ragged). The block boundaries depend only on row order and
+    the constant — never on the incoming batch sizes — which is what makes
+    downstream per-block float reductions config-independent. Memory:
+    O(block_rows + one incoming batch)."""
+    buf: list[pd.DataFrame] = []
+    buffered = 0
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        buf.append(pdf)
+        buffered += len(pdf)
+        while buffered >= block_rows:
+            cat = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            yield cat.iloc[:block_rows]
+            rest = cat.iloc[block_rows:].reset_index(drop=True)
+            buf = [rest] if len(rest) else []
+            buffered = len(rest)
+    if buffered:
+        yield pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+
+
 _FITNESS_PARTIAL_SCHEMA = StructType(
     [
         StructField("solution", IntegerType(), False),
@@ -437,19 +466,22 @@ def evaluate_solutions(nbr_df: DataFrame, centers_stack: np.ndarray, *, partitio
         # (no Exchange at all); the driver sums S×num_partitions rows —
         # the same control-plane merge the reference does, but over
         # already-reduced partials (Spark_MOPSO_Avg.scala:159-174).
-        # The partition is concatenated BEFORE reduction so the float
-        # summation order depends only on the row order within the
-        # partition, not on spark.sql.execution.arrow.maxRecordsPerBatch —
-        # with a deterministic layout (hash repartition + sortWithin
-        # Partitions) the fitness, and hence the whole seeded PSO
-        # trajectory, is bit-reproducible across session configs. Memory
-        # is bounded by the partition sizing the engine owns (~2k rows in
-        # exact mode, maxPartitionBytes-capped scans in partition_local).
+        # Reduction runs over FIXED-SIZE row blocks (re-chunked from the
+        # incoming Arrow batches, _REDUCE_BLOCK_ROWS rows each), partials
+        # added in block order: the float-summation grouping is a pure
+        # function of (row order, constant block size) — independent of
+        # spark.sql.execution.arrow.maxRecordsPerBatch — so with a
+        # deterministic layout (hash repartition + sortWithinPartitions)
+        # the fitness, and hence the whole seeded PSO trajectory, stays
+        # bit-reproducible across session configs, while peak kernel
+        # memory is O(block × packed width) even when the caller's layout
+        # makes a partition arbitrarily large (partition_by_label with a
+        # hot label — layout is semantics there, the engine can't resize
+        # it; previously the whole partition was concatenated first).
         acc_dev = np.zeros(s)
         acc_conn = np.zeros(s)
         acc_n = 0
-        chunks = [pdf for pdf in batches if len(pdf)]
-        for pdf in [pd.concat(chunks, ignore_index=True)] if chunks else []:
+        for pdf in _fixed_blocks(batches, _REDUCE_BLOCK_ROWS):
             packed = np.stack(pdf["self_nbr_flat"].to_numpy()).astype(np.float64)
             n = packed.shape[0]
             l_tot = packed.shape[1] // d_ - 1  # = L (uniform padding)

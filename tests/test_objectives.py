@@ -49,6 +49,32 @@ def test_evaluate_solutions_matches_oracles(blobs_df, blobs):
         assert fit[s, 1] == pytest.approx(oracle_conn(x, cl, L), rel=1e-9)
 
 
+def test_fixed_blocks_invariant_to_batch_chunking():
+    """The fitness kernel's re-chunker: block boundaries are a pure
+    function of (row order, block size) — the incoming Arrow batch sizes
+    must not matter (that's what keeps per-block float reductions
+    config-independent), and memory never needs the whole partition."""
+    import pandas as pd
+
+    from mopso_engine.objectives import _fixed_blocks
+
+    rows = pd.DataFrame({"a": np.arange(23), "b": np.arange(23) * 1.5})
+
+    def chunked(sizes):
+        out, i = [], 0
+        for s in sizes:
+            out.append(rows.iloc[i : i + s].reset_index(drop=True))
+            i += s
+        return out
+
+    for sizes in ([23], [1] * 23, [3, 5, 2, 8, 5], [10, 13]):
+        blocks = list(_fixed_blocks(iter(chunked(sizes)), 4))
+        assert [len(b) for b in blocks] == [4, 4, 4, 4, 4, 3]
+        cat = pd.concat(blocks, ignore_index=True)
+        assert np.array_equal(cat["a"].to_numpy(), rows["a"].to_numpy())
+        assert np.array_equal(cat["b"].to_numpy(), rows["b"].to_numpy())
+
+
 def test_partition_local_mode_weighted_sum(spark, blobs):
     """Avg-compat mode: Σ_p (|p|/N)·[Dev_p, Conn_p] with partition-local kNN
     (Spark_MOPSO_Avg.scala:843-865). Verified on a 2-partition layout

@@ -61,6 +61,21 @@ def test_asof_join_strict_and_null_semantics(spark):
     assert loose[11] == 200.0  # simultaneous row visible when strict=False
 
 
+def test_asof_join_tied_right_rows_deterministic(spark):
+    """Multiple right rows with identical (key, time): the winner is the
+    deterministic payload-order maximum (ASC NULLS LAST puts it last in
+    the window), never a partition-arrival-order coin flip."""
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame([(1, 10, t(5))], "k int, lid int, ts timestamp")
+    dup_rows = [(1, float(v), t(4)) for v in (300, 100, 200)]
+    for attempt in range(3):  # vary input layout; result must not
+        right = spark.createDataFrame(dup_rows, "k int, v double, ts timestamp").repartition(
+            attempt + 1
+        )
+        got = asof_join(left, right, key="k", time="ts", payload=["v"]).collect()
+        assert [r["asof_v"] for r in got] == [300.0]
+
+
 def test_simhash_hamming_banding_has_exact_recall(spark, docs):
     """Pigeonhole guarantee: the 4-band blocked plan equals the O(N²)
     brute force EXACTLY for max_hamming < bands."""

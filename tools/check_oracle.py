@@ -94,6 +94,13 @@ def main():
     )
     args = ap.parse_args()
 
+    # tell oracle_sql() which scale this run checks, so scale-pinned
+    # oracles (the recorded-position fit oracles) can fall back to the
+    # rows-only check instead of false-mismatching at a foreign sf
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = args.sf
+
     from pyspark.sql import SparkSession
 
     builder = SparkSession.builder.master("local[8]").appName("check-oracle").config(
