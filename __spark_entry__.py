@@ -818,6 +818,239 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q5_local_supplier(spark, sf):
+        """TPC-H Q5 shape: the six-table snowflake join with the
+        local-supplier constraint (c_nationkey = s_nationkey) — region
+        filter reaches the nation scan, both dims broadcast."""
+        c = read_table(spark, sf, "customer")
+        o = read_table(spark, sf, "orders").where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        li = read_table(spark, sf, "lineitem")
+        s = read_table(spark, sf, "supplier")
+        n = read_table(spark, sf, "nation")
+        r = read_table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+        return (
+            c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        )
+
+    def q7_volume_shipping(spark, sf):
+        """TPC-H Q7 shape: bidirectional nation-pair volume (two nation
+        dims aliased into one join tree, OR of the two directions)."""
+        s = read_table(spark, sf, "supplier")
+        li = read_table(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        o = read_table(spark, sf, "orders")
+        c = read_table(spark, sf, "customer")
+        n1 = read_table(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+        n2 = read_table(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+        pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7") | (
+            F.col("supp_nation") == "NATION_7"
+        ) & (F.col("cust_nation") == "NATION_3")
+        return (
+            li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+            .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+            .where(pair)
+            .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        )
+
+    def q8_market_share(spark, sf):
+        """TPC-H Q8 shape: national market share — conditional share of a
+        filtered join tree, per order year."""
+        p = read_table(spark, sf, "part").where(F.col("p_type") == "PROMO")
+        s = read_table(spark, sf, "supplier")
+        li = read_table(spark, sf, "lineitem")
+        o = read_table(spark, sf, "orders")
+        c = read_table(spark, sf, "customer")
+        n1 = read_table(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+        )
+        n2 = read_table(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+        r = read_table(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+        vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n1), c.c_nationkey == F.col("cn_key"))
+            .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+            .join(F.broadcast(n2), s.s_nationkey == F.col("sn_key"))
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(
+                F.round(
+                    F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                    / F.sum(vol),
+                    6,
+                ).alias("mkt_share")
+            )
+        )
+
+    def q9_profit_shape(spark, sf):
+        """TPC-H Q9 shape (no partsupp table in the synthetic schema, so
+        profit omits supplycost): revenue by supplier nation × order
+        year for parts matching a name pattern."""
+        p = read_table(spark, sf, "part").where(F.col("p_name").contains("widget"))
+        s = read_table(spark, sf, "supplier")
+        li = read_table(spark, sf, "lineitem")
+        o = read_table(spark, sf, "orders")
+        n = read_table(spark, sf, "nation")
+        # exact-money aggregation: truncate each line amount to integer
+        # cents with floor() — bit-deterministic on the identical input
+        # doubles in any IEEE engine (unlike half-up rounding, whose
+        # boundary rule differs) — and sum as exact integers; the
+        # 175-group double-sum output otherwise flakes on last-ulp
+        # rounding boundaries between engines
+        vol_cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            "long"
+        )
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(F.sum(vol_cents) / 100.0, 2).alias("sum_profit"))
+        )
+
+    def q10_returned_items(spark, sf):
+        """TPC-H Q10 shape: top-20 customers by returned-item revenue.
+        Revenue is rounded BEFORE the top-k ordering (with a c_custkey
+        tie-break) so the cutoff row is engine-independent."""
+        c = read_table(spark, sf, "customer")
+        o = read_table(spark, sf, "orders").where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        li = read_table(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+        n = read_table(spark, sf, "nation")
+        # exact-money revenue (floor-to-cents, see q9_profit_shape): the
+        # top-20 cutoff must order identical values in both engines
+        vol_cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            "long"
+        )
+        return (
+            c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.round(F.sum(vol_cents) / 100.0, 2).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(20)
+            .select("c_custkey", "c_name", "revenue", F.round("c_acctbal", 2).alias("c_acctbal"), "n_name")
+        )
+
+    def q14_promo_share(spark, sf):
+        """TPC-H Q14 shape: promo revenue share — conditional aggregate
+        over a month of shipments."""
+        li = read_table(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        p = read_table(spark, sf, "part")
+        vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(
+                F.round(
+                    F.lit(100.0)
+                    * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                    / F.sum(vol),
+                    6,
+                ).alias("promo_share")
+            )
+        )
+
+    def q15_top_supplier(spark, sf):
+        """TPC-H Q15 shape: the revenue 'view' + scalar-max selection —
+        rendered as one window max over the aggregated view (no second
+        scan). Revenue rounded before the max so ties are exact."""
+        li = read_table(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        s = read_table(spark, sf, "supplier")
+        rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue")
+        )
+        w = Window.orderBy(F.col("total_revenue").desc())
+        top = rev.withColumn("rk", F.rank().over(w)).where(F.col("rk") == 1).drop("rk")
+        return top.join(F.broadcast(s), top.supplier_no == s.s_suppkey).select(
+            "s_suppkey", "s_name", "total_revenue"
+        )
+
+    def q17_small_quantity(spark, sf):
+        """TPC-H Q17 shape: correlated avg-quantity subquery rendered as
+        a per-part aggregate joined back to the fact (the decorrelated
+        plan Catalyst would produce)."""
+        li = read_table(spark, sf, "lineitem")
+        p = read_table(spark, sf, "part").where(F.col("p_brand") == "Brand#1")
+        li_b = li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        avg_q = li_b.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+            (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+        )
+        return (
+            li_b.join(F.broadcast(avg_q), li_b.l_partkey == F.col("ap_key"))
+            .where(F.col("l_quantity") < F.col("qty_thresh"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        )
+
+    def q19_or_of_ands(spark, sf):
+        """TPC-H Q19 shape: disjunction of conjunctive part×lineitem
+        predicates (the classic pushdown/join-condition stress; no
+        p_container in the synthetic schema, so brand/size carry it)."""
+        li = read_table(spark, sf, "lineitem")
+        p = read_table(spark, sf, "part")
+        cond = (
+            ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(1, 11)))
+            | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25)) & (F.col("l_quantity").between(10, 20)))
+            | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35)) & (F.col("l_quantity").between(20, 30)))
+        )
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .where(cond)
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        )
+
+    def q20_promo_suppliers(spark, sf):
+        """TPC-H Q20 shape (partsupp-free adaptation): semi-join of
+        suppliers against a HAVING-filtered aggregate (suppliers that
+        shipped > 500 units of PROMO parts in 1996)."""
+        s = read_table(spark, sf, "supplier")
+        p = read_table(spark, sf, "part").where(F.col("p_type") == "PROMO")
+        li = read_table(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        heavy = (
+            li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+            .groupBy("l_suppkey")
+            .agg(F.sum("l_quantity").alias("tq"))
+            .where(F.col("tq") > 500)
+        )
+        return s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi").select(
+            "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal")
+        )
+
     def orders_window_suite(spark, sf):
         """Window-function breadth over one shuffle: rank / dense_rank /
         lag-delta / cumulative sum / 3-row moving average per customer's
@@ -1000,6 +1233,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # set-op / anti-join / quantile relational shapes
         big_orders, customers_without_orders, active_custkeys_diff,
         active_custkeys_both, value_quantiles,
+        # round-3 relational breadth: the remaining TPC-H join shapes
+        q5_local_supplier, q7_volume_shipping, q8_market_share,
+        q9_profit_shape, q10_returned_items, q14_promo_share,
+        q15_top_supplier, q17_small_quantity, q19_or_of_ands,
+        q20_promo_suppliers,
         # round-2 relational breadth
         q4_priority, q13_custdist, q16_supplier_variety, q22_idle_customers,
         orders_window_suite, events_interval_join,
@@ -1590,6 +1828,126 @@ def oracle_sql() -> dict[str, str]:
                           WHERE o.o_custkey = c.c_custkey
                             AND year(o.o_orderdate) = 1995)
         GROUP BY 1
+    """
+
+    o["q5_local_supplier"] = """
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    """
+
+    o["q7_volume_shipping"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate)::INT AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+    """
+
+    o["q8_market_share"] = """
+        SELECT year(o_orderdate)::INT AS o_year,
+               round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+          AND p_type = 'PROMO'
+        GROUP BY 1
+    """
+
+    o["q9_profit_shape"] = """
+        SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+               round(sum(floor(l_extendedprice * (1 - l_discount) * 100)::BIGINT) / 100.0, 2)
+                 AS sum_profit
+        FROM part, supplier, lineitem, orders, nation
+        WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+          AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+          AND p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    """
+
+    o["q10_returned_items"] = """
+        SELECT c_custkey, c_name, revenue, round(c_acctbal, 2) AS c_acctbal, n_name
+        FROM (
+          SELECT c_custkey, c_name, c_acctbal, n_name,
+                 round(sum(floor(l_extendedprice * (1 - l_discount) * 100)::BIGINT) / 100.0, 2)
+                   AS revenue
+          FROM customer, orders, lineitem, nation
+          WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1996-04-01'
+            AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+          GROUP BY 1, 2, 3, 4)
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """
+
+    o["q14_promo_share"] = """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
+    """
+
+    o["q15_top_supplier"] = """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY 1)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """
+
+    o["q17_small_quantity"] = """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l, part
+        WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = l.l_partkey)
+    """
+
+    o["q19_or_of_ands"] = """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND (
+             (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))
+    """
+
+    o["q20_promo_suppliers"] = """
+        SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem, part
+          WHERE p_partkey = l_partkey AND p_type = 'PROMO'
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1 HAVING sum(l_quantity) > 500)
     """
 
     o["orders_window_suite"] = """

@@ -90,6 +90,24 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # ... and warm the two heaviest codegen/JIT families on bounded
+    # inputs (a 300-doc shingle join, a 300-vector fitness pass): the
+    # first dedup and first fit queries otherwise pay one-off janino
+    # compilation + C2 warmup — measured 2-6s of run-to-run noise that
+    # belongs to the JVM, not to the operator being timed. Uncharged,
+    # applied before ALL timings, same policy as the scheduler warmup.
+    from mopso_engine.ext.dedup import jaccard_pairs
+    from mopso_engine.io import points_from_embeddings
+    from mopso_engine.objectives import evaluate_solutions, with_neighbors
+
+    import numpy as np
+
+    docs_small = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(300)
+    jaccard_pairs(docs_small, threshold=0.5).write.format("noop").mode("overwrite").save()
+    pts_small = points_from_embeddings(spark, sf_dir).limit(300)
+    nbr_small = with_neighbors(pts_small.repartition(4, "id"), 3, mode="partition_local")
+    evaluate_solutions(nbr_small, np.zeros((2, 3, 64)))
+
     from mopso_engine.ext.dedup import clear_shingle_caches
 
     qs = entry_mod.queries()

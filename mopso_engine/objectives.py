@@ -24,6 +24,7 @@ parallel, exactly what it did at cluster scale), and 'lsh'
 
 from __future__ import annotations
 
+import os
 from typing import Iterable
 
 import numpy as np
@@ -405,7 +406,10 @@ def with_neighbors(
 #: fitness-kernel reduction block: matches the exact-mode layout's ~2k-row
 #: partition sizing (engine.py), so engine-owned layouts reduce in one
 #: block exactly as before; only oversized caller-owned partitions split.
-_REDUCE_BLOCK_ROWS = 2048
+#: Env-overridable for memory/throughput tuning — NOTE the block size is
+#: part of the float-summation grouping, so changing it changes seeded
+#: fit trajectories in the last ulps (regenerate recorded oracles).
+_REDUCE_BLOCK_ROWS = int(os.environ.get("MOPSO_REDUCE_BLOCK_ROWS", "2048"))
 
 
 def _fixed_blocks(batches: "Iterable[pd.DataFrame]", block_rows: int):

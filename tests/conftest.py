@@ -5,6 +5,8 @@ from pyspark.sql import SparkSession
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     s = (
         SparkSession.builder.master("local[4]")
         .appName("mopso-engine-tests")
@@ -13,6 +15,8 @@ def spark():
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", "4g")
         .config("spark.ui.enabled", "false")
+        # bucketed-table tests saveAsTable; keep the warehouse out of the repo
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="mopso-warehouse-"))
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("WARN")

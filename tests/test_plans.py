@@ -80,3 +80,62 @@ def test_neardup_blocked_has_no_cartesian_product(spark):
     plan = plan_of(ss.cosine_neardup_pairs(emb, threshold=0.4))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_codebook_plan_is_equality_join(spark):
+    """The unlabeled-IVF serving plan: cells ⋈ probes is an equality join
+    on the cell key — no cross product anywhere (the codebook itself is
+    literals/closure, not a join input)."""
+    emb = read_table(spark, SF, "embeddings").drop("label")
+    cb = ss.train_codebook(emb, k=4, iters=1, sample_fraction=0.9, seed=11)
+    plan = plan_of(ss.cosine_topk_ivf_codebook(emb, cb, [0, 1], k=3, nprobe=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q19_or_of_ands_pushes_part_filters(spark):
+    """The Q19 disjunction must not defeat pushdown entirely: the
+    join itself stays a broadcast hash join on partkey with the OR
+    residual as post-join filter, never a nested-loop."""
+    import __spark_entry__ as em
+
+    plan = plan_of(em.queries()["q19_or_of_ands"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q5_snowflake_broadcasts_all_dims(spark):
+    """Q5 shape: supplier/nation/region ride as broadcasts; only the
+    fact-fact joins (customer-orders-lineitem) may shuffle."""
+    import __spark_entry__ as em
+
+    plan = plan_of(em.queries()["q5_local_supplier"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_bucketed_cojoin_elides_both_shuffles(spark):
+    """The 100 TB fact-fact join path: orders and lineitem written
+    bucketed by orderkey with matching bucket counts join with NO
+    Exchange on either side — the shuffle was paid at write time."""
+    from mopso_engine.bucketing import read_bucketed, write_bucketed
+
+    o = read_table(spark, SF, "orders")
+    li = read_table(spark, SF, "lineitem")
+    write_bucketed(o, "b_orders", buckets=8, key="o_orderkey")
+    write_bucketed(li, "b_lineitem", buckets=8, key="l_orderkey")
+    bo, bl = read_bucketed(spark, "b_orders"), read_bucketed(spark, "b_lineitem")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = bo.join(bl, bo.o_orderkey == bl.l_orderkey).groupBy("o_orderstatus").count()
+        q.collect()  # AQE finalizes the plan on execution
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # neither join input re-shuffles on its key — co-located buckets
+        assert "hashpartitioning(o_orderkey" not in plan
+        assert "hashpartitioning(l_orderkey" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
