@@ -291,6 +291,79 @@ def stream_dedup_ttl(
     )
 
 
+def asof_join_stream_static(
+    stream_left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    time: str,
+    payload: list[str],
+    strict: bool = True,
+) -> DataFrame:
+    """STREAM-STATIC as-of join: for each streaming left row, the payload
+    of the latest static right row with the same ``key`` and right.time
+    before (``strict``) / at-or-before the left row's time — the
+    point-in-time feature lookup of a training pipeline (serve each event
+    the newest feature snapshot that existed when it happened; never a
+    future value = no feature leakage).
+
+    Physical shape: the right side is a DIMENSION SNAPSHOT — collected
+    once, sorted, and shipped to the executors in the kernel closure (an
+    explicit broadcast; size-bounded like any broadcast dim). Each Arrow
+    batch of the stream then resolves via ``pandas.merge_asof`` — a
+    sorted merge, O(batch + |right|) per batch, stateless (no streaming
+    state at all, unlike the stream-stream interval join). Semantics
+    match :func:`mopso_engine.ext.pipeline.asof_join` exactly, including
+    the deterministic payload-order winner among right rows tied on
+    (key, time); the batch twin IS the test oracle.
+
+    At 100 TB-of-stream: still fine (stateless map). For a right side too
+    big to broadcast, shard it by key range and union the joins, or fall
+    back to the batch union+window rendering per micro-batch.
+    """
+    import pandas as pd
+
+    lcols = list(stream_left.columns)
+    if key not in lcols or time not in lcols:
+        raise ValueError(f"left side must carry the {key!r} and {time!r} columns")
+    # deterministic tie winner: sort by (time, payloads); merge_asof keeps
+    # the LAST among equal times -> the payload-order maximum, mirroring
+    # the batch rendering's ASC NULLS LAST window order
+    right_pdf = (
+        right.select(key, time, *payload)
+        .toPandas()
+        .sort_values([time, *payload], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in stream_left.schema.fields
+    )
+    pay_fields = ", ".join(
+        f"asof_{p} {right.schema[p].dataType.simpleString()}" for p in payload
+    )
+    out_schema = f"{out_fields}, {pay_fields}"
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            merged = pd.merge_asof(
+                pdf.sort_values(time, kind="mergesort"),
+                right_pdf,
+                on=time,
+                by=key,
+                direction="backward",
+                allow_exact_matches=not strict,
+                suffixes=("", "__r"),
+            )
+            for p in payload:
+                src_col = f"{p}__r" if f"{p}__r" in merged.columns else p
+                merged[f"asof_{p}"] = merged[src_col]
+            yield merged[[*lcols, *[f"asof_{p}" for p in payload]]]
+
+    return stream_left.mapInPandas(kernel, schema=out_schema)
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str = "events_windowed", *, output_mode: str = "complete"
 ) -> DataFrame:

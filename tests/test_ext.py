@@ -383,6 +383,54 @@ class TestStreaming:
         }
         assert stream == batch
 
+    def test_asof_stream_static_equals_batch(self, spark):
+        """The stream-static point-in-time lookup must reproduce the
+        batch asof_join exactly — same strict semantics, same
+        deterministic tie winner — with zero streaming state."""
+        from mopso_engine.ext.pipeline import asof_join
+        from mopso_engine.ext.streaming import (
+            EVENTS_SCHEMA,
+            asof_join_stream_static,
+            read_events,
+            run_available_now,
+        )
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ev = read_events(spark, f"{SF}/events.parquet")
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+        batch = {
+            r["event_id"]: r["asof_value"]
+            for r in asof_join(
+                clicks, purchases, key="user_id", time="ts", payload=["value"]
+            ).collect()
+        }
+        import os as _os
+
+        base, fname = _os.path.dirname(f"{SF}/events.parquet"), "events.parquet"
+        clicks_stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", fname)
+            .parquet(base)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            .where(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts", "value")
+        )
+        out = run_available_now(
+            asof_join_stream_static(
+                clicks_stream, purchases, key="user_id", time="ts", payload=["value"]
+            ),
+            query_name="asof_ss_test",
+            output_mode="append",
+        )
+        stream = {r["event_id"]: r["asof_value"] for r in out.collect()}
+        assert len(stream) == len(batch)
+        for eid, v in batch.items():
+            sv = stream[eid]
+            assert (v is None and (sv is None or sv != sv)) or sv == pytest.approx(v)
+
     def test_stream_runs_twice_in_one_session(self, spark):
         """The driver may invoke a streaming query repeatedly in one
         session — unique memory-sink names must make that safe."""
