@@ -746,6 +746,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
         return y95.intersect(y96).select(F.col("o_custkey").alias("custkey"))
 
+    def active_custkeys_diff_all(spark, sf):
+        """MULTISET set-difference (EXCEPT ALL): per-custkey 1995-order
+        multiplicities minus 1996-order multiplicities — the bag-semantics
+        twin of active_custkeys_diff (a key with three 1995 orders and one
+        1996 order survives twice)."""
+        o = read_table(spark, sf, "orders")
+        y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+        y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+        return y95.exceptAll(y96).select(F.col("o_custkey").alias("custkey"))
+
+    def events_pivot(spark, sf):
+        """PIVOT surface: hour-of-day × event-type count matrix (explicit
+        value list keeps the output schema static — the scale-safe way to
+        pivot; an inferred pivot needs an extra distinct pass)."""
+        from mopso_engine.ext.streaming import read_events
+
+        _utc(spark)
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        types = ["click", "error", "purchase", "signup", "view"]
+        return (
+            ev.groupBy(F.hour("ts").alias("hour"))
+            .pivot("event_type", types)
+            .count()
+            .na.fill(0, types)
+        )
+
+    def status_cube(spark, sf):
+        """CUBE surface: all grouping-set combinations of (orderstatus,
+        orderpriority) with exact-money totals (floor-to-cents — the
+        all-rows total is the worst rounding-boundary exposure)."""
+        o = read_table(spark, sf, "orders")
+        cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+        return (
+            o.cube("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum(cents) / 100.0, 2).alias("total_price"),
+            )
+        )
+
     def value_quantiles(spark, sf):
         """Exact interpolated quantiles per event type (percentile_cont
         semantics — identical interpolation in DuckDB)."""
@@ -1230,9 +1270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mopso_fit, mopso_fit_only, mopso_fit_full, mopso_fit_lineitem,
         # similarity-search / near-dup family
         ann_topk, ann_ivf, ann_ivf_unlabeled, emb_neardup, multimodal_stats,
-        # set-op / anti-join / quantile relational shapes
+        # set-op / anti-join / pivot / cube / quantile relational shapes
         big_orders, customers_without_orders, active_custkeys_diff,
-        active_custkeys_both, value_quantiles,
+        active_custkeys_both, active_custkeys_diff_all, events_pivot,
+        status_cube, value_quantiles,
         # round-3 relational breadth: the remaining TPC-H join shapes
         q5_local_supplier, q7_volume_shipping, q8_market_share,
         q9_profit_shape, q10_returned_items, q14_promo_share,
@@ -1778,6 +1819,29 @@ def oracle_sql() -> dict[str, str]:
         INTERSECT
         SELECT DISTINCT o_custkey AS custkey FROM orders
         WHERE year(o_orderdate) = 1996
+    """
+
+    o["active_custkeys_diff_all"] = """
+        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT ALL
+        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    """
+
+    o["events_pivot"] = """
+        SELECT hour(ts)::INT AS hour,
+               count(*) FILTER (event_type = 'click')::BIGINT AS click,
+               count(*) FILTER (event_type = 'error')::BIGINT AS error,
+               count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+               count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+               count(*) FILTER (event_type = 'view')::BIGINT AS view
+        FROM events GROUP BY 1
+    """
+
+    o["status_cube"] = """
+        SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n_orders,
+               round(sum(floor(o_totalprice * 100)::BIGINT) / 100.0, 2) AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """
 
     o["value_quantiles"] = """

@@ -112,3 +112,18 @@ def write_points_parquet(df: DataFrame, path: str, *, single_file: bool = False)
     single-partition write (S5/X8) via coalesce(1)."""
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, *, partition_by: str | list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet write — the layout that turns a
+    predicate on the partition column into PARTITION PRUNING (whole
+    directories skipped before any IO) instead of a row filter. At
+    100 TB this is the first line of defense: a daily pipeline reading
+    one day of a date-partitioned fact touches 1/365th of the files.
+    Partition columns should be low-cardinality derivatives (date, not
+    timestamp; country, not user_id) — each distinct value is a
+    directory. Pruning is asserted in tests/test_plans.py."""
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    df.write.mode(mode).partitionBy(*cols).parquet(path)

@@ -114,6 +114,44 @@ def test_q5_snowflake_broadcasts_all_dims(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """write_partitioned + a predicate on the partition column must show
+    up as PartitionFilters (directory pruning before IO), not a row
+    filter over a full scan."""
+    from mopso_engine.io import write_partitioned
+
+    o = read_table(spark, SF, "orders").withColumn("o_year", F.year("o_orderdate"))
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned(o, path, partition_by="o_year")
+    q = spark.read.parquet(path).where(F.col("o_year") == 1996)
+    plan = plan_of(q)
+    assert "PartitionFilters" in plan
+    assert "o_year" in plan.split("PartitionFilters", 1)[1][:200]
+    # the scan's data filters must NOT contain the partition predicate
+    n_all = spark.read.parquet(path).count()
+    n_pruned = q.count()
+    assert 0 < n_pruned < n_all
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Explicit hot-key salting: same join result as the plain join
+    (salt only relocates rows), spread over (key, salt) partitions."""
+    from mopso_engine.skew import salted_join
+
+    # planted skew: one customer owns 90% of a synthetic fact table
+    fact = spark.range(2000).select(
+        F.when(F.col("id") < 1800, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 10).alias("d"))
+    plain = sorted(map(tuple, fact.join(dim, "k").select("k", "v", "d").collect()))
+    salted = sorted(map(tuple, salted_join(fact, dim, "k", buckets=8).select("k", "v", "d").collect()))
+    assert salted == plain
+    left = sorted(map(tuple, salted_join(fact, dim.where(F.col("k") < 10), "k", buckets=4, how="left").select("k", "v", "d").collect()))
+    plain_left = sorted(map(tuple, fact.join(dim.where(F.col("k") < 10), "k", "left").select("k", "v", "d").collect()))
+    assert left == plain_left
+
+
 def test_bucketed_cojoin_elides_both_shuffles(spark):
     """The 100 TB fact-fact join path: orders and lineitem written
     bucketed by orderkey with matching bucket counts join with NO
