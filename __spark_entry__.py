@@ -633,6 +633,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("asof_value", 4).alias("last_purchase_value"),
         )
 
+    def events_asof_stream(spark, sf):
+        """STREAMING twin of events_asof: clicks arrive as a stream and
+        resolve their point-in-time purchase value against the static
+        purchase snapshot via the stateless merge_asof kernel
+        (ext.streaming.asof_join_stream_static). Drained with
+        Trigger.AvailableNow; the oracle is IDENTICAL to events_asof's —
+        stream must equal batch."""
+        from mopso_engine.ext.streaming import (
+            EVENTS_SCHEMA,
+            asof_join_stream_static,
+            read_events,
+            run_available_now,
+        )
+
+        _utc(spark)
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+        base = os.path.dirname(os.path.join(sf, "events.parquet"))
+        clicks_stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(base)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            .where(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts", "value")
+        )
+        joined = asof_join_stream_static(
+            clicks_stream, purchases, key="user_id", time="ts", payload=["value"]
+        )
+        res = run_available_now(
+            joined, query_name=f"asof_ss_{uuid.uuid4().hex[:8]}", output_mode="append"
+        )
+        return res.select(
+            "event_id",
+            "user_id",
+            F.round("value", 4).alias("click_value"),
+            F.round("asof_value", 4).alias("last_purchase_value"),
+        )
+
     def docs_sample(spark, sf):
         """Deterministic stratified hash-sample: per-language keep rates
         as ONE map-only codegen'd filter (replayable, join-stable — the
@@ -1287,7 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_exact, dedup_jaccard, dedup_jaccard_capped,
         dedup_jaccard_skewed, dedup_jaccard_skewed_uncapped, minhash_sigs,
         lsh_candidates, simhash_fp, dedup_verified, simhash_neardup,
-        docs_sample, events_sessionized, events_asof,
+        docs_sample, events_sessionized, events_asof, events_asof_stream,
         text_stats, quality, lang_pred, token_counts, fingerprints,
         # round-1 core: MOPSO building blocks + relational anchors
         points_ingest, feature_minmax, count_and_k, assign_nearest, cluster_sizes,
@@ -1736,6 +1775,8 @@ def oracle_sql() -> dict[str, str]:
                round(asof_value, 4) AS last_purchase_value
         FROM w WHERE is_l = 1
     """
+    # the streaming twin must produce the SAME rows as the batch as-of
+    o["events_asof_stream"] = o["events_asof"]
 
     o["docs_sample"] = """
         SELECT doc_id, lang FROM documents
