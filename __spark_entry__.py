@@ -564,6 +564,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         difference is what the bench pair measures."""
         return dd.jaccard_pairs(_skewed_docs(spark, sf), k=3, threshold=0.5)
 
+    def corpus_curation(spark, sf):
+        """END-TO-END curation manifest — the north-star composition in
+        ONE declarative plan: quality pre-filter (≥ 0.45) → exact-dedup
+        canonicalization (keep the min doc_id per content fingerprint) →
+        per-language deterministic hash sample (the mixing knob). Every
+        stage is an already-oracle-checked primitive; the oracle composes
+        their SQL twins. Physical shape: scan → expressions → one window
+        shuffle on the fingerprint → map-only sample filter — at 100 TB
+        the fingerprint shuffle is the only data movement."""
+        from mopso_engine.ext.pipeline import sample_by_hash
+
+        docs = read_table(spark, sf, "documents")
+        q = tx.quality_score(docs)
+        fp = docs.select("doc_id", F.md5(dd.normalized_text()).alias("fp"), "lang")
+        w = Window.partitionBy("fp")
+        keep = fp.withColumn("keep_id", F.min("doc_id").over(w)).where(
+            F.col("doc_id") == F.col("keep_id")
+        )
+        cur = keep.join(q, "doc_id").where(F.col("quality") >= 0.45)
+        cur = sample_by_hash(
+            cur, "doc_id", {"en": 0.9, "de": 0.7, "zh": 0.5}, stratum="lang", salt="cur"
+        )
+        return cur.select("doc_id", "lang", "quality")
+
     def minhash_sigs(spark, sf):
         """MinHash signatures (16 md5 hashes over 3-word shingles)."""
         return dd.minhash_signatures(read_table(spark, sf, "documents"), k=3, num_hashes=16)
@@ -1130,6 +1154,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal")
         )
 
+    def orders_range_window(spark, sf):
+        """TIME-RANGE window frame (RANGE BETWEEN INTERVAL ... PRECEDING):
+        per customer, 30-day trailing order count and spend at each order
+        — the frame is value-based (epoch seconds in Spark, an interval
+        in the oracle), so same-day peers are all included regardless of
+        row order: deterministic under ties by construction. Spend is
+        floor-to-cents exact (see q9_profit_shape)."""
+        o = read_table(spark, sf, "orders").where(F.col("o_custkey") < 100)
+        cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+        w = (
+            Window.partitionBy("o_custkey")
+            .orderBy(F.unix_timestamp("o_orderdate"))
+            .rangeBetween(-30 * 86400, 0)
+        )
+        return o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.count("*").over(w).alias("n_30d"),
+            F.round(F.sum(cents).over(w) / 100.0, 2).alias("spend_30d"),
+        )
+
     def orders_window_suite(spark, sf):
         """Window-function breadth over one shuffle: rank / dense_rank /
         lag-delta / cumulative sum / 3-row moving average per customer's
@@ -1320,11 +1365,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q20_promo_suppliers,
         # round-2 relational breadth
         q4_priority, q13_custdist, q16_supplier_variety, q22_idle_customers,
-        orders_window_suite, events_interval_join,
+        orders_window_suite, orders_range_window, events_interval_join,
         events_sessions_native, user_stats, q6_forecast, sales_rollup,
         # dedup / text pipeline
         dedup_exact, dedup_jaccard, dedup_jaccard_capped,
-        dedup_jaccard_skewed, dedup_jaccard_skewed_uncapped, minhash_sigs,
+        dedup_jaccard_skewed, dedup_jaccard_skewed_uncapped, corpus_curation,
+        minhash_sigs,
         lsh_candidates, simhash_fp, dedup_verified, simhash_neardup,
         docs_sample, events_sessionized, events_asof, events_asof_stream,
         text_stats, quality, lang_pred, token_counts, fingerprints,
@@ -1677,6 +1723,34 @@ def oracle_sql() -> dict[str, str]:
         WHERE ni*1.0/(sa.n + sb.n - ni) >= 0.5
     """
 
+    # end-to-end curation: the composed twins of quality (toks CTE),
+    # exact-dedup (fingerprint window) and the stratified hash sample
+    o["corpus_curation"] = f"""
+        WITH {_TOKS_CTE},
+        q AS (
+          SELECT doc_id,
+                 round((CASE WHEN len(t) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END) *
+                       (len(list_distinct(t))*1.0/len(t)), 6) AS quality
+          FROM toks),
+        fps AS (
+          SELECT doc_id, lang,
+                 md5(lower(array_to_string(string_split_regex(trim(text), '\\s+'), ' '))) AS fp
+          FROM documents),
+        keep AS (
+          SELECT doc_id, lang FROM (
+            SELECT doc_id, lang, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM fps)
+          WHERE doc_id = keep_id),
+        cur AS (
+          SELECT k.doc_id, k.lang, q.quality
+          FROM keep k JOIN q ON q.doc_id = k.doc_id
+          WHERE q.quality >= 0.45)
+        SELECT doc_id, lang, quality FROM cur
+        WHERE (('0x' || substr(md5(doc_id::VARCHAR || '#cur'), 1, 8))::BIGINT)::DOUBLE
+              / 4294967296.0
+              < CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.7 WHEN 'zh' THEN 0.5
+                          ELSE 0.0 END
+    """
+
     _mh = _MINHASH_CTE.format(src="documents")
     o["minhash_sigs"] = f"""
         WITH {_mh}
@@ -1933,6 +2007,16 @@ def oracle_sql() -> dict[str, str]:
                           WHERE o.o_custkey = c.c_custkey
                             AND year(o.o_orderdate) = 1995)
         GROUP BY 1
+    """
+
+    o["orders_range_window"] = """
+        SELECT o_custkey, o_orderkey,
+               count(*) OVER w::BIGINT AS n_30d,
+               round(sum(floor(o_totalprice * 100)::BIGINT) OVER w / 100.0, 2) AS spend_30d
+        FROM orders
+        WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
     """
 
     o["q5_local_supplier"] = """

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "text_stats",
     "lang_pred",
     "docs_sample",
+    "corpus_curation",
     "dedup_jaccard",
     "dedup_jaccard_capped",
     # planted-hot-shingle pair: measures the skew cap's benefit (the

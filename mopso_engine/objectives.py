@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -91,11 +92,29 @@ def _topl_blocked(
 
 #: (id, label, self_nbr_flat, nbr_n): self + L neighbor vectors packed in
 #: one fixed-width array<double>; nbr_n = real neighbor count (≤ L).
+#: Used by the RELATIONAL with_neighbors modes, whose flat column is
+#: built declaratively (F.concat of arrays).
 _NBR_SCHEMA = StructType(
     [
         StructField("id", LongType(), False),
         StructField("label", IntegerType(), True),
         StructField("self_nbr_flat", ArrayType(DoubleType()), False),
+        StructField("nbr_n", IntegerType(), False),
+    ]
+)
+
+#: Binary twin for the KERNEL-built modes ('exact', 'partition_local'):
+#: self_nbr_flat is the same (1+L)·d doubles as raw little-endian float64
+#: bytes. One bytes object per row Arrow-transfers and reconstructs
+#: (np.frombuffer) several times faster than a list<double> column (which
+#: materializes 600k tiny ndarrays per pass and GC-thrashes); the VALUES
+#: are bit-identical, so fitness partials — and with them the recorded
+#: seeded trajectories — are unchanged. evaluate_solutions accepts both.
+_NBR_SCHEMA_BIN = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("label", IntegerType(), True),
+        StructField("self_nbr_flat", BinaryType(), False),
         StructField("nbr_n", IntegerType(), False),
     ]
 )
@@ -305,7 +324,7 @@ def with_neighbors(
       'lsh' is the approximate big-N path.
     """
     if mode == "partition_local":
-        out_schema = _NBR_SCHEMA
+        out_schema = _NBR_SCHEMA_BIN
 
         def kernel(batches: Iterable[pd.DataFrame]):
             chunks = list(batches)
@@ -331,7 +350,7 @@ def with_neighbors(
                 {
                     "id": pdf["id"],
                     "label": pdf["label"],
-                    "self_nbr_flat": list(flat),
+                    "self_nbr_flat": [r.tobytes() for r in np.ascontiguousarray(flat)],
                     "nbr_n": nbr_n,
                 }
             )
@@ -356,7 +375,7 @@ def with_neighbors(
         ids, feats = ids[order], feats[order]
         bc = points.sparkSession.sparkContext.broadcast((ids, feats))
 
-        out_schema = _NBR_SCHEMA
+        out_schema = _NBR_SCHEMA_BIN
 
         def kernel(batches: Iterable[pd.DataFrame]):
             all_ids, all_feats = bc.value
@@ -371,7 +390,7 @@ def with_neighbors(
                     {
                         "id": bid,
                         "label": pdf["label"],
-                        "self_nbr_flat": list(flat),
+                        "self_nbr_flat": [r.tobytes() for r in np.ascontiguousarray(flat)],
                         "nbr_n": np.full(len(bid), nbr_pos.shape[1], dtype=np.int32),
                     }
                 )
@@ -486,7 +505,13 @@ def evaluate_solutions(nbr_df: DataFrame, centers_stack: np.ndarray, *, partitio
         acc_conn = np.zeros(s)
         acc_n = 0
         for pdf in _fixed_blocks(batches, _REDUCE_BLOCK_ROWS):
-            packed = np.stack(pdf["self_nbr_flat"].to_numpy()).astype(np.float64)
+            col = pdf["self_nbr_flat"]
+            if isinstance(col.iat[0], (bytes, bytearray)):
+                # kernel-built modes ship raw float64 bytes: one frombuffer
+                # per block, zero per-row object churn
+                packed = np.frombuffer(b"".join(col), dtype=np.float64).reshape(len(col), -1)
+            else:  # relational modes keep the array<double> column
+                packed = np.stack(col.to_numpy()).astype(np.float64)
             n = packed.shape[0]
             l_tot = packed.shape[1] // d_ - 1  # = L (uniform padding)
             nbr_n = pdf["nbr_n"].to_numpy()
