@@ -588,6 +588,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cur.select("doc_id", "lang", "quality")
 
+    def tfidf_terms(spark, sf):
+        """Per-doc top-3 terms by smoothed TF-IDF (`ext.text.tfidf_top_terms`)
+        — keyword extraction as two map-side-combined count shuffles, a
+        vocab-keyed join, a broadcast corpus-size scalar, and one doc_id
+        window. Deterministic tie-break (tfidf desc, term asc)."""
+        return tx.tfidf_top_terms(read_table(spark, sf, "documents"), top_n=3)
+
+    def pmi_collocations(spark, sf):
+        """Top-50 bigram collocations by PMI (`ext.text.pmi_bigrams`):
+        zero-shuffle positional-zip bigrams, unigram/bigram count shuffles,
+        broadcast totals, TakeOrdered top-k. PMI rounds BEFORE ordering so
+        the cut is engine-independent."""
+        return tx.pmi_bigrams(read_table(spark, sf, "documents"), min_count=5, top_n=50)
+
+    def emb_covariance(spark, sf):
+        """16×16 upper-triangle covariance of the embedding columns via
+        map-side partial Gram matrices (`ext.linalg.embedding_covariance`):
+        ONE linear scan of the vectors, one tiny partial-cell shuffle —
+        never the O(n·d²) exploded self-join the declarative rendering
+        would cost. The oracle IS that exploded rendering (fine at sf0.01;
+        the operator is the shape that survives 100 TB)."""
+        from mopso_engine.ext.linalg import embedding_covariance
+
+        return embedding_covariance(read_table(spark, sf, "embeddings"), dims=16)
+
+    def sketch_distinct_check(spark, sf):
+        """HLL++ sketch under the value gate: exact per-type distinct users
+        plus a `sketch_ok` boolean asserting the approx_count_distinct
+        (rsd=0.02) landed within 10% of exact. The oracle pins
+        sketch_ok=true — if the sketch ever drifts out of bound, the
+        driver's hash compare catches it. At 100 TB the sketch replaces
+        the exact count's shuffle of every distinct user with fixed
+        16KB-per-group state."""
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        agg = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        )
+        return agg.select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users")) / F.col("exact_users") <= 0.1
+            ).alias("sketch_ok"),
+        )
+
+    def sketch_quantile_check(spark, sf):
+        """Quantile sketch under the value gate: exact interpolated p50/p90/
+        p99 per event type (the value payload) plus ok_* booleans asserting
+        approx_percentile(accuracy=10000) landed between the exact
+        quantiles at p∓0.01 — a 100× margin over the sketch's 1e-4 rank
+        error, so the booleans are deterministic. Oracle pins them true."""
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        agg = ev.groupBy("event_type").agg(
+            *[
+                F.round(F.expr(f"percentile(value, {p})"), 6).alias(f"p{n}")
+                for n, p in [("50", 0.5), ("90", 0.9), ("99", 0.99)]
+            ],
+            *[
+                F.expr(f"percentile(value, {p})").alias(f"lo{n}")
+                for n, p in [("50", 0.49), ("90", 0.89), ("99", 0.98)]
+            ],
+            *[
+                F.expr(f"percentile(value, {p})").alias(f"hi{n}")
+                for n, p in [("50", 0.51), ("90", 0.91), ("99", 1.0)]
+            ],
+            *[
+                F.expr(f"approx_percentile(value, {p}, 10000)").alias(f"a{n}")
+                for n, p in [("50", 0.5), ("90", 0.9), ("99", 0.99)]
+            ],
+        )
+        return agg.select(
+            "event_type",
+            "p50",
+            "p90",
+            "p99",
+            *[
+                ((F.col(f"a{n}") >= F.col(f"lo{n}")) & (F.col(f"a{n}") <= F.col(f"hi{n}"))).alias(
+                    f"ok{n}"
+                )
+                for n in ["50", "90", "99"]
+            ],
+        )
+
     def minhash_sigs(spark, sf):
         """MinHash signatures (16 md5 hashes over 3-word shingles)."""
         return dd.minhash_signatures(read_table(spark, sf, "documents"), k=3, num_hashes=16)
@@ -1354,6 +1442,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mopso_fit, mopso_fit_only, mopso_fit_full, mopso_fit_lineitem,
         # similarity-search / near-dup family
         ann_topk, ann_ivf, ann_ivf_unlabeled, emb_neardup, multimodal_stats,
+        # round-3 additions: keyword/collocation extraction, distributed
+        # linear algebra, sketches under the value gate
+        tfidf_terms, pmi_collocations, emb_covariance,
+        sketch_distinct_check, sketch_quantile_check,
         # set-op / anti-join / pivot / cube / quantile relational shapes
         big_orders, customers_without_orders, active_custkeys_diff,
         active_custkeys_both, active_custkeys_diff_all, events_pivot,
@@ -1749,6 +1841,75 @@ def oracle_sql() -> dict[str, str]:
               / 4294967296.0
               < CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.7 WHEN 'zh' THEN 0.5
                           ELSE 0.0 END
+    """
+
+    # TF-IDF: identical smooth (ln((N+1)/(df+1))+1), identical rounded
+    # ordering key, term-unique-per-doc so row_number is tie-free
+    o["tfidf_terms"] = r"""
+        WITH tk AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+                    FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (SELECT t.doc_id, t.term, t.tf,
+                          round(t.tf * (ln((nd.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6) AS tfidf
+                   FROM tf t JOIN dfq d USING (term) CROSS JOIN nd)
+        SELECT doc_id, term, tf, tfidf, rk FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+          FROM scored)
+        WHERE rk <= 3
+    """
+
+    # PMI: bigrams via 1-based positional indexing (the range-join trick,
+    # same as the shingle CTE); PMI computed as ln of ONE ratio with the
+    # same association order as the Spark expression, rounded pre-ordering
+    o["pmi_collocations"] = r"""
+        WITH tk2 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                     FROM documents),
+        toks AS (SELECT doc_id, unnest(t) AS w FROM tk2),
+        uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+        tu AS (SELECT count(*) AS t_uni FROM toks),
+        bg AS (SELECT t[r.i] AS w1, t[r.i + 1] AS w2
+               FROM tk2 JOIN range(1, 100000) r(i) ON r.i <= len(t) - 1),
+        bc AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+        tb AS (SELECT count(*) AS t_big FROM bg),
+        scored AS (SELECT bc.w1, bc.w2, bc.c_ab,
+                          round(ln((bc.c_ab::DOUBLE * tu.t_uni * tu.t_uni)
+                                   / (tb.t_big::DOUBLE * ua.c * ub.c)), 6) AS pmi
+                   FROM bc JOIN uni ua ON ua.w = bc.w1 JOIN uni ub ON ub.w = bc.w2
+                   CROSS JOIN tu CROSS JOIN tb)
+        SELECT w1, w2, c_ab, pmi FROM scored
+        ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """
+
+    # covariance: the oracle IS the O(n·d²) exploded rendering the Spark
+    # operator avoids; sums agree to ≪1e-9, round(…,6) absorbs order
+    o["emb_covariance"] = """
+        WITH x AS (SELECT vec_id, r.i AS i, embedding[r.i]::DOUBLE AS xi
+                   FROM embeddings JOIN range(1, 17) r(i) ON true),
+        n AS (SELECT count(*) AS n FROM embeddings),
+        m AS (SELECT i, sum(xi) AS sx FROM x GROUP BY 1),
+        p AS (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sxx
+              FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2)
+        SELECT p.i - 1 AS i, p.j - 1 AS j,
+               round(p.sxx / n.n - (ma.sx / n.n) * (mb.sx / n.n), 6) AS cov
+        FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j CROSS JOIN n
+    """
+
+    # sketches: the oracle carries the exact payload and pins the
+    # in-bound booleans TRUE — an out-of-bound sketch value-hash-fails
+    o["sketch_distinct_check"] = """
+        SELECT event_type, count(DISTINCT user_id) AS exact_users, true AS sketch_ok
+        FROM events GROUP BY 1
+    """
+
+    o["sketch_quantile_check"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99,
+               true AS ok50, true AS ok90, true AS ok99
+        FROM events GROUP BY 1
     """
 
     _mh = _MINHASH_CTE.format(src="documents")

@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     # text / dedup / simsearch extensions
     "text_stats",
     "lang_pred",
+    "tfidf_terms",
     "docs_sample",
     "corpus_curation",
     "dedup_jaccard",
@@ -59,6 +60,7 @@ BENCH_QUERIES = [
     "simhash_neardup",
     "ann_topk",
     "ann_ivf",
+    "emb_covariance",
     # the full algorithm: tiny budget (fit-only — the r01-comparable
     # number — and fit+rescore, separated per VERDICT r2 #6), the
     # reference's 50x10xL10 budget, and the 600k-row partition-local
@@ -71,6 +73,17 @@ BENCH_QUERIES = [
 
 #: iterations of the reference-budget fit — for the s/iteration readout
 FIT_FULL_ITERS = 10
+
+
+def _cpu_calibration() -> float:
+    """Seconds for a fixed single-core workload (see the JSON field note)."""
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(1024, 1024)
+    t0 = time.time()
+    for _ in range(10):
+        a @ a
+    return round(time.time() - t0, 3)
 
 
 def main() -> None:
@@ -134,6 +147,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # fixed-size CPU calibration (10× 1024² float64 matmul, single
+        # core): a machine-speed fingerprint recorded WITH the run, so a
+        # cross-round regression can be attributed to code vs a noisy /
+        # throttled host (run-to-run host variance of 2-4× was observed
+        # in round 3). Compare ratios of this before comparing queries.
+        "cpu_calib_sec": _cpu_calibration(),
     }
     if "mopso_fit_full" in timings:
         # per-iteration driver-loop cost of the reference-budget fit

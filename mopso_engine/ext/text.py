@@ -107,3 +107,96 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     streaming variant; md5 is the portable batch rendering)."""
     normalized = F.lower(F.concat_ws(" ", tokens_col()))
     return docs.select("doc_id", F.md5(normalized).alias("fp"))
+
+
+def tfidf_top_terms(docs: DataFrame, top_n: int = 3) -> DataFrame:
+    """Per-document top-``top_n`` terms by smoothed TF-IDF — the standard
+    keyword/feature extraction of a text pipeline, entirely declarative.
+
+    tf = raw term count in the doc; idf = ln((N+1)/(df+1)) + 1 (the
+    sklearn-style smooth that never divides by zero). Deterministic
+    tie-break: (tfidf desc, term asc) under row_number.
+
+    Physical shape (100 TB): one shuffle to (doc_id, term) counts with
+    map-side combine, one shuffle to term document-frequencies (vocab-
+    sized — tiny relative to the corpus), a term-keyed join back, the
+    corpus size N as a broadcast scalar, and one doc_id window for the
+    top-k. No Python, no cartesian anything.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= top_n)
+
+
+def pmi_bigrams(docs: DataFrame, min_count: int = 5, top_n: int = 20) -> DataFrame:
+    """Corpus-level collocations: top-``top_n`` bigrams by pointwise mutual
+    information, PMI = ln( P(ab) / (P(a)·P(b)) ) with unigram/bigram
+    probabilities over the whole corpus; bigrams below ``min_count`` are
+    noise and dropped (the classic Church–Hanks setup).
+
+    Bigram construction is the zero-shuffle positional zip (two slices of
+    the token array, see ext.dedup.word_shingles); counts are two
+    map-side-combined shuffles (unigram vocab, bigram vocab); the two
+    corpus totals ride along as broadcast scalars; the final top-k is a
+    TakeOrdered, not a full sort. PMI is computed as ln of ONE ratio —
+    identical association order in the DuckDB twin, so values hash-match.
+    Ties: PMI is rounded to 6dp BEFORE ordering on (pmi desc, w1, w2), so
+    the cut is engine-independent.
+    """
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tok_rows = docs.select(F.explode(toks).alias("w"))
+    uni = tok_rows.groupBy("w").agg(F.count("*").alias("c"))
+    width = F.greatest(F.size(toks) - 1, F.lit(0))
+    z = F.arrays_zip(
+        F.slice(toks, 1, width).alias("w1"), F.slice(toks, 2, width).alias("w2")
+    )
+    big = docs.select(F.explode(z).alias("b")).select("b.w1", "b.w2")
+    bc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    t_uni = tok_rows.agg(F.count("*").alias("t_uni"))
+    t_big = big.agg(F.count("*").alias("t_big"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    scored = (
+        bc.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_big))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") * F.col("t_uni") * F.col("t_uni"))
+                    / (F.col("t_big").cast("double") * F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(top_n)

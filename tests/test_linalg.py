@@ -1,0 +1,97 @@
+"""ext.linalg (distributed covariance) + ext.text TF-IDF / PMI tests:
+numpy / hand-computed oracles over tiny in-memory data, plus the
+plan-shape guarantee that the covariance never explodes row-wise."""
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import Row
+
+from mopso_engine.ext.linalg import embedding_covariance
+from mopso_engine.ext.text import pmi_bigrams, tfidf_top_terms
+
+
+def test_covariance_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(257, 8)).astype(np.float32)  # odd n: uneven batches
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(v) for v in row]) for i, row in enumerate(x)]
+    )
+    got = {(r["i"], r["j"]): r["cov"] for r in embedding_covariance(emb, dims=5).collect()}
+    ref = np.cov(x[:, :5].astype(np.float64), rowvar=False, bias=True)
+    assert len(got) == 15  # upper triangle of 5x5
+    for (i, j), v in got.items():
+        assert i <= j
+        assert v == pytest.approx(ref[i, j], abs=2e-6)
+
+
+def test_covariance_single_scan_plan(spark):
+    """The three combine branches (n_tot / sx / sxx) must share ONE
+    partial-cell exchange: the plan shows ReusedExchange, so the
+    mapInPandas vector scan runs once, not three times."""
+    import contextlib
+    import io
+
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(v) for v in rng.normal(size=4)]) for i in range(64)]
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        embedding_covariance(emb, dims=4).explain("formatted")
+    plan = buf.getvalue()
+    # formatted explain lists each physical op twice (tree + detail
+    # section): ≤2 occurrences ⇒ exactly one MapInPandas instance. The
+    # branched rendering this guards against shows 4 instances (8 hits).
+    assert plan.count("MapInPandas") <= 2
+
+
+def test_tfidf_hand_oracle(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple banana apple"),
+            Row(doc_id=2, text="banana cherry"),
+            Row(doc_id=3, text="cherry cherry cherry"),
+        ]
+    )
+    out = {
+        (r["doc_id"], r["term"]): (r["tf"], r["tfidf"], r["rk"])
+        for r in tfidf_top_terms(docs, top_n=2).collect()
+    }
+    n = 3
+
+    def idf(df):
+        return math.log((n + 1.0) / (df + 1.0)) + 1.0
+
+    # doc 1: apple tf=2 df=1, banana tf=1 df=2
+    assert out[(1, "apple")][0] == 2
+    assert out[(1, "apple")][1] == pytest.approx(round(2 * idf(1), 6), abs=1e-9)
+    assert out[(1, "apple")][2] == 1
+    assert out[(1, "banana")][2] == 2
+    # doc 3: only one distinct term
+    assert out[(3, "cherry")][0] == 3
+    assert (3, "cherry") in out and len([k for k in out if k[0] == 3]) == 1
+
+
+def test_pmi_hand_oracle(spark):
+    # 'a b' appears 3x, tokens: a=3, b=3, total=6; bigrams: 'a b' 3 of 3
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="a b") for i in range(3)]
+    )
+    rows = pmi_bigrams(docs, min_count=2, top_n=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["w1"], r["w2"], r["c_ab"]) == ("a", "b", 3)
+    # PMI = ln((3*6*6)/(3*3*3)) = ln(4)
+    assert r["pmi"] == pytest.approx(round(math.log(4.0), 6), abs=1e-9)
+
+
+def test_pmi_min_count_filters(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="x y"), Row(doc_id=2, text="p q p q")]
+    )
+    got = {(r["w1"], r["w2"]) for r in pmi_bigrams(docs, min_count=2, top_n=10).collect()}
+    # 'x y' occurs once -> filtered; 'p q' twice, 'q p' once
+    assert got == {("p", "q")}
