@@ -21,7 +21,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
 #: single packed partial per Arrow batch: [n, Σx (d cells), ΣxxT (d² cells,
 #: row-major)]. ONE array column means the whole reduce is ONE
@@ -29,14 +29,21 @@ from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 #: runs exactly once, with no persist and no repeated subtree.
 _PARTIAL_SCHEMA = StructType([StructField("p", ArrayType(DoubleType(), False), False)])
 
+#: integer twin of _PARTIAL_SCHEMA (quantized partials, see
+#: gram_partials_quantized)
+_PARTIAL_SCHEMA_Q = StructType([StructField("p", ArrayType(LongType(), False), False)])
+
 
 def gram_partials(emb: DataFrame, dims: int, col: str = "embedding") -> DataFrame:
     """One packed row per Arrow batch (see module note). float64
-    accumulation regardless of the input's float32 storage, so the
-    combine order (a Spark shuffle vs DuckDB's sequential scan) agrees to
-    ≪1e-9 and round(…, 6) downstream is engine-deterministic. The BLAS
-    ``x.T @ x`` per batch is the one place Python beats the JVM here —
-    there is no codegen dgemm."""
+    accumulation regardless of the input's float32 storage, so combine
+    orders agree to ≪1e-9 — but NOT bit-identically: a downstream
+    round(…, N) can land on a half-boundary and flip with the shuffle
+    arrival order (observed: the r03 driver red row on emb_covariance).
+    Gate values through :func:`embedding_covariance_gated` (exact
+    integer statistics), never through rounded floats of this path.
+    The BLAS ``x.T @ x`` per batch is the one place Python beats the
+    JVM here — there is no codegen dgemm."""
 
     def kernel(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
@@ -49,7 +56,94 @@ def gram_partials(emb: DataFrame, dims: int, col: str = "embedding") -> DataFram
     return emb.select(col).mapInPandas(kernel, schema=_PARTIAL_SCHEMA)
 
 
-def embedding_covariance(emb: DataFrame, dims: int, col: str = "embedding") -> DataFrame:
+def gram_partials_quantized(
+    emb: DataFrame, dims: int, col: str = "embedding", scale: int = 1 << 22
+) -> DataFrame:
+    """Integer twin of :func:`gram_partials`: each value is quantized to
+    ``q = floor(x·scale + 0.5)`` (an exact float64 op on the float32
+    input, identical in numpy / Spark / DuckDB), then the partial sums
+    Σq and Σqqᵀ are EXACT int64 arithmetic — associative and
+    commutative, so ANY combine order (shuffle arrival, batch split,
+    engine) yields bit-identical totals. This is the determinism recipe
+    the float path cannot have: float partial sums land within a ulp of
+    a round(…, 6) half-boundary in some environments (the r03 driver
+    red row). Overflow headroom: |x| ≤ O(1) ⇒ q ≤ ~2²³, q² ≤ 2⁴⁶,
+    exact for n up to ~2¹⁷ rows per cell in int64; beyond that drop
+    ``scale`` or switch the combine to decimal(38,0)."""
+
+    def kernel(batches: Iterable[pd.DataFrame]):
+        s = float(scale)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[col].to_numpy())[:, :dims].astype(np.float64)
+            q = np.floor(x * s + 0.5).astype(np.int64)
+            packed = np.concatenate(
+                ([np.int64(q.shape[0])], q.sum(axis=0), (q.T @ q).ravel())
+            ).astype(np.int64)
+            yield pd.DataFrame({"p": [packed]})
+
+    return emb.select(col).mapInPandas(kernel, schema=_PARTIAL_SCHEMA_Q)
+
+
+def embedding_covariance_gated(
+    emb: DataFrame,
+    dims: int,
+    col: str = "embedding",
+    scale: int = 1 << 22,
+    band: float = 1e-4,
+) -> DataFrame:
+    """The VALUE-GATE rendering of :func:`embedding_covariance` (the
+    sketch pattern, not the rounded-float pattern): emits the EXACT
+    integer sufficient statistics (n, Σqᵢ, Σqⱼ, Σqᵢqⱼ — hash-identical
+    in every engine and under every partitioning, see
+    gram_partials_quantized) plus ``cov_ok`` asserting the real float
+    operator's covariance sits within ``band`` of the integer-derived
+    value. Quantization error at scale 2²² on |x|≤1 data is ≲3e-7, so
+    the 1e-4 band has ~300× margin while still failing on any genuine
+    formula/combine bug. Output: (i, j, n, sx_i, sx_j, sxx, cov_ok),
+    upper triangle i ≤ j, 0-based."""
+    d = dims
+    cells = (
+        gram_partials_quantized(emb, d, col, scale)
+        .select(F.posexplode("p").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("s"))
+    )
+    packed = cells.agg(F.map_from_entries(F.collect_list(F.struct("idx", "s"))).alias("m"))
+    k = F.col("k")
+    m = F.col("m")
+    ints = (
+        packed.select(F.explode(F.sequence(F.lit(0), F.lit(d * d - 1))).alias("k"), "m")
+        .select(k, (k / d).cast("int").alias("i"), (k % d).alias("j"), m)
+        .where(F.col("i") <= F.col("j"))
+        .select(
+            "i",
+            "j",
+            m[F.lit(0)].alias("n"),
+            m[F.col("i") + 1].alias("sx_i"),
+            m[F.col("j") + 1].alias("sx_j"),
+            m[k + 1 + d].alias("sxx"),
+        )
+    )
+    s = float(scale)
+    cov_q = (
+        F.col("sxx") / F.col("n") / (s * s)
+        - (F.col("sx_i") / F.col("n") / s) * (F.col("sx_j") / F.col("n") / s)
+    )
+    fl = embedding_covariance(emb, d, col, round_dp=None).withColumnRenamed("cov", "cov_f")
+    return (
+        ints.join(F.broadcast(fl), ["i", "j"])
+        .select(
+            "i", "j", "n", "sx_i", "sx_j", "sxx",
+            (F.abs(F.col("cov_f") - cov_q) <= band).alias("cov_ok"),
+        )
+    )
+
+
+def embedding_covariance(
+    emb: DataFrame, dims: int, col: str = "embedding", round_dp: int | None = 6
+) -> DataFrame:
     """Population covariance of the first ``dims`` dimensions:
     cov(i,j) = Σxᵢxⱼ/N − (Σxᵢ/N)(Σxⱼ/N), upper triangle (i ≤ j), 0-based
     (i, j, cov) rows.
@@ -80,6 +174,9 @@ def embedding_covariance(emb: DataFrame, dims: int, col: str = "embedding") -> D
     packed = cells.agg(F.map_from_entries(F.collect_list(F.struct("idx", "s"))).alias("m"))
     k = F.col("k")
     m = F.col("m")
+    cov_expr = m[k + 1 + d] / m[F.lit(0)] - (m[F.col("i") + 1] / m[F.lit(0)]) * (
+        m[F.col("j") + 1] / m[F.lit(0)]
+    )
     return (
         packed.select(F.explode(F.sequence(F.lit(0), F.lit(d * d - 1))).alias("k"), "m")
         .select(k, (k / d).cast("int").alias("i"), (k % d).alias("j"), m)
@@ -87,10 +184,8 @@ def embedding_covariance(emb: DataFrame, dims: int, col: str = "embedding") -> D
         .select(
             "i",
             "j",
-            F.round(
-                m[k + 1 + d] / m[F.lit(0)]
-                - (m[F.col("i") + 1] / m[F.lit(0)]) * (m[F.col("j") + 1] / m[F.lit(0)]),
-                6,
+            (
+                F.round(cov_expr, round_dp) if round_dp is not None else cov_expr
             ).alias("cov"),
         )
     )
