@@ -753,8 +753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Trigger.AvailableNow; the oracle is IDENTICAL to events_asof's —
         stream must equal batch."""
         from mopso_engine.ext.streaming import (
-            EVENTS_SCHEMA,
             asof_join_stream_static,
+            events_stream_source,
             read_events,
             run_available_now,
         )
@@ -762,12 +762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _utc(spark)
         ev = read_events(spark, os.path.join(sf, "events.parquet"))
         purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
-        base = os.path.dirname(os.path.join(sf, "events.parquet"))
         clicks_stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(base)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            events_stream_source(spark, os.path.join(sf, "events.parquet"))
             .where(F.col("event_type") == "click")
             .select("event_id", "user_id", "ts", "value")
         )

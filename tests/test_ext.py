@@ -389,8 +389,8 @@ class TestStreaming:
         deterministic tie winner — with zero streaming state."""
         from mopso_engine.ext.pipeline import asof_join
         from mopso_engine.ext.streaming import (
-            EVENTS_SCHEMA,
             asof_join_stream_static,
+            events_stream_source,
             read_events,
             run_available_now,
         )
@@ -407,14 +407,8 @@ class TestStreaming:
                 clicks, purchases, key="user_id", time="ts", payload=["value"]
             ).collect()
         }
-        import os as _os
-
-        base, fname = _os.path.dirname(f"{SF}/events.parquet"), "events.parquet"
         clicks_stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("pathGlobFilter", fname)
-            .parquet(base)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            events_stream_source(spark, f"{SF}/events.parquet")
             .where(F.col("event_type") == "click")
             .select("event_id", "user_id", "ts", "value")
         )
@@ -430,6 +424,53 @@ class TestStreaming:
         for eid, v in batch.items():
             sv = stream[eid]
             assert (v is None and (sv is None or sv != sv)) or sv == pytest.approx(v)
+
+    def test_asof_stream_static_null_payload_matches_batch(self, spark, tmp_path):
+        """A static right row with a NULL payload must be invisible to
+        that payload column (batch last(..., ignorenulls=True) semantics)
+        instead of shadowing an older non-null row (r3 ADVICE): click at
+        t=30 must resolve to the t=10 purchase value, skipping the null
+        purchase at t=20."""
+        import datetime as _dt
+
+        from mopso_engine.ext.pipeline import asof_join
+        from mopso_engine.ext.streaming import (
+            asof_join_stream_static,
+            run_available_now,
+        )
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        t = lambda s: _dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+        clicks = spark.createDataFrame(
+            [(1, 100, t(30)), (2, 100, t(15)), (3, 200, t(30))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        purchases = spark.createDataFrame(
+            [(100, t(10), 7.5), (100, t(20), None), (200, t(5), None)],
+            "user_id long, ts timestamp, value double",
+        )
+        batch = {
+            r["event_id"]: r["asof_value"]
+            for r in asof_join(
+                clicks, purchases, key="user_id", time="ts", payload=["value"]
+            ).collect()
+        }
+        assert batch == {1: 7.5, 2: 7.5, 3: None}
+        path = str(tmp_path / "clicks_nullpay")
+        clicks.coalesce(1).write.parquet(path)
+        clicks_stream = spark.readStream.schema(clicks.schema).parquet(path)
+        out = run_available_now(
+            asof_join_stream_static(
+                clicks_stream, purchases, key="user_id", time="ts", payload=["value"]
+            ),
+            query_name="asof_ss_nullpay_test",
+            output_mode="append",
+        )
+        stream = {
+            r["event_id"]: r["asof_value"] for r in out.collect()
+        }
+        nn = lambda v: None if v != v else v  # noqa: E731  (NaN → None)
+        assert {k: nn(v) for k, v in stream.items()} == batch
 
     def test_stream_runs_twice_in_one_session(self, spark):
         """The driver may invoke a streaming query repeatedly in one
