@@ -603,15 +603,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tx.pmi_bigrams(read_table(spark, sf, "documents"), min_count=5, top_n=50)
 
     def emb_covariance(spark, sf):
-        """16×16 upper-triangle covariance of the embedding columns via
-        map-side partial Gram matrices (`ext.linalg.embedding_covariance`):
-        ONE linear scan of the vectors, one tiny partial-cell shuffle —
-        never the O(n·d²) exploded self-join the declarative rendering
-        would cost. The oracle IS that exploded rendering (fine at sf0.01;
-        the operator is the shape that survives 100 TB)."""
-        from mopso_engine.ext.linalg import embedding_covariance
+        """16×16 upper-triangle covariance of the embedding columns,
+        VALUE-GATED (`ext.linalg.embedding_covariance_gated`): the hashed
+        payload is the EXACT int64 quantized sufficient statistics
+        (combine-order-proof — the rounded-float rendering red-flagged in
+        r03/r04 on shuffle-order half-boundary flips) plus a `cov_ok`
+        band check that the real float covariance operator agrees. Still
+        ONE linear scan of the vectors + one tiny partial-cell shuffle;
+        the quantization scale is derived from count(*) so int64 can
+        never overflow (the oracle re-derives it in SQL)."""
+        from mopso_engine.ext.linalg import embedding_covariance_gated
 
-        return embedding_covariance(read_table(spark, sf, "embeddings"), dims=16)
+        return embedding_covariance_gated(read_table(spark, sf, "embeddings"), dims=16)
 
     def sketch_distinct_check(spark, sf):
         """HLL++ sketch under the value gate: exact per-type distinct users
@@ -1878,18 +1881,38 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY pmi DESC, w1, w2 LIMIT 50
     """
 
-    # covariance: the oracle IS the O(n·d²) exploded rendering the Spark
-    # operator avoids; sums agree to ≪1e-9, round(…,6) absorbs order
+    # covariance gate: the hashed payload is the EXACT int64 quantized
+    # sufficient statistics — bit-identical across engines and combine
+    # orders — plus cov_ok banding DuckDB's own float covariance (the
+    # O(n·d²) exploded rendering the Spark operator avoids) against the
+    # integer-derived value. The quantization scale is re-derived from
+    # count(*) with the same pure-integer formula as
+    # linalg.derive_scale_log2 (exact shifts, no float log2); q =
+    # floor(x·s + 0.5) on the float64-cast input is IEEE-identical to
+    # the numpy kernel because power-of-two scaling is exact.
     o["emb_covariance"] = """
-        WITH x AS (SELECT vec_id, r.i AS i, embedding[r.i]::DOUBLE AS xi
-                   FROM embeddings JOIN range(1, 17) r(i) ON true),
-        n AS (SELECT count(*) AS n FROM embeddings),
-        m AS (SELECT i, sum(xi) AS sx FROM x GROUP BY 1),
-        p AS (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sxx
+        WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        ce AS (SELECT min(t.e) AS ce FROM range(0, 62) t(e), nn
+               WHERE (1::HUGEINT << t.e) >= nn.n),
+        sc AS (SELECT least(22, (61 - ce) // 2) AS k,
+                      ((1::HUGEINT << least(22, (61 - ce) // 2))::DOUBLE) AS s
+               FROM ce),
+        x AS (SELECT vec_id, r.i AS i, embeddings.embedding[r.i]::DOUBLE AS xi,
+                     floor(embeddings.embedding[r.i]::DOUBLE * sc.s + 0.5)::BIGINT AS q
+              FROM embeddings JOIN range(1, 17) r(i) ON true CROSS JOIN sc),
+        m AS (SELECT i, sum(xi) AS sx, sum(q)::BIGINT AS sq FROM x GROUP BY 1),
+        p AS (SELECT a.i AS i, b.i AS j,
+                     sum(a.xi * b.xi) AS sxx_f, sum(a.q * b.q)::BIGINT AS sqq
               FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2)
-        SELECT p.i - 1 AS i, p.j - 1 AS j,
-               round(p.sxx / n.n - (ma.sx / n.n) * (mb.sx / n.n), 6) AS cov
-        FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j CROSS JOIN n
+        SELECT p.i - 1 AS i, p.j - 1 AS j, nn.n AS n,
+               ma.sq AS sx_i, mb.sq AS sx_j, p.sqq AS sxx,
+               coalesce(
+                 abs((p.sxx_f / nn.n - (ma.sx / nn.n) * (mb.sx / nn.n))
+                     - (p.sqq / nn.n / (sc.s * sc.s)
+                        - (ma.sq / nn.n / sc.s) * (mb.sq / nn.n / sc.s)))
+                 <= greatest(0.0001, 8.0 / sc.s), false) AS cov_ok
+        FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+        CROSS JOIN nn CROSS JOIN sc
     """
 
     # sketches: the oracle carries the exact payload and pins the

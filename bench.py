@@ -74,15 +74,51 @@ BENCH_QUERIES = [
 #: iterations of the reference-budget fit — for the s/iteration readout
 FIT_FULL_ITERS = 10
 
+#: round-1 per-query anchors (BASELINE.md table; `mopso_fit` anchor is
+#: carried by `mopso_fit_only`, the fit-without-rescore entry, per
+#: VERDICT r2 #6). Ratios against these are RAW wall-clock — divide by
+#: the run's calib ratio vs a reference round before judging (r01/r02
+#: recorded no calibration, so calibrated comparison starts at r05).
+ANCHOR_R01 = {
+    "q1_pricing": 1.518, "q3_shipping": 1.691, "q6_forecast": 0.366,
+    "nation_revenue": 1.295, "top_parts": 1.115, "events_windowed": 0.480,
+    "events_sessionized": 0.856, "user_stats": 0.250, "assign_nearest": 0.838,
+    "purity": 1.039, "dev_inertia": 0.593, "knn_top5": 0.575,
+    "lang_pred": 0.792, "dedup_jaccard": 3.816, "dedup_verified": 6.097,
+    "lsh_candidates": 1.519, "simhash_fp": 0.953, "ann_topk": 0.600,
+    "ann_ivf": 1.044, "mopso_fit_only": 4.371, "mopso_fit_lineitem": 12.657,
+    "conn_objective": 1.026, "text_stats": 0.400,
+}
+
 
 def _cpu_calibration() -> float:
-    """Seconds for a fixed single-core workload (see the JSON field note)."""
+    """Seconds for a fixed single-core numpy workload (host-speed
+    fingerprint; BLAS-bound like the Arrow kernels)."""
     import numpy as np
 
     a = np.random.RandomState(0).rand(1024, 1024)
     t0 = time.time()
     for _ in range(10):
         a @ a
+    return round(time.time() - t0, 3)
+
+
+def _spark_calibration(spark) -> float:
+    """Seconds for a fixed JVM-side Spark workload (range → hash-agg →
+    shuffle → noop sink): fingerprints scheduler + codegen + shuffle
+    throughput IN-PROCESS, which is what the timed queries actually pay.
+    Run before AND after the query loop — the pre/post pair bounds how
+    much the host drifted DURING the run (r03's 2-4× load swings)."""
+    from pyspark.sql import functions as SF
+
+    t0 = time.time()
+    (
+        spark.range(20_000_000)
+        .select((SF.col("id") % 997).alias("k"), "id")
+        .groupBy("k")
+        .agg(SF.sum("id").alias("s"), SF.count("*").alias("n"))
+        .write.format("noop").mode("overwrite").save()
+    )
     return round(time.time() - t0, 3)
 
 
@@ -124,17 +160,30 @@ def main() -> None:
 
     from mopso_engine.ext.dedup import clear_shingle_caches
 
+    cpu_pre, spark_pre = _cpu_calibration(), _spark_calibration(spark)
+
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
+        # per-query isolation (VERDICT r4 #6): one broken query costs one
+        # entry, never the whole artifact — r04 recorded ZERO timings
+        # because the 11th query aborted the loop
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # release query-lifetime executor caches so one query's storage
-        # doesn't leak into the next timing
-        clear_shingle_caches()
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+        finally:
+            # release query-lifetime executor caches so one query's
+            # storage doesn't leak into the next timing
+            clear_shingle_caches()
+
+    cpu_post, spark_post = _cpu_calibration(), _spark_calibration(spark)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -147,13 +196,29 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-        # fixed-size CPU calibration (10× 1024² float64 matmul, single
-        # core): a machine-speed fingerprint recorded WITH the run, so a
-        # cross-round regression can be attributed to code vs a noisy /
-        # throttled host (run-to-run host variance of 2-4× was observed
-        # in round 3). Compare ratios of this before comparing queries.
-        "cpu_calib_sec": _cpu_calibration(),
+        # host-speed fingerprints recorded WITH the run so a cross-round
+        # regression can be attributed to code vs a noisy/throttled host
+        # (2-4× run-to-run host variance observed in r03). cpu_* is a
+        # single-core numpy matmul; spark_* a fixed in-process JVM
+        # shuffle+agg job. pre/post bracket the query loop — a large
+        # pre/post spread means the host drifted mid-run. Cross-round
+        # rule (BASELINE.md): ratio_q(rA→rB) judged against
+        # spark_calib(rA→rB) — per-query slowdowns within ~1.5× of the
+        # calib ratio are environment, not code.
+        "cpu_calib_sec": round((cpu_pre + cpu_post) / 2, 3),
+        "cpu_calib_pre": cpu_pre,
+        "cpu_calib_post": cpu_post,
+        "spark_calib_sec": round((spark_pre + spark_post) / 2, 3),
+        "spark_calib_pre": spark_pre,
+        "spark_calib_post": spark_post,
+        # RAW wall-clock ratios vs the r01 anchor table (no r01 calib
+        # exists — normalize with the calib fields before judging)
+        "vs_r01_anchor_raw": {
+            q: round(timings[q] / a, 2) for q, a in ANCHOR_R01.items() if q in timings
+        },
     }
+    if errors:
+        out["errors"] = errors
     if "mopso_fit_full" in timings:
         # per-iteration driver-loop cost of the reference-budget fit
         # (includes its one-off kNN precompute + post-hoc rescore)

@@ -56,20 +56,63 @@ def gram_partials(emb: DataFrame, dims: int, col: str = "embedding") -> DataFram
     return emb.select(col).mapInPandas(kernel, schema=_PARTIAL_SCHEMA)
 
 
+#: hard bounds of the derived quantization exponent: 2²² keeps the gate's
+#: quantization error ≲1e-6 on small corpora; 2¹³ is the floor below
+#: which the error (~3/scale ≈ 4e-4) stops being meaningfully tighter
+#: than typical float noise — corpora too big for 2¹³ (> ~2³⁵ rows) need
+#: an int128/decimal combine, and derive_scale_log2 fails loudly there.
+_SCALE_LOG2_MAX = 22
+_SCALE_LOG2_MIN = 13
+
+
+def derive_scale_log2(n: int, x_bound_log2: int = 0) -> int:
+    """Largest quantization exponent k such that the int64 sufficient
+    statistics CANNOT overflow: with ``|x| ≤ 2^x_bound_log2`` the
+    quantized ``|q| ≤ 2^(k + x_bound_log2)``, so the worst total
+    ``Σq² ≤ n · 2^(2k + 2·x_bound_log2)``; requiring that to stay ≤ 2⁶¹
+    leaves 4× headroom under int64. Pure integer arithmetic
+    (``ceil_log2`` via bit_length) so an SQL oracle derives the SAME k
+    from the same row count with exact comparisons — no float log2 at a
+    power-of-two boundary (ADVICE r4: the fixed 2²² default wrapped
+    silently past ~2¹⁹ rows)."""
+    if n < 1:
+        raise ValueError("derive_scale_log2 needs n >= 1")
+    ceil_log2_n = (n - 1).bit_length()
+    k = (61 - ceil_log2_n) // 2 - x_bound_log2
+    k = min(_SCALE_LOG2_MAX, k)
+    if k < _SCALE_LOG2_MIN:
+        raise ValueError(
+            f"n={n} rows need a quantization scale below 2^{_SCALE_LOG2_MIN} to fit "
+            "int64 sufficient statistics — switch the combine to decimal(38,0) "
+            "for corpora this large"
+        )
+    return k
+
+
 def gram_partials_quantized(
-    emb: DataFrame, dims: int, col: str = "embedding", scale: int = 1 << 22
+    emb: DataFrame,
+    dims: int,
+    col: str = "embedding",
+    scale: int = 1 << 22,
+    x_bound: float = 1.0,
 ) -> DataFrame:
     """Integer twin of :func:`gram_partials`: each value is quantized to
     ``q = floor(x·scale + 0.5)`` (an exact float64 op on the float32
-    input, identical in numpy / Spark / DuckDB), then the partial sums
-    Σq and Σqqᵀ are EXACT int64 arithmetic — associative and
-    commutative, so ANY combine order (shuffle arrival, batch split,
+    input, identical in numpy / Spark / DuckDB — power-of-two scaling is
+    exact, the +0.5 add rounds identically under IEEE754), then the
+    partial sums Σq and Σqqᵀ are EXACT int64 arithmetic — associative
+    and commutative, so ANY combine order (shuffle arrival, batch split,
     engine) yields bit-identical totals. This is the determinism recipe
     the float path cannot have: float partial sums land within a ulp of
     a round(…, 6) half-boundary in some environments (the r03 driver
-    red row). Overflow headroom: |x| ≤ O(1) ⇒ q ≤ ~2²³, q² ≤ 2⁴⁶,
-    exact for n up to ~2¹⁷ rows per cell in int64; beyond that drop
-    ``scale`` or switch the combine to decimal(38,0)."""
+    red row).
+
+    Overflow discipline: pass a ``scale`` from :func:`derive_scale_log2`
+    (as :func:`embedding_covariance_gated` does) so the total is
+    guaranteed ≤ 2⁶¹; the kernel enforces the derivation's ``|x| ≤
+    x_bound`` premise and finiteness per batch, raising loudly instead
+    of silently poisoning the statistics (NaN→int64 casts are
+    platform-dependent garbage)."""
 
     def kernel(batches: Iterable[pd.DataFrame]):
         s = float(scale)
@@ -77,6 +120,18 @@ def gram_partials_quantized(
             if not len(pdf):
                 continue
             x = np.stack(pdf[col].to_numpy())[:, :dims].astype(np.float64)
+            if not np.isfinite(x).all():
+                raise ValueError(
+                    f"gram_partials_quantized: non-finite value in {col!r} — "
+                    "quantization would emit platform-dependent int64 garbage"
+                )
+            amax = float(np.abs(x).max(initial=0.0))
+            if amax > x_bound:
+                raise ValueError(
+                    f"gram_partials_quantized: |x|={amax} exceeds x_bound={x_bound}; "
+                    "the int64 overflow guarantee assumes this bound — raise x_bound "
+                    "and re-derive the scale"
+                )
             q = np.floor(x * s + 0.5).astype(np.int64)
             packed = np.concatenate(
                 ([np.int64(q.shape[0])], q.sum(axis=0), (q.T @ q).ravel())
@@ -90,8 +145,8 @@ def embedding_covariance_gated(
     emb: DataFrame,
     dims: int,
     col: str = "embedding",
-    scale: int = 1 << 22,
-    band: float = 1e-4,
+    scale: int | None = None,
+    band: float | None = None,
 ) -> DataFrame:
     """The VALUE-GATE rendering of :func:`embedding_covariance` (the
     sketch pattern, not the rounded-float pattern): emits the EXACT
@@ -99,11 +154,22 @@ def embedding_covariance_gated(
     in every engine and under every partitioning, see
     gram_partials_quantized) plus ``cov_ok`` asserting the real float
     operator's covariance sits within ``band`` of the integer-derived
-    value. Quantization error at scale 2²² on |x|≤1 data is ≲3e-7, so
-    the 1e-4 band has ~300× margin while still failing on any genuine
-    formula/combine bug. Output: (i, j, n, sx_i, sx_j, sxx, cov_ok),
-    upper triangle i ≤ j, 0-based."""
+    value.
+
+    ``scale`` defaults to the OVERFLOW-SAFE derivation from the corpus
+    row count (:func:`derive_scale_log2` — one metadata-cheap count job;
+    an SQL oracle re-derives the identical value from ``count(*)``).
+    ``band`` defaults to ``max(1e-4, 8/scale)`` — ≥2.5× margin over the
+    ≲3/scale quantization error at any derived scale, still failing on
+    any genuine formula/combine bug. Missing statistics (empty input)
+    yield ``cov_ok = false``, not NULL — three-valued logic must not let
+    an indeterminate gate pass. Output: (i, j, n, sx_i, sx_j, sxx,
+    cov_ok), upper triangle i ≤ j, 0-based."""
     d = dims
+    if scale is None:
+        scale = 1 << derive_scale_log2(emb.count())
+    if band is None:
+        band = max(1e-4, 8.0 / scale)
     cells = (
         gram_partials_quantized(emb, d, col, scale)
         .select(F.posexplode("p").alias("idx", "v"))
@@ -136,7 +202,9 @@ def embedding_covariance_gated(
         ints.join(F.broadcast(fl), ["i", "j"])
         .select(
             "i", "j", "n", "sx_i", "sx_j", "sxx",
-            (F.abs(F.col("cov_f") - cov_q) <= band).alias("cov_ok"),
+            # coalesce: abs(NULL - x) <= band is NULL, and a NULL gate
+            # must read as FAILED, not indeterminate-pass (ADVICE r4)
+            F.coalesce(F.abs(F.col("cov_f") - cov_q) <= band, F.lit(False)).alias("cov_ok"),
         )
     )
 

@@ -9,7 +9,12 @@ import pytest
 
 from pyspark.sql import Row
 
-from mopso_engine.ext.linalg import embedding_covariance
+from mopso_engine.ext.linalg import (
+    derive_scale_log2,
+    embedding_covariance,
+    embedding_covariance_gated,
+    gram_partials_quantized,
+)
 from mopso_engine.ext.text import pmi_bigrams, tfidf_top_terms
 
 
@@ -46,6 +51,77 @@ def test_covariance_single_scan_plan(spark):
     # section): ≤2 occurrences ⇒ exactly one MapInPandas instance. The
     # branched rendering this guards against shows 4 instances (8 hits).
     assert plan.count("MapInPandas") <= 2
+
+
+def test_covariance_gated_matches_numpy_int_sums(spark):
+    """The quantized gate's int64 statistics must equal exact numpy int64
+    sums of the same quantization, and cov_ok must be true everywhere
+    (the float operator sits well inside the band)."""
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-0.9, 0.9, size=(257, 6)).astype(np.float32)  # odd n: ragged batches
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(v) for v in row]) for i, row in enumerate(x)]
+    )
+    d = 5
+    rows = embedding_covariance_gated(emb, dims=d).collect()
+    assert len(rows) == 15
+    k = derive_scale_log2(257)
+    q = np.floor(x[:, :d].astype(np.float64) * float(1 << k) + 0.5).astype(np.int64)
+    sq = q.sum(axis=0)
+    sqq = q.T @ q
+    for r in rows:
+        i, j = r["i"], r["j"]
+        assert i <= j
+        assert r["n"] == 257
+        assert r["sx_i"] == int(sq[i])
+        assert r["sx_j"] == int(sq[j])
+        assert r["sxx"] == int(sqq[i, j])
+        assert r["cov_ok"] is True
+
+
+def test_derive_scale_overflow_envelope():
+    """Exact integer derivation: n·2^(2k) must stay ≤ 2^61, k capped at
+    22, and corpora too big for the int64 floor fail loudly."""
+    for n in [1, 2, 131072, 131073, 1 << 30, (1 << 35)]:
+        k = derive_scale_log2(n)
+        assert n * (1 << (2 * k)) <= 1 << 61
+        assert k <= 22
+        # maximality: one more bit of scale would overflow (unless capped)
+        if k < 22:
+            assert n * (1 << (2 * (k + 1))) > 1 << 61
+    assert derive_scale_log2(131072) == 22  # boundary: exactly 2^61
+    assert derive_scale_log2(131073) == 21
+    with pytest.raises(ValueError, match="decimal"):
+        derive_scale_log2(1 << 40)  # needs k<13 -> int64 insufficient
+    with pytest.raises(ValueError):
+        derive_scale_log2(0)
+
+
+def test_quantized_kernel_rejects_nonfinite_and_out_of_bound(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    bad = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[0.1, float("nan")]), Row(vec_id=1, embedding=[0.2, 0.3])]
+    )
+    with pytest.raises((PythonException, Py4JJavaError), match="non-finite"):
+        gram_partials_quantized(bad, dims=2).collect()
+    big = spark.createDataFrame([Row(vec_id=0, embedding=[0.1, 5.0])])
+    with pytest.raises((PythonException, Py4JJavaError), match="x_bound"):
+        gram_partials_quantized(big, dims=2).collect()
+
+
+def test_covariance_gated_empty_input_fails_closed(spark):
+    """cov_ok on missing statistics must be FALSE, never NULL (Spark
+    three-valued logic would let an indeterminate gate pass)."""
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+    )
+    empty = spark.createDataFrame([], schema)
+    rows = embedding_covariance_gated(empty, dims=3, scale=1 << 22).collect()
+    assert all(r["cov_ok"] is False for r in rows)
 
 
 def test_tfidf_hand_oracle(spark):
