@@ -2405,22 +2405,31 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # Sampled-k-means IVF on the unlabeled corpus: the codebook is
-    # re-trained HERE from the same parquet through the same seeded
-    # numpy Lloyd (train_codebook_local — bit-identical to what the
-    # Spark query trains via train_codebook), then injected as VALUES;
-    # cell assignment, probe selection and top-k are re-derived in SQL.
-    _cb = ss.train_codebook_local(
-        os.path.join(
-            os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
-            "embeddings.parquet",
-        ),
-        k=8, iters=2, sample_fraction=0.5, seed=11,
+    # re-trained from the checked sf's OWN parquet through the same
+    # seeded numpy Lloyd (train_codebook_local — bit-identical to what
+    # the Spark query trains via train_codebook), then injected as
+    # VALUES; cell assignment, probe selection and top-k are re-derived
+    # in SQL. GUARDED like the fit oracles (VERDICT r4 #6): a missing or
+    # unreadable embeddings.parquet omits THIS entry (graceful rows-only
+    # fallback) instead of crashing construction of every oracle, and
+    # the sf dir comes from SPARK_GRAFT_ORACLE_SF_DIR — the same
+    # contract check_oracle.py exports — so a foreign-sf run trains on
+    # its own data rather than silently reusing an sf0.01 codebook.
+    _emb_path = os.path.join(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        "embeddings.parquet",
     )
+    try:
+        _cb = ss.train_codebook_local(
+            _emb_path, k=8, iters=2, sample_fraction=0.5, seed=11
+        ) if os.path.exists(_emb_path) else None
+    except Exception:
+        _cb = None
     _cb_rows = ",\n          ".join(
         f"({c}, CAST([{', '.join(repr(float(v)) for v in _cb[c])}] AS DOUBLE[]))"
         for c in range(len(_cb))
-    )
-    o["ann_ivf_unlabeled"] = f"""
+    ) if _cb is not None else None
+    _ann_ivf_unlabeled_sql = f"""
         WITH cb(cell, cv) AS (VALUES
           {_cb_rows}),
         {_ann_base},
@@ -2460,6 +2469,8 @@ def oracle_sql() -> dict[str, str]:
           FROM dots)
         SELECT query_id, nbr_id, rank::INT AS rank, round(c, 6) AS cos_sim FROM rk WHERE rank <= 5
     """
+    if _cb_rows is not None:
+        o["ann_ivf_unlabeled"] = _ann_ivf_unlabeled_sql
 
     # Same sign-LSH blocking as the Spark plan, from the SAME literal
     # hyperplanes (lsh_planes(64, 32, seed=7)) — DuckDB recomputes the
@@ -2522,7 +2533,26 @@ def oracle_sql() -> dict[str, str]:
         run_sf = os.environ.get(
             "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
         )
-        if os.path.normpath(run_sf) == os.path.normpath(
+        # the recorded trajectories also depend on the fitness kernel's
+        # reduction block size (part of the float-summation grouping):
+        # under an overridden MOPSO_REDUCE_BLOCK_ROWS the hash gates
+        # would fail in the last ulps with no pointer to the cause
+        # (VERDICT r4 #7) — fall back rows-only and say why, loudly.
+        from mopso_engine.objectives import _REDUCE_BLOCK_ROWS as _cur_block
+
+        _rec_block = fit_data.get("reduce_block_rows", 2048)
+        if _rec_block != _cur_block:
+            import sys as _sys
+
+            print(
+                f"[oracle_sql] fit oracles DISABLED: MOPSO_REDUCE_BLOCK_ROWS="
+                f"{_cur_block} != recorded {_rec_block} — seeded fit "
+                "trajectories differ in last ulps under a different block "
+                "size; regenerate with tools/gen_fit_oracle.py or unset the "
+                "env var (falling back to rows-only checks)",
+                file=_sys.stderr,
+            )
+        elif os.path.normpath(run_sf) == os.path.normpath(
             fit_data.get("sf_dir", "/root/testdata/sf0.01")
         ):
             o["mopso_fit"] = _fit_oracle_embeddings_sql(fit_data["mopso_fit"], knn_l=5)

@@ -41,8 +41,15 @@ def main() -> None:
     res_e, _ = em._fit_embeddings(spark, sf)
     res_f, _ = em._fit_embeddings_full(spark, sf)
     res_l, _ = em._fit_lineitem(spark, sf)
+    from mopso_engine.objectives import _REDUCE_BLOCK_ROWS
+
     data = {
         "sf_dir": sf,
+        # the reduction block size participates in the float-summation
+        # grouping, so the recorded trajectories are only valid under the
+        # SAME value — oracle loading checks this and falls back rows-only
+        # on mismatch (VERDICT r4 #7)
+        "reduce_block_rows": _REDUCE_BLOCK_ROWS,
         "mopso_fit": {
             "positions": [p.tolist() for p in res_e.archive_positions],
             "fitness": res_e.archive_fitness.tolist(),
