@@ -69,6 +69,33 @@ def test_report_has_per_solution_purity(blobs_df):
     assert "kmeans_baseline" in rep
 
 
+def test_report_text_rendering_matches_reference_shape(blobs_df, spark, tmp_path):
+    """The text rendering reproduces the reference report's line format
+    (Spark_MOPSO_Avg.scala:679-799): bilingual labels, dev,conn CSV
+    fitness lines, per-cluster center dumps, single-file text sink."""
+    from mopso_engine import MopsoConfig, MopsoEngine
+    from mopso_engine.report import build_report, render_report_text, save_report_text
+
+    eng = MopsoEngine(MopsoConfig(n_particles=4, iter_max=1, knn_l=5, seed=11))
+    res = eng.fit(blobs_df)
+    rep = build_report(eng, blobs_df, res, kmeans_baseline=True)
+    lines = render_report_text(
+        rep, dataset_path="/data/x.csv", output_path="/out/r", base_setting="cfg"
+    )
+    assert lines[1] == "数据集：/data/x.csv\n"
+    n_sol = len(rep["archive"])
+    assert f"外部存档解的形状：{n_sol}x2,外部存档的适应度值：" in lines
+    # one raw-fitness CSV line per solution, formatted dev,conn
+    e0 = rep["archive"][0]
+    assert f"{e0['dev']},{e0['conn']}" in lines
+    assert any(ln.startswith("MOPSO Center Point of Cluster 1==》  ") for ln in lines)
+    assert any(ln.startswith("Kmeans Center Point of Cluster 1==》  ") for ln in lines)
+    out = str(tmp_path / "report_txt")
+    save_report_text(spark, lines, out)
+    saved = spark.read.text(out).count()
+    assert saved >= len(lines)  # embedded newlines split into extra rows
+
+
 def test_inertia_oracle(assigned, blobs):
     _, x, _, c = blobs
     _, dist = oracle_assign(x, c)
