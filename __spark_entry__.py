@@ -1340,6 +1340,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (≥ ~0.8) operate at ~1e-2 worst-case miss rates."""
         return ss.cosine_neardup_pairs(read_table(spark, sf, "embeddings"), threshold=0.4)
 
+    def lloyd_kmeans(spark, sf):
+        """Distributed hand-rolled Lloyd's (SURVEY §2.11 M3, the
+        reference's SingleKmeans at MOPSO_Single.scala:1236-1375 made
+        distributed): integer-grid arithmetic (count-derived quantization
+        scale) makes assignment, center updates and SSE exact int64 —
+        bit-deterministic under any partitioning AND SQL-replayable, so
+        this ITERATIVE algorithm carries a full value-match oracle (3
+        fixed iterations, k=8, hash-seeded distinct init). One Arrow
+        linear scan + one tiny partial reduce per iteration."""
+        from mopso_engine.lloyd import lloyd_summary_df
+
+        emb = read_table(spark, sf, "embeddings").select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("features")
+        )
+        return lloyd_summary_df(emb, 8, seed=11, iters=3)
+
     # ---- multimodal plumbing ------------------------------------------------
     def multimodal_stats(spark, sf):
         """Typed-metadata aggregate over the fabricated binary asset table."""
@@ -1440,7 +1456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship: the full MOPSO fits with post-hoc relational oracles
         mopso_fit, mopso_fit_only, mopso_fit_full, mopso_fit_lineitem,
         # similarity-search / near-dup family
-        ann_topk, ann_ivf, ann_ivf_unlabeled, emb_neardup, multimodal_stats,
+        ann_topk, ann_ivf, ann_ivf_unlabeled, emb_neardup, lloyd_kmeans,
+        multimodal_stats,
         # round-3 additions: keyword/collocation extraction, distributed
         # linear algebra, sketches under the value gate
         tfidf_terms, pmi_collocations, emb_covariance,
@@ -2471,6 +2488,58 @@ def oracle_sql() -> dict[str, str]:
     """
     if _cb_rows is not None:
         o["ann_ivf_unlabeled"] = _ann_ivf_unlabeled_sql
+
+    # Distributed integer-grid Lloyd's (lloyd_kmeans): because the Spark
+    # operator quantizes points onto a count-derived power-of-two grid
+    # and then runs PURE int64 arithmetic (assignment distances, center
+    # update floor(Σq/n + 0.5), SSE), a SQL engine can replay the whole
+    # iterative trajectory bit-exactly: same scale derivation (integer
+    # shifts), same hash-seeded init, three unrolled assign/update
+    # rounds. This is the full value-match oracle an iterative float
+    # algorithm could never carry.
+    _lloyd_iter_tpl = """
+        d{i} AS (SELECT q.vec_id, c.cluster,
+                        sum((q.qv - c.qc) * (q.qv - c.qc)) AS d2
+                 FROM q JOIN c{p} c USING (dim) GROUP BY 1, 2),
+        a{i} AS (SELECT vec_id, cluster FROM (
+                   SELECT vec_id, cluster,
+                          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                   FROM d{i}) WHERE rn = 1),
+        s{i} AS (SELECT a.cluster, q.dim, sum(q.qv) AS sq, count(*) AS n
+                 FROM a{i} a JOIN q USING (vec_id) GROUP BY 1, 2),
+        c{i} AS (SELECT c.cluster, c.dim,
+                        CASE WHEN s.n IS NULL THEN c.qc
+                             ELSE floor(s.sq::DOUBLE / s.n + 0.5)::BIGINT END AS qc
+                 FROM c{p} c LEFT JOIN s{i} s ON s.cluster = c.cluster AND s.dim = c.dim)"""
+    _lloyd_iters = ",".join(
+        _lloyd_iter_tpl.format(i=i, p=i - 1 if i > 1 else 0) for i in (1, 2, 3)
+    )
+    o["lloyd_kmeans"] = f"""
+        WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        mx AS (SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS m
+               FROM embeddings),
+        xe AS (SELECT min(t.e) AS e FROM range(-20, 21) t(e), mx
+               WHERE mx.m <= power(2.0, t.e)),
+        ce AS (SELECT min(t.e) AS ce FROM range(0, 62) t(e), nn
+               WHERE (1::HUGEINT << t.e) >= nn.n),
+        sc AS (SELECT power(2.0, least(22, (61 - ce.ce) // 2 - (xe.e + 1))) AS s
+               FROM ce, xe),
+        q AS (SELECT vec_id, r.i - 1 AS dim,
+                     floor(embeddings.embedding[r.i]::DOUBLE * sc.s + 0.5)::BIGINT AS qv
+              FROM embeddings JOIN range(1, 65) r(i) ON true CROSS JOIN sc),
+        ord AS (SELECT vec_id,
+                       row_number() OVER (
+                         ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '#lloyd11'), 1, 8))::BIGINT,
+                                  vec_id) - 1 AS cluster
+                FROM embeddings),
+        c0 AS (SELECT o2.cluster, q.dim, q.qv AS qc
+               FROM ord o2 JOIN q USING (vec_id) WHERE o2.cluster < 8),
+        {_lloyd_iters}
+        SELECT c3.cluster::INT AS cluster, c3.dim::INT AS dim,
+               coalesce(cnt.n, 0)::BIGINT AS n, c3.qc AS qc
+        FROM c3 LEFT JOIN (SELECT cluster, count(*) AS n FROM a3 GROUP BY 1) cnt
+          ON cnt.cluster = c3.cluster
+    """
 
     # Same sign-LSH blocking as the Spark plan, from the SAME literal
     # hyperplanes (lsh_planes(64, 32, seed=7)) — DuckDB recomputes the
