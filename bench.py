@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "ann_ivf",
     "emb_covariance",
+    "lloyd_kmeans",
     # the full algorithm: tiny budget (fit-only — the r01-comparable
     # number — and fit+rescore, separated per VERDICT r2 #6), the
     # reference's 50x10xL10 budget, and the 600k-row partition-local

@@ -65,10 +65,19 @@ COMMENTS = {
     "vocab df), a vocab-keyed join, the corpus size as a broadcast scalar, "
     "one doc_id window for top-k — keyword extraction with no Python and "
     "nothing quadratic.",
-    "emb_covariance": "ONE MapInPandas scan emits packed per-batch Gram "
-    "partials (BLAS x'x); a tiny cell shuffle + single-row map pack replace "
-    "the O(n*d^2) exploded self-join. The plan is a single linear chain — "
-    "no branch re-runs the kernel (pinned by test_linalg).",
+    "emb_covariance": "GATED rendering: the int64-quantized partial scan "
+    "(exact statistics, the hashed payload) plus the float operator's scan "
+    "(banded by cov_ok) — two linear MapInPandas passes total, each a "
+    "packed-partials chain with a tiny cell shuffle; still never the "
+    "O(n*d^2) exploded self-join, and each chain is branch-free so its "
+    "kernel runs once (pinned by test_linalg).",
+    "lloyd_kmeans": "Iterative driver-loop (plan shown is the final tiny "
+    "LocalTableScan of driver-held centers): each of the 3 iterations ran "
+    "ONE MapInPandas linear scan emitting packed per-cluster int64 partials "
+    "(assignment + count + SSE + sums fused) and one posexplode+groupBy "
+    "reduce over k*(2+d) cells — O(n) rows never shuffle; the int-grid "
+    "arithmetic makes every iteration bit-deterministic under any "
+    "partitioning.",
 }
 
 
