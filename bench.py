@@ -161,6 +161,11 @@ def main() -> None:
 
     from mopso_engine.ext.dedup import clear_shingle_caches
 
+    # warm the calibration workloads themselves (BLAS thread pool, the
+    # calib job's codegen) so pre vs post measures HOST drift, not the
+    # calib's own first-run JIT — without this the pre reading ran ~2x
+    # the post on an idle host
+    _cpu_calibration(), _spark_calibration(spark)
     cpu_pre, spark_pre = _cpu_calibration(), _spark_calibration(spark)
 
     qs = entry_mod.queries()
