@@ -48,15 +48,20 @@ from mopso_engine.ext.pipeline import hash_uniform
 _PARTIAL_SCHEMA_Q = StructType([StructField("p", ArrayType(LongType(), False), False)])
 
 
-def x_bound_log2(points: DataFrame, feat_col: str = "features") -> int:
-    """Smallest integer e with max|x| ≤ 2^e — via an exact, order-free
-    max aggregation (one columnar scan) and exact power-of-two
-    comparisons (no float log2 at a boundary; an SQL twin derives the
-    identical e from the same max)."""
+def _bound_and_count(points: DataFrame, feat_col: str) -> tuple[float, int]:
+    """max|x| and row count in ONE columnar scan (order-free exact
+    aggregates)."""
     row_max = F.aggregate(
         feat_col, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v.cast("double")))
     )
-    m = points.select(F.max(row_max).alias("m")).collect()[0]["m"]
+    r = points.select(F.max(row_max).alias("m"), F.count(F.lit(1)).alias("n")).collect()[0]
+    return r["m"], r["n"]
+
+
+def _exponent_of(m: float) -> int:
+    """Smallest integer e with m ≤ 2^e — exact power-of-two comparisons
+    (no float log2 at a boundary; an SQL twin derives the identical e
+    from the same max)."""
     if m is None:
         raise ValueError("x_bound_log2: empty input")
     if not np.isfinite(m):
@@ -65,6 +70,12 @@ def x_bound_log2(points: DataFrame, feat_col: str = "features") -> int:
         if m <= 2.0**e:
             return e
     raise ValueError(f"x_bound_log2: |x|={m} out of supported range (<= 2^20)")
+
+
+def x_bound_log2(points: DataFrame, feat_col: str = "features") -> int:
+    """Smallest integer e with max|x| ≤ 2^e over the whole corpus."""
+    m, _ = _bound_and_count(points, feat_col)
+    return _exponent_of(m)
 
 
 @dataclass
@@ -110,16 +121,17 @@ def _iteration_stats(
             diff = q[:, None, :] - qc[None, :, :]
             d2 = (diff * diff).sum(axis=2)
             assign = d2.argmin(axis=1)
-            packed = np.zeros(k * (2 + d), dtype=np.int64)
-            for c in range(k):
-                mask = assign == c
-                nc = int(mask.sum())
-                if nc == 0:
-                    continue
-                base = c * (2 + d)
-                packed[base] = nc
-                packed[base + 1] = d2[mask, c].sum()
-                packed[base + 2 : base + 2 + d] = q[mask].sum(axis=0)
+            # vectorized per-cluster fold — int64 scatter-adds keep the
+            # statistics EXACT (bincount's float weights would silently
+            # round past 2^53), and nothing is O(k·batch)
+            n_c = np.bincount(assign, minlength=k).astype(np.int64)
+            sse_c = np.zeros(k, dtype=np.int64)
+            np.add.at(sse_c, assign, d2[np.arange(len(q)), assign])
+            sq_c = np.zeros((k, d), dtype=np.int64)
+            np.add.at(sq_c, assign, q)
+            packed = np.concatenate(
+                [n_c[:, None], sse_c[:, None], sq_c], axis=1
+            ).reshape(-1)
             yield pd.DataFrame({"p": [packed]})
 
     cells = (
@@ -156,10 +168,10 @@ def lloyd_fit(
     below it (``shold=1e-10``, MOPSO_Single.scala:1239) — capped at
     ``max_iters`` (the reference loops unboundedly).
     """
-    n = points.count()
+    m, n = _bound_and_count(points, feat_col)  # one scan for both
     if n < k:
         raise ValueError(f"lloyd_fit: n={n} < k={k}")
-    e = x_bound_log2(points, feat_col)
+    e = _exponent_of(m)
     # +1 headroom: worst-case (q - qc)² is 4× a point's own q² bound
     scale_log2 = derive_scale_log2(n, e + 1)
     scale = float(1 << scale_log2)
