@@ -2522,7 +2522,7 @@ def oracle_sql() -> dict[str, str]:
                WHERE mx.m <= power(2.0, t.e)),
         ce AS (SELECT min(t.e) AS ce FROM range(0, 62) t(e), nn
                WHERE (1::HUGEINT << t.e) >= nn.n),
-        sc AS (SELECT power(2.0, least(22, (61 - ce.ce) // 2 - (xe.e + 1))) AS s
+        sc AS (SELECT power(2.0, least(22 - (xe.e + 1), (61 - ce.ce) // 2 - (xe.e + 1))) AS s
                FROM ce, xe),
         q AS (SELECT vec_id, r.i - 1 AS dim,
                      floor(embeddings.embedding[r.i]::DOUBLE * sc.s + 0.5)::BIGINT AS qv

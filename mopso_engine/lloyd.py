@@ -92,7 +92,7 @@ class LloydResult:
     @property
     def centers(self) -> np.ndarray:
         """Float centers (grid coordinates / scale)."""
-        return self.centers_q.astype(np.float64) / float(1 << self.scale_log2)
+        return self.centers_q.astype(np.float64) / 2.0**self.scale_log2
 
 
 def _iteration_stats(
@@ -174,7 +174,9 @@ def lloyd_fit(
     e = _exponent_of(m)
     # +1 headroom: worst-case (q - qc)² is 4× a point's own q² bound
     scale_log2 = derive_scale_log2(n, e + 1)
-    scale = float(1 << scale_log2)
+    # possibly NEGATIVE for large-magnitude features (raw prices etc.):
+    # a coarser absolute grid with the same relative precision
+    scale = 2.0**scale_log2
 
     # seeded distinct init: k rows with the smallest hash prefix
     init_rows = (

@@ -64,7 +64,7 @@ def test_lloyd_matches_numpy_twin_and_is_partition_invariant(spark, xdata):
     assert res4.sse_q == res1.sse_q == res13.sse_q
 
     # numpy twin from the same init rows
-    scale = float(1 << res4.scale_log2)
+    scale = 2.0**res4.scale_log2
     from mopso_engine.ext.pipeline import hash_uniform
 
     init = (
@@ -94,7 +94,7 @@ def test_lloyd_convergence_mode(spark, xdata):
     # SSE is non-increasing along the recorded history (Lloyd guarantee
     # holds on the grid up to rounding; allow half-grid-step slack)
     sses = [h["sse"] for h in res.history]
-    slack = 1.0 / (1 << res.scale_log2)
+    slack = 2.0**-res.scale_log2
     assert all(b <= a + slack for a, b in zip(sses, sses[1:]))
 
 
@@ -123,7 +123,11 @@ def test_x_bound_and_scale_derivation(spark):
     assert x_bound_log2(_points_df(spark, big, n_parts=1)) == 2
     # headroom: scale uses x_bound+1, so worst-case (q-qc)^2 sums fit
     k = derive_scale_log2(2, 0 + 1)
-    assert 2 * (1 << (2 * k + 2)) <= 1 << 61
+    assert 2 * 2 ** (2 * k + 2) <= 1 << 61
+    # large-magnitude features get a coarser absolute grid (negative k
+    # allowed) with the SAME relative resolution instead of an error
+    k_big = derive_scale_log2(1 << 30, 18)  # e.g. raw prices, |x| <= 2^17
+    assert k_big + 18 >= 13 and k_big < 0
 
 
 def test_lloyd_summary_df_shape(spark, xdata):
