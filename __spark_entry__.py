@@ -1280,6 +1280,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.avg("o_totalprice").over(wmov), 4).alias("mov_avg3"),
         )
 
+    def orders_ranking_suite(spark, sf):
+        """Ranking-function breadth (the window shapes orders_window_suite
+        does not cover): ntile quartiles, percent_rank, cume_dist and
+        lead over each customer's order history — still ONE shuffle on
+        o_custkey shared by every function. percent_rank/cume_dist round
+        to 6dp so the fraction is engine-exact."""
+        o = read_table(spark, sf, "orders").where(F.col("o_custkey") < 100)
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        return o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+            F.round(
+                F.first("o_totalprice").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+                ),
+                2,
+            ).alias("first_price"),
+        )
+
     def events_interval_join(spark, sf):
         """Interval (range) join: purchases within the 30 minutes BEFORE
         each click of the same user — equality join on user_id with the
@@ -1473,7 +1496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q20_promo_suppliers,
         # round-2 relational breadth
         q4_priority, q13_custdist, q16_supplier_variety, q22_idle_customers,
-        orders_window_suite, orders_range_window, events_interval_join,
+        orders_window_suite, orders_range_window, orders_ranking_suite,
+        events_interval_join,
         events_sessions_native, user_stats, q6_forecast, sales_rollup,
         # dedup / text pipeline
         dedup_exact, dedup_jaccard, dedup_jaccard_capped,
@@ -2347,6 +2371,24 @@ def oracle_sql() -> dict[str, str]:
                round(avg(o_totalprice) OVER (PARTITION BY o_custkey
                      ORDER BY o_orderdate, o_orderkey
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3
+        FROM orders
+        WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """
+
+    # Spark's ntile distributes the remainder to the FIRST groups, same
+    # as the SQL-standard ntile DuckDB implements; percent_rank/cume_dist
+    # are (rank-1)/(n-1) and rank_with_ties/n in both engines.
+    o["orders_ranking_suite"] = """
+        SELECT o_custkey, o_orderkey,
+               ntile(4) OVER w::INT AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cdist,
+               round(lead(o_totalprice) OVER w, 2) AS next_price,
+               round(first_value(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+                 AS first_price
         FROM orders
         WHERE o_custkey < 100
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
