@@ -396,6 +396,47 @@ def asof_join_stream_static(
     return stream_left.mapInPandas(kernel, schema=out_schema)
 
 
+def write_stream_parquet_idempotent(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    query_name: str = "to_parquet",
+) -> None:
+    """Production sink shape: foreachBatch → parquet with EXACTLY-ONCE
+    output. Spark's checkpoint guarantees each micro-batch id is
+    delivered at least once across restarts; exactly-once then requires
+    the sink itself to be idempotent per batch id — here each batch
+    writes to its own ``batch_id=<id>`` directory with dynamic partition
+    overwrite, so a replayed batch OVERWRITES its previous attempt
+    instead of appending duplicates (the standard batchId-keyed ledger
+    pattern). Readers just read ``path`` (batch_id is a partition
+    column they can drop). Drains with Trigger.AvailableNow."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str = "events_windowed", *, output_mode: str = "complete"
 ) -> DataFrame:

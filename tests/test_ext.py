@@ -472,6 +472,41 @@ class TestStreaming:
         nn = lambda v: None if v != v else v  # noqa: E731  (NaN → None)
         assert {k: nn(v) for k, v in stream.items()} == batch
 
+    def test_foreach_batch_parquet_sink_is_idempotent(self, spark, tmp_path):
+        """The foreachBatch parquet sink must be EXACTLY-ONCE: draining
+        the same source into the same sink+checkpoint twice (a restart
+        replay) yields no duplicate rows, and a fresh checkpoint over the
+        same sink path overwrites its batch dirs instead of appending."""
+        from mopso_engine.ext.streaming import (
+            events_stream_source,
+            write_stream_parquet_idempotent,
+        )
+
+        out = str(tmp_path / "ev_sink")
+        ckpt = str(tmp_path / "ckpt")
+        src = events_stream_source(spark, f"{SF}/events.parquet").select(
+            "event_id", "user_id", "value"
+        )
+        write_stream_parquet_idempotent(src, out, ckpt, query_name="sink_t1")
+        n_expected = spark.read.parquet(f"{SF}/events.parquet").count()
+        first = spark.read.parquet(out)
+        assert first.count() == n_expected
+        # same checkpoint: the drained source has nothing new -> no change
+        src2 = events_stream_source(spark, f"{SF}/events.parquet").select(
+            "event_id", "user_id", "value"
+        )
+        write_stream_parquet_idempotent(src2, out, ckpt, query_name="sink_t2")
+        assert spark.read.parquet(out).count() == n_expected
+        # FRESH checkpoint (worst-case replay from zero): batch dirs are
+        # overwritten per batch_id, not appended
+        src3 = events_stream_source(spark, f"{SF}/events.parquet").select(
+            "event_id", "user_id", "value"
+        )
+        write_stream_parquet_idempotent(src3, out, str(tmp_path / "ckpt2"), query_name="sink_t3")
+        replay = spark.read.parquet(out)
+        assert replay.count() == n_expected
+        assert replay.select("event_id").distinct().count() == n_expected
+
     def test_stream_runs_twice_in_one_session(self, spark):
         """The driver may invoke a streaming query repeatedly in one
         session — unique memory-sink names must make that safe."""
