@@ -159,11 +159,15 @@ def jaccard_pairs(
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     join_side = sh
     if max_shingle_df is not None:
+        # Broadcast the STOP-shingle list (df > cap) and anti-join it away.
+        # The stop list is the tiny bounded side — at any corpus scale only
+        # a handful of shingles exceed a sane df cap, while the surviving
+        # set is nearly ALL distinct shingles (unbounded: millions at sf0.1,
+        # driver-OOM at 100 TB if broadcast). Same semantics as an inner
+        # join on survivors: keep shingle ⟺ df ≤ cap.
         df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        join_side = sh.join(
-            F.broadcast(df_counts.where(F.col("df") <= max_shingle_df).select("shingle")),
-            "shingle",
-        )
+        stop_shingles = df_counts.where(F.col("df") > max_shingle_df).select("shingle")
+        join_side = sh.join(F.broadcast(stop_shingles), "shingle", "left_anti")
     a = join_side.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = join_side.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
