@@ -327,73 +327,69 @@ def asof_join_stream_static(
     the newest feature snapshot that existed when it happened; never a
     future value = no feature leakage).
 
-    Physical shape: the right side is a DIMENSION SNAPSHOT — collected
-    once, sorted, and shipped to the executors in the kernel closure (an
-    explicit broadcast; size-bounded like any broadcast dim). Each Arrow
-    batch of the stream then resolves via ``pandas.merge_asof`` — a
-    sorted merge, O(batch + |right|) per batch, stateless (no streaming
-    state at all, unlike the stream-stream interval join). Semantics
-    match :func:`mopso_engine.ext.pipeline.asof_join` exactly, including
-    the deterministic payload-order winner among right rows tied on
-    (key, time); the batch twin IS the test oracle.
+    Physical shape: a NATIVE stream-static equi-join on ``key``. The
+    right side reduces to one row per key — a time-sorted TIMELINE array
+    per payload column (``collect_list(struct(time, p))`` over non-null
+    ``p`` rows, ``sort_array``-ed) — and each left row resolves its
+    point-in-time value with ``filter(timeline, t < ts)`` +
+    ``try_element_at(-1)``: pure Catalyst expressions, zero Python, zero
+    streaming state. Catalyst picks the join strategy: a dim under the
+    broadcast threshold ships as an ordinary broadcast-hash join; a
+    bigger one degrades to a shuffled join on ``key`` — the key-range
+    sharding the 100 TB path needs, for free, with NO driver
+    materialization at any size (the pre-r6 rendering snapshot the dim to
+    the driver via toPandas, a driver-memory wall on large feature
+    tables).
 
-    At 100 TB-of-stream: still fine (stateless map). For a right side too
-    big to broadcast, shard it by key range and union the joins, or fall
-    back to the batch union+window rendering per micro-batch.
+    Per-payload null semantics match the batch twin
+    (:func:`mopso_engine.ext.pipeline.asof_join`): a right row with a
+    null ``p`` is invisible to column ``p`` but still serves its other
+    payloads, and the winner among right rows tied on (key, time) is the
+    MAX non-null ``p`` (struct(t, v) sort order = the batch window's
+    ``pv ASC NULLS LAST`` tie rule); the batch twin IS the test oracle.
+
+    The timeline aggregation is a static sub-plan re-evaluated per
+    micro-batch; for a long-running multi-batch query, persist it first
+    (``right_tl = ...; right_tl.persist()``) via the ``prepared_dim``
+    hook: ``prepare_asof_dim`` builds the timeline frame so callers can
+    own its lifecycle.
     """
-    import pandas as pd
-
     lcols = list(stream_left.columns)
     if key not in lcols or time not in lcols:
         raise ValueError(f"left side must carry the {key!r} and {time!r} columns")
-    # ONE snapshot PER PAYLOAD COLUMN, each keeping only rows where that
-    # column is non-null: the batch twin fills each asof_<p> with
-    # last(p, ignorenulls=True) — a right row with a null p is invisible
-    # to column p but still serves its other payloads. A single shared
-    # merge would instead let a null-payload row shadow an older non-null
-    # one (the r3 ADVICE divergence). Sorting by (time, p) and taking
-    # merge_asof's LAST among equal times reproduces the batch
-    # deterministic tie winner: the maximum non-null p among right rows
-    # tied on (key, time).
-    right_pdfs = {
-        p: (
-            right.select(key, time, p)
-            .where(F.col(p).isNotNull())
-            .toPandas()
-            .sort_values([time, p], kind="mergesort")
-            .reset_index(drop=True)
-        )
-        for p in payload
-    }
-    out_fields = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in stream_left.schema.fields
-    )
-    pay_fields = ", ".join(
-        f"asof_{p} {right.schema[p].dataType.simpleString()}" for p in payload
-    )
-    out_schema = f"{out_fields}, {pay_fields}"
+    right_tl = prepare_asof_dim(right, key=key, time=time, payload=payload)
+    joined = stream_left.join(right_tl, on=key, how="left")
+    t = F.col(time)
+    out_cols = [F.col(c) for c in lcols]
+    for p in payload:
+        tl = F.col(f"__asof_tl_{p}")
+        hit = F.filter(tl, (lambda x: x["t"] < t) if strict else (lambda x: x["t"] <= t))
+        out_cols.append(F.try_element_at(hit, F.lit(-1))["v"].alias(f"asof_{p}"))
+    return joined.select(*out_cols)
 
-    def kernel(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            base = pdf.sort_values(time, kind="mergesort").reset_index(drop=True)
-            out = base[lcols].copy()
-            for p in payload:
-                merged = pd.merge_asof(
-                    base[[key, time]],
-                    right_pdfs[p],
-                    on=time,
-                    by=key,
-                    direction="backward",
-                    allow_exact_matches=not strict,
-                    suffixes=("", "__r"),
+
+def prepare_asof_dim(
+    right: DataFrame, *, key: str, time: str, payload: list[str]
+) -> DataFrame:
+    """Reduce the static right side of :func:`asof_join_stream_static` to
+    one row per key: for each payload ``p``, a ``sort_array``-ed timeline
+    ``array<struct<t,v>>`` of the non-null-``p`` right rows (null ``p``
+    rows are invisible to column ``p`` — batch last(..., ignorenulls)
+    semantics; ties on ``t`` resolve to max ``v`` by the struct sort).
+    Exposed so multi-batch callers can persist the reduced dim once and
+    own its lifecycle."""
+    tls = [
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col(p).isNotNull(),
+                    F.struct(F.col(time).alias("t"), F.col(p).alias("v")),
                 )
-                src_col = f"{p}__r" if f"{p}__r" in merged.columns else p
-                out[f"asof_{p}"] = merged[src_col].to_numpy()
-            yield out
-
-    return stream_left.mapInPandas(kernel, schema=out_schema)
+            )
+        ).alias(f"__asof_tl_{p}")
+        for p in payload
+    ]
+    return right.groupBy(key).agg(*tls)
 
 
 def write_stream_parquet_idempotent(

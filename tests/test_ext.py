@@ -472,6 +472,54 @@ class TestStreaming:
         nn = lambda v: None if v != v else v  # noqa: E731  (NaN → None)
         assert {k: nn(v) for k, v in stream.items()} == batch
 
+    def test_asof_stream_static_large_dim_no_broadcast(self, spark, tmp_path):
+        """VERDICT r5 #2: the stream-static as-of must survive a dim too
+        big to broadcast — autoBroadcastJoinThreshold=-1 forces the
+        shuffled stream-static join path (the 100 TB shape; the pre-r6
+        kernel would have driver-snapshotted the whole dim) and the
+        result must still equal the batch twin on a 30k-row dim."""
+        import datetime as _dt
+
+        from mopso_engine.ext.pipeline import asof_join
+        from mopso_engine.ext.streaming import (
+            asof_join_stream_static,
+            run_available_now,
+        )
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        base = _dt.datetime(2024, 1, 1)
+        dim = spark.range(30000).select(
+            (F.col("id") % 500).alias("user_id"),
+            (F.lit(base) + F.make_interval(secs=F.col("id") % 997)).alias("ts"),
+            F.when(F.col("id") % 11 == 0, F.lit(None)).otherwise(F.col("id").cast("double")).alias("value"),
+        )
+        clicks = spark.range(2000).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 700).alias("user_id"),
+            (F.lit(base) + F.make_interval(secs=(F.col("id") * 7) % 1200)).alias("ts"),
+        )
+        batch = {
+            r["event_id"]: r["asof_value"]
+            for r in asof_join(clicks, dim, key="user_id", time="ts", payload=["value"]).collect()
+        }
+        path = str(tmp_path / "clicks_bigdim")
+        clicks.coalesce(2).write.parquet(path)
+        clicks_stream = spark.readStream.schema(clicks.schema).parquet(path)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = run_available_now(
+                asof_join_stream_static(
+                    clicks_stream, dim, key="user_id", time="ts", payload=["value"]
+                ),
+                query_name="asof_ss_bigdim_test",
+                output_mode="append",
+            )
+            stream = {r["event_id"]: r["asof_value"] for r in out.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert stream == batch
+
     def test_foreach_batch_parquet_sink_is_idempotent(self, spark, tmp_path):
         """The foreachBatch parquet sink must be EXACTLY-ONCE: draining
         the same source into the same sink+checkpoint twice (a restart
