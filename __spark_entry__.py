@@ -2562,8 +2562,8 @@ def oracle_sql() -> dict[str, str]:
                FROM embeddings),
         xe AS (SELECT min(t.e) AS e FROM range(-20, 21) t(e), mx
                WHERE mx.m <= power(2.0, t.e)),
-        ce AS (SELECT min(t.e) AS ce FROM range(0, 62) t(e), nn
-               WHERE (1::HUGEINT << t.e) >= nn.n),
+        ce AS (SELECT min(t.e) AS ce FROM range(0, 80) t(e), nn
+               WHERE (1::HUGEINT << t.e) >= nn.n * 64),
         sc AS (SELECT power(2.0, least(22 - (xe.e + 1), (61 - ce.ce) // 2 - (xe.e + 1))) AS s
                FROM ce, xe),
         q AS (SELECT vec_id, r.i - 1 AS dim,

@@ -172,13 +172,9 @@ def lloyd_fit(
     if n < k:
         raise ValueError(f"lloyd_fit: n={n} < k={k}")
     e = _exponent_of(m)
-    # +1 headroom: worst-case (q - qc)² is 4× a point's own q² bound
-    scale_log2 = derive_scale_log2(n, e + 1)
-    # possibly NEGATIVE for large-magnitude features (raw prices etc.):
-    # a coarser absolute grid with the same relative precision
-    scale = 2.0**scale_log2
 
-    # seeded distinct init: k rows with the smallest hash prefix
+    # seeded distinct init: k rows with the smallest hash prefix (also
+    # tells us d, which the scale derivation below needs)
     init_rows = (
         points.select(id_col, feat_col, hash_uniform(id_col, salt=f"lloyd{seed}").alias("u"))
         .orderBy("u", id_col)
@@ -186,8 +182,17 @@ def lloyd_fit(
         .collect()
     )
     x0 = np.stack([np.asarray(r[feat_col], dtype=np.float64) for r in init_rows])
+    d = x0.shape[1]
+
+    # +1 headroom: worst-case (q - qc)² is 4× a point's own q² bound.
+    # The SSE partial sums (q - qc)² over ALL d dims per point, so the
+    # envelope must bound n·d squared terms, not n (ADVICE r5: with n
+    # alone, a d=64 corpus could overflow int64 by up to 2^6 silently).
+    scale_log2 = derive_scale_log2(n * d, e + 1)
+    # possibly NEGATIVE for large-magnitude features (raw prices etc.):
+    # a coarser absolute grid with the same relative precision
+    scale = 2.0**scale_log2
     centers_q = np.floor(x0 * scale + 0.5).astype(np.int64)
-    d = centers_q.shape[1]
 
     history: list[dict] = []
     prev_sse_q: int | None = None

@@ -121,9 +121,11 @@ def test_x_bound_and_scale_derivation(spark):
     assert x_bound_log2(df) == 0  # 0.9 <= 2^0
     big = np.float32([[3.0, 1.0]])
     assert x_bound_log2(_points_df(spark, big, n_parts=1)) == 2
-    # headroom: scale uses x_bound+1, so worst-case (q-qc)^2 sums fit
-    k = derive_scale_log2(2, 0 + 1)
-    assert 2 * 2 ** (2 * k + 2) <= 1 << 61
+    # headroom: scale uses x_bound+1 and an n·d term count, so the SSE's
+    # worst-case sum of n·d squared (q-qc) terms fits int64 (ADVICE r5)
+    n, d = 2, 6
+    k = derive_scale_log2(n * d, 0 + 1)
+    assert n * d * 2 ** (2 * k + 2) <= 1 << 61
     # large-magnitude features get a coarser absolute grid (negative k
     # allowed) with the SAME relative resolution instead of an error
     k_big = derive_scale_log2(1 << 30, 18)  # e.g. raw prices, |x| <= 2^17

@@ -194,7 +194,8 @@ def test_lloyd_iteration_shuffles_only_partial_cells(spark):
     from mopso_engine.ext.linalg import derive_scale_log2
 
     n = emb.count()
-    scale = float(1 << derive_scale_log2(n, x_bound_log2(emb) + 1))
+    # n·d envelope: the SSE partial sums d squared terms per point
+    scale = float(2.0 ** derive_scale_log2(n * 64, x_bound_log2(emb) + 1))
     centers_q = np.zeros((4, 64), dtype=np.int64)
     # _iteration_stats collects; assert on the equivalent plan instead
     stats_df = (
