@@ -94,12 +94,39 @@ def derive_scale_log2(n: int, x_bound_log2: int = 0) -> int:
     return k
 
 
+def derive_combine_plan(n: int, x_bound_log2: int = 0) -> tuple[int, str]:
+    """(scale_log2, combine) for EXACT sufficient statistics at any
+    corpus size: ``int64`` while the count-derived scale keeps ≥ 2¹³
+    relative grid steps (:func:`derive_scale_log2`, n ≲ 2³⁵ rows), else
+    the ``decimal(38,0)`` ESCALATION at the full 2²² relative resolution
+    — per-emit partials stay int64-safe through the kernel's row
+    chunking (≤ 2¹⁵ rows · 2⁴⁴ per squared term ≤ 2⁵⁹), and the global
+    combine gets 38 decimal digits ≈ 2¹²⁶ of headroom (exhausted only
+    past ~10²⁴ rows). Both regimes are exact and combine-order-proof;
+    decimal just trades JVM combine speed for unbounded n."""
+    try:
+        return derive_scale_log2(n, x_bound_log2), "int64"
+    except ValueError:
+        if n < 1:
+            raise
+        return _RES_LOG2_MAX - x_bound_log2, "decimal"
+
+
+#: rows per emitted partial inside the quantized kernel: 2^15 rows of
+#: |q| ≤ 2^22 keep every per-emit cell ≤ 2^15·2^44 = 2^59 < 2^61, so the
+#: int64 safety of a SINGLE partial never depends on the corpus size —
+#: only the global combine does (int64 via count-derived scale, or the
+#: decimal(38,0) escalation; see derive_combine_plan)
+_CHUNK_ROWS = 1 << 15
+
+
 def gram_partials_quantized(
     emb: DataFrame,
     dims: int,
     col: str = "embedding",
     scale: int = 1 << 22,
     x_bound: float = 1.0,
+    chunk_rows: int = _CHUNK_ROWS,
 ) -> DataFrame:
     """Integer twin of :func:`gram_partials`: each value is quantized to
     ``q = floor(x·scale + 0.5)`` (an exact float64 op on the float32
@@ -124,24 +151,27 @@ def gram_partials_quantized(
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.stack(pdf[col].to_numpy())[:, :dims].astype(np.float64)
-            if not np.isfinite(x).all():
+            xb = np.stack(pdf[col].to_numpy())[:, :dims].astype(np.float64)
+            if not np.isfinite(xb).all():
                 raise ValueError(
                     f"gram_partials_quantized: non-finite value in {col!r} — "
                     "quantization would emit platform-dependent int64 garbage"
                 )
-            amax = float(np.abs(x).max(initial=0.0))
+            amax = float(np.abs(xb).max(initial=0.0))
             if amax > x_bound:
                 raise ValueError(
                     f"gram_partials_quantized: |x|={amax} exceeds x_bound={x_bound}; "
                     "the int64 overflow guarantee assumes this bound — raise x_bound "
                     "and re-derive the scale"
                 )
-            q = np.floor(x * s + 0.5).astype(np.int64)
-            packed = np.concatenate(
-                ([np.int64(q.shape[0])], q.sum(axis=0), (q.T @ q).ravel())
-            ).astype(np.int64)
-            yield pd.DataFrame({"p": [packed]})
+            # chunked emits: each partial's cells are int64-safe regardless
+            # of Arrow batch sizing or corpus size (see _CHUNK_ROWS)
+            for lo in range(0, len(xb), chunk_rows):
+                q = np.floor(xb[lo : lo + chunk_rows] * s + 0.5).astype(np.int64)
+                packed = np.concatenate(
+                    ([np.int64(q.shape[0])], q.sum(axis=0), (q.T @ q).ravel())
+                ).astype(np.int64)
+                yield pd.DataFrame({"p": [packed]})
 
     return emb.select(col).mapInPandas(kernel, schema=_PARTIAL_SCHEMA_Q)
 
@@ -152,6 +182,7 @@ def embedding_covariance_gated(
     col: str = "embedding",
     scale: int | None = None,
     band: float | None = None,
+    combine: str = "auto",
 ) -> DataFrame:
     """The VALUE-GATE rendering of :func:`embedding_covariance` (the
     sketch pattern, not the rounded-float pattern): emits the EXACT
@@ -162,24 +193,45 @@ def embedding_covariance_gated(
     value.
 
     ``scale`` defaults to the OVERFLOW-SAFE derivation from the corpus
-    row count (:func:`derive_scale_log2` — one metadata-cheap count job;
-    an SQL oracle re-derives the identical value from ``count(*)``).
-    ``band`` defaults to ``max(1e-4, 8/scale)`` — ≥2.5× margin over the
-    ≲3/scale quantization error at any derived scale, still failing on
-    any genuine formula/combine bug. Missing statistics (empty input)
-    yield ``cov_ok = false``, not NULL — three-valued logic must not let
-    an indeterminate gate pass. Output: (i, j, n, sx_i, sx_j, sxx,
-    cov_ok), upper triangle i ≤ j, 0-based."""
+    row count (:func:`derive_combine_plan` — costs one extra count job
+    per call, metadata-cheap on parquet sources; an SQL oracle
+    re-derives the identical value from ``count(*)``). ``combine`` is
+    ``'auto'`` (int64 while the count-derived scale is representable,
+    else the exact ``decimal(38,0)`` escalation — n ≳ 2³⁵ rows keeps
+    full 2²² relative resolution instead of erroring), or ``'int64'`` /
+    ``'decimal'`` to force a regime; in the decimal regime the statistic
+    columns (n, sx_i, sx_j, sxx) come back as decimal(38,0). ``band``
+    defaults to ``max(1e-4, 8/scale)`` — ≥2.5× margin over the ≲3/scale
+    quantization error at any derived scale, still failing on any
+    genuine formula/combine bug. Missing statistics (empty input) yield
+    ``cov_ok = false``, not NULL — three-valued logic must not let an
+    indeterminate gate pass, and an EMPTY corpus with the default scale
+    fails closed the same way instead of erroring in the derivation.
+    Output: (i, j, n, sx_i, sx_j, sxx, cov_ok), upper triangle i ≤ j,
+    0-based."""
     d = dims
     if scale is None:
-        scale = 1 << derive_scale_log2(emb.count())
+        n_rows = emb.count()
+        if n_rows == 0:
+            # fail-closed: no statistics → every gate row reads cov_ok=false
+            scale = 1 << _RES_LOG2_MAX
+        else:
+            k, derived = derive_combine_plan(n_rows)
+            scale = 1 << k
+            if combine == "auto":
+                combine = derived
+    if combine == "auto":
+        combine = "int64"
+    if combine not in ("int64", "decimal"):
+        raise ValueError(f"combine must be 'auto', 'int64' or 'decimal', got {combine!r}")
     if band is None:
         band = max(1e-4, 8.0 / scale)
+    partial_v = F.col("v").cast("decimal(38,0)") if combine == "decimal" else F.col("v")
     cells = (
         gram_partials_quantized(emb, d, col, scale)
         .select(F.posexplode("p").alias("idx", "v"))
         .groupBy("idx")
-        .agg(F.sum("v").alias("s"))
+        .agg(F.sum(partial_v).alias("s"))
     )
     packed = cells.agg(F.map_from_entries(F.collect_list(F.struct("idx", "s"))).alias("m"))
     k = F.col("k")
@@ -198,10 +250,13 @@ def embedding_covariance_gated(
         )
     )
     s = float(scale)
-    cov_q = (
-        F.col("sxx") / F.col("n") / (s * s)
-        - (F.col("sx_i") / F.col("n") / s) * (F.col("sx_j") / F.col("n") / s)
+    # explicit double casts: in the decimal regime a decimal/decimal
+    # division would truncate to decimal fraction digits instead of
+    # float64 (int64 longs already divided as double, unchanged)
+    _n, _si, _sj, _sxx = (
+        F.col(c).cast("double") for c in ("n", "sx_i", "sx_j", "sxx")
     )
+    cov_q = _sxx / _n / (s * s) - (_si / _n / s) * (_sj / _n / s)
     fl = embedding_covariance(emb, d, col, round_dp=None).withColumnRenamed("cov", "cov_f")
     return (
         ints.join(F.broadcast(fl), ["i", "j"])

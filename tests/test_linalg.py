@@ -122,6 +122,69 @@ def test_covariance_gated_empty_input_fails_closed(spark):
     empty = spark.createDataFrame([], schema)
     rows = embedding_covariance_gated(empty, dims=3, scale=1 << 22).collect()
     assert all(r["cov_ok"] is False for r in rows)
+    # ADVICE r5: the DEFAULT scale must also fail closed on an empty
+    # corpus (derive from count would raise n >= 1) — same gate rows,
+    # no extra args needed
+    rows_default = embedding_covariance_gated(empty, dims=3).collect()
+    assert len(rows_default) == 6
+    assert all(r["cov_ok"] is False for r in rows_default)
+
+
+def test_derive_combine_plan_escalates_to_decimal():
+    """derive_combine_plan: int64 with the count-derived scale while
+    representable; past ~2^35 rows, decimal(38,0) at full 2^22 relative
+    resolution instead of an error."""
+    from mopso_engine.ext.linalg import derive_combine_plan
+
+    k, combine = derive_combine_plan(257)
+    assert combine == "int64" and k == derive_scale_log2(257)
+    k, combine = derive_combine_plan(1 << 40)
+    assert combine == "decimal" and k == 22
+    k, combine = derive_combine_plan(1 << 40, 3)
+    assert combine == "decimal" and k == 19  # relative resolution preserved
+    with pytest.raises(ValueError):
+        derive_combine_plan(0)
+
+
+def test_covariance_gated_decimal_path_matches_numpy_int_oracle(spark):
+    """VERDICT r5 #8: the decimal(38,0) combine must reproduce the exact
+    numpy int sums of the same quantization — the overflow-regime
+    degradation is exact-decimal, not approximate."""
+    rng = np.random.default_rng(13)
+    x = rng.uniform(-0.9, 0.9, size=(101, 4)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(v) for v in row]) for i, row in enumerate(x)]
+    )
+    d = 4
+    rows = embedding_covariance_gated(emb, dims=d, scale=1 << 22, combine="decimal").collect()
+    assert len(rows) == 10
+    q = np.floor(x[:, :d].astype(np.float64) * float(1 << 22) + 0.5).astype(np.int64)
+    sq = q.sum(axis=0)
+    sqq = q.T @ q
+    for r in rows:
+        i, j = r["i"], r["j"]
+        assert int(r["n"]) == 101
+        assert int(r["sx_i"]) == int(sq[i])
+        assert int(r["sx_j"]) == int(sq[j])
+        assert int(r["sxx"]) == int(sqq[i, j])
+        assert r["cov_ok"] is True
+
+
+def test_quantized_kernel_chunked_emits_are_exact(spark):
+    """Chunked partial emission (the per-emit int64 safety valve of the
+    decimal regime) must not change the combined statistics: tiny
+    chunk_rows forces many emits per batch, totals still exact."""
+    rng = np.random.default_rng(17)
+    x = rng.uniform(-0.9, 0.9, size=(67, 3)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(v) for v in row]) for i, row in enumerate(x)]
+    )
+    parts = gram_partials_quantized(emb, dims=3, scale=1 << 20, chunk_rows=8).collect()
+    assert len(parts) >= math.ceil(67 / 8)  # forced multiple emits
+    total = np.sum([np.asarray(r["p"], dtype=np.int64) for r in parts], axis=0)
+    q = np.floor(x.astype(np.float64) * float(1 << 20) + 0.5).astype(np.int64)
+    expect = np.concatenate(([67], q.sum(axis=0), (q.T @ q).ravel()))
+    assert (total == expect).all()
 
 
 def test_tfidf_hand_oracle(spark):
