@@ -407,7 +407,27 @@ def write_stream_parquet_idempotent(
     overwrite, so a replayed batch OVERWRITES its previous attempt
     instead of appending duplicates (the standard batchId-keyed ledger
     pattern). Readers just read ``path`` (batch_id is a partition
-    column they can drop). Drains with Trigger.AvailableNow."""
+    column they can drop). Drains with Trigger.AvailableNow.
+
+    Same-checkpoint replays are idempotent by construction. Starting
+    over with a FRESH checkpoint renumbers micro-batches from 0, so any
+    ``batch_id=`` partition a previous run left behind that the new run
+    does not re-emit (fewer batches from a different trigger/file split,
+    or an aborted run) would survive and duplicate reads — so a fresh
+    checkpoint (no ``commits`` dir yet) first clears the sink's existing
+    ``batch_id=`` partitions (ADVICE r5). Hadoop-FS API throughout, so
+    the cleanup works on HDFS/S3A paths, not just local files."""
+    spark = stream_df.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    cp_commits = jvm.org.apache.hadoop.fs.Path(checkpoint + "/commits")
+    if not cp_commits.getFileSystem(hconf).exists(cp_commits):
+        sink_path = jvm.org.apache.hadoop.fs.Path(path)
+        fs = sink_path.getFileSystem(hconf)
+        if fs.exists(sink_path):
+            for st in fs.listStatus(sink_path):
+                if st.getPath().getName().startswith("batch_id="):
+                    fs.delete(st.getPath(), True)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -547,10 +547,21 @@ class TestStreaming:
         assert spark.read.parquet(out).count() == n_expected
         # FRESH checkpoint (worst-case replay from zero): batch dirs are
         # overwritten per batch_id, not appended
+        # plant a stale high-batch_id partition an aborted earlier run
+        # could have left: a fresh checkpoint renumbers from 0 and would
+        # never overwrite it (ADVICE r5) — the sink must clear it on start
+        import os as _os
+
+        stale = _os.path.join(out, "batch_id=999")
+        _os.makedirs(stale, exist_ok=True)
+        spark.createDataFrame(
+            [(10**9, 1, 1.0)], "event_id long, user_id long, value double"
+        ).write.mode("overwrite").parquet(stale)
         src3 = events_stream_source(spark, f"{SF}/events.parquet").select(
             "event_id", "user_id", "value"
         )
         write_stream_parquet_idempotent(src3, out, str(tmp_path / "ckpt2"), query_name="sink_t3")
+        assert not _os.path.exists(stale)
         replay = spark.read.parquet(out)
         assert replay.count() == n_expected
         assert replay.select("event_id").distinct().count() == n_expected
