@@ -807,6 +807,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs_with_dups(read_table(spark, sf, "documents")), bits=32, bands=4, max_hamming=3
         )
 
+    def knn_lsh_recall(spark, sf):
+        """Recall gate for the approximate LSH kNN backend (J2's declared
+        100 TB Conn path, objectives.knn_pairs_lsh): BucketedRandom-
+        ProjectionLSH top-5 over the FULL points table, scored against
+        the exact top-5 for the fixed deterministic query sample
+        id % 17 == 0. Spark ML's hash tables aren't reproducible in SQL,
+        so the oracle pins the sketch-gate booleans (sample size +
+        recall >= 0.8) rather than pair values — the sketch_*_check
+        pattern (VERDICT r5 #7). Measured recall here: ~0.95-0.96 at
+        sf0.01 and sf0.1, so the 0.8 gate has real margin yet still
+        fails on a broken hash family or join."""
+        from mopso_engine.objectives import knn_pairs_crossjoin, knn_pairs_lsh
+
+        pts = points_from_embeddings(spark, sf)
+        sample = F.col("id") % 17 == 0
+        lsh = knn_pairs_lsh(pts, 5).where(sample)
+        exact = knn_pairs_crossjoin(pts, 5).where(sample)
+        hits = lsh.join(exact.select("id", "nbr_id"), ["id", "nbr_id"]).agg(
+            F.count("*").alias("hits")
+        )
+        ns = pts.where(sample).agg(F.count("*").alias("n_sampled"))
+        return ns.crossJoin(hits).select(
+            F.col("n_sampled").cast("long").alias("n_sampled"),
+            F.lit(5).cast("int").alias("l"),
+            (F.col("hits") / (F.col("n_sampled") * 5) >= 0.8).alias("recall_ok"),
+        )
+
     def events_sessions_native(spark, sf):
         """Native session windows (F.session_window): gap-merged sessions
         per user with [first, last+gap) bounds — the engine-managed twin
@@ -1470,48 +1497,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     # Registration order IS the driver's correctness-sweep order, and the
-    # sweep runs under a time budget (the r02 run truncated after the
-    # 50th entry, leaving the tail driver-unverified). The flagship fit
-    # oracles, the ANN/near-dup family and the newest relational shapes
-    # therefore run FIRST; the long-stable round-1 queries run last so
-    # any future truncation only ever drops re-verification of old work.
+    # sweep runs under a time budget (it truncates around the 50th
+    # entry). ROTATION POLICY (VERDICT r5 #4): flagships first, then
+    # every query whose CODE changed this round, then the stale tail —
+    # the queries longest without a driver row (oldest-verified-first) —
+    # so each query re-earns a driver row within ~2 rounds. Queries
+    # driver-verified green LAST round with unchanged code rotate to the
+    # back, where a truncation only drops the freshest re-verification.
     for fn in (
         # flagship: the full MOPSO fits with post-hoc relational oracles
         mopso_fit, mopso_fit_only, mopso_fit_full, mopso_fit_lineitem,
-        # similarity-search / near-dup family
-        ann_topk, ann_ivf, ann_ivf_unlabeled, emb_neardup, lloyd_kmeans,
-        multimodal_stats,
-        # round-3 additions: keyword/collocation extraction, distributed
-        # linear algebra, sketches under the value gate
-        tfidf_terms, pmi_collocations, emb_covariance,
+        # round-6 new / code-changed this round
+        knn_lsh_recall, lloyd_kmeans, emb_covariance,
+        events_asof_stream, events_asof,
+        dedup_jaccard_capped, dedup_jaccard_skewed,
+        dedup_jaccard_skewed_uncapped, dedup_jaccard,
+        # stale tail: last driver row r02 — oldest-verified-first
+        corpus_curation, minhash_sigs, lsh_candidates, simhash_fp,
+        dedup_verified, simhash_neardup, docs_sample, events_sessionized,
+        text_stats, quality, lang_pred, token_counts, fingerprints,
+        points_ingest, feature_minmax, count_and_k, assign_nearest,
+        cluster_sizes, dev_inertia, avg_dist_per_cluster, purity,
+        accuracy, dbi, silhouette, knn_top5, conn_objective, pareto_front,
+        crowding, minmax_norm, q1_pricing, q3_shipping, nation_revenue,
+        top_parts, order_priorities, events_windowed, events_stream,
+        dedup_exact,
+        # verified green in r05, code unchanged — rotate to the back
+        ann_topk, ann_ivf, ann_ivf_unlabeled, emb_neardup,
+        multimodal_stats, tfidf_terms, pmi_collocations,
         sketch_distinct_check, sketch_quantile_check,
-        # set-op / anti-join / pivot / cube / quantile relational shapes
         big_orders, customers_without_orders, active_custkeys_diff,
         active_custkeys_both, active_custkeys_diff_all, events_pivot,
         status_cube, value_quantiles,
-        # round-3 relational breadth: the remaining TPC-H join shapes
         q5_local_supplier, q7_volume_shipping, q8_market_share,
         q9_profit_shape, q10_returned_items, q14_promo_share,
         q15_top_supplier, q17_small_quantity, q19_or_of_ands,
         q20_promo_suppliers,
-        # round-2 relational breadth
         q4_priority, q13_custdist, q16_supplier_variety, q22_idle_customers,
         orders_window_suite, orders_range_window, orders_ranking_suite,
         events_interval_join,
         events_sessions_native, user_stats, q6_forecast, sales_rollup,
-        # dedup / text pipeline
-        dedup_exact, dedup_jaccard, dedup_jaccard_capped,
-        dedup_jaccard_skewed, dedup_jaccard_skewed_uncapped, corpus_curation,
-        minhash_sigs,
-        lsh_candidates, simhash_fp, dedup_verified, simhash_neardup,
-        docs_sample, events_sessionized, events_asof, events_asof_stream,
-        text_stats, quality, lang_pred, token_counts, fingerprints,
-        # round-1 core: MOPSO building blocks + relational anchors
-        points_ingest, feature_minmax, count_and_k, assign_nearest, cluster_sizes,
-        dev_inertia, avg_dist_per_cluster, purity, accuracy, dbi, silhouette,
-        knn_top5, conn_objective, pareto_front, crowding, minmax_norm,
-        q1_pricing, q3_shipping, nation_revenue, top_parts, order_priorities,
-        events_windowed, events_stream,
     ):
         q[fn.__name__] = fn
     return q
@@ -1970,6 +1995,16 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(value, 0.99), 6) AS p99,
                true AS ok50, true AS ok90, true AS ok99
         FROM events GROUP BY 1
+    """
+
+    # LSH kNN recall gate (same pattern): Spark ML's random hyperplane
+    # tables aren't SQL-reproducible, so the oracle pins the sample size
+    # (derivable: the id % 17 == 0 query set) and recall_ok TRUE — a
+    # broken hash family / bucket join drives recall under 0.8 and
+    # value-hash-fails the row
+    o["knn_lsh_recall"] = """
+        SELECT count(*)::BIGINT AS n_sampled, 5::INT AS l, true AS recall_ok
+        FROM embeddings WHERE vec_id % 17 = 0
     """
 
     _mh = _MINHASH_CTE.format(src="documents")

@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "lsh_candidates",
     "simhash_fp",
     "simhash_neardup",
+    # approximate kNN backend (J2 scale path): full-table LSH join +
+    # exact-sample recall gate (VERDICT r5 #7)
+    "knn_lsh_recall",
     "ann_topk",
     "ann_ivf",
     "emb_covariance",
