@@ -1475,6 +1475,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out, "solution int, dev double, conn double, kernel_ok boolean"
         )
 
+    def mopso_fit_lineitem_only(spark, sf):
+        """The lineitem scale fit WITHOUT the post-hoc relational rescore
+        — the bench's fit-only timing for the scale demo (VERDICT r5 #5:
+        the r01 anchor never paid the rescore that mopso_fit_lineitem now
+        includes, so THIS entry carries that anchor; mirrors what
+        mopso_fit_only is to mopso_fit). The fit is bit-deterministic, so
+        the exploded archive positions keep a full value oracle from the
+        recorded literals."""
+        res, _ = _fit_lineitem(spark, sf)
+        rows = [
+            (s, c, d, round(float(v), 6))
+            for s, pos in enumerate(res.archive_positions)
+            for c in range(len(pos))
+            for d, v in enumerate(pos[c])
+        ]
+        return spark.createDataFrame(rows, "solution int, cluster int, dim int, pos double")
+
     def mopso_fit_lineitem(spark, sf):
         """The scale-demonstration fit (see _fit_lineitem), post-hoc
         verified: global Dev re-computed relationally per archive entry
@@ -1507,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for fn in (
         # flagship: the full MOPSO fits with post-hoc relational oracles
         mopso_fit, mopso_fit_only, mopso_fit_full, mopso_fit_lineitem,
+        mopso_fit_lineitem_only,
         # round-6 new / code-changed this round
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
         events_asof_stream, events_asof,
@@ -2721,6 +2739,19 @@ def oracle_sql() -> dict[str, str]:
                 )
             o["mopso_fit_lineitem"] = _fit_oracle_lineitem_sql(
                 fit_data["mopso_fit_lineitem"]
+            )
+            # fit-only twin of the scale demo: recorded positions ARE the
+            # oracle, exactly like mopso_fit_only
+            _li_pos = ",\n          ".join(
+                f"({s}, {c}, {d}, {round(float(v), 6)!r})"
+                for s, pos in enumerate(fit_data["mopso_fit_lineitem"]["positions"])
+                for c in range(len(pos))
+                for d, v in enumerate(pos[c])
+            )
+            o["mopso_fit_lineitem_only"] = (
+                "SELECT solution::INT AS solution, cluster::INT AS cluster,\n"
+                "       dim::INT AS dim, pos::DOUBLE AS pos\n"
+                f"FROM (VALUES {_li_pos}) AS t(solution, cluster, dim, pos)"
             )
     return o
 

@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     "mopso_fit_only",
     "mopso_fit",
     "mopso_fit_full",
+    # scale demo, fit-only first (the r01-anchor-comparable number) then
+    # fit+rescore (VERDICT r5 #5 split)
+    "mopso_fit_lineitem_only",
     "mopso_fit_lineitem",
 ]
 
@@ -90,7 +93,9 @@ ANCHOR_R01 = {
     "purity": 1.039, "dev_inertia": 0.593, "knn_top5": 0.575,
     "lang_pred": 0.792, "dedup_jaccard": 3.816, "dedup_verified": 6.097,
     "lsh_candidates": 1.519, "simhash_fp": 0.953, "ann_topk": 0.600,
-    "ann_ivf": 1.044, "mopso_fit_only": 4.371, "mopso_fit_lineitem": 12.657,
+    # the r01 mopso_fit_lineitem never paid the post-hoc rescore the
+    # current entry includes — its anchor belongs to the fit-only twin
+    "ann_ivf": 1.044, "mopso_fit_only": 4.371, "mopso_fit_lineitem_only": 12.657,
     "conn_objective": 1.026, "text_stats": 0.400,
 }
 
