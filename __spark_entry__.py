@@ -533,36 +533,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             read_table(spark, sf, "documents"), k=3, threshold=0.5, max_shingle_df=4
         )
 
+    #: boilerplate footer appended to EVERY doc by ``_skewed_docs`` — 40
+    #: tokens → 38 interior 3-gram shingles, each at df = n (5 000 at
+    #: sf0.1), so the uncapped twin pays ~38·C(n,2) ≈ 475 M intersection
+    #: rows. The r1-r5 rendering (4-token footer on every third doc,
+    #: 2 hot shingles, ~2.8 M rows) was below host noise on this
+    #: container — the pair "measured" nothing (r6 quartet re-runs showed
+    #: capped ≈ uncapped ± 0.5 s both ways).
+    _SKEW_FOOTER = (
+        " shared boilerplate footer applies to every single corpus document"
+        " this legal disclaimer text is mirrored verbatim across the whole collection"
+        " all rights reserved unauthorized reproduction of this material is strictly prohibited"
+        " please contact the site administrator for licensing questions and takedown requests"
+    )
+
     def _skewed_docs(spark, sf):
-        """documents with a PLANTED hot shingle: every third doc gains the
-        same 4-token boilerplate footer, so two stop-shingles reach
-        df ≈ n/3 — the synthetic corpus's natural shingle-df distribution
-        is too flat to show the skew lever's benefit in the bench."""
+        """documents with PLANTED hot shingles: every doc gains the same
+        40-token boilerplate footer (38 stop-shingles at df = n) — the
+        synthetic corpus's natural shingle-df distribution is too flat to
+        show the skew lever's benefit in the bench. The skewed twins run
+        at threshold 0.8 (not 0.5) so the shared footer cannot surface
+        spurious result pairs: two min-length docs (10 tokens → 8 own
+        shingles each) top out at 38/(8+8+38) ≈ 0.70 < 0.8."""
         docs = read_table(spark, sf, "documents")
-        return docs.withColumn(
-            "text",
-            F.when(
-                F.col("doc_id") % 3 == 0,
-                F.concat(F.col("text"), F.lit(" shared boilerplate footer applies")),
-            ).otherwise(F.col("text")),
-        )
+        return docs.withColumn("text", F.concat(F.col("text"), F.lit(_SKEW_FOOTER)))
 
     def dedup_jaccard_skewed(spark, sf):
         """Jaccard on the planted-skew corpus WITH the cap (max_shingle_df
-        = 64): the df ≈ n/3 boilerplate shingles vanish from the join
+        = 64): the df = n boilerplate shingles vanish from the join
         side, so the planted skew costs nothing. Benched against its
         uncapped twin at sf0.1 — the pair measures the lever, not just
-        unit-tests it (VERDICT r2 #8)."""
-        return dd.jaccard_pairs(_skewed_docs(spark, sf), k=3, threshold=0.5, max_shingle_df=64)
+        unit-tests it (VERDICT r2 #8). ``stop_shingles_in_sizes=False``
+        scores pairs over the capped universe (stopword-filtered jaccard):
+        with a df = n footer on every doc, counting the dropped footer in
+        |∪| but never in |∩| would drag every true near-dup below any
+        threshold — the capped estimate must ignore boilerplate on BOTH
+        sides of the ratio to stay a similarity measure."""
+        return dd.jaccard_pairs(
+            _skewed_docs(spark, sf), k=3, threshold=0.8, max_shingle_df=64,
+            stop_shingles_in_sizes=False,
+        )
 
     def dedup_jaccard_skewed_uncapped(spark, sf):
-        """The uncapped twin of dedup_jaccard_skewed: the two planted hot
-        shingles contribute ~(n/3)² intersection rows each — the join
-        blow-up the cap exists to prevent. Boilerplate-only overlap never
-        reaches jaccard 0.5, so the reported pair set matches the capped
-        twin's (values differ only by hot-shingle |∩| credit); the COST
-        difference is what the bench pair measures."""
-        return dd.jaccard_pairs(_skewed_docs(spark, sf), k=3, threshold=0.5)
+        """The uncapped twin of dedup_jaccard_skewed: the 38 planted hot
+        shingles contribute ~C(n,2) intersection rows EACH (~475 M at
+        sf0.1) — the join blow-up the cap exists to prevent. Boilerplate
+        overlap never reaches jaccard 0.8, so the reported pair set
+        matches the capped twin's (values differ only by hot-shingle |∩|
+        credit); the COST difference is what the bench pair measures."""
+        return dd.jaccard_pairs(_skewed_docs(spark, sf), k=3, threshold=0.8)
 
     def corpus_curation(spark, sf):
         """END-TO-END curation manifest — the north-star composition in
@@ -1864,12 +1883,18 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # planted-skew twins: the same shingle pipeline over documents with
-    # the boilerplate footer appended to every third doc (mirrors
+    # the 40-token boilerplate footer appended to EVERY doc (mirrors
     # queries()._skewed_docs exactly — lowercase, single-space text means
-    # the appended footer survives normalization unchanged)
+    # the appended footer survives normalization unchanged); threshold
+    # 0.8, not 0.5, so footer-only overlap can never surface a pair
+    _sk_footer = (
+        " shared boilerplate footer applies to every single corpus document"
+        " this legal disclaimer text is mirrored verbatim across the whole collection"
+        " all rights reserved unauthorized reproduction of this material is strictly prohibited"
+        " please contact the site administrator for licensing questions and takedown requests"
+    )
     _sk_src = (
-        "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
-        "THEN text || ' shared boilerplate footer applies' ELSE text END AS text, "
+        f"(SELECT doc_id, text || '{_sk_footer}' AS text, "
         "lang, source, n_chars FROM documents)"
     )
     _shk = _SHINGLE_CTE.format(src=_sk_src)
@@ -1877,14 +1902,14 @@ def oracle_sql() -> dict[str, str]:
         WITH {_shk},
         dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
         js AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle) WHERE dfc.df <= 64),
-        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        sz AS (SELECT doc_id, count(*) AS n FROM js GROUP BY 1),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
           FROM js a JOIN js b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc_a, doc_b, round(ni*1.0/(sa.n + sb.n - ni), 6) AS jaccard
         FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-        WHERE ni*1.0/(sa.n + sb.n - ni) >= 0.5
+        WHERE ni*1.0/(sa.n + sb.n - ni) >= 0.8
     """
     o["dedup_jaccard_skewed_uncapped"] = f"""
         WITH {_shk},
@@ -1895,7 +1920,7 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY 1, 2)
         SELECT doc_a, doc_b, round(ni*1.0/(sa.n + sb.n - ni), 6) AS jaccard
         FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-        WHERE ni*1.0/(sa.n + sb.n - ni) >= 0.5
+        WHERE ni*1.0/(sa.n + sb.n - ni) >= 0.8
     """
 
     # end-to-end curation: the composed twins of quality (toks CTE),

@@ -133,6 +133,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     *,
     max_shingle_df: int | None = None,
+    stop_shingles_in_sizes: bool = True,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
@@ -144,11 +145,19 @@ def jaccard_pairs(
     ``max_shingle_df`` is the skew lever for wide corpora: shingles whose
     document frequency exceeds it are dropped from the JOIN side (they are
     stop-shingles — each contributes df² candidate pairs while carrying
-    almost no discriminative signal). Set sizes still count every shingle,
-    so the jaccard of surviving pairs only *underestimates* |∩| on the
-    dropped hot keys — candidate recall trades against the join blow-up,
-    the standard inverted-index trick. AQE skew-join splitting handles the
-    residual imbalance.
+    almost no discriminative signal). By default set sizes still count
+    every shingle, so the jaccard of surviving pairs only *underestimates*
+    |∩| on the dropped hot keys — candidate recall trades against the join
+    blow-up, the standard inverted-index trick. AQE skew-join splitting
+    handles the residual imbalance.
+
+    ``stop_shingles_in_sizes=False`` computes jaccard over the CAPPED
+    shingle universe instead (sizes also exclude stop-shingles): the
+    stopword-filtered similarity of IR practice. Use it when ubiquitous
+    boilerplate (df ≈ corpus size) would otherwise drag every true
+    near-dup pair's estimate toward zero — shared-by-everyone shingles
+    carry no pairwise signal, so excluding them from BOTH |∩| and |∪|
+    measures similarity of the discriminative remainder.
 
     Pass ``shingles`` to reuse an already-materialized (doc_id, shingle)
     table and own its lifecycle; by default the shared shingle subtree is
@@ -156,7 +165,6 @@ def jaccard_pairs(
     the module registry note).
     """
     sh = shingles if shingles is not None else word_shingles(docs, k)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     join_side = sh
     if max_shingle_df is not None:
         # Broadcast the STOP-shingle list (df > cap) and anti-join it away.
@@ -168,6 +176,8 @@ def jaccard_pairs(
         df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         stop_shingles = df_counts.where(F.col("df") > max_shingle_df).select("shingle")
         join_side = sh.join(F.broadcast(stop_shingles), "shingle", "left_anti")
+    size_side = sh if stop_shingles_in_sizes else join_side
+    sizes = size_side.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = join_side.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = join_side.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (

@@ -115,6 +115,33 @@ class TestDedup:
         capped = dd.jaccard_pairs(hot, threshold=0.0, max_shingle_df=5).collect()
         assert capped == []  # hot shingles dropped; no residual overlap
 
+    def test_jaccard_capped_universe_scores_ignore_boilerplate(self, spark):
+        """stop_shingles_in_sizes=False computes jaccard over the CAPPED
+        shingle universe: two docs identical except for a shared
+        boilerplate footer (hot shingles) must score 1.0 — the default
+        rendering would dilute them by the dropped footer shingles."""
+        footer = " alpha beta gamma delta epsilon zeta"
+        rows = [(i, " ".join(f"u{i}w{j}" for j in range(8)) + footer, "en", "t", 0) for i in range(8)]
+        # docs 6 and 7 share their core text too (true near-dups)
+        rows[7] = (7, " ".join(f"u6w{j}" for j in range(8)) + footer, "en", "t", 0)
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        filtered = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dd.jaccard_pairs(
+                docs, threshold=0.0, max_shingle_df=5, stop_shingles_in_sizes=False
+            ).collect()
+        }
+        # only the true near-dup pair survives, at full similarity
+        assert filtered == {(6, 7): 1.0}
+        # the default rendering keeps the footer in |∪| → diluted score
+        diluted = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dd.jaccard_pairs(docs, threshold=0.0, max_shingle_df=5).collect()
+        }
+        assert diluted[(6, 7)] < 1.0
+
     def test_jaccard_on_candidates_matches_full(self, spark, docs):
         sub = docs.where(F.col("doc_id") < 100)
         cands = dd.minhash_lsh_candidates(sub)
