@@ -621,6 +621,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the cut is engine-independent."""
         return tx.pmi_bigrams(read_table(spark, sf, "documents"), min_count=5, top_n=50)
 
+    def repetition_stats(spark, sf):
+        """Gopher-style repetition quality gate (`ext.text.repetition_stats`,
+        Rae et al. 2021 A1.1): per-doc top-word / top-2-gram / dup-word
+        fractions + pass flag. Two partial-aggregable (doc_id, gram)
+        count shuffles, zip-slice bigrams (no window, no Python)."""
+        return tx.repetition_stats(read_table(spark, sf, "documents"))
+
+    def decontaminate(spark, sf):
+        """Benchmark decontamination (`ext.dedup.ngram_decontaminate`, the
+        GPT-3 appendix-C procedure) over the planted-duplicate corpus:
+        a deterministic 5% hash sample plays the eval suite; its 5-gram
+        set is broadcast and the corpus stream is probed map-only, so
+        every synthesized copy of a benchmark doc comes back
+        ``contaminated`` — the corpus never shuffles on the gram key.
+        (5-grams, not the dedup family's 3: at 3 the synthetic corpus's
+        tiny vocabulary makes organic collisions flag 84% of the corpus
+        — degenerate; at 5 the flag tracks real copies.)"""
+        return dd.ngram_decontaminate(_docs_with_dups(read_table(spark, sf, "documents")), k=5)
+
+    def semdedup(spark, sf):
+        """SemDedup (`ext.simsearch.semdedup`, Abbas et al. 2023):
+        cluster-then-prune semantic dedup on the unlabeled corpus — the
+        SAME sampled-k-means codebook as ann_ivf_unlabeled assigns
+        coarse cells in one Arrow scan, then an equality self-join on
+        the cell key drops any vector with a lower-id in-cell neighbor
+        at cos ≥ 0.4. O(Σ cell²) pairs, never a corpus cross-product."""
+        emb = read_table(spark, sf, "embeddings").drop("label")
+        cb = ss.train_codebook(emb, k=8, iters=2, sample_fraction=0.5, seed=11)
+        return ss.semdedup(emb, cb, threshold=0.4)
+
     def emb_covariance(spark, sf):
         """16×16 upper-triangle covariance of the embedding columns,
         VALUE-GATED (`ext.linalg.embedding_covariance_gated`): the hashed
@@ -1545,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mopso_fit, mopso_fit_only, mopso_fit_full, mopso_fit_lineitem,
         mopso_fit_lineitem_only,
         # round-6 new / code-changed this round
+        repetition_stats, decontaminate, semdedup,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
         events_asof_stream, events_asof,
         dedup_jaccard_capped, dedup_jaccard_skewed,
@@ -1853,6 +1884,49 @@ def oracle_sql() -> dict[str, str]:
           FROM dd)
         SELECT fp, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_id
         FROM fps GROUP BY 1 HAVING count(*) > 1
+    """
+
+    o["repetition_stats"] = r"""
+        WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        w AS (SELECT doc_id, unnest(t) AS g FROM toks),
+        wc AS (SELECT doc_id, g, count(*) AS c FROM w GROUP BY 1, 2),
+        wa AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+                      max(c) AS top_word
+               FROM wc GROUP BY 1),
+        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+               FROM toks),
+        bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        ba AS (SELECT doc_id, max(c) AS top_bigram FROM bc GROUP BY 1),
+        m AS (SELECT wa.doc_id, n_tokens,
+                     round(top_word * 1.0 / n_tokens, 6) AS top_word_frac,
+                     round(least(coalesce(top_bigram * 2.0 / n_tokens, 0.0), 1.0), 6) AS top_2gram_frac,
+                     round((n_tokens - n_distinct) * 1.0 / n_tokens, 6) AS dup_word_frac
+              FROM wa LEFT JOIN ba USING (doc_id))
+        SELECT doc_id, n_tokens, top_word_frac, top_2gram_frac, dup_word_frac,
+               (top_word_frac <= 0.10 AND top_2gram_frac <= 0.08) AS gopher_pass
+        FROM m
+    """
+
+    # 5-gram variant of _SHINGLE_CTE (decontamination uses k=5 — see the
+    # query docstring; DuckDB slices are inclusive, so i:i+4 is 5 tokens)
+    _sh_dd = _SHINGLE_CTE.format(src="dd").replace("t[i:i+2]", "t[i:i+4]").replace(
+        "len(t)-2", "len(t)-4"
+    )
+    o["decontaminate"] = f"""
+        WITH dd AS ({_DOCS_DUP_SQL}),
+        {_sh_dd},
+        bench AS (SELECT doc_id FROM dd
+                  WHERE (('0x' || substr(md5(doc_id::VARCHAR || '#bench'), 1, 8))::BIGINT)::DOUBLE
+                        / 4294967296.0 < 0.05),
+        bgr AS (SELECT DISTINCT sh.shingle FROM sh JOIN bench USING (doc_id)),
+        hits AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN bgr USING (shingle) GROUP BY 1)
+        SELECT dd.doc_id,
+               coalesce(b.is_b, false) AS in_benchmark,
+               coalesce(hits.n, 0)::BIGINT AS n_hit_grams,
+               ((NOT coalesce(b.is_b, false)) AND coalesce(hits.n, 0) > 0) AS contaminated
+        FROM dd
+        LEFT JOIN (SELECT doc_id, true AS is_b FROM bench) b USING (doc_id)
+        LEFT JOIN hits USING (doc_id)
     """
 
     _sh = _SHINGLE_CTE.format(src="documents")
@@ -2608,6 +2682,36 @@ def oracle_sql() -> dict[str, str]:
     """
     if _cb_rows is not None:
         o["ann_ivf_unlabeled"] = _ann_ivf_unlabeled_sql
+        # SemDedup replays the SAME injected codebook: cell assignment
+        # (argmax cosine, ties to the lowest cell), in-cell lower-id
+        # pairing, and the unrounded-threshold prune — all relational.
+        o["semdedup"] = f"""
+        WITH cb(cell, cv) AS (VALUES
+          {_cb_rows}),
+        p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pc AS (
+          SELECT p.vec_id, cb.cell,
+                 list_sum(list_transform(list_zip(p.v, cb.cv), x -> x[1]*x[2])) /
+                 (sqrt(list_sum(list_transform(p.v, x -> x*x))) *
+                  sqrt(list_sum(list_transform(cb.cv, x -> x*x)))) AS cs
+          FROM p, cb),
+        cells AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
+            FROM pc) WHERE rn = 1),
+        pr AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, unnest(pa.v) AS x, unnest(pb.v) AS y
+          FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          JOIN p pa ON pa.vec_id = a.vec_id
+          JOIN p pb ON pb.vec_id = b.vec_id),
+        dots AS (
+          SELECT id_a, id_b, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+          FROM pr GROUP BY 1, 2),
+        dups AS (SELECT DISTINCT id_b AS vec_id FROM dots WHERE dp/(na*nb) >= 0.4)
+        SELECT c.vec_id, c.cell::INT AS cell, (d.vec_id IS NULL) AS keep
+        FROM cells c LEFT JOIN dups d USING (vec_id)
+    """
 
     # Distributed integer-grid Lloyd's (lloyd_kmeans): because the Spark
     # operator quantizes points onto a count-derived power-of-two grid

@@ -393,3 +393,59 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
         start=F.lit(0).cast("long"),
     )
     return wide.select("doc_id", sim.alias("simhash"))
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    bench_fraction: float = 0.05,
+    salt: str = "bench",
+) -> DataFrame:
+    """Benchmark decontamination — the GPT-3 appendix-C / PaLM procedure:
+    flag every corpus document that shares any k-word shingle with a
+    held-out evaluation set, so training data can be filtered before it
+    leaks test answers. Here the 'benchmark' is a deterministic hash
+    sample of the corpus itself (stand-in for MMLU/GSM8K-style suites —
+    the plumbing, not the suite, is the operator).
+
+    Returns (doc_id, in_benchmark, n_hit_grams, contaminated) — one row
+    per input doc; ``contaminated`` is true for NON-benchmark docs with
+    ≥1 overlapping shingle (benchmark members trivially overlap
+    themselves and are excluded from the flag).
+
+    100 TB shape: benchmark suites are tiny relative to the corpus
+    (~1e5–1e6 distinct grams), so the gram set is built once and
+    BROADCAST; the corpus-side shingle stream is probed map-only
+    (left-semi against the broadcast), then partial-aggregated per doc —
+    the corpus never shuffles on the gram key. If a benchmark ever
+    outgrows the broadcast budget, delete the two hints and the same
+    plan degrades gracefully to a shuffle join keyed on shingle.
+    """
+    from mopso_engine.ext.pipeline import hash_uniform
+
+    bench_ids = docs.where(hash_uniform("doc_id", salt=salt) < F.lit(bench_fraction)).select(
+        "doc_id"
+    )
+    sh = word_shingles(docs, k)  # distinct within doc
+    bench_grams = (
+        sh.join(F.broadcast(bench_ids), "doc_id", "left_semi").select("shingle").distinct()
+    )
+    hits = (
+        sh.join(F.broadcast(bench_grams), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+    flagged = (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .join(F.broadcast(bench_ids.withColumn("in_benchmark", F.lit(True))), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("in_benchmark", F.lit(False)).alias("in_benchmark"),
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+        )
+    )
+    return flagged.withColumn(
+        "contaminated", (~F.col("in_benchmark")) & (F.col("n_hit_grams") > 0)
+    )

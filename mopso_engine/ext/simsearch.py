@@ -522,3 +522,51 @@ def cosine_neardup_bruteforce(embeddings: DataFrame, threshold: float = 0.95) ->
         .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def semdedup(embeddings: DataFrame, codebook, *, threshold: float = 0.4) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication: quantize the embedding space into coarse cells, then
+    within each cell drop every vector that is cosine-closer than
+    ``threshold`` to another member, keeping one representative per
+    duplicate neighborhood (the LOWEST vec_id — a deterministic stand-in
+    for the paper's keep-the-medoid rule).
+
+    Returns (vec_id, cell, keep): one row per input vector; ``keep`` is
+    false iff some lower-id member of the same cell sits at
+    cos ≥ threshold.
+
+    100 TB shape — the SemDedup recipe's own cost model: the codebook is
+    a model artifact riding into the plan as a closure (one Arrow scan
+    assigns cells, map-only); the pairwise check is an EQUALITY
+    self-join on the cell key, so work is O(Σ cell²) over in-cell pairs
+    only, never a corpus cross-product. k is chosen ∝ N/cap to bound
+    cell sizes (the paper uses 50k cells for LAION-440M); write the
+    corpus bucketed BY cell and the big-side join is shuffle-free.
+    """
+    import numpy as np
+
+    C = np.asarray(codebook, dtype=np.float64)
+    vecs = as_double_vecs(
+        embeddings if "label" in embeddings.columns else embeddings.withColumn("label", F.lit(0))
+    ).select("vec_id", "vec")
+    cells = vecs.withColumn("cell", _argmax_cell_kernel(C)("vec"))
+    a = cells.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), "cell")
+    b = cells.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), "cell")
+    cos = _cosine_kernel()("va", "vb")
+    dups = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_b", cos.alias("cs"))
+        .where(F.col("cs") >= F.lit(threshold))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        cells.join(dups.withColumn("dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"),
+        )
+    )

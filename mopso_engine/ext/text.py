@@ -200,3 +200,75 @@ def pmi_bigrams(docs: DataFrame, min_count: int = 5, top_n: int = 20) -> DataFra
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(top_n)
+
+
+def repetition_stats(
+    docs: DataFrame,
+    *,
+    max_top_word_frac: float = 0.10,
+    max_top_2gram_frac: float = 0.08,
+) -> DataFrame:
+    """Gopher-style repetition quality gate (Rae et al. 2021, appendix
+    A1.1): per document, the fraction of tokens taken by the most
+    frequent token and by the most frequent 2-gram, plus the duplicate
+    -word fraction — the standard cheap repetition filters of a
+    pretraining pipeline (a doc dominated by one repeated phrase fails).
+
+    Relational shape (the one that survives 100 TB): explode to
+    (doc_id, gram) → count on the composite key → per-doc max. Both
+    aggregations are partial-aggregable (map-side combine bounds what
+    moves to ~distinct grams per doc), both shuffles are keyed by
+    doc_id(+gram); no window over the raw corpus and no Python in the
+    path. Bigrams are built by the zip-slice trick (see
+    dedup.word_shingles) — zero extra shuffle, O(tokens) per row.
+
+    ``gopher_pass`` applies the thresholds to the ROUNDED fractions so
+    the boolean is engine-portable (the SQL twin rounds identically).
+    """
+    toks = tokens_col()
+    width = F.greatest(F.size(toks) - 1, F.lit(0))
+    z = F.arrays_zip(F.slice(toks, 1, width).alias("w1"), F.slice(toks, 2, width).alias("w2"))
+    bigrams = F.transform(z, lambda s: F.concat_ws(" ", s["w1"], s["w2"]))
+    base = docs.select("doc_id", toks.alias("toks"), bigrams.alias("bigrams"))
+
+    wa = (
+        base.select("doc_id", F.explode("toks").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_word"),
+        )
+    )
+    ba = (
+        base.select("doc_id", F.explode("bigrams").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram"))
+    )
+    top_word_frac = F.round(F.col("top_word") / F.col("n_tokens"), 6)
+    # least(·, 1): overlapping bigrams make 2·max/n exceed 1 on a doc
+    # that is one token repeated — clamp so the stat stays a fraction
+    top_2gram_frac = F.round(
+        F.least(F.coalesce(F.col("top_bigram") * 2.0 / F.col("n_tokens"), F.lit(0.0)), F.lit(1.0)),
+        6,
+    )
+    dup_word_frac = F.round((F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens"), 6)
+    return (
+        wa.join(ba, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            top_word_frac.alias("top_word_frac"),
+            top_2gram_frac.alias("top_2gram_frac"),
+            dup_word_frac.alias("dup_word_frac"),
+        )
+        .withColumn(
+            "gopher_pass",
+            (F.col("top_word_frac") <= F.lit(max_top_word_frac))
+            & (F.col("top_2gram_frac") <= F.lit(max_top_2gram_frac)),
+        )
+    )

@@ -679,3 +679,111 @@ class TestStreaming:
             .collect()
         }
         assert got == exp
+
+
+class TestRepetitionStats:
+    def test_repeated_doc_fails_varied_doc_passes(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam spam spam"),
+                (2, " ".join(f"w{i}" for i in range(30))),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in tx.repetition_stats(docs).collect()}
+        assert out[1]["n_tokens"] == 6
+        assert out[1]["top_word_frac"] == 1.0
+        assert out[1]["top_2gram_frac"] == 1.0  # clamped: 2*5/6 > 1
+        assert out[1]["dup_word_frac"] == round(5 / 6, 6)
+        assert not out[1]["gopher_pass"]
+        assert out[2]["top_word_frac"] == round(1 / 30, 6)
+        assert out[2]["top_2gram_frac"] == round(2 / 30, 6)
+        assert out[2]["dup_word_frac"] == 0.0
+        assert out[2]["gopher_pass"]
+
+    def test_top_bigram_counts_repeats(self, spark):
+        # "x y" occurs twice among 5 bigrams of 6 tokens -> 2*2/6
+        docs = spark.createDataFrame([(7, "x y z x y w")], "doc_id long, text string")
+        row = tx.repetition_stats(docs).collect()[0]
+        assert row["top_2gram_frac"] == round(4 / 6, 6)
+        assert row["top_word_frac"] == round(2 / 6, 6)
+
+    def test_single_token_doc_has_zero_bigram_frac(self, spark):
+        docs = spark.createDataFrame([(9, "  solo  ")], "doc_id long, text string")
+        row = tx.repetition_stats(docs).collect()[0]
+        assert row["n_tokens"] == 1
+        assert row["top_2gram_frac"] == 0.0
+
+
+def _bench_member(doc_id: int, fraction: float, salt: str = "bench") -> bool:
+    """Python twin of pipeline.hash_uniform membership."""
+    h = int(hashlib.md5(f"{doc_id}#{salt}".encode()).hexdigest()[:8], 16)
+    return h / 2**32 < fraction
+
+
+class TestDecontaminate:
+    def test_copies_of_benchmark_docs_are_flagged(self, spark):
+        # every doc shares doc 0's text except doc 99 (unique): any
+        # non-benchmark copy is contaminated iff some benchmark member
+        # carries the shared text; doc 99 never is
+        shared = "one two three four five six seven eight nine ten"
+        rows = [(i, shared) for i in range(12)] + [(99, "totally different words " * 3)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        frac = 0.3
+        out = {r["doc_id"]: r for r in dd.ngram_decontaminate(
+            docs, k=5, bench_fraction=frac
+        ).collect()}
+        bench = {i for i, _ in rows if _bench_member(i, frac)}
+        assert bench, "fixture needs at least one benchmark member"
+        assert {i for i, r in out.items() if r["in_benchmark"]} == bench
+        shared_bench = bench & set(range(12))
+        for i in range(12):
+            expect = bool(shared_bench) and i not in bench
+            assert out[i]["contaminated"] == expect, i
+            if expect:
+                assert out[i]["n_hit_grams"] == 6  # 10 tokens -> 6 distinct 5-grams
+        assert not out[99]["contaminated"]
+
+    def test_benchmark_members_not_flagged(self, spark):
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"d{i}t{j}" for j in range(10))) for i in range(30)],
+            "doc_id long, text string",
+        )
+        out = dd.ngram_decontaminate(docs, k=5, bench_fraction=0.5).collect()
+        for r in out:
+            assert not r["contaminated"]  # unique texts never overlap
+            if r["in_benchmark"]:
+                assert r["n_hit_grams"] > 0  # self-overlap counted, not flagged
+
+
+class TestSemDedup:
+    def test_in_cell_near_duplicates_pruned_keep_lowest_id(self, spark):
+        cb = [[1.0, 0.0], [0.0, 1.0]]
+        rows = [
+            (0, [1.0, 0.01]),
+            (1, [1.0, 0.011]),   # cell 0, cos≈1 with 0 -> dropped
+            (2, [0.9, 0.012]),   # cell 0, cos≈1 with 0 -> dropped
+            (3, [0.0, 1.0]),     # cell 1, alone -> kept
+            (4, [0.03, 1.0]),    # cell 1, cos≈1 with 3 -> dropped
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r for r in ss.semdedup(emb, cb, threshold=0.99).collect()}
+        assert {i: r["cell"] for i, r in out.items()} == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
+        assert {i for i, r in out.items() if r["keep"]} == {0, 3}
+
+    def test_cross_cell_duplicates_survive(self, spark):
+        # identical vectors in DIFFERENT cells are both kept: SemDedup
+        # prunes within cells only (the paper's documented approximation)
+        cb = [[1.0, 0.0], [0.0, 1.0]]
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.9]), (1, [0.9, 1.0])], "vec_id long, embedding array<double>"
+        )
+        out = {r["vec_id"]: r for r in ss.semdedup(emb, cb, threshold=0.5).collect()}
+        assert out[0]["cell"] == 0 and out[1]["cell"] == 1
+        assert out[0]["keep"] and out[1]["keep"]
+
+    def test_no_cartesian_product_in_plan(self, spark):
+        cb = np.eye(4).tolist()
+        emb = read_table(spark, SF, "embeddings").drop("label")
+        plan = ss.semdedup(emb, np.asarray(cb)[:, :1] * np.ones((1, 64)), threshold=0.9)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan

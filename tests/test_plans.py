@@ -240,3 +240,18 @@ def test_jaccard_cap_broadcasts_stop_list_not_survivors(spark):
     # the broadcast build side filters df > cap (stop list), not df <= cap
     assert "> 4" in plan
     assert "<= 4" not in plan and "< 5" not in plan
+
+
+def test_decontaminate_probes_broadcast_gram_set(spark):
+    """The corpus-side shingle stream must probe the benchmark gram set
+    via BROADCAST left-semi joins (the benchmark is tiny by
+    construction); the corpus never shuffles on the gram key."""
+    from mopso_engine.ext import dedup as dd
+
+    docs = read_table(spark, SF, "documents").limit(100)
+    plan = plan_of(dd.ngram_decontaminate(docs, k=5, bench_fraction=0.2))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # no sort-merge join anywhere: every join side is broadcast-bounded
+    assert "SortMergeJoin" not in plan
