@@ -844,6 +844,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, "doc_id", {"en": 0.5, "de": 0.25, "zh": 0.1}, stratum="lang"
         ).select("doc_id", "lang")
 
+    def dedup_components(spark, sf):
+        """Duplicate-cluster canonicalization
+        (`ext.dedup.duplicate_components`): connected components over the
+        jaccard ≥ 0.5 pair list, each member labeled with its component's
+        min doc_id — iterative min-label propagation to a
+        convergence-checked fixpoint (one vertex-keyed join + partial min
+        per round, lineage truncated per round). The oracle replays it as
+        a recursive transitive-closure CTE."""
+        pairs = dd.jaccard_pairs(read_table(spark, sf, "documents"), threshold=0.5)
+        return dd.duplicate_components(pairs)
+
+    def docs_quota_sample(spark, sf):
+        """EXACT per-language quota (30 docs/lang, smallest md5 hash
+        wins — `ext.pipeline.quota_sample`): rank ≤ k over the stratum
+        window rides Spark's WindowGroupLimit pushdown, so every map
+        task pre-truncates to its local top-k before the stratum shuffle
+        — O(partitions·k) moves, not the corpus (plan-tested)."""
+        from mopso_engine.ext import pipeline as pl
+
+        docs = read_table(spark, sf, "documents")
+        return pl.quota_sample(docs, "doc_id", "lang", 30).select("doc_id", "lang")
+
     def simhash_neardup(spark, sf):
         """SimHash Hamming-≤3 pairs via 4-band chunk equality joins with
         PIGEONHOLE-GUARANTEED recall + exact bit_count(xor) verification —
@@ -1575,7 +1597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mopso_fit, mopso_fit_only, mopso_fit_full, mopso_fit_lineitem,
         mopso_fit_lineitem_only,
         # round-6 new / code-changed this round
-        repetition_stats, decontaminate, semdedup,
+        repetition_stats, decontaminate, semdedup, docs_quota_sample,
+        dedup_components,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
         events_asof_stream, events_asof,
         dedup_jaccard_capped, dedup_jaccard_skewed,
@@ -1886,6 +1909,17 @@ def oracle_sql() -> dict[str, str]:
         FROM fps GROUP BY 1 HAVING count(*) > 1
     """
 
+    o["docs_quota_sample"] = """
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY (('0x' || substr(md5(doc_id::VARCHAR || '#q0'), 1, 8))::BIGINT)::DOUBLE
+                            / 4294967296.0 ASC, doc_id ASC) AS rn
+          FROM documents) t
+        WHERE rn <= 30
+    """
+
     o["repetition_stats"] = r"""
         WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
         w AS (SELECT doc_id, unnest(t) AS g FROM toks),
@@ -1940,6 +1974,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_a, doc_b, round(ni*1.0/(sa.n + sb.n - ni), 6) AS jaccard
         FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         WHERE ni*1.0/(sa.n + sb.n - ni) >= 0.5
+    """
+
+    # components of the jaccard>=0.5 pair graph: recursive transitive
+    # closure (UNION dedups -> terminates), then min over the reachable
+    # set == the Spark fixpoint's min-label, independent of round count
+    o["dedup_components"] = f"""
+        WITH RECURSIVE {_sh},
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        prs AS (
+          SELECT doc_a, doc_b
+          FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+          WHERE ni*1.0/(sa.n + sb.n - ni) >= 0.5),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+                  UNION ALL SELECT doc_b, doc_a FROM prs),
+        reach(v, r) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT reach.v, e.b FROM reach JOIN edges e ON e.a = reach.r)
+        SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY 1
     """
 
     o["dedup_jaccard_capped"] = f"""

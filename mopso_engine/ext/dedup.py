@@ -449,3 +449,51 @@ def ngram_decontaminate(
     return flagged.withColumn(
         "contaminated", (~F.col("in_benchmark")) & (F.col("n_hit_grams") > 0)
     )
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster canonicalization — the step every dedup pipeline
+    runs AFTER pair generation: connected components over the near-dup
+    pair list, labeling each member with the MIN doc_id of its component
+    (the canonical representative). Returns (doc_id, component) for every
+    vertex that appears in a pair.
+
+    Algorithm: iterative min-label propagation to a CONVERGENCE-CHECKED
+    fixpoint — label(v) ← min(label(v), min label over neighbors) — so
+    the result is the exact component minimum regardless of round count.
+    Each round is one shuffle join keyed on the vertex + a
+    partial-aggregated min; lineage is truncated per round
+    (localCheckpoint), keeping plans bounded like lloyd.py's loop.
+
+    100 TB: pair graphs from verified dedup are unions of small cliques
+    and stars (diameter ≤ ~3), so rounds ≈ 3; for adversarial
+    long-chain graphs swap these rounds for the alternating
+    large-star/small-star of Kiveris et al. (MapReduce CC, 2014) —
+    same join primitive, O(log²) rounds, nothing else changes.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = sym.select(F.col("a").alias("v")).distinct().withColumn("l", F.col("v"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.select(F.col("v").alias("b"), F.col("l").alias("nl")), "b")
+            .groupBy(F.col("a").alias("v"))
+            .agg(F.min("nl").alias("mn"))
+        )
+        upd = labels.join(nbr_min, "v", "left").select(
+            "v",
+            F.col("l").alias("old"),
+            F.least("l", F.coalesce("mn", F.col("l"))).alias("l"),
+        )
+        upd = upd.localCheckpoint()
+        changed = upd.where(F.col("l") < F.col("old")).count()
+        labels = upd.select("v", "l")
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("l").alias("component"))

@@ -114,3 +114,33 @@ def asof_join(
     return out.where(F.col("__is_l") == 1).select(
         *lcols, *[F.col(f"asof_{p}") for p in payload]
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    quota: int,
+    *,
+    salt: str = "q0",
+) -> DataFrame:
+    """EXACT per-stratum quota sample: the ``quota`` rows of each stratum
+    with the smallest deterministic hash — the fixed-size companion of
+    :func:`sample_by_hash`'s fixed-rate mixing (a training-data pipeline
+    wants both: "3% of src A" and "exactly 100k docs per language").
+
+    Deterministic and replayable (same salt → same rows, any cluster
+    layout). Scale shape: rank ≤ k over a window triggers Spark's
+    WindowGroupLimit pushdown (Spark ≥3.5) — each map task pre-truncates
+    its partition to its local top-k BEFORE the stratum shuffle, so what
+    moves is O(partitions·k), not the corpus; the final per-stratum sort
+    touches only the k·partitions survivors (plan-tested). Skewed or
+    few-valued strata are therefore bounded by k, not by stratum size.
+    """
+    u = hash_uniform(key, salt=salt)
+    w = Window.partitionBy(stratum).orderBy(u.asc(), F.col(key).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.lit(int(quota)))
+        .drop("__rn")
+    )

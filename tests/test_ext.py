@@ -787,3 +787,25 @@ class TestSemDedup:
         emb = read_table(spark, SF, "embeddings").drop("label")
         plan = ss.semdedup(emb, np.asarray(cb)[:, :1] * np.ones((1, 64)), threshold=0.9)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+class TestDuplicateComponents:
+    def test_chain_and_island_components(self, spark):
+        pairs = spark.createDataFrame(
+            [(2, 3), (3, 4), (4, 5), (8, 9)], "doc_a long, doc_b long"
+        )
+        out = {r["doc_id"]: r["component"] for r in dd.duplicate_components(pairs).collect()}
+        assert out == {2: 2, 3: 2, 4: 2, 5: 2, 8: 8, 9: 8}
+
+    def test_long_chain_needs_multiple_rounds(self, spark):
+        n = 12
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+        )
+        out = {r["doc_id"]: r["component"] for r in dd.duplicate_components(pairs).collect()}
+        assert out == {i: 0 for i in range(n + 1)}
+
+    def test_reversed_pair_direction_irrelevant(self, spark):
+        pairs = spark.createDataFrame([(7, 1), (1, 5)], "doc_a long, doc_b long")
+        out = {r["doc_id"]: r["component"] for r in dd.duplicate_components(pairs).collect()}
+        assert out == {1: 1, 5: 1, 7: 1}

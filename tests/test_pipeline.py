@@ -155,3 +155,33 @@ def test_stream_stream_interval_join_matches_batch(spark):
     )
     stream = {(r["click_id"], str(r["bts"])) for r in out.collect()}
     assert stream == batch and len(batch) > 0
+
+
+class TestQuotaSample:
+    def test_exact_quota_smallest_hash_wins(self, spark):
+        import hashlib
+
+        from mopso_engine.ext.pipeline import quota_sample
+
+        rows = [(i, "a" if i % 2 == 0 else "b") for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = quota_sample(df, "doc_id", "lang", 10).collect()
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert {len(v) for v in by_lang.values()} == {10}
+
+        def u(i):
+            return int(hashlib.md5(f"{i}#q0".encode()).hexdigest()[:8], 16)
+
+        for lang, ids in by_lang.items():
+            pool = [i for i, l in rows if l == lang]
+            expect = set(sorted(pool, key=lambda i: (u(i), i))[:10])
+            assert ids == expect
+
+    def test_small_stratum_kept_whole(self, spark):
+        from mopso_engine.ext.pipeline import quota_sample
+
+        df = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], "doc_id long, lang string")
+        out = quota_sample(df, "doc_id", "lang", 5).collect()
+        assert len(out) == 3

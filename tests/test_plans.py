@@ -255,3 +255,14 @@ def test_decontaminate_probes_broadcast_gram_set(spark):
     assert "CartesianProduct" not in plan
     # no sort-merge join anywhere: every join side is broadcast-bounded
     assert "SortMergeJoin" not in plan
+
+
+def test_quota_sample_pushes_window_group_limit(spark):
+    """quota_sample's rank ≤ k must ride WindowGroupLimit (partial
+    per-map-task top-k BEFORE the stratum shuffle) — the property that
+    bounds what moves to O(partitions·k) instead of the corpus."""
+    from mopso_engine.ext.pipeline import quota_sample
+
+    docs = read_table(spark, SF, "documents")
+    plan = plan_of(quota_sample(docs, "doc_id", "lang", 30))
+    assert "WindowGroupLimit" in plan
