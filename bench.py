@@ -55,6 +55,11 @@ BENCH_QUERIES = [
     "dedup_jaccard_skewed_uncapped",
     "dedup_jaccard_skewed",
     "dedup_verified",
+    "dedup_components",
+    "repetition_stats",
+    "decontaminate",
+    "semdedup",
+    "docs_quota_sample",
     "lsh_candidates",
     "simhash_fp",
     "simhash_neardup",

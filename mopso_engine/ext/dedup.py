@@ -478,7 +478,12 @@ def duplicate_components(
     same join primitive, O(log²) rounds, nothing else changes.
     """
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize the symmetric edge list ONCE: every propagation round
+    # joins against it, and without the cut each round would re-run the
+    # (expensive) upstream pair generation from scratch
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
     labels = sym.select(F.col("a").alias("v")).distinct().withColumn("l", F.col("v"))
     for _ in range(max_iter):
         nbr_min = (

@@ -225,11 +225,13 @@ def repetition_stats(
     ``gopher_pass`` applies the thresholds to the ROUNDED fractions so
     the boolean is engine-portable (the SQL twin rounds identically).
     """
+    from mopso_engine.ext.dedup import _spread
+
     toks = tokens_col()
     width = F.greatest(F.size(toks) - 1, F.lit(0))
     z = F.arrays_zip(F.slice(toks, 1, width).alias("w1"), F.slice(toks, 2, width).alias("w2"))
     bigrams = F.transform(z, lambda s: F.concat_ws(" ", s["w1"], s["w2"]))
-    base = docs.select("doc_id", toks.alias("toks"), bigrams.alias("bigrams"))
+    base = _spread(docs).select("doc_id", toks.alias("toks"), bigrams.alias("bigrams"))
 
     wa = (
         base.select("doc_id", F.explode("toks").alias("g"))
