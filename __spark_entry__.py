@@ -651,6 +651,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cb = ss.train_codebook(emb, k=8, iters=2, sample_fraction=0.5, seed=11)
         return ss.semdedup(emb, cb, threshold=0.4)
 
+    def pca_project(spark, sf):
+        """Sample-trained PCA projection (`ext.linalg.train_pca` +
+        `pca_project`): a deterministic md5-sample is fit EXACTLY on the
+        driver (bit-reproducible model — the oracle twin retrains it
+        from the same parquet), then the whole corpus is projected onto
+        the top-2 components in ONE map-only Arrow scan, sequential-
+        over-dims so every value replays as the SQL fold."""
+        from mopso_engine.ext import linalg as la
+
+        emb = read_table(spark, sf, "embeddings")
+        mean, comps = la.train_pca(emb, dims=64, n_components=2)
+        return la.pca_project(emb, mean, comps)
+
     def emb_covariance(spark, sf):
         """16×16 upper-triangle covariance of the embedding columns,
         VALUE-GATED (`ext.linalg.embedding_covariance_gated`): the hashed
@@ -1598,7 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mopso_fit_lineitem_only,
         # round-6 new / code-changed this round
         repetition_stats, decontaminate, semdedup, docs_quota_sample,
-        dedup_components,
+        dedup_components, pca_project,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
         events_asof_stream, events_asof,
         dedup_jaccard_capped, dedup_jaccard_skewed,
@@ -2737,6 +2750,40 @@ def oracle_sql() -> dict[str, str]:
           FROM dots)
         SELECT query_id, nbr_id, rank::INT AS rank, round(c, 6) AS cos_sim FROM rk WHERE rank <= 5
     """
+    # PCA oracle: retrain the bit-identical model from the checked sf's
+    # own parquet (train_pca_local — same md5 sample, same sorted numpy
+    # fit as the Spark query's train_pca), inject components + offsets
+    # as literals, and replay the projection as the SQL fold. Guarded
+    # like the codebook oracle: unreadable parquet ⇒ rows-only fallback.
+    try:
+        from mopso_engine.ext.linalg import train_pca_local as _tpl
+
+        _pca_mean, _pca_comps = (
+            _tpl(_emb_path, dims=64, n_components=2) if os.path.exists(_emb_path) else (None, None)
+        )
+    except Exception:
+        _pca_mean, _pca_comps = None, None
+    if _pca_comps is not None:
+        import numpy as _np
+
+        _pca_rows = ",\n          ".join(
+            "({c}, CAST([{vs}] AS DOUBLE[]), {off!r})".format(
+                c=c,
+                vs=", ".join(repr(float(v)) for v in _pca_comps[c]),
+                off=float(_np.add.reduce(_pca_mean * _pca_comps[c])),
+            )
+            for c in range(len(_pca_comps))
+        )
+        o["pca_project"] = f"""
+        WITH pc(comp, cv, off) AS (VALUES
+          {_pca_rows}),
+        p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT p.vec_id, pc.comp,
+               round(list_sum(list_transform(list_zip(p.v, pc.cv), x -> x[1]*x[2])) - pc.off,
+                     6) AS value
+        FROM p, pc
+    """
+
     if _cb_rows is not None:
         o["ann_ivf_unlabeled"] = _ann_ivf_unlabeled_sql
         # SemDedup replays the SAME injected codebook: cell assignment

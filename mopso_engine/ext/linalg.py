@@ -317,3 +317,127 @@ def embedding_covariance(
             ).alias("cov"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA: sample-trained model, map-only distributed projection
+# ---------------------------------------------------------------------------
+
+def _pca_fit_exact(x: np.ndarray, n_components: int):
+    """Deterministic PCA fit of a ROW-SORTED sample matrix: numpy-exact
+    mean/covariance + eigh, descending eigenvalue order, sign-normalized
+    so each component's largest-|entry| coordinate is positive. Shared
+    by the Spark trainer and the oracle twin — same input rows (sorted
+    by id) ⇒ bit-identical model."""
+    x = np.asarray(x, dtype=np.float64)
+    mean = x.mean(axis=0)
+    xc = x - mean
+    cov = (xc.T @ xc) / len(x)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :n_components].T.copy()  # (m, d), desc eigenvalue
+    for c in comps:
+        if c[int(np.argmax(np.abs(c)))] < 0:
+            c *= -1.0
+    return mean, comps
+
+
+def train_pca(
+    emb: DataFrame,
+    dims: int,
+    n_components: int = 2,
+    *,
+    sample_fraction: float = 0.5,
+    salt: str = "pca",
+    col: str = "embedding",
+):
+    """Sample-trained PCA — the FAISS-style ``train()`` split: a
+    deterministic md5-threshold sample (replayable on any cluster
+    layout) is collected and fit EXACTLY on the driver; only the sample
+    crosses the wire, and the model is a tiny (mean, components)
+    artifact that rides into the projection plan as a closure.
+    The sample is sorted by vec_id before fitting so the numpy
+    summation order — and therefore the model — is bit-reproducible
+    (the oracle twin :func:`train_pca_local` replays it)."""
+    from mopso_engine.ext.pipeline import hash_uniform
+
+    rows = (
+        emb.where(hash_uniform("vec_id", salt=salt) < F.lit(sample_fraction))
+        .select("vec_id", col)
+        .orderBy("vec_id")
+        .collect()
+    )
+    x = np.stack([np.asarray(r[col], dtype=np.float64)[:dims] for r in rows])
+    return _pca_fit_exact(x, n_components)
+
+
+def train_pca_local(
+    parquet_path: str,
+    dims: int,
+    n_components: int = 2,
+    *,
+    sample_fraction: float = 0.5,
+    salt: str = "pca",
+    col: str = "embedding",
+):
+    """Oracle twin of :func:`train_pca`: same md5 predicate, same sort,
+    same numpy fit, straight from the parquet file — bit-identical."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=["vec_id", col]).to_pydict()
+    picked = [
+        (i, v)
+        for i, v in sorted(zip(t["vec_id"], t[col]))
+        if int(hashlib.md5(f"{i}#{salt}".encode()).hexdigest()[:8], 16) / 2**32
+        < sample_fraction
+    ]
+    x = np.stack([np.asarray(v, dtype=np.float64)[:dims] for _, v in picked])
+    return _pca_fit_exact(x, n_components)
+
+
+def pca_project(
+    emb: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    *,
+    col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Distributed PCA projection: (vec_id, comp, value) with
+    value = x·cᵀ − (mean·cᵀ) — ONE map-only Arrow scan, no shuffle.
+    The per-row accumulation is SEQUENTIAL OVER DIMS, so each value is
+    bit-identical to the SQL twin's list_sum fold over the same literal
+    components; the mean enters as a per-component scalar offset
+    computed once (same numpy on both twins). 100 TB: nothing moves but
+    the projected output; the model is O(m·d) closure bytes."""
+    C = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+    m, d = C.shape
+    offsets = np.array([float(np.add.reduce(mu * C[c])) for c in range(m)])
+
+    def kernel(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[col].to_numpy())[:, :d].astype(np.float64)
+            n = x.shape[0]
+            dots = np.zeros((n, m))
+            for i in range(d):  # sequential over dims == the SQL fold
+                dots += x[:, i : i + 1] * C[:, i][None, :]
+            vals = dots - offsets[None, :]
+            ids = np.repeat(pdf["vec_id"].to_numpy(), m)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "comp": np.tile(np.arange(m, dtype=np.int32), n),
+                    "value": vals.ravel(),
+                }
+            )
+
+    out = emb.select("vec_id", col).mapInPandas(
+        kernel, schema="vec_id long, comp int, value double"
+    )
+    if round_dp is not None:
+        out = out.withColumn("value", F.round("value", round_dp))
+    return out

@@ -234,3 +234,52 @@ def test_pmi_min_count_filters(spark):
     got = {(r["w1"], r["w2"]) for r in pmi_bigrams(docs, min_count=2, top_n=10).collect()}
     # 'x y' occurs once -> filtered; 'p q' twice, 'q p' once
     assert got == {("p", "q")}
+
+
+class TestPCA:
+    def test_trainer_twins_bit_identical(self, spark):
+        from mopso_engine.ext.linalg import train_pca, train_pca_local
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        m1, c1 = train_pca(emb, dims=16, n_components=2)
+        m2, c2 = train_pca_local(
+            "/root/testdata/sf0.001/embeddings.parquet", dims=16, n_components=2
+        )
+        assert (m1 == m2).all() and (c1 == c2).all()  # BIT-identical
+
+    def test_projection_matches_numpy(self, spark):
+        import numpy as np
+
+        from mopso_engine.ext.linalg import pca_project, train_pca
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        mean, comps = train_pca(emb, dims=16, n_components=2)
+        got = {
+            (r["vec_id"], r["comp"]): r["value"]
+            for r in pca_project(emb.limit(50), mean, comps, round_dp=None).collect()
+        }
+        rows = emb.limit(50).select("vec_id", "embedding").collect()
+        for r in rows:
+            x = np.asarray(r["embedding"], dtype=np.float64)[:16]
+            for c in range(2):
+                exp = float(x @ comps[c] - mean @ comps[c])
+                assert got[(r["vec_id"], c)] == pytest.approx(exp, abs=1e-9)
+
+    def test_components_orthonormal_and_sign_normalized(self, spark):
+        import numpy as np
+
+        from mopso_engine.ext.linalg import train_pca
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        _, comps = train_pca(emb, dims=16, n_components=3)
+        assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+        for c in comps:
+            assert c[int(np.argmax(np.abs(c)))] > 0
+
+    def test_projection_plan_is_map_only(self, spark):
+        from mopso_engine.ext.linalg import pca_project, train_pca
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        mean, comps = train_pca(emb, dims=16, n_components=2)
+        plan = pca_project(emb, mean, comps)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # no shuffle: projection is map-only
