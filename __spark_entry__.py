@@ -651,6 +651,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cb = ss.train_codebook(emb, k=8, iters=2, sample_fraction=0.5, seed=11)
         return ss.semdedup(emb, cb, threshold=0.4)
 
+    def docs_chunked(spark, sf):
+        """Sliding-window chunking (`ext.text.chunk_documents`): 32-token
+        windows, 8-token overlap — map-only Catalyst (sequence of start
+        offsets + transform/slice + one posexplode), zero shuffle."""
+        return tx.chunk_documents(
+            read_table(spark, sf, "documents"), chunk_tokens=32, overlap=8
+        )
+
+    def docs_packed(spark, sf):
+        """Sequence-packing manifest (`ext.pipeline.pack_sequences`):
+        deterministic md5-bucketed concat order + one per-bucket window
+        cumsum assigns every doc its token span and the 256-token
+        training sequences it crosses. Packing parallelizes across
+        buckets (thousands of shards at 100 TB; 8 here)."""
+        from mopso_engine.ext import pipeline as pl
+
+        return pl.pack_sequences(read_table(spark, sf, "documents"), seq_len=256, buckets=8)
+
     def pca_project(spark, sf):
         """Sample-trained PCA projection (`ext.linalg.train_pca` +
         `pca_project`): a deterministic md5-sample is fit EXACTLY on the
@@ -1611,7 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mopso_fit_lineitem_only,
         # round-6 new / code-changed this round
         repetition_stats, decontaminate, semdedup, docs_quota_sample,
-        dedup_components, pca_project,
+        dedup_components, pca_project, docs_chunked, docs_packed,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
         events_asof_stream, events_asof,
         dedup_jaccard_capped, dedup_jaccard_skewed,
@@ -1931,6 +1949,36 @@ def oracle_sql() -> dict[str, str]:
                             / 4294967296.0 ASC, doc_id ASC) AS rn
           FROM documents) t
         WHERE rn <= 30
+    """
+
+    o["docs_chunked"] = r"""
+        WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        st AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 8, 1), 24)) AS s
+               FROM toks)
+        SELECT doc_id,
+               (row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1)::INT AS chunk_idx,
+               least(32, len(t) - s + 1)::INT AS chunk_tokens,
+               array_to_string(t[s:s+31], ' ') AS chunk_text
+        FROM st
+    """
+
+    o["docs_packed"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+                 ('0x' || substr(md5(doc_id::VARCHAR || '#pack'), 1, 8))::BIGINT AS h
+          FROM documents),
+        b2 AS (SELECT doc_id, n_tokens, h, (h % 8)::INT AS bucket FROM base),
+        ofs AS (SELECT doc_id, bucket, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                         PARTITION BY bucket ORDER BY h ASC, doc_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                         AS start_offset
+                FROM b2)
+        SELECT doc_id, bucket, n_tokens, start_offset,
+               (start_offset // 256)::BIGINT AS first_seq,
+               ((start_offset + n_tokens - 1) // 256)::BIGINT AS last_seq
+        FROM ofs
     """
 
     o["repetition_stats"] = r"""

@@ -144,3 +144,55 @@ def quota_sample(
         .where(F.col("__rn") <= F.lit(int(quota)))
         .drop("__rn")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    seq_len: int = 256,
+    buckets: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """Sequence-packing manifest — the concat-and-chunk step that turns a
+    curated corpus into fixed-length training sequences: documents are
+    concatenated in a deterministic order and every doc is assigned the
+    token span it occupies, so a downstream tokenizer can emit packed
+    sequences with zero padding waste.
+
+    Deterministic sharded shape (what survives 100 TB): each doc lands
+    in a hash bucket (md5 % buckets); WITHIN a bucket docs are ordered
+    by (hash, doc_id) and a running token offset is computed with one
+    window cumsum — packing is embarrassingly parallel ACROSS buckets,
+    and ``buckets`` scales with the cluster (thousands of shards on a
+    real corpus; 8 here so the small fixtures still exercise multi-doc
+    buckets). Returns (doc_id, bucket, n_tokens, start_offset,
+    first_seq, last_seq): start_offset is the doc's first token's global
+    offset within its bucket's stream, and first/last_seq the
+    ``seq_len``-sized training sequences it spans.
+    """
+    from mopso_engine.ext.text import tokens_col
+
+    h = F.conv(F.substring(F.md5(F.concat_ws("#", F.col("doc_id"), F.lit(salt))), 1, 8), 16, 10).cast(
+        "long"
+    )
+    base = docs.select(
+        "doc_id", F.size(tokens_col()).alias("n_tokens"), h.alias("h"), (h % buckets).alias("bucket")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("start_offset").cast("long").alias("start_offset"),
+            F.floor(F.col("start_offset") / seq_len).cast("long").alias("first_seq"),
+            F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / seq_len)
+            .cast("long")
+            .alias("last_seq"),
+        )
+    )

@@ -274,3 +274,40 @@ def repetition_stats(
             & (F.col("top_2gram_frac") <= F.lit(max_top_2gram_frac)),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame, *, chunk_tokens: int = 128, overlap: int = 16
+) -> DataFrame:
+    """Sliding-window document chunking — the standard pretraining /
+    RAG-indexing split: windows of ``chunk_tokens`` tokens with
+    ``overlap`` tokens of context carried between neighbors (stride =
+    chunk − overlap). Returns (doc_id, chunk_idx, chunk_tokens,
+    chunk_text); the final window may be short, and a window that would
+    START inside the previous window's overlap region is not emitted
+    (start positions run to n − overlap).
+
+    Pure Catalyst — sequence() of start offsets, transform+slice of the
+    token array, one posexplode. Map-only, zero shuffle, zero Python:
+    output order and content are a pure function of each row.
+    """
+    stride = int(chunk_tokens - overlap)
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    toks = tokens_col()
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, chunk_tokens)))
+    sizes = F.transform(starts, lambda s: F.least(F.lit(chunk_tokens), n - s + 1))
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.arrays_zip(chunks.alias("c"), sizes.alias("s"))).alias("chunk_idx", "z"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("z.s").cast("int").alias("chunk_tokens"),
+            F.col("z.c").alias("chunk_text"),
+        )
+    )

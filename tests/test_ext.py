@@ -809,3 +809,71 @@ class TestDuplicateComponents:
         pairs = spark.createDataFrame([(7, 1), (1, 5)], "doc_a long, doc_b long")
         out = {r["doc_id"]: r["component"] for r in dd.duplicate_components(pairs).collect()}
         assert out == {1: 1, 5: 1, 7: 1}
+
+
+class TestChunkDocuments:
+    def test_windows_and_overlap(self, spark):
+        text = " ".join(f"t{i}" for i in range(10))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = sorted(
+            tx.chunk_documents(docs, chunk_tokens=4, overlap=1).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        # stride 3, starts 1,4,7 -> [t0..t3],[t3..t6],[t6..t9]
+        assert [r["chunk_text"].split() for r in out] == [
+            ["t0", "t1", "t2", "t3"],
+            ["t3", "t4", "t5", "t6"],
+            ["t6", "t7", "t8", "t9"],
+        ]
+        assert [r["chunk_tokens"] for r in out] == [4, 4, 4]
+
+    def test_reconstruction_property(self, spark, docs):
+        """Dropping each non-first chunk's leading overlap tokens and
+        concatenating reconstructs the original token stream."""
+        overlap = 8
+        chunks = tx.chunk_documents(docs, chunk_tokens=32, overlap=overlap).collect()
+        by_doc = {}
+        for r in chunks:
+            by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk_text"].split()
+        for r in docs.limit(20).collect():
+            toks = r["text"].strip().split()
+            got = []
+            for idx in sorted(by_doc[r["doc_id"]]):
+                c = by_doc[r["doc_id"]][idx]
+                got.extend(c if idx == 0 else c[overlap:])
+            assert got == toks, r["doc_id"]
+
+    def test_short_doc_single_chunk(self, spark):
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        out = tx.chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+        assert len(out) == 1
+        assert out[0]["chunk_text"] == "a b" and out[0]["chunk_tokens"] == 2
+
+
+class TestPackSequences:
+    def test_contiguous_offsets_and_seq_spans(self, spark, docs):
+        from mopso_engine.ext.pipeline import pack_sequences
+
+        out = pack_sequences(docs, seq_len=256, buckets=4).collect()
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r["bucket"], []).append(r)
+        total = 0
+        for b, rows in by_bucket.items():
+            rows.sort(key=lambda r: r["start_offset"])
+            off = 0
+            for r in rows:
+                assert r["start_offset"] == off  # contiguous, zero gaps
+                assert r["first_seq"] == off // 256
+                assert r["last_seq"] == (off + r["n_tokens"] - 1) // 256
+                off += r["n_tokens"]
+            total += len(rows)
+        assert total == docs.count()
+
+    def test_bucket_is_md5_hash_mod(self, spark, docs):
+        from mopso_engine.ext.pipeline import pack_sequences
+
+        out = pack_sequences(docs, seq_len=256, buckets=4).collect()
+        for r in out[:50]:
+            h = int(hashlib.md5(f"{r['doc_id']}#pack".encode()).hexdigest()[:8], 16)
+            assert r["bucket"] == h % 4
