@@ -78,6 +78,38 @@ COMMENTS = {
     "reduce over k*(2+d) cells — O(n) rows never shuffle; the int-grid "
     "arithmetic makes every iteration bit-deterministic under any "
     "partitioning.",
+    "semdedup": "Cluster-then-prune semantic dedup: the codebook rides the "
+    "Arrow kernel closure (map-only cell assignment), and the pairwise prune "
+    "is an EQUALITY self-join on the cell key — O(Σ cell²) candidate pairs, "
+    "no CartesianProduct; at scale the corpus would be written bucketed by "
+    "cell so the big side never shuffles.",
+    "decontaminate": "The benchmark gram set is built once and broadcast; "
+    "the corpus-side shingle stream is probed with map-only broadcast "
+    "left-semi joins and partial-aggregated per doc — no SortMergeJoin, "
+    "the corpus never shuffles on the gram key (asserted in test_plans).",
+    "repetition_stats": "Two explode→count chains, both keyed by "
+    "(doc_id, gram) with map-side combine, then per-doc max — bigrams come "
+    "from the zip-slice trick, so no window and no extra shuffle over the "
+    "raw corpus.",
+    "docs_quota_sample": "rank ≤ k rides WindowGroupLimit: each map task "
+    "pre-truncates its partition to the local top-k BEFORE the stratum "
+    "exchange, so what moves is O(partitions·k), not the stratum "
+    "(asserted in test_plans).",
+    "dedup_components": "Iterative min-label propagation (plan shown is the "
+    "final labels projection over the per-round localCheckpoint cut): each "
+    "round is one vertex-keyed shuffle join + a partial-aggregated min; the "
+    "symmetric edge list is materialized once so pair generation never "
+    "re-runs; rounds = component diameter (checked fixpoint).",
+    "pca_project": "Projection is ONE map-only MapInPandas scan — the "
+    "(mean, components) model rides the closure, nothing shuffles "
+    "(asserted Exchange-free in test_linalg); training touched only a "
+    "deterministic hash sample.",
+    "docs_chunked": "Sliding-window chunking entirely inside codegen: "
+    "sequence() of start offsets, transform+slice of the token array, one "
+    "posexplode — map-only, zero shuffle, no Python.",
+    "docs_packed": "Packing manifest: one window cumsum per md5 bucket — "
+    "the only exchange is on the bucket key, and packing parallelizes "
+    "across buckets (thousands at 100 TB).",
 }
 
 
