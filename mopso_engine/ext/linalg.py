@@ -349,6 +349,7 @@ def train_pca(
     sample_fraction: float = 0.5,
     salt: str = "pca",
     col: str = "embedding",
+    max_sample_rows: int = 200_000,
 ):
     """Sample-trained PCA — the FAISS-style ``train()`` split: a
     deterministic md5-threshold sample (replayable on any cluster
@@ -357,15 +358,26 @@ def train_pca(
     artifact that rides into the projection plan as a closure.
     The sample is sorted by vec_id before fitting so the numpy
     summation order — and therefore the model — is bit-reproducible
-    (the oracle twin :func:`train_pca_local` replays it)."""
+    (the oracle twin :func:`train_pca_local` replays it).
+
+    ``sample_fraction`` is corpus-scale-dependent (0.5 fits the test
+    fixtures; a 100 TB corpus wants ~1e-5): the driver collect is
+    HARD-GUARDED at ``max_sample_rows`` and fails loudly rather than
+    silently pulling a corpus to the driver — lower the fraction, or
+    raise the cap if driver memory genuinely allows it."""
     from mopso_engine.ext.pipeline import hash_uniform
 
-    rows = (
-        emb.where(hash_uniform("vec_id", salt=salt) < F.lit(sample_fraction))
-        .select("vec_id", col)
-        .orderBy("vec_id")
-        .collect()
+    samp = emb.where(hash_uniform("vec_id", salt=salt) < F.lit(sample_fraction)).select(
+        "vec_id", col
     )
+    n = samp.count()
+    if n > max_sample_rows:
+        raise ValueError(
+            f"train_pca sample has {n} rows > max_sample_rows={max_sample_rows}: "
+            f"lower sample_fraction (~{max_sample_rows / 2 / max(n / sample_fraction, 1):.2e} "
+            "would target half the cap) instead of collecting a corpus to the driver"
+        )
+    rows = samp.orderBy("vec_id").collect()
     x = np.stack([np.asarray(r[col], dtype=np.float64)[:dims] for r in rows])
     return _pca_fit_exact(x, n_components)
 

@@ -283,3 +283,10 @@ class TestPCA:
         mean, comps = train_pca(emb, dims=16, n_components=2)
         plan = pca_project(emb, mean, comps)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # no shuffle: projection is map-only
+
+    def test_train_pca_guards_oversized_sample(self, spark):
+        from mopso_engine.ext.linalg import train_pca
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        with pytest.raises(ValueError, match="max_sample_rows"):
+            train_pca(emb, dims=16, n_components=2, max_sample_rows=10)
