@@ -97,9 +97,9 @@ class MopsoEngine:
         t0 = time.time()
 
         pts = points.select("id", "features", "label").persist()
-        n, d, k = self._infer(pts)
-
-        bounds = init_mod.feature_bounds(pts)
+        # ONE fused stats job (count + distinct-label + per-dim bounds):
+        # see init.corpus_stats — three fewer full scans than r5's fit
+        n, d, k, bounds = init_mod.corpus_stats(pts, cfg.k)
         sample = init_mod.sample_features(pts, cfg.init_sample_size, cfg.seed)
 
         # Own the parallelism instead of inheriting the session default:

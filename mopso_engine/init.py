@@ -110,3 +110,35 @@ def init_swarm(
     if method == "random_point":
         return np.stack([random_point_init(sample, k, rng) for _ in range(n_particles)])
     raise ValueError(f"unknown init method: {method}")
+
+
+def corpus_stats(points: DataFrame, k_hint: int | None = None):
+    """(n, d, k, bounds) in ONE scan + one tiny d-keyed shuffle — fuses
+    the reference's separate count / distinct-label / 2·d min-max jobs
+    (A1+A2+A3; Spark_MOPSO_Avg.scala:89-103,1239-1252) AND the three
+    separate jobs fit() itself paid through round 5 (first() probe,
+    count+countDistinct agg, feature_bounds scan). Values are identical
+    to the unfused jobs (exact min/max/counts), so seeded fits replay
+    bit-identically; only the job count changes."""
+    rows = (
+        points.select("label", F.posexplode("features").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count("*").alias("n"),
+            F.countDistinct("label").alias("k"),
+        )
+        .orderBy("idx")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty points table")
+    n = rows[0]["n"]
+    k = k_hint
+    if k is None:
+        k = rows[0]["k"]
+        if k <= 1:
+            raise ValueError("cannot infer k from labels; pass MopsoConfig(k=...)")
+    bounds = np.array([[r["lo"], r["hi"]] for r in rows], dtype=np.float64)
+    return int(n), len(rows), int(k), bounds
