@@ -607,6 +607,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cur.select("doc_id", "lang", "quality")
 
+    def corpus_curation_v2(spark, sf):
+        """The MODERN end-to-end curation manifest, ONE declarative plan
+        over the planted-duplicate corpus: Gopher repetition gate →
+        benchmark decontamination (5-gram, broadcast) → exact-dedup
+        canonicalization (min doc_id per fingerprint) → EXACT
+        per-language quota (25/lang, smallest hash). Every stage is an
+        already-oracle-checked primitive; the oracle composes their SQL
+        twins. Movement at 100 TB: two (doc_id, gram) count shuffles,
+        the broadcast gram probe, one fingerprint window shuffle, and
+        the WindowGroupLimit-bounded quota — nothing quadratic."""
+        from mopso_engine.ext import pipeline as pl
+
+        docs = _docs_with_dups(read_table(spark, sf, "documents"))
+        rep = tx.repetition_stats(docs)
+        dec = dd.ngram_decontaminate(docs, k=5)
+        fp = docs.select("doc_id", F.md5(dd.normalized_text()).alias("fp"), "lang")
+        w = Window.partitionBy("fp")
+        keep = fp.withColumn("keep_id", F.min("doc_id").over(w)).where(
+            F.col("doc_id") == F.col("keep_id")
+        )
+        cur = (
+            keep.join(rep, "doc_id")
+            .join(dec, "doc_id")
+            .where(F.col("gopher_pass") & ~F.col("contaminated"))
+        )
+        cur = pl.quota_sample(cur, "doc_id", "lang", 25, salt="cur2")
+        return cur.select("doc_id", "lang", "n_tokens")
+
     def tfidf_terms(spark, sf):
         """Per-doc top-3 terms by smoothed TF-IDF (`ext.text.tfidf_top_terms`)
         — keyword extraction as two map-side-combined count shuffles, a
@@ -1630,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 new / code-changed this round
         repetition_stats, decontaminate, semdedup, docs_quota_sample,
         dedup_components, pca_project, docs_chunked, docs_packed,
+        corpus_curation_v2,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
         events_asof_stream, events_asof,
         dedup_jaccard_capped, dedup_jaccard_skewed,
@@ -2022,6 +2051,54 @@ def oracle_sql() -> dict[str, str]:
         FROM dd
         LEFT JOIN (SELECT doc_id, true AS is_b FROM bench) b USING (doc_id)
         LEFT JOIN hits USING (doc_id)
+    """
+
+    # corpus_curation_v2: the composed twins of repetition_stats (raw
+    # tokens), decontaminate (normalized 5-grams), dedup_exact (md5 of
+    # normalized text) and quota_sample, in one WITH chain over dd
+    o["corpus_curation_v2"] = f"""
+        WITH dd AS ({_DOCS_DUP_SQL}),
+        rt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM dd),
+        rw AS (SELECT doc_id, unnest(t) AS g FROM rt),
+        rwc AS (SELECT doc_id, g, count(*) AS c FROM rw GROUP BY 1, 2),
+        rwa AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, max(c) AS top_word
+                FROM rwc GROUP BY 1),
+        rbg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+                FROM rt),
+        rbc AS (SELECT doc_id, g, count(*) AS c FROM rbg GROUP BY 1, 2),
+        rba AS (SELECT doc_id, max(c) AS top_bigram FROM rbc GROUP BY 1),
+        rep AS (SELECT rwa.doc_id, n_tokens,
+                       round(top_word * 1.0 / n_tokens, 6) AS twf,
+                       round(least(coalesce(top_bigram * 2.0 / n_tokens, 0.0), 1.0), 6) AS t2f
+                FROM rwa LEFT JOIN rba USING (doc_id)),
+        ntext AS (SELECT doc_id, lower(array_to_string(string_split_regex(trim(text), '\\s+'), ' ')) AS nt
+                  FROM dd),
+        ntoks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM ntext),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+               FROM ntoks JOIN range(1, 100000) r(i) ON r.i <= len(t)-4),
+        bench AS (SELECT doc_id FROM dd
+                  WHERE (('0x' || substr(md5(doc_id::VARCHAR || '#bench'), 1, 8))::BIGINT)::DOUBLE
+                        / 4294967296.0 < 0.05),
+        bgr AS (SELECT DISTINCT sh.shingle FROM sh JOIN bench USING (doc_id)),
+        hits AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN bgr USING (shingle) GROUP BY 1),
+        dec AS (SELECT dd.doc_id,
+                       ((dd.doc_id NOT IN (SELECT doc_id FROM bench))
+                        AND coalesce(hits.n, 0) > 0) AS contaminated
+                FROM dd LEFT JOIN hits USING (doc_id)),
+        fps AS (SELECT n.doc_id, d.lang, md5(n.nt) AS fp FROM ntext n JOIN dd d USING (doc_id)),
+        keep AS (SELECT doc_id, lang FROM (
+                   SELECT doc_id, lang, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM fps) k
+                 WHERE doc_id = keep_id),
+        cur AS (SELECT k.doc_id, k.lang, rep.n_tokens
+                FROM keep k JOIN rep ON rep.doc_id = k.doc_id JOIN dec ON dec.doc_id = k.doc_id
+                WHERE rep.twf <= 0.10 AND rep.t2f <= 0.08 AND NOT dec.contaminated)
+        SELECT doc_id, lang, n_tokens FROM (
+          SELECT cur.*, row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY (('0x' || substr(md5(doc_id::VARCHAR || '#cur2'), 1, 8))::BIGINT)::DOUBLE
+                            / 4294967296.0 ASC, doc_id ASC) AS rn
+          FROM cur) t
+        WHERE rn <= 25
     """
 
     _sh = _SHINGLE_CTE.format(src="documents")
