@@ -127,3 +127,38 @@ def test_global_best_new_least_crowded():
     # 10%+1 of 4 = 1 → always the least-crowded (smallest crowding) row
     picks = {tuple(a.global_best_new(rng).fitness) for _ in range(10)}
     assert len(picks) == 1
+
+
+@given(st.integers(0, 10_000), st.integers(3, 8), st.integers(1, 3))
+@settings(max_examples=60, deadline=None)
+def test_pca_fit_invariants(seed, d, m):
+    """_pca_fit_exact (the shared Spark/oracle PCA fit): orthonormal
+    components, descending projected variance, deterministic sign rule,
+    exact mean — over random corpora of any conditioning."""
+    from mopso_engine.ext.linalg import _pca_fit_exact
+
+    rng = np.random.default_rng(seed)
+    n = d + 5 + int(rng.integers(0, 20))
+    x = rng.normal(size=(n, d)) * rng.uniform(0.1, 10, size=d)
+    mean, comps = _pca_fit_exact(x, m)
+    assert np.allclose(mean, x.mean(axis=0))
+    assert np.allclose(comps @ comps.T, np.eye(m), atol=1e-8)
+    for c in comps:
+        assert c[int(np.argmax(np.abs(c)))] > 0
+    var = ((x - mean) @ comps.T).var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(m - 1))
+
+
+@given(st.integers(0, 10_000), st.integers(1, 3))
+@settings(max_examples=60, deadline=None)
+def test_pca_fit_is_input_order_invariant_after_sort(seed, m):
+    """The trainer twins sort rows by id before fitting; fitting any
+    permutation of the SORTED matrix must change the model (numpy sum
+    order differs) — fitting the same sorted matrix twice must not."""
+    from mopso_engine.ext.linalg import _pca_fit_exact
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(12, 5))
+    m1 = _pca_fit_exact(x, m)
+    m2 = _pca_fit_exact(x.copy(), m)
+    assert (m1[0] == m2[0]).all() and (m1[1] == m2[1]).all()

@@ -110,6 +110,12 @@ COMMENTS = {
     "docs_packed": "Packing manifest: one window cumsum per md5 bucket — "
     "the only exchange is on the bucket key, and packing parallelizes "
     "across buckets (thousands at 100 TB).",
+    "corpus_curation_v2": "The modern curation pipeline in ONE plan: "
+    "repetition gate (two partial-aggregated gram-count shuffles), "
+    "decontamination (broadcast gram probe), dedup canonicalization (one "
+    "fingerprint window shuffle), exact per-language quota "
+    "(WindowGroupLimit) — nothing quadratic, every stage's shuffle keyed "
+    "and combinable.",
 }
 
 
