@@ -914,6 +914,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = dd.jaccard_pairs(read_table(spark, sf, "documents"), threshold=0.5)
         return dd.duplicate_components(pairs)
 
+    def source_mixture(spark, sf):
+        """Mixing-knob math (`ext.pipeline.source_mixture`): per-source
+        keep-rates realizing target corpus shares under a 100k-token
+        budget — one partial-aggregated count shuffle on the tiny source
+        key + arithmetic against the target literals; rates feed
+        sample_by_hash directly."""
+        from mopso_engine.ext import pipeline as pl
+
+        return pl.source_mixture(
+            read_table(spark, sf, "documents"),
+            # shares sized so the fixtures exercise BOTH branches:
+            # src0 over-asks (rate 1 + shortfall), src1/src2 under-ask
+            {"src0": 0.6, "src1": 0.05, "src2": 0.2},
+            5_000,
+        )
+
     def docs_quota_sample(spark, sf):
         """EXACT per-language quota (30 docs/lang, smallest md5 hash
         wins — `ext.pipeline.quota_sample`): rank ≤ k over the stratum
@@ -1658,7 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 new / code-changed this round
         repetition_stats, decontaminate, semdedup, docs_quota_sample,
         dedup_components, pca_project, docs_chunked, docs_packed,
-        corpus_curation_v2,
+        corpus_curation_v2, source_mixture,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
         events_asof_stream, events_asof,
         dedup_jaccard_capped, dedup_jaccard_skewed,
@@ -1967,6 +1983,23 @@ def oracle_sql() -> dict[str, str]:
           FROM dd)
         SELECT fp, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_id
         FROM fps GROUP BY 1 HAVING count(*) > 1
+    """
+
+    o["source_mixture"] = r"""
+        WITH avail AS (
+          SELECT source,
+                 sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS tokens_available,
+                 count(*)::BIGINT AS n_docs
+          FROM documents GROUP BY 1),
+        t AS (SELECT source, tokens_available, n_docs,
+                     CASE source WHEN 'src0' THEN 0.6 WHEN 'src1' THEN 0.05
+                                 WHEN 'src2' THEN 0.2 ELSE 0.0 END AS share
+              FROM avail)
+        SELECT source, tokens_available, n_docs,
+               round(share, 6) AS target_share,
+               round(least(1.0, share * 5000.0 / tokens_available), 6) AS rate,
+               floor(greatest(0.0, share * 5000.0 - tokens_available))::BIGINT AS token_shortfall
+        FROM t
     """
 
     o["docs_quota_sample"] = """

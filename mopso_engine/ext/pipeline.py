@@ -196,3 +196,49 @@ def pack_sequences(
             .alias("last_seq"),
         )
     )
+
+
+def source_mixture(
+    docs: DataFrame,
+    targets: dict[str, float],
+    token_budget: int,
+    *,
+    stratum: str = "source",
+) -> DataFrame:
+    """Mixture math — the rate computation behind a training-data mixing
+    knob: given target corpus shares per source and a total token
+    budget, emit each source's deterministic keep-rate
+    ``rate = min(1, target_share·budget / tokens_available)`` plus the
+    token shortfall when a source cannot fill its share (the number a
+    pipeline operator re-allocates or upsamples against). Feed the rates
+    straight into :func:`sample_by_hash` (stratified mode) to realize
+    the mixture as one map-only filter.
+
+    Shape: ONE partial-aggregated count shuffle on the source key (the
+    stratum cardinality is tiny — sources, languages, domains), then
+    arithmetic against the target literals. Sources absent from
+    ``targets`` get rate 0 (excluded), matching sample_by_hash's
+    default-0 semantics.
+    """
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    avail = docs.groupBy(stratum).agg(
+        F.sum(toks).cast("long").alias("tokens_available"),
+        F.count("*").alias("n_docs"),
+    )
+    share = F.lit(0.0)
+    for k, v in targets.items():
+        share = F.when(F.col(stratum) == k, F.lit(float(v))).otherwise(share)
+    want = share * F.lit(float(token_budget))
+    rate = F.least(F.lit(1.0), want / F.col("tokens_available"))
+    return avail.select(
+        stratum,
+        "tokens_available",
+        "n_docs",
+        F.round(share, 6).alias("target_share"),
+        F.round(rate, 6).alias("rate"),
+        # floor() on both engines (a bare double→long cast truncates in
+        # Spark but rounds in DuckDB — an oracle trap)
+        F.floor(F.greatest(F.lit(0.0), want - F.col("tokens_available")))
+        .cast("long")
+        .alias("token_shortfall"),
+    )

@@ -185,3 +185,35 @@ class TestQuotaSample:
         df = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], "doc_id long, lang string")
         out = quota_sample(df, "doc_id", "lang", 5).collect()
         assert len(out) == 3
+
+
+class TestSourceMixture:
+    def test_rates_and_shortfall(self, spark):
+        from mopso_engine.ext.pipeline import source_mixture
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d", "s1"), (2, "e f g h", "s1"), (3, "i j", "s2"), (4, "k", "s3")],
+            "doc_id long, text string, source string",
+        )
+        out = {r["source"]: r for r in source_mixture(docs, {"s1": 0.5, "s2": 0.4}, 10).collect()}
+        # s1: 8 tokens available, wants 5 -> rate 5/8, no shortfall
+        assert out["s1"]["tokens_available"] == 8
+        assert out["s1"]["rate"] == 0.625 and out["s1"]["token_shortfall"] == 0
+        # s2: 2 available, wants 4 -> capped rate 1, shortfall 2
+        assert out["s2"]["rate"] == 1.0 and out["s2"]["token_shortfall"] == 2
+        # unlisted source: rate 0, no shortfall
+        assert out["s3"]["rate"] == 0.0 and out["s3"]["token_shortfall"] == 0
+
+    def test_rates_feed_sample_by_hash(self, spark):
+        from mopso_engine.ext.pipeline import sample_by_hash, source_mixture
+
+        docs = spark.createDataFrame(
+            [(i, "w " * 50, f"s{i % 2}") for i in range(100)],
+            "doc_id long, text string, source string",
+        )
+        rates = {
+            r["source"]: r["rate"]
+            for r in source_mixture(docs, {"s0": 0.3, "s1": 0.1}, 2000).collect()
+        }
+        picked = sample_by_hash(docs, "doc_id", rates, stratum="source").collect()
+        assert 0 < len(picked) < 100  # the mixture applies as one filter
