@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "semdedup",
     "docs_quota_sample",
+    "corpus_curation_v2",
     "lsh_candidates",
     "simhash_fp",
     "simhash_neardup",
