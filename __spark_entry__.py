@@ -656,6 +656,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         count shuffles, zip-slice bigrams (no window, no Python)."""
         return tx.repetition_stats(read_table(spark, sf, "documents"))
 
+    def repetition_stats_expr(spark, sf):
+        """Expression-only twin of repetition_stats
+        (`ext.text.repetition_stats_expr`): nested higher-order functions
+        count grams per ROW — ZERO shuffles, stateless, drops into a
+        readStream unchanged (stream==batch tested). Same values, same
+        oracle as the relational rendering."""
+        return tx.repetition_stats_expr(read_table(spark, sf, "documents"))
+
     def decontaminate(spark, sf):
         """Benchmark decontamination (`ext.dedup.ngram_decontaminate`, the
         GPT-3 appendix-C procedure) over the planted-duplicate corpus:
@@ -1672,7 +1680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mopso_fit, mopso_fit_only, mopso_fit_full, mopso_fit_lineitem,
         mopso_fit_lineitem_only,
         # round-6 new / code-changed this round
-        repetition_stats, decontaminate, semdedup, docs_quota_sample,
+        repetition_stats, repetition_stats_expr, decontaminate, semdedup,
+        docs_quota_sample,
         dedup_components, pca_project, docs_chunked, docs_packed,
         corpus_curation_v2, source_mixture,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
@@ -2043,6 +2052,7 @@ def oracle_sql() -> dict[str, str]:
         FROM ofs
     """
 
+    # the expression-only twin computes identical values -> same oracle
     o["repetition_stats"] = r"""
         WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
         w AS (SELECT doc_id, unnest(t) AS g FROM toks),
@@ -2063,6 +2073,7 @@ def oracle_sql() -> dict[str, str]:
                (top_word_frac <= 0.10 AND top_2gram_frac <= 0.08) AS gopher_pass
         FROM m
     """
+    o["repetition_stats_expr"] = o["repetition_stats"]
 
     # 5-gram variant of _SHINGLE_CTE (decontamination uses k=5 — see the
     # query docstring; DuckDB slices are inclusive, so i:i+4 is 5 tokens)

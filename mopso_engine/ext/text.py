@@ -311,3 +311,57 @@ def chunk_documents(
             F.col("z.c").alias("chunk_text"),
         )
     )
+
+
+def repetition_stats_expr(
+    docs: DataFrame,
+    *,
+    max_top_word_frac: float = 0.10,
+    max_top_2gram_frac: float = 0.08,
+) -> DataFrame:
+    """Expression-only twin of :func:`repetition_stats` — the SAME
+    schema and values, computed per row with nested higher-order
+    functions instead of explode+groupBy: for each distinct gram, count
+    its occurrences in the doc's own array, then array_max.
+
+    Trade: O(distinct·n) string compares per document (≪ a shuffle for
+    normal docs) vs the relational twin's two keyed shuffles — so this
+    rendering is ZERO-shuffle, fully stateless, and drops into a
+    Structured Streaming filter unchanged (tested stream==batch). Use
+    the relational twin when docs are adversarially long (the per-row
+    quadratic term) — they hash-match, so either can gate the corpus.
+    """
+    toks = tokens_col()
+    n = F.size(toks)
+    width = F.greatest(n - 1, F.lit(0))
+    z = F.arrays_zip(F.slice(toks, 1, width).alias("w1"), F.slice(toks, 2, width).alias("w2"))
+    bigrams = F.transform(z, lambda s: F.concat_ws(" ", s["w1"], s["w2"]))
+
+    def max_count(arr):
+        return F.array_max(
+            F.transform(
+                F.array_distinct(arr), lambda t: F.size(F.filter(arr, lambda x: x == t))
+            )
+        )
+
+    base = docs.select("doc_id", toks.alias("t"), bigrams.alias("b"))
+    n_tokens = F.size("t").cast("long")
+    top_word_frac = F.round(max_count(F.col("t")) / n_tokens, 6)
+    top_2gram_frac = F.round(
+        F.least(
+            F.coalesce(max_count(F.col("b")) * 2.0 / n_tokens, F.lit(0.0)), F.lit(1.0)
+        ),
+        6,
+    )
+    dup_word_frac = F.round((n_tokens - F.size(F.array_distinct("t"))) / n_tokens, 6)
+    return base.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        top_word_frac.alias("top_word_frac"),
+        top_2gram_frac.alias("top_2gram_frac"),
+        dup_word_frac.alias("dup_word_frac"),
+    ).withColumn(
+        "gopher_pass",
+        (F.col("top_word_frac") <= F.lit(max_top_word_frac))
+        & (F.col("top_2gram_frac") <= F.lit(max_top_2gram_frac)),
+    )

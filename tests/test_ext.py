@@ -877,3 +877,38 @@ class TestPackSequences:
         for r in out[:50]:
             h = int(hashlib.md5(f"{r['doc_id']}#pack".encode()).hexdigest()[:8], 16)
             assert r["bucket"] == h % 4
+
+
+class TestRepetitionStatsExpr:
+    def test_matches_relational_twin_exactly(self, docs):
+        a = {r["doc_id"]: tuple(r) for r in tx.repetition_stats(docs).collect()}
+        b = {r["doc_id"]: tuple(r) for r in tx.repetition_stats_expr(docs).collect()}
+        assert a == b
+
+    def test_zero_shuffle_plan(self, docs):
+        plan = (
+            tx.repetition_stats_expr(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_repetition_gate_stream_equals_batch(self, spark):
+        """The expression-only repetition gate is stateless, so it drops
+        into a readStream unchanged and reproduces the batch gate row
+        for row."""
+        from mopso_engine.ext.streaming import run_available_now
+
+        batch = {tuple(r) for r in tx.repetition_stats_expr(
+            read_table(spark, SF, "documents")).collect()}
+        schema = spark.read.parquet(f"{SF}/documents.parquet").schema
+        stream_src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(SF)
+        )
+        out = run_available_now(
+            tx.repetition_stats_expr(stream_src),
+            query_name="repgate_test",
+            output_mode="append",  # stateless map — no aggregation state
+        )
+        assert {tuple(r) for r in out.collect()} == batch
