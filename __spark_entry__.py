@@ -705,6 +705,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pl.pack_sequences(read_table(spark, sf, "documents"), seq_len=256, buckets=8)
 
+    def pq_codes(spark, sf):
+        """Product-quantization encode (`ext.simsearch.train_pq` +
+        `pq_encode`, Jégou 2011): 8 subspace codebooks trained on the
+        deterministic hash sample, corpus encoded to 8 small codes in
+        ONE map-only Arrow scan (~32× smaller than the raw floats — the
+        memory tier of billion-vector ANN). The oracle retrains the
+        bit-identical codebooks and replays the argmin relationally."""
+        emb = read_table(spark, sf, "embeddings").drop("label")
+        cb = ss.train_pq(emb)
+        return ss.pq_encode(emb, cb)
+
+    def pq_topk(spark, sf):
+        """PQ top-5 by asymmetric distance: exact query vectors score the
+        ENCODED corpus through broadcast per-query lookup tables —
+        m adds per candidate instead of a dims-wide scan; the
+        approximation is the operator and the oracle replays it."""
+        emb = read_table(spark, sf, "embeddings").drop("label")
+        cb = ss.train_pq(emb)
+        return ss.pq_topk(emb, cb, [0, 1, 2, 3, 4], topk=5)
+
     def pca_project(spark, sf):
         """Sample-trained PCA projection (`ext.linalg.train_pca` +
         `pca_project`): a deterministic md5-sample is fit EXACTLY on the
@@ -1683,7 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         repetition_stats, repetition_stats_expr, decontaminate, semdedup,
         docs_quota_sample,
         dedup_components, pca_project, docs_chunked, docs_packed,
-        corpus_curation_v2, source_mixture,
+        corpus_curation_v2, source_mixture, pq_codes, pq_topk,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
         events_asof_stream, events_asof,
         dedup_jaccard_capped, dedup_jaccard_skewed,
@@ -2951,6 +2971,59 @@ def oracle_sql() -> dict[str, str]:
                round(list_sum(list_transform(list_zip(p.v, pc.cv), x -> x[1]*x[2])) - pc.off,
                      6) AS value
         FROM p, pc
+    """
+
+    # PQ oracle: retrain the bit-identical per-subspace codebooks from the
+    # checked sf's parquet (train_pq_local), inject as (sub, code, cv)
+    # literals, and replay encode-argmin + ADC relationally. Guarded like
+    # the other model oracles.
+    try:
+        _pq = ss.train_pq_local(_emb_path) if os.path.exists(_emb_path) else None
+    except Exception:
+        _pq = None
+    if _pq is not None:
+        _pq_rows = ",\n          ".join(
+            f"({s}, {c}, CAST([{', '.join(repr(float(v)) for v in _pq[s][c])}] AS DOUBLE[]))"
+            for s in range(_pq.shape[0])
+            for c in range(_pq.shape[1])
+        )
+        _pq_enc = f"""
+        cb(sub, code, cv) AS (VALUES
+          {_pq_rows}),
+        p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        dist AS (
+          SELECT p.vec_id, cb.sub, cb.code,
+                 list_sum(list_transform(list_zip(p.v[cb.sub*8+1 : cb.sub*8+8], cb.cv),
+                                         x -> (x[1]-x[2])*(x[1]-x[2]))) AS d
+          FROM p, cb),
+        enc AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+            FROM dist) WHERE rn = 1)"""
+        o["pq_codes"] = f"""
+        WITH {_pq_enc}
+        SELECT vec_id, sub AS subspace, code FROM enc
+    """
+        o["pq_topk"] = f"""
+        WITH {_pq_enc},
+        q AS (SELECT vec_id AS qid, v AS qv FROM p WHERE vec_id IN (0, 1, 2, 3, 4)),
+        qd AS (
+          SELECT q.qid, cb.sub, cb.code,
+                 list_sum(list_transform(list_zip(q.qv[cb.sub*8+1 : cb.sub*8+8], cb.cv),
+                                         x -> (x[1]-x[2])*(x[1]-x[2]))) AS d
+          FROM q, cb),
+        adc AS (
+          SELECT qd.qid AS query_id, enc.vec_id AS nbr_id, round(sum(qd.d), 6) AS adc_dist
+          FROM enc JOIN qd ON qd.sub = enc.sub AND qd.code = enc.code
+          WHERE enc.vec_id <> qd.qid
+          GROUP BY 1, 2)
+        SELECT query_id, nbr_id, rank, adc_dist FROM (
+          SELECT query_id, nbr_id, adc_dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist ASC, nbr_id ASC)::INT AS rank
+          FROM adc) t
+        WHERE rank <= 5
     """
 
     if _cb_rows is not None:

@@ -570,3 +570,169 @@ def semdedup(embeddings: DataFrame, codebook, *, threshold: float = 0.4) -> Data
             F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: the memory-bound ANN tier (encode + ADC scoring)
+# ---------------------------------------------------------------------------
+
+def train_pq(
+    embeddings: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    dims: int = 64,
+    iters: int = 2,
+    sample_fraction: float = 0.5,
+    salt: str = "pq",
+    seed: int = 11,
+    max_sample_rows: int = 1_000_000,
+):
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    vector into ``m`` subspaces of dims/m and train an independent
+    seeded :func:`lloyd_codebook` per subspace on the SAME deterministic
+    sorted hash sample (seed offset by subspace). Returns an (m, k,
+    dims/m) float array — the model artifact that compresses a vector
+    to m small codes (m bytes at k ≤ 256): the tier that makes
+    billion-vector ANN fit in memory. Bit-reproducible; the oracle twin
+    is :func:`train_pq_local`."""
+    import numpy as np
+
+    from mopso_engine.ext.pipeline import hash_uniform
+
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    samp = embeddings.where(hash_uniform("vec_id", salt=salt) < F.lit(sample_fraction)).select(
+        "vec_id", "embedding"
+    )
+    n = samp.count()
+    if n > max_sample_rows:
+        raise ValueError(
+            f"train_pq sample has {n} rows > max_sample_rows={max_sample_rows}: "
+            "lower sample_fraction instead of collecting a corpus to the driver"
+        )
+    rows = samp.orderBy("vec_id").collect()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64)[:dims] for r in rows])
+    w = dims // m
+    return np.stack(
+        [lloyd_codebook(X[:, s * w : (s + 1) * w], k, iters=iters, seed=seed + s) for s in range(m)]
+    )
+
+
+def train_pq_local(
+    parquet_path: str,
+    *,
+    m: int = 8,
+    k: int = 16,
+    dims: int = 64,
+    iters: int = 2,
+    sample_fraction: float = 0.5,
+    salt: str = "pq",
+    seed: int = 11,
+):
+    """Oracle twin of :func:`train_pq`: same md5 sample, same sort, same
+    per-subspace seeded trainer, straight from the parquet."""
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"""
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM '{parquet_path}'
+        WHERE (('0x' || substr(md5(vec_id::VARCHAR || '#{salt}'), 1, 8))::BIGINT)::DOUBLE
+              / 4294967296.0 < {float(sample_fraction)}
+        ORDER BY vec_id
+        """
+    ).fetchall()
+    X = np.array([r[1] for r in rows], dtype=np.float64)[:, :dims]
+    w = dims // m
+    return np.stack(
+        [lloyd_codebook(X[:, s * w : (s + 1) * w], k, iters=iters, seed=seed + s) for s in range(m)]
+    )
+
+
+def pq_encode(embeddings: DataFrame, codebooks) -> DataFrame:
+    """Encode the corpus: (vec_id, subspace, code) — per subspace, the
+    squared-L2 argmin code (ties → lowest code, numpy argmin ≡ the SQL
+    ORDER BY d, code). ONE map-only Arrow scan; per-subspace distance
+    accumulation is sequential over dims, so every d — and therefore
+    every argmin — replays bit-identically as the SQL fold."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(codebooks, dtype=np.float64)  # (m, k, w)
+    m, k, w = C.shape
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)[:, : m * w]
+            n = X.shape[0]
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                d = np.zeros((n, k))
+                for j in range(w):  # sequential over dims == the SQL fold
+                    diff = X[:, s * w + j : s * w + j + 1] - C[s, :, j][None, :]
+                    d += diff * diff
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), m),
+                    "subspace": np.tile(np.arange(m, dtype=np.int32), n),
+                    "code": codes.ravel(),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="vec_id long, subspace int, code int"
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame, codebooks, query_ids: list[int], topk: int = 5
+) -> DataFrame:
+    """PQ top-k by asymmetric distance (ADC): exact query vectors score
+    the ENCODED corpus through per-query lookup tables — dist(q, x̂) =
+    Σ_s ||q_s − C_s[code_s(x)]||², i.e. m table lookups + adds per
+    candidate instead of a dims-wide scan. The approximation IS the
+    operator (the oracle replays the same codes and the same luts).
+
+    Shape at 100 TB: the corpus is touched once to encode (m codes per
+    vector ≈ 32× smaller than the raw floats); serving joins the slim
+    code stream against broadcast luts — here rendered as one encode
+    scan + a broadcast lut join + per-query top-k windows."""
+    import numpy as np
+
+    C = np.asarray(codebooks, dtype=np.float64)
+    m, k, w = C.shape
+    q = (
+        embeddings.where(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    lut_rows = []
+    for r in q:
+        qv = np.asarray(r["embedding"], dtype=np.float64)[: m * w]
+        for s in range(m):
+            d = np.zeros(k)
+            for j in range(w):  # sequential over dims == the SQL fold
+                diff = qv[s * w + j] - C[s, :, j]
+                d += diff * diff
+            for c in range(k):
+                lut_rows.append((int(r["vec_id"]), s, c, float(d[c])))
+    spark = embeddings.sparkSession
+    lut = spark.createDataFrame(lut_rows, "query_id long, subspace int, code int, d double")
+    codes = pq_encode(embeddings, C)
+    scored = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("nbr_id"))
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    wnd = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wnd).cast("int"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "nbr_id", "rank", "adc_dist")
+    )

@@ -912,3 +912,45 @@ class TestRepetitionStatsExpr:
             output_mode="append",  # stateless map — no aggregation state
         )
         assert {tuple(r) for r in out.collect()} == batch
+
+
+class TestProductQuantization:
+    def test_trainer_twins_bit_identical(self, spark):
+        a = ss.train_pq(read_table(spark, SF, "embeddings"), m=4, k=4, dims=16)
+        b = ss.train_pq_local(
+            f"{SF}/embeddings.parquet", m=4, k=4, dims=16
+        )
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+    def test_encode_matches_numpy_argmin(self, spark, emb):
+        cb = ss.train_pq(emb, m=4, k=4, dims=16)
+        C = np.asarray(cb)
+        got = {}
+        for r in ss.pq_encode(emb.limit(30), cb).collect():
+            got.setdefault(r["vec_id"], {})[r["subspace"]] = r["code"]
+        for r in emb.limit(30).collect():
+            x = np.asarray(r["embedding"], dtype=np.float64)[:16]
+            for s in range(4):
+                d = ((x[s * 4 : (s + 1) * 4][None, :] - C[s]) ** 2).sum(axis=1)
+                assert got[r["vec_id"]][s] == int(d.argmin()), (r["vec_id"], s)
+
+    def test_adc_topk_matches_numpy(self, spark, emb):
+        cb = ss.train_pq(emb, m=4, k=4, dims=16)
+        C = np.asarray(cb)
+        rows = emb.collect()
+        X = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)[:16] for r in rows}
+        codes = {
+            v: np.array([((x[s * 4:(s + 1) * 4][None] - C[s]) ** 2).sum(1).argmin() for s in range(4)])
+            for v, x in X.items()
+        }
+        got = {}
+        for r in ss.pq_topk(emb, cb, [0, 1], topk=3).collect():
+            got.setdefault(r["query_id"], []).append((r["rank"], r["nbr_id"]))
+        for qid in (0, 1):
+            qv = X[qid]
+            lut = np.stack([((qv[s * 4:(s + 1) * 4][None] - C[s]) ** 2).sum(1) for s in range(4)])
+            adc = sorted(
+                (round(sum(lut[s, codes[v][s]] for s in range(4)), 6), v)
+                for v in X if v != qid
+            )[:3]
+            assert sorted(got[qid]) == [(i + 1, v) for i, (_, v) in enumerate(adc)]
