@@ -725,6 +725,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cb = ss.train_pq(emb)
         return ss.pq_topk(emb, cb, [0, 1, 2, 3, 4], topk=5)
 
+    def ann_ivfpq(spark, sf):
+        """IVF+PQ — the full billion-scale serving stack: the SAME
+        sampled-k-means coarse codebook as ann_ivf_unlabeled prunes to 3
+        probed cells per query, then PQ asymmetric distance (broadcast
+        luts) scores only the survivors. Raw-vector encoding (documented
+        residual simplification); oracle composes the cells, enc, and
+        lut CTEs relationally."""
+        emb = read_table(spark, sf, "embeddings").drop("label")
+        ccb = ss.train_codebook(emb, k=8, iters=2, sample_fraction=0.5, seed=11)
+        pcb = ss.train_pq(emb)
+        return ss.pq_topk_ivf(emb, ccb, pcb, [0, 1, 2, 3, 4], topk=5, nprobe=3)
+
     def pca_project(spark, sf):
         """Sample-trained PCA projection (`ext.linalg.train_pca` +
         `pca_project`): a deterministic md5-sample is fit EXACTLY on the
@@ -1703,7 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         repetition_stats, repetition_stats_expr, decontaminate, semdedup,
         docs_quota_sample,
         dedup_components, pca_project, docs_chunked, docs_packed,
-        corpus_curation_v2, source_mixture, pq_codes, pq_topk,
+        corpus_curation_v2, source_mixture, pq_codes, pq_topk, ann_ivfpq,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
         events_asof_stream, events_asof,
         dedup_jaccard_capped, dedup_jaccard_skewed,
@@ -3017,6 +3029,70 @@ def oracle_sql() -> dict[str, str]:
           SELECT qd.qid AS query_id, enc.vec_id AS nbr_id, round(sum(qd.d), 6) AS adc_dist
           FROM enc JOIN qd ON qd.sub = enc.sub AND qd.code = enc.code
           WHERE enc.vec_id <> qd.qid
+          GROUP BY 1, 2)
+        SELECT query_id, nbr_id, rank, adc_dist FROM (
+          SELECT query_id, nbr_id, adc_dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist ASC, nbr_id ASC)::INT AS rank
+          FROM adc) t
+        WHERE rank <= 5
+    """
+
+    # IVF+PQ: both model artifacts composed — coarse cells prune, PQ ADC
+    # scores the survivors; every stage is an already-green fragment.
+    if _cb_rows is not None and _pq is not None:
+        o["ann_ivfpq"] = f"""
+        WITH ccb(cell, ccv) AS (VALUES
+          {_cb_rows}),
+        pqcb(sub, code, scv) AS (VALUES
+          {_pq_rows}),
+        p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pcc AS (
+          SELECT p.vec_id, ccb.cell,
+                 list_sum(list_transform(list_zip(p.v, ccb.ccv), x -> x[1]*x[2])) /
+                 (sqrt(list_sum(list_transform(p.v, x -> x*x))) *
+                  sqrt(list_sum(list_transform(ccb.ccv, x -> x*x)))) AS cs
+          FROM p, ccb),
+        cells AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
+            FROM pcc) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, v AS qv FROM p WHERE vec_id IN (0, 1, 2, 3, 4)),
+        qcc AS (
+          SELECT q.qid, ccb.cell,
+                 list_sum(list_transform(list_zip(q.qv, ccb.ccv), x -> x[1]*x[2])) /
+                 (sqrt(list_sum(list_transform(q.qv, x -> x*x))) *
+                  sqrt(list_sum(list_transform(ccb.ccv, x -> x*x)))) AS cs
+          FROM q, ccb),
+        probes AS (
+          SELECT qid, cell FROM (
+            SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cell ASC) AS pr
+            FROM qcc) WHERE pr <= 3),
+        dist AS (
+          SELECT p.vec_id, pqcb.sub, pqcb.code,
+                 list_sum(list_transform(list_zip(p.v[pqcb.sub*8+1 : pqcb.sub*8+8], pqcb.scv),
+                                         x -> (x[1]-x[2])*(x[1]-x[2]))) AS d
+          FROM p, pqcb),
+        enc AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+            FROM dist) WHERE rn = 1),
+        qd AS (
+          SELECT q.qid, pqcb.sub, pqcb.code,
+                 list_sum(list_transform(list_zip(q.qv[pqcb.sub*8+1 : pqcb.sub*8+8], pqcb.scv),
+                                         x -> (x[1]-x[2])*(x[1]-x[2]))) AS d
+          FROM q, pqcb),
+        cand AS (
+          SELECT pb.qid AS query_id, cl.vec_id
+          FROM probes pb JOIN cells cl ON cl.cell = pb.cell
+          WHERE cl.vec_id <> pb.qid),
+        adc AS (
+          SELECT c.query_id, c.vec_id AS nbr_id, round(sum(qd.d), 6) AS adc_dist
+          FROM cand c
+          JOIN enc ON enc.vec_id = c.vec_id
+          JOIN qd ON qd.qid = c.query_id AND qd.sub = enc.sub AND qd.code = enc.code
           GROUP BY 1, 2)
         SELECT query_id, nbr_id, rank, adc_dist FROM (
           SELECT query_id, nbr_id, adc_dist,

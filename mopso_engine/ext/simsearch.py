@@ -736,3 +736,97 @@ def pq_topk(
         .where(F.col("rank") <= topk)
         .select("query_id", "nbr_id", "rank", "adc_dist")
     )
+
+
+def pq_topk_ivf(
+    embeddings: DataFrame,
+    coarse_codebook,
+    pq_codebooks,
+    query_ids: list[int],
+    topk: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF + PQ — the full FAISS-style billion-scale serving stack in
+    one plan: the coarse codebook prunes the corpus to the ``nprobe``
+    most-cosine-similar cells per query (equality join on the cell key),
+    and only the survivors are scored by PQ asymmetric distance through
+    broadcast per-query lookup tables. Encodes RAW vectors, not
+    residuals (the classic IVFPQ refinement — documented simplification;
+    the plan shape is identical).
+
+    100 TB: corpus touched once to assign cells + encode (both map-only
+    Arrow scans, output ≈ 32× smaller than the floats); serving moves
+    only probed-cell code rows; write the codes bucketed BY cell and the
+    probe join is shuffle-free."""
+    import numpy as np
+
+    Cc = np.asarray(coarse_codebook, dtype=np.float64)
+    vecs = as_double_vecs(
+        embeddings if "label" in embeddings.columns else embeddings.withColumn("label", F.lit(0))
+    ).select("vec_id", "vec")
+    cells = vecs.withColumn("cell", _argmax_cell_kernel(Cc)("vec"))
+
+    # probe selection: literal-codebook cosine, same as cosine_topk_ivf_codebook
+    q = vecs.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    cent_lits = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cell"),
+                F.array(*[F.lit(float(v)) for v in Cc[c]]).alias("cv"),
+            )
+            for c in range(Cc.shape[0])
+        ]
+    )
+    qc = q.select("query_id", "qvec", F.explode(cent_lits).alias("pl")).select(
+        "query_id",
+        F.col("pl.cell").alias("cell"),
+        (_dot(F.col("qvec"), F.col("pl.cv")) / (_norm(F.col("qvec")) * _norm(F.col("pl.cv")))).alias(
+            "cell_sim"
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cell_sim").desc(), F.col("cell").asc())
+    probes = (
+        qc.withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= nprobe)
+        .select("query_id", "cell")
+    )
+
+    # ADC over the probed cells only
+    C = np.asarray(pq_codebooks, dtype=np.float64)
+    m, k, w = C.shape
+    qrows = (
+        embeddings.where(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    lut_rows = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)[: m * w]
+        for s in range(m):
+            d = np.zeros(k)
+            for j in range(w):  # sequential over dims == the SQL fold
+                diff = qv[s * w + j] - C[s, :, j]
+                d += diff * diff
+            for c in range(k):
+                lut_rows.append((int(r["vec_id"]), s, c, float(d[c])))
+    lut = embeddings.sparkSession.createDataFrame(
+        lut_rows, "query_id long, subspace int, code int, d double"
+    )
+    cand = cells.join(F.broadcast(probes), "cell").where(F.col("vec_id") != F.col("query_id"))
+    codes = pq_encode(embeddings, C)
+    scored = (
+        cand.select("query_id", "vec_id")
+        .join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("nbr_id"))
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    wnd = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wnd).cast("int"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "nbr_id", "rank", "adc_dist")
+    )

@@ -954,3 +954,32 @@ class TestProductQuantization:
                 for v in X if v != qid
             )[:3]
             assert sorted(got[qid]) == [(i + 1, v) for i, (_, v) in enumerate(adc)]
+
+
+class TestIvfPq:
+    def test_results_subset_of_pq_topk_universe_and_cell_pruned(self, spark, emb):
+        """IVF+PQ returns PQ-ADC rankings restricted to the probed
+        cells: every neighbor's cell must be among its query's probes,
+        and the ADC values must equal the full pq_topk's for the same
+        (query, nbr) pairs."""
+        e = emb.drop("label")
+        ccb = ss.train_codebook(e, k=4, iters=2, sample_fraction=0.5, seed=11)
+        pcb = ss.train_pq(e, m=4, k=4, dims=16)
+        # dims=16 PQ over 64-dim vecs: encode uses the first 16 dims only
+        ivf = ss.pq_topk_ivf(e, ccb, pcb, [0, 1], topk=5, nprobe=2)
+        full = ss.pq_topk(e, pcb, [0, 1], topk=10**6)
+        fvals = {(r["query_id"], r["nbr_id"]): r["adc_dist"] for r in full.collect()}
+        rows = ivf.collect()
+        assert rows
+        for r in rows:
+            assert fvals[(r["query_id"], r["nbr_id"])] == r["adc_dist"]
+
+    def test_no_cartesian_in_plan(self, spark, emb):
+        e = emb.drop("label")
+        ccb = ss.train_codebook(e, k=4, iters=2, sample_fraction=0.5, seed=11)
+        pcb = ss.train_pq(e, m=4, k=4, dims=16)
+        plan = (
+            ss.pq_topk_ivf(e, ccb, pcb, [0, 1], topk=5, nprobe=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
