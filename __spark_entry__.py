@@ -827,6 +827,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
         )
 
+    def hll_union_check(spark, sf):
+        """Sketch-MERGE rollup (DataSketches HLL): per-(event_type, day)
+        HLL sketches built once, then UNIONED per event_type and
+        estimated — the pre-aggregated distinct-count pattern that lets a
+        100 TB pipeline answer "distinct users over any day range"
+        without re-scanning raw events (daily sketch partials are ~KB
+        and merge associatively). The value gate pins the merged
+        estimate within 10% of exact; the oracle pins the gate true."""
+        from mopso_engine.ext.streaming import read_events
+
+        _utc(spark)
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.expr("hll_sketch_agg(user_id)").alias("sk")
+        )
+        merged = daily.groupBy("event_type").agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("merged")
+        )
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users")
+        )
+        return exact.join(merged, "event_type").select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("merged") - F.col("exact_users")) / F.col("exact_users")
+                <= 0.1
+            ).alias("union_ok"),
+        )
+
+    def source_token_kl(spark, sf):
+        """Per-source corpus-drift monitor (`ext.text.source_unigram_kl`):
+        KL(P_source ‖ P_corpus) over unigram distributions — one token
+        scan, then vocab-bounded aggregates only (the corpus distribution
+        derives from the per-source counts and broadcast-joins back)."""
+        return tx.source_unigram_kl(read_table(spark, sf, "documents"))
+
+    def heavy_hitters(spark, sf):
+        """Distributed Misra–Gries heavy hitters with EXACT verification
+        (`ext.sketch.heavy_hitters`): a map-only per-partition MG sketch
+        (capacity 2/min_frac) proposes a provably-complete candidate
+        superset, then a broadcast semi-join counts ONLY candidates — so
+        the full-cardinality groupBy shuffle of a naive top-frequency
+        query is replaced by an O(partitions·m) one, yet the output
+        equals the exact groupBy-count + HAVING answer bit-for-bit (the
+        oracle computes exactly that). A hot tail is planted (every 5th
+        event re-tagged to one of 3 hot props) so the threshold separates
+        signal from the near-uniform background."""
+        from mopso_engine.ext import sketch as sk
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        hot = ev.where(F.col("event_id") % 5 == 0).withColumn(
+            "props", F.concat(F.lit("hot_"), (F.col("user_id") % 3).cast("string"))
+        )
+        items = ev.unionByName(hot)
+        return sk.heavy_hitters(items, "props", min_frac=0.02).withColumnRenamed(
+            "props", "item"
+        )
+
+    def weighted_docs_sample(spark, sf):
+        """Deterministic weighted sample without replacement
+        (`ext.pipeline.weighted_sample_topk`, Efraimidis–Spirakis A-ES):
+        top-200 documents by priority u^(1/n_chars) — inclusion odds
+        proportional to length, the importance-weighted budgeted-
+        selection knob. Compiles to TakeOrderedAndProject (per-partition
+        k-row heaps, O(partitions·k) rows to one reducer, no global
+        sort); the oracle replays the identical md5-uniform + pow
+        ordering in SQL."""
+        from mopso_engine.ext import pipeline as pl
+
+        docs = read_table(spark, sf, "documents")
+        return pl.weighted_sample_topk(docs, "doc_id", "n_chars", 200).select(
+            "doc_id", "lang", "priority"
+        )
+
     def minhash_sigs(spark, sf):
         """MinHash signatures (16 md5 hashes over 3-word shingles)."""
         return dd.minhash_signatures(read_table(spark, sf, "documents"), k=3, num_hashes=16)
@@ -929,6 +1005,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id",
             F.round("value", 4).alias("click_value"),
             F.round("asof_value", 4).alias("last_purchase_value"),
+        )
+
+    def events_interval_join_stream(spark, sf):
+        """STREAM-STREAM twin of events_interval_join: clicks and
+        purchases are two watermarked streams and the interval condition
+        bounds the join state (the engine derives each side's state
+        horizon from watermark + range, so state is evictable — the
+        canonical stream-stream join shape). Drained with
+        Trigger.AvailableNow; the oracle is the BATCH interval join
+        aggregate — stream must equal batch."""
+        from mopso_engine.ext.streaming import interval_join_stream, run_available_now
+
+        _utc(spark)
+        joined = interval_join_stream(
+            spark, os.path.join(sf, "events.parquet"), minutes=30
+        )
+        res = run_available_now(
+            joined, query_name=f"ivj_ss_{uuid.uuid4().hex[:8]}", output_mode="append"
+        )
+        return res.groupBy("user_id").agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum("value"), 4).alias("sum_purchase_value"),
         )
 
     def docs_sample(spark, sf):
@@ -1417,6 +1515,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
         )
 
+    def q18_large_volume(spark, sf):
+        """TPC-H Q18 shape (large-volume customers): the HAVING
+        sum(l_quantity) > 300 semi-join rendered as a pre-aggregated
+        order-key filter — the per-order partial aggregate runs map-side
+        before its one shuffle, and only qualifying keys (a tiny set)
+        reach the 3-way join; top-100 by totalprice compiles to
+        TakeOrderedAndProject."""
+        li = read_table(spark, sf, "lineitem")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("sum_qty"))
+            .where(F.col("sum_qty") > 300)
+        )
+        o = read_table(spark, sf, "orders")
+        c = read_table(spark, sf, "customer")
+        return (
+            o.join(big, o.o_orderkey == big.l_orderkey)
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .select(
+                "c_name",
+                "o_custkey",
+                "o_orderkey",
+                "o_orderdate",
+                "o_totalprice",
+                F.round("sum_qty", 2).alias("sum_qty"),
+            )
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(100)
+        )
+
     def q19_or_of_ands(spark, sf):
         """TPC-H Q19 shape: disjunction of conjunctive part×lineitem
         predicates (the classic pushdown/join-condition stress; no
@@ -1712,6 +1840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mopso_fit, mopso_fit_only, mopso_fit_full, mopso_fit_lineitem,
         mopso_fit_lineitem_only,
         # round-6 new / code-changed this round
+        heavy_hitters, weighted_docs_sample, events_interval_join_stream,
+        q18_large_volume, hll_union_check, source_token_kl,
         repetition_stats, repetition_stats_expr, decontaminate, semdedup,
         docs_quota_sample,
         dedup_components, pca_project, docs_chunked, docs_packed,
@@ -2827,6 +2957,81 @@ def oracle_sql() -> dict[str, str]:
                      AND b.ts >= c.ts - INTERVAL 30 MINUTE
         WHERE c.event_type = 'click'
         GROUP BY 1, 2
+    """
+
+    # the stream-stream interval join must equal the batch interval join,
+    # aggregated per user
+    o["events_interval_join_stream"] = """
+        SELECT c.user_id, count(*)::BIGINT AS n_pairs,
+               round(sum(b.value), 4) AS sum_purchase_value
+        FROM events c
+        JOIN events b ON b.user_id = c.user_id
+                     AND b.event_type = 'purchase'
+                     AND b.ts < c.ts
+                     AND b.ts >= c.ts - INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click'
+        GROUP BY 1
+    """
+
+    # merged-sketch estimate is gated within 10% of exact; the oracle
+    # pins the gate (exact distincts are exact on both engines)
+    o["hll_union_check"] = """
+        SELECT event_type, count(DISTINCT user_id) AS exact_users,
+               true AS union_ok
+        FROM events GROUP BY 1
+    """
+
+    o["source_token_kl"] = """
+        WITH tok AS (
+          SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM documents),
+        by_src AS (SELECT source, tok, count(*) AS c_s FROM tok GROUP BY 1, 2),
+        src_tot AS (SELECT source, sum(c_s) AS n_s FROM by_src GROUP BY 1),
+        corpus AS (SELECT tok, sum(c_s) AS c FROM by_src GROUP BY 1),
+        ct AS (SELECT sum(c) AS n_corpus FROM corpus)
+        SELECT s.source, st.n_s::BIGINT AS n_tokens,
+               round(sum((s.c_s / st.n_s) * ln((s.c_s / st.n_s) / (c.c / ct.n_corpus))), 6) AS kl
+        FROM by_src s
+        JOIN src_tot st USING (source)
+        JOIN corpus c USING (tok), ct
+        GROUP BY 1, 2
+    """
+
+    # exact groupBy-count + HAVING: the sketch+verify plan must equal it
+    # bit-for-bit (MG recall guarantee + exact verification pass)
+    o["heavy_hitters"] = """
+        WITH items AS (
+          SELECT props FROM events
+          UNION ALL
+          SELECT 'hot_' || (user_id % 3)::VARCHAR AS props
+          FROM events WHERE event_id % 5 = 0),
+        tot AS (SELECT count(*) AS n_total FROM items),
+        c AS (SELECT props AS item, count(*) AS n FROM items GROUP BY props)
+        SELECT item, n, n_total FROM c, tot WHERE n >= ceil(0.02 * n_total)
+    """
+
+    # identical md5-uniform + pow priority, replayed in SQL
+    o["weighted_docs_sample"] = """
+        WITH w AS (
+          SELECT doc_id, lang,
+                 pow((('0x' || substr(md5(doc_id::VARCHAR || '#w0'), 1, 8))::BIGINT)::DOUBLE
+                       / 4294967296.0,
+                     1.0 / n_chars) AS pr
+          FROM documents)
+        SELECT doc_id, lang, round(pr, 6) AS priority
+        FROM w ORDER BY pr DESC, doc_id ASC LIMIT 200
+    """
+
+    o["q18_large_volume"] = """
+        WITH big AS (
+          SELECT l_orderkey, sum(l_quantity) AS sq
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, round(b.sq, 2) AS sum_qty
+        FROM orders o
+        JOIN big b ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 100
     """
 
     o["q6_forecast"] = """

@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "events_sessions_native",
     "events_asof",
     "user_stats",
+    "q18_large_volume",
     # points/assignment family
     "assign_nearest",
     "purity",
@@ -61,6 +62,10 @@ BENCH_QUERIES = [
     "semdedup",
     "docs_quota_sample",
     "corpus_curation_v2",
+    # MG sketch+verify vs the full-cardinality groupBy it replaces
+    "heavy_hitters",
+    "weighted_docs_sample",
+    "source_token_kl",
     "lsh_candidates",
     "simhash_fp",
     "simhash_neardup",

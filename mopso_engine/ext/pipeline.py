@@ -56,6 +56,42 @@ def sample_by_hash(
     return df.where(u < F.lit(float(fraction)))
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    key: str,
+    weight: Column | str,
+    k: int,
+    *,
+    salt: str = "w0",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row gets priority ``u^(1/w)`` for the
+    deterministic per-row uniform u and its weight w > 0; the global
+    top-k by priority is a weighted sample without replacement (each
+    row's inclusion probability proportional to its weight, exactly the
+    A-ES result). The third sampling knob next to
+    :func:`sample_by_hash` (fixed rate) and :func:`quota_sample` (fixed
+    size per stratum): fixed TOTAL size, importance-weighted — e.g.
+    quality-weighted corpus selection under a document budget.
+
+    Deterministic and replayable: u is the md5 hash uniform, ties break
+    on the key, so the selected set is independent of partitioning and
+    identical on every engine with md5 (the oracle replays it in SQL).
+    Scale shape: ORDER BY priority LIMIT k compiles to
+    TakeOrderedAndProject — every map task keeps a local k-row heap and
+    only O(partitions·k) rows reach the single reducer; no global sort,
+    no full shuffle. Appends a ``priority`` column (rounded to 6dp).
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = hash_uniform(key, salt=salt)
+    pr = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.withColumn("priority", F.round(pr, 6))
+        .orderBy(pr.desc(), F.col(key).asc())
+        .limit(int(k))
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

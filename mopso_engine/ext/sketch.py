@@ -1,0 +1,103 @@
+"""Frequency sketching: distributed Misra–Gries heavy hitters with an
+exact verification pass.
+
+The 100 TB shape is two linear scans and one candidate-bounded shuffle:
+
+1. **Sketch scan** (map-only): every partition folds its rows into a
+   Misra–Gries summary of capacity ``m`` — at most ``m`` counters,
+   batch-merged with the standard reduction (subtract the (m+1)-th
+   largest count, drop non-positive). Guarantee: any item whose count in
+   partition *p* exceeds ``n_p/(m+1)`` survives p's summary, so any item
+   with GLOBAL frequency ≥ n/(m+1) survives in at least one partition
+   (averaging argument: Σf_p ≥ n/(m+1) = Σ n_p/(m+1) forces some
+   f_p ≥ n_p/(m+1)). With ``m ≥ 2/min_frac`` the candidate set is a
+   strict superset of every item at or above the threshold.
+2. **Verify scan** (broadcast semi-join + tiny groupBy): exact counts
+   for candidate items only — the shuffle carries O(partitions·m)
+   candidate keys, never the corpus — then the threshold filter.
+
+The result is therefore EXACT (identical to a full groupBy-count +
+HAVING), but the full-cardinality shuffle of a naive groupBy is replaced
+by a bounded one: at 100 TB a token-frequency groupBy shuffles billions
+of distinct keys; sketch+verify shuffles ≤ partitions·m candidates.
+
+Each partition also emits one null-item row carrying its row count, so
+the total-count denominator rides the same scan (no separate count job).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_reduce(counters: dict, m: int) -> None:
+    """Misra–Gries reduction: keep ≤ m counters by subtracting the
+    (m+1)-th largest count from all and dropping non-positive ones.
+    Each element's count decreases by at most n_p/(m+1) in total."""
+    if len(counters) <= m:
+        return
+    cut = sorted(counters.values(), reverse=True)[m]
+    for k in [k for k, v in counters.items() if v - cut <= 0]:
+        del counters[k]
+    for k in counters:
+        counters[k] -= cut
+
+
+def mg_partition_sketch(items: DataFrame, col: str, m: int) -> DataFrame:
+    """Per-partition Misra–Gries summaries: (item, lb) candidate rows
+    plus one (NULL, n_p) row per partition carrying the partition's row
+    count. Map-only — no shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        n_p = 0
+        for b in batches:
+            s = b[col].dropna()
+            n_p += len(s)
+            for item, c in s.value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            _mg_reduce(counters, m)
+        out = pd.DataFrame(
+            {"item": list(counters) + [None], "lb": list(counters.values()) + [n_p]}
+        )
+        yield out.astype({"lb": "int64"})
+
+    return items.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        kernel, "item string, lb long"
+    )
+
+
+def heavy_hitters(
+    items: DataFrame, col: str, *, min_frac: float, m: int | None = None
+) -> DataFrame:
+    """EXACT heavy hitters: (item, n, n_total) for every item with
+    count ≥ ceil(min_frac · n_total), via sketch + verify.
+
+    ``m`` defaults to ceil(2/min_frac) — comfortably above the 1/min_frac
+    recall bound, so the candidate superset provably contains every
+    qualifying item and the verified output equals the full
+    groupBy-count answer bit-for-bit.
+    """
+    if not (0.0 < min_frac <= 1.0):
+        raise ValueError("min_frac must be in (0, 1]")
+    if m is None:
+        m = int(math.ceil(2.0 / min_frac))
+    items = items.select(F.col(col).cast("string").alias(col))
+    sk = mg_partition_sketch(items, col, m)
+    cands = sk.where(F.col("item").isNotNull()).select(F.col("item").alias(col)).distinct()
+    total = sk.where(F.col("item").isNull()).agg(F.sum("lb").alias("n_total"))
+    counts = (
+        items.join(F.broadcast(cands), col)
+        .groupBy(col)
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n") >= F.ceil(F.lit(float(min_frac)) * F.col("n_total")))
+        .select(col, "n", "n_total")
+    )

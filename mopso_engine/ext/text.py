@@ -365,3 +365,43 @@ def repetition_stats_expr(
         (F.col("top_word_frac") <= F.lit(max_top_word_frac))
         & (F.col("top_2gram_frac") <= F.lit(max_top_2gram_frac)),
     )
+
+
+def source_unigram_kl(docs: DataFrame, *, stratum: str = "source") -> DataFrame:
+    """Per-source corpus-drift monitor: KL(P_source ‖ P_corpus) over the
+    unigram token distribution — the mixture-health statistic a training
+    pipeline tracks per ingest source (a source whose token distribution
+    drifts from the corpus shows up as a KL jump long before a quality
+    gate fires).
+
+    Scale shape: token explosion is map-only; then TWO partial-aggregated
+    shuffles bounded by |vocab|·|sources| and |vocab| (token keys, NOT
+    corpus rows), and the corpus distribution broadcast-joins back (tiny:
+    one row per distinct token). KL terms p·ln(p/q) sum per source in the
+    same aggregation — no driver math. Every source term has q > 0 by
+    construction (the source's tokens are a subset of the corpus's), so
+    the sum is total and finite.
+
+    Returns (source, n_tokens, kl) with kl rounded to 6dp.
+    """
+    tok = docs.select(F.col(stratum).alias("stratum"), F.explode(tokens_col()).alias("tok"))
+    by_src = tok.groupBy("stratum", "tok").agg(F.count("*").alias("c_s"))
+    src_tot = by_src.groupBy("stratum").agg(F.sum("c_s").alias("n_s"))
+    # corpus distribution derives from the per-source counts — the raw
+    # token stream is scanned ONCE, everything downstream reuses the
+    # |vocab|-bounded aggregates
+    corpus = by_src.groupBy("tok").agg(F.sum("c_s").alias("c"))
+    corpus_tot = corpus.agg(F.sum("c").alias("n_corpus"))
+    p = F.col("c_s") / F.col("n_s")
+    q = F.col("c") / F.col("n_corpus")
+    return (
+        by_src.join(src_tot, "stratum")
+        .join(F.broadcast(corpus), "tok")
+        .crossJoin(F.broadcast(corpus_tot))
+        .groupBy("stratum")
+        .agg(
+            F.first("n_s").alias("n_tokens"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl"),
+        )
+        .withColumnRenamed("stratum", "source")
+    )

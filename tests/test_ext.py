@@ -983,3 +983,79 @@ class TestIvfPq:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "CartesianProduct" not in plan
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_stream_equals_batch(self, spark):
+        """The watermarked stream-stream interval join must reproduce
+        the batch range join exactly once drained (AvailableNow): same
+        (click, purchase) pairs, same values."""
+        from mopso_engine.ext.streaming import (
+            interval_join_stream,
+            read_events,
+            run_available_now,
+        )
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ev = read_events(spark, f"{SF}/events.parquet")
+        clicks = ev.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+        )
+        buys = ev.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("b_user"), F.col("ts").alias("bts"), "value"
+        )
+        batch = {
+            (r["click_id"], str(r["bts"]), r["value"])
+            for r in clicks.join(
+                buys,
+                (F.col("user_id") == F.col("b_user"))
+                & (F.col("bts") < F.col("cts"))
+                & (F.col("bts") >= F.col("cts") - F.expr("INTERVAL 30 MINUTES")),
+            )
+            .select("click_id", "bts", "value")
+            .collect()
+        }
+        out = run_available_now(
+            interval_join_stream(spark, f"{SF}/events.parquet", minutes=30),
+            query_name="ivj_test",
+            output_mode="append",
+        )
+        stream = {(r["click_id"], str(r["bts"]), r["value"]) for r in out.collect()}
+        assert stream == batch and len(stream) > 0
+
+
+class TestSourceKL:
+    def test_kl_matches_numpy_replay(self, spark):
+        """KL(P_src || P_corpus) equals a driver-side numpy replay on a
+        tiny corpus with known distributions."""
+        docs = spark.createDataFrame(
+            [
+                (1, "a a b", "s1"),
+                (2, "a b b c", "s1"),
+                (3, "c c c d", "s2"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        out = {r["source"]: r for r in tx.source_unigram_kl(docs).collect()}
+        import collections
+
+        toks = {"s1": "a a b a b b c".split(), "s2": "c c c d".split()}
+        corpus = collections.Counter(sum(toks.values(), []))
+        n_c = sum(corpus.values())
+        for src, tk in toks.items():
+            cs = collections.Counter(tk)
+            n_s = len(tk)
+            kl = sum(
+                (c / n_s) * np.log((c / n_s) / (corpus[t] / n_c)) for t, c in cs.items()
+            )
+            assert out[src]["n_tokens"] == n_s
+            assert abs(out[src]["kl"] - round(kl, 6)) < 1e-9
+
+    def test_identical_distribution_zero_kl(self, spark):
+        """A source distributed exactly like the corpus has KL == 0."""
+        docs = spark.createDataFrame(
+            [(1, "x y", "s1"), (2, "x y", "s2")],
+            "doc_id long, text string, source string",
+        )
+        out = {r["source"]: r["kl"] for r in tx.source_unigram_kl(docs).collect()}
+        assert out == {"s1": 0.0, "s2": 0.0}

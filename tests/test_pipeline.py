@@ -217,3 +217,54 @@ class TestSourceMixture:
         }
         picked = sample_by_hash(docs, "doc_id", rates, stratum="source").collect()
         assert 0 < len(picked) < 100  # the mixture applies as one filter
+
+
+class TestWeightedSample:
+    def test_matches_replayed_formula_and_partition_invariant(self, spark, docs):
+        """The selected set equals a driver-side replay of the A-ES
+        priority (md5-uniform ^ (1/weight), top-k) and is independent of
+        the physical partitioning."""
+        import hashlib
+
+        from mopso_engine.ext.pipeline import weighted_sample_topk
+
+        rows = docs.select("doc_id", "n_chars").collect()
+
+        def pr(doc_id, w):
+            u = int(hashlib.md5(f"{doc_id}#w0".encode()).hexdigest()[:8], 16) / 2**32
+            return u ** (1.0 / w)
+
+        want = sorted(
+            ((pr(r["doc_id"], r["n_chars"]), r["doc_id"]) for r in rows),
+            key=lambda t: (-t[0], t[1]),
+        )[:50]
+        got = weighted_sample_topk(docs, "doc_id", "n_chars", 50).collect()
+        assert [r["doc_id"] for r in got] == [d for _, d in want]
+        # the emitted priority is rounded to 6dp
+        assert all(abs(r["priority"] - round(p, 6)) < 1e-12 for r, (p, _) in zip(got, want))
+        got13 = weighted_sample_topk(docs.repartition(13), "doc_id", "n_chars", 50).collect()
+        assert {r["doc_id"] for r in got13} == {d for _, d in want}
+
+    def test_weight_monotone(self, spark):
+        """Raising a row's weight can only improve its standing: with a
+        huge weight its priority ~u^0 -> 1, so it must be selected."""
+        from mopso_engine.ext.pipeline import weighted_sample_topk
+
+        df = spark.createDataFrame(
+            [(i, 10.0 if i != 7 else 10.0) for i in range(100)], "id long, w double"
+        )
+        base = {r["id"] for r in weighted_sample_topk(df, "id", "w", 10).collect()}
+        boosted = df.withColumn("w", F.when(F.col("id") == 7, 1e9).otherwise(F.col("w")))
+        got = {r["id"] for r in weighted_sample_topk(boosted, "id", "w", 10).collect()}
+        assert 7 in got
+        # everyone else's relative order is untouched: the other 9 picks
+        # are the top-9 of the unboosted run (minus id 7 if it was there)
+        assert got - {7} <= base
+
+    def test_topk_plan_is_take_ordered(self, spark, docs):
+        """ORDER BY priority LIMIT k must compile to
+        TakeOrderedAndProject (per-partition heaps, no global sort)."""
+        from mopso_engine.ext.pipeline import weighted_sample_topk
+
+        plan = weighted_sample_topk(docs, "doc_id", "n_chars", 25)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,90 @@
+"""Misra–Gries heavy hitters: exactness (sketch+verify == full
+groupBy-count), recall guarantee under adversarial partitioning, and the
+candidate-boundedness that makes it the 100 TB shape."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mopso_engine.ext.sketch import _mg_reduce, heavy_hitters, mg_partition_sketch
+
+
+def _exact(rows, min_frac):
+    import collections
+
+    n = len(rows)
+    c = collections.Counter(rows)
+    thr = int(np.ceil(min_frac * n))
+    return {(k, v, n) for k, v in c.items() if v >= thr}
+
+
+def _hh(spark, rows, min_frac, parts, **kw):
+    df = spark.createDataFrame([(x,) for x in rows], "item string").repartition(parts)
+    out = heavy_hitters(df, "item", min_frac=min_frac, **kw)
+    return {(r["item"], r["n"], r["n_total"]) for r in out.collect()}
+
+
+def test_mg_reduce_caps_and_lower_bounds():
+    c = {f"k{i}": i + 1 for i in range(10)}  # counts 1..10
+    _mg_reduce(c, 4)
+    assert len(c) <= 4
+    # survivors are the largest, decremented by the (m+1)-th largest (6)
+    assert c == {"k9": 4, "k8": 3, "k7": 2, "k6": 1}
+
+
+def test_heavy_hitters_exact_on_zipf(spark):
+    rng = np.random.default_rng(11)
+    # zipf-ish: a few hot items over a long uniform tail
+    rows = (
+        ["hot_a"] * 400
+        + ["hot_b"] * 250
+        + ["warm"] * 60
+        + [f"tail_{i}" for i in rng.integers(0, 2000, size=1300)]
+    )
+    rng.shuffle(rows)
+    rows = [str(x) for x in rows]
+    for frac in (0.02, 0.1):
+        assert _hh(spark, rows, frac, parts=7) == _exact(rows, frac)
+
+
+def test_heavy_hitters_adversarial_partitioning(spark):
+    """A qualifying item spread thinly across MANY partitions must still
+    be recalled (the averaging-argument guarantee): 'spread' has 5
+    occurrences in each of 13 partitions — never locally dominant."""
+    rows = ["spread"] * 65 + [f"noise_{i}" for i in range(900)]
+    df = spark.createDataFrame([(x,) for x in rows], "item string").repartition(13)
+    out = heavy_hitters(df, "item", min_frac=0.05)
+    got = {r["item"]: r["n"] for r in out.collect()}
+    assert got == {"spread": 65}
+
+
+def test_heavy_hitters_min_m_boundary(spark):
+    """With the tightest capacity (m = ceil(2/min_frac)) the guarantee
+    still holds when MANY items sit exactly at the threshold."""
+    rows = []
+    for i in range(20):
+        rows += [f"at_{i}"] * 10  # each exactly 10 = 0.05 * 200
+    df = spark.createDataFrame([(x,) for x in rows], "item string").repartition(5)
+    out = heavy_hitters(df, "item", min_frac=0.05)
+    assert {r["item"] for r in out.collect()} == {f"at_{i}" for i in range(20)}
+    assert all(r["n"] == 10 and r["n_total"] == 200 for r in out.collect())
+
+
+def test_sketch_candidates_bounded(spark):
+    """The map-only sketch emits ≤ m candidates + 1 count row per
+    partition — the boundedness that replaces the full-cardinality
+    shuffle at scale."""
+    rows = [f"u{i}" for i in range(5000)]
+    df = spark.createDataFrame([(x,) for x in rows], "item string").repartition(8)
+    m = 25
+    sk = mg_partition_sketch(df, "item", m).collect()
+    cand = [r for r in sk if r["item"] is not None]
+    counts = [r for r in sk if r["item"] is None]
+    assert len(counts) >= 1 and sum(r["lb"] for r in counts) == 5000
+    assert len(cand) <= m * len(counts)
+
+
+def test_heavy_hitters_rejects_bad_frac(spark):
+    df = spark.createDataFrame([("a",)], "item string")
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "item", min_frac=0.0)
