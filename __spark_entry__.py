@@ -857,6 +857,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("union_ok"),
         )
 
+    def topk_sketch_check(spark, sf):
+        """approx_top_k sketch under the value gate: the sketch's top-5
+        frequency MULTISET must equal the exact top-5 counts (multiset,
+        not item list — rank-5 sits inside a count tie at sf0.01, and a
+        sketch is free to break ties either way; counts themselves are
+        deterministic here because maxItemsTracked (default 10⁴) exceeds
+        the key cardinality, making the sketch's counts exact). Both
+        sides render the sorted counts as one comma string so the
+        compare is type-stable across engines."""
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        appr = ev.agg(F.expr("approx_top_k(props, 5)").alias("tk")).select(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.col("tk.count")), lambda x: x.cast("string")
+                ),
+            ).alias("approx_counts")
+        )
+        exact = (
+            ev.groupBy("props")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("props").asc())
+            .limit(5)
+            .agg(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("n")), lambda x: x.cast("string")
+                    ),
+                ).alias("exact_counts")
+            )
+        )
+        return appr.crossJoin(exact).select(
+            "exact_counts",
+            (F.col("approx_counts") == F.col("exact_counts")).alias("topk_ok"),
+        )
+
     def source_token_kl(spark, sf):
         """Per-source corpus-drift monitor (`ext.text.source_unigram_kl`):
         KL(P_source ‖ P_corpus) over unigram distributions — one token
@@ -1842,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 new / code-changed this round
         heavy_hitters, weighted_docs_sample, events_interval_join_stream,
         q18_large_volume, hll_union_check, source_token_kl,
+        topk_sketch_check,
         repetition_stats, repetition_stats_expr, decontaminate, semdedup,
         docs_quota_sample,
         dedup_components, pca_project, docs_chunked, docs_packed,
@@ -2979,6 +3019,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, count(DISTINCT user_id) AS exact_users,
                true AS union_ok
         FROM events GROUP BY 1
+    """
+
+    # exact top-5 count multiset rendered as a comma string; gate pinned
+    o["topk_sketch_check"] = """
+        WITH c AS (
+          SELECT props, count(*) AS n FROM events
+          GROUP BY props ORDER BY n DESC, props LIMIT 5)
+        SELECT array_to_string(list_sort(list(n)), ',') AS exact_counts,
+               true AS topk_ok
+        FROM c
     """
 
     o["source_token_kl"] = """

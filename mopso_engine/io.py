@@ -127,3 +127,45 @@ def write_partitioned(
     directory. Pruning is asserted in tests/test_plans.py."""
     cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    *,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSONL ingest for the documents table with EXPLICIT schema and
+    quarantine semantics — the raw-ingest front door of a text pipeline
+    (web-scrape and export formats are JSONL before they are parquet).
+
+    Scale/robustness posture:
+    * The schema is DECLARED, never inferred — schema inference is a
+      full extra pass over the data (at 100 TB, a second 100 TB scan)
+      and can silently widen types between runs. Ingest must be
+      deterministic.
+    * ``PERMISSIVE`` + a corrupt-record column quarantines malformed
+      lines instead of failing the job (one bad line in a billion must
+      not kill a day-long ingest) — downstream splits on
+      ``_corrupt_record IS NULL`` and routes the quarantine to a
+      dead-letter sink. ``FAILFAST`` is available for strict loads.
+    * Line-delimited JSON is splittable: executors scan byte ranges in
+      parallel exactly like CSV — no multiline mode, which would force
+      one-file-one-task.
+
+    Returns (doc_id, text, lang, source, n_chars, <corrupt_col>); the
+    corrupt column is always present (null when the line parsed) so the
+    consumer contract is schema-stable even on a clean corpus.
+    """
+    schema = (
+        f"doc_id long, text string, lang string, source string, "
+        f"n_chars long, {corrupt_col} string"
+    )
+    out = (
+        spark.read.schema(schema)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    return out

@@ -88,3 +88,28 @@ def test_points_from_embeddings_schema(spark):
     assert df.schema.simpleString() == "struct<id:bigint,features:array<double>,label:int>"
     assert df.count() == 500
     assert df.agg({"label": "min"}).collect()[0][0] == 1  # 1-based
+
+
+def test_read_documents_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    """JSONL ingest: declared schema (no inference pass), PERMISSIVE
+    quarantine — malformed lines land in _corrupt_record instead of
+    failing the job; clean rows parse with stable types."""
+    from mopso_engine.io import read_documents_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s0", "n_chars": 11}\n'
+        '{"doc_id": 2, "text": "guten tag", "lang": "de", "source": "s1", "n_chars": 9}\n'
+        "THIS IS NOT JSON{{{\n"
+        '{"doc_id": 3, "text": "ok", "lang": "en", "source": "s0", "n_chars": 2}\n'
+    )
+    df = read_documents_jsonl(spark, str(p))
+    rows = df.collect()
+    clean = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["doc_id"] for r in clean} == {1, 2, 3}
+    assert len(bad) == 1 and "NOT JSON" in bad[0]["_corrupt_record"]
+    # schema is stable and declared, not inferred
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "text", "lang", "source", "n_chars", "_corrupt_record"
+    ]
