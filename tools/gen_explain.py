@@ -116,6 +116,21 @@ COMMENTS = {
     "fingerprint window shuffle), exact per-language quota "
     "(WindowGroupLimit) — nothing quadratic, every stage's shuffle keyed "
     "and combinable.",
+    "heavy_hitters": "Sketch scan is map-only MapInPandas (per-partition "
+    "Misra-Gries, ≤m candidates + 1 count row each); verify pass joins the "
+    "corpus against the BROADCAST candidate set and aggregates only "
+    "candidate keys — the full-cardinality groupBy shuffle is gone, the "
+    "remaining exchange carries O(partitions·m) rows. The total-count "
+    "denominator rides the sketch output (no extra count job).",
+    "weighted_docs_sample": "A-ES weighted sampling: priority is pure "
+    "codegen (md5 → conv → pow), and ORDER BY priority LIMIT k compiles to "
+    "TakeOrderedAndProject — per-partition k-row heaps, O(partitions·k) "
+    "rows to a single reducer, NO global sort exchange.",
+    "source_token_kl": "One token explosion (map-only), then every "
+    "aggregate is vocab-bounded: per-(source,token) counts partial-combine "
+    "before their one exchange; the corpus distribution derives from those "
+    "counts (ReusedExchange, not a rescan) and broadcast-joins back; KL "
+    "terms sum inside the same final aggregate.",
 }
 
 
