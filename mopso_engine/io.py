@@ -169,3 +169,37 @@ def read_documents_jsonl(
         .json(path)
     )
     return out
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    *,
+    target_file_mb: int = 512,
+    min_files: int = 1,
+) -> int:
+    """Small-files compaction — the maintenance pass every long-running
+    ingest needs: streaming sinks and incremental batch appends leave
+    thousands of KB-sized parquet files, and at 100 TB the resulting
+    task-per-file scheduling + footer-read overhead dominates scan time
+    (a 100k-file table spends longer planning than reading). Rewrites
+    ``src`` into ``dst`` as ⌈bytes / target_file_mb⌉ files (never fewer
+    than ``min_files``).
+
+    Sizing reads the FILESYSTEM byte count (via Hadoop's
+    ContentSummary), not a row estimate — compressed size is what file
+    layout should balance. The rewrite itself is a repartition(n) so
+    output files are evenly sized regardless of input skew; use the
+    partitioned variant (`write_partitioned`) downstream if the table
+    is date-partitioned — then compact per partition directory.
+    Returns the number of output files written.
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src)
+    fs = p.getFileSystem(hconf)
+    total_bytes = fs.getContentSummary(p).getLength()
+    n = max(int(min_files), -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
+    return n

@@ -4,6 +4,7 @@ row, label-less mode) against temp CSV renderings of the blob fixture."""
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from mopso_engine.io import points_from_embeddings, read_points_csv
 
@@ -113,3 +114,21 @@ def test_read_documents_jsonl_quarantines_corrupt_lines(spark, tmp_path):
     assert [f.name for f in df.schema.fields] == [
         "doc_id", "text", "lang", "source", "n_chars", "_corrupt_record"
     ]
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """20 tiny input files compact to the computed file count with
+    content preserved exactly."""
+    from mopso_engine.io import compact_parquet
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compact")
+    df = spark.range(2000).withColumn("v", F.col("id") * 2)
+    df.repartition(20).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 20
+    n = compact_parquet(spark, src, dst, target_file_mb=1)
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) == n and n < 20
+    got = spark.read.parquet(dst).orderBy("id").collect()
+    assert len(got) == 2000 and got[7]["v"] == 14

@@ -266,3 +266,28 @@ def test_quota_sample_pushes_window_group_limit(spark):
     docs = read_table(spark, SF, "documents")
     plan = plan_of(quota_sample(docs, "doc_id", "lang", 30))
     assert "WindowGroupLimit" in plan
+
+
+def test_heavy_hitters_verify_is_broadcast_and_sketch_is_maponly(spark):
+    """The MG sketch stage is MapInPandas with NO exchange beneath it,
+    and the exact-verify join builds its hash table from the BROADCAST
+    candidate set — the full-cardinality groupBy shuffle never appears."""
+    from mopso_engine.ext.sketch import heavy_hitters, mg_partition_sketch
+
+    ev = read_table(spark, SF, "events").select("props")
+    sketch_plan = plan_of(mg_partition_sketch(ev, "props", 50))
+    assert "MapInPandas" in sketch_plan
+    assert "Exchange" not in sketch_plan  # sketch scan is map-only
+    plan = plan_of(heavy_hitters(ev, "props", min_frac=0.02))
+    assert "BroadcastHashJoin" in plan  # verify joins broadcast candidates
+    assert "SortMergeJoin" not in plan
+
+
+def test_source_kl_corpus_dist_broadcasts(spark):
+    """The corpus token distribution (|vocab| rows) broadcast-joins back
+    onto the per-source counts — no sort-merge join on the token key."""
+    from mopso_engine.ext.text import source_unigram_kl
+
+    docs = read_table(spark, SF, "documents")
+    plan = plan_of(source_unigram_kl(docs))
+    assert "BroadcastHashJoin" in plan
