@@ -857,6 +857,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("union_ok"),
         )
 
+    def events_props_extract(spark, sf):
+        """Semi-structured payload extraction: the events `props` column
+        is a JSON string; `from_json` with a DECLARED schema (never
+        schema_of_json inference — that's an extra scan) parses it once
+        inside codegen, and the typed field feeds a per-key aggregate
+        joined with each key's value stats. At 100 TB the parse is
+        map-side and the one shuffle carries only the ~|keys| group
+        cells."""
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        parsed = ev.select(
+            F.from_json("props", "k long").getField("k").alias("k"), "value"
+        )
+        return (
+            parsed.groupBy("k")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .where(F.col("k") < 10)
+        )
+
+    def dedup_incremental(spark, sf):
+        """INCREMENTAL dedup — the production batch shape: today's
+        increment dedups against (a) the KNOWN corpus's fingerprint set
+        via one anti-join (no re-scan of yesterday's full text: the
+        fingerprints are the persisted index) and (b) itself via the
+        usual fingerprint window. Both steps key on the same md5
+        fingerprint, so at scale the anti-join and the within-batch
+        dedup share one hash-partitioned exchange. Fixture: docs with
+        id%5==0 form the increment; exact copies of known docs
+        (+100000) and within-increment copies (+200000) are planted so
+        BOTH filters provably fire (survivors = the unique %5 docs)."""
+        docs = read_table(spark, sf, "documents")
+        is_new = F.col("doc_id") % 5 == 0
+        known = docs.where(~is_new)
+        new = (
+            docs.where(is_new)
+            .unionByName(
+                docs.where(~is_new & (F.col("doc_id") < 50)).withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(100000)
+                )
+            )
+            .unionByName(
+                docs.where(is_new & (F.col("doc_id") < 50)).withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(200000)
+                )
+            )
+        )
+        known_fp = known.select(
+            F.md5(dd.normalized_text()).alias("fp")
+        ).distinct()
+        new_fp = new.select("doc_id", F.md5(dd.normalized_text()).alias("fp"))
+        w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+        return (
+            new_fp.join(known_fp, "fp", "left_anti")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("doc_id", "fp")
+        )
+
     def topk_sketch_check(spark, sf):
         """approx_top_k sketch under the value gate: the sketch's top-5
         frequency MULTISET must equal the exact top-5 counts (multiset,
@@ -1881,7 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 new / code-changed this round
         heavy_hitters, weighted_docs_sample, events_interval_join_stream,
         q18_large_volume, hll_union_check, source_token_kl,
-        topk_sketch_check,
+        topk_sketch_check, events_props_extract, dedup_incremental,
         repetition_stats, repetition_stats_expr, decontaminate, semdedup,
         docs_quota_sample,
         dedup_components, pca_project, docs_chunked, docs_packed,
@@ -3019,6 +3081,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, count(DISTINCT user_id) AS exact_users,
                true AS union_ok
         FROM events GROUP BY 1
+    """
+
+    o["events_props_extract"] = """
+        SELECT json_extract(props, '$.k')::BIGINT AS k,
+               count(*)::BIGINT AS n,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1 HAVING k < 10
+    """
+
+    o["dedup_incremental"] = """
+        WITH fps AS (
+          SELECT doc_id,
+                 md5(lower(array_to_string(string_split_regex(trim(text), '\\s+'), ' '))) AS fp
+          FROM documents),
+        known AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 <> 0),
+        new_fp AS (
+          SELECT doc_id, fp FROM fps WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, fp FROM fps
+          WHERE doc_id % 5 <> 0 AND doc_id < 50
+          UNION ALL
+          SELECT doc_id + 200000 AS doc_id, fp FROM fps
+          WHERE doc_id % 5 = 0 AND doc_id < 50),
+        unseen AS (
+          SELECT n.doc_id, n.fp FROM new_fp n
+          WHERE NOT EXISTS (SELECT 1 FROM known k WHERE k.fp = n.fp)),
+        ranked AS (
+          SELECT doc_id, fp,
+                 row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+          FROM unseen)
+        SELECT doc_id, fp FROM ranked WHERE rn = 1
     """
 
     # exact top-5 count multiset rendered as a comma string; gate pinned
