@@ -203,3 +203,34 @@ def compact_parquet(
     n = max(int(min_files), -(-total_bytes // (target_file_mb * 1024 * 1024)))
     spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
     return n
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    *,
+    sort_by: str | list[str],
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Total-ordered parquet layout: repartitionByRange (a sampled
+    RangePartitioning exchange — Spark picks boundaries from a
+    reservoir sample, so ~equal-sized files even on skewed keys) +
+    sortWithinPartitions, so file i's key range ends before file i+1's
+    begins and every file is internally sorted.
+
+    This is the clustered layout that makes downstream range predicates
+    cheap twice over: (1) parquet row-group min/max stats on the sort
+    key become tight, so a `WHERE key BETWEEN ...` skips whole row
+    groups/files at scan time; (2) merge-style consumers (as-of joins,
+    range joins) read pre-sorted runs. The sort cost is paid ONCE at
+    write; the reference's reader-side full sorts are gone. The
+    complement of `bucketing.py` (equality-join layout) for RANGE
+    workloads."""
+    cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+    (
+        df.repartitionByRange(int(n_files), *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

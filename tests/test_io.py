@@ -132,3 +132,28 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     assert len(files) == n and n < 20
     got = spark.read.parquet(dst).orderBy("id").collect()
     assert len(got) == 2000 and got[7]["v"] == 14
+
+
+def test_write_sorted_range_partitioned_layout(spark, tmp_path):
+    """write_sorted: plan carries a RangePartitioning exchange, and the
+    resulting files hold DISJOINT, internally-sorted key ranges — the
+    row-group-skipping layout."""
+    from mopso_engine.io import write_sorted
+
+    dst = str(tmp_path / "sorted")
+    df = spark.range(0, 10000).withColumn("k", (F.col("id") * 7919) % 10000)
+    plan_df = df.repartitionByRange(4, "k").sortWithinPartitions("k")
+    assert "rangepartitioning" in plan_df._jdf.queryExecution().executedPlan().toString().lower() or \
+           "RangePartitioning" in plan_df._jdf.queryExecution().toString()
+    write_sorted(df, dst, sort_by="k", n_files=4)
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(f"{dst}/part-*.parquet")):
+        pdf = spark.read.parquet(f).select("k").toPandas()
+        assert (pdf["k"].values == sorted(pdf["k"].values)).all()  # sorted within file
+        ranges.append((pdf["k"].min(), pdf["k"].max()))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint key ranges across files
+    assert spark.read.parquet(dst).count() == 10000
