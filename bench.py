@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "knn_lsh_recall",
     "ann_topk",
     "ann_ivf",
+    # the composed billion-scale serving stack: IVF probe + ADC re-rank
+    "ann_ivfpq",
     "emb_covariance",
     "lloyd_kmeans",
     # the full algorithm: tiny budget (fit-only — the r01-comparable

@@ -268,3 +268,11 @@ class TestWeightedSample:
 
         plan = weighted_sample_topk(docs, "doc_id", "n_chars", 25)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_k_exceeds_n(spark):
+    from mopso_engine.ext.pipeline import weighted_sample_topk
+
+    df = spark.createDataFrame([(i, 5.0) for i in range(7)], "id long, w double")
+    got = weighted_sample_topk(df, "id", "w", 100).collect()
+    assert {r["id"] for r in got} == set(range(7))

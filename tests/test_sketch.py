@@ -88,3 +88,40 @@ def test_heavy_hitters_rejects_bad_frac(spark):
     df = spark.createDataFrame([("a",)], "item string")
     with pytest.raises(ValueError):
         heavy_hitters(df, "item", min_frac=0.0)
+
+
+def test_heavy_hitters_empty_input(spark):
+    df = spark.createDataFrame([], "item string")
+    assert heavy_hitters(df, "item", min_frac=0.1).count() == 0
+
+
+def test_mg_lower_bound_property():
+    """Hypothesis: after any batch sequence, every surviving counter is
+    a LOWER bound on the true count, and every item with true count
+    > n/(m+1) survives."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import collections
+
+    @given(
+        st.lists(st.integers(0, 15), min_size=1, max_size=300),
+        st.integers(2, 8),
+        st.integers(1, 50),
+    )
+    @settings(max_examples=150, deadline=None)
+    def check(xs, m, batch_size):
+        counters: dict = {}
+        for i in range(0, len(xs), batch_size):
+            for item, c in collections.Counter(xs[i : i + batch_size]).items():
+                counters[item] = counters.get(item, 0) + int(c)
+            _mg_reduce(counters, m)
+        true = collections.Counter(xs)
+        n = len(xs)
+        assert len(counters) <= m
+        for k, v in counters.items():
+            assert v <= true[k]  # stored is a lower bound
+        for k, c in true.items():
+            if c > n / (m + 1):
+                assert k in counters  # the MG guarantee
+
+    check()
