@@ -919,6 +919,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "fp")
         )
 
+    def dup_span_stats(spark, sf):
+        """Per-doc duplicated-span audit (`ext.dedup.duplicated_span_stats`)
+        — the MEASURE-before-dedup diagnostic: fraction of each doc's
+        8-word rolling spans occurring >1× corpus-wide (planted clones
+        score 1.0). Same inverted-index shape as the jaccard front end:
+        one shingle-keyed count shuffle, co-partitioned re-join, per-doc
+        fold."""
+        return dd.duplicated_span_stats(
+            _docs_with_dups(read_table(spark, sf, "documents")), k=8
+        )
+
     def topk_sketch_check(spark, sf):
         """approx_top_k sketch under the value gate: the sketch's top-5
         frequency MULTISET must equal the exact top-5 counts (multiset,
@@ -1944,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         heavy_hitters, weighted_docs_sample, events_interval_join_stream,
         q18_large_volume, hll_union_check, source_token_kl,
         topk_sketch_check, events_props_extract, dedup_incremental,
+        dup_span_stats,
         repetition_stats, repetition_stats_expr, decontaminate, semdedup,
         docs_quota_sample,
         dedup_components, pca_project, docs_chunked, docs_packed,
@@ -3113,6 +3125,20 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
           FROM unseen)
         SELECT doc_id, fp FROM ranked WHERE rn = 1
+    """
+
+    o["dup_span_stats"] = f"""
+        WITH dd AS ({_DOCS_DUP_SQL}),
+        ntext AS (SELECT doc_id, lower(array_to_string(string_split_regex(trim(text), '\\s+'), ' ')) AS nt FROM dd),
+        ntoks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM ntext),
+        spans AS (
+          SELECT doc_id, array_to_string(t[i:i+7], ' ') AS s
+          FROM ntoks JOIN range(1, 100000) r(i) ON r.i <= len(t)-7),
+        sdf AS (SELECT s, count(*) AS df FROM spans GROUP BY s)
+        SELECT doc_id, count(*)::BIGINT AS n_spans,
+               round(avg(CASE WHEN sdf.df > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_frac
+        FROM spans JOIN sdf USING (s)
+        GROUP BY doc_id
     """
 
     # exact top-5 count multiset rendered as a comma string; gate pinned

@@ -502,3 +502,31 @@ def duplicate_components(
         if changed == 0:
             break
     return labels.select(F.col("v").alias("doc_id"), F.col("l").alias("component"))
+
+
+def duplicated_span_stats(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Per-document duplicated-span diagnostic — the MEASURE step run
+    before committing to a dedup pass (ED-substring-style duplication
+    audit): for each doc, the fraction of its k-word spans (rolling
+    shingles, multiset) that occur more than once ANYWHERE in the
+    corpus. A doc wholly cloned elsewhere scores 1.0; boilerplate
+    headers/footers show up as mid-range fractions; a clean corpus
+    scores ~0.
+
+    Scale shape: identical to the inverted-index jaccard front end —
+    zero-shuffle shingle construction, ONE partial-aggregated count
+    shuffle on the shingle key to build corpus document frequencies,
+    then the spans re-join that df table shingle-keyed (co-partitioned
+    by the same key, no second shape) and fold per doc. Nothing
+    quadratic, no Python in the hot path.
+    """
+    sh = word_shingles(docs, k, distinct=False)
+    span_df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        sh.join(span_df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.round(F.avg((F.col("df") > 1).cast("double")), 6).alias("dup_frac"),
+        )
+    )

@@ -1059,3 +1059,32 @@ class TestSourceKL:
         )
         out = {r["source"]: r["kl"] for r in tx.source_unigram_kl(docs).collect()}
         assert out == {"s1": 0.0, "s2": 0.0}
+
+
+class TestDupSpanStats:
+    def test_clone_scores_one_clean_scores_zero(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h i j"),
+                (2, "a b c d e f g h i j"),        # full clone of 1
+                (3, "q w e r t y u i o p"),        # unique
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in dd.duplicated_span_stats(docs, k=8).collect()}
+        assert out[1]["dup_frac"] == 1.0 and out[2]["dup_frac"] == 1.0
+        assert out[3]["dup_frac"] == 0.0
+        assert out[3]["n_spans"] == 3  # 10 tokens, k=8 -> 3 rolling spans
+
+    def test_partial_overlap_fraction(self, spark):
+        """Doc 2 shares exactly its first 8-token span with doc 1."""
+        shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+        docs = spark.createDataFrame(
+            [(1, shared + " x1 x2"), (2, shared + " y1 y2")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in dd.duplicated_span_stats(docs, k=8).collect()}
+        # each doc: 3 spans, 1 shared -> 1/3
+        assert out[1]["n_spans"] == 3
+        assert abs(out[1]["dup_frac"] - round(1 / 3, 6)) < 1e-9
+        assert abs(out[2]["dup_frac"] - round(1 / 3, 6)) < 1e-9
