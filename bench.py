@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "weighted_docs_sample",
     "source_token_kl",
+    "dup_span_stats",
     "lsh_candidates",
     "simhash_fp",
     "simhash_neardup",

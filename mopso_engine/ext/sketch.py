@@ -82,6 +82,11 @@ def heavy_hitters(
     recall bound, so the candidate superset provably contains every
     qualifying item and the verified output equals the full
     groupBy-count answer bit-for-bit.
+
+    Semantics notes: the item column is canonicalized to STRING (sketch
+    state is typed once; cast keys upstream if a typed result matters),
+    and NULL items are excluded from both the candidates and the total —
+    unlike a bare SQL GROUP BY, which would count NULL as a group.
     """
     if not (0.0 < min_frac <= 1.0):
         raise ValueError("min_frac must be in (0, 1]")
