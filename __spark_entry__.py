@@ -919,6 +919,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "fp")
         )
 
+    def stream_curate_docs(spark, sf):
+        """STREAMING corpus curation (`ext.streaming.stream_curate`):
+        repetition gate → length gate → exact dedup as ONE unbounded
+        pipeline (gates are stateless codegen via the expression-only
+        repetition twin; the only state is the dedup fingerprint set).
+        Drained with AvailableNow; the oracle is the batch composition
+        (the corpus has no duplicate fingerprints, so first-arrival
+        dedup is deterministic here — dup-handling semantics are pinned
+        by the unit test instead)."""
+        from mopso_engine.ext.streaming import run_available_now, stream_curate
+
+        res = run_available_now(
+            stream_curate(spark, os.path.join(sf, "documents.parquet")),
+            query_name=f"curate_{uuid.uuid4().hex[:8]}",
+            output_mode="append",
+        )
+        return res
+
     def dup_span_stats(spark, sf):
         """Per-doc duplicated-span audit (`ext.dedup.duplicated_span_stats`)
         — the MEASURE-before-dedup diagnostic: fraction of each doc's
@@ -1955,7 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         heavy_hitters, weighted_docs_sample, events_interval_join_stream,
         q18_large_volume, hll_union_check, source_token_kl,
         topk_sketch_check, events_props_extract, dedup_incremental,
-        dup_span_stats,
+        dup_span_stats, stream_curate_docs,
         repetition_stats, repetition_stats_expr, decontaminate, semdedup,
         docs_quota_sample,
         dedup_components, pca_project, docs_chunked, docs_packed,
@@ -3125,6 +3143,29 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
           FROM unseen)
         SELECT doc_id, fp FROM ranked WHERE rn = 1
+    """
+
+    # batch composition of the same gates; one survivor per fingerprint
+    o["stream_curate_docs"] = r"""
+        WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        w AS (SELECT doc_id, unnest(t) AS g FROM toks),
+        wc AS (SELECT doc_id, g, count(*) AS c FROM w GROUP BY 1, 2),
+        wa AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, max(c) AS top_word FROM wc GROUP BY 1),
+        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+               FROM toks),
+        bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        ba AS (SELECT doc_id, max(c) AS top_bigram FROM bc GROUP BY 1),
+        fps AS (SELECT doc_id,
+                       md5(lower(array_to_string(string_split_regex(trim(text), '\s+'), ' '))) AS fp
+                FROM documents),
+        m AS (SELECT wa.doc_id, n_tokens,
+                     round(top_word * 1.0 / n_tokens, 6) AS twf,
+                     round(least(coalesce(top_bigram * 2.0 / n_tokens, 0.0), 1.0), 6) AS tbf
+              FROM wa LEFT JOIN ba USING (doc_id))
+        SELECT m.doc_id, fps.fp, m.n_tokens
+        FROM m JOIN fps USING (doc_id)
+        WHERE twf <= 0.10 AND tbf <= 0.08 AND n_tokens >= 5
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY m.doc_id) = 1
     """
 
     o["dup_span_stats"] = f"""

@@ -468,3 +468,42 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def stream_curate(
+    spark: SparkSession,
+    docs_path: str,
+    *,
+    max_top_word_frac: float = 0.10,
+    max_top_2gram_frac: float = 0.08,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """Streaming corpus curation — the batch curation gates composed
+    into ONE unbounded pipeline: Gopher repetition gate + minimum-length
+    gate (both via the expression-only `repetition_stats_expr` twin —
+    zero shuffle, zero state, pure codegen per micro-batch) followed by
+    streaming exact dedup (first fingerprint occurrence wins, streaming
+    dropDuplicates state). The stream twin of the `corpus_curation`
+    composition: an ingest crawler can run the same gates continuously
+    instead of in nightly batches.
+
+    State posture: the ONLY state is the dedup fingerprint set (the
+    gates are stateless) — for unbounded production streams swap the
+    tail for the watermark-TTL dedup (`stream_dedup_ttl` pattern), same
+    composition. Emits (doc_id, fp, n_tokens) of surviving docs.
+    """
+    import os as _os
+
+    from mopso_engine.ext.dedup import normalized_text
+    from mopso_engine.ext.text import repetition_stats_expr
+
+    base, fname = _os.path.dirname(docs_path), _os.path.basename(docs_path)
+    src = spark.readStream.schema(DOCS_SCHEMA).option("pathGlobFilter", fname).parquet(base)
+    fp = src.withColumn("fp", F.md5(normalized_text()))
+    gated = repetition_stats_expr(
+        fp,
+        max_top_word_frac=max_top_word_frac,
+        max_top_2gram_frac=max_top_2gram_frac,
+        keep=["fp"],
+    ).where(F.col("gopher_pass") & (F.col("n_tokens") >= min_tokens))
+    return gated.select("doc_id", "fp", "n_tokens").dropDuplicates(["fp"])

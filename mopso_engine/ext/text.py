@@ -318,6 +318,7 @@ def repetition_stats_expr(
     *,
     max_top_word_frac: float = 0.10,
     max_top_2gram_frac: float = 0.08,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Expression-only twin of :func:`repetition_stats` — the SAME
     schema and values, computed per row with nested higher-order
@@ -330,6 +331,10 @@ def repetition_stats_expr(
     Structured Streaming filter unchanged (tested stream==batch). Use
     the relational twin when docs are adversarially long (the per-row
     quadratic term) — they hash-match, so either can gate the corpus.
+
+    ``keep`` carries extra input columns through unchanged (e.g. the
+    fingerprint a downstream streaming dedup keys on) — default output
+    schema is identical to the relational twin's.
     """
     toks = tokens_col()
     n = F.size(toks)
@@ -344,7 +349,7 @@ def repetition_stats_expr(
             )
         )
 
-    base = docs.select("doc_id", toks.alias("t"), bigrams.alias("b"))
+    base = docs.select("doc_id", *(keep or []), toks.alias("t"), bigrams.alias("b"))
     n_tokens = F.size("t").cast("long")
     top_word_frac = F.round(max_count(F.col("t")) / n_tokens, 6)
     top_2gram_frac = F.round(
@@ -356,6 +361,7 @@ def repetition_stats_expr(
     dup_word_frac = F.round((n_tokens - F.size(F.array_distinct("t"))) / n_tokens, 6)
     return base.select(
         "doc_id",
+        *(keep or []),
         n_tokens.alias("n_tokens"),
         top_word_frac.alias("top_word_frac"),
         top_2gram_frac.alias("top_2gram_frac"),

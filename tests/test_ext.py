@@ -1088,3 +1088,35 @@ class TestDupSpanStats:
         assert out[1]["n_spans"] == 3
         assert abs(out[1]["dup_frac"] - round(1 / 3, 6)) < 1e-9
         assert abs(out[2]["dup_frac"] - round(1 / 3, 6)) < 1e-9
+
+
+class TestStreamCurate:
+    def test_stream_curate_equals_batch_composition(self, spark):
+        """The composed streaming curation (repetition gate → length
+        gate → exact dedup) drains to exactly the batch composition's
+        survivor set."""
+        from mopso_engine.ext.dedup import normalized_text
+        from mopso_engine.ext.streaming import run_available_now, stream_curate
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        stats = tx.repetition_stats_expr(
+            docs.withColumn("fp", F.md5(normalized_text())), keep=["fp"]
+        )
+        gated = stats.where(F.col("gopher_pass") & (F.col("n_tokens") >= 5))
+        w_batch = {
+            r["fp"]: r["doc_id"]
+            for r in gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).collect()
+        }
+        out = run_available_now(
+            stream_curate(spark, f"{SF}/documents.parquet"),
+            query_name="curate_test",
+            output_mode="append",
+        )
+        got = {r["fp"]: r["doc_id"] for r in out.collect()}
+        # same surviving fingerprint set; the batch winner is min(doc_id)
+        # while the stream keeps FIRST ARRIVAL - compare fp sets, and that
+        # each kept doc passes the gates
+        assert set(got) == set(w_batch) and len(got) > 0
+        kept_ids = set(got.values())
+        ok_ids = {r["doc_id"] for r in gated.collect()}
+        assert kept_ids <= ok_ids
