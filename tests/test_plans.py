@@ -291,3 +291,18 @@ def test_source_kl_corpus_dist_broadcasts(spark):
     docs = read_table(spark, SF, "documents")
     plan = plan_of(source_unigram_kl(docs))
     assert "BroadcastHashJoin" in plan
+
+
+def test_join_strategy_hints_control_physical_join(spark):
+    """Physical join-strategy control: hints select ShuffledHashJoin vs
+    SortMergeJoin vs BroadcastHashJoin for the same logical join — the
+    lever for when AQE's default pick is wrong at scale (e.g. forcing
+    SHJ when one side is mid-sized and sorting would dominate)."""
+    o = read_table(spark, SF, "orders")
+    li = read_table(spark, SF, "lineitem")
+    j_shj = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in plan_of(j_shj)
+    j_smj = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in plan_of(j_smj)
+    j_bhj = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
+    assert "BroadcastHashJoin" in plan_of(j_bhj)
