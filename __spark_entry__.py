@@ -432,6 +432,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         )
 
+    def q3_shipping_sql(spark, sf):
+        """The SAME Q3 through the SQL front door: tables registered as
+        temp views, the literal ANSI query handed to `spark.sql` —
+        demonstrating that the engine's full declarative surface is
+        reachable from SQL text, with Catalyst producing the identical
+        physical plan as the DataFrame rendering (joins reordered,
+        filters pushed, top-10 as TakeOrderedAndProject)."""
+        _utc(spark)
+        for t in ("customer", "orders", "lineitem"):
+            read_table(spark, sf, t).createOrReplaceTempView(f"sqlv_{t}")
+        return spark.sql(
+            """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+                   o_orderpriority
+            FROM sqlv_customer
+            JOIN sqlv_orders ON c_custkey = o_custkey
+            JOIN sqlv_lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY o_orderkey, date_format(o_orderdate, 'yyyy-MM-dd'), o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+            """
+        )
+
     def nation_revenue(spark, sf):
         """TPC-H Q5 shape — 5-way join along the region→customer chain."""
         r = read_table(spark, sf, "region").where(F.col("r_name") == "ASIA")
@@ -1973,7 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         heavy_hitters, weighted_docs_sample, events_interval_join_stream,
         q18_large_volume, hll_union_check, source_token_kl,
         topk_sketch_check, events_props_extract, dedup_incremental,
-        dup_span_stats, stream_curate_docs,
+        dup_span_stats, stream_curate_docs, q3_shipping_sql,
         repetition_stats, repetition_stats_expr, decontaminate, semdedup,
         docs_quota_sample,
         dedup_components, pca_project, docs_chunked, docs_packed,
@@ -2194,6 +2222,8 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY revenue DESC, o.o_orderkey ASC
         LIMIT 10
     """
+    # the SQL-front-door twin must produce the identical result
+    o["q3_shipping_sql"] = o["q3_shipping"]
 
     o["nation_revenue"] = """
         SELECT n.n_name, round(sum(l.l_extendedprice*(1-l.l_discount)), 2) AS revenue
