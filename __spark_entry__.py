@@ -3205,11 +3205,15 @@ def oracle_sql() -> dict[str, str]:
         spans AS (
           SELECT doc_id, array_to_string(t[i:i+7], ' ') AS s
           FROM ntoks JOIN range(1, 100000) r(i) ON r.i <= len(t)-7),
-        sdf AS (SELECT s, count(*) AS df FROM spans GROUP BY s)
-        SELECT doc_id, count(*)::BIGINT AS n_spans,
-               round(avg(CASE WHEN sdf.df > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_frac
-        FROM spans JOIN sdf USING (s)
-        GROUP BY doc_id
+        sdf AS (SELECT s, count(*) AS df FROM spans GROUP BY s),
+        st AS (
+          SELECT doc_id, count(*)::BIGINT AS n_spans,
+                 round(avg(CASE WHEN sdf.df > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_frac
+          FROM spans JOIN sdf USING (s)
+          GROUP BY doc_id)
+        SELECT dd.doc_id, coalesce(st.n_spans, 0)::BIGINT AS n_spans,
+               coalesce(st.dup_frac, 0.0) AS dup_frac
+        FROM dd LEFT JOIN st USING (doc_id)
     """
 
     # exact top-5 count multiset rendered as a comma string; gate pinned

@@ -519,14 +519,23 @@ def duplicated_span_stats(docs: DataFrame, k: int = 8) -> DataFrame:
     then the spans re-join that df table shingle-keyed (co-partitioned
     by the same key, no second shape) and fold per doc. Nothing
     quadratic, no Python in the hot path.
+
+    Docs shorter than ``k`` tokens have no spans: they are emitted with
+    ``n_spans=0, dup_frac=0.0`` (a left join back to the corpus), so the
+    audit covers every document.
     """
     sh = word_shingles(docs, k, distinct=False)
     span_df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    return (
+    stats = (
         sh.join(span_df, "shingle")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
             F.round(F.avg((F.col("df") > 1).cast("double")), 6).alias("dup_frac"),
         )
+    )
+    return docs.select("doc_id").join(stats, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac"),
     )

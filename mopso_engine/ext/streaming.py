@@ -254,6 +254,21 @@ def user_running_stats_stream(
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 
+def docs_stream_source(
+    spark: SparkSession, docs_path: str, *, schema: str | None = None
+) -> DataFrame:
+    """Single-file docs stream source (pathGlobFilter pins the stream to
+    one parquet file inside its directory). One definition so a future
+    schema adaptation lands in one place — the events reader needed
+    exactly that (normalize_event_ts)."""
+    base, fname = os.path.dirname(docs_path), os.path.basename(docs_path)
+    return (
+        spark.readStream.schema(schema or DOCS_SCHEMA)
+        .option("pathGlobFilter", fname)
+        .parquet(base)
+    )
+
+
 def stream_dedup(spark: SparkSession, docs_path: str) -> DataFrame:
     """Streaming exact dedup: fingerprint each incoming document and keep
     the first occurrence per fingerprint via streaming dropDuplicates —
@@ -263,12 +278,9 @@ def stream_dedup(spark: SparkSession, docs_path: str) -> DataFrame:
     :func:`stream_dedup_ttl`, whose watermark evicts state. The streaming
     face of ext.dedup.exact_dedup.
     """
-    import os as _os
-
     from mopso_engine.ext.dedup import normalized_text
 
-    base, fname = _os.path.dirname(docs_path), _os.path.basename(docs_path)
-    src = spark.readStream.schema(DOCS_SCHEMA).option("pathGlobFilter", fname).parquet(base)
+    src = docs_stream_source(spark, docs_path)
     return (
         src.withColumn("fp", F.md5(normalized_text()))
         .select("doc_id", "fp")
@@ -293,15 +305,10 @@ def stream_dedup_ttl(
     unbounded ingest stream; duplicates farther apart than the horizon
     re-emit (the documented trade for bounded state).
     """
-    import os as _os
-
     from mopso_engine.ext.dedup import normalized_text
 
-    base, fname = _os.path.dirname(docs_path), _os.path.basename(docs_path)
-    src = (
-        spark.readStream.schema(schema or DOCS_SCHEMA + f", {event_time_col} timestamp")
-        .option("pathGlobFilter", fname)
-        .parquet(base)
+    src = docs_stream_source(
+        spark, docs_path, schema=schema or DOCS_SCHEMA + f", {event_time_col} timestamp"
     )
     return (
         src.withColumn("fp", F.md5(normalized_text()))
@@ -492,13 +499,10 @@ def stream_curate(
     tail for the watermark-TTL dedup (`stream_dedup_ttl` pattern), same
     composition. Emits (doc_id, fp, n_tokens) of surviving docs.
     """
-    import os as _os
-
     from mopso_engine.ext.dedup import normalized_text
     from mopso_engine.ext.text import repetition_stats_expr
 
-    base, fname = _os.path.dirname(docs_path), _os.path.basename(docs_path)
-    src = spark.readStream.schema(DOCS_SCHEMA).option("pathGlobFilter", fname).parquet(base)
+    src = docs_stream_source(spark, docs_path)
     fp = src.withColumn("fp", F.md5(normalized_text()))
     gated = repetition_stats_expr(
         fp,

@@ -349,6 +349,9 @@ def repetition_stats_expr(
             )
         )
 
+    reserved = {"doc_id", "n_tokens", "top_word_frac", "top_2gram_frac", "dup_word_frac", "gopher_pass"}
+    if keep and (bad := reserved.intersection(keep)):
+        raise ValueError(f"keep columns collide with output columns: {sorted(bad)}")
     base = docs.select("doc_id", *(keep or []), toks.alias("t"), bigrams.alias("b"))
     n_tokens = F.size("t").cast("long")
     top_word_frac = F.round(max_count(F.col("t")) / n_tokens, 6)

@@ -195,6 +195,8 @@ def compact_parquet(
     is date-partitioned — then compact per partition directory.
     Returns the number of output files written.
     """
+    if target_file_mb < 1 or min_files < 1:
+        raise ValueError("target_file_mb and min_files must be >= 1")
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(src)

@@ -1120,3 +1120,20 @@ class TestStreamCurate:
         kept_ids = set(got.values())
         ok_ids = {r["doc_id"] for r in gated.collect()}
         assert kept_ids <= ok_ids
+
+
+def test_dup_span_stats_covers_short_docs(spark):
+    """Docs shorter than k tokens appear with n_spans=0, dup_frac=0.0."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "too short")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dd.duplicated_span_stats(docs, k=8).collect()}
+    assert out[2]["n_spans"] == 0 and out[2]["dup_frac"] == 0.0
+    assert out[1]["n_spans"] == 3
+
+
+def test_repetition_keep_collision_rejected(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="collide"):
+        tx.repetition_stats_expr(docs, keep=["n_tokens"])

@@ -143,8 +143,7 @@ def test_write_sorted_range_partitioned_layout(spark, tmp_path):
     dst = str(tmp_path / "sorted")
     df = spark.range(0, 10000).withColumn("k", (F.col("id") * 7919) % 10000)
     plan_df = df.repartitionByRange(4, "k").sortWithinPartitions("k")
-    assert "rangepartitioning" in plan_df._jdf.queryExecution().executedPlan().toString().lower() or \
-           "RangePartitioning" in plan_df._jdf.queryExecution().toString()
+    assert "rangepartitioning" in plan_df._jdf.queryExecution().executedPlan().toString().lower()
     write_sorted(df, dst, sort_by="k", n_files=4)
     import glob
 
