@@ -561,28 +561,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             read_table(spark, sf, "documents"), k=3, threshold=0.5, max_shingle_df=4
         )
 
-    #: boilerplate footer appended to EVERY doc by ``_skewed_docs`` — 40
-    #: tokens → 38 interior 3-gram shingles, each at df = n (5 000 at
-    #: sf0.1), so the uncapped twin pays ~38·C(n,2) ≈ 475 M intersection
-    #: rows. The r1-r5 rendering (4-token footer on every third doc,
-    #: 2 hot shingles, ~2.8 M rows) was below host noise on this
-    #: container — the pair "measured" nothing (r6 quartet re-runs showed
-    #: capped ≈ uncapped ± 0.5 s both ways).
+    #: boilerplate footer appended to EVERY doc by ``_skewed_docs`` — 20
+    #: tokens → 18 interior 3-gram shingles, each at df = n (5 000 at
+    #: sf0.1), so the uncapped twin pays ~18·C(n,2) ≈ 225 M intersection
+    #: rows: a 3-8× measured capped-vs-uncapped separation, well above
+    #: host noise, at roughly half the wall-clock of the first-r6
+    #: 40-token rendering (whose 475 M rows cost 27-89 s/run under
+    #: noisy-neighbor drift and dominated the whole bench). The r1-r5
+    #: rendering (4-token footer on every third doc, 2 hot shingles,
+    #: ~2.8 M rows) was below host noise — the pair "measured" nothing.
     _SKEW_FOOTER = (
         " shared boilerplate footer applies to every single corpus document"
         " this legal disclaimer text is mirrored verbatim across the whole collection"
-        " all rights reserved unauthorized reproduction of this material is strictly prohibited"
-        " please contact the site administrator for licensing questions and takedown requests"
     )
 
     def _skewed_docs(spark, sf):
         """documents with PLANTED hot shingles: every doc gains the same
-        40-token boilerplate footer (38 stop-shingles at df = n) — the
+        20-token boilerplate footer (18 stop-shingles at df = n) — the
         synthetic corpus's natural shingle-df distribution is too flat to
         show the skew lever's benefit in the bench. The skewed twins run
         at threshold 0.8 (not 0.5) so the shared footer cannot surface
         spurious result pairs: two min-length docs (10 tokens → 8 own
-        shingles each) top out at 38/(8+8+38) ≈ 0.70 < 0.8."""
+        shingles each) top out at 18/(8+8+18) ≈ 0.53 < 0.8."""
         docs = read_table(spark, sf, "documents")
         return docs.withColumn("text", F.concat(F.col("text"), F.lit(_SKEW_FOOTER)))
 
@@ -603,8 +603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def dedup_jaccard_skewed_uncapped(spark, sf):
-        """The uncapped twin of dedup_jaccard_skewed: the 38 planted hot
-        shingles contribute ~C(n,2) intersection rows EACH (~475 M at
+        """The uncapped twin of dedup_jaccard_skewed: the 18 planted hot
+        shingles contribute ~C(n,2) intersection rows EACH (~225 M at
         sf0.1) — the join blow-up the cap exists to prevent. Boilerplate
         overlap never reaches jaccard 0.8, so the reported pair set
         matches the capped twin's (values differ only by hot-shingle |∩|
@@ -1740,6 +1740,144 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal")
         )
 
+    def q2_min_cost_supplier(spark, sf):
+        """TPC-H Q2 shape (partsupp-free adaptation): for each size-15
+        part, the EUROPE supplier(s) achieving the region-wide MINIMUM
+        supply cost — the correlated MIN subquery decorrelated into a
+        per-part aggregate joined back on (key, cost) equality, the plan
+        Catalyst produces for the real Q2. The part-supplier cost
+        relation is derived from lineitem (min observed unit price per
+        (part, supplier) pair); the part filter is semi-joined in BEFORE
+        the min so only qualifying parts pay the aggregate (legal because
+        the subquery correlates only on the part key). All dims
+        broadcast; top-100 by s_acctbal desc on a unique sort key, so
+        LIMIT is deterministic. Completes the 22-query TPC-H suite."""
+        li = read_table(spark, sf, "lineitem")
+        p = read_table(spark, sf, "part").where(F.col("p_size") == 15)
+        n = read_table(spark, sf, "nation")
+        r = read_table(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+        s = (
+            read_table(spark, sf, "supplier")
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        )
+        ps = (
+            li.join(F.broadcast(p.select("p_partkey", "p_name")), li.l_partkey == F.col("p_partkey"))
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+            .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
+        )
+        pmin = ps.groupBy(F.col("p_partkey").alias("mk")).agg(
+            F.min("supply_cost").alias("min_cost")
+        )
+        return (
+            ps.join(
+                pmin,
+                (F.col("p_partkey") == F.col("mk"))
+                & (F.col("supply_cost") == F.col("min_cost")),
+            )
+            .select(
+                F.round("s_acctbal", 2).alias("s_acctbal"),
+                "s_name",
+                "n_name",
+                "p_partkey",
+                "p_name",
+                F.round("supply_cost", 4).alias("supply_cost"),
+            )
+            .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+            .limit(100)
+        )
+
+    def q11_important_stock(spark, sf):
+        """TPC-H Q11 shape (partsupp-free adaptation): per-part value
+        supplied by NATION_7 suppliers, HAVING value > 0.1% of the
+        nation-wide total — TPC-H's only HAVING-against-a-global-scalar
+        query, rendered as a broadcast cross-join against the one-row
+        total so the threshold never touches the driver. The nation
+        restriction is applied once and both aggregates reuse the same
+        filtered join subtree."""
+        li = read_table(spark, sf, "lineitem")
+        n = read_table(spark, sf, "nation").where(F.col("n_name") == "NATION_7")
+        s = read_table(spark, sf, "supplier").join(
+            F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        nat = li.join(F.broadcast(s.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        per_part = nat.groupBy("l_partkey").agg(F.sum("l_extendedprice").alias("value"))
+        total = per_part.agg(F.sum("value").alias("tot"))
+        return (
+            per_part.crossJoin(F.broadcast(total))
+            .where(F.col("value") > 0.001 * F.col("tot"))
+            .select("l_partkey", F.round("value", 2).alias("value"))
+            .orderBy(F.col("value").desc(), "l_partkey")
+        )
+
+    def q12_priority_lines(spark, sf):
+        """TPC-H Q12 shape (shipmode/commitdate-free adaptation): 1997
+        lineitems grouped by l_linestatus (the mode proxy), counting
+        high-priority (1-URGENT/2-HIGH) vs lower-priority orders —
+        CASE-WHEN conditional aggregation over the orders⋈lineitem join,
+        with the date window pushed to the fact scan. Both counts come
+        out of ONE aggregate pass (no second join or union)."""
+        li = read_table(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        o = read_table(spark, sf, "orders")
+        high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(
+                F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+            )
+            .orderBy("l_linestatus")
+        )
+
+    def q21_waiting_suppliers(spark, sf):
+        """TPC-H Q21 shape (receipt/commit-free adaptation): NATION_3
+        suppliers whose line on a finalized multi-supplier order shipped
+        LATE (>60 days after the order date) while every co-supplier on
+        that order shipped on time — the EXISTS rendered as a left-semi
+        and the NOT EXISTS as a left-anti self-join, both on the
+        l_orderkey equi-key with the l_suppkey<> residual riding on it
+        (so they compile to shuffled hash/sort-merge joins, never a
+        nested loop). The late-line subtree is built once and reused by
+        both the outer query and the anti side."""
+        o = read_table(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+        li = read_table(spark, sf, "lineitem")
+        late = (
+            li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+            .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .select("l_orderkey", "l_suppkey")
+        )
+        n = read_table(spark, sf, "nation").where(F.col("n_name") == "NATION_3")
+        s = read_table(spark, sf, "supplier").join(
+            F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        l1 = late.join(
+            F.broadcast(s.select("s_suppkey", "s_name")), late.l_suppkey == F.col("s_suppkey")
+        )
+        l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+        l3 = late.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+        return (
+            l1.join(
+                l2,
+                (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+                "left_semi",
+            )
+            .join(
+                l3,
+                (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+                "left_anti",
+            )
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(100)
+        )
+
     def orders_range_window(spark, sf):
         """TIME-RANGE window frame (RANGE BETWEEN INTERVAL ... PRECEDING):
         per customer, 30-day trailing order count and spend at each order
@@ -2004,6 +2142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dup_span_stats, stream_curate_docs, q3_shipping_sql,
         repetition_stats, repetition_stats_expr, decontaminate, semdedup,
         docs_quota_sample,
+        # round-6 new: the four queries completing the 22-query TPC-H suite
+        q2_min_cost_supplier, q11_important_stock, q12_priority_lines,
+        q21_waiting_suppliers,
         dedup_components, pca_project, docs_chunked, docs_packed,
         corpus_curation_v2, source_mixture, pq_codes, pq_topk, ann_ivfpq,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
@@ -2527,8 +2668,6 @@ def oracle_sql() -> dict[str, str]:
     _sk_footer = (
         " shared boilerplate footer applies to every single corpus document"
         " this legal disclaimer text is mirrored verbatim across the whole collection"
-        " all rights reserved unauthorized reproduction of this material is strictly prohibited"
-        " please contact the site administrator for licensing questions and takedown requests"
     )
     _sk_src = (
         f"(SELECT doc_id, text || '{_sk_footer}' AS text, "
@@ -2932,6 +3071,73 @@ def oracle_sql() -> dict[str, str]:
         SELECT p.p_brand, p.p_type, count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         GROUP BY 1, 2
+    """
+
+    o["q2_min_cost_supplier"] = """
+        WITH ps AS (
+          SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
+                 min(l.l_extendedprice / l.l_quantity) AS supply_cost
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size = 15
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+          GROUP BY 1, 2, 3, 4, 5, 6
+        )
+        SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name,
+               round(supply_cost, 4) AS supply_cost
+        FROM ps p1
+        WHERE supply_cost = (SELECT min(supply_cost) FROM ps p2
+                             WHERE p2.p_partkey = p1.p_partkey)
+        ORDER BY round(s_acctbal, 2) DESC, s_name, p_partkey
+        LIMIT 100
+    """
+
+    o["q11_important_stock"] = """
+        WITH nat AS (
+          SELECT l.l_partkey, l.l_extendedprice
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_7'
+        )
+        SELECT l_partkey, round(sum(l_extendedprice), 2) AS value
+        FROM nat
+        GROUP BY 1
+        HAVING sum(l_extendedprice) > 0.001 * (SELECT sum(l_extendedprice) FROM nat)
+        ORDER BY 2 DESC, 1
+    """
+
+    o["q12_priority_lines"] = """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1 ORDER BY 1
+    """
+
+    o["q21_waiting_suppliers"] = """
+        WITH late AS (
+          SELECT l.l_orderkey, l.l_suppkey
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE o.o_orderstatus = 'F'
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        SELECT s.s_name, count(*)::BIGINT AS numwait
+        FROM late l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 100
     """
 
     o["q22_idle_customers"] = """

@@ -37,6 +37,11 @@ BENCH_QUERIES = [
     "events_asof",
     "user_stats",
     "q18_large_volume",
+    # round-6: the queries completing the 22-query TPC-H suite (q2's
+    # decorrelated min-cost join and q21's semi+anti self-join pair are
+    # the expensive shapes; q11/q12 ride along in the correctness sweep)
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
     # points/assignment family
     "assign_nearest",
     "purity",
