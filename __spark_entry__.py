@@ -1130,6 +1130,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("asof_value", 4).alias("last_purchase_value"),
         )
 
+    def events_scd2(spark, sf):
+        """SCD2 history build (`ext.pipeline.scd2_history`): each user's
+        'view' events interpreted as attribute updates → one row per
+        effective period with valid_from/valid_to half-open bounds and
+        an is_current flag, no-change arrivals collapsed away — the
+        feature-store maintenance step whose output the as-of join
+        serves at lookup time. ONE shuffle on user_id; the collapse lag
+        and the valid_to lead share a single Exchange + Sort
+        (plan-tested in test_pipeline.py). event_id breaks ties among
+        equal-timestamp updates, so the history is deterministic under
+        any partitioning."""
+        from mopso_engine.ext.pipeline import scd2_history
+        from mopso_engine.ext.streaming import read_events
+
+        _utc(spark)
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        upd = ev.where(F.col("event_type") == "view")
+        h = scd2_history(upd, key="user_id", time="ts", payload=["value"], seq="event_id")
+        return h.select(
+            "user_id",
+            F.round("value", 4).alias("value"),
+            "valid_from",
+            "valid_to",
+            "is_current",
+        )
+
     def events_asof_stream(spark, sf):
         """STREAMING twin of events_asof: clicks arrive as a stream and
         resolve their point-in-time purchase value against the static
@@ -2145,6 +2171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 new: the four queries completing the 22-query TPC-H suite
         q2_min_cost_supplier, q11_important_stock, q12_priority_lines,
         q21_waiting_suppliers,
+        # round-6 new: feature-store SCD2 history
+        events_scd2,
         dedup_components, pca_project, docs_chunked, docs_packed,
         corpus_curation_v2, source_mixture, pq_codes, pq_topk, ann_ivfpq,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
@@ -2926,6 +2954,23 @@ def oracle_sql() -> dict[str, str]:
     """
     # the streaming twin must produce the SAME rows as the batch as-of
     o["events_asof_stream"] = o["events_asof"]
+
+    o["events_scd2"] = """
+        WITH upd AS (
+          SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'),
+        chg AS (
+          SELECT user_id, ts, event_id, value FROM (
+            SELECT user_id, ts, event_id, value,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM upd)
+          WHERE rn = 1 OR pv IS DISTINCT FROM value)
+        SELECT user_id, round(value, 4) AS value, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+               (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+                 AS is_current
+        FROM chg
+    """
 
     o["docs_sample"] = """
         SELECT doc_id, lang FROM documents

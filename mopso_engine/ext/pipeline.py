@@ -278,3 +278,115 @@ def source_mixture(
         .cast("long")
         .alias("token_shortfall"),
     )
+
+
+def _scd2_periods(updates, *, key, time, order, payload, collapse):
+    """Shared period derivation: sort each key's timeline by ``order``,
+    optionally collapse no-change rows, then lead() the next valid_from
+    into valid_to. Both Window operators share one Exchange + Sort."""
+    w = Window.partitionBy(key).orderBy(*order)
+    out = updates
+    if collapse:
+        cur = F.struct(*[F.col(p) for p in payload])
+        prev = F.lag(cur).over(w)
+        # first row per key (prev null struct) always survives; a later
+        # row survives iff its payload differs (null-safe: a payload
+        # column flipping null<->value IS a change)
+        out = out.withColumn(
+            "__chg", ~prev.eqNullSafe(cur) | F.row_number().over(w).eqNullSafe(1)
+        ).where(F.col("__chg"))
+    nxt = F.lead(F.col(time)).over(w)
+    return out.select(
+        key,
+        *payload,
+        F.col(time).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def scd2_history(
+    updates: DataFrame,
+    *,
+    key: str,
+    time: str,
+    payload: list[str],
+    seq: str | None = None,
+    collapse: bool = True,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log: one
+    row per (key, effective period) with ``valid_from`` / ``valid_to``
+    half-open interval columns and an ``is_current`` flag — the
+    feature-store maintenance step whose output the as-of join
+    (:func:`asof_join`, `ext.streaming.asof_join_stream_static`)
+    consumes for point-in-time lookups.
+
+    ``collapse=True`` (SCD2 change detection) drops an update whose
+    payload equals the previous row's payload (null-safe struct
+    compare), so periods describe VALUE changes, not arrival events.
+    ``seq`` breaks ties among updates sharing (key, time) — without it,
+    equal-timestamp updates would make the history nondeterministic
+    under partitioning, so supply it whenever ties are possible.
+
+    Physical shape: ONE hash shuffle on ``key``; the collapse lag and
+    the valid_to lead share the same (key, time, seq) sort order, so
+    Catalyst evaluates both Window operators over a single Exchange +
+    Sort. Linear state, no self-join — at 100 TB this is the minimum
+    possible plan for the semantics (every key's timeline must meet).
+
+    Output: (key, payload..., valid_from, valid_to, is_current),
+    valid_to null for the open (current) period.
+    """
+    order = [F.col(time).asc()] + ([F.col(seq).asc()] if seq else [])
+    upd = updates.select(key, time, *(([seq] if seq else []) + payload))
+    return _scd2_periods(upd, key=key, time=time, order=order, payload=payload, collapse=collapse)
+
+
+def scd2_merge(
+    history: DataFrame,
+    updates: DataFrame,
+    *,
+    key: str,
+    time: str,
+    payload: list[str],
+    seq: str | None = None,
+    collapse: bool = True,
+) -> DataFrame:
+    """Merge a new update batch into an existing SCD2 ``history`` (the
+    output shape of :func:`scd2_history`), producing the history that a
+    full recompute over (original updates ∪ batch) would produce — the
+    incremental upsert a daily feature-store build runs.
+
+    Only TOUCHED keys (those present in the batch) are recomputed: the
+    untouched partition of the history passes through unchanged via an
+    anti join, and the touched keys' periods are re-derived from their
+    surviving change rows (valid_from re-enters as the update time)
+    unioned with the batch. Correct because collapse is idempotent: the
+    rows ``scd2_history`` dropped were exactly the no-change arrivals,
+    whose absence cannot alter any later comparison. Replayed history
+    rows carry a NULL seq ordered nulls-first, so at an equal timestamp
+    the original arrival still precedes any batch row (it had already
+    won its tie inside the old history).
+
+    100 TB shape: the update batch is tiny next to the accumulated
+    history, so its distinct-key set BROADCASTS to both the anti and
+    semi sides — the big history table never shuffles; only the touched
+    keys' rows (a broadcast-pruned sliver) pay the scd2 window. If a
+    batch ever rivals the history in key count, drop the two broadcast
+    hints and the same plan degrades to shuffle joins.
+    """
+    upd_keys = updates.select(key).distinct()
+    untouched = history.join(F.broadcast(upd_keys), key, "left_anti")
+    touched = history.join(F.broadcast(upd_keys), key, "left_semi")
+    replay = touched.select(key, F.col("valid_from").alias(time), *payload)
+    if seq:
+        replay = replay.withColumn(seq, F.lit(None).cast(updates.schema[seq].dataType))
+        merged = replay.unionByName(updates.select(key, time, seq, *payload))
+        order = [F.col(time).asc(), F.col(seq).asc_nulls_first()]
+    else:
+        merged = replay.unionByName(updates.select(key, time, *payload))
+        order = [F.col(time).asc()]
+    recomputed = _scd2_periods(
+        merged, key=key, time=time, order=order, payload=payload, collapse=collapse
+    )
+    return untouched.unionByName(recomputed)

@@ -276,3 +276,89 @@ def test_weighted_sample_k_exceeds_n(spark):
     df = spark.createDataFrame([(i, 5.0) for i in range(7)], "id long, w double")
     got = weighted_sample_topk(df, "id", "w", 100).collect()
     assert {r["id"] for r in got} == set(range(7))
+
+
+class TestScd2:
+    """scd2_history / scd2_merge — the feature-store history builder."""
+
+    def _updates(self, spark):
+        # key 1: value changes 10→10 (no-op)→20; key 2: single row;
+        # key 3: tie on ts broken by seq (later seq wins the period)
+        rows = [
+            (1, "2024-01-01 00:00:00", 1, 10.0),
+            (1, "2024-01-02 00:00:00", 2, 10.0),
+            (1, "2024-01-03 00:00:00", 3, 20.0),
+            (2, "2024-01-05 00:00:00", 4, 7.0),
+            (3, "2024-01-01 00:00:00", 5, 1.0),
+            (3, "2024-01-01 00:00:00", 6, 2.0),
+        ]
+        df = spark.createDataFrame(rows, "k long, ts string, seq long, v double")
+        return df.withColumn("ts", df.ts.cast("timestamp"))
+
+    def test_history_collapse_and_periods(self, spark):
+        from mopso_engine.ext.pipeline import scd2_history
+
+        h = scd2_history(self._updates(spark), key="k", time="ts", payload=["v"], seq="seq")
+        got = {(r["k"], r["v"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+               for r in h.collect()}
+        assert (1, 10.0, "2024-01-01 00:00:00", "2024-01-03 00:00:00", False) in got
+        assert (1, 20.0, "2024-01-03 00:00:00", "None", True) in got
+        # the no-op arrival on 01-02 is collapsed away
+        assert not any(r[0] == 1 and r[2].startswith("2024-01-02") for r in got)
+        assert (2, 7.0, "2024-01-05 00:00:00", "None", True) in got
+        # seq tie-break: seq=5 (v=1.0) closes instantly, seq=6 is current
+        assert (3, 1.0, "2024-01-01 00:00:00", "2024-01-01 00:00:00", False) in got
+        assert (3, 2.0, "2024-01-01 00:00:00", "None", True) in got
+
+    def test_no_collapse_keeps_noop_rows(self, spark):
+        from mopso_engine.ext.pipeline import scd2_history
+
+        h = scd2_history(
+            self._updates(spark), key="k", time="ts", payload=["v"], seq="seq", collapse=False
+        )
+        assert h.where("k = 1").count() == 3
+
+    def test_merge_equals_full_recompute(self, spark):
+        from mopso_engine.ext.pipeline import scd2_history, scd2_merge
+
+        upd = self._updates(spark)
+        first = upd.where("ts < timestamp'2024-01-03'")
+        second = upd.where("ts >= timestamp'2024-01-03'")
+        merged = scd2_merge(
+            scd2_history(first, key="k", time="ts", payload=["v"], seq="seq"),
+            second, key="k", time="ts", payload=["v"], seq="seq",
+        )
+        full = scd2_history(upd, key="k", time="ts", payload=["v"], seq="seq")
+        canon = lambda df: sorted(
+            (r["k"], r["v"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+            for r in df.collect()
+        )
+        assert canon(merged) == canon(full)
+        # untouched key 3 (no rows in `second`) must pass through
+        assert merged.where("k = 3").count() == 2
+
+    def test_merge_batch_extends_current_period(self, spark):
+        from mopso_engine.ext.pipeline import scd2_history, scd2_merge
+
+        upd = self._updates(spark)
+        hist = scd2_history(upd, key="k", time="ts", payload=["v"], seq="seq")
+        batch = spark.createDataFrame(
+            [(2, "2024-02-01 00:00:00", 9, 8.0)], "k long, ts string, seq long, v double"
+        )
+        batch = batch.withColumn("ts", batch.ts.cast("timestamp"))
+        out = scd2_merge(hist, batch, key="k", time="ts", payload=["v"], seq="seq")
+        k2 = {(r["v"], str(r["valid_to"]), r["is_current"]) for r in out.where("k = 2").collect()}
+        assert (7.0, "2024-02-01 00:00:00", False) in k2
+        assert (8.0, "None", True) in k2
+
+    def test_history_single_shuffle(self, spark):
+        """Both windows (collapse lag + valid_to lead) must share ONE
+        Exchange: a second hashpartitioning on k would double the
+        shuffle at 100 TB."""
+        from mopso_engine.ext.pipeline import scd2_history
+
+        plan = (
+            scd2_history(self._updates(spark), key="k", time="ts", payload=["v"], seq="seq")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning(k#") == 1
