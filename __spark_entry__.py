@@ -1130,6 +1130,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("asof_value", 4).alias("last_purchase_value"),
         )
 
+    def events_zvalue(spark, sf):
+        """Morton (Z-order) clustering key (`io.zvalue`, the expression
+        behind `io.write_zordered`): interleave the low 16 bits of
+        user_id and days-since-epoch(ts) — rows near in BOTH dimensions
+        get near z-values, so a z-sorted layout gives tight parquet
+        min/max stats on each column at once (file-span property tested
+        in test_io.py). Pure codegen'd bit arithmetic, zero shuffle,
+        zero Python; the oracle replays the identical 32-term
+        interleave in SQL."""
+        from mopso_engine.io import zvalue
+        from mopso_engine.ext.streaming import read_events
+
+        _utc(spark)
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        d = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        return (
+            ev.select("event_id", "user_id", d.cast("long").alias("day"))
+            .withColumn("zval", zvalue(["user_id", "day"], bits=16))
+            .select("event_id", "zval")
+        )
+
     def events_scd2(spark, sf):
         """SCD2 history build (`ext.pipeline.scd2_history`): each user's
         'view' events interpreted as attribute updates → one row per
@@ -2171,8 +2192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 new: the four queries completing the 22-query TPC-H suite
         q2_min_cost_supplier, q11_important_stock, q12_priority_lines,
         q21_waiting_suppliers,
-        # round-6 new: feature-store SCD2 history
-        events_scd2,
+        # round-6 new: feature-store SCD2 history; z-order clustering key
+        events_scd2, events_zvalue,
         dedup_components, pca_project, docs_chunked, docs_packed,
         corpus_curation_v2, source_mixture, pq_codes, pq_topk, ann_ivfpq,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
@@ -2954,6 +2975,18 @@ def oracle_sql() -> dict[str, str]:
     """
     # the streaming twin must produce the SAME rows as the batch as-of
     o["events_asof_stream"] = o["events_asof"]
+
+    # 32-term Morton interleave generated to mirror io.zvalue exactly
+    _z_terms = " | ".join(
+        f"(((user_id >> {i}) & 1) << {2 * i}) | (((d >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+    o["events_zvalue"] = f"""
+        SELECT event_id, ({_z_terms})::BIGINT AS zval
+        FROM (SELECT event_id, user_id,
+                     date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d
+              FROM events)
+    """
 
     o["events_scd2"] = """
         WITH upd AS (

