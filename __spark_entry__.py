@@ -1177,6 +1177,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "is_current",
         )
 
+    def quality_model_scores(spark, sf):
+        """Model-based quality scoring (`ext.quality`): a logistic
+        classifier trained on a deterministic hash sample with weak
+        labels (the heuristic gate), then scored over the WHOLE corpus
+        as one map-only codegen'd expression — the learned stage after
+        the heuristic pre-filter in an LLM pipeline. The trainer twins
+        are bit-identical (round-6 features + layout-normalized GD;
+        tested), so the oracle retrains the same model from the same
+        parquet and replays the same sigmoid fold with weight
+        literals."""
+        from mopso_engine.ext import quality as qm
+
+        docs = read_table(spark, sf, "documents")
+        return qm.score_quality(docs, qm.train_quality(docs))
+
     def events_asof_stream(spark, sf):
         """STREAMING twin of events_asof: clicks arrive as a stream and
         resolve their point-in-time purchase value against the static
@@ -2192,8 +2207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 new: the four queries completing the 22-query TPC-H suite
         q2_min_cost_supplier, q11_important_stock, q12_priority_lines,
         q21_waiting_suppliers,
-        # round-6 new: feature-store SCD2 history; z-order clustering key
-        events_scd2, events_zvalue,
+        # round-6 new: feature-store SCD2 history; z-order clustering key;
+        # trained quality classifier
+        events_scd2, events_zvalue, quality_model_scores,
         dedup_components, pca_project, docs_chunked, docs_packed,
         corpus_curation_v2, source_mixture, pq_codes, pq_topk, ann_ivfpq,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
@@ -2986,6 +3002,34 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT event_id, user_id,
                      date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d
               FROM events)
+    """
+
+    # quality-model oracle: retrain the bit-identical logistic model
+    # from the checked sf's parquet (ext.quality.train_quality_local —
+    # same rounded features, same layout-normalized GD as the Spark
+    # trainer), inject the weights as literals, and replay the same
+    # left-associated sigmoid fold in SQL. Guarded like the other
+    # model oracles: a missing/unreadable documents.parquet omits the
+    # entry (rows-only fallback) instead of breaking construction.
+    _docs_path = os.path.join(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        "documents.parquet",
+    )
+    try:
+        from mopso_engine.ext import quality as _qmod
+
+        _qw = _qmod.train_quality_local(_docs_path) if os.path.exists(_docs_path) else None
+    except Exception:
+        _qw = None
+    if _qw is not None:
+        _qz = f"{float(_qw[0])!r}" + "".join(
+            f" + {float(w)!r}*{f}" for w, f in zip(_qw[1:], _qmod.FEATURES)
+        )
+        _feats = _qmod.FEATURES_SQL.format(src="documents")
+        o["quality_model_scores"] = f"""
+        WITH feats AS ({_feats})
+        SELECT doc_id, round(1.0 / (1.0 + exp(-({_qz}))), 4) AS score, y
+        FROM feats
     """
 
     o["events_scd2"] = """

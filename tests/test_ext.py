@@ -1137,3 +1137,72 @@ def test_repetition_keep_collision_rejected(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="collide"):
         tx.repetition_stats_expr(docs, keep=["n_tokens"])
+
+
+class TestQualityModel:
+    """ext.quality — trained quality classifier with bit-identical
+    trainer twins."""
+
+    def test_trainer_twins_bit_identical(self, spark):
+        import numpy as np
+        from mopso_engine.ext.quality import train_quality, train_quality_local
+
+        path = "/root/testdata/sf0.001/documents.parquet"
+        import os, pytest as _pt
+        if not os.path.exists(path):
+            _pt.skip("driver testdata absent")
+        w_spark = train_quality(spark.read.parquet(path))
+        w_local = train_quality_local(path)
+        assert np.array_equal(w_spark, w_local)
+
+    def test_fit_partition_invariant(self, spark):
+        import numpy as np
+        from mopso_engine.ext.quality import train_quality
+
+        path = "/root/testdata/sf0.001/documents.parquet"
+        import os, pytest as _pt
+        if not os.path.exists(path):
+            _pt.skip("driver testdata absent")
+        docs = spark.read.parquet(path)
+        w1 = train_quality(docs)
+        w2 = train_quality(docs.repartition(13))
+        assert np.array_equal(w1, w2)
+
+    def test_fit_layout_invariant(self):
+        """The GD must ignore input memory layout: OpenBLAS dispatches
+        different reduction orders for C- vs F-contiguous operands
+        (measured last-ulp weight drift on this container without the
+        ascontiguousarray normalization)."""
+        import numpy as np
+        from mopso_engine.ext.quality import _fit_logreg
+
+        rng = np.random.RandomState(7)
+        X = rng.rand(200, 3)
+        y = (rng.rand(200) > 0.5).astype(float)
+        assert np.array_equal(_fit_logreg(X, y), _fit_logreg(np.asfortranarray(X), y))
+
+    def test_score_separates_weak_labels(self, spark):
+        """Sanity: the fitted model must rank positives above negatives
+        on average (AUC-ish gap) — it is trained to mimic the gate."""
+        from mopso_engine.ext.quality import train_quality, score_quality
+
+        path = "/root/testdata/sf0.001/documents.parquet"
+        import os, pytest as _pt
+        if not os.path.exists(path):
+            _pt.skip("driver testdata absent")
+        docs = spark.read.parquet(path)
+        s = score_quality(docs, train_quality(docs)).toPandas()
+        assert s[s.y == 1].score.mean() > s[s.y == 0].score.mean() + 0.05
+
+    def test_score_plan_is_map_only(self, spark):
+        import numpy as np
+        from mopso_engine.ext.quality import score_quality
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta " * 10)], "doc_id long, text string"
+        )
+        plan = (
+            score_quality(df, np.array([0.1, 0.2, 0.3, 0.4]))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
