@@ -363,7 +363,14 @@ def scd2_merge(
     surviving change rows (valid_from re-enters as the update time)
     unioned with the batch. Correct because collapse is idempotent: the
     rows ``scd2_history`` dropped were exactly the no-change arrivals,
-    whose absence cannot alter any later comparison. Replayed history
+    whose absence cannot alter any later comparison — PROVIDED batches
+    arrive in per-key time order (the streaming/append case). An
+    out-of-order backfill inserted BEFORE an existing change can need a
+    row the original collapse dropped (v=10@t1, v=10@t3 collapsed to
+    one period; a late v=20@t2 should resurrect the t3 flip-back, but
+    t3 is gone). For out-of-order feeds run ``collapse=False`` (every
+    arrival survives, merge is then exact under any order) and collapse
+    once at read time. Replayed history
     rows carry a NULL seq ordered nulls-first, so at an equal timestamp
     the original arrival still precedes any batch row (it had already
     won its tie inside the old history).

@@ -511,3 +511,99 @@ def stream_curate(
         keep=["fp"],
     ).where(F.col("gopher_pass") & (F.col("n_tokens") >= min_tokens))
     return gated.select("doc_id", "fp", "n_tokens").dropDuplicates(["fp"])
+
+
+def scd2_history_latest(spark: SparkSession, history_path: str, *, below: int | None = None):
+    """Read the newest committed SCD2 history version under
+    ``history_path`` (``v=<batch_id>`` directories written by
+    :func:`scd2_maintain_stream`); None when no version exists.
+    ``below`` restricts to versions < it — a REPLAYED micro-batch must
+    merge against the state that preceded its first attempt, not
+    against its own partial output."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(history_path)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return None
+    versions = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("v="):
+            v = int(name[2:])
+            if below is None or v < below:
+                versions.append(v)
+    if not versions:
+        return None
+    return spark.read.parquet(f"{history_path}/v={max(versions)}")
+
+
+def scd2_maintain_stream(
+    stream_updates: DataFrame,
+    history_path: str,
+    checkpoint: str,
+    *,
+    key: str,
+    time: str,
+    payload: list[str],
+    seq: str | None = None,
+    collapse: bool = True,
+    keep_versions: int = 2,
+    query_name: str = "scd2_maintain",
+) -> None:
+    """CONTINUOUS feature-store build: maintain an SCD2 history under
+    ``history_path`` from a stream of attribute updates — each
+    micro-batch runs :func:`mopso_engine.ext.pipeline.scd2_merge`
+    against the latest committed history and writes the result as a new
+    ``v=<batch_id>`` version directory (plain parquet standing in for a
+    table format's snapshot; readers take the max version, and the last
+    ``keep_versions`` are retained for time travel / concurrent reads).
+
+    Exactly-once: versions are keyed by batch_id, so a replayed batch
+    OVERWRITES its own version and merges against the latest version
+    BELOW its id (its own partial output is invisible) — the same
+    ledger idempotence as :func:`write_stream_parquet_idempotent`.
+    ``collapse=True`` assumes per-key time-ordered arrival (see
+    scd2_merge's caveat); pass ``collapse=False`` for out-of-order
+    feeds.
+
+    Scale: per micro-batch, one broadcast key-prune of the history +
+    the window over touched keys only (scd2_merge's plan), one parquet
+    write. The history table never shuffles wholesale. Drains with
+    Trigger.AvailableNow.
+    """
+    from mopso_engine.ext.pipeline import scd2_history, scd2_merge
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hist = scd2_history_latest(spark, history_path, below=int(batch_id))
+        if hist is None:
+            out = scd2_history(
+                batch_df, key=key, time=time, payload=payload, seq=seq, collapse=collapse
+            )
+        else:
+            out = scd2_merge(
+                hist, batch_df, key=key, time=time, payload=payload, seq=seq, collapse=collapse
+            )
+        out.write.mode("overwrite").parquet(f"{history_path}/v={int(batch_id)}")
+        # retire old versions beyond the retention window
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(history_path)
+        fs = p.getFileSystem(hconf)
+        vs = sorted(
+            int(st.getPath().getName()[2:])
+            for st in fs.listStatus(p)
+            if st.getPath().getName().startswith("v=")
+        )
+        for v in vs[:-keep_versions] if keep_versions > 0 else []:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{history_path}/v={v}"), True)
+
+    q = (
+        stream_updates.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
