@@ -1177,6 +1177,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "is_current",
         )
 
+    def docs_logppl(spark, sf):
+        """Unigram log-perplexity quality filter (`ext.text.
+        unigram_logppl`, CCNet-style): corpus-trained add-α unigram LM,
+        top-V vocab with one OOV bucket, per-doc −mean ln p(token).
+        Per-token log-probs quantize to integer micro-nats before the
+        per-doc sum (sum of longs — partition-order-proof), the vocab
+        ships broadcast to the scoring join, and the top-V compiles to
+        TakeOrderedAndProject. The oracle retrains the same LM in pure
+        SQL — no injected literals."""
+        from mopso_engine.ext.text import unigram_logppl
+
+        return unigram_logppl(read_table(spark, sf, "documents"))
+
     def quality_model_scores(spark, sf):
         """Model-based quality scoring (`ext.quality`): a logistic
         classifier trained on a deterministic hash sample with weak
@@ -2208,8 +2221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q2_min_cost_supplier, q11_important_stock, q12_priority_lines,
         q21_waiting_suppliers,
         # round-6 new: feature-store SCD2 history; z-order clustering key;
-        # trained quality classifier
-        events_scd2, events_zvalue, quality_model_scores,
+        # trained quality classifier; unigram-LM perplexity filter
+        events_scd2, events_zvalue, quality_model_scores, docs_logppl,
         dedup_components, pca_project, docs_chunked, docs_packed,
         corpus_curation_v2, source_mixture, pq_codes, pq_topk, ann_ivfpq,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
@@ -3002,6 +3015,22 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT event_id, user_id,
                      date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d
               FROM events)
+    """
+
+    o["docs_logppl"] = r"""
+        WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        counts AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        total AS (SELECT sum(len(t))::DOUBLE AS n_total FROM toks),
+        vocab AS (SELECT w, c FROM counts ORDER BY c DESC, w ASC LIMIT 1000),
+        vp AS (SELECT w, (c + 0.5) / (n_total + 0.5 * 1001.0) AS p_w FROM vocab, total),
+        sc AS (SELECT tok.doc_id,
+                      floor(ln(coalesce(vp.p_w, 0.5 / (n_total + 0.5 * 1001.0))) * 1e6
+                            + 0.5)::BIGINT AS lq
+               FROM tok LEFT JOIN vp USING (w), total)
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               round(-sum(lq) / (1e6 * count(*)), 6) AS logppl
+        FROM sc GROUP BY 1
     """
 
     # quality-model oracle: retrain the bit-identical logistic model

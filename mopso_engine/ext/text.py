@@ -414,3 +414,67 @@ def source_unigram_kl(docs: DataFrame, *, stratum: str = "source") -> DataFrame:
         )
         .withColumnRenamed("stratum", "source")
     )
+
+
+def unigram_logppl(
+    docs: DataFrame, *, vocab_size: int = 1000, alpha: float = 0.5
+) -> DataFrame:
+    """Unigram log-perplexity per document — the CCNet-style LM quality
+    filter (score each doc by how surprising its tokens are under a
+    language model trained on the corpus itself; boilerplate and
+    gibberish land in the tails). A unigram model keeps the operator
+    fully relational: no trained artifact, no literals — the oracle
+    recomputes the same model in SQL.
+
+    Model: token counts over the whole corpus; vocabulary = top
+    ``vocab_size`` tokens by (count desc, token asc — deterministic
+    ties); add-``alpha`` smoothing with all out-of-vocabulary mass in
+    one OOV bucket: p(w) = (c_w + α)/(N + α·(V+1)), p(oov) =
+    α/(N + α·(V+1)). Score: logppl(doc) = −mean ln p(token).
+
+    Exactness: per-token ln p is quantized to integer micro-nats
+    (floor(x·1e6 + 0.5) as long) BEFORE the per-doc sum, so the
+    aggregate is a sum of longs — associative, partition-order-proof,
+    engine-exact (the repo's integer-grid trick from lloyd.py); the
+    final division and rounding happen once per doc.
+
+    Scale shape: one shuffle for the count table; the vocabulary is a
+    TakeOrderedAndProject top-V (per-partition heaps, no global sort)
+    and ships BROADCAST with its probabilities to the scoring join, so
+    the exploded token stream never shuffles on the token key; the
+    per-doc aggregate shuffles once on doc_id. At 100 TB: V caps the
+    broadcast, α keeps OOV finite, nothing else grows with the corpus.
+    """
+    toks = tokens_col()
+    tok = docs.select("doc_id", F.explode(toks).alias("w"))
+    counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    # N from the token-array sizes: map-only over the docs scan, no
+    # explode and no token-key shuffle (cheaper than summing `counts`,
+    # which would re-evaluate the aggregation subtree)
+    total = docs.agg(F.sum(F.size(toks)).cast("double").alias("n_total"))
+    vocab = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(int(vocab_size))
+    denom = F.col("n_total") + F.lit(float(alpha)) * F.lit(float(vocab_size) + 1.0)
+    vocab_p = (
+        vocab.crossJoin(F.broadcast(total))
+        .select("w", ((F.col("c") + F.lit(float(alpha))) / denom).alias("p_w"))
+    )
+    oov_p = F.lit(float(alpha)) / denom
+    scored = (
+        tok.join(F.broadcast(vocab_p), "w", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(F.coalesce(F.col("p_w"), oov_p)) * F.lit(1e6) + F.lit(0.5)
+            ).cast("long").alias("lq"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lq").alias("s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(-F.col("s") / (F.lit(1e6) * F.col("n_tokens")), 6).alias("logppl"),
+        )
+    )

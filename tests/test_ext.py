@@ -1261,3 +1261,46 @@ class TestScd2Stream:
         assert got.collect()[0]["marker"] == 1
         assert scd2_history_latest(spark, base).collect()[0]["marker"] == 2
         assert scd2_history_latest(spark, str(tmp_path / "missing")) is None
+
+
+class TestUnigramLogppl:
+    """ext.text.unigram_logppl — CCNet-style LM quality filter."""
+
+    def test_tiny_corpus_hand_computed(self, spark):
+        import math
+        from mopso_engine.ext.text import unigram_logppl
+
+        docs = spark.createDataFrame(
+            [(1, "a a b"), (2, "a zz")], "doc_id long, text string"
+        )
+        # counts: a=3, b=1, zz=1; N=5; V=2 keeps {a, b} (count desc,
+        # token asc drops zz); denom = 5 + 0.5*3 = 6.5
+        out = {r["doc_id"]: r for r in unigram_logppl(docs, vocab_size=2).collect()}
+        pa, pb, poov = 3.5 / 6.5, 1.5 / 6.5, 0.5 / 6.5
+        q = lambda p: math.floor(math.log(p) * 1e6 + 0.5)
+        exp1 = round(-(2 * q(pa) + q(pb)) / (1e6 * 3), 6)
+        exp2 = round(-(q(pa) + q(poov)) / (1e6 * 2), 6)
+        assert out[1]["n_tokens"] == 3 and abs(out[1]["logppl"] - exp1) < 1e-9
+        assert out[2]["n_tokens"] == 2 and abs(out[2]["logppl"] - exp2) < 1e-9
+
+    def test_oov_scores_worse_than_common(self, spark):
+        from mopso_engine.ext.text import unigram_logppl
+
+        rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+        rows.append((99, "zqx wvu tsr qpo nml"))  # all-OOV gibberish
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["logppl"] for r in unigram_logppl(docs, vocab_size=9).collect()}
+        assert out[99] > out[0] + 1.0
+
+    def test_plan_vocab_topv_and_broadcast_scoring(self, spark):
+        from mopso_engine.ext.text import unigram_logppl
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = unigram_logppl(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        # the SCORING side joins the vocab broadcast — the only
+        # token-key Exchange allowed is the count aggregation's own
+        # (one per counts-subtree evaluation), never a shuffle of the
+        # scored token stream into a join
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
