@@ -1304,3 +1304,39 @@ class TestUnigramLogppl:
         # scored token stream into a join
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+class TestObserved:
+    """ext.observe — accumulator metrics riding the main action."""
+
+    def test_counters_match_direct_aggregation(self, spark):
+        from mopso_engine.ext.observe import observed
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, ""), (3, None), (4, "x y")],
+            "doc_id long, text string",
+        )
+        df, obs = observed(docs)
+        kept = df.where(F.col("text").isNotNull()).count()  # the main action
+        m = obs.get
+        assert kept == 3
+        assert m["rows"] == 4
+        assert m["null_or_empty"] == 2
+        # "" trims/splits to one empty token in Spark (size 1); 6 + 1 + 2
+        assert m["tokens"] == 9
+        assert m["short_docs"] == 2  # "" and "x y"
+
+    def test_both_sides_of_a_gate_one_scan(self, spark):
+        """Observing upstream and downstream of a filter yields the drop
+        rate from ONE action."""
+        from mopso_engine.ext.observe import observed, corpus_counters
+
+        docs = spark.createDataFrame(
+            [(i, "w " * (i + 1)) for i in range(10)], "doc_id long, text string"
+        )
+        pre, obs_pre = observed(docs)
+        gated = pre.where(F.size(F.split(F.trim("text"), r"\s+")) >= 5)
+        post, obs_post = observed(gated)
+        post.count()
+        assert obs_pre.get["rows"] == 10
+        assert obs_post.get["rows"] == 6
