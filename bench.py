@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     "weighted_docs_sample",
     "source_token_kl",
     "dup_span_stats",
+    # round-6: learned quality stack — LM perplexity + trained classifier
+    "docs_logppl",
+    "quality_model_scores",
     "lsh_candidates",
     "simhash_fp",
     "simhash_neardup",

@@ -131,6 +131,28 @@ COMMENTS = {
     "before their one exchange; the corpus distribution derives from those "
     "counts (ReusedExchange, not a rescan) and broadcast-joins back; KL "
     "terms sum inside the same final aggregate.",
+    "q21_waiting_suppliers": "EXISTS and NOT EXISTS as semi/anti "
+    "self-joins: both ride the l_orderkey equi-key with the suppkey<> "
+    "residual attached — hash/sort-merge joins, never a nested loop; "
+    "orders broadcasts into the late-line filter on both uses.",
+    "q2_min_cost_supplier": "Correlated MIN decorrelated: part filter "
+    "semi-joins in BEFORE the per-part aggregate so only qualifying parts "
+    "pay it; all four dims broadcast; the min-cost join-back is an "
+    "equality join on (partkey, cost); top-100 on a unique sort key is "
+    "TakeOrderedAndProject.",
+    "events_scd2": "SCD2 periods in ONE Exchange on user_id: the "
+    "collapse lag and the valid_to lead share the same Sort (asserted "
+    "single-Exchange in test_pipeline) — the minimum plan for timeline "
+    "semantics.",
+    "docs_logppl": "Unigram-LM scoring: vocabulary top-V is "
+    "TakeOrderedAndProject over the one token-count shuffle; vocab "
+    "probabilities BROADCAST to the exploded scoring stream (no token-key "
+    "shuffle of the corpus); per-token log-probs quantize to micro-nat "
+    "longs so the per-doc sum is partition-order exact.",
+    "quality_model_scores": "Trained-model scoring is map-only: the "
+    "sigmoid fold is one codegen'd expression over the feature "
+    "projections (no Exchange, no Python — asserted in test_ext); "
+    "training touched only the deterministic hash sample.",
 }
 
 
