@@ -31,6 +31,15 @@ def build_session(
       distance matrix, see objectives._BLOCK_CELLS) fits executor memory.
     * Arrow batch 8192 — the pandas-UDF kernels vectorize well past 2k
       rows; larger batches just raise peak memory.
+    * runtime bloom-filter join pruning — when a fact⋈fact join's build
+      side carries a selective filter, Catalyst injects a
+      ``bloom_filter_agg`` on the build keys and a ``might_contain``
+      probe into the OTHER side's scan, so non-joining rows die at the
+      scan instead of riding the shuffle (plan-pinned in test_plans).
+      At 100 TB this is the difference between shuffling the whole
+      fact table and shuffling the ~matching sliver; the creation-side
+      threshold is raised to 100 MB because a filtered dimension-like
+      side of that size is still worth one bloom build.
     """
     cores = 32
     if master.startswith("local[") and master[6:-1].isdigit():
@@ -45,6 +54,8 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
         .config("spark.driver.memory", driver_memory)
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .getOrCreate()

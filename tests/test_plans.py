@@ -306,3 +306,38 @@ def test_join_strategy_hints_control_physical_join(spark):
     assert "SortMergeJoin" in plan_of(j_smj)
     j_bhj = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
     assert "BroadcastHashJoin" in plan_of(j_bhj)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """A selective filter on one fact side must inject a bloom probe
+    (might_contain) into the other side's scan under the tuned session
+    conf — non-joining rows die at the scan, not in the shuffle. Run
+    in a child conf scope so the broadcast threshold override cannot
+    leak into other tests."""
+    li_p = "/root/testdata/sf0.01/lineitem.parquet"
+    o_p = "/root/testdata/sf0.01/orders.parquet"
+    import os, pytest as _pt
+    if not (os.path.exists(li_p) and os.path.exists(o_p)):
+        _pt.skip("driver testdata absent")
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(li_p)
+        o = spark.read.parquet(o_p).where(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_linestatus").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
