@@ -1190,6 +1190,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return unigram_logppl(read_table(spark, sf, "documents"))
 
+    def docs_split(spark, sf):
+        """Deterministic leakage-proof train/val/test split
+        (`ext.pipeline.split_by_hash`): disjoint exhaustive hash
+        intervals on doc_id, map-only codegen'd CASE — per-split doc
+        and token totals. The oracle replays the identical md5-interval
+        CASE, including Python's float accumulation of the interval
+        bounds (0.8 + 0.1 != 0.9 exactly)."""
+        from mopso_engine.ext.pipeline import split_by_hash
+
+        docs = read_table(spark, sf, "documents")
+        tagged = split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        return (
+            tagged.groupBy("split")
+            .agg(F.count("*").alias("n_docs"), F.sum(toks).cast("long").alias("n_tokens"))
+            .orderBy("split")
+        )
+
     def quality_model_scores(spark, sf):
         """Model-based quality scoring (`ext.quality`): a logistic
         classifier trained on a deterministic hash sample with weak
@@ -2223,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 new: feature-store SCD2 history; z-order clustering key;
         # trained quality classifier; unigram-LM perplexity filter
         events_scd2, events_zvalue, quality_model_scores, docs_logppl,
+        docs_split,
         dedup_components, pca_project, docs_chunked, docs_packed,
         corpus_curation_v2, source_mixture, pq_codes, pq_topk, ann_ivfpq,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
@@ -3015,6 +3034,21 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT event_id, user_id,
                      date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d
               FROM events)
+    """
+
+    # split thresholds accumulated in Python exactly as split_by_hash
+    # does (0.8 + 0.1 != 0.9 in doubles — the literal must match)
+    _sp_hi1 = 0.8
+    _sp_hi2 = 0.8 + 0.1
+    o["docs_split"] = rf"""
+        WITH tagged AS (
+          SELECT string_split_regex(trim(text), '\s+') AS t,
+                 CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR || '#split'), 1, 8))::BIGINT)::DOUBLE / 4294967296.0 < {_sp_hi1!r} THEN 'train'
+                      WHEN (('0x' || substr(md5(doc_id::VARCHAR || '#split'), 1, 8))::BIGINT)::DOUBLE / 4294967296.0 < {_sp_hi2!r} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+        SELECT split, count(*)::BIGINT AS n_docs, sum(len(t))::BIGINT AS n_tokens
+        FROM tagged GROUP BY 1 ORDER BY 1
     """
 
     o["docs_logppl"] = r"""

@@ -397,3 +397,38 @@ def scd2_merge(
         merged, key=key, time=time, order=order, payload=payload, collapse=collapse
     )
     return untouched.unionByName(recomputed)
+
+
+def split_by_hash(
+    df: DataFrame,
+    key: str,
+    fractions: dict[str, float],
+    *,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint dataset split (train/val/test): each row
+    lands in exactly one named split by which half-open hash interval
+    its uniform falls into — [0, f1) → first split, [f1, f1+f2) →
+    second, … — so the splits are DISJOINT and EXHAUSTIVE by
+    construction, stable across runs/engines/partitionings (md5 hash
+    uniform), and leakage-proof: a key always lands in the same split,
+    so near-duplicate rows sharing a key can never straddle train/test.
+
+    Fractions must sum to 1 (±1e-9). Appends a ``split`` column;
+    map-only codegen'd CASE over the scan, zero shuffle — filtering
+    one split later prunes at the scan. Split on a DOCUMENT/GROUP key
+    (not a row id) when rows of one entity must stay together.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = hash_uniform(key, salt=salt)
+    expr = None
+    hi = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        hi += fractions[name]
+        cond = u < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return df.withColumn("split", last if expr is None else expr.otherwise(last))

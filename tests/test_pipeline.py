@@ -362,3 +362,35 @@ class TestScd2:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.count("Exchange hashpartitioning(k#") == 1
+
+
+class TestSplitByHash:
+    def test_disjoint_exhaustive_deterministic(self, spark):
+        from mopso_engine.ext.pipeline import split_by_hash
+
+        df = spark.range(0, 5000).withColumnRenamed("id", "k")
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+        s1 = split_by_hash(df, "k", fr).groupBy("split").count().collect()
+        c = {r["split"]: r["count"] for r in s1}
+        assert sum(c.values()) == 5000  # exhaustive
+        assert 0.75 < c["train"] / 5000 < 0.85
+        assert 0.07 < c["val"] / 5000 < 0.13
+        # deterministic: same assignment under different partitioning
+        a = {r["k"]: r["split"] for r in split_by_hash(df, "k", fr).collect()}
+        b = {r["k"]: r["split"] for r in split_by_hash(df.repartition(17), "k", fr).collect()}
+        assert a == b
+
+    def test_fraction_sum_validated(self, spark):
+        import pytest as _pt
+        from mopso_engine.ext.pipeline import split_by_hash
+
+        df = spark.range(3).withColumnRenamed("id", "k")
+        with _pt.raises(ValueError):
+            split_by_hash(df, "k", {"a": 0.5, "b": 0.4})
+
+    def test_map_only_plan(self, spark):
+        from mopso_engine.ext.pipeline import split_by_hash
+
+        df = spark.range(10).withColumnRenamed("id", "k")
+        plan = split_by_hash(df, "k", {"a": 0.5, "b": 0.5})._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
