@@ -394,3 +394,42 @@ class TestSplitByHash:
         df = spark.range(10).withColumnRenamed("id", "k")
         plan = split_by_hash(df, "k", {"a": 0.5, "b": 0.5})._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_scd2_merge_invariant_randomized(spark):
+    """merge(history(prefix), suffix) == history(all) over randomized
+    update logs WITH timestamp ties and no-op runs, split at a random
+    time boundary (per-key in-order batches — the documented collapse
+    precondition). 20 seeded cases."""
+    import random
+
+    from mopso_engine.ext.pipeline import scd2_history, scd2_merge
+
+    canon = lambda df: sorted(
+        (r["k"], r["v"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+        for r in df.collect()
+    )
+    for seed in range(20):
+        rng = random.Random(seed)
+        rows = []
+        seq = 0
+        for k in range(rng.randint(1, 4)):
+            for _ in range(rng.randint(1, 8)):
+                seq += 1
+                # coarse hour grid forces frequent (key, ts) ties; tiny
+                # value alphabet forces no-op runs for collapse to drop
+                rows.append(
+                    (k, f"2024-01-0{rng.randint(1, 9)} 0{rng.randint(0, 9)}:00:00",
+                     seq, float(rng.randint(1, 3)))
+                )
+        cut = f"2024-01-0{rng.randint(1, 9)} 05:00:00"
+        df = spark.createDataFrame(rows, "k long, ts string, seq long, v double")
+        df = df.withColumn("ts", df.ts.cast("timestamp"))
+        kw = dict(key="k", time="ts", payload=["v"], seq="seq")
+        full = scd2_history(df, **kw)
+        merged = scd2_merge(
+            scd2_history(df.where(f"ts < timestamp'{cut}'"), **kw),
+            df.where(f"ts >= timestamp'{cut}'"),
+            **kw,
+        )
+        assert canon(merged) == canon(full), f"seed {seed} (cut {cut})"
