@@ -1208,6 +1208,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("split")
         )
 
+    def docs_negative_pairs(spark, sf):
+        """Deterministic contrastive negative sampling
+        (`ext.pipeline.negative_pairs`): each doc gets 2 hash-scrambled
+        within-bucket partners — in-batch-negatives, distributed. One
+        bucket-keyed Exchange shared by both windows, a codegen'd
+        sequence-explode, one equality self-join on (bucket, rank);
+        buckets bound every partition so nothing is global or
+        quadratic. The oracle replays the identical double-hash
+        construction in SQL."""
+        from mopso_engine.ext.pipeline import negative_pairs
+
+        return negative_pairs(read_table(spark, sf, "documents"), "doc_id", k=2, buckets=16)
+
     def quality_model_scores(spark, sf):
         """Model-based quality scoring (`ext.quality`): a logistic
         classifier trained on a deterministic hash sample with weak
@@ -2241,7 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 new: feature-store SCD2 history; z-order clustering key;
         # trained quality classifier; unigram-LM perplexity filter
         events_scd2, events_zvalue, quality_model_scores, docs_logppl,
-        docs_split,
+        docs_split, docs_negative_pairs,
         dedup_components, pca_project, docs_chunked, docs_packed,
         corpus_curation_v2, source_mixture, pq_codes, pq_topk, ann_ivfpq,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
@@ -3034,6 +3047,25 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT event_id, user_id,
                      date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d
               FROM events)
+    """
+
+    o["docs_negative_pairs"] = """
+        WITH u AS (
+          SELECT doc_id,
+                 floor((('0x' || substr(md5(doc_id::VARCHAR || '#neg.b'), 1, 8))::BIGINT)::DOUBLE
+                       / 4294967296.0 * 16.0)::BIGINT AS bkt,
+                 (('0x' || substr(md5(doc_id::VARCHAR || '#neg.r'), 1, 8))::BIGINT)::DOUBLE
+                       / 4294967296.0 AS u2
+          FROM documents),
+        b AS (SELECT doc_id, bkt,
+                     row_number() OVER (PARTITION BY bkt ORDER BY u2, doc_id) - 1 AS rnk,
+                     count(*) OVER (PARTITION BY bkt) AS sz
+              FROM u),
+        a AS (SELECT doc_id AS anchor, bkt, rnk, sz, r.j
+              FROM b, range(1, 3) r(j)
+              WHERE sz > 1 AND r.j <= least(2, sz - 1))
+        SELECT a.anchor, p.doc_id AS negative, a.j::INT AS j
+        FROM a JOIN b p ON p.bkt = a.bkt AND p.rnk = (a.rnk + a.j) % a.sz
     """
 
     # split thresholds accumulated in Python exactly as split_by_hash

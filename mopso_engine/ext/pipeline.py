@@ -432,3 +432,63 @@ def split_by_hash(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
     return df.withColumn("split", last if expr is None else expr.otherwise(last))
+
+
+def negative_pairs(
+    df: DataFrame,
+    key: str,
+    *,
+    k: int = 2,
+    buckets: int = 64,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training data:
+    each anchor row gets up to ``k`` pseudo-random partners drawn from
+    its hash bucket — the distributed analogue of in-batch negatives
+    (partners are hash-scrambled, so within-bucket adjacency carries no
+    semantic signal). Replayable: same corpus + salt → same pairs, on
+    any engine with md5.
+
+    Construction: bucket = ⌊u₁·B⌋; within each bucket rows take a
+    scrambled dense rank (ordered by an independent hash u₂, key
+    tiebreak), and anchor at rank r pairs with ranks (r+j) mod size for
+    j = 1..min(k, size−1) — offsets never hit the anchor itself, and a
+    singleton bucket yields no pairs. Output: (anchor, negative, j).
+
+    Scale shape: one Exchange on the bucket key shared by both window
+    functions (rank + size), a codegen'd sequence-explode for the
+    offsets, and ONE equality self-join on (bucket, rank) to resolve
+    partner keys. Buckets bound every window partition and parallelize
+    the join — at 100 TB raise ``buckets`` so bucket size stays ~1e5
+    rows; no global sort, nothing quadratic.
+    """
+    if k < 1:
+        raise ValueError("k must be ≥ 1")
+    u1 = hash_uniform(key, salt=salt + ".b")
+    u2 = hash_uniform(key, salt=salt + ".r")
+    w = Window.partitionBy("__bkt").orderBy(u2.asc(), F.col(key).asc())
+    ws = Window.partitionBy("__bkt")
+    base = (
+        df.select(F.col(key))
+        .withColumn("__bkt", F.floor(u1 * F.lit(float(buckets))).cast("long"))
+        .withColumn("__rank", F.row_number().over(w) - F.lit(1))
+        .withColumn("__size", F.count("*").over(ws))
+    )
+    anchors = base.withColumn(
+        "j",
+        F.explode(
+            F.when(
+                F.col("__size") > 1,
+                F.sequence(F.lit(1), F.least(F.lit(int(k)), F.col("__size") - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ),
+    ).select(
+        F.col(key).alias("anchor"),
+        "__bkt",
+        ((F.col("__rank") + F.col("j")) % F.col("__size")).alias("__prank"),
+        "j",
+    )
+    partners = base.select(
+        F.col(key).alias("negative"), F.col("__bkt"), F.col("__rank").alias("__prank")
+    )
+    return anchors.join(partners, ["__bkt", "__prank"]).select("anchor", "negative", "j")

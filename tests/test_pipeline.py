@@ -433,3 +433,43 @@ def test_scd2_merge_invariant_randomized(spark):
             **kw,
         )
         assert canon(merged) == canon(full), f"seed {seed} (cut {cut})"
+
+
+class TestNegativePairs:
+    def test_shape_and_invariants(self, spark):
+        from mopso_engine.ext.pipeline import negative_pairs
+
+        df = spark.range(0, 500).withColumnRenamed("id", "k")
+        out = negative_pairs(df, "k", k=2, buckets=8).toPandas()
+        # no self-pairs, correct j range
+        assert (out.anchor != out.negative).all()
+        assert set(out.j) <= {1, 2}
+        # every anchor in a bucket of size > 2 gets exactly 2 negatives
+        per_anchor = out.groupby("anchor").size()
+        assert (per_anchor <= 2).all()
+        assert (per_anchor >= 1).all()
+        # distinct partners per anchor (offsets 1,2 mod size>2 differ)
+        dup = out.groupby(["anchor", "negative"]).size()
+        assert (dup == 1).all()
+
+    def test_deterministic_across_partitioning(self, spark):
+        from mopso_engine.ext.pipeline import negative_pairs
+
+        df = spark.range(0, 300).withColumnRenamed("id", "k")
+        a = set(map(tuple, negative_pairs(df, "k", k=1).collect()))
+        b = set(map(tuple, negative_pairs(df.repartition(17), "k", k=1).collect()))
+        assert a == b
+
+    def test_singleton_bucket_yields_no_pairs(self, spark):
+        from mopso_engine.ext.pipeline import negative_pairs
+
+        df = spark.range(0, 1).withColumnRenamed("id", "k")
+        assert negative_pairs(df, "k", k=3, buckets=4).count() == 0
+
+    def test_one_exchange_for_both_windows(self, spark):
+        from mopso_engine.ext.pipeline import negative_pairs
+
+        df = spark.range(0, 100).withColumnRenamed("id", "k")
+        plan = negative_pairs(df, "k", k=2)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning(__bkt") <= 2  # windows + join reuse
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
