@@ -2093,6 +2093,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cb = ss.train_codebook(emb, k=8, iters=2, sample_fraction=0.5, seed=11)
         return ss.cosine_topk_ivf_codebook(emb, cb, [0, 1, 2, 3, 4], k=5, nprobe=3)
 
+    def emb_outliers(spark, sf):
+        """Rank-based embedding outlier gate
+        (`ext.simsearch.embedding_outliers`): nearest-codebook-cell
+        assignment (one Arrow scan), own-centroid cosine distance
+        quantized to micro-units, per-cell top-5% farthest flagged —
+        integer rank arithmetic, so the flags are deterministic under
+        any partitioning and the oracle replays them exactly from the
+        same retrained codebook literals. Both rank windows share one
+        cell-keyed Exchange."""
+        emb = read_table(spark, sf, "embeddings").drop("label")
+        cb = ss.train_codebook(emb, k=8, iters=2, sample_fraction=0.5, seed=11)
+        return ss.embedding_outliers(emb, cb, frac=0.05)
+
     def emb_neardup(spark, sf):
         """Embedding-cosine near-duplicate pairs (cos ≥ 0.4) via sign-LSH
         bucketed candidates + exact verification — equality joins only,
@@ -2254,7 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 new: feature-store SCD2 history; z-order clustering key;
         # trained quality classifier; unigram-LM perplexity filter
         events_scd2, events_zvalue, quality_model_scores, docs_logppl,
-        docs_split, docs_negative_pairs,
+        docs_split, docs_negative_pairs, emb_outliers,
         dedup_components, pca_project, docs_chunked, docs_packed,
         corpus_curation_v2, source_mixture, pq_codes, pq_topk, ann_ivfpq,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
@@ -3977,6 +3990,35 @@ def oracle_sql() -> dict[str, str]:
 
     if _cb_rows is not None:
         o["ann_ivf_unlabeled"] = _ann_ivf_unlabeled_sql
+        # outlier gate replays the SAME injected codebook: fold-computed
+        # cosine per cell, argmax assignment (ties to the lowest cell),
+        # micro-unit distance quantization, per-cell rank windows
+        o["emb_outliers"] = f"""
+        WITH cb(cell, cv) AS (VALUES
+          {_cb_rows}),
+        p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pc AS (
+          SELECT p.vec_id, cb.cell,
+                 list_sum(list_transform(list_zip(p.v, cb.cv), x -> x[1]*x[2])) /
+                 (sqrt(list_sum(list_transform(p.v, x -> x*x))) *
+                  sqrt(list_sum(list_transform(cb.cv, x -> x*x)))) AS cs
+          FROM p, cb),
+        own AS (
+          SELECT vec_id, cell, cs FROM (
+            SELECT vec_id, cell, cs,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+            FROM pc)
+          WHERE rn = 1),
+        dq AS (SELECT vec_id, cell, floor((1.0 - cs) * 1e6 + 0.5)::BIGINT AS dqv FROM own),
+        rk AS (
+          SELECT vec_id, cell, dqv,
+                 row_number() OVER (PARTITION BY cell ORDER BY dqv DESC, vec_id) AS rnk,
+                 count(*) OVER (PARTITION BY cell) AS sz
+          FROM dq)
+        SELECT vec_id, cell::INT AS cell, round(dqv / 1e6, 6) AS dist,
+               (rnk <= ceil(0.05 * sz)) AS is_outlier
+        FROM rk
+    """
         # SemDedup replays the SAME injected codebook: cell assignment
         # (argmax cosine, ties to the lowest cell), in-cell lower-id
         # pairing, and the unrounded-threshold prune — all relational.

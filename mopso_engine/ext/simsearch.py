@@ -830,3 +830,59 @@ def pq_topk_ivf(
         .where(F.col("rank") <= topk)
         .select("query_id", "nbr_id", "rank", "adc_dist")
     )
+
+
+def embedding_outliers(
+    embeddings: DataFrame, codebook, *, frac: float = 0.05
+) -> DataFrame:
+    """Rank-based embedding outlier detection — the vector-space data-
+    quality gate (mislabeled scrapes, decode garbage, and off-manifold
+    points sit far from every cluster): assign each vector to its
+    nearest codebook cell, score by cosine distance to the OWN cell's
+    centroid, and flag the ``frac`` farthest per cell.
+
+    Rank-based on purpose: per-cell mean/std float aggregates would be
+    partition-order-inexact, but a rank over micro-unit-quantized
+    distances (floor(d·1e6 + ½) as long, vec_id tiebreak) is INTEGER
+    arithmetic — deterministic under any partitioning and exactly
+    replayable by the SQL oracle. Per-cell thresholds also adapt to
+    cluster density for free (a tight cluster's 5% tail is much nearer
+    than a diffuse one's), which a global distance cutoff cannot do.
+
+    Output: (vec_id, cell, dist, is_outlier) — one row per vector.
+
+    Scale shape: one Arrow scan assigns cells (codebook rides the
+    closure), the k-row centroid table broadcast-joins back for the
+    own-cell distance, and both rank windows share ONE cell-keyed
+    Exchange. Nothing global, nothing quadratic; cells bound every
+    window partition (k ∝ N/cap, as in semdedup).
+    """
+    import numpy as np
+
+    C = np.asarray(codebook, dtype=np.float64)
+    spark = embeddings.sparkSession
+    vecs = as_double_vecs(
+        embeddings if "label" in embeddings.columns else embeddings.withColumn("label", F.lit(0))
+    ).select("vec_id", "vec")
+    cells = vecs.withColumn("cell", _argmax_cell_kernel(C)("vec"))
+    cb = spark.createDataFrame(
+        [(int(i), [float(x) for x in C[i]]) for i in range(len(C))],
+        "cell int, cvec array<double>",
+    )
+    dist = F.lit(1.0) - _cosine_kernel()("vec", "cvec")
+    scored = (
+        cells.join(F.broadcast(cb), "cell")
+        .withColumn("__dq", F.floor(dist * F.lit(1e6) + F.lit(0.5)).cast("long"))
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("__dq").desc(), F.col("vec_id").asc())
+    ws = Window.partitionBy("cell")
+    return (
+        scored.withColumn("__rnk", F.row_number().over(w))
+        .withColumn("__sz", F.count("*").over(ws))
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.round(F.col("__dq") / F.lit(1e6), 6).alias("dist"),
+            (F.col("__rnk") <= F.ceil(F.lit(float(frac)) * F.col("__sz"))).alias("is_outlier"),
+        )
+    )

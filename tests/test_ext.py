@@ -1340,3 +1340,49 @@ class TestObserved:
         post.count()
         assert obs_pre.get["rows"] == 10
         assert obs_post.get["rows"] == 6
+
+
+class TestEmbeddingOutliers:
+    def test_planted_outlier_flagged(self, spark):
+        import numpy as np
+        from mopso_engine.ext.simsearch import embedding_outliers
+
+        rng = np.random.RandomState(3)
+        # two tight clusters + one far point per cluster
+        rows = []
+        for vid in range(40):
+            c = vid % 2
+            base = np.array([5.0, 0.0] if c == 0 else [0.0, 5.0])
+            rows.append((vid, (base + rng.normal(0, 0.05, 2)).tolist()))
+        rows.append((100, [5.0, 3.0]))   # off-manifold near cluster 0
+        rows.append((101, [3.0, 5.0]))   # off-manifold near cluster 1
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cb = [[5.0, 0.0], [0.0, 5.0]]
+        out = {r["vec_id"]: r for r in embedding_outliers(emb, cb, frac=0.05).collect()}
+        assert len(out) == 42
+        assert out[100]["is_outlier"] and out[101]["is_outlier"]
+        flagged = [v for v, r in out.items() if r["is_outlier"]]
+        # ceil(0.05·21) = 2 flags per cell; the planted point is rank 1
+        # in each, one in-cluster straggler takes rank 2
+        assert len(flagged) == 4 and {100, 101} <= set(flagged)
+        # the planted points carry the largest distance in their cells
+        assert out[100]["dist"] == max(r["dist"] for v, r in out.items() if r["cell"] == out[100]["cell"])
+
+    def test_rank_deterministic_under_partitioning(self, spark):
+        import numpy as np
+        from mopso_engine.ext.simsearch import embedding_outliers
+
+        rng = np.random.RandomState(5)
+        rows = [(i, rng.normal(0, 1, 4).tolist()) for i in range(200)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cb = rng.normal(0, 1, (4, 4)).tolist()
+        a = sorted(map(tuple, embedding_outliers(emb, cb).collect()))
+        b = sorted(map(tuple, embedding_outliers(emb.repartition(23), cb).collect()))
+        assert a == b
+
+    def test_single_exchange_for_rank_windows(self, spark):
+        from mopso_engine.ext.simsearch import embedding_outliers
+
+        emb = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+        plan = embedding_outliers(emb, [[1.0, 0.0], [0.0, 1.0]])._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning(cell") == 1
