@@ -1221,6 +1221,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return negative_pairs(read_table(spark, sf, "documents"), "doc_id", k=2, buckets=16)
 
+    def split_leakage_audit(spark, sf):
+        """Eval-hygiene diagnostic: near-duplicate pairs (3-gram jaccard
+        ≥ 0.5) crossed with the train/val/test hash split — pairs whose
+        members land in DIFFERENT splits are contamination (the test set
+        contains a near-copy of a training doc). This is exactly why a
+        row-hash split is insufficient for deduplicated corpora: the
+        audit quantifies the leakage the split-on-canonical-key recipe
+        (dedup_components → split_by_hash on the component id) drives
+        to zero. Composes two declared operators into one plan; the
+        split tag join is a broadcast of (doc_id, split) projections."""
+        from mopso_engine.ext.pipeline import split_by_hash
+
+        docs = read_table(spark, sf, "documents")
+        pairs = dd.jaccard_pairs(docs, k=3, threshold=0.5)
+        tags = split_by_hash(docs.select("doc_id"), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        ta = tags.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+        tb = tags.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+        return (
+            pairs.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .groupBy(
+                F.least("sa", "sb").alias("split_lo"),
+                F.greatest("sa", "sb").alias("split_hi"),
+            )
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0)).alias("n_leaked"),
+            )
+            .orderBy("split_lo", "split_hi")
+        )
+
     def quality_model_scores(spark, sf):
         """Model-based quality scoring (`ext.quality`): a logistic
         classifier trained on a deterministic hash sample with weak
@@ -2267,7 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 new: feature-store SCD2 history; z-order clustering key;
         # trained quality classifier; unigram-LM perplexity filter
         events_scd2, events_zvalue, quality_model_scores, docs_logppl,
-        docs_split, docs_negative_pairs, emb_outliers,
+        docs_split, docs_negative_pairs, emb_outliers, split_leakage_audit,
         dedup_components, pca_project, docs_chunked, docs_packed,
         corpus_curation_v2, source_mixture, pq_codes, pq_topk, ann_ivfpq,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
@@ -3085,6 +3116,26 @@ def oracle_sql() -> dict[str, str]:
     # does (0.8 + 0.1 != 0.9 in doubles — the literal must match)
     _sp_hi1 = 0.8
     _sp_hi2 = 0.8 + 0.1
+
+    # leakage audit: the dedup_jaccard oracle nested as a CTE, crossed
+    # with the identical split CASE
+    o["split_leakage_audit"] = rf"""
+        WITH pairs AS ({{dj}}),
+        tags AS (
+          SELECT doc_id,
+                 CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR || '#split'), 1, 8))::BIGINT)::DOUBLE / 4294967296.0 < {_sp_hi1!r} THEN 'train'
+                      WHEN (('0x' || substr(md5(doc_id::VARCHAR || '#split'), 1, 8))::BIGINT)::DOUBLE / 4294967296.0 < {_sp_hi2!r} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+        SELECT least(ta.split, tb.split) AS split_lo,
+               greatest(ta.split, tb.split) AS split_hi,
+               count(*)::BIGINT AS n_pairs,
+               sum(CASE WHEN ta.split <> tb.split THEN 1 ELSE 0 END)::BIGINT AS n_leaked
+        FROM pairs p
+        JOIN tags ta ON ta.doc_id = p.doc_a
+        JOIN tags tb ON tb.doc_id = p.doc_b
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """.format(dj=o["dedup_jaccard"])
     o["docs_split"] = rf"""
         WITH tagged AS (
           SELECT string_split_regex(trim(text), '\s+') AS t,
