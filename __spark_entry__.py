@@ -1221,6 +1221,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return negative_pairs(read_table(spark, sf, "documents"), "doc_id", k=2, buckets=16)
 
+    def corpus_profile(spark, sf):
+        """The one-row CORPUS CARD — the summary a dataset release ships
+        with, as one declarative plan over composed declared operators:
+        size (docs, tokens), exact token-count quantiles (percentile
+        interpolation, engine-identical), language breadth + top-lang
+        share, and the exact-duplicate rate (1 − distinct normalized
+        fingerprints / docs). Everything reduces to global aggregates:
+        one scan computes tokens/fingerprint/lang per doc, one global
+        aggregate folds it, and the modal language comes from a tiny
+        lang-keyed partial aggregate — no per-doc rows move beyond
+        their partial states."""
+        from mopso_engine.ext.dedup import normalized_text
+
+        docs = read_table(spark, sf, "documents")
+        per = docs.select(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+            F.md5(normalized_text()).alias("fp"),
+            "lang",
+        )
+        lang_top = (
+            per.groupBy("lang").agg(F.count("*").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("lang").asc())
+            .limit(1)
+            .select(F.col("lang").alias("top_lang"), F.col("c").alias("top_lang_docs"))
+        )
+        prof = per.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.round(F.expr("percentile(n_tok, 0.5)"), 6).alias("tok_p50"),
+            F.round(F.expr("percentile(n_tok, 0.9)"), 6).alias("tok_p90"),
+            F.round(F.expr("percentile(n_tok, 0.99)"), 6).alias("tok_p99"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+        return prof.crossJoin(F.broadcast(lang_top)).select(
+            "n_docs",
+            "n_tokens",
+            "tok_p50",
+            "tok_p90",
+            "tok_p99",
+            "n_langs",
+            "top_lang",
+            F.round(F.col("top_lang_docs") / F.col("n_docs"), 6).alias("top_lang_share"),
+            F.round(F.lit(1.0) - F.col("n_unique") / F.col("n_docs"), 6).alias("dup_rate"),
+        )
+
     def split_leakage_audit(spark, sf):
         """Eval-hygiene diagnostic: near-duplicate pairs (3-gram jaccard
         ≥ 0.5) crossed with the train/val/test hash split — pairs whose
@@ -2299,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trained quality classifier; unigram-LM perplexity filter
         events_scd2, events_zvalue, quality_model_scores, docs_logppl,
         docs_split, docs_negative_pairs, emb_outliers, split_leakage_audit,
+        corpus_profile,
         dedup_components, pca_project, docs_chunked, docs_packed,
         corpus_curation_v2, source_mixture, pq_codes, pq_topk, ann_ivfpq,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
@@ -3116,6 +3163,29 @@ def oracle_sql() -> dict[str, str]:
     # does (0.8 + 0.1 != 0.9 in doubles — the literal must match)
     _sp_hi1 = 0.8
     _sp_hi2 = 0.8 + 0.1
+
+    o["corpus_profile"] = r"""
+        WITH per AS (
+          SELECT len(string_split_regex(trim(text), '\s+')) AS n_tok,
+                 md5(lower(array_to_string(string_split_regex(trim(text), '\s+'), ' '))) AS fp,
+                 lang
+          FROM documents),
+        top AS (
+          SELECT lang AS top_lang, count(*) AS top_lang_docs
+          FROM per GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 1),
+        prof AS (
+          SELECT count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+                 round(quantile_cont(n_tok, 0.5), 6) AS tok_p50,
+                 round(quantile_cont(n_tok, 0.9), 6) AS tok_p90,
+                 round(quantile_cont(n_tok, 0.99), 6) AS tok_p99,
+                 count(DISTINCT lang)::BIGINT AS n_langs,
+                 count(DISTINCT fp)::BIGINT AS n_unique
+          FROM per)
+        SELECT n_docs, n_tokens, tok_p50, tok_p90, tok_p99, n_langs,
+               top_lang, round(top_lang_docs * 1.0 / n_docs, 6) AS top_lang_share,
+               round(1.0 - n_unique * 1.0 / n_docs, 6) AS dup_rate
+        FROM prof, top
+    """
 
     # leakage audit: the dedup_jaccard oracle nested as a CTE, crossed
     # with the identical split CASE
