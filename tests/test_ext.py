@@ -1386,3 +1386,27 @@ class TestEmbeddingOutliers:
         emb = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
         plan = embedding_outliers(emb, [[1.0, 0.0], [0.0, 1.0]])._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning(cell") == 1
+
+
+def test_quality_scorer_runs_on_stream_unchanged(spark):
+    """score_quality is a stateless expression stack, so the SAME code
+    scores an unbounded stream micro-batch-by-micro-batch; the stream
+    result must equal the batch result row-for-row."""
+    import os
+    import pytest as _pt
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(path):
+        _pt.skip("driver testdata absent")
+    from mopso_engine.ext.quality import train_quality, score_quality
+    from mopso_engine.ext.streaming import docs_stream_source, run_available_now
+
+    batch = spark.read.parquet(path)
+    w = train_quality(batch)
+    expect = {(r["doc_id"], r["score"], r["y"]) for r in score_quality(batch, w).collect()}
+    stream = docs_stream_source(spark, path)
+    got_df = run_available_now(
+        score_quality(stream, w), "q_scores_stream", output_mode="append"
+    )
+    got = {(r["doc_id"], r["score"], r["y"]) for r in got_df.collect()}
+    assert got == expect
