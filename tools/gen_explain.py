@@ -153,6 +153,23 @@ COMMENTS = {
     "sigmoid fold is one codegen'd expression over the feature "
     "projections (no Exchange, no Python — asserted in test_ext); "
     "training touched only the deterministic hash sample.",
+    "docs_negative_pairs": "Bucketed negative sampling: both rank "
+    "windows share one Exchange on the bucket key, offsets explode "
+    "inside codegen, and partner resolution is an equality self-join on "
+    "(bucket, rank) — bucket size bounds every partition, nothing "
+    "global.",
+    "emb_outliers": "Outlier gate: one Arrow scan assigns cells "
+    "(codebook in the closure), the k-row centroid table broadcasts "
+    "back for the own-cell distance, and both rank windows share a "
+    "single cell Exchange; micro-unit quantization keeps the ordering "
+    "integer-exact.",
+    "split_leakage_audit": "Composed plan: the inverted-index jaccard "
+    "subtree feeds two broadcast joins against the map-only split tags "
+    "— the pair table (tiny) moves, the corpus does not.",
+    "corpus_profile": "The corpus card folds to global aggregates: one "
+    "scan computes per-doc token counts + fingerprints, partial "
+    "aggregates carry the quantiles/distincts, and the modal language "
+    "rides a one-row broadcast — per-doc rows never shuffle wholesale.",
 }
 
 
