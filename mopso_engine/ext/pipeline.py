@@ -461,6 +461,10 @@ def negative_pairs(
     partner keys. Buckets bound every window partition and parallelize
     the join — at 100 TB raise ``buckets`` so bucket size stays ~1e5
     rows; no global sort, nothing quadratic.
+
+    ``key`` must be unique per row (anchor ≠ negative is guaranteed by
+    RANK inequality, so duplicate key values could pair a value with
+    itself) — dedup first, which a contrastive corpus wants anyway.
     """
     if k < 1:
         raise ValueError("k must be ≥ 1")

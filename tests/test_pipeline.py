@@ -473,3 +473,55 @@ class TestNegativePairs:
         plan = negative_pairs(df, "k", k=2)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning(__bkt") <= 2  # windows + join reuse
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_periods_consistent_with_asof(spark):
+    """Semantic tie between the two point-in-time operators: an as-of
+    lookup over the COLLAPSED change rows (scd2 periods re-read as a
+    change log at valid_from) must answer exactly like the as-of over
+    the raw update log — collapse only drops no-ops, which an as-of
+    lookup can never observe."""
+    import random
+
+    from mopso_engine.ext.pipeline import asof_join, scd2_history
+
+    rng = random.Random(11)
+    upd_rows, seq = [], 0
+    for k in range(3):
+        for _ in range(8):
+            seq += 1
+            upd_rows.append(
+                (k, f"2024-01-0{rng.randint(1, 9)} 0{rng.randint(0, 9)}:00:00",
+                 seq, float(rng.randint(1, 3)))
+            )
+    upd = spark.createDataFrame(upd_rows, "k long, ts string, seq long, v double")
+    upd = upd.withColumn("ts", upd.ts.cast("timestamp"))
+    # probes at arbitrary times, including exact update timestamps
+    probe_rows = [(i, i % 3, f"2024-01-0{rng.randint(1, 9)} 0{rng.randint(0, 9)}:30:00")
+                  for i in range(30)]
+    probe_rows += [(100 + i, r[0], r[1]) for i, r in enumerate(upd_rows[:5])]
+    left = spark.createDataFrame(probe_rows, "pid long, k long, ts string")
+    left = left.withColumn("ts", left.ts.cast("timestamp"))
+
+    # NOTE: raw-update as-of must see a deterministic value among ties
+    # on (k, ts): asof_join resolves right-right ties by max payload,
+    # and scd2 resolves period winners by (ts, seq). To compare apples
+    # to apples, pre-resolve ties the scd2 way: keep the max-seq row
+    # per (k, ts) — the same "latest arrival wins" rule.
+    from pyspark.sql.window import Window as W
+    win = W.partitionBy("k", "ts").orderBy(F.col("seq").desc())
+    upd_r = upd.withColumn("__rn", F.row_number().over(win)).where("__rn = 1").drop("__rn")
+
+    base = asof_join(left, upd_r.select("k", "ts", "v"), key="k", time="ts", payload=["v"])
+    hist = scd2_history(upd, key="k", time="ts", payload=["v"], seq="seq")
+    # zero-length periods (instantly overridden by a same-timestamp
+    # later-seq update) are invisible to every as-of probe — drop them,
+    # since asof's right-right tie rule (max payload) would otherwise
+    # pick a different same-instant winner than scd2's (max seq)
+    chg = hist.where(
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
+    ).select("k", F.col("valid_from").alias("ts"), "v")
+    via_scd2 = asof_join(left, chg, key="k", time="ts", payload=["v"])
+    a = sorted((r["pid"], r["asof_v"]) for r in base.collect())
+    b = sorted((r["pid"], r["asof_v"]) for r in via_scd2.collect())
+    assert a == b
