@@ -90,8 +90,56 @@ class MopsoEngine:
                 raise ValueError("cannot infer k from labels; pass MopsoConfig(k=...)")
         return n, d, k
 
+    # -- checkpointing -----------------------------------------------------
+    @staticmethod
+    def _checkpoint_path(checkpoint_dir: str) -> str:
+        import os
+
+        return os.path.join(checkpoint_dir, "mopso_checkpoint.json")
+
+    @staticmethod
+    def _save_checkpoint(path: str, state: dict) -> None:
+        """Atomic JSON write (tmp + rename): a crash mid-save leaves the
+        previous checkpoint intact. Doubles survive round-trip exactly —
+        Python floats ARE IEEE doubles and json prints shortest-exact."""
+        import json
+        import os
+
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, path)
+
     # -- main entry --------------------------------------------------------
-    def fit(self, points: DataFrame) -> MopsoResult:
+    def fit(
+        self,
+        points: DataFrame,
+        *,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 1,
+        resume: bool = False,
+        stop_after: int | None = None,
+    ) -> MopsoResult:
+        """Run the fit; optionally checkpoint/resume the driver state.
+
+        With ``checkpoint_dir``, the complete loop state (swarm,
+        velocities, pbest, archive with crowding, RNG bit-generator
+        state, history) is written atomically every ``checkpoint_every``
+        iterations — it is O(S·k·d) doubles, exactly the state the
+        design keeps on the driver, so a checkpoint costs microseconds
+        and no Spark job. ``resume=True`` reloads it and continues to
+        ``cfg.iter_max``: because every distributed input (stats, kNN
+        precompute, layout) is a deterministic function of the data and
+        config, a resumed fit is BIT-IDENTICAL to an uninterrupted one
+        (tested) — fault tolerance for long fits without touching the
+        per-iteration plan.
+
+        ``stop_after`` halts (and checkpoints) after that iteration
+        while KEEPING the full ``cfg.iter_max`` schedule — the way to
+        model an interruption, because the inertia-weight schedule is a
+        function of iter_max: a shorter-budget fit is NOT a prefix of a
+        longer one (w_at differs), so interrupt-and-resume must share
+        one config."""
         cfg = self.cfg
         rng = np.random.default_rng(cfg.seed)
         t0 = time.time()
@@ -150,22 +198,82 @@ class MopsoEngine:
         nbr = with_neighbors(pts_k, cfg.knn_l, mode=knn_mode, n_rows=n).persist()
         part_weighted = cfg.fitness_mode == "partition_local"
 
-        positions = init_mod.init_swarm(sample, bounds, k, cfg.n_particles, rng, method=cfg.init)
-        velocities = init_velocity(rng, positions.shape, cfg.v_min, cfg.v_max)
-        fitness = evaluate_solutions(nbr, positions, partition_weighted=part_weighted, n_total=n)
-
-        pbest_pos = positions.copy()
-        pbest_fit = fitness.copy()
-
         archive = Archive(
             capacity=cfg.archive_capacity,
             crowding_formula=cfg.crowding_formula,
             endpoint_bug=cfg.bug_compat.crowding_endpoint_bug,
         )
-        archive.update([ArchiveEntry(positions[i].copy(), fitness[i].copy()) for i in range(cfg.n_particles)])
-
         history: list[dict] = []
-        for iteration in range(1, cfg.iter_max + 1):
+        start_iter = 1
+        if not resume:
+            positions = init_mod.init_swarm(sample, bounds, k, cfg.n_particles, rng, method=cfg.init)
+            velocities = init_velocity(rng, positions.shape, cfg.v_min, cfg.v_max)
+            fitness = evaluate_solutions(nbr, positions, partition_weighted=part_weighted, n_total=n)
+            pbest_pos = positions.copy()
+            pbest_fit = fitness.copy()
+            archive.update([ArchiveEntry(positions[i].copy(), fitness[i].copy()) for i in range(cfg.n_particles)])
+        else:
+            # skip the init entirely (including its distributed fitness
+            # job): every array below comes from the checkpoint, and the
+            # restored RNG state already reflects the init's draws
+            import json
+
+            if checkpoint_dir is None:
+                raise ValueError("resume=True requires checkpoint_dir")
+            with open(self._checkpoint_path(checkpoint_dir)) as f:
+                st = json.load(f)
+            if st["seed"] != cfg.seed or st["n"] != n or st["k"] != k:
+                raise ValueError(
+                    "checkpoint was written by a different fit "
+                    f"(seed/n/k {st['seed']}/{st['n']}/{st['k']} vs {cfg.seed}/{n}/{k})"
+                )
+            positions = np.array(st["positions"], dtype=np.float64)
+            velocities = np.array(st["velocities"], dtype=np.float64)
+            pbest_pos = np.array(st["pbest_pos"], dtype=np.float64)
+            pbest_fit = np.array(st["pbest_fit"], dtype=np.float64)
+            archive.entries = [
+                ArchiveEntry(
+                    np.array(e["position"], dtype=np.float64),
+                    np.array(e["fitness"], dtype=np.float64),
+                    crowding=float(e["crowding"]),
+                )
+                for e in st["archive"]
+            ]
+            rng = np.random.default_rng()
+            rng.bit_generator.state = st["rng_state"]
+            history = st["history"]
+            start_iter = int(st["iteration"]) + 1
+
+        def _dump_state(iteration: int) -> None:
+            self._save_checkpoint(
+                self._checkpoint_path(checkpoint_dir),
+                {
+                    "iteration": iteration,
+                    "seed": cfg.seed,
+                    "n": n,
+                    "d": d,
+                    "k": k,
+                    "rng_state": rng.bit_generator.state,
+                    "positions": positions.tolist(),
+                    "velocities": velocities.tolist(),
+                    "pbest_pos": pbest_pos.tolist(),
+                    "pbest_fit": pbest_fit.tolist(),
+                    "archive": [
+                        {
+                            "position": e.position.tolist(),
+                            "fitness": e.fitness.tolist(),
+                            "crowding": e.crowding,
+                        }
+                        for e in archive.entries
+                    ],
+                    "history": history,
+                },
+            )
+
+        last_iter = cfg.iter_max if stop_after is None else min(int(stop_after), cfg.iter_max)
+        if stop_after is not None and checkpoint_dir is None:
+            raise ValueError("stop_after without checkpoint_dir would lose the fit state")
+        for iteration in range(start_iter, last_iter + 1):
             w = cfg.w_at(iteration)
             gbest = archive.global_best(rng)
             positions, velocities = update_swarm(
@@ -193,6 +301,10 @@ class MopsoEngine:
                     "best_conn": float(front[:, 1].min()),
                 }
             )
+            if checkpoint_dir is not None and (
+                iteration % max(1, checkpoint_every) == 0 or iteration == last_iter
+            ):
+                _dump_state(iteration)
 
         front = archive.fitness_matrix()
         norm = normalize_fitness(front)
@@ -220,7 +332,7 @@ class MopsoEngine:
             n_points=n,
             n_features=d,
             k=k,
-            iterations=cfg.iter_max,
+            iterations=last_iter,
             wall_clock_sec=time.time() - t0,
             history=history,
             knn_mode_used=knn_mode,

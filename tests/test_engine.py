@@ -170,3 +170,46 @@ def test_exact_mode_layout_invariance_bitwise(blobs_df, small_cfg):
     r2 = MopsoEngine(small_cfg).fit(blobs_df.repartition(7))
     np.testing.assert_array_equal(r1.archive_fitness, r2.archive_fitness)
     np.testing.assert_array_equal(r1.best_position, r2.best_position)
+
+
+class TestCheckpointResume:
+    def test_resume_bit_identical(self, blobs_df, tmp_path):
+        """fit(6 iters) == fit(3 iters, checkpoint) + resume(to 6),
+        bit-for-bit: archive positions, fitness, and history."""
+        import numpy as np
+        from mopso_engine import MopsoConfig, MopsoEngine
+
+        cfg = MopsoConfig(iter_max=6, n_particles=6, knn_l=5, seed=42, init_sample_size=300)
+        straight = MopsoEngine(cfg).fit(blobs_df)
+
+        cp = str(tmp_path / "cp")
+        import os
+        os.makedirs(cp, exist_ok=True)
+        # interrupt after 3 of the SAME 6-iteration schedule (stop_after,
+        # not a smaller iter_max: the w schedule is a function of
+        # iter_max, so a 3-budget fit is not a prefix of a 6-budget one)
+        partial = MopsoEngine(cfg).fit(blobs_df, checkpoint_dir=cp, stop_after=3)
+        assert partial.iterations == 3
+        resumed = MopsoEngine(cfg).fit(blobs_df, checkpoint_dir=cp, resume=True)
+        np.testing.assert_array_equal(
+            np.stack(straight.archive_positions), np.stack(resumed.archive_positions)
+        )
+        np.testing.assert_array_equal(straight.archive_fitness, resumed.archive_fitness)
+        assert straight.history == resumed.history
+        assert resumed.best_index == straight.best_index
+
+    def test_resume_rejects_foreign_checkpoint(self, blobs_df, tmp_path):
+        import os
+        import pytest as _pt
+        from mopso_engine import MopsoConfig, MopsoEngine
+
+        cp = str(tmp_path / "cp2")
+        os.makedirs(cp, exist_ok=True)
+        kw = dict(iter_max=4, n_particles=6, knn_l=5, init_sample_size=300)
+        MopsoEngine(MopsoConfig(seed=42, **kw)).fit(
+            blobs_df, checkpoint_dir=cp, stop_after=2
+        )
+        with _pt.raises(ValueError, match="different fit"):
+            MopsoEngine(MopsoConfig(seed=43, **kw)).fit(
+                blobs_df, checkpoint_dir=cp, resume=True
+            )
