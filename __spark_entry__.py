@@ -2217,6 +2217,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Typed-metadata aggregate over the fabricated binary asset table."""
         return asset_stats(assets_from_documents(read_table(spark, sf, "documents")))
 
+    def asset_phash(spark, sf):
+        """Perceptual-hash fingerprints of the binary asset table
+        (`ext.multimodal.perceptual_hash` — aHash: decode to a 16-bin
+        feature grid, threshold against the asset mean, pack bits; pairs
+        come from the SAME banded-Hamming engine as text SimHash via
+        `asset_neardup`, recall-tested in test_ext). FULL value oracle:
+        the fake decoder derives features from md5(payload), which SQL
+        replays byte-for-byte — the decode kernel, the float threshold,
+        and the bit packing all replay exactly."""
+        from mopso_engine.ext.multimodal import perceptual_hash
+
+        return perceptual_hash(
+            assets_from_documents(read_table(spark, sf, "documents")), bits=16
+        )
+
     # ---- the full algorithm + post-hoc relational oracle --------------------
     def mopso_fit(spark, sf):
         """End-to-end seeded MOPSO fit (tiny budget), post-hoc verified:
@@ -2345,7 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trained quality classifier; unigram-LM perplexity filter
         events_scd2, events_zvalue, quality_model_scores, docs_logppl,
         docs_split, docs_negative_pairs, emb_outliers, split_leakage_audit,
-        corpus_profile,
+        corpus_profile, asset_phash,
         dedup_components, pca_project, docs_chunked, docs_packed,
         corpus_curation_v2, source_mixture, pq_codes, pq_topk, ann_ivfpq,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
@@ -3167,6 +3182,20 @@ def oracle_sql() -> dict[str, str]:
     # does (0.8 + 0.1 != 0.9 in doubles — the literal must match)
     _sp_hi1 = 0.8
     _sp_hi2 = 0.8 + 0.1
+
+    # asset_phash: replay the fake decoder (md5-digest features) and the
+    # float threshold-pack in SQL — generated per bit for exact parity
+    _ph_feats = ", ".join(
+        f"(('0x' || substr(h, {2 * i + 1}, 2))::BIGINT) / 255.0 AS f{i}" for i in range(16)
+    )
+    _ph_mean = "(" + " + ".join(f"f{i}" for i in range(16)) + ") / 16.0"
+    _ph_pack = " + ".join(f"(CASE WHEN f{i} > m THEN {1 << i} ELSE 0 END)" for i in range(16))
+    o["asset_phash"] = f"""
+        WITH a AS (SELECT doc_id AS asset_id, md5(text) AS h FROM documents),
+        f AS (SELECT asset_id, {_ph_feats} FROM a),
+        m AS (SELECT *, {_ph_mean} AS m FROM f)
+        SELECT asset_id, ({_ph_pack})::BIGINT AS phash FROM m
+    """
 
     o["corpus_profile"] = r"""
         WITH per AS (

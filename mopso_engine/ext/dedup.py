@@ -324,46 +324,68 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash_hamming_pairs(
-    docs: DataFrame, *, bits: int = 16, bands: int = 4, max_hamming: int = 3
+def hamming_pairs(
+    fps: DataFrame,
+    *,
+    id_col: str,
+    fp_col: str,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming): doc pairs whose SimHash fingerprints differ
-    in ≤ ``max_hamming`` bits — banded with GUARANTEED recall: split the
-    ``bits`` into ``bands`` equal chunks; by pigeonhole any pair within
-    Hamming distance < bands shares at least one chunk exactly, so an
-    equality join per chunk finds every qualifying pair (max_hamming must
-    be < bands). Verification is exact bit_count(xor). Equality joins
-    only — the same LSH → verify shape as the MinHash stack, but with a
-    recall proof instead of a probability."""
+    """Generic banded Hamming pairing over ANY integer fingerprint
+    column — the engine under :func:`simhash_hamming_pairs`, factored
+    so other fingerprints (e.g. perceptual hashes of decoded media,
+    `ext.multimodal.perceptual_hash`) reuse the same guaranteed-recall
+    decomposition: split ``bits`` into ``bands`` equal chunks; by
+    pigeonhole any pair within Hamming distance < bands shares at least
+    one chunk exactly, so an equality join per chunk finds every
+    qualifying pair (max_hamming must be < bands); verification is
+    exact bit_count(xor). Equality joins only. Output:
+    (id_a, id_b, hamming)."""
     if max_hamming >= bands:
         raise ValueError("guaranteed recall needs max_hamming < bands")
     width = bits // bands
-    # the fingerprint table feeds both sides of the band self-join —
-    # ReusedExchange dedups the token-hash aggregation without a persist
-    # (an explicit persist measured ~10× SLOWER at sf0.1; registry note)
-    sh = simhash(docs, bits)
     chunk = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.shiftright("simhash", b * width).bitwiseAND(F.lit((1 << width) - 1)).alias("chunk"),
+                    F.shiftright(fp_col, b * width).bitwiseAND(F.lit((1 << width) - 1)).alias("chunk"),
                 )
                 for b in range(bands)
             ]
         )
     ).alias("p")
-    bc = sh.select("doc_id", "simhash", chunk).select(
-        "doc_id", "simhash", F.col("p.band").alias("band"), F.col("p.chunk").alias("chunk")
+    bc = fps.select(id_col, fp_col, chunk).select(
+        id_col, fp_col, F.col("p.band").alias("band"), F.col("p.chunk").alias("chunk")
     )
-    a = bc.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "chunk")
-    b = bc.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "chunk")
+    a = bc.select(F.col(id_col).alias("id_a"), F.col(fp_col).alias("fp_a"), "band", "chunk")
+    b = bc.select(F.col(id_col).alias("id_b"), F.col(fp_col).alias("fp_b"), "band", "chunk")
     return (
         a.join(b, ["band", "chunk"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame, *, bits: int = 16, bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): doc pairs whose SimHash fingerprints differ
+    in ≤ ``max_hamming`` bits — :func:`hamming_pairs` over the SimHash
+    column (see there for the pigeonhole recall guarantee). The
+    fingerprint table feeds both sides of the band self-join —
+    ReusedExchange dedups the token-hash aggregation without a persist
+    (an explicit persist measured ~10× SLOWER at sf0.1; registry note)."""
+    sh = simhash(docs, bits)
+    out = hamming_pairs(
+        sh, id_col="doc_id", fp_col="simhash", bits=bits, bands=bands, max_hamming=max_hamming
+    )
+    return out.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
     )
 
 

@@ -188,3 +188,54 @@ def asset_stats(assets: DataFrame) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+def perceptual_hash(assets: DataFrame, *, decode: str = "fake", bits: int = 16) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint of decoded media:
+    decode each asset to a ``bits``-long feature grid (the histogram /
+    digest features of :func:`decode_and_featurize`), then set bit i
+    iff feature i exceeds the asset's mean feature — the classic
+    resize-threshold-pack recipe, with the threshold-pack stage as pure
+    codegen'd expressions after the one Arrow decode scan. Output:
+    (asset_id, phash long).
+
+    Near-identical media (re-encodes, small crops) keep most bits under
+    a REAL decoder; the fake decoder is digest-derived, so only
+    byte-identical payloads collide — the plumbing (and the pairing
+    below) is what this container can test, the semantics arrive free
+    with Pillow."""
+    feats = decode_and_featurize(assets, decode=decode, dim=bits)
+    mean = F.aggregate("features", F.lit(0.0), lambda a, x: a + x) / F.size("features")
+    bit_terms = [
+        F.when(F.element_at("features", i + 1) > mean, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(bits)
+    ]
+    phash = bit_terms[0]
+    for t in bit_terms[1:]:
+        phash = phash.bitwiseOR(t)
+    return feats.select("asset_id", phash.cast("long").alias("phash"))
+
+
+def asset_neardup(
+    assets: DataFrame,
+    *,
+    decode: str = "fake",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate media pairs: perceptual hashes paired by the SAME
+    guaranteed-recall banded Hamming join the text SimHash stack uses
+    (`ext.dedup.hamming_pairs` — pigeonhole recall proof, equality
+    joins only, never a cross product). Output:
+    (asset_a, asset_b, hamming). The standard image-dedup shape at
+    100 TB: one decode scan, one fingerprint table, banded self-join."""
+    from mopso_engine.ext.dedup import hamming_pairs
+
+    fps = perceptual_hash(assets, decode=decode, bits=bits)
+    out = hamming_pairs(
+        fps, id_col="asset_id", fp_col="phash", bits=bits, bands=bands, max_hamming=max_hamming
+    )
+    return out.select(
+        F.col("id_a").alias("asset_a"), F.col("id_b").alias("asset_b"), "hamming"
+    )

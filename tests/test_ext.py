@@ -1410,3 +1410,48 @@ def test_quality_scorer_runs_on_stream_unchanged(spark):
     )
     got = {(r["doc_id"], r["score"], r["y"]) for r in got_df.collect()}
     assert got == expect
+
+
+class TestAssetNearDup:
+    def _assets(self, spark):
+        rows = [(i, "image", bytes(f"payload-{i % 7}", "utf8"), "image/fake") for i in range(21)]
+        df = spark.createDataFrame(rows, "asset_id long, modality string, payload binary, mime string")
+        return df.withColumn("n_bytes", F.length("payload").cast("long"))
+
+    def test_identical_payloads_pair_at_hamming_zero(self, spark):
+        from mopso_engine.ext.multimodal import asset_neardup
+
+        out = asset_neardup(self._assets(spark), max_hamming=0).collect()
+        got = {(r["asset_a"], r["asset_b"]) for r in out}
+        # ids i and i+7 and i+14 share a payload → 3 pairs per residue
+        expect = {(i, i + 7) for i in range(7)} | {(i, i + 14) for i in range(7)} | {
+            (i + 7, i + 14) for i in range(7)
+        }
+        assert expect <= got
+        assert all(r["hamming"] == 0 for r in out)
+
+    def test_banding_matches_bruteforce(self, spark):
+        """Pigeonhole recall: banded pairs == brute-force xor pairs."""
+        from mopso_engine.ext.multimodal import asset_neardup, perceptual_hash
+
+        assets = self._assets(spark)
+        banded = {(r["asset_a"], r["asset_b"], r["hamming"])
+                  for r in asset_neardup(assets, max_hamming=3).collect()}
+        fps = perceptual_hash(assets).collect()
+        brute = set()
+        for i, a in enumerate(fps):
+            for b in fps[i + 1:]:
+                x, y = (a, b) if a["asset_id"] < b["asset_id"] else (b, a)
+                h = bin(x["phash"] ^ y["phash"]).count("1")
+                if h <= 3:
+                    brute.add((x["asset_id"], y["asset_id"], h))
+        assert banded == brute
+
+    def test_phash_is_deterministic_and_bounded(self, spark):
+        from mopso_engine.ext.multimodal import perceptual_hash
+
+        a = {r["asset_id"]: r["phash"] for r in perceptual_hash(self._assets(spark)).collect()}
+        b = {r["asset_id"]: r["phash"]
+             for r in perceptual_hash(self._assets(spark).repartition(5)).collect()}
+        assert a == b
+        assert all(0 <= v < (1 << 16) for v in a.values())
