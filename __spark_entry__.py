@@ -2361,7 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_scd2, events_zvalue, quality_model_scores, docs_logppl,
         docs_split, docs_negative_pairs, emb_outliers, split_leakage_audit,
         corpus_profile, asset_phash,
-        dedup_components, pca_project, docs_chunked, docs_packed,
+        dedup_components, pca_project, docs_chunked,
         corpus_curation_v2, source_mixture, pq_codes, pq_topk, ann_ivfpq,
         knn_lsh_recall, lloyd_kmeans, emb_covariance,
         events_asof_stream, events_asof,
@@ -2370,7 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # literal-twin queries (same oracle family as an in-window
         # sibling) sit at the truncation edge on purpose: if the ~50
         # cutoff drops anything, it drops the lowest-risk rows
-        q3_shipping_sql, repetition_stats_expr,
+        q3_shipping_sql, repetition_stats_expr, docs_packed,
         # stale tail: last driver row r02 — oldest-verified-first
         corpus_curation, minhash_sigs, lsh_candidates, simhash_fp,
         dedup_verified, simhash_neardup, docs_sample, events_sessionized,
