@@ -119,6 +119,7 @@ class MopsoEngine:
         checkpoint_every: int = 1,
         resume: bool = False,
         stop_after: int | None = None,
+        early_stop_patience: int | None = None,
     ) -> MopsoResult:
         """Run the fit; optionally checkpoint/resume the driver state.
 
@@ -139,7 +140,15 @@ class MopsoEngine:
         model an interruption, because the inertia-weight schedule is a
         function of iter_max: a shorter-budget fit is NOT a prefix of a
         longer one (w_at differs), so interrupt-and-resume must share
-        one config."""
+        one config.
+
+        ``early_stop_patience=p`` (opt-in; default None keeps the
+        reference's fixed-budget semantics) breaks the loop once the
+        archive's fitness front has been BIT-IDENTICAL for p consecutive
+        iterations — each unproductive iteration still costs a full
+        distributed fitness pass, so on converged corpora this saves
+        real cluster time. The truncated run equals the prefix of the
+        full run exactly (the loop has no lookahead)."""
         cfg = self.cfg
         rng = np.random.default_rng(cfg.seed)
         t0 = time.time()
@@ -273,6 +282,8 @@ class MopsoEngine:
         last_iter = cfg.iter_max if stop_after is None else min(int(stop_after), cfg.iter_max)
         if stop_after is not None and checkpoint_dir is None:
             raise ValueError("stop_after without checkpoint_dir would lose the fit state")
+        prev_front: bytes | None = None
+        stable_iters = 0
         for iteration in range(start_iter, last_iter + 1):
             w = cfg.w_at(iteration)
             gbest = archive.global_best(rng)
@@ -305,6 +316,13 @@ class MopsoEngine:
                 iteration % max(1, checkpoint_every) == 0 or iteration == last_iter
             ):
                 _dump_state(iteration)
+            if early_stop_patience is not None:
+                fb = front.tobytes()
+                stable_iters = stable_iters + 1 if fb == prev_front else 0
+                prev_front = fb
+                if stable_iters >= early_stop_patience:
+                    last_iter = iteration
+                    break
 
         front = archive.fitness_matrix()
         norm = normalize_fitness(front)

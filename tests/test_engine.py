@@ -213,3 +213,42 @@ class TestCheckpointResume:
             MopsoEngine(MopsoConfig(seed=43, **kw)).fit(
                 blobs_df, checkpoint_dir=cp, resume=True
             )
+
+
+def test_early_stop_triggers_on_constant_front(blobs_df, monkeypatch):
+    """With the fitness forced constant the front still GROWS while the
+    archive fills (4 equal-fitness entries join per iteration: 4 pre-loop
+    → 8 → 12 → capacity 15 at iter 3), then freezes — so patience=2
+    stops the loop at iteration 5 (first two consecutive identical
+    fronts: iters 4 and 5). With early stopping OFF the same fit runs
+    the full budget."""
+    import numpy as np
+    import mopso_engine.engine as eng_mod
+    from mopso_engine import MopsoConfig, MopsoEngine
+
+    def const_fitness(nbr, positions, **kw):
+        return np.tile(np.array([100.0, 50.0]), (len(positions), 1))
+
+    monkeypatch.setattr(eng_mod, "evaluate_solutions", const_fitness)
+    cfg = MopsoConfig(iter_max=10, n_particles=4, knn_l=5, seed=7, init_sample_size=300)
+    stopped = MopsoEngine(cfg).fit(blobs_df, early_stop_patience=2)
+    assert stopped.iterations == 5
+    assert all(h["best_dev"] == 100.0 for h in stopped.history)
+    full = MopsoEngine(cfg).fit(blobs_df)
+    assert full.iterations == 10
+
+
+def test_early_stop_prefix_exact(blobs_df):
+    """When early stop fires on a real fit it must truncate, never
+    perturb: the stopped run's history is a prefix of the straight
+    run's. (If the fixture never converges inside the budget, the two
+    runs are identical end-to-end — the assertion still holds.)"""
+    from mopso_engine import MopsoConfig, MopsoEngine
+
+    cfg = MopsoConfig(iter_max=12, n_particles=6, knn_l=5, seed=7, init_sample_size=300)
+    stopped = MopsoEngine(cfg).fit(blobs_df, early_stop_patience=2)
+    straight = MopsoEngine(cfg).fit(blobs_df)
+    k = stopped.iterations
+    assert [h["best_dev"] for h in straight.history[:k]] == [
+        h["best_dev"] for h in stopped.history
+    ]
