@@ -1199,9 +1199,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bounds (0.8 + 0.1 != 0.9 exactly)."""
         from mopso_engine.ext.pipeline import split_by_hash
 
+        from mopso_engine.ext.text import tokens_col
+
         docs = read_table(spark, sf, "documents")
         tagged = split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
-        toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        toks = F.size(tokens_col())
         return (
             tagged.groupBy("split")
             .agg(F.count("*").alias("n_docs"), F.sum(toks).cast("long").alias("n_tokens"))
@@ -1233,10 +1235,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lang-keyed partial aggregate — no per-doc rows move beyond
         their partial states."""
         from mopso_engine.ext.dedup import normalized_text
+        from mopso_engine.ext.text import tokens_col
 
         docs = read_table(spark, sf, "documents")
         per = docs.select(
-            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+            F.size(tokens_col()).alias("n_tok"),
             F.md5(normalized_text()).alias("fp"),
             "lang",
         )
@@ -1986,12 +1989,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
         )
         nat = li.join(F.broadcast(s.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
-        per_part = nat.groupBy("l_partkey").agg(F.sum("l_extendedprice").alias("value"))
-        total = per_part.agg(F.sum("value").alias("tot"))
+        # exact-money (floor-to-cents, see q9_profit_shape): the HAVING
+        # threshold compares across BOTH aggregates, so float sums in
+        # different accumulation orders could flip a part sitting within
+        # one ulp of the cut on one engine only — integer cents make the
+        # comparison engine-exact
+        cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+        per_part = nat.groupBy("l_partkey").agg(F.sum(cents).alias("vc"))
+        total = per_part.agg(F.sum("vc").alias("tc"))
         return (
             per_part.crossJoin(F.broadcast(total))
-            .where(F.col("value") > 0.001 * F.col("tot"))
-            .select("l_partkey", F.round("value", 2).alias("value"))
+            .where(F.col("vc") > 0.001 * F.col("tc"))
+            .select("l_partkey", F.round(F.col("vc") / 100.0, 2).alias("value"))
             .orderBy(F.col("value").desc(), "l_partkey")
         )
 
@@ -3479,15 +3488,15 @@ def oracle_sql() -> dict[str, str]:
 
     o["q11_important_stock"] = """
         WITH nat AS (
-          SELECT l.l_partkey, l.l_extendedprice
+          SELECT l.l_partkey, floor(l.l_extendedprice * 100)::BIGINT AS cents
           FROM lineitem l
           JOIN supplier s ON s.s_suppkey = l.l_suppkey
           JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_7'
         )
-        SELECT l_partkey, round(sum(l_extendedprice), 2) AS value
+        SELECT l_partkey, round(sum(cents) / 100.0, 2) AS value
         FROM nat
         GROUP BY 1
-        HAVING sum(l_extendedprice) > 0.001 * (SELECT sum(l_extendedprice) FROM nat)
+        HAVING sum(cents) > 0.001 * (SELECT sum(cents) FROM nat)
         ORDER BY 2 DESC, 1
     """
 

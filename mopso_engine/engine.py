@@ -231,10 +231,20 @@ class MopsoEngine:
                 raise ValueError("resume=True requires checkpoint_dir")
             with open(self._checkpoint_path(checkpoint_dir)) as f:
                 st = json.load(f)
-            if st["seed"] != cfg.seed or st["n"] != n or st["k"] != k:
+            if (
+                st["seed"] != cfg.seed
+                or st["n"] != n
+                or st["k"] != k
+                or st["d"] != d
+                # iter_max is part of the fit's identity: w_at is a
+                # function of it, so resuming under a different budget
+                # would silently follow a different inertia schedule
+                or st.get("iter_max") != cfg.iter_max
+            ):
                 raise ValueError(
                     "checkpoint was written by a different fit "
-                    f"(seed/n/k {st['seed']}/{st['n']}/{st['k']} vs {cfg.seed}/{n}/{k})"
+                    f"(seed/n/k/d/iter_max {st['seed']}/{st['n']}/{st['k']}/{st['d']}"
+                    f"/{st.get('iter_max')} vs {cfg.seed}/{n}/{k}/{d}/{cfg.iter_max})"
                 )
             positions = np.array(st["positions"], dtype=np.float64)
             velocities = np.array(st["velocities"], dtype=np.float64)
@@ -252,6 +262,12 @@ class MopsoEngine:
             rng.bit_generator.state = st["rng_state"]
             history = st["history"]
             start_iter = int(st["iteration"]) + 1
+            resumed_stable = int(st.get("stable_iters", 0))
+            resumed_front = (
+                np.array(st["prev_front"], dtype=np.float64).tobytes()
+                if st.get("prev_front") is not None
+                else None
+            )
 
         def _dump_state(iteration: int) -> None:
             self._save_checkpoint(
@@ -276,6 +292,16 @@ class MopsoEngine:
                         for e in archive.entries
                     ],
                     "history": history,
+                    "iter_max": cfg.iter_max,
+                    # early-stop streak travels with the checkpoint so a
+                    # resumed run stops exactly where the uninterrupted
+                    # one would (review finding)
+                    "stable_iters": stable_iters,
+                    "prev_front": (
+                        np.frombuffer(prev_front, dtype=np.float64).reshape(-1, 2).tolist()
+                        if prev_front is not None
+                        else None
+                    ),
                 },
             )
 
@@ -284,6 +310,9 @@ class MopsoEngine:
             raise ValueError("stop_after without checkpoint_dir would lose the fit state")
         prev_front: bytes | None = None
         stable_iters = 0
+        if resume:
+            prev_front = resumed_front
+            stable_iters = resumed_stable
         for iteration in range(start_iter, last_iter + 1):
             w = cfg.w_at(iteration)
             gbest = archive.global_best(rng)
@@ -312,17 +341,25 @@ class MopsoEngine:
                     "best_conn": float(front[:, 1].min()),
                 }
             )
-            if checkpoint_dir is not None and (
-                iteration % max(1, checkpoint_every) == 0 or iteration == last_iter
-            ):
-                _dump_state(iteration)
+            # streak update BEFORE the dump so the checkpoint carries the
+            # post-iteration counter; a triggered stop forces a terminal
+            # dump even off the checkpoint_every grid (review findings)
             if early_stop_patience is not None:
                 fb = front.tobytes()
                 stable_iters = stable_iters + 1 if fb == prev_front else 0
                 prev_front = fb
-                if stable_iters >= early_stop_patience:
-                    last_iter = iteration
-                    break
+            should_stop = (
+                early_stop_patience is not None and stable_iters >= early_stop_patience
+            )
+            if checkpoint_dir is not None and (
+                iteration % max(1, checkpoint_every) == 0
+                or iteration == last_iter
+                or should_stop
+            ):
+                _dump_state(iteration)
+            if should_stop:
+                last_iter = iteration
+                break
 
         front = archive.fitness_matrix()
         norm = normalize_fitness(front)

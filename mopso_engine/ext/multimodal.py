@@ -69,11 +69,20 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
 
 def _fake_decode(payload: bytes, dim: int = 8) -> tuple[int, int, np.ndarray]:
     """Deterministic fake 'image decode': dimensions and features derived
-    from a digest of the bytes — stable across runs and engines."""
+    from a digest of the bytes — stable across runs and engines. For
+    dim > 16 the 16-byte md5 is extended by digest chaining (md5 of the
+    previous digest), so every requested feature is live — a silent
+    digest[:dim] truncation would zero-pad nothing but leave callers
+    like perceptual_hash(bits=32) with half-dead fingerprints (review
+    finding)."""
     digest = hashlib.md5(payload).digest()
     w = 16 + digest[0] % 16
     h = 16 + digest[1] % 16
-    feats = np.frombuffer(digest[:dim], dtype=np.uint8).astype(np.float64) / 255.0
+    stream = digest
+    while len(stream) < dim:
+        digest = hashlib.md5(digest).digest()
+        stream += digest
+    feats = np.frombuffer(stream[:dim], dtype=np.uint8).astype(np.float64) / 255.0
     return w, h, feats
 
 

@@ -18,13 +18,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.observation import Observation
 
+from mopso_engine.ext.text import tokens_col
+
 
 def corpus_counters(text_col: str = "text") -> list[Column]:
     """The standard curation counters: rows, null/empty texts, total
     tokens, short docs (< 5 tokens). All sums/counts — observation
     metrics must be commutative aggregates, which these are."""
     t = F.col(text_col)
-    n_tok = F.size(F.split(F.trim(t), r"\s+"))
+    n_tok = F.size(tokens_col(text_col))
     return [
         F.count(F.lit(1)).alias("rows"),
         F.sum(F.when(t.isNull() | (F.length(t) == 0), 1).otherwise(0)).alias("null_or_empty"),

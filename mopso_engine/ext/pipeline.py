@@ -371,9 +371,13 @@ def scd2_merge(
     t3 is gone). For out-of-order feeds run ``collapse=False`` (every
     arrival survives, merge is then exact under any order) and collapse
     once at read time. Replayed history
-    rows carry a NULL seq ordered nulls-first, so at an equal timestamp
-    the original arrival still precedes any batch row (it had already
-    won its tie inside the old history).
+    Replayed rows order BEFORE batch rows at an equal timestamp (the
+    original arrival had already won its tie inside the old history),
+    and replayed rows tied with EACH OTHER keep their original relative
+    order, reconstructed from the period geometry: among same-(key,
+    time) survivors the zero-length periods lost their tie and the
+    longest/open period won, so ordering by valid_to (nulls last)
+    replays the original seq order without storing it.
 
     100 TB shape: the update batch is tiny next to the accumulated
     history, so its distinct-key set BROADCASTS to both the anti and
@@ -385,12 +389,28 @@ def scd2_merge(
     upd_keys = updates.select(key).distinct()
     untouched = history.join(F.broadcast(upd_keys), key, "left_anti")
     touched = history.join(F.broadcast(upd_keys), key, "left_semi")
-    replay = touched.select(key, F.col("valid_from").alias(time), *payload)
     if seq:
-        replay = replay.withColumn(seq, F.lit(None).cast(updates.schema[seq].dataType))
-        merged = replay.unionByName(updates.select(key, time, seq, *payload))
-        order = [F.col(time).asc(), F.col(seq).asc_nulls_first()]
+        # reconstruct the original arrival order among replayed rows
+        # tied on (key, time): zero-length periods lost their tie, the
+        # longest/open period won — valid_to ASC NULLS LAST replays the
+        # original seq order without storing it, directly in the main
+        # window's sort key (no extra window, no extra shuffle). The
+        # double cast keeps sub-second timestamp resolution and stays
+        # exact (epoch microseconds < 2^53).
+        replay = touched.select(
+            key,
+            F.col("valid_from").alias(time),
+            *payload,
+            F.lit(0).alias("__src"),
+            F.col("valid_to").cast("double").alias("__ord"),
+        )
+        batch = updates.select(
+            key, time, *payload, F.lit(1).alias("__src"), F.col(seq).cast("double").alias("__ord")
+        )
+        merged = replay.unionByName(batch)
+        order = [F.col(time).asc(), F.col("__src").asc(), F.col("__ord").asc_nulls_last()]
     else:
+        replay = touched.select(key, F.col("valid_from").alias(time), *payload)
         merged = replay.unionByName(updates.select(key, time, *payload))
         order = [F.col(time).asc()]
     recomputed = _scd2_periods(

@@ -128,11 +128,15 @@ def train_quality(
     corpus scale pick ``sample_frac`` so the sample stays ~1e6 rows
     (a quality LR saturates long before that)."""
     samp = quality_features(docs).where(hash_uniform("doc_id", salt=salt) < F.lit(sample_frac))
-    rows = samp.select("doc_id", *FEATURES, "y").collect()
-    if len(rows) > MAX_TRAIN_ROWS:
+    # size the sample BEFORE collecting — a post-collect length check
+    # cannot protect the driver from the transfer itself (review
+    # finding); the count is one cheap aggregate over the same filter
+    n_sample = samp.count()
+    if n_sample > MAX_TRAIN_ROWS:
         raise ValueError(
-            f"training sample has {len(rows)} rows > {MAX_TRAIN_ROWS}; lower sample_frac"
+            f"training sample has {n_sample} rows > {MAX_TRAIN_ROWS}; lower sample_frac"
         )
+    rows = samp.select("doc_id", *FEATURES, "y").collect()
     rows.sort(key=lambda r: r["doc_id"])
     X = np.array([[r[f] for f in FEATURES] for r in rows], dtype=np.float64)
     y = np.array([r["y"] for r in rows], dtype=np.float64)

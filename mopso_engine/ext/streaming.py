@@ -574,6 +574,15 @@ def scd2_maintain_stream(
     """
     from mopso_engine.ext.pipeline import scd2_history, scd2_merge
 
+    if keep_versions < 2:
+        # with a single retained version, batch N's retention deletes
+        # v=N-1; if N then REPLAYS (checkpoint not yet committed), the
+        # below=N lookup finds nothing and the sink would silently
+        # re-seed from one micro-batch, destroying the whole history —
+        # exactly-once requires the previous version to survive until
+        # the replay window has passed
+        raise ValueError("keep_versions must be ≥ 2: a replayed batch merges against v<N")
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         hist = scd2_history_latest(spark, history_path, below=int(batch_id))

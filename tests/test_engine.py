@@ -252,3 +252,27 @@ def test_early_stop_prefix_exact(blobs_df):
     assert [h["best_dev"] for h in straight.history[:k]] == [
         h["best_dev"] for h in stopped.history
     ]
+
+
+def test_early_stop_streak_survives_resume(blobs_df, tmp_path, monkeypatch):
+    """The early-stop streak is checkpointed: interrupting mid-streak and
+    resuming must stop at the SAME iteration as the uninterrupted run
+    (with constant fitness: stop at iteration 5, see above)."""
+    import os
+    import numpy as np
+    import mopso_engine.engine as eng_mod
+    from mopso_engine import MopsoConfig, MopsoEngine
+
+    def const_fitness(nbr, positions, **kw):
+        return np.tile(np.array([100.0, 50.0]), (len(positions), 1))
+
+    monkeypatch.setattr(eng_mod, "evaluate_solutions", const_fitness)
+    cfg = MopsoConfig(iter_max=10, n_particles=4, knn_l=5, seed=7, init_sample_size=300)
+    cp = str(tmp_path / "cp_es")
+    os.makedirs(cp, exist_ok=True)
+    # interrupt at iteration 4: streak is 1 (fronts identical at 3→4)
+    MopsoEngine(cfg).fit(blobs_df, checkpoint_dir=cp, stop_after=4, early_stop_patience=2)
+    resumed = MopsoEngine(cfg).fit(
+        blobs_df, checkpoint_dir=cp, resume=True, early_stop_patience=2
+    )
+    assert resumed.iterations == 5  # not 6: the pre-interrupt streak counted

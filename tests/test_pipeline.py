@@ -525,3 +525,39 @@ def test_scd2_periods_consistent_with_asof(spark):
     a = sorted((r["pid"], r["asof_v"]) for r in base.collect())
     b = sorted((r["pid"], r["asof_v"]) for r in via_scd2.collect())
     assert a == b
+
+
+def test_scd2_merge_replay_tie_order_preserved(spark):
+    """Review finding: two history rows tied on (key, ts) replay into a
+    later merge — their original seq order must be reconstructed (from
+    period geometry), or which value is 'current' would be partition-
+    nondeterministic. Merge a batch touching the key and check the
+    same-timestamp winner stays the winner."""
+    from mopso_engine.ext.pipeline import scd2_history, scd2_merge
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 5, 3.0),   # loses its tie (zero-length)
+        (1, "2024-01-01 00:00:00", 6, 1.0),   # wins: becomes current
+    ]
+    upd = spark.createDataFrame(rows, "k long, ts string, seq long, v double")
+    upd = upd.withColumn("ts", upd.ts.cast("timestamp"))
+    hist = scd2_history(upd, key="k", time="ts", payload=["v"], seq="seq")
+    batch = spark.createDataFrame(
+        [(1, "2024-02-01 00:00:00", 9, 7.0)], "k long, ts string, seq long, v double"
+    )
+    batch = batch.withColumn("ts", batch.ts.cast("timestamp"))
+    merged = scd2_merge(hist, batch, key="k", time="ts", payload=["v"], seq="seq")
+    got = {(r["v"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+           for r in merged.collect()}
+    # original tie order preserved: v=3.0 stays the zero-length loser,
+    # v=1.0 holds until the new batch row, v=7.0 is current
+    assert (3.0, "2024-01-01 00:00:00", "2024-01-01 00:00:00", False) in got
+    assert (1.0, "2024-01-01 00:00:00", "2024-02-01 00:00:00", False) in got
+    assert (7.0, "2024-02-01 00:00:00", "None", True) in got
+    # payload-value order must NOT decide (v=3 > v=1 would invert it):
+    # also check under flipped partitioning
+    merged2 = scd2_merge(
+        hist.repartition(7), batch, key="k", time="ts", payload=["v"], seq="seq"
+    )
+    assert {(r["v"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+            for r in merged2.collect()} == got
