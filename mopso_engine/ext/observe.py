@@ -49,3 +49,18 @@ def observed(
     """
     obs = Observation()
     return df.observe(obs, *(counters if counters is not None else corpus_counters(text_col))), obs
+
+
+def observed_stream(
+    df: DataFrame,
+    name: str = "corpus",
+    counters: list[Column] | None = None,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """The STREAMING form: Observation objects are batch-only, so a
+    streaming plan observes under a string name and each micro-batch
+    surfaces its counters in ``StreamingQueryProgress.observedMetrics
+    [name]`` — per-batch data-quality telemetry riding the batch's own
+    processing, no extra scan, no state."""
+    return df.observe(name, *(counters if counters is not None else corpus_counters(text_col)))

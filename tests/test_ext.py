@@ -1455,3 +1455,35 @@ class TestAssetNearDup:
              for r in perceptual_hash(self._assets(spark).repartition(5)).collect()}
         assert a == b
         assert all(0 <= v < (1 << 16) for v in a.values())
+
+
+def test_observed_stream_metrics_in_progress(spark, tmp_path):
+    """Streaming observe: each micro-batch's counters surface in the
+    query progress — the per-batch quality telemetry the batch twin
+    provides via Observation.get."""
+    import os
+    import pytest as _pt
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(path):
+        _pt.skip("driver testdata absent")
+    from mopso_engine.ext.observe import observed_stream
+    from mopso_engine.ext.streaming import docs_stream_source
+
+    stream = observed_stream(docs_stream_source(spark, path), "docq")
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "cp_obs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    metrics = [
+        p["observedMetrics"]["docq"]
+        for p in (q.recentProgress or [])
+        if p.get("observedMetrics", {}).get("docq")
+    ]
+    assert metrics, "no observed metrics surfaced in progress"
+    total_rows = sum(m["rows"] for m in metrics)
+    assert total_rows == spark.read.parquet(path).count()
+    assert all(m["null_or_empty"] == 0 for m in metrics)
