@@ -516,3 +516,52 @@ def negative_pairs(
         F.col(key).alias("negative"), F.col("__bkt"), F.col("__rank").alias("__prank")
     )
     return anchors.join(partners, ["__bkt", "__prank"]).select("anchor", "negative", "j")
+
+
+def asof_lookup_scd2(
+    history: DataFrame,
+    probes: DataFrame,
+    *,
+    key: str,
+    time: str,
+    payload: list[str],
+) -> DataFrame:
+    """Point-in-time lookup FROM a materialized SCD2 history (the output
+    of :func:`scd2_history`): each probe row joins the period containing
+    its timestamp — ``valid_from < t AND (valid_to IS NULL OR t <=
+    valid_to)`` … rendered half-open and STRICT to match
+    :func:`asof_join`'s strict semantics (a value effective exactly AT
+    the probe instant is not yet visible).
+
+    The serving-path complement of the union-window as-of: when the
+    history table already exists (built once, maintained incrementally
+    by scd2_merge / scd2_maintain_stream), an equi-join on ``key`` with
+    the interval residual resolves each probe against the ONE matching
+    period — no window, no union, and the history side can be bucketed
+    by key for a shuffle-free serve. Probes with no containing period
+    (before the key's first update, or unknown key) keep null payloads
+    via the left join.
+
+    Exactly equivalent to ``asof_join(probes, change_log)`` over the
+    history's non-zero-length periods (tested) — the two renderings are
+    interchangeable; this one wins when the history is the stored
+    artifact, the union-window wins when only the raw update log exists.
+    """
+    pcols = list(probes.columns)
+    if key not in pcols or time not in pcols:
+        raise ValueError(f"probes must carry the {key!r} and {time!r} columns")
+    h = history.select(
+        F.col(key).alias("__hk"),
+        "valid_from",
+        "valid_to",
+        *[F.col(p).alias(f"__p_{p}") for p in payload],
+    )
+    cond = (
+        (F.col(key) == F.col("__hk"))
+        & (F.col("valid_from") < F.col(time))
+        & (F.col("valid_to").isNull() | (F.col(time) <= F.col("valid_to")))
+    )
+    out = probes.join(h, cond, "left")
+    return out.select(
+        *pcols, *[F.col(f"__p_{p}").alias(f"asof_{p}") for p in payload]
+    )

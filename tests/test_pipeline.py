@@ -561,3 +561,43 @@ def test_scd2_merge_replay_tie_order_preserved(spark):
     )
     assert {(r["v"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
             for r in merged2.collect()} == got
+
+
+def test_asof_lookup_scd2_equals_asof_join(spark):
+    """The interval-join serving path over a materialized SCD2 table
+    answers identically to the union-window as-of over the history's
+    change rows — probes at arbitrary instants, at exact update
+    timestamps, before first update, and for unknown keys."""
+    import random
+
+    from mopso_engine.ext.pipeline import asof_join, asof_lookup_scd2, scd2_history
+
+    rng = random.Random(23)
+    upd_rows, seq = [], 0
+    for k in range(3):
+        for _ in range(7):
+            seq += 1
+            upd_rows.append(
+                (k, f"2024-01-0{rng.randint(2, 8)} 0{rng.randint(0, 9)}:00:00",
+                 seq, float(rng.randint(1, 3)))
+            )
+    upd = spark.createDataFrame(upd_rows, "k long, ts string, seq long, v double")
+    upd = upd.withColumn("ts", upd.ts.cast("timestamp"))
+    hist = scd2_history(upd, key="k", time="ts", payload=["v"], seq="seq")
+
+    probes = [(i, i % 4, f"2024-01-0{rng.randint(1, 9)} 0{rng.randint(0, 9)}:37:00")
+              for i in range(40)]  # key 3 never updates
+    probes += [(100 + i, r[0], r[1]) for i, r in enumerate(upd_rows[:6])]  # exact instants
+    left = spark.createDataFrame(probes, "pid long, k long, ts string")
+    left = left.withColumn("ts", left.ts.cast("timestamp"))
+
+    served = {(r["pid"], r["asof_v"])
+              for r in asof_lookup_scd2(hist, left, key="k", time="ts", payload=["v"]).collect()}
+    chg = hist.where(
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
+    ).select("k", F.col("valid_from").alias("ts"), "v")
+    base = {(r["pid"], r["asof_v"])
+            for r in asof_join(left, chg, key="k", time="ts", payload=["v"]).collect()}
+    assert served == base
+    # exactly one output row per probe (interval match is unique)
+    assert len(served) == len(probes)
