@@ -1045,6 +1045,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "props", "item"
         )
 
+    def stream_heavy_hitters(spark, sf):
+        """STREAMING Misra–Gries heavy hitters
+        (`ext.streaming.stream_heavy_hitter_candidates`): the item stream
+        is hash-bucketed and each bucket folds micro-batches into a
+        capacity-m MG summary held in GROUP STATE (applyInPandasWithState)
+        — bounded to buckets·m counters however wide the key space grows,
+        so the stream never shuffles its full cardinality. The drained
+        candidate union (provably complete for the threshold, the batch
+        sketch's averaging argument carried across batches) is then
+        exact-verified batch-side (`ext.sketch.verify_candidates`), so
+        the result — and the oracle — is the exact groupBy-HAVING answer
+        over the same planted hot-tail corpus as `heavy_hitters`."""
+        from mopso_engine.ext import sketch as sk
+        from mopso_engine.ext.streaming import (
+            events_stream_source,
+            read_events,
+            run_available_now,
+            stream_heavy_hitter_candidates,
+        )
+
+        def plant(ev):
+            hot = ev.where(F.col("event_id") % 5 == 0).withColumn(
+                "props", F.concat(F.lit("hot_"), (F.col("user_id") % 3).cast("string"))
+            )
+            return ev.unionByName(hot).select(F.col("props").alias("item"))
+
+        src = plant(events_stream_source(spark, os.path.join(sf, "events.parquet")))
+        emissions = run_available_now(
+            stream_heavy_hitter_candidates(src, m=128, buckets=8),
+            query_name=f"hh_stream_{uuid.uuid4().hex[:8]}",
+            output_mode="update",
+        )
+        items = plant(read_events(spark, os.path.join(sf, "events.parquet")))
+        return sk.verify_candidates(
+            items, emissions.select("item").distinct(), "item", min_frac=0.02
+        )
+
     def weighted_docs_sample(spark, sf):
         """Deterministic weighted sample without replacement
         (`ext.pipeline.weighted_sample_topk`, Efraimidis–Spirakis A-ES):
@@ -2359,7 +2396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mopso_fit, mopso_fit_only, mopso_fit_full, mopso_fit_lineitem,
         mopso_fit_lineitem_only,
         # round-6 new / code-changed this round
-        heavy_hitters, weighted_docs_sample, events_interval_join_stream,
+        heavy_hitters, stream_heavy_hitters,
+        weighted_docs_sample, events_interval_join_stream,
         hll_union_check, source_token_kl,
         topk_sketch_check, dedup_incremental,
         dup_span_stats, stream_curate_docs,
@@ -3862,6 +3900,9 @@ def oracle_sql() -> dict[str, str]:
         c AS (SELECT props AS item, count(*) AS n FROM items GROUP BY props)
         SELECT item, n, n_total FROM c, tot WHERE n >= ceil(0.02 * n_total)
     """
+
+    # the streaming sketch's exact-verify result is the same groupBy-HAVING
+    o["stream_heavy_hitters"] = o["heavy_hitters"]
 
     # identical md5-uniform + pow priority, replayed in SQL
     o["weighted_docs_sample"] = """

@@ -67,8 +67,10 @@ BENCH_QUERIES = [
     "semdedup",
     "docs_quota_sample",
     "corpus_curation_v2",
-    # MG sketch+verify vs the full-cardinality groupBy it replaces
+    # MG sketch+verify vs the full-cardinality groupBy it replaces,
+    # and its bounded-state streaming twin (stateful MG + batch verify)
     "heavy_hitters",
+    "stream_heavy_hitters",
     "weighted_docs_sample",
     "source_token_kl",
     "dup_span_stats",

@@ -96,8 +96,30 @@ def heavy_hitters(
     sk = mg_partition_sketch(items, col, m)
     cands = sk.where(F.col("item").isNotNull()).select(F.col("item").alias(col)).distinct()
     total = sk.where(F.col("item").isNull()).agg(F.sum("lb").alias("n_total"))
+    return verify_candidates(items, cands, col, min_frac=min_frac, total=total)
+
+
+def verify_candidates(
+    items: DataFrame, cands: DataFrame, col: str, *, min_frac: float,
+    total: DataFrame | None = None,
+) -> DataFrame:
+    """The EXACT-verify stage shared by the batch and streaming sketches:
+    count ONLY the (broadcast) candidate items over the full corpus, then
+    apply the frequency threshold. As long as ``cands`` is a superset of
+    every item with count ≥ ceil(min_frac·n_total) — which both MG
+    front ends guarantee by construction — the output equals the full
+    groupBy-count + HAVING answer bit-for-bit. NULL items are excluded
+    from the total, matching :func:`heavy_hitters` semantics. ``total``
+    lets a caller pass a 1-row (n_total) frame already derived from its
+    own scan (the batch sketch's per-partition census rows) instead of
+    paying a second corpus count."""
+    items = items.select(F.col(col).cast("string").alias(col)).where(
+        F.col(col).isNotNull()
+    )
+    if total is None:
+        total = items.agg(F.count("*").alias("n_total"))
     counts = (
-        items.join(F.broadcast(cands), col)
+        items.join(F.broadcast(cands.select(F.col(cands.columns[0]).alias(col)).distinct()), col)
         .groupBy(col)
         .agg(F.count("*").alias("n"))
     )

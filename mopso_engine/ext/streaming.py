@@ -251,6 +251,75 @@ def user_running_stats_stream(
     )
 
 
+def stream_heavy_hitter_candidates(
+    items: DataFrame, *, item_col: str = "item", m: int = 64, buckets: int = 8
+) -> DataFrame:
+    """STREAMING Misra–Gries heavy-hitter candidates — the unbounded
+    twin of `ext.sketch.mg_partition_sketch`, state held across
+    micro-batches in the state store instead of per-partition memory.
+
+    The item space is hash-partitioned into ``buckets`` disjoint groups
+    (every occurrence of an item lands in the SAME bucket, so a bucket's
+    MG summary sees the item's full stream); each bucket folds its
+    micro-batch rows into a capacity-``m`` MG summary kept in group
+    state, and re-emits the whole current summary every batch (update
+    mode): (bucket, item, lb, n_b) with lb the MG lower bound and n_b
+    the bucket's rows-seen count.
+
+    Guarantee (the batch sketch's averaging argument, carried across
+    batches): each MG reduction removes ≥ (m+1)·cut total mass, so an
+    item's undercount is ≤ n_b/(m+1) — any item whose stream-wide count
+    exceeds n_b/(m+1) ≥ count·(its bucket share) survives in state and in
+    the latest emission. With m ≥ 2/min_frac the emitted union is a
+    provably-complete candidate superset for the min_frac threshold, so
+    `ext.sketch.verify_candidates` over the drained emissions yields the
+    EXACT groupBy-HAVING answer.
+
+    100 TB shape: state is ≤ buckets·m counters TOTAL (fixed, tiny)
+    however wide the key space grows — the stream never shuffles its
+    full cardinality; raise ``buckets`` for throughput (state shards
+    across the cluster by group key), ``m`` for a tighter candidate set.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from mopso_engine.ext.sketch import _mg_reduce
+
+    src = (
+        items.select(F.col(item_col).cast("string").alias("item"))
+        .where(F.col("item").isNotNull())
+        .withColumn("bucket", F.pmod(F.xxhash64("item"), F.lit(buckets)).cast("int"))
+    )
+    out_schema = "bucket int, item string, lb long, n_b long"
+    state_schema = "items array<string>, counts array<long>, n_b long"
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            s_items, s_counts, n_b = state.get
+            counters = dict(zip(s_items, (int(c) for c in s_counts)))
+        else:
+            counters, n_b = {}, 0
+        for pdf in pdfs:
+            s = pdf["item"]
+            n_b += len(s)
+            for item, c in s.value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            _mg_reduce(counters, m)
+        state.update((list(counters), [int(v) for v in counters.values()], int(n_b)))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(counters),
+                "item": list(counters),
+                "lb": [int(v) for v in counters.values()],
+                "n_b": [int(n_b)] * len(counters),
+            }
+        )
+
+    return src.groupBy("bucket").applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 

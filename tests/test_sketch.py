@@ -125,3 +125,56 @@ def test_mg_lower_bound_property():
                 assert k in counters  # the MG guarantee
 
     check()
+
+
+def test_stream_heavy_hitters_equals_batch(spark, tmp_path):
+    """Streaming MG candidates (state folded across REAL micro-batches
+    via maxFilesPerTrigger=1) + exact verify == batch heavy_hitters
+    bit-for-bit; state stays ≤ m counters per bucket; every emitted lb
+    is a true lower bound."""
+    import collections
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mopso_engine.ext.sketch import verify_candidates
+    from mopso_engine.ext.streaming import (
+        run_available_now,
+        stream_heavy_hitter_candidates,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = (
+        ["hot_a"] * 400
+        + ["hot_b"] * 250
+        + [f"t{i}" for i in rng.integers(0, 500, 600)]
+    )
+    random.Random(3).shuffle(rows)
+    df = spark.createDataFrame([(x,) for x in rows], "item string")
+    path = str(tmp_path / "items")
+    df.repartition(4).write.parquet(path)  # 4 files -> 4 micro-batches
+    sch = spark.read.parquet(path).schema
+    src = spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(path)
+    m = 16
+    emissions = run_available_now(
+        stream_heavy_hitter_candidates(src, m=m, buckets=4),
+        query_name="hh_stream_test",
+        output_mode="update",
+    )
+    # bounded state: each (bucket, batch) emission carries <= m counters
+    per_emit = emissions.groupBy("bucket", "n_b").count().collect()
+    assert per_emit and all(r["count"] <= m for r in per_emit)
+    # every emitted lb is a true lower bound (any batch's emission)
+    true = collections.Counter(rows)
+    for r in emissions.collect():
+        assert r["lb"] <= true[r["item"]]
+    # candidates' union + exact verify == the batch sketch's exact answer
+    batch_items = spark.read.parquet(path)
+    cands = emissions.select("item").distinct()
+    got = {
+        (r["item"], r["n"], r["n_total"])
+        for r in verify_candidates(batch_items, cands, "item", min_frac=0.05).collect()
+    }
+    want = _hh(spark, rows, 0.05, 4)
+    assert got == want
+    assert {x[0] for x in got} == {"hot_a", "hot_b"}
