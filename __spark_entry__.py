@@ -1082,6 +1082,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             items, emissions.select("item").distinct(), "item", min_frac=0.02
         )
 
+    def _docs_with_pii(docs):
+        """Deterministic PII planting (the corpus has none naturally):
+        doc_id-keyed footers append an email / SSN / IPv4 / phone to
+        overlapping residue classes, so every rule fires and some docs
+        carry several types. Both engines build the identical text."""
+        return docs.withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(
+                        F.lit(" reach user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                    F.lit("")
+                ),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(
+                        F.lit(" ip 10.0."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".1"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 11 == 0, F.lit(" call (415) 555-0199")
+                ).otherwise(F.lit("")),
+            ),
+        )
+
+    def docs_pii(spark, sf):
+        """PII scrub (`ext.pii`): per-doc detection counts (regexp_count
+        per rule over the original text) and the md5 of the REDACTED
+        text — the fixed-order regexp_replace chain, most-specific rule
+        first. Pure Catalyst expressions end to end: zero shuffle, no
+        Python, streaming-safe; the patterns use only the Java∩RE2
+        syntax subset so DuckDB replays them bit-identically (the md5
+        pins every replacement position)."""
+        from mopso_engine.ext import pii
+
+        docs = _docs_with_pii(
+            read_table(spark, sf, "documents").select("doc_id", "text")
+        )
+        c = pii.pii_counts(docs)
+        return c.select(
+            "doc_id",
+            "n_email",
+            "n_ssn",
+            "n_phone",
+            "n_ipv4",
+            "n_pii",
+            F.md5(pii.redacted_text()).alias("red_fp"),
+        )
+
+    def pii_report(spark, sf):
+        """Corpus-level privacy audit (`ext.pii.corpus_pii_report`): one
+        row per PII type with affected-doc and total-match counts — the
+        release gate a corpus ships with. One linear scan; per-type rows
+        from an in-row struct explode, then a 4-key partial aggregate."""
+        from mopso_engine.ext import pii
+
+        docs = _docs_with_pii(
+            read_table(spark, sf, "documents").select("doc_id", "text")
+        )
+        return pii.corpus_pii_report(docs)
+
     def weighted_docs_sample(spark, sf):
         """Deterministic weighted sample without replacement
         (`ext.pipeline.weighted_sample_topk`, Efraimidis–Spirakis A-ES):
@@ -2396,7 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mopso_fit, mopso_fit_only, mopso_fit_full, mopso_fit_lineitem,
         mopso_fit_lineitem_only,
         # round-6 new / code-changed this round
-        heavy_hitters, stream_heavy_hitters,
+        heavy_hitters, stream_heavy_hitters, docs_pii, pii_report,
         weighted_docs_sample, events_interval_join_stream,
         hll_union_check, source_token_kl,
         topk_sketch_check, dedup_incremental,
@@ -3903,6 +3973,74 @@ def oracle_sql() -> dict[str, str]:
 
     # the streaming sketch's exact-verify result is the same groupBy-HAVING
     o["stream_heavy_hitters"] = o["heavy_hitters"]
+
+    # identical planting, patterns, and redaction chain in RE2; the md5
+    # pins every replacement position in the scrubbed text
+    _pii_planted = """
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                    THEN ' reach user' || doc_id::VARCHAR || '@example.com'
+                    ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                    THEN ' ip 10.0.' || (doc_id % 256)::VARCHAR || '.1'
+                    ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN ' call (415) 555-0199' ELSE '' END
+               AS t
+        FROM documents
+    """
+    _pii_pats = {
+        "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+        "phone": r"\(\d{3}\) \d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b",
+        "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    }
+    _red = "t"
+    for _name in ("email", "ssn", "phone", "ipv4"):
+        _red = (
+            "regexp_replace(" + _red + ", '" + _pii_pats[_name] + "', '<"
+            + _name.upper() + ">', 'g')"
+        )
+    o["docs_pii"] = (
+        "WITH planted AS (" + _pii_planted + """),
+        c AS (SELECT doc_id, t,
+        """
+        + ",\n".join(
+            "len(regexp_extract_all(t, '" + p + "'))::BIGINT AS n_" + n
+            for n, p in _pii_pats.items()
+        )
+        + """
+          FROM planted)
+        SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4,
+               n_email + n_ssn + n_phone + n_ipv4 AS n_pii,
+               md5(""" + _red + """) AS red_fp
+        FROM c
+    """
+    )
+    o["pii_report"] = (
+        "WITH planted AS (" + _pii_planted + """),
+        c AS (SELECT doc_id,
+        """
+        + ",\n".join(
+            "len(regexp_extract_all(t, '" + p + "'))::BIGINT AS n_" + n
+            for n, p in _pii_pats.items()
+        )
+        + """
+          FROM planted),
+        u AS (
+        """
+        + "\nUNION ALL\n".join(
+            "SELECT '" + n + "' AS pii_type, n_" + n + " AS n FROM c"
+            for n in _pii_pats
+        )
+        + """)
+        SELECT pii_type,
+               count(CASE WHEN n > 0 THEN 1 END) AS n_docs,
+               sum(n)::BIGINT AS n_matches
+        FROM u GROUP BY pii_type
+    """
+    )
 
     # identical md5-uniform + pow priority, replayed in SQL
     o["weighted_docs_sample"] = """

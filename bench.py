@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "dup_span_stats",
     # round-6: learned quality stack — LM perplexity + trained classifier
     "docs_logppl",
+    "docs_pii",
     "quality_model_scores",
     "lsh_candidates",
     "simhash_fp",
