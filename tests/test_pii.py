@@ -79,3 +79,24 @@ def test_patterns_portable_to_duckdb(spark, docs):
             spark.createDataFrame([(text,)], "text string")
         ).collect()[0]["text"]
         assert red == spark_red, doc_id
+
+
+def test_pii_redact_stream_equals_batch(spark):
+    """The scrub chain is stateless Catalyst — the same expression over
+    a readStream source yields the identical redacted corpus."""
+    from pyspark.sql import functions as F
+
+    from mopso_engine.ext.pii import redacted_text
+    from mopso_engine.ext.streaming import docs_stream_source, run_available_now
+
+    sf = "/root/testdata/sf0.001"
+    batch = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", F.md5(redacted_text()).alias("fp"))
+    )
+    stream = docs_stream_source(spark, f"{sf}/documents.parquet").select(
+        "doc_id", F.md5(redacted_text()).alias("fp")
+    )
+    got = run_available_now(stream, query_name="pii_stream_test", output_mode="append")
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in batch.collect()}
+    assert got.count() > 0

@@ -116,6 +116,16 @@ COMMENTS = {
     "fingerprint window shuffle), exact per-language quota "
     "(WindowGroupLimit) — nothing quadratic, every stage's shuffle keyed "
     "and combinable.",
+    "docs_pii": "Pure expression plan: ONE parquet scan (doc_id, text "
+    "only in ReadSchema), the planted-footer concat, four regexp_count "
+    "columns and the md5 of the 4-step regexp_replace chain all inside a "
+    "single WholeStageCodegen project — zero Exchange, zero Python; the "
+    "identical expression serves streaming plans unchanged.",
+    "stream_heavy_hitters": "Streaming side: stateless hash-bucket project "
+    "then ONE stateful applyInPandasWithState exchange keyed on bucket — "
+    "state bounded at buckets*m counters regardless of key cardinality; "
+    "batch verify side is the same broadcast-candidates semi-join as "
+    "heavy_hitters. The full-cardinality streaming shuffle never happens.",
     "heavy_hitters": "Sketch scan is map-only MapInPandas (per-partition "
     "Misra-Gries, ≤m candidates + 1 count row each); verify pass joins the "
     "corpus against the BROADCAST candidate set and aggregates only "
