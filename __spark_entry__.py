@@ -976,6 +976,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs_with_dups(read_table(spark, sf, "documents")), k=8
         )
 
+    def docs_despan(spark, sf):
+        """Duplicated-span REMOVAL (`ext.dedup.remove_duplicated_spans`)
+        — the act step paired with `dup_span_stats`' measure: tokens
+        covered by any 8-word span occurring >1× corpus-wide are
+        scrubbed and the survivors re-joined (ExactSubstr-style, Lee et
+        al. 2022). Planted clones come back empty; unique prose is
+        untouched. Same plan family as the audit — in-row positional
+        spans, one span-keyed df shuffle, co-partitioned re-join, and an
+        IN-ROW index-aware token filter for the rebuild (no token
+        explode). The md5 of the rebuilt text pins every removal
+        position in the oracle compare."""
+        out = dd.remove_duplicated_spans(
+            _docs_with_dups(read_table(spark, sf, "documents")), k=8
+        )
+        return out.select(
+            "doc_id", "n_tokens", "n_removed", F.md5("text_clean").alias("clean_fp")
+        )
+
     def topk_sketch_check(spark, sf):
         """approx_top_k sketch under the value gate: the sketch's top-5
         frequency MULTISET must equal the exact top-5 counts (multiset,
@@ -2470,7 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         weighted_docs_sample, events_interval_join_stream,
         hll_union_check, source_token_kl,
         topk_sketch_check, dedup_incremental,
-        dup_span_stats, stream_curate_docs,
+        dup_span_stats, docs_despan, stream_curate_docs,
         repetition_stats, decontaminate, semdedup,
         # round-6 new: feature-store SCD2 history; z-order clustering key;
         # trained quality classifier; unigram-LM perplexity filter
@@ -3930,6 +3948,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT dd.doc_id, coalesce(st.n_spans, 0)::BIGINT AS n_spans,
                coalesce(st.dup_frac, 0.0) AS dup_frac
         FROM dd LEFT JOIN st USING (doc_id)
+    """
+
+    o["docs_despan"] = """
+        WITH dd AS (SELECT * FROM documents UNION ALL SELECT doc_id+100000 AS doc_id, text, lang, source, n_chars FROM documents WHERE doc_id<50),
+        ntext AS (SELECT doc_id, lower(array_to_string(string_split_regex(trim(text), '\\s+'), ' ')) AS nt FROM dd),
+        ntoks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM ntext),
+        spans AS (
+          SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS s
+          FROM ntoks JOIN range(1, 100000) r(i) ON r.i <= len(t)-7),
+        sdf AS (SELECT s, count(*) AS df FROM spans GROUP BY s),
+        dsp AS (SELECT doc_id, i FROM spans JOIN sdf USING (s) WHERE df > 1),
+        toks AS (SELECT doc_id, j, t[j] AS tok FROM ntoks
+                 JOIN range(1, 100000) rr(j) ON rr.j <= len(t)),
+        rem AS (SELECT DISTINCT toks.doc_id, toks.j FROM toks
+                JOIN dsp ON toks.doc_id = dsp.doc_id
+                        AND dsp.i <= toks.j AND toks.j < dsp.i + 8),
+        kept AS (SELECT toks.doc_id, toks.j, toks.tok FROM toks
+                 LEFT JOIN rem ON toks.doc_id = rem.doc_id AND toks.j = rem.j
+                 WHERE rem.j IS NULL),
+        agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                       string_agg(tok, ' ' ORDER BY j) AS ct
+                FROM kept GROUP BY doc_id),
+        base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM ntoks)
+        SELECT b.doc_id, b.n_tokens,
+               (b.n_tokens - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+               md5(coalesce(a.ct, '')) AS clean_fp
+        FROM base b LEFT JOIN agg a USING (doc_id)
     """
 
     # exact top-5 count multiset rendered as a comma string; gate pinned

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "weighted_docs_sample",
     "source_token_kl",
     "dup_span_stats",
+    "docs_despan",
     # round-6: learned quality stack — LM perplexity + trained classifier
     "docs_logppl",
     "docs_pii",

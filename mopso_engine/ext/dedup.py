@@ -526,6 +526,65 @@ def duplicate_components(
     return labels.select(F.col("v").alias("doc_id"), F.col("l").alias("component"))
 
 
+def remove_duplicated_spans(
+    docs: DataFrame, k: int = 8, *, max_df: int = 1
+) -> DataFrame:
+    """The ACT step paired with :func:`duplicated_span_stats`'s measure:
+    ExactSubstr-style boilerplate scrub (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better") — every token covered
+    by at least one k-word span occurring more than ``max_df`` times
+    corpus-wide is removed, and the surviving tokens are re-joined.
+    Returns (doc_id, n_tokens, n_removed, text_clean); a doc wholly
+    cloned elsewhere comes back empty, boilerplate headers/footers
+    vanish from every copy, unique prose is untouched.
+
+    Plan shape (same family as the span audit): zero-shuffle positional
+    span construction in-row (the `word_shingles` slice trick +
+    posexplode, keeping the span's start offset), ONE span-keyed count
+    shuffle for corpus document frequencies, a co-partitioned re-join to
+    flag duplicated span starts, one doc-keyed regroup collecting each
+    doc's duplicated-start list, and a final IN-ROW rebuild: the token
+    array is filtered by an index-aware lambda (token i survives iff no
+    duplicated span starts in (i−k, i]) — no token-level explode, no
+    Python.
+
+    Per-row rebuild cost is O(n_tokens · n_dup_starts) — fine for
+    bounded training documents (the usual case, and `chunk_documents`
+    bounds them first at 100 TB); a fully-duplicated 10⁵-token doc pays
+    a quadratic row, the signal to chunk before scrubbing.
+    """
+    toks = F.split(normalized_text(), " ")
+    base = _spread(docs).select("doc_id", toks.alias("toks"))
+    n = F.size(F.col("toks"))
+    width = F.greatest(n - F.lit(k - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice("toks", i + 1, width).alias(f"w{i}") for i in range(k)])
+    sh = F.transform(z, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(k)]))
+    spans = base.select(
+        "doc_id", F.posexplode(sh).alias("spos", "shingle")
+    )
+    span_df = spans.groupBy("shingle").agg(F.count("*").alias("df"))
+    dup = (
+        spans.join(span_df.where(F.col("df") > max_df), "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_list("spos").alias("dup_starts"))
+    )
+    joined = base.join(dup, "doc_id", "left").withColumn(
+        "dup_starts", F.coalesce("dup_starts", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        "toks",
+        lambda x, i: ~F.exists(
+            F.col("dup_starts"), lambda s: (s <= i) & (i < s + F.lit(k))
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("text_clean"),
+    )
+
+
 def duplicated_span_stats(docs: DataFrame, k: int = 8) -> DataFrame:
     """Per-document duplicated-span diagnostic — the MEASURE step run
     before committing to a dedup pass (ED-substring-style duplication

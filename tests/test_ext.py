@@ -1090,6 +1090,49 @@ class TestDupSpanStats:
         assert abs(out[2]["dup_frac"] - round(1 / 3, 6)) < 1e-9
 
 
+class TestRemoveDuplicatedSpans:
+    def test_clones_emptied_unique_untouched(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h i j"),
+                (2, "a b c d e f g h i j"),  # full clone of 1
+                (3, "q w e r t y u i o p"),  # unique
+                (4, "tiny doc"),             # < k tokens: no spans
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in dd.remove_duplicated_spans(docs, k=8).collect()}
+        assert out[1]["text_clean"] == "" and out[1]["n_removed"] == 10
+        assert out[2]["text_clean"] == "" and out[2]["n_removed"] == 10
+        assert out[3]["text_clean"] == "q w e r t y u i o p"
+        assert out[3]["n_removed"] == 0 and out[3]["n_tokens"] == 10
+        assert out[4]["text_clean"] == "tiny doc" and out[4]["n_removed"] == 0
+
+    def test_shared_footer_scrubbed_prefix_kept(self, spark):
+        """Only the tokens covered by the duplicated footer span vanish."""
+        footer = "f1 f2 f3 f4 f5 f6 f7 f8"
+        docs = spark.createDataFrame(
+            [(1, "u1 u2 " + footer), (2, "v1 v2 " + footer)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in dd.remove_duplicated_spans(docs, k=8).collect()}
+        assert out[1]["text_clean"] == "u1 u2" and out[1]["n_removed"] == 8
+        assert out[2]["text_clean"] == "v1 v2" and out[2]["n_removed"] == 8
+
+    def test_self_repetition_within_one_doc_scrubbed(self, spark):
+        """df counts every occurrence, including same-doc repeats."""
+        span = "r1 r2 r3 r4 r5 r6 r7 r8"
+        docs = spark.createDataFrame(
+            [(1, span + " mid " + span), (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in dd.remove_duplicated_spans(docs, k=8).collect()}
+        # the repeated span occurs twice -> all its tokens (both copies) go;
+        # 'mid' is covered by no duplicated span start
+        assert out[1]["text_clean"] == "mid"
+        assert out[2]["n_removed"] == 0
+
+
 class TestStreamCurate:
     def test_stream_curate_equals_batch_composition(self, spark):
         """The composed streaming curation (repetition gate → length

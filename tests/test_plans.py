@@ -341,3 +341,18 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pii_scrub_is_single_stage_no_exchange(spark):
+    """The PII scrub must stay a pure expression plan: one scan, one
+    codegen project — no Exchange, no Python eval node."""
+    from pyspark.sql import functions as F
+
+    from mopso_engine.ext.pii import pii_counts, redacted_text
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    out = pii_counts(docs).select("doc_id", "n_pii", F.md5(redacted_text()).alias("fp"))
+    plan = plan_of(out)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Scan parquet" in plan
