@@ -553,6 +553,8 @@ def remove_duplicated_spans(
     bounds them first at 100 TB); a fully-duplicated 10⁵-token doc pays
     a quadratic row, the signal to chunk before scrubbing.
     """
+    if k < 1 or max_df < 1:
+        raise ValueError("k and max_df must be >= 1")
     toks = F.split(normalized_text(), " ")
     base = _spread(docs).select("doc_id", toks.alias("toks"))
     n = F.size(F.col("toks"))

@@ -280,6 +280,8 @@ def stream_heavy_hitter_candidates(
     full cardinality; raise ``buckets`` for throughput (state shards
     across the cluster by group key), ``m`` for a tighter candidate set.
     """
+    if m < 1 or buckets < 1:
+        raise ValueError("m and buckets must be >= 1")
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
