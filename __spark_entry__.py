@@ -1097,7 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         items = plant(read_events(spark, os.path.join(sf, "events.parquet")))
         return sk.verify_candidates(
-            items, emissions.select("item").distinct(), "item", min_frac=0.02
+            items, emissions.select("item").distinct(), "item", min_frac=0.02, m=128
         )
 
     def _docs_with_pii(docs):
@@ -3936,6 +3936,13 @@ def oracle_sql() -> dict[str, str]:
         WITH dd AS ({_DOCS_DUP_SQL}),
         ntext AS (SELECT doc_id, lower(array_to_string(string_split_regex(trim(text), '\\s+'), ' ')) AS nt FROM dd),
         ntoks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM ntext),
+        -- the positional joins below enumerate range(1, 100000): a hard
+        -- 100k-token oracle ceiling the Spark side does not share. The
+        -- guard makes the truncation LOUD instead of silent if the
+        -- oracle corpus ever grows past it (ADVICE r6).
+        guard AS (SELECT CASE WHEN max(len(t)) >= 100000
+                              THEN error('despan oracle 100k-token ceiling exceeded')
+                              ELSE 1 END AS ok FROM ntoks),
         spans AS (
           SELECT doc_id, array_to_string(t[i:i+7], ' ') AS s
           FROM ntoks JOIN range(1, 100000) r(i) ON r.i <= len(t)-7),
@@ -3948,12 +3955,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT dd.doc_id, coalesce(st.n_spans, 0)::BIGINT AS n_spans,
                coalesce(st.dup_frac, 0.0) AS dup_frac
         FROM dd LEFT JOIN st USING (doc_id)
+        WHERE (SELECT ok FROM guard) = 1
     """
 
     o["docs_despan"] = """
         WITH dd AS (SELECT * FROM documents UNION ALL SELECT doc_id+100000 AS doc_id, text, lang, source, n_chars FROM documents WHERE doc_id<50),
         ntext AS (SELECT doc_id, lower(array_to_string(string_split_regex(trim(text), '\\s+'), ' ')) AS nt FROM dd),
         ntoks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM ntext),
+        -- 100k-token oracle ceiling (same note as dup_span_stats): the
+        -- positional range() joins truncate past it, so fail loudly
+        guard AS (SELECT CASE WHEN max(len(t)) >= 100000
+                              THEN error('despan oracle 100k-token ceiling exceeded')
+                              ELSE 1 END AS ok FROM ntoks),
         spans AS (
           SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS s
           FROM ntoks JOIN range(1, 100000) r(i) ON r.i <= len(t)-7),
@@ -3975,6 +3988,7 @@ def oracle_sql() -> dict[str, str]:
                (b.n_tokens - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
                md5(coalesce(a.ct, '')) AS clean_fp
         FROM base b LEFT JOIN agg a USING (doc_id)
+        WHERE (SELECT ok FROM guard) = 1
     """
 
     # exact top-5 count multiset rendered as a comma string; gate pinned

@@ -41,13 +41,18 @@ PII_RULES: list[tuple[str, str, str]] = [
 def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document PII detection: one ``n_<type>`` match count per rule
     (each counted over the original text, so counts are rule-independent)
-    plus ``n_pii``, their sum. Append-only projection — every input
-    column is kept; map-only, no shuffle, no Python."""
+    plus ``n_pii``, their sum. Every OTHER input column is kept;
+    pre-existing ``n_<type>``/``n_pii`` columns (e.g. counts re-run
+    after an enrichment pass) are overwritten — withColumn semantics —
+    so the output never carries ambiguous duplicate names. Map-only, no
+    shuffle, no Python."""
+    count_names = {f"n_{name}" for name, _, _ in PII_RULES} | {"n_pii"}
+    keep = [c for c in docs.columns if c not in count_names]
     counts = [
         F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
         for name, pat, _ in PII_RULES
     ]
-    out = docs.select("*", *counts)
+    out = docs.select(*keep, *counts)
     total = sum(
         [F.col(f"n_{name}") for name, _, _ in PII_RULES], start=F.lit(0).cast("long")
     )

@@ -101,7 +101,7 @@ def heavy_hitters(
 
 def verify_candidates(
     items: DataFrame, cands: DataFrame, col: str, *, min_frac: float,
-    total: DataFrame | None = None,
+    total: DataFrame | None = None, m: int | None = None,
 ) -> DataFrame:
     """The EXACT-verify stage shared by the batch and streaming sketches:
     count ONLY the (broadcast) candidate items over the full corpus, then
@@ -112,7 +112,22 @@ def verify_candidates(
     from the total, matching :func:`heavy_hitters` semantics. ``total``
     lets a caller pass a 1-row (n_total) frame already derived from its
     own scan (the batch sketch's per-partition census rows) instead of
-    paying a second corpus count."""
+    paying a second corpus count.
+
+    The exactness contract DEPENDS on candidate completeness: the MG
+    front end must have run with capacity m ≥ ceil(2/min_frac) (the
+    batch sketch derives m from min_frac; the streaming sketch takes m
+    from the caller). Pass the front end's ``m`` here and the pairing is
+    validated — an undersized m raises instead of silently presenting an
+    incomplete candidate set as the exact answer."""
+    if not (0.0 < min_frac <= 1.0):
+        raise ValueError("min_frac must be in (0, 1]")
+    if m is not None and m < math.ceil(2.0 / min_frac):
+        raise ValueError(
+            f"sketch capacity m={m} < ceil(2/min_frac)={math.ceil(2.0 / min_frac)}: "
+            "the candidate set is not guaranteed complete at this threshold — "
+            "raise m (or min_frac) before trusting the verified output as exact"
+        )
     items = items.select(F.col(col).cast("string").alias(col)).where(
         F.col(col).isNotNull()
     )

@@ -263,14 +263,17 @@ def stream_heavy_hitter_candidates(
     MG summary sees the item's full stream); each bucket folds its
     micro-batch rows into a capacity-``m`` MG summary kept in group
     state, and re-emits the whole current summary every batch (update
-    mode): (bucket, item, lb, n_b) with lb the MG lower bound and n_b
-    the bucket's rows-seen count.
+    mode): (bucket, item, lb, n_bucket) with lb the MG lower bound and
+    n_bucket the BUCKET-LOCAL rows-seen count (this bucket's share of
+    the stream, NOT a stream-wide total — never use it as a
+    thresholding denominator; threshold via
+    `ext.sketch.verify_candidates` with a corpus-wide total).
 
     Guarantee (the batch sketch's averaging argument, carried across
     batches): each MG reduction removes ≥ (m+1)·cut total mass, so an
-    item's undercount is ≤ n_b/(m+1) — any item whose stream-wide count
-    exceeds n_b/(m+1) ≥ count·(its bucket share) survives in state and in
-    the latest emission. With m ≥ 2/min_frac the emitted union is a
+    item's undercount is ≤ n_bucket/(m+1) — any item whose stream-wide
+    count exceeds n_bucket/(m+1) ≥ count·(its bucket share) survives in
+    state and in the latest emission. With m ≥ 2/min_frac the emitted union is a
     provably-complete candidate superset for the min_frac threshold, so
     `ext.sketch.verify_candidates` over the drained emissions yields the
     EXACT groupBy-HAVING answer.
@@ -292,28 +295,28 @@ def stream_heavy_hitter_candidates(
         .where(F.col("item").isNotNull())
         .withColumn("bucket", F.pmod(F.xxhash64("item"), F.lit(buckets)).cast("int"))
     )
-    out_schema = "bucket int, item string, lb long, n_b long"
-    state_schema = "items array<string>, counts array<long>, n_b long"
+    out_schema = "bucket int, item string, lb long, n_bucket long"
+    state_schema = "items array<string>, counts array<long>, n_bucket long"
 
     def fold(key, pdfs, state: GroupState):
         if state.exists:
-            s_items, s_counts, n_b = state.get
+            s_items, s_counts, n_bucket = state.get
             counters = dict(zip(s_items, (int(c) for c in s_counts)))
         else:
-            counters, n_b = {}, 0
+            counters, n_bucket = {}, 0
         for pdf in pdfs:
             s = pdf["item"]
-            n_b += len(s)
+            n_bucket += len(s)
             for item, c in s.value_counts().items():
                 counters[item] = counters.get(item, 0) + int(c)
             _mg_reduce(counters, m)
-        state.update((list(counters), [int(v) for v in counters.values()], int(n_b)))
+        state.update((list(counters), [int(v) for v in counters.values()], int(n_bucket)))
         yield pd.DataFrame(
             {
                 "bucket": [key[0]] * len(counters),
                 "item": list(counters),
                 "lb": [int(v) for v in counters.values()],
-                "n_b": [int(n_b)] * len(counters),
+                "n_bucket": [int(n_bucket)] * len(counters),
             }
         )
 

@@ -36,6 +36,18 @@ def test_pii_counts(spark, docs):
     assert {"doc_id", "text"} <= set(rows[1].asDict())
 
 
+def test_pii_counts_rerun_overwrites_no_ambiguity(spark, docs):
+    """Re-running pii_counts over already-counted input (ADVICE r6:
+    enrichment-pass rerun) must OVERWRITE the n_<type>/n_pii columns,
+    not duplicate them into analysis-time ambiguity."""
+    twice = pii_counts(pii_counts(docs))
+    assert twice.columns.count("n_pii") == 1
+    assert all(twice.columns.count(f"n_{name}") == 1 for name, _, _ in PII_RULES)
+    once = {r["doc_id"]: r.asDict() for r in pii_counts(docs).collect()}
+    again = {r["doc_id"]: r.asDict() for r in twice.collect()}
+    assert once == again
+
+
 def test_pii_redact_exact_and_ordered(spark, docs):
     got = {r["doc_id"]: r["text"] for r in pii_redact(docs).collect()}
     assert got[1] == "mail me at <EMAIL> or <EMAIL> today"

@@ -162,7 +162,7 @@ def test_stream_heavy_hitters_equals_batch(spark, tmp_path):
         output_mode="update",
     )
     # bounded state: each (bucket, batch) emission carries <= m counters
-    per_emit = emissions.groupBy("bucket", "n_b").count().collect()
+    per_emit = emissions.groupBy("bucket", "n_bucket").count().collect()
     assert per_emit and all(r["count"] <= m for r in per_emit)
     # every emitted lb is a true lower bound (any batch's emission)
     true = collections.Counter(rows)
@@ -178,3 +178,24 @@ def test_stream_heavy_hitters_equals_batch(spark, tmp_path):
     want = _hh(spark, rows, 0.05, 4)
     assert got == want
     assert {x[0] for x in got} == {"hot_a", "hot_b"}
+
+
+def test_verify_candidates_guards(spark):
+    """ADVICE r6: verify_candidates' exactness depends on the MG front
+    end's capacity — an undersized caller-supplied m (the streaming
+    pair) must raise instead of silently presenting an incomplete
+    candidate set as exact; min_frac is validated too."""
+    from mopso_engine.ext.sketch import verify_candidates
+
+    items = spark.createDataFrame([("a",), ("b",)], "item string")
+    cands = items.select("item").distinct()
+    with pytest.raises(ValueError, match="min_frac"):
+        verify_candidates(items, cands, "item", min_frac=0.0)
+    with pytest.raises(ValueError, match="min_frac"):
+        verify_candidates(items, cands, "item", min_frac=1.5)
+    # m = 16 < ceil(2/0.05) = 40 -> incomplete-candidate pairing rejected
+    with pytest.raises(ValueError, match="not guaranteed complete"):
+        verify_candidates(items, cands, "item", min_frac=0.05, m=16)
+    # a correctly-sized pairing passes through
+    got = verify_candidates(items, cands, "item", min_frac=0.5, m=4).collect()
+    assert {(r["item"], r["n"]) for r in got} == {("a", 1), ("b", 1)}
