@@ -188,6 +188,7 @@ def pack_sequences(
     seq_len: int = 256,
     buckets: int = 8,
     salt: str = "pack",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Sequence-packing manifest — the concat-and-chunk step that turns a
     curated corpus into fixed-length training sequences: documents are
@@ -205,14 +206,20 @@ def pack_sequences(
     first_seq, last_seq): start_offset is the doc's first token's global
     offset within its bucket's stream, and first/last_seq the
     ``seq_len``-sized training sequences it spans.
+
+    ``count_col`` names a precomputed per-doc token-count column to pack
+    by (e.g. `ext.bpe.bpe_token_counts`'s ``n_bpe_tokens`` — REAL LLM
+    budgets, VERDICT r6 #3) instead of the whitespace default; the
+    plan shape is identical since the count is already a column.
     """
     from mopso_engine.ext.text import tokens_col
 
     h = F.conv(F.substring(F.md5(F.concat_ws("#", F.col("doc_id"), F.lit(salt))), 1, 8), 16, 10).cast(
         "long"
     )
+    n_col = F.col(count_col) if count_col is not None else F.size(tokens_col())
     base = docs.select(
-        "doc_id", F.size(tokens_col()).alias("n_tokens"), h.alias("h"), (h % buckets).alias("bucket")
+        "doc_id", n_col.alias("n_tokens"), h.alias("h"), (h % buckets).alias("bucket")
     )
     w = (
         Window.partitionBy("bucket")
