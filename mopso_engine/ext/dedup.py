@@ -543,15 +543,17 @@ def remove_duplicated_spans(
     posexplode, keeping the span's start offset), ONE span-keyed count
     shuffle for corpus document frequencies, a co-partitioned re-join to
     flag duplicated span starts, one doc-keyed regroup collecting each
-    doc's duplicated-start list, and a final IN-ROW rebuild: the token
-    array is filtered by an index-aware lambda (token i survives iff no
-    duplicated span starts in (i−k, i]) — no token-level explode, no
-    Python.
+    doc's duplicated-start list, and a final IN-ROW rebuild — no
+    token-level explode, no Python.
 
-    Per-row rebuild cost is O(n_tokens · n_dup_starts) — fine for
-    bounded training documents (the usual case, and `chunk_documents`
-    bounds them first at 100 TB); a fully-duplicated 10⁵-token doc pays
-    a quadratic row, the signal to chunk before scrubbing.
+    Rebuild cost (VERDICT r6 #5): the duplicated starts are sorted and
+    MERGED INTO COVERED INTERVALS in-row (run boundaries found with two
+    vectorized index filters — starts more than ``k`` apart break a
+    run), then the survivors are the CONCATENATED SLICES over the
+    interval complement: O(m log m + n_tokens) per row instead of the
+    naive O(n_tokens · m) index-aware filter — a fully-duplicated
+    10⁵-token doc now collapses to ONE covered interval and two array
+    ops rather than a quadratic row.
     """
     if k < 1 or max_df < 1:
         raise ValueError("k and max_df must be >= 1")
@@ -573,13 +575,61 @@ def remove_duplicated_spans(
     joined = base.join(dup, "doc_id", "left").withColumn(
         "dup_starts", F.coalesce("dup_starts", F.array().cast("array<int>"))
     )
-    kept = F.filter(
-        "toks",
-        lambda x, i: ~F.exists(
-            F.col("dup_starts"), lambda s: (s <= i) & (i < s + F.lit(k))
+    # interval-merge rebuild: sorted 0-based starts -> maximal covered
+    # runs [ss[a], ss[b]+k) -> kept tokens are the slices BETWEEN runs.
+    # Every intermediate referenced INSIDE a higher-order lambda is
+    # materialized as a column first: HOFs evaluate interpreted (no
+    # whole-stage codegen, no subexpression sharing), so an expression
+    # like array_sort referenced in a filter lambda would re-sort PER
+    # ELEMENT — O(m²·log m), the exact quadratic this rebuild removes.
+    ss = F.col("ss")
+    staged = joined.withColumn("ss", F.array_sort("dup_starts"))
+    m = F.size(ss)
+    idx = F.sequence(F.lit(0), m - 1)
+    # F.get is 0-based and NULL-safe out of bounds (the j==0 / j==m-1
+    # disjuncts win via three-valued OR), unlike ANSI element_at
+    staged = staged.withColumn(
+        "run_starts",
+        F.when(m == 0, F.array().cast("array<int>")).otherwise(
+            F.filter(
+                idx, lambda j: (j == 0) | (F.get(ss, j) > F.get(ss, j - 1) + F.lit(k))
+            )
+        ),
+    ).withColumn(
+        "run_ends",
+        F.when(m == 0, F.array().cast("array<int>")).otherwise(
+            F.filter(
+                idx, lambda j: (j == m - 1) | (F.get(ss, j + 1) > F.get(ss, j) + F.lit(k))
+            )
         ),
     )
-    return joined.select(
+    staged = staged.withColumn(
+        "covered",
+        F.zip_with(
+            F.col("run_starts"),
+            F.col("run_ends"),
+            lambda a, b: F.struct(
+                F.get(ss, a).alias("start"), (F.get(ss, b) + F.lit(k)).alias("end")
+            ),
+        ),
+    )
+    n_toks = F.size("toks")
+    covered = F.col("covered")
+    staged = staged.withColumn(
+        "gap_starts",
+        F.concat(F.array(F.lit(0)), F.transform(covered, lambda c: c["end"])),
+    ).withColumn(
+        "gap_ends",
+        F.concat(F.transform(covered, lambda c: c["start"]), F.array(n_toks)),
+    )
+    kept = F.flatten(
+        F.zip_with(
+            F.col("gap_starts"),
+            F.col("gap_ends"),
+            lambda s, e: F.slice("toks", s + 1, F.greatest(e - s, F.lit(0))),
+        )
+    )
+    return staged.select(
         "doc_id",
         F.size("toks").cast("long").alias("n_tokens"),
         (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
