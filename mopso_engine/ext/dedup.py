@@ -473,12 +473,98 @@ def ngram_decontaminate(
     )
 
 
+def _star_components(
+    sym: DataFrame, max_iter: int, stats: dict | None = None
+) -> DataFrame:
+    """Alternating large-star/small-star rounds (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") over a symmetric
+    edge list (a, b): converges in O(log² n) rounds on ANY graph —
+    long chains included, where min-label propagation needs O(diameter)
+    rounds — to a star forest rooted at each component's minimum.
+
+    Round shape: each operation is one groupBy-min on the node key +
+    one re-join of the edge list against that min (the same join
+    primitive as min-label propagation), then canonicalize-distinct;
+    lineage is cut per round (localCheckpoint) exactly like the label
+    loop. Large-star hangs every neighbor LARGER than u off m(u) =
+    min(Γ(u) ∪ {u}); small-star re-points u and its smaller neighbors
+    at m(u) processed from the larger endpoint. Fixpoint test: the
+    canonical undirected edge set stops changing.
+    """
+    # canonical undirected form (hi, lo), self-loops dropped
+    und = (
+        sym.where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    if stats is not None:
+        stats["rounds"], stats["converged"] = 0, False
+    for _ in range(max_iter):
+        if stats is not None:
+            stats["rounds"] += 1
+        # LARGE-STAR: per node u over its full neighborhood (both
+        # directions), attach strictly-larger neighbors to m(u)
+        sym2 = und.select(F.col("hi").alias("a"), F.col("lo").alias("b")).union(
+            und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        )
+        mins = sym2.groupBy("a").agg(F.min("b").alias("mb"))
+        m_u = F.least("mb", F.col("a"))
+        large = (
+            sym2.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("x"), m_u.alias("y"))
+        )
+        und_l = (
+            large.where(F.col("x") != F.col("y"))
+            .select(F.greatest("x", "y").alias("hi"), F.least("x", "y").alias("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # SMALL-STAR: processed at the LARGER endpoint u (neighbors all
+        # ≤ u after orienting), re-point u and every neighbor except the
+        # minimum itself at m(u)
+        omins = und_l.groupBy("hi").agg(F.min("lo").alias("m"))
+        to_nbrs = (
+            und_l.join(omins, "hi")
+            .where(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("x"), F.col("m").alias("y"))
+        )
+        to_self = omins.select(F.col("hi").alias("x"), F.col("m").alias("y"))
+        new_und = (
+            to_nbrs.union(to_self)
+            .where(F.col("x") != F.col("y"))
+            .select(F.greatest("x", "y").alias("hi"), F.least("x", "y").alias("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            new_und.exceptAll(und).count() + und.exceptAll(new_und).count()
+        )
+        und = new_und
+        if changed == 0:
+            if stats is not None:
+                stats["converged"] = True
+            break
+    # star forest: every edge is (member, root); roots label themselves
+    return (
+        und.select(F.col("hi").alias("doc_id"), F.col("lo").alias("component"))
+        .union(und.select(F.col("lo").alias("doc_id"), F.col("lo").alias("component")))
+        .groupBy("doc_id")
+        .agg(F.min("component").alias("component"))
+    )
+
+
 def duplicate_components(
     pairs: DataFrame,
     *,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 20,
+    method: str = "label",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Duplicate-cluster canonicalization — the step every dedup pipeline
     runs AFTER pair generation: connected components over the near-dup
@@ -494,12 +580,19 @@ def duplicate_components(
     (localCheckpoint), keeping plans bounded like lloyd.py's loop.
 
     100 TB: pair graphs from verified dedup are unions of small cliques
-    and stars (diameter ≤ ~3), so rounds ≈ 3; for adversarial
-    long-chain graphs swap these rounds for the alternating
-    large-star/small-star of Kiveris et al. (MapReduce CC, 2014) —
-    same join primitive, O(log²) rounds, nothing else changes.
+    and stars (diameter ≤ ~3), so default min-label rounds ≈ 3; for
+    adversarial long-chain graphs pass ``method='star'`` — the
+    alternating large-star/small-star of Kiveris et al. (MapReduce CC,
+    2014; :func:`_star_components`): same join primitive, O(log² n)
+    rounds regardless of diameter, identical labels (property-tested on
+    a 200-vertex path against both the label method and the oracle).
     """
+    if method not in ("label", "star"):
+        raise ValueError(f"method must be 'label' or 'star', got {method!r}")
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    if method == "star":
+        sym0 = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        return _star_components(sym0, max_iter, stats)
     # materialize the symmetric edge list ONCE: every propagation round
     # joins against it, and without the cut each round would re-run the
     # (expensive) upstream pair generation from scratch

@@ -810,6 +810,51 @@ class TestDuplicateComponents:
         out = {r["doc_id"]: r["component"] for r in dd.duplicate_components(pairs).collect()}
         assert out == {1: 1, 5: 1, 7: 1}
 
+    def test_star_method_matches_label_method(self, spark):
+        """Kiveris star rounds (VERDICT r6 #4) label identically to
+        min-label propagation on a mixed graph: chain + clique + island
+        + reversed directions."""
+        pairs = spark.createDataFrame(
+            [(2, 3), (3, 4), (4, 5), (8, 9), (20, 21), (21, 22), (22, 20), (31, 30)],
+            "doc_a long, doc_b long",
+        )
+        label = {r["doc_id"]: r["component"] for r in dd.duplicate_components(pairs).collect()}
+        star = {
+            r["doc_id"]: r["component"]
+            for r in dd.duplicate_components(pairs, method="star").collect()
+        }
+        assert star == label
+
+    def test_star_path_graph_converges_in_polylog_rounds(self, spark):
+        """The adversarial case star rounds exist for: a 200-vertex path
+        has diameter 199 (min-label would need ~199 rounds); the
+        alternating large/small-star two-phase must converge within
+        2·log₂²(n) rounds and still produce exact component minima."""
+        import math
+
+        n = 200
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+        )
+        stats: dict = {}
+        out = {
+            r["doc_id"]: r["component"]
+            for r in dd.duplicate_components(
+                pairs, method="star", max_iter=64, stats=stats
+            ).collect()
+        }
+        assert out == {i: 0 for i in range(n)}
+        assert stats["converged"]
+        bound = 2 * math.ceil(math.log2(n)) ** 2
+        assert stats["rounds"] <= bound, stats
+
+    def test_star_rejects_unknown_method(self, spark):
+        import pytest as _pytest
+
+        pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        with _pytest.raises(ValueError, match="method"):
+            dd.duplicate_components(pairs, method="bogus")
+
 
 class TestChunkDocuments:
     def test_windows_and_overlap(self, spark):
