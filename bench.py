@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     # reference's 50x10xL10 budget, and the 600k-row partition-local
     # scale demo
     "mopso_fit_only",
+    # the same tiny budget on the approximate-kNN Conn backend (the
+    # big-N scale path composed end-to-end, VERDICT r6 #6)
+    "mopso_fit_lsh",
     "mopso_fit",
     "mopso_fit_full",
     # scale demo, fit-only first (the r01-anchor-comparable number) then

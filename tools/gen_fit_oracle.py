@@ -41,6 +41,7 @@ def main() -> None:
     res_e, _ = em._fit_embeddings(spark, sf)
     res_f, _ = em._fit_embeddings_full(spark, sf)
     res_l, _ = em._fit_lineitem(spark, sf)
+    res_lsh, _ = em._fit_embeddings_lsh(spark, sf)
     from mopso_engine.objectives import _REDUCE_BLOCK_ROWS
 
     data = {
@@ -62,6 +63,10 @@ def main() -> None:
             "positions": [p.tolist() for p in res_l.archive_positions],
             "fitness": res_l.archive_fitness.tolist(),
             "conn_rounded": [round(float(f[1]), 4) for f in res_l.archive_fitness],
+        },
+        "mopso_fit_lsh": {
+            "positions": [p.tolist() for p in res_lsh.archive_positions],
+            "fitness": res_lsh.archive_fitness.tolist(),
         },
     }
     with open(em._FIT_ORACLE_PATH, "w") as f:
