@@ -612,6 +612,110 @@ def scd2_history_latest(spark: SparkSession, history_path: str, *, below: int | 
     return spark.read.parquet(f"{history_path}/v={max(versions)}")
 
 
+def scd2_late_rows(spark: SparkSession, history_path: str):
+    """All dead-lettered (too-late-to-reorder) update rows quarantined
+    by :func:`scd2_maintain_stream`'s reorder buffer — the union of
+    every ``late/v=<batch_id>`` ledger version (versions are disjoint
+    per-batch contributions; a replayed batch overwrote its own).
+    None when nothing was ever quarantined."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{history_path}/late")
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return None
+    vs = [
+        st.getPath().toString()
+        for st in fs.listStatus(p)
+        if st.getPath().getName().startswith("v=")
+    ]
+    if not vs:
+        return None
+    return spark.read.parquet(*vs)
+
+
+def _retire_versions(spark: SparkSession, path: str, keep: int) -> None:
+    """Drop all but the newest ``keep`` ``v=<id>`` directories."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return
+    vs = sorted(
+        int(st.getPath().getName()[2:])
+        for st in fs.listStatus(p)
+        if st.getPath().getName().startswith("v=")
+    )
+    for v in vs[:-keep] if keep > 0 else []:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/v={v}"), True)
+
+
+def _reorder_release(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    history_path: str,
+    time: str,
+    horizon_sec: float,
+    keep_versions: int,
+):
+    """The watermark-buffered reorder step of :func:`scd2_maintain_stream`
+    (VERDICT r6 #7): pool the batch with the held-back buffer, advance
+    the high-water mark, RELEASE everything at/below hwm − horizon (in
+    event-time order — the merge sorts), hold the rest, and dead-letter
+    batch rows that arrive at/below the previously-released horizon
+    (they can no longer be merged in order). Returns the released rows,
+    or None when nothing releases. All ledgers (buffer/state/late) are
+    versioned by batch id and read strictly below it — replay-safe."""
+    import datetime
+
+    buf_path = f"{history_path}/buffer"
+    st_path = f"{history_path}/state"
+    buf = scd2_history_latest(spark, buf_path, below=batch_id)
+    st = scd2_history_latest(spark, st_path, below=batch_id)
+    prev_hwm = prev_horizon = None
+    if st is not None:
+        srow = st.collect()[0]
+        prev_hwm, prev_horizon = srow["hwm"], srow["horizon"]
+
+    batch_max = batch_df.agg(F.max(time).alias("m")).collect()[0]["m"]
+    hwm = max(t for t in (prev_hwm, batch_max) if t is not None) if (
+        prev_hwm is not None or batch_max is not None
+    ) else None
+    horizon = (
+        hwm - datetime.timedelta(seconds=horizon_sec) if hwm is not None else None
+    )
+
+    # dead-letter: batch rows the released frontier has already passed
+    if prev_horizon is not None:
+        late = batch_df.where(F.col(time) <= F.lit(prev_horizon))
+        ok_batch = batch_df.where(
+            F.col(time).isNull() | (F.col(time) > F.lit(prev_horizon))
+        )
+        late.write.mode("overwrite").parquet(f"{history_path}/late/v={batch_id}")
+    else:
+        ok_batch = batch_df
+    pool = ok_batch if buf is None else buf.unionByName(ok_batch)
+
+    if horizon is not None:
+        release = pool.where(F.col(time) <= F.lit(horizon))
+        hold = pool.where(F.col(time).isNull() | (F.col(time) > F.lit(horizon)))
+    else:
+        release, hold = None, pool
+    hold.write.mode("overwrite").parquet(f"{buf_path}/v={batch_id}")
+    state_row = spark.createDataFrame(
+        [(hwm, horizon)], "hwm timestamp, horizon timestamp"
+    )
+    state_row.write.mode("overwrite").parquet(f"{st_path}/v={batch_id}")
+    _retire_versions(spark, buf_path, keep_versions)
+    _retire_versions(spark, st_path, keep_versions)
+    if release is None or release.limit(1).count() == 0:
+        return None
+    return release
+
+
 def scd2_maintain_stream(
     stream_updates: DataFrame,
     history_path: str,
@@ -623,6 +727,7 @@ def scd2_maintain_stream(
     seq: str | None = None,
     collapse: bool = True,
     keep_versions: int = 2,
+    reorder_horizon_sec: float | None = None,
     query_name: str = "scd2_maintain",
 ) -> None:
     """CONTINUOUS feature-store build: maintain an SCD2 history under
@@ -639,11 +744,31 @@ def scd2_maintain_stream(
     ledger idempotence as :func:`write_stream_parquet_idempotent`.
     ``collapse=True`` assumes per-key time-ordered arrival (see
     scd2_merge's caveat); pass ``collapse=False`` for out-of-order
-    feeds.
+    feeds — or set ``reorder_horizon_sec`` (VERDICT r6 #7) to make
+    collapse safe under bounded disorder:
+
+    **Watermark-buffered reordering.** With ``reorder_horizon_sec=H``
+    the sink maintains, beside the history, a versioned BUFFER
+    (``buffer/v=<id>``) and a high-water-mark STATE (``state/v=<id>``,
+    one row: hwm = max event time seen, horizon = hwm − H). Each batch
+    pools its rows with the buffer; rows at or below the new horizon
+    are RELEASED to the merge in event-time order (the horizon is
+    monotone, so releases are globally time-ordered across batches and
+    collapse's cross-batch assumption holds); rows above it are held
+    back. Rows arriving at or below the PREVIOUSLY released horizon
+    can no longer be reordered into place — they are quarantined to
+    the DEAD-LETTER output ``late/v=<id>`` (read with
+    :func:`scd2_late_rows`) instead of silently corrupting periods.
+    All three ledgers are batch-id-versioned, so a replayed batch
+    overwrites its own attempt and reads only versions below its id —
+    the same exactly-once story as the history itself. As with any
+    watermark, rows inside the final horizon stay buffered until a
+    later event time advances the hwm past them.
 
     Scale: per micro-batch, one broadcast key-prune of the history +
     the window over touched keys only (scd2_merge's plan), one parquet
-    write. The history table never shuffles wholesale. Drains with
+    write; the reorder buffer holds only the horizon's worth of rows.
+    The history table never shuffles wholesale. Drains with
     Trigger.AvailableNow.
     """
     from mopso_engine.ext.pipeline import scd2_history, scd2_merge
@@ -659,6 +784,18 @@ def scd2_maintain_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if reorder_horizon_sec is not None:
+            batch_df = _reorder_release(
+                spark,
+                batch_df,
+                int(batch_id),
+                history_path=history_path,
+                time=time,
+                horizon_sec=float(reorder_horizon_sec),
+                keep_versions=keep_versions,
+            )
+            if batch_df is None:  # nothing crossed the horizon this batch
+                return
         hist = scd2_history_latest(spark, history_path, below=int(batch_id))
         if hist is None:
             out = scd2_history(

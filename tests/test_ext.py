@@ -1387,6 +1387,107 @@ class TestScd2Stream:
         import glob
         assert len(glob.glob(f"{hist_path}/v=*")) <= 2
 
+    def test_reorder_buffer_repairs_bounded_disorder(self, spark, tmp_path):
+        """VERDICT r6 #7: with reorder_horizon_sec set, a key's updates
+        delivered OUT of per-key time order across micro-batches (t3
+        before t2, both within the horizon) must produce the SAME
+        collapsed history as a full batch recompute over the time-sorted
+        updates."""
+        import time as _time
+
+        from mopso_engine.ext.pipeline import scd2_history
+        from mopso_engine.ext.streaming import (
+            scd2_history_latest,
+            scd2_late_rows,
+            scd2_maintain_stream,
+        )
+
+        src = str(tmp_path / "updates")
+        batches = [
+            # batch 0: t1 and t3 (t2 missing -> disorder)
+            [(1, "2024-01-01 01:00:00", 1, 10.0), (1, "2024-01-01 03:00:00", 3, 30.0)],
+            # batch 1: the late-but-within-horizon t2
+            [(1, "2024-01-01 02:30:00", 2, 20.0)],
+            # batch 2: far-future flush row advances the watermark so
+            # t2/t3 release (stays buffered itself)
+            [(99, "2024-01-01 10:00:00", 9, 0.0)],
+        ]
+        for rows in batches:
+            df = spark.createDataFrame(rows, "k long, ts string, seq long, v double")
+            df.withColumn("ts", df.ts.cast("timestamp")).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            _time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        hist_path = str(tmp_path / "hist")
+        scd2_maintain_stream(
+            stream, hist_path, str(tmp_path / "cp"),
+            key="k", time="ts", payload=["v"], seq="seq",
+            reorder_horizon_sec=3600.0,
+        )
+        got = scd2_history_latest(spark, hist_path)
+        assert got is not None
+        want = scd2_history(
+            spark.createDataFrame(
+                [r for b in batches[:2] for r in b], "k long, ts string, seq long, v double"
+            ).withColumn("ts", F.col("ts").cast("timestamp")),
+            key="k", time="ts", payload=["v"], seq="seq",
+        )
+        canon = lambda df: sorted(
+            (r["k"], r["v"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+            for r in df.collect()
+        )
+        assert canon(got) == canon(want)
+        # nothing was quarantined: the disorder stayed inside the horizon
+        late = scd2_late_rows(spark, hist_path)
+        assert late is None or late.count() == 0
+
+    def test_reorder_buffer_quarantines_too_late_rows(self, spark, tmp_path):
+        """A row arriving at/below the already-released horizon cannot be
+        merged in order any more: it must land in the dead-letter ledger,
+        and the history must not contain it."""
+        import time as _time
+
+        from mopso_engine.ext.streaming import (
+            scd2_history_latest,
+            scd2_late_rows,
+            scd2_maintain_stream,
+        )
+
+        src = str(tmp_path / "updates")
+        batches = [
+            # batch 0: old row + far-future row -> horizon passes 01:00
+            [(1, "2024-01-01 01:00:00", 1, 10.0), (2, "2024-01-01 12:00:00", 2, 5.0)],
+            # batch 1: hopelessly late row (02:00 <= released horizon 11:00)
+            [(1, "2024-01-01 02:00:00", 3, 99.0)],
+        ]
+        for rows in batches:
+            df = spark.createDataFrame(rows, "k long, ts string, seq long, v double")
+            df.withColumn("ts", df.ts.cast("timestamp")).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            _time.sleep(1.1)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        hist_path = str(tmp_path / "hist")
+        scd2_maintain_stream(
+            stream, hist_path, str(tmp_path / "cp"),
+            key="k", time="ts", payload=["v"], seq="seq",
+            reorder_horizon_sec=3600.0,
+        )
+        late = scd2_late_rows(spark, hist_path)
+        assert late is not None
+        lrows = late.collect()
+        assert [(r["k"], r["v"]) for r in lrows] == [(1, 99.0)]
+        got = scd2_history_latest(spark, hist_path)
+        vals = {(r["k"], r["v"]) for r in got.collect()}
+        assert (1, 99.0) not in vals and (1, 10.0) in vals
+
     def test_replay_merges_below_own_version(self, spark, tmp_path):
         """A replayed batch id must merge against the version BELOW it,
         not its own partial output: seed v=0 and a bogus v=1, then ask
