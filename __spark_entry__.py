@@ -1576,6 +1576,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = dd.jaccard_pairs(read_table(spark, sf, "documents"), threshold=0.5)
         return dd.duplicate_components(pairs, method="star")
 
+    def para_dup_stats(spark, sf):
+        """Block-level duplication audit (`ext.dedup.paragraph_dup_stats`):
+        per-doc count/fraction of its non-overlapping 8-token blocks whose
+        md5 fingerprint appears in >= 2 distinct docs — the MEASURE step
+        for C4/RefinedWeb-style line dedup, realized on this newline-free
+        corpus as fixed-width token blocks. One fp-keyed
+        count-distinct shuffle; the block stream is n/8 rows (cheaper
+        than the rolling-span audit), map-only construction."""
+        return dd.paragraph_dup_stats(read_table(spark, sf, "documents"), para_tokens=8)
+
+    def docs_para_dedup(spark, sf):
+        """Block-level corpus dedup (`ext.dedup.remove_duplicate_paragraphs`,
+        the C4 / RefinedWeb line-dedup shape): every 8-token block whose
+        fingerprint occurs in >= 2 distinct docs is dropped from ALL of
+        them (no keeper election — a pure corpus function, deterministic
+        under any partitioning), docs rebuilt from surviving blocks in
+        order. Rebuilt text pinned as md5 like docs_despan. Three bounded
+        key shuffles (fp count, fp anti-join, doc_id reassembly)."""
+        out = dd.remove_duplicate_paragraphs(
+            read_table(spark, sf, "documents"), para_tokens=8, min_docs=2
+        )
+        return out.select(
+            "doc_id", "n_paras", "n_kept", F.md5("text_clean").alias("clean_fp")
+        )
+
+    def dedup_keep_best(spark, sf):
+        """Quality-aware canonical selection (`ext.dedup.canonical_by_score`):
+        connected components over the jaccard >= 0.5 pair list, then each
+        component keeps its highest-quality member (quality_score; ties ->
+        min doc_id) instead of the min-id representative — the KEEP step a
+        production dedup actually runs. Winner election is an O(1)-state
+        struct-max aggregate (map-side combinable), not a window over the
+        member list."""
+        docs = read_table(spark, sf, "documents")
+        pairs = dd.jaccard_pairs(docs, threshold=0.5)
+        members = dd.duplicate_components(pairs)
+        from mopso_engine.ext.text import quality_score
+
+        return dd.canonical_by_score(
+            members, quality_score(docs), score_col="quality"
+        )
+
     def source_mixture(spark, sf):
         """Mixing-knob math (`ext.pipeline.source_mixture`): per-source
         keep-rates realizing target corpus shares under a 100k-token
@@ -2559,8 +2601,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mopso_fit, mopso_fit_only, mopso_fit_full, mopso_fit_lineitem,
         mopso_fit_lineitem_only,
         # round-7 new: LSH-backend end-to-end fit; BPE tokenizer +
-        # real-budget packing; star-rounds connected components         (4)
+        # real-budget packing; star-rounds connected components; block
+        # (line-level) dedup audit + scrub; quality-aware canonical
+        # selection                                                     (7)
         mopso_fit_lsh, bpe_token_counts, docs_packed_bpe, dedup_components_star,
+        para_dup_stats, docs_para_dedup, dedup_keep_best,
         # round-7 code-changed, re-earning rows: sketch m-guard pair,
         # pii_counts overwrite pair, span-oracle guards + interval-merge
         # despan rebuild, pack_sequences count_col signature            (7)
@@ -2575,14 +2620,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the 4 that missed the r06 cutoff                              (4)
         token_counts, fingerprints, points_ingest, feature_minmax,
         # stale-tail rotation (oldest driver row first; r06's comment
-        # said this slice starts at count_and_k)                       (18)
+        # said this slice starts at count_and_k)                       (13)
         minhash_sigs, count_and_k, assign_nearest, cluster_sizes,
         dev_inertia, avg_dist_per_cluster, purity, accuracy, dbi,
-        silhouette, knn_top5, conn_objective, pareto_front, crowding,
-        minmax_norm, q1_pricing,
+        silhouette, knn_top5, conn_objective, pareto_front,
         # --- the 50-entry truncation lands exactly here ---
         # rest of the stale tail — oldest-verified-first; next round's
-        # rotation slice starts at q3_shipping
+        # rotation slice starts at crowding (the three names the in-window
+        # round-7 additions displaced come first)
+        crowding, minmax_norm, q1_pricing,
         q3_shipping, nation_revenue, top_parts, order_priorities, events_windowed, events_stream,
         dedup_exact,
         # driver-green r05, code unchanged
@@ -3169,6 +3215,83 @@ def oracle_sql() -> dict[str, str]:
 
     # same exact labels, different round algorithm -> same oracle
     o["dedup_components_star"] = o["dedup_components"]
+
+    # non-overlapping 8-token block stream over normalized text; the
+    # positional join enumerates range(1, 100000) -> same loud 100k-token
+    # oracle ceiling as the span oracles
+    _BLK_CTE = r"""
+        ntext AS (SELECT doc_id, lower(array_to_string(string_split_regex(trim(text), '\s+'), ' ')) AS nt FROM documents),
+        ntoks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM ntext),
+        guard AS (SELECT CASE WHEN max(len(t)) >= 100000
+                              THEN error('block oracle 100k-token ceiling exceeded')
+                              ELSE 1 END AS ok FROM ntoks),
+        blk AS (
+          SELECT doc_id, ((i-1)//8)::INT AS para_idx, array_to_string(t[i:i+7], ' ') AS b
+          FROM ntoks JOIN range(1, 100000) r(i)
+            ON r.i <= len(t) AND ((r.i - 1) % 8) = 0)
+    """
+
+    o["para_dup_stats"] = f"""
+        WITH {_BLK_CTE},
+        dupc AS (SELECT md5(b) AS fp, count(DISTINCT doc_id) AS nd FROM blk GROUP BY 1)
+        SELECT doc_id,
+               count(*)::BIGINT AS n_paras,
+               count(*) FILTER (WHERE nd >= 2)::BIGINT AS n_dup_paras,
+               round(avg(CASE WHEN nd >= 2 THEN 1.0 ELSE 0.0 END), 6) AS dup_frac
+        FROM blk JOIN dupc ON md5(b) = fp
+        GROUP BY doc_id
+        HAVING (SELECT ok FROM guard) = 1
+    """
+
+    o["docs_para_dedup"] = f"""
+        WITH {_BLK_CTE},
+        dup AS (SELECT md5(b) AS fp FROM blk GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        kept AS (SELECT doc_id, para_idx, b FROM blk WHERE md5(b) NOT IN (SELECT fp FROM dup)),
+        reb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                       string_agg(b, ' ' ORDER BY para_idx) AS ct
+                FROM kept GROUP BY doc_id),
+        np AS (SELECT doc_id, count(*)::BIGINT AS n_paras FROM blk GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(np.n_paras, 0)::BIGINT AS n_paras,
+               coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+               md5(coalesce(reb.ct, '')) AS clean_fp
+        FROM documents d LEFT JOIN np USING (doc_id) LEFT JOIN reb USING (doc_id)
+        WHERE (SELECT ok FROM guard) = 1
+    """
+
+    # components (same transitive-closure CTE as dedup_components) +
+    # quality_score; winner = first by (quality DESC, doc_id ASC)
+    o["dedup_keep_best"] = f"""
+        WITH RECURSIVE {_sh},
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        prs AS (
+          SELECT doc_a, doc_b
+          FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+          WHERE ni*1.0/(sa.n + sb.n - ni) >= 0.5),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+                  UNION ALL SELECT doc_b, doc_a FROM prs),
+        reach(v, r) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT reach.v, e.b FROM reach JOIN edges e ON e.a = reach.r),
+        comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY 1),
+        {_TOKS_CTE},
+        q AS (SELECT doc_id,
+                     round((CASE WHEN len(t) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END) *
+                           (len(list_distinct(t))*1.0/len(t)), 6) AS quality
+              FROM toks),
+        mem AS (SELECT comp.doc_id, comp.component, q.quality
+                FROM comp JOIN q USING (doc_id))
+        SELECT doc_id, component,
+               first_value(doc_id) OVER (PARTITION BY component
+                                         ORDER BY quality DESC, doc_id ASC) AS canon_id,
+               (doc_id = first_value(doc_id) OVER (PARTITION BY component
+                                                   ORDER BY quality DESC, doc_id ASC)) AS is_canon
+        FROM mem
+    """
 
 
     o["dedup_jaccard_capped"] = f"""

@@ -765,3 +765,166 @@ def duplicated_span_stats(docs: DataFrame, k: int = 8) -> DataFrame:
         F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
         F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac"),
     )
+
+
+def paragraph_blocks(docs: DataFrame, *, para_tokens: int = 32) -> DataFrame:
+    """Non-overlapping token blocks — the unit stream for block/line-level
+    dedup (C4 discards lines seen three-plus times; RefinedWeb/Falcon
+    dedups at line granularity). The corpus here carries no newlines, so
+    the "paragraph" is a fixed-width token block of ``para_tokens``
+    normalized tokens; on a real corpus pass line-split text through the
+    same shape. Returns (doc_id, para_idx, n_tokens, block, fp) where fp
+    is md5 of the normalized block text (portable: the DuckDB oracle
+    computes the identical digest).
+
+    Map-only and zero-shuffle: sequence() of starts → slice → posexplode,
+    the same pure-Catalyst shape as chunk_documents (text.py:279).
+    """
+    if para_tokens < 1:
+        raise ValueError("para_tokens must be >= 1")
+    nt = F.split(normalized_text(), " ")
+    n = F.size(nt)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(para_tokens))
+    blocks = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(nt, s, para_tokens)))
+    sizes = F.transform(starts, lambda s: F.least(F.lit(para_tokens), n - s + 1))
+    return (
+        _spread(docs)
+        .select(
+            "doc_id",
+            F.posexplode(F.arrays_zip(blocks.alias("b"), sizes.alias("s"))).alias(
+                "para_idx", "z"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("para_idx").cast("int").alias("para_idx"),
+            F.col("z.s").cast("int").alias("n_tokens"),
+            F.col("z.b").alias("block"),
+            F.md5(F.col("z.b")).alias("fp"),
+        )
+    )
+
+
+def paragraph_dup_stats(docs: DataFrame, *, para_tokens: int = 32) -> DataFrame:
+    """Per-document block-duplication audit: for each doc, how many of its
+    token blocks also appear (same md5 fingerprint) in at least one OTHER
+    document. The block-granularity sibling of duplicated_span_stats —
+    cheaper (blocks don't overlap, so the unit stream is n/para_tokens
+    rows instead of n) and the direct MEASURE step for
+    remove_duplicate_paragraphs below.
+
+    Scale: one partial-aggregated count-distinct-doc shuffle on the fp
+    key, the unit stream re-joins that table on the same key, one doc_id
+    fold. Nothing grows faster than the corpus.
+    """
+    blk = paragraph_blocks(docs, para_tokens=para_tokens)
+    df_tab = blk.groupBy("fp").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        blk.join(df_tab, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_dup_paras"),
+            F.round(F.avg((F.col("nd") >= 2).cast("double")), 6).alias("dup_frac"),
+        )
+    )
+
+
+def remove_duplicate_paragraphs(
+    docs: DataFrame, *, para_tokens: int = 32, min_docs: int = 2
+) -> DataFrame:
+    """Block-level corpus dedup (the C4 / RefinedWeb line-dedup shape):
+    drop every token block whose fingerprint occurs in at least
+    ``min_docs`` DISTINCT documents, from every document carrying it,
+    then rebuild each document from its surviving blocks in order.
+    Dropping all copies (rather than electing a keeper) keeps the
+    operator a pure function of the corpus — no tie-break ordering, so
+    the result is deterministic under any partitioning and the oracle
+    replays it exactly.
+
+    Returns (doc_id, n_paras, n_kept, text_clean) for EVERY input doc —
+    a doc whose blocks are all duplicated comes back with n_kept=0 and
+    empty text (left join back to the corpus), mirroring
+    remove_duplicated_spans' contract.
+
+    Scale shape: one fp-keyed count-distinct aggregate over the block
+    stream, a left_anti join back on the SAME key (AQE reuses the
+    exchange), and one doc_id shuffle to reassemble — three bounded
+    shuffles, zero Python, nothing quadratic. The dup-fingerprint table
+    is only as large as the duplicated fraction of the corpus, but is
+    NOT assumed broadcastable (contrast the decontamination probe,
+    where the benchmark side is small by construction).
+    """
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would delete every block)")
+    blk = paragraph_blocks(docs, para_tokens=para_tokens)
+    dup_fp = (
+        blk.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("fp")
+    )
+    kept = blk.join(dup_fp, "fp", "left_anti")
+    reb = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_idx", "block"))),
+                lambda s: s["block"],
+            ),
+        ).alias("text_clean"),
+    )
+    n_paras = blk.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    return (
+        docs.select("doc_id")
+        .join(n_paras, "doc_id", "left")
+        .join(reb, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def canonical_by_score(
+    members: DataFrame,
+    scores: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection over duplicate clusters — the
+    KEEP step after duplicate_components: instead of the min-id
+    representative, each component keeps its highest-``score_col`` member
+    (ties broken by min id, so the election is total and deterministic).
+    Returns (id, component, canon_id, is_canon) for every member.
+
+    Shape: one equi-join members⋈scores on the id key, then the
+    per-component winner as a struct-max AGGREGATE (not a rank window
+    over the member list): per-component state is O(1) and the partial
+    max combines map-side. The winner table (≤ one row per component)
+    joins back component-keyed. Two key-bounded shuffles; nothing
+    quadratic.
+    """
+    m = members.select(F.col(id_col).alias("_id"), F.col(comp_col).alias("_comp"))
+    s = scores.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_score"))
+    joined = m.join(s, "_id")
+    # winner per component as an O(1)-state aggregate: max on the
+    # (score, -id) order realized as a struct max (score asc, then id
+    # DESC inverted via negation so the struct max lands on min id)
+    winners = joined.groupBy("_comp").agg(
+        F.max(F.struct(F.col("_score").alias("s"), (-F.col("_id")).alias("nid"))).alias("w")
+    ).select("_comp", (-F.col("w.nid")).alias("_canon"))
+    return (
+        joined.join(winners, "_comp")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_comp").alias(comp_col),
+            F.col("_canon").alias("canon_id"),
+            (F.col("_id") == F.col("_canon")).alias("is_canon"),
+        )
+    )

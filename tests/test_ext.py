@@ -1728,3 +1728,128 @@ def test_observed_stream_metrics_in_progress(spark, tmp_path):
     total_rows = sum(m["rows"] for m in metrics)
     assert total_rows == spark.read.parquet(path).count()
     assert all(m["null_or_empty"] == 0 for m in metrics)
+
+
+class TestParagraphDedup:
+    def test_blocks_partition_the_doc(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i j")], "doc_id long, text string"
+        )
+        blk = dd.paragraph_blocks(docs, para_tokens=4).orderBy("para_idx").collect()
+        assert [r["block"] for r in blk] == ["a b c d", "e f g h", "i j"]
+        assert [r["n_tokens"] for r in blk] == [4, 4, 2]
+        # rebuild from blocks == normalized original
+        assert " ".join(r["block"] for r in blk) == "a b c d e f g h i j"
+
+    def test_cross_doc_duplicate_blocks_dropped_everywhere(self, spark):
+        shared = "s1 s2 s3 s4"
+        docs = spark.createDataFrame(
+            [
+                (1, "u1 u2 u3 u4 " + shared),
+                (2, "v1 v2 v3 v4 " + shared),
+                (3, "w1 w2 w3 w4 x1 x2 x3 x4"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dd.remove_duplicate_paragraphs(
+                docs, para_tokens=4, min_docs=2
+            ).collect()
+        }
+        assert out[1]["text_clean"] == "u1 u2 u3 u4" and out[1]["n_kept"] == 1
+        assert out[2]["text_clean"] == "v1 v2 v3 v4" and out[2]["n_kept"] == 1
+        assert out[3]["text_clean"] == "w1 w2 w3 w4 x1 x2 x3 x4"
+        assert out[1]["n_paras"] == 2 and out[3]["n_kept"] == 2
+
+    def test_same_doc_repeat_not_cross_doc_kept(self, spark):
+        """min_docs counts DISTINCT docs: a block repeated within ONE doc
+        survives (contrast remove_duplicated_spans, which counts every
+        occurrence)."""
+        rep = "r1 r2 r3 r4"
+        docs = spark.createDataFrame(
+            [(1, rep + " " + rep), (2, "z1 z2 z3 z4")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dd.remove_duplicate_paragraphs(
+                docs, para_tokens=4, min_docs=2
+            ).collect()
+        }
+        assert out[1]["text_clean"] == rep + " " + rep and out[1]["n_kept"] == 2
+
+    def test_fully_duplicated_doc_comes_back_empty(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dd.remove_duplicate_paragraphs(
+                docs, para_tokens=4, min_docs=2
+            ).collect()
+        }
+        assert out[1]["text_clean"] == "" and out[1]["n_kept"] == 0
+        assert out[2]["text_clean"] == "" and out[2]["n_paras"] == 1
+        assert len(out) == 2  # left join keeps every input doc
+
+    def test_stats_match_scrub(self, spark):
+        shared = "s1 s2 s3 s4"
+        docs = spark.createDataFrame(
+            [(1, "u1 u2 u3 u4 " + shared), (2, shared)],
+            "doc_id long, text string",
+        )
+        st = {
+            r["doc_id"]: r
+            for r in dd.paragraph_dup_stats(docs, para_tokens=4).collect()
+        }
+        assert st[1]["n_paras"] == 2 and st[1]["n_dup_paras"] == 1
+        assert st[1]["dup_frac"] == 0.5
+        assert st[2]["n_dup_paras"] == 1 and st[2]["dup_frac"] == 1.0
+
+    def test_guards(self, spark):
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            dd.remove_duplicate_paragraphs(docs, min_docs=1)
+        with pytest.raises(ValueError):
+            dd.paragraph_blocks(docs, para_tokens=0)
+
+
+class TestCanonicalByScore:
+    def test_highest_score_wins_ties_to_min_id(self, spark):
+        members = spark.createDataFrame(
+            [(10, 1), (11, 1), (12, 1), (20, 2), (21, 2)],
+            "doc_id long, component long",
+        )
+        scores = spark.createDataFrame(
+            [(10, 0.2), (11, 0.9), (12, 0.9), (20, 0.5), (21, 0.5)],
+            "doc_id long, score double",
+        )
+        out = {r["doc_id"]: r for r in dd.canonical_by_score(members, scores).collect()}
+        # component 1: 11 and 12 tie at 0.9 -> min id 11 wins
+        assert all(out[i]["canon_id"] == 11 for i in (10, 11, 12))
+        assert out[11]["is_canon"] and not out[10]["is_canon"] and not out[12]["is_canon"]
+        # component 2: tie at 0.5 -> min id 20
+        assert out[20]["canon_id"] == 20 and out[21]["canon_id"] == 20
+        assert out[20]["is_canon"] and not out[21]["is_canon"]
+
+    def test_composes_with_components(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c a b c a b c a b c"),
+                (2, "a b c a b c a b c a b c"),
+                (3, "z y x w v u t s r q p o"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = dd.jaccard_pairs(docs, threshold=0.5, k=3)
+        members = dd.duplicate_components(pairs)
+        from mopso_engine.ext.text import quality_score
+
+        out = dd.canonical_by_score(
+            members, quality_score(docs), score_col="quality"
+        ).collect()
+        ids = {r["doc_id"] for r in out}
+        assert ids == {1, 2}  # doc 3 is in no pair -> not a component member
+        canon = {r["canon_id"] for r in out}
+        assert canon == {1}  # equal quality -> min doc_id
