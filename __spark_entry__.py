@@ -1601,6 +1601,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_paras", "n_kept", F.md5("text_clean").alias("clean_fp")
         )
 
+    def docs_bigram_logppl(spark, sf):
+        """Interpolated bigram LM log-perplexity (`ext.text.bigram_logppl`):
+        0.75·p(w|prev) + 0.25·p(w) over the top-500 vocab-mapped alphabet
+        (everything else -> one OOV symbol), first token unigram-only.
+        Sees local word ORDER, unlike docs_logppl. In-row pair stream
+        (slice+zip, no lag window); integer micro-nat sums make the
+        trajectory engine-exact; unigram/context tables broadcast at <=
+        V+1 rows."""
+        return tx.bigram_logppl(
+            read_table(spark, sf, "documents"), vocab_size=500, alpha=0.5, lam=0.75
+        )
+
+    def decontaminate_semantic(spark, sf):
+        """Embedding-space benchmark decontamination
+        (`ext.simsearch.semantic_decontaminate`): flag vectors whose max
+        cosine to any held-out benchmark vector reaches the threshold —
+        the paraphrase-robust sibling of the n-gram probe. Benchmark =
+        deterministic md5 sample (5%); threshold 0.3 sits at this
+        synthetic corpus's 90th percentile so both flag branches fire.
+        One map-only Arrow scan (bench matrix rides the closure);
+        quantize-before-argmax makes neighbor + flag engine-exact."""
+        return ss.semantic_decontaminate(
+            read_table(spark, sf, "embeddings"), bench_fraction=0.05, threshold=0.3
+        )
+
     def dedup_keep_best(spark, sf):
         """Quality-aware canonical selection (`ext.dedup.canonical_by_score`):
         connected components over the jaccard >= 0.5 pair list, then each
@@ -2605,7 +2630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (line-level) dedup audit + scrub; quality-aware canonical
         # selection                                                     (7)
         mopso_fit_lsh, bpe_token_counts, docs_packed_bpe, dedup_components_star,
-        para_dup_stats, docs_para_dedup, dedup_keep_best,
+        para_dup_stats, docs_para_dedup, dedup_keep_best, decontaminate_semantic,
+        docs_bigram_logppl,
         # round-7 code-changed, re-earning rows: sketch m-guard pair,
         # pii_counts overwrite pair, span-oracle guards + interval-merge
         # despan rebuild, pack_sequences count_col signature            (7)
@@ -2623,12 +2649,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # said this slice starts at count_and_k)                       (13)
         minhash_sigs, count_and_k, assign_nearest, cluster_sizes,
         dev_inertia, avg_dist_per_cluster, purity, accuracy, dbi,
-        silhouette, knn_top5, conn_objective, pareto_front,
+        silhouette, knn_top5,
         # --- the 50-entry truncation lands exactly here ---
         # rest of the stale tail — oldest-verified-first; next round's
-        # rotation slice starts at crowding (the three names the in-window
+        # rotation slice starts at conn_objective (the names the in-window
         # round-7 additions displaced come first)
-        crowding, minmax_norm, q1_pricing,
+        conn_objective, pareto_front, crowding, minmax_norm, q1_pricing,
         q3_shipping, nation_revenue, top_parts, order_priorities, events_windowed, events_stream,
         dedup_exact,
         # driver-green r05, code unchanged
@@ -3256,6 +3282,75 @@ def oracle_sql() -> dict[str, str]:
                md5(coalesce(reb.ct, '')) AS clean_fp
         FROM documents d LEFT JOIN np USING (doc_id) LEFT JOIN reb USING (doc_id)
         WHERE (SELECT ok FROM guard) = 1
+    """
+
+    # vocab-mapped interpolated bigram LM; positional pair join under the
+    # same loud 100k-token ceiling as the span oracles
+    o["docs_bigram_logppl"] = r"""
+        WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        guard AS (SELECT CASE WHEN max(len(t)) >= 100000
+                              THEN error('bigram oracle 100k-token ceiling exceeded')
+                              ELSE 1 END AS ok FROM toks),
+        tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        counts AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        total AS (SELECT sum(len(t))::DOUBLE AS n_total FROM toks),
+        vocab AS (SELECT w FROM counts ORDER BY c DESC, w ASC LIMIT 500),
+        tokm AS (SELECT doc_id, CASE WHEN vocab.w IS NULL THEN '<oov>' ELSE tok.w END AS m
+                 FROM tok LEFT JOIN vocab USING (w)),
+        cm AS (SELECT m, count(*) AS c FROM tokm GROUP BY 1),
+        p1 AS (SELECT m, (c + 0.5) / (n_total + 250.5) AS p FROM cm, total),
+        pr AS (SELECT doc_id, t[i] AS pa, t[i+1] AS pb
+               FROM toks JOIN range(1, 100000) r(i) ON r.i <= len(t) - 1),
+        prm AS (SELECT doc_id,
+                       CASE WHEN va.w IS NULL THEN '<oov>' ELSE pr.pa END AS ma,
+                       CASE WHEN vb.w IS NULL THEN '<oov>' ELSE pr.pb END AS mb
+                FROM pr LEFT JOIN vocab va ON va.w = pr.pa
+                        LEFT JOIN vocab vb ON vb.w = pr.pb),
+        c2 AS (SELECT ma, mb, count(*) AS c2 FROM prm GROUP BY 1, 2),
+        ctx AS (SELECT ma, sum(c2)::DOUBLE AS cc FROM c2 GROUP BY 1),
+        sc2 AS (SELECT prm.doc_id,
+                       floor(ln(0.75 * ((c2.c2 + 0.5) / (ctx.cc + 250.5))
+                                + 0.25 * p1.p) * 1e6 + 0.5)::BIGINT AS lq
+                FROM prm JOIN c2 USING (ma, mb) JOIN ctx USING (ma)
+                         JOIN p1 ON p1.m = prm.mb),
+        fm AS (SELECT f.doc_id, CASE WHEN vocab.w IS NULL THEN '<oov>' ELSE f.w END AS m
+               FROM (SELECT doc_id, t[1] AS w FROM toks WHERE len(t) >= 1) f
+               LEFT JOIN vocab ON vocab.w = f.w),
+        sc1 AS (SELECT fm.doc_id, floor(ln(p1.p) * 1e6 + 0.5)::BIGINT AS lq
+                FROM fm JOIN p1 USING (m)),
+        allsc AS (SELECT * FROM sc1 UNION ALL SELECT * FROM sc2),
+        nt AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks)
+        SELECT nt.doc_id, nt.n_tokens,
+               round(-sum(lq) / (1e6 * nt.n_tokens), 6) AS logppl
+        FROM nt JOIN allsc USING (doc_id)
+        GROUP BY 1, 2
+        HAVING (SELECT ok FROM guard) = 1
+    """
+
+    # per-pair cosine folded over dims (same order as the Arrow kernel),
+    # quantized to micro-units BEFORE the argmax; ties -> min bench id
+    o["decontaminate_semantic"] = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        b AS (SELECT vec_id, vec FROM v
+              WHERE (('0x' || substr(md5(vec_id::VARCHAR || '#sembench'), 1, 8))::BIGINT)::DOUBLE
+                    / 4294967296.0 < 0.05),
+        pr AS (SELECT v.vec_id AS cid, b.vec_id AS bid, unnest(v.vec) AS x, unnest(b.vec) AS y
+               FROM v, b WHERE v.vec_id <> b.vec_id),
+        dots AS (SELECT cid, bid, sum(x*y) AS dp, sqrt(sum(x*x)) AS nx, sqrt(sum(y*y)) AS ny
+                 FROM pr GROUP BY 1, 2),
+        q AS (SELECT cid, bid, floor(dp/(nx*ny)*1e6 + 0.5) AS qc FROM dots),
+        rk AS (SELECT cid, bid, qc,
+                      row_number() OVER (PARTITION BY cid ORDER BY qc DESC, bid ASC) AS rn
+               FROM q)
+        SELECT cid AS vec_id,
+               (('0x' || substr(md5(cid::VARCHAR || '#sembench'), 1, 8))::BIGINT)::DOUBLE
+                   / 4294967296.0 < 0.05 AS in_benchmark,
+               round(qc/1e6, 6) AS max_cos,
+               bid AS nearest_bench_id,
+               (NOT ((('0x' || substr(md5(cid::VARCHAR || '#sembench'), 1, 8))::BIGINT)::DOUBLE
+                     / 4294967296.0 < 0.05)
+                AND qc/1e6 >= 0.3) AS contaminated
+        FROM rk WHERE rn = 1
     """
 
     # components (same transitive-closure CTE as dedup_components) +

@@ -886,3 +886,112 @@ def embedding_outliers(
             (F.col("__rnk") <= F.ceil(F.lit(float(frac)) * F.col("__sz"))).alias("is_outlier"),
         )
     )
+
+
+#: driver-side ceiling for the broadcast benchmark matrix in
+#: semantic_decontaminate — suites are ~1e4-1e6 rows; past this the
+#: operator must switch to the IVF candidate path instead of silently
+#: collecting an unbounded matrix.
+MAX_BENCH_ROWS = 100_000
+
+
+def semantic_decontaminate(
+    embeddings: DataFrame,
+    *,
+    bench_fraction: float = 0.05,
+    threshold: float = 0.8,
+    salt: str = "sembench",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic sibling of
+    ngram_decontaminate (dedup.py:420): flag every corpus vector whose
+    max cosine similarity to ANY held-out benchmark vector reaches
+    ``threshold``, catching paraphrased/reformatted test-set leakage that
+    n-gram overlap misses. As there, the 'benchmark' is a deterministic
+    md5-hash sample of the corpus itself — the plumbing, not the suite,
+    is the operator.
+
+    Returns (vec_id, in_benchmark, max_cos, nearest_bench_id,
+    contaminated) — one row per input vector; benchmark members trivially
+    match themselves, so they are excluded both from the candidate
+    benchmark matrix a probe compares against (a vector never matches
+    itself) and from the flag.
+
+    Exactness: per-pair cosine accumulates SEQUENTIALLY OVER DIMS (the
+    same left-fold as _cosine_kernel, bit-identical to the SQL oracle's
+    per-pair sum), is quantized to 6 decimals BEFORE the argmax, and ties
+    break to the min benchmark vec_id — the winning neighbor and the flag
+    are exact under any partitioning.
+
+    100 TB shape: benchmark suites are small by construction, so the
+    bench matrix (guarded by MAX_BENCH_ROWS) rides the Arrow kernel's
+    closure as an implicit broadcast and the corpus is scored in ONE
+    map-only scan — no join, no shuffle, BLAS-friendly batches. A
+    benchmark past the guard should go through the IVF probe path
+    (cosine_topk_ivf_codebook) instead.
+    """
+    from mopso_engine.ext.pipeline import hash_uniform
+
+    import numpy as np
+    import pandas as pd
+
+    vecs = as_double_vecs(
+        embeddings if "label" in embeddings.columns else embeddings.withColumn("label", F.lit(0))
+    ).select("vec_id", "vec")
+    is_bench = hash_uniform("vec_id", salt=salt) < F.lit(float(bench_fraction))
+    bench = vecs.where(is_bench).orderBy("vec_id").collect()
+    if len(bench) > MAX_BENCH_ROWS:
+        raise ValueError(
+            f"benchmark sample has {len(bench)} rows > MAX_BENCH_ROWS={MAX_BENCH_ROWS}; "
+            "use the IVF candidate path for oversized suites"
+        )
+    if not bench:
+        raise ValueError("benchmark sample is empty; raise bench_fraction")
+    bench_ids = np.array([r["vec_id"] for r in bench], dtype=np.int64)
+    B = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in bench])
+    bn = np.zeros(B.shape[0])
+    for i in range(B.shape[1]):  # same fold order as the per-row norms
+        bn += B[:, i] * B[:, i]
+    bnorm = np.sqrt(bn)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["vec"].to_numpy())
+            ids = pdf["vec_id"].to_numpy()
+            dot = np.zeros((A.shape[0], B.shape[0]))
+            na = np.zeros(A.shape[0])
+            for i in range(A.shape[1]):  # sequential over dims == SQL's fold
+                dot += A[:, i : i + 1] * B[:, i]
+                na += A[:, i] * A[:, i]
+            cos = dot / (np.sqrt(na)[:, None] * bnorm[None, :])
+            # a vector never matches itself: mask self-pairs out of the
+            # candidate matrix before the argmax
+            cos[ids[:, None] == bench_ids[None, :]] = -np.inf
+            q = np.floor(cos * 1e6 + 0.5)  # quantize BEFORE argmax
+            best = q.max(axis=1)
+            # tie -> min bench id: first True along the sorted bench axis
+            nearest = bench_ids[np.argmax(q == best[:, None], axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "max_cos": best / 1e6,
+                    "nearest_bench_id": nearest,
+                }
+            )
+
+    scored = vecs.mapInPandas(
+        kernel, "vec_id long, max_cos double, nearest_bench_id long"
+    )
+    return (
+        scored.withColumn("in_benchmark", is_bench.alias("in_benchmark"))
+        .select(
+            "vec_id",
+            "in_benchmark",
+            F.round("max_cos", 6).alias("max_cos"),
+            "nearest_bench_id",
+            ((~is_bench) & (F.col("max_cos") >= F.lit(float(threshold)))).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -478,3 +478,108 @@ def unigram_logppl(
             F.round(-F.col("s") / (F.lit(1e6) * F.col("n_tokens")), 6).alias("logppl"),
         )
     )
+
+
+#: reserved out-of-vocabulary symbol for the LM operators; angle brackets
+#: cannot appear in whitespace-split tokens of this corpus family, and the
+#: trainer fails loudly if a real token ever collides with it.
+OOV_TOKEN = "<oov>"
+
+
+def bigram_logppl(
+    docs: DataFrame, *, vocab_size: int = 500, alpha: float = 0.5, lam: float = 0.75
+) -> DataFrame:
+    """Interpolated bigram log-perplexity per document — the next step up
+    from :func:`unigram_logppl` on the CCNet/KenLM ladder: score each
+    position by ``λ·p(wᵢ|wᵢ₋₁) + (1−λ)·p(wᵢ)`` so the filter sees local
+    word ORDER (shuffled or templated text scores worse than its unigram
+    twin suggests), while the unigram back-off keeps every position
+    finite. The first token of a doc is scored by the unigram term alone
+    (no BOS symbol).
+
+    Model, over the vocab-mapped alphabet (top ``vocab_size`` tokens by
+    count desc / token asc; everything else becomes OOV_TOKEN — unlike
+    unigram_logppl's α-only OOV bucket, the mapped model is a proper
+    distribution over V+1 symbols):
+      p1(m)   = (c(m) + α) / (N + α(V+1))
+      p2(b|a) = (c₂(a,b) + α) / (ctx(a) + α(V+1)),  ctx(a) = Σ_b c₂(a,b)
+    Per-position ln is quantized to integer micro-nats BEFORE the per-doc
+    sum (the repo's integer-grid trick), so the aggregate is
+    partition-order-proof and the SQL oracle replays it exactly.
+
+    Scale shape: pair construction is IN-ROW (slice+zip, no lag window —
+    zero shuffle), counts are partial-aggregated key shuffles; the
+    unigram and context tables are ≤ V+1 rows (broadcast), and the only
+    possibly-large model table is the observed-pair table c₂ (≤ (V+1)²,
+    in practice ≪) which joins the pair stream on its natural (ma, mb)
+    key — Catalyst broadcasts it while it fits and degrades to a shuffle
+    join past the threshold. One doc_id shuffle folds the scores.
+    """
+    v1 = float(alpha) * (float(vocab_size) + 1.0)
+    toks = tokens_col()
+    base = docs.select("doc_id", toks.alias("t"))
+    tok = base.select("doc_id", F.explode("t").alias("w"))
+    counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = base.agg(F.sum(F.size("t")).cast("double").alias("n_total"))
+    vocab = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(int(vocab_size))
+    if vocab.where(F.col("w") == OOV_TOKEN).limit(1).count() > 0:
+        raise ValueError(f"corpus contains the reserved OOV symbol {OOV_TOKEN!r}")
+    vset = F.broadcast(vocab.select("w", F.lit(True).alias("_inv")))
+
+    def mapped(df, col):
+        return (
+            df.join(vset.withColumnRenamed("w", col), col, "left")
+            .withColumn(col, F.when(F.col("_inv"), F.col(col)).otherwise(F.lit(OOV_TOKEN)))
+            .drop("_inv")
+        )
+
+    tok_m = mapped(tok, "w")
+    cm = tok_m.groupBy("w").agg(F.count("*").alias("cm"))
+    p1 = (
+        cm.crossJoin(F.broadcast(total))
+        .select("w", ((F.col("cm") + F.lit(float(alpha))) / (F.col("n_total") + F.lit(v1))).alias("p1"))
+    )
+    # in-row pair stream: (prev, cur) for positions 2..n — no lag window
+    n = F.size("t")
+    pairs = base.where(n >= 2).select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n - 1).alias("pa"), F.slice("t", 2, n - 1).alias("pb")
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.pa").alias("pa"), F.col("z.pb").alias("pb"))
+    prm = mapped(mapped(pairs.withColumnRenamed("pa", "ma"), "ma").withColumnRenamed("pb", "mb"), "mb")
+    c2 = prm.groupBy("ma", "mb").agg(F.count("*").alias("c2"))
+    ctx = c2.groupBy("ma").agg(F.sum("c2").alias("cc"))
+    p2 = (F.col("c2") + F.lit(float(alpha))) / (F.col("cc").cast("double") + F.lit(v1))
+    sc2 = (
+        prm.join(c2, ["ma", "mb"])
+        .join(F.broadcast(ctx), "ma")
+        .join(F.broadcast(p1.withColumnRenamed("w", "mb")), "mb")
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(F.lit(float(lam)) * p2 + F.lit(1.0 - float(lam)) * F.col("p1"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long").alias("lq"),
+        )
+    )
+    first = mapped(base.select("doc_id", F.element_at("t", 1).alias("w")), "w")
+    sc1 = first.join(F.broadcast(p1), "w").select(
+        "doc_id",
+        F.floor(F.log("p1") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("lq"),
+    )
+    nt = base.select("doc_id", n.cast("long").alias("n_tokens"))
+    return (
+        sc1.unionByName(sc2)
+        .groupBy("doc_id")
+        .agg(F.sum("lq").alias("s"))
+        .join(nt, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(-F.col("s") / (F.lit(1e6) * F.col("n_tokens")), 6).alias("logppl"),
+        )
+    )

@@ -1853,3 +1853,145 @@ class TestCanonicalByScore:
         assert ids == {1, 2}  # doc 3 is in no pair -> not a component member
         canon = {r["canon_id"] for r in out}
         assert canon == {1}  # equal quality -> min doc_id
+
+
+class TestSemanticDecontaminate:
+    def _mk(self, spark, n=40, d=8, seed=3):
+        rng = np.random.default_rng(seed)
+        X = rng.normal(size=(n, d))
+        # plant a near-clone pair so high-cos structure exists
+        X[1] = X[0] + 1e-3
+        rows = [(i, [float(x) for x in X[i]], 0) for i in range(n)]
+        return (
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int"),
+            X,
+        )
+
+    def test_matches_numpy_brute_force(self, spark):
+        from mopso_engine.ext.pipeline import hash_uniform
+
+        docs, X = self._mk(spark)
+        frac, thr = 0.4, 0.5
+        out = {
+            r["vec_id"]: r
+            for r in ss.semantic_decontaminate(
+                docs, bench_fraction=frac, threshold=thr
+            ).collect()
+        }
+        # replicate the hash membership with the SAME Spark expression
+        bench = {
+            r["vec_id"]
+            for r in docs.select("vec_id")
+            .where(hash_uniform("vec_id", salt="sembench") < frac)
+            .collect()
+        }
+        assert 2 <= len(bench) < len(out)
+        # floats came back through array<float>: replay from the stored
+        # (downcast) values, folding dims sequentially like the kernel
+        Xf = X.astype(np.float32).astype(np.float64)
+        for vid, r in out.items():
+            best_q, best_id = None, None
+            for b in sorted(bench):
+                if b == vid:
+                    continue
+                dot = na = nb = 0.0
+                for i in range(Xf.shape[1]):
+                    dot += Xf[vid, i] * Xf[b, i]
+                    na += Xf[vid, i] * Xf[vid, i]
+                    nb += Xf[b, i] * Xf[b, i]
+                q = np.floor(dot / (np.sqrt(na) * np.sqrt(nb)) * 1e6 + 0.5)
+                if best_q is None or q > best_q:
+                    best_q, best_id = q, b
+            assert r["nearest_bench_id"] == best_id, vid
+            assert r["max_cos"] == round(best_q / 1e6, 6)
+            assert r["in_benchmark"] == (vid in bench)
+            assert r["contaminated"] == (vid not in bench and r["max_cos"] >= thr)
+
+    def test_planted_clone_contaminates_when_partner_in_bench(self, spark):
+        """If one of the clone pair lands in the benchmark, the other is
+        flagged at a high threshold."""
+        docs, _ = self._mk(spark)
+        out = {
+            r["vec_id"]: r
+            for r in ss.semantic_decontaminate(
+                docs, bench_fraction=0.4, threshold=0.999
+            ).collect()
+        }
+        pair = (out[0], out[1])
+        if out[0]["in_benchmark"] != out[1]["in_benchmark"]:
+            nonb = pair[0] if not pair[0]["in_benchmark"] else pair[1]
+            assert nonb["contaminated"] and nonb["max_cos"] >= 0.999
+
+    def test_guards(self, spark):
+        docs, _ = self._mk(spark, n=10)
+        with pytest.raises(ValueError):
+            ss.semantic_decontaminate(docs, bench_fraction=1e-9)
+        old = ss.MAX_BENCH_ROWS
+        ss.MAX_BENCH_ROWS = 1
+        try:
+            with pytest.raises(ValueError):
+                ss.semantic_decontaminate(docs, bench_fraction=0.9)
+        finally:
+            ss.MAX_BENCH_ROWS = old
+
+
+class TestBigramLogppl:
+    def test_matches_python_replay(self, spark):
+        import math
+        from collections import Counter
+
+        corpus = {1: "a b a b a b", 2: "a a a a", 3: "x", 4: "b a b a"}
+        docs = spark.createDataFrame(
+            list(corpus.items()), "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in tx.bigram_logppl(docs, vocab_size=2, alpha=0.5, lam=0.75).collect()
+        }
+        toks = {k: v.split() for k, v in corpus.items()}
+        allt = [w for t in toks.values() for w in t]
+        c = Counter(allt)
+        vocab = {w for w, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:2]}
+        m = {k: [w if w in vocab else "<oov>" for w in t] for k, t in toks.items()}
+        N, v1 = len(allt), 0.5 * 3
+        cm = Counter(w for t in m.values() for w in t)
+        p1 = {w: (cm[w] + 0.5) / (N + v1) for w in cm}
+        c2 = Counter((t[i], t[i + 1]) for t in m.values() for i in range(len(t) - 1))
+        ctx = Counter()
+        for (a, _), n in c2.items():
+            ctx[a] += n
+        for k, t in m.items():
+            s = math.floor(math.log(p1[t[0]]) * 1e6 + 0.5)
+            for i in range(len(t) - 1):
+                a, b = t[i], t[i + 1]
+                p2 = (c2[(a, b)] + 0.5) / (ctx[a] + v1)
+                s += math.floor(math.log(0.75 * p2 + 0.25 * p1[b]) * 1e6 + 0.5)
+            assert out[k]["logppl"] == round(-s / (1e6 * len(t)), 6), k
+            assert out[k]["n_tokens"] == len(t)
+
+    def test_word_order_sensitivity(self, spark):
+        """The bigram term separates texts the unigram model cannot: same
+        token multiset, coherent vs shuffled order."""
+        coherent = " ".join(["the cat sat on the mat"] * 10)
+        words = coherent.split()
+        shuffled = " ".join(words[::2] + words[1::2][::-1])
+        docs = spark.createDataFrame(
+            [(1, coherent), (2, shuffled)], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r["logppl"]
+            for r in tx.bigram_logppl(docs, vocab_size=10, alpha=0.5, lam=0.75).collect()
+        }
+        uni = {
+            r["doc_id"]: r["logppl"]
+            for r in tx.unigram_logppl(docs, vocab_size=10, alpha=0.5).collect()
+        }
+        assert out[1] < out[2]  # repeated-phrase text is more predictable
+        assert abs(uni[1] - uni[2]) < 1e-9  # unigram model is order-blind
+
+    def test_oov_symbol_collision_raises(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "<oov> appears here " + "filler " * 5)], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError):
+            tx.bigram_logppl(docs, vocab_size=50)
