@@ -1601,6 +1601,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_paras", "n_kept", F.md5("text_clean").alias("clean_fp")
         )
 
+    def events_key_skew(spark, sf):
+        """Key-skew diagnostic (`ext.pipeline.key_skew_profile`): top-10
+        heaviest user_id values with row share and skew ratio vs uniform
+        — the MEASURE step before picking salt/AQE/broadcast for a hot
+        key. One count shuffle + a two-number re-agg + TakeOrdered."""
+        from mopso_engine.ext import pipeline as pl
+
+        return pl.key_skew_profile(read_table(spark, sf, "events"), "user_id", top_k=10)
+
+    def source_mixture_temp(spark, sf):
+        """Temperature-scaled mixture (`ext.pipeline
+        .source_mixture_temperature`, share_i ∝ n_i^0.5): the
+        multilingual-sampling rule that upsamples low-resource sources;
+        shares derive from the corpus itself (contrast source_mixture's
+        input targets). sqrt is IEEE-correctly-rounded and the micro-unit
+        quantization happens BEFORE the normalizing sum, so every share
+        is engine-exact. One tiny stratum-keyed count shuffle."""
+        from mopso_engine.ext import pipeline as pl
+
+        return pl.source_mixture_temperature(
+            read_table(spark, sf, "documents"), alpha=0.5, token_budget=100_000
+        )
+
+    def docs_shuffled(spark, sf):
+        """Reproducible global shuffle manifest (`ext.pipeline
+        .deterministic_shuffle`): every doc gets a (shard, pos) address
+        from the md5-uniform of its id — a pure function of the data, so
+        any engine/rerun emits the same training-epoch order. Map-only
+        shard assignment + ONE shard-partitioned rank window (shards
+        bound the window partitions at scale)."""
+        from mopso_engine.ext import pipeline as pl
+
+        return pl.deterministic_shuffle(
+            read_table(spark, sf, "documents").select("doc_id"), "doc_id", n_shards=16
+        )
+
     def docs_bigram_logppl(spark, sf):
         """Interpolated bigram LM log-perplexity (`ext.text.bigram_logppl`):
         0.75·p(w|prev) + 0.25·p(w) over the top-500 vocab-mapped alphabet
@@ -2631,7 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # selection                                                     (7)
         mopso_fit_lsh, bpe_token_counts, docs_packed_bpe, dedup_components_star,
         para_dup_stats, docs_para_dedup, dedup_keep_best, decontaminate_semantic,
-        docs_bigram_logppl,
+        docs_bigram_logppl, events_key_skew, source_mixture_temp, docs_shuffled,
         # round-7 code-changed, re-earning rows: sketch m-guard pair,
         # pii_counts overwrite pair, span-oracle guards + interval-merge
         # despan rebuild, pack_sequences count_col signature            (7)
@@ -2646,15 +2682,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the 4 that missed the r06 cutoff                              (4)
         token_counts, fingerprints, points_ingest, feature_minmax,
         # stale-tail rotation (oldest driver row first; r06's comment
-        # said this slice starts at count_and_k)                       (13)
+        # said this slice starts at count_and_k)                        (8)
         minhash_sigs, count_and_k, assign_nearest, cluster_sizes,
-        dev_inertia, avg_dist_per_cluster, purity, accuracy, dbi,
-        silhouette, knn_top5,
+        dev_inertia, avg_dist_per_cluster, purity, accuracy,
         # --- the 50-entry truncation lands exactly here ---
         # rest of the stale tail — oldest-verified-first; next round's
-        # rotation slice starts at conn_objective (the names the in-window
-        # round-7 additions displaced come first)
-        conn_objective, pareto_front, crowding, minmax_norm, q1_pricing,
+        # rotation slice starts at dbi (the names the in-window round-7
+        # additions displaced come first)
+        dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
+        minmax_norm, q1_pricing,
         q3_shipping, nation_revenue, top_parts, order_priorities, events_windowed, events_stream,
         dedup_exact,
         # driver-green r05, code unchanged
@@ -3282,6 +3318,45 @@ def oracle_sql() -> dict[str, str]:
                md5(coalesce(reb.ct, '')) AS clean_fp
         FROM documents d LEFT JOIN np USING (doc_id) LEFT JOIN reb USING (doc_id)
         WHERE (SELECT ok FROM guard) = 1
+    """
+
+    o["events_key_skew"] = """
+        WITH c AS (SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1),
+        t AS (SELECT sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys FROM c),
+        top AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id ASC LIMIT 10)
+        SELECT user_id, cnt,
+               row_number() OVER (ORDER BY cnt DESC, user_id ASC)::INT AS rank,
+               round(cnt / n_rows, 6) AS share,
+               round(cnt::DOUBLE * n_keys / n_rows, 6) AS skew_ratio,
+               n_rows, n_keys
+        FROM top, t
+    """
+
+    # sqrt (IEEE-correctly-rounded) quantized to micro-units BEFORE the
+    # normalizing sum; arithmetic order mirrors the Spark expressions
+    o["source_mixture_temp"] = r"""
+        WITH a AS (SELECT source,
+                          sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS tokens_available,
+                          count(*)::BIGINT AS n_docs
+                   FROM documents GROUP BY 1),
+        s AS (SELECT *, floor(sqrt(tokens_available::DOUBLE) * 1e6 + 0.5)::BIGINT AS qa FROM a),
+        d AS (SELECT sum(qa)::DOUBLE AS qsum FROM s)
+        SELECT source, tokens_available, n_docs,
+               round(qa / qsum, 6) AS target_share,
+               round(least(1.0, qa / qsum * 100000.0 / tokens_available), 6) AS rate,
+               floor(greatest(0.0, qa / qsum * 100000.0 - tokens_available))::BIGINT AS token_shortfall
+        FROM s, d
+    """
+
+    o["docs_shuffled"] = """
+        WITH u AS (SELECT doc_id,
+                          (('0x' || substr(md5(doc_id::VARCHAR || '#shuf'), 1, 8))::BIGINT)::DOUBLE
+                              / 4294967296.0 AS uu
+                   FROM documents)
+        SELECT doc_id, floor(uu * 16)::INT AS shard,
+               (row_number() OVER (PARTITION BY floor(uu * 16)
+                                   ORDER BY uu ASC, doc_id ASC) - 1)::BIGINT AS pos
+        FROM u
     """
 
     # vocab-mapped interpolated bigram LM; positional pair join under the

@@ -572,3 +572,126 @@ def asof_lookup_scd2(
     return out.select(
         *pcols, *[F.col(f"__p_{p}").alias(f"asof_{p}") for p in payload]
     )
+
+
+def key_skew_profile(df: DataFrame, key: str, *, top_k: int = 10) -> DataFrame:
+    """Key-skew diagnostic — the MEASURE step before choosing a join or
+    aggregation strategy at scale (salt? AQE skew split? broadcast?):
+    the ``top_k`` heaviest values of ``key`` with their share of all
+    rows and their skew ratio vs a perfectly uniform key (ratio 1.0 =
+    no skew; the planted-skew dedup fixtures light this up). Totals ride
+    every row so the output is one self-contained table.
+
+    Shape: one partial-aggregated count shuffle on the key, a two-number
+    re-aggregate of that count table (rows, distinct keys), and a
+    TakeOrdered top-k (per-partition heaps, no global sort) — the window
+    that ranks runs over top_k rows only. skew_ratio multiplies BEFORE
+    dividing in double space (cnt·n_keys can pass 2^63 at corpus scale).
+    """
+    counts = df.groupBy(key).agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("n_rows"), F.count("*").alias("n_keys")
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col(key).asc()).limit(int(top_k))
+    w = Window.orderBy(F.col("cnt").desc(), F.col(key).asc())
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            key,
+            "cnt",
+            "rank",
+            F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+            F.round(
+                F.col("cnt").cast("double") * F.col("n_keys") / F.col("n_rows"), 6
+            ).alias("skew_ratio"),
+            "n_rows",
+            "n_keys",
+        )
+    )
+
+
+def source_mixture_temperature(
+    docs: DataFrame,
+    *,
+    alpha: float = 0.5,
+    token_budget: int,
+    stratum: str = "source",
+) -> DataFrame:
+    """Temperature-scaled mixture — the multilingual/multi-source sampling
+    rule (share_i ∝ n_i^α): α=1 keeps natural proportions, α→0 flattens
+    toward uniform, so low-resource sources are upsampled relative to
+    their natural share. The complement of :func:`source_mixture`, which
+    takes target shares as INPUT — here the shares are derived from the
+    corpus itself.
+
+    Exactness: n_i^α is quantized to integer micro-units BEFORE the
+    normalizing sum (pow is the one libm call here; summing quantized
+    longs keeps the denominator — and thus every share — identical
+    under any partitioning and engine).
+
+    Shape: one partial-aggregated count shuffle on the tiny stratum key;
+    the normalizing total is a broadcast scalar; rates feed
+    sample_by_hash(stratified) exactly like source_mixture's.
+    """
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    avail = docs.groupBy(stratum).agg(
+        F.sum(toks).cast("long").alias("tokens_available"),
+        F.count("*").alias("n_docs"),
+    )
+    # α = 0.5 goes through sqrt, which IEEE 754 REQUIRES to be correctly
+    # rounded — engine-exact; generic pow is last-ulp engine-dependent
+    # (the micro-unit quantization then still makes the SUM stable, but a
+    # boundary qa could differ, so prefer the sqrt path where possible)
+    powed = (
+        F.sqrt(F.col("tokens_available").cast("double"))
+        if float(alpha) == 0.5
+        else F.pow(F.col("tokens_available").cast("double"), F.lit(float(alpha)))
+    )
+    qa = F.floor(powed * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = avail.withColumn("qa", qa)
+    denom = scored.agg(F.sum("qa").cast("double").alias("qsum"))
+    share = F.col("qa") / F.col("qsum")
+    want = share * F.lit(float(token_budget))
+    rate = F.least(F.lit(1.0), want / F.col("tokens_available"))
+    return (
+        scored.crossJoin(F.broadcast(denom))
+        .select(
+            stratum,
+            "tokens_available",
+            "n_docs",
+            F.round(share, 6).alias("target_share"),
+            F.round(rate, 6).alias("rate"),
+            F.floor(F.greatest(F.lit(0.0), want - F.col("tokens_available")))
+            .cast("long")
+            .alias("token_shortfall"),
+        )
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame, key: str, *, n_shards: int, salt: str = "shuf"
+) -> DataFrame:
+    """Reproducible global shuffle manifest — the training-data export
+    order: every row gets a (shard, pos_in_shard) address drawn from the
+    md5-uniform of its key, so the permutation is a pure function of the
+    data (any engine, any partitioning, any rerun emits the same order)
+    yet statistically well-mixed. Write with ``partitionBy(shard)``
+    sorted by pos and a trainer streams shards in filename order for a
+    deterministic epoch.
+
+    Shape: the shard assignment is map-only; the per-shard position is
+    ONE rank window partitioned by shard — shards bound every window
+    partition (pick n_shards ∝ rows/target_shard_size), so no partition
+    outgrows an executor and the plan carries exactly one shuffle.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    u = hash_uniform(key, salt=salt)
+    w = Window.partitionBy("shard").orderBy(F.col("__u").asc(), F.col(key).asc())
+    return (
+        df.withColumn("__u", u)
+        .withColumn("shard", F.floor(F.col("__u") * F.lit(int(n_shards))).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - F.lit(1)).cast("long"))
+        .drop("__u")
+    )

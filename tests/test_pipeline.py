@@ -601,3 +601,104 @@ def test_asof_lookup_scd2_equals_asof_join(spark):
     assert served == base
     # exactly one output row per probe (interval match is unique)
     assert len(served) == len(probes)
+
+
+class TestKeySkewProfile:
+    def test_planted_hot_key(self, spark):
+        from mopso_engine.ext.pipeline import key_skew_profile
+
+        rows = [(i, "hot" if i % 2 == 0 else f"k{i}") for i in range(100)]
+        df = spark.createDataFrame(rows, "rid long, k string")
+        out = key_skew_profile(df, "k", top_k=3).orderBy("rank").collect()
+        assert out[0]["k"] == "hot" and out[0]["cnt"] == 50
+        assert out[0]["rank"] == 1 and out[0]["share"] == 0.5
+        # 51 distinct keys, 100 rows: uniform would be 100/51 per key
+        assert out[0]["n_keys"] == 51 and out[0]["n_rows"] == 100
+        assert out[0]["skew_ratio"] == round(50 * 51 / 100, 6)
+        # singleton ties break on key asc
+        assert [r["k"] for r in out[1:]] == ["k1", "k11"]
+        assert all(r["cnt"] == 1 for r in out[1:])
+
+    def test_uniform_key_ratio_one(self, spark):
+        from mopso_engine.ext.pipeline import key_skew_profile
+
+        df = spark.createDataFrame([(i, i % 10) for i in range(100)], "rid long, k int")
+        out = key_skew_profile(df, "k", top_k=10).collect()
+        assert all(r["skew_ratio"] == 1.0 and r["cnt"] == 10 for r in out)
+
+
+class TestSourceMixtureTemperature:
+    def test_alpha_one_matches_natural_shares(self, spark):
+        from mopso_engine.ext.pipeline import source_mixture_temperature
+
+        docs = spark.createDataFrame(
+            [(1, "a " * 90, "big"), (2, "b " * 10, "small")],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            r["source"]: r
+            for r in source_mixture_temperature(
+                docs, alpha=1.0, token_budget=50
+            ).collect()
+        }
+        assert out["big"]["target_share"] == 0.9
+        assert out["small"]["target_share"] == 0.1
+
+    def test_alpha_half_flattens_toward_uniform(self, spark):
+        from mopso_engine.ext.pipeline import source_mixture_temperature
+
+        docs = spark.createDataFrame(
+            [(1, "a " * 90, "big"), (2, "b " * 10, "small")],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            r["source"]: r
+            for r in source_mixture_temperature(
+                docs, alpha=0.5, token_budget=50
+            ).collect()
+        }
+        # sqrt weights: 90, 10 -> sqrt ratio ~0.75/0.25 (flatter than 0.9/0.1)
+        assert 0.1 < out["small"]["target_share"] < 0.3
+        assert out["big"]["target_share"] + out["small"]["target_share"] == pytest.approx(
+            1.0, abs=2e-6
+        )
+        # rates realize the shares under the budget, capped at 1
+        assert 0 < out["big"]["rate"] <= 1.0
+        # small over-asked relative to its 10 tokens? share*50 = ~12 > 10
+        assert out["small"]["rate"] == 1.0 and out["small"]["token_shortfall"] >= 1
+
+
+class TestDeterministicShuffle:
+    def test_permutation_properties(self, spark):
+        from mopso_engine.ext.pipeline import deterministic_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+        out = deterministic_shuffle(df, "doc_id", n_shards=8).collect()
+        assert len(out) == 500
+        assert {r["doc_id"] for r in out} == set(range(500))
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        assert set(by_shard) <= set(range(8)) and len(by_shard) == 8
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(len(poss)))  # dense 0..n-1
+
+    def test_reproducible_and_salt_sensitive(self, spark):
+        from mopso_engine.ext.pipeline import deterministic_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+        a = {(r["doc_id"], r["shard"], r["pos"])
+             for r in deterministic_shuffle(df.repartition(7), "doc_id", n_shards=4).collect()}
+        b = {(r["doc_id"], r["shard"], r["pos"])
+             for r in deterministic_shuffle(df.repartition(2), "doc_id", n_shards=4).collect()}
+        assert a == b  # partitioning-invariant
+        c = {(r["doc_id"], r["shard"], r["pos"])
+             for r in deterministic_shuffle(df, "doc_id", n_shards=4, salt="other").collect()}
+        assert a != c  # a different salt is a different epoch order
+
+    def test_guard(self, spark):
+        from mopso_engine.ext.pipeline import deterministic_shuffle
+
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        with pytest.raises(ValueError):
+            deterministic_shuffle(df, "doc_id", n_shards=0)
