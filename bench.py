@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "dedup_jaccard_skewed",
     "dedup_verified",
     "dedup_components",
+    # round-7: block-level (line) dedup scrub + quality-aware keeper
+    # election over the component clusters
+    "docs_para_dedup",
+    "dedup_keep_best",
     "repetition_stats",
     "decontaminate",
     "semdedup",
@@ -77,6 +81,8 @@ BENCH_QUERIES = [
     "docs_despan",
     # round-6: learned quality stack — LM perplexity + trained classifier
     "docs_logppl",
+    # round-7: word-order-aware LM filter (bigram interpolation)
+    "docs_bigram_logppl",
     "docs_pii",
     "quality_model_scores",
     "lsh_candidates",
@@ -89,6 +95,9 @@ BENCH_QUERIES = [
     "ann_ivf",
     # the composed billion-scale serving stack: IVF probe + ADC re-rank
     "ann_ivfpq",
+    # round-7: embedding-space decontamination probe (bench matrix in
+    # the Arrow closure, one map-only scan)
+    "decontaminate_semantic",
     "emb_covariance",
     "lloyd_kmeans",
     # the full algorithm: tiny budget (fit-only — the r01-comparable
