@@ -383,7 +383,19 @@ def main() -> None:
         # per-iteration driver-loop cost of the reference-budget fit
         # (includes its one-off kNN precompute + post-hoc rescore)
         out["fit_full_sec_per_iter"] = round(timings["mopso_fit_full"] / FIT_FULL_ITERS, 3)
-    print(json.dumps(out))
+    # durable artifact (VERDICT r7 #1): two consecutive driver captures
+    # kept only a 2000-char stdout tail (parsed: null), so the full JSON
+    # is ALSO written to disk — atomic replace so a crashed run never
+    # leaves a truncated file — and stdout gets the compact rendering as
+    # the single final line so even a tail capture holds more entries.
+    artifact = os.environ.get("SPARK_GRAFT_BENCH_OUT", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_r08.json"))
+    tmp = artifact + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    os.replace(tmp, artifact)
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 

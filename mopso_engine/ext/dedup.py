@@ -904,21 +904,41 @@ def canonical_by_score(
     Returns (id, component, canon_id, is_canon) for every member.
 
     Shape: one equi-join members⋈scores on the id key, then the
-    per-component winner as a struct-max AGGREGATE (not a rank window
-    over the member list): per-component state is O(1) and the partial
-    max combines map-side. The winner table (≤ one row per component)
-    joins back component-keyed. Two key-bounded shuffles; nothing
-    quadratic.
+    per-component winner as an O(1)-state ``min_by`` AGGREGATE (not a
+    rank window over the member list): the partial min combines
+    map-side. The winner table (≤ one row per component) joins back
+    component-keyed. Two key-bounded shuffles; nothing quadratic.
+
+    Scores must cover every member id: the join is LEFT and a member
+    with no score row fails loudly (raise_error in the plan) instead of
+    silently shrinking the output. The id column may be any orderable
+    type (string ids included) — the election orders by the
+    (negated-score, id) struct, never by a negated id.
     """
     m = members.select(F.col(id_col).alias("_id"), F.col(comp_col).alias("_comp"))
     s = scores.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_score"))
-    joined = m.join(s, "_id")
-    # winner per component as an O(1)-state aggregate: max on the
-    # (score, -id) order realized as a struct max (score asc, then id
-    # DESC inverted via negation so the struct max lands on min id)
+    joined = m.join(s, "_id", "left").withColumn(
+        "_score",
+        F.when(
+            F.col("_score").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("canonical_by_score: no score row for member id "),
+                    F.col("_id").cast("string"),
+                )
+            ).cast("double"),
+        ).otherwise(F.col("_score").cast("double")),
+    )
+    # winner per component: min over the (negated-score, id) ordering
+    # struct — min of -score is max score, ties break to min id — with
+    # min_by carrying the (type-agnostic) id payload, so string ids
+    # elect correctly instead of NULLing out under a numeric negation
     winners = joined.groupBy("_comp").agg(
-        F.max(F.struct(F.col("_score").alias("s"), (-F.col("_id")).alias("nid"))).alias("w")
-    ).select("_comp", (-F.col("w.nid")).alias("_canon"))
+        F.min_by(
+            F.col("_id"),
+            F.struct((-F.col("_score")).alias("ns"), F.col("_id").alias("i")),
+        ).alias("_canon")
+    )
     return (
         joined.join(winners, "_comp")
         .select(

@@ -938,14 +938,24 @@ def semantic_decontaminate(
         embeddings if "label" in embeddings.columns else embeddings.withColumn("label", F.lit(0))
     ).select("vec_id", "vec")
     is_bench = hash_uniform("vec_id", salt=salt) < F.lit(float(bench_fraction))
-    bench = vecs.where(is_bench).orderBy("vec_id").collect()
-    if len(bench) > MAX_BENCH_ROWS:
+    bench_df = vecs.where(is_bench)
+    # size-gate BEFORE the collect so an oversized suite raises instead
+    # of materializing on the driver first (the limit bounds the count
+    # job itself — it never scans past MAX_BENCH_ROWS+1 matches)
+    n_bench = bench_df.select("vec_id").limit(MAX_BENCH_ROWS + 1).count()
+    if n_bench > MAX_BENCH_ROWS:
         raise ValueError(
-            f"benchmark sample has {len(bench)} rows > MAX_BENCH_ROWS={MAX_BENCH_ROWS}; "
+            f"benchmark sample has >{MAX_BENCH_ROWS} rows (MAX_BENCH_ROWS); "
             "use the IVF candidate path for oversized suites"
         )
-    if not bench:
-        raise ValueError("benchmark sample is empty; raise bench_fraction")
+    if n_bench < 2:
+        # with a single bench member that member self-masks every
+        # candidate and would emit -inf; the oracle drops the row — so
+        # require a real suite instead of disagreeing silently
+        raise ValueError(
+            f"benchmark sample has {n_bench} row(s); need >= 2 — raise bench_fraction"
+        )
+    bench = bench_df.orderBy("vec_id").collect()
     bench_ids = np.array([r["vec_id"] for r in bench], dtype=np.int64)
     B = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in bench])
     bn = np.zeros(B.shape[0])

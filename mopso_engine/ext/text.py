@@ -522,9 +522,16 @@ def bigram_logppl(
     counts = tok.groupBy("w").agg(F.count("*").alias("c"))
     total = base.agg(F.sum(F.size("t")).cast("double").alias("n_total"))
     vocab = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(int(vocab_size))
-    if vocab.where(F.col("w") == OOV_TOKEN).limit(1).count() > 0:
-        raise ValueError(f"corpus contains the reserved OOV symbol {OOV_TOKEN!r}")
-    vset = F.broadcast(vocab.select("w", F.lit(True).alias("_inv")))
+    # OOV-collision guard, IN the lazy plan (no eager job at construction
+    # time): the vocab join key raises if the reserved symbol ever makes
+    # the top-V, evaluated exactly when the caller executes the query
+    guarded_w = F.when(
+        F.col("w") == OOV_TOKEN,
+        F.raise_error(
+            F.lit(f"corpus contains the reserved OOV symbol {OOV_TOKEN!r}")
+        ).cast("string"),
+    ).otherwise(F.col("w"))
+    vset = F.broadcast(vocab.select(guarded_w.alias("w"), F.lit(True).alias("_inv")))
 
     def mapped(df, col):
         return (

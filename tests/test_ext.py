@@ -1854,6 +1854,30 @@ class TestCanonicalByScore:
         canon = {r["canon_id"] for r in out}
         assert canon == {1}  # equal quality -> min doc_id
 
+    def test_string_ids_elect_correctly(self, spark):
+        # ADVICE r7: string ids must elect (not NULL out under a numeric
+        # negation) — min_by on the (negated-score, id) struct is
+        # type-agnostic
+        members = spark.createDataFrame(
+            [("a", 1), ("b", 1), ("c", 2), ("d", 2)],
+            "doc_id string, component long",
+        )
+        scores = spark.createDataFrame(
+            [("a", 0.1), ("b", 0.9), ("c", 0.5), ("d", 0.5)],
+            "doc_id string, score double",
+        )
+        out = {r["doc_id"]: r for r in dd.canonical_by_score(members, scores).collect()}
+        assert out["a"]["canon_id"] == "b" and out["b"]["is_canon"]
+        assert out["c"]["canon_id"] == "c"  # tie -> min id ("c" < "d")
+        assert not out["d"]["is_canon"]
+
+    def test_missing_score_raises(self, spark):
+        members = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, component long")
+        scores = spark.createDataFrame([(1, 0.5)], "doc_id long, score double")
+        df = dd.canonical_by_score(members, scores)
+        with pytest.raises(Exception, match="no score row for member id"):
+            df.collect()
+
 
 class TestSemanticDecontaminate:
     def _mk(self, spark, n=40, d=8, seed=3):
@@ -1923,9 +1947,23 @@ class TestSemanticDecontaminate:
             assert nonb["contaminated"] and nonb["max_cos"] >= 0.999
 
     def test_guards(self, spark):
+        from mopso_engine.ext.pipeline import hash_uniform
+
         docs, _ = self._mk(spark, n=10)
         with pytest.raises(ValueError):
             ss.semantic_decontaminate(docs, bench_fraction=1e-9)
+        # exactly ONE bench member must also raise (ADVICE r7: a single
+        # member self-masks every candidate -> -inf + oracle divergence):
+        # pick a fraction between the two smallest hash values
+        hs = sorted(
+            r["h"]
+            for r in docs.select(
+                hash_uniform("vec_id", salt="sembench").alias("h")
+            ).collect()
+        )
+        one_frac = (hs[0] + hs[1]) / 2.0
+        with pytest.raises(ValueError, match="need >= 2"):
+            ss.semantic_decontaminate(docs, bench_fraction=one_frac)
         old = ss.MAX_BENCH_ROWS
         ss.MAX_BENCH_ROWS = 1
         try:
@@ -1993,5 +2031,7 @@ class TestBigramLogppl:
         docs = spark.createDataFrame(
             [(1, "<oov> appears here " + "filler " * 5)], "doc_id long, text string"
         )
-        with pytest.raises(ValueError):
-            tx.bigram_logppl(docs, vocab_size=50)
+        # the guard lives IN the lazy plan (no eager job at construction)
+        df = tx.bigram_logppl(docs, vocab_size=50)
+        with pytest.raises(Exception, match="reserved OOV symbol"):
+            df.collect()
