@@ -168,6 +168,15 @@ ANCHOR_R06_CLEAN = {
 #: (calib inflated too) or real (calib quiet, query still slow).
 RETRY_FACTOR = 2.0
 MAX_RETRIES = 2
+#: queries whose VALUE is a comparison against a twin (the skew-cap
+#: pair): single-shot timings under the observed ±2× host noise can
+#: invert the pair, so both twins are always measured best-of-3 with
+#: every attempt recorded — the artifact then carries a defensible
+#: paired comparison instead of one noise sample (VERDICT r7 #2)
+FORCE_BEST_OF = {
+    "dedup_jaccard_skewed": 3,
+    "dedup_jaccard_skewed_uncapped": 3,
+}
 #: take an interleaved micro-calibration reading every N queries — the
 #: r06 driver artifact proved endpoint pre/post brackets cannot see
 #: noise windows that open and close MID-run (VERDICT r6 #1)
@@ -302,6 +311,25 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+            continue
+        if name in FORCE_BEST_OF:
+            attempts, calibs = [t], [_micro_spark_calibration(spark)]
+            try:
+                for _ in range(FORCE_BEST_OF[name] - 1):
+                    attempts.append(run_once(name))
+                    calibs.append(_micro_spark_calibration(spark))
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"best-of retry: {type(exc).__name__}: {exc}"[:500]
+            t = min(attempts)
+            retries[name] = {
+                "attempts": attempts,
+                "micro_calib": calibs,
+                "micro_calib_ref": micro_ref,
+                "reference_sec": anchors.get(name),
+                "policy": "forced_best_of",
+            }
+            timings[name] = t
+            print(f"# {name}: best-of {attempts} -> {t:.3f}s", file=sys.stderr)
             continue
         # self-adjudication (VERDICT r6 #1): a >2×-reference timing is
         # re-measured immediately, each attempt bracketed by a micro

@@ -180,6 +180,68 @@ COMMENTS = {
     "scan computes per-doc token counts + fingerprints, partial "
     "aggregates carry the quantiles/distincts, and the modal language "
     "rides a one-row broadcast — per-doc rows never shuffle wholesale.",
+    # ---- round-7 operators (VERDICT r7 #3) ----
+    "bpe_token_counts": "BPE encode is ONE map-only MapInPandas scan: the "
+    "pinned merge table rides the Arrow kernel closure (an implicit "
+    "broadcast) with a per-batch word memo, so per-doc token counts cost "
+    "zero Exchange; the trainer (not in this plan) was one bounded "
+    "word-count job + a driver merge loop over the ≤V-row vocab.",
+    "docs_packed_bpe": "Sequence packing under REAL BPE budgets: the BPE "
+    "count kernel's map-only scan feeds the same per-bucket window cumsum "
+    "as docs_packed — one Exchange on the md5 bucket key, packing "
+    "parallelizes across buckets; no global sort, no second scan.",
+    "dedup_components_star": "Kiveris large-star/small-star rounds (plan "
+    "shown is the final labels projection over the per-round "
+    "localCheckpoint cut): each round is two groupBy-min shuffles on the "
+    "node key + edge re-joins, converging in O(log² n) rounds on ANY "
+    "graph — adversarial chains included, where min-label propagation "
+    "pays O(diameter) rounds.",
+    "para_dup_stats": "Block-level dup audit: fixed-width token blocks "
+    "stream out of a map-only posexplode, the block fingerprint count is "
+    "ONE partial-aggregated count-distinct shuffle on the fp key, and "
+    "per-doc stats re-aggregate on doc_id — the dup-fp table is never "
+    "assumed broadcastable.",
+    "docs_para_dedup": "C4/RefinedWeb line-dedup scrub: three bounded key "
+    "shuffles total — fp count-distinct, left_anti of the block stream "
+    "against dup fps ON THE SAME KEY, then one doc_id reassembly with an "
+    "order-pinned array_sort rebuild; md5 of the rebuilt text pins the "
+    "scrub bit-exactly.",
+    "dedup_keep_best": "Quality-aware canonical selection: members⋈scores "
+    "on the id key, then the per-component winner as an O(1)-state min_by "
+    "aggregate over the (negated-score, id) struct — partial-combines "
+    "map-side, correctly NOT a rank window over the member list; the "
+    "winner table joins back component-keyed. Two key shuffles.",
+    "decontaminate_semantic": "Semantic decontamination: the benchmark "
+    "matrix rides the Arrow kernel closure (guarded ≤MAX_BENCH_ROWS, "
+    "size-gated BEFORE the driver collect), so the corpus is scored in "
+    "ONE map-only MapInPandas scan — no join, no shuffle; "
+    "quantize-before-argmax makes the winning neighbor exact under any "
+    "partitioning.",
+    "docs_bigram_logppl": "Interpolated bigram LM: pair construction is "
+    "IN-ROW (slice+zip, no lag window — the corpus never shuffles on "
+    "position), model tables are ≤(V+1)² and join the pair stream on the "
+    "natural (ma, mb) key; per-position log-probs quantize to micro-nat "
+    "longs before the one doc_id fold, so the sum is partition-order "
+    "exact.",
+    "events_key_skew": "Skew diagnostic: ONE count shuffle on the key, a "
+    "two-number re-aggregate (total + distinct), and the top-k heavy "
+    "keys via TakeOrderedAndProject heaps — O(distinct keys) moves once, "
+    "the event stream itself never re-shuffles.",
+    "source_mixture_temp": "Temperature-scaled mixture: the per-stratum "
+    "aggregate is tiny (one row per source), shares ∝ n^α with the "
+    "IEEE-exact sqrt path and quantize-before-sum, and the plan ends in "
+    "a one-row broadcast total — no data-proportional movement at all.",
+    "docs_shuffled": "Reproducible global shuffle manifest: map-only "
+    "md5 shard assignment, then ONE rank window bounded per shard — the "
+    "only Exchange is on the shard key and the caller sizes n_shards so "
+    "each window partition fits an executor; epoch order is a pure "
+    "function of (salt, doc_id).",
+    "mopso_fit_lsh": "The fit on the approximate-kNN Conn backend (plan "
+    "shown is the archive rendering): the N² neighbor precompute is "
+    "replaced by BucketedRandomProjectionLSH bucket joins + a window "
+    "top-L, then each iteration is one map-only Arrow fitness pass over "
+    "the cached neighbor-augmented table — zero per-iteration shuffle, "
+    "the unbounded-N Conn path composed end-to-end.",
 }
 
 
