@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "docs_logppl",
     # round-7: word-order-aware LM filter (bigram interpolation)
     "docs_bigram_logppl",
+    # round-8: REAL-token-budget chunking (BPE walk in one Arrow scan)
+    "docs_chunked_bpe",
     "docs_pii",
     "quality_model_scores",
     "lsh_candidates",

@@ -290,6 +290,11 @@ def chunk_documents(
     Pure Catalyst — sequence() of start offsets, transform+slice of the
     token array, one posexplode. Map-only, zero shuffle, zero Python:
     output order and content are a pure function of each row.
+
+    Budgets here are WHITESPACE tokens (the zero-Python fast path);
+    when the window must be billed in real tokenizer output, use
+    :func:`chunk_documents_bpe` — same map-only shape, word-boundary
+    cuts under a BPE budget from the pinned merge table.
     """
     stride = int(chunk_tokens - overlap)
     if stride <= 0:
@@ -310,6 +315,103 @@ def chunk_documents(
             F.col("z.s").cast("int").alias("chunk_tokens"),
             F.col("z.c").alias("chunk_text"),
         )
+    )
+
+
+def chunk_documents_bpe(
+    docs: DataFrame,
+    *,
+    budget_tokens: int = 48,
+    overlap_tokens: int = 8,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """REAL-token-budget chunking (VERDICT r7 #5) — the BPE twin of
+    :func:`chunk_documents`, completing the `pack_sequences(count_col=
+    'n_bpe_tokens')` ladder: windows are cut at WORD boundaries so that
+    each chunk's BPE token count (under the pinned merge table,
+    `ext.bpe`) stays ≤ ``budget_tokens`` — what a RAG indexer or
+    pretraining pipeline actually bills against a context window, not
+    the whitespace proxy.
+
+    Semantics (the tiktoken-splitter shape, deterministic): walk the
+    doc's lowercased whitespace words left to right; a chunk extends
+    while the next word's BPE cost still fits the budget (a single word
+    costlier than the whole budget gets a chunk of its own — never
+    dropped, never split mid-word); the next chunk starts at the
+    earliest word such that the carried-over suffix of the previous
+    chunk costs ≤ ``overlap_tokens`` BPE tokens (and always advances at
+    least one word, so ``overlap_tokens < budget_tokens`` is enforced).
+    The final chunk is the one that reaches the last word; no
+    overlap-only tail is emitted — the same no-trailing-window rule as
+    :func:`chunk_documents`. Output: (doc_id, chunk_idx, n_words,
+    n_bpe_tokens, chunk_text), chunk_text in the normalized (lowercase)
+    BPE alphabet.
+
+    100 TB shape: ONE map-only mapInPandas scan — the merge table rides
+    the Arrow kernel closure with a per-batch word→cost memo (Zipf makes
+    the hit rate ~1), the greedy cut is an in-row prefix-sum walk, and
+    nothing shuffles: chunking composes with the packing/window stages
+    without adding an exchange. The DuckDB oracle replays the same walk
+    with a recursive CTE over (start, end) chunk states against the
+    recursive-CTE BPE encoder, so both engines read one pinned model.
+    """
+    import pandas as pd
+
+    from mopso_engine.ext.bpe import encode_word, pinned_merges
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if not (0 <= overlap_tokens < budget_tokens):
+        raise ValueError("need 0 <= overlap_tokens < budget_tokens (progress)")
+    if merges is None:
+        merges = pinned_merges()
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    def kernel(batches):
+        memo: dict[str, int] = {}
+
+        def cost(w: str) -> int:
+            n = memo.get(w)
+            if n is None:
+                n = len(encode_word(w, ranks))
+                memo[w] = n
+            return n
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                words = [w for w in (text or "").strip().lower().split() if w]
+                if not words:
+                    continue
+                # prefix sums: P[i] = BPE cost of words 1..i (P[0] = 0)
+                P = [0]
+                for w in words:
+                    P.append(P[-1] + cost(w))
+                n = len(words)
+                s, idx = 1, 0
+                while True:
+                    e = s  # ≥1 word per chunk, even over-budget singletons
+                    while e + 1 <= n and P[e + 1] - P[s - 1] <= budget_tokens:
+                        e += 1
+                    rows.append(
+                        (doc_id, idx, e - s + 1, P[e] - P[s - 1],
+                         " ".join(words[s - 1 : e]))
+                    )
+                    if e >= n:
+                        break
+                    j = e + 1  # backtrack into the ≤overlap_tokens suffix
+                    while j - 1 > s and P[e] - P[j - 2] <= overlap_tokens:
+                        j -= 1
+                    s, idx = j, idx + 1
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "chunk_idx", "n_words", "n_bpe_tokens", "chunk_text"],
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        kernel,
+        "doc_id long, chunk_idx int, n_words long, n_bpe_tokens long, chunk_text string",
     )
 
 

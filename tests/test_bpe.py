@@ -116,3 +116,68 @@ def test_pack_sequences_count_col(spark):
     assert by_col[2]["last_seq"] >= by_col[2]["first_seq"]
     total = sum(r["n_tokens"] for r in by_col.values())
     assert total == 317
+
+
+def test_chunk_documents_bpe_invariants(spark):
+    from mopso_engine.ext.text import chunk_documents_bpe
+
+    ranks = {tuple(p): i for i, p in enumerate(pinned_merges())}
+    text = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "unrelated engineers measure tokenizer throughput across nine "
+        "availability zones and a very long pneumonoultramicroscopic word"
+    )
+    docs = spark.createDataFrame([(1, text), (2, "one"), (3, "  ")],
+                                 "doc_id long, text string")
+    budget, over = 12, 4
+    out = sorted(
+        chunk_documents_bpe(docs, budget_tokens=budget, overlap_tokens=over).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc  # whitespace-only doc emits nothing
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_words"] == 1
+    chunks = by_doc[1]
+    # chunk_idx is dense from 0
+    assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+    words = text.lower().split()
+    cost = {w: len(encode_word(w, ranks)) for w in words}
+    for c in chunks:
+        ws = c["chunk_text"].split()
+        assert c["n_words"] == len(ws)
+        assert c["n_bpe_tokens"] == sum(cost[w] for w in ws)
+        # budget respected unless the chunk is a single over-budget word
+        assert c["n_bpe_tokens"] <= budget or c["n_words"] == 1
+    # every word position covered in order: concatenating the
+    # non-overlapped prefixes reproduces the document
+    rebuilt, pos = [], 0
+    for i, c in enumerate(chunks):
+        ws = c["chunk_text"].split()
+        # this chunk's words are the document's words at some start <= pos
+        starts = [j for j in range(len(words) - len(ws) + 1) if words[j:j+len(ws)] == ws]
+        assert starts, f"chunk {i} is not a contiguous slice of the doc"
+        s = [st for st in starts if st <= pos]
+        assert s, "chunk starts beyond an uncovered gap"
+        st = max(s)
+        # carried-over suffix must fit the overlap budget (except a
+        # forced single-word advance)
+        if i > 0 and pos - st > 0:
+            carried = words[st:pos]
+            assert sum(cost[w] for w in carried) <= over or len(ws) == 1
+        pos = st + len(ws)
+    assert pos == len(words)  # last chunk reaches the final word
+
+
+def test_chunk_documents_bpe_guards(spark):
+    import pytest
+    from mopso_engine.ext.text import chunk_documents_bpe
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents_bpe(docs, budget_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents_bpe(docs, budget_tokens=8, overlap_tokens=8)
+    with pytest.raises(ValueError):
+        chunk_documents_bpe(docs, budget_tokens=8, overlap_tokens=-1)
