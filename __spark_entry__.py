@@ -775,6 +775,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             counts, seq_len=128, buckets=8, count_col="n_bpe_tokens"
         )
 
+    def docs_html_extract(spark, sf):
+        """Upstream text extraction (`ext.extract.html_extract`, VERDICT
+        r7 #7) — the C4/jusText ladder step before any dedup: each doc is
+        deterministically wrapped in an HTML shell (title/nav/header
+        boilerplate, a style and a script block, a content paragraph, a
+        footer), and the operator strips tags, breaks block tags into
+        lines, and keeps only content-density lines (≥5 words, or ≥3
+        ending in terminal punctuation). Pure-Catalyst regex/HOF chain —
+        one map-only codegen span, zero Python; the oracle replays the
+        identical RE2-safe pipeline. The content paragraph must survive
+        verbatim; every planted boilerplate line must die."""
+        from mopso_engine.ext.extract import html_extract
+
+        docs = read_table(spark, sf, "documents")
+        html = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><head><title>Document "),
+                F.col("doc_id").cast("string"),
+                F.lit(
+                    "</title><style>body { margin: 0; }</style></head><body>"
+                    "<nav>home products pricing contact</nav>"
+                    '<header>site menu</header><div class="main"><p>'
+                ),
+                F.col("text"),
+                F.lit(
+                    '.</p></div><script type="text/javascript">var t = 1; '
+                    "track();</script>"
+                    "<footer>copyright example corp</footer></body></html>"
+                ),
+            ).alias("html"),
+        )
+        return html_extract(html, min_words=5)
+
     def docs_chunked_bpe(spark, sf):
         """REAL-token-budget chunking (`ext.text.chunk_documents_bpe`,
         VERDICT r7 #5): greedy word-boundary windows of ≤48 BPE tokens
@@ -2678,7 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real-budget packing; star-rounds connected components; block
         # (line-level) dedup audit + scrub; quality-aware canonical
         # selection                                                     (7)
-        docs_chunked_bpe,
+        docs_chunked_bpe, docs_html_extract,
         mopso_fit_lsh, bpe_token_counts, docs_packed_bpe, dedup_components_star,
         para_dup_stats, docs_para_dedup, dedup_keep_best, decontaminate_semantic,
         docs_bigram_logppl, events_key_skew, source_mixture_temp, docs_shuffled,
@@ -3138,6 +3172,64 @@ def oracle_sql() -> dict[str, str]:
         WITH RECURSIVE
         {_BPE_CTES}
         SELECT doc_id, n_words, n_bpe_tokens FROM bpe_counts
+    """
+
+    # the HTML-extraction oracle replays the operator's exact regex/HOF
+    # pipeline (every pattern avoids backreferences/lookaround so Java
+    # and RE2 agree); the fixture wrap is deterministic, so the content
+    # paragraph must come back verbatim (+'.') and boilerplate must die
+    o["docs_html_extract"] = r"""
+        WITH src AS (
+          SELECT doc_id,
+                 '<html><head><title>Document ' || doc_id::VARCHAR ||
+                 '</title><style>body { margin: 0; }</style></head><body>' ||
+                 '<nav>home products pricing contact</nav>' ||
+                 '<header>site menu</header><div class="main"><p>' ||
+                 text ||
+                 '.</p></div><script type="text/javascript">var t = 1; track();</script>' ||
+                 '<footer>copyright example corp</footer></body></html>' AS html
+          FROM documents),
+        c1 AS (SELECT doc_id,
+                      regexp_replace(
+                        regexp_replace(html, '(?is)<script\b.*?</script\s*>', ' ', 'g'),
+                        '(?is)<style\b.*?</style\s*>', ' ', 'g') AS h
+               FROM src),
+        c2 AS (SELECT doc_id,
+                      regexp_replace(h,
+                        '(?i)</?(p|div|li|h[1-6]|tr|title|nav|footer|header|ul|ol|table|section|article)\b[^>]*>|<br\s*/?>',
+                        chr(10), 'g') AS h
+               FROM c1),
+        c3 AS (SELECT doc_id, regexp_replace(h, '<[^>]*>', ' ', 'g') AS h FROM c2),
+        c4 AS (SELECT doc_id,
+                      replace(replace(replace(replace(replace(replace(h,
+                        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                        '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS h
+               FROM c3),
+        lw AS (SELECT doc_id,
+                      list_filter(
+                        list_transform(string_split(h, chr(10)),
+                          l -> list_filter(string_split_regex(trim(l), '\s+'), w -> w <> '')),
+                        ws -> len(ws) > 0) AS la
+               FROM c4),
+        ka AS (SELECT doc_id, la,
+                      list_filter(la, ws -> len(ws) >= 5 OR
+                        (len(ws) >= 3 AND regexp_matches(ws[len(ws)], '[.!?]$'))) AS ks
+               FROM lw),
+        agg AS (SELECT doc_id,
+                       len(la)::BIGINT AS n_lines,
+                       len(ks)::BIGINT AS n_kept,
+                       coalesce(list_sum(list_transform(ks, ws -> len(ws))), 0)::BIGINT AS n_words,
+                       coalesce(list_sum(list_transform(ks, ws ->
+                         len(list_filter(ws, w -> list_contains(
+                           ['the','a','an','and','or','of','to','in','is','are',
+                            'was','for','on','with','as','at','by','it','this','that'],
+                           lower(w)))))), 0)::BIGINT AS n_stop,
+                       array_to_string(list_transform(ks, ws -> array_to_string(ws, ' ')), chr(10)) AS text_clean
+                FROM ka)
+        SELECT doc_id, n_lines, n_kept, n_words,
+               CASE WHEN n_words > 0 THEN round(n_stop * 1.0 / n_words, 6) ELSE 0.0 END AS stopword_frac,
+               text_clean
+        FROM agg
     """
 
     # greedy BPE-budget chunk walk replayed as a recursive CTE over

@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "docs_bigram_logppl",
     # round-8: REAL-token-budget chunking (BPE walk in one Arrow scan)
     "docs_chunked_bpe",
+    # round-8: upstream HTML boilerplate-strip (pure-Catalyst, map-only)
+    "docs_html_extract",
     "docs_pii",
     "quality_model_scores",
     "lsh_candidates",

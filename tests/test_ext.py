@@ -2035,3 +2035,86 @@ class TestBigramLogppl:
         df = tx.bigram_logppl(docs, vocab_size=50)
         with pytest.raises(Exception, match="reserved OOV symbol"):
             df.collect()
+
+
+class TestHtmlExtract:
+    TEMPLATE = (
+        '<html><head><title>Doc {i}</title><style>p {{ color: red; }}</style>'
+        "</head><body><nav>home products pricing contact</nav>"
+        '<div class="main"><p>{body}</p></div>'
+        '<script>var x = "</div>"; alert(1);</script>'
+        "<footer>copyright example corp</footer></body></html>"
+    )
+
+    def test_boilerplate_dies_content_survives(self, spark):
+        from mopso_engine.ext.extract import html_extract
+
+        body = "the quick brown fox jumps over the lazy dog today."
+        rows = [(1, self.TEMPLATE.format(i=1, body=body))]
+        docs = spark.createDataFrame(rows, "doc_id long, html string")
+        out = html_extract(docs).collect()[0]
+        assert out["text_clean"] == body
+        assert out["n_kept"] == 1
+        # nav (4 words), title (2), footer (3, no punct) all dropped;
+        # script text never counts as a line at all
+        assert out["n_lines"] >= 3
+        assert out["n_words"] == 10
+        # 'the' x2 + 'over' is not a stopword -> 2/10
+        assert abs(out["stopword_frac"] - 0.2) < 1e-9
+
+    def test_entities_and_br_lines(self, spark):
+        from mopso_engine.ext.extract import html_extract
+
+        html = (
+            "<p>short</p><p>alpha &amp; beta &lt;tag&gt; gamma delta epsilon</p>"
+            "<p>one two three four five six<br>a b</p>"
+        )
+        docs = spark.createDataFrame([(1, html)], "doc_id long, html string")
+        out = html_extract(docs).collect()[0]
+        lines = out["text_clean"].split("\n")
+        assert "alpha & beta <tag> gamma delta epsilon" in lines
+        assert "one two three four five six" in lines  # br splits the line
+        assert "short" not in lines and "a b" not in lines
+        assert out["n_lines"] == 4 and out["n_kept"] == 2
+
+    def test_punctuation_rule_keeps_short_sentence(self, spark):
+        from mopso_engine.ext.extract import html_extract
+
+        docs = spark.createDataFrame(
+            [(1, "<p>it really works.</p><p>it really works</p>")],
+            "doc_id long, html string",
+        )
+        out = html_extract(docs).collect()[0]
+        assert out["text_clean"] == "it really works."
+        assert out["n_kept"] == 1 and out["n_lines"] == 2
+
+    def test_composes_into_curation(self, spark):
+        """The extracted text feeds the curation primitives unchanged:
+        plant two docs whose HTML bodies are identical -> after
+        extraction, exact_dedup finds exactly that dup group."""
+        from mopso_engine.ext.extract import html_extract
+
+        body_dup = "every distributed shuffle should be keyed and combined early."
+        body_uniq = "broadcast the small side and let the optimizer prune columns."
+        rows = [
+            (1, self.TEMPLATE.format(i=1, body=body_dup)),
+            (2, self.TEMPLATE.format(i=2, body=body_dup)),
+            (3, self.TEMPLATE.format(i=3, body=body_uniq)),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, html string")
+        cleaned = html_extract(docs).select(
+            "doc_id", F.col("text_clean").alias("text")
+        )
+        groups = dd.exact_dedup(cleaned).collect()
+        assert len(groups) == 1
+        assert groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 1
+        # and the quality stack runs on the extracted column directly
+        q = tx.quality_score(cleaned).collect()
+        assert len(q) == 3
+
+    def test_min_words_guard(self, spark):
+        from mopso_engine.ext.extract import html_extract
+
+        docs = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+        with pytest.raises(ValueError):
+            html_extract(docs, min_words=0)
