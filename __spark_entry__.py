@@ -2703,45 +2703,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cutoff; all 130 are verified locally by tools/check_oracle.py
     # (same compare as the driver) before each round ends.
     for fn in (
-        # ---- the 50-entry driver window, counted EXACTLY (r06 undershot
-        # by 4 — VERDICT r6 "what's missing" #2) ----
+        # ---- the 50-entry driver window, counted EXACTLY ----
         # flagship: the full MOPSO fits with post-hoc relational oracles  (5)
         mopso_fit, mopso_fit_only, mopso_fit_full, mopso_fit_lineitem,
         mopso_fit_lineitem_only,
-        # round-7 new: LSH-backend end-to-end fit; BPE tokenizer +
-        # real-budget packing; star-rounds connected components; block
-        # (line-level) dedup audit + scrub; quality-aware canonical
-        # selection                                                     (7)
+        # round-8 new: BPE-budget chunking (VERDICT r7 #5) and upstream
+        # HTML text extraction (VERDICT r7 #7)                           (2)
         docs_chunked_bpe, docs_html_extract,
-        mopso_fit_lsh, bpe_token_counts, docs_packed_bpe, dedup_components_star,
-        para_dup_stats, docs_para_dedup, dedup_keep_best, decontaminate_semantic,
-        docs_bigram_logppl, events_key_skew, source_mixture_temp, docs_shuffled,
-        # round-7 code-changed, re-earning rows: sketch m-guard pair,
-        # pii_counts overwrite pair, span-oracle guards + interval-merge
-        # despan rebuild, pack_sequences count_col signature            (7)
-        heavy_hitters, stream_heavy_hitters, docs_pii, pii_report,
-        dup_span_stats, docs_despan, docs_packed,
-        # the 15 never-driver-checked queries, front of the slice per
-        # VERDICT r6 Next #2 (docs_packed just above is the 15th)      (14)
-        q18_large_volume, q2_min_cost_supplier, q11_important_stock,
-        q12_priority_lines, q21_waiting_suppliers, events_props_extract,
-        docs_quota_sample, docs_split, docs_negative_pairs, docs_chunked,
-        source_mixture, pq_codes, q3_shipping_sql, repetition_stats_expr,
-        # the 4 that missed the r06 cutoff                              (4)
-        token_counts, fingerprints, points_ingest, feature_minmax,
-        # stale-tail rotation (oldest driver row first; r06's comment
-        # said this slice starts at count_and_k)                        (8)
-        minhash_sigs, count_and_k, assign_nearest, cluster_sizes,
-        dev_inertia, avg_dist_per_cluster, purity, accuracy,
-        # --- the 50-entry truncation lands exactly here ---
-        # rest of the stale tail — oldest-verified-first; next round's
-        # rotation slice starts at dbi (the names the in-window round-7
-        # additions displaced come first)
+        # round-8 code-changed, re-earning rows: canonical_by_score
+        # min_by election + missing-score guard; semantic_decontaminate
+        # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
+        # guard                                                          (3)
+        dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
+        # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
+        # the r7 registration comment, oldest-verified-first            (40)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
-        minmax_norm, q1_pricing,
-        q3_shipping, nation_revenue, top_parts, order_priorities, events_windowed, events_stream,
-        dedup_exact,
-        # driver-green r05, code unchanged
+        minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
+        order_priorities, events_windowed, events_stream, dedup_exact,
         ann_topk, ann_ivf, ann_ivf_unlabeled, emb_neardup,
         multimodal_stats, tfidf_terms, pmi_collocations,
         sketch_distinct_check, sketch_quantile_check,
@@ -2750,14 +2728,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         status_cube, value_quantiles,
         q5_local_supplier, q7_volume_shipping, q8_market_share,
         q9_profit_shape, q10_returned_items, q14_promo_share,
-        q15_top_supplier, q17_small_quantity, q19_or_of_ands,
-        q20_promo_suppliers,
+        q15_top_supplier, q17_small_quantity,
+        # --- the 50-entry truncation lands exactly here ---
+        # rest of the stale tail — oldest-verified-first; next round's
+        # rotation slice starts at q19_or_of_ands
+        q19_or_of_ands, q20_promo_suppliers,
         q4_priority, q13_custdist, q16_supplier_variety, q22_idle_customers,
         orders_window_suite, orders_range_window, orders_ranking_suite,
         events_interval_join, events_sessions_native, user_stats,
         q6_forecast, sales_rollup, events_asof,
         dedup_jaccard_skewed_uncapped, dedup_jaccard,
-        # driver-green r06, code unchanged — rotate to the very back
+        # driver-green r06, code unchanged
         weighted_docs_sample, events_interval_join_stream,
         hll_union_check, source_token_kl, topk_sketch_check,
         dedup_incremental, stream_curate_docs, repetition_stats,
@@ -2770,6 +2751,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus_curation, lsh_candidates, simhash_fp, dedup_verified,
         simhash_neardup, docs_sample, events_sessionized, text_stats,
         quality, lang_pred,
+        # driver-green r07, code unchanged — rotate to the very back
+        mopso_fit_lsh, bpe_token_counts, docs_packed_bpe, dedup_components_star,
+        para_dup_stats, docs_para_dedup, events_key_skew,
+        source_mixture_temp, docs_shuffled,
+        heavy_hitters, stream_heavy_hitters, docs_pii, pii_report,
+        dup_span_stats, docs_despan, docs_packed,
+        q18_large_volume, q2_min_cost_supplier, q11_important_stock,
+        q12_priority_lines, q21_waiting_suppliers, events_props_extract,
+        docs_quota_sample, docs_split, docs_negative_pairs, docs_chunked,
+        source_mixture, pq_codes, q3_shipping_sql, repetition_stats_expr,
+        token_counts, fingerprints, points_ingest, feature_minmax,
+        minhash_sigs, count_and_k, assign_nearest, cluster_sizes,
+        dev_inertia, avg_dist_per_cluster, purity, accuracy,
     ):
         q[fn.__name__] = fn
     return q
