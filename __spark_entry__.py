@@ -775,6 +775,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             counts, seq_len=128, buckets=8, count_col="n_bpe_tokens"
         )
 
+    def docs_bpe_fertility(spark, sf):
+        """Tokenizer-fertility gate (`ext.bpe.bpe_fertility`): BPE tokens
+        per word under the pinned merge table, pass iff ≤ 3.5 — the
+        compression-ratio filter that catches gibberish/mojibake (they
+        encode near character-level). Rides the zero-shuffle
+        bpe_token_counts Arrow kernel with a map-only arithmetic
+        projection; the oracle adds the same arithmetic to the
+        recursive-CTE encoder replay."""
+        from mopso_engine.ext import bpe
+
+        return bpe.bpe_fertility(read_table(spark, sf, "documents"))
+
     def docs_html_extract(spark, sf):
         """Upstream text extraction (`ext.extract.html_extract`, VERDICT
         r7 #7) — the C4/jusText ladder step before any dedup: each doc is
@@ -2707,16 +2719,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship: the full MOPSO fits with post-hoc relational oracles  (5)
         mopso_fit, mopso_fit_only, mopso_fit_full, mopso_fit_lineitem,
         mopso_fit_lineitem_only,
-        # round-8 new: BPE-budget chunking (VERDICT r7 #5) and upstream
-        # HTML text extraction (VERDICT r7 #7)                           (2)
-        docs_chunked_bpe, docs_html_extract,
+        # round-8 new: BPE-budget chunking (VERDICT r7 #5), upstream
+        # HTML text extraction (VERDICT r7 #7), tokenizer-fertility gate (3)
+        docs_chunked_bpe, docs_html_extract, docs_bpe_fertility,
         # round-8 code-changed, re-earning rows: canonical_by_score
         # min_by election + missing-score guard; semantic_decontaminate
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
-        # the r7 registration comment, oldest-verified-first            (40)
+        # the r7 registration comment, oldest-verified-first            (39)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
@@ -2728,11 +2740,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         status_cube, value_quantiles,
         q5_local_supplier, q7_volume_shipping, q8_market_share,
         q9_profit_shape, q10_returned_items, q14_promo_share,
-        q15_top_supplier, q17_small_quantity,
+        q15_top_supplier,
         # --- the 50-entry truncation lands exactly here ---
         # rest of the stale tail — oldest-verified-first; next round's
-        # rotation slice starts at q19_or_of_ands
-        q19_or_of_ands, q20_promo_suppliers,
+        # rotation slice starts at q17_small_quantity
+        q17_small_quantity, q19_or_of_ands, q20_promo_suppliers,
         q4_priority, q13_custdist, q16_supplier_variety, q22_idle_customers,
         orders_window_suite, orders_range_window, orders_ranking_suite,
         events_interval_join, events_sessions_native, user_stats,
@@ -3275,6 +3287,18 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(W[s::INT:e::INT], ' ') AS chunk_text
         FROM emit
         WHERE (SELECT ok FROM bguard) = 1
+    """
+
+    o["docs_bpe_fertility"] = f"""
+        WITH RECURSIVE
+        {_BPE_CTES}
+        SELECT doc_id, n_words, n_bpe_tokens,
+               CASE WHEN n_words > 0 THEN round(n_bpe_tokens * 1.0 / n_words, 6)
+                    ELSE 0.0 END AS fertility,
+               (n_words > 0 AND
+                CASE WHEN n_words > 0 THEN round(n_bpe_tokens * 1.0 / n_words, 6)
+                     ELSE 0.0 END <= 3.5) AS fertility_pass
+        FROM bpe_counts
     """
 
     o["docs_packed_bpe"] = f"""

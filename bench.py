@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "docs_chunked_bpe",
     # round-8: upstream HTML boilerplate-strip (pure-Catalyst, map-only)
     "docs_html_extract",
+    # round-8: tokenizer-fertility gate on the zero-shuffle BPE kernel
+    "docs_bpe_fertility",
     "docs_pii",
     "quality_model_scores",
     "lsh_candidates",

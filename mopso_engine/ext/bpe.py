@@ -239,6 +239,41 @@ def bpe_token_counts(
     )
 
 
+def bpe_fertility(
+    docs: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    *,
+    text_col: str = "text",
+    max_fertility: float = 3.5,
+) -> DataFrame:
+    """Tokenizer-fertility quality gate — the compression-ratio filter of
+    Gopher/CCNet lineage: fertility = BPE tokens per word under the
+    trained merge table. Natural text compresses well (common words are
+    1-3 tokens); gibberish, mojibake, and wrong-alphabet text explode
+    into near-character-level encodings and fail ``fertility ≤
+    max_fertility``. Returns (doc_id, n_words, n_bpe_tokens, fertility,
+    fertility_pass); an empty doc has fertility 0.0 and FAILS the gate
+    (no content is not good content).
+
+    Same 100 TB shape as :func:`bpe_token_counts` (whose kernel it
+    rides): one zero-shuffle Arrow scan, merge table in the closure, a
+    map-only arithmetic projection on top — the gate drops into any
+    curation composition without an exchange."""
+    counts = bpe_token_counts(docs, merges, text_col=text_col)
+    fert = F.when(
+        F.col("n_words") > 0, F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6)
+    ).otherwise(F.lit(0.0))
+    return counts.select(
+        "doc_id",
+        "n_words",
+        "n_bpe_tokens",
+        fert.alias("fertility"),
+        ((F.col("n_words") > 0) & (fert <= F.lit(float(max_fertility)))).alias(
+            "fertility_pass"
+        ),
+    )
+
+
 def merges_sql_values(merges: list[tuple[str, str]] | None = None) -> str:
     """The merge table rendered as SQL VALUES rows ``(rank, a, b)`` —
     shared by the DuckDB oracle so both engines read the SAME pinned

@@ -181,3 +181,25 @@ def test_chunk_documents_bpe_guards(spark):
         chunk_documents_bpe(docs, budget_tokens=8, overlap_tokens=8)
     with pytest.raises(ValueError):
         chunk_documents_bpe(docs, budget_tokens=8, overlap_tokens=-1)
+
+
+def test_bpe_fertility_gate(spark):
+    from mopso_engine.ext.bpe import bpe_fertility
+
+    rows = [
+        (1, "the table and the window are fast"),     # common words, low fertility
+        (2, "zqxv jkwpf qzzkt vvxjq wqzzp"),          # gibberish, near-char encoding
+        (3, "   "),                                    # empty -> fails
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bpe_fertility(docs, max_fertility=3.5).collect()}
+    ranks = {tuple(p): i for i, p in enumerate(pinned_merges())}
+    for doc_id, text in rows:
+        words = [w for w in text.strip().lower().split() if w]
+        nb = sum(len(encode_word(w, ranks)) for w in words)
+        assert out[doc_id]["n_bpe_tokens"] == nb
+        if words:
+            assert abs(out[doc_id]["fertility"] - round(nb / len(words), 6)) < 1e-9
+    assert out[2]["fertility"] > out[1]["fertility"]  # gibberish encodes worse
+    assert out[3]["fertility"] == 0.0 and not out[3]["fertility_pass"]
+    assert out[1]["fertility_pass"]

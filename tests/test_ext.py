@@ -2118,3 +2118,40 @@ class TestHtmlExtract:
         docs = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
         with pytest.raises(ValueError):
             html_extract(docs, min_words=0)
+
+    def test_extraction_is_transparent_to_curation_v2(self, spark, tmp_path):
+        """End-to-end ladder (VERDICT r7 #7): HTML-wrap the real sf0.001
+        corpus, extract, and feed the result to the UNCHANGED
+        corpus_curation_v2 query — its manifest must equal the one from
+        a corpus whose text is the recovered content directly, because
+        extraction is exactly text + '.' for this deterministic wrap."""
+        import __spark_entry__ as entry_mod
+        from mopso_engine.ext.extract import html_extract
+
+        docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+        html = docs.select(
+            "doc_id", "lang", "source", "n_chars",
+            F.concat(
+                F.lit("<html><head><title>Doc </title></head><body>"
+                      "<nav>home products pricing contact</nav><p>"),
+                F.col("text"),
+                F.lit(".</p><footer>copyright example corp</footer></body></html>"),
+            ).alias("html"),
+        )
+        extracted = html_extract(html).join(
+            docs.select("doc_id", "lang", "source", "n_chars"), "doc_id"
+        ).select("doc_id", F.col("text_clean").alias("text"), "lang", "source", "n_chars")
+        direct = docs.withColumn("text", F.concat(F.col("text"), F.lit(".")))
+        d_ext, d_dir = str(tmp_path / "ext"), str(tmp_path / "dir")
+        extracted.write.parquet(f"{d_ext}/documents.parquet")
+        direct.write.parquet(f"{d_dir}/documents.parquet")
+        qs = entry_mod.queries()
+        got = sorted(
+            (r["doc_id"], r["lang"], r["n_tokens"])
+            for r in qs["corpus_curation_v2"](spark, d_ext).collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["lang"], r["n_tokens"])
+            for r in qs["corpus_curation_v2"](spark, d_dir).collect()
+        )
+        assert got == want and len(got) > 0

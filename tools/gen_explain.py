@@ -236,6 +236,17 @@ COMMENTS = {
     "only Exchange is on the shard key and the caller sizes n_shards so "
     "each window partition fits an executor; epoch order is a pure "
     "function of (salt, doc_id).",
+    # ---- round-8 operators ----
+    "docs_chunked_bpe": "REAL-token-budget chunking: ONE map-only "
+    "MapInPandas scan — merge ranks + per-batch word memo in the Arrow "
+    "closure, greedy word-boundary cut as an in-row prefix-sum walk; "
+    "no Exchange anywhere, so the chunker composes ahead of packing "
+    "and indexing stages for free.",
+    "docs_html_extract": "Upstream HTML extraction: the whole "
+    "tag-strip + entity-decode + line-density pipeline is ONE "
+    "codegen'd projection chain over the scan (regexp chains, split, "
+    "higher-order filters) — zero Exchange, zero Python; the identical "
+    "expressions serve a streaming ingest unchanged.",
     "mopso_fit_lsh": "The fit on the approximate-kNN Conn backend (plan "
     "shown is the archive rendering): the N² neighbor precompute is "
     "replaced by BucketedRandomProjectionLSH bucket joins + a window "
