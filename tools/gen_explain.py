@@ -242,6 +242,10 @@ COMMENTS = {
     "closure, greedy word-boundary cut as an in-row prefix-sum walk; "
     "no Exchange anywhere, so the chunker composes ahead of packing "
     "and indexing stages for free.",
+    "docs_bpe_fertility": "Tokenizer-fertility gate: a map-only "
+    "arithmetic projection directly on the zero-shuffle BPE count "
+    "kernel's MapInPandas output — no Exchange, no extra scan; the "
+    "gate composes into curation plans for free.",
     "docs_html_extract": "Upstream HTML extraction: the whole "
     "tag-strip + entity-decode + line-density pipeline is ONE "
     "codegen'd projection chain over the scan (regexp chains, split, "
