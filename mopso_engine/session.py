@@ -58,5 +58,12 @@ def build_session(
         .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
         .config("spark.driver.memory", driver_memory)
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # ContextCleaner only reclaims shuffle files / broadcasts after a
+        # driver GC notices the dead references — with a large heap that
+        # can be never, so long sessions (the 71-query bench, a
+        # multi-query notebook) accumulate shuffle state on disk. A
+        # 1-minute periodic GC bounds that accumulation; on a cluster the
+        # same knob bounds per-executor shuffle-dir growth.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .getOrCreate()
     )
