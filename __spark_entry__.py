@@ -775,6 +775,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             counts, seq_len=128, buckets=8, count_col="n_bpe_tokens"
         )
 
+    def docs_blocklist(spark, sf):
+        """Bad-words blocklist gate (`ext.text.blocklist_filter`, the C4
+        page-drop rule): whole-token match against the pinned list, pass
+        iff zero hits. Expression-only (exists/filter over the token
+        array with the list as an array literal) — zero shuffle, zero
+        Python, streaming-safe; the pinned list includes one corpus word
+        so the gate demonstrably fires."""
+        return tx.blocklist_filter(read_table(spark, sf, "documents"))
+
+    def docs_fix_mojibake(spark, sf):
+        """Encoding-artifact repair (`ext.extract.fix_mojibake`, the
+        CCNet/ftfy cleanup stage): UTF-8-as-Latin-1 sequences planted
+        deterministically (every 7th doc gains three artifacts from the
+        pinned table, every 5th a C0 control char) are repaired by the
+        fixed ordered replace chain with progressive hit counting and a
+        control strip. One expression-only projection; the oracle's
+        chain is GENERATED from the same pinned table
+        (`ext.extract.mojibake_sql`), so the repaired text is pinned
+        byte-for-byte."""
+        from mopso_engine.ext.extract import MOJIBAKE_TABLE, fix_mojibake
+
+        art = (
+            "caf" + MOJIBAKE_TABLE[7][0] + " don" + MOJIBAKE_TABLE[0][0] + "t "
+        )
+        tail = " " + MOJIBAKE_TABLE[5][0] + " fin"
+        docs = read_table(spark, sf, "documents")
+        planted = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(art), F.col("text"), F.lit(tail)),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        ).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit("\x07"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return fix_mojibake(planted)
+
     def docs_bpe_fertility(spark, sf):
         """Tokenizer-fertility gate (`ext.bpe.bpe_fertility`): BPE tokens
         per word under the pinned merge table, pass iff ≤ 3.5 — the
@@ -2720,15 +2764,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mopso_fit, mopso_fit_only, mopso_fit_full, mopso_fit_lineitem,
         mopso_fit_lineitem_only,
         # round-8 new: BPE-budget chunking (VERDICT r7 #5), upstream
-        # HTML text extraction (VERDICT r7 #7), tokenizer-fertility gate (3)
+        # HTML text extraction (VERDICT r7 #7), tokenizer-fertility gate,
+        # blocklist gate, mojibake repair                                (5)
         docs_chunked_bpe, docs_html_extract, docs_bpe_fertility,
+        docs_blocklist, docs_fix_mojibake,
         # round-8 code-changed, re-earning rows: canonical_by_score
         # min_by election + missing-score guard; semantic_decontaminate
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
-        # the r7 registration comment, oldest-verified-first            (39)
+        # the r7 registration comment, oldest-verified-first            (37)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
@@ -2739,11 +2785,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         active_custkeys_both, active_custkeys_diff_all, events_pivot,
         status_cube, value_quantiles,
         q5_local_supplier, q7_volume_shipping, q8_market_share,
-        q9_profit_shape, q10_returned_items, q14_promo_share,
-        q15_top_supplier,
+        q9_profit_shape, q10_returned_items,
         # --- the 50-entry truncation lands exactly here ---
         # rest of the stale tail — oldest-verified-first; next round's
-        # rotation slice starts at q17_small_quantity
+        # rotation slice starts at q14_promo_share
+        q14_promo_share, q15_top_supplier,
         q17_small_quantity, q19_or_of_ands, q20_promo_suppliers,
         q4_priority, q13_custdist, q16_supplier_variety, q22_idle_customers,
         orders_window_suite, orders_range_window, orders_ranking_suite,
@@ -3287,6 +3333,41 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(W[s::INT:e::INT], ' ') AS chunk_text
         FROM emit
         WHERE (SELECT ok FROM bguard) = 1
+    """
+
+    o["docs_blocklist"] = r"""
+        SELECT doc_id,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                   t -> list_contains(['vector','casino','xxx'], lower(t))))::BIGINT
+                 AS n_blocked_hits,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                   t -> list_contains(['vector','casino','xxx'], lower(t)))) = 0
+                 AS blocklist_pass
+        FROM documents
+    """
+
+    from mopso_engine.ext.extract import MOJIBAKE_TABLE, mojibake_sql
+
+    _mj_fixed, _mj_count = mojibake_sql("text")
+    _mj_art = ("caf" + MOJIBAKE_TABLE[7][0] + " don" + MOJIBAKE_TABLE[0][0] + "t ").replace("'", "''")
+    _mj_tail = (" " + MOJIBAKE_TABLE[5][0] + " fin").replace("'", "''")
+    o["docs_fix_mojibake"] = f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 7 = 0
+                       THEN '{_mj_art}' || text || '{_mj_tail}'
+                       ELSE text END) ||
+                 (CASE WHEN doc_id % 5 = 0 THEN chr(7) ELSE '' END) AS text
+          FROM documents),
+        rep AS (
+          SELECT doc_id,
+                 {_mj_count}::BIGINT AS n_fixed,
+                 {_mj_fixed} AS fx
+          FROM planted)
+        SELECT doc_id, n_fixed,
+               (length(fx) - length(regexp_replace(fx, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')))::BIGINT AS n_ctrl,
+               regexp_replace(fx, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g') AS text_fixed
+        FROM rep
     """
 
     o["docs_bpe_fertility"] = f"""

@@ -59,6 +59,76 @@ def _decode_entities(col: Column) -> Column:
     return col
 
 
+#: the classic UTF-8-decoded-as-Latin-1 artifacts (ftfy's core table,
+#: printable subset) in FIXED application order — the oracle replays the
+#: same ordered chain, so the output is pinned byte-for-byte
+MOJIBAKE_TABLE = [
+    ("â€™", "'"), ("â€˜", "'"), ("â€œ", '"'), ("â€", '"'),
+    ("â€“", "-"), ("â€”", "-"), ("â€¦", "..."),
+    ("Ã©", "é"), ("Ã¨", "è"), ("Ã¼", "ü"), ("Ã¶", "ö"), ("Ã¤", "ä"),
+    ("Ã±", "ñ"), ("Ã§", "ç"), ("Â°", "°"), ("Â·", "·"), ("Â ", " "),
+]
+
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def fix_mojibake(
+    docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Encoding-artifact repair — the cleanup stage between raw extraction
+    and tokenization (CCNet/ftfy lineage): undo the common
+    UTF-8-decoded-as-Latin-1 sequences (``â€™`` → ``'``, ``Ã©`` → ``é``,
+    …) with a FIXED ordered replace chain, then strip C0 control
+    characters (tab/newline/CR survive). Returns (doc_id, n_fixed,
+    n_ctrl, text_fixed): artifact occurrences counted BEFORE repair plus
+    control characters stripped, so a corpus-health dashboard can track
+    encoding rot per source.
+
+    100 TB shape: one expression-only projection (replace chain +
+    regexp), zero shuffle, zero Python, streaming-safe — the same
+    class of plan as the PII chain. The artifact table is pinned and
+    mirrored by the oracle, so the repaired text is byte-pinned."""
+    # counts are PROGRESSIVE along the chain (``â€`` is a prefix of
+    # ``â€™``/``â€œ``/…, so counting every artifact against the raw text
+    # would double-count; counting each against the partially-repaired
+    # string matches exactly what the chain replaces)
+    fixed = F.col(text_col)
+    n_fixed = F.lit(0).cast("long")
+    for src, dst in MOJIBAKE_TABLE:
+        c = (
+            (F.length(fixed) - F.length(F.replace(fixed, F.lit(src), F.lit(""))))
+            / F.lit(len(src))
+        ).cast("long")
+        n_fixed = n_fixed + c
+        fixed = F.replace(fixed, F.lit(src), F.lit(dst))
+    n_ctrl = F.length(fixed) - F.length(F.regexp_replace(fixed, _CTRL_RE, ""))
+    return docs.select(
+        "doc_id",
+        n_fixed.alias("n_fixed"),
+        n_ctrl.cast("long").alias("n_ctrl"),
+        F.regexp_replace(fixed, _CTRL_RE, "").alias("text_fixed"),
+    )
+
+
+def mojibake_sql(col: str) -> tuple[str, str]:
+    """The repair chain rendered as DuckDB SQL over ``col`` — (fixed
+    expression, progressive hit-count expression), generated from the
+    SAME pinned table the Spark operator reads so both engines apply
+    byte-identical literals in the identical order."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    fixed = col
+    counts = []
+    for src, dst in MOJIBAKE_TABLE:
+        counts.append(
+            f"((length({fixed}) - length(replace({fixed}, {q(src)}, ''))) // {len(src)})"
+        )
+        fixed = f"replace({fixed}, {q(src)}, {q(dst)})"
+    return fixed, "(" + " + ".join(counts) + ")"
+
+
 def html_extract(
     docs: DataFrame,
     *,

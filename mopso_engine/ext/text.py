@@ -478,6 +478,42 @@ def repetition_stats_expr(
     )
 
 
+#: pinned default blocklist for :func:`blocklist_filter` — one corpus
+#: word (so the gate demonstrably fires on the synthetic corpus) plus
+#: realistic always-absent entries; real deployments pass their own list
+BLOCKLIST = ["vector", "casino", "xxx"]
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    words: list[str] | None = None,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Bad-words blocklist gate — the C4 rule that drops any page
+    containing a blocklisted token (C4 used the 'List of Dirty, Naughty
+    …' list; the operator takes any pinned list). Matching is on WHOLE
+    lowercased whitespace tokens, not substrings — 'class' must not trip
+    an 'ass' entry. Returns (doc_id, n_blocked_hits, blocklist_pass):
+    hit count over all token occurrences, pass iff zero.
+
+    100 TB shape: the list rides as an array literal inside one
+    expression-only projection (exists/filter over the token array) —
+    zero shuffle, zero Python, streaming-safe; never a join, because the
+    blocklist is bounded by construction."""
+    wl = [w.lower() for w in (words if words is not None else BLOCKLIST)]
+    if not wl:
+        raise ValueError("blocklist is empty")
+    lits = F.array(*[F.lit(w) for w in wl])
+    toks = tokens_col()
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(lits, F.lower(t))))
+    return docs.select(
+        "doc_id",
+        hits.cast("long").alias("n_blocked_hits"),
+        (hits == 0).alias("blocklist_pass"),
+    )
+
+
 def source_unigram_kl(docs: DataFrame, *, stratum: str = "source") -> DataFrame:
     """Per-source corpus-drift monitor: KL(P_source ‖ P_corpus) over the
     unigram token distribution — the mixture-health statistic a training

@@ -2187,3 +2187,55 @@ class TestHtmlExtract:
             for r in qs["corpus_curation_v2"](spark, d_dir).collect()
         )
         assert got == want and len(got) > 0
+
+
+class TestBlocklistAndMojibake:
+    def test_blocklist_whole_token_matching(self, spark):
+        from mopso_engine.ext.text import blocklist_filter
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a clean document about tables"),
+                (2, "the vector column and another VECTOR here"),
+                (3, "classy subvectors do not count"),  # substrings must not trip
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in blocklist_filter(docs, ["vector"]).collect()}
+        assert out[1]["blocklist_pass"] and out[1]["n_blocked_hits"] == 0
+        assert not out[2]["blocklist_pass"] and out[2]["n_blocked_hits"] == 2
+        assert out[3]["blocklist_pass"]
+        with pytest.raises(ValueError):
+            blocklist_filter(docs, [])
+
+    def test_mojibake_repair_and_counts(self, spark):
+        from mopso_engine.ext.extract import MOJIBAKE_TABLE, fix_mojibake
+
+        art = dict(MOJIBAKE_TABLE)
+        rsq = MOJIBAKE_TABLE[0][0]   # -> '
+        eacute = MOJIBAKE_TABLE[7][0]  # -> é
+        text = f"caf{eacute} don{rsq}t stop\x07 now"
+        docs = spark.createDataFrame([(1, text), (2, "clean text")],
+                                     "doc_id long, text string")
+        out = {r["doc_id"]: r for r in fix_mojibake(docs).collect()}
+        assert out[1]["text_fixed"] == "café don't stop now"
+        assert out[1]["n_fixed"] == 2 and out[1]["n_ctrl"] == 1
+        assert out[2]["n_fixed"] == 0 and out[2]["n_ctrl"] == 0
+        assert out[2]["text_fixed"] == "clean text"
+
+    def test_mojibake_progressive_counts_no_double(self, spark):
+        """Entries sharing the 'â€' head must each count exactly once."""
+        from mopso_engine.ext.extract import MOJIBAKE_TABLE, fix_mojibake
+
+        seqs = [s for s, _ in MOJIBAKE_TABLE[:7]]
+        text = " ".join(seqs)
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = fix_mojibake(docs).collect()[0]
+        assert out["n_fixed"] == 7
+
+    def test_mojibake_table_no_prefix_hazard(self):
+        from mopso_engine.ext.extract import MOJIBAKE_TABLE
+
+        for i, (a, _) in enumerate(MOJIBAKE_TABLE):
+            for b, _ in MOJIBAKE_TABLE[i + 1 :]:
+                assert not b.startswith(a), f"{a!r} would eat {b!r}'s prefix"
