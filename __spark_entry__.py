@@ -784,24 +784,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         so the gate demonstrably fires."""
         return tx.blocklist_filter(read_table(spark, sf, "documents"))
 
-    def docs_fix_mojibake(spark, sf):
-        """Encoding-artifact repair (`ext.extract.fix_mojibake`, the
-        CCNet/ftfy cleanup stage): UTF-8-as-Latin-1 sequences planted
-        deterministically (every 7th doc gains three artifacts from the
-        pinned table, every 5th a C0 control char) are repaired by the
-        fixed ordered replace chain with progressive hit counting and a
-        control strip. One expression-only projection; the oracle's
-        chain is GENERATED from the same pinned table
-        (`ext.extract.mojibake_sql`), so the repaired text is pinned
-        byte-for-byte."""
-        from mopso_engine.ext.extract import MOJIBAKE_TABLE, fix_mojibake
+    def _mojibake_planted(docs):
+        """documents with PLANTED encoding artifacts: every 7th doc gains
+        three sequences from the pinned table, every 5th a C0 control
+        char — the deterministic fixture both repair queries and their
+        oracles replay."""
+        from mopso_engine.ext.extract import MOJIBAKE_TABLE
 
         art = (
             "caf" + MOJIBAKE_TABLE[7][0] + " don" + MOJIBAKE_TABLE[0][0] + "t "
         )
         tail = " " + MOJIBAKE_TABLE[5][0] + " fin"
-        docs = read_table(spark, sf, "documents")
-        planted = docs.select(
+        return docs.select(
             "doc_id",
             F.when(
                 F.col("doc_id") % 7 == 0,
@@ -817,7 +811,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .otherwise(F.col("text"))
             .alias("text"),
         )
-        return fix_mojibake(planted)
+
+    def docs_fix_mojibake(spark, sf):
+        """Encoding-artifact repair (`ext.extract.fix_mojibake`, the
+        CCNet/ftfy cleanup stage): UTF-8-as-Latin-1 sequences planted
+        deterministically (every 7th doc gains three artifacts from the
+        pinned table, every 5th a C0 control char) are repaired by the
+        fixed ordered replace chain with progressive hit counting and a
+        control strip. One expression-only projection; the oracle's
+        chain is GENERATED from the same pinned table
+        (`ext.extract.mojibake_sql`), so the repaired text is pinned
+        byte-for-byte."""
+        from mopso_engine.ext.extract import fix_mojibake
+
+        return fix_mojibake(_mojibake_planted(read_table(spark, sf, "documents")))
+
+    def corpus_curation_v3(spark, sf):
+        """The FULL modern curation ladder in ONE declarative plan —
+        extraction-era cleanup composed with the quality/dedup stages:
+        mojibake repair (planted fixture) → blocklist gate → tokenizer-
+        fertility gate → Gopher repetition gate (expression-only twin) →
+        exact-dedup canonicalization → EXACT per-language quota (25,
+        smallest hash, salt cur3). Emits (doc_id, lang, n_tokens,
+        n_bpe_tokens) for the surviving manifest. Movement at 100 TB:
+        the repair/blocklist/repetition stages are expression-only, the
+        fertility gate is the zero-shuffle BPE Arrow kernel, and the
+        only exchanges are the fingerprint window and the quota's
+        WindowGroupLimit — nothing quadratic, nothing Python-per-row
+        except the Arrow counter."""
+        from mopso_engine.ext import bpe
+        from mopso_engine.ext.extract import fix_mojibake
+
+        docs = read_table(spark, sf, "documents")
+        fixed = (
+            fix_mojibake(_mojibake_planted(docs))
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .select("doc_id", F.col("text_fixed").alias("text"), "lang")
+        )
+        bl = tx.blocklist_filter(fixed)
+        fert = bpe.bpe_fertility(fixed)
+        rep = tx.repetition_stats_expr(fixed)
+        fp = fixed.select("doc_id", F.md5(dd.normalized_text()).alias("fp"), "lang")
+        w = Window.partitionBy("fp")
+        keep = fp.withColumn("keep_id", F.min("doc_id").over(w)).where(
+            F.col("doc_id") == F.col("keep_id")
+        )
+        cur = (
+            keep.join(rep, "doc_id")
+            .join(bl, "doc_id")
+            .join(fert.select("doc_id", "n_bpe_tokens", "fertility_pass"), "doc_id")
+            .where(
+                F.col("gopher_pass")
+                & F.col("blocklist_pass")
+                & F.col("fertility_pass")
+            )
+        )
+        from mopso_engine.ext import pipeline as pl
+
+        cur = pl.quota_sample(cur, "doc_id", "lang", 25, salt="cur3")
+        return cur.select("doc_id", "lang", "n_tokens", "n_bpe_tokens")
 
     def docs_bpe_fertility(spark, sf):
         """Tokenizer-fertility gate (`ext.bpe.bpe_fertility`): BPE tokens
@@ -2765,16 +2817,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mopso_fit_lineitem_only,
         # round-8 new: BPE-budget chunking (VERDICT r7 #5), upstream
         # HTML text extraction (VERDICT r7 #7), tokenizer-fertility gate,
-        # blocklist gate, mojibake repair                                (5)
+        # blocklist gate, mojibake repair, full-ladder curation v3       (6)
         docs_chunked_bpe, docs_html_extract, docs_bpe_fertility,
-        docs_blocklist, docs_fix_mojibake,
+        docs_blocklist, docs_fix_mojibake, corpus_curation_v3,
         # round-8 code-changed, re-earning rows: canonical_by_score
         # min_by election + missing-score guard; semantic_decontaminate
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
-        # the r7 registration comment, oldest-verified-first            (37)
+        # the r7 registration comment, oldest-verified-first            (36)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
@@ -2785,11 +2837,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         active_custkeys_both, active_custkeys_diff_all, events_pivot,
         status_cube, value_quantiles,
         q5_local_supplier, q7_volume_shipping, q8_market_share,
-        q9_profit_shape, q10_returned_items,
+        q9_profit_shape,
         # --- the 50-entry truncation lands exactly here ---
         # rest of the stale tail — oldest-verified-first; next round's
-        # rotation slice starts at q14_promo_share
-        q14_promo_share, q15_top_supplier,
+        # rotation slice starts at q10_returned_items
+        q10_returned_items, q14_promo_share, q15_top_supplier,
         q17_small_quantity, q19_or_of_ands, q20_promo_suppliers,
         q4_priority, q13_custdist, q16_supplier_variety, q22_idle_customers,
         orders_window_suite, orders_range_window, orders_ranking_suite,
@@ -3380,6 +3432,71 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN n_words > 0 THEN round(n_bpe_tokens * 1.0 / n_words, 6)
                      ELSE 0.0 END <= 3.5) AS fertility_pass
         FROM bpe_counts
+    """
+
+    # corpus_curation_v3: the full ladder composed — planted-mojibake
+    # repair (chain generated from the pinned table), blocklist +
+    # fertility + repetition gates over the REPAIRED text, exact-dedup
+    # canonicalization, per-lang quota. The BPE CTEs are re-sourced to
+    # the repaired corpus (the one "FROM documents" in toksb).
+    _CTRL_SQL = r"'[\x00-\x08\x0b\x0c\x0e-\x1f]'"
+    o["corpus_curation_v3"] = f"""
+        WITH RECURSIVE
+        planted AS (
+          SELECT d.doc_id, d.lang,
+                 (CASE WHEN d.doc_id % 7 = 0
+                       THEN '{_mj_art}' || d.text || '{_mj_tail}'
+                       ELSE d.text END) ||
+                 (CASE WHEN d.doc_id % 5 = 0 THEN chr(7) ELSE '' END) AS text
+          FROM documents d),
+        fixedd AS (
+          SELECT doc_id, lang,
+                 regexp_replace({_mj_fixed}, {_CTRL_SQL}, '', 'g') AS text
+          FROM planted),
+        {_BPE_CTES.replace("FROM documents", "FROM fixedd")},
+        rt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM fixedd),
+        rw AS (SELECT doc_id, unnest(t) AS g FROM rt),
+        rwc AS (SELECT doc_id, g, count(*) AS c FROM rw GROUP BY 1, 2),
+        rwa AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, max(c) AS top_word
+                FROM rwc GROUP BY 1),
+        rbg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+                FROM rt),
+        rbc AS (SELECT doc_id, g, count(*) AS c FROM rbg GROUP BY 1, 2),
+        rba AS (SELECT doc_id, max(c) AS top_bigram FROM rbc GROUP BY 1),
+        rep AS (SELECT rwa.doc_id, n_tokens,
+                       round(top_word * 1.0 / n_tokens, 6) AS twf,
+                       round(least(coalesce(top_bigram * 2.0 / n_tokens, 0.0), 1.0), 6) AS t2f
+                FROM rwa LEFT JOIN rba USING (doc_id)),
+        bl AS (SELECT doc_id,
+                      len(list_filter(string_split_regex(trim(text), '\\s+'),
+                          x -> list_contains(['vector','casino','xxx'], lower(x)))) = 0
+                        AS blocklist_pass
+               FROM fixedd),
+        fert AS (SELECT doc_id, n_bpe_tokens,
+                        (n_words > 0 AND
+                         CASE WHEN n_words > 0 THEN round(n_bpe_tokens * 1.0 / n_words, 6)
+                              ELSE 0.0 END <= 3.5) AS fertility_pass
+                 FROM bpe_counts),
+        ntext AS (SELECT doc_id, lower(array_to_string(string_split_regex(trim(text), '\\s+'), ' ')) AS nt
+                  FROM fixedd),
+        fps AS (SELECT n.doc_id, f.lang, md5(n.nt) AS fp FROM ntext n JOIN fixedd f USING (doc_id)),
+        keep AS (SELECT doc_id, lang FROM (
+                   SELECT doc_id, lang, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM fps) k
+                 WHERE doc_id = keep_id),
+        cur AS (SELECT k.doc_id, k.lang, rep.n_tokens, fert.n_bpe_tokens
+                FROM keep k
+                JOIN rep ON rep.doc_id = k.doc_id
+                JOIN bl ON bl.doc_id = k.doc_id
+                JOIN fert ON fert.doc_id = k.doc_id
+                WHERE rep.twf <= 0.10 AND rep.t2f <= 0.08
+                  AND bl.blocklist_pass AND fert.fertility_pass)
+        SELECT doc_id, lang, n_tokens, n_bpe_tokens FROM (
+          SELECT cur.*, row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY (('0x' || substr(md5(doc_id::VARCHAR || '#cur3'), 1, 8))::BIGINT)::DOUBLE
+                            / 4294967296.0 ASC, doc_id ASC) AS rn
+          FROM cur) t
+        WHERE rn <= 25
     """
 
     o["docs_packed_bpe"] = f"""

@@ -89,6 +89,11 @@ BENCH_QUERIES = [
     "docs_html_extract",
     # round-8: tokenizer-fertility gate on the zero-shuffle BPE kernel
     "docs_bpe_fertility",
+    # round-8: blocklist gate, mojibake repair, and the full-ladder
+    # curation composition they feed
+    "docs_blocklist",
+    "docs_fix_mojibake",
+    "corpus_curation_v3",
     "docs_pii",
     "quality_model_scores",
     "lsh_candidates",

@@ -246,6 +246,19 @@ COMMENTS = {
     "arithmetic projection directly on the zero-shuffle BPE count "
     "kernel's MapInPandas output — no Exchange, no extra scan; the "
     "gate composes into curation plans for free.",
+    "docs_blocklist": "Blocklist gate: the pinned list is an array "
+    "literal inside one codegen'd filter over the token array — zero "
+    "Exchange, zero Python, never a join (the list is bounded by "
+    "construction).",
+    "docs_fix_mojibake": "Mojibake repair: the ordered replace chain, "
+    "progressive hit counts, and control strip are one expression-only "
+    "projection — the PII-chain plan class; streaming-safe.",
+    "corpus_curation_v3": "The full curation ladder in ONE plan: "
+    "repair/blocklist/repetition stages are expression-only, the "
+    "fertility gate is the zero-shuffle BPE Arrow kernel, and the only "
+    "exchanges are the fingerprint window and the quota's "
+    "WindowGroupLimit — at 100 TB those two keyed shuffles are the "
+    "entire data movement.",
     "docs_html_extract": "Upstream HTML extraction: the whole "
     "tag-strip + entity-decode + line-density pipeline is ONE "
     "codegen'd projection chain over the scan (regexp chains, split, "
