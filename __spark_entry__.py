@@ -871,6 +871,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cur = pl.quota_sample(cur, "doc_id", "lang", 25, salt="cur3")
         return cur.select("doc_id", "lang", "n_tokens", "n_bpe_tokens")
 
+    def events_resampled(spark, sf):
+        """Regular-grid resampling with forward fill
+        (`ext.pipeline.resample_forward_fill`): per user, an hourly grid
+        spanning [trunc(min ts), trunc(max ts)] where each point carries
+        the last at-or-before observation's value and timestamp — the
+        time-series gap-fill (time_bucket + locf). One user_id Exchange
+        shared by the span aggregate and the fill window; grid rows sort
+        after same-instant observations, ties break by event_id, NULLs
+        before a user's first observation. No arithmetic in the output,
+        so the fill is value-exact by construction."""
+        from mopso_engine.ext import pipeline as pl
+
+        return pl.resample_forward_fill(read_table(spark, sf, "events"))
+
     def docs_bpe_fertility(spark, sf):
         """Tokenizer-fertility gate (`ext.bpe.bpe_fertility`): BPE tokens
         per word under the pinned merge table, pass iff ≤ 3.5 — the
@@ -2817,16 +2831,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mopso_fit_lineitem_only,
         # round-8 new: BPE-budget chunking (VERDICT r7 #5), upstream
         # HTML text extraction (VERDICT r7 #7), tokenizer-fertility gate,
-        # blocklist gate, mojibake repair, full-ladder curation v3       (6)
+        # blocklist gate, mojibake repair, full-ladder curation v3,
+        # forward-fill resampling                                        (7)
         docs_chunked_bpe, docs_html_extract, docs_bpe_fertility,
         docs_blocklist, docs_fix_mojibake, corpus_curation_v3,
+        events_resampled,
         # round-8 code-changed, re-earning rows: canonical_by_score
         # min_by election + missing-score guard; semantic_decontaminate
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
-        # the r7 registration comment, oldest-verified-first            (36)
+        # the r7 registration comment, oldest-verified-first            (35)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
@@ -2837,11 +2853,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         active_custkeys_both, active_custkeys_diff_all, events_pivot,
         status_cube, value_quantiles,
         q5_local_supplier, q7_volume_shipping, q8_market_share,
-        q9_profit_shape,
         # --- the 50-entry truncation lands exactly here ---
         # rest of the stale tail — oldest-verified-first; next round's
-        # rotation slice starts at q10_returned_items
-        q10_returned_items, q14_promo_share, q15_top_supplier,
+        # rotation slice starts at q9_profit_shape
+        q9_profit_shape, q10_returned_items, q14_promo_share, q15_top_supplier,
         q17_small_quantity, q19_or_of_ands, q20_promo_suppliers,
         q4_priority, q13_custdist, q16_supplier_variety, q22_idle_customers,
         orders_window_suite, orders_range_window, orders_ranking_suite,
@@ -3385,6 +3400,30 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(W[s::INT:e::INT], ' ') AS chunk_text
         FROM emit
         WHERE (SELECT ok FROM bguard) = 1
+    """
+
+    o["events_resampled"] = """
+        WITH span AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+                             date_trunc('hour', max(ts)) AS t1
+                      FROM events GROUP BY 1),
+        grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS gts
+                 FROM span),
+        u AS (
+          SELECT user_id, ts AS t, 0 AS g, event_id AS tie, value AS v FROM events
+          UNION ALL
+          SELECT user_id, gts, 1, NULL, NULL FROM grid),
+        f AS (
+          SELECT user_id, t, g,
+                 last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY t ASC, g ASC, tie ASC NULLS LAST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+                 last_value(CASE WHEN g = 0 AND v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY t ASC, g ASC, tie ASC NULLS LAST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_obs_ts
+          FROM u)
+        SELECT user_id, t AS grid_ts, value_ff, last_obs_ts FROM f WHERE g = 1
     """
 
     o["docs_blocklist"] = r"""

@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "docs_blocklist",
     "docs_fix_mojibake",
     "corpus_curation_v3",
+    # round-8: time-grid forward-fill resampling (one key window)
+    "events_resampled",
     "docs_pii",
     "quality_model_scores",
     "lsh_candidates",

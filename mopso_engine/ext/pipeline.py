@@ -152,6 +152,83 @@ def asof_join(
     )
 
 
+def resample_forward_fill(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Regular-grid resampling with forward fill — the time-series
+    gap-fill every metrics/feature pipeline needs (and SQL engines call
+    ``time_bucket`` + ``locf``): per key, a grid of ``step``-aligned
+    timestamps spans [date_trunc(min ts), date_trunc(max ts)], and each
+    grid point carries the LAST observed value at-or-before it plus that
+    observation's timestamp (staleness is then ``grid_ts −
+    last_obs_ts``, left to the caller so no float arithmetic enters the
+    output). Grid points before a key's first observation emit NULLs.
+    Output: (key, grid_ts, value_ff, last_obs_ts).
+
+    Rendering is the repo's as-of shape (asof_join above): the grid is
+    derived from a per-key min/max aggregate + one sequence() explode
+    (map-only after a key-combined aggregate), unioned with the
+    observations, and ONE ordered window per key forward-fills — grid
+    rows sort AFTER observations at the same timestamp (<= semantics),
+    and ties among simultaneous observations break by ``id_col``, so the
+    fill is deterministic under any partitioning. Movement: one key
+    Exchange shared by the aggregate and the window; nothing quadratic,
+    no per-row probe join. ``step`` must parse as an INTERVAL literal
+    (e.g. '1 hour', '15 minutes'); the grid density is the caller's
+    memory lever at 100 TB.
+    """
+    trunc_unit = step.split()[-1].rstrip("s")  # '1 hour' -> 'hour'
+    span = events.groupBy(key).agg(
+        F.date_trunc(trunc_unit, F.min(ts_col)).alias("_t0"),
+        F.date_trunc(trunc_unit, F.max(ts_col)).alias("_t1"),
+    )
+    grid = span.select(
+        key,
+        F.explode(
+            F.sequence("_t0", "_t1", F.expr(f"INTERVAL {step}"))
+        ).alias("grid_ts"),
+    )
+    obs = events.select(
+        F.col(key),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_g"),
+        F.col(id_col).alias("_tie"),
+        F.col(value_col).alias("_v"),
+    )
+    g = grid.select(
+        F.col(key),
+        F.col("grid_ts").alias("_ts"),
+        F.lit(1).alias("_g"),
+        F.lit(None).cast(obs.schema["_tie"].dataType).alias("_tie"),
+        F.lit(None).cast(obs.schema["_v"].dataType).alias("_v"),
+    )
+    u = obs.unionByName(g)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_g").asc(), F.col("_tie").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # a NULL-valued observation is no observation: both fills must skip
+    # the same rows or value_ff and last_obs_ts would disagree
+    obs_ts = F.when((F.col("_g") == 0) & F.col("_v").isNotNull(), F.col("_ts"))
+    filled = u.select(
+        F.col(key),
+        "_ts",
+        "_g",
+        F.last("_v", ignorenulls=True).over(w).alias("value_ff"),
+        F.last(obs_ts, ignorenulls=True).over(w).alias("last_obs_ts"),
+    )
+    return filled.where(F.col("_g") == 1).select(
+        F.col(key), F.col("_ts").alias("grid_ts"), "value_ff", "last_obs_ts"
+    )
+
+
 def quota_sample(
     df: DataFrame,
     key: str,

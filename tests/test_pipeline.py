@@ -702,3 +702,58 @@ class TestDeterministicShuffle:
         df = spark.createDataFrame([(1,)], "doc_id long")
         with pytest.raises(ValueError):
             deterministic_shuffle(df, "doc_id", n_shards=0)
+
+
+def test_resample_forward_fill_semantics(spark):
+    from datetime import datetime
+
+    from mopso_engine.ext.pipeline import resample_forward_fill
+
+    T = datetime
+    rows = [
+        # user 1: obs at 00:10 (v=1.0), 02:40 (v=3.0) -> grid 00,01,02
+        (1, T(2024, 1, 1, 0, 10), 1, 1.0),
+        (2, T(2024, 1, 1, 2, 40), 1, 3.0),
+        # user 2: single obs exactly ON a grid boundary (<= semantics)
+        (3, T(2024, 1, 1, 5, 0), 2, 7.0),
+        # user 3: simultaneous obs -> tie breaks to max event_id
+        (4, T(2024, 1, 2, 1, 30), 3, 10.0),
+        (5, T(2024, 1, 2, 1, 30), 3, 20.0),
+        (6, T(2024, 1, 2, 3, 0, 1), 3, 30.0),
+        # user 4: NULL-valued obs is no observation
+        (7, T(2024, 1, 3, 0, 30), 4, None),
+        (8, T(2024, 1, 3, 1, 30), 4, 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = {
+        (r["user_id"], r["grid_ts"]): (r["value_ff"], r["last_obs_ts"])
+        for r in resample_forward_fill(ev).collect()
+    }
+    # user 1: grid 00:00 (before first obs -> NULLs), 01:00, 02:00
+    assert out[(1, T(2024, 1, 1, 0, 0))] == (None, None)
+    assert out[(1, T(2024, 1, 1, 1, 0))] == (1.0, T(2024, 1, 1, 0, 10))
+    assert out[(1, T(2024, 1, 1, 2, 0))] == (1.0, T(2024, 1, 1, 0, 10))
+    assert (1, T(2024, 1, 1, 3, 0)) not in out  # grid ends at trunc(max)
+    # user 2: obs at exactly 05:00 is visible at the 05:00 grid point
+    assert out[(2, T(2024, 1, 1, 5, 0))] == (7.0, T(2024, 1, 1, 5, 0))
+    # user 3: simultaneous obs -> the max-event_id value wins
+    assert out[(3, T(2024, 1, 2, 2, 0))] == (20.0, T(2024, 1, 2, 1, 30))
+    assert out[(3, T(2024, 1, 2, 3, 0))] == (20.0, T(2024, 1, 2, 1, 30))
+    # user 4: the NULL-valued obs moves NEITHER fill column
+    assert out[(4, T(2024, 1, 3, 1, 0))] == (None, None)
+    # grid size: every hourly point per user, no more
+    assert sum(1 for (u, _) in out if u == 1) == 3
+    assert sum(1 for (u, _) in out if u == 3) == 3  # 01,02,03
+
+
+def test_resample_forward_fill_single_exchange(spark):
+    """One user_id Exchange serves span aggregate + fill window."""
+    from mopso_engine.ext.pipeline import resample_forward_fill
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = resample_forward_fill(ev)._jdf.queryExecution().executedPlan().toString()
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 2  # span agg + window (union sides may share)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

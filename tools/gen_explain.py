@@ -259,6 +259,11 @@ COMMENTS = {
     "exchanges are the fingerprint window and the quota's "
     "WindowGroupLimit — at 100 TB those two keyed shuffles are the "
     "entire data movement.",
+    "events_resampled": "Gap-fill resampling: the per-key grid comes "
+    "from one combined min/max aggregate + a sequence() explode, then "
+    "ONE user_id window forward-fills observations and grid rows "
+    "together — the as-of plan shape; no per-row probe join, no "
+    "cartesian grid materialization beyond the key's own span.",
     "docs_html_extract": "Upstream HTML extraction: the whole "
     "tag-strip + entity-decode + line-density pipeline is ONE "
     "codegen'd projection chain over the scan (regexp chains, split, "
