@@ -56,15 +56,24 @@ def build_corpus(spark) -> None:
     scaled_li.write.parquet(os.path.join(OUT, "lineitem.parquet"))
 
 
-def shuffle_stats(spark) -> tuple[int, int, int]:
-    """(total shuffle write bytes, peak per-stage write, completed stages)
-    from the REST API of the live app."""
+def stage_writes(spark) -> dict:
+    """{(stageId, attemptId): shuffleWriteBytes} for completed stages via
+    the REST API — callers diff two snapshots so totals AND peaks are
+    computed over exactly the stages a query ran (a global max would
+    leak earlier queries' peaks into later windows)."""
     base = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
     with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages?status=complete") as r:
         stages = json.load(r)
-    writes = [s.get("shuffleWriteBytes", 0) for s in stages]
-    return sum(writes), max(writes, default=0), len(stages)
+    return {
+        (s["stageId"], s.get("attemptId", 0)): s.get("shuffleWriteBytes", 0)
+        for s in stages
+    }
+
+
+def window_stats(before: dict, after: dict) -> tuple[int, int, int]:
+    new = {k: v for k, v in after.items() if k not in before}
+    return sum(new.values()), max(new.values(), default=0), len(new)
 
 
 def main() -> None:
@@ -77,20 +86,34 @@ def main() -> None:
     build_corpus(spark)
     out: dict = {"metric": "scale10_smoke", "replicas": REPLICAS}
 
-    # flagship curation composition, unchanged, on the 10x corpus
+    # flagship paths, unchanged queries: x1 (sf0.1) then x10 in the SAME
+    # session — the paired ratio is host-drift-resistant in a way one
+    # cold absolute number is not. A warm x1 pass first eats the
+    # codegen/JIT cost so neither timed pass is charged for it.
     qs = entry_mod.queries()
-    w0, _, s0 = shuffle_stats(spark)
-    t0 = time.time()
-    df = qs["corpus_curation_v2"](spark, OUT)
-    df.write.format("noop").mode("overwrite").save()
-    t_cur = round(time.time() - t0, 3)
-    w1, peak1, s1 = shuffle_stats(spark)
-    out["corpus_curation_v2"] = {
-        "rows_in": 50_000, "wall_sec": t_cur,
-        "shuffle_write_bytes": w1 - w0, "peak_stage_shuffle_bytes": peak1,
-        "stages": s1 - s0,
-    }
-    print(f"# corpus_curation_v2 x10: {t_cur}s", file=sys.stderr)
+    from mopso_engine.ext.dedup import clear_shingle_caches
+
+    for name in ("corpus_curation_v2", "dedup_verified"):
+        qs[name](spark, SRC).write.format("noop").mode("overwrite").save()
+        clear_shingle_caches()
+        rec = {}
+        for tag, d, rows in (("x1", SRC, 5_000), ("x10", OUT, 50_000)):
+            snap0 = stage_writes(spark)
+            t0 = time.time()
+            qs[name](spark, d).write.format("noop").mode("overwrite").save()
+            t = round(time.time() - t0, 3)
+            clear_shingle_caches()
+            tot, peak, n = window_stats(snap0, stage_writes(spark))
+            rec[tag] = {
+                "rows_in": rows, "wall_sec": t,
+                "shuffle_write_bytes": tot,
+                "peak_stage_shuffle_bytes": peak, "stages": n,
+            }
+            print(f"# {name} {tag}: {t}s", file=sys.stderr)
+        rec["ratio_x10_vs_x1"] = round(
+            rec["x10"]["wall_sec"] / rec["x1"]["wall_sec"], 2
+        )
+        out[name] = rec
 
     # lineitem partition-local fit, partitions scaled WITH the data
     from pyspark.sql import functions as F
@@ -113,16 +136,16 @@ def main() -> None:
         k=4, n_particles=5, iter_max=2, knn_l=5, seed=42,
         fitness_mode="partition_local",
     )
-    w0, _, s0 = shuffle_stats(spark)
+    snap0 = stage_writes(spark)
     t0 = time.time()
     res = MopsoEngine(cfg).fit(pts)
     t_fit = round(time.time() - t0, 3)
-    w1, peak1, s1 = shuffle_stats(spark)
+    tot, peak, n = window_stats(snap0, stage_writes(spark))
     out["fit_lineitem_x10"] = {
         "rows_in": 6_000_000, "partitions": 640, "wall_sec": t_fit,
         "archive_size": len(res.archive_positions),
-        "shuffle_write_bytes": w1 - w0, "peak_stage_shuffle_bytes": peak1,
-        "stages": s1 - s0,
+        "shuffle_write_bytes": tot, "peak_stage_shuffle_bytes": peak,
+        "stages": n,
     }
     print(f"# fit_lineitem x10: {t_fit}s archive={len(res.archive_positions)}", file=sys.stderr)
 
