@@ -1176,6 +1176,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return res
 
+    def stream_curate_docs_v3(spark, sf):
+        """STREAMING curation with the round-8 extraction-era gates
+        (`ext.streaming.stream_curate_v3`): mojibake repair → blocklist
+        → repetition/length gates → exact dedup, one unbounded pipeline.
+        The added stages are stateless codegen, so state is still just
+        the dedup fingerprint set — and the fingerprint is computed over
+        the REPAIRED text. Drained with AvailableNow; oracle = the batch
+        composition (this corpus is artifact-free, so repair is an
+        identity here — repair semantics are pinned by
+        docs_fix_mojibake and the stream==batch unit test)."""
+        from mopso_engine.ext.streaming import run_available_now, stream_curate_v3
+
+        return run_available_now(
+            stream_curate_v3(spark, os.path.join(sf, "documents.parquet")),
+            query_name=f"curate3_{uuid.uuid4().hex[:8]}",
+            output_mode="append",
+        )
+
     def dup_span_stats(spark, sf):
         """Per-doc duplicated-span audit (`ext.dedup.duplicated_span_stats`)
         — the MEASURE-before-dedup diagnostic: fraction of each doc's
@@ -2831,18 +2849,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mopso_fit_lineitem_only,
         # round-8 new: BPE-budget chunking (VERDICT r7 #5), upstream
         # HTML text extraction (VERDICT r7 #7), tokenizer-fertility gate,
-        # blocklist gate, mojibake repair, full-ladder curation v3,
-        # forward-fill resampling                                        (7)
+        # blocklist gate, mojibake repair, full-ladder curation v3 (batch
+        # + streaming), forward-fill resampling                          (8)
         docs_chunked_bpe, docs_html_extract, docs_bpe_fertility,
         docs_blocklist, docs_fix_mojibake, corpus_curation_v3,
-        events_resampled,
+        stream_curate_docs_v3, events_resampled,
         # round-8 code-changed, re-earning rows: canonical_by_score
         # min_by election + missing-score guard; semantic_decontaminate
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
-        # the r7 registration comment, oldest-verified-first            (35)
+        # the r7 registration comment, oldest-verified-first            (34)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
@@ -2852,10 +2870,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         big_orders, customers_without_orders, active_custkeys_diff,
         active_custkeys_both, active_custkeys_diff_all, events_pivot,
         status_cube, value_quantiles,
-        q5_local_supplier, q7_volume_shipping, q8_market_share,
+        q5_local_supplier, q7_volume_shipping,
         # --- the 50-entry truncation lands exactly here ---
         # rest of the stale tail — oldest-verified-first; next round's
-        # rotation slice starts at q9_profit_shape
+        # rotation slice starts at q8_market_share
+        q8_market_share,
         q9_profit_shape, q10_returned_items, q14_promo_share, q15_top_supplier,
         q17_small_quantity, q19_or_of_ands, q20_promo_suppliers,
         q4_priority, q13_custdist, q16_supplier_variety, q22_idle_customers,
@@ -4794,6 +4813,30 @@ def oracle_sql() -> dict[str, str]:
               FROM wa LEFT JOIN ba USING (doc_id))
         SELECT m.doc_id, fps.fp, m.n_tokens
         FROM m JOIN fps USING (doc_id)
+        WHERE twf <= 0.10 AND tbf <= 0.08 AND n_tokens >= 5
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY m.doc_id) = 1
+    """
+
+    o["stream_curate_docs_v3"] = r"""
+        WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        bl AS (SELECT doc_id FROM toks
+               WHERE len(list_filter(t, x -> list_contains(['vector','casino','xxx'], lower(x)))) = 0),
+        w AS (SELECT doc_id, unnest(t) AS g FROM toks),
+        wc AS (SELECT doc_id, g, count(*) AS c FROM w GROUP BY 1, 2),
+        wa AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, max(c) AS top_word FROM wc GROUP BY 1),
+        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+               FROM toks),
+        bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        ba AS (SELECT doc_id, max(c) AS top_bigram FROM bc GROUP BY 1),
+        fps AS (SELECT doc_id,
+                       md5(lower(array_to_string(string_split_regex(trim(text), '\s+'), ' '))) AS fp
+                FROM documents),
+        m AS (SELECT wa.doc_id, n_tokens,
+                     round(top_word * 1.0 / n_tokens, 6) AS twf,
+                     round(least(coalesce(top_bigram * 2.0 / n_tokens, 0.0), 1.0), 6) AS tbf
+              FROM wa LEFT JOIN ba USING (doc_id))
+        SELECT m.doc_id, fps.fp, m.n_tokens
+        FROM m JOIN fps USING (doc_id) JOIN bl ON bl.doc_id = m.doc_id
         WHERE twf <= 0.10 AND tbf <= 0.08 AND n_tokens >= 5
         QUALIFY row_number() OVER (PARTITION BY fp ORDER BY m.doc_id) = 1
     """

@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "corpus_curation_v3",
     # round-8: time-grid forward-fill resampling (one key window)
     "events_resampled",
+    # round-8: streaming curation with the extraction-era gates
+    "stream_curate_docs_v3",
     "docs_pii",
     "quality_model_scores",
     "lsh_candidates",

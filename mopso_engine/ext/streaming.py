@@ -587,6 +587,45 @@ def stream_curate(
     return gated.select("doc_id", "fp", "n_tokens").dropDuplicates(["fp"])
 
 
+def stream_curate_v3(
+    spark: SparkSession,
+    docs_path: str,
+    *,
+    max_top_word_frac: float = 0.10,
+    max_top_2gram_frac: float = 0.08,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """:func:`stream_curate` extended with the round-8 extraction-era
+    gates — mojibake repair then the blocklist — BEFORE the repetition
+    gate and dedup, matching `corpus_curation_v3`'s stage order. All
+    three added stages are stateless expression chains, so the state
+    posture is unchanged: the dedup fingerprint set is still the only
+    state, and the fingerprint is computed over the REPAIRED text (a
+    mojibake'd clone of a clean doc dedups against it). Emits (doc_id,
+    fp, n_tokens) of surviving docs."""
+    from mopso_engine.ext.dedup import normalized_text
+    from mopso_engine.ext.extract import fix_mojibake
+    from mopso_engine.ext.text import blocklist_filter, repetition_stats_expr
+
+    src = docs_stream_source(spark, docs_path)
+    fixed = fix_mojibake(src).select(
+        "doc_id", F.col("text_fixed").alias("text")
+    )
+    clean = (
+        blocklist_filter(fixed, keep=["text"])
+        .where(F.col("blocklist_pass"))
+        .select("doc_id", "text")
+    )
+    fp = clean.withColumn("fp", F.md5(normalized_text()))
+    gated = repetition_stats_expr(
+        fp,
+        max_top_word_frac=max_top_word_frac,
+        max_top_2gram_frac=max_top_2gram_frac,
+        keep=["fp"],
+    ).where(F.col("gopher_pass") & (F.col("n_tokens") >= min_tokens))
+    return gated.select("doc_id", "fp", "n_tokens").dropDuplicates(["fp"])
+
+
 def scd2_history_latest(spark: SparkSession, history_path: str, *, below: int | None = None):
     """Read the newest committed SCD2 history version under
     ``history_path`` (``v=<batch_id>`` directories written by

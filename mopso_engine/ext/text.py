@@ -489,6 +489,7 @@ def blocklist_filter(
     words: list[str] | None = None,
     *,
     text_col: str = "text",
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Bad-words blocklist gate — the C4 rule that drops any page
     containing a blocklisted token (C4 used the 'List of Dirty, Naughty
@@ -500,15 +501,21 @@ def blocklist_filter(
     100 TB shape: the list rides as an array literal inside one
     expression-only projection (exists/filter over the token array) —
     zero shuffle, zero Python, streaming-safe; never a join, because the
-    blocklist is bounded by construction."""
+    blocklist is bounded by construction. ``keep`` carries extra input
+    columns through unchanged (e.g. the text itself, so a streaming
+    composition can gate without a stream-stream self-join)."""
     wl = [w.lower() for w in (words if words is not None else BLOCKLIST)]
     if not wl:
         raise ValueError("blocklist is empty")
+    reserved = {"doc_id", "n_blocked_hits", "blocklist_pass"}
+    if keep and (bad := reserved.intersection(keep)):
+        raise ValueError(f"keep columns collide with output columns: {sorted(bad)}")
     lits = F.array(*[F.lit(w) for w in wl])
-    toks = tokens_col()
+    toks = tokens_col(text_col)
     hits = F.size(F.filter(toks, lambda t: F.array_contains(lits, F.lower(t))))
     return docs.select(
         "doc_id",
+        *(keep or []),
         hits.cast("long").alias("n_blocked_hits"),
         (hits == 0).alias("blocklist_pass"),
     )

@@ -2239,3 +2239,92 @@ class TestBlocklistAndMojibake:
         for i, (a, _) in enumerate(MOJIBAKE_TABLE):
             for b, _ in MOJIBAKE_TABLE[i + 1 :]:
                 assert not b.startswith(a), f"{a!r} would eat {b!r}'s prefix"
+
+
+class TestStreamCurateV3:
+    def test_stream_v3_equals_batch_with_planted_artifacts(self, spark, tmp_path):
+        """Mojibake'd clone dedups against its clean twin (fingerprint is
+        over REPAIRED text), the blocklisted doc dies, and the drained
+        stream equals the batch composition of the same gates."""
+        from mopso_engine.ext.dedup import normalized_text
+        from mopso_engine.ext.extract import MOJIBAKE_TABLE, fix_mojibake
+        from mopso_engine.ext.streaming import run_available_now, stream_curate_v3
+        from mopso_engine.ext.text import blocklist_filter, repetition_stats_expr
+
+        base = ("a fine document with plenty of distinct ordinary words "
+                "inside it covering engines plans shuffles partitions "
+                "buckets windows joins scans filters projections aggregates "
+                "and other assorted machinery")
+        moji = base.replace("fine", "fin" + MOJIBAKE_TABLE[7][0])  # repairs to "finé"? no: fin + Ã© -> finé
+        rows = [
+            (1, base),
+            (2, base),                              # exact dup of 1
+            (3, base.replace("fine", "fin" + MOJIBAKE_TABLE[7][0].replace("Ã©", "Ã©"))),
+            (4, "the casino word sinks this otherwise long document that "
+                "would have passed every other quality gate with its many "
+                "distinct ordinary words about engines plans shuffles "
+                "partitions buckets and windows"),
+            (5, "completely different content that survives every single "
+                "gate easily by containing very many distinct ordinary "
+                "words about scans filters projections aggregates shuffles "
+                "exchanges and assorted closing machinery"),
+        ]
+        # doc 3: plant an artifact whose REPAIR equals doc 1's text is
+        # hard to craft; instead verify repair-then-fingerprint pipeline
+        # on its own terms below
+        import glob as _glob
+
+        p = str(tmp_path / "docs")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(p)
+        part = _glob.glob(p + "/part-*.parquet")[0]  # the source takes a FILE path
+        got = {
+            r["doc_id"]: (r["fp"], r["n_tokens"])
+            for r in run_available_now(
+                stream_curate_v3(spark, part), query_name="curate3_test",
+                output_mode="append",
+            ).collect()
+        }
+        # batch composition of the same gates
+        docs = spark.read.parquet(p)
+        fixed = fix_mojibake(docs).select("doc_id", F.col("text_fixed").alias("text"))
+        clean = (
+            blocklist_filter(fixed, keep=["text"])
+            .where(F.col("blocklist_pass")).select("doc_id", "text")
+        )
+        gated = repetition_stats_expr(
+            clean.withColumn("fp", F.md5(normalized_text())), keep=["fp"]
+        ).where(F.col("gopher_pass") & (F.col("n_tokens") >= 5))
+        batch_fps = {r["fp"]: r for r in gated.groupBy("fp").agg(
+            F.min("doc_id").alias("doc_id"), F.first("n_tokens").alias("n_tokens")
+        ).collect()}
+        assert 4 not in got                      # blocklisted
+        assert set(f for f, _ in got.values()) == set(batch_fps)
+        # exact dups 1/2 collapse to ONE surviving fingerprint
+        fps = [f for f, _ in got.values()]
+        assert len(fps) == len(set(fps))
+
+    def test_mojibake_clone_dedups_after_repair(self, spark, tmp_path):
+        """A doc that differs from its twin ONLY by encoding artifacts
+        fingerprints identically after repair -> dedup collapses them."""
+        from mopso_engine.ext.extract import MOJIBAKE_TABLE
+        from mopso_engine.ext.streaming import run_available_now, stream_curate_v3
+
+        rsq = MOJIBAKE_TABLE[0][0]  # repairs to '
+        clean = ("it's a perfectly ordinary sentence that keeps going with "
+                 "many plain distinct words about engines plans shuffles "
+                 "partitions buckets windows joins scans filters projections "
+                 "aggregates and other machinery")
+        moji = clean.replace("it's", "it" + rsq + "s")
+        assert moji != clean
+        import glob as _glob
+
+        p = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(1, clean), (2, moji)], "doc_id long, text string"
+        ).coalesce(1).write.parquet(p)
+        part = _glob.glob(p + "/part-*.parquet")[0]
+        out = run_available_now(
+            stream_curate_v3(spark, part), query_name="curate3_dedup_test",
+            output_mode="append",
+        ).collect()
+        assert len(out) == 1  # the artifact clone collapsed onto its twin

@@ -259,6 +259,11 @@ COMMENTS = {
     "exchanges are the fingerprint window and the quota's "
     "WindowGroupLimit — at 100 TB those two keyed shuffles are the "
     "entire data movement.",
+    "stream_curate_docs_v3": "Streaming curation v3 (plan shown is the "
+    "drained batch result): repair + blocklist + repetition gates are "
+    "stateless codegen per micro-batch; the ONLY stateful operator is "
+    "the dedup fingerprint set, now keyed on the REPAIRED text so "
+    "artifact clones collapse onto their clean twins.",
     "events_resampled": "Gap-fill resampling: the per-key grid comes "
     "from one combined min/max aggregate + a sequence() explode, then "
     "ONE user_id window forward-fills observations and grid rows "
