@@ -1531,6 +1531,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "is_current",
         )
 
+    def events_scd2_lookup(spark, sf):
+        """SCD2 serving-path lookup (`ext.pipeline.asof_lookup_scd2`,
+        the previously test-only complement of events_scd2): the history
+        built from 'view' updates resolves every 'click' probe to the
+        ONE period containing its timestamp — equi-join on user_id with
+        the strict half-open interval residual; no window, no union, and
+        a bucketed-by-key history serves shuffle-free. Probes before a
+        user's first update keep NULL payloads. The oracle composes the
+        events_scd2 period SQL with the same interval join."""
+        from mopso_engine.ext.pipeline import asof_lookup_scd2, scd2_history
+        from mopso_engine.ext.streaming import read_events
+
+        _utc(spark)
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        upd = ev.where(F.col("event_type") == "view")
+        h = scd2_history(upd, key="user_id", time="ts", payload=["value"], seq="event_id")
+        probes = ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        out = asof_lookup_scd2(h, probes, key="user_id", time="ts", payload=["value"])
+        return out.select(
+            "event_id", "user_id", "ts", F.round("asof_value", 4).alias("asof_value")
+        )
+
     def docs_logppl(spark, sf):
         """Unigram log-perplexity quality filter (`ext.text.
         unigram_logppl`, CCNet-style): corpus-trained add-α unigram LM,
@@ -2850,17 +2874,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 new: BPE-budget chunking (VERDICT r7 #5), upstream
         # HTML text extraction (VERDICT r7 #7), tokenizer-fertility gate,
         # blocklist gate, mojibake repair, full-ladder curation v3 (batch
-        # + streaming), forward-fill resampling                          (8)
+        # + streaming), forward-fill resampling, SCD2 serving lookup     (9)
         docs_chunked_bpe, docs_html_extract, docs_bpe_fertility,
         docs_blocklist, docs_fix_mojibake, corpus_curation_v3,
-        stream_curate_docs_v3, events_resampled,
+        stream_curate_docs_v3, events_resampled, events_scd2_lookup,
         # round-8 code-changed, re-earning rows: canonical_by_score
         # min_by election + missing-score guard; semantic_decontaminate
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
-        # the r7 registration comment, oldest-verified-first            (34)
+        # the r7 registration comment, oldest-verified-first            (33)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
@@ -2870,11 +2894,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         big_orders, customers_without_orders, active_custkeys_diff,
         active_custkeys_both, active_custkeys_diff_all, events_pivot,
         status_cube, value_quantiles,
-        q5_local_supplier, q7_volume_shipping,
+        q5_local_supplier,
         # --- the 50-entry truncation lands exactly here ---
         # rest of the stale tail — oldest-verified-first; next round's
-        # rotation slice starts at q8_market_share
-        q8_market_share,
+        # rotation slice starts at q7_volume_shipping
+        q7_volume_shipping, q8_market_share,
         q9_profit_shape, q10_returned_items, q14_promo_share, q15_top_supplier,
         q17_small_quantity, q19_or_of_ands, q20_promo_suppliers,
         q4_priority, q13_custdist, q16_supplier_variety, q22_idle_customers,
@@ -4338,6 +4362,30 @@ def oracle_sql() -> dict[str, str]:
                (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
                  AS is_current
         FROM chg
+    """
+
+    o["events_scd2_lookup"] = """
+        WITH upd AS (
+          SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'),
+        chg AS (
+          SELECT user_id, ts, event_id, value FROM (
+            SELECT user_id, ts, event_id, value,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM upd)
+          WHERE rn = 1 OR pv IS DISTINCT FROM value),
+        hist AS (
+          SELECT user_id, value, ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+          FROM chg),
+        probes AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, p.ts,
+               round(h.value, 4) AS asof_value
+        FROM probes p LEFT JOIN hist h
+          ON h.user_id = p.user_id
+         AND h.valid_from < p.ts
+         AND (h.valid_to IS NULL OR p.ts <= h.valid_to)
     """
 
     o["docs_sample"] = """

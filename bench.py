@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "events_resampled",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
+    # round-8: SCD2 serving-path lookup (interval join over the history)
+    "events_scd2_lookup",
     "docs_pii",
     "quality_model_scores",
     "lsh_candidates",

@@ -264,6 +264,11 @@ COMMENTS = {
     "stateless codegen per micro-batch; the ONLY stateful operator is "
     "the dedup fingerprint set, now keyed on the REPAIRED text so "
     "artifact clones collapse onto their clean twins.",
+    "events_scd2_lookup": "Serving-path point-in-time lookup: equi-join "
+    "on user_id with the half-open interval residual attached — no "
+    "window, no union; with the history written bucketed by key this "
+    "serves shuffle-free, which is why the serving tier stores SCD2 "
+    "periods instead of re-running the as-of window per probe batch.",
     "events_resampled": "Gap-fill resampling: the per-key grid comes "
     "from one combined min/max aggregate + a sequence() explode, then "
     "ONE user_id window forward-fills observations and grid rows "
