@@ -885,6 +885,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pl.resample_forward_fill(read_table(spark, sf, "events"))
 
+    def events_resampled_li(spark, sf):
+        """Linear-interpolation resampling (`resample_forward_fill(
+        method='interpolate')`): each hourly grid point between a user's
+        first and last observation carries v_prev + (v_next − v_prev)·
+        (t − t_prev)/(t_next − t_prev) over epoch doubles — Spark's
+        timestamp→double cast and DuckDB's epoch() agree to the ULP and
+        the expression trees match, so round(·, 6) is engine-exact.
+        Interpolation only (NULL outside the span). Same single key
+        Exchange as the locf twin: the backward neighbor is a second
+        frame over the same sort, not a second shuffle."""
+        from mopso_engine.ext import pipeline as pl
+
+        _utc(spark)
+        return pl.resample_forward_fill(
+            read_table(spark, sf, "events"), method="interpolate"
+        )
+
     def docs_bpe_fertility(spark, sf):
         """Tokenizer-fertility gate (`ext.bpe.bpe_fertility`): BPE tokens
         per word under the pinned merge table, pass iff ≤ 3.5 — the
@@ -2874,17 +2891,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 new: BPE-budget chunking (VERDICT r7 #5), upstream
         # HTML text extraction (VERDICT r7 #7), tokenizer-fertility gate,
         # blocklist gate, mojibake repair, full-ladder curation v3 (batch
-        # + streaming), forward-fill resampling, SCD2 serving lookup     (9)
+        # + streaming), locf + linear-interp resampling, SCD2 serving
+        # lookup                                                        (10)
         docs_chunked_bpe, docs_html_extract, docs_bpe_fertility,
         docs_blocklist, docs_fix_mojibake, corpus_curation_v3,
-        stream_curate_docs_v3, events_resampled, events_scd2_lookup,
+        stream_curate_docs_v3, events_resampled, events_resampled_li,
+        events_scd2_lookup,
         # round-8 code-changed, re-earning rows: canonical_by_score
         # min_by election + missing-score guard; semantic_decontaminate
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
-        # the r7 registration comment, oldest-verified-first            (33)
+        # the r7 registration comment, oldest-verified-first            (32)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
@@ -2894,11 +2913,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         big_orders, customers_without_orders, active_custkeys_diff,
         active_custkeys_both, active_custkeys_diff_all, events_pivot,
         status_cube, value_quantiles,
-        q5_local_supplier,
         # --- the 50-entry truncation lands exactly here ---
         # rest of the stale tail — oldest-verified-first; next round's
-        # rotation slice starts at q7_volume_shipping
-        q7_volume_shipping, q8_market_share,
+        # rotation slice starts at q5_local_supplier
+        q5_local_supplier, q7_volume_shipping, q8_market_share,
         q9_profit_shape, q10_returned_items, q14_promo_share, q15_top_supplier,
         q17_small_quantity, q19_or_of_ands, q20_promo_suppliers,
         q4_priority, q13_custdist, q16_supplier_variety, q22_idle_customers,
@@ -3467,6 +3485,43 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_obs_ts
           FROM u)
         SELECT user_id, t AS grid_ts, value_ff, last_obs_ts FROM f WHERE g = 1
+    """
+
+    o["events_resampled_li"] = """
+        WITH span AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+                             date_trunc('hour', max(ts)) AS t1
+                      FROM events GROUP BY 1),
+        grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS gts
+                 FROM span),
+        u AS (
+          SELECT user_id, ts AS t, 0 AS g, event_id AS tie, value AS v FROM events
+          UNION ALL
+          SELECT user_id, gts, 1, NULL, NULL FROM grid),
+        f AS (
+          SELECT user_id, t, g,
+                 last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t ASC, g ASC, tie ASC NULLS LAST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                 last_value(CASE WHEN g = 0 AND v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t ASC, g ASC, tie ASC NULLS LAST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_obs_ts,
+                 first_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t ASC, g ASC, tie ASC NULLS LAST
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                 first_value(CASE WHEN g = 0 AND v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t ASC, g ASC, tie ASC NULLS LAST
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_obs_ts
+          FROM u)
+        SELECT user_id, t AS grid_ts,
+               round(CASE WHEN prev_obs_ts IS NOT NULL AND next_obs_ts IS NOT NULL
+                          THEN CASE WHEN next_obs_ts = prev_obs_ts THEN pv
+                                    ELSE pv + (nv - pv) *
+                                         ((epoch(t) - epoch(prev_obs_ts))
+                                          / (epoch(next_obs_ts) - epoch(prev_obs_ts)))
+                               END
+                     END, 6) AS value_li,
+               prev_obs_ts, next_obs_ts
+        FROM f WHERE g = 1
     """
 
     o["docs_blocklist"] = r"""

@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "stream_curate_docs_v3",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
+    # round-8: linear-interp resampling (second frame, same sort)
+    "events_resampled_li",
     "docs_pii",
     "quality_model_scores",
     "lsh_candidates",

@@ -160,6 +160,7 @@ def resample_forward_fill(
     value_col: str = "value",
     step: str = "1 hour",
     id_col: str = "event_id",
+    method: str = "locf",
 ) -> DataFrame:
     """Regular-grid resampling with forward fill — the time-series
     gap-fill every metrics/feature pipeline needs (and SQL engines call
@@ -182,7 +183,20 @@ def resample_forward_fill(
     no per-row probe join. ``step`` must parse as an INTERVAL literal
     (e.g. '1 hour', '15 minutes'); the grid density is the caller's
     memory lever at 100 TB.
+
+    ``method='interpolate'`` returns the linear-interpolation variant
+    instead: (key, grid_ts, value_li, prev_obs_ts, next_obs_ts) where
+    value_li = v_prev + (v_next − v_prev)·(t − t_prev)/(t_next −
+    t_prev) over EPOCH DOUBLES (Spark's timestamp→double cast and
+    DuckDB's epoch() agree to the ULP, and the expression tree is
+    written identically in both engines, so round(·, 6) is
+    deterministic), NULL outside the key's [first, last] observation
+    span — interpolation, never extrapolation. Same single-Exchange
+    plan: the backward neighbor adds a second frame over the SAME
+    sorted window, not a second shuffle.
     """
+    if method not in ("locf", "interpolate"):
+        raise ValueError("method must be 'locf' or 'interpolate'")
     trunc_unit = step.split()[-1].rstrip("s")  # '1 hour' -> 'hour'
     span = events.groupBy(key).agg(
         F.date_trunc(trunc_unit, F.min(ts_col)).alias("_t0"),
@@ -217,15 +231,51 @@ def resample_forward_fill(
     # a NULL-valued observation is no observation: both fills must skip
     # the same rows or value_ff and last_obs_ts would disagree
     obs_ts = F.when((F.col("_g") == 0) & F.col("_v").isNotNull(), F.col("_ts"))
+    if method == "locf":
+        filled = u.select(
+            F.col(key),
+            "_ts",
+            "_g",
+            F.last("_v", ignorenulls=True).over(w).alias("value_ff"),
+            F.last(obs_ts, ignorenulls=True).over(w).alias("last_obs_ts"),
+        )
+        return filled.where(F.col("_g") == 1).select(
+            F.col(key), F.col("_ts").alias("grid_ts"), "value_ff", "last_obs_ts"
+        )
+    # interpolate: backward neighbor via a second frame over the SAME
+    # sort — an obs at exactly the grid instant sorts before the grid
+    # row, so it lands on the prev side and the formula degenerates to
+    # exactly v_prev (frac = 0)
+    wb = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_g").asc(), F.col("_tie").asc_nulls_last())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
     filled = u.select(
         F.col(key),
         "_ts",
         "_g",
-        F.last("_v", ignorenulls=True).over(w).alias("value_ff"),
-        F.last(obs_ts, ignorenulls=True).over(w).alias("last_obs_ts"),
+        F.last("_v", ignorenulls=True).over(w).alias("_pv"),
+        F.last(obs_ts, ignorenulls=True).over(w).alias("prev_obs_ts"),
+        F.first("_v", ignorenulls=True).over(wb).alias("_nv"),
+        F.first(obs_ts, ignorenulls=True).over(wb).alias("next_obs_ts"),
+    ).where(F.col("_g") == 1)
+    t = F.col("_ts").cast("double")
+    pt = F.col("prev_obs_ts").cast("double")
+    nt = F.col("next_obs_ts").cast("double")
+    frac = (t - pt) / (nt - pt)
+    li = F.when(
+        F.col("prev_obs_ts").isNotNull() & F.col("next_obs_ts").isNotNull(),
+        F.when(
+            F.col("next_obs_ts") == F.col("prev_obs_ts"), F.col("_pv")
+        ).otherwise(F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac),
     )
-    return filled.where(F.col("_g") == 1).select(
-        F.col(key), F.col("_ts").alias("grid_ts"), "value_ff", "last_obs_ts"
+    return filled.select(
+        F.col(key),
+        F.col("_ts").alias("grid_ts"),
+        F.round(li, 6).alias("value_li"),
+        "prev_obs_ts",
+        "next_obs_ts",
     )
 
 

@@ -757,3 +757,42 @@ def test_resample_forward_fill_single_exchange(spark):
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange <= 2  # span agg + window (union sides may share)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_resample_interpolate_semantics(spark):
+    from datetime import datetime
+
+    from mopso_engine.ext.pipeline import resample_forward_fill
+
+    T = datetime
+    rows = [
+        (1, T(2024, 1, 1, 0, 0), 1, 10.0),   # obs exactly on the grid
+        (2, T(2024, 1, 1, 2, 0), 1, 30.0),   # obs exactly on the grid
+        (3, T(2024, 1, 2, 0, 30), 2, 4.0),
+        (4, T(2024, 1, 2, 2, 30), 2, 8.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = {
+        (r["user_id"], r["grid_ts"]): r
+        for r in resample_forward_fill(ev, method="interpolate").collect()
+    }
+    # user 1: 01:00 is the exact midpoint of 10 -> 30
+    assert out[(1, T(2024, 1, 1, 1, 0))]["value_li"] == 20.0
+    # an on-grid observation interpolates to itself (frac = 0)
+    assert out[(1, T(2024, 1, 1, 0, 0))]["value_li"] == 10.0
+    # user 2: 01:00 is 25% of the way 00:30 -> 02:30 (4 -> 8): 5.0
+    r = out[(2, T(2024, 1, 2, 1, 0))]
+    assert r["value_li"] == 5.0
+    assert r["prev_obs_ts"] == T(2024, 1, 2, 0, 30)
+    assert r["next_obs_ts"] == T(2024, 1, 2, 2, 30)
+    # before the first obs (user 2 grid starts 00:00): no extrapolation
+    assert out[(2, T(2024, 1, 2, 0, 0))]["value_li"] is None
+    # after the last obs there is no grid point beyond trunc(max)=02:00,
+    # and 02:00 itself has both neighbors -> interpolated
+    assert out[(2, T(2024, 1, 2, 2, 0))]["value_li"] == 7.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resample_forward_fill(ev, method="cubic")

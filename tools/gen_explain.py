@@ -269,6 +269,11 @@ COMMENTS = {
     "window, no union; with the history written bucketed by key this "
     "serves shuffle-free, which is why the serving tier stores SCD2 "
     "periods instead of re-running the as-of window per probe batch.",
+    "events_resampled_li": "Linear-interp resampling: identical plan to "
+    "the locf twin — the backward neighbor is a SECOND FRAME over the "
+    "same user_id sort, so no extra Exchange; epoch-double arithmetic "
+    "is written as the same expression tree in both engines, making "
+    "round(.,6) engine-exact.",
     "events_resampled": "Gap-fill resampling: the per-key grid comes "
     "from one combined min/max aggregate + a sequence() explode, then "
     "ONE user_id window forward-fills observations and grid rows "
