@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     # election over the component clusters
     "docs_para_dedup",
     "dedup_keep_best",
+    # round-8: Bloom fast path vs the plain anti-join (dedup_incremental
+    # is not benched; the pair of interest is probe cost, map-only)
+    "dedup_bloom_prefilter",
     "repetition_stats",
     "decontaminate",
     "semdedup",

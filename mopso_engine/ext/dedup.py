@@ -948,3 +948,159 @@ def canonical_by_score(
             (F.col("_id") == F.col("_canon")).alias("is_canon"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter prefilter for incremental dedup
+# --------------------------------------------------------------------------
+
+#: Bloom filter word width. 62 (not 64) so every bit mask is
+#: ``1 << b`` with ``b <= 61`` — safe, positive arithmetic in ANY engine
+#: with checked 64-bit shifts (DuckDB raises on ``1::BIGINT << 63``), which
+#: keeps the filter bit-for-bit replayable by the SQL oracle.
+BLOOM_WORD_BITS = 62
+
+#: Driver-side guard: the collected filter must stay broadcast-small.
+#: 2^21 words x 8 bytes = 16 MiB — far beyond any sane configuration
+#: (1 GiB of fingerprints at 1% FPR needs ~2^17 words).
+MAX_BLOOM_WORDS = 1 << 21
+
+
+def _bloom_positions(fp_col, i: int, m_bits: int):
+    """Bit position i (0-based probe index) for an md5-hex fingerprint,
+    via standard double hashing: ``(h1 + i*h2) mod m`` with h1/h2 taken
+    from disjoint 8-hex-char slices of the md5 itself and h2 forced odd.
+    Both operands < 2^32 and i is tiny, so the sum never overflows a
+    64-bit signed int — portable to the oracle verbatim."""
+    h1 = F.conv(F.substring(fp_col, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(fp_col, 9, 8), 16, 10).cast("long") * 2 + 1
+    return F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+
+
+def bloom_build(
+    fps: DataFrame, fp_col: str = "fp", *, m_bits: int = 62 * 4096, k_hashes: int = 4
+) -> DataFrame:
+    """Build a Bloom filter over a fingerprint column as a tiny relational
+    table ``(word_idx INT, word BIGINT)`` — only non-zero words appear.
+
+    The 100 TB shape: ONE aggregation over the (already tiny, distinct)
+    fingerprint index, output bounded by ``m_bits / 62`` rows regardless
+    of corpus size. Collect it once (:func:`bloom_words_local`) and the
+    membership probe becomes a pure map-side expression over the new
+    batch (:func:`bloom_maybe_col`) — the historical index is never
+    re-shuffled, and rows the filter rejects (definitely-new, the vast
+    majority of a healthy crawl increment) skip the anti-join entirely.
+    False positives only cost a wasted probe row; false negatives are
+    impossible, so correctness rests on the exact anti-join behind it.
+
+    Every ingredient (md5 slices, double hashing, 62-bit words, bit_or)
+    is plain integer SQL so a DuckDB oracle rebuilds the identical words.
+    """
+    if m_bits % BLOOM_WORD_BITS != 0:
+        raise ValueError(f"m_bits must be a multiple of {BLOOM_WORD_BITS}")
+    if m_bits // BLOOM_WORD_BITS > MAX_BLOOM_WORDS:
+        raise ValueError(
+            f"filter would exceed {MAX_BLOOM_WORDS} words — not broadcast-sized"
+        )
+    if not (1 <= k_hashes <= 8):
+        raise ValueError("k_hashes must be in 1..8")
+    pos = F.explode(
+        F.array(*[_bloom_positions(F.col(fp_col), i, m_bits) for i in range(k_hashes)])
+    ).alias("pos")
+    return (
+        fps.select(pos)
+        .select(
+            (F.col("pos") / BLOOM_WORD_BITS).cast("int").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+
+
+def bloom_words_local(filter_df: DataFrame, m_bits: int) -> list[int]:
+    """Collect a :func:`bloom_build` table into a dense word list (zeros
+    for absent words) — the broadcastable driver-side form. Bounded by
+    the ``MAX_BLOOM_WORDS`` guard at build time (<= 16 MiB)."""
+    n_words = m_bits // BLOOM_WORD_BITS
+    words = [0] * n_words
+    for r in filter_df.collect():
+        words[r["word_idx"]] = r["word"]
+    return words
+
+
+def bloom_maybe_col(fp_col, words: list[int], *, m_bits: int, k_hashes: int = 4):
+    """Boolean column: True iff ALL k probe bits are set — i.e. the
+    fingerprint is POSSIBLY in the indexed set (definitely absent when
+    False). Pure map-side expression: the dense word list rides the plan
+    as an array literal (16 KiB-scale), ``element_at`` + shift + mask per
+    probe, no join, no shuffle, no Python."""
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    tests = []
+    for i in range(k_hashes):
+        pos = _bloom_positions(fp_col, i, m_bits)
+        word = F.element_at(arr, (pos / BLOOM_WORD_BITS).cast("int") + 1)
+        bit = (pos % BLOOM_WORD_BITS).cast("int")
+        tests.append(F.getbit(word, bit) == 1)
+    out = tests[0]
+    for t in tests[1:]:
+        out = out & t
+    return out
+
+
+def incremental_dedup_bloom(
+    new_docs: DataFrame,
+    known_fps: DataFrame,
+    *,
+    m_bits: int = 62 * 4096,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Incremental dedup with a Bloom fast path. Returns one row per new
+    doc: ``(doc_id, fp, maybe_known, is_known, kept)``.
+
+    Plan shape (the point of the operator):
+
+    1. filter build — one bounded agg over ``known_fps`` (the persisted
+       index); collected once, ~KBs.
+    2. probe — map-only expression over the increment; rows with
+       ``maybe_known = false`` are PROVEN new and never shuffle against
+       the index.
+    3. exact check — only the maybe subset left-semi-joins ``known_fps``
+       (catches Bloom false positives); at production FPRs this is a
+       tiny fraction of the increment.
+    4. within-batch dedup — first-doc_id-wins window on fp over the
+       increment only.
+
+    ``kept`` = not a known dup and first of its fingerprint within the
+    batch. Versus the plain anti-join (``dedup_incremental``): the index
+    side of step 3 shuffles only opposite the (small) maybe subset, and
+    at 100 TB the filter words are a static broadcast artifact rebuilt
+    only when the index grows.
+    """
+    new_fp = new_docs.select("doc_id", F.md5(normalized_text()).alias("fp"))
+    filter_df = bloom_build(known_fps, "fp", m_bits=m_bits, k_hashes=k_hashes)
+    words = bloom_words_local(filter_df, m_bits)
+    probed = new_fp.withColumn(
+        "maybe_known", bloom_maybe_col(F.col("fp"), words, m_bits=m_bits, k_hashes=k_hashes)
+    )
+    maybe = probed.where(F.col("maybe_known"))
+    confirmed = maybe.join(known_fps.select("fp").distinct(), "fp", "left_semi").select(
+        "doc_id", F.lit(True).alias("is_known")
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    return (
+        probed.join(confirmed, "doc_id", "left")
+        .withColumn("is_known", F.coalesce("is_known", F.lit(False)))
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "fp",
+            "maybe_known",
+            "is_known",
+            ((~F.col("is_known")) & (F.col("rn") == 1)).alias("kept"),
+        )
+    )

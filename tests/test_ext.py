@@ -2328,3 +2328,86 @@ class TestStreamCurateV3:
             output_mode="append",
         ).collect()
         assert len(out) == 1  # the artifact clone collapsed onto its twin
+
+
+class TestBloomPrefilter:
+    """ext.dedup Bloom-filter incremental-dedup fast path."""
+
+    @staticmethod
+    def _py_positions(fp_hex: str, k: int, m: int) -> list[int]:
+        h1 = int(fp_hex[0:8], 16)
+        h2 = int(fp_hex[8:16], 16) * 2 + 1
+        return [(h1 + i * h2) % m for i in range(k)]
+
+    def test_words_match_python_reference(self, spark, docs):
+        m, k = 62 * 32, 4
+        fps = docs.select(F.md5(dd.normalized_text()).alias("fp")).distinct()
+        got = {
+            r["word_idx"]: r["word"]
+            for r in dd.bloom_build(fps, m_bits=m, k_hashes=k).collect()
+        }
+        exp: dict[int, int] = {}
+        for r in fps.collect():
+            for p in self._py_positions(r["fp"], k, m):
+                exp[p // 62] = exp.get(p // 62, 0) | (1 << (p % 62))
+        assert got == exp
+        # 62-bit words: every word fits a signed 64-bit int positively
+        assert all(0 <= w < (1 << 62) for w in got.values())
+
+    def test_no_false_negatives_and_exact_check_clears_fps(self, spark, docs):
+        # tiny filter → false positives certain; correctness must rest
+        # on the exact semi-join, and false NEGATIVES must be impossible
+        m = 62 * 8
+        known = docs.where(F.col("doc_id") % 5 != 0)
+        new = docs.where(F.col("doc_id") % 5 == 0).unionByName(
+            known.where(F.col("doc_id") < 30).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(100000)
+            )
+        )
+        known_fps = known.select(F.md5(dd.normalized_text()).alias("fp")).distinct()
+        out = dd.incremental_dedup_bloom(new, known_fps, m_bits=m).cache()
+        rows = out.collect()
+        known_set = {r["fp"] for r in known_fps.collect()}
+        for r in rows:
+            truly = r["fp"] in known_set
+            assert r["is_known"] == truly
+            if truly:  # no false negatives, ever
+                assert r["maybe_known"]
+            if r["is_known"]:
+                assert not r["kept"]
+        # survivors identical to the plain anti-join + window path
+        kept = sorted(r["doc_id"] for r in rows if r["kept"])
+        w_fp = new.select("doc_id", F.md5(dd.normalized_text()).alias("fp"))
+        from pyspark.sql.window import Window as W
+
+        plain = (
+            w_fp.join(known_fps, "fp", "left_anti")
+            .withColumn(
+                "rn",
+                F.row_number().over(W.partitionBy("fp").orderBy(F.col("doc_id"))),
+            )
+            .where(F.col("rn") == 1)
+        )
+        assert kept == sorted(r["doc_id"] for r in plain.collect())
+        out.unpersist()
+
+    def test_guards(self, spark, docs):
+        fps = docs.limit(5).select(F.md5(dd.normalized_text()).alias("fp"))
+        with pytest.raises(ValueError, match="multiple"):
+            dd.bloom_build(fps, m_bits=100)
+        with pytest.raises(ValueError, match="broadcast"):
+            dd.bloom_build(fps, m_bits=62 * ((1 << 21) + 1))
+        with pytest.raises(ValueError, match="k_hashes"):
+            dd.bloom_build(fps, k_hashes=0)
+
+    def test_probe_is_map_only(self, spark, docs):
+        """The membership probe must add NO exchange: words ride as an
+        array literal, so the probed plan has exactly the exchanges of
+        the input (none for a plain scan+project)."""
+        fps = docs.select(F.md5(dd.normalized_text()).alias("fp")).distinct()
+        words = dd.bloom_words_local(dd.bloom_build(fps), 62 * 4096)
+        probed = docs.select(
+            "doc_id", F.md5(dd.normalized_text()).alias("fp")
+        ).withColumn("maybe", dd.bloom_maybe_col(F.col("fp"), words, m_bits=62 * 4096))
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan

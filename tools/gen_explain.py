@@ -284,6 +284,13 @@ COMMENTS = {
     "codegen'd projection chain over the scan (regexp chains, split, "
     "higher-order filters) — zero Exchange, zero Python; the identical "
     "expressions serve a streaming ingest unchanged.",
+    "dedup_bloom_prefilter": "Bloom fast path for incremental dedup: "
+    "the filter words ride the plan as an array literal, so the "
+    "membership probe over the increment is a pure projection "
+    "(element_at + getbit, zero Exchange, zero Python) — definitely-new "
+    "rows never shuffle against the index; only the maybe subset "
+    "reaches the LeftSemi hash join, and the build side aggregates the "
+    "index fingerprints once into <= m/62 words.",
     "mopso_fit_lsh": "The fit on the approximate-kNN Conn backend (plan "
     "shown is the archive rendering): the N² neighbor precompute is "
     "replaced by BucketedRandomProjectionLSH bucket joins + a window "
