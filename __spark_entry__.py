@@ -1621,6 +1621,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return unigram_logppl(read_table(spark, sf, "documents"))
 
+    def docs_ppl_buckets(spark, sf):
+        """CCNet head/middle/tail perplexity bucketing
+        (`ext.text.perplexity_buckets`): per-language logppl terciles
+        cut on a deterministic md5 hash sample (the CCNet design — no
+        global sort, no engine-dependent percentile), thresholds from
+        pure integer rank comparisons over the sample, broadcast
+        threshold join, map-only bucket assignment. The oracle retrains
+        the same unigram LM and replays the sampler, ranks, and cuts in
+        SQL — no injected literals."""
+        from mopso_engine.ext.text import perplexity_buckets
+
+        return perplexity_buckets(read_table(spark, sf, "documents"))
+
     def docs_split(spark, sf):
         """Deterministic leakage-proof train/val/test split
         (`ext.pipeline.split_by_hash`): disjoint exhaustive hash
@@ -2928,18 +2941,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HTML text extraction (VERDICT r7 #7), tokenizer-fertility gate,
         # blocklist gate, mojibake repair, full-ladder curation v3 (batch
         # + streaming), locf + linear-interp resampling, SCD2 serving
-        # lookup, Bloom-prefiltered incremental dedup                   (11)
+        # lookup, Bloom-prefiltered incremental dedup, CCNet ppl
+        # buckets                                                       (12)
         docs_chunked_bpe, docs_html_extract, docs_bpe_fertility,
         docs_blocklist, docs_fix_mojibake, corpus_curation_v3,
         stream_curate_docs_v3, events_resampled, events_resampled_li,
-        events_scd2_lookup, dedup_bloom_prefilter,
+        events_scd2_lookup, dedup_bloom_prefilter, docs_ppl_buckets,
         # round-8 code-changed, re-earning rows: canonical_by_score
         # min_by election + missing-score guard; semantic_decontaminate
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
-        # the r7 registration comment, oldest-verified-first            (31)
+        # the r7 registration comment, oldest-verified-first            (30)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
@@ -2948,9 +2962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sketch_distinct_check, sketch_quantile_check,
         big_orders, customers_without_orders, active_custkeys_diff,
         active_custkeys_both, active_custkeys_diff_all, events_pivot,
-        status_cube,
         # --- the 50-entry truncation lands exactly here ---
-        value_quantiles,
+        status_cube, value_quantiles,
         # rest of the stale tail — oldest-verified-first; next round's
         # rotation slice starts at q5_local_supplier
         q5_local_supplier, q7_volume_shipping, q8_market_share,
@@ -4395,8 +4408,7 @@ def oracle_sql() -> dict[str, str]:
         FROM tagged GROUP BY 1 ORDER BY 1
     """
 
-    o["docs_logppl"] = r"""
-        WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    _logppl_cte = r"""toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
         tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
         counts AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
         total AS (SELECT sum(len(t))::DOUBLE AS n_total FROM toks),
@@ -4405,10 +4417,42 @@ def oracle_sql() -> dict[str, str]:
         sc AS (SELECT tok.doc_id,
                       floor(ln(coalesce(vp.p_w, 0.5 / (n_total + 0.5 * 1001.0))) * 1e6
                             + 0.5)::BIGINT AS lq
-               FROM tok LEFT JOIN vp USING (w), total)
-        SELECT doc_id, count(*)::BIGINT AS n_tokens,
-               round(-sum(lq) / (1e6 * count(*)), 6) AS logppl
-        FROM sc GROUP BY 1
+               FROM tok LEFT JOIN vp USING (w), total),
+        ppl AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                       round(-sum(lq) / (1e6 * count(*)), 6) AS logppl
+                FROM sc GROUP BY 1)"""
+
+    o["docs_logppl"] = f"""
+        WITH {_logppl_cte}
+        SELECT doc_id, n_tokens, logppl FROM ppl
+    """
+
+    # replays perplexity_buckets: same LM, same md5 hash sample, same
+    # integer cut-rank comparisons (3*rk <= n+2 <=> rk <= ceil(n/3))
+    o["docs_ppl_buckets"] = f"""
+        WITH {_logppl_cte},
+        wl AS (SELECT p.doc_id, d.lang, p.n_tokens, p.logppl
+               FROM ppl p JOIN documents d USING (doc_id)),
+        samp AS (
+          SELECT * FROM wl
+          WHERE (('0x' || substr(md5(doc_id::VARCHAR || '#s0'), 1, 8))::BIGINT)::DOUBLE
+                / 4294967296.0 < 0.25),
+        ranked AS (
+          SELECT lang, logppl,
+                 row_number() OVER (PARTITION BY lang ORDER BY logppl ASC, doc_id ASC) AS rk,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM samp),
+        thr AS (
+          SELECT lang,
+                 max(CASE WHEN rk * 3 <= n + 2 THEN logppl END) AS t1,
+                 max(CASE WHEN rk * 3 <= n * 2 + 2 THEN logppl END) AS t2
+          FROM ranked GROUP BY 1)
+        SELECT wl.doc_id, wl.lang, wl.n_tokens, wl.logppl,
+               CASE WHEN thr.t1 IS NULL THEN 'unsampled'
+                    WHEN wl.logppl <= thr.t1 THEN 'head'
+                    WHEN wl.logppl <= thr.t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM wl LEFT JOIN thr USING (lang)
     """
 
     # quality-model oracle: retrain the bit-identical logistic model

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "docs_despan",
     # round-6: learned quality stack — LM perplexity + trained classifier
     "docs_logppl",
+    "docs_ppl_buckets",
     # round-7: word-order-aware LM filter (bigram interpolation)
     "docs_bigram_logppl",
     # round-8: REAL-token-budget chunking (BPE walk in one Arrow scan)

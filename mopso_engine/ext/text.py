@@ -735,3 +735,75 @@ def bigram_logppl(
             F.round(-F.col("s") / (F.lit(1e6) * F.col("n_tokens")), 6).alias("logppl"),
         )
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    *,
+    vocab_size: int = 1000,
+    alpha: float = 0.5,
+    sample_fraction: float = 0.25,
+    salt: str = "s0",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019): split each
+    language's documents into head / middle / tail by LM log-perplexity
+    terciles, the standard corpus-quality partitioning knob (train on
+    head+middle, sample tail sparingly).
+
+    Thresholds come from a DETERMINISTIC hash sample per language — the
+    CCNet design and the scale-correct one: cutting on exact global
+    terciles would need a per-language full sort (or an
+    engine-dependent approximate percentile, which no oracle can
+    replay); a bounded sample makes the rank window cheap while the
+    md5-based sampler keeps it exactly replayable. Cut ranks use pure
+    integer comparisons (3·rk <= n+2 is rk <= ceil(n/3)), thresholds
+    are the sampled logppl values at those ranks (ties at a threshold
+    all fall to the better bucket), and the threshold table — one row
+    per language — joins back BROADCAST, so bucket assignment is
+    map-only over the scored corpus. Languages absent from the sample
+    get bucket 'unsampled' rather than a silent guess.
+
+    Scale shape: unigram_logppl's one token-count shuffle + one doc_id
+    agg; the lang join rides the (3-column) scored table; the rank
+    window runs over the sample only. Nothing else grows with the
+    corpus.
+    """
+    from pyspark.sql import Window
+
+    from mopso_engine.ext.pipeline import hash_uniform
+
+    if not (0.0 < sample_fraction <= 1.0):
+        raise ValueError("sample_fraction must be in (0, 1]")
+    scored = unigram_logppl(docs, vocab_size=vocab_size, alpha=alpha)
+    with_lang = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    sample = with_lang.where(
+        hash_uniform(F.col("doc_id").cast("string"), salt=salt)
+        < F.lit(float(sample_fraction))
+    )
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.col("logppl").asc(), F.col("doc_id").asc()
+    )
+    w_all = Window.partitionBy("lang")
+    ranked = sample.select(
+        "lang",
+        "logppl",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    thr = ranked.groupBy("lang").agg(
+        F.max(F.when(F.col("rk") * 3 <= F.col("n") + 2, F.col("logppl"))).alias("t1"),
+        F.max(F.when(F.col("rk") * 3 <= F.col("n") * 2 + 2, F.col("logppl"))).alias(
+            "t2"
+        ),
+    )
+    return with_lang.join(F.broadcast(thr), "lang", "left").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "logppl",
+        F.when(F.col("t1").isNull(), F.lit("unsampled"))
+        .when(F.col("logppl") <= F.col("t1"), F.lit("head"))
+        .when(F.col("logppl") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -2411,3 +2411,49 @@ class TestBloomPrefilter:
         ).withColumn("maybe", dd.bloom_maybe_col(F.col("fp"), words, m_bits=62 * 4096))
         plan = probed._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestPerplexityBuckets:
+    """ext.text.perplexity_buckets — CCNet head/middle/tail terciles."""
+
+    def test_matches_python_replay_full_sample(self, spark, docs):
+        out = tx.perplexity_buckets(docs, sample_fraction=1.0).collect()
+        scored = {
+            (r["doc_id"]): r for r in tx.unigram_logppl(docs).collect()
+        }
+        langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+        # python replay: rank per lang by (logppl, doc_id), integer cuts
+        by_lang: dict[str, list] = {}
+        for did, r in scored.items():
+            by_lang.setdefault(langs[did], []).append((r["logppl"], did))
+        thr = {}
+        for lang, vals in by_lang.items():
+            vals.sort()
+            n = len(vals)
+            t1 = max(v for i, (v, _) in enumerate(vals, 1) if i * 3 <= n + 2)
+            t2 = max(v for i, (v, _) in enumerate(vals, 1) if i * 3 <= n * 2 + 2)
+            thr[lang] = (t1, t2)
+        for r in out:
+            t1, t2 = thr[r["lang"]]
+            exp = "head" if r["logppl"] <= t1 else ("middle" if r["logppl"] <= t2 else "tail")
+            assert r["bucket"] == exp, (r, t1, t2)
+        # tercile sizes roughly balanced (ties only skew)
+        from collections import Counter
+
+        for lang in by_lang:
+            c = Counter(r["bucket"] for r in out if r["lang"] == lang)
+            n = sum(c.values())
+            assert c["head"] >= 1 and c["tail"] >= 0
+            assert abs(c["head"] - n / 3) <= max(3, 0.2 * n)
+
+    def test_sampled_thresholds_cover_all_docs(self, spark, docs):
+        out = tx.perplexity_buckets(docs, sample_fraction=0.25).collect()
+        assert len(out) == docs.count()
+        assert all(r["bucket"] in ("head", "middle", "tail", "unsampled") for r in out)
+        # with a quarter sample of 500 docs every lang present in the
+        # corpus should have sampled members
+        assert not any(r["bucket"] == "unsampled" for r in out)
+
+    def test_guard(self, spark, docs):
+        with pytest.raises(ValueError, match="sample_fraction"):
+            tx.perplexity_buckets(docs, sample_fraction=0.0)

@@ -284,6 +284,12 @@ COMMENTS = {
     "codegen'd projection chain over the scan (regexp chains, split, "
     "higher-order filters) — zero Exchange, zero Python; the identical "
     "expressions serve a streaming ingest unchanged.",
+    "docs_ppl_buckets": "CCNet perplexity terciles: the LM scoring "
+    "reuses unigram_logppl's shape (one token-count shuffle, broadcast "
+    "top-V vocab, one doc_id agg); the rank window runs over the hash "
+    "SAMPLE only, its one-row-per-language threshold table joins back "
+    "as a BroadcastHashJoin, and bucket assignment is a projection — "
+    "no global sort, no percentile sketch, nothing engine-dependent.",
     "dedup_bloom_prefilter": "Bloom fast path for incremental dedup: "
     "the filter words ride the plan as an array literal, so the "
     "membership probe over the increment is a pure projection "
