@@ -729,6 +729,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cb = ss.train_codebook(emb, k=8, iters=2, sample_fraction=0.5, seed=11)
         return ss.semdedup(emb, cb, threshold=0.4)
 
+    def emb_balanced_sample(spark, sf):
+        """Cluster-balanced diversity sampling
+        (`ext.simsearch.cluster_balanced_sample`): cap every coarse
+        semantic cell (same sampled-k-means codebook as semdedup /
+        ann_ivf_unlabeled) at 40 members chosen by deterministic md5
+        rank — one map-only Arrow cell assignment + ONE rank window on
+        the cell key (WindowGroupLimit: per-partition top-k heaps, the
+        exchange never carries the corpus)."""
+        emb = read_table(spark, sf, "embeddings").drop("label")
+        cb = ss.train_codebook(emb, k=8, iters=2, sample_fraction=0.5, seed=11)
+        return ss.cluster_balanced_sample(emb, cb, per_cell=40)
+
     def docs_chunked(spark, sf):
         """Sliding-window chunking (`ext.text.chunk_documents`): 32-token
         windows, 8-token overlap — map-only Catalyst (sequence of start
@@ -2942,18 +2954,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # blocklist gate, mojibake repair, full-ladder curation v3 (batch
         # + streaming), locf + linear-interp resampling, SCD2 serving
         # lookup, Bloom-prefiltered incremental dedup, CCNet ppl
-        # buckets                                                       (12)
+        # buckets, cluster-balanced diversity sample                    (13)
         docs_chunked_bpe, docs_html_extract, docs_bpe_fertility,
         docs_blocklist, docs_fix_mojibake, corpus_curation_v3,
         stream_curate_docs_v3, events_resampled, events_resampled_li,
         events_scd2_lookup, dedup_bloom_prefilter, docs_ppl_buckets,
+        emb_balanced_sample,
         # round-8 code-changed, re-earning rows: canonical_by_score
         # min_by election + missing-score guard; semantic_decontaminate
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
-        # the r7 registration comment, oldest-verified-first            (30)
+        # the r7 registration comment, oldest-verified-first            (29)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
@@ -2961,9 +2974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal_stats, tfidf_terms, pmi_collocations,
         sketch_distinct_check, sketch_quantile_check,
         big_orders, customers_without_orders, active_custkeys_diff,
-        active_custkeys_both, active_custkeys_diff_all, events_pivot,
+        active_custkeys_both, active_custkeys_diff_all,
         # --- the 50-entry truncation lands exactly here ---
-        status_cube, value_quantiles,
+        events_pivot, status_cube, value_quantiles,
         # rest of the stale tail — oldest-verified-first; next round's
         # rotation slice starts at q5_local_supplier
         q5_local_supplier, q7_volume_shipping, q8_market_share,
@@ -5603,6 +5616,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.vec_id, c.cell::INT AS cell, (d.vec_id IS NULL) AS keep
         FROM cells c LEFT JOIN dups d USING (vec_id)
     """
+
+        # cluster-balanced diversity sample: same injected codebook, same
+        # argmax cell assignment, md5 rank within cell, integer cap
+        o["emb_balanced_sample"] = f"""
+        WITH cb(cell, cv) AS (VALUES
+          {_cb_rows}),
+        p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pc AS (
+          SELECT p.vec_id, cb.cell,
+                 list_sum(list_transform(list_zip(p.v, cb.cv), x -> x[1]*x[2])) /
+                 (sqrt(list_sum(list_transform(p.v, x -> x*x))) *
+                  sqrt(list_sum(list_transform(cb.cv, x -> x*x)))) AS cs
+          FROM p, cb),
+        cells AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
+            FROM pc) WHERE rn = 1),
+        hashed AS (
+          SELECT vec_id, cell::INT AS cell,
+                 (('0x' || substr(md5(vec_id::VARCHAR || '#s0'), 1, 8))::BIGINT) AS h
+          FROM cells),
+        rk AS (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY cell ORDER BY h ASC, vec_id ASC)::INT AS rk
+          FROM hashed)
+        SELECT vec_id, cell, rk FROM rk WHERE rk <= 40
+    """
+
 
     # Distributed integer-grid Lloyd's (lloyd_kmeans): because the Spark
     # operator quantizes points onto a count-derived power-of-two grid

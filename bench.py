@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "decontaminate",
     "semdedup",
+    "emb_balanced_sample",
     "docs_quota_sample",
     "corpus_curation_v2",
     # MG sketch+verify vs the full-cardinality groupBy it replaces,

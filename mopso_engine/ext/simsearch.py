@@ -1005,3 +1005,51 @@ def semantic_decontaminate(
             ),
         )
     )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame, codebook, *, per_cell: int = 50, salt: str = "s0"
+) -> DataFrame:
+    """Cluster-balanced (diversity) sampling: cap every coarse semantic
+    cell at ``per_cell`` members — the standard way to keep a training
+    sample from collapsing onto the corpus's dominant modes (the
+    cluster-then-balance step of data-selection pipelines built on
+    SemDedup-style cells).
+
+    Members are chosen by a DETERMINISTIC per-row md5 rank (uniform
+    within each cell, exactly replayable — no rand(), no
+    partition-order dependence), so the same corpus always yields the
+    same sample. Returns (vec_id, cell, rk) for the kept rows.
+
+    100 TB shape: the codebook is a model artifact in the kernel
+    closure (one map-only Arrow scan assigns cells); the cap is ONE
+    rank window on the cell key, which Spark executes as
+    WindowGroupLimit — per-partition top-k heaps before the shuffle, so
+    the exchange carries at most k·cells rows per map task, never the
+    corpus.
+    """
+    import numpy as np
+
+    if per_cell < 1:
+        raise ValueError("per_cell must be >= 1")
+    C = np.asarray(codebook, dtype=np.float64)
+    vecs = as_double_vecs(
+        embeddings if "label" in embeddings.columns else embeddings.withColumn("label", F.lit(0))
+    ).select("vec_id", "vec")
+    cells = vecs.withColumn("cell", _argmax_cell_kernel(C)("vec"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col("vec_id").cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cell").orderBy(F.col("h").asc(), F.col("vec_id").asc())
+    return (
+        cells.select("vec_id", F.col("cell").cast("int").alias("cell"), h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= F.lit(int(per_cell)))
+        .select("vec_id", "cell", "rk")
+    )

@@ -2457,3 +2457,50 @@ class TestPerplexityBuckets:
     def test_guard(self, spark, docs):
         with pytest.raises(ValueError, match="sample_fraction"):
             tx.perplexity_buckets(docs, sample_fraction=0.0)
+
+
+class TestClusterBalancedSample:
+    def test_cap_and_python_replay(self, spark, emb):
+        import hashlib as _h
+
+        cb = ss.train_codebook(emb.drop("label"), k=4, iters=2, sample_fraction=0.5, seed=11)
+        out = ss.cluster_balanced_sample(emb.drop("label"), cb, per_cell=25).collect()
+        from collections import Counter
+
+        per = Counter(r["cell"] for r in out)
+        assert all(v <= 25 for v in per.values())
+        assert all(1 <= r["rk"] <= 25 for r in out)
+        # python replay: assign cells by argmax cosine (ties -> lowest
+        # cell), md5-rank within cell, cap
+        vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+                for r in emb.collect()}
+        C = np.asarray(cb, dtype=np.float64)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        exp_cells = {}
+        for vid, v in vecs.items():
+            cs = Cn @ (v / np.linalg.norm(v))
+            exp_cells[vid] = int(np.argmax(cs))  # numpy argmax = first max = lowest cell
+        got_cells = {}
+        for r in out:
+            got_cells[r["vec_id"]] = r["cell"]
+        by_cell: dict[int, list] = {}
+        for vid, c in exp_cells.items():
+            h = int(_h.md5(f"{vid}#s0".encode()).hexdigest()[:8], 16)
+            by_cell.setdefault(c, []).append((h, vid))
+        exp_kept = {}
+        for c, members in by_cell.items():
+            members.sort()
+            for rk, (_, vid) in enumerate(members[:25], 1):
+                exp_kept[vid] = (c, rk)
+        assert {r["vec_id"]: (r["cell"], r["rk"]) for r in out} == exp_kept
+
+    def test_deterministic_and_window_group_limit(self, spark, emb):
+        cb = ss.train_codebook(emb.drop("label"), k=4, iters=2, sample_fraction=0.5, seed=11)
+        df = ss.cluster_balanced_sample(emb.drop("label"), cb, per_cell=10)
+        a = sorted((r["vec_id"], r["cell"], r["rk"]) for r in df.collect())
+        b = sorted((r["vec_id"], r["cell"], r["rk"]) for r in df.collect())
+        assert a == b
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+        with pytest.raises(ValueError, match="per_cell"):
+            ss.cluster_balanced_sample(emb.drop("label"), cb, per_cell=0)

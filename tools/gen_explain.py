@@ -284,6 +284,11 @@ COMMENTS = {
     "codegen'd projection chain over the scan (regexp chains, split, "
     "higher-order filters) — zero Exchange, zero Python; the identical "
     "expressions serve a streaming ingest unchanged.",
+    "emb_balanced_sample": "Cluster-balanced diversity sample: the "
+    "codebook rides the Arrow kernel closure (map-only cell "
+    "assignment), and the per-cell cap compiles to WindowGroupLimit — "
+    "per-partition top-k heaps ahead of the one cell-keyed exchange, "
+    "so the shuffle carries at most k rows per cell per map task.",
     "docs_ppl_buckets": "CCNet perplexity terciles: the LM scoring "
     "reuses unigram_logppl's shape (one token-count shuffle, broadcast "
     "top-V vocab, one doc_id agg); the rank window runs over the hash "
