@@ -1334,6 +1334,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         derives from the per-source counts and broadcast-joins back)."""
         return tx.source_unigram_kl(read_table(spark, sf, "documents"))
 
+    def stream_source_drift(spark, sf):
+        """STREAMING per-source drift monitor
+        (`ext.streaming.stream_source_drift`): KL of each source's
+        unigram distribution vs a PINNED top-V add-α reference model
+        (trained batch-side once, broadcast stream-static) — the fixed-
+        yardstick twin of source_token_kl. The only streaming state is
+        the (source × V+1) bucket-count table; terms quantize to integer
+        micro-units before the per-source sum so the drained result is
+        engine-exact. Oracle retrains the reference and replays bucket
+        mapping + KL in SQL."""
+        from mopso_engine.ext.streaming import stream_source_drift as _ssd
+
+        return _ssd(
+            spark,
+            os.path.join(sf, "documents.parquet"),
+            query_name=f"drift_{uuid.uuid4().hex[:8]}",
+        )
+
     def heavy_hitters(spark, sf):
         """Distributed Misra–Gries heavy hitters with EXACT verification
         (`ext.sketch.heavy_hitters`): a map-only per-partition MG sketch
@@ -2954,19 +2972,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # blocklist gate, mojibake repair, full-ladder curation v3 (batch
         # + streaming), locf + linear-interp resampling, SCD2 serving
         # lookup, Bloom-prefiltered incremental dedup, CCNet ppl
-        # buckets, cluster-balanced diversity sample                    (13)
+        # buckets, cluster-balanced diversity sample, streaming drift
+        # monitor                                                       (14)
         docs_chunked_bpe, docs_html_extract, docs_bpe_fertility,
         docs_blocklist, docs_fix_mojibake, corpus_curation_v3,
         stream_curate_docs_v3, events_resampled, events_resampled_li,
         events_scd2_lookup, dedup_bloom_prefilter, docs_ppl_buckets,
-        emb_balanced_sample,
+        emb_balanced_sample, stream_source_drift,
         # round-8 code-changed, re-earning rows: canonical_by_score
         # min_by election + missing-score guard; semantic_decontaminate
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
-        # the r7 registration comment, oldest-verified-first            (29)
+        # the r7 registration comment, oldest-verified-first            (28)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
@@ -2974,9 +2993,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal_stats, tfidf_terms, pmi_collocations,
         sketch_distinct_check, sketch_quantile_check,
         big_orders, customers_without_orders, active_custkeys_diff,
-        active_custkeys_both, active_custkeys_diff_all,
+        active_custkeys_both,
         # --- the 50-entry truncation lands exactly here ---
-        events_pivot, status_cube, value_quantiles,
+        active_custkeys_diff_all, events_pivot, status_cube, value_quantiles,
         # rest of the stale tail — oldest-verified-first; next round's
         # rotation slice starts at q5_local_supplier
         q5_local_supplier, q7_volume_shipping, q8_market_share,
@@ -4434,6 +4453,34 @@ def oracle_sql() -> dict[str, str]:
         ppl AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
                        round(-sum(lq) / (1e6 * count(*)), 6) AS logppl
                 FROM sc GROUP BY 1)"""
+
+    # streaming drift monitor: retrain the same pinned reference (top-V
+    # add-alpha + OOV bucket), replay the bucket mapping and the
+    # micro-unit-quantized KL terms
+    o["stream_source_drift"] = r"""
+        WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        counts AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        total AS (SELECT sum(len(t))::DOUBLE AS n FROM toks),
+        vocab AS (SELECT w, c FROM counts ORDER BY c DESC, w ASC LIMIT 200),
+        ref AS (SELECT w, (c + 0.5) / (n + 0.5 * 201.0) AS q FROM vocab, total
+                UNION ALL
+                SELECT '<oov>' AS w, 0.5 / (n + 0.5 * 201.0) AS q FROM total),
+        stok AS (SELECT d.source,
+                        CASE WHEN v.w IS NULL THEN '<oov>' ELSE t.w END AS bucket
+                 FROM tok t JOIN documents d USING (doc_id)
+                 LEFT JOIN vocab v ON t.w = v.w),
+        bc AS (SELECT source, bucket, count(*) AS c_s FROM stok GROUP BY 1, 2),
+        ns AS (SELECT source, sum(c_s)::BIGINT AS n_s FROM bc GROUP BY 1),
+        terms AS (SELECT b.source, ns.n_s,
+                         floor((b.c_s::DOUBLE / ns.n_s::DOUBLE)
+                               * ln((b.c_s::DOUBLE / ns.n_s::DOUBLE) / r.q) * 1e6
+                               + 0.5)::BIGINT AS lq
+                  FROM bc b JOIN ref r ON b.bucket = r.w
+                  JOIN ns ON b.source = ns.source)
+        SELECT source, n_s AS n_tokens, round(sum(lq) / 1e6, 6) AS kl
+        FROM terms GROUP BY 1, 2
+    """
 
     o["docs_logppl"] = f"""
         WITH {_logppl_cte}

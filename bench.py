@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "events_resampled",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
+    "stream_source_drift",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)

@@ -866,3 +866,108 @@ def scd2_maintain_stream(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus-drift monitor: per-source unigram KL vs a pinned reference
+# ---------------------------------------------------------------------------
+
+def reference_unigram(docs: DataFrame, *, vocab_size: int = 200, alpha: float = 0.5) -> DataFrame:
+    """Static reference distribution for the drift monitor: top-V tokens
+    by (count desc, token asc) with add-α smoothing plus ONE out-of-
+    vocabulary bucket — the same model family as ext.text.unigram_logppl,
+    trained ONCE on a reference corpus and then broadcast unchanged into
+    every monitoring window (a drift monitor must compare against a FIXED
+    yardstick, not a moving one). Returns (w, q) with V+1 rows; the OOV
+    row carries ext.text.OOV_TOKEN as its key."""
+    from mopso_engine.ext.text import OOV_TOKEN, tokens_col
+
+    toks = tokens_col()
+    tok = docs.select(F.explode(toks).alias("w"))
+    counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = docs.agg(F.sum(F.size(toks)).cast("double").alias("n_total"))
+    vocab = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(int(vocab_size))
+    denom = F.col("n_total") + F.lit(float(alpha)) * F.lit(float(vocab_size) + 1.0)
+    vp = vocab.crossJoin(F.broadcast(total)).select(
+        "w", ((F.col("c") + F.lit(float(alpha))) / denom).alias("q")
+    )
+    oov = total.select(
+        F.lit(OOV_TOKEN).alias("w"), (F.lit(float(alpha)) / denom).alias("q")
+    )
+    return vp.unionByName(oov)
+
+
+def drift_bucket_counts(docs: DataFrame, ref: DataFrame) -> DataFrame:
+    """(source, bucket, c_s): token stream mapped onto the reference
+    vocabulary (unknown tokens collapse onto the OOV bucket) and counted
+    per source. Works identically on a batch frame and a streaming frame
+    — the vocab join is stream-static broadcast, the count is the one
+    stateful op (state bounded by sources x (V+1), NOT corpus size)."""
+    from mopso_engine.ext.text import OOV_TOKEN, tokens_col
+
+    tok = docs.select("source", F.explode(tokens_col()).alias("w"))
+    vocab = ref.select("w", F.lit(True).alias("_known")).where(
+        F.col("w") != F.lit(OOV_TOKEN)
+    )
+    mapped = tok.join(F.broadcast(vocab), "w", "left").select(
+        "source",
+        F.when(F.col("_known").isNull(), F.lit(OOV_TOKEN))
+        .otherwise(F.col("w"))
+        .alias("bucket"),
+    )
+    return mapped.groupBy("source", "bucket").agg(F.count("*").alias("c_s"))
+
+
+def drift_finalize(counts: DataFrame, ref: DataFrame) -> DataFrame:
+    """(source, n_tokens, kl): KL(P_source ‖ Q_ref) from drained bucket
+    counts. Each term p·ln(p/q) quantizes to integer micro-units before
+    the per-source sum (partition-order-proof, engine-exact — the
+    integer-grid discipline of unigram_logppl), q > 0 for every bucket
+    by add-α construction, p-terms with c_s = 0 simply never appear.
+    Tiny batch work: |sources|·(V+1) rows in, |sources| rows out."""
+    from pyspark.sql.window import Window as _W
+
+    n_s = F.sum("c_s").over(_W.partitionBy("source")).alias("n_s")
+    p = F.col("c_s") / F.col("n_s")
+    term = F.floor(p * F.log(p / F.col("q")) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        counts.join(F.broadcast(ref), counts["bucket"] == ref["w"])
+        .select("source", "c_s", "q", n_s)
+        .select("source", "n_s", term.alias("lq"))
+        .groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_tokens"),
+            F.round(F.sum("lq") / F.lit(1e6), 6).alias("kl"),
+        )
+    )
+
+
+def stream_source_drift(
+    spark: SparkSession,
+    docs_path: str,
+    *,
+    vocab_size: int = 200,
+    alpha: float = 0.5,
+    query_name: str = "source_drift",
+) -> DataFrame:
+    """STREAMING per-source corpus-drift monitor: KL of each ingest
+    source's unigram distribution against a PINNED reference model,
+    recomputed continuously as documents arrive — the quality-ops twin
+    of ext.text.source_unigram_kl (which is corpus-relative; a monitor
+    needs a fixed yardstick so a drifting source can't drag the
+    reference with it).
+
+    Shape: reference trained batch-side once and broadcast (stream-
+    static join); the ONLY streaming state is the (source x V+1) bucket
+    count table — bounded however many tokens flow. The drained counts
+    finalize into per-source KL batch-side (a |sources|-row job). At
+    production scale the same plan runs continuously with update mode +
+    a foreachBatch sink evaluating KL per trigger.
+    """
+    ref = reference_unigram(
+        spark.read.parquet(docs_path), vocab_size=vocab_size, alpha=alpha
+    )
+    src = docs_stream_source(spark, docs_path)
+    counts = drift_bucket_counts(src, ref)
+    drained = run_available_now(counts, query_name=query_name, output_mode="complete")
+    return drift_finalize(drained, ref)

@@ -2504,3 +2504,53 @@ class TestClusterBalancedSample:
         assert "WindowGroupLimit" in plan
         with pytest.raises(ValueError, match="per_cell"):
             ss.cluster_balanced_sample(emb.drop("label"), cb, per_cell=0)
+
+
+class TestStreamSourceDrift:
+    def _fixture(self, spark, tmp_path):
+        import glob as _glob
+
+        normal = ("plain ordinary words about engines plans shuffles "
+                  "partitions buckets windows joins scans filters")
+        drifted = ("zqx vrb plk mnt wxy qqj zzt kkp rrv bbn glf hhd "
+                   "jjw ccx vvz nnq ppk llt ssm rrd")
+        rows = []
+        for i in range(20):
+            rows.append((i, normal, "en", "web", len(normal)))
+            rows.append((100 + i, normal, "en", "books", len(normal)))
+            rows.append((200 + i, drifted, "en", "spam", len(drifted)))
+        p = str(tmp_path / "docs")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.parquet(p)
+        return _glob.glob(p + "/part-*.parquet")[0]
+
+    def test_stream_equals_batch_and_flags_drifted_source(self, spark, tmp_path):
+        from mopso_engine.ext.streaming import (
+            drift_bucket_counts,
+            drift_finalize,
+            reference_unigram,
+            stream_source_drift,
+        )
+
+        part = self._fixture(spark, tmp_path)
+        got = {
+            r["source"]: (r["n_tokens"], r["kl"])
+            for r in stream_source_drift(
+                spark, part, vocab_size=50, query_name="drift_test_a"
+            ).collect()
+        }
+        batch = spark.read.parquet(part)
+        ref = reference_unigram(batch, vocab_size=50)
+        exp = {
+            r["source"]: (r["n_tokens"], r["kl"])
+            for r in drift_finalize(drift_bucket_counts(batch, ref), ref).collect()
+        }
+        assert got == exp
+        assert set(got) == {"web", "books", "spam"}
+        # identical sources score identically; the gibberish source
+        # drifts measurably further from the mixed-corpus reference
+        # (with V=50 its tokens make the vocab, so the gap is moderate
+        # — the ORDERING is the monitored signal)
+        assert got["web"][1] == got["books"][1]
+        assert got["spam"][1] > got["web"][1] + 0.1

@@ -284,6 +284,12 @@ COMMENTS = {
     "codegen'd projection chain over the scan (regexp chains, split, "
     "higher-order filters) — zero Exchange, zero Python; the identical "
     "expressions serve a streaming ingest unchanged.",
+    "stream_source_drift": "Streaming drift monitor (finalization plan "
+    "shown): the pinned reference broadcast-joins the drained "
+    "(source x V+1) bucket counts — the only streaming state — and the "
+    "per-source KL is a window + one tiny agg; upstream, the stream "
+    "side is a stateless explode + BroadcastHashJoin into ONE "
+    "complete-mode count whose state never grows with the corpus.",
     "emb_balanced_sample": "Cluster-balanced diversity sample: the "
     "codebook rides the Arrow kernel closure (map-only cell "
     "assignment), and the per-cell cap compiles to WindowGroupLimit — "
