@@ -1944,6 +1944,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             read_table(spark, sf, "documents").select("doc_id"), "doc_id", n_shards=16
         )
 
+    def training_epoch_mix(spark, sf):
+        """The nightly-epoch flagship composition (`ext.pipeline.
+        training_epoch_mix`): dedup-canonical survivors → temperature
+        shares over the DEDUPED corpus (α=0.5, 10k-token budget, so
+        the rates genuinely thin the corpus) →
+        deterministic hash sampling at the derived rates → reproducible
+        (shard, pos) manifest — one declarative plan, three bounded key
+        shuffles, every stage a proven primitive. The oracle composes
+        the dedup window, the quantized-sqrt share math, the md5
+        sampler, and the shard-rank replay."""
+        from mopso_engine.ext import pipeline as pl
+
+        return pl.training_epoch_mix(
+            read_table(spark, sf, "documents"), token_budget=10_000, n_shards=16
+        )
+
     def docs_bigram_logppl(spark, sf):
         """Interpolated bigram LM log-perplexity (`ext.text.bigram_logppl`):
         0.75·p(w|prev) + 0.25·p(w) over the top-500 vocab-mapped alphabet
@@ -2973,19 +2989,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + streaming), locf + linear-interp resampling, SCD2 serving
         # lookup, Bloom-prefiltered incremental dedup, CCNet ppl
         # buckets, cluster-balanced diversity sample, streaming drift
-        # monitor                                                       (14)
+        # monitor, flagship epoch-mix composition                       (15)
         docs_chunked_bpe, docs_html_extract, docs_bpe_fertility,
         docs_blocklist, docs_fix_mojibake, corpus_curation_v3,
         stream_curate_docs_v3, events_resampled, events_resampled_li,
         events_scd2_lookup, dedup_bloom_prefilter, docs_ppl_buckets,
-        emb_balanced_sample, stream_source_drift,
+        emb_balanced_sample, stream_source_drift, training_epoch_mix,
         # round-8 code-changed, re-earning rows: canonical_by_score
         # min_by election + missing-score guard; semantic_decontaminate
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
-        # the r7 registration comment, oldest-verified-first            (28)
+        # the r7 registration comment, oldest-verified-first            (27)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
@@ -2993,9 +3009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal_stats, tfidf_terms, pmi_collocations,
         sketch_distinct_check, sketch_quantile_check,
         big_orders, customers_without_orders, active_custkeys_diff,
-        active_custkeys_both,
         # --- the 50-entry truncation lands exactly here ---
-        active_custkeys_diff_all, events_pivot, status_cube, value_quantiles,
+        active_custkeys_both, active_custkeys_diff_all, events_pivot, status_cube, value_quantiles,
         # rest of the stale tail — oldest-verified-first; next round's
         # rotation slice starts at q5_local_supplier
         q5_local_supplier, q7_volume_shipping, q8_market_share,
@@ -3950,6 +3965,41 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY uu ASC, doc_id ASC) - 1)::BIGINT AS pos
         FROM u
     """
+
+    # the flagship epoch composition: dedup window + quantized-sqrt
+    # shares + md5 sampler + shard-rank replay, all one SQL
+    o["training_epoch_mix"] = r"""
+        WITH fps AS (
+          SELECT doc_id, source, text,
+                 md5(lower(array_to_string(string_split_regex(trim(text), '\s+'), ' '))) AS fp
+          FROM documents),
+        canon AS (
+          SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+                   row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+            FROM fps) WHERE rn = 1),
+        a AS (SELECT source,
+                     sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS tokens_available
+              FROM canon GROUP BY 1),
+        s AS (SELECT *, floor(sqrt(tokens_available::DOUBLE) * 1e6 + 0.5)::BIGINT AS qa FROM a),
+        d AS (SELECT sum(qa)::DOUBLE AS qsum FROM s),
+        r AS (SELECT source,
+                     round(least(1.0, qa / qsum * 10000.0 / tokens_available), 6) AS rate
+              FROM s, d),
+        samp AS (
+          SELECT c.doc_id, c.source FROM canon c JOIN r USING (source)
+          WHERE (('0x' || substr(md5(c.doc_id::VARCHAR || '#mix'), 1, 8))::BIGINT)::DOUBLE
+                / 4294967296.0 < r.rate),
+        u AS (SELECT doc_id, source,
+                     (('0x' || substr(md5(doc_id::VARCHAR || '#shuf'), 1, 8))::BIGINT)::DOUBLE
+                     / 4294967296.0 AS uu
+              FROM samp)
+        SELECT doc_id, source, floor(uu * 16)::INT AS shard,
+               (row_number() OVER (PARTITION BY floor(uu * 16)
+                                   ORDER BY uu ASC, doc_id ASC) - 1)::BIGINT AS pos
+        FROM u
+    """
+
 
     # vocab-mapped interpolated bigram LM; positional pair join under the
     # same loud 100k-token ceiling as the span oracles

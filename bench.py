@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "docs_blocklist",
     "docs_fix_mojibake",
     "corpus_curation_v3",
+    "training_epoch_mix",
     # round-8: time-grid forward-fill resampling (one key window)
     "events_resampled",
     # round-8: streaming curation with the extraction-era gates

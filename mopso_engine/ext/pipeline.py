@@ -822,3 +822,57 @@ def deterministic_shuffle(
         .withColumn("pos", (F.row_number().over(w) - F.lit(1)).cast("long"))
         .drop("__u")
     )
+
+
+def training_epoch_mix(
+    docs: DataFrame,
+    *,
+    alpha: float = 0.5,
+    token_budget: int,
+    n_shards: int = 16,
+    mix_salt: str = "mix",
+    shuffle_salt: str = "shuf",
+) -> DataFrame:
+    """End-to-end training-epoch manifest in ONE declarative plan — the
+    composition a pretraining data pipeline runs nightly: exact-dedup
+    canonicalization → temperature-scaled per-source rates (share ∝ n^α
+    over the DEDUPED corpus, so dup-heavy sources can't buy extra
+    share) → deterministic hash sampling at those rates → reproducible
+    (shard, pos) export addresses. Returns (doc_id, source, shard, pos).
+
+    Every stage is the already-proven primitive (exact_dedup's
+    fingerprint window, source_mixture_temperature's quantized shares,
+    sample_by_hash's md5 uniform, deterministic_shuffle's manifest), so
+    the whole epoch is a pure function of the corpus: any engine, any
+    partitioning, any rerun emits the identical sample in the identical
+    order.
+
+    Scale shape: one fingerprint-keyed window (the dedup), one tiny
+    stratum agg + broadcast scalar (the rates), a broadcast rates join
+    + map-only sample filter, and one shard-bounded rank window — three
+    key shuffles total for the full ladder, none keyed on anything that
+    grows faster than the corpus.
+    """
+    from mopso_engine.ext.dedup import normalized_text
+
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    canon = (
+        docs.select("doc_id", "source", "text", F.md5(normalized_text()).alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    rates = source_mixture_temperature(
+        canon, alpha=alpha, token_budget=token_budget
+    ).select("source", "rate")
+    sampled = (
+        canon.join(F.broadcast(rates), "source")
+        .where(
+            hash_uniform(F.col("doc_id").cast("string"), salt=mix_salt)
+            < F.col("rate")
+        )
+        .select("doc_id", "source")
+    )
+    return deterministic_shuffle(
+        sampled, "doc_id", n_shards=n_shards, salt=shuffle_salt
+    ).select("doc_id", "source", "shard", "pos")

@@ -796,3 +796,63 @@ def test_resample_interpolate_semantics(spark):
 
     with _pytest.raises(ValueError):
         resample_forward_fill(ev, method="cubic")
+
+
+class TestTrainingEpochMix:
+    def test_full_python_replay_with_planted_dups(self, spark, docs):
+        """The composed ladder (dedup -> temperature rates -> hash sample
+        -> shard manifest) must equal a from-scratch python replay, and
+        planted duplicates must not buy their source extra share."""
+        import hashlib
+        import math
+
+        from mopso_engine.ext.pipeline import training_epoch_mix
+
+        dup = docs.where(F.col("doc_id") < 20).withColumn(
+            "doc_id", F.col("doc_id") + 7000
+        )
+        full = docs.unionByName(dup)
+        out = {
+            r["doc_id"]: (r["source"], r["shard"], r["pos"])
+            for r in training_epoch_mix(full, token_budget=5000, n_shards=8).collect()
+        }
+
+        rows = full.select("doc_id", "source", "text").collect()
+        # dedup: first doc_id per normalized fingerprint
+        by_fp: dict[str, list] = {}
+        for r in rows:
+            fp = hashlib.md5(
+                " ".join(r["text"].strip().split()).lower().encode()
+            ).hexdigest()
+            by_fp.setdefault(fp, []).append(r)
+        canon = [min(v, key=lambda r: r["doc_id"]) for v in by_fp.values()]
+        # rates: share ∝ sqrt(tokens), quantized like the operator
+        toks = {}
+        for r in canon:
+            toks[r["source"]] = toks.get(r["source"], 0) + len(r["text"].strip().split())
+        qa = {s: math.floor(math.sqrt(float(n)) * 1e6 + 0.5) for s, n in toks.items()}
+        qsum = float(sum(qa.values()))
+        rate = {
+            s: round(min(1.0, qa[s] / qsum * 5000.0 / toks[s]), 6) for s in qa
+        }
+        # sample + manifest
+        kept = []
+        for r in canon:
+            u = int(hashlib.md5(f"{r['doc_id']}#mix".encode()).hexdigest()[:8], 16) / 2**32
+            if u < rate[r["source"]]:
+                kept.append(r)
+        exp = {}
+        shards: dict[int, list] = {}
+        for r in kept:
+            uu = int(hashlib.md5(f"{r['doc_id']}#shuf".encode()).hexdigest()[:8], 16) / 2**32
+            sh = int(uu * 8)
+            shards.setdefault(sh, []).append((uu, r["doc_id"], r["source"]))
+        for sh, members in shards.items():
+            members.sort()
+            for pos, (_, did, srcname) in enumerate(members):
+                exp[did] = (srcname, sh, pos)
+        assert out == exp
+        # no planted dup (doc_id >= 7000) survives — its twin is canonical
+        assert not any(did >= 7000 for did in out)
+        # the thinning is real at this budget
+        assert 0 < len(out) < len(canon)

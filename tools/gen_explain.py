@@ -284,6 +284,13 @@ COMMENTS = {
     "codegen'd projection chain over the scan (regexp chains, split, "
     "higher-order filters) — zero Exchange, zero Python; the identical "
     "expressions serve a streaming ingest unchanged.",
+    "training_epoch_mix": "The nightly-epoch flagship: dedup window -> "
+    "tiny stratum agg + broadcast-scalar share math -> "
+    "BroadcastHashJoin rates + map-only md5 sample filter -> one "
+    "shard-bounded rank window. Three key shuffles for the whole "
+    "ladder; nothing in the plan is keyed on anything that grows "
+    "faster than the corpus, and no stage re-scans the raw text after "
+    "the fingerprint projection.",
     "stream_source_drift": "Streaming drift monitor (finalization plan "
     "shown): the pinned reference broadcast-joins the drained "
     "(source x V+1) bucket counts — the only streaming state — and the "
