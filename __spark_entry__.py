@@ -1526,6 +1526,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cands = dd.minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=4, shingles=sh)
         return dd.jaccard_on_candidates(docs, cands, k=3, shingles=sh)
 
+    def dedup_prefix_filter(spark, sf):
+        """AllPairs/PPJoin prefix-filtered similarity join
+        (`ext.dedup.jaccard_prefix_pairs`): GUARANTEED-recall candidates
+        at jaccard >= 0.8 from an equality join on rarity-ordered
+        prefixes (exact integer ceil of the rational threshold — no IEEE
+        prefix shortfall), then the exact verify on candidates only.
+        Runs on the planted-clone corpus so the recall guarantee is
+        exercised against known true pairs; hot shingles stay out of
+        prefixes by construction (ascending-df order), the anti-skew
+        property the banding path needs a cap for."""
+        docs = read_table(spark, sf, "documents")
+        dup = docs.where(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(100000)
+        )
+        return dd.jaccard_prefix_pairs(
+            docs.unionByName(dup), threshold=0.8, k=3
+        )
+
     def events_sessionized(spark, sf):
         """Sessionization via windows: a session breaks after a >30 min gap;
         per user: session count and the largest session (events)."""
@@ -2989,28 +3007,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + streaming), locf + linear-interp resampling, SCD2 serving
         # lookup, Bloom-prefiltered incremental dedup, CCNet ppl
         # buckets, cluster-balanced diversity sample, streaming drift
-        # monitor, flagship epoch-mix composition                       (15)
+        # monitor, flagship epoch-mix composition, PPJoin prefix
+        # filter                                                        (16)
         docs_chunked_bpe, docs_html_extract, docs_bpe_fertility,
         docs_blocklist, docs_fix_mojibake, corpus_curation_v3,
         stream_curate_docs_v3, events_resampled, events_resampled_li,
         events_scd2_lookup, dedup_bloom_prefilter, docs_ppl_buckets,
         emb_balanced_sample, stream_source_drift, training_epoch_mix,
+        dedup_prefix_filter,
         # round-8 code-changed, re-earning rows: canonical_by_score
         # min_by election + missing-score guard; semantic_decontaminate
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
-        # the r7 registration comment, oldest-verified-first            (27)
+        # the r7 registration comment, oldest-verified-first            (26)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
         ann_topk, ann_ivf, ann_ivf_unlabeled, emb_neardup,
         multimodal_stats, tfidf_terms, pmi_collocations,
         sketch_distinct_check, sketch_quantile_check,
-        big_orders, customers_without_orders, active_custkeys_diff,
+        big_orders, customers_without_orders,
         # --- the 50-entry truncation lands exactly here ---
-        active_custkeys_both, active_custkeys_diff_all, events_pivot, status_cube, value_quantiles,
+        active_custkeys_diff, active_custkeys_both, active_custkeys_diff_all,
+        events_pivot, status_cube, value_quantiles,
         # rest of the stale tail — oldest-verified-first; next round's
         # rotation slice starts at q5_local_supplier
         q5_local_supplier, q7_volume_shipping, q8_market_share,
@@ -3847,6 +3868,39 @@ def oracle_sql() -> dict[str, str]:
     """
 
     _sh = _SHINGLE_CTE.format(src="documents")
+    # prefix-filter replay over the SAME planted-clone corpus: df ranks,
+    # exact integer ceil prefix, candidate join, exact verify
+    _shd = _SHINGLE_CTE.format(src="(" + _DOCS_DUP_SQL + ")")
+    o["dedup_prefix_filter"] = f"""
+        WITH {_shd},
+        dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        rk AS (
+          SELECT s.doc_id, s.shingle,
+                 count(*) OVER (PARTITION BY s.doc_id) AS n_sh,
+                 row_number() OVER (PARTITION BY s.doc_id
+                                    ORDER BY d.df ASC, s.shingle ASC) AS r
+          FROM sh s JOIN dfc d USING (shingle)),
+        pfx AS (
+          SELECT doc_id, shingle FROM rk
+          WHERE r <= n_sh - ((n_sh * 4 + 4) // 5) + 1),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM pfx a JOIN pfx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+          GROUP BY 1, 2)
+        SELECT c.doc_a, c.doc_b,
+               round(coalesce(ni, 0) * 1.0 / (sa.n + sb.n - coalesce(ni, 0)), 6) AS jaccard
+        FROM cand c
+        LEFT JOIN inter USING (doc_a, doc_b)
+        JOIN sz sa ON sa.doc_id = c.doc_a
+        JOIN sz sb ON sb.doc_id = c.doc_b
+        WHERE round(coalesce(ni, 0) * 1.0 / (sa.n + sb.n - coalesce(ni, 0)), 6) >= 0.8
+    """
+
     o["dedup_jaccard"] = f"""
         WITH {_sh},
         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

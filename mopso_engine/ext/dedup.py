@@ -1104,3 +1104,73 @@ def incremental_dedup_bloom(
             ((~F.col("is_known")) & (F.col("rn") == 1)).alias("kept"),
         )
     )
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame, *, threshold: float = 0.8, k: int = 3
+) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered set-similarity join (Bayardo et
+    al. 2007, "Scaling Up All Pairs Similarity Search") — the
+    GUARANTEED-RECALL alternative to MinHash banding for high
+    thresholds: any pair with Jaccard >= t must share a shingle inside
+    both documents' rarity-ordered prefixes of length
+    |X| - ceil(t*|X|) + 1 (pigeonhole over the globally-ordered
+    intersection minimum), so the equality join on prefix shingles
+    proposes a provably complete candidate set — no banding
+    probability, no tuning r x b.
+
+    The prefix length uses EXACT integer ceiling arithmetic (threshold
+    is parsed as a rational, e.g. 0.8 -> 4/5), because an IEEE
+    ceil(0.8*n) can exceed the true ceiling and silently shorten the
+    prefix below the recall guarantee.
+
+    100 TB shape — why this beats the naive shingle join: the global
+    ordering is ASCENDING document frequency, so prefixes hold each
+    document's RAREST shingles; hot shingles (the skew killers of the
+    raw jaccard_pairs join) only enter a prefix when a document
+    consists of almost nothing else. Cost: one df-count shuffle, one
+    doc-keyed rank window, an equality join whose fan-out is bounded by
+    prefix (not set) sizes, then the exact verify on candidates only
+    (jaccard_on_candidates' broadcast composition). At t = 0.8 the
+    prefix is ~20% of each set.
+
+    Returns (doc_a, doc_b, jaccard) for pairs with jaccard >= threshold
+    (rounded to 6dp, matching the module's other verifiers).
+    """
+    from fractions import Fraction
+
+    from pyspark.sql.window import Window as _W
+
+    frac = Fraction(str(threshold))
+    if not (0 < frac < 1):
+        raise ValueError("threshold must be in (0, 1)")
+    num, den = frac.numerator, frac.denominator
+    sh = word_shingles(docs, k)
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(dfc, "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            F.count("*").over(_W.partitionBy("doc_id")).alias("n_sh"),
+            F.row_number()
+            .over(_W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc()))
+            .alias("r"),
+        )
+    )
+    # exact integer ceil(t*n) = (n*num + den - 1) DIV den
+    prefix = ranked.where(
+        F.col("r")
+        <= F.col("n_sh")
+        - F.expr(f"CAST((n_sh * {num} + {den - 1}) DIV {den} AS BIGINT)")
+        + F.lit(1)
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = jaccard_on_candidates(docs, cand, k, shingles=sh)
+    return verified.where(F.col("jaccard") >= F.lit(float(threshold)))

@@ -2554,3 +2554,32 @@ class TestStreamSourceDrift:
         # — the ORDERING is the monitored signal)
         assert got["web"][1] == got["books"][1]
         assert got["spam"][1] > got["web"][1] + 0.1
+
+
+class TestPrefixFilterJoin:
+    def test_equals_exhaustive_jaccard_at_threshold(self, spark, docs):
+        """The prefix-filtered path must find EXACTLY the pairs the
+        exhaustive shingle join finds at the same threshold — the
+        guaranteed-recall property (no banding probability)."""
+        dup = docs.where(F.col("doc_id") < 25).withColumn(
+            "doc_id", F.col("doc_id") + 5000
+        )
+        corpus = docs.unionByName(dup)
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dd.jaccard_prefix_pairs(corpus, threshold=0.8).collect()
+        }
+        exp = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dd.jaccard_pairs(corpus, 3, threshold=0.8).collect()
+        }
+        assert got == exp
+        # the planted clones are all found at jaccard 1.0
+        assert all(got[(i, i + 5000)] == 1.0 for i in range(25) if (i, i + 5000) in exp)
+        assert sum(1 for (a, b) in got if b - a == 5000) == 25
+
+    def test_threshold_guard(self, spark, docs):
+        with pytest.raises(ValueError, match="threshold"):
+            dd.jaccard_prefix_pairs(docs, threshold=1.0)
+        with pytest.raises(ValueError, match="threshold"):
+            dd.jaccard_prefix_pairs(docs, threshold=0.0)

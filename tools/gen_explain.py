@@ -284,6 +284,13 @@ COMMENTS = {
     "codegen'd projection chain over the scan (regexp chains, split, "
     "higher-order filters) — zero Exchange, zero Python; the identical "
     "expressions serve a streaming ingest unchanged.",
+    "dedup_prefix_filter": "PPJoin prefix filter: the candidate join "
+    "keys on each document's RAREST shingles only (ascending-df rank "
+    "window), so the equality join's fan-out is bounded by prefix "
+    "sizes and hot shingles never enter it — the anti-skew property "
+    "the banding path needs max_shingle_df for; recall at the "
+    "threshold is exact by the pigeonhole lemma, and the verify stage "
+    "reuses jaccard_on_candidates' broadcast composition.",
     "training_epoch_mix": "The nightly-epoch flagship: dedup window -> "
     "tiny stratum agg + broadcast-scalar share math -> "
     "BroadcastHashJoin rates + map-only md5 sample filter -> one "
