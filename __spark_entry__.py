@@ -1544,6 +1544,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.unionByName(dup), threshold=0.8, k=3
         )
 
+    def cross_source_dups(spark, sf):
+        """Cross-source duplication matrix
+        (`ext.dedup.cross_source_dup_matrix`): distinct (fp, source)
+        pairs self-join on the fingerprint — per-fp fan-out bounded by
+        the sources carrying it, output bounded by sources² — the
+        mirror-detection forensic every mixture pipeline runs before
+        trusting per-source token counts. Fixture plants a mirror
+        source replicating doc_id<100 so known cells light up."""
+        docs = read_table(spark, sf, "documents")
+        mirror = (
+            docs.where(F.col("doc_id") < 100)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+            .withColumn("source", F.lit("mirror_src"))
+        )
+        return dd.cross_source_dup_matrix(docs.unionByName(mirror))
+
     def events_sessionized(spark, sf):
         """Sessionization via windows: a session breaks after a >30 min gap;
         per user: session count and the largest session (events)."""
@@ -1925,6 +1941,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(
             "doc_id", "n_paras", "n_kept", F.md5("text_clean").alias("clean_fp")
         )
+
+    def events_winsorized(spark, sf):
+        """Winsorized per-type event statistics
+        (`ext.pipeline.winsorized_stats`): [p05, p95] clamp thresholds
+        from a deterministic md5 hash sample with integer cut-rank
+        comparisons (engine percentile functions disagree on
+        interpolation; a sampled rank cut is exact-replayable and the
+        right cost at scale), broadcast threshold join, micro-unit-
+        quantized winsorized mean, clamp counts for auditability."""
+        from mopso_engine.ext import pipeline as pl
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        return pl.winsorized_stats(ev)
 
     def events_key_skew(spark, sf):
         """Key-skew diagnostic (`ext.pipeline.key_skew_profile`): top-10
@@ -3008,29 +3038,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lookup, Bloom-prefiltered incremental dedup, CCNet ppl
         # buckets, cluster-balanced diversity sample, streaming drift
         # monitor, flagship epoch-mix composition, PPJoin prefix
-        # filter                                                        (16)
+        # filter, cross-source dup matrix, winsorized event stats       (18)
         docs_chunked_bpe, docs_html_extract, docs_bpe_fertility,
         docs_blocklist, docs_fix_mojibake, corpus_curation_v3,
         stream_curate_docs_v3, events_resampled, events_resampled_li,
         events_scd2_lookup, dedup_bloom_prefilter, docs_ppl_buckets,
         emb_balanced_sample, stream_source_drift, training_epoch_mix,
-        dedup_prefix_filter,
+        dedup_prefix_filter, cross_source_dups, events_winsorized,
         # round-8 code-changed, re-earning rows: canonical_by_score
         # min_by election + missing-score guard; semantic_decontaminate
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
-        # the r7 registration comment, oldest-verified-first            (26)
+        # the r7 registration comment, oldest-verified-first            (24)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
         ann_topk, ann_ivf, ann_ivf_unlabeled, emb_neardup,
         multimodal_stats, tfidf_terms, pmi_collocations,
         sketch_distinct_check, sketch_quantile_check,
-        big_orders, customers_without_orders,
         # --- the 50-entry truncation lands exactly here ---
-        active_custkeys_diff, active_custkeys_both, active_custkeys_diff_all,
+        big_orders,
+        customers_without_orders, active_custkeys_diff, active_custkeys_both, active_custkeys_diff_all,
         events_pivot, status_cube, value_quantiles,
         # rest of the stale tail — oldest-verified-first; next round's
         # rotation slice starts at q5_local_supplier
@@ -3899,6 +3929,51 @@ def oracle_sql() -> dict[str, str]:
         JOIN sz sa ON sa.doc_id = c.doc_a
         JOIN sz sb ON sb.doc_id = c.doc_b
         WHERE round(coalesce(ni, 0) * 1.0 / (sa.n + sb.n - coalesce(ni, 0)), 6) >= 0.8
+    """
+
+    o["cross_source_dups"] = r"""
+        WITH full_docs AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text, 'mirror_src' FROM documents WHERE doc_id < 100),
+        fps AS (
+          SELECT DISTINCT
+                 md5(lower(array_to_string(string_split_regex(trim(text), '\s+'), ' '))) AS fp,
+                 source
+          FROM full_docs)
+        SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2
+    """
+
+    o["events_winsorized"] = """
+        WITH samp AS (
+          SELECT event_type, value, event_id FROM events
+          WHERE (('0x' || substr(md5(event_id::VARCHAR || '#s0'), 1, 8))::BIGINT)::DOUBLE
+                / 4294967296.0 < 0.25),
+        ranked AS (
+          SELECT event_type, value AS v,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value ASC, event_id ASC) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM samp),
+        thr AS (
+          SELECT event_type,
+                 max(CASE WHEN rk * 20 <= n + 19 THEN v END) AS lo,
+                 max(CASE WHEN rk * 20 <= 19 * n + 19 THEN v END) AS hi
+          FROM ranked GROUP BY 1),
+        j AS (
+          SELECT e.event_type, t.lo, t.hi,
+                 CASE WHEN t.lo IS NULL THEN e.value
+                      ELSE least(greatest(e.value, t.lo), t.hi) END AS cv,
+                 CASE WHEN t.lo IS NOT NULL AND e.value < t.lo THEN 1 ELSE 0 END AS cl,
+                 CASE WHEN t.hi IS NOT NULL AND e.value > t.hi THEN 1 ELSE 0 END AS ch
+          FROM events e LEFT JOIN thr t USING (event_type))
+        SELECT event_type, count(*)::BIGINT AS n,
+               max(lo) AS lo, max(hi) AS hi,
+               sum(cl)::BIGINT AS n_clamped_lo, sum(ch)::BIGINT AS n_clamped_hi,
+               round(sum(floor(cv * 1e6 + 0.5)::BIGINT) / (1e6 * count(*)), 6) AS mean_winsorized
+        FROM j GROUP BY 1
     """
 
     o["dedup_jaccard"] = f"""

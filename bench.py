@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     # is not benched; the pair of interest is probe cost, map-only)
     "dedup_bloom_prefilter",
     "dedup_prefix_filter",
+    "cross_source_dups",
     "repetition_stats",
     "decontaminate",
     "semdedup",
@@ -103,6 +104,7 @@ BENCH_QUERIES = [
     "training_epoch_mix",
     # round-8: time-grid forward-fill resampling (one key window)
     "events_resampled",
+    "events_winsorized",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

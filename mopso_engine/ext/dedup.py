@@ -1174,3 +1174,34 @@ def jaccard_prefix_pairs(
     )
     verified = jaccard_on_candidates(docs, cand, k, shingles=sh)
     return verified.where(F.col("jaccard") >= F.lit(float(threshold)))
+
+
+def cross_source_dup_matrix(docs: DataFrame) -> DataFrame:
+    """Cross-source duplication matrix — corpus forensics: for every
+    pair of ingest sources, how many distinct normalized fingerprints
+    they SHARE (the mirror-detection statistic behind every "how much
+    of source X is already in source Y" analysis; a high cell says the
+    pair mirrors each other and one side should be dropped before
+    mixture math counts its tokens twice).
+
+    Shape: one map-only fingerprint projection, one distinct on
+    (fp, source) — the only corpus-sized shuffle, keyed on the
+    fingerprint — then a self-equality-join on fp whose fan-out per
+    fingerprint is bounded by the number of sources carrying it (<<
+    corpus), and a final agg bounded by sources². No pair of DOCUMENTS
+    is ever materialized, only pairs of (fingerprint, source) rows.
+
+    Returns (source_a, source_b, n_shared) with source_a < source_b,
+    pairs with at least one shared fingerprint.
+    """
+    fps = docs.select(
+        F.md5(normalized_text()).alias("fp"), F.col("source")
+    ).distinct()
+    a = fps.select("fp", F.col("source").alias("source_a"))
+    b = fps.select("fp", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )

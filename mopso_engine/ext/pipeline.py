@@ -876,3 +876,100 @@ def training_epoch_mix(
     return deterministic_shuffle(
         sampled, "doc_id", n_shards=n_shards, salt=shuffle_salt
     ).select("doc_id", "source", "shard", "pos")
+
+
+def winsorized_stats(
+    df: DataFrame,
+    *,
+    key: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    p: float = 0.05,
+    sample_fraction: float = 0.25,
+    salt: str = "s0",
+) -> DataFrame:
+    """Winsorized per-key statistics — the robust-aggregation pattern
+    for metric streams whose tails are garbage (sensor spikes, retry
+    storms, unit bugs): clamp each value to the [p, 1-p] percentile
+    band and aggregate the clamped series, reporting how much was
+    clamped on each side so the trim is auditable.
+
+    The percentile thresholds come from a DETERMINISTIC md5 hash sample
+    per key (the perplexity_buckets discipline): exact global
+    percentiles would need a per-key full sort, and engine percentile
+    functions disagree on interpolation — a bounded sample with integer
+    cut-rank comparisons (rk·den <= num·n + den − 1 is
+    rk <= ceil(num·n/den), p parsed as a rational) is cheap, exactly
+    replayable, and statistically adequate for a trim rule. Clamped
+    values quantize to integer micro-units before the mean's sum, so
+    the aggregate is partition-order-proof.
+
+    Keys absent from the sample pass through unclamped (flags 0,
+    thresholds NULL) rather than guessing.
+
+    Returns (key, n, lo, hi, n_clamped_lo, n_clamped_hi,
+    mean_winsorized).
+    """
+    from fractions import Fraction
+
+    frac = Fraction(str(p))
+    if not (0 < frac < Fraction(1, 2)):
+        raise ValueError("p must be in (0, 0.5)")
+    if not (0.0 < sample_fraction <= 1.0):
+        raise ValueError("sample_fraction must be in (0, 1]")
+    num, den = frac.numerator, frac.denominator
+    sample = df.where(
+        hash_uniform(F.col(id_col).cast("string"), salt=salt)
+        < F.lit(float(sample_fraction))
+    )
+    w_rank = Window.partitionBy(key).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    w_all = Window.partitionBy(key)
+    ranked = sample.select(
+        key,
+        F.col(value_col).alias("_v"),
+        F.row_number().over(w_rank).alias("_rk"),
+        F.count("*").over(w_all).alias("_n"),
+    )
+    thr = ranked.groupBy(key).agg(
+        F.max(
+            F.when(F.col("_rk") * den <= num * F.col("_n") + (den - 1), F.col("_v"))
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("_rk") * den <= (den - num) * F.col("_n") + (den - 1),
+                F.col("_v"),
+            )
+        ).alias("hi"),
+    )
+    clamped = F.when(
+        F.col("lo").isNull(), F.col(value_col)
+    ).otherwise(F.least(F.greatest(F.col(value_col), F.col("lo")), F.col("hi")))
+    micro = F.floor(clamped * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        df.join(F.broadcast(thr), key, "left")
+        .select(
+            key,
+            "lo",
+            "hi",
+            micro.alias("_m"),
+            (F.col("lo").isNotNull() & (F.col(value_col) < F.col("lo")))
+            .cast("int")
+            .alias("_cl"),
+            (F.col("hi").isNotNull() & (F.col(value_col) > F.col("hi")))
+            .cast("int")
+            .alias("_ch"),
+        )
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            F.sum("_cl").alias("n_clamped_lo"),
+            F.sum("_ch").alias("n_clamped_hi"),
+            F.round(F.sum("_m") / (F.lit(1e6) * F.count("*")), 6).alias(
+                "mean_winsorized"
+            ),
+        )
+    )

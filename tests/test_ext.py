@@ -2583,3 +2583,42 @@ class TestPrefixFilterJoin:
             dd.jaccard_prefix_pairs(docs, threshold=1.0)
         with pytest.raises(ValueError, match="threshold"):
             dd.jaccard_prefix_pairs(docs, threshold=0.0)
+
+
+class TestCrossSourceDupMatrix:
+    def test_planted_mirror_and_python_replay(self, spark, docs):
+        import hashlib
+        from collections import Counter
+
+        mirror = (
+            docs.where(F.col("doc_id") < 40)
+            .withColumn("doc_id", F.col("doc_id") + 9000)
+            .withColumn("source", F.lit("zmirror"))
+        )
+        full = docs.unionByName(mirror)
+        got = {
+            (r["source_a"], r["source_b"]): r["n_shared"]
+            for r in dd.cross_source_dup_matrix(full).collect()
+        }
+        fps = set()
+        for r in full.select("text", "source").collect():
+            fp = hashlib.md5(
+                " ".join(r["text"].strip().split()).lower().encode()
+            ).hexdigest()
+            fps.add((fp, r["source"]))
+        by_fp: dict[str, list] = {}
+        for fp, s in fps:
+            by_fp.setdefault(fp, []).append(s)
+        exp: Counter = Counter()
+        for fp, sources in by_fp.items():
+            ss = sorted(set(sources))
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    exp[(ss[i], ss[j])] += 1
+        assert got == dict(exp)
+        # the mirror source shares with every source that owned a doc<40
+        mirrored_sources = {
+            r["source"] for r in docs.where(F.col("doc_id") < 40).select("source").collect()
+        }
+        for s in mirrored_sources:
+            assert (min(s, "zmirror"), max(s, "zmirror")) in got

@@ -856,3 +856,59 @@ class TestTrainingEpochMix:
         assert not any(did >= 7000 for did in out)
         # the thinning is real at this budget
         assert 0 < len(out) < len(canon)
+
+
+class TestWinsorizedStats:
+    def test_python_replay_and_clamp_audit(self, spark):
+        import hashlib
+
+        from mopso_engine.ext.pipeline import winsorized_stats
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        got = {r["event_type"]: r for r in winsorized_stats(ev).collect()}
+        rows = ev.select("event_type", "value", "event_id").collect()
+        samp: dict[str, list] = {}
+        for r in rows:
+            u = int(hashlib.md5(f"{r['event_id']}#s0".encode()).hexdigest()[:8], 16) / 2**32
+            if u < 0.25:
+                samp.setdefault(r["event_type"], []).append((r["value"], r["event_id"]))
+        thr = {}
+        for k, vals in samp.items():
+            vals.sort()
+            n = len(vals)
+            lo = max(v for i, (v, _) in enumerate(vals, 1) if i * 20 <= n + 19)
+            hi = max(v for i, (v, _) in enumerate(vals, 1) if i * 20 <= 19 * n + 19)
+            thr[k] = (lo, hi)
+        import math
+        from collections import defaultdict
+
+        agg = defaultdict(lambda: [0, 0, 0, 0])  # n, sum_micro, cl, ch
+        for r in rows:
+            k = r["event_type"]
+            lo, hi = thr.get(k, (None, None))
+            v = r["value"]
+            cv = v if lo is None else min(max(v, lo), hi)
+            a = agg[k]
+            a[0] += 1
+            a[1] += math.floor(cv * 1e6 + 0.5)
+            a[2] += int(lo is not None and v < lo)
+            a[3] += int(hi is not None and v > hi)
+        for k, (n, sm, cl, ch) in agg.items():
+            g = got[k]
+            assert g["n"] == n and g["n_clamped_lo"] == cl and g["n_clamped_hi"] == ch
+            assert g["mean_winsorized"] == round(sm / (1e6 * n), 6)
+            if k in thr:
+                assert (g["lo"], g["hi"]) == thr[k]
+                # the trim is real: something actually clamps at p=0.05
+        assert sum(a[2] + a[3] for a in agg.values()) > 0
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from mopso_engine.ext.pipeline import winsorized_stats
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        with _pytest.raises(ValueError, match="p must"):
+            winsorized_stats(ev, p=0.5)
+        with _pytest.raises(ValueError, match="sample_fraction"):
+            winsorized_stats(ev, sample_fraction=0.0)
