@@ -1956,6 +1956,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = read_events(spark, os.path.join(sf, "events.parquet"))
         return pl.winsorized_stats(ev)
 
+    def events_funnel(spark, sf):
+        """Ordered conversion funnel (`ext.pipeline.funnel_counts`):
+        view → click → purchase, strictly ordered per user by
+        (ts, event_id). ONE user-keyed shuffle collects each user's
+        funnel events into a sorted in-row list and a zero-shuffle
+        aggregate HOF walks it greedily (earliest-match is optimal for
+        subsequence reachability) — versus the k chained self-joins of
+        the textbook SQL, which is exactly what the oracle runs."""
+        from mopso_engine.ext import pipeline as pl
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        return pl.funnel_counts(ev, ["view", "click", "purchase"])
+
     def events_key_skew(spark, sf):
         """Key-skew diagnostic (`ext.pipeline.key_skew_profile`): top-10
         heaviest user_id values with row share and skew ratio vs uniform
@@ -3038,27 +3052,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lookup, Bloom-prefiltered incremental dedup, CCNet ppl
         # buckets, cluster-balanced diversity sample, streaming drift
         # monitor, flagship epoch-mix composition, PPJoin prefix
-        # filter, cross-source dup matrix, winsorized event stats       (18)
+        # filter, cross-source dup matrix, winsorized event stats,
+        # ordered funnel                                                (19)
         docs_chunked_bpe, docs_html_extract, docs_bpe_fertility,
         docs_blocklist, docs_fix_mojibake, corpus_curation_v3,
         stream_curate_docs_v3, events_resampled, events_resampled_li,
         events_scd2_lookup, dedup_bloom_prefilter, docs_ppl_buckets,
         emb_balanced_sample, stream_source_drift, training_epoch_mix,
         dedup_prefix_filter, cross_source_dups, events_winsorized,
+        events_funnel,
         # round-8 code-changed, re-earning rows: canonical_by_score
         # min_by election + missing-score guard; semantic_decontaminate
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
-        # the r7 registration comment, oldest-verified-first            (24)
+        # the r7 registration comment, oldest-verified-first            (23)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
         ann_topk, ann_ivf, ann_ivf_unlabeled, emb_neardup,
         multimodal_stats, tfidf_terms, pmi_collocations,
-        sketch_distinct_check, sketch_quantile_check,
+        sketch_distinct_check,
         # --- the 50-entry truncation lands exactly here ---
+        sketch_quantile_check,
         big_orders,
         customers_without_orders, active_custkeys_diff, active_custkeys_both, active_custkeys_diff_all,
         events_pivot, status_cube, value_quantiles,
@@ -3974,6 +3991,38 @@ def oracle_sql() -> dict[str, str]:
                sum(cl)::BIGINT AS n_clamped_lo, sum(ch)::BIGINT AS n_clamped_hi,
                round(sum(floor(cv * 1e6 + 0.5)::BIGINT) / (1e6 * count(*)), 6) AS mean_winsorized
         FROM j GROUP BY 1
+    """
+
+    # the textbook funnel: k chained first-occurrence self-joins — the
+    # greedy in-row walk is provably the same reachability
+    o["events_funnel"] = """
+        WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+                   WHERE event_type IN ('view', 'click', 'purchase')),
+        s1 AS (SELECT user_id, ts, event_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS rn
+                 FROM e WHERE event_type = 'view') WHERE rn = 1),
+        s2 AS (SELECT user_id, ts, event_id FROM (
+                 SELECT e.user_id, e.ts, e.event_id,
+                        row_number() OVER (PARTITION BY e.user_id
+                                           ORDER BY e.ts, e.event_id) AS rn
+                 FROM e JOIN s1 USING (user_id)
+                 WHERE e.event_type = 'click'
+                   AND (e.ts > s1.ts OR (e.ts = s1.ts AND e.event_id > s1.event_id)))
+               WHERE rn = 1),
+        s3 AS (SELECT user_id FROM (
+                 SELECT e.user_id,
+                        row_number() OVER (PARTITION BY e.user_id
+                                           ORDER BY e.ts, e.event_id) AS rn
+                 FROM e JOIN s2 USING (user_id)
+                 WHERE e.event_type = 'purchase'
+                   AND (e.ts > s2.ts OR (e.ts = s2.ts AND e.event_id > s2.event_id)))
+               WHERE rn = 1)
+        SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1)::BIGINT AS n_users
+        UNION ALL
+        SELECT 2, 'click', (SELECT count(*) FROM s2)::BIGINT
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT count(*) FROM s3)::BIGINT
     """
 
     o["dedup_jaccard"] = f"""

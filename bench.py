@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     # round-8: time-grid forward-fill resampling (one key window)
     "events_resampled",
     "events_winsorized",
+    "events_funnel",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

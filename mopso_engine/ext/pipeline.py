@@ -973,3 +973,72 @@ def winsorized_stats(
             ),
         )
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Ordered conversion funnel: how many users performed step1, then
+    step2 strictly after it, then step3 after that, … — the classic
+    product-analytics query, done in ONE user-keyed pass.
+
+    Per user the relevant events (only the funnel's own types survive
+    the filter) collect into a (ts, id, type)-sorted in-row list and a
+    single `aggregate` HOF walks it greedily: the state is the number
+    of steps completed, advancing when the current element matches the
+    NEXT step. Greedy earliest-matching is optimal for subsequence
+    reachability, so this equals the sequential-first-occurrence
+    construction an analyst would write with k chained self-joins —
+    at the cost of one shuffle instead of k.
+
+    Order is (ts, id) lexicographic — same-timestamp events are
+    consumed in id order, deterministically. At 100 TB the collected
+    list is bounded by per-user funnel-event activity (sessions), not
+    the corpus; the fold is a zero-shuffle expression.
+
+    Returns one row per step: (step, step_name, n_users) with
+    n_users = users whose greedy walk reached at least that step.
+    """
+    if not steps or len(set(steps)) != len(steps):
+        raise ValueError("steps must be a non-empty list of distinct types")
+    seq = (
+        events.where(F.col("event_type").isin(list(steps)))
+        .groupBy(user_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(ts_col, id_col, "event_type"))
+            ).alias("seq")
+        )
+    )
+
+    def advance(acc, e):
+        out = acc
+        for k, s in enumerate(steps):
+            out = F.when((acc == k) & (e["event_type"] == s), k + 1).otherwise(out)
+        return out
+
+    reached = seq.select(
+        F.aggregate("seq", F.lit(0), advance).alias("reached")
+    )
+    counts = reached.agg(
+        *[
+            F.sum((F.col("reached") >= k + 1).cast("long")).alias(f"r{k}")
+            for k in range(len(steps))
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k + 1).alias("step"),
+                F.lit(s).alias("step_name"),
+                F.col(f"r{k}").alias("n_users"),
+            )
+            for k, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select("r.*")

@@ -912,3 +912,42 @@ class TestWinsorizedStats:
             winsorized_stats(ev, p=0.5)
         with _pytest.raises(ValueError, match="sample_fraction"):
             winsorized_stats(ev, sample_fraction=0.0)
+
+
+class TestFunnelCounts:
+    def test_greedy_equals_sequential_python(self, spark):
+        from mopso_engine.ext.pipeline import funnel_counts
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, f"{SF}/events.parquet")
+        steps = ["view", "click", "purchase"]
+        got = {r["step"]: (r["step_name"], r["n_users"]) for r in funnel_counts(ev, steps).collect()}
+        rows = ev.select("user_id", "ts", "event_id", "event_type").collect()
+        by_user: dict[int, list] = {}
+        for r in rows:
+            if r["event_type"] in steps:
+                by_user.setdefault(r["user_id"], []).append(
+                    (r["ts"], r["event_id"], r["event_type"])
+                )
+        counts = [0] * len(steps)
+        for evs in by_user.values():
+            evs.sort()
+            k = 0
+            for _, _, t in evs:
+                if k < len(steps) and t == steps[k]:
+                    k += 1
+            for i in range(k):
+                counts[i] += 1
+        assert got == {i + 1: (steps[i], counts[i]) for i in range(len(steps))}
+        # a funnel is monotone
+        assert counts[0] >= counts[1] >= counts[2] > 0
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from mopso_engine.ext.pipeline import funnel_counts
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, f"{SF}/events.parquet")
+        with _pytest.raises(ValueError, match="distinct"):
+            funnel_counts(ev, ["view", "view"])

@@ -284,6 +284,20 @@ COMMENTS = {
     "codegen'd projection chain over the scan (regexp chains, split, "
     "higher-order filters) — zero Exchange, zero Python; the identical "
     "expressions serve a streaming ingest unchanged.",
+    "events_funnel": "Ordered funnel in one pass: the only exchange is "
+    "the user-keyed ObjectHashAggregate collecting each user's sorted "
+    "funnel events; the greedy walk is an in-row aggregate() HOF (zero "
+    "shuffle, no k-way self-join), and the per-step counts come from "
+    "one scalar aggregate + an explode of three literals.",
+    "cross_source_dups": "Mirror forensics: ONE fp-keyed distinct is "
+    "the only corpus-sized exchange; the self-join's fan-out per "
+    "fingerprint is the number of sources carrying it, and the final "
+    "agg is sources-squared-bounded — document pairs never materialize.",
+    "events_winsorized": "Winsorized robust stats: the rank window runs "
+    "over the hash SAMPLE only, thresholds come back as a "
+    "BroadcastHashJoin, the clamp + micro-unit quantization is a "
+    "projection, and the final agg is one key-partitioned "
+    "HashAggregate with map-side partials.",
     "dedup_prefix_filter": "PPJoin prefix filter: the candidate join "
     "keys on each document's RAREST shingles only (ascending-df rank "
     "window), so the equality join's fan-out is bounded by prefix "
