@@ -787,6 +787,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             counts, seq_len=128, buckets=8, count_col="n_bpe_tokens"
         )
 
+    def docs_gopher_full(spark, sf):
+        """FULL Gopher quality rule set (`ext.text.gopher_quality_stats`,
+        Rae et al. 2021 A1.1): word-count band, mean word length,
+        symbol ratio, bullet/ellipsis line rates, alphabetic-word
+        ratio, stop-word probe — every ratio an exact integer
+        cross-multiplication, pure expression chain (zero shuffle,
+        streaming-safe), complementing the separately-gated repetition
+        stats."""
+        return tx.gopher_quality_stats(
+            read_table(spark, sf, "documents"), min_words=30
+        )
+
     def docs_blocklist(spark, sf):
         """Bad-words blocklist gate (`ext.text.blocklist_filter`, the C4
         page-drop rule): whole-token match against the pinned list, pass
@@ -3053,28 +3065,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # buckets, cluster-balanced diversity sample, streaming drift
         # monitor, flagship epoch-mix composition, PPJoin prefix
         # filter, cross-source dup matrix, winsorized event stats,
-        # ordered funnel                                                (19)
+        # ordered funnel, full Gopher gate set                          (20)
         docs_chunked_bpe, docs_html_extract, docs_bpe_fertility,
         docs_blocklist, docs_fix_mojibake, corpus_curation_v3,
         stream_curate_docs_v3, events_resampled, events_resampled_li,
         events_scd2_lookup, dedup_bloom_prefilter, docs_ppl_buckets,
         emb_balanced_sample, stream_source_drift, training_epoch_mix,
         dedup_prefix_filter, cross_source_dups, events_winsorized,
-        events_funnel,
+        events_funnel, docs_gopher_full,
         # round-8 code-changed, re-earning rows: canonical_by_score
         # min_by election + missing-score guard; semantic_decontaminate
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
-        # the r7 registration comment, oldest-verified-first            (23)
+        # the r7 registration comment, oldest-verified-first            (22)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
         ann_topk, ann_ivf, ann_ivf_unlabeled, emb_neardup,
         multimodal_stats, tfidf_terms, pmi_collocations,
-        sketch_distinct_check,
         # --- the 50-entry truncation lands exactly here ---
+        sketch_distinct_check,
         sketch_quantile_check,
         big_orders,
         customers_without_orders, active_custkeys_diff, active_custkeys_both, active_custkeys_diff_all,
@@ -3687,6 +3699,40 @@ def oracle_sql() -> dict[str, str]:
                      END, 6) AS value_li,
                prev_obs_ts, next_obs_ts
         FROM f WHERE g = 1
+    """
+
+    o["docs_gopher_full"] = r"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 string_split_regex(trim(text), '\s+') AS toks,
+                 string_split(text, chr(10)) AS lines
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 len(toks)::INT AS n_words,
+                 list_sum(list_transform(toks, w -> length(w)))::INT AS sum_word_len,
+                 len(lines)::INT AS n_lines,
+                 len(list_filter(lines, l -> trim(l) LIKE '-%' OR trim(l) LIKE '*%'
+                                          OR trim(l) LIKE '•%'))::INT AS n_bullet_lines,
+                 len(list_filter(lines, l -> trim(l) LIKE '%...'
+                                          OR trim(l) LIKE '%…'))::INT AS n_ellipsis_end_lines,
+                 ((length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '...', ''))) / 3)::BIGINT AS n_symbols,
+                 len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))::INT AS n_alpha_words,
+                 len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+                                 s -> list_contains(list_transform(toks, w -> lower(w)), s)))::INT
+                     AS n_stop_words
+          FROM t)
+        SELECT doc_id, n_words, sum_word_len, n_lines, n_bullet_lines,
+               n_ellipsis_end_lines, n_symbols, n_alpha_words, n_stop_words,
+               (n_words >= 30 AND n_words <= 100000
+                AND sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
+                AND 10 * n_symbols <= n_words
+                AND 10 * n_bullet_lines <= 9 * n_lines
+                AND 10 * n_ellipsis_end_lines <= 3 * n_lines
+                AND 10 * n_alpha_words >= 8 * n_words
+                AND n_stop_words >= 2) AS gopher_full_pass
+        FROM m
     """
 
     o["docs_blocklist"] = r"""

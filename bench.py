@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     # round-8: blocklist gate, mojibake repair, and the full-ladder
     # curation composition they feed
     "docs_blocklist",
+    "docs_gopher_full",
     "docs_fix_mojibake",
     "corpus_curation_v3",
     "training_epoch_mix",

@@ -807,3 +807,93 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+#: Gopher's stop-word probe list (Rae et al. 2021, A1.1): a document of
+#: running English prose contains at least 2 of these.
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_stats(
+    docs: DataFrame,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The FULL Gopher document-quality rule set (Rae et al. 2021,
+    appendix A1.1) — the repetition gates live separately in
+    :func:`repetition_stats_expr`; this is the rest of the ladder:
+
+    * word count in [min_words, max_words]
+    * mean word length in [3, 10] characters
+    * symbol-to-word ratio (``#`` or ``...``) <= 0.1
+    * <= 90% of lines start with a bullet; <= 30% end with an ellipsis
+    * >= 80% of words contain at least one alphabetic character
+    * >= 2 distinct stop words present
+
+    Every ratio test is an EXACT integer cross-multiplication
+    (``10*symbols <= n_words``, ``10*alpha >= 8*n_words``, …) — no
+    float division anywhere, so the pass flags are engine-exact by
+    construction, and every column is an integer or boolean the oracle
+    reproduces verbatim. Pure expression chain: zero shuffle, zero
+    Python, streaming-safe (the same projection gates an unbounded
+    ingest), composable ahead of the repetition/dedup stages.
+
+    Returns (doc_id, n_words, sum_word_len, n_lines, n_bullet_lines,
+    n_ellipsis_end_lines, n_symbols, n_alpha_words, n_stop_words,
+    gopher_full_pass).
+    """
+    toks = tokens_col()
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    trimmed = F.transform(lines, lambda l: F.trim(l))
+    n_bullet = F.size(
+        F.filter(
+            trimmed,
+            lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"),
+        )
+    )
+    n_ell_end = F.size(
+        F.filter(trimmed, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    n_hash = F.length(F.col("text")) - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ellipsis = (
+        F.length(F.col("text"))
+        - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    n_symbols = (n_hash + n_ellipsis).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    low_toks = F.transform(toks, lambda w: F.lower(w))
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS]),
+            lambda s: F.array_contains(low_toks, s),
+        )
+    )
+    passes = (
+        (n_words >= F.lit(int(min_words)))
+        & (n_words <= F.lit(int(max_words)))
+        & (sum_len >= 3 * n_words)
+        & (sum_len <= 10 * n_words)
+        & (10 * n_symbols <= n_words)
+        & (10 * n_bullet <= 9 * n_lines)
+        & (10 * n_ell_end <= 3 * n_lines)
+        & (10 * n_alpha >= 8 * n_words)
+        & (n_stop >= F.lit(2))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ell_end.alias("n_ellipsis_end_lines"),
+        n_symbols.alias("n_symbols"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stop_words"),
+        passes.alias("gopher_full_pass"),
+    )

@@ -2622,3 +2622,33 @@ class TestCrossSourceDupMatrix:
         }
         for s in mirrored_sources:
             assert (min(s, "zmirror"), max(s, "zmirror")) in got
+
+
+class TestGopherFullGate:
+    def test_planted_failures_each_rule(self, spark):
+        from mopso_engine.ext.text import gopher_quality_stats
+
+        base = ("the quick brown fox jumps over the lazy dog and that is "
+                "to be of note with " + "plain ordinary words here " * 10)
+        rows = [
+            (1, base),                                   # passes
+            (2, "too short to be of use with the and"),  # word count
+            (3, "# " * 60 + base),                       # symbol ratio
+            (4, "\n".join(["- bullet " + w for w in base.split()[:40]])),  # bullets
+            (5, "\n".join([w + " trail..." for w in base.split()[:40]])),  # ellipsis lines
+            (6, " ".join(["1234"] * 60)),                # alpha ratio + stopwords
+            (7, base.replace(" ", "  ")),                # same content, still passes
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in gopher_quality_stats(df, min_words=30).collect()}
+        assert out[1]["gopher_full_pass"]
+        assert out[7]["gopher_full_pass"]
+        for bad in (2, 3, 4, 5, 6):
+            assert not out[bad]["gopher_full_pass"], bad
+        # the per-rule counters say WHY each failed
+        assert out[2]["n_words"] < 30
+        assert 10 * out[3]["n_symbols"] > out[3]["n_words"]
+        assert 10 * out[4]["n_bullet_lines"] > 9 * out[4]["n_lines"]
+        assert 10 * out[5]["n_ellipsis_end_lines"] > 3 * out[5]["n_lines"]
+        assert 10 * out[6]["n_alpha_words"] < 8 * out[6]["n_words"]
+        assert out[6]["n_stop_words"] < 2

@@ -284,6 +284,11 @@ COMMENTS = {
     "codegen'd projection chain over the scan (regexp chains, split, "
     "higher-order filters) — zero Exchange, zero Python; the identical "
     "expressions serve a streaming ingest unchanged.",
+    "docs_gopher_full": "The full Gopher rule set is ONE codegen'd "
+    "projection over the scan — array HOFs for the per-line and "
+    "per-word counters, integer cross-multiplications for every ratio "
+    "test, no Exchange anywhere; the identical expressions gate a "
+    "streaming ingest unchanged.",
     "events_funnel": "Ordered funnel in one pass: the only exchange is "
     "the user-keyed ObjectHashAggregate collecting each user's sorted "
     "funnel events; the greedy walk is an in-row aggregate() HOF (zero "
