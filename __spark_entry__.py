@@ -1982,6 +1982,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = read_events(spark, os.path.join(sf, "events.parquet"))
         return pl.funnel_counts(ev, ["view", "click", "purchase"])
 
+    def events_transitions(spark, sf):
+        """First-order event-transition matrix
+        (`ext.pipeline.event_transitions`): one user-keyed lead window,
+        a types²-bounded pair aggregation, per-from shares as a window
+        over the tiny aggregate — the Markov view behind next-action
+        models and funnel-drop diagnostics."""
+        from mopso_engine.ext import pipeline as pl
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        return pl.event_transitions(ev)
+
     def events_key_skew(spark, sf):
         """Key-skew diagnostic (`ext.pipeline.key_skew_profile`): top-10
         heaviest user_id values with row share and skew ratio vs uniform
@@ -3065,27 +3077,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # buckets, cluster-balanced diversity sample, streaming drift
         # monitor, flagship epoch-mix composition, PPJoin prefix
         # filter, cross-source dup matrix, winsorized event stats,
-        # ordered funnel, full Gopher gate set                          (20)
+        # ordered funnel, full Gopher gate set, transition matrix       (21)
         docs_chunked_bpe, docs_html_extract, docs_bpe_fertility,
         docs_blocklist, docs_fix_mojibake, corpus_curation_v3,
         stream_curate_docs_v3, events_resampled, events_resampled_li,
         events_scd2_lookup, dedup_bloom_prefilter, docs_ppl_buckets,
         emb_balanced_sample, stream_source_drift, training_epoch_mix,
         dedup_prefix_filter, cross_source_dups, events_winsorized,
-        events_funnel, docs_gopher_full,
+        events_funnel, docs_gopher_full, events_transitions,
         # round-8 code-changed, re-earning rows: canonical_by_score
         # min_by election + missing-score guard; semantic_decontaminate
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
-        # the r7 registration comment, oldest-verified-first            (22)
+        # the r7 registration comment, oldest-verified-first            (21)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
         ann_topk, ann_ivf, ann_ivf_unlabeled, emb_neardup,
-        multimodal_stats, tfidf_terms, pmi_collocations,
+        multimodal_stats, tfidf_terms,
         # --- the 50-entry truncation lands exactly here ---
+        pmi_collocations,
         sketch_distinct_check,
         sketch_quantile_check,
         big_orders,
@@ -4069,6 +4082,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT 2, 'click', (SELECT count(*) FROM s2)::BIGINT
         UNION ALL
         SELECT 3, 'purchase', (SELECT count(*) FROM s3)::BIGINT
+    """
+
+    o["events_transitions"] = """
+        WITH p AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS to_type
+          FROM events),
+        c AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+              FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM c
     """
 
     o["dedup_jaccard"] = f"""

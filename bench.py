@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "events_resampled",
     "events_winsorized",
     "events_funnel",
+    "events_transitions",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

@@ -1042,3 +1042,38 @@ def funnel_counts(
         ]
     )
     return counts.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition matrix over per-user event sequences —
+    the Markov-chain view behind next-action models and funnel-drop
+    diagnostics: for every consecutive (ts, id)-ordered pair of events
+    a user emitted, count (from_type → to_type) and its share among
+    all transitions leaving from_type.
+
+    Shape: ONE user-keyed sort window (lead), then a types²-bounded
+    pair aggregation; the per-from normalization is a window over that
+    tiny aggregate, not the corpus. Probabilities are exact ratios of
+    longs rounded once.
+
+    Returns (from_type, to_type, n, p) — p = n / Σ n over from_type.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    paired = (
+        events.select(user_col, ts_col, id_col, "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .where(F.col("to_type").isNotNull())
+    )
+    counts = paired.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count("*").alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("from_type"))
+    return counts.select(
+        "from_type", "to_type", "n", F.round(F.col("n") / tot, 6).alias("p")
+    )

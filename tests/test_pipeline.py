@@ -951,3 +951,35 @@ class TestFunnelCounts:
         ev = read_events(spark, f"{SF}/events.parquet")
         with _pytest.raises(ValueError, match="distinct"):
             funnel_counts(ev, ["view", "view"])
+
+
+class TestEventTransitions:
+    def test_python_replay(self, spark):
+        from collections import Counter, defaultdict
+
+        from mopso_engine.ext.pipeline import event_transitions
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, f"{SF}/events.parquet")
+        got = {
+            (r["from_type"], r["to_type"]): (r["n"], r["p"])
+            for r in event_transitions(ev).collect()
+        }
+        rows = ev.select("user_id", "ts", "event_id", "event_type").collect()
+        by_user: dict[int, list] = defaultdict(list)
+        for r in rows:
+            by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+        c: Counter = Counter()
+        for evs in by_user.values():
+            evs.sort()
+            for a, b in zip(evs, evs[1:]):
+                c[(a[2], b[2])] += 1
+        froms: Counter = Counter()
+        for (f, _), n in c.items():
+            froms[f] += n
+        exp = {k: (n, round(n / froms[k[0]], 6)) for k, n in c.items()}
+        assert got == exp
+        # shares sum to ~1 per from_type
+        for f in froms:
+            s = sum(p for (a, _), (_, p) in got.items() if a == f)
+            assert abs(s - 1.0) < 1e-4
