@@ -1235,6 +1235,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "fp", "maybe_known", "is_known", "kept"
         )
 
+    def dedup_incremental_fuzzy(spark, sf):
+        """FUZZY incremental dedup (`ext.dedup.incremental_neardup`):
+        the increment probes the known corpus's MinHash band index —
+        new×known equality joins only (never new×new or known×known),
+        then the exact Jaccard verify on candidates. Fixture plants
+        NEAR-copies (one appended token) of known docs in the
+        increment, which the exact anti-join provably cannot catch —
+        the gap this operator exists to close."""
+        docs = read_table(spark, sf, "documents")
+        is_new = F.col("doc_id") % 5 == 0
+        known = docs.where(~is_new)
+        near = (
+            known.where(F.col("doc_id") < 50)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zz9x")))
+        )
+        new = docs.where(is_new).unionByName(near)
+        return dd.incremental_neardup(new, known, threshold=0.5)
+
     def stream_curate_docs(spark, sf):
         """STREAMING corpus curation (`ext.streaming.stream_curate`):
         repetition gate → length gate → exact dedup as ONE unbounded
@@ -3077,7 +3096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # buckets, cluster-balanced diversity sample, streaming drift
         # monitor, flagship epoch-mix composition, PPJoin prefix
         # filter, cross-source dup matrix, winsorized event stats,
-        # ordered funnel, full Gopher gate set, transition matrix       (21)
+        # ordered funnel, full Gopher gate set, transition matrix,
+        # fuzzy incremental dedup                                       (22)
         docs_chunked_bpe, docs_html_extract, docs_bpe_fertility,
         docs_blocklist, docs_fix_mojibake, corpus_curation_v3,
         stream_curate_docs_v3, events_resampled, events_resampled_li,
@@ -3085,19 +3105,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb_balanced_sample, stream_source_drift, training_epoch_mix,
         dedup_prefix_filter, cross_source_dups, events_winsorized,
         events_funnel, docs_gopher_full, events_transitions,
+        dedup_incremental_fuzzy,
         # round-8 code-changed, re-earning rows: canonical_by_score
         # min_by election + missing-score guard; semantic_decontaminate
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
-        # the r7 registration comment, oldest-verified-first            (21)
+        # the r7 registration comment, oldest-verified-first            (20)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
         ann_topk, ann_ivf, ann_ivf_unlabeled, emb_neardup,
-        multimodal_stats, tfidf_terms,
+        multimodal_stats,
         # --- the 50-entry truncation lands exactly here ---
+        tfidf_terms,
         pmi_collocations,
         sketch_distinct_check,
         sketch_quantile_check,
@@ -5387,6 +5409,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, fp, maybe_known, is_known,
                (NOT is_known AND rn = 1) AS kept
         FROM ranked
+    """
+
+    # fuzzy incremental: band the FLAGGED union once (signatures are
+    # per-doc, so union banding == per-side banding), join new vs known
+    # sides, verify exact jaccard over the same union's shingles
+    _incr_union = (
+        "SELECT doc_id, text, lang, source, n_chars FROM documents UNION ALL "
+        "SELECT doc_id + 100000, text || ' zz9x', lang, source, n_chars "
+        "FROM documents WHERE doc_id % 5 <> 0 AND doc_id < 50"
+    )
+    _mh_incr = _MINHASH_CTE.format(src="(" + _incr_union + ")")
+    o["dedup_incremental_fuzzy"] = f"""
+        WITH {_mh_incr},
+        bs AS (
+          SELECT doc_id, (hash_idx // 4)::INT AS band,
+                 array_to_string(list_sort(list(hash_idx::VARCHAR || ':' || minhash)), '|') AS band_sig
+          FROM mh GROUP BY doc_id, band),
+        cand AS (
+          SELECT a.doc_id AS new_id, b.doc_id AS known_id, count(*)::BIGINT AS n_bands
+          FROM bs a JOIN bs b ON a.band = b.band AND a.band_sig = b.band_sig
+          WHERE (a.doc_id % 5 = 0 OR a.doc_id >= 100000)
+            AND NOT (b.doc_id % 5 = 0 OR b.doc_id >= 100000)
+          GROUP BY 1, 2),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT c.new_id, c.known_id, count(*) AS ni
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.new_id
+          JOIN sh b ON b.doc_id = c.known_id AND a.shingle = b.shingle
+          GROUP BY 1, 2)
+        SELECT c.new_id, c.known_id, c.n_bands,
+               round(coalesce(ni, 0) * 1.0 / (sa.n + sb.n - coalesce(ni, 0)), 6) AS jaccard
+        FROM cand c
+        LEFT JOIN inter USING (new_id, known_id)
+        JOIN sz sa ON sa.doc_id = c.new_id
+        JOIN sz sb ON sb.doc_id = c.known_id
+        WHERE round(coalesce(ni, 0) * 1.0 / (sa.n + sb.n - coalesce(ni, 0)), 6) >= 0.5
     """
 
     # batch composition of the same gates; one survivor per fingerprint

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     # round-8: Bloom fast path vs the plain anti-join (dedup_incremental
     # is not benched; the pair of interest is probe cost, map-only)
     "dedup_bloom_prefilter",
+    "dedup_incremental_fuzzy",
     "dedup_prefix_filter",
     "cross_source_dups",
     "repetition_stats",

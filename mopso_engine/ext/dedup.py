@@ -1205,3 +1205,70 @@ def cross_source_dup_matrix(docs: DataFrame) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    known_docs: DataFrame,
+    *,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """FUZZY incremental dedup — the near-duplicate sibling of the
+    exact anti-join (`dedup_incremental`) and the Bloom fast path: a
+    daily increment probes the PERSISTED MinHash band index of the
+    known corpus, so near-copies of already-ingested documents are
+    caught without re-shingling yesterday's corpus (at production scale
+    the known side of the band join reads the stored ``(band,
+    band_sig, doc_id)`` table — its construction here from
+    ``known_docs`` stands in for that index).
+
+    Shape: banding on both sides (linear scans), a CROSS-side equality
+    join on (band, band_sig) — new×known only, never new×new or
+    known×known — then the exact Jaccard verify on the candidate pairs
+    over the union corpus. Returns (new_id, known_id, n_bands,
+    jaccard) for verified pairs with jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+
+    def band_sigs(docs):
+        sig = minhash_signatures(docs, k, num_hashes).withColumn(
+            "band", (F.col("hash_idx") / rows_per_band).cast("int")
+        )
+        return sig.groupBy("doc_id", "band").agg(
+            F.concat_ws(
+                "|",
+                F.array_sort(F.collect_list(F.concat_ws(":", "hash_idx", "minhash"))),
+            ).alias("band_sig")
+        )
+    a = band_sigs(new_docs).select(
+        F.col("doc_id").alias("new_id"), "band", "band_sig"
+    )
+    b = band_sigs(known_docs).select(
+        F.col("doc_id").alias("known_id"), "band", "band_sig"
+    )
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .groupBy("new_id", "known_id")
+        .agg(F.count("*").alias("n_bands"))
+    )
+    union = new_docs.unionByName(known_docs)
+    verified = jaccard_on_candidates(
+        union,
+        cand.select(F.col("new_id").alias("doc_a"), F.col("known_id").alias("doc_b")),
+        k,
+    )
+    return (
+        cand.join(
+            verified.select(
+                F.col("doc_a").alias("new_id"),
+                F.col("doc_b").alias("known_id"),
+                "jaccard",
+            ),
+            ["new_id", "known_id"],
+        )
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("new_id", "known_id", "n_bands", "jaccard")
+    )

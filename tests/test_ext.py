@@ -2652,3 +2652,37 @@ class TestGopherFullGate:
         assert 10 * out[5]["n_ellipsis_end_lines"] > 3 * out[5]["n_lines"]
         assert 10 * out[6]["n_alpha_words"] < 8 * out[6]["n_words"]
         assert out[6]["n_stop_words"] < 2
+
+
+class TestIncrementalNeardup:
+    def test_near_copies_caught_exact_missed(self, spark, docs):
+        known = docs.where(F.col("doc_id") % 5 != 0)
+        near = (
+            known.where(F.col("doc_id") < 30)
+            .withColumn("doc_id", F.col("doc_id") + 5000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zz9x")))
+        )
+        new = docs.where(F.col("doc_id") % 5 == 0).unionByName(near)
+        out = dd.incremental_neardup(new, known, threshold=0.5).collect()
+        pairs = {(r["new_id"], r["known_id"]) for r in out}
+        # every planted near-copy pairs with its source
+        planted = {r["doc_id"] for r in near.select("doc_id").collect()}
+        assert {(p, p - 5000) for p in planted} <= pairs
+        assert all(r["jaccard"] >= 0.5 for r in out)
+        # near-copies are NOT exact copies: jaccard < 1 for the planted
+        jmap = {(r["new_id"], r["known_id"]): r["jaccard"] for r in out}
+        assert all(jmap[(p, p - 5000)] < 1.0 for p in planted)
+        # the exact anti-join would have kept them (fp differs)
+        known_fps = {
+            r["fp"]
+            for r in known.select(F.md5(dd.normalized_text()).alias("fp")).collect()
+        }
+        near_fps = {
+            r["fp"]
+            for r in near.select(F.md5(dd.normalized_text()).alias("fp")).collect()
+        }
+        assert not (near_fps & known_fps)
+        # output is new x known only
+        new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+        known_ids = {r["doc_id"] for r in known.select("doc_id").collect()}
+        assert all(a in new_ids and b in known_ids for a, b in pairs)

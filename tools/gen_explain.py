@@ -284,6 +284,15 @@ COMMENTS = {
     "codegen'd projection chain over the scan (regexp chains, split, "
     "higher-order filters) — zero Exchange, zero Python; the identical "
     "expressions serve a streaming ingest unchanged.",
+    "dedup_incremental_fuzzy": "Fuzzy incremental dedup: both sides "
+    "band linearly, the (band, band_sig) equality join is strictly "
+    "new-side x known-side (the self-join quadratics of a naive "
+    "union banding never appear), and the exact verify runs only on "
+    "the candidate pairs via the broadcast composition.",
+    "events_transitions": "Markov transition matrix: one user-keyed "
+    "sort window for lead(), a types-squared-bounded HashAggregate, "
+    "and the per-from normalization windows over that tiny aggregate — "
+    "the corpus is sorted once and never re-shuffled.",
     "docs_gopher_full": "The full Gopher rule set is ONE codegen'd "
     "projection over the scan — array HOFs for the per-line and "
     "per-word counters, integer cross-multiplications for every ratio "
