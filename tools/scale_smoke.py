@@ -93,7 +93,7 @@ def main() -> None:
     qs = entry_mod.queries()
     from mopso_engine.ext.dedup import clear_shingle_caches
 
-    for name in ("corpus_curation_v2", "dedup_verified"):
+    for name in ("corpus_curation_v2", "dedup_verified", "training_epoch_mix"):
         qs[name](spark, SRC).write.format("noop").mode("overwrite").save()
         clear_shingle_caches()
         rec = {}
