@@ -677,6 +677,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cur = pl.quota_sample(cur, "doc_id", "lang", 25, salt="cur2")
         return cur.select("doc_id", "lang", "n_tokens")
 
+    def bm25_search(spark, sf):
+        """BM25 top-10 per query (`ext.retrieval.bm25_topk`): a pinned
+        3-query probe set scored against the whole documents corpus with
+        the Lucene always-positive idf. dl rides in-row from the token
+        array (no length join); the exploded token stream is pruned by a
+        BROADCAST semi-join on the distinct query terms BEFORE the only
+        corpus shuffle (the (doc_id, term) tf count); df/N/Σdl are tiny
+        broadcast aggregates; the per-query top-k is a WindowGroupLimit
+        rank window. Contributions quantize to integer micro-units
+        pre-sum so totals and the (score desc, doc_id) cut are
+        engine-exact."""
+        from mopso_engine.ext.retrieval import bm25_topk
+
+        qdf = spark.createDataFrame(
+            [
+                ("q_hashjoin", "hash join scan"),
+                ("q_stream", "stream window watermark"),
+                ("q_customer", "customer order value"),
+            ],
+            "query_id string, qtext string",
+        )
+        return bm25_topk(
+            read_table(spark, sf, "documents"), qdf, k1=1.2, b=0.75, top_k=10
+        )
+
     def tfidf_terms(spark, sf):
         """Per-doc top-3 terms by smoothed TF-IDF (`ext.text.tfidf_top_terms`)
         — keyword extraction as two map-side-combined count shuffles, a
@@ -3111,14 +3136,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
+        # round-8 late additions: BM25 retrieval                          (1)
+        bm25_search,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
-        # the r7 registration comment, oldest-verified-first            (20)
+        # the r7 registration comment, oldest-verified-first; displaced
+        # tail entries carry ORACLE_SWEEP_r08 rows instead              (19)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
         ann_topk, ann_ivf, ann_ivf_unlabeled, emb_neardup,
-        multimodal_stats,
         # --- the 50-entry truncation lands exactly here ---
+        multimodal_stats,
         tfidf_terms,
         pmi_collocations,
         sketch_distinct_check,
@@ -4461,6 +4489,54 @@ def oracle_sql() -> dict[str, str]:
 
     # TF-IDF: identical smooth (ln((N+1)/(df+1))+1), identical rounded
     # ordering key, term-unique-per-doc so row_number is tie-free
+    # BM25: constants are written as the SAME base-literal arithmetic in
+    # both engines ((1.2 + 1.0), (1.0 - 0.75)) so IEEE constant folding
+    # cannot diverge; contributions quantize to micro-units pre-sum.
+    o["bm25_search"] = r"""
+        WITH q(query_id, qtext) AS (VALUES
+            ('q_hashjoin', 'hash join scan'),
+            ('q_stream', 'stream window watermark'),
+            ('q_customer', 'customer order value')),
+        qp AS (SELECT DISTINCT query_id, t AS term
+               FROM (SELECT query_id,
+                            unnest(string_split_regex(lower(trim(qtext)), '\s+')) AS t
+                     FROM q)
+               WHERE t <> ''),
+        qt AS (SELECT DISTINCT term FROM qp),
+        lens AS (SELECT doc_id,
+                        len(string_split_regex(lower(trim(text)), '\s+')) AS dl,
+                        text
+                 FROM documents),
+        st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM lens),
+        tk AS (SELECT doc_id, dl,
+                      unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+               FROM lens),
+        tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+               FROM tk JOIN qt USING (term) GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        contrib AS (
+          SELECT t.doc_id, t.term,
+                 CAST(floor(
+                   ln((CAST(st.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                      / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+                   * ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+                      / (CAST(t.tf AS DOUBLE)
+                         + 1.2 * ((1.0 - 0.75)
+                                  + 0.75 * CAST(t.dl AS DOUBLE)
+                                         * CAST(st.n_docs AS DOUBLE)
+                                         / CAST(st.sum_dl AS DOUBLE))))
+                   * 1e6 + 0.5) AS BIGINT) AS c_micro
+          FROM tf t JOIN dfq d USING (term) CROSS JOIN st),
+        sc AS (SELECT qp.query_id, c.doc_id, sum(c.c_micro) AS score_micro
+               FROM contrib c JOIN qp USING (term) GROUP BY 1, 2)
+        SELECT query_id, doc_id, score_micro, rk FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_micro DESC, doc_id) AS rk
+          FROM sc)
+        WHERE rk <= 10
+    """
+
     o["tfidf_terms"] = r"""
         WITH tk AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
                     FROM documents),

@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "events_winsorized",
     "events_funnel",
     "events_transitions",
+    # round-8: BM25 retrieval (broadcast query-term prune + one tf shuffle)
+    "bm25_search",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

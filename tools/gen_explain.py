@@ -289,6 +289,13 @@ COMMENTS = {
     "new-side x known-side (the self-join quadratics of a naive "
     "union banding never appear), and the exact verify runs only on "
     "the candidate pairs via the broadcast composition.",
+    "bm25_search": "BM25 retrieval: the exploded token stream is pruned "
+    "by a BroadcastHashJoin on the distinct query terms BEFORE the only "
+    "corpus Exchange (the (doc_id, term) tf HashAggregate, partial-"
+    "combined map-side); document length never joins — it rides in-row "
+    "from the same split() array; df/N/sum_dl are broadcast scalars; "
+    "the per-query top-k executes as WindowGroupLimit, so the final "
+    "exchange carries at most k rows per query per map partition.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
