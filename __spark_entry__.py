@@ -702,6 +702,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             read_table(spark, sf, "documents"), qdf, k1=1.2, b=0.75, top_k=10
         )
 
+    def supplier_pagerank(spark, sf):
+        """Top-50 suppliers by PageRank over the customer↔supplier
+        purchase graph (`ext.graph.pagerank`): edges are the distinct
+        (custkey, suppkey) pairs from orders⋈lineitem, doubled into both
+        directions (suppliers offset by +1e9 to disambiguate keyspaces),
+        6 damped iterations at d=0.85. Ranks are integer micro-units
+        with exact BIGINT floor-division updates, so the vector — and
+        the (units desc, suppkey asc) top-50 cut — is bit-identical to
+        the oracle's unrolled-CTE replay. Physical shape: edges+outdeg
+        and the node list are hash-partitioned once and checkpointed;
+        each iteration's ranks⋈edges probe and nodes⋈incoming patch
+        reuse those partitionings, leaving the groupBy(dst) as the ONLY
+        per-iteration exchange, and localCheckpoint keeps the plan O(1)
+        in the iteration count."""
+        from mopso_engine.ext.graph import pagerank
+
+        li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+        orders = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        pairs = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .select(
+                F.col("o_custkey").alias("cust"),
+                (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("supp"),
+            )
+            .distinct()
+        )
+        edges = pairs.select(
+            F.col("cust").alias("src"), F.col("supp").alias("dst")
+        ).union(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+        pr = pagerank(edges, iters=6, damping_pct=85)
+        return (
+            pr.where(F.col("node") >= 1_000_000_000)
+            .select(
+                (F.col("node") - 1_000_000_000).alias("suppkey"), "units"
+            )
+            .orderBy(F.desc("units"), F.asc("suppkey"))
+            .limit(50)
+        )
+
     def tfidf_terms(spark, sf):
         """Per-doc top-3 terms by smoothed TF-IDF (`ext.text.tfidf_top_terms`)
         — keyword extraction as two map-side-combined count shuffles, a
@@ -3136,16 +3175,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
-        # round-8 late additions: BM25 retrieval                          (1)
-        bm25_search,
+        # round-8 late additions: BM25 retrieval, supplier PageRank       (2)
+        bm25_search, supplier_pagerank,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
         # the r7 registration comment, oldest-verified-first; displaced
-        # tail entries carry ORACLE_SWEEP_r08 rows instead              (19)
+        # tail entries carry ORACLE_SWEEP_r08 rows instead              (18)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
-        ann_topk, ann_ivf, ann_ivf_unlabeled, emb_neardup,
+        ann_topk, ann_ivf, ann_ivf_unlabeled,
         # --- the 50-entry truncation lands exactly here ---
+        emb_neardup,
         multimodal_stats,
         tfidf_terms,
         pmi_collocations,
@@ -4535,6 +4575,43 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY score_micro DESC, doc_id) AS rk
           FROM sc)
         WHERE rk <= 10
+    """
+
+    # supplier_pagerank: the 6-iteration loop replayed as unrolled CTEs —
+    # ranks live in integer micro-units and every update is exact BIGINT
+    # floor division (DuckDB `//` == Spark `div` on non-negatives), so the
+    # final vector hash-matches bit-for-bit. pr{i} mirrors one
+    # ext.graph.pagerank iteration: per-edge contribution units//outdeg,
+    # damped patch 150000 + (85·inc)//100, left join to keep sink-only
+    # nodes.
+    _pr_cte = "pr0 AS (SELECT node, 1000000::BIGINT AS units FROM nodes)"
+    for _i in range(1, 7):
+        _pr_cte += f""",
+        pr{_i} AS (
+          SELECT n.node,
+                 (150000 + (85 * COALESCE(i.inc, 0)) // 100)::BIGINT AS units
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(p.units // d.outdeg)::BIGINT AS inc
+            FROM pr{_i - 1} p
+            JOIN edges e ON p.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) i USING (node))"""
+    o["supplier_pagerank"] = f"""
+        WITH pairs AS (
+          SELECT DISTINCT o.o_custkey AS cust,
+                 l.l_suppkey + 1000000000 AS supp
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        edges AS (
+          SELECT cust AS src, supp AS dst FROM pairs
+          UNION ALL
+          SELECT supp AS src, cust AS dst FROM pairs),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst AS node FROM edges),
+        deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+        {_pr_cte}
+        SELECT node - 1000000000 AS suppkey, units
+        FROM pr6 WHERE node >= 1000000000
+        ORDER BY units DESC, suppkey LIMIT 50
     """
 
     o["tfidf_terms"] = r"""

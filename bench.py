@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "events_transitions",
     # round-8: BM25 retrieval (broadcast query-term prune + one tf shuffle)
     "bm25_search",
+    # round-8: iterative PageRank (one live exchange per iteration)
+    "supplier_pagerank",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",
@@ -304,6 +306,7 @@ def main() -> None:
     evaluate_solutions(nbr_small, np.zeros((2, 3, 64)))
 
     from mopso_engine.ext.dedup import clear_shingle_caches
+    from mopso_engine.ext.graph import clear_pagerank_caches
 
     # warm the calibration workloads themselves (BLAS thread pool, the
     # calib job's codegen) so pre vs post measures HOST drift, not the
@@ -332,6 +335,7 @@ def main() -> None:
             # release query-lifetime executor caches so one query's
             # storage doesn't leak into the next timing
             clear_shingle_caches()
+            clear_pagerank_caches()
 
     for qi, name in enumerate(BENCH_QUERIES):
         if qi % CALIB_EVERY == 0:

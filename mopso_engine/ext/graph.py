@@ -1,0 +1,151 @@
+"""Iterative link-analysis over edge tables: PageRank.
+
+Complements the connected-components family (ext.dedup.duplicate_components
+/ duplicate_components_star): components answer "which rows are the same
+entity"; PageRank answers "which entities matter", the quality prior real
+corpus pipelines attach to a link graph (domain ranking a la CommonCrawl's
+centrality lists) and the classic iterative-workload shape on Spark.
+
+Engine-exactness: ranks are carried as integer micro-units (1.0 == 1e6)
+and every step is exact BIGINT arithmetic — per-edge contribution is
+``units div outdeg`` (floor division), the damped update is
+``teleport + (damping_pct * incoming) div 100`` — so after any number of
+iterations the rank vector is bit-identical across engines and the DuckDB
+oracle can replay the loop as unrolled CTEs with ``//`` division. No
+doubles anywhere, hence no summation-order hazard.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank", "clear_pagerank_caches"]
+
+#: final rank vectors persisted by :func:`pagerank` (callers iterate on
+#: them; the loop's INTERNAL caches are unpersisted before returning).
+#: Long sessions (the oracle sweep runs ~170 queries in one JVM) call
+#: :func:`clear_pagerank_caches` to drop them.
+_PR_CACHES: list[DataFrame] = []
+
+
+def clear_pagerank_caches() -> int:
+    """Unpersist every rank vector retained by :func:`pagerank`."""
+    n = 0
+    while _PR_CACHES:
+        df = _PR_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+        n += 1
+    return n
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iters: int = 6,
+    damping_pct: int = 85,
+    unit: int = 1_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Integer-exact PageRank over a directed edge table.
+
+    ``edges``: (src, dst) pairs; deduplicated here, null endpoints
+    dropped. Every rank starts at ``unit`` micro-units (rank 1.0, total
+    mass == |V|); one iteration is
+
+        inc(v)   = SUM over (u,v) in E of  units(u) div outdeg(u)
+        units(v) = teleport + (damping_pct * inc(v)) div 100
+
+    with ``teleport = (100 - damping_pct) * unit div 100``. Dangling
+    mass is not redistributed (nodes appearing only as destinations leak
+    their share — the standard simplification; the bipartite
+    both-directions construction used by the declared query gives every
+    node outdeg >= 1, so nothing dangles there).
+
+    Physical shape (100 TB): edges+outdeg and the node list are
+    hash-partitioned ONCE on their join keys and cached; each
+    iteration's rank vector is persisted and eagerly materialized, so it
+    REPORTS its node-hash partitioning to Catalyst (InMemoryRelation
+    keeps the child's outputPartitioning — a localCheckpoint would hide
+    it behind an ExistingRDD scan and force 3 shuffles per round). The
+    ranks-by-edges probe and the nodes-by-incoming patch then both reuse
+    existing partitionings, leaving the groupBy(dst) PageRank
+    fundamentally requires as the ONLY per-iteration exchange (pinned by
+    tests/test_graph.py's marginal-exchange count). The previous
+    iteration's cache is dropped as soon as its successor materializes,
+    bounding memory to two rank vectors and the plan to one round.
+
+    ``num_partitions`` must match the session's shuffle partitions for
+    the aggregate's exchange to co-partition with the cached node list
+    (the default reads it from the session conf).
+
+    Returns (node BIGINT, units BIGINT) — rank in integer micro-units,
+    persisted (registered with :func:`clear_pagerank_caches`).
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+
+    spark = edges.sparkSession
+    shuffle_p = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    esrc = e.join(deg, "src").repartition(shuffle_p, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition(shuffle_p, "node")
+        .persist()
+    )
+
+    teleport = (100 - damping_pct) * unit // 100
+    ranks = nodes.select("node", F.lit(int(unit)).cast("long").alias("units"))
+    prev: DataFrame | None = None
+    for _ in range(iters):
+        inc = (
+            ranks.join(esrc, ranks["node"] == esrc["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("units div outdeg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = (
+            nodes.join(inc, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(int(teleport))
+                    + F.expr(
+                        f"({int(damping_pct)} * coalesce(inc, 0L)) div 100"
+                    )
+                ).cast("long").alias("units"),
+            )
+            .persist()
+        )
+        ranks.count()  # materialize so the predecessor can drop NOW
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    esrc.unpersist()
+    nodes.unpersist()
+    _PR_CACHES.append(ranks)
+    return ranks

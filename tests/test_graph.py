@@ -1,0 +1,154 @@
+"""ext.graph.pagerank: from-scratch python replay + invariants."""
+import pytest
+from pyspark.sql import functions as F
+
+from mopso_engine.ext.graph import pagerank
+
+
+def _pagerank_py(edges, iters=6, damping_pct=85, unit=1_000_000):
+    """Independent integer replay of the documented update rule."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    teleport = (100 - damping_pct) * unit // 100
+    units = {n: unit for n in nodes}
+    for _ in range(iters):
+        inc = {n: 0 for n in nodes}
+        for s, d in edges:
+            inc[d] += units[s] // outdeg[s]
+        units = {n: teleport + (damping_pct * inc[n]) // 100 for n in nodes}
+    return units
+
+
+FIXTURE = [
+    # a hub (1) feeding 2..5, a 2-cycle, a sink-only node 9
+    (1, 2), (1, 3), (1, 4), (1, 5),
+    (2, 1), (3, 1), (4, 1), (5, 1),
+    (6, 7), (7, 6),
+    (2, 9), (3, 9),
+]
+
+
+def test_pagerank_matches_python_replay(spark):
+    df = spark.createDataFrame(FIXTURE, "src long, dst long")
+    got = {r["node"]: r["units"] for r in pagerank(df, iters=6).collect()}
+    want = _pagerank_py(FIXTURE, iters=6)
+    assert got == want
+
+
+def test_pagerank_hub_ranks_highest_and_sink_receives(spark):
+    df = spark.createDataFrame(FIXTURE, "src long, dst long")
+    got = {r["node"]: r["units"] for r in pagerank(df, iters=6).collect()}
+    # node 1 receives the full rank of four spokes -> strictly the max
+    assert got[1] == max(got.values())
+    # sink-only node 9 still gets teleport + damped inflow, > teleport
+    assert got[9] > 150_000
+    # all nodes present (including the sink that never appears as src)
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7, 9}
+
+
+def test_pagerank_dedups_and_ignores_nulls(spark):
+    dup = FIXTURE + FIXTURE  # duplicate every edge
+    df = spark.createDataFrame(
+        dup + [(None, 1), (1, None)], "src long, dst long"
+    )
+    got = {r["node"]: r["units"] for r in pagerank(df, iters=3).collect()}
+    want = _pagerank_py(FIXTURE, iters=3)
+    assert got == want
+
+
+def test_pagerank_rejects_bad_params(spark):
+    df = spark.createDataFrame(FIXTURE, "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, damping_pct=0)
+    with pytest.raises(ValueError):
+        pagerank(df, iters=0)
+
+
+def _tree_exchange_count(df):
+    """Count live ShuffleExchange nodes by traversing the physical-plan
+    TREE (cached relations' stored plans are only rendered in toString,
+    they are not children, so persisted inputs do not pollute the count)."""
+    def walk(node):
+        n = 1 if "ShuffleExchange" in node.getClass().getSimpleName() else 0
+        kids = node.children()
+        for i in range(kids.size()):
+            n += walk(kids.apply(i))
+        return n
+
+    return walk(df._jdf.queryExecution().executedPlan())
+
+
+def test_pagerank_iteration_plan_has_one_live_exchange(spark):
+    """The per-iteration shape: the ONLY live Exchange between the cached
+    inputs and the next rank vector is the groupBy(dst) hash aggregate --
+    the ranks-by-edges probe and the nodes-by-incoming patch reuse the
+    node/src hash partitionings established once up front (persist keeps
+    outputPartitioning visible to Catalyst; localCheckpoint would hide it
+    behind an ExistingRDD scan and force three shuffles per round).
+    Mirrors ext.graph.pagerank's loop body exactly; AQE + broadcast are
+    disabled so the count reflects the at-scale SMJ static plan."""
+    df = spark.createDataFrame(FIXTURE, "src long, dst long")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    e = df.select("src", "dst").distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    esrc = e.join(deg, "src").repartition(8, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition(8, "node")
+        .persist()
+    )
+    r1 = None
+    try:
+        r0 = nodes.select("node", F.lit(1_000_000).cast("long").alias("units"))
+
+        def one_round(r):
+            inc = (
+                r.join(esrc, r["node"] == esrc["src"])
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("units div outdeg").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("inc"))
+            )
+            return nodes.join(inc, "node", "left").select(
+                "node",
+                (F.lit(150_000) + F.expr("(85 * coalesce(inc, 0L)) div 100"))
+                .cast("long")
+                .alias("units"),
+            )
+
+        r1 = one_round(r0).persist()
+        r1.count()
+        # the NEXT round, planned on top of the cached rank vector
+        assert _tree_exchange_count(one_round(r1)) == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        if r1 is not None:
+            r1.unpersist()
+        esrc.unpersist()
+        nodes.unpersist()
+
+
+def test_pagerank_unpersists_internals_and_registry_clears(spark):
+    from mopso_engine.ext.graph import clear_pagerank_caches
+
+    jsc = spark.sparkContext._jsc.sc()
+    clear_pagerank_caches()
+    base = jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame(FIXTURE, "src long, dst long")
+    out = pagerank(df, iters=2)
+    assert out.count() == 8
+    # only the returned rank vector remains cached
+    assert jsc.getPersistentRDDs().size() == base + 1
+    assert clear_pagerank_caches() >= 1
+    assert jsc.getPersistentRDDs().size() == base

@@ -296,6 +296,18 @@ COMMENTS = {
     "from the same split() array; df/N/sum_dl are broadcast scalars; "
     "the per-query top-k executes as WindowGroupLimit, so the final "
     "exchange carries at most k rows per query per map partition.",
+    "supplier_pagerank": "Iterative PageRank: edges+outdeg and the node "
+    "list are hash-partitioned once and cached; each iteration's rank "
+    "vector is persisted+materialized so InMemoryRelation keeps its "
+    "node-hash outputPartitioning visible to Catalyst (a localCheckpoint "
+    "would hide it and force three shuffles per round) — the ranks-by-"
+    "edges SMJ probe and the nodes-by-incoming patch then reuse existing "
+    "partitionings and the ONLY live Exchange per iteration is the "
+    "groupBy(dst) HashAggregate PageRank fundamentally requires. Ranks "
+    "are integer micro-units updated with exact BIGINT division, so the "
+    "displayed plan's top-50 cut is bit-stable across engines. The "
+    "rendered plan is the final iteration over the cached inputs; the "
+    "one-exchange marginal shape is pinned by tests/test_graph.py.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
