@@ -2937,6 +2937,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Brute-force exact top-5 cosine neighbors for query ids 0-4."""
         return ss.cosine_topk_bruteforce(read_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=5)
 
+    def ann_int8_recall(spark, sf):
+        """Recall@10 audit of int8 scalar quantization
+        (`ext.simsearch.int8_topk_recall`): per pinned query (ids 0-4),
+        |exact dot-product top-10 ∩ int8-code top-10|. Exact key =
+        order-free integer micro-quantized contribution sum; int8 key =
+        int_dot × candidate scale (query scale is window-constant);
+        pinned query codes ride the Arrow kernel closure so the corpus
+        is scored in ONE map-only scan and both rankings execute as
+        WindowGroupLimit heaps — the serving story is the 4× smaller
+        code table, the audit prices its recall loss."""
+        return ss.int8_topk_recall(
+            read_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=10
+        )
+
     def ann_ivf(spark, sf):
         """IVF top-5 (probe 3 of 10 label-centroid cells) for query ids 0-4."""
         return ss.cosine_topk_ivf(read_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=5, nprobe=3)
@@ -3175,16 +3189,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
-        # round-8 late additions: BM25 retrieval, supplier PageRank       (2)
-        bm25_search, supplier_pagerank,
+        # round-8 late additions: BM25 retrieval, supplier PageRank,
+        # int8 quantization recall audit                                  (3)
+        bm25_search, supplier_pagerank, ann_int8_recall,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
         # the r7 registration comment, oldest-verified-first; displaced
-        # tail entries carry ORACLE_SWEEP_r08 rows instead              (18)
+        # tail entries carry ORACLE_SWEEP_r08 rows instead              (17)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
-        ann_topk, ann_ivf, ann_ivf_unlabeled,
+        ann_topk, ann_ivf,
         # --- the 50-entry truncation lands exactly here ---
+        ann_ivf_unlabeled,
         emb_neardup,
         multimodal_stats,
         tfidf_terms,
@@ -5867,6 +5883,43 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY query_id ORDER BY dp/(na*nb) DESC, nbr_id ASC) AS rank
           FROM dots)
         SELECT query_id, nbr_id, rank::INT AS rank, round(c, 6) AS cos_sim FROM rk WHERE rank <= 5
+    """
+
+    # ann_int8_recall: symmetric SQ8 — scale = max|v_i|, codes
+    # floor(v/scale*127+.5); exact key = order-free integer micro sum,
+    # int8 key = int_dot * candidate scale (query scale window-constant);
+    # both replayed per-term so the rankings and the overlap counts
+    # hash-match the Arrow kernel bit-for-bit.
+    o["ann_int8_recall"] = f"""
+        WITH {_ann_base},
+        sc AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) AS scale FROM p),
+        pr AS (
+          SELECT q.qid AS query_id, p.vec_id AS nbr_id,
+                 unnest(p.v) AS x, unnest(q.qv) AS y
+          FROM p, q WHERE p.vec_id <> q.qid),
+        dots AS (
+          SELECT pr.query_id, pr.nbr_id,
+                 sum(CAST(floor(x*y*1e6 + 0.5) AS BIGINT))::BIGINT AS dot_micro,
+                 sum(CASE WHEN cs.scale > 0 AND qs.scale > 0
+                          THEN CAST(floor(x/cs.scale*127.0 + 0.5) AS BIGINT)
+                               * CAST(floor(y/qs.scale*127.0 + 0.5) AS BIGINT)
+                          ELSE 0 END)::BIGINT AS int_dot,
+                 any_value(cs.scale) AS cscale
+          FROM pr
+          JOIN sc cs ON cs.vec_id = pr.nbr_id
+          JOIN sc qs ON qs.vec_id = pr.query_id
+          GROUP BY 1, 2),
+        rke AS (SELECT query_id, nbr_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY dot_micro DESC, nbr_id) AS rk
+                FROM dots),
+        rka AS (SELECT query_id, nbr_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY int_dot * cscale DESC, nbr_id) AS rk
+                FROM dots)
+        SELECT e.query_id, count(a.nbr_id)::BIGINT AS overlap, 10 AS k
+        FROM (SELECT query_id, nbr_id FROM rke WHERE rk <= 10) e
+        LEFT JOIN (SELECT query_id, nbr_id FROM rka WHERE rk <= 10) a
+          USING (query_id, nbr_id)
+        GROUP BY e.query_id
     """
 
     o["ann_ivf"] = f"""

@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "bm25_search",
     # round-8: iterative PageRank (one live exchange per iteration)
     "supplier_pagerank",
+    # round-8: int8 quantization recall audit (map-only scan + 2 windows)
+    "ann_int8_recall",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

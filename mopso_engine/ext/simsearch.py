@@ -1053,3 +1053,123 @@ def cluster_balanced_sample(
         .where(F.col("rk") <= F.lit(int(per_cell)))
         .select("vec_id", "cell", "rk")
     )
+
+
+MAX_INT8_QUERIES = 1_000
+
+
+def int8_topk_recall(
+    embeddings: DataFrame, query_ids: list[int], *, k: int = 10
+) -> DataFrame:
+    """Recall audit for int8 scalar quantization — the 4x-memory serving
+    compression (symmetric SQ8, the FAISS ``SQ8``/vector-DB default):
+    per vector, scale = max |v_i| and code_i = floor(v_i/scale*127 + .5);
+    retrieval scores by the INTEGER code dot product. This operator
+    measures what that compression costs: for each pinned query, the
+    overlap between the exact dot-product top-k and the int8 top-k.
+
+    Exactness: the exact ranking key is the per-dim micro-quantized
+    contribution sum (floor(x*y*1e6+.5) per term — integers, so the sum
+    is order-free); the int8 ranking key is int_dot * candidate_scale
+    (the query's scale is constant inside its window, so it cannot
+    change the order), a single double product both engines compute from
+    identical operands; ties break to the smaller nbr_id. Zero vectors
+    quantize to all-zero codes (guarded against 0/0).
+
+    100 TB shape: the pinned query codes+scales ride the Arrow kernel's
+    closure (guarded by MAX_INT8_QUERIES), the corpus is scored in ONE
+    map-only scan — at serving time only the int8 codes (+1 double) need
+    to live in memory, 4x less than float32 — and the two per-query
+    top-k rankings execute as WindowGroupLimit heaps, so the one
+    exchange carries at most 2k rows per query per map partition.
+
+    Returns (query_id, overlap, k) — |exact top-k ∩ int8 top-k| per
+    query; recall@k = overlap / k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    if len(query_ids) > MAX_INT8_QUERIES:
+        raise ValueError(
+            f"{len(query_ids)} query ids > MAX_INT8_QUERIES ({MAX_INT8_QUERIES})"
+        )
+    vecs = as_double_vecs(
+        embeddings
+        if "label" in embeddings.columns
+        else embeddings.withColumn("label", F.lit(0))
+    ).select("vec_id", "vec")
+    qrows = (
+        vecs.where(F.col("vec_id").isin([int(i) for i in query_ids]))
+        .orderBy("vec_id")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in qrows])
+    qscale = np.abs(Q).max(axis=1)
+    qcodes = np.where(
+        qscale[:, None] > 0, np.floor(Q / np.where(qscale == 0, 1.0, qscale)[:, None] * 127.0 + 0.5), 0.0
+    ).astype(np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["vec"].to_numpy())
+            ids = pdf["vec_id"].to_numpy()
+            n, d = A.shape
+            m = len(qids)
+            cscale = np.abs(A).max(axis=1)
+            ccodes = np.where(
+                cscale[:, None] > 0,
+                np.floor(A / np.where(cscale == 0, 1.0, cscale)[:, None] * 127.0 + 0.5),
+                0.0,
+            ).astype(np.int64)
+            int_dot = ccodes @ qcodes.T  # exact int64
+            # if EITHER side's scale is 0 its codes are all zero -> dot 0,
+            # matching the oracle's per-term CASE guard
+            dm = np.zeros((n, m), dtype=np.int64)
+            for i in range(d):  # per-term floor -> integer sum, order-free
+                dm += np.floor(A[:, i : i + 1] * Q[None, :, i] * 1e6 + 0.5).astype(
+                    np.int64
+                )
+            yield pd.DataFrame(
+                {
+                    "nbr_id": np.repeat(ids, m),
+                    "query_id": np.tile(qids, n),
+                    "dot_micro": dm.reshape(-1),
+                    "int_dot": int_dot.reshape(-1),
+                    "cscale": np.repeat(cscale, m),
+                }
+            )
+
+    scored = vecs.mapInPandas(
+        kernel,
+        "nbr_id long, query_id long, dot_micro long, int_dot long, cscale double",
+    ).where(F.col("nbr_id") != F.col("query_id"))
+
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_micro"), F.asc("nbr_id")
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc(F.col("int_dot") * F.col("cscale")), F.asc("nbr_id")
+    )
+    exact_top = (
+        scored.withColumn("rk", F.row_number().over(we))
+        .where(F.col("rk") <= k)
+        .select("query_id", "nbr_id")
+    )
+    int8_top = (
+        scored.withColumn("rk", F.row_number().over(wa))
+        .where(F.col("rk") <= k)
+        .select("query_id", "nbr_id")
+    )
+    return (
+        exact_top.join(
+            int8_top.withColumn("hit", F.lit(1)), ["query_id", "nbr_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("overlap"))
+        .select("query_id", "overlap", F.lit(int(k)).alias("k"))
+    )

@@ -2686,3 +2686,63 @@ class TestIncrementalNeardup:
         new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
         known_ids = {r["doc_id"] for r in known.select("doc_id").collect()}
         assert all(a in new_ids and b in known_ids for a, b in pairs)
+
+
+class TestInt8Recall:
+    @staticmethod
+    def _replay(X, ids, qids, k):
+        """From-scratch numpy replay of the documented SQ8 audit."""
+        out = {}
+        for qi in qids:
+            qv = X[list(ids).index(qi)]
+            qs = np.abs(qv).max()
+            qc = np.floor(qv / qs * 127.0 + 0.5).astype(np.int64) if qs > 0 else np.zeros_like(qv, dtype=np.int64)
+            rows = []
+            for vid, v in zip(ids, X):
+                if vid == qi:
+                    continue
+                dm = int(np.floor(v * qv * 1e6 + 0.5).astype(np.int64).sum())
+                cs = np.abs(v).max()
+                cc = np.floor(v / cs * 127.0 + 0.5).astype(np.int64) if cs > 0 else np.zeros_like(v, dtype=np.int64)
+                rows.append((vid, dm, int(cc @ qc) * cs))
+            topk_e = {vid for vid, _, _ in sorted(rows, key=lambda r: (-r[1], r[0]))[:k]}
+            topk_a = {vid for vid, _, _ in sorted(rows, key=lambda r: (-r[2], r[0]))[:k]}
+            out[qi] = len(topk_e & topk_a)
+        return out
+
+    def test_matches_python_replay_on_testdata(self, emb):
+        sample = emb.orderBy("vec_id").limit(60).cache()
+        rows = sample.collect()
+        ids = [r["vec_id"] for r in rows]
+        X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        got = {
+            r["query_id"]: r["overlap"]
+            for r in ss.int8_topk_recall(sample, [0, 1, 2], k=7).collect()
+        }
+        want = self._replay(X, ids, [0, 1, 2], 7)
+        assert got == want
+        assert all(0 <= v <= 7 for v in got.values())
+
+    def test_perfect_recall_on_separated_axes(self, spark):
+        # orthogonal one-hot-ish vectors: int8 codes preserve the exact
+        # ranking, overlap must be k
+        rows = [(i, [0.0] * i + [1.0] + [0.0] * (7 - i)) for i in range(8)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["query_id"]: r for r in ss.int8_topk_recall(df, [0], k=3).collect()}
+        assert out[0]["overlap"] == 3 and out[0]["k"] == 3
+
+    def test_zero_vector_is_safe(self, spark):
+        rows = [(0, [1.0, 2.0]), (1, [0.0, 0.0]), (2, [2.0, 1.0]), (3, [1.0, 1.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["query_id"]: r["overlap"] for r in ss.int8_topk_recall(df, [0, 1], k=2).collect()}
+        assert set(out) == {0, 1}
+        # the zero query scores every candidate 0 on both keys -> ties
+        # resolve identically by nbr_id, perfect (degenerate) overlap
+        assert out[1] == 2
+
+    def test_guards(self, spark):
+        df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError):
+            ss.int8_topk_recall(df, [])
+        with pytest.raises(ValueError):
+            ss.int8_topk_recall(df, list(range(ss.MAX_INT8_QUERIES + 1)))

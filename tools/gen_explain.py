@@ -308,6 +308,14 @@ COMMENTS = {
     "displayed plan's top-50 cut is bit-stable across engines. The "
     "rendered plan is the final iteration over the cached inputs; the "
     "one-exchange marginal shape is pinned by tests/test_graph.py.",
+    "ann_int8_recall": "SQ8 recall audit: the pinned query codes+scales "
+    "ride the Arrow kernel closure (no join), the corpus is scored in "
+    "ONE map-only mapInPandas scan, and the exact + int8 rankings are "
+    "two WindowGroupLimit rank windows over query_id, so the single "
+    "exchange carries at most 2k rows per query per map partition; the "
+    "overlap count is a tiny per-query aggregate. At serving scale only "
+    "the int8 code table (4x smaller) plus one double per vector needs "
+    "memory.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
