@@ -2065,6 +2065,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = read_events(spark, os.path.join(sf, "events.parquet"))
         return pl.funnel_counts(ev, ["view", "click", "purchase"])
 
+    def events_value_trend(spark, sf):
+        """Per-event-type OLS value-over-time trend (`ext.pipeline.
+        ols_trend`): slope (nano-y/s) + intercept from the five
+        sufficient statistics in ONE map-side-combined key aggregate —
+        no per-key sort, no window, no second scan. x is µs epoch
+        centered by a broadcast global-min scalar; sums ride as exact
+        DECIMAL(38,0) (operands pre-cast to DECIMAL(19,0) so products
+        never overflow BIGINT), and slope/intercept derive from those
+        exact integers with an identical expression tree in both
+        engines, so the quantized outputs hash-match."""
+        from mopso_engine.ext import pipeline as pl
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        return pl.ols_trend(ev, "event_type", "ts", "value")
+
     def events_transitions(spark, sf):
         """First-order event-transition matrix
         (`ext.pipeline.event_transitions`): one user-keyed lead window,
@@ -3190,16 +3206,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
         # round-8 late additions: BM25 retrieval, supplier PageRank,
-        # int8 quantization recall audit                                  (3)
-        bm25_search, supplier_pagerank, ann_int8_recall,
+        # int8 quantization recall audit, per-key OLS value trend         (4)
+        bm25_search, supplier_pagerank, ann_int8_recall, events_value_trend,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
         # the r7 registration comment, oldest-verified-first; displaced
-        # tail entries carry ORACLE_SWEEP_r08 rows instead              (17)
+        # tail entries carry ORACLE_SWEEP_r08 rows instead              (16)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
-        ann_topk, ann_ivf,
+        ann_topk,
         # --- the 50-entry truncation lands exactly here ---
+        ann_ivf,
         ann_ivf_unlabeled,
         emb_neardup,
         multimodal_stats,
@@ -4156,6 +4173,42 @@ def oracle_sql() -> dict[str, str]:
                sum(cl)::BIGINT AS n_clamped_lo, sum(ch)::BIGINT AS n_clamped_hi,
                round(sum(floor(cv * 1e6 + 0.5)::BIGINT) / (1e6 * count(*)), 6) AS mean_winsorized
         FROM j GROUP BY 1
+    """
+
+    # events_value_trend: x = µs epoch (floor of the epoch-double both
+    # engines agree on to the ULP) centered by the global min; sums as
+    # exact DECIMAL(38,0); slope/intercept doubles derived with the
+    # IDENTICAL expression tree as the Spark plan, quantized after.
+    o["events_value_trend"] = """
+        WITH base AS (
+          SELECT event_type AS key,
+                 CAST(floor(epoch(ts) * 1e6 + 0.5) AS BIGINT) AS x_us,
+                 CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS y_q
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        g AS (SELECT min(x_us) AS min_x FROM base),
+        s AS (
+          SELECT key, count(*)::BIGINT AS n,
+                 sum(CAST(x_us - min_x AS DECIMAL(19,0))) AS sx,
+                 sum(CAST(y_q AS DECIMAL(19,0))) AS sy,
+                 sum(CAST(x_us - min_x AS DECIMAL(19,0))
+                     * CAST(x_us - min_x AS DECIMAL(19,0))) AS sxx,
+                 sum(CAST(x_us - min_x AS DECIMAL(19,0))
+                     * CAST(y_q AS DECIMAL(19,0))) AS sxy
+          FROM base, g GROUP BY key)
+        SELECT key, n,
+               CAST(floor(
+                 (CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) <> 0.0
+                       THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                            / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                  END) * 1e9 + 0.5) AS BIGINT) AS slope_nano,
+               CAST(floor(
+                 (CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) <> 0.0
+                       THEN (sy::DOUBLE
+                             - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                                / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+                               * sx::DOUBLE) / n::DOUBLE
+                  END) + 0.5) AS BIGINT) AS intercept_micro
+        FROM s
     """
 
     # the textbook funnel: k chained first-occurrence self-joins — the

@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "supplier_pagerank",
     # round-8: int8 quantization recall audit (map-only scan + 2 windows)
     "ann_int8_recall",
+    # round-8: per-key OLS trend (one combinable key aggregate)
+    "events_value_trend",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

@@ -1077,3 +1077,82 @@ def event_transitions(
     return counts.select(
         "from_type", "to_type", "n", F.round(F.col("n") / tot, 6).alias("p")
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    y_col: str,
+    *,
+    y_unit: int = 1_000_000,
+) -> DataFrame:
+    """Per-key closed-form OLS trend of ``y_col`` over event time — the
+    drift monitor behind "is this source's quality/value decaying?"
+    dashboards: slope and intercept of the least-squares line, computed
+    from the five classic sufficient statistics (n, Σx, Σy, Σx², Σxy) in
+    ONE key-grouped aggregate. No per-key sort, no window, no second
+    scan of the data.
+
+    Exactness: x = microsecond epoch (floor-quantized from the
+    timestamp→double cast both engines agree on to the ULP), centered by
+    the GLOBAL min so magnitudes stay small; y is floor-quantized to
+    ``y_unit`` micro-units. The sums accumulate as DECIMAL(38,0) —
+    products are cast to DECIMAL(19,0) BEFORE multiplying so nothing
+    overflows BIGINT, and decimal sums are exact integers under any
+    partitioning/order. The slope/intercept doubles are then derived
+    from identical exact operands with an identical expression tree, so
+    the quantized outputs hash-match across engines. A key with zero
+    x-variance (or n==1) yields NULL slope/intercept in both.
+
+    Magnitude bound: |x_centered| ≤ time-span·1e6 µs, |y_q| ≤
+    max|y|·y_unit; Σ x·y stays within DECIMAL(38) for any corpus whose
+    rows × span × |y| product is < 1e38 — ~1e12 rows over a decade of
+    µs-time and 1e9 y-units still fits with ~4 digits to spare.
+
+    Physical shape (100 TB): one map-side-combined groupBy on the key
+    (5 numbers of state per key) + a broadcast one-row global-min
+    scalar. Slope units: y-units per second (µ-y per µs ≡ y/s), emitted
+    as nano-y/s; intercept is the fitted µ-y value AT the global min-x
+    origin.
+
+    Returns (key, n, slope_nano, intercept_micro).
+    """
+    x_us = F.floor(F.col(ts_col).cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    y_q = F.floor(F.col(y_col) * F.lit(float(y_unit)) + F.lit(0.5)).cast("long")
+    base = (
+        df.where(F.col(ts_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(F.col(key_col).alias("key"), x_us.alias("x_us"), y_q.alias("y_q"))
+    )
+    gmin = base.agg(F.min("x_us").alias("min_x"))
+    xd = (F.col("x_us") - F.col("min_x")).cast("decimal(19,0)")
+    yd = F.col("y_q").cast("decimal(19,0)")
+    sums = (
+        base.crossJoin(F.broadcast(gmin))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xd).alias("sx"),
+            F.sum(yd).alias("sy"),
+            F.sum(xd * xd).alias("sxx"),
+            F.sum(xd * yd).alias("sxy"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    den = n_d * sxx_d - sx_d * sx_d
+    slope = F.when(den != F.lit(0.0), (n_d * sxy_d - sx_d * sy_d) / den)
+    intercept = F.when(
+        den != F.lit(0.0), (sy_d - ((n_d * sxy_d - sx_d * sy_d) / den) * sx_d) / n_d
+    )
+    return sums.select(
+        "key",
+        "n",
+        F.floor(slope * F.lit(1e9) + F.lit(0.5)).cast("long").alias("slope_nano"),
+        F.floor(intercept + F.lit(0.5)).cast("long").alias("intercept_micro"),
+    )

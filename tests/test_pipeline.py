@@ -983,3 +983,75 @@ class TestEventTransitions:
         for f in froms:
             s = sum(p for (a, _), (_, p) in got.items() if a == f)
             assert abs(s - 1.0) < 1e-4
+
+
+class TestOlsTrend:
+    @staticmethod
+    def _replay(rows, y_unit=1_000_000):
+        """Exact-integer python replay of the documented sufficient-stat
+        construction."""
+        import math
+
+        pts = [
+            (k, math.floor(ts.timestamp() * 1e6 + 0.5), math.floor(v * y_unit + 0.5))
+            for k, ts, v in rows
+            if ts is not None and v is not None
+        ]
+        min_x = min(x for _, x, _ in pts)
+        out = {}
+        for key in {k for k, _, _ in pts}:
+            sub = [(x - min_x, y) for k, x, y in pts if k == key]
+            n = len(sub)
+            sx = sum(x for x, _ in sub)
+            sy = sum(y for _, y in sub)
+            sxx = sum(x * x for x, _ in sub)
+            sxy = sum(x * y for x, y in sub)
+            den = float(n) * float(sxx) - float(sx) * float(sx)
+            if den == 0.0:
+                out[key] = (n, None, None)
+                continue
+            slope = (float(n) * float(sxy) - float(sx) * float(sy)) / den
+            intercept = (float(sy) - slope * float(sx)) / float(n)
+            out[key] = (
+                n,
+                math.floor(slope * 1e9 + 0.5),
+                math.floor(intercept + 0.5),
+            )
+        return out
+
+    def test_python_replay(self, spark):
+        from mopso_engine.ext.pipeline import ols_trend
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # key "up": value rises 2.5/hour; key "flat": constant; key
+        # "noisy": arbitrary values; plus a NULL row that must drop
+        for i in range(20):
+            rows.append(("up", t0 + dt.timedelta(hours=i), 1.0 + 2.5 * i))
+            rows.append(("flat", t0 + dt.timedelta(hours=i), 7.25))
+            rows.append(("noisy", t0 + dt.timedelta(minutes=13 * i), (i * 37 % 11) / 3.0))
+        df = spark.createDataFrame(
+            rows + [("up", None, 1.0), ("up", t0, None)],
+            "event_type string, ts timestamp, value double",
+        )
+        got = {
+            r["key"]: (r["n"], r["slope_nano"], r["intercept_micro"])
+            for r in ols_trend(df, "event_type", "ts", "value").collect()
+        }
+        assert got == self._replay(rows)
+        # slope sanity: 2.5 per hour = 2.5/3600 y/s -> nano = 694444
+        assert abs(got["up"][1] - round(2.5 / 3600 * 1e9)) <= 1
+        assert got["flat"][1] == 0
+
+    def test_degenerate_keys_yield_null(self, spark):
+        from mopso_engine.ext.pipeline import ols_trend
+
+        t0 = dt.datetime(2024, 3, 1)
+        df = spark.createDataFrame(
+            [("solo", t0, 5.0), ("same_x", t0, 1.0), ("same_x", t0, 9.0)],
+            "event_type string, ts timestamp, value double",
+        )
+        got = {r["key"]: r for r in ols_trend(df, "event_type", "ts", "value").collect()}
+        assert got["solo"]["slope_nano"] is None
+        assert got["same_x"]["slope_nano"] is None
+        assert got["same_x"]["n"] == 2

@@ -316,6 +316,12 @@ COMMENTS = {
     "overlap count is a tiny per-query aggregate. At serving scale only "
     "the int8 code table (4x smaller) plus one double per vector needs "
     "memory.",
+    "events_value_trend": "Per-key OLS trend: ONE map-side-combined "
+    "HashAggregate on the key carrying five sufficient statistics "
+    "(n, Sx, Sy, Sxx, Sxy) as exact DECIMAL(38,0) sums, a broadcast "
+    "one-row global-min scalar for centering, and a final map-only "
+    "projection deriving slope/intercept — no per-key sort, no window, "
+    "no second scan; state is 5 numbers per key at any corpus size.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
