@@ -1094,6 +1094,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mean, comps = la.train_pca(emb, dims=64, n_components=2)
         return la.pca_project(emb, mean, comps)
 
+    def emb_rp_project(spark, sf):
+        """Johnson–Lindenstrauss Rademacher projection to 16 dims
+        (`ext.linalg.random_projection`): the ±1 sign matrix derives
+        from md5 on the fly (no stored model, no join) and rides the
+        Arrow kernel closure; inputs quantize to integer micro-units
+        first, so the projection is an order-free exact int64 matmul in
+        ONE map-only scan and every output hash-matches the SQL replay.
+        The JL pre-filter that makes fat-d corpora shuffle-light."""
+        from mopso_engine.ext import linalg as la
+
+        return la.random_projection(
+            read_table(spark, sf, "embeddings"), out_dim=16
+        )
+
     def emb_covariance(spark, sf):
         """16×16 upper-triangle covariance of the embedding columns,
         VALUE-GATED (`ext.linalg.embedding_covariance_gated`): the hashed
@@ -3206,16 +3220,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # guard                                                          (3)
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
         # round-8 late additions: BM25 retrieval, supplier PageRank,
-        # int8 quantization recall audit, per-key OLS value trend         (4)
+        # int8 quantization recall audit, per-key OLS value trend,
+        # JL random projection                                            (5)
         bm25_search, supplier_pagerank, ann_int8_recall, events_value_trend,
+        emb_rp_project,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
         # the r7 registration comment, oldest-verified-first; displaced
-        # tail entries carry ORACLE_SWEEP_r08 rows instead              (16)
+        # tail entries carry ORACLE_SWEEP_r08 rows instead              (15)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
-        ann_topk,
         # --- the 50-entry truncation lands exactly here ---
+        ann_topk,
         ann_ivf,
         ann_ivf_unlabeled,
         emb_neardup,
@@ -6101,6 +6117,25 @@ def oracle_sql() -> dict[str, str]:
                round(list_sum(list_transform(list_zip(p.v, pc.cv), x -> x[1]*x[2])) - pc.off,
                      6) AS value
         FROM p, pc
+    """
+
+    # emb_rp_project: the ±1 matrix re-derives from md5 in SQL (same
+    # strings as linalg.rademacher_signs), inputs micro-quantize BEFORE
+    # the sum, so the integer projection hash-matches bit-for-bit.
+    o["emb_rp_project"] = """
+        WITH p AS (SELECT vec_id, embedding AS v FROM embeddings),
+        sgn AS (
+          SELECT j.range::INT AS j, i.range AS i,
+                 CASE WHEN (('0x' || substr(md5('rp_' || j.range::VARCHAR
+                                              || '_' || i.range::VARCHAR),
+                                      1, 8))::BIGINT % 2) = 0
+                      THEN 1 ELSE -1 END AS s
+          FROM range(0, 16) j, range(0, 64) i)
+        SELECT p.vec_id, s.j,
+               sum(CAST(floor(CAST(p.v[s.i + 1] AS DOUBLE) * 1e6 + 0.5)
+                        AS BIGINT) * s.s)::BIGINT AS out_micro
+        FROM p, sgn s
+        GROUP BY 1, 2
     """
 
     # PQ oracle: retrain the bit-identical per-subspace codebooks from the

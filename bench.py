@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "ann_int8_recall",
     # round-8: per-key OLS trend (one combinable key aggregate)
     "events_value_trend",
+    # round-8: JL random projection (map-only integer matmul)
+    "emb_rp_project",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

@@ -453,3 +453,77 @@ def pca_project(
     if round_dp is not None:
         out = out.withColumn("value", F.round("value", round_dp))
     return out
+
+
+def rademacher_signs(out_dim: int, in_dim: int, salt: str = "rp") -> np.ndarray:
+    """Deterministic ±1 Rademacher sign matrix (out_dim × in_dim):
+    s[j,i] = +1 iff the first 8 hex chars of md5(f"{salt}_{j}_{i}") are
+    even — derivable identically in any engine with an md5 function, so
+    the projection "model" needs no stored artifact at all."""
+    import hashlib
+
+    s = np.empty((out_dim, in_dim), dtype=np.int64)
+    for j in range(out_dim):
+        for i in range(in_dim):
+            h = int(hashlib.md5(f"{salt}_{j}_{i}".encode()).hexdigest()[:8], 16)
+            s[j, i] = 1 if h % 2 == 0 else -1
+    return s
+
+
+def random_projection(
+    embeddings: DataFrame,
+    *,
+    out_dim: int = 16,
+    in_dim: int | None = None,
+    salt: str = "rp",
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection with Rademacher signs
+    (Achlioptas 2003's database-friendly variant): project each vector
+    onto ``out_dim`` ±1 hash-derived directions. With k = O(log n / ε²)
+    output dims, pairwise distances survive within (1±ε) — the standard
+    cheap pre-filter in front of exact re-ranking, and the index-build
+    step when d is too fat to shuffle.
+
+    Exactness: inputs quantize to integer micro-units FIRST
+    (floor(v·1e6+0.5)), then the projection is an integer matmul against
+    the ±1 matrix — order-free exact sums, so outputs hash-match the SQL
+    replay bit-for-bit. Scaling by 1/(1e6·√k) is left to callers (a
+    constant factor cannot change any downstream ranking).
+
+    100 TB shape: the sign matrix derives from md5 on the fly (no model
+    artifact, no join) and rides the Arrow kernel closure; the whole
+    projection is ONE map-only scan; the (vec_id, j, out_micro) explode
+    is codegen'd. ``in_dim`` is probed from one row when not given.
+
+    Returns (vec_id, j, out_micro) — ``out_dim`` rows per vector.
+    """
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(col), lambda x: x.cast("double")).alias("vec"),
+    )
+    if in_dim is None:
+        probe = vecs.select(F.size("vec").alias("d")).limit(1).collect()
+        if not probe:
+            raise ValueError("cannot infer in_dim from an empty DataFrame")
+        in_dim = int(probe[0]["d"])
+    S = rademacher_signs(out_dim, in_dim, salt)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["vec"].to_numpy())
+            Q = np.floor(V * 1e6 + 0.5).astype(np.int64)
+            out = Q @ S.T  # exact int64, order-free
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "proj": list(out)}
+            )
+
+    projected = vecs.mapInPandas(kernel, "vec_id long, proj array<long>")
+    return projected.select(
+        "vec_id", F.posexplode("proj").alias("j", "out_micro")
+    )

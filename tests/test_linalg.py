@@ -290,3 +290,53 @@ class TestPCA:
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         with pytest.raises(ValueError, match="max_sample_rows"):
             train_pca(emb, dims=16, n_components=2, max_sample_rows=10)
+
+
+class TestRandomProjection:
+    def test_python_replay_and_jl_distance_preservation(self, spark):
+        import hashlib
+        import math
+
+        import numpy as np
+
+        from mopso_engine.ext.linalg import rademacher_signs, random_projection
+
+        rng = np.random.default_rng(5)
+        X = rng.normal(size=(40, 32)).astype(np.float32)
+        rows = [(i, [float(x) for x in X[i]]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = random_projection(df, out_dim=24, salt="rp").collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["vec_id"], {})[r["j"]] = r["out_micro"]
+
+        # from-scratch replay: md5 signs + integer matmul
+        S = np.empty((24, 32), dtype=np.int64)
+        for j in range(24):
+            for i in range(32):
+                h = int(hashlib.md5(f"rp_{j}_{i}".encode()).hexdigest()[:8], 16)
+                S[j, i] = 1 if h % 2 == 0 else -1
+        assert (S == rademacher_signs(24, 32)).all()
+        Q = np.floor(X.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        P = Q @ S.T
+        for i in range(40):
+            assert [got[i][j] for j in range(24)] == list(P[i])
+
+        # JL sanity: projected pairwise distances (scaled by 1e6*sqrt(k))
+        # approximate the originals within a loose factor
+        Pn = P.astype(np.float64) / (1e6 * math.sqrt(24))
+        for a, b in [(0, 1), (2, 3), (10, 30)]:
+            d_true = np.linalg.norm(X[a].astype(np.float64) - X[b].astype(np.float64))
+            d_proj = np.linalg.norm(Pn[a] - Pn[b])
+            assert 0.4 * d_true < d_proj < 2.2 * d_true
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from mopso_engine.ext.linalg import random_projection
+
+        df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        with _pytest.raises(ValueError):
+            random_projection(df, out_dim=0)
+        with _pytest.raises(ValueError):
+            random_projection(df, out_dim=4)  # empty -> cannot probe dim

@@ -322,6 +322,12 @@ COMMENTS = {
     "one-row global-min scalar for centering, and a final map-only "
     "projection deriving slope/intercept — no per-key sort, no window, "
     "no second scan; state is 5 numbers per key at any corpus size.",
+    "emb_rp_project": "JL Rademacher projection: the md5-derived sign "
+    "matrix rides the Arrow kernel closure (a 16x64 int8 literal, not a "
+    "join input), the whole projection is ONE map-only MapInPandas scan "
+    "doing an exact integer matmul on micro-quantized inputs, and the "
+    "(vec_id, j, out_micro) rendering is a codegen'd posexplode -- zero "
+    "Exchange anywhere in the plan.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
