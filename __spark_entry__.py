@@ -741,6 +741,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(50)
         )
 
+    def part_copurchase(spark, sf):
+        """Top-50 co-purchased part pairs with lift
+        (`ext.graph.cooccurrence_affinity`): pair generation is a
+        self-join on the ORDER key — fan-out bounded by basket size,
+        never corpus² — over the deduped (order, part) table whose
+        exchange is reused for both sides; one (a,b) count shuffle, a
+        broadcast per-part support join, N as a broadcast scalar, and a
+        TakeOrdered top-50 on the integer-deterministic (cnt desc, a, b)
+        key. Lift quantizes from a double built with the identical
+        expression tree in both engines."""
+        from mopso_engine.ext.graph import cooccurrence_affinity
+
+        li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+        return cooccurrence_affinity(
+            li, basket_col="l_orderkey", item_col="l_partkey", top_k=50
+        )
+
     def tfidf_terms(spark, sf):
         """Per-doc top-3 terms by smoothed TF-IDF (`ext.text.tfidf_top_terms`)
         — keyword extraction as two map-side-combined count shuffles, a
@@ -3221,16 +3238,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
         # round-8 late additions: BM25 retrieval, supplier PageRank,
         # int8 quantization recall audit, per-key OLS value trend,
-        # JL random projection                                            (5)
+        # JL random projection, market-basket co-purchase affinity        (6)
         bm25_search, supplier_pagerank, ann_int8_recall, events_value_trend,
-        emb_rp_project,
+        emb_rp_project, part_copurchase,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
         # the r7 registration comment, oldest-verified-first; displaced
-        # tail entries carry ORACLE_SWEEP_r08 rows instead              (15)
+        # tail entries carry ORACLE_SWEEP_r08 rows instead              (14)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
-        order_priorities, events_windowed, events_stream, dedup_exact,
+        order_priorities, events_windowed, events_stream,
         # --- the 50-entry truncation lands exactly here ---
+        dedup_exact,
         ann_topk,
         ann_ivf,
         ann_ivf_unlabeled,
@@ -4697,6 +4715,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT node - 1000000000 AS suppkey, units
         FROM pr6 WHERE node >= 1000000000
         ORDER BY units DESC, suppkey LIMIT 50
+    """
+
+    # part_copurchase: the same deduped (order, part) self-join, count,
+    # support join and double-tree lift; TakeOrdered cut replayed as
+    # ORDER BY ... LIMIT on the integer-deterministic key.
+    o["part_copurchase"] = """
+        WITH bi AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                    FROM lineitem),
+        pairs AS (
+          SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS cnt
+          FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+          GROUP BY 1, 2),
+        sup AS (SELECT item, count(*)::BIGINT AS n_sup FROM bi GROUP BY 1),
+        nb AS (SELECT count(DISTINCT basket)::BIGINT AS n_baskets FROM bi)
+        SELECT p.item_a, p.item_b, p.cnt,
+               CAST(floor(
+                 (p.cnt::DOUBLE * nb.n_baskets::DOUBLE)
+                 / (sa.n_sup::DOUBLE * sb.n_sup::DOUBLE) * 1e6 + 0.5
+               ) AS BIGINT) AS lift_micro
+        FROM pairs p
+        JOIN sup sa ON sa.item = p.item_a
+        JOIN sup sb ON sb.item = p.item_b
+        CROSS JOIN nb
+        ORDER BY p.cnt DESC, p.item_a, p.item_b
+        LIMIT 50
     """
 
     o["tfidf_terms"] = r"""

@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "events_value_trend",
     # round-8: JL random projection (map-only integer matmul)
     "emb_rp_project",
+    # round-8: market-basket affinity (basket-key self-join + TakeOrdered)
+    "part_copurchase",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "clear_pagerank_caches"]
+__all__ = ["pagerank", "clear_pagerank_caches", "cooccurrence_affinity"]
 
 #: final rank vectors persisted by :func:`pagerank` (callers iterate on
 #: them; the loop's INTERNAL caches are unpersisted before returning).
@@ -149,3 +149,73 @@ def pagerank(
     nodes.unpersist()
     _PR_CACHES.append(ranks)
     return ranks
+
+
+def cooccurrence_affinity(
+    baskets: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    top_k: int = 50,
+) -> DataFrame:
+    """Market-basket co-occurrence affinity ("users who bought X also
+    bought Y"): for every unordered item pair appearing in the same
+    basket, the co-occurrence count and the lift
+    cnt·N / (n_a·n_b) — the association strength that powers
+    related-items recommendations and complement detection.
+
+    Physical shape (100 TB): pair generation is a SELF-JOIN ON THE
+    BASKET KEY — fan-out is bounded by basket size (pairs per basket =
+    |basket|², never corpus²), and both sides are the same deduped
+    (basket, item) table so the exchange is reused. One (a, b) count
+    shuffle aggregates pairs, per-item supports are one more key count,
+    N is a broadcast scalar, and the final top-k is a TakeOrdered — no
+    global sort. Degenerate mega-baskets should be capped upstream
+    (quota_sample on the basket key) exactly like hot shingles in the
+    dedup family.
+
+    Exactness: counts are exact integers; lift quantizes from a double
+    derived as (cnt·N)/(n_a·n_b) with an identical expression tree in
+    both engines (double division avoids the cnt·N·1e6 BIGINT overflow
+    at corpus scale); the (cnt desc, a, b) cut is integer-deterministic.
+
+    Returns top-``top_k`` rows (item_a, item_b, cnt, lift_micro) with
+    item_a < item_b.
+    """
+    bi = baskets.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    left = bi.select("basket", F.col("item").alias("item_a"))
+    right = bi.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        left.join(right, "basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    support = bi.groupBy("item").agg(F.count(F.lit(1)).alias("n_sup"))
+    n_baskets = bi.select("basket").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    lift = (
+        F.col("cnt").cast("double") * F.col("n_baskets").cast("double")
+    ) / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    return (
+        pairs.join(
+            F.broadcast(support.select(F.col("item").alias("item_a"), F.col("n_sup").alias("na"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(support.select(F.col("item").alias("item_b"), F.col("n_sup").alias("nb"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "cnt",
+            F.floor(lift * F.lit(1e6) + F.lit(0.5)).cast("long").alias("lift_micro"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("item_a"), F.asc("item_b"))
+        .limit(top_k)
+    )

@@ -152,3 +152,55 @@ def test_pagerank_unpersists_internals_and_registry_clears(spark):
     assert jsc.getPersistentRDDs().size() == base + 1
     assert clear_pagerank_caches() >= 1
     assert jsc.getPersistentRDDs().size() == base
+
+
+class TestCooccurrenceAffinity:
+    def test_python_replay(self, spark):
+        from itertools import combinations
+
+        from mopso_engine.ext.graph import cooccurrence_affinity
+
+        baskets = {
+            1: [10, 20, 30],
+            2: [10, 20],
+            3: [10, 40],
+            4: [20, 30, 40, 40],  # dup item must collapse
+            5: [50],  # singleton basket contributes no pairs
+        }
+        rows = [(b, i) for b, items in baskets.items() for i in items]
+        df = spark.createDataFrame(rows, "basket long, item long")
+        got = {
+            (r["item_a"], r["item_b"]): (r["cnt"], r["lift_micro"])
+            for r in cooccurrence_affinity(
+                df, basket_col="basket", item_col="item", top_k=100
+            ).collect()
+        }
+
+        import math
+        from collections import Counter
+
+        sets = {b: sorted(set(v)) for b, v in baskets.items()}
+        cnt = Counter()
+        for items in sets.values():
+            for a, b in combinations(items, 2):
+                cnt[(a, b)] += 1
+        sup = Counter(i for items in sets.values() for i in items)
+        n = len(sets)
+        want = {
+            p: (c, math.floor(float(c) * n / (sup[p[0]] * sup[p[1]]) * 1e6 + 0.5))
+            for p, c in cnt.items()
+        }
+        assert got == want
+        # lift sanity: (10,20) co-occur 2 of 5 baskets, sup 3*3
+        assert got[(10, 20)] == (2, math.floor(2 * 5 / 9 * 1e6 + 0.5))
+
+    def test_topk_cut_is_deterministic(self, spark):
+        from mopso_engine.ext.graph import cooccurrence_affinity
+
+        rows = [(b, i) for b in range(6) for i in (1, 2, 3)]
+        df = spark.createDataFrame(rows, "basket long, item long")
+        out = cooccurrence_affinity(
+            df, basket_col="basket", item_col="item", top_k=2
+        ).collect()
+        # all three pairs tie at cnt=6 -> (item_a, item_b) breaks the cut
+        assert [(r["item_a"], r["item_b"]) for r in out] == [(1, 2), (1, 3)]

@@ -328,6 +328,13 @@ COMMENTS = {
     "doing an exact integer matmul on micro-quantized inputs, and the "
     "(vec_id, j, out_micro) rendering is a codegen'd posexplode -- zero "
     "Exchange anywhere in the plan.",
+    "part_copurchase": "Market-basket affinity: the deduped (order, "
+    "part) table shuffles ONCE on the basket key and ReusedExchange "
+    "feeds both sides of the self-join, so pair fan-out is bounded by "
+    "basket size; the (a,b) HashAggregate is the one pair shuffle; "
+    "per-part supports and the basket count ride as BroadcastHashJoins/"
+    "scalars; the top-50 executes as TakeOrderedAndProject -- no global "
+    "sort, nothing corpus-quadratic.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
