@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "emb_rp_project",
     # round-8: market-basket affinity (basket-key self-join + TakeOrdered)
     "part_copurchase",
+    # round-8: degree-ordered triangle counting (wedge join + semi close)
+    "part_triangles",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "clear_pagerank_caches", "cooccurrence_affinity"]
+__all__ = [
+    "pagerank",
+    "clear_pagerank_caches",
+    "cooccurrence_affinity",
+    "triangle_counts",
+]
 
 #: final rank vectors persisted by :func:`pagerank` (callers iterate on
 #: them; the loop's INTERNAL caches are unpersisted before returning).
@@ -218,4 +223,83 @@ def cooccurrence_affinity(
         )
         .orderBy(F.desc("cnt"), F.asc("item_a"), F.asc("item_b"))
         .limit(top_k)
+    )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts via the degree-ordered wedge join — the
+    clustering-coefficient / community-density primitive (and the third
+    classic graph workload next to components and PageRank).
+
+    Algorithm (Schank–Wagner / the MapReduce-standard orientation):
+    canonicalize undirected edges, orient every edge from the endpoint
+    with the SMALLER (degree, id) to the larger — which bounds every
+    out-degree by O(√m) on any graph, so hub nodes cannot explode the
+    wedge join — then join out-neighbor pairs (wedges) on their common
+    node and close each wedge with an equality semi-join against the
+    oriented edge list. Each triangle is found exactly once.
+
+    Physical shape (100 TB): degree table = one key count; orientation =
+    two degree joins; wedges = a self-join keyed on the wedge apex
+    (fan-out ≤ outdeg² ≤ m per apex by the √m bound); closing = an
+    equality join on the (lesser, greater) pair key. Every shuffle is an
+    equality key shuffle; nothing quadratic in |V|.
+
+    Exactness: pure integer counting end-to-end.
+
+    Returns (node, n_tri) for every node in at least one triangle.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ed = e.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    # oriented: src = smaller (deg, id), dst = larger; carry dst's key
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
+    )
+    o1 = o.select("src", F.col("dst").alias("v"), F.col("deg_dst").alias("deg_v"))
+    o2 = o.select("src", F.col("dst").alias("w"), F.col("deg_dst").alias("deg_w"))
+    v_first = (F.col("deg_v") < F.col("deg_w")) | (
+        (F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w"))
+    )
+    wedges = (
+        o1.join(o2, "src")
+        .where(F.col("v") != F.col("w"))
+        .where(v_first)  # each unordered out-pair once, oriented
+        .select(F.col("src").alias("u"), "v", "w")
+    )
+    tris = wedges.join(
+        o.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+        "leftsemi",
+    )
+    return (
+        tris.select(F.col("u").alias("node"))
+        .union(tris.select(F.col("v").alias("node")))
+        .union(tris.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
     )

@@ -204,3 +204,60 @@ class TestCooccurrenceAffinity:
         ).collect()
         # all three pairs tie at cnt=6 -> (item_a, item_b) breaks the cut
         assert [(r["item_a"], r["item_b"]) for r in out] == [(1, 2), (1, 3)]
+
+
+class TestTriangleCounts:
+    @staticmethod
+    def _replay(edges):
+        """Brute-force: count triangles per node via set intersection."""
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        tri = defaultdict(int)
+        seen = set()
+        for u in adj:
+            for v in adj[u]:
+                for w in adj[u] & adj[v]:
+                    key = tuple(sorted((u, v, w)))
+                    if key not in seen:
+                        seen.add(key)
+                        for n in key:
+                            tri[n] += 1
+        return dict(tri)
+
+    def test_matches_bruteforce_on_random_graph(self, spark):
+        import random
+
+        from mopso_engine.ext.graph import triangle_counts
+
+        rng = random.Random(17)
+        edges = {(rng.randrange(30), rng.randrange(30)) for _ in range(120)}
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
+        assert got == self._replay(edges)
+        assert got, "fixture should contain at least one triangle"
+
+    def test_counts_each_triangle_once_with_hubs(self, spark):
+        from mopso_engine.ext.graph import triangle_counts
+
+        # hub 0 connected to everyone; spokes form a path 1-2-3-4 ->
+        # triangles (0,1,2), (0,2,3), (0,3,4); duplicate + reversed
+        # edges must not double-count
+        edges = [(0, i) for i in range(1, 5)] + [(1, 2), (2, 3), (3, 4)]
+        edges += [(b, a) for a, b in edges] + edges
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
+        assert got == {0: 3, 1: 1, 2: 2, 3: 2, 4: 1}
+
+    def test_triangle_free_graph_yields_empty(self, spark):
+        from mopso_engine.ext.graph import triangle_counts
+
+        # bipartite = triangle-free
+        edges = [(a, 100 + b) for a in range(5) for b in range(5)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        assert triangle_counts(df).count() == 0

@@ -335,6 +335,12 @@ COMMENTS = {
     "per-part supports and the basket count ride as BroadcastHashJoins/"
     "scalars; the top-50 executes as TakeOrderedAndProject -- no global "
     "sort, nothing corpus-quadratic.",
+    "part_triangles": "Degree-ordered triangle counting: orientation by "
+    "(degree, id) bounds out-degrees by O(sqrt m), the wedge join is an "
+    "equality self-join on the apex key, the closing test is a "
+    "LeftSemi equality join on the oriented (v, w) pair, and the "
+    "per-node counts are one UNION ALL + HashAggregate -- every shuffle "
+    "keyed, hub fan-out structurally capped.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
