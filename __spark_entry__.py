@@ -955,6 +955,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return fix_mojibake(_mojibake_planted(read_table(spark, sf, "documents")))
 
+    def docs_snapshot_diff(spark, sf):
+        """Snapshot regression diff (`ext.pipeline.table_diff_summary`):
+        old = the planted-artifact corpus minus every 13th doc, new =
+        its mojibake-repaired twin minus every 11th doc — so all four
+        statuses appear (added = the 13th docs that exist only post-
+        repair, removed = the scrubbed 11th docs, changed = repaired
+        texts, unchanged = the rest). Fingerprints are map-side md5s of
+        the payload; the ONLY movement is the full-outer key join
+        carrying keys + two 32-char fps."""
+        from mopso_engine.ext import pipeline as pl
+        from mopso_engine.ext.extract import fix_mojibake
+
+        planted = _mojibake_planted(read_table(spark, sf, "documents"))
+        old = planted.where(F.col("doc_id") % 13 != 0)
+        new = (
+            fix_mojibake(planted)
+            .select("doc_id", F.col("text_fixed").alias("text"))
+            .where(F.col("doc_id") % 11 != 0)
+        )
+        return pl.table_diff_summary(old, new, ["doc_id"], ["text"])
+
     def corpus_curation_v3(spark, sf):
         """The FULL modern curation ladder in ONE declarative plan —
         extraction-era cleanup composed with the quality/dedup stages:
@@ -3263,16 +3284,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 late additions: BM25 retrieval, supplier PageRank,
         # int8 quantization recall audit, per-key OLS value trend,
         # JL random projection, market-basket co-purchase affinity,
-        # degree-ordered triangle counting                                (7)
+        # degree-ordered triangle counting, snapshot regression diff     (8)
         bm25_search, supplier_pagerank, ann_int8_recall, events_value_trend,
-        emb_rp_project, part_copurchase, part_triangles,
+        emb_rp_project, part_copurchase, part_triangles, docs_snapshot_diff,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
         # the r7 registration comment, oldest-verified-first; displaced
-        # tail entries carry ORACLE_SWEEP_r08 rows instead              (13)
+        # tail entries carry ORACLE_SWEEP_r08 rows instead              (12)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
-        order_priorities, events_windowed,
+        order_priorities,
         # --- the 50-entry truncation lands exactly here ---
+        events_windowed,
         events_stream,
         dedup_exact,
         ann_topk,
@@ -3964,6 +3986,39 @@ def oracle_sql() -> dict[str, str]:
                (length(fx) - length(regexp_replace(fx, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')))::BIGINT AS n_ctrl,
                regexp_replace(fx, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g') AS text_fixed
         FROM rep
+    """
+
+    # docs_snapshot_diff: the same planted+repair chain feeds both
+    # snapshot sides; fingerprints use the identical concat_ws(US) md5,
+    # so the four status counts hash-match.
+    o["docs_snapshot_diff"] = f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 7 = 0
+                       THEN '{_mj_art}' || text || '{_mj_tail}'
+                       ELSE text END) ||
+                 (CASE WHEN doc_id % 5 = 0 THEN chr(7) ELSE '' END) AS text
+          FROM documents),
+        rep AS (SELECT doc_id, {_mj_fixed} AS fx FROM planted),
+        newt AS (
+          SELECT doc_id,
+                 regexp_replace(fx, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g') AS text
+          FROM rep WHERE doc_id % 11 <> 0),
+        oldt AS (SELECT doc_id, text FROM planted WHERE doc_id % 13 <> 0),
+        ofp AS (SELECT doc_id,
+                       md5(concat_ws(chr(31), coalesce(text, chr(30) || 'NULL'))) AS old_fp
+                FROM oldt),
+        nfp AS (SELECT doc_id,
+                       md5(concat_ws(chr(31), coalesce(text, chr(30) || 'NULL'))) AS new_fp
+                FROM newt),
+        j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp
+              FROM ofp o FULL JOIN nfp n ON o.doc_id = n.doc_id)
+        SELECT CASE WHEN old_fp IS NULL THEN 'added'
+                    WHEN new_fp IS NULL THEN 'removed'
+                    WHEN old_fp = new_fp THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               count(*)::BIGINT AS n
+        FROM j GROUP BY 1
     """
 
     o["docs_bpe_fertility"] = f"""

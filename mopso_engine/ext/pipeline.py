@@ -1156,3 +1156,66 @@ def ols_trend(
         F.floor(slope * F.lit(1e9) + F.lit(0.5)).cast("long").alias("slope_nano"),
         F.floor(intercept + F.lit(0.5)).cast("long").alias("intercept_micro"),
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """Snapshot diff between two versions of a table — the regression
+    audit every pipeline change needs before it ships: which keys were
+    ``added``, ``removed``, ``changed``, ``unchanged``? (The relational
+    twin of a dataset-version diff in a lakehouse changelog.)
+
+    Payload equality compares an md5 fingerprint of the payload columns
+    (concat_ws on an ASCII unit separator, NULLs mapped to an explicit
+    sentinel so NULL ≠ '' ≠ absent). Payload columns should be strings
+    or cast cross-engine-stably by the caller — numeric→string rendering
+    is engine-specific. Keys must be non-null.
+
+    Physical shape (100 TB): fingerprints are computed map-side next to
+    each scan, so the ONLY data movement is the full-outer key join (one
+    shuffle per side, AQE-skew-safe); nothing wide survives the join —
+    just keys + two 32-char fingerprints.
+
+    Returns (key_cols..., status) with status in
+    {'added','removed','changed','unchanged'}.
+    """
+    if not key_cols or not payload_cols:
+        raise ValueError("key_cols and payload_cols must be non-empty")
+    sep, nul = "\x1f", "\x1eNULL"  # unit-sep / record-sep sentinels (NUL
+    # bytes are rejected by some engines' VARCHARs, so the NULL sentinel
+    # leads with \x1e instead)
+
+    def fp(df: DataFrame, alias: str) -> DataFrame:
+        parts = [F.coalesce(F.col(c).cast("string"), F.lit(nul)) for c in payload_cols]
+        return df.select(
+            *[F.col(k) for k in key_cols],
+            F.md5(F.concat_ws(sep, *parts)).alias(alias),
+        )
+
+    j = fp(old, "old_fp").join(fp(new, "new_fp"), key_cols, "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*key_cols, status.alias("status"))
+
+
+def table_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """Status counts of :func:`table_diff` — the one-line regression
+    gate ('this refactor changed 0 rows'). Returns (status, n)."""
+    return (
+        table_diff(old, new, key_cols, payload_cols)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1055,3 +1055,44 @@ class TestOlsTrend:
         assert got["solo"]["slope_nano"] is None
         assert got["same_x"]["slope_nano"] is None
         assert got["same_x"]["n"] == 2
+
+
+class TestTableDiff:
+    def test_all_four_statuses(self, spark):
+        from mopso_engine.ext.pipeline import table_diff, table_diff_summary
+
+        old = spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y"), (3, "c", "z"), (4, None, "w")],
+            "id long, p string, q string",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", "x"), (2, "B", "y"), (5, "e", "v"), (4, "", "w")],
+            "id long, p string, q string",
+        )
+        got = {
+            r["id"]: r["status"]
+            for r in table_diff(old, new, ["id"], ["p", "q"]).collect()
+        }
+        # id 4: NULL -> '' must count as CHANGED (sentinel distinguishes)
+        assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                       4: "changed", 5: "added"}
+        counts = {
+            r["status"]: r["n"]
+            for r in table_diff_summary(old, new, ["id"], ["p", "q"]).collect()
+        }
+        assert counts == {"unchanged": 1, "changed": 2, "removed": 1, "added": 1}
+
+    def test_identical_snapshots_all_unchanged(self, spark, docs):
+        from mopso_engine.ext.pipeline import table_diff_summary
+
+        counts = {
+            r["status"]: r["n"]
+            for r in table_diff_summary(docs, docs, ["doc_id"], ["text", "lang"]).collect()
+        }
+        assert list(counts) == ["unchanged"]
+
+    def test_guard(self, spark, docs):
+        from mopso_engine.ext.pipeline import table_diff
+
+        with pytest.raises(ValueError):
+            table_diff(docs, docs, [], ["text"])

@@ -341,6 +341,12 @@ COMMENTS = {
     "LeftSemi equality join on the oriented (v, w) pair, and the "
     "per-node counts are one UNION ALL + HashAggregate -- every shuffle "
     "keyed, hub fan-out structurally capped.",
+    "docs_snapshot_diff": "Snapshot diff: both snapshots reduce "
+    "map-side to (key, md5 fingerprint) before any movement, the "
+    "full-outer SortMergeJoin on the key is the only exchange pair, "
+    "and the status classification + count is a tiny aggregate -- wide "
+    "payloads never shuffle, so the diff costs two narrow scans plus "
+    "one key join at any corpus width.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
