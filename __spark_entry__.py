@@ -3043,6 +3043,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             read_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=10
         )
 
+    def ann_matryoshka_recall(spark, sf):
+        """Recall@10 audit of prefix-dimension (Matryoshka) truncation
+        (`ext.simsearch.prefix_topk_recall`): per pinned query (ids
+        0-4), |full-64-dim top-10 ∩ first-16-dim top-10|. Both keys are
+        order-free integer micro contribution sums from ONE map-only
+        Arrow scan; the oracle slices the arrays to the prefix. Prices
+        the d/m index-memory saving against its recall loss."""
+        return ss.prefix_topk_recall(
+            read_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=10, prefix_dims=16
+        )
+
     def ann_ivf(spark, sf):
         """IVF top-5 (probe 3 of 10 label-centroid cells) for query ids 0-4."""
         return ss.cosine_topk_ivf(read_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=5, nprobe=3)
@@ -3284,16 +3295,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 late additions: BM25 retrieval, supplier PageRank,
         # int8 quantization recall audit, per-key OLS value trend,
         # JL random projection, market-basket co-purchase affinity,
-        # degree-ordered triangle counting, snapshot regression diff     (8)
+        # degree-ordered triangle counting, snapshot regression diff,
+        # Matryoshka prefix-truncation recall audit                       (9)
         bm25_search, supplier_pagerank, ann_int8_recall, events_value_trend,
         emb_rp_project, part_copurchase, part_triangles, docs_snapshot_diff,
+        ann_matryoshka_recall,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
         # the r7 registration comment, oldest-verified-first; displaced
-        # tail entries carry ORACLE_SWEEP_r08 rows instead              (12)
+        # tail entries carry ORACLE_SWEEP_r08 rows instead              (11)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
-        order_priorities,
         # --- the 50-entry truncation lands exactly here ---
+        order_priorities,
         events_windowed,
         events_stream,
         dedup_exact,
@@ -6150,6 +6163,39 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT query_id, nbr_id FROM rka WHERE rk <= 10) a
           USING (query_id, nbr_id)
         GROUP BY e.query_id
+    """
+
+    # ann_matryoshka_recall: the prefix key replays via array slices
+    # v[1:16]; both keys are order-free integer micro sums.
+    o["ann_matryoshka_recall"] = f"""
+        WITH {_ann_base},
+        pr AS (
+          SELECT q.qid AS query_id, p.vec_id AS nbr_id,
+                 unnest(p.v) AS x, unnest(q.qv) AS y
+          FROM p, q WHERE p.vec_id <> q.qid),
+        prp AS (
+          SELECT q.qid AS query_id, p.vec_id AS nbr_id,
+                 unnest(p.v[1:16]) AS x, unnest(q.qv[1:16]) AS y
+          FROM p, q WHERE p.vec_id <> q.qid),
+        df_full AS (
+          SELECT query_id, nbr_id,
+                 sum(CAST(floor(x*y*1e6 + 0.5) AS BIGINT))::BIGINT AS dot_full
+          FROM pr GROUP BY 1, 2),
+        df_pref AS (
+          SELECT query_id, nbr_id,
+                 sum(CAST(floor(x*y*1e6 + 0.5) AS BIGINT))::BIGINT AS dot_pref
+          FROM prp GROUP BY 1, 2),
+        rkf AS (SELECT query_id, nbr_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY dot_full DESC, nbr_id) AS rk
+                FROM df_full),
+        rkp AS (SELECT query_id, nbr_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY dot_pref DESC, nbr_id) AS rk
+                FROM df_pref)
+        SELECT f.query_id, count(p2.nbr_id)::BIGINT AS overlap, 10 AS k
+        FROM (SELECT query_id, nbr_id FROM rkf WHERE rk <= 10) f
+        LEFT JOIN (SELECT query_id, nbr_id FROM rkp WHERE rk <= 10) p2
+          USING (query_id, nbr_id)
+        GROUP BY f.query_id
     """
 
     o["ann_ivf"] = f"""

@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "part_triangles",
     # round-8: snapshot regression diff (fp map-side, one full-outer join)
     "docs_snapshot_diff",
+    # round-8: Matryoshka prefix recall audit (one scan, two windows)
+    "ann_matryoshka_recall",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

@@ -1173,3 +1173,99 @@ def int8_topk_recall(
         .agg(F.count("hit").alias("overlap"))
         .select("query_id", "overlap", F.lit(int(k)).alias("k"))
     )
+
+
+def prefix_topk_recall(
+    embeddings: DataFrame, query_ids: list[int], *, k: int = 10, prefix_dims: int = 16
+) -> DataFrame:
+    """Recall audit for PREFIX-dimension truncation — the
+    Matryoshka-representation serving trick (keep the first m dims of a
+    d-dim embedding, cutting index memory and dot cost by d/m): per
+    pinned query, the overlap between the full-dimension dot-product
+    top-k and the first-``prefix_dims`` top-k.
+
+    Exactness: both ranking keys are order-free integer micro-quantized
+    contribution sums (floor(x·y·1e6+.5) per term), ties break to the
+    smaller nbr_id — the same discipline as :func:`int8_topk_recall`,
+    so rankings and overlaps hash-match the SQL replay (which slices the
+    arrays to the prefix).
+
+    100 TB shape: pinned query vectors ride the Arrow closure (guarded
+    by MAX_INT8_QUERIES), ONE map-only corpus scan emits both keys, two
+    WindowGroupLimit rankings and a tiny per-query aggregate finish.
+
+    Returns (query_id, overlap, k).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    if len(query_ids) > MAX_INT8_QUERIES:
+        raise ValueError(
+            f"{len(query_ids)} query ids > MAX_INT8_QUERIES ({MAX_INT8_QUERIES})"
+        )
+    if prefix_dims < 1:
+        raise ValueError(f"prefix_dims must be >= 1, got {prefix_dims}")
+    vecs = as_double_vecs(
+        embeddings
+        if "label" in embeddings.columns
+        else embeddings.withColumn("label", F.lit(0))
+    ).select("vec_id", "vec")
+    qrows = (
+        vecs.where(F.col("vec_id").isin([int(i) for i in query_ids]))
+        .orderBy("vec_id")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in qrows])
+    m = int(prefix_dims)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["vec"].to_numpy())
+            ids = pdf["vec_id"].to_numpy()
+            n, d = A.shape
+            full = np.zeros((n, len(qids)), dtype=np.int64)
+            pref = np.zeros((n, len(qids)), dtype=np.int64)
+            for i in range(d):  # per-term floor -> order-free integers
+                c = np.floor(A[:, i : i + 1] * Q[None, :, i] * 1e6 + 0.5).astype(
+                    np.int64
+                )
+                full += c
+                if i < m:
+                    pref += c
+            yield pd.DataFrame(
+                {
+                    "nbr_id": np.repeat(ids, len(qids)),
+                    "query_id": np.tile(qids, n),
+                    "dot_full": full.reshape(-1),
+                    "dot_pref": pref.reshape(-1),
+                }
+            )
+
+    scored = vecs.mapInPandas(
+        kernel, "nbr_id long, query_id long, dot_full long, dot_pref long"
+    ).where(F.col("nbr_id") != F.col("query_id"))
+    wf = Window.partitionBy("query_id").orderBy(F.desc("dot_full"), F.asc("nbr_id"))
+    wp = Window.partitionBy("query_id").orderBy(F.desc("dot_pref"), F.asc("nbr_id"))
+    full_top = (
+        scored.withColumn("rk", F.row_number().over(wf))
+        .where(F.col("rk") <= k)
+        .select("query_id", "nbr_id")
+    )
+    pref_top = (
+        scored.withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") <= k)
+        .select("query_id", "nbr_id")
+    )
+    return (
+        full_top.join(
+            pref_top.withColumn("hit", F.lit(1)), ["query_id", "nbr_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("overlap"))
+        .select("query_id", "overlap", F.lit(int(k)).alias("k"))
+    )

@@ -2746,3 +2746,45 @@ class TestInt8Recall:
             ss.int8_topk_recall(df, [])
         with pytest.raises(ValueError):
             ss.int8_topk_recall(df, list(range(ss.MAX_INT8_QUERIES + 1)))
+
+
+class TestMatryoshkaRecall:
+    def test_python_replay_on_testdata(self, emb):
+        sample = emb.orderBy("vec_id").limit(50).cache()
+        rows = sample.collect()
+        ids = [r["vec_id"] for r in rows]
+        X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        got = {
+            r["query_id"]: r["overlap"]
+            for r in ss.prefix_topk_recall(
+                sample, [0, 1], k=6, prefix_dims=8
+            ).collect()
+        }
+        want = {}
+        for qi in (0, 1):
+            qv = X[ids.index(qi)]
+            rowsr = []
+            for vid, v in zip(ids, X):
+                if vid == qi:
+                    continue
+                c = np.floor(v * qv * 1e6 + 0.5).astype(np.int64)
+                rowsr.append((vid, int(c.sum()), int(c[:8].sum())))
+            top_f = {v for v, _, _ in sorted(rowsr, key=lambda r: (-r[1], r[0]))[:6]}
+            top_p = {v for v, _, _ in sorted(rowsr, key=lambda r: (-r[2], r[0]))[:6]}
+            want[qi] = len(top_f & top_p)
+        assert got == want
+
+    def test_full_prefix_is_perfect_recall(self, spark):
+        rows = [(i, [float(j + i) for j in range(4)]) for i in range(10)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["query_id"]: r for r in ss.prefix_topk_recall(
+            df, [0], k=4, prefix_dims=4
+        ).collect()}
+        assert out[0]["overlap"] == 4
+
+    def test_guards(self, spark):
+        df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError):
+            ss.prefix_topk_recall(df, [])
+        with pytest.raises(ValueError):
+            ss.prefix_topk_recall(df, [0], prefix_dims=0)

@@ -347,6 +347,11 @@ COMMENTS = {
     "and the status classification + count is a tiny aggregate -- wide "
     "payloads never shuffle, so the diff costs two narrow scans plus "
     "one key join at any corpus width.",
+    "ann_matryoshka_recall": "Matryoshka audit: one map-only Arrow scan "
+    "emits BOTH ranking keys (full and prefix integer micro dots), the "
+    "two per-query rankings execute as WindowGroupLimit heaps over the "
+    "same scored stream, and the overlap is a tiny per-query aggregate "
+    "-- same single-scan shape as the int8 audit.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
