@@ -782,6 +782,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return triangle_counts(pairs, src_col="x", dst_col="y")
 
+    def supplier_ppr(spark, sf):
+        """Personalized PageRank from suppliers 1-3
+        (`ext.graph.pagerank(seeds=...)`): rank mass starts on the seed
+        suppliers and the teleport term returns only to them, so units
+        measure PROXIMITY to the seeds — the "customers most related to
+        these suppliers" query, top-30. Identical one-live-exchange
+        iteration shape as supplier_pagerank; the seed test is a
+        broadcast literal IN-list."""
+        from mopso_engine.ext.graph import pagerank
+
+        li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+        orders = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        pairs = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .select(
+                F.col("o_custkey").alias("cust"),
+                (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("supp"),
+            )
+            .distinct()
+        )
+        edges = pairs.select(
+            F.col("cust").alias("src"), F.col("supp").alias("dst")
+        ).union(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+        pr = pagerank(
+            edges,
+            iters=6,
+            damping_pct=85,
+            seeds=[1_000_000_001, 1_000_000_002, 1_000_000_003],
+        )
+        return (
+            pr.where(F.col("node") < 1_000_000_000)
+            .select(F.col("node").alias("custkey"), "units")
+            .orderBy(F.desc("units"), F.asc("custkey"))
+            .limit(30)
+        )
+
     def tfidf_terms(spark, sf):
         """Per-doc top-3 terms by smoothed TF-IDF (`ext.text.tfidf_top_terms`)
         — keyword extraction as two map-side-combined count shuffles, a
@@ -3296,16 +3332,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # int8 quantization recall audit, per-key OLS value trend,
         # JL random projection, market-basket co-purchase affinity,
         # degree-ordered triangle counting, snapshot regression diff,
-        # Matryoshka prefix-truncation recall audit                       (9)
+        # Matryoshka prefix-truncation recall audit, personalized
+        # PageRank                                                       (10)
         bm25_search, supplier_pagerank, ann_int8_recall, events_value_trend,
         emb_rp_project, part_copurchase, part_triangles, docs_snapshot_diff,
-        ann_matryoshka_recall,
+        ann_matryoshka_recall, supplier_ppr,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
         # the r7 registration comment, oldest-verified-first; displaced
-        # tail entries carry ORACLE_SWEEP_r08 rows instead              (11)
+        # tail entries carry ORACLE_SWEEP_r08 rows instead              (10)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
-        minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
+        minmax_norm, q1_pricing, q3_shipping, nation_revenue,
         # --- the 50-entry truncation lands exactly here ---
+        top_parts,
         order_priorities,
         events_windowed,
         events_stream,
@@ -4793,6 +4831,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN edges e ON p.node = e.src
             JOIN deg d ON d.src = e.src
             GROUP BY e.dst) i USING (node))"""
+    # supplier_ppr: the same unrolled replay with a seed-restricted
+    # teleport/init (CASE ... IN seed-list), mirroring pagerank(seeds=).
+    _ppr_seeds = "(1000000001, 1000000002, 1000000003)"
+    _ppr_cte = (
+        f"pr0 AS (SELECT node, (CASE WHEN node IN {_ppr_seeds} "
+        "THEN 1000000 ELSE 0 END)::BIGINT AS units FROM nodes)"
+    )
+    for _i in range(1, 7):
+        _ppr_cte += f""",
+        pr{_i} AS (
+          SELECT n.node,
+                 ((CASE WHEN n.node IN {_ppr_seeds} THEN 150000 ELSE 0 END)
+                  + (85 * COALESCE(i.inc, 0)) // 100)::BIGINT AS units
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(p.units // d.outdeg)::BIGINT AS inc
+            FROM pr{_i - 1} p
+            JOIN edges e ON p.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) i USING (node))"""
+    o["supplier_ppr"] = f"""
+        WITH pairs AS (
+          SELECT DISTINCT o.o_custkey AS cust,
+                 l.l_suppkey + 1000000000 AS supp
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        edges AS (
+          SELECT cust AS src, supp AS dst FROM pairs
+          UNION ALL
+          SELECT supp AS src, cust AS dst FROM pairs),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst AS node FROM edges),
+        deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+        {_ppr_cte}
+        SELECT node AS custkey, units
+        FROM pr6 WHERE node < 1000000000
+        ORDER BY units DESC, custkey LIMIT 30
+    """
+
     o["supplier_pagerank"] = f"""
         WITH pairs AS (
           SELECT DISTINCT o.o_custkey AS cust,

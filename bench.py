@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "docs_snapshot_diff",
     # round-8: Matryoshka prefix recall audit (one scan, two windows)
     "ann_matryoshka_recall",
+    # round-8: personalized PageRank (seed teleport, same loop)
+    "supplier_ppr",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

@@ -55,6 +55,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     num_partitions: int | None = None,
+    seeds: list[int] | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank over a directed edge table.
 
@@ -87,6 +88,13 @@ def pagerank(
     ``num_partitions`` must match the session's shuffle partitions for
     the aggregate's exchange to co-partition with the cached node list
     (the default reads it from the session conf).
+
+    ``seeds``: when given, runs PERSONALIZED PageRank — rank mass starts
+    on the seed set only and the teleport term returns only to seeds, so
+    ``units`` measures proximity to the seeds ("related entities")
+    rather than global centrality. Same integer arithmetic; the seed
+    membership test is a broadcast literal IN-list (keep seed sets
+    small — that is what personalization means).
 
     Returns (node BIGINT, units BIGINT) — rank in integer micro-units,
     persisted (registered with :func:`clear_pagerank_caches`).
@@ -121,7 +129,17 @@ def pagerank(
     )
 
     teleport = (100 - damping_pct) * unit // 100
-    ranks = nodes.select("node", F.lit(int(unit)).cast("long").alias("units"))
+    if seeds is not None:
+        if not seeds:
+            raise ValueError("seeds must be non-empty when given")
+        seed_list = [int(s) for s in seeds]
+        is_seed = F.col("node").isin(seed_list)
+        tele_col = F.when(is_seed, F.lit(int(teleport))).otherwise(F.lit(0)).cast("long")
+        init_col = F.when(is_seed, F.lit(int(unit))).otherwise(F.lit(0)).cast("long")
+    else:
+        tele_col = F.lit(int(teleport)).cast("long")
+        init_col = F.lit(int(unit)).cast("long")
+    ranks = nodes.select("node", init_col.alias("units"))
     prev: DataFrame | None = None
     for _ in range(iters):
         inc = (
@@ -138,7 +156,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(int(teleport))
+                    tele_col
                     + F.expr(
                         f"({int(damping_pct)} * coalesce(inc, 0L)) div 100"
                     )

@@ -261,3 +261,49 @@ class TestTriangleCounts:
         edges = [(a, 100 + b) for a in range(5) for b in range(5)]
         df = spark.createDataFrame(edges, "src long, dst long")
         assert triangle_counts(df).count() == 0
+
+
+def _ppr_py(edges, seeds, iters=6, damping_pct=85, unit=1_000_000):
+    """Integer replay of the seed-personalized update rule."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    teleport = (100 - damping_pct) * unit // 100
+    units = {n: (unit if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        inc = {n: 0 for n in nodes}
+        for s, d in edges:
+            inc[d] += units[s] // outdeg[s]
+        units = {
+            n: (teleport if n in seeds else 0) + (damping_pct * inc[n]) // 100
+            for n in nodes
+        }
+    return units
+
+
+class TestPersonalizedPagerank:
+    def test_matches_python_replay(self, spark):
+        df = spark.createDataFrame(FIXTURE, "src long, dst long")
+        got = {
+            r["node"]: r["units"]
+            for r in pagerank(df, iters=5, seeds=[6]).collect()
+        }
+        assert got == _ppr_py(FIXTURE, {6}, iters=5)
+
+    def test_mass_localizes_to_seed_component(self, spark):
+        df = spark.createDataFrame(FIXTURE, "src long, dst long")
+        got = {
+            r["node"]: r["units"]
+            for r in pagerank(df, iters=6, seeds=[6]).collect()
+        }
+        # the 6-7 cycle holds all the mass; the disconnected hub
+        # component receives none
+        assert got[6] > 0 and got[7] > 0
+        assert all(got[n] == 0 for n in (1, 2, 3, 4, 5, 9))
+
+    def test_empty_seed_list_rejected(self, spark):
+        df = spark.createDataFrame(FIXTURE, "src long, dst long")
+        with pytest.raises(ValueError):
+            pagerank(df, seeds=[])

@@ -352,6 +352,11 @@ COMMENTS = {
     "two per-query rankings execute as WindowGroupLimit heaps over the "
     "same scored stream, and the overlap is a tiny per-query aggregate "
     "-- same single-scan shape as the int8 audit.",
+    "supplier_ppr": "Personalized PageRank: identical per-iteration "
+    "shape to supplier_pagerank (cached partitioned inputs, ONE live "
+    "groupBy(dst) exchange per round) -- the personalization is a "
+    "seed-restricted init/teleport expression folded into the patch "
+    "projection, costing nothing extra at any scale.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
