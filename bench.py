@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "ann_matryoshka_recall",
     # round-8: personalized PageRank (seed teleport, same loop)
     "supplier_ppr",
+    # round-8: bit-shift decayed trending (one combinable key sum)
+    "events_trending",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

@@ -1219,3 +1219,59 @@ def table_diff_summary(
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def decayed_topk(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    half_life_s: int = 259_200,
+    k: int = 20,
+    unit: int = 1_000_000,
+    max_shift: int = 19,
+) -> DataFrame:
+    """Recency-decayed activity ranking — the "trending now" query:
+    every event contributes a weight that HALVES per ``half_life_s`` of
+    age, and keys rank by their decayed sum, so a burst yesterday beats
+    steady noise last month.
+
+    Exactness (the trick): decay is a POWER-OF-TWO BIT SHIFT on integer
+    micro-units — weight = unit >> min(age div half_life, max_shift) —
+    i.e. the half-life curve quantized to its bucket floor. No pow(),
+    no exp(), therefore no cross-engine transcendental drift: the score
+    is an exact integer sum under any partitioning. The reference
+    instant is the corpus max timestamp (a broadcast scalar derived
+    from the data, so the operator is deterministic and replayable —
+    no wall clock).
+
+    100 TB shape: one tiny max-ts aggregate broadcast to a map-only
+    weight projection, ONE map-side-combined key sum, TakeOrdered top-k.
+    The same weight expression drops into a streaming micro-batch
+    unchanged (the reference instant then becomes the watermark).
+
+    Returns top-``k`` (key, score_micro, n_events) by
+    (score desc, key asc).
+    """
+    if half_life_s <= 0:
+        raise ValueError(f"half_life_s must be positive, got {half_life_s}")
+    x_us = F.floor(F.col(ts_col).cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    base = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(key_col).alias("key"), x_us.alias("x_us")
+    )
+    ref = base.agg(F.max("x_us").alias("ref_us"))
+    hl_us = int(half_life_s) * 1_000_000
+    weight = F.expr(
+        f"shiftright(CAST({int(unit)} AS BIGINT), "
+        f"CAST(LEAST((ref_us - x_us) div {hl_us}, {int(max_shift)}) AS INT))"
+    )
+    return (
+        base.crossJoin(F.broadcast(ref))
+        .select("key", weight.alias("w"))
+        .groupBy("key")
+        .agg(F.sum("w").alias("score_micro"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("score_micro"), F.asc("key"))
+        .limit(k)
+    )

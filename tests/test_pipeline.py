@@ -1096,3 +1096,60 @@ class TestTableDiff:
 
         with pytest.raises(ValueError):
             table_diff(docs, docs, [], ["text"])
+
+
+class TestDecayedTopk:
+    def test_python_replay_and_bucket_floors(self, spark):
+        from mopso_engine.ext.pipeline import decayed_topk
+
+        t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+        day = dt.timedelta(days=1)
+        rows = (
+            # "hot": 3 events in the last half-life window (age bucket 0)
+            [("hot", t0), ("hot", t0 - day), ("hot", t0 - 2 * day)]
+            # "steady": 6 events spread over 18 days (buckets 0..6)
+            + [("steady", t0 - i * 3 * day) for i in range(6)]
+            # "ancient": many events, all maximally decayed
+            + [("ancient", t0 - 100 * day)] * 8
+            + [("null", None)]
+        )
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+        out = decayed_topk(df, "user_id", "ts", half_life_s=3 * 86400, k=10).collect()
+        got = {r["key"]: (r["score_micro"], r["n_events"]) for r in out}
+
+        # exact replay: bucket = age // half_life, weight = 1e6 >> min(b, 19)
+        ref = max(r[1] for r in rows if r[1] is not None)
+        import math
+
+        def score(ts_list):
+            s = 0
+            for t in ts_list:
+                b = int(
+                    (math.floor(ref.timestamp() * 1e6 + 0.5)
+                     - math.floor(t.timestamp() * 1e6 + 0.5))
+                    // (3 * 86400 * 1_000_000)
+                )
+                s += 1_000_000 >> min(b, 19)
+            return s
+
+        per_key = {}
+        for k2, t in rows:
+            if t is not None:
+                per_key.setdefault(k2, []).append(t)
+        assert got == {k2: (score(v), len(v)) for k2, v in per_key.items()}
+        # a recent burst outranks old volume
+        assert got["hot"][0] > got["ancient"][0]
+        # max_shift floor: 8 ancient events still score 8 * (1e6 >> 19)
+        assert got["ancient"][0] == 8 * (1_000_000 >> 19)
+
+    def test_order_and_guard(self, spark):
+        from mopso_engine.ext.pipeline import decayed_topk
+
+        t0 = dt.datetime(2024, 6, 1)
+        df = spark.createDataFrame(
+            [("b", t0), ("a", t0)], "user_id string, ts timestamp"
+        )
+        out = decayed_topk(df, "user_id", "ts", k=2).collect()
+        assert [r["key"] for r in out] == ["a", "b"]  # tie -> key asc
+        with pytest.raises(ValueError):
+            decayed_topk(df, "user_id", "ts", half_life_s=0)

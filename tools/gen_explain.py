@@ -357,6 +357,16 @@ COMMENTS = {
     "groupBy(dst) exchange per round) -- the personalization is a "
     "seed-restricted init/teleport expression folded into the patch "
     "projection, costing nothing extra at any scale.",
+    "events_trending": "Decayed trending: the corpus-max reference is a "
+    "one-row broadcast scalar, the half-life decay is an integer bit "
+    "shift inside the map-side projection (no pow/exp), the per-key sum "
+    "is ONE map-side-combined HashAggregate, and the top-20 is "
+    "TakeOrderedAndProject -- two tiny exchanges total at any scale.",
+    "assets_packed": "Multimodal batch packing: byte counts come from "
+    "the binary column's metadata (octet_length, no decode), the md5 "
+    "shard assignment is map-side, and the one window cumsum per shard "
+    "is the only exchange -- identical shape to docs_packed, "
+    "re-budgeted by payload bytes.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
