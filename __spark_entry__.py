@@ -2177,6 +2177,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = read_events(spark, os.path.join(sf, "events.parquet"))
         return pl.funnel_counts(ev, ["view", "click", "purchase"])
 
+    def codes_neardup(spark, sf):
+        """Fixed-format key entity resolution
+        (`ext.dedup.fixed_key_neardup_pairs`): md5-derived 12-char codes
+        with PLANTED mutated twins (every 10th doc gains a copy with
+        position 3 rewritten; every 20th also position 9 — hamming 1-2
+        by construction) are re-paired via pigeonhole segment banding —
+        3 contiguous segments, so any hamming-≤2 equal-length pair
+        matches at least one whole segment (guaranteed recall) — with
+        exact levenshtein verify on candidates only. Map-only posexplode
+        banding, equality self-join, never a cross product."""
+        from mopso_engine.ext import dedup as dd
+
+        base = read_table(spark, sf, "documents").select(
+            "doc_id",
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#code"))),
+                1,
+                12,
+            ).alias("code"),
+        )
+        tw = (
+            base.where(F.col("doc_id") % 10 == 0)
+            .select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.expr("concat(substr(code,1,2),'z',substr(code,4,9))").alias("code"),
+            )
+            .select(
+                "doc_id",
+                F.when(
+                    (F.col("doc_id") - 1_000_000) % 20 == 0,
+                    F.expr("concat(substr(code,1,8),'q',substr(code,10,3))"),
+                )
+                .otherwise(F.col("code"))
+                .alias("code"),
+            )
+        )
+        return dd.fixed_key_neardup_pairs(
+            base.union(tw), "doc_id", "code", max_dist=2
+        )
+
     def events_trending(spark, sf):
         """Recency-decayed trending users (`ext.pipeline.decayed_topk`):
         each event's weight halves per 3-day half-life via an integer
@@ -3368,16 +3408,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # degree-ordered triangle counting, snapshot regression diff,
         # Matryoshka prefix-truncation recall audit, personalized
         # PageRank, multimodal byte-budget batch packing, bit-shift
-        # decayed trending                                               (12)
+        # decayed trending, fixed-key entity resolution                  (13)
         bm25_search, supplier_pagerank, ann_int8_recall, events_value_trend,
         emb_rp_project, part_copurchase, part_triangles, docs_snapshot_diff,
         ann_matryoshka_recall, supplier_ppr, assets_packed, events_trending,
+        codes_neardup,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
         # the r7 registration comment, oldest-verified-first; displaced
-        # tail entries carry ORACLE_SWEEP_r08 rows instead               (8)
+        # tail entries carry ORACLE_SWEEP_r08 rows instead               (7)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
-        minmax_norm, q1_pricing,
+        minmax_norm,
         # --- the 50-entry truncation lands exactly here ---
+        q1_pricing,
         q3_shipping, nation_revenue,
         top_parts,
         order_priorities,
@@ -4375,6 +4417,44 @@ def oracle_sql() -> dict[str, str]:
                sum(cl)::BIGINT AS n_clamped_lo, sum(ch)::BIGINT AS n_clamped_hi,
                round(sum(floor(cv * 1e6 + 0.5)::BIGINT) / (1e6 * count(*)), 6) AS mean_winsorized
         FROM j GROUP BY 1
+    """
+
+    # codes_neardup: planted codes re-derive from md5 in SQL; banding,
+    # candidate join, and levenshtein verify replay verbatim.
+    o["codes_neardup"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 substr(md5(doc_id::VARCHAR || '#code'), 1, 12) AS code
+          FROM documents),
+        tw0 AS (
+          SELECT doc_id + 1000000 AS doc_id, doc_id AS orig,
+                 concat(substr(code,1,2), 'z', substr(code,4,9)) AS code
+          FROM base WHERE doc_id % 10 = 0),
+        tw AS (
+          SELECT doc_id,
+                 CASE WHEN orig % 20 = 0
+                      THEN concat(substr(code,1,8), 'q', substr(code,10,3))
+                      ELSE code END AS code
+          FROM tw0),
+        allc AS (SELECT doc_id, code FROM base
+                 UNION ALL SELECT doc_id, code FROM tw),
+        bands AS (
+          SELECT a.doc_id AS kid, length(a.code) AS l, i.range AS i,
+                 substr(a.code,
+                        ((i.range * length(a.code)) // 3)::INT + 1,
+                        (((i.range + 1) * length(a.code)) // 3
+                         - (i.range * length(a.code)) // 3)::INT) AS seg
+          FROM allc a, range(0, 3) i),
+        b2 AS (SELECT * FROM bands WHERE length(seg) > 0),
+        cand AS (
+          SELECT DISTINCT x.kid AS id_a, y.kid AS id_b
+          FROM b2 x JOIN b2 y
+            ON x.i = y.i AND x.l = y.l AND x.seg = y.seg AND x.kid < y.kid)
+        SELECT c.id_a, c.id_b, levenshtein(ka.code, kb.code)::INT AS lev
+        FROM cand c
+        JOIN allc ka ON ka.doc_id = c.id_a
+        JOIN allc kb ON kb.doc_id = c.id_b
+        WHERE levenshtein(ka.code, kb.code) <= 2
     """
 
     # events_trending: the bit-shift decay replays verbatim (>> in

@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "supplier_ppr",
     # round-8: bit-shift decayed trending (one combinable key sum)
     "events_trending",
+    # round-8: fixed-key entity resolution (segment banding + lev verify)
+    "codes_neardup",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

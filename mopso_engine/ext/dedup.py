@@ -1272,3 +1272,92 @@ def incremental_neardup(
         .where(F.col("jaccard") >= F.lit(float(threshold)))
         .select("new_id", "known_id", "n_bands", "jaccard")
     )
+
+
+def fixed_key_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    *,
+    max_dist: int = 2,
+    segments: int | None = None,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """Entity-resolution blocking for FIXED-FORMAT keys (ids, SKUs,
+    phone numbers, md5-ish codes): find id pairs whose keys are within
+    ``max_dist`` substitutions, without an all-pairs comparison.
+
+    Pigeonhole banding: each key splits into ``segments`` contiguous
+    character segments (default ``max_dist + 1``); two EQUAL-LENGTH keys
+    within Hamming distance ``max_dist`` must agree on at least one
+    whole segment, so the (segment_idx, length, segment_text) equality
+    self-join has GUARANTEED recall for the Hamming-≤d contract —
+    the same pigeonhole the SimHash banding uses on 64-bit fingerprints,
+    applied to raw strings. Candidates then verify with exact
+    ``levenshtein`` and pairs at distance ≤ ``max_dist`` survive
+    (levenshtein ≤ hamming, so every Hamming-close pair passes; pairs
+    that are levenshtein-close only through insert/delete shifts are
+    NOT guaranteed — this is a fixed-position key matcher, not a fuzzy
+    text matcher; use the n-gram/PPJoin family for free text).
+
+    ``max_band_df`` drops bands carrying more than that many keys (the
+    hot-shingle skew knob): with extra ``segments`` (> max_dist+1) a
+    pair still matches on ≥ segments − max_dist bands, so recall
+    survives as long as fewer than that many of its bands are hot —
+    document the trade when capping, exactly like ``max_shingle_df``.
+
+    100 TB shape: banding is a map-only posexplode; candidates come from
+    an equality self-join on the band key (never a cross product); the
+    verify joins keys back by id and runs levenshtein on CANDIDATES
+    ONLY. Returns (id_a, id_b, lev) with id_a < id_b, lev ≤ max_dist,
+    deduped.
+    """
+    if max_dist < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    s = segments if segments is not None else max_dist + 1
+    if s < max_dist + 1:
+        raise ValueError(
+            f"segments must be >= max_dist + 1 (pigeonhole), got {s}"
+        )
+    keyed = df.select(
+        F.col(id_col).cast("long").alias("kid"), F.col(key_col).alias("key")
+    ).where(F.col(key_col).isNotNull())
+    l = "length(key)"
+    seg_exprs = [
+        F.expr(
+            f"substr(key, CAST(({i} * {l}) div {s} AS INT) + 1, "
+            f"CAST((({i + 1} * {l}) div {s}) - (({i} * {l}) div {s}) AS INT))"
+        ).alias(f"_s{i}")
+        for i in range(s)
+    ]
+    bands = keyed.select(
+        "kid", F.length("key").alias("l"), F.posexplode(F.array(*seg_exprs)).alias("i", "seg")
+    ).where(F.length("seg") > 0)
+    if max_band_df is not None:
+        hot = (
+            bands.groupBy("i", "l", "seg")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > int(max_band_df))
+            .select("i", "l", "seg")
+        )
+        bands = bands.join(F.broadcast(hot), ["i", "l", "seg"], "left_anti")
+    a = bands.select(F.col("i"), F.col("l"), F.col("seg"), F.col("kid").alias("id_a"))
+    b = bands.select(F.col("i"), F.col("l"), F.col("seg"), F.col("kid").alias("id_b"))
+    cand = (
+        a.join(b, ["i", "l", "seg"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ka = keyed.select(F.col("kid").alias("id_a"), F.col("key").alias("key_a"))
+    kb = keyed.select(F.col("kid").alias("id_b"), F.col("key").alias("key_b"))
+    return (
+        cand.join(ka, "id_a")
+        .join(kb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("key_a", "key_b").cast("int").alias("lev"),
+        )
+        .where(F.col("lev") <= int(max_dist))
+    )

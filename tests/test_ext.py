@@ -2788,3 +2788,72 @@ class TestMatryoshkaRecall:
             ss.prefix_topk_recall(df, [])
         with pytest.raises(ValueError):
             ss.prefix_topk_recall(df, [0], prefix_dims=0)
+
+
+class TestFixedKeyNeardup:
+    def test_recovers_all_planted_hamming_pairs(self, spark):
+        import random
+
+        rng = random.Random(23)
+        alpha = "abcdefghijklmnop"
+        rows = []
+        want = set()
+        for i in range(60):
+            s = "".join(rng.choice(alpha) for _ in range(12))
+            rows.append((i, s))
+            if i % 3 == 0:
+                # twin at hamming 1 or 2 (mutate to chars outside alpha)
+                t = list(s)
+                t[rng.randrange(12)] = "Z"
+                if i % 6 == 0:
+                    t[rng.randrange(12)] = "Q"
+                rows.append((1000 + i, "".join(t)))
+        df = spark.createDataFrame(rows, "doc_id long, code string")
+        got = {
+            (r["id_a"], r["id_b"]): r["lev"]
+            for r in dd.fixed_key_neardup_pairs(df, "doc_id", "code", max_dist=2).collect()
+        }
+        # brute-force: every pair at hamming <= 2 MUST be present
+        # (levenshtein <= hamming), with the exact levenshtein value
+        import itertools
+
+        def ham(a, b):
+            return sum(x != y for x, y in zip(a, b)) if len(a) == len(b) else 99
+
+        def lev(a, b):
+            d = list(range(len(b) + 1))
+            for i2, ca in enumerate(a, 1):
+                prev, d[0] = d[0], i2
+                for j2, cb in enumerate(b, 1):
+                    prev, d[j2] = d[j2], min(d[j2] + 1, d[j2 - 1] + 1, prev + (ca != cb))
+            return d[-1]
+
+        for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+            a2, b2 = min(ia, ib), max(ia, ib)
+            if ham(sa, sb) <= 2:
+                assert (a2, b2) in got, (a2, b2)
+                assert got[(a2, b2)] == lev(sa, sb)
+        # and nothing reported above the distance bound
+        assert all(v <= 2 for v in got.values())
+
+    def test_band_cap_with_extra_segments_keeps_recall(self, spark):
+        # keys share hot constant regions; with 6 segments and a cap
+        # that drops every >10-member band, the planted pair (mutations
+        # confined to a HOT segment) still agrees on the rare final
+        # segment ("000" shared only by the twins), so recall survives
+        # the cap exactly as documented.
+        rows = [(i, "CONSTPRE" + f"{i:08d}") for i in range(40)]
+        rows.append((100, "CONSTPRE" + "xy" + "000000"))  # twin of id 0
+        df = spark.createDataFrame(rows, "doc_id long, code string")
+        got = dd.fixed_key_neardup_pairs(
+            df, "doc_id", "code", max_dist=2, segments=6, max_band_df=10
+        ).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in got}
+        assert (0, 100) in pairs
+
+    def test_guards(self, spark):
+        df = spark.createDataFrame([(1, "ab")], "doc_id long, code string")
+        with pytest.raises(ValueError):
+            dd.fixed_key_neardup_pairs(df, "doc_id", "code", max_dist=0)
+        with pytest.raises(ValueError):
+            dd.fixed_key_neardup_pairs(df, "doc_id", "code", max_dist=2, segments=2)

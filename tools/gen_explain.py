@@ -367,6 +367,12 @@ COMMENTS = {
     "shard assignment is map-side, and the one window cumsum per shard "
     "is the only exchange -- identical shape to docs_packed, "
     "re-budgeted by payload bytes.",
+    "codes_neardup": "Fixed-key entity resolution: banding is a "
+    "map-only posexplode of d+1 substring segments, candidates come "
+    "from an equality self-join on (segment_idx, length, text) -- the "
+    "pigeonhole guarantees recall for hamming<=d without any cross "
+    "product -- and the exact levenshtein verify touches candidate "
+    "pairs only after an id-keyed key-fetch join.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
