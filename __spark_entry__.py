@@ -1057,6 +1057,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cur = pl.quota_sample(cur, "doc_id", "lang", 25, salt="cur3")
         return cur.select("doc_id", "lang", "n_tokens", "n_bpe_tokens")
 
+    def curation_funnel(spark, sf):
+        """Per-source curation funnel — "where do my docs die?": the
+        v3 ladder's gates evaluated as FLAGS (not filters) and folded
+        into ONE source-keyed aggregate of cumulative-AND counts
+        (total → +blocklist → +fertility → +gopher → +canonical). Same
+        expression-only/Arrow gate stages as corpus_curation_v3; the
+        report adds a single tiny source aggregate on top — the
+        quality-ops dashboard query."""
+        from mopso_engine.ext import bpe
+        from mopso_engine.ext.extract import fix_mojibake
+
+        docs = read_table(spark, sf, "documents")
+        fixed = (
+            fix_mojibake(_mojibake_planted(docs))
+            .join(docs.select("doc_id", "lang", "source"), "doc_id")
+            .select("doc_id", F.col("text_fixed").alias("text"), "lang", "source")
+        )
+        bl = tx.blocklist_filter(fixed)
+        fert = bpe.bpe_fertility(fixed)
+        rep = tx.repetition_stats_expr(fixed)
+        fp = fixed.select("doc_id", "source", F.md5(dd.normalized_text()).alias("fp"))
+        canon = fp.withColumn(
+            "canon", F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp"))
+        ).select("doc_id", "source", "canon")
+        p1 = F.col("blocklist_pass")
+        p2 = p1 & F.col("fertility_pass")
+        p3 = p2 & F.col("gopher_pass")
+        p4 = p3 & F.col("canon")
+        return (
+            canon.join(bl.select("doc_id", "blocklist_pass"), "doc_id")
+            .join(fert.select("doc_id", "fertility_pass"), "doc_id")
+            .join(rep.select("doc_id", "gopher_pass"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_total"),
+                F.sum(p1.cast("long")).alias("n_blocklist"),
+                F.sum(p2.cast("long")).alias("n_fertility"),
+                F.sum(p3.cast("long")).alias("n_gopher"),
+                F.sum(p4.cast("long")).alias("n_canonical"),
+            )
+        )
+
     def events_resampled(spark, sf):
         """Regular-grid resampling with forward fill
         (`ext.pipeline.resample_forward_fill`): per user, an hourly grid
@@ -3408,17 +3450,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # degree-ordered triangle counting, snapshot regression diff,
         # Matryoshka prefix-truncation recall audit, personalized
         # PageRank, multimodal byte-budget batch packing, bit-shift
-        # decayed trending, fixed-key entity resolution                  (13)
+        # decayed trending, fixed-key entity resolution, per-source
+        # curation funnel                                                (14)
         bm25_search, supplier_pagerank, ann_int8_recall, events_value_trend,
         emb_rp_project, part_copurchase, part_triangles, docs_snapshot_diff,
         ann_matryoshka_recall, supplier_ppr, assets_packed, events_trending,
-        codes_neardup,
+        codes_neardup, curation_funnel,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
         # the r7 registration comment, oldest-verified-first; displaced
-        # tail entries carry ORACLE_SWEEP_r08 rows instead               (7)
+        # tail entries carry ORACLE_SWEEP_r08 rows instead               (6)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
-        minmax_norm,
         # --- the 50-entry truncation lands exactly here ---
+        minmax_norm,
         q1_pricing,
         q3_shipping, nation_revenue,
         top_parts,
@@ -4168,9 +4211,9 @@ def oracle_sql() -> dict[str, str]:
     # canonicalization, per-lang quota. The BPE CTEs are re-sourced to
     # the repaired corpus (the one "FROM documents" in toksb).
     _CTRL_SQL = r"'[\x00-\x08\x0b\x0c\x0e-\x1f]'"
-    o["corpus_curation_v3"] = f"""
-        WITH RECURSIVE
-        planted AS (
+    # shared CTE prefix for corpus_curation_v3 and curation_funnel: the
+    # planted+repaired corpus, gate statistics, and the canonical flag.
+    _cur3_ctes = f"""planted AS (
           SELECT d.doc_id, d.lang,
                  (CASE WHEN d.doc_id % 7 = 0
                        THEN '{_mj_art}' || d.text || '{_mj_tail}'
@@ -4208,9 +4251,14 @@ def oracle_sql() -> dict[str, str]:
         ntext AS (SELECT doc_id, lower(array_to_string(string_split_regex(trim(text), '\\s+'), ' ')) AS nt
                   FROM fixedd),
         fps AS (SELECT n.doc_id, f.lang, md5(n.nt) AS fp FROM ntext n JOIN fixedd f USING (doc_id)),
-        keep AS (SELECT doc_id, lang FROM (
-                   SELECT doc_id, lang, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM fps) k
-                 WHERE doc_id = keep_id),
+        keepf AS (SELECT doc_id, lang,
+                         (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS canon
+                  FROM fps)"""
+
+    o["corpus_curation_v3"] = f"""
+        WITH RECURSIVE
+        {_cur3_ctes},
+        keep AS (SELECT doc_id, lang FROM keepf WHERE canon),
         cur AS (SELECT k.doc_id, k.lang, rep.n_tokens, fert.n_bpe_tokens
                 FROM keep k
                 JOIN rep ON rep.doc_id = k.doc_id
@@ -4225,6 +4273,33 @@ def oracle_sql() -> dict[str, str]:
                             / 4294967296.0 ASC, doc_id ASC) AS rn
           FROM cur) t
         WHERE rn <= 25
+    """
+
+    # curation_funnel: the same gate CTEs, aggregated as cumulative-AND
+    # counts per source instead of filtered.
+    o["curation_funnel"] = f"""
+        WITH RECURSIVE
+        {_cur3_ctes},
+        flags AS (
+          SELECT d.source,
+                 bl.blocklist_pass AS p1,
+                 (bl.blocklist_pass AND fert.fertility_pass) AS p2,
+                 (bl.blocklist_pass AND fert.fertility_pass
+                  AND rep.twf <= 0.10 AND rep.t2f <= 0.08) AS p3,
+                 (bl.blocklist_pass AND fert.fertility_pass
+                  AND rep.twf <= 0.10 AND rep.t2f <= 0.08
+                  AND kf.canon) AS p4
+          FROM keepf kf
+          JOIN documents d ON d.doc_id = kf.doc_id
+          JOIN rep ON rep.doc_id = kf.doc_id
+          JOIN bl ON bl.doc_id = kf.doc_id
+          JOIN fert ON fert.doc_id = kf.doc_id)
+        SELECT source, count(*)::BIGINT AS n_total,
+               sum(p1::INT)::BIGINT AS n_blocklist,
+               sum(p2::INT)::BIGINT AS n_fertility,
+               sum(p3::INT)::BIGINT AS n_gopher,
+               sum(p4::INT)::BIGINT AS n_canonical
+        FROM flags GROUP BY source
     """
 
     o["docs_packed_bpe"] = f"""

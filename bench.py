@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "events_trending",
     # round-8: fixed-key entity resolution (segment banding + lev verify)
     "codes_neardup",
+    # round-8: per-source curation funnel (gates as flags, one agg)
+    "curation_funnel",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

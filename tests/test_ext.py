@@ -2857,3 +2857,63 @@ class TestFixedKeyNeardup:
             dd.fixed_key_neardup_pairs(df, "doc_id", "code", max_dist=0)
         with pytest.raises(ValueError):
             dd.fixed_key_neardup_pairs(df, "doc_id", "code", max_dist=2, segments=2)
+
+
+class TestCurationFunnel:
+    def test_cumulative_monotone_and_consistent_with_v3(self, spark):
+        """The funnel's cumulative counts must be monotone nonincreasing
+        per source, and its final (canonical) total must equal the
+        pre-quota survivor count of the v3 ladder on the same corpus."""
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        fun = qs["curation_funnel"](spark, "/root/testdata/sf0.001").collect()
+        assert fun, "funnel must emit one row per source"
+        for r in fun:
+            assert (
+                r["n_total"] >= r["n_blocklist"] >= r["n_fertility"]
+                >= r["n_gopher"] >= r["n_canonical"] >= 0
+            ), r
+        total_canon = sum(r["n_canonical"] for r in fun)
+        # rebuild the v3 survivor set WITHOUT the quota stage
+        from mopso_engine.ext import bpe
+        from mopso_engine.ext import dedup as dd2
+        from mopso_engine.ext import text as tx2
+        from mopso_engine.ext.extract import fix_mojibake
+        from mopso_engine.io import read_table as rt
+        from pyspark.sql import Window as W2
+
+        from mopso_engine.ext.extract import MOJIBAKE_TABLE
+
+        docs = rt(spark, "/root/testdata/sf0.001", "documents")
+        art = "caf" + MOJIBAKE_TABLE[7][0] + " don" + MOJIBAKE_TABLE[0][0] + "t "
+        tail = " " + MOJIBAKE_TABLE[5][0] + " fin"
+        planted = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(art), F.col("text"), F.lit(tail)),
+            ).otherwise(F.col("text")).alias("text"),
+        ).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit("\x07"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        fixed = (
+            fix_mojibake(planted)
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .select("doc_id", F.col("text_fixed").alias("text"), "lang")
+        )
+        fp = fixed.select("doc_id", F.md5(dd2.normalized_text()).alias("fp"))
+        keep = fp.withColumn(
+            "k", F.col("doc_id") == F.min("doc_id").over(W2.partitionBy("fp"))
+        ).where("k")
+        surv = (
+            keep.join(tx2.repetition_stats_expr(fixed), "doc_id")
+            .join(tx2.blocklist_filter(fixed), "doc_id")
+            .join(bpe.bpe_fertility(fixed).select("doc_id", "fertility_pass"), "doc_id")
+            .where("gopher_pass AND blocklist_pass AND fertility_pass")
+            .count()
+        )
+        assert total_canon == surv

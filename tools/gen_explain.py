@@ -373,6 +373,11 @@ COMMENTS = {
     "pigeonhole guarantees recall for hamming<=d without any cross "
     "product -- and the exact levenshtein verify touches candidate "
     "pairs only after an id-keyed key-fetch join.",
+    "curation_funnel": "Curation funnel: the v3 gate stages stay "
+    "expression-only/Arrow (no new movement vs corpus_curation_v3); "
+    "flags join on doc_id and fold into ONE source-keyed HashAggregate "
+    "of cumulative-AND conditional sums -- the report costs one tiny "
+    "exchange on top of the ladder it audits.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
