@@ -2259,6 +2259,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             base.union(tw), "doc_id", "code", max_dist=2
         )
 
+    def events_anomaly_days(spark, sf):
+        """Robust daily-volume anomaly flags
+        (`ext.pipeline.daily_count_anomalies`): each calendar day's
+        event count against the lower-median ± 3·MAD yardstick, both
+        selected by integer rank (no interpolation, no engine
+        percentile). The day table is bounded by calendar days — an
+        aggregate-of-an-aggregate — so the rank windows run over a
+        provably tiny relation; the corpus pays one combinable day
+        count. The broken-ingest monitor."""
+        from mopso_engine.ext import pipeline as pl
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        return pl.daily_count_anomalies(ev, "ts", mad_multiple=3)
+
     def events_trending(spark, sf):
         """Recency-decayed trending users (`ext.pipeline.decayed_topk`):
         each event's weight halves per 3-day half-life via an integer
@@ -3451,16 +3466,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Matryoshka prefix-truncation recall audit, personalized
         # PageRank, multimodal byte-budget batch packing, bit-shift
         # decayed trending, fixed-key entity resolution, per-source
-        # curation funnel                                                (14)
+        # curation funnel, MAD ingest-anomaly days                       (15)
         bm25_search, supplier_pagerank, ann_int8_recall, events_value_trend,
         emb_rp_project, part_copurchase, part_triangles, docs_snapshot_diff,
         ann_matryoshka_recall, supplier_ppr, assets_packed, events_trending,
-        codes_neardup, curation_funnel,
+        codes_neardup, curation_funnel, events_anomaly_days,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
         # the r7 registration comment, oldest-verified-first; displaced
-        # tail entries carry ORACLE_SWEEP_r08 rows instead               (6)
-        dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
+        # tail entries carry ORACLE_SWEEP_r08 rows instead               (5)
+        dbi, silhouette, knn_top5, conn_objective, pareto_front,
         # --- the 50-entry truncation lands exactly here ---
+        crowding,
         minmax_norm,
         q1_pricing,
         q3_shipping, nation_revenue,
@@ -4530,6 +4546,26 @@ def oracle_sql() -> dict[str, str]:
         JOIN allc ka ON ka.doc_id = c.id_a
         JOIN allc kb ON kb.doc_id = c.id_b
         WHERE levenshtein(ka.code, kb.code) <= 2
+    """
+
+    # events_anomaly_days: lower-median/MAD by integer rank, replayed
+    # verbatim; day = session-UTC calendar date in both engines.
+    o["events_anomaly_days"] = """
+        WITH days AS (
+          SELECT date_trunc('day', ts)::DATE AS day, count(*)::BIGINT AS n_events
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        nn AS (SELECT count(*)::BIGINT AS n FROM days),
+        rk1 AS (SELECT n_events, row_number() OVER (ORDER BY n_events, day) AS rk
+                FROM days),
+        med AS (SELECT n_events AS med FROM rk1, nn WHERE rk = (n + 1) // 2),
+        dev AS (SELECT day, n_events, abs(n_events - med)::BIGINT AS deviation
+                FROM days, med),
+        rk2 AS (SELECT deviation, row_number() OVER (ORDER BY deviation, day) AS rk
+                FROM dev),
+        mad AS (SELECT deviation AS mad FROM rk2, nn WHERE rk = (n + 1) // 2)
+        SELECT strftime(day, '%Y-%m-%d') AS day, n_events, deviation,
+               (deviation > 3 * mad) AS is_anomaly
+        FROM dev, mad
     """
 
     # events_trending: the bit-shift decay replays verbatim (>> in

@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "codes_neardup",
     # round-8: per-source curation funnel (gates as flags, one agg)
     "curation_funnel",
+    # round-8: MAD daily-volume anomalies (tiny day-table rank windows)
+    "events_anomaly_days",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

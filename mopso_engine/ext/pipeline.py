@@ -1275,3 +1275,67 @@ def decayed_topk(
         .orderBy(F.desc("score_micro"), F.asc("key"))
         .limit(k)
     )
+
+
+def daily_count_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    mad_multiple: int = 3,
+) -> DataFrame:
+    """Broken-ingest detector: flag calendar days whose event count
+    deviates from the median daily count by more than ``mad_multiple``
+    median-absolute-deviations — the robust z-score every pipeline
+    monitor runs over its volume series (an outage day or a
+    double-delivery day cannot drag the yardstick the way it drags a
+    mean/stddev).
+
+    Exactness: median and MAD are LOWER medians selected by integer
+    rank (value at row_number (n+1) div 2 under (value asc, day asc)) —
+    no interpolation, no engine percentile; the flag is an exact
+    integer comparison ``deviation > mad_multiple · MAD``. With MAD = 0
+    (perfectly steady series) any nonzero deviation flags.
+
+    Shape note: the day table is an aggregate-of-an-aggregate — bounded
+    by CALENDAR DAYS, not corpus size (a decade is ~3.7k rows) — so the
+    two global rank windows over it are windows over a provably tiny
+    relation; the only corpus-scale work is the one map-side-combined
+    day count.
+
+    Returns (day, n_events, deviation, is_anomaly) for every day.
+    """
+    if mad_multiple < 1:
+        raise ValueError(f"mad_multiple must be >= 1, got {mad_multiple}")
+    days = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    n1 = days.agg(F.count(F.lit(1)).alias("n"))
+    w1 = Window.orderBy(F.col("n_events").asc(), F.col("day").asc())
+    med = (
+        days.withColumn("rk", F.row_number().over(w1))
+        .crossJoin(F.broadcast(n1))
+        .where(F.expr("rk = (n + 1) div 2"))
+        .select(F.col("n_events").alias("med"))
+    )
+    dev = days.crossJoin(F.broadcast(med)).select(
+        "day", "n_events", F.abs(F.col("n_events") - F.col("med")).alias("deviation")
+    )
+    w2 = Window.orderBy(F.col("deviation").asc(), F.col("day").asc())
+    mad = (
+        dev.withColumn("rk", F.row_number().over(w2))
+        .crossJoin(F.broadcast(n1))
+        .where(F.expr("rk = (n + 1) div 2"))
+        .select(F.col("deviation").alias("mad"))
+    )
+    return dev.crossJoin(F.broadcast(mad)).select(
+        # ISO string rendering: engines disagree on date vs timestamp
+        # physical types, strings compare identically everywhere
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "deviation",
+        (F.col("deviation") > F.lit(int(mad_multiple)) * F.col("mad")).alias(
+            "is_anomaly"
+        ),
+    )

@@ -1153,3 +1153,40 @@ class TestDecayedTopk:
         assert [r["key"] for r in out] == ["a", "b"]  # tie -> key asc
         with pytest.raises(ValueError):
             decayed_topk(df, "user_id", "ts", half_life_s=0)
+
+
+class TestDailyAnomalies:
+    def test_planted_outage_and_burst_flagged(self, spark):
+        from mopso_engine.ext.pipeline import daily_count_anomalies
+
+        t0 = dt.datetime(2024, 5, 1)
+        rows = []
+        for d in range(15):
+            # steady 100/day, except day 7 (outage: 3) and day 11 (burst: 400)
+            n = 3 if d == 7 else (400 if d == 11 else 100)
+            rows += [(t0 + dt.timedelta(days=d, seconds=i),) for i in range(n)]
+        df = spark.createDataFrame(rows, "ts timestamp")
+        out = {r["day"]: r for r in daily_count_anomalies(df, "ts").collect()}
+        assert len(out) == 15
+        assert out["2024-05-08"]["is_anomaly"] and out["2024-05-08"]["n_events"] == 3
+        assert out["2024-05-12"]["is_anomaly"] and out["2024-05-12"]["n_events"] == 400
+        assert sum(r["is_anomaly"] for r in out.values()) == 2
+        # median of 13x100 + {3, 400} is 100 -> steady days deviation 0
+        assert out["2024-05-01"]["deviation"] == 0
+
+    def test_lower_median_rank_semantics(self, spark):
+        from mopso_engine.ext.pipeline import daily_count_anomalies
+
+        t0 = dt.datetime(2024, 5, 1)
+        # even count of days: 4 days with counts 1,2,3,4 -> lower median
+        # = rank (4+1) div 2 = 2 -> med 2; deviations 1,0,1,2 sorted
+        # 0,1,1,2 -> MAD = rank 2 -> 1; flag iff dev > 3
+        rows = []
+        for d, n in enumerate([1, 2, 3, 4]):
+            rows += [(t0 + dt.timedelta(days=d, seconds=i),) for i in range(n)]
+        df = spark.createDataFrame(rows, "ts timestamp")
+        out = {r["day"]: r for r in daily_count_anomalies(df, "ts").collect()}
+        assert [out[d]["deviation"] for d in sorted(out)] == [1, 0, 1, 2]
+        assert not any(r["is_anomaly"] for r in out.values())
+        with pytest.raises(ValueError):
+            daily_count_anomalies(df, "ts", mad_multiple=0)

@@ -378,6 +378,11 @@ COMMENTS = {
     "flags join on doc_id and fold into ONE source-keyed HashAggregate "
     "of cumulative-AND conditional sums -- the report costs one tiny "
     "exchange on top of the ladder it audits.",
+    "events_anomaly_days": "MAD anomaly days: the corpus-scale work is "
+    "ONE map-side-combined day count; median and MAD come from integer "
+    "rank selections over the day table -- an aggregate-of-an-aggregate "
+    "bounded by calendar days, so its global windows are provably tiny "
+    "-- and the yardstick broadcasts back as one-row scalars.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
