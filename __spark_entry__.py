@@ -818,6 +818,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(30)
         )
 
+    def part_kcore(spark, sf):
+        """3-core of the co-purchase graph (`ext.graph.kcore`, 8 peel
+        rounds): iterative degree peeling — drop nodes with < 3
+        co-purchase partners, cascade, repeat — leaves the dense
+        affinity communities. Peeling is monotone so the fixed round
+        budget returns the exact core once converged (asserted in
+        tests); each round is one degree count + two semi-joins on a
+        SHRINKING edge list, lineage cut per round. Output: core
+        members with in-core degree."""
+        from mopso_engine.ext.graph import kcore
+
+        li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+        bi = li.select(
+            F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+        ).distinct()
+        pairs = (
+            bi.select("basket", F.col("item").alias("x"))
+            .join(bi.select("basket", F.col("item").alias("y")), "basket")
+            .where(F.col("x") < F.col("y"))
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= 2)
+        )
+        return kcore(pairs, k=3, rounds=8, src_col="x", dst_col="y")
+
     def tfidf_terms(spark, sf):
         """Per-doc top-3 terms by smoothed TF-IDF (`ext.text.tfidf_top_terms`)
         — keyword extraction as two map-side-combined count shuffles, a
@@ -3466,16 +3491,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Matryoshka prefix-truncation recall audit, personalized
         # PageRank, multimodal byte-budget batch packing, bit-shift
         # decayed trending, fixed-key entity resolution, per-source
-        # curation funnel, MAD ingest-anomaly days                       (15)
+        # curation funnel, MAD ingest-anomaly days, k-core peeling       (16)
         bm25_search, supplier_pagerank, ann_int8_recall, events_value_trend,
         emb_rp_project, part_copurchase, part_triangles, docs_snapshot_diff,
         ann_matryoshka_recall, supplier_ppr, assets_packed, events_trending,
-        codes_neardup, curation_funnel, events_anomaly_days,
+        codes_neardup, curation_funnel, events_anomaly_days, part_kcore,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
         # the r7 registration comment, oldest-verified-first; displaced
-        # tail entries carry ORACLE_SWEEP_r08 rows instead               (5)
-        dbi, silhouette, knn_top5, conn_objective, pareto_front,
+        # tail entries carry ORACLE_SWEEP_r08 rows instead               (4)
+        dbi, silhouette, knn_top5, conn_objective,
         # --- the 50-entry truncation lands exactly here ---
+        pareto_front,
         crowding,
         minmax_norm,
         q1_pricing,
@@ -5154,6 +5180,36 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN nb
         ORDER BY p.cnt DESC, p.item_a, p.item_b
         LIMIT 50
+    """
+
+    # part_kcore: 8 unrolled peel rounds (degree count -> keep >= k ->
+    # edge filter), then the final keep — monotone, so the unroll equals
+    # the fixpoint once converged (asserted in tests).
+    # each e_i is referenced three times by round i+1 — MATERIALIZED
+    # stops DuckDB's CTE inlining from expanding the unroll exponentially
+    _kc_cte = """e0 AS MATERIALIZED (SELECT x AS a, y AS b FROM pr WHERE c >= 2)"""
+    for _i in range(1, 9):
+        _kc_cte += f""",
+        d{_i} AS (SELECT node, count(*)::BIGINT AS deg FROM (
+                  SELECT a AS node FROM e{_i - 1}
+                  UNION ALL SELECT b AS node FROM e{_i - 1}) GROUP BY 1),
+        k{_i} AS (SELECT node FROM d{_i} WHERE deg >= 3),
+        e{_i} AS MATERIALIZED (SELECT e.a, e.b FROM e{_i - 1} e
+                  JOIN k{_i} ka ON e.a = ka.node
+                  JOIN k{_i} kb ON e.b = kb.node)"""
+    o["part_kcore"] = f"""
+        WITH bi AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                    FROM lineitem),
+        pr AS (
+          SELECT a.item AS x, b.item AS y, count(*) AS c
+          FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+          GROUP BY 1, 2),
+        {_kc_cte}
+        SELECT node, deg FROM (
+          SELECT node, count(*)::BIGINT AS deg FROM (
+            SELECT a AS node FROM e8 UNION ALL SELECT b AS node FROM e8)
+          GROUP BY 1)
+        WHERE deg >= 3
     """
 
     # part_triangles: the same degree-ordered orientation + wedge join +

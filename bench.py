@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "curation_funnel",
     # round-8: MAD daily-volume anomalies (tiny day-table rank windows)
     "events_anomaly_days",
+    # round-8: k-core peeling (shrinking edge list, bounded rounds)
+    "part_kcore",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

@@ -321,3 +321,74 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
+
+
+def kcore(
+    edges: DataFrame,
+    *,
+    k: int = 3,
+    rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative degree peeling — the graph
+    cleaner behind community mining and spam-farm pruning: repeatedly
+    drop nodes with degree < ``k`` (removals lower neighbors' degrees,
+    cascading) until stable; what survives is the maximal subgraph
+    where everyone keeps >= k neighbors.
+
+    ``rounds`` bounds the peel. Peeling is MONOTONE (once converged,
+    extra rounds are no-ops), so a fixed round budget returns the exact
+    k-core whenever convergence happens within it — the declared query
+    pins rounds and its test asserts convergence inside the budget,
+    which also lets the oracle replay the loop as unrolled CTEs without
+    a data-dependent fixpoint. Cascades longer than ``rounds`` (deep
+    peel chains) return the intermediate — documented, detectable by
+    comparing against one more round.
+
+    Physical shape (100 TB): each round is one degree count on the
+    canonical edge list + two semi-joins filtering edges to surviving
+    endpoints; lineage is cut per round (localCheckpoint — the
+    components pattern; partitioning reuse matters less here because
+    the edge list SHRINKS each round). Pure integer counting.
+
+    Returns (node, deg) for k-core members with their in-core degree.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(
+            F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = None
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .union(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= int(k)).select("node")
+        e = (
+            e.join(keep.select(F.col("node").alias("a")), "a", "leftsemi")
+            .join(keep.select(F.col("node").alias("b")), "b", "leftsemi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    final_deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where(F.col("deg") >= int(k))
+    )
+    return final_deg

@@ -307,3 +307,56 @@ class TestPersonalizedPagerank:
         df = spark.createDataFrame(FIXTURE, "src long, dst long")
         with pytest.raises(ValueError):
             pagerank(df, seeds=[])
+
+
+class TestKcore:
+    @staticmethod
+    def _kcore_py(edges, k):
+        E = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        while True:
+            from collections import Counter
+
+            deg = Counter()
+            for a, b in E:
+                deg[a] += 1
+                deg[b] += 1
+            keep = {n for n, d in deg.items() if d >= k}
+            E2 = {(a, b) for a, b in E if a in keep and b in keep}
+            if E2 == E:
+                return {n: d for n, d in deg.items() if n in keep and d >= k}
+            E = E2
+
+    def test_matches_exact_kcore_when_converged(self, spark):
+        import random
+
+        from mopso_engine.ext.graph import kcore
+
+        rng = random.Random(31)
+        edges = {(rng.randrange(25), rng.randrange(25)) for _ in range(90)}
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["deg"] for r in kcore(df, k=3, rounds=25).collect()}
+        assert got == self._kcore_py(edges, 3)
+
+    def test_cascading_peel_and_monotone_extra_rounds(self, spark):
+        from mopso_engine.ext.graph import kcore
+
+        # K4 core {0,1,2,3} + a pendant chain 3-10-11-12: the chain
+        # peels one node per round (cascade depth 3)
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        chain = [(3, 10), (10, 11), (11, 12)]
+        df = spark.createDataFrame(k4 + chain, "src long, dst long")
+        got = {r["node"]: r["deg"] for r in kcore(df, k=2, rounds=5).collect()}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+        # monotone: extra rounds change nothing once converged
+        again = {r["node"]: r["deg"] for r in kcore(df, k=2, rounds=8).collect()}
+        assert again == got
+
+    def test_guards(self, spark):
+        from mopso_engine.ext.graph import kcore
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError):
+            kcore(df, k=0)
+        with pytest.raises(ValueError):
+            kcore(df, rounds=0)

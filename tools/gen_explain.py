@@ -383,6 +383,12 @@ COMMENTS = {
     "rank selections over the day table -- an aggregate-of-an-aggregate "
     "bounded by calendar days, so its global windows are provably tiny "
     "-- and the yardstick broadcasts back as one-row scalars.",
+    "part_kcore": "k-core peeling: each round is one partial-combined "
+    "degree HashAggregate plus two LeftSemi joins that SHRINK the edge "
+    "list, with lineage cut per round (the components pattern) -- the "
+    "rendered plan is the final degree projection; total work is "
+    "bounded by rounds x |surviving edges|, and the peel is monotone "
+    "so the bounded unroll equals the fixpoint once converged.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "

@@ -55,6 +55,18 @@ def build_corpus(spark) -> None:
         scaled_li = d if scaled_li is None else scaled_li.unionByName(d)
     scaled_li.write.parquet(os.path.join(OUT, "lineitem.parquet"))
 
+    # orders x10 with BOTH orderkey and custkey re-keyed: the purchase
+    # graph then really scales (10x customer nodes, 10x edges, suppliers
+    # become 10x-degree hubs) instead of collapsing under distinct()
+    orders = spark.read.parquet(os.path.join(SRC, "orders.parquet"))
+    scaled_o = None
+    for i in range(REPLICAS):
+        d = orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * 100_000_000)
+        ).withColumn("o_custkey", F.col("o_custkey") + F.lit(i * 10_000_000))
+        scaled_o = d if scaled_o is None else scaled_o.unionByName(d)
+    scaled_o.write.parquet(os.path.join(OUT, "orders.parquet"))
+
 
 def stage_writes(spark) -> dict:
     """{(stageId, attemptId): shuffleWriteBytes} for completed stages via
@@ -92,17 +104,32 @@ def main() -> None:
     # codegen/JIT cost so neither timed pass is charged for it.
     qs = entry_mod.queries()
     from mopso_engine.ext.dedup import clear_shingle_caches
+    from mopso_engine.ext.graph import clear_pagerank_caches
 
-    for name in ("corpus_curation_v2", "dedup_verified", "training_epoch_mix"):
+    ROWS_IN = {
+        "corpus_curation_v2": (5_000, 50_000),
+        "dedup_verified": (5_000, 50_000),
+        "training_epoch_mix": (5_000, 50_000),
+        # graph: edges scale 10x (custkeys re-keyed per replica)
+        "supplier_pagerank": (600_000, 6_000_000),
+    }
+    for name in (
+        "corpus_curation_v2", "dedup_verified", "training_epoch_mix",
+        "supplier_pagerank",
+    ):
         qs[name](spark, SRC).write.format("noop").mode("overwrite").save()
         clear_shingle_caches()
+        clear_pagerank_caches()
         rec = {}
-        for tag, d, rows in (("x1", SRC, 5_000), ("x10", OUT, 50_000)):
+        for tag, d, rows in (
+            ("x1", SRC, ROWS_IN[name][0]), ("x10", OUT, ROWS_IN[name][1])
+        ):
             snap0 = stage_writes(spark)
             t0 = time.time()
             qs[name](spark, d).write.format("noop").mode("overwrite").save()
             t = round(time.time() - t0, 3)
             clear_shingle_caches()
+            clear_pagerank_caches()
             tot, peak, n = window_stats(snap0, stage_writes(spark))
             rec[tag] = {
                 "rows_in": rows, "wall_sec": t,
