@@ -843,6 +843,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return kcore(pairs, k=3, rounds=8, src_col="x", dst_col="y")
 
+    def part_communities(spark, sf):
+        """Community sizes from synchronous label propagation
+        (`ext.graph.label_propagation`, 6 rounds) over the co-purchase
+        graph (pairs co-purchased ≥2×): each part adopts the mode of
+        its neighbors' labels (ties → smallest), so dense affinity
+        groups converge onto shared labels — communities without a
+        modularity solver. Deterministic by construction (synchronous
+        rounds + min-tie), so the unrolled-CTE oracle replays it
+        bit-for-bit. Output: (label, n_members) histogram."""
+        from mopso_engine.ext.graph import label_propagation
+
+        li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+        bi = li.select(
+            F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+        ).distinct()
+        pairs = (
+            bi.select("basket", F.col("item").alias("x"))
+            .join(bi.select("basket", F.col("item").alias("y")), "basket")
+            .where(F.col("x") < F.col("y"))
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= 2)
+        )
+        labels = label_propagation(pairs, rounds=6, src_col="x", dst_col="y")
+        return labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+
     def tfidf_terms(spark, sf):
         """Per-doc top-3 terms by smoothed TF-IDF (`ext.text.tfidf_top_terms`)
         — keyword extraction as two map-side-combined count shuffles, a
@@ -3491,16 +3517,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Matryoshka prefix-truncation recall audit, personalized
         # PageRank, multimodal byte-budget batch packing, bit-shift
         # decayed trending, fixed-key entity resolution, per-source
-        # curation funnel, MAD ingest-anomaly days, k-core peeling       (16)
+        # curation funnel, MAD ingest-anomaly days, k-core peeling,
+        # LPA communities                                                (17)
         bm25_search, supplier_pagerank, ann_int8_recall, events_value_trend,
         emb_rp_project, part_copurchase, part_triangles, docs_snapshot_diff,
         ann_matryoshka_recall, supplier_ppr, assets_packed, events_trending,
         codes_neardup, curation_funnel, events_anomaly_days, part_kcore,
+        part_communities,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
         # the r7 registration comment, oldest-verified-first; displaced
-        # tail entries carry ORACLE_SWEEP_r08 rows instead               (4)
-        dbi, silhouette, knn_top5, conn_objective,
+        # tail entries carry ORACLE_SWEEP_r08 rows instead               (3)
+        dbi, silhouette, knn_top5,
         # --- the 50-entry truncation lands exactly here ---
+        conn_objective,
         pareto_front,
         crowding,
         minmax_norm,
@@ -5180,6 +5209,35 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN nb
         ORDER BY p.cnt DESC, p.item_a, p.item_b
         LIMIT 50
+    """
+
+    # part_communities: 6 unrolled synchronous LPA rounds (neighbor-label
+    # count -> min-tie argmax -> patch), MATERIALIZED against inlining.
+    _lpa_cte = """sym AS MATERIALIZED (
+          SELECT x AS u, y AS v FROM e0 UNION SELECT y AS u, x AS v FROM e0),
+        l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym)"""
+    for _i in range(1, 7):
+        _lpa_cte += f""",
+        c{_i} AS (SELECT s.u AS node, l.label, count(*)::BIGINT AS c
+                  FROM sym s JOIN l{_i - 1} l ON l.node = s.v
+                  GROUP BY 1, 2),
+        w{_i} AS (SELECT node, label AS new_label FROM (
+                    SELECT node, label, row_number() OVER (
+                      PARTITION BY node ORDER BY c DESC, label ASC) AS rk
+                    FROM c{_i}) WHERE rk = 1),
+        l{_i} AS MATERIALIZED (
+          SELECT p.node, coalesce(w.new_label, p.label) AS label
+          FROM l{_i - 1} p LEFT JOIN w{_i} w USING (node))"""
+    o["part_communities"] = f"""
+        WITH bi AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                    FROM lineitem),
+        pr AS (
+          SELECT a.item AS x, b.item AS y, count(*) AS c
+          FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+          GROUP BY 1, 2),
+        e0 AS MATERIALIZED (SELECT x, y FROM pr WHERE c >= 2),
+        {_lpa_cte}
+        SELECT label, count(*)::BIGINT AS n_members FROM l6 GROUP BY label
     """
 
     # part_kcore: 8 unrolled peel rounds (degree count -> keep >= k ->

@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "events_anomaly_days",
     # round-8: k-core peeling (shrinking edge list, bounded rounds)
     "part_kcore",
+    # round-8: LPA communities (edge-keyed rounds + argmax windows)
+    "part_communities",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

@@ -18,12 +18,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "pagerank",
     "clear_pagerank_caches",
     "cooccurrence_affinity",
     "triangle_counts",
+    "kcore",
+    "label_propagation",
 ]
 
 #: final rank vectors persisted by :func:`pagerank` (callers iterate on
@@ -392,3 +395,75 @@ def kcore(
         .where(F.col("deg") >= int(k))
     )
     return final_deg
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    rounds: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA,
+    Raghavan et al. 2007): every node starts as its own label and each
+    round adopts the MODE of its neighbors' labels — dense groups agree
+    on a label within a few rounds, giving communities without a
+    modularity solver. The community view of a graph, complementing
+    components (connectivity), PageRank (importance), triangles/k-core
+    (density).
+
+    Determinism: synchronous updates (all nodes read round t's labels),
+    mode ties break to the SMALLEST label, nodes without neighbors keep
+    their label — every round is a pure function of the previous one,
+    so the DuckDB oracle replays the loop as unrolled CTEs and the
+    final labeling is bit-identical. (Classic async/random LPA is run-
+    order-dependent; the synchronous min-tie variant trades a little
+    convergence speed for exact replayability.)
+
+    Physical shape (100 TB): the symmetric edge list is built once;
+    each round is one neighbor-label join (edge-keyed), one
+    (node, label) count aggregate, one WindowGroupLimit argmax, and a
+    node-keyed patch join — all equality-keyed; lineage cut per round.
+
+    Returns (node, label) after ``rounds`` rounds.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("a"),
+            F.col(dst_col).cast("long").alias("b"),
+        )
+        .where(
+            F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    sym = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        neigh = (
+            sym.join(labels.select(F.col("node").alias("v"), "label"), "v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        winners = (
+            neigh.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(winners, "node", "left")
+            .select(
+                "node", F.coalesce("new_label", "label").alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels

@@ -360,3 +360,56 @@ class TestKcore:
             kcore(df, k=0)
         with pytest.raises(ValueError):
             kcore(df, rounds=0)
+
+
+class TestLabelPropagation:
+    @staticmethod
+    def _lpa_py(edges, rounds):
+        from collections import Counter, defaultdict
+
+        adj = defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        lab = {n: n for n in adj}
+        for _ in range(rounds):
+            new = {}
+            for n in adj:
+                cnt = Counter(lab[v] for v in adj[n])
+                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[n] = best[0]
+            lab = new
+        return lab
+
+    def test_matches_python_replay(self, spark):
+        import random
+
+        from mopso_engine.ext.graph import label_propagation
+
+        rng = random.Random(41)
+        edges = {(rng.randrange(20), rng.randrange(20)) for _ in range(60)}
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["label"] for r in label_propagation(df, rounds=4).collect()}
+        assert got == self._lpa_py(edges, 4)
+
+    def test_two_cliques_converge_to_two_communities(self, spark):
+        from mopso_engine.ext.graph import label_propagation
+
+        c1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        c2 = [(10 + a, 10 + b) for a in range(5) for b in range(a + 1, 5)]
+        bridge = [(4, 10)]
+        df = spark.createDataFrame(c1 + c2 + bridge, "src long, dst long")
+        got = {r["node"]: r["label"] for r in label_propagation(df, rounds=6).collect()}
+        # each clique agrees internally on the min label (ties -> min)
+        assert len({got[n] for n in range(5)}) == 1
+        assert len({got[n] for n in range(10, 15)}) == 1
+        assert got[0] != got[11]
+
+    def test_guard(self, spark):
+        from mopso_engine.ext.graph import label_propagation
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError):
+            label_propagation(df, rounds=0)

@@ -389,6 +389,13 @@ COMMENTS = {
     "rendered plan is the final degree projection; total work is "
     "bounded by rounds x |surviving edges|, and the peel is monotone "
     "so the bounded unroll equals the fixpoint once converged.",
+    "part_communities": "Synchronous LPA: each round is one edge-keyed "
+    "neighbor-label join, a partial-combined (node, label) count, a "
+    "WindowGroupLimit argmax (min-tie), and a node-keyed left-join "
+    "patch -- every shuffle equality-keyed, lineage cut per round; "
+    "determinism comes from synchronous updates + smallest-label ties, "
+    "which is what lets an SQL oracle replay a community algorithm at "
+    "all.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
