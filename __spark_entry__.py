@@ -843,6 +843,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return kcore(pairs, k=3, rounds=8, src_col="x", dst_col="y")
 
+    def hybrid_search(spark, sf):
+        """Hybrid retrieval via Reciprocal Rank Fusion
+        (`ext.retrieval.rrf_fuse`): the BM25 top-20 and the query-term-
+        COVERAGE top-20 (how many distinct query terms a doc contains —
+        the exact-match signal BM25's tf weighting can override) fuse by
+        summing integer ``1e6 div (60 + rank)`` contributions — ranks
+        fuse, not scores, so no cross-system calibration is needed.
+        The fusion itself is a union of tiny top-k lists + one
+        (query, doc) sum + a WindowGroupLimit — it costs nothing next
+        to the retrievers it combines."""
+        from mopso_engine.ext.retrieval import bm25_topk, rrf_fuse, term_coverage_topk
+
+        qdf = spark.createDataFrame(
+            [
+                ("q_hashjoin", "hash join scan"),
+                ("q_stream", "stream window watermark"),
+                ("q_customer", "customer order value"),
+            ],
+            "query_id string, qtext string",
+        )
+        docs = read_table(spark, sf, "documents")
+        bm = bm25_topk(docs, qdf, k1=1.2, b=0.75, top_k=20)
+        cov = term_coverage_topk(docs, qdf, top_k=20)
+        return rrf_fuse([bm, cov], k0=60, top_k=10)
+
     def part_communities(spark, sf):
         """Community sizes from synchronous label propagation
         (`ext.graph.label_propagation`, 6 rounds) over the co-purchase
@@ -3518,17 +3543,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PageRank, multimodal byte-budget batch packing, bit-shift
         # decayed trending, fixed-key entity resolution, per-source
         # curation funnel, MAD ingest-anomaly days, k-core peeling,
-        # LPA communities                                                (17)
+        # LPA communities, RRF hybrid retrieval                          (18)
         bm25_search, supplier_pagerank, ann_int8_recall, events_value_trend,
         emb_rp_project, part_copurchase, part_triangles, docs_snapshot_diff,
         ann_matryoshka_recall, supplier_ppr, assets_packed, events_trending,
         codes_neardup, curation_funnel, events_anomaly_days, part_kcore,
-        part_communities,
+        part_communities, hybrid_search,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
         # the r7 registration comment, oldest-verified-first; displaced
-        # tail entries carry ORACLE_SWEEP_r08 rows instead               (3)
-        dbi, silhouette, knn_top5,
+        # tail entries carry ORACLE_SWEEP_r08 rows instead               (2)
+        dbi, silhouette,
         # --- the 50-entry truncation lands exactly here ---
+        knn_top5,
         conn_objective,
         pareto_front,
         crowding,
@@ -5067,8 +5093,9 @@ def oracle_sql() -> dict[str, str]:
     # BM25: constants are written as the SAME base-literal arithmetic in
     # both engines ((1.2 + 1.0), (1.0 - 0.75)) so IEEE constant folding
     # cannot diverge; contributions quantize to micro-units pre-sum.
-    o["bm25_search"] = r"""
-        WITH q(query_id, qtext) AS (VALUES
+    # shared CTE chain for bm25_search and hybrid_search: query terms,
+    # pruned tf, idf contributions, and the ranked BM25 list.
+    _bm25_ctes = r"""q(query_id, qtext) AS (VALUES
             ('q_hashjoin', 'hash join scan'),
             ('q_stream', 'stream window watermark'),
             ('q_customer', 'customer order value')),
@@ -5103,12 +5130,40 @@ def oracle_sql() -> dict[str, str]:
                    * 1e6 + 0.5) AS BIGINT) AS c_micro
           FROM tf t JOIN dfq d USING (term) CROSS JOIN st),
         sc AS (SELECT qp.query_id, c.doc_id, sum(c.c_micro) AS score_micro
-               FROM contrib c JOIN qp USING (term) GROUP BY 1, 2)
-        SELECT query_id, doc_id, score_micro, rk FROM (
-          SELECT *, row_number() OVER (
+               FROM contrib c JOIN qp USING (term) GROUP BY 1, 2),
+        bmrk AS (SELECT query_id, doc_id, score_micro, row_number() OVER (
                    PARTITION BY query_id
                    ORDER BY score_micro DESC, doc_id) AS rk
-          FROM sc)
+                 FROM sc)"""
+    o["bm25_search"] = f"""
+        WITH {_bm25_ctes}
+        SELECT query_id, doc_id, score_micro, rk FROM bmrk WHERE rk <= 10
+    """
+
+    # hybrid_search: BM25 top-20 + term-coverage top-20 fused by RRF
+    # (integer 1e6 // (60 + rank) contributions).
+    o["hybrid_search"] = f"""
+        WITH {_bm25_ctes},
+        cov AS (SELECT qp.query_id, t.doc_id, count(*)::BIGINT AS n_terms
+                FROM tf t JOIN qp USING (term) GROUP BY 1, 2),
+        covrk AS (SELECT query_id, doc_id, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY n_terms DESC, doc_id) AS rk
+                  FROM cov),
+        uni AS (
+          SELECT query_id, doc_id, 1000000 // (60 + rk) AS c
+          FROM bmrk WHERE rk <= 20
+          UNION ALL
+          SELECT query_id, doc_id, 1000000 // (60 + rk) AS c
+          FROM covrk WHERE rk <= 20),
+        fused AS (SELECT query_id, doc_id, sum(c)::BIGINT AS rrf_micro,
+                         count(*)::BIGINT AS n_systems
+                  FROM uni GROUP BY 1, 2)
+        SELECT query_id, doc_id, rrf_micro, n_systems, rk FROM (
+          SELECT fused.*, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_micro DESC, doc_id) AS rk
+          FROM fused) t
         WHERE rk <= 10
     """
 

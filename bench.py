@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "part_kcore",
     # round-8: LPA communities (edge-keyed rounds + argmax windows)
     "part_communities",
+    # round-8: RRF hybrid retrieval (fusion over tiny top-k lists)
+    "hybrid_search",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "term_coverage_topk", "rrf_fuse"]
 
 
 def bm25_topk(
@@ -118,4 +118,95 @@ def bm25_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= top_k)
         .select("query_id", "doc_id", "score_micro", "rk")
+    )
+
+
+def term_coverage_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-``top_k`` documents per query by QUERY-TERM COVERAGE — how
+    many distinct query terms the document contains. The blunt exact-
+    match signal that complements BM25's tf/length weighting (BM25 can
+    rank a doc hammering one term over a doc containing every term;
+    coverage cannot). Same broadcast-prune physical shape as
+    :func:`bm25_topk`: the corpus explode is semi-joined against the
+    tiny distinct-term set BEFORE the one (doc, term) shuffle, and the
+    per-query top-k is a WindowGroupLimit rank window with the
+    deterministic (n_terms desc, doc_id asc) tie-break.
+
+    Returns (query_id, doc_id, n_terms, rk).
+    """
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    qtoks = F.split(F.lower(F.trim(F.col("qtext"))), r"\s+")
+    qpairs = (
+        queries.select("query_id", F.explode(qtoks).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    qterms = qpairs.select("term").distinct()
+    doc_terms = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .distinct()
+    )
+    scored = (
+        doc_terms.join(F.broadcast(qpairs), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_terms"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= int(top_k))
+        .select("query_id", "doc_id", "n_terms", "rk")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    k0: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) — the standard
+    hybrid-search combiner: each system's ranked list contributes
+    1/(k0 + rank) per document and the fused ranking sums the
+    contributions, rewarding documents multiple retrievers agree on
+    without any score calibration between systems (ranks, not scores,
+    fuse — which is why RRF survives mixing BM25 with ANN distances).
+
+    Exactness: contributions are ``1e6 div (k0 + rk)`` — exact integer
+    division, so the fused score and the (score desc, doc_id asc) cut
+    are engine-exact. Input frames need (query_id, doc_id, rk); a doc
+    absent from a system simply contributes nothing (union semantics).
+
+    Shape: union-all of the (already tiny) top-k lists, ONE
+    (query, doc) sum, one WindowGroupLimit top-k — the fusion costs
+    nothing next to the retrievers it combines.
+
+    Returns (query_id, doc_id, rrf_micro, n_systems, rk).
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k0 < 1:
+        raise ValueError(f"k0 must be >= 1, got {k0}")
+    u = None
+    for r in rankings:
+        part = r.select(
+            "query_id",
+            "doc_id",
+            F.expr(f"CAST(1000000 AS BIGINT) div ({int(k0)} + rk)").alias("c"),
+        )
+        u = part if u is None else u.unionByName(part)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.sum("c").alias("rrf_micro"), F.count(F.lit(1)).alias("n_systems")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= int(top_k))
+        .select("query_id", "doc_id", "rrf_micro", "n_systems", "rk")
     )

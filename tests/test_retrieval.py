@@ -111,3 +111,58 @@ class TestBm25:
         # the SQL engine folds to
         assert 1.2 + 1.0 == 2.2
         assert 1.0 - 0.75 == 0.25
+
+
+class TestRrfFusion:
+    def test_python_replay(self, spark):
+        from mopso_engine.ext.retrieval import rrf_fuse
+
+        r1 = spark.createDataFrame(
+            [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+            "query_id string, doc_id long, rk int",
+        )
+        r2 = spark.createDataFrame(
+            [("q", 3, 1), ("q", 4, 2), ("q", 1, 3)],
+            "query_id string, doc_id long, rk int",
+        )
+        got = {
+            r["doc_id"]: (r["rrf_micro"], r["n_systems"], r["rk"])
+            for r in rrf_fuse([r1, r2], k0=60, top_k=10).collect()
+        }
+        c = lambda rk: 1_000_000 // (60 + rk)
+        want_scores = {
+            1: c(1) + c(3), 2: c(2), 3: c(3) + c(1), 4: c(2),
+        }
+        order = sorted(want_scores, key=lambda d: (-want_scores[d], d))
+        for i, d in enumerate(order, 1):
+            ns = 2 if d in (1, 3) else 1
+            assert got[d] == (want_scores[d], ns, i)
+        # consensus docs (1, 3) beat single-system docs
+        assert got[1][2] <= 2 and got[3][2] <= 2
+
+    def test_term_coverage_prefers_all_terms_present(self, spark):
+        from mopso_engine.ext.retrieval import term_coverage_topk
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha alpha alpha alpha"),  # hammers one term
+                (2, "alpha beta gamma"),         # covers all three
+                (3, "beta gamma"),
+            ],
+            "doc_id long, text string",
+        )
+        q = spark.createDataFrame(
+            [("q1", "alpha beta gamma")], "query_id string, qtext string"
+        )
+        out = {r["doc_id"]: r for r in term_coverage_topk(docs, q, top_k=3).collect()}
+        assert out[2]["rk"] == 1 and out[2]["n_terms"] == 3
+        assert out[1]["n_terms"] == 1
+
+    def test_guards(self, spark):
+        from mopso_engine.ext.retrieval import rrf_fuse
+
+        with pytest.raises(ValueError):
+            rrf_fuse([])
+        df = spark.createDataFrame([("q", 1, 1)], "query_id string, doc_id long, rk int")
+        with pytest.raises(ValueError):
+            rrf_fuse([df], k0=0)

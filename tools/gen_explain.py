@@ -396,6 +396,12 @@ COMMENTS = {
     "determinism comes from synchronous updates + smallest-label ties, "
     "which is what lets an SQL oracle replay a community algorithm at "
     "all.",
+    "hybrid_search": "RRF fusion: both retrievers share the broadcast "
+    "query-term prune (ReusedExchange dedups the pruned tf subtree), "
+    "their top-20 lists are WindowGroupLimit-bounded, and the fusion "
+    "is a union of those tiny lists + one (query, doc) HashAggregate + "
+    "one more WindowGroupLimit -- fusion cost is O(queries x k), "
+    "invisible next to the corpus scans it combines.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
