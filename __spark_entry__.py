@@ -540,6 +540,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sum_value",
         )
 
+    def stream_window_topk(spark, sf):
+        """Per-hour trending event types through Structured Streaming
+        (`ext.streaming.stream_window_topk`): the stream maintains the
+        watermarked (window, type) counts (state bounded by
+        windows-in-watermark × types) and the top-3 rank is applied
+        AT READ over the drained sink — append-mode streams cannot rank
+        across rows, so rank-on-the-serving-table is the standard
+        pattern; ties (count desc, type asc) make the drain
+        hash-match the batch oracle."""
+        _utc(spark)
+        from mopso_engine.ext.streaming import stream_window_topk as _swt
+
+        return _swt(
+            spark,
+            os.path.join(sf, "events.parquet"),
+            minutes=60,
+            k=3,
+            query_name=f"trend_{uuid.uuid4().hex[:8]}",
+        )
+
     # ---- text analysis ------------------------------------------------------
     def text_stats(spark, sf):
         return tx.text_stats(read_table(spark, sf, "documents"))
@@ -3543,17 +3563,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PageRank, multimodal byte-budget batch packing, bit-shift
         # decayed trending, fixed-key entity resolution, per-source
         # curation funnel, MAD ingest-anomaly days, k-core peeling,
-        # LPA communities, RRF hybrid retrieval                          (18)
+        # LPA communities, RRF hybrid retrieval, streaming windowed
+        # top-k                                                          (19)
         bm25_search, supplier_pagerank, ann_int8_recall, events_value_trend,
         emb_rp_project, part_copurchase, part_triangles, docs_snapshot_diff,
         ann_matryoshka_recall, supplier_ppr, assets_packed, events_trending,
         codes_neardup, curation_funnel, events_anomaly_days, part_kcore,
-        part_communities, hybrid_search,
+        part_communities, hybrid_search, stream_window_topk,
         # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
         # the r7 registration comment, oldest-verified-first; displaced
-        # tail entries carry ORACLE_SWEEP_r08 rows instead               (2)
-        dbi, silhouette,
+        # tail entries carry ORACLE_SWEEP_r08 rows instead               (1)
+        dbi,
         # --- the 50-entry truncation lands exactly here ---
+        silhouette,
         knn_top5,
         conn_objective,
         pareto_front,
@@ -3837,6 +3859,20 @@ def oracle_sql() -> dict[str, str]:
     """
     o["events_windowed"] = _events_sql
     o["events_stream"] = _events_sql
+
+    # stream_window_topk: the same hourly counts, ranked at read time.
+    o["stream_window_topk"] = """
+        WITH c AS (
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                 event_type, count(*)::BIGINT AS n_events
+          FROM events GROUP BY 1, 2)
+        SELECT window_start, event_type, n_events, rk FROM (
+          SELECT c.*, row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type ASC) AS rk
+          FROM c) t
+        WHERE rk <= 3
+    """
 
     o["text_stats"] = f"""
         WITH {_TOKS_CTE}

@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "part_communities",
     # round-8: RRF hybrid retrieval (fusion over tiny top-k lists)
     "hybrid_search",
+    # round-8: streaming windowed top-k (rank-at-read serving pattern)
+    "stream_window_topk",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

@@ -971,3 +971,47 @@ def stream_source_drift(
     counts = drift_bucket_counts(src, ref)
     drained = run_available_now(counts, query_name=query_name, output_mode="complete")
     return drift_finalize(drained, ref)
+
+
+def stream_window_topk(
+    spark: SparkSession,
+    events_path: str,
+    *,
+    minutes: int = 60,
+    watermark: str = "2 hours",
+    k: int = 3,
+    query_name: str = "events_window_topk",
+) -> DataFrame:
+    """Per-tumbling-window top-k event types — the "what's trending each
+    hour" serving query. The STREAM side is exactly the watermarked
+    (window, type) count of :func:`windowed_counts_stream` (state
+    bounded by windows-in-watermark × types); the RANK is applied over
+    the drained sink — append/complete-mode streaming cannot rank across
+    rows, so rank-at-read over the continuously-maintained count table
+    is the standard serving pattern (the sink IS the index; the top-k is
+    a view on it). Ties break (n_events desc, event_type asc), so the
+    drained result hash-matches the batch oracle.
+
+    Returns (window_start, event_type, n_events, rk), rk <= k.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    drained = run_available_now(
+        windowed_counts_stream(spark, events_path, minutes=minutes, watermark=watermark),
+        query_name=query_name,
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        drained.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= int(k))
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "rk",
+        )
+    )

@@ -2917,3 +2917,48 @@ class TestCurationFunnel:
             .count()
         )
         assert total_canon == surv
+
+
+class TestStreamWindowTopk:
+    def test_stream_equals_batch_rank(self, spark):
+        import os
+        import uuid
+
+        from pyspark.sql.window import Window as W2
+
+        from mopso_engine.ext.streaming import read_events, stream_window_topk
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        path = "/root/testdata/sf0.001/events.parquet"
+        got = {
+            (r["window_start"], r["rk"]): (r["event_type"], r["n_events"])
+            for r in stream_window_topk(
+                spark, path, minutes=60, k=3,
+                query_name=f"t_{uuid.uuid4().hex[:8]}",
+            ).collect()
+        }
+        ev = read_events(spark, path)
+        counts = ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+        w = W2.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+        want = {
+            (r["window_start"], r["rk"]): (r["event_type"], r["n_events"])
+            for r in counts.withColumn("rk", F.row_number().over(w))
+            .where("rk <= 3")
+            .collect()
+        }
+        assert got == want and got
+
+    def test_guard(self, spark):
+        import pytest as _pt
+
+        from mopso_engine.ext.streaming import stream_window_topk
+
+        with _pt.raises(ValueError):
+            stream_window_topk(spark, "/tmp/x", k=0)

@@ -402,6 +402,12 @@ COMMENTS = {
     "is a union of those tiny lists + one (query, doc) HashAggregate + "
     "one more WindowGroupLimit -- fusion cost is O(queries x k), "
     "invisible next to the corpus scans it combines.",
+    "stream_window_topk": "Streaming trending: the stream side is the "
+    "watermarked (window, type) HashAggregate with state bounded by "
+    "windows-in-watermark x types; the rank is a WindowGroupLimit "
+    "applied AT READ over the drained sink table (append streams "
+    "cannot rank across rows -- the sink is the index, the top-k is a "
+    "view on it).",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
