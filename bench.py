@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "hybrid_search",
     # round-8: streaming windowed top-k (rank-at-read serving pattern)
     "stream_window_topk",
+    # round-8: threshold calibration curve (bounded-quadratic audit)
+    "emb_threshold_curve",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

@@ -1269,3 +1269,77 @@ def prefix_topk_recall(
         .agg(F.count("hit").alias("overlap"))
         .select("query_id", "overlap", F.lit(int(k)).alias("k"))
     )
+
+
+MAX_CALIB_SAMPLE = 1_000
+
+
+def neardup_threshold_curve(
+    embeddings: DataFrame,
+    *,
+    sample_ids_below: int = 100,
+    thresholds_pct: list[int] = (80, 85, 90, 95, 99),
+) -> DataFrame:
+    """Threshold-calibration curve for semantic dedup: on a pinned
+    sample, count the near-duplicate pairs each cosine threshold would
+    flag — the table you read BEFORE picking semdedup/decontamination
+    knobs (is 0.95 three pairs or three thousand?).
+
+    Exactness: the metric is the cosine of the MICRO-QUANTIZED vectors
+    (q_i = floor(v_i·1e6+.5)), and every threshold test is exact
+    integer/decimal arithmetic — cos ≥ p/100 rewritten as
+    dot>0 ∧ (100·dot)² ≥ p²·|a|²·|b|², with the squares computed in
+    DECIMAL precisions chosen so nothing rounds (18,0→37,0 and
+    5,0×14,0×14,0→35,0) — so the counts are bit-stable across engines
+    with NO square roots and NO float comparisons at the boundary.
+
+    The sample is pinned (``vec_id < sample_ids_below``, guarded by
+    MAX_CALIB_SAMPLE): calibration is a bounded-quadratic audit by
+    design — all-pairs on ≤1k rows — never the production dedup path
+    (that stays banded/coded; this measures what those
+    paths should be tuned to).
+
+    Returns (threshold_pct, n_pairs) — pairs with a < b.
+    """
+    if sample_ids_below > MAX_CALIB_SAMPLE:
+        raise ValueError(
+            f"sample_ids_below {sample_ids_below} > MAX_CALIB_SAMPLE "
+            f"({MAX_CALIB_SAMPLE}); calibration is a bounded-quadratic audit"
+        )
+    if not thresholds_pct:
+        raise ValueError("thresholds_pct must be non-empty")
+    q = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"
+    )
+    s = embeddings.where(F.col("vec_id") < int(sample_ids_below)).select(
+        "vec_id", q.alias("q")
+    )
+    a = s.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"))
+    b = s.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        F.expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("dot"),
+        F.expr(
+            "aggregate(transform(qa, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("na2"),
+        F.expr(
+            "aggregate(transform(qb, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("nb2"),
+    )
+    th = F.explode(
+        F.array(*[F.lit(int(p)) for p in thresholds_pct])
+    ).alias("threshold_pct")
+    hit = F.expr(
+        "dot > 0 AND "
+        "CAST(100 * dot AS DECIMAL(18,0)) * CAST(100 * dot AS DECIMAL(18,0)) "
+        ">= CAST(threshold_pct * threshold_pct AS DECIMAL(5,0)) "
+        "   * CAST(na2 AS DECIMAL(14,0)) * CAST(nb2 AS DECIMAL(14,0))"
+    )
+    return (
+        pairs.select("dot", "na2", "nb2", th)
+        .groupBy("threshold_pct")
+        .agg(F.sum(hit.cast("long")).alias("n_pairs"))
+    )

@@ -2962,3 +2962,41 @@ class TestStreamWindowTopk:
 
         with _pt.raises(ValueError):
             stream_window_topk(spark, "/tmp/x", k=0)
+
+
+class TestThresholdCurve:
+    def test_python_replay_and_monotone(self, spark):
+        import itertools
+        import math
+
+        rng = np.random.default_rng(9)
+        X = rng.normal(size=(30, 16)).astype(np.float32)
+        # plant a few true near-dups
+        X[1] = X[0] + 0.01 * rng.normal(size=16).astype(np.float32)
+        X[5] = X[4]
+        rows = [(i, [float(x) for x in X[i]]) for i in range(30)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            r["threshold_pct"]: r["n_pairs"]
+            for r in ss.neardup_threshold_curve(df, sample_ids_below=30).collect()
+        }
+        Q = np.floor(X.astype(np.float64) * 1e6 + 0.5).astype(object)  # exact ints
+        want = {p: 0 for p in (80, 85, 90, 95, 99)}
+        for a, b in itertools.combinations(range(30), 2):
+            dot = int(sum(Q[a][i] * Q[b][i] for i in range(16)))
+            na2 = int(sum(q * q for q in Q[a]))
+            nb2 = int(sum(q * q for q in Q[b]))
+            for p in want:
+                if dot > 0 and (100 * dot) ** 2 >= p * p * na2 * nb2:
+                    want[p] += 1
+        assert got == want
+        vals = [got[p] for p in sorted(got)]
+        assert vals == sorted(vals, reverse=True)  # monotone in threshold
+        assert got[99] >= 2  # the planted near-identical pairs
+
+    def test_guards(self, spark):
+        df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError):
+            ss.neardup_threshold_curve(df, sample_ids_below=ss.MAX_CALIB_SAMPLE + 1)
+        with pytest.raises(ValueError):
+            ss.neardup_threshold_curve(df, thresholds_pct=[])

@@ -408,6 +408,12 @@ COMMENTS = {
     "applied AT READ over the drained sink table (append streams "
     "cannot rank across rows -- the sink is the index, the top-k is a "
     "view on it).",
+    "emb_threshold_curve": "Threshold calibration: the pinned sample "
+    "prunes at the scan (vec_id < 100 is a PushedFilter), the all-pairs "
+    "join is bounded-quadratic BY DESIGN (<= 1k-row guard) and stays "
+    "inside codegen as zip_with/aggregate HOFs over the quantized "
+    "arrays, and the per-threshold counts are one tiny explode + "
+    "HashAggregate -- an audit of the banded paths, never one of them.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
