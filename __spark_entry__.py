@@ -2370,6 +2370,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = read_events(spark, os.path.join(sf, "events.parquet"))
         return pl.daily_count_anomalies(ev, "ts", mad_multiple=3)
 
+    def events_attribution(spark, sf):
+        """Daily last-touch attribution
+        (`ext.pipeline.attribution_report`): each purchase credits the
+        user's latest strictly-prior click iff within 1 hour. The
+        prior-touch lookup is the as-of union+window shape (one key
+        exchange, linear state — never a range-pair join); staleness
+        and the day rollup are map-side + one tiny aggregate. The
+        oracle replays the lookup with the textbook correlated max."""
+        from mopso_engine.ext import pipeline as pl
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        return pl.attribution_report(ev, window_s=3600)
+
     def events_trending(spark, sf):
         """Recency-decayed trending users (`ext.pipeline.decayed_topk`):
         each event's weight halves per 3-day half-life via an integer
@@ -3578,18 +3592,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decayed trending, fixed-key entity resolution, per-source
         # curation funnel, MAD ingest-anomaly days, k-core peeling,
         # LPA communities, RRF hybrid retrieval, streaming windowed
-        # top-k, semantic-dedup threshold calibration                    (20)
+        # top-k, semantic-dedup threshold calibration, last-touch
+        # attribution                                                    (21)
         bm25_search, supplier_pagerank, ann_int8_recall, events_value_trend,
         emb_rp_project, part_copurchase, part_triangles, docs_snapshot_diff,
-        ann_matryoshka_recall, supplier_ppr, assets_packed, events_trending,
+        ann_matryoshka_recall, supplier_ppr, events_trending,
         codes_neardup, curation_funnel, events_anomaly_days, part_kcore,
         part_communities, hybrid_search, stream_window_topk,
-        emb_threshold_curve,
+        emb_threshold_curve, events_attribution,
         # the whole stale tail now sits past the cutoff with
-        # ORACLE_SWEEP_r08 rows (dbi onward — every one of the 186 was
-        # re-verified this round); next round's rotation slice starts
-        # at dbi again
+        # ORACLE_SWEEP_r08 rows (dbi onward — every one of the 189 was
+        # verified this round); assets_packed (a composition pinned
+        # transitively by the pack/multimodal suites) sits just past the
+        # cutoff; next round's rotation slice starts at dbi again.
+        # Window = 5 fits + 25 early-r8 + 20 late-r8 = 50.
         # --- the 50-entry truncation lands exactly here ---
+        assets_packed,
         dbi,
         silhouette,
         knn_top5,
@@ -4699,6 +4717,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT strftime(day, '%Y-%m-%d') AS day, n_events, deviation,
                (deviation > 3 * mad) AS is_anomaly
         FROM dev, mad
+    """
+
+    # events_attribution: prior-touch via the textbook correlated max;
+    # strict (<) prior matches the as-of window's ordering; epoch
+    # doubles subtract identically so the 3600s boundary is exact.
+    o["events_attribution"] = """
+        WITH conv AS (
+          SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        tch AS (
+          SELECT user_id, epoch(ts) AS tep FROM events
+          WHERE event_type = 'click'),
+        j AS (
+          SELECT c.user_id, c.ts,
+                 (SELECT max(t.tep) FROM tch t
+                  WHERE t.user_id = c.user_id AND t.tep < epoch(c.ts)) AS bep
+          FROM conv c)
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(*)::BIGINT AS n_conversions,
+               sum((bep IS NOT NULL AND epoch(ts) - bep <= 3600.0)::INT)::BIGINT
+                 AS n_attributed
+        FROM j GROUP BY 1
     """
 
     # events_trending: the bit-shift decay replays verbatim (>> in

@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "stream_window_topk",
     # round-8: threshold calibration curve (bounded-quadratic audit)
     "emb_threshold_curve",
+    # round-8: last-touch attribution (as-of window + day rollup)
+    "events_attribution",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

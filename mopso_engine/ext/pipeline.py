@@ -1339,3 +1339,52 @@ def daily_count_anomalies(
             "is_anomaly"
         ),
     )
+
+
+def attribution_report(
+    events: DataFrame,
+    *,
+    convert_type: str = "purchase",
+    touch_type: str = "click",
+    window_s: int = 3600,
+    ts_col: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Last-touch attribution — the ad-tech staple: for every
+    conversion event, find the user's LATEST strictly-prior touch event
+    and credit it iff it happened within ``window_s`` seconds; report
+    daily conversion and attribution counts (the campaign-health series).
+
+    Rendering: the prior-touch lookup is the repo's as-of shape
+    (:func:`asof_join` — union + ONE key-ordered window, linear state,
+    no range-pair join); the staleness bound and the day rollup are
+    map-side expressions plus one tiny day aggregate. Epoch doubles
+    subtract identically in both engines, so the window_s boundary is
+    engine-exact.
+
+    Returns (day, n_conversions, n_attributed), day as ISO string.
+    """
+    if window_s <= 0:
+        raise ValueError(f"window_s must be positive, got {window_s}")
+    conv = events.where(F.col("event_type") == convert_type).select(
+        key, ts_col, "event_id"
+    )
+    touch = events.where(F.col("event_type") == touch_type).select(
+        key,
+        ts_col,
+        F.col(ts_col).cast("double").alias("touch_epoch"),
+    )
+    j = asof_join(
+        conv, touch, key=key, time=ts_col, payload=["touch_epoch"], strict=True
+    )
+    attributed = F.col("asof_touch_epoch").isNotNull() & (
+        (F.col(ts_col).cast("double") - F.col("asof_touch_epoch"))
+        <= F.lit(float(window_s))
+    )
+    return (
+        j.groupBy(F.date_format(F.to_date(ts_col), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(attributed.cast("long")).alias("n_attributed"),
+        )
+    )

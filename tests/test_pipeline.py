@@ -1190,3 +1190,38 @@ class TestDailyAnomalies:
         assert not any(r["is_anomaly"] for r in out.values())
         with pytest.raises(ValueError):
             daily_count_anomalies(df, "ts", mad_multiple=0)
+
+
+class TestAttribution:
+    def test_planted_credit_windows(self, spark):
+        from mopso_engine.ext.pipeline import attribution_report
+
+        t0 = dt.datetime(2024, 7, 1, 12, 0, 0)
+        rows = [
+            # u1: click 10 min before purchase -> attributed
+            (1, "click", t0), (1, "purchase", t0 + dt.timedelta(minutes=10)),
+            # u2: click 2h before purchase -> stale, NOT attributed
+            (2, "click", t0), (2, "purchase", t0 + dt.timedelta(hours=2)),
+            # u3: purchase with no click at all
+            (3, "purchase", t0),
+            # u4: click AFTER purchase -> not prior, not attributed
+            (4, "purchase", t0), (4, "click", t0 + dt.timedelta(minutes=5)),
+            # u5: simultaneous click (strict prior excludes it)
+            (5, "click", t0), (5, "purchase", t0),
+            # u6 next day: two clicks, latest within window -> attributed
+            (6, "click", t0 + dt.timedelta(days=1)),
+            (6, "click", t0 + dt.timedelta(days=1, minutes=30)),
+            (6, "purchase", t0 + dt.timedelta(days=1, minutes=50)),
+        ]
+        ev = spark.createDataFrame(
+            [(i, u, t, ts) for i, (u, t, ts) in enumerate(rows)],
+            "event_id long, user_id long, event_type string, ts timestamp",
+        )
+        out = {r["day"]: r for r in attribution_report(ev, window_s=3600).collect()}
+        d1, d2 = "2024-07-01", "2024-07-02"
+        assert out[d1]["n_conversions"] == 5 and out[d1]["n_attributed"] == 1
+        assert out[d2]["n_conversions"] == 1 and out[d2]["n_attributed"] == 1
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            attribution_report(ev, window_s=0)

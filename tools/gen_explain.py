@@ -414,6 +414,11 @@ COMMENTS = {
     "inside codegen as zip_with/aggregate HOFs over the quantized "
     "arrays, and the per-threshold counts are one tiny explode + "
     "HashAggregate -- an audit of the banded paths, never one of them.",
+    "events_attribution": "Last-touch attribution: conversions and "
+    "touches union into ONE user-keyed ordered window (the as-of "
+    "shape: linear state, no range-pair join), the staleness bound is "
+    "a map-side epoch subtraction, and the daily report is one tiny "
+    "day-keyed HashAggregate.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
