@@ -1173,7 +1173,10 @@ def table_diff(
     (concat_ws on an ASCII unit separator, NULLs mapped to an explicit
     sentinel so NULL ≠ '' ≠ absent). Payload columns should be strings
     or cast cross-engine-stably by the caller — numeric→string rendering
-    is engine-specific. Keys must be non-null.
+    is engine-specific. Keys must be non-null AND unique per side: a
+    duplicated key fans out through the full-outer join (every old×new
+    combination classifies), so pre-aggregate or dedupe keyed snapshots
+    first.
 
     Physical shape (100 TB): fingerprints are computed map-side next to
     each scan, so the ONLY data movement is the full-outer key join (one

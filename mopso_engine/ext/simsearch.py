@@ -1105,6 +1105,12 @@ def int8_topk_recall(
         .orderBy("vec_id")
         .collect()
     )
+    if len(qrows) != len(set(int(i) for i in query_ids)):
+        found = {r["vec_id"] for r in qrows}
+        raise ValueError(
+            f"query ids not present in corpus: "
+            f"{sorted(set(int(i) for i in query_ids) - found)}"
+        )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in qrows])
     qscale = np.abs(Q).max(axis=1)
@@ -1217,6 +1223,12 @@ def prefix_topk_recall(
         .orderBy("vec_id")
         .collect()
     )
+    if len(qrows) != len(set(int(i) for i in query_ids)):
+        found = {r["vec_id"] for r in qrows}
+        raise ValueError(
+            f"query ids not present in corpus: "
+            f"{sorted(set(int(i) for i in query_ids) - found)}"
+        )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in qrows])
     m = int(prefix_dims)

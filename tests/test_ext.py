@@ -3000,3 +3000,13 @@ class TestThresholdCurve:
             ss.neardup_threshold_curve(df, sample_ids_below=ss.MAX_CALIB_SAMPLE + 1)
         with pytest.raises(ValueError):
             ss.neardup_threshold_curve(df, thresholds_pct=[])
+
+
+def test_recall_audits_reject_missing_query_ids(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [2.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="not present"):
+        ss.int8_topk_recall(df, [0, 99], k=1)
+    with pytest.raises(ValueError, match="not present"):
+        ss.prefix_topk_recall(df, [42], k=1, prefix_dims=1)
