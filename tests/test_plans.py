@@ -356,3 +356,61 @@ def test_pii_scrub_is_single_stage_no_exchange(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Scan parquet" in plan
+
+
+def test_rp_projection_plan_is_exchange_free(spark):
+    """emb_rp_project's claim: one map-only Arrow scan + codegen'd
+    posexplode — ZERO Exchange anywhere."""
+    from mopso_engine.ext.linalg import random_projection
+
+    df = random_projection(read_table(spark, SF, "embeddings"), out_dim=4)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
+
+
+def test_copurchase_plan_take_ordered_and_broadcast_supports(spark):
+    """part_copurchase's claims: top-k = TakeOrderedAndProject (no global
+    sort) and per-item supports ride as BroadcastHashJoins."""
+    from mopso_engine.ext.graph import cooccurrence_affinity
+
+    li = read_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    df = cooccurrence_affinity(
+        li, basket_col="l_orderkey", item_col="l_partkey", top_k=10
+    )
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_trending_plan_two_exchanges_and_take_ordered(spark):
+    """events_trending's claim: one-row broadcast reference + ONE
+    combinable key aggregate + TakeOrdered — two exchanges total
+    (the scalar's single-partition agg and the key sum)."""
+    from mopso_engine.ext.pipeline import decayed_topk
+    from mopso_engine.ext.streaming import read_events
+
+    ev = read_events(spark, f"{SF}/events.parquet")
+    df = decayed_topk(ev, "user_id", "ts", k=5)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    import re
+
+    # formatted plans list nodes twice (tree + details): count detail
+    # headers — exactly the scalar agg's and the key sum's shuffles
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_threshold_curve_sample_filter_pushed_to_scan(spark):
+    """emb_threshold_curve's claim: the pinned sample prunes AT THE SCAN
+    (vec_id < N is a PushedFilter), and the pair stage stays in codegen
+    HOFs (no Python)."""
+    df = ss.neardup_threshold_curve(
+        read_table(spark, SF, "embeddings"), sample_ids_below=50
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "LessThan(vec_id,50)" in plan.replace(" ", "")
+    assert "MapInPandas" not in plan  # pure Catalyst
