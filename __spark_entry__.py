@@ -2076,6 +2076,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return negative_pairs(read_table(spark, sf, "documents"), "doc_id", k=2, buckets=16)
 
+    def docs_length_hist(spark, sf):
+        """Log₂-bucketed token-length histogram per source — the corpus
+        SHAPE report (a pretraining mix is judged by its length
+        distribution as much as its size; truncation/padding waste is a
+        direct function of this table). The bucket is
+        floor(log₂ n)+1 computed EXACTLY as the bit-length of n —
+        length(bin(n)) in both engines — so boundaries can't drift the
+        way float log2 rounds; empty docs land in bucket 0. ONE
+        map-side-combined (source, bucket) aggregate; output carries
+        the bucket's [lo, hi] token range, doc count, and token mass."""
+        from mopso_engine.ext.text import tokens_col
+
+        docs = read_table(spark, sf, "documents")
+        base = docs.select(
+            "source", F.size(tokens_col()).cast("long").alias("n_tokens")
+        )
+        bucket = (
+            F.when(F.col("n_tokens") <= 0, F.lit(0))
+            .otherwise(F.length(F.expr("bin(n_tokens)")))
+            .cast("int")
+        )
+        return (
+            base.select("source", "n_tokens", bucket.alias("bucket"))
+            .groupBy("source", "bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("total_tokens"),
+            )
+            .select(
+                "source",
+                "bucket",
+                F.when(F.col("bucket") == 0, F.lit(0))
+                .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)"))
+                .cast("long")
+                .alias("lo_tokens"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1")
+                .cast("long")
+                .alias("hi_tokens"),
+                "n_docs",
+                "total_tokens",
+            )
+        )
+
     def corpus_profile(spark, sf):
         """The one-row CORPUS CARD — the summary a dataset release ships
         with, as one declarative plan over composed declared operators:
@@ -3582,7 +3625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # min_by election + missing-score guard; semantic_decontaminate
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
-        dedup_keep_best, decontaminate_semantic, docs_bigram_logppl,
+        dedup_keep_best, decontaminate_semantic,
         # round-8 late additions: BM25 retrieval, supplier PageRank,
         # int8 quantization recall audit, per-key OLS value trend,
         # JL random projection, market-basket co-purchase affinity,
@@ -3599,14 +3642,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_matryoshka_recall, supplier_ppr, events_trending,
         codes_neardup, curation_funnel, events_anomaly_days, part_kcore,
         part_communities, hybrid_search, stream_window_topk,
-        emb_threshold_curve, events_attribution,
+        emb_threshold_curve, events_attribution, docs_length_hist,
         # the whole stale tail now sits past the cutoff with
         # ORACLE_SWEEP_r08 rows (dbi onward — every one of the 189 was
         # verified this round); assets_packed (a composition pinned
         # transitively by the pack/multimodal suites) sits just past the
         # cutoff; next round's rotation slice starts at dbi again.
-        # Window = 5 fits + 25 early-r8 + 20 late-r8 = 50.
+        # Window = 5 fits + 24 early-r8 + 21 late-r8 = 50 (docs_bigram_
+        # logppl, green twice this round, joins assets_packed past the
+        # cutoff).
         # --- the 50-entry truncation lands exactly here ---
+        docs_bigram_logppl,
         assets_packed,
         dbi,
         silhouette,
@@ -3906,6 +3952,24 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY n_events DESC, event_type ASC) AS rk
           FROM c) t
         WHERE rk <= 3
+    """
+
+    # docs_length_hist: bucket = bit-length of n (length(bin(n)) in both
+    # engines) — exact integer log2 boundaries, no float log.
+    o["docs_length_hist"] = r"""
+        WITH t AS (SELECT source,
+                          len(string_split_regex(trim(text), '\s+'))::BIGINT AS n
+                   FROM documents),
+        b AS (SELECT source, n,
+                     (CASE WHEN n <= 0 THEN 0 ELSE length(bin(n)) END)::INT AS bucket
+              FROM t)
+        SELECT source, bucket,
+               (CASE WHEN bucket = 0 THEN 0
+                     ELSE (1::BIGINT << (bucket - 1)) END)::BIGINT AS lo_tokens,
+               ((1::BIGINT << bucket) - 1)::BIGINT AS hi_tokens,
+               count(*)::BIGINT AS n_docs,
+               sum(n)::BIGINT AS total_tokens
+        FROM b GROUP BY 1, 2
     """
 
     o["text_stats"] = f"""

@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "emb_threshold_curve",
     # round-8: last-touch attribution (as-of window + day rollup)
     "events_attribution",
+    # round-8: log2 length histogram (one combinable aggregate)
+    "docs_length_hist",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

@@ -3010,3 +3010,24 @@ def test_recall_audits_reject_missing_query_ids(spark):
         ss.int8_topk_recall(df, [0, 99], k=1)
     with pytest.raises(ValueError, match="not present"):
         ss.prefix_topk_recall(df, [42], k=1, prefix_dims=1)
+
+
+def test_docs_length_hist_bucket_semantics(spark):
+    """Bit-length buckets: n in [2^(b-1), 2^b - 1] lands in bucket b;
+    the reported [lo, hi] ranges bound every member; totals reconcile."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["docs_length_hist"](spark, "/root/testdata/sf0.001").collect()
+    assert out
+    total_docs = sum(r["n_docs"] for r in out)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert total_docs == docs.count()
+    for r in out:
+        b = r["bucket"]
+        if b == 0:
+            assert r["lo_tokens"] == 0
+            continue
+        assert r["lo_tokens"] == 1 << (b - 1)
+        assert r["hi_tokens"] == (1 << b) - 1
+        # token mass consistent with the bucket's bounds
+        assert r["lo_tokens"] * r["n_docs"] <= r["total_tokens"] <= r["hi_tokens"] * r["n_docs"]

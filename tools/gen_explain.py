@@ -419,6 +419,10 @@ COMMENTS = {
     "shape: linear state, no range-pair join), the staleness bound is "
     "a map-side epoch subtraction, and the daily report is one tiny "
     "day-keyed HashAggregate.",
+    "docs_length_hist": "Length histogram: tokenize + bit-length bucket "
+    "are map-side expressions inside codegen, and the whole report is "
+    "ONE partial-combined (source, bucket) HashAggregate -- state is "
+    "sources x ~20 buckets regardless of corpus size.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
