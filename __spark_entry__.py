@@ -1344,6 +1344,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             read_table(spark, sf, "embeddings"), out_dim=16
         )
 
+    def emb_centroid_matrix(spark, sf):
+        """Pairwise cosine between class-centroid embeddings
+        (`ext.linalg.centroid_separation_matrix`): which label pairs an
+        embedding space can actually separate. Per-(class, dim) sums are
+        exact order-free integers from ONE map-side-combined shuffle
+        (classes×dims cells — the only corpus-scale movement); the
+        cosine of the sum vectors IS the cosine of the mean centroids
+        (1/n cancels), computed from exact integers with an identical
+        double tree and rounded to 6dp."""
+        from mopso_engine.ext import linalg as la
+
+        return la.centroid_separation_matrix(read_table(spark, sf, "embeddings"))
+
     def emb_covariance(spark, sf):
         """16×16 upper-triangle covariance of the embedding columns,
         VALUE-GATED (`ext.linalg.embedding_covariance_gated`): the hashed
@@ -3625,7 +3638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # min_by election + missing-score guard; semantic_decontaminate
         # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
         # guard                                                          (3)
-        dedup_keep_best, decontaminate_semantic,
+        dedup_keep_best,
         # round-8 late additions: BM25 retrieval, supplier PageRank,
         # int8 quantization recall audit, per-key OLS value trend,
         # JL random projection, market-basket co-purchase affinity,
@@ -3643,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         codes_neardup, curation_funnel, events_anomaly_days, part_kcore,
         part_communities, hybrid_search, stream_window_topk,
         emb_threshold_curve, events_attribution, docs_length_hist,
+        emb_centroid_matrix,
         # the whole stale tail now sits past the cutoff with
         # ORACLE_SWEEP_r08 rows (dbi onward — every one of the 189 was
         # verified this round); assets_packed (a composition pinned
@@ -3652,6 +3666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # logppl, green twice this round, joins assets_packed past the
         # cutoff).
         # --- the 50-entry truncation lands exactly here ---
+        decontaminate_semantic,
         docs_bigram_logppl,
         assets_packed,
         dbi,
@@ -6994,6 +7009,29 @@ def oracle_sql() -> dict[str, str]:
                round(list_sum(list_transform(list_zip(p.v, pc.cv), x -> x[1]*x[2])) - pc.off,
                      6) AS value
         FROM p, pc
+    """
+
+    # emb_centroid_matrix: per-(class, dim) integer sums; cosine of the
+    # SUM vectors == cosine of the means (1/n cancels); identical
+    # double tree both sides.
+    o["emb_centroid_matrix"] = """
+        WITH p AS (SELECT label AS lbl, embedding AS v FROM embeddings),
+        d AS (SELECT lbl, i.range AS dim,
+                     CAST(floor(CAST(v[i.range + 1] AS DOUBLE) * 1e6 + 0.5)
+                          AS BIGINT) AS qv
+              FROM p, range(0, 64) i),
+        s AS (SELECT lbl, dim, sum(qv)::BIGINT AS s FROM d GROUP BY 1, 2),
+        pair AS (
+          SELECT a.lbl AS label_a, b.lbl AS label_b,
+                 sum(a.s * b.s)::BIGINT AS dot,
+                 sum(a.s * a.s)::BIGINT AS na2,
+                 sum(b.s * b.s)::BIGINT AS nb2
+          FROM s a JOIN s b ON a.dim = b.dim AND a.lbl < b.lbl
+          GROUP BY 1, 2)
+        SELECT label_a, label_b,
+               round(dot::DOUBLE / (sqrt(na2::DOUBLE) * sqrt(nb2::DOUBLE)), 6)
+                 AS cos_6
+        FROM pair
     """
 
     # emb_rp_project: the ±1 matrix re-derives from md5 in SQL (same

@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "events_attribution",
     # round-8: log2 length histogram (one combinable aggregate)
     "docs_length_hist",
+    # round-8: centroid separation matrix (one (class,dim) shuffle)
+    "emb_centroid_matrix",
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",

@@ -527,3 +527,61 @@ def random_projection(
     return projected.select(
         "vec_id", F.posexplode("proj").alias("j", "out_micro")
     )
+
+
+def centroid_separation_matrix(
+    embeddings: DataFrame,
+    *,
+    label_col: str = "label",
+    col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine between per-class embedding centroids — the
+    separation report for an embedding space (two classes whose
+    centroids nearly coincide cannot be told apart by any centroid-based
+    retrieval/routing; this is the table that says WHICH pairs).
+
+    Exactness: vectors micro-quantize per element, per-(class, dim)
+    SUMS are exact order-free integers, and the cosine of the SUM
+    vectors equals the cosine of the MEAN centroids (the 1/n scaling
+    cancels), so no division happens until the final double cosine —
+    computed from exact integer operands with an identical expression
+    tree in both engines and rounded to 6dp. Overflow bound: per-(class,
+    dim) |Σq| must stay under 2⁶³ (≈9.2e18) — at micro scale that is
+    ~9e12 unit-normed rows per class; quantize coarser above that.
+
+    Shape: one posexplode + ONE map-side-combined (class, dim) sum —
+    the only corpus-scale shuffle, carrying classes×dims cells — then
+    all-pairs on the TINY class table (classes², by construction).
+
+    Returns (label_a, label_b, cos_6) with label_a < label_b.
+    """
+    q = F.expr(
+        f"posexplode(transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)))"
+    )
+    sums = (
+        embeddings.select(F.col(label_col).alias("lbl"), q.alias("dim", "qv"))
+        .groupBy("lbl", "dim")
+        .agg(F.sum("qv").alias("s"))
+    )
+    a = sums.select(
+        F.col("lbl").alias("label_a"), "dim", F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col("lbl").alias("label_b"), "dim", F.col("s").alias("sb")
+    )
+    pair = (
+        a.join(b, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+            F.sum(F.col("sa") * F.col("sa")).alias("na2"),
+            F.sum(F.col("sb") * F.col("sb")).alias("nb2"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return pair.select(
+        "label_a", "label_b", F.round(cos, 6).alias("cos_6")
+    )

@@ -340,3 +340,45 @@ class TestRandomProjection:
             random_projection(df, out_dim=0)
         with _pytest.raises(ValueError):
             random_projection(df, out_dim=4)  # empty -> cannot probe dim
+
+
+class TestCentroidMatrix:
+    def test_python_replay_and_separated_fixture(self, spark):
+        import itertools
+        import math
+
+        import numpy as np
+
+        from mopso_engine.ext.linalg import centroid_separation_matrix
+
+        rng = np.random.default_rng(13)
+        # 3 classes: 0 and 1 nearly aligned centroids, 2 orthogonal-ish
+        base = {0: np.array([5.0, 0.1, 0.0, 0.0]),
+                1: np.array([5.0, 0.2, 0.0, 0.0]),
+                2: np.array([0.0, 0.0, 4.0, 1.0])}
+        rows = []
+        i = 0
+        for lbl, c in base.items():
+            for _ in range(20):
+                v = c + rng.normal(scale=0.05, size=4)
+                rows.append((i, [float(x) for x in v], lbl))
+                i += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        got = {
+            (r["label_a"], r["label_b"]): r["cos_6"]
+            for r in centroid_separation_matrix(df).collect()
+        }
+        # exact replay on quantized sums
+        sums = {}
+        for _, v, lbl in rows:
+            q = np.floor(np.array(v, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+            sums[lbl] = sums.get(lbl, np.zeros(4, dtype=np.int64)) + q
+        for a, b in itertools.combinations(sorted(sums), 2):
+            dot = int((sums[a].astype(object) * sums[b].astype(object)).sum())
+            na2 = int((sums[a].astype(object) ** 2).sum())
+            nb2 = int((sums[b].astype(object) ** 2).sum())
+            want = round(dot / (math.sqrt(na2) * math.sqrt(nb2)), 6)
+            assert got[(a, b)] == pytest.approx(want, abs=1e-9)
+        # the near-aligned pair reads ~1, the separated pairs clearly lower
+        assert got[(0, 1)] > 0.99
+        assert got[(0, 2)] < 0.5 and got[(1, 2)] < 0.5
