@@ -423,6 +423,11 @@ COMMENTS = {
     "are map-side expressions inside codegen, and the whole report is "
     "ONE partial-combined (source, bucket) HashAggregate -- state is "
     "sources x ~20 buckets regardless of corpus size.",
+    "emb_centroid_matrix": "Centroid separation: posexplode + ONE "
+    "partial-combined (class, dim) sum is the only corpus-scale "
+    "exchange (classes x dims cells of state); the pairwise stage "
+    "self-joins the TINY sum table on dim (classes-squared bounded) "
+    "and the cosine derives from exact integers map-side.",
     "events_transitions": "Markov transition matrix: one user-keyed "
     "sort window for lead(), a types-squared-bounded HashAggregate, "
     "and the per-from normalization windows over that tiny aggregate — "
