@@ -543,12 +543,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def stream_window_topk(spark, sf):
         """Per-hour trending event types through Structured Streaming
         (`ext.streaming.stream_window_topk`): the stream maintains the
-        watermarked (window, type) counts (state bounded by
-        windows-in-watermark × types) and the top-3 rank is applied
-        AT READ over the drained sink — append-mode streams cannot rank
-        across rows, so rank-on-the-serving-table is the standard
-        pattern; ties (count desc, type asc) make the drain
-        hash-match the batch oracle."""
+        watermarked (window, type) counts and the top-3 rank is applied
+        AT READ over the drained sink — streams cannot rank across
+        rows, so rank-on-the-serving-table is the standard pattern;
+        ties (count desc, type asc) make the drain hash-match the
+        batch oracle. (This drain runs complete-mode — bounded for a
+        drain; production long-horizon deployments use update mode +
+        upsert sink for the windows-in-watermark state bound; see the
+        operator docstring.)"""
         _utc(spark)
         from mopso_engine.ext.streaming import stream_window_topk as _swt
 
@@ -778,6 +780,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             li, basket_col="l_orderkey", item_col="l_partkey", top_k=50
         )
 
+    def _copurchase_edges(spark, sf):
+        """Shared edge builder for the graph-family queries: part pairs
+        co-purchased in >= 2 orders (mirrored by the bi/pr CTEs in each
+        oracle — keep the three in sync through THIS helper)."""
+        li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+        bi = li.select(
+            F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+        ).distinct()
+        return (
+            bi.select("basket", F.col("item").alias("x"))
+            .join(bi.select("basket", F.col("item").alias("y")), "basket")
+            .where(F.col("x") < F.col("y"))
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= 2)
+        )
+
     def part_triangles(spark, sf):
         """Per-part triangle counts over the co-purchase graph
         (`ext.graph.triangle_counts` on edges = part pairs co-purchased
@@ -788,18 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         counting; every shuffle an equality key shuffle."""
         from mopso_engine.ext.graph import cooccurrence_affinity, triangle_counts
 
-        li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-        bi = li.select(
-            F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
-        ).distinct()
-        pairs = (
-            bi.select("basket", F.col("item").alias("x"))
-            .join(bi.select("basket", F.col("item").alias("y")), "basket")
-            .where(F.col("x") < F.col("y"))
-            .groupBy("x", "y")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .where(F.col("c") >= 2)
-        )
+        pairs = _copurchase_edges(spark, sf)
         return triangle_counts(pairs, src_col="x", dst_col="y")
 
     def supplier_ppr(spark, sf):
@@ -849,18 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         members with in-core degree."""
         from mopso_engine.ext.graph import kcore
 
-        li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-        bi = li.select(
-            F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
-        ).distinct()
-        pairs = (
-            bi.select("basket", F.col("item").alias("x"))
-            .join(bi.select("basket", F.col("item").alias("y")), "basket")
-            .where(F.col("x") < F.col("y"))
-            .groupBy("x", "y")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .where(F.col("c") >= 2)
-        )
+        pairs = _copurchase_edges(spark, sf)
         return kcore(pairs, k=3, rounds=8, src_col="x", dst_col="y")
 
     def hybrid_search(spark, sf):
@@ -899,18 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bit-for-bit. Output: (label, n_members) histogram."""
         from mopso_engine.ext.graph import label_propagation
 
-        li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-        bi = li.select(
-            F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
-        ).distinct()
-        pairs = (
-            bi.select("basket", F.col("item").alias("x"))
-            .join(bi.select("basket", F.col("item").alias("y")), "basket")
-            .where(F.col("x") < F.col("y"))
-            .groupBy("x", "y")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .where(F.col("c") >= 2)
-        )
+        pairs = _copurchase_edges(spark, sf)
         labels = label_propagation(pairs, rounds=6, src_col="x", dst_col="y")
         return labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
 
@@ -3635,9 +3621,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_funnel, docs_gopher_full, events_transitions,
         dedup_incremental_fuzzy,
         # round-8 code-changed, re-earning rows: canonical_by_score
-        # min_by election + missing-score guard; semantic_decontaminate
-        # pre-collect gate + >=2-member rule; bigram_logppl lazy OOV
-        # guard                                                          (3)
+        # min_by election + missing-score guard (the other two of the
+        # trio — decontaminate_semantic, docs_bigram_logppl — earned
+        # green rows earlier this round and rotated past the cutoff)  (1)
         dedup_keep_best,
         # round-8 late additions: BM25 retrieval, supplier PageRank,
         # int8 quantization recall audit, per-key OLS value trend,
@@ -3662,9 +3648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified this round); assets_packed (a composition pinned
         # transitively by the pack/multimodal suites) sits just past the
         # cutoff; next round's rotation slice starts at dbi again.
-        # Window = 5 fits + 24 early-r8 + 21 late-r8 = 50 (docs_bigram_
-        # logppl, green twice this round, joins assets_packed past the
-        # cutoff).
+        # Window = 5 fits + 23 early-r8 + 22 late-r8 = 50 (counted by
+        # the registry test below the marker comment; the rotated-out
+        # round-8 entries carry green rows from earlier this round).
         # --- the 50-entry truncation lands exactly here ---
         decontaminate_semantic,
         docs_bigram_logppl,
@@ -4766,7 +4752,7 @@ def oracle_sql() -> dict[str, str]:
                         (((i.range + 1) * length(a.code)) // 3
                          - (i.range * length(a.code)) // 3)::INT) AS seg
           FROM allc a, range(0, 3) i),
-        b2 AS (SELECT * FROM bands WHERE length(seg) > 0),
+        b2 AS (SELECT * FROM bands),
         cand AS (
           SELECT DISTINCT x.kid AS id_a, y.kid AS id_b
           FROM b2 x JOIN b2 y
@@ -7023,9 +7009,9 @@ def oracle_sql() -> dict[str, str]:
         s AS (SELECT lbl, dim, sum(qv)::BIGINT AS s FROM d GROUP BY 1, 2),
         pair AS (
           SELECT a.lbl AS label_a, b.lbl AS label_b,
-                 sum(a.s * b.s)::BIGINT AS dot,
-                 sum(a.s * a.s)::BIGINT AS na2,
-                 sum(b.s * b.s)::BIGINT AS nb2
+                 sum(a.s::HUGEINT * b.s::HUGEINT) AS dot,
+                 sum(a.s::HUGEINT * a.s::HUGEINT) AS na2,
+                 sum(b.s::HUGEINT * b.s::HUGEINT) AS nb2
           FROM s a JOIN s b ON a.dim = b.dim AND a.lbl < b.lbl
           GROUP BY 1, 2)
         SELECT label_a, label_b,

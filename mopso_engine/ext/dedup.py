@@ -1330,9 +1330,16 @@ def fixed_key_neardup_pairs(
         ).alias(f"_s{i}")
         for i in range(s)
     ]
+    # keys SHORTER than the segment count produce empty segments; an
+    # empty segment is kept as a universal band for its (i, length)
+    # group — pigeonhole still holds (two short equal-length keys within
+    # d substitutions trivially agree on an empty segment), so the
+    # recall contract survives; the exact verify restores precision and
+    # the short-key candidate fan-out is bounded by the count of keys
+    # sharing that (short) length.
     bands = keyed.select(
         "kid", F.length("key").alias("l"), F.posexplode(F.array(*seg_exprs)).alias("i", "seg")
-    ).where(F.length("seg") > 0)
+    )
     if max_band_df is not None:
         hot = (
             bands.groupBy("i", "l", "seg")

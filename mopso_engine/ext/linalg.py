@@ -545,9 +545,11 @@ def centroid_separation_matrix(
     vectors equals the cosine of the MEAN centroids (the 1/n scaling
     cancels), so no division happens until the final double cosine —
     computed from exact integer operands with an identical expression
-    tree in both engines and rounded to 6dp. Overflow bound: per-(class,
-    dim) |Σq| must stay under 2⁶³ (≈9.2e18) — at micro scale that is
-    ~9e12 unit-normed rows per class; quantize coarser above that.
+    tree in both engines and rounded to 6dp. The pairwise products are
+    computed in DECIMAL(19,0)×DECIMAL(19,0)→DECIMAL(38,0) (HUGEINT in
+    the oracle), so the only overflow bound is the per-(class, dim) SUM
+    itself staying under 2⁶³ — ~9e12 unit-normed rows per class at
+    micro scale; quantize coarser above that.
 
     Shape: one posexplode + ONE map-side-combined (class, dim) sum —
     the only corpus-scale shuffle, carrying classes×dims cells — then
@@ -574,9 +576,15 @@ def centroid_separation_matrix(
         .where(F.col("label_a") < F.col("label_b"))
         .groupBy("label_a", "label_b")
         .agg(
-            F.sum(F.col("sa") * F.col("sb")).alias("dot"),
-            F.sum(F.col("sa") * F.col("sa")).alias("na2"),
-            F.sum(F.col("sb") * F.col("sb")).alias("nb2"),
+            F.sum(
+                F.col("sa").cast("decimal(19,0)") * F.col("sb").cast("decimal(19,0)")
+            ).alias("dot"),
+            F.sum(
+                F.col("sa").cast("decimal(19,0)") * F.col("sa").cast("decimal(19,0)")
+            ).alias("na2"),
+            F.sum(
+                F.col("sb").cast("decimal(19,0)") * F.col("sb").cast("decimal(19,0)")
+            ).alias("nb2"),
         )
     )
     cos = F.col("dot").cast("double") / (

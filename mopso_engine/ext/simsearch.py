@@ -1326,6 +1326,16 @@ def neardup_threshold_curve(
     s = embeddings.where(F.col("vec_id") < int(sample_ids_below)).select(
         "vec_id", q.alias("q")
     )
+    # guard the ACTUAL row count, not the id threshold — duplicate or
+    # negative vec_ids could otherwise sneak an unbounded sample past
+    # the bound the quadratic audit depends on (the limit bounds the
+    # count job itself)
+    n_sample = s.select("vec_id").limit(MAX_CALIB_SAMPLE + 1).count()
+    if n_sample > MAX_CALIB_SAMPLE:
+        raise ValueError(
+            f"sample has >{MAX_CALIB_SAMPLE} rows (duplicate/negative ids?) — "
+            "the calibration audit must stay bounded-quadratic"
+        )
     a = s.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"))
     b = s.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"))
     pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b")).select(

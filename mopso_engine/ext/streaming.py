@@ -984,13 +984,21 @@ def stream_window_topk(
 ) -> DataFrame:
     """Per-tumbling-window top-k event types — the "what's trending each
     hour" serving query. The STREAM side is exactly the watermarked
-    (window, type) count of :func:`windowed_counts_stream` (state
-    bounded by windows-in-watermark × types); the RANK is applied over
-    the drained sink — append/complete-mode streaming cannot rank across
-    rows, so rank-at-read over the continuously-maintained count table
-    is the standard serving pattern (the sink IS the index; the top-k is
-    a view on it). Ties break (n_events desc, event_type asc), so the
+    (window, type) count of :func:`windowed_counts_stream`; the RANK is
+    applied over the drained sink — streaming cannot rank across rows,
+    so rank-at-read over the continuously-maintained count table is the
+    standard serving pattern (the sink IS the index; the top-k is a
+    view on it). Ties break (n_events desc, event_type asc), so the
     drained result hash-matches the batch oracle.
+
+    State note (review-caught): this harness drains in COMPLETE output
+    mode, where Spark retains state for EVERY window ever seen — the
+    watermark only filters late input. Complete mode is correct and
+    bounded for a drain-the-source run (this function) and for bounded
+    retention jobs; a long-horizon production deployment should switch
+    the sink to UPDATE mode with an upsert store, where state eviction
+    by watermark gives the windows-in-watermark × types bound. The
+    rank-at-read pattern is identical either way.
 
     Returns (window_start, event_type, n_events, rk), rk <= k.
     """

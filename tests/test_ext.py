@@ -3031,3 +3031,19 @@ def test_docs_length_hist_bucket_semantics(spark):
         assert r["hi_tokens"] == (1 << b) - 1
         # token mass consistent with the bucket's bounds
         assert r["lo_tokens"] * r["n_docs"] <= r["total_tokens"] <= r["hi_tokens"] * r["n_docs"]
+
+
+def test_fixed_key_neardup_short_keys_keep_recall(spark):
+    """Keys shorter than the segment count: empty segments act as
+    universal bands, so hamming-close SHORT pairs are still found
+    (the review-caught contract gap)."""
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "cd"), (3, "ax"), (4, "abcdefgh")],
+        "doc_id long, code string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["lev"]
+           for r in dd.fixed_key_neardup_pairs(df, "doc_id", "code", max_dist=2).collect()}
+    # 'ab'/'cd' hamming 2, 'ab'/'ax' hamming 1, 'cd'/'ax' hamming 2
+    assert got[(1, 2)] == 2 and got[(1, 3)] == 1 and got[(2, 3)] == 2
+    # the long key pairs with nothing (nothing within distance 2)
+    assert not any(4 in p for p in got)

@@ -126,6 +126,8 @@ def main():
     names = list(qs) if not args.only else args.only.split(",")
 
     failures = []
+    from mopso_engine.ext.graph import clear_pagerank_caches
+
     for name in names:
         t0 = time.time()
         try:
@@ -134,6 +136,11 @@ def main():
             print(f"✗ {name}: SPARK ERROR\n{traceback.format_exc()}")
             failures.append(name)
             continue
+        finally:
+            # release query-lifetime executor caches (the pagerank family
+            # persists its final rank vector) so a 190-query sweep does
+            # not accumulate storage
+            clear_pagerank_caches()
         if name not in oracles:
             print(f"~ {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             if len(sdf) == 0:

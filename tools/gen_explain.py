@@ -403,11 +403,13 @@ COMMENTS = {
     "one more WindowGroupLimit -- fusion cost is O(queries x k), "
     "invisible next to the corpus scans it combines.",
     "stream_window_topk": "Streaming trending: the stream side is the "
-    "watermarked (window, type) HashAggregate with state bounded by "
-    "windows-in-watermark x types; the rank is a WindowGroupLimit "
-    "applied AT READ over the drained sink table (append streams "
-    "cannot rank across rows -- the sink is the index, the top-k is a "
-    "view on it).",
+    "watermarked (window, type) HashAggregate; the rank is a "
+    "WindowGroupLimit applied AT READ over the drained sink table "
+    "(streams cannot rank across rows -- the sink is the index, the "
+    "top-k a view on it). This harness drains complete-mode (bounded "
+    "for a drain); long-horizon production uses update mode + upsert "
+    "sink, where watermark eviction bounds state by "
+    "windows-in-watermark x types.",
     "emb_threshold_curve": "Threshold calibration: the pinned sample "
     "prunes at the scan (vec_id < 100 is a PushedFilter), the all-pairs "
     "join is bounded-quadratic BY DESIGN (<= 1k-row guard) and stays "
