@@ -5246,12 +5246,71 @@ def oracle_sql() -> dict[str, str]:
 
     # TF-IDF: identical smooth (ln((N+1)/(df+1))+1), identical rounded
     # ordering key, term-unique-per-doc so row_number is tie-free
-    # BM25: constants are written as the SAME base-literal arithmetic in
-    # both engines ((1.2 + 1.0), (1.0 - 0.75)) so IEEE constant folding
-    # cannot diverge; contributions quantize to micro-units pre-sum.
-    # shared CTE chain for bm25_search and hybrid_search: query terms,
-    # pruned tf, idf contributions, and the ranked BM25 list.
-    _bm25_ctes = r"""q(query_id, qtext) AS (VALUES
+    # BM25: the idf — the ONE transcendental, data-independent per term —
+    # is pinned driver-side: df/N are computed HERE with DuckDB over the
+    # oracle sf dir and quantized by ext.retrieval.idf_micro_table, the
+    # SAME python math.log the Spark query calls on its own collected
+    # (df, N) integers, so the literals agree by construction regardless
+    # of which libm either ENGINE links (the r8 driver red row was a
+    # 1-ulp JVM-vs-foreign-DuckDB ln drift at a floor boundary). The
+    # norm is k1=6/5, b=3/4 exact rational arithmetic in HUGEINT,
+    # mirroring the Spark DECIMAL(38,0) expression verbatim. GUARDED
+    # like the codebook/quality oracles: an unreadable documents.parquet
+    # omits bm25_search AND hybrid_search (rows-only fallback) instead
+    # of breaking construction.
+    _bm25_ctes = None
+    try:
+        from mopso_engine.ext.retrieval import (
+            bm25_rational_constants as _bm_rc,
+            idf_micro_table as _bm_idf,
+        )
+
+        _bm_docs = os.path.join(
+            os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+            "documents.parquet",
+        )
+        if not os.path.exists(_bm_docs):
+            raise FileNotFoundError(_bm_docs)
+        import duckdb as _bm_duck
+
+        _bm_terms = sorted(
+            {
+                t
+                for q in ("hash join scan", "stream window watermark",
+                          "customer order value")
+                for t in q.split()
+            }
+        )
+        _bm_in = ", ".join(f"'{t}'" for t in _bm_terms)
+        _bm_con = _bm_duck.connect()
+        _bm_lens = (
+            "SELECT doc_id, len(string_split_regex(lower(trim(text)), '\\s+'))"
+            f" AS dl, text FROM read_parquet('{_bm_docs}')"
+        )
+        _bm_n, _bm_sdl = _bm_con.execute(
+            f"SELECT count(*), COALESCE(sum(dl), 0) FROM ({_bm_lens})"
+        ).fetchone()
+        _bm_df = dict(
+            _bm_con.execute(
+                f"""WITH lens AS ({_bm_lens}),
+                tk AS (SELECT doc_id,
+                              unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+                       FROM lens)
+                SELECT term, count(DISTINCT doc_id) AS df
+                FROM tk WHERE term IN ({_bm_in}) GROUP BY 1"""
+            ).fetchall()
+        )
+        _bm_con.close()
+        _bm_idfm = _bm_idf({t: int(d) for t, d in _bm_df.items()}, int(_bm_n))
+        _bm_vals = ", ".join(
+            f"('{t}', {m}::BIGINT)" for t, m in sorted(_bm_idfm.items())
+        ) or "('\\x00__none__', 0::BIGINT)"
+        _a1, _a2, _a3, _a4 = _bm_rc(1.2, 0.75)
+        _bm_n, _bm_sdl = int(_bm_n), int(_bm_sdl)
+        # shared CTE chain for bm25_search and hybrid_search: query
+        # terms, pruned tf, pinned-idf exact-rational contributions, and
+        # the ranked BM25 list.
+        _bm25_ctes = rf"""q(query_id, qtext) AS (VALUES
             ('q_hashjoin', 'hash join scan'),
             ('q_stream', 'stream window watermark'),
             ('q_customer', 'customer order value')),
@@ -5265,40 +5324,40 @@ def oracle_sql() -> dict[str, str]:
                         len(string_split_regex(lower(trim(text)), '\s+')) AS dl,
                         text
                  FROM documents),
-        st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM lens),
         tk AS (SELECT doc_id, dl,
                       unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
                FROM lens),
         tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
                FROM tk JOIN qt USING (term) GROUP BY 1, 2),
-        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        idfm(term, idf_micro) AS (VALUES {_bm_vals}),
         contrib AS (
-          SELECT t.doc_id, t.term,
-                 CAST(floor(
-                   ln((CAST(st.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
-                      / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
-                   * ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
-                      / (CAST(t.tf AS DOUBLE)
-                         + 1.2 * ((1.0 - 0.75)
-                                  + 0.75 * CAST(t.dl AS DOUBLE)
-                                         * CAST(st.n_docs AS DOUBLE)
-                                         / CAST(st.sum_dl AS DOUBLE))))
-                   * 1e6 + 0.5) AS BIGINT) AS c_micro
-          FROM tf t JOIN dfq d USING (term) CROSS JOIN st),
+          SELECT doc_id, term,
+                 CAST((2 * idf_micro::HUGEINT * num + den) // (2 * den)
+                      AS BIGINT) AS c_micro
+          FROM (SELECT t.doc_id, t.term, i.idf_micro,
+                       ({_a1}::HUGEINT * t.tf * {_bm_sdl}) AS num,
+                       ({_a2}::HUGEINT * t.tf * {_bm_sdl}
+                        + {_a3}::HUGEINT * {_bm_sdl}
+                        + {_a4}::HUGEINT * t.dl * {_bm_n}) AS den
+                FROM tf t JOIN idfm i USING (term))),
         sc AS (SELECT qp.query_id, c.doc_id, sum(c.c_micro) AS score_micro
                FROM contrib c JOIN qp USING (term) GROUP BY 1, 2),
         bmrk AS (SELECT query_id, doc_id, score_micro, row_number() OVER (
                    PARTITION BY query_id
                    ORDER BY score_micro DESC, doc_id) AS rk
                  FROM sc)"""
-    o["bm25_search"] = f"""
+    except Exception:
+        _bm25_ctes = None
+
+    if _bm25_ctes is not None:
+        o["bm25_search"] = f"""
         WITH {_bm25_ctes}
         SELECT query_id, doc_id, score_micro, rk FROM bmrk WHERE rk <= 10
     """
 
-    # hybrid_search: BM25 top-20 + term-coverage top-20 fused by RRF
-    # (integer 1e6 // (60 + rank) contributions).
-    o["hybrid_search"] = f"""
+        # hybrid_search: BM25 top-20 + term-coverage top-20 fused by RRF
+        # (integer 1e6 // (60 + rank) contributions).
+        o["hybrid_search"] = f"""
         WITH {_bm25_ctes},
         cov AS (SELECT qp.query_id, t.doc_id, count(*)::BIGINT AS n_terms
                 FROM tf t JOIN qp USING (term) GROUP BY 1, 2),

@@ -238,6 +238,45 @@ ANCHOR_R06_CLEAN = {
     "mopso_fit_lineitem": 17.373,
 }
 
+#: r08 committed-artifact references for the round-7/8-born entries that
+#: had no anchor (VERDICT r8 #3: the three most expensive non-fit
+#: entries sat OUTSIDE the >2× auto-retry adjudication net). Source:
+#: BENCH_local_r08.json final run (cpu_calib 0.110, spark_calib 0.780,
+#: micro_ref 1.083 — a slightly busy host, so these skew ~1.1-1.2×
+#: generous as retry thresholds, which is the safe direction). Like
+#: ANCHOR_R06_CLEAN these only arm the auto-retry; judged ratios still
+#: come from ANCHOR_R01.
+ANCHOR_R08 = {
+    "docs_para_dedup": 3.82, "dedup_keep_best": 3.664,
+    "dedup_bloom_prefilter": 18.853, "dedup_incremental_fuzzy": 10.342,
+    "dedup_prefix_filter": 7.476, "cross_source_dups": 0.722,
+    "emb_balanced_sample": 0.885, "docs_ppl_buckets": 1.148,
+    "docs_bigram_logppl": 2.472, "docs_chunked_bpe": 0.496,
+    "docs_html_extract": 2.164, "docs_bpe_fertility": 0.386,
+    "docs_blocklist": 0.266, "docs_gopher_full": 1.35,
+    "docs_fix_mojibake": 0.769,
+    # r08 measured the pre-fusion 4-scan composition at 47.2s; the r09
+    # single-projection fusion is the operative reference
+    "corpus_curation_v3": 12.0,
+    "training_epoch_mix": 1.323, "events_resampled": 1.144,
+    "events_winsorized": 1.362, "events_funnel": 0.76,
+    "events_transitions": 0.886, "bm25_search": 3.283,
+    "supplier_pagerank": 16.255, "ann_int8_recall": 1.366,
+    "events_value_trend": 0.855, "emb_rp_project": 0.478,
+    "part_copurchase": 3.308, "part_triangles": 5.011,
+    "docs_snapshot_diff": 0.937, "ann_matryoshka_recall": 0.981,
+    "supplier_ppr": 15.544, "events_trending": 0.521,
+    "codes_neardup": 0.947, "curation_funnel": 3.383,
+    "events_anomaly_days": 0.736, "part_kcore": 3.594,
+    "part_communities": 5.803, "hybrid_search": 2.115,
+    "stream_window_topk": 4.122, "emb_threshold_curve": 0.832,
+    "events_attribution": 0.605, "docs_length_hist": 0.318,
+    "emb_centroid_matrix": 0.615, "stream_curate_docs_v3": 6.598,
+    "stream_source_drift": 2.97, "events_scd2_lookup": 0.584,
+    "events_resampled_li": 4.367, "decontaminate_semantic": 0.664,
+    "mopso_fit_lsh": 70.863,
+}
+
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its
 #: reference is re-measured (up to MAX_RETRIES more attempts) with a
 #: micro spark-calibration reading taken ADJACENT to every attempt, so
@@ -347,6 +386,7 @@ def main() -> None:
 
     from mopso_engine.ext.dedup import clear_shingle_caches
     from mopso_engine.ext.graph import clear_pagerank_caches
+    from mopso_engine.ext.retrieval import clear_retrieval_caches
 
     # warm the calibration workloads themselves (BLAS thread pool, the
     # calib job's codegen) so pre vs post measures HOST drift, not the
@@ -356,7 +396,8 @@ def main() -> None:
     cpu_pre, spark_pre = _cpu_calibration(), _spark_calibration(spark)
     micro_ref = _micro_spark_calibration(spark)
 
-    anchors = dict(ANCHOR_R06_CLEAN)
+    anchors = dict(ANCHOR_R08)
+    anchors.update(ANCHOR_R06_CLEAN)  # earlier-round anchors win
     anchors.update(ANCHOR_R01)  # r01 wins where both exist
 
     qs = entry_mod.queries()
@@ -376,6 +417,7 @@ def main() -> None:
             # storage doesn't leak into the next timing
             clear_shingle_caches()
             clear_pagerank_caches()
+            clear_retrieval_caches()
 
     for qi, name in enumerate(BENCH_QUERIES):
         if qi % CALIB_EVERY == 0:
@@ -393,13 +435,14 @@ def main() -> None:
             continue
         if name in FORCE_BEST_OF:
             attempts, calibs = [t], [_micro_spark_calibration(spark)]
+            bo_failed = False
             try:
                 for _ in range(FORCE_BEST_OF[name] - 1):
                     attempts.append(run_once(name))
                     calibs.append(_micro_spark_calibration(spark))
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"best-of retry: {type(exc).__name__}: {exc}"[:500]
-            t = min(attempts)
+                bo_failed = True
             retries[name] = {
                 "attempts": attempts,
                 "micro_calib": calibs,
@@ -407,6 +450,13 @@ def main() -> None:
                 "reference_sec": anchors.get(name),
                 "policy": "forced_best_of",
             }
+            if bo_failed:
+                # a partially-errored best-of records its attempts under
+                # retries only — never a timing — so an entry is in
+                # timings XOR errors and "zero errors" means zero errors
+                print(f"# {name}: best-of ERRORED after {attempts}", file=sys.stderr)
+                continue
+            t = min(attempts)
             timings[name] = t
             print(f"# {name}: best-of {attempts} -> {t:.3f}s", file=sys.stderr)
             continue
@@ -420,11 +470,15 @@ def main() -> None:
         ref = anchors.get(name)
         if ref is not None and t > RETRY_FACTOR * ref:
             attempts, calibs = [t], [_micro_spark_calibration(spark)]
+            retry_error = None
             for _ in range(MAX_RETRIES):
                 try:
                     attempts.append(run_once(name))
                 except Exception as exc:  # noqa: BLE001
-                    errors[name] = f"retry: {type(exc).__name__}: {exc}"[:500]
+                    # the FIRST attempt succeeded, so the entry keeps its
+                    # best timing; the flaky retry is recorded HERE, not
+                    # in errors (timings XOR errors stays invariant)
+                    retry_error = f"retry: {type(exc).__name__}: {exc}"[:500]
                     break
                 calibs.append(_micro_spark_calibration(spark))
                 if attempts[-1] <= RETRY_FACTOR * ref:
@@ -436,6 +490,8 @@ def main() -> None:
                 "micro_calib_ref": micro_ref,
                 "reference_sec": ref,
             }
+            if retry_error is not None:
+                retries[name]["retry_error"] = retry_error
             print(
                 f"# {name}: RETRIED {attempts} (ref {ref}s, calib {calibs})",
                 file=sys.stderr,
@@ -496,7 +552,7 @@ def main() -> None:
     # leaves a truncated file — and stdout gets the compact rendering as
     # the single final line so even a tail capture holds more entries.
     artifact = os.environ.get("SPARK_GRAFT_BENCH_OUT", os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_r08.json"))
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_r09.json"))
     tmp = artifact + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(out, fh, indent=1)

@@ -127,6 +127,7 @@ def main():
 
     failures = []
     from mopso_engine.ext.graph import clear_pagerank_caches
+    from mopso_engine.ext.retrieval import clear_retrieval_caches
 
     for name in names:
         t0 = time.time()
@@ -138,9 +139,10 @@ def main():
             continue
         finally:
             # release query-lifetime executor caches (the pagerank family
-            # persists its final rank vector) so a 190-query sweep does
-            # not accumulate storage
+            # persists its final rank vector; bm25 persists its pruned tf
+            # table) so a 190-query sweep does not accumulate storage
             clear_pagerank_caches()
+            clear_retrieval_caches()
         if name not in oracles:
             print(f"~ {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             if len(sdf) == 0:
