@@ -541,18 +541,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def stream_window_topk(spark, sf):
-        """Per-hour trending event types through Structured Streaming
-        (`ext.streaming.stream_window_topk`): the stream maintains the
-        watermarked (window, type) counts and the top-3 rank is applied
-        AT READ over the drained sink — streams cannot rank across
-        rows, so rank-on-the-serving-table is the standard pattern;
-        ties (count desc, type asc) make the drain hash-match the
-        batch oracle. (This drain runs complete-mode — bounded for a
-        drain; production long-horizon deployments use update mode +
-        upsert sink for the windows-in-watermark state bound; see the
-        operator docstring.)"""
+        """Per-hour trending event types through Structured Streaming —
+        now the PRODUCTION path (`ext.streaming.stream_window_topk_
+        update`, VERDICT r8 #5): the watermarked (window, type) counts
+        drain in UPDATE output mode through a foreachBatch MERGE/upsert
+        sink, so watermark eviction bounds streaming state to windows-
+        in-watermark × types over any horizon; the top-3 rank is applied
+        AT READ over the upsert store (streams cannot rank across rows —
+        rank-on-the-serving-table is the standard pattern). Last-write-
+        wins upserts reconstruct the final count table exactly, so this
+        hash-matches the same batch oracle the complete-mode twin
+        matched; ties break (count desc, type asc). The complete-mode
+        drain remains as `ext.streaming.stream_window_topk`, parity-
+        tested against this path."""
         _utc(spark)
-        from mopso_engine.ext.streaming import stream_window_topk as _swt
+        from mopso_engine.ext.streaming import stream_window_topk_update as _swt
 
         return _swt(
             spark,
@@ -1031,11 +1034,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         so the gate demonstrably fires."""
         return tx.blocklist_filter(read_table(spark, sf, "documents"))
 
-    def _mojibake_planted(docs):
+    def _mojibake_planted(docs, keep=()):
         """documents with PLANTED encoding artifacts: every 7th doc gains
         three sequences from the pinned table, every 5th a C0 control
         char — the deterministic fixture both repair queries and their
-        oracles replay."""
+        oracles replay. ``keep`` carries label columns (lang/source)
+        through, so fused compositions never re-join the corpus on
+        doc_id just to recover them."""
         from mopso_engine.ext.extract import MOJIBAKE_TABLE
 
         art = (
@@ -1044,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tail = " " + MOJIBAKE_TABLE[5][0] + " fin"
         return docs.select(
             "doc_id",
+            *keep,
             F.when(
                 F.col("doc_id") % 7 == 0,
                 F.concat(F.lit(art), F.col("text"), F.lit(tail)),
@@ -1052,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("text"),
         ).select(
             "doc_id",
+            *keep,
             F.when(
                 F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit("\x07"))
             )
@@ -1101,42 +1108,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fertility gate → Gopher repetition gate (expression-only twin) →
         exact-dedup canonicalization → EXACT per-language quota (25,
         smallest hash, salt cur3). Emits (doc_id, lang, n_tokens,
-        n_bpe_tokens) for the surviving manifest. Movement at 100 TB:
-        the repair/blocklist/repetition stages are expression-only, the
-        fertility gate is the zero-shuffle BPE Arrow kernel, and the
-        only exchanges are the fingerprint window and the quota's
-        WindowGroupLimit — nothing quadratic, nothing Python-per-row
-        except the Arrow counter."""
+        n_bpe_tokens) for the surviving manifest.
+
+        Movement at 100 TB — the r9 FUSED shape (VERDICT r8 #2: the r8
+        composition re-derived the repaired corpus 4× and re-joined on
+        doc_id): repair + blocklist + repetition flags + the md5
+        fingerprint are all expression-only, so they ride ONE projection
+        over ONE corpus scan (every gate takes ``keep=`` passthrough —
+        Catalyst collapses the chain); the canonical-keeper window on fp
+        is the first exchange; the expression gates filter BEFORE the
+        BPE Arrow kernel so only survivors pay the encode, and the
+        fertility columns ride the kernel's ``keep=`` — ZERO doc_id
+        joins in the whole ladder; the quota's WindowGroupLimit is the
+        only other exchange."""
         from mopso_engine.ext import bpe
+        from mopso_engine.ext import pipeline as pl
         from mopso_engine.ext.extract import fix_mojibake
 
         docs = read_table(spark, sf, "documents")
-        fixed = (
-            fix_mojibake(_mojibake_planted(docs))
-            .join(docs.select("doc_id", "lang"), "doc_id")
-            .select("doc_id", F.col("text_fixed").alias("text"), "lang")
+        fixed = fix_mojibake(
+            _mojibake_planted(docs, keep=("lang",)), keep=["lang"]
+        ).select("doc_id", F.col("text_fixed").alias("text"), "lang")
+        flagged = tx.repetition_stats_expr(
+            tx.blocklist_filter(
+                fixed.withColumn("fp", F.md5(dd.normalized_text())),
+                keep=["text", "lang", "fp"],
+            ),
+            keep=["text", "lang", "fp", "blocklist_pass"],
         )
-        bl = tx.blocklist_filter(fixed)
-        fert = bpe.bpe_fertility(fixed)
-        rep = tx.repetition_stats_expr(fixed)
-        fp = fixed.select("doc_id", F.md5(dd.normalized_text()).alias("fp"), "lang")
         w = Window.partitionBy("fp")
-        keep = fp.withColumn("keep_id", F.min("doc_id").over(w)).where(
+        keep = flagged.withColumn("keep_id", F.min("doc_id").over(w)).where(
             F.col("doc_id") == F.col("keep_id")
         )
-        cur = (
-            keep.join(rep, "doc_id")
-            .join(bl, "doc_id")
-            .join(fert.select("doc_id", "n_bpe_tokens", "fertility_pass"), "doc_id")
-            .where(
-                F.col("gopher_pass")
-                & F.col("blocklist_pass")
-                & F.col("fertility_pass")
-            )
+        surv = keep.where(F.col("gopher_pass") & F.col("blocklist_pass"))
+        fert = bpe.bpe_fertility(surv, keep=["lang", "n_tokens"])
+        cur = pl.quota_sample(
+            fert.where(F.col("fertility_pass")), "doc_id", "lang", 25, salt="cur3"
         )
-        from mopso_engine.ext import pipeline as pl
-
-        cur = pl.quota_sample(cur, "doc_id", "lang", 25, salt="cur3")
         return cur.select("doc_id", "lang", "n_tokens", "n_bpe_tokens")
 
     def curation_funnel(spark, sf):
@@ -1151,34 +1159,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mopso_engine.ext.extract import fix_mojibake
 
         docs = read_table(spark, sf, "documents")
-        fixed = (
-            fix_mojibake(_mojibake_planted(docs))
-            .join(docs.select("doc_id", "lang", "source"), "doc_id")
-            .select("doc_id", F.col("text_fixed").alias("text"), "lang", "source")
+        fixed = fix_mojibake(
+            _mojibake_planted(docs, keep=("source",)), keep=["source"]
+        ).select("doc_id", F.col("text_fixed").alias("text"), "source")
+        # gates as one fused expression projection (same shape as the
+        # r9 corpus_curation_v3 fusion), canonical flag via the fp
+        # window, fertility via the Arrow kernel with flags riding
+        # keep= — zero doc_id joins; the funnel needs EVERY doc's
+        # fertility flag, so the kernel runs unpruned here by design
+        flagged = tx.repetition_stats_expr(
+            tx.blocklist_filter(
+                fixed.withColumn("fp", F.md5(dd.normalized_text())),
+                keep=["text", "source", "fp"],
+            ),
+            keep=["text", "source", "fp", "blocklist_pass"],
         )
-        bl = tx.blocklist_filter(fixed)
-        fert = bpe.bpe_fertility(fixed)
-        rep = tx.repetition_stats_expr(fixed)
-        fp = fixed.select("doc_id", "source", F.md5(dd.normalized_text()).alias("fp"))
-        canon = fp.withColumn(
+        canon = flagged.withColumn(
             "canon", F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp"))
-        ).select("doc_id", "source", "canon")
+        )
+        fert = bpe.bpe_fertility(
+            canon, keep=["source", "blocklist_pass", "gopher_pass", "canon"]
+        )
         p1 = F.col("blocklist_pass")
         p2 = p1 & F.col("fertility_pass")
         p3 = p2 & F.col("gopher_pass")
         p4 = p3 & F.col("canon")
-        return (
-            canon.join(bl.select("doc_id", "blocklist_pass"), "doc_id")
-            .join(fert.select("doc_id", "fertility_pass"), "doc_id")
-            .join(rep.select("doc_id", "gopher_pass"), "doc_id")
-            .groupBy("source")
-            .agg(
-                F.count(F.lit(1)).alias("n_total"),
-                F.sum(p1.cast("long")).alias("n_blocklist"),
-                F.sum(p2.cast("long")).alias("n_fertility"),
-                F.sum(p3.cast("long")).alias("n_gopher"),
-                F.sum(p4.cast("long")).alias("n_canonical"),
-            )
+        return fert.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(p1.cast("long")).alias("n_blocklist"),
+            F.sum(p2.cast("long")).alias("n_fertility"),
+            F.sum(p3.cast("long")).alias("n_gopher"),
+            F.sum(p4.cast("long")).alias("n_canonical"),
         )
 
     def events_resampled(spark, sf):
@@ -3602,114 +3613,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship: the full MOPSO fits with post-hoc relational oracles  (5)
         mopso_fit, mopso_fit_only, mopso_fit_full, mopso_fit_lineitem,
         mopso_fit_lineitem_only,
-        # round-8 new: BPE-budget chunking (VERDICT r7 #5), upstream
-        # HTML text extraction (VERDICT r7 #7), tokenizer-fertility gate,
-        # blocklist gate, mojibake repair, full-ladder curation v3 (batch
-        # + streaming), locf + linear-interp resampling, SCD2 serving
-        # lookup, Bloom-prefiltered incremental dedup, CCNet ppl
-        # buckets, cluster-balanced diversity sample, streaming drift
-        # monitor, flagship epoch-mix composition, PPJoin prefix
-        # filter, cross-source dup matrix, winsorized event stats,
-        # ordered funnel, full Gopher gate set, transition matrix,
-        # fuzzy incremental dedup                                       (22)
-        docs_chunked_bpe, docs_html_extract, docs_bpe_fertility,
-        docs_blocklist, docs_fix_mojibake, corpus_curation_v3,
-        stream_curate_docs_v3, events_resampled, events_resampled_li,
-        events_scd2_lookup, dedup_bloom_prefilter, docs_ppl_buckets,
-        emb_balanced_sample, stream_source_drift, training_epoch_mix,
-        dedup_prefix_filter, cross_source_dups, events_winsorized,
-        events_funnel, docs_gopher_full, events_transitions,
-        dedup_incremental_fuzzy,
-        # round-8 code-changed, re-earning rows: canonical_by_score
-        # min_by election + missing-score guard (the other two of the
-        # trio — decontaminate_semantic, docs_bigram_logppl — earned
-        # green rows earlier this round and rotated past the cutoff)  (1)
-        dedup_keep_best,
-        # round-8 late additions: BM25 retrieval, supplier PageRank,
-        # int8 quantization recall audit, per-key OLS value trend,
-        # JL random projection, market-basket co-purchase affinity,
-        # degree-ordered triangle counting, snapshot regression diff,
-        # Matryoshka prefix-truncation recall audit, personalized
-        # PageRank, multimodal byte-budget batch packing, bit-shift
-        # decayed trending, fixed-key entity resolution, per-source
-        # curation funnel, MAD ingest-anomaly days, k-core peeling,
-        # LPA communities, RRF hybrid retrieval, streaming windowed
-        # top-k, semantic-dedup threshold calibration, last-touch
-        # attribution                                                    (21)
-        bm25_search, supplier_pagerank, ann_int8_recall, events_value_trend,
-        emb_rp_project, part_copurchase, part_triangles, docs_snapshot_diff,
-        ann_matryoshka_recall, supplier_ppr, events_trending,
-        codes_neardup, curation_funnel, events_anomaly_days, part_kcore,
-        part_communities, hybrid_search, stream_window_topk,
-        emb_threshold_curve, events_attribution, docs_length_hist,
-        emb_centroid_matrix,
-        # the whole stale tail now sits past the cutoff with
-        # ORACLE_SWEEP_r08 rows (dbi onward — every one of the 189 was
-        # verified this round); assets_packed (a composition pinned
-        # transitively by the pack/multimodal suites) sits just past the
-        # cutoff; next round's rotation slice starts at dbi again.
-        # Window = 5 fits + 23 early-r8 + 22 late-r8 = 50 (counted by
-        # the registry test below the marker comment; the rotated-out
-        # round-8 entries carry green rows from earlier this round).
-        # --- the 50-entry truncation lands exactly here ---
-        decontaminate_semantic,
-        docs_bigram_logppl,
-        assets_packed,
-        dbi,
-        silhouette,
-        knn_top5,
-        conn_objective,
-        pareto_front,
-        crowding,
-        minmax_norm,
-        q1_pricing,
-        q3_shipping, nation_revenue,
-        top_parts,
-        order_priorities,
-        events_windowed,
-        events_stream,
-        dedup_exact,
+        # round-9 code-changed, re-earning driver rows: the libm-proofed
+        # BM25 (pinned idf literals + exact-rational norm — VERDICT r8
+        # #1) and the hybrid fusion that consumes it; the FUSED v3
+        # curation ladder + per-source funnel (single corpus scan, zero
+        # doc_id joins — VERDICT r8 #2); the BPE kernel family and
+        # mojibake stages that gained keep= passthrough (fertility /
+        # token counts / packing / repair / the snapshot diff on the
+        # planted fixture); the update-mode streaming top-k twin        (10)
+        bm25_search, hybrid_search, corpus_curation_v3, curation_funnel,
+        docs_bpe_fertility, bpe_token_counts, docs_packed_bpe,
+        docs_fix_mojibake, docs_snapshot_diff, stream_window_topk,
+        # rotation slice (VERDICT r8 #4): the stale tail oldest-first —
+        # dbi onward, exactly as the r8 registry comment scheduled      (16)
+        dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
+        minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
+        order_priorities, events_windowed, events_stream, dedup_exact,
         ann_topk,
-        ann_ivf,
-        ann_ivf_unlabeled,
-        emb_neardup,
-        multimodal_stats,
-        tfidf_terms,
-        pmi_collocations,
-        sketch_distinct_check,
-        sketch_quantile_check,
-        big_orders,
-        customers_without_orders, active_custkeys_diff, active_custkeys_both, active_custkeys_diff_all,
-        events_pivot, status_cube, value_quantiles,
-        # rest of the stale tail — oldest-verified-first; next round's
-        # rotation slice starts at q5_local_supplier
+        # ... continuing q5_local_supplier onward                       (19)
         q5_local_supplier, q7_volume_shipping, q8_market_share,
-        q9_profit_shape, q10_returned_items, q14_promo_share, q15_top_supplier,
-        q17_small_quantity, q19_or_of_ands, q20_promo_suppliers,
-        q4_priority, q13_custdist, q16_supplier_variety, q22_idle_customers,
-        orders_window_suite, orders_range_window, orders_ranking_suite,
-        events_interval_join, events_sessions_native, user_stats,
-        q6_forecast, sales_rollup, events_asof,
-        dedup_jaccard_skewed_uncapped, dedup_jaccard,
-        # driver-green r06, code unchanged
-        weighted_docs_sample, events_interval_join_stream,
-        hll_union_check, source_token_kl, topk_sketch_check,
-        dedup_incremental, stream_curate_docs, repetition_stats,
-        decontaminate, semdedup, events_scd2, events_zvalue,
-        quality_model_scores, docs_logppl, emb_outliers,
-        split_leakage_audit, corpus_profile, asset_phash,
-        dedup_components, pca_project, corpus_curation_v2, pq_topk,
-        ann_ivfpq, knn_lsh_recall, lloyd_kmeans, emb_covariance,
-        events_asof_stream, dedup_jaccard_capped, dedup_jaccard_skewed,
-        corpus_curation, lsh_candidates, simhash_fp, dedup_verified,
-        simhash_neardup, docs_sample, events_sessionized, text_stats,
-        quality, lang_pred,
-        # driver-green r07, code unchanged — rotate to the very back
-        mopso_fit_lsh, bpe_token_counts, docs_packed_bpe, dedup_components_star,
-        para_dup_stats, docs_para_dedup, events_key_skew,
-        source_mixture_temp, docs_shuffled,
-        heavy_hitters, stream_heavy_hitters, docs_pii, pii_report,
-        dup_span_stats, docs_despan, docs_packed,
+        q9_profit_shape, q10_returned_items, q14_promo_share,
+        q15_top_supplier, q17_small_quantity, q19_or_of_ands,
+        q20_promo_suppliers, q4_priority, q13_custdist,
+        q16_supplier_variety, q22_idle_customers, orders_window_suite,
+        orders_range_window, orders_ranking_suite, events_interval_join,
+        events_sessions_native,
+        # Window = 5 fits + 10 code-changed + 16 + 19 rotation = 50.
+        # --- the 50-entry truncation lands exactly here ---
+        # next round's rotation slice starts at ann_ivf: the stale tail
+        # continues oldest-verified-first (every name below carries an
+        # ORACLE_SWEEP_r09 row recorded this round)
+        ann_ivf, ann_ivf_unlabeled, emb_neardup, multimodal_stats,
+        tfidf_terms, pmi_collocations, sketch_distinct_check,
+        sketch_quantile_check, big_orders, customers_without_orders,
+        active_custkeys_diff, active_custkeys_both,
+        active_custkeys_diff_all, events_pivot, status_cube,
+        value_quantiles, user_stats, q6_forecast, sales_rollup, events_asof,
+        dedup_jaccard_skewed_uncapped, dedup_jaccard, weighted_docs_sample,
+        events_interval_join_stream, hll_union_check, source_token_kl,
+        topk_sketch_check, dedup_incremental, stream_curate_docs,
+        repetition_stats, decontaminate, semdedup, events_scd2,
+        events_zvalue, quality_model_scores, docs_logppl, emb_outliers,
+        split_leakage_audit, corpus_profile, asset_phash, dedup_components,
+        pca_project, corpus_curation_v2, pq_topk, ann_ivfpq, knn_lsh_recall,
+        lloyd_kmeans, emb_covariance, events_asof_stream,
+        dedup_jaccard_capped, dedup_jaccard_skewed, corpus_curation,
+        lsh_candidates, simhash_fp, dedup_verified, simhash_neardup,
+        docs_sample, events_sessionized, text_stats, quality, lang_pred,
+        mopso_fit_lsh, dedup_components_star, para_dup_stats,
+        docs_para_dedup, events_key_skew, source_mixture_temp,
+        docs_shuffled, heavy_hitters, stream_heavy_hitters, docs_pii,
+        pii_report, dup_span_stats, docs_despan, docs_packed,
         q18_large_volume, q2_min_cost_supplier, q11_important_stock,
         q12_priority_lines, q21_waiting_suppliers, events_props_extract,
         docs_quota_sample, docs_split, docs_negative_pairs, docs_chunked,
@@ -3717,6 +3671,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         token_counts, fingerprints, points_ingest, feature_minmax,
         minhash_sigs, count_and_k, assign_nearest, cluster_sizes,
         dev_inertia, avg_dist_per_cluster, purity, accuracy,
+        # driver-green r08 (code unchanged since their rows) — rotated
+        # to the very back
+        docs_chunked_bpe, docs_html_extract, docs_blocklist,
+        stream_curate_docs_v3, events_resampled, events_resampled_li,
+        events_scd2_lookup, dedup_bloom_prefilter, docs_ppl_buckets,
+        emb_balanced_sample, stream_source_drift, training_epoch_mix,
+        dedup_prefix_filter, cross_source_dups, events_winsorized,
+        events_funnel, docs_gopher_full, events_transitions,
+        dedup_incremental_fuzzy, dedup_keep_best, supplier_pagerank,
+        ann_int8_recall, events_value_trend, emb_rp_project,
+        part_copurchase, part_triangles, ann_matryoshka_recall,
+        supplier_ppr, events_trending, codes_neardup, events_anomaly_days,
+        part_kcore, part_communities, emb_threshold_curve,
+        events_attribution, docs_length_hist, emb_centroid_matrix,
+        decontaminate_semantic, docs_bigram_logppl, assets_packed,
     ):
         q[fn.__name__] = fn
     return q

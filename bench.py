@@ -256,8 +256,8 @@ ANCHOR_R08 = {
     "docs_blocklist": 0.266, "docs_gopher_full": 1.35,
     "docs_fix_mojibake": 0.769,
     # r08 measured the pre-fusion 4-scan composition at 47.2s; the r09
-    # single-projection fusion is the operative reference
-    "corpus_curation_v3": 12.0,
+    # single-scan fusion measured 3.8s warm / 9.7s cold at sf0.1
+    "corpus_curation_v3": 4.5,
     "training_epoch_mix": 1.323, "events_resampled": 1.144,
     "events_winsorized": 1.362, "events_funnel": 0.76,
     "events_transitions": 0.886, "bm25_search": 3.283,

@@ -192,6 +192,7 @@ def bpe_token_counts(
     merges: list[tuple[str, str]] | None = None,
     *,
     text_col: str = "text",
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Per-document BPE token counting under a trained merge table:
     (doc_id, n_words, n_bpe_tokens). The real-budget twin of
@@ -203,12 +204,30 @@ def bpe_token_counts(
     row-at-a-time Python) with a per-batch word→length memo, so each
     distinct word is encoded once per batch and the operator is a pure
     zero-shuffle map — it composes with `pack_sequences(count_col=...)`
-    without adding a single exchange."""
+    without adding a single exchange.
+
+    ``keep`` carries extra input columns through the Arrow batch
+    unchanged (gate flags, lang/source labels), so a fused curation
+    ladder gets its fertility column with ZERO joins — the flags ride
+    the kernel instead of re-joining the corpus on doc_id."""
     import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
 
     if merges is None:
         merges = pinned_merges()
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    keep = list(keep or [])
+    reserved = {"doc_id", "n_words", "n_bpe_tokens"}
+    if bad := reserved.intersection(keep):
+        raise ValueError(f"keep columns collide with output columns: {sorted(bad)}")
+    if text_col in keep:
+        raise ValueError(f"text column {text_col!r} cannot be a keep column")
+    src = docs.select("doc_id", *keep, text_col)
+    out_schema = StructType(
+        [src.schema[c] for c in ["doc_id", *keep]]
+        + [StructField("n_words", LongType()), StructField("n_bpe_tokens", LongType())]
+    )
 
     def kernel(batches):
         memo: dict[str, int] = {}
@@ -226,17 +245,14 @@ def bpe_token_counts(
 
         for pdf in batches:
             counted = pdf[text_col].map(count_text)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_words": [c[0] for c in counted],
-                    "n_bpe_tokens": [c[1] for c in counted],
-                }
-            )
+            data = {"doc_id": pdf["doc_id"]}
+            for c in keep:
+                data[c] = pdf[c]
+            data["n_words"] = [c[0] for c in counted]
+            data["n_bpe_tokens"] = [c[1] for c in counted]
+            yield pd.DataFrame(data)
 
-    return docs.select("doc_id", text_col).mapInPandas(
-        kernel, "doc_id long, n_words long, n_bpe_tokens long"
-    )
+    return src.mapInPandas(kernel, out_schema)
 
 
 def bpe_fertility(
@@ -245,6 +261,7 @@ def bpe_fertility(
     *,
     text_col: str = "text",
     max_fertility: float = 3.5,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Tokenizer-fertility quality gate — the compression-ratio filter of
     Gopher/CCNet lineage: fertility = BPE tokens per word under the
@@ -258,13 +275,19 @@ def bpe_fertility(
     Same 100 TB shape as :func:`bpe_token_counts` (whose kernel it
     rides): one zero-shuffle Arrow scan, merge table in the closure, a
     map-only arithmetic projection on top — the gate drops into any
-    curation composition without an exchange."""
-    counts = bpe_token_counts(docs, merges, text_col=text_col)
+    curation composition without an exchange. ``keep`` columns ride the
+    kernel through to the output (see :func:`bpe_token_counts`)."""
+    keep = list(keep or [])
+    reserved = {"fertility", "fertility_pass"}
+    if bad := reserved.intersection(keep):
+        raise ValueError(f"keep columns collide with output columns: {sorted(bad)}")
+    counts = bpe_token_counts(docs, merges, text_col=text_col, keep=keep)
     fert = F.when(
         F.col("n_words") > 0, F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6)
     ).otherwise(F.lit(0.0))
     return counts.select(
         "doc_id",
+        *keep,
         "n_words",
         "n_bpe_tokens",
         fert.alias("fertility"),

@@ -73,7 +73,7 @@ _CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
 
 
 def fix_mojibake(
-    docs: DataFrame, *, text_col: str = "text"
+    docs: DataFrame, *, text_col: str = "text", keep: list[str] | None = None
 ) -> DataFrame:
     """Encoding-artifact repair — the cleanup stage between raw extraction
     and tokenization (CCNet/ftfy lineage): undo the common
@@ -87,7 +87,12 @@ def fix_mojibake(
     100 TB shape: one expression-only projection (replace chain +
     regexp), zero shuffle, zero Python, streaming-safe — the same
     class of plan as the PII chain. The artifact table is pinned and
-    mirrored by the oracle, so the repaired text is byte-pinned."""
+    mirrored by the oracle, so the repaired text is byte-pinned.
+
+    ``keep`` carries extra input columns through unchanged (e.g. lang/
+    source labels), so a curation composition never has to re-join the
+    corpus on doc_id just to recover them — the gate-fusion rule every
+    expression-only stage in this repo follows."""
     # counts are PROGRESSIVE along the chain (``â€`` is a prefix of
     # ``â€™``/``â€œ``/…, so counting every artifact against the raw text
     # would double-count; counting each against the partially-repaired
@@ -102,8 +107,12 @@ def fix_mojibake(
         n_fixed = n_fixed + c
         fixed = F.replace(fixed, F.lit(src), F.lit(dst))
     n_ctrl = F.length(fixed) - F.length(F.regexp_replace(fixed, _CTRL_RE, ""))
+    reserved = {"doc_id", "n_fixed", "n_ctrl", "text_fixed"}
+    if keep and (bad := reserved.intersection(keep)):
+        raise ValueError(f"keep columns collide with output columns: {sorted(bad)}")
     return docs.select(
         "doc_id",
+        *(keep or []),
         n_fixed.alias("n_fixed"),
         n_ctrl.cast("long").alias("n_ctrl"),
         F.regexp_replace(fixed, _CTRL_RE, "").alias("text_fixed"),

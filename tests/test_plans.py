@@ -414,3 +414,38 @@ def test_threshold_curve_sample_filter_pushed_to_scan(spark):
     assert "PushedFilters" in plan
     assert "LessThan(vec_id,50)" in plan.replace(" ", "")
     assert "MapInPandas" not in plan  # pure Catalyst
+
+
+def test_curation_v3_fused_single_corpus_scan(spark):
+    """corpus_curation_v3's r9 fusion claim (VERDICT r8 #2): the whole
+    expression ladder (planted fixture + repair chain + blocklist +
+    repetition flags + fingerprint) collapses into ONE corpus scan, the
+    fertility flags ride the Arrow kernel's keep= — ZERO doc_id joins
+    anywhere in the plan."""
+    import re
+
+    import __spark_entry__ as em
+
+    df = em.queries()["corpus_curation_v3"](spark, SF)
+    plan = plan_of(df)
+    # exactly one parquet scan of documents (tree + detail list each
+    # name the node once in formatted mode's detail headers)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # the BPE kernel is still there, gated AFTER the expression filters
+    assert "MapInPandas" in plan
+
+
+def test_curation_funnel_fused_single_corpus_scan(spark):
+    """curation_funnel's fused twin: one corpus scan, flags ride the
+    window and the Arrow kernel — no doc_id joins."""
+    import re
+
+    import __spark_entry__ as em
+
+    df = em.queries()["curation_funnel"](spark, SF)
+    plan = plan_of(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
