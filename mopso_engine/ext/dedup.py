@@ -1036,7 +1036,23 @@ def bloom_maybe_col(fp_col, words: list[int], *, m_bits: int, k_hashes: int = 4)
     fingerprint is POSSIBLY in the indexed set (definitely absent when
     False). Pure map-side expression: the dense word list rides the plan
     as an array literal (16 KiB-scale), ``element_at`` + shift + mask per
-    probe, no join, no shuffle, no Python."""
+    probe, no join, no shuffle, no Python.
+
+    PLAN-SIZE bound (VERDICT r8 #8): the array-literal rendering is only
+    sane while the word list stays KB-to-low-MB — a plan literal is
+    serialized into every task description and blows up plan
+    compile/transport long before memory does. The guard below caps it
+    at ``MAX_BLOOM_WORDS`` (16 MiB of words, same cap as bloom_build);
+    a filter bigger than that belongs in a ``sparkContext.broadcast``
+    variable probed inside an Arrow kernel (mapInPandas closure), NOT in
+    a bigger literal — same zero-shuffle shape, the words ride the
+    torrent broadcast instead of the plan."""
+    if len(words) > MAX_BLOOM_WORDS:
+        raise ValueError(
+            f"bloom_maybe_col: {len(words)} words exceed MAX_BLOOM_WORDS "
+            f"({MAX_BLOOM_WORDS}) — a filter this big must ride a broadcast "
+            "variable inside an Arrow kernel, not a plan literal"
+        )
     arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
     tests = []
     for i in range(k_hashes):

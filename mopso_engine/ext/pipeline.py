@@ -1174,9 +1174,13 @@ def table_diff(
     sentinel so NULL ≠ '' ≠ absent). Payload columns should be strings
     or cast cross-engine-stably by the caller — numeric→string rendering
     is engine-specific. Keys must be non-null AND unique per side: a
-    duplicated key fans out through the full-outer join (every old×new
-    combination classifies), so pre-aggregate or dedupe keyed snapshots
-    first.
+    duplicated key would fan out through the full-outer join (every
+    old×new combination classifies), so both contracts are GUARDED with
+    an in-plan raise_error (mirroring canonical_by_score's treatment) —
+    a NULL or duplicated key fails loudly instead of silently inflating
+    all four status counts. The guard's per-key count window partitions
+    on the same keys the join shuffles on, so it rides the exchange the
+    diff already pays.
 
     Physical shape (100 TB): fingerprints are computed map-side next to
     each scan, so the ONLY data movement is the full-outer key join (one
@@ -1194,10 +1198,30 @@ def table_diff(
 
     def fp(df: DataFrame, alias: str) -> DataFrame:
         parts = [F.coalesce(F.col(c).cast("string"), F.lit(nul)) for c in payload_cols]
-        return df.select(
-            *[F.col(k) for k in key_cols],
-            F.md5(F.concat_ws(sep, *parts)).alias(alias),
+        key_null = F.lit(False)
+        for k in key_cols:
+            key_null = key_null | F.col(k).isNull()
+        per_key = F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+        side = "old" if alias == "old_fp" else "new"
+        fpc = (
+            F.when(
+                key_null,
+                F.raise_error(F.lit(f"table_diff: NULL key on the {side} side")),
+            )
+            .when(
+                per_key > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"table_diff: duplicated key on the {side} side: "),
+                        F.concat_ws(
+                            "/", *[F.col(k).cast("string") for k in key_cols]
+                        ),
+                    )
+                ),
+            )
+            .otherwise(F.md5(F.concat_ws(sep, *parts)))
         )
+        return df.select(*[F.col(k) for k in key_cols], fpc.alias(alias))
 
     j = fp(old, "old_fp").join(fp(new, "new_fp"), key_cols, "full_outer")
     status = (

@@ -1097,6 +1097,35 @@ class TestTableDiff:
         with pytest.raises(ValueError):
             table_diff(docs, docs, [], ["text"])
 
+    def test_duplicate_key_raises_loudly(self, spark):
+        # a duplicated key would fan out through the full-outer join and
+        # inflate every status count — the in-plan raise_error guard
+        # (ADVICE r8) must fire instead
+        from py4j.protocol import Py4JJavaError
+
+        from mopso_engine.ext.pipeline import table_diff
+
+        clean = spark.createDataFrame([(1, "a"), (2, "b")], "id long, p string")
+        dup = spark.createDataFrame(
+            [(1, "a"), (1, "a2"), (2, "b")], "id long, p string"
+        )
+        with pytest.raises(Exception) as ei:
+            table_diff(clean, dup, ["id"], ["p"]).collect()
+        assert "duplicated key" in str(ei.value)
+        # and symmetrically on the old side
+        with pytest.raises(Exception) as ei:
+            table_diff(dup, clean, ["id"], ["p"]).collect()
+        assert "duplicated key" in str(ei.value)
+
+    def test_null_key_raises_loudly(self, spark):
+        from mopso_engine.ext.pipeline import table_diff
+
+        clean = spark.createDataFrame([(1, "a")], "id long, p string")
+        nullk = spark.createDataFrame([(None, "a")], "id long, p string")
+        with pytest.raises(Exception) as ei:
+            table_diff(clean, nullk, ["id"], ["p"]).collect()
+        assert "NULL key" in str(ei.value)
+
 
 class TestDecayedTopk:
     def test_python_replay_and_bucket_floors(self, spark):
