@@ -59,6 +59,7 @@ def pagerank(
     dst_col: str = "dst",
     num_partitions: int | None = None,
     seeds: list[int] | None = None,
+    materialize_every: int = 3,
 ) -> DataFrame:
     """Integer-exact PageRank over a directed edge table.
 
@@ -76,17 +77,26 @@ def pagerank(
     node outdeg >= 1, so nothing dangles there).
 
     Physical shape (100 TB): edges+outdeg and the node list are
-    hash-partitioned ONCE on their join keys and cached; each
-    iteration's rank vector is persisted and eagerly materialized, so it
-    REPORTS its node-hash partitioning to Catalyst (InMemoryRelation
-    keeps the child's outputPartitioning — a localCheckpoint would hide
-    it behind an ExistingRDD scan and force 3 shuffles per round). The
-    ranks-by-edges probe and the nodes-by-incoming patch then both reuse
-    existing partitionings, leaving the groupBy(dst) PageRank
-    fundamentally requires as the ONLY per-iteration exchange (pinned by
-    tests/test_graph.py's marginal-exchange count). The previous
-    iteration's cache is dropped as soon as its successor materializes,
-    bounding memory to two rank vectors and the plan to one round.
+    hash-partitioned ONCE on their join keys and cached; the rank vector
+    is persisted and eagerly materialized every ``materialize_every``
+    iterations, so the cache REPORTS its node-hash partitioning to
+    Catalyst (InMemoryRelation keeps the child's outputPartitioning — a
+    localCheckpoint would hide it behind an ExistingRDD scan and force 3
+    shuffles per round). The ranks-by-edges probe and the
+    nodes-by-incoming patch then both reuse existing partitionings,
+    leaving the groupBy(dst) PageRank fundamentally requires as the ONLY
+    per-iteration exchange (pinned by tests/test_graph.py's
+    marginal-exchange count). The previous cache is dropped as soon as
+    its successor materializes, bounding memory to two rank vectors and
+    the plan to ``materialize_every`` rounds.
+
+    ``materialize_every`` trades fixed job/cache-write overhead against
+    plan length: the rounds between materializations chain LAZILY inside
+    one job (still exactly one exchange per round — the stages pipeline),
+    so K=3 pays 1/3 of the cache writes and job launches. Measured at
+    sf0.1 (6 rounds, r9 host, identical bit-exact sums): K=1 12.5s,
+    K=3 9.3s, K=6 (one long chain) 26.0s — the default 3 is the
+    measured sweet spot; 1 restores the r8 per-round behavior.
 
     ``num_partitions`` must match the session's shuffle partitions for
     the aggregate's exchange to co-partition with the cached node list
@@ -106,6 +116,10 @@ def pagerank(
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if materialize_every < 1:
+        raise ValueError(
+            f"materialize_every must be >= 1, got {materialize_every}"
+        )
 
     spark = edges.sparkSession
     shuffle_p = num_partitions or int(
@@ -144,7 +158,7 @@ def pagerank(
         init_col = F.lit(int(unit)).cast("long")
     ranks = nodes.select("node", init_col.alias("units"))
     prev: DataFrame | None = None
-    for _ in range(iters):
+    for i in range(iters):
         inc = (
             ranks.join(esrc, ranks["node"] == esrc["src"])
             .select(
@@ -165,12 +179,13 @@ def pagerank(
                     )
                 ).cast("long").alias("units"),
             )
-            .persist()
         )
-        ranks.count()  # materialize so the predecessor can drop NOW
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
+        if (i + 1) % materialize_every == 0 or i == iters - 1:
+            ranks = ranks.persist()
+            ranks.count()  # materialize so the predecessor can drop NOW
+            if prev is not None:
+                prev.unpersist()
+            prev = ranks
     esrc.unpersist()
     nodes.unpersist()
     _PR_CACHES.append(ranks)
