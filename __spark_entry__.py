@@ -1192,6 +1192,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum(p4.cast("long")).alias("n_canonical"),
         )
 
+    def docs_dsir_topk(spark, sf):
+        """DSIR data selection (Xie et al. 2023; `ext.dsir.dsir_topk`):
+        the top-100 NON-src0 documents whose hashed unigram+bigram
+        distribution most resembles source src0's — the published
+        importance-resampling recipe for skewing a raw crawl toward a
+        target domain without a trained classifier. The per-bucket
+        log ratio (the only transcendental) is quantized ONCE
+        driver-side and injected as literals into BOTH engines (the
+        BM25 treatment), so the weight is an exact integer dot product.
+        ONE (doc, bucket) count shuffle feeds model fit AND scoring via
+        a persisted cache; the models are a ≤256-row collected
+        aggregate; the top-k is TakeOrdered."""
+        from mopso_engine.ext.dsir import dsir_topk
+
+        return dsir_topk(
+            read_table(spark, sf, "documents"),
+            F.col("source") == F.lit("src0"),
+            top_k=100,
+            n_buckets=256,
+            alpha=0.5,
+        )
+
+    def events_cms_topk(spark, sf):
+        """Count-Min Sketch frequency audit (`ext.sketch.cms_build` /
+        `cms_estimate`, Cormode & Muthukrishnan 2005): a 4×1024 counter
+        sketch over event user_ids, point-queried for every distinct
+        user and paired with the exact count — emitting the top-20 by
+        estimate with the per-key overcount (CMS error is one-sided:
+        est ≥ true always; the unit test pins the εN bound). All-integer
+        md5-slice hashing, so the oracle rebuilds the identical counter
+        table. Build = one in-row depth-explode + ONE (row, bucket)
+        count shuffle bounded by depth·width; probes broadcast the tiny
+        sketch."""
+        from mopso_engine.ext.sketch import cms_build, cms_estimate
+
+        ev = read_table(spark, sf, "events")
+        sk = cms_build(ev, "user_id", depth=4, width=1024)
+        est = cms_estimate(
+            sk, ev.select("user_id").distinct(), "user_id", depth=4, width=1024
+        )
+        exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+        w = Window.orderBy(F.desc("est"), F.asc("user_id"))
+        return (
+            est.join(exact, "user_id")
+            .select(
+                "user_id", "est", "exact", (F.col("est") - F.col("exact")).alias("overcount")
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 20)
+        )
+
+    def events_cuped(spark, sf):
+        """CUPED variance-reduced A/B readout (`ext.pipeline.
+        cuped_adjusted`, Deng et al. 2013): users hash-split into two
+        variants, post-period means adjusted by θ·(x − x̄) with θ =
+        cov(x,y)/var(x) from the pre-period covariate — the standard
+        experiment-sensitivity adjustment. Micro-quantized per-event
+        values, DECIMAL(38,0)-exact pooled moments (HUGEINT oracle-side)
+        and a verbatim-mirrored double tree: no transcendental, no libm
+        exposure. One user-keyed combinable aggregate + a broadcast
+        moments row + a 2-group rollup."""
+        _utc(spark)
+        from mopso_engine.ext.pipeline import cuped_adjusted
+
+        return cuped_adjusted(
+            read_table(spark, sf, "events"), split_ts="2024-01-16 00:00:00"
+        )
+
     def events_resampled(spark, sf):
         """Regular-grid resampling with forward fill
         (`ext.pipeline.resample_forward_fill`): per user, an hourly grid
@@ -3624,25 +3692,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bm25_search, hybrid_search, corpus_curation_v3, curation_funnel,
         docs_bpe_fertility, bpe_token_counts, docs_packed_bpe,
         docs_fix_mojibake, docs_snapshot_diff, stream_window_topk,
+        # round-9 NEW operators: DSIR importance resampling (Xie et al.
+        # 2023 data selection, pinned log-ratio literals), Count-Min
+        # Sketch frequency audit, CUPED variance-reduced A/B readout    (3)
+        docs_dsir_topk, events_cms_topk, events_cuped,
         # rotation slice (VERDICT r8 #4): the stale tail oldest-first —
         # dbi onward, exactly as the r8 registry comment scheduled      (16)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
         ann_topk,
-        # ... continuing q5_local_supplier onward                       (19)
+        # ... continuing q5_local_supplier onward                       (16)
         q5_local_supplier, q7_volume_shipping, q8_market_share,
         q9_profit_shape, q10_returned_items, q14_promo_share,
         q15_top_supplier, q17_small_quantity, q19_or_of_ands,
         q20_promo_suppliers, q4_priority, q13_custdist,
         q16_supplier_variety, q22_idle_customers, orders_window_suite,
-        orders_range_window, orders_ranking_suite, events_interval_join,
-        events_sessions_native,
-        # Window = 5 fits + 10 code-changed + 16 + 19 rotation = 50.
+        orders_range_window,
+        # Window = 5 fits + 10 code-changed + 3 new + 16 + 16 = 50.
         # --- the 50-entry truncation lands exactly here ---
-        # next round's rotation slice starts at ann_ivf: the stale tail
-        # continues oldest-verified-first (every name below carries an
-        # ORACLE_SWEEP_r09 row recorded this round)
+        # next round's rotation slice starts here: the three q5-block
+        # names the r9 new operators displaced, then ann_ivf onward —
+        # the stale tail continues oldest-verified-first (every name
+        # below carries an ORACLE_SWEEP_r09 row recorded this round)
+        orders_ranking_suite, events_interval_join, events_sessions_native,
         ann_ivf, ann_ivf_unlabeled, emb_neardup, multimodal_stats,
         tfidf_terms, pmi_collocations, sketch_distinct_check,
         sketch_quantile_check, big_orders, customers_without_orders,
@@ -5349,6 +5422,138 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY rrf_micro DESC, doc_id) AS rk
           FROM fused) t
         WHERE rk <= 10
+    """
+
+    # docs_dsir_topk: the per-bucket log ratio is pinned driver-side via
+    # ext.dsir.dsir_log_ratio_micro on DuckDB-computed integer count
+    # tables (the BM25 treatment — both engines consume the SAME python
+    # math.log literals), and the weight is an exact integer dot
+    # product. GUARDED: an unreadable documents.parquet omits the entry.
+    try:
+        from mopso_engine.ext.dsir import dsir_log_ratio_micro as _ds_lr
+
+        _ds_docs = os.path.join(
+            os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+            "documents.parquet",
+        )
+        if not os.path.exists(_ds_docs):
+            raise FileNotFoundError(_ds_docs)
+        import duckdb as _ds_duck
+
+        _ds_feats = rf"""tk2 AS (SELECT doc_id, source = 'src0' AS it,
+                      string_split_regex(lower(trim(text)), '\s+') AS t
+               FROM {{src}}),
+        uni AS (SELECT doc_id, it, unnest(t) AS g FROM tk2),
+        bg AS (SELECT doc_id, it, t[r.i] || ' ' || t[r.i + 1] AS g
+               FROM tk2 JOIN range(1, 100000) r(i) ON r.i <= len(t) - 1),
+        al AS (SELECT * FROM uni UNION ALL SELECT * FROM bg),
+        fb AS (SELECT doc_id, it,
+                      (('0x' || substr(md5(g), 1, 8))::BIGINT % 256) AS b
+               FROM al WHERE g <> ''),
+        cnt AS (SELECT doc_id, it, b, count(*) AS c FROM fb GROUP BY 1, 2, 3)"""
+        _ds_con = _ds_duck.connect()
+        _ds_rows = _ds_con.execute(
+            "WITH "
+            + _ds_feats.format(src=f"read_parquet('{_ds_docs}')")
+            + " SELECT b, sum(CASE WHEN it THEN c ELSE 0 END)::BIGINT,"
+            "   sum(c)::BIGINT FROM cnt GROUP BY 1"
+        ).fetchall()
+        _ds_con.close()
+        _ds_t = {int(b): int(t) for b, t, _ in _ds_rows}
+        _ds_r = {int(b): int(r) for b, _, r in _ds_rows}
+        _ds_lrm = _ds_lr(
+            _ds_t, _ds_r, sum(_ds_t.values()), sum(_ds_r.values()),
+            alpha=0.5, n_buckets=256,
+        )
+        _ds_vals = ", ".join(f"({b}, {m})" for b, m in sorted(_ds_lrm.items()))
+        o["docs_dsir_topk"] = f"""
+        WITH {_ds_feats.format(src="documents")},
+        lrm(b, lr_micro) AS (VALUES {_ds_vals}),
+        w AS (SELECT doc_id, it, sum(c)::BIGINT AS n_grams,
+                     sum(c * lr_micro)::BIGINT AS w_micro
+              FROM cnt JOIN lrm USING (b) GROUP BY 1, 2)
+        SELECT doc_id, n_grams, w_micro, rk FROM (
+          SELECT doc_id, n_grams, w_micro, row_number() OVER (
+                   ORDER BY w_micro DESC, doc_id) AS rk
+          FROM w WHERE NOT it) t
+        WHERE rk <= 100
+    """
+    except Exception:
+        pass
+
+    # events_cms_topk: the sketch is pure integer md5-slice hashing, so
+    # the oracle rebuilds the identical 4x1024 counter table and the
+    # min-over-rows estimates are bit-for-bit.
+    o["events_cms_topk"] = """
+        WITH sk AS (
+          SELECT r.row,
+                 (('0x' || substr(md5(r.row::VARCHAR || ':' || user_id::VARCHAR), 1, 8))::BIGINT
+                  % 1024) AS bucket,
+                 count(*) AS c
+          FROM events CROSS JOIN range(0, 4) r(row)
+          GROUP BY 1, 2),
+        keys AS (SELECT DISTINCT user_id FROM events),
+        pr AS (
+          SELECT user_id, r.row,
+                 (('0x' || substr(md5(r.row::VARCHAR || ':' || user_id::VARCHAR), 1, 8))::BIGINT
+                  % 1024) AS bucket
+          FROM keys CROSS JOIN range(0, 4) r(row)),
+        est AS (SELECT user_id, min(coalesce(sk.c, 0))::BIGINT AS est
+                FROM pr LEFT JOIN sk USING (row, bucket) GROUP BY 1),
+        ex AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1)
+        SELECT user_id, est, exact, est - exact AS overcount, rk FROM (
+          SELECT est.user_id, est.est, ex.exact,
+                 row_number() OVER (ORDER BY est.est DESC, est.user_id) AS rk
+          FROM est JOIN ex USING (user_id)) t
+        WHERE rk <= 20
+    """
+
+    # events_cuped: micro-quantized per-event values, per-user exact
+    # long sums, pooled moments in HUGEINT (Spark: DECIMAL(38,0) — same
+    # integers), then the identical double tree for theta and the
+    # adjusted means. Variant = md5-slice(user || '#cuped') % 2.
+    o["events_cuped"] = """
+        WITH ue AS (
+          SELECT user_id AS u,
+                 sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                     THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS x,
+                 sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                     THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS y
+          FROM events
+          WHERE ts IS NOT NULL AND value IS NOT NULL
+          GROUP BY 1),
+        uv AS (SELECT u, x, y,
+                      (('0x' || substr(md5(u::VARCHAR || '#cuped'), 1, 8))::BIGINT % 2)
+                        AS variant
+               FROM ue),
+        mo AS (SELECT count(*) AS n_all,
+                      sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                      sum(x::HUGEINT * x::HUGEINT) AS sxx,
+                      sum(x::HUGEINT * y::HUGEINT) AS sxy
+               FROM uv),
+        pv AS (SELECT variant, count(*) AS n_users,
+                      sum(x::HUGEINT) AS vx, sum(y::HUGEINT) AS vy
+               FROM uv GROUP BY 1)
+        SELECT variant, n_users,
+               round(mean_y / 1000000.0, 6) AS mean_y,
+               round((mean_y - theta * (mean_x - mean_x_all)) / 1000000.0, 6)
+                 AS mean_adj,
+               round(theta, 6) AS theta
+        FROM (
+          SELECT pv.variant, pv.n_users,
+                 pv.vy::DOUBLE / pv.n_users::DOUBLE AS mean_y,
+                 pv.vx::DOUBLE / pv.n_users::DOUBLE AS mean_x,
+                 mo.sx::DOUBLE / mo.n_all::DOUBLE AS mean_x_all,
+                 CASE WHEN (mo.n_all::DOUBLE * mo.sxx::DOUBLE
+                            - mo.sx::DOUBLE * mo.sx::DOUBLE) <> 0.0
+                      THEN (mo.n_all::DOUBLE * mo.sxy::DOUBLE
+                            - mo.sx::DOUBLE * mo.sy::DOUBLE)
+                           / (mo.n_all::DOUBLE * mo.sxx::DOUBLE
+                              - mo.sx::DOUBLE * mo.sx::DOUBLE)
+                      ELSE 0.0 END AS theta
+          FROM pv CROSS JOIN mo) t
     """
 
     # supplier_pagerank: the 6-iteration loop replayed as unrolled CTEs —

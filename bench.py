@@ -156,6 +156,11 @@ BENCH_QUERIES = [
     # round-8: streaming curation with the extraction-era gates
     "stream_curate_docs_v3",
     "stream_source_drift",
+    # round-9: DSIR data selection (pinned log-ratio literals, one
+    # (doc,bucket) shuffle), Count-Min Sketch audit, CUPED readout
+    "docs_dsir_topk",
+    "events_cms_topk",
+    "events_cuped",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -275,6 +280,10 @@ ANCHOR_R08 = {
     "stream_source_drift": 2.97, "events_scd2_lookup": 0.584,
     "events_resampled_li": 4.367, "decontaminate_semantic": 0.664,
     "mopso_fit_lsh": 70.863,
+    # r9-born operators, measured at build time (warm): dsir's cold
+    # first attempt pays the explode codegen (~23s) and is EXPECTED to
+    # trip the retry net down to its ~5s warm number
+    "docs_dsir_topk": 6.0, "events_cms_topk": 1.5, "events_cuped": 1.0,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its
@@ -385,6 +394,7 @@ def main() -> None:
     evaluate_solutions(nbr_small, np.zeros((2, 3, 64)))
 
     from mopso_engine.ext.dedup import clear_shingle_caches
+    from mopso_engine.ext.dsir import clear_dsir_caches
     from mopso_engine.ext.graph import clear_pagerank_caches
     from mopso_engine.ext.retrieval import clear_retrieval_caches
 
@@ -418,6 +428,7 @@ def main() -> None:
             clear_shingle_caches()
             clear_pagerank_caches()
             clear_retrieval_caches()
+            clear_dsir_caches()
 
     for qi, name in enumerate(BENCH_QUERIES):
         if qi % CALIB_EVERY == 0:

@@ -1415,3 +1415,108 @@ def attribution_report(
             F.sum(attributed.cast("long")).alias("n_attributed"),
         )
     )
+
+
+def cuped_adjusted(
+    events: DataFrame,
+    *,
+    split_ts: str,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    salt: str = "cuped",
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013,
+    "Improving the Sensitivity of Online Controlled Experiments") — the
+    standard A/B analysis adjustment: each user's post-period metric y
+    is shifted by θ·(x − x̄) where x is the PRE-period metric and θ =
+    cov(x, y)/var(x), removing the between-user variance x explains.
+    Users split into variants by the repo's deterministic md5 hash of
+    ``user || '#' || salt`` (mod 2) — the same salted-hash assignment
+    the sampling family uses, so the split replays anywhere.
+
+    Engine-exactness: per-event values quantize to integer micro-units
+    BEFORE any sum; per-user x/y are exact long sums; the pooled
+    moments Σx, Σy, Σxy, Σxx accumulate as DECIMAL(38,0) with operands
+    cast to DECIMAL(19,0) before multiplying (the ols_trend/value-trend
+    precedent) — order-proof exact integers. θ and the adjusted means
+    are doubles derived from those exact operands with an expression
+    tree mirrored verbatim in the oracle, then rounded to 6dp — no
+    transcendental anywhere, so no libm exposure.
+
+    Physical shape (100 TB): ONE user-keyed aggregate with conditional
+    sums (map-side combinable) builds the (user, x, y) table; the
+    pooled moments are a tiny aggregate of it and come back as a
+    broadcast scalar row; the per-variant rollup is a 2-group
+    aggregate. Catalyst's ReuseExchange shares the user aggregate's
+    shuffle between the moments and rollup branches.
+
+    Returns (variant, n_users, mean_y, mean_adj, theta) — means in
+    ``value`` units rounded to 6dp; variance reduction shows as
+    mean_adj's tighter spread across reruns of a null experiment.
+    """
+    vq = F.floor(F.col(value_col) * F.lit(float(unit)) + F.lit(0.5)).cast("long")
+    pre = F.when(F.col(ts_col) < F.lit(split_ts).cast("timestamp"), vq).otherwise(
+        F.lit(0)
+    )
+    post = F.when(F.col(ts_col) >= F.lit(split_ts).cast("timestamp"), vq).otherwise(
+        F.lit(0)
+    )
+    variant = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("u").cast("string"), F.lit(f"#{salt}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    users = (
+        events.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.sum(pre).alias("x"), F.sum(post).alias("y"))
+        .withColumn("variant", variant)
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    moments = users.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    n_d = F.col("n_all").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    var_x = n_d * sxx_d - sx_d * sx_d
+    theta = F.when(var_x != F.lit(0.0), (n_d * sxy_d - sx_d * sy_d) / var_x).otherwise(
+        F.lit(0.0)
+    )
+    per_variant = users.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(xd).alias("vx"),
+        F.sum(yd).alias("vy"),
+    )
+    mean_y = F.col("vy").cast("double") / F.col("n_users").cast("double")
+    mean_x = F.col("vx").cast("double") / F.col("n_users").cast("double")
+    mean_x_all = sx_d / n_d
+    scale = F.lit(float(unit))
+    return (
+        per_variant.crossJoin(F.broadcast(moments))
+        .select(
+            "variant",
+            "n_users",
+            F.round(mean_y / scale, 6).alias("mean_y"),
+            F.round((mean_y - theta * (mean_x - mean_x_all)) / scale, 6).alias(
+                "mean_adj"
+            ),
+            F.round(theta, 6).alias("theta"),
+        )
+    )

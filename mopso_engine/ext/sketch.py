@@ -143,3 +143,105 @@ def verify_candidates(
         .where(F.col("n") >= F.ceil(F.lit(float(min_frac)) * F.col("n_total")))
         .select(col, "n", "n_total")
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min Sketch
+# --------------------------------------------------------------------------
+
+def cms_build(
+    items: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) over ``col`` —
+    the frequency-estimation complement of the Misra-Gries heavy-hitter
+    sketch already in this module: MG answers "which keys are heavy",
+    CMS answers "roughly how often is ANY key seen" in ``depth × width``
+    counters regardless of key cardinality, with one-sided error
+    (estimates only OVER-count: est ≥ true, and est ≤ true + εN with
+    probability 1−δ for width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉).
+
+    Engine-exactness: row j's bucket for key k is the repo's md5-slice
+    hash of ``'j:' || k`` mod width — plain integer SQL, so the DuckDB
+    oracle rebuilds the identical counter table and the estimates are
+    bit-for-bit.
+
+    100 TB shape: the depth hash rows ride ONE in-row posexplode
+    (map-only); the counter build is a single (row, bucket) count
+    shuffle whose OUTPUT is bounded by depth·width — the sketch, like
+    the Bloom filter's word table, is collectable/broadcastable no
+    matter how big the stream was. Returns (row, bucket, c).
+    """
+    if depth < 1 or depth > 16:
+        raise ValueError(f"depth must be in [1, 16], got {depth}")
+    if width < 2 or width > 1 << 20:
+        raise ValueError(f"width must be in [2, 2^20], got {width}")
+    rows = F.array(*[F.lit(j) for j in range(depth)])
+    k = F.col(col).cast("string")
+    return (
+        items.select(k.alias("k"), F.explode(rows).alias("row"))
+        .select(
+            "row",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("k"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(int(width)),
+            ).alias("bucket"),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for every key in ``keys``: est(k) =
+    min over rows j of counter[j, bucket_j(k)]. The probe explodes the
+    same depth hash rows per key and BROADCASTS the (depth·width)-row
+    sketch onto them — map-only per key, one key groupBy for the min.
+    A key hashing to an untouched counter (possible for keys never
+    inserted) reads 0 via the left join's coalesce.
+
+    Returns (col, est) with est ≥ the key's true insert count.
+    """
+    if depth < 1 or depth > 16:
+        raise ValueError(f"depth must be in [1, 16], got {depth}")
+    rows = F.array(*[F.lit(j) for j in range(depth)])
+    k = F.col(col).cast("string")
+    probes = keys.select(F.col(col), k.alias("_k"), F.explode(rows).alias("row")).select(
+        col,
+        "row",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("_k"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(int(width)),
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )

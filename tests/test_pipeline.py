@@ -1254,3 +1254,100 @@ class TestAttribution:
 
         with _pt.raises(ValueError):
             attribution_report(ev, window_s=0)
+
+
+class TestCuped:
+    """ext.pipeline.cuped_adjusted — python replay, the variance-
+    reduction contract on a correlated fixture, and theta correctness."""
+
+    def _replay(self, rows, split, salt="cuped"):
+        import hashlib
+        import math
+        from collections import defaultdict
+
+        acc = defaultdict(lambda: [0, 0])  # u -> [x, y]
+        for u, ts, v in rows:
+            q = math.floor(v * 1e6 + 0.5)
+            if ts < split:
+                acc[u][0] += q
+            else:
+                acc[u][1] += q
+        n = len(acc)
+        sx = sum(a[0] for a in acc.values())
+        sy = sum(a[1] for a in acc.values())
+        sxx = sum(a[0] * a[0] for a in acc.values())
+        sxy = sum(a[0] * a[1] for a in acc.values())
+        den = float(n) * float(sxx) - float(sx) * float(sx)
+        theta = (float(n) * float(sxy) - float(sx) * float(sy)) / den if den else 0.0
+        mean_x_all = float(sx) / n
+        out = {}
+        byv = defaultdict(list)
+        for u, (x, y) in acc.items():
+            h = int(hashlib.md5(f"{u}#{salt}".encode()).hexdigest()[:8], 16) % 2
+            byv[h].append((x, y))
+        for v, xs in byv.items():
+            nv = len(xs)
+            my = float(sum(y for _, y in xs)) / nv
+            mx = float(sum(x for x, _ in xs)) / nv
+            out[v] = (
+                nv,
+                round(my / 1e6, 6),
+                round((my - theta * (mx - mean_x_all)) / 1e6, 6),
+                round(theta, 6),
+            )
+        return out
+
+    def test_matches_python_replay_exactly(self, spark):
+        from datetime import datetime, timedelta
+
+        from mopso_engine.ext.pipeline import cuped_adjusted
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        base = datetime(2024, 1, 1)
+        split = datetime(2024, 1, 10)
+        rows = []
+        # correlated per-user level: user u spends ~u in both periods
+        for u in range(20):
+            for d in range(6):
+                rows.append((u, base + timedelta(days=d), float(u) + 0.25 * d))
+                rows.append(
+                    (u, split + timedelta(days=d), float(u) + 0.5 + 0.1 * d)
+                )
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        )
+        got = {
+            r["variant"]: (r["n_users"], r["mean_y"], r["mean_adj"], r["theta"])
+            for r in cuped_adjusted(df, split_ts="2024-01-10 00:00:00").collect()
+        }
+        assert got == self._replay(rows, split)
+
+    def test_adjustment_removes_user_level_variance(self, spark):
+        # a NULL experiment where the variants happen to differ in their
+        # user mix: raw means differ by the mix, adjusted means converge
+        # because x explains the user level exactly
+        from datetime import datetime, timedelta
+
+        from mopso_engine.ext.pipeline import cuped_adjusted
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        base = datetime(2024, 1, 1)
+        split = datetime(2024, 1, 10)
+        rows = []
+        for u in range(40):
+            level = float(u % 7) * 3.0
+            rows.append((u, base + timedelta(days=1), level))
+            rows.append((u, split + timedelta(days=1), level + 1.0))
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        )
+        out = {
+            r["variant"]: r
+            for r in cuped_adjusted(df, split_ts="2024-01-10 00:00:00").collect()
+        }
+        a, b = out[0], out[1]
+        raw_gap = abs(a["mean_y"] - b["mean_y"])
+        adj_gap = abs(a["mean_adj"] - b["mean_adj"])
+        assert adj_gap < raw_gap * 0.2 or raw_gap < 1e-9
+        # y = x + 1 exactly -> theta == 1
+        assert abs(a["theta"] - 1.0) < 1e-6

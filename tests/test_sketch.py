@@ -199,3 +199,88 @@ def test_verify_candidates_guards(spark):
     # a correctly-sized pairing passes through
     got = verify_candidates(items, cands, "item", min_frac=0.5, m=4).collect()
     assert {(r["item"], r["n"]) for r in got} == {("a", 1), ("b", 1)}
+
+
+class TestCountMinSketch:
+    """ext.sketch.cms_build / cms_estimate vs a from-scratch replay:
+    identical md5 bucketing, the one-sided error contract, and the
+    epsilon-N bound."""
+
+    def _bucket(self, row, key, width):
+        import hashlib
+
+        return int(
+            hashlib.md5(f"{row}:{key}".encode()).hexdigest()[:8], 16
+        ) % width
+
+    def test_matches_python_replay_exactly(self, spark):
+        from collections import Counter
+
+        from mopso_engine.ext.sketch import cms_build, cms_estimate
+
+        data = [(k,) for k in "aabbbccccddddd" for _ in range(3)]
+        df = spark.createDataFrame(data, "k string")
+        depth, width = 3, 8  # tiny width FORCES collisions
+        sk = {
+            (r["row"], r["bucket"]): r["c"]
+            for r in cms_build(df, "k", depth=depth, width=width).collect()
+        }
+        counts = Counter(k for k, in data)
+        want_sk = Counter()
+        for k, c in counts.items():
+            for j in range(depth):
+                want_sk[(j, self._bucket(j, k, width))] += c
+        assert sk == dict(want_sk)
+        est = {
+            r["k"]: r["est"]
+            for r in cms_estimate(
+                cms_build(df, "k", depth=depth, width=width),
+                df.select("k").distinct(),
+                "k",
+                depth=depth,
+                width=width,
+            ).collect()
+        }
+        want_est = {
+            k: min(want_sk[(j, self._bucket(j, k, width))] for j in range(depth))
+            for k in counts
+        }
+        assert est == want_est
+
+    def test_one_sided_error_and_epsilon_bound(self, spark):
+        from mopso_engine.ext.sketch import cms_build, cms_estimate
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        depth, width = 4, 256
+        sk = cms_build(ev, "user_id", depth=depth, width=width)
+        est = cms_estimate(
+            sk, ev.select("user_id").distinct(), "user_id",
+            depth=depth, width=width,
+        )
+        exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+        rows = est.join(exact, "user_id").collect()
+        n_total = ev.count()
+        assert rows
+        # CMS error is ONE-SIDED: est >= exact for every key, always
+        assert all(r["est"] >= r["exact"] for r in rows)
+        # and bounded: overcount <= (e/width)*N for each row with depth
+        # independent hashes (probabilistic; generous 3x slack keeps the
+        # deterministic fixture safely inside)
+        import math as _m
+
+        bound = 3 * _m.e / width * n_total
+        assert all(r["est"] - r["exact"] <= bound for r in rows)
+
+    def test_guards(self, spark):
+        import pytest as _pt
+
+        from mopso_engine.ext.sketch import cms_build, cms_estimate
+
+        df = spark.createDataFrame([("a",)], "k string")
+        with _pt.raises(ValueError):
+            cms_build(df, "k", depth=0)
+        with _pt.raises(ValueError):
+            cms_build(df, "k", width=1)
+        with _pt.raises(ValueError):
+            cms_estimate(df, df, "k", depth=17)

@@ -253,12 +253,15 @@ COMMENTS = {
     "docs_fix_mojibake": "Mojibake repair: the ordered replace chain, "
     "progressive hit counts, and control strip are one expression-only "
     "projection — the PII-chain plan class; streaming-safe.",
-    "corpus_curation_v3": "The full curation ladder in ONE plan: "
-    "repair/blocklist/repetition stages are expression-only, the "
-    "fertility gate is the zero-shuffle BPE Arrow kernel, and the only "
-    "exchanges are the fingerprint window and the quota's "
-    "WindowGroupLimit — at 100 TB those two keyed shuffles are the "
-    "entire data movement.",
+    "corpus_curation_v3": "The full curation ladder FUSED (r9): repair "
+    "chain, blocklist, repetition flags and the md5 fingerprint ride "
+    "ONE projection over ONE corpus scan (keep= passthrough collapses "
+    "the gate chain in Catalyst — the r8 plan scanned the corpus 4x and "
+    "re-joined on doc_id); expression gates filter BEFORE the BPE Arrow "
+    "kernel so only survivors pay the encode, and the fertility columns "
+    "ride the kernel's keep= — zero doc_id joins; the fingerprint "
+    "window and the quota's WindowGroupLimit are the entire data "
+    "movement (plan-pinned: exactly 1 Scan parquet, no join nodes).",
     "stream_curate_docs_v3": "Streaming curation v3 (plan shown is the "
     "drained batch result): repair + blocklist + repetition gates are "
     "stateless codegen per micro-batch; the ONLY stateful operator is "
@@ -289,13 +292,15 @@ COMMENTS = {
     "new-side x known-side (the self-join quadratics of a naive "
     "union banding never appear), and the exact verify runs only on "
     "the candidate pairs via the broadcast composition.",
-    "bm25_search": "BM25 retrieval: the exploded token stream is pruned "
-    "by a BroadcastHashJoin on the distinct query terms BEFORE the only "
-    "corpus Exchange (the (doc_id, term) tf HashAggregate, partial-"
-    "combined map-side); document length never joins — it rides in-row "
-    "from the same split() array; df/N/sum_dl are broadcast scalars; "
-    "the per-query top-k executes as WindowGroupLimit, so the final "
-    "exchange carries at most k rows per query per map partition.",
+    "bm25_search": "BM25 retrieval (r9 libm-proofed): the exploded token "
+    "stream is pruned by a BroadcastHashJoin on the distinct query terms "
+    "BEFORE the only corpus Exchange (the (doc_id, term) tf "
+    "HashAggregate, persisted — the df collect and the scoring plan "
+    "share it); document length rides in-row from the same split() "
+    "array; the idf is a PINNED driver-quantized literal table "
+    "broadcast-joined in (no ln anywhere in the plan — asserted in "
+    "tests), and the norm is exact DECIMAL(38,0) rational arithmetic; "
+    "the per-query top-k executes as WindowGroupLimit.",
     "supplier_pagerank": "Iterative PageRank: edges+outdeg and the node "
     "list are hash-partitioned once and cached; each iteration's rank "
     "vector is persisted+materialized so InMemoryRelation keeps its "
@@ -402,14 +407,16 @@ COMMENTS = {
     "is a union of those tiny lists + one (query, doc) HashAggregate + "
     "one more WindowGroupLimit -- fusion cost is O(queries x k), "
     "invisible next to the corpus scans it combines.",
-    "stream_window_topk": "Streaming trending: the stream side is the "
-    "watermarked (window, type) HashAggregate; the rank is a "
-    "WindowGroupLimit applied AT READ over the drained sink table "
-    "(streams cannot rank across rows -- the sink is the index, the "
-    "top-k a view on it). This harness drains complete-mode (bounded "
-    "for a drain); long-horizon production uses update mode + upsert "
-    "sink, where watermark eviction bounds state by "
-    "windows-in-watermark x types.",
+    "stream_window_topk": "Streaming trending, now the PRODUCTION path "
+    "(r9): the watermarked (window, type) HashAggregate drains in "
+    "UPDATE output mode through a foreachBatch MERGE/upsert sink, so "
+    "watermark eviction bounds streaming state by windows-in-watermark "
+    "x types over any horizon (eviction + the bound are pinned by "
+    "TestStreamWindowTopkUpdate); last-write-wins upserts reconstruct "
+    "the final count table exactly, and the rank is a WindowGroupLimit "
+    "applied AT READ over the store (streams cannot rank across rows "
+    "-- the sink is the index, the top-k a view on it). The "
+    "complete-mode twin remains, parity-tested.",
     "emb_threshold_curve": "Threshold calibration: the pinned sample "
     "prunes at the scan (vec_id < 100 is a PushedFilter), the all-pairs "
     "join is bounded-quadratic BY DESIGN (<= 1k-row guard) and stays "
@@ -497,6 +504,25 @@ COMMENTS = {
     "top-L, then each iteration is one map-only Arrow fitness pass over "
     "the cached neighbor-augmented table — zero per-iteration shuffle, "
     "the unbounded-N Conn path composed end-to-end.",
+    "docs_dsir_topk": "DSIR data selection (r9): unigram+bigram "
+    "featurization is a map-only in-row explode; ONE (doc, bucket) "
+    "count HashAggregate is persisted and consumed by BOTH the "
+    "model-fit collect (<= 256 rows driver-side) and the scoring "
+    "branch, where the pinned log-ratio micro-nat table rides a "
+    "BroadcastHashJoin — the weight is an exact integer dot product "
+    "(no ln in the plan, the BM25 treatment); top-k is TakeOrdered.",
+    "events_cms_topk": "Count-Min Sketch audit: the depth-4 hash rows "
+    "are an in-row explode (map-only), the counter build is ONE "
+    "(row, bucket) HashAggregate whose output is bounded by "
+    "depth x width regardless of stream size, and the point queries "
+    "broadcast that tiny sketch back onto the probe rows — the exact "
+    "twin join exists only because this is an audit pairing.",
+    "events_cuped": "CUPED readout: ONE user-keyed combinable aggregate "
+    "builds (user, x, y); the pooled moments are a tiny aggregate of "
+    "it returned as a broadcast row (ReuseExchange shares the user "
+    "shuffle between the moments and per-variant branches); theta and "
+    "the adjusted means are doubles derived from DECIMAL(38,0)-exact "
+    "integer sums with a verbatim-mirrored tree — no transcendental.",
 }
 
 
