@@ -1214,6 +1214,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             alpha=0.5,
         )
 
+    def prox_search(spark, sf):
+        """Proximity retrieval (`ext.retrieval.proximity_topk`): top-10
+        docs per query by MinCover — the smallest token window
+        containing ALL the query's terms; the positional signal BM25's
+        bag-of-words and the coverage counter both miss. Exact and
+        integer-only: each occurrence is a window END whose best start
+        is the min over per-term running-max positions (one frame per
+        term index, bounded by MAX_PROX_TERMS, never by doc length).
+        posexplode + broadcast term prune are map-only; the ONE corpus
+        exchange is the (query, doc) position sort shared by the
+        min-window fold; top-k is a WindowGroupLimit."""
+        from mopso_engine.ext.retrieval import proximity_topk
+
+        qdf = spark.createDataFrame(
+            [
+                ("q_hashjoin", "hash join scan"),
+                ("q_stream", "stream window watermark"),
+                ("q_customer", "customer order value"),
+            ],
+            "query_id string, qtext string",
+        )
+        return proximity_topk(read_table(spark, sf, "documents"), qdf, top_k=10)
+
     def events_cms_topk(spark, sf):
         """Count-Min Sketch frequency audit (`ext.sketch.cms_build` /
         `cms_estimate`, Cormode & Muthukrishnan 2005): a 4×1024 counter
@@ -3694,28 +3717,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_fix_mojibake, docs_snapshot_diff, stream_window_topk,
         # round-9 NEW operators: DSIR importance resampling (Xie et al.
         # 2023 data selection, pinned log-ratio literals), Count-Min
-        # Sketch frequency audit, CUPED variance-reduced A/B readout    (3)
-        docs_dsir_topk, events_cms_topk, events_cuped,
+        # Sketch frequency audit, CUPED variance-reduced A/B readout,
+        # MinCover proximity retrieval                                   (4)
+        docs_dsir_topk, events_cms_topk, events_cuped, prox_search,
         # rotation slice (VERDICT r8 #4): the stale tail oldest-first —
         # dbi onward, exactly as the r8 registry comment scheduled      (16)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
         ann_topk,
-        # ... continuing q5_local_supplier onward                       (16)
+        # ... continuing q5_local_supplier onward                       (15)
         q5_local_supplier, q7_volume_shipping, q8_market_share,
         q9_profit_shape, q10_returned_items, q14_promo_share,
         q15_top_supplier, q17_small_quantity, q19_or_of_ands,
         q20_promo_suppliers, q4_priority, q13_custdist,
         q16_supplier_variety, q22_idle_customers, orders_window_suite,
-        orders_range_window,
-        # Window = 5 fits + 10 code-changed + 3 new + 16 + 16 = 50.
+        # Window = 5 fits + 10 code-changed + 4 new + 16 + 15 = 50.
         # --- the 50-entry truncation lands exactly here ---
-        # next round's rotation slice starts here: the three q5-block
+        # next round's rotation slice starts here: the four q5-block
         # names the r9 new operators displaced, then ann_ivf onward —
         # the stale tail continues oldest-verified-first (every name
         # below carries an ORACLE_SWEEP_r09 row recorded this round)
-        orders_ranking_suite, events_interval_join, events_sessions_native,
+        orders_range_window, orders_ranking_suite, events_interval_join,
+        events_sessions_native,
         ann_ivf, ann_ivf_unlabeled, emb_neardup, multimodal_stats,
         tfidf_terms, pmi_collocations, sketch_distinct_check,
         sketch_quantile_check, big_orders, customers_without_orders,
@@ -5480,6 +5504,58 @@ def oracle_sql() -> dict[str, str]:
     """
     except Exception:
         pass
+
+    # prox_search: pure integer window arithmetic — the running per-term
+    # max frames and the min fold replay verbatim (the pinned query set
+    # has <= 3 distinct terms, so the oracle carries 3 running columns;
+    # window LENGTH is position-base-invariant, so Spark's 0-based
+    # posexplode and the oracle's 1-based range agree exactly).
+    o["prox_search"] = r"""
+        WITH q(query_id, qtext) AS (VALUES
+            ('q_hashjoin', 'hash join scan'),
+            ('q_stream', 'stream window watermark'),
+            ('q_customer', 'customer order value')),
+        qp AS (SELECT DISTINCT query_id, t AS term
+               FROM (SELECT query_id,
+                            unnest(string_split_regex(lower(trim(qtext)), '\s+')) AS t
+                     FROM q)
+               WHERE t <> ''),
+        qi AS (SELECT query_id, term, row_number() OVER (
+                 PARTITION BY query_id ORDER BY term) AS ti
+               FROM qp),
+        nqt AS (SELECT query_id, max(ti) AS nq FROM qi GROUP BY 1),
+        tk AS (SELECT doc_id, t[r.i] AS term, r.i AS pos
+               FROM (SELECT doc_id,
+                            string_split_regex(lower(trim(text)), '\s+') AS t
+                     FROM documents)
+               JOIN range(1, 100000) r(i) ON r.i <= len(t)),
+        occ AS (SELECT qi.query_id, tk.doc_id, qi.ti, nqt.nq, tk.pos
+                FROM tk JOIN qi USING (term) JOIN nqt USING (query_id)),
+        run AS (SELECT query_id, doc_id, nq, pos,
+                       max(CASE WHEN ti = 1 THEN pos END) OVER w AS l1,
+                       max(CASE WHEN ti = 2 THEN pos END) OVER w AS l2,
+                       max(CASE WHEN ti = 3 THEN pos END) OVER w AS l3
+                FROM occ
+                WINDOW w AS (PARTITION BY query_id, doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING)),
+        cand AS (SELECT query_id, doc_id,
+                        CASE WHEN nq = 1 AND l1 IS NOT NULL
+                               THEN pos - l1 + 1
+                             WHEN nq = 2 AND l1 IS NOT NULL AND l2 IS NOT NULL
+                               THEN pos - least(l1, l2) + 1
+                             WHEN nq = 3 AND l1 IS NOT NULL AND l2 IS NOT NULL
+                                  AND l3 IS NOT NULL
+                               THEN pos - least(l1, l2, l3) + 1
+                        END AS win
+                 FROM run),
+        best AS (SELECT query_id, doc_id, min(win)::INT AS min_window
+                 FROM cand GROUP BY 1, 2 HAVING min(win) IS NOT NULL)
+        SELECT query_id, doc_id, min_window, rk FROM (
+          SELECT query_id, doc_id, min_window, row_number() OVER (
+                   PARTITION BY query_id ORDER BY min_window, doc_id) AS rk
+          FROM best) t
+        WHERE rk <= 10
+    """
 
     # events_cms_topk: the sketch is pure integer md5-slice hashing, so
     # the oracle rebuilds the identical 4x1024 counter table and the

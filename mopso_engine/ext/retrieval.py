@@ -315,3 +315,112 @@ def rrf_fuse(
         .where(F.col("rk") <= int(top_k))
         .select("query_id", "doc_id", "rrf_micro", "n_systems", "rk")
     )
+
+
+#: positional-retrieval term bound: the minimal-window state is one
+#: running column per query term, so queries are capped (proximity is a
+#: short-query signal; 8 running columns is already generous)
+MAX_PROX_TERMS = 8
+
+
+def proximity_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    top_k: int = 10,
+    max_terms: int = MAX_PROX_TERMS,
+) -> DataFrame:
+    """Top-``top_k`` documents per query by PROXIMITY — the length of the
+    smallest token window containing ALL the query's distinct terms
+    (MinCover; the positional signal BM25's bag-of-words scoring and
+    term-coverage counting both miss: "hash join" as a phrase beats
+    "hash ... 500 words ... join"). Only documents containing every
+    query term qualify — proximity is the tie-breaker ON TOP of full
+    coverage, which is why retrieval stacks fuse it with BM25 via RRF
+    rather than using it alone.
+
+    Algorithm, relationally (no positional index needed): explode
+    tokens WITH POSITION, broadcast-prune to query terms, then for each
+    occurrence e treat it as a window END — the best window ending at e
+    starts at the MINIMUM over terms of that term's latest position ≤
+    e.pos, which is one running ``max(CASE term_idx = i THEN pos END)``
+    frame per term index over the (query, doc) position order. The
+    minimal window is the min over ends. Exact, integer-only (no float
+    anywhere), and the per-(query,doc) state is ``max_terms`` running
+    columns — bounded by construction, never by document length.
+
+    100 TB shape: the posexplode + broadcast semi-join prune is
+    map-only (the corpus never shuffles on the token key); the ONE
+    corpus exchange is the (query_id, doc_id) sort for the running
+    windows, shared by the min-window aggregate; the per-query top-k is
+    a WindowGroupLimit rank window. Ties break (min_window asc, doc_id
+    asc).
+
+    Returns (query_id, doc_id, min_window, rk).
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if not 1 <= max_terms <= MAX_PROX_TERMS:
+        raise ValueError(
+            f"max_terms must be in [1, {MAX_PROX_TERMS}], got {max_terms}"
+        )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    qtoks = F.split(F.lower(F.trim(F.col("qtext"))), r"\s+")
+    qpairs = (
+        queries.select("query_id", F.explode(qtoks).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    wq = Window.partitionBy("query_id").orderBy("term")
+    qidx = qpairs.withColumn("ti", F.row_number().over(wq))
+    nq = qidx.groupBy("query_id").agg(F.max("ti").alias("nq"))
+    over = nq.where(F.col("nq") > int(max_terms))
+    # loud guard IN the lazy plan: a query with more distinct terms than
+    # running columns would silently lose coverage otherwise
+    qidx = qidx.join(F.broadcast(over), "query_id", "left_anti")
+    guard = F.when(
+        F.col("nq") > int(max_terms),
+        F.raise_error(
+            F.concat(
+                F.lit(f"proximity_topk: query exceeds {int(max_terms)} "
+                      "distinct terms: "),
+                F.col("query_id"),
+            )
+        ).cast("int"),
+    ).otherwise(F.col("nq"))
+    nq = nq.select("query_id", guard.alias("nq"))
+
+    occ = (
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "term"))
+        .join(F.broadcast(qidx), "term")
+        .join(F.broadcast(nq), "query_id")
+        .select("query_id", "doc_id", "ti", "nq", "pos")
+    )
+    w = (
+        Window.partitionBy("query_id", "doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lasts = F.array(
+        *[
+            F.max(F.when(F.col("ti") == i, F.col("pos"))).over(w)
+            for i in range(1, int(max_terms) + 1)
+        ]
+    )
+    seen = F.slice(lasts, 1, F.col("nq"))
+    covered = F.size(F.filter(seen, lambda x: x.isNotNull())) == F.col("nq")
+    win_len = F.col("pos") - F.array_min(seen) + F.lit(1)
+    best = (
+        occ.withColumn("win", F.when(covered, win_len))
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("win").alias("min_window"))
+        .where(F.col("min_window").isNotNull())
+    )
+    rk_w = Window.partitionBy("query_id").orderBy(
+        F.asc("min_window"), F.asc("doc_id")
+    )
+    return (
+        best.withColumn("rk", F.row_number().over(rk_w))
+        .where(F.col("rk") <= int(top_k))
+        .select("query_id", "doc_id", "min_window", "rk")
+    )

@@ -225,3 +225,99 @@ class TestRrfFusion:
         df = spark.createDataFrame([("q", 1, 1)], "query_id string, doc_id long, rk int")
         with pytest.raises(ValueError):
             rrf_fuse([df], k0=0)
+
+
+class TestProximity:
+    """ext.retrieval.proximity_topk — MinCover window vs a brute-force
+    python replay, coverage semantics, and the term-count guard."""
+
+    def _replay(self, corpus, queries, top_k=10):
+        import re as _re
+
+        out = {}
+        for qid, qtext in queries:
+            terms = sorted({t for t in _re.split(r"\s+", qtext.lower().strip()) if t})
+            scored = []
+            for doc_id, text in corpus:
+                toks = _re.split(r"\s+", text.lower().strip())
+                if not all(t in toks for t in terms):
+                    continue
+                best = None
+                for i in range(len(toks)):
+                    for j in range(i, len(toks)):
+                        win = toks[i : j + 1]
+                        if all(t in win for t in terms):
+                            w = j - i + 1
+                            best = w if best is None else min(best, w)
+                            break
+                scored.append((doc_id, best))
+            scored.sort(key=lambda kv: (kv[1], kv[0]))
+            out[qid] = [(d, w, rk + 1) for rk, (d, w) in enumerate(scored[:top_k])]
+        return out
+
+    def test_matches_bruteforce_replay(self, spark):
+        from mopso_engine.ext.retrieval import proximity_topk
+
+        corpus = [
+            (0, "hash join scan table row"),            # all adjacent -> 3
+            (1, "hash filter filter join x y scan"),    # spread -> 7
+            (2, "scan a hash b join"),                  # -> 5
+            (3, "hash join"),                           # missing scan -> absent
+            (4, "scan scan hash join scan"),            # best window 3 (hash join scan)
+            (5, "join hash scan join hash"),            # 3
+        ]
+        queries = [("qa", "hash join scan"), ("qb", "join")]
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        qdf = spark.createDataFrame(queries, "query_id string, qtext string")
+        got = {}
+        for r in proximity_topk(docs, qdf, top_k=10).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["min_window"], r["rk"])
+            )
+        for k in got:
+            got[k].sort(key=lambda x: x[2])
+        assert got == self._replay(corpus, queries)
+
+    def test_phrase_beats_spread(self, spark):
+        from mopso_engine.ext.retrieval import proximity_topk
+
+        docs = spark.createDataFrame(
+            [
+                (1, "hash join " + "x " * 50 + "scan"),
+                (2, "x x hash join scan x"),
+            ],
+            "doc_id long, text string",
+        )
+        qdf = spark.createDataFrame(
+            [("q", "hash join scan")], "query_id string, qtext string"
+        )
+        out = {r["doc_id"]: r for r in proximity_topk(docs, qdf).collect()}
+        assert out[2]["rk"] == 1 and out[2]["min_window"] == 3
+        assert out[1]["rk"] == 2
+
+    def test_partial_coverage_excluded(self, spark):
+        from mopso_engine.ext.retrieval import proximity_topk
+
+        docs = spark.createDataFrame(
+            [(1, "hash hash hash"), (2, "hash join")],
+            "doc_id long, text string",
+        )
+        qdf = spark.createDataFrame(
+            [("q", "hash join")], "query_id string, qtext string"
+        )
+        out = proximity_topk(docs, qdf).collect()
+        assert [r["doc_id"] for r in out] == [2]
+
+    def test_too_many_terms_raises_in_plan(self, spark):
+        from mopso_engine.ext.retrieval import MAX_PROX_TERMS, proximity_topk
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        big_q = " ".join(f"t{i}" for i in range(MAX_PROX_TERMS + 1))
+        qdf = spark.createDataFrame(
+            [("q", big_q)], "query_id string, qtext string"
+        )
+        with pytest.raises(Exception) as ei:
+            proximity_topk(docs, qdf).collect()
+        assert "distinct terms" in str(ei.value)
+        with pytest.raises(ValueError):
+            proximity_topk(docs, qdf, top_k=0)

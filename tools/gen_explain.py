@@ -517,6 +517,13 @@ COMMENTS = {
     "depth x width regardless of stream size, and the point queries "
     "broadcast that tiny sketch back onto the probe rows — the exact "
     "twin join exists only because this is an audit pairing.",
+    "prox_search": "Proximity retrieval: posexplode + BroadcastHashJoin "
+    "term prune are map-only (the corpus never shuffles on the token "
+    "key); the ONE corpus Exchange is the (query, doc) position sort "
+    "whose window frames hold max_terms running columns — state "
+    "bounded by the term cap, never by document length; the "
+    "min-window fold and the per-query WindowGroupLimit ride the same "
+    "sort. Pure integer arithmetic end to end.",
     "events_cuped": "CUPED readout: ONE user-keyed combinable aggregate "
     "builds (user, x, y); the pooled moments are a tiny aggregate of "
     "it returned as a broadcast row (ReuseExchange shares the user "
