@@ -108,14 +108,17 @@ def main() -> None:
 
     ROWS_IN = {
         "corpus_curation_v2": (5_000, 50_000),
+        # r9: the FUSED v3 ladder (one corpus scan, zero doc_id joins) —
+        # the fusion claim needs its own 10x datapoint
+        "corpus_curation_v3": (5_000, 50_000),
         "dedup_verified": (5_000, 50_000),
         "training_epoch_mix": (5_000, 50_000),
         # graph: edges scale 10x (custkeys re-keyed per replica)
         "supplier_pagerank": (600_000, 6_000_000),
     }
     for name in (
-        "corpus_curation_v2", "dedup_verified", "training_epoch_mix",
-        "supplier_pagerank",
+        "corpus_curation_v2", "corpus_curation_v3", "dedup_verified",
+        "training_epoch_mix", "supplier_pagerank",
     ):
         qs[name](spark, SRC).write.format("noop").mode("overwrite").save()
         clear_shingle_caches()
