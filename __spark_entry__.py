@@ -1237,6 +1237,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return proximity_topk(read_table(spark, sf, "documents"), qdf, top_k=10)
 
+    def docs_quality_quantile(spark, sf):
+        """Per-source quantile normalization of the heuristic quality
+        score (`ext.pipeline.rank_quantile`): each source's own score
+        distribution maps onto the same 0-9 decile grid, so 'keep every
+        source's top 30%' is well-defined even when sources score on
+        different scales (a global threshold empties the weaker source
+        — the mixture-collapse failure). Bucket = ((rk−1)·10) div n —
+        pure integer rank arithmetic over the engine-exact (quality
+        desc, doc_id) order; ONE source-keyed exchange shared by the
+        rank and count windows. Emits the per-(source, decile) summary
+        (n_docs, min/max quality) — the calibration table an operator
+        reads before picking per-source cuts."""
+        from mopso_engine.ext.pipeline import rank_quantile
+
+        docs = read_table(spark, sf, "documents")
+        q = rank_quantile(
+            tx.quality_score(docs, keep=["source"]),
+            "source",
+            [F.desc("quality"), F.asc("doc_id")],
+            buckets=10,
+        )
+        return q.groupBy("source", "q_bucket").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("quality").alias("min_q"),
+            F.max("quality").alias("max_q"),
+        )
+
     def events_cms_topk(spark, sf):
         """Count-Min Sketch frequency audit (`ext.sketch.cms_build` /
         `cms_estimate`, Cormode & Muthukrishnan 2005): a 4×1024 counter
@@ -3718,28 +3745,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-9 NEW operators: DSIR importance resampling (Xie et al.
         # 2023 data selection, pinned log-ratio literals), Count-Min
         # Sketch frequency audit, CUPED variance-reduced A/B readout,
-        # MinCover proximity retrieval                                   (4)
+        # MinCover proximity retrieval, per-source quality deciles       (5)
         docs_dsir_topk, events_cms_topk, events_cuped, prox_search,
+        docs_quality_quantile,
         # rotation slice (VERDICT r8 #4): the stale tail oldest-first —
         # dbi onward, exactly as the r8 registry comment scheduled      (16)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
         ann_topk,
-        # ... continuing q5_local_supplier onward                       (15)
+        # ... continuing q5_local_supplier onward                       (14)
         q5_local_supplier, q7_volume_shipping, q8_market_share,
         q9_profit_shape, q10_returned_items, q14_promo_share,
         q15_top_supplier, q17_small_quantity, q19_or_of_ands,
         q20_promo_suppliers, q4_priority, q13_custdist,
-        q16_supplier_variety, q22_idle_customers, orders_window_suite,
-        # Window = 5 fits + 10 code-changed + 4 new + 16 + 15 = 50.
+        q16_supplier_variety, q22_idle_customers,
+        # Window = 5 fits + 10 code-changed + 5 new + 16 + 14 = 50.
         # --- the 50-entry truncation lands exactly here ---
-        # next round's rotation slice starts here: the four q5-block
+        # next round's rotation slice starts here: the five q5-block
         # names the r9 new operators displaced, then ann_ivf onward —
         # the stale tail continues oldest-verified-first (every name
-        # below carries an ORACLE_SWEEP_r09 row recorded this round)
-        orders_range_window, orders_ranking_suite, events_interval_join,
-        events_sessions_native,
+        # below carries an ORACLE_SWEEP_r09 row recorded this round;
+        # docs_quality_quantile landed after the sweep and is pinned by
+        # its in-window driver row + check_oracle runs this round)
+        orders_window_suite, orders_range_window, orders_ranking_suite,
+        events_interval_join, events_sessions_native,
         ann_ivf, ann_ivf_unlabeled, emb_neardup, multimodal_stats,
         tfidf_terms, pmi_collocations, sketch_distinct_check,
         sketch_quantile_check, big_orders, customers_without_orders,
@@ -5555,6 +5585,30 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY query_id ORDER BY min_window, doc_id) AS rk
           FROM best) t
         WHERE rk <= 10
+    """
+
+    # docs_quality_quantile: the quality score is the same rational
+    # expression both engines already hash-match (the `quality` oracle);
+    # the decile is pure integer rank arithmetic over the exact
+    # (quality desc, doc_id) order — never an engine percentile.
+    o["docs_quality_quantile"] = r"""
+        WITH tq AS (SELECT doc_id, source,
+                           string_split_regex(trim(text), '\s+') AS t
+                    FROM documents),
+        sc AS (
+          SELECT doc_id, source,
+                 round((CASE WHEN len(t) BETWEEN 20 AND 1000
+                             THEN 1.0 ELSE 0.5 END)
+                       * (len(list_distinct(t)) * 1.0 / len(t)), 6) AS quality
+          FROM tq),
+        rk AS (SELECT source, quality,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY quality DESC, doc_id) AS r,
+                      count(*) OVER (PARTITION BY source) AS n
+               FROM sc)
+        SELECT source, (((r - 1) * 10) // n)::INT AS q_bucket,
+               count(*) AS n_docs, min(quality) AS min_q, max(quality) AS max_q
+        FROM rk GROUP BY 1, 2
     """
 
     # events_cms_topk: the sketch is pure integer md5-slice hashing, so

@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "events_cms_topk",
     "events_cuped",
     "prox_search",
+    "docs_quality_quantile",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -285,7 +286,7 @@ ANCHOR_R08 = {
     # first attempt pays the explode codegen (~23s) and is EXPECTED to
     # trip the retry net down to its ~5s warm number
     "docs_dsir_topk": 6.0, "events_cms_topk": 1.5, "events_cuped": 1.0,
-    "prox_search": 5.5,
+    "prox_search": 5.5, "docs_quality_quantile": 1.0,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

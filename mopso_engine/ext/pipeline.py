@@ -1520,3 +1520,48 @@ def cuped_adjusted(
             F.round(theta, 6).alias("theta"),
         )
     )
+
+
+def rank_quantile(
+    df: DataFrame,
+    stratum: str,
+    order_cols: list,
+    *,
+    buckets: int = 10,
+    bucket_col: str = "q_bucket",
+) -> DataFrame:
+    """Within-stratum rank-quantile normalization — the fairness
+    transform a curation pipeline applies before thresholding a score
+    across heterogeneous sources: each source's own score distribution
+    maps onto the same 0..buckets-1 grid, so "keep every source's top
+    30%" is well-defined even when one source scores systematically
+    higher than another (a GLOBAL threshold would empty the weaker
+    source — the classic mixture-collapse failure).
+
+    Exactness: the bucket is pure integer arithmetic on the within-
+    stratum rank — ``q_bucket = ((rk − 1) · buckets) div n`` — so as
+    long as the ordering key is engine-exact (the repo's scores are;
+    callers must include a unique tiebreak column), the assignment is
+    bit-identical everywhere and NEVER depends on an engine percentile
+    function (the repo's standing rule for percentile-style cuts).
+
+    Shape: ONE stratum-keyed exchange shared by the rank window and the
+    stratum-count window (same partitioning). Returns the input plus
+    (src_rank, n_stratum, ``bucket_col``).
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    reserved = {"src_rank", "n_stratum", bucket_col}
+    if bad := reserved.intersection(df.columns):
+        raise ValueError(f"input columns collide with outputs: {sorted(bad)}")
+    w = Window.partitionBy(stratum).orderBy(*order_cols)
+    return (
+        df.withColumn("src_rank", F.row_number().over(w))
+        .withColumn(
+            "n_stratum", F.count(F.lit(1)).over(Window.partitionBy(stratum))
+        )
+        .withColumn(
+            bucket_col,
+            F.expr(f"((src_rank - 1) * {int(buckets)}) div n_stratum").cast("int"),
+        )
+    )

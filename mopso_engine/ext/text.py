@@ -44,16 +44,22 @@ def text_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(docs: DataFrame, *, keep: list[str] | None = None) -> DataFrame:
     """Heuristic quality score in [0,1]: length band + vocabulary diversity
     — the standard cheap pre-filter of LLM data pipelines. Deterministic
-    arithmetic, SQL-portable."""
+    arithmetic, SQL-portable. ``keep`` carries extra input columns through
+    (the gate-fusion rule: label columns ride the projection, never a
+    corpus re-join)."""
+    reserved = {"doc_id", "quality"}
+    if keep and (bad := reserved.intersection(keep)):
+        raise ValueError(f"keep columns collide with output columns: {sorted(bad)}")
     toks = tokens_col()
     n_tokens = F.size(toks)
     diversity = F.size(F.array_distinct(toks)) / n_tokens
     len_ok = F.when((n_tokens >= 20) & (n_tokens <= 1000), F.lit(1.0)).otherwise(F.lit(0.5))
     return docs.select(
         "doc_id",
+        *(keep or []),
         F.round(len_ok * diversity, 6).alias("quality"),
     )
 

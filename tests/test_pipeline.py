@@ -1351,3 +1351,39 @@ class TestCuped:
         assert adj_gap < raw_gap * 0.2 or raw_gap < 1e-9
         # y = x + 1 exactly -> theta == 1
         assert abs(a["theta"] - 1.0) < 1e-6
+
+
+class TestRankQuantile:
+    def test_matches_python_replay_and_grid_properties(self, spark):
+        from mopso_engine.ext.pipeline import rank_quantile
+
+        rows = [(i, "a" if i < 7 else "b", float(100 - i)) for i in range(12)]
+        df = spark.createDataFrame(rows, "id long, src string, score double")
+        out = rank_quantile(
+            df, "src", [F.desc("score"), F.asc("id")], buckets=4
+        ).collect()
+        got = {r["id"]: (r["src_rank"], r["n_stratum"], r["q_bucket"]) for r in out}
+        from collections import defaultdict
+
+        by = defaultdict(list)
+        for i, s, v in rows:
+            by[s].append(((-v, i), i))
+        want = {}
+        for s, xs in by.items():
+            xs.sort()
+            n = len(xs)
+            for rk, (_, i) in enumerate(xs, 1):
+                want[i] = (rk, n, ((rk - 1) * 4) // n)
+        assert got == want
+        # every stratum spans the full grid when n >= buckets
+        assert {b for i, (_, n, b) in got.items() if n >= 4} == {0, 1, 2, 3}
+
+    def test_guards(self, spark):
+        from mopso_engine.ext.pipeline import rank_quantile
+
+        df = spark.createDataFrame([(1, "a", 1.0)], "id long, src string, score double")
+        with pytest.raises(ValueError):
+            rank_quantile(df, "src", [F.col("score")], buckets=0)
+        bad = df.withColumn("q_bucket", F.lit(1))
+        with pytest.raises(ValueError):
+            rank_quantile(bad, "src", [F.col("score")])

@@ -524,6 +524,11 @@ COMMENTS = {
     "bounded by the term cap, never by document length; the "
     "min-window fold and the per-query WindowGroupLimit ride the same "
     "sort. Pure integer arithmetic end to end.",
+    "docs_quality_quantile": "Per-source decile normalization: the "
+    "quality expression folds into the scan, then ONE source-keyed "
+    "Exchange is shared by the rank window, the stratum-count window "
+    "and the (source, bucket) summary aggregate — the decile is pure "
+    "integer rank arithmetic, never an engine percentile function.",
     "events_cuped": "CUPED readout: ONE user-keyed combinable aggregate "
     "builds (user, x, y); the pooled moments are a tiny aggregate of "
     "it returned as a broadcast row (ReuseExchange shares the user "
