@@ -1264,6 +1264,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.max("quality").alias("max_q"),
         )
 
+    def events_retention(spark, sf):
+        """Weekly cohort retention triangle
+        (`ext.pipeline.retention_cohorts`): users grouped by the Monday
+        week of their first event; each cohort's active-user count read
+        at every later week offset, with the retained share as integer
+        per-mille (1000·active div cohort_size — never a float ratio).
+        ONE user-keyed exchange computes the cohort min AND the
+        distinct-period set in the same aggregate (collect_set state
+        bounded by the calendar length, not the user's event count);
+        the (cohort, offset) fold is map-side combined and bounded by
+        cohorts × offsets; cohort size is recovered from the offset-0
+        row via a window over that tiny result, never a raw re-join."""
+        from mopso_engine.ext.pipeline import retention_cohorts
+
+        ev = read_table(spark, sf, "events")
+        return retention_cohorts(ev, grain_days=7)
+
     def events_cms_topk(spark, sf):
         """Count-Min Sketch frequency audit (`ext.sketch.cms_build` /
         `cms_estimate`, Cormode & Muthukrishnan 2005): a 4×1024 counter
@@ -3745,9 +3762,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-9 NEW operators: DSIR importance resampling (Xie et al.
         # 2023 data selection, pinned log-ratio literals), Count-Min
         # Sketch frequency audit, CUPED variance-reduced A/B readout,
-        # MinCover proximity retrieval, per-source quality deciles       (5)
+        # MinCover proximity retrieval, per-source quality deciles,
+        # weekly cohort retention triangle                              (6)
         docs_dsir_topk, events_cms_topk, events_cuped, prox_search,
-        docs_quality_quantile,
+        docs_quality_quantile, events_retention,
         # rotation slice (VERDICT r8 #4): the stale tail oldest-first —
         # dbi onward, exactly as the r8 registry comment scheduled      (16)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
@@ -3759,15 +3777,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q9_profit_shape, q10_returned_items, q14_promo_share,
         q15_top_supplier, q17_small_quantity, q19_or_of_ands,
         q20_promo_suppliers, q4_priority, q13_custdist,
-        q16_supplier_variety, q22_idle_customers,
-        # Window = 5 fits + 10 code-changed + 5 new + 16 + 14 = 50.
+        q16_supplier_variety,
+        # Window = 5 fits + 10 code-changed + 6 new + 16 + 13 = 50.
         # --- the 50-entry truncation lands exactly here ---
-        # next round's rotation slice starts here: the five q5-block
-        # names the r9 new operators displaced, then ann_ivf onward —
-        # the stale tail continues oldest-verified-first (every name
-        # below carries an ORACLE_SWEEP_r09 row recorded this round;
-        # docs_quality_quantile landed after the sweep and is pinned by
-        # its in-window driver row + check_oracle runs this round)
+        # next round's rotation slice starts here: the TPC-H mirror
+        # twins and q5-block names the r9 new operators displaced
+        # (lowest-risk per the policy above — literal SQL mirrors),
+        # then ann_ivf onward — the stale tail continues
+        # oldest-verified-first (every name below carries an
+        # ORACLE_SWEEP_r09 row recorded this round; late-r9 additions
+        # are pinned by in-window driver rows + check_oracle runs)
+        q22_idle_customers,
         orders_window_suite, orders_range_window, orders_ranking_suite,
         events_interval_join, events_sessions_native,
         ann_ivf, ann_ivf_unlabeled, emb_neardup, multimodal_stats,
@@ -5609,6 +5629,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, (((r - 1) * 10) // n)::INT AS q_bucket,
                count(*) AS n_docs, min(quality) AS min_q, max(quality) AS max_q
         FROM rk GROUP BY 1, 2
+    """
+
+    # events_retention: Monday-truncated weeks rendered as ISO strings,
+    # integer day-diff div 7 offsets, per-mille integer division — the
+    # whole triangle replays bit-identically in SQL.
+    o["events_retention"] = """
+        WITH per AS (
+          SELECT user_id AS u, date_trunc('week', ts) AS period
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        f AS (SELECT u, min(period) AS cohort FROM per GROUP BY u),
+        act AS (
+          SELECT DISTINCT p.u, f.cohort,
+                 date_diff('day', f.cohort, p.period) // 7 AS period_offset
+          FROM per p JOIN f USING (u)),
+        ret AS (SELECT cohort, period_offset,
+                       count(*)::BIGINT AS active_users
+                FROM act GROUP BY 1, 2),
+        sized AS (
+          SELECT cohort, period_offset, active_users,
+                 max(CASE WHEN period_offset = 0 THEN active_users END)
+                   OVER (PARTITION BY cohort) AS cohort_size
+          FROM ret)
+        SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+               period_offset::BIGINT AS period_offset, active_users,
+               cohort_size,
+               ((1000 * active_users) // cohort_size)::BIGINT AS retained_pm
+        FROM sized
     """
 
     # events_cms_topk: the sketch is pure integer md5-slice hashing, so

@@ -1565,3 +1565,81 @@ def rank_quantile(
             F.expr(f"((src_rank - 1) * {int(buckets)}) div n_stratum").cast("int"),
         )
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    grain_days: int = 7,
+) -> DataFrame:
+    """Cohort retention triangle — the growth-analytics staple: users
+    are grouped by the period of their FIRST activity (the cohort) and
+    each cohort's share of still-active users is read at every later
+    period offset. ``grain_days`` picks the period (7 = weekly cohorts
+    on Monday-truncated weeks, 1 = daily).
+
+    Exactness: periods are date-trunc'd calendar anchors rendered as
+    ISO date strings, offsets are integer day-differences floor-divided
+    by the grain, and the retained share is integer per-mille
+    ``(1000 · active) div cohort_size`` — no float ratio anywhere, so
+    every engine replays the table bit-identically.
+
+    Shape (100 TB): ONE user-keyed exchange computes both the cohort
+    (min period) and the user's distinct-period set in the same
+    aggregate — ``collect_set`` state is bounded by periods-per-user,
+    i.e. the calendar length of the corpus at weekly grain, NOT by the
+    user's event count — then the exploded (cohort, offset) pairs fold
+    through one map-side-combined count whose output is bounded by
+    cohorts × offsets. The cohort size is recovered from the offset-0
+    row (every user is active in their own cohort period by
+    construction) via a window over that tiny result, never a re-join
+    against the raw events.
+
+    Returns (cohort, period_offset, active_users, cohort_size,
+    retained_pm) with ``cohort`` an ISO yyyy-MM-dd string.
+    """
+    if grain_days not in (1, 7):
+        raise ValueError(f"grain_days must be 1 or 7, got {grain_days}")
+    trunc = "week" if grain_days == 7 else "day"
+    per = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"),
+        F.date_trunc(trunc, F.col(ts_col)).alias("period"),
+    )
+    by_user = per.groupBy("u").agg(
+        F.min("period").alias("cohort"),
+        F.collect_set("period").alias("periods"),
+    )
+    offsets = by_user.select(
+        "cohort", F.explode("periods").alias("period")
+    ).select(
+        "cohort",
+        F.expr(f"datediff(period, cohort) div {int(grain_days)}").alias(
+            "period_offset"
+        ),
+    )
+    ret = offsets.groupBy("cohort", "period_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+    w = Window.partitionBy("cohort")
+    return (
+        ret.withColumn(
+            "cohort_size",
+            F.max(
+                F.when(F.col("period_offset") == 0, F.col("active_users"))
+            ).over(w),
+        )
+        .withColumn(
+            "retained_pm", F.expr("(1000 * active_users) div cohort_size")
+        )
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "period_offset",
+            "active_users",
+            "cohort_size",
+            "retained_pm",
+        )
+    )

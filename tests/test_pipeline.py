@@ -1387,3 +1387,77 @@ class TestRankQuantile:
         bad = df.withColumn("q_bucket", F.lit(1))
         with pytest.raises(ValueError):
             rank_quantile(bad, "src", [F.col("score")])
+
+
+class TestRetentionCohorts:
+    def test_matches_python_replay_multi_cohort(self, spark):
+        from datetime import datetime, timedelta
+
+        from mopso_engine.ext.pipeline import retention_cohorts
+
+        # 3 cohorts (weeks of Jan 1, Jan 8, Jan 15 2024 — all Mondays),
+        # users churning at different offsets, one user with many events
+        # in the same week (must count once), one NULL user dropped.
+        base = datetime(2024, 1, 1)
+        rows = []
+        plan = {
+            1: [0, 1, 2],  # cohort w0, active 3 weeks
+            2: [0, 1],
+            3: [0],
+            4: [7, 14],  # cohort w1 (day 7), active w1+w2
+            5: [7],
+            6: [14, 15, 16, 28],  # cohort w2, dense week then returns w4
+        }
+        for u, days in plan.items():
+            for d in days:
+                rows.append((u, base + timedelta(days=d, hours=3), 1.0))
+        rows.append((None, base, 1.0))
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        got = {
+            (r["cohort"], r["period_offset"]): (
+                r["active_users"],
+                r["cohort_size"],
+                r["retained_pm"],
+            )
+            for r in retention_cohorts(df, grain_days=7).collect()
+        }
+        # python replay from scratch
+        from collections import defaultdict
+
+        def week(d):
+            dd = d.date()
+            return dd - timedelta(days=dd.weekday())
+
+        first, active = {}, defaultdict(set)
+        for u, ts, _ in rows:
+            if u is None:
+                continue
+            w = week(ts)
+            first[u] = min(first.get(u, w), w)
+        for u, ts, _ in rows:
+            if u is None:
+                continue
+            off = (week(ts) - first[u]).days // 7
+            active[(first[u], off)].add(u)
+        sizes = {c: len(us) for (c, off), us in active.items() if off == 0}
+        want = {
+            (c.isoformat(), off): (
+                len(us),
+                sizes[c],
+                (1000 * len(us)) // sizes[c],
+            )
+            for (c, off), us in active.items()
+        }
+        assert got == want
+        # offset-0 row is the cohort max and retained_pm == 1000 there
+        for (c, off), (a, size, pm) in got.items():
+            assert a <= size
+            if off == 0:
+                assert pm == 1000
+
+    def test_guard(self, spark):
+        from mopso_engine.ext.pipeline import retention_cohorts
+
+        df = spark.createDataFrame([(1, None, 1.0)], "user_id long, ts timestamp, value double")
+        with pytest.raises(ValueError):
+            retention_cohorts(df, grain_days=3)

@@ -529,6 +529,14 @@ COMMENTS = {
     "Exchange is shared by the rank window, the stratum-count window "
     "and the (source, bucket) summary aggregate — the decile is pure "
     "integer rank arithmetic, never an engine percentile function.",
+    "events_retention": "Retention triangle: ONE user-keyed exchange "
+    "computes the cohort min AND the distinct-period set in the same "
+    "HashAggregate (collect_set state bounded by the calendar length, "
+    "not event counts); the exploded (cohort, offset) fold is "
+    "map-side combined and bounded by cohorts x offsets; cohort size "
+    "comes from the offset-0 row via a window over that tiny result — "
+    "the raw events are scanned exactly once, and the retained share "
+    "is integer per-mille division, no float ratio.",
     "events_cuped": "CUPED readout: ONE user-keyed combinable aggregate "
     "builds (user, x, y); the pooled moments are a tiny aggregate of "
     "it returned as a broadcast row (ReuseExchange shares the user "
