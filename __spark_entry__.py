@@ -1281,6 +1281,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = read_table(spark, sf, "events")
         return retention_cohorts(ev, grain_days=7)
 
+    def customer_rfm(spark, sf):
+        """RFM segmentation (`ext.pipeline.bucketed_global_rank`): every
+        customer quintile-bucketed on Recency (days since last order,
+        bucket 0 = most recent), Frequency and Monetary (integer cents
+        — floor(price·100+0.5) per row BEFORE the sum, so the money is
+        an order-free exact BIGINT; bucket 4 = best), emitting the
+        5×5×5 segment-grid counts + spend. The quintile is pure integer
+        rank arithmetic ((rk−1)·5 div n) over EXACT global ranks from
+        the value-bucketed decomposition — local rank + per-bucket count
+        from one bucket-keyed exchange, prefix offsets over the tiny
+        head table broadcast back — NEVER the single-partition sort a
+        bare row_number() OVER (ORDER BY …) compiles to; the three
+        metrics chain on one lineage whose repeated subtrees collapse
+        to ReusedExchange nodes (verified: 10 in the executed plan),
+        plus the column-pruned 1-row as-of max branch."""
+        from mopso_engine.ext.pipeline import bucketed_global_rank
+
+        orders = read_table(spark, sf, "orders")
+        cust = orders.groupBy("o_custkey").agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+            ).alias("monetary_cents"),
+        )
+        asof = orders.agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("asof")
+        )
+        m = cust.crossJoin(F.broadcast(asof)).withColumn(
+            "recency_days", F.datediff("asof", "last_order")
+        )
+        r = bucketed_global_rank(
+            m, "recency_days", tiebreak="o_custkey", bucket_shift=6,
+            rank_col="r_rank", n_col="n1",
+        )
+        f = bucketed_global_rank(
+            r, "frequency", tiebreak="o_custkey", bucket_shift=2,
+            rank_col="f_rank", n_col="n2",
+        )
+        g = bucketed_global_rank(
+            f, "monetary_cents", tiebreak="o_custkey", bucket_shift=20,
+            rank_col="m_rank", n_col="n3",
+        )
+        return (
+            g.select(
+                F.expr("CAST(((r_rank - 1) * 5) div n1 AS INT)").alias("r_bucket"),
+                F.expr("CAST(((f_rank - 1) * 5) div n2 AS INT)").alias("f_bucket"),
+                F.expr("CAST(((m_rank - 1) * 5) div n3 AS INT)").alias("m_bucket"),
+                "monetary_cents",
+            )
+            .groupBy("r_bucket", "f_bucket", "m_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.sum("monetary_cents").alias("segment_cents"),
+            )
+        )
+
     def events_cms_topk(spark, sf):
         """Count-Min Sketch frequency audit (`ext.sketch.cms_build` /
         `cms_estimate`, Cormode & Muthukrishnan 2005): a 4×1024 counter
@@ -3763,9 +3820,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 2023 data selection, pinned log-ratio literals), Count-Min
         # Sketch frequency audit, CUPED variance-reduced A/B readout,
         # MinCover proximity retrieval, per-source quality deciles,
-        # weekly cohort retention triangle                              (6)
+        # weekly cohort retention triangle, RFM segmentation on exact
+        # bucket-decomposed global ranks                                (7)
         docs_dsir_topk, events_cms_topk, events_cuped, prox_search,
-        docs_quality_quantile, events_retention,
+        docs_quality_quantile, events_retention, customer_rfm,
         # rotation slice (VERDICT r8 #4): the stale tail oldest-first —
         # dbi onward, exactly as the r8 registry comment scheduled      (16)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
@@ -3777,8 +3835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q9_profit_shape, q10_returned_items, q14_promo_share,
         q15_top_supplier, q17_small_quantity, q19_or_of_ands,
         q20_promo_suppliers, q4_priority, q13_custdist,
-        q16_supplier_variety,
-        # Window = 5 fits + 10 code-changed + 6 new + 16 + 13 = 50.
+        # Window = 5 fits + 10 code-changed + 7 new + 16 + 12 = 50.
         # --- the 50-entry truncation lands exactly here ---
         # next round's rotation slice starts here: the TPC-H mirror
         # twins and q5-block names the r9 new operators displaced
@@ -3787,7 +3844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oldest-verified-first (every name below carries an
         # ORACLE_SWEEP_r09 row recorded this round; late-r9 additions
         # are pinned by in-window driver rows + check_oracle runs)
-        q22_idle_customers,
+        q16_supplier_variety, q22_idle_customers,
         orders_window_suite, orders_range_window, orders_ranking_suite,
         events_interval_join, events_sessions_native,
         ann_ivf, ann_ivf_unlabeled, emb_neardup, multimodal_stats,
@@ -5656,6 +5713,36 @@ def oracle_sql() -> dict[str, str]:
                cohort_size,
                ((1000 * active_users) // cohort_size)::BIGINT AS retained_pm
         FROM sized
+    """
+
+    # customer_rfm: the bucketed-rank decomposition equals a plain
+    # global row_number over (key, custkey) by construction, so the
+    # oracle uses the bare window; money is per-row integer cents
+    # BEFORE the sum (order-free), quintile = integer rank arithmetic.
+    o["customer_rfm"] = """
+        WITH cust AS (
+          SELECT o_custkey,
+                 max(CAST(o_orderdate AS DATE)) AS last_order,
+                 count(*)::BIGINT AS frequency,
+                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT
+                   AS monetary_cents
+          FROM orders GROUP BY 1),
+        a AS (SELECT max(CAST(o_orderdate AS DATE)) AS asof_d FROM orders),
+        m AS (SELECT c.*, date_diff('day', last_order, asof_d) AS recency_days
+              FROM cust c CROSS JOIN a),
+        rk AS (
+          SELECT monetary_cents,
+                 row_number() OVER (ORDER BY recency_days, o_custkey) AS r_rank,
+                 row_number() OVER (ORDER BY frequency, o_custkey) AS f_rank,
+                 row_number() OVER (ORDER BY monetary_cents, o_custkey) AS m_rank,
+                 count(*) OVER () AS n
+          FROM m)
+        SELECT (((r_rank - 1) * 5) // n)::INT AS r_bucket,
+               (((f_rank - 1) * 5) // n)::INT AS f_bucket,
+               (((m_rank - 1) * 5) // n)::INT AS m_bucket,
+               count(*)::BIGINT AS n_customers,
+               sum(monetary_cents)::BIGINT AS segment_cents
+        FROM rk GROUP BY 1, 2, 3
     """
 
     # events_cms_topk: the sketch is pure integer md5-slice hashing, so

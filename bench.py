@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "docs_quality_quantile",
     # round-9: weekly cohort retention triangle (one user exchange)
     "events_retention",
+    # round-9: RFM segmentation on bucket-decomposed exact global ranks
+    "customer_rfm",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -289,7 +291,7 @@ ANCHOR_R08 = {
     # trip the retry net down to its ~5s warm number
     "docs_dsir_topk": 6.0, "events_cms_topk": 1.5, "events_cuped": 1.0,
     "prox_search": 5.5, "docs_quality_quantile": 1.0,
-    "events_retention": 1.0,
+    "events_retention": 1.0, "customer_rfm": 3.3,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

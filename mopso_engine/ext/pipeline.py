@@ -1643,3 +1643,84 @@ def retention_cohorts(
             "retained_pm",
         )
     )
+
+
+def bucketed_global_rank(
+    df: DataFrame,
+    key: str,
+    *,
+    tiebreak: str,
+    bucket_shift: int = 16,
+    rank_col: str = "global_rank",
+    n_col: str = "n_total",
+) -> DataFrame:
+    """Exact GLOBAL row-number over a non-negative integer key WITHOUT
+    the single-partition sort a bare ``row_number() OVER (ORDER BY …)``
+    compiles to — the window every naive "rank all customers" query
+    bottlenecks on at scale.
+
+    Decomposition: bucket = ``key >> bucket_shift`` is a DETERMINISTIC
+    value-derived range partition (never a sampled RangePartitioner
+    boundary, so re-execution of any branch is bit-stable); the local
+    rank and the per-bucket count come from ONE bucket-keyed window
+    exchange; the cross-bucket prefix offsets are a window over the
+    TINY (bucket, n) head table — rows where local rank == 1, a
+    map-only filter of the same exchange output — broadcast back onto
+    it. ``global_rank = offset + local_rank`` equals the plain global
+    row-number over (key asc, tiebreak asc) exactly, because the bucket
+    order is the key's own high bits.
+
+    Skew contract: parallelism is bounded by the number of OCCUPIED
+    buckets; pick ``bucket_shift`` so the hottest bucket fits one task
+    (the same Σ-bucket² style contract the banded dedup family
+    documents). Keys must be non-negative (``>>`` is arithmetic) and
+    non-null — violations raise loudly in-plan.
+
+    Returns the input plus (``rank_col``, ``n_col``) — n_total riding
+    along makes quantile cuts pure integer arithmetic downstream:
+    ``((global_rank − 1) · B) div n_total``.
+    """
+    if bucket_shift < 0:
+        raise ValueError(f"bucket_shift must be >= 0, got {bucket_shift}")
+    reserved = {rank_col, n_col, "_gr_bucket", "_gr_lrank", "_gr_bn", "_gr_off"}
+    if bad := reserved.intersection(df.columns):
+        raise ValueError(f"input columns collide with outputs: {sorted(bad)}")
+    checked = (
+        F.when(
+            F.col(key).isNull() | (F.col(key) < 0),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"bucketed_global_rank: NULL or negative key {key}="),
+                    F.col(key).cast("string"),
+                )
+            ),
+        )
+        .otherwise(F.col(key).cast("long"))
+    )
+    b = df.withColumn(
+        "_gr_bucket", F.shiftrightunsigned(checked, int(bucket_shift))
+    )
+    wloc = Window.partitionBy("_gr_bucket").orderBy(
+        F.col(key).asc(), F.col(tiebreak).asc()
+    )
+    s1 = b.withColumn("_gr_lrank", F.row_number().over(wloc)).withColumn(
+        "_gr_bn", F.count(F.lit(1)).over(Window.partitionBy("_gr_bucket"))
+    )
+    heads = s1.where(F.col("_gr_lrank") == 1).select("_gr_bucket", "_gr_bn")
+    woff = Window.orderBy("_gr_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = heads.select(
+        "_gr_bucket",
+        F.coalesce(F.sum("_gr_bn").over(woff), F.lit(0)).alias("_gr_off"),
+        F.sum("_gr_bn").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias(n_col),
+    )
+    return (
+        s1.join(F.broadcast(offs), "_gr_bucket")
+        .withColumn(rank_col, F.col("_gr_off") + F.col("_gr_lrank"))
+        .drop("_gr_bucket", "_gr_lrank", "_gr_bn", "_gr_off")
+    )

@@ -1461,3 +1461,43 @@ class TestRetentionCohorts:
         df = spark.createDataFrame([(1, None, 1.0)], "user_id long, ts timestamp, value double")
         with pytest.raises(ValueError):
             retention_cohorts(df, grain_days=3)
+
+
+class TestBucketedGlobalRank:
+    def test_matches_plain_row_number_across_shifts(self, spark):
+        import random
+
+        from mopso_engine.ext.pipeline import bucketed_global_rank
+
+        random.seed(7)
+        rows = [(i, random.randrange(0, 5000)) for i in range(500)]
+        # duplicate keys so the tiebreak matters
+        rows += [(1000 + i, rows[i][1]) for i in range(50)]
+        df = spark.createDataFrame(rows, "id long, key long").repartition(16)
+        want = {
+            i: (rk + 1, len(rows))
+            for rk, (k, i) in enumerate(sorted((k, i) for i, k in rows))
+        }
+        # shift 0 = every key its own bucket; 8 = mid; 40 = ONE bucket
+        # (degenerates to the plain global window) — all identical
+        for shift in (0, 8, 40):
+            out = bucketed_global_rank(df, "key", tiebreak="id", bucket_shift=shift)
+            got = {r["id"]: (r["global_rank"], r["n_total"]) for r in out.collect()}
+            assert got == want, f"shift={shift}"
+
+    def test_guards(self, spark):
+        from py4j.protocol import Py4JJavaError
+
+        from mopso_engine.ext.pipeline import bucketed_global_rank
+
+        df = spark.createDataFrame([(1, -2)], "id long, key long")
+        with pytest.raises(Exception) as ei:
+            bucketed_global_rank(df, "key", tiebreak="id").collect()
+        assert "negative key" in str(ei.value)
+        ok = spark.createDataFrame([(1, 2)], "id long, key long")
+        with pytest.raises(ValueError):
+            bucketed_global_rank(ok, "key", tiebreak="id", bucket_shift=-1)
+        with pytest.raises(ValueError):
+            bucketed_global_rank(
+                ok.withColumn("global_rank", F.lit(1)), "key", tiebreak="id"
+            )

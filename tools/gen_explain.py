@@ -537,6 +537,16 @@ COMMENTS = {
     "comes from the offset-0 row via a window over that tiny result — "
     "the raw events are scanned exactly once, and the retained share "
     "is integer per-mille division, no float ratio.",
+    "customer_rfm": "RFM segmentation: each metric's EXACT global rank "
+    "comes from the value-bucketed decomposition — local rank + "
+    "per-bucket count from one bucket-keyed window exchange, prefix "
+    "offsets over the TINY lrank==1 head table broadcast back — so "
+    "the plan never contains the corpus-sized single-partition sort a "
+    "bare row_number() OVER (ORDER BY ...) compiles to (the tiny head "
+    "tables are the only global windows); the three metrics chain on "
+    "one lineage whose repeated subtrees collapse to ReusedExchange "
+    "nodes, and money is per-row integer cents before the order-free "
+    "sum.",
     "events_cuped": "CUPED readout: ONE user-keyed combinable aggregate "
     "builds (user, x, y); the pooled moments are a tiny aggregate of "
     "it returned as a broadcast row (ReuseExchange shares the user "
