@@ -1338,6 +1338,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def names_edit1(spark, sf):
+        """Entity-resolution fuzzy key join (`ext.dedup.edit1_pairs`,
+        Garbe's SymSpell symmetric delete): every customer-name pair
+        within Levenshtein distance ≤ 1 — the typo'd/near-identical ID
+        shape — via the deletion-neighborhood equality join, never the
+        all-pairs crossJoin. Neighborhood = map-only posexplode bounded
+        by len+2 rows per key; ONE variant-keyed self-join whose cost
+        follows Σ bucket² (buckets = keys agreeing everywhere but one
+        position); candidates deduped then verified with the exact
+        integer levenshtein DP (identical in both engines, no float).
+        Keys beyond 64 chars raise in-plan — long strings belong to the
+        n-gram/MinHash family."""
+        from mopso_engine.ext.dedup import edit1_pairs
+
+        cust = read_table(spark, sf, "customer")
+        return edit1_pairs(cust.select("c_name"), "c_name")
+
     def events_cms_topk(spark, sf):
         """Count-Min Sketch frequency audit (`ext.sketch.cms_build` /
         `cms_estimate`, Cormode & Muthukrishnan 2005): a 4×1024 counter
@@ -3821,9 +3838,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Sketch frequency audit, CUPED variance-reduced A/B readout,
         # MinCover proximity retrieval, per-source quality deciles,
         # weekly cohort retention triangle, RFM segmentation on exact
-        # bucket-decomposed global ranks                                (7)
+        # bucket-decomposed global ranks, SymSpell edit-distance join   (8)
         docs_dsir_topk, events_cms_topk, events_cuped, prox_search,
         docs_quality_quantile, events_retention, customer_rfm,
+        names_edit1,
         # rotation slice (VERDICT r8 #4): the stale tail oldest-first —
         # dbi onward, exactly as the r8 registry comment scheduled      (16)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
@@ -3834,8 +3852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q5_local_supplier, q7_volume_shipping, q8_market_share,
         q9_profit_shape, q10_returned_items, q14_promo_share,
         q15_top_supplier, q17_small_quantity, q19_or_of_ands,
-        q20_promo_suppliers, q4_priority, q13_custdist,
-        # Window = 5 fits + 10 code-changed + 7 new + 16 + 12 = 50.
+        q20_promo_suppliers, q4_priority,
+        # Window = 5 fits + 10 code-changed + 8 new + 16 + 11 = 50.
         # --- the 50-entry truncation lands exactly here ---
         # next round's rotation slice starts here: the TPC-H mirror
         # twins and q5-block names the r9 new operators displaced
@@ -3844,7 +3862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oldest-verified-first (every name below carries an
         # ORACLE_SWEEP_r09 row recorded this round; late-r9 additions
         # are pinned by in-window driver rows + check_oracle runs)
-        q16_supplier_variety, q22_idle_customers,
+        q13_custdist, q16_supplier_variety, q22_idle_customers,
         orders_window_suite, orders_range_window, orders_ranking_suite,
         events_interval_join, events_sessions_native,
         ann_ivf, ann_ivf_unlabeled, emb_neardup, multimodal_stats,
@@ -5743,6 +5761,25 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_customers,
                sum(monetary_cents)::BIGINT AS segment_cents
         FROM rk GROUP BY 1, 2, 3
+    """
+
+    # names_edit1: the deletion neighborhood is pure substr arithmetic
+    # and the verify is the exact integer levenshtein DP — both engines
+    # define it identically; lateral generate_series is rendered as an
+    # uncorrelated range + length filter for DuckDB.
+    o["names_edit1"] = """
+        WITH names AS (
+          SELECT DISTINCT c_name AS w FROM customer WHERE c_name IS NOT NULL),
+        dels AS (
+          SELECT w, substr(w, 1, i - 1) || substr(w, i + 1) AS v
+          FROM names CROSS JOIN range(1, 65) t(i) WHERE i <= len(w)
+          UNION
+          SELECT w, w FROM names),
+        cand AS (
+          SELECT DISTINCT a.w AS name_a, b.w AS name_b
+          FROM dels a JOIN dels b ON a.v = b.v AND a.w < b.w)
+        SELECT name_a, name_b FROM cand
+        WHERE levenshtein(name_a, name_b) <= 1
     """
 
     # events_cms_topk: the sketch is pure integer md5-slice hashing, so

@@ -1384,3 +1384,67 @@ def fixed_key_neardup_pairs(
         )
         .where(F.col("lev") <= int(max_dist))
     )
+
+
+def edit1_pairs(
+    keys: DataFrame,
+    col: str,
+    *,
+    max_len: int = 64,
+) -> DataFrame:
+    """SymSpell-style deletion-neighborhood join (Garbe's symmetric
+    delete): every pair of keys within Levenshtein distance ≤ 1 —
+    substitution, insertion, deletion — found WITHOUT the all-pairs
+    crossJoin a naive fuzzy match compiles to.
+
+    Completeness: two strings at distance ≤ 1 always share an element
+    of {key} ∪ deletions(key) (equal → the key itself; deletion → the
+    shorter IS a deletion of the longer; substitution → deleting the
+    differing position from both). Sharing is NOT sufficient ("ab"/"ba"
+    share "b" at distance 2), so candidates are verified with the exact
+    integer ``levenshtein`` DP — identical in every engine, no float.
+
+    Shape (100 TB): the neighborhood is a map-only posexplode bounded
+    by ``len+2`` rows per key; candidates come from ONE variant-keyed
+    equality self-join whose cost follows Σ bucket² over variant
+    buckets (the banded-dedup contract — buckets are keys that agree
+    everywhere but one position, small for ID-like vocabularies);
+    pairs are deduped before the cheap verify. Keys longer than
+    ``max_len`` raise in-plan — for long strings use the n-gram/
+    MinHash family, not character edits.
+
+    Returns (name_a, name_b) with name_a < name_b, distance ≤ 1.
+    """
+    checked = F.when(
+        F.length(F.col(col)) > int(max_len),
+        F.raise_error(
+            F.concat(
+                F.lit(f"edit1_pairs: key longer than max_len={max_len}: "),
+                F.col(col),
+            )
+        ),
+    ).otherwise(F.col(col))
+    names = (
+        keys.select(checked.alias("w"))
+        .where(F.col("w").isNotNull())
+        .distinct()
+    )
+    dels = names.select(
+        "w",
+        F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"),
+    ).select(
+        "w",
+        F.concat(
+            F.expr("substr(w, 1, i - 1)"), F.expr("substr(w, i + 1)")
+        ).alias("v"),
+    )
+    nbhd = dels.union(names.select("w", F.col("w").alias("v"))).distinct()
+    a = nbhd.select(F.col("w").alias("name_a"), "v")
+    b = nbhd.select(F.col("w").alias("name_b"), "v")
+    cand = (
+        a.join(b, "v")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return cand.where(F.levenshtein("name_a", "name_b") <= 1)

@@ -3164,3 +3164,54 @@ def test_fixed_key_neardup_short_keys_keep_recall(spark):
     assert got[(1, 2)] == 2 and got[(1, 3)] == 1 and got[(2, 3)] == 2
     # the long key pairs with nothing (nothing within distance 2)
     assert not any(4 in p for p in got)
+
+
+class TestEdit1Pairs:
+    def test_matches_brute_force_replay(self, spark):
+        from mopso_engine.ext.dedup import edit1_pairs
+
+        # substitution, deletion, insertion, a transposition pair at
+        # distance 2 that SHARES a deletion variant ("ab"/"ba" via "b")
+        # and must be verified away, plus unrelated words and a dup row.
+        vocab = [
+            "kitten", "mitten",          # substitution
+            "cart", "car", "carts",      # deletion / insertion chain
+            "ab", "ba",                  # false candidate (distance 2)
+            "a", "b",                    # 1-char: both delete to ""
+            "zebra",
+        ]
+        rows = [(w,) for w in vocab] + [("kitten",)]
+        df = spark.createDataFrame(rows, "c_name string")
+        got = {
+            (r["name_a"], r["name_b"])
+            for r in edit1_pairs(df, "c_name").collect()
+        }
+
+        def lev(s, t):
+            d = list(range(len(t) + 1))
+            for i, cs in enumerate(s, 1):
+                prev, d[0] = d[0], i
+                for j, ct in enumerate(t, 1):
+                    prev, d[j] = d[j], min(
+                        d[j] + 1, d[j - 1] + 1, prev + (cs != ct)
+                    )
+            return d[len(t)]
+
+        want = {
+            (a, b)
+            for a in vocab
+            for b in vocab
+            if a < b and lev(a, b) <= 1
+        }
+        assert got == want
+        assert ("ab", "ba") not in got  # the shared-variant false pair
+        assert ("a", "b") in want and ("a", "b") in got  # substitution
+        assert ("cart", "carts") in got and ("car", "cart") in got
+
+    def test_long_key_raises_in_plan(self, spark):
+        from mopso_engine.ext.dedup import edit1_pairs
+
+        df = spark.createDataFrame([("x" * 80,)], "c_name string")
+        with pytest.raises(Exception) as ei:
+            edit1_pairs(df, "c_name", max_len=64).collect()
+        assert "longer than max_len" in str(ei.value)

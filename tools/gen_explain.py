@@ -547,6 +547,13 @@ COMMENTS = {
     "one lineage whose repeated subtrees collapse to ReusedExchange "
     "nodes, and money is per-row integer cents before the order-free "
     "sum.",
+    "names_edit1": "SymSpell fuzzy key join: the deletion neighborhood "
+    "is a map-only explode bounded by len+2 rows per key (substr "
+    "arithmetic folded into the scan projection); candidates come "
+    "from ONE variant-keyed equality self-join — cost follows "
+    "sum(bucket^2) over variants, the banded-dedup contract — deduped "
+    "before the exact integer levenshtein verify. No crossJoin "
+    "anywhere; keys beyond max_len raise in-plan.",
     "events_cuped": "CUPED readout: ONE user-keyed combinable aggregate "
     "builds (user, x, y); the pooled moments are a tiny aggregate of "
     "it returned as a broadcast row (ReuseExchange shares the user "
