@@ -1355,6 +1355,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cust = read_table(spark, sf, "customer")
         return edit1_pairs(cust.select("c_name"), "c_name")
 
+    def supplier_bfs(spark, sf):
+        """Multi-source BFS hop-distance histogram
+        (`ext.graph.bfs_levels`): distances from 3 seed suppliers over
+        the same bipartite customer↔supplier purchase graph the
+        pagerank family uses, folded to (node_type, dist, n_nodes)
+        with unreached rendered as −1. One round = frontier⋈edges →
+        distinct destinations → coalesce patch; edges and the node
+        list are hash-partitioned once and cached, so the
+        distinct-destinations exchange is the ONLY per-round shuffle
+        (the pagerank marginal-exchange shape) and a node's distance is
+        final the first time it is reached. Exact small integers —
+        the oracle replays the 6 rounds as unrolled MATERIALIZED
+        CTEs."""
+        from mopso_engine.ext.graph import bfs_levels
+
+        li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+        orders = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        pairs = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .select(
+                F.col("o_custkey").alias("cust"),
+                (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("supp"),
+            )
+            .distinct()
+        )
+        edges = pairs.select(
+            F.col("cust").alias("src"), F.col("supp").alias("dst")
+        ).union(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+        d = bfs_levels(
+            edges, [1_000_000_001, 1_000_000_002, 1_000_000_003], iters=6
+        )
+        return (
+            d.select(
+                F.when(F.col("node") >= 1_000_000_000, F.lit("supp"))
+                .otherwise(F.lit("cust"))
+                .alias("node_type"),
+                F.coalesce(F.col("dist"), F.lit(-1)).alias("dist"),
+            )
+            .groupBy("node_type", "dist")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+        )
+
     def events_cms_topk(spark, sf):
         """Count-Min Sketch frequency audit (`ext.sketch.cms_build` /
         `cms_estimate`, Cormode & Muthukrishnan 2005): a 4×1024 counter
@@ -3838,10 +3880,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Sketch frequency audit, CUPED variance-reduced A/B readout,
         # MinCover proximity retrieval, per-source quality deciles,
         # weekly cohort retention triangle, RFM segmentation on exact
-        # bucket-decomposed global ranks, SymSpell edit-distance join   (8)
+        # bucket-decomposed global ranks, SymSpell edit-distance join,
+        # multi-source BFS hop distances                                (9)
         docs_dsir_topk, events_cms_topk, events_cuped, prox_search,
         docs_quality_quantile, events_retention, customer_rfm,
-        names_edit1,
+        names_edit1, supplier_bfs,
         # rotation slice (VERDICT r8 #4): the stale tail oldest-first —
         # dbi onward, exactly as the r8 registry comment scheduled      (16)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
@@ -3852,8 +3895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q5_local_supplier, q7_volume_shipping, q8_market_share,
         q9_profit_shape, q10_returned_items, q14_promo_share,
         q15_top_supplier, q17_small_quantity, q19_or_of_ands,
-        q20_promo_suppliers, q4_priority,
-        # Window = 5 fits + 10 code-changed + 8 new + 16 + 11 = 50.
+        q20_promo_suppliers,
+        # Window = 5 fits + 10 code-changed + 9 new + 16 + 10 = 50.
         # --- the 50-entry truncation lands exactly here ---
         # next round's rotation slice starts here: the TPC-H mirror
         # twins and q5-block names the r9 new operators displaced
@@ -3862,7 +3905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oldest-verified-first (every name below carries an
         # ORACLE_SWEEP_r09 row recorded this round; late-r9 additions
         # are pinned by in-window driver rows + check_oracle runs)
-        q13_custdist, q16_supplier_variety, q22_idle_customers,
+        q4_priority, q13_custdist, q16_supplier_variety, q22_idle_customers,
         orders_window_suite, orders_range_window, orders_ranking_suite,
         events_interval_join, events_sessions_native,
         ann_ivf, ann_ivf_unlabeled, emb_neardup, multimodal_stats,
@@ -5929,6 +5972,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT node - 1000000000 AS suppkey, units
         FROM pr6 WHERE node >= 1000000000
         ORDER BY units DESC, suppkey LIMIT 50
+    """
+
+    # supplier_bfs: 6 unrolled synchronous BFS rounds (frontier join ->
+    # distinct destinations -> coalesce patch), MATERIALIZED against
+    # inlining; distances are exact small integers, unreached -> -1.
+    _bfs_cte = (
+        f"d0 AS MATERIALIZED (SELECT node, CASE WHEN node IN {_ppr_seeds} "
+        "THEN 0 END::INT AS dist FROM nodes)"
+    )
+    for _i in range(1, 7):
+        _bfs_cte += f""",
+        r{_i} AS (SELECT DISTINCT e.dst AS node
+                  FROM d{_i - 1} p JOIN edges e ON p.node = e.src
+                  WHERE p.dist = {_i - 1}),
+        d{_i} AS MATERIALIZED (
+          SELECT p.node,
+                 coalesce(p.dist,
+                          CASE WHEN r.node IS NOT NULL THEN {_i} END)::INT
+                   AS dist
+          FROM d{_i - 1} p LEFT JOIN r{_i} r USING (node))"""
+    o["supplier_bfs"] = f"""
+        WITH pairs AS (
+          SELECT DISTINCT o.o_custkey AS cust,
+                 l.l_suppkey + 1000000000 AS supp
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        edges AS (
+          SELECT cust AS src, supp AS dst FROM pairs
+          UNION ALL
+          SELECT supp AS src, cust AS dst FROM pairs),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst AS node FROM edges),
+        {_bfs_cte}
+        SELECT CASE WHEN node >= 1000000000 THEN 'supp' ELSE 'cust' END
+                 AS node_type,
+               coalesce(dist, -1)::INT AS dist,
+               count(*)::BIGINT AS n_nodes
+        FROM d6 GROUP BY 1, 2
     """
 
     # part_copurchase: the same deduped (order, part) self-join, count,

@@ -482,3 +482,109 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: list[int],
+    *,
+    iters: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+    materialize_every: int = 3,
+) -> DataFrame:
+    """Multi-source BFS hop distance over a directed edge table — the
+    "how far is everything from these seeds" primitive behind blast-
+    radius, influence-horizon and connectivity audits.
+
+    One synchronous round expands the frontier (nodes first reached
+    last round) across the edge list:
+
+        reached(v) = exists (u, v) in E with dist(u) == i-1
+        dist(v)    = coalesce(dist(v), i if reached)
+
+    — with unit edges a node's distance is FINAL the first time it is
+    reached, so the patch never revisits settled nodes and the frontier
+    filter keeps late rounds cheap on high-diameter graphs.
+
+    Physical shape (100 TB): identical to :func:`pagerank` — edges and
+    the node list are hash-partitioned ONCE and cached; each round's
+    frontier⋈edges probe and nodes⋈reached patch reuse those
+    partitionings, leaving the distinct-destinations exchange as the
+    ONLY per-round shuffle; the dist vector persists eagerly every
+    ``materialize_every`` rounds (lazy rounds chain inside one job) and
+    the predecessor cache drops as soon as its successor materializes.
+    Distances are small exact integers; unreached stays NULL.
+
+    Returns (node BIGINT, dist INT nullable), persisted (registered
+    with :func:`clear_pagerank_caches`).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    if materialize_every < 1:
+        raise ValueError(
+            f"materialize_every must be >= 1, got {materialize_every}"
+        )
+    spark = edges.sparkSession
+    shuffle_p = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    esrc = e.repartition(shuffle_p, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition(shuffle_p, "node")
+        .persist()
+    )
+    seed_list = [int(s) for s in sources]
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node").isin(seed_list), F.lit(0))
+        .cast("int")
+        .alias("dist"),
+    )
+    prev: DataFrame | None = None
+    for i in range(1, iters + 1):
+        reached = (
+            dist.where(F.col("dist") == i - 1)
+            .join(esrc, dist["node"] == esrc["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        dist = dist.join(reached, "node", "left").select(
+            "node",
+            F.coalesce(
+                F.col("dist"),
+                F.when(F.col("hit") == 1, F.lit(i)).cast("int"),
+            ).alias("dist"),
+        )
+        if i % materialize_every == 0 or i == iters:
+            dist = dist.persist()
+            dist.count()
+            if prev is not None:
+                prev.unpersist()
+            prev = dist
+            # Early exit: once the newest frontier is empty every later
+            # round is a no-op (distances are final on first reach), so
+            # breaking here returns a vector BIT-IDENTICAL to the full
+            # ``iters`` unroll — the fixed-round oracle still matches.
+            # The probe is one cheap job on the just-persisted vector.
+            if i < iters and dist.where(F.col("dist") == i).limit(1).count() == 0:
+                break
+    esrc.unpersist()
+    nodes.unpersist()
+    _PR_CACHES.append(dist)
+    return dist

@@ -413,3 +413,63 @@ class TestLabelPropagation:
         df = spark.createDataFrame([(1, 2)], "src long, dst long")
         with pytest.raises(ValueError):
             label_propagation(df, rounds=0)
+
+
+class TestBfsLevels:
+    def test_matches_python_replay_on_path_and_unreached(self, spark):
+        from collections import deque
+
+        from mopso_engine.ext.graph import bfs_levels, clear_pagerank_caches
+
+        # chain 1->2->3->4->5->6->7 (directed), a shortcut 1->4, a
+        # 2-node island {100->101}, and a duplicate + null edge to drop
+        edges = [
+            (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),
+            (1, 4), (1, 2), (100, 101), (None, 9),
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["dist"]
+            for r in bfs_levels(df, [1], iters=6).collect()
+        }
+        adj = {}
+        for s, d in edges:
+            if s is not None and d is not None:
+                adj.setdefault(s, set()).add(d)
+        want = {n: None for n in set(adj) | {d for v in adj.values() for d in v}}
+        want[1] = 0
+        q = deque([1])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if want[v] is None:
+                    want[v] = want[u] + 1
+                    q.append(v)
+        assert got == want
+        assert got[4] == 1  # direct shortcut wins over the 3-hop chain
+        assert got[100] is None and got[101] is None  # island unreached
+        clear_pagerank_caches()
+
+    def test_multi_source_takes_nearest_seed(self, spark):
+        from mopso_engine.ext.graph import bfs_levels, clear_pagerank_caches
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 4)], "src long, dst long"
+        )
+        got = {
+            r["node"]: r["dist"]
+            for r in bfs_levels(df, [1, 10], iters=4).collect()
+        }
+        assert got == {1: 0, 10: 0, 2: 1, 4: 1, 3: 2}
+        clear_pagerank_caches()
+
+    def test_guards(self, spark):
+        from mopso_engine.ext.graph import bfs_levels
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError):
+            bfs_levels(df, [], iters=3)
+        with pytest.raises(ValueError):
+            bfs_levels(df, [1], iters=0)
+        with pytest.raises(ValueError):
+            bfs_levels(df, [1], materialize_every=0)

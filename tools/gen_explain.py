@@ -554,6 +554,14 @@ COMMENTS = {
     "sum(bucket^2) over variants, the banded-dedup contract — deduped "
     "before the exact integer levenshtein verify. No crossJoin "
     "anywhere; keys beyond max_len raise in-plan.",
+    "supplier_bfs": "Multi-source BFS: edges and the node list are "
+    "hash-partitioned once and cached (the pagerank discipline); each "
+    "round's frontier-filter join and coalesce patch reuse those "
+    "partitionings, leaving the distinct-destinations exchange as the "
+    "ONLY per-round shuffle; the frontier filter keeps late rounds "
+    "cheap because a node's distance is final on first reach. "
+    "Distances are exact small integers; the dist vector persists "
+    "every K=3 rounds with the predecessor dropped on materialize.",
     "events_cuped": "CUPED readout: ONE user-keyed combinable aggregate "
     "builds (user, x, y); the pooled moments are a tiny aggregate of "
     "it returned as a broadcast row (ReuseExchange shares the user "
