@@ -1397,6 +1397,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).alias("n_nodes"))
         )
 
+    def vocab_growth(spark, sf):
+        """Per-source vocabulary growth curve (`ext.text.vocab_growth`,
+        the empirical Heaps-law readout): each source's docs streamed
+        in doc_id order, cut into 10 equal rank slices, counting NEW
+        token types first appearing in each slice next to the slice's
+        token mass — a flat new-type tail means the source has gone
+        repetitive. The slice is the same ((rk−1)·10) div n integer
+        rank arithmetic as rank_quantile, a type's slice is its FIRST
+        document's slice (min doc rank — bucket is monotonic in rank so
+        min commutes), and ONE source-keyed window exchange is shared
+        by the rank/count windows AND the token-mass branch
+        (ReusedExchange); the (source, token) fold's state is bounded
+        by the vocabulary, not the corpus."""
+        from mopso_engine.ext.text import vocab_growth as _vg
+
+        docs = read_table(spark, sf, "documents")
+        out = _vg(docs, buckets=10)
+        return out.withColumnRenamed("stratum", "source")
+
     def events_cms_topk(spark, sf):
         """Count-Min Sketch frequency audit (`ext.sketch.cms_build` /
         `cms_estimate`, Cormode & Muthukrishnan 2005): a 4×1024 counter
@@ -3881,10 +3900,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MinCover proximity retrieval, per-source quality deciles,
         # weekly cohort retention triangle, RFM segmentation on exact
         # bucket-decomposed global ranks, SymSpell edit-distance join,
-        # multi-source BFS hop distances                                (9)
+        # multi-source BFS hop distances, Heaps vocab-growth curve     (10)
         docs_dsir_topk, events_cms_topk, events_cuped, prox_search,
         docs_quality_quantile, events_retention, customer_rfm,
-        names_edit1, supplier_bfs,
+        names_edit1, supplier_bfs, vocab_growth,
         # rotation slice (VERDICT r8 #4): the stale tail oldest-first —
         # dbi onward, exactly as the r8 registry comment scheduled      (16)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
@@ -3895,8 +3914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q5_local_supplier, q7_volume_shipping, q8_market_share,
         q9_profit_shape, q10_returned_items, q14_promo_share,
         q15_top_supplier, q17_small_quantity, q19_or_of_ands,
-        q20_promo_suppliers,
-        # Window = 5 fits + 10 code-changed + 9 new + 16 + 10 = 50.
+        # Window = 5 fits + 10 code-changed + 10 new + 16 + 9 = 50.
         # --- the 50-entry truncation lands exactly here ---
         # next round's rotation slice starts here: the TPC-H mirror
         # twins and q5-block names the r9 new operators displaced
@@ -3905,7 +3923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oldest-verified-first (every name below carries an
         # ORACLE_SWEEP_r09 row recorded this round; late-r9 additions
         # are pinned by in-window driver rows + check_oracle runs)
-        q4_priority, q13_custdist, q16_supplier_variety, q22_idle_customers,
+        q20_promo_suppliers, q4_priority, q13_custdist,
+        q16_supplier_variety, q22_idle_customers,
         orders_window_suite, orders_range_window, orders_ranking_suite,
         events_interval_join, events_sessions_native,
         ann_ivf, ann_ivf_unlabeled, emb_neardup, multimodal_stats,
@@ -5804,6 +5823,34 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_customers,
                sum(monetary_cents)::BIGINT AS segment_cents
         FROM rk GROUP BY 1, 2, 3
+    """
+
+    # vocab_growth: the slice is integer rank arithmetic over the exact
+    # (doc_id) order, first-seen = min(bucket) (monotonic in rank), and
+    # token mass uses the same empty-filtered whitespace split.
+    o["vocab_growth"] = r"""
+        WITH rkd AS (
+          SELECT source,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS t,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                   AS rk,
+                 count(*) OVER (PARTITION BY source) AS n_docs
+          FROM documents),
+        b AS (SELECT source, t,
+                     (((rk - 1) * 10) // n_docs)::INT AS bucket
+              FROM rkd),
+        fs AS (
+          SELECT source, bucket, count(*)::BIGINT AS new_types FROM (
+            SELECT source, tok, min(bucket) AS bucket
+            FROM (SELECT source, bucket, unnest(t) AS tok FROM b)
+            GROUP BY 1, 2)
+          GROUP BY 1, 2),
+        mass AS (SELECT source, bucket, sum(len(t))::BIGINT AS n_tokens
+                 FROM b GROUP BY 1, 2)
+        SELECT m.source, m.bucket,
+               coalesce(fs.new_types, 0)::BIGINT AS new_types, m.n_tokens
+        FROM mass m LEFT JOIN fs USING (source, bucket)
     """
 
     # names_edit1: the deletion neighborhood is pure substr arithmetic

@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "names_edit1",
     # round-9: multi-source BFS levels (pagerank marginal-exchange shape)
     "supplier_bfs",
+    # round-9: Heaps vocab-growth curve (one stratum window exchange)
+    "vocab_growth",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -296,7 +298,7 @@ ANCHOR_R08 = {
     "docs_dsir_topk": 6.0, "events_cms_topk": 1.5, "events_cuped": 1.0,
     "prox_search": 5.5, "docs_quality_quantile": 1.0,
     "events_retention": 1.0, "customer_rfm": 3.3, "names_edit1": 8.0,
-    "supplier_bfs": 17.5,
+    "supplier_bfs": 17.5, "vocab_growth": 2.9,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: tiny per-language stopword lists for the n-gram/stopword heuristic —
 #: deliberately small and fixed so the operator is deterministic and
@@ -902,4 +903,81 @@ def gopher_quality_stats(
         n_alpha.alias("n_alpha_words"),
         n_stop.alias("n_stop_words"),
         passes.alias("gopher_full_pass"),
+    )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    *,
+    stratum: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10,
+) -> DataFrame:
+    """Per-source vocabulary growth curve (the empirical Heaps-law
+    readout): stream each source's documents in ``id_col`` order, cut
+    the stream into ``buckets`` equal rank slices, and count how many
+    NEW token types first appear in each slice next to the slice's
+    total token mass — flat new-type tails mean the source has gone
+    repetitive; a still-climbing curve means the crawl is still
+    finding fresh language. Integer-exact everywhere: the slice is the
+    same ``((rk−1)·B) div n`` rank arithmetic as :func:`…rank_quantile`
+    (never an engine percentile) and a type's slice is the slice of
+    its FIRST document (min doc rank), so ties cannot drift.
+
+    Shape (100 TB): ONE stratum-keyed window exchange assigns doc
+    ranks (shared by the rank and count windows); tokens explode
+    map-side from that frame; the (stratum, token) first-occurrence
+    fold is map-side combined with state bounded by the source's
+    vocabulary (Heaps: ~√corpus), and the final (stratum, slice)
+    tables are vocabulary- and bucket-bounded. The token-mass branch
+    reuses the SAME window exchange (ReusedExchange, no second scan
+    shuffle).
+
+    Returns (stratum, bucket, new_types, n_tokens) — buckets with
+    tokens but no new types emit new_types = 0.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    ranked = docs.select(
+        F.col(stratum).alias("stratum"),
+        F.col(id_col).alias("_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+    ).select(
+        "stratum",
+        "_toks",
+        F.row_number().over(
+            Window.partitionBy("stratum").orderBy(F.col("_id").asc())
+        ).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("stratum"))
+        .alias("n_docs"),
+    ).withColumn(
+        "bucket",
+        F.expr(f"CAST(((rk - 1) * {int(buckets)}) div n_docs AS INT)"),
+    )
+    first_seen = (
+        ranked.select(
+            "stratum", "bucket", F.explode("_toks").alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("stratum", "tok")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("stratum", "bucket")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    mass = (
+        ranked.select(
+            "stratum",
+            "bucket",
+            F.size(F.filter("_toks", lambda t: t != "")).alias("_nt"),
+        )
+        .groupBy("stratum", "bucket")
+        .agg(F.sum("_nt").alias("n_tokens"))
+    )
+    return mass.join(first_seen, ["stratum", "bucket"], "left").select(
+        "stratum",
+        "bucket",
+        F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+        "n_tokens",
     )

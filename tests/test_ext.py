@@ -3215,3 +3215,56 @@ class TestEdit1Pairs:
         with pytest.raises(Exception) as ei:
             edit1_pairs(df, "c_name", max_len=64).collect()
         assert "longer than max_len" in str(ei.value)
+
+
+class TestVocabGrowth:
+    def test_matches_python_replay(self, spark):
+        from collections import defaultdict
+
+        from mopso_engine.ext.text import vocab_growth
+
+        # src a: 6 docs, 3 buckets -> slices of 2 docs; vocabulary
+        # repeats so late slices add few types. src b: 1 doc.
+        docs = [
+            (1, "a", "x y"),
+            (2, "a", "x z"),       # z new in slice 0
+            (3, "a", "x y z"),     # nothing new in slice 1
+            (4, "a", "w"),         # w new in slice 1
+            (5, "a", "  x   y  "), # ragged whitespace, nothing new
+            (6, "a", "v v v"),     # v new in slice 2, mass 3
+            (7, "b", "only words here"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+        got = {
+            (r["stratum"], r["bucket"]): (r["new_types"], r["n_tokens"])
+            for r in vocab_growth(df, buckets=3).collect()
+        }
+        # replay
+        by = defaultdict(list)
+        for i, s, t in sorted(docs):
+            by[s].append(t.split())
+        want = {}
+        for s, texts in by.items():
+            n = len(texts)
+            seen = set()
+            agg = defaultdict(lambda: [0, 0])
+            for rk, toks in enumerate(texts, 1):
+                b = ((rk - 1) * 3) // n
+                agg[b][1] += len(toks)
+                for tok in toks:
+                    if tok not in seen:
+                        seen.add(tok)
+                        agg[b][0] += 1
+            for b, (nt, mass) in agg.items():
+                want[(s, b)] = (nt, mass)
+        assert got == want
+        # per-source new_types totals the vocabulary exactly once
+        assert sum(v[0] for (s, _), v in got.items() if s == "a") == 5
+        assert got[("b", 0)] == (3, 3)
+
+    def test_guard(self, spark):
+        from mopso_engine.ext.text import vocab_growth
+
+        df = spark.createDataFrame([(1, "a", "x")], "doc_id long, source string, text string")
+        with pytest.raises(ValueError):
+            vocab_growth(df, buckets=0)

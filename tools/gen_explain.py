@@ -562,6 +562,14 @@ COMMENTS = {
     "cheap because a node's distance is final on first reach. "
     "Distances are exact small integers; the dist vector persists "
     "every K=3 rounds with the predecessor dropped on materialize.",
+    "vocab_growth": "Heaps vocabulary-growth curve: ONE source-keyed "
+    "window exchange assigns doc ranks (shared by the rank and count "
+    "windows AND reused by the token-mass branch via ReusedExchange); "
+    "tokens explode map-side; the (source, token) first-occurrence "
+    "fold is map-side combined with state bounded by the vocabulary "
+    "(~sqrt corpus under Heaps), and the slice is integer rank "
+    "arithmetic — min(bucket) commutes with first-occurrence because "
+    "the bucket is monotonic in rank.",
     "events_cuped": "CUPED readout: ONE user-keyed combinable aggregate "
     "builds (user, x, y); the pooled moments are a tiny aggregate of "
     "it returned as a broadcast row (ReuseExchange shares the user "
