@@ -1416,6 +1416,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = _vg(docs, buckets=10)
         return out.withColumnRenamed("stratum", "source")
 
+    def events_isotonic(spark, sf):
+        """Isotonic (PAVA) calibration of the purchase rate against the
+        event value (`ext.calib.isotonic_calibrate`): values micro-
+        quantized then cut into 16-unit buckets, each bucket's
+        (n, positives) from ONE persisted map-side-combined aggregate
+        that feeds BOTH the driver-side fit and the output join; PAVA
+        runs once in pure-integer python (cross-multiplied pool
+        comparisons, round-half-up micro rates — the BM25/DSIR
+        driver-pinning treatment) and the fitted non-decreasing step
+        function re-enters both engines as literals. PAVA state is
+        bounded by the bucket grid, never the event count."""
+        from mopso_engine.ext.calib import isotonic_calibrate
+
+        ev = read_table(spark, sf, "events").select(
+            F.expr(
+                "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"
+                " div 16000000"
+            ).alias("vbucket"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+        return isotonic_calibrate(ev, "vbucket", "y")
+
     def events_cms_topk(spark, sf):
         """Count-Min Sketch frequency audit (`ext.sketch.cms_build` /
         `cms_estimate`, Cormode & Muthukrishnan 2005): a 4×1024 counter
@@ -3900,21 +3922,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MinCover proximity retrieval, per-source quality deciles,
         # weekly cohort retention triangle, RFM segmentation on exact
         # bucket-decomposed global ranks, SymSpell edit-distance join,
-        # multi-source BFS hop distances, Heaps vocab-growth curve     (10)
+        # multi-source BFS hop distances, Heaps vocab-growth curve,
+        # isotonic (PAVA) calibration with driver-pinned step literals (11)
         docs_dsir_topk, events_cms_topk, events_cuped, prox_search,
         docs_quality_quantile, events_retention, customer_rfm,
-        names_edit1, supplier_bfs, vocab_growth,
+        names_edit1, supplier_bfs, vocab_growth, events_isotonic,
         # rotation slice (VERDICT r8 #4): the stale tail oldest-first —
         # dbi onward, exactly as the r8 registry comment scheduled      (16)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
         ann_topk,
-        # ... continuing q5_local_supplier onward                       (14)
+        # ... continuing q5_local_supplier onward                        (8)
         q5_local_supplier, q7_volume_shipping, q8_market_share,
         q9_profit_shape, q10_returned_items, q14_promo_share,
-        q15_top_supplier, q17_small_quantity, q19_or_of_ands,
-        # Window = 5 fits + 10 code-changed + 10 new + 16 + 9 = 50.
+        q15_top_supplier, q17_small_quantity,
+        # Window = 5 fits + 10 code-changed + 11 new + 16 + 8 = 50.
         # --- the 50-entry truncation lands exactly here ---
         # next round's rotation slice starts here: the TPC-H mirror
         # twins and q5-block names the r9 new operators displaced
@@ -3923,7 +3946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oldest-verified-first (every name below carries an
         # ORACLE_SWEEP_r09 row recorded this round; late-r9 additions
         # are pinned by in-window driver rows + check_oracle runs)
-        q20_promo_suppliers, q4_priority, q13_custdist,
+        q19_or_of_ands, q20_promo_suppliers, q4_priority, q13_custdist,
         q16_supplier_variety, q22_idle_customers,
         orders_window_suite, orders_range_window, orders_ranking_suite,
         events_interval_join, events_sessions_native,
@@ -5688,6 +5711,47 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY w_micro DESC, doc_id) AS rk
           FROM w WHERE NOT it) t
         WHERE rk <= 100
+    """
+    except Exception:
+        pass
+
+    # events_isotonic: the bucket table is the same integer aggregate in
+    # both engines; the PAVA step function is fitted ONCE by the shared
+    # python (ext.calib.pava_fit) on the DuckDB-computed table and
+    # VALUES-injected (the DSIR/BM25 driver-pinning treatment).
+    # GUARDED: an unreadable events.parquet omits the entry.
+    try:
+        from mopso_engine.ext.calib import pava_fit as _iso_fit
+
+        _iso_ev = os.path.join(
+            os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+            "events.parquet",
+        )
+        if not os.path.exists(_iso_ev):
+            raise FileNotFoundError(_iso_ev)
+        import duckdb as _iso_duck
+
+        _iso_agg = """
+          SELECT CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) // 16000000
+                   AS bucket,
+                 count(*)::BIGINT AS n,
+                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+                   AS positives
+          FROM {src} GROUP BY 1"""
+        _iso_con = _iso_duck.connect()
+        _iso_rows = _iso_con.execute(
+            _iso_agg.format(src=f"read_parquet('{_iso_ev}')")
+        ).fetchall()
+        _iso_con.close()
+        _iso_map = _iso_fit([(int(b), int(n), int(p)) for b, n, p in _iso_rows])
+        _iso_vals = ", ".join(f"({b}, {m})" for b, m in sorted(_iso_map.items()))
+        o["events_isotonic"] = f"""
+        WITH agg AS ({_iso_agg.format(src="events")}),
+        fit(bucket, iso_micro) AS (VALUES {_iso_vals})
+        SELECT a.bucket, a.n, a.positives,
+               (2 * a.positives * 1000000 + a.n) // (2 * a.n) AS raw_micro,
+               f.iso_micro::BIGINT AS iso_micro
+        FROM agg a JOIN fit f USING (bucket)
     """
     except Exception:
         pass

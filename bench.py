@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "supplier_bfs",
     # round-9: Heaps vocab-growth curve (one stratum window exchange)
     "vocab_growth",
+    # round-9: isotonic PAVA calibration (one persisted bucket aggregate)
+    "events_isotonic",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -298,7 +300,7 @@ ANCHOR_R08 = {
     "docs_dsir_topk": 6.0, "events_cms_topk": 1.5, "events_cuped": 1.0,
     "prox_search": 5.5, "docs_quality_quantile": 1.0,
     "events_retention": 1.0, "customer_rfm": 3.3, "names_edit1": 8.0,
-    "supplier_bfs": 17.5, "vocab_growth": 2.9,
+    "supplier_bfs": 17.5, "vocab_growth": 2.9, "events_isotonic": 1.5,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its
@@ -409,6 +411,7 @@ def main() -> None:
     evaluate_solutions(nbr_small, np.zeros((2, 3, 64)))
 
     from mopso_engine.ext.dedup import clear_shingle_caches
+    from mopso_engine.ext.calib import clear_calib_caches
     from mopso_engine.ext.dsir import clear_dsir_caches
     from mopso_engine.ext.graph import clear_pagerank_caches
     from mopso_engine.ext.retrieval import clear_retrieval_caches
@@ -444,6 +447,7 @@ def main() -> None:
             clear_pagerank_caches()
             clear_retrieval_caches()
             clear_dsir_caches()
+            clear_calib_caches()
 
     for qi, name in enumerate(BENCH_QUERIES):
         if qi % CALIB_EVERY == 0:

@@ -1,0 +1,133 @@
+"""Isotonic (monotone) calibration — pool-adjacent-violators over a
+bounded bucket grid.
+
+The classic serving-stack step: a raw score (bid value, model logit,
+quality heuristic) is bucketed, each bucket's empirical positive rate is
+measured, and PAVA replaces the noisy per-bucket rates with the closest
+NON-DECREASING step function (the L2 isotonic projection) — the
+calibration map applied before thresholding.
+
+Engine-exactness contract (the repo's BM25/DSIR treatment): the heavy
+part — the (bucket, n, positives) table — is ONE map-side-combined
+aggregate in each engine; PAVA itself runs ONCE, driver-side, in this
+module's pure-integer python (pool comparisons by cross-multiplication,
+pooled rates quantized to micro-units with round-half-up — no float
+anywhere), and the fitted step function is injected into BOTH engines as
+literals. Neither engine ever computes a division the other must match.
+
+PAVA state is bounded by the bucket-grid size, never the event count, so
+"collect the bucket table" is a constant-size driver step at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: micro-unit scale for quantized rates
+_UNIT = 1_000_000
+
+#: bucket tables persisted by :func:`isotonic_calibrate`
+_CALIB_CACHES: list[DataFrame] = []
+
+
+def clear_calib_caches() -> int:
+    """Unpersist every bucket table retained by :func:`isotonic_calibrate`."""
+    n = 0
+    while _CALIB_CACHES:
+        df = _CALIB_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+        n += 1
+    return n
+
+
+def rate_micro(pos: int, n: int) -> int:
+    """round_half_up(pos/n · 1e6) in pure integers: (2·pos·U + n) div 2n."""
+    if n <= 0:
+        raise ValueError(f"rate_micro: n must be positive, got {n}")
+    return (2 * pos * _UNIT + n) // (2 * n)
+
+
+def pava_fit(rows: list[tuple[int, int, int]]) -> dict[int, int]:
+    """Pool-adjacent-violators in exact integer arithmetic.
+
+    ``rows``: (bucket, n, positives) — any order, buckets distinct,
+    n >= 1, 0 <= positives <= n. Returns {bucket: iso_rate_micro}, the
+    non-decreasing-in-bucket step function. A pool violates when the
+    previous pool's rate exceeds the next's — compared by
+    cross-multiplication (p_prev·n_next > p_next·n_prev), never a float
+    division; merged pools keep exact integer (n, positives) sums and
+    only the FINAL pooled rate is micro-quantized.
+    """
+    seen = set()
+    for b, n, p in rows:
+        if b in seen:
+            raise ValueError(f"pava_fit: duplicate bucket {b}")
+        seen.add(b)
+        if n < 1 or p < 0 or p > n:
+            raise ValueError(f"pava_fit: bad bucket row ({b}, {n}, {p})")
+    pools: list[list] = []  # [n, pos, [buckets]]
+    for b, n, p in sorted(rows):
+        pools.append([n, p, [b]])
+        while (
+            len(pools) >= 2
+            and pools[-2][1] * pools[-1][0] > pools[-1][1] * pools[-2][0]
+        ):
+            n2, p2, bs2 = pools.pop()
+            pools[-1][0] += n2
+            pools[-1][1] += p2
+            pools[-1][2].extend(bs2)
+    out: dict[int, int] = {}
+    for n, p, bs in pools:
+        m = rate_micro(p, n)
+        for b in bs:
+            out[b] = m
+    return out
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    bucket_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Distributed bucket aggregation + driver-side PAVA + literal
+    re-join: the full calibration readout.
+
+    ``bucket_col`` must be an integral score bucket (bounded grid —
+    that bound is what makes the driver step constant-size);
+    ``label_col`` an int 0/1 outcome. Returns one row per bucket:
+    (bucket, n, positives, raw_micro, iso_micro) with iso_micro
+    non-decreasing in bucket. raw_micro is the same integer
+    round-half-up both engines compute; iso_micro comes from the ONE
+    shared python PAVA, broadcast back as literals.
+    """
+    agg = (
+        df.groupBy(F.col(bucket_col).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(label_col).cast("long")).alias("positives"),
+        )
+        .persist()
+    )
+    _CALIB_CACHES.append(agg)  # ONE events shuffle feeds fit AND output
+    rows = [(r["bucket"], r["n"], r["positives"]) for r in agg.collect()]
+    fit = pava_fit(rows)
+    spark = df.sparkSession
+    lit = spark.createDataFrame(
+        sorted(fit.items()), "bucket long, iso_micro long"
+    )
+    return (
+        agg.join(F.broadcast(lit), "bucket")
+        .select(
+            "bucket",
+            "n",
+            "positives",
+            F.expr(f"(2 * positives * {_UNIT} + n) div (2 * n)").alias(
+                "raw_micro"
+            ),
+            "iso_micro",
+        )
+    )

@@ -126,6 +126,7 @@ def main():
     names = list(qs) if not args.only else args.only.split(",")
 
     failures = []
+    from mopso_engine.ext.calib import clear_calib_caches
     from mopso_engine.ext.dsir import clear_dsir_caches
     from mopso_engine.ext.graph import clear_pagerank_caches
     from mopso_engine.ext.retrieval import clear_retrieval_caches
@@ -145,6 +146,7 @@ def main():
             clear_pagerank_caches()
             clear_retrieval_caches()
             clear_dsir_caches()
+            clear_calib_caches()
         if name not in oracles:
             print(f"~ {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             if len(sdf) == 0:

@@ -570,6 +570,13 @@ COMMENTS = {
     "(~sqrt corpus under Heaps), and the slice is integer rank "
     "arithmetic — min(bucket) commutes with first-occurrence because "
     "the bucket is monotonic in rank.",
+    "events_isotonic": "Isotonic calibration: ONE persisted map-side-"
+    "combined (bucket, n, positives) aggregate feeds BOTH the "
+    "driver-side PAVA fit (state bounded by the bucket grid, never "
+    "the event count) and the output join; the fitted step function "
+    "re-enters the plan as broadcast literals — cross-multiplied "
+    "integer pool comparisons and round-half-up micro rates mean "
+    "neither engine computes a division the other must match.",
     "events_cuped": "CUPED readout: ONE user-keyed combinable aggregate "
     "builds (user, x, y); the pooled moments are a tiny aggregate of "
     "it returned as a broadcast row (ReuseExchange shares the user "
