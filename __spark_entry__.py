@@ -1438,6 +1438,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return isotonic_calibrate(ev, "vbucket", "y")
 
+    def price_deciles(spark, sf):
+        """EXACT equi-depth price histogram over lineitem — the
+        profiling primitive approximate-percentile sketches trade away:
+        every row globally ranked by integer price cents via
+        `ext.pipeline.bucketed_global_rank` (the value-bucketed
+        decomposition: one bucket-keyed exchange + tiny broadcast
+        offsets, never a single-partition sort — this query is the
+        operator's 6M-row scale demonstration), then folded to 10 rank
+        slices with exact BIGINT bounds and sums. Tiebreak =
+        orderkey·10 + linenumber (linenumber ≤ 7), so the order is
+        total and both engines agree bit-for-bit."""
+        from mopso_engine.ext.pipeline import bucketed_global_rank
+
+        li = read_table(spark, sf, "lineitem").select(
+            F.expr(
+                "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+            F.expr("l_orderkey * 10 + l_linenumber").alias("tie"),
+        )
+        r = bucketed_global_rank(li, "cents", tiebreak="tie", bucket_shift=16)
+        return (
+            r.select(
+                F.expr(
+                    "CAST(((global_rank - 1) * 10) div n_total AS INT)"
+                ).alias("decile"),
+                "cents",
+            )
+            .groupBy("decile")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("cents").alias("min_cents"),
+                F.max("cents").alias("max_cents"),
+                F.sum("cents").alias("sum_cents"),
+            )
+        )
+
+    def events_salted_join(spark, sf):
+        """Skew-broken dimension join (`ext.pipeline.salted_join` — the
+        ACT step paired with the `events_key_skew` MEASURE step): events
+        join the customer dimension on user_id with the big side salted
+        md5(event_id) mod 8 and the dim replicated per salt, so a hot
+        user spreads across 8 reducers instead of sinking one; the
+        fold to (mktsegment, event_type) totals keeps the output
+        compact. The ORACLE IS THE PLAIN JOIN — value-identity of the
+        salted plan against the unsalted SQL is exactly the operator's
+        contract. Money rides as per-row integer cents before the
+        order-free sum."""
+        from mopso_engine.ext.pipeline import salted_join
+
+        ev = read_table(spark, sf, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        dim = read_table(spark, sf, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+        j = salted_join(ev, dim, "user_id", row_key="event_id", salts=8)
+        return j.groupBy("c_mktsegment", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+
+    def orders_target_encode(spark, sf):
+        """K-fold leave-fold-out target encoding
+        (`ext.pipeline.target_encode`): order priority encoded by the
+        out-of-fold rate of fulfilled status (o_orderstatus = 'F'),
+        folds = md5(orderkey) mod 5 — each row's encoding uses only the
+        OTHER folds, the leakage-safe construction. ONE map-side-
+        combined (category, fold) aggregate bounded by categories ×
+        folds; leave-fold-out counts are integer sum differences via a
+        window over that tiny table; the rate is the house
+        round-half-up micro division, and a category confined to one
+        fold yields NULL, never a silent smooth."""
+        from mopso_engine.ext.pipeline import target_encode
+
+        orders = read_table(spark, sf, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+        )
+        return target_encode(
+            orders, "o_orderpriority", "y", fold_key="o_orderkey", folds=5
+        ).withColumnRenamed("category", "o_orderpriority")
+
     def events_cms_topk(spark, sf):
         """Count-Min Sketch frequency audit (`ext.sketch.cms_build` /
         `cms_estimate`, Cormode & Muthukrishnan 2005): a 4×1024 counter
@@ -2947,6 +3035,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sum_value",
         )
 
+    def events_sessions_stream(spark, sf):
+        """The SAME gap-merged session windows through Structured
+        Streaming (`ext.streaming.session_window_stream`): session_window
+        state merges out-of-order events and the watermark bounds it —
+        sessions close and EVICT once the watermark passes their gap
+        horizon, the state contract a batch window can't express.
+        AvailableNow drain; hash-matches the events_sessions_native
+        oracle exactly (same [first, last+gap) bounds). SURVEY §2.9
+        extension."""
+        from mopso_engine.ext.streaming import session_window_stream
+
+        _utc(spark)
+        out = run_available_now(
+            session_window_stream(
+                spark, os.path.join(sf, "events.parquet"), gap_minutes=30
+            ),
+            query_name=f"sessw_{uuid.uuid4().hex[:8]}",
+        )
+        return out.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+
     def user_stats(spark, sf):
         """Per-user running totals (the batch twin of the stateful
         applyInPandasWithState operator in ext/streaming)."""
@@ -3923,21 +4037,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weekly cohort retention triangle, RFM segmentation on exact
         # bucket-decomposed global ranks, SymSpell edit-distance join,
         # multi-source BFS hop distances, Heaps vocab-growth curve,
-        # isotonic (PAVA) calibration with driver-pinned step literals (11)
+        # isotonic (PAVA) calibration with driver-pinned step literals,
+        # streaming session windows (watermark-evicted session state),
+        # exact equi-depth deciles (the rank operator's 6M-row demo),
+        # salted skew-breaking join (oracle = the plain join), K-fold
+        # leave-fold-out target encoding                               (15)
         docs_dsir_topk, events_cms_topk, events_cuped, prox_search,
         docs_quality_quantile, events_retention, customer_rfm,
         names_edit1, supplier_bfs, vocab_growth, events_isotonic,
+        events_sessions_stream, price_deciles, events_salted_join,
+        orders_target_encode,
         # rotation slice (VERDICT r8 #4): the stale tail oldest-first —
         # dbi onward, exactly as the r8 registry comment scheduled      (16)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
         ann_topk,
-        # ... continuing q5_local_supplier onward                        (8)
+        # ... continuing q5_local_supplier onward                        (4)
         q5_local_supplier, q7_volume_shipping, q8_market_share,
-        q9_profit_shape, q10_returned_items, q14_promo_share,
-        q15_top_supplier, q17_small_quantity,
-        # Window = 5 fits + 10 code-changed + 11 new + 16 + 8 = 50.
+        q9_profit_shape,
+        # Window = 5 fits + 10 code-changed + 15 new + 16 + 4 = 50.
         # --- the 50-entry truncation lands exactly here ---
         # next round's rotation slice starts here: the TPC-H mirror
         # twins and q5-block names the r9 new operators displaced
@@ -3946,7 +4065,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oldest-verified-first (every name below carries an
         # ORACLE_SWEEP_r09 row recorded this round; late-r9 additions
         # are pinned by in-window driver rows + check_oracle runs)
-        q19_or_of_ands, q20_promo_suppliers, q4_priority, q13_custdist,
+        q10_returned_items, q14_promo_share, q15_top_supplier,
+        q17_small_quantity, q19_or_of_ands,
+        q20_promo_suppliers, q4_priority, q13_custdist,
         q16_supplier_variety, q22_idle_customers,
         orders_window_suite, orders_range_window, orders_ranking_suite,
         events_interval_join, events_sessions_native,
@@ -5917,6 +6038,61 @@ def oracle_sql() -> dict[str, str]:
         FROM mass m LEFT JOIN fs USING (source, bucket)
     """
 
+    # price_deciles: the bucket decomposition equals the plain global
+    # row_number by construction; integer cents + BIGINT fold.
+    o["price_deciles"] = """
+        WITH r AS (
+          SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   AS cents,
+                 row_number() OVER (
+                   ORDER BY CAST(floor(l_extendedprice * 100.0 + 0.5)
+                                 AS BIGINT),
+                            l_orderkey * 10 + l_linenumber) AS rk,
+                 count(*) OVER () AS n
+          FROM lineitem)
+        SELECT (((rk - 1) * 10) // n)::INT AS decile,
+               count(*)::BIGINT AS n_rows,
+               min(cents)::BIGINT AS min_cents,
+               max(cents)::BIGINT AS max_cents,
+               sum(cents)::BIGINT AS sum_cents
+        FROM r GROUP BY 1
+    """
+
+    # events_salted_join: the oracle is the PLAIN join — value-identity
+    # of the salted plan against the unsalted SQL is the contract.
+    o["events_salted_join"] = """
+        SELECT c.c_mktsegment, e.event_type,
+               count(*)::BIGINT AS n_events,
+               sum(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT))::BIGINT
+                 AS sum_cents
+        FROM events e
+        JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY 1, 2
+    """
+
+    # orders_target_encode: md5-slice folds, integer sum differences,
+    # house round-half-up micro division; one-fold categories -> NULL.
+    o["orders_target_encode"] = """
+        WITH agg AS (
+          SELECT o_orderpriority,
+                 (('0x' || substr(md5(o_orderkey::VARCHAR || '#te'), 1, 8))::BIGINT
+                  % 5)::INT AS fold,
+                 count(*)::BIGINT AS n,
+                 sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT
+                   AS pos
+          FROM orders GROUP BY 1, 2),
+        t AS (SELECT o_orderpriority, fold,
+                     sum(n) OVER (PARTITION BY o_orderpriority) - n AS n_out,
+                     sum(pos) OVER (PARTITION BY o_orderpriority) - pos
+                       AS pos_out
+              FROM agg)
+        SELECT o_orderpriority, fold, n_out, pos_out,
+               CASE WHEN n_out > 0
+                    THEN (2 * pos_out * 1000000 + n_out) // (2 * n_out)
+               END AS enc_micro
+        FROM t
+    """
+
     # names_edit1: the deletion neighborhood is pure substr arithmetic
     # and the verify is the exact integer levenshtein DP — both engines
     # define it identically; lateral generate_series is rendered as an
@@ -6737,6 +6913,10 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
         FROM s GROUP BY user_id, sess_id
     """
+
+    # events_sessions_stream: the streaming drain must equal the batch
+    # session merge exactly — same oracle as events_sessions_native.
+    o["events_sessions_stream"] = o["events_sessions_native"]
 
     o["big_orders"] = """
         WITH big AS (

@@ -175,6 +175,14 @@ BENCH_QUERIES = [
     "vocab_growth",
     # round-9: isotonic PAVA calibration (one persisted bucket aggregate)
     "events_isotonic",
+    # round-9: streaming session windows (watermark-evicted session state)
+    "events_sessions_stream",
+    # round-9: exact equi-depth deciles — bucketed_global_rank at 6M rows
+    "price_deciles",
+    # round-9: salted skew-breaking join (value-equal to the plain join)
+    "events_salted_join",
+    # round-9: K-fold leave-fold-out target encoding (one tiny aggregate)
+    "orders_target_encode",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -301,6 +309,8 @@ ANCHOR_R08 = {
     "prox_search": 5.5, "docs_quality_quantile": 1.0,
     "events_retention": 1.0, "customer_rfm": 3.3, "names_edit1": 8.0,
     "supplier_bfs": 17.5, "vocab_growth": 2.9, "events_isotonic": 1.5,
+    "events_sessions_stream": 3.3, "price_deciles": 1.9,
+    "events_salted_join": 1.0, "orders_target_encode": 0.7,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

@@ -1724,3 +1724,134 @@ def bucketed_global_rank(
         .withColumn(rank_col, F.col("_gr_off") + F.col("_gr_lrank"))
         .drop("_gr_bucket", "_gr_lrank", "_gr_bn", "_gr_off")
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    *,
+    row_key: str,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-breaking equi-join — the ACT step after
+    :func:`key_skew_profile` measures a hot key: the big side gets a
+    deterministic per-row salt in [0, ``salts``), the small side is
+    replicated once per salt, and the join runs on (key, salt) — so a
+    key that would land one reducer's entire input now spreads across
+    ``salts`` tasks. The result is VALUE-IDENTICAL to the plain join
+    (each big row carries exactly one salt and the small side has every
+    salt for every key; small-side duplicate keys still match exactly
+    once per duplicate), which is what the declared query's oracle —
+    the plain join — proves.
+
+    The salt is md5-slice(``row_key``) mod ``salts`` (``row_key`` must
+    be a unique big-side column), never rand(): retries and both
+    engines see the same placement. Small-side replication multiplies
+    the SMALL table by ``salts`` — use this when the small side is
+    modest but past broadcast range, or cap the replication by
+    pre-splitting hot keys; when the small side fits a broadcast,
+    broadcast instead (no shuffle at all). AQE's skew-join handles
+    sort-merge cases adaptively; this is the explicit, plan-stable
+    rendering of the same idea and works for any join the optimizer
+    can't rescue.
+
+    ``how``: "inner" or "left" (semantics preserved for both: an
+    unmatched big row keeps its single salt and simply finds no
+    replicated partner).
+    """
+    if salts < 1:
+        raise ValueError(f"salts must be >= 1, got {salts}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if "_salt" in big.columns or "_salt" in small.columns:
+        raise ValueError("input columns collide with the internal _salt")
+    b = big.withColumn(
+        "_salt",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.col(row_key).cast("string"), F.lit("sj"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(int(salts)),
+        ).cast("int"),
+    )
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(int(salts) - 1)))
+    )
+    return b.join(s, [key, "_salt"], how).drop("_salt")
+
+
+def target_encode(
+    df: DataFrame,
+    category: str,
+    label: str,
+    *,
+    fold_key: str,
+    folds: int = 5,
+    salt: str = "te",
+) -> DataFrame:
+    """K-fold leave-fold-out target encoding — the tabular-ML feature
+    transform that replaces a high-cardinality category with its
+    empirical positive rate WITHOUT leaking each row's own label: rows
+    are hash-split into ``folds`` folds on ``fold_key`` and a row's
+    encoding uses only the OTHER folds' statistics (enc(cat, f) =
+    rate of cat over folds ≠ f).
+
+    Exactness: the fold is the md5-slice split used by the whole
+    sampling family; leave-fold-out counts are differences of exact
+    integer sums, and the rate is the house round-half-up micro
+    division ((2·U·pos + n) div 2n) — a category seen ONLY inside one
+    fold gets NULL for that fold (no out-of-fold evidence), loudly
+    visible rather than silently smoothed.
+
+    Shape (100 TB): ONE map-side-combined (category, fold) aggregate —
+    output bounded by |categories|·folds — then per-category totals via
+    a window over that tiny table. Returns (category, fold, n_out,
+    pos_out, enc_micro).
+    """
+    if folds < 2:
+        raise ValueError(f"folds must be >= 2, got {folds}")
+    agg = df.groupBy(
+        F.col(category).alias("category"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "#", F.col(fold_key).cast("string"), F.lit(salt)
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(int(folds)),
+        ).cast("int").alias("fold"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label).cast("long")).alias("pos"),
+    )
+    w = Window.partitionBy("category")
+    return (
+        agg.withColumn("n_out", F.sum("n").over(w) - F.col("n"))
+        .withColumn("pos_out", F.sum("pos").over(w) - F.col("pos"))
+        .select(
+            "category",
+            "fold",
+            "n_out",
+            "pos_out",
+            F.when(
+                F.col("n_out") > 0,
+                F.expr("(2 * pos_out * 1000000 + n_out) div (2 * n_out)"),
+            ).alias("enc_micro"),
+        )
+    )

@@ -1501,3 +1501,123 @@ class TestBucketedGlobalRank:
             bucketed_global_rank(
                 ok.withColumn("global_rank", F.lit(1)), "key", tiebreak="id"
             )
+
+
+class TestSaltedJoin:
+    def test_value_identical_to_plain_join(self, spark):
+        import random
+
+        from mopso_engine.ext.pipeline import salted_join
+
+        random.seed(5)
+        # planted hot key 7 (60% of rows) + a key absent from the dim
+        big = [
+            (i, 7 if random.random() < 0.6 else random.randrange(0, 20), i * 10)
+            for i in range(400)
+        ]
+        small = [(k, f"seg{k % 3}") for k in range(15)]  # keys 15..19 unmatched
+        small += [(3, "dup_a"), (3, "dup_b")]  # duplicate dim key
+        bdf = spark.createDataFrame(big, "event_id long, k long, v long")
+        sdf = spark.createDataFrame(small, "k long, seg string")
+        for how in ("inner", "left"):
+            got = sorted(
+                (r["event_id"], r["k"], r["v"], r["seg"])
+                for r in salted_join(
+                    bdf, sdf, "k", row_key="event_id", salts=8, how=how
+                ).collect()
+            )
+            want = sorted(
+                (r["event_id"], r["k"], r["v"], r["seg"])
+                for r in bdf.join(sdf, "k", how).collect()
+            )
+            assert got == want, how
+
+    def test_hot_key_spreads_across_salts(self, spark):
+        from pyspark.sql import functions as F
+
+        from mopso_engine.ext.pipeline import salted_join
+
+        bdf = spark.createDataFrame(
+            [(i, 7) for i in range(200)], "event_id long, k long"
+        )
+        sdf = spark.createDataFrame([(7, "x")], "k long, seg string")
+        # reproduce the internal salt expression to observe the spread
+        salted = bdf.withColumn(
+            "_s",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("#", F.col("event_id").cast("string"), F.lit("sj"))),
+                        1, 8,
+                    ), 16, 10,
+                ).cast("long"),
+                F.lit(8),
+            ),
+        )
+        spread = salted.select("_s").distinct().count()
+        assert spread == 8  # the hot key's 200 rows occupy every salt
+        out = salted_join(bdf, sdf, "k", row_key="event_id", salts=8)
+        assert out.count() == 200  # each row exactly once
+
+    def test_guards(self, spark):
+        from mopso_engine.ext.pipeline import salted_join
+
+        bdf = spark.createDataFrame([(1, 2)], "event_id long, k long")
+        sdf = spark.createDataFrame([(2, "x")], "k long, seg string")
+        with pytest.raises(ValueError):
+            salted_join(bdf, sdf, "k", row_key="event_id", salts=0)
+        with pytest.raises(ValueError):
+            salted_join(bdf, sdf, "k", row_key="event_id", how="outer")
+        with pytest.raises(ValueError):
+            salted_join(
+                bdf.withColumn("_salt", F.lit(1)), sdf, "k", row_key="event_id"
+            )
+
+
+class TestTargetEncode:
+    def test_matches_python_replay_and_no_leakage(self, spark):
+        import hashlib
+        from collections import defaultdict
+
+        from mopso_engine.ext.pipeline import target_encode
+
+        rows = [(i, "cat%d" % (i % 3), 1 if (i * 7) % 10 < 4 else 0) for i in range(300)]
+        # a category confined to ONE fold must yield NULL enc
+        lone_ids = [
+            i for i in range(10_000)
+            if int(hashlib.md5(f"{i}#te".encode()).hexdigest()[:8], 16) % 4 == 2
+        ][:5]
+        rows += [(10_000 + 0, "lonely", 1)]  # placeholder replaced below
+        rows = rows[:-1] + [(lid, "lonely", 1) for lid in lone_ids]
+        df = spark.createDataFrame(rows, "id long, cat string, y int")
+        got = {
+            (r["category"], r["fold"]): (r["n_out"], r["pos_out"], r["enc_micro"])
+            for r in target_encode(df, "cat", "y", fold_key="id", folds=4).collect()
+        }
+        n = defaultdict(int)
+        p = defaultdict(int)
+        for i, c, y in rows:
+            f = int(hashlib.md5(f"{i}#te".encode()).hexdigest()[:8], 16) % 4
+            n[(c, f)] += 1
+            p[(c, f)] += y
+        want = {}
+        for c, f in n:
+            tn = sum(v for (cc, _), v in n.items() if cc == c)
+            tp = sum(v for (cc, _), v in p.items() if cc == c)
+            n_out, pos_out = tn - n[(c, f)], tp - p[(c, f)]
+            enc = (
+                (2 * pos_out * 1_000_000 + n_out) // (2 * n_out)
+                if n_out > 0
+                else None
+            )
+            want[(c, f)] = (n_out, pos_out, enc)
+        assert got == want
+        # the lonely category's single fold has NO out-of-fold evidence
+        assert got[("lonely", 2)] == (0, 0, None)
+
+    def test_guard(self, spark):
+        from mopso_engine.ext.pipeline import target_encode
+
+        df = spark.createDataFrame([(1, "a", 1)], "id long, cat string, y int")
+        with pytest.raises(ValueError):
+            target_encode(df, "cat", "y", fold_key="id", folds=1)

@@ -577,6 +577,34 @@ COMMENTS = {
     "re-enters the plan as broadcast literals — cross-multiplied "
     "integer pool comparisons and round-half-up micro rates mean "
     "neither engine computes a division the other must match.",
+    "events_sessions_stream": "Streaming session windows: session_window "
+    "state merges out-of-order events per user and the watermark "
+    "EVICTS closed sessions — state is bounded by open sessions inside "
+    "the watermark horizon, the contract the batch twin cannot "
+    "express; the AvailableNow drain hash-matches the batch oracle "
+    "(same [first, last+gap) bounds), so stream==batch parity is "
+    "value-checked, not just row-counted.",
+    "price_deciles": "Exact equi-depth histogram: the global rank of "
+    "all 6M lineitem prices (sf0.1) comes from the value-bucketed "
+    "decomposition — one bucket-keyed window exchange + tiny "
+    "broadcast prefix offsets — so the plan holds NO single-partition "
+    "corpus sort (the failure mode of a bare percentile/row_number "
+    "window at this size); integer cents in, BIGINT bounds/sums out. "
+    "This entry is bucketed_global_rank's scale demonstration.",
+    "events_salted_join": "Salted skew-breaking join: the big side "
+    "carries a deterministic md5(row_key) mod 8 salt, the dimension "
+    "replicates once per salt (a map-only explode), and the exchange "
+    "keys on (user_id, _salt) — a hot user's rows spread across 8 "
+    "reducers instead of sinking one. Value-identical to the plain "
+    "join (the oracle IS the plain join); pair with events_key_skew "
+    "as measure -> act, or broadcast when the dim fits.",
+    "orders_target_encode": "Leave-fold-out target encoding: ONE "
+    "map-side-combined (category, fold) aggregate — output bounded by "
+    "categories x folds regardless of row count — then per-category "
+    "totals as a window over that tiny table; out-of-fold counts are "
+    "integer sum differences and the rate is the house round-half-up "
+    "micro division. A category confined to one fold yields NULL "
+    "(no out-of-fold evidence), never a silent smooth.",
     "events_cuped": "CUPED readout: ONE user-keyed combinable aggregate "
     "builds (user, x, y); the pooled moments are a tiny aggregate of "
     "it returned as a broadcast row (ReuseExchange shares the user "

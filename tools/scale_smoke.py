@@ -115,10 +115,19 @@ def main() -> None:
         "training_epoch_mix": (5_000, 50_000),
         # graph: edges scale 10x (custkeys re-keyed per replica)
         "supplier_pagerank": (600_000, 6_000_000),
+        # r9: BFS over the same 10x-grown graph (marginal-exchange loop)
+        "supplier_bfs": (600_000, 6_000_000),
+        # r9: the bucketed_global_rank decomposition at 6M ranked rows —
+        # the no-single-partition-sort claim needs the 10x datapoint
+        "price_deciles": (600_000, 6_000_000),
+        # r9: RFM chains three rank decompositions over 10x customers
+        # (orders custkeys re-keyed per replica)
+        "customer_rfm": (150_000, 1_500_000),
     }
     for name in (
         "corpus_curation_v2", "corpus_curation_v3", "dedup_verified",
-        "training_epoch_mix", "supplier_pagerank",
+        "training_epoch_mix", "supplier_pagerank", "supplier_bfs",
+        "price_deciles", "customer_rfm",
     ):
         qs[name](spark, SRC).write.format("noop").mode("overwrite").save()
         clear_shingle_caches()
