@@ -1526,6 +1526,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             orders, "o_orderpriority", "y", fold_key="o_orderkey", folds=5
         ).withColumnRenamed("category", "o_orderpriority")
 
+    def stream_dedup_events(spark, sf):
+        """Streaming exact dedup with bounded state
+        (`ext.streaming.stream_dedup_events`,
+        dropDuplicatesWithinWatermark): a self-union delivers every
+        event TWICE and the stream must drain each exactly once — dedup
+        state evicts as the watermark passes (bounded by keys-per-
+        horizon, never stream history, unlike a bare dropDuplicates).
+        Drained append-mode, then folded to per-type counts and exact
+        integer cent sums; the oracle is the batch DISTINCT — the
+        ingest-time twin of the fingerprint dedup family."""
+        from mopso_engine.ext.streaming import stream_dedup_events as _sde
+
+        _utc(spark)
+        out = run_available_now(
+            _sde(spark, os.path.join(sf, "events.parquet")),
+            query_name=f"sdd_{uuid.uuid4().hex[:8]}",
+            output_mode="append",
+        )
+        return out.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")
+            ).alias("sum_cents"),
+        )
+
+    def events_hopping(spark, sf):
+        """Hopping (sliding) windows — the window shape between the
+        tumbling and session members of §2.9: 60-minute windows every
+        30 minutes, so each event lands in exactly TWO overlapping
+        windows (F.window with slideDuration; the oracle replays the
+        overlap as a union of two offset tumbling grids). Counts and
+        exact integer cent sums per (window_start, event_type); one
+        map-side-combined aggregate after the in-row window explode."""
+        ev = read_table(spark, sf, "events")
+        _utc(spark)
+        w = F.window("ts", "60 minutes", "30 minutes")
+        return (
+            ev.groupBy(w.alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")
+                ).alias("sum_cents"),
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n_events",
+                "sum_cents",
+            )
+        )
+
     def events_cms_topk(spark, sf):
         """Count-Min Sketch frequency audit (`ext.sketch.cms_build` /
         `cms_estimate`, Cormode & Muthukrishnan 2005): a 4×1024 counter
@@ -4041,22 +4095,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming session windows (watermark-evicted session state),
         # exact equi-depth deciles (the rank operator's 6M-row demo),
         # salted skew-breaking join (oracle = the plain join), K-fold
-        # leave-fold-out target encoding                               (15)
+        # leave-fold-out target encoding, bounded-state streaming
+        # dedup, hopping windows                                       (17)
         docs_dsir_topk, events_cms_topk, events_cuped, prox_search,
         docs_quality_quantile, events_retention, customer_rfm,
         names_edit1, supplier_bfs, vocab_growth, events_isotonic,
         events_sessions_stream, price_deciles, events_salted_join,
-        orders_target_encode,
+        orders_target_encode, stream_dedup_events, events_hopping,
         # rotation slice (VERDICT r8 #4): the stale tail oldest-first —
         # dbi onward, exactly as the r8 registry comment scheduled      (16)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
         ann_topk,
-        # ... continuing q5_local_supplier onward                        (4)
-        q5_local_supplier, q7_volume_shipping, q8_market_share,
-        q9_profit_shape,
-        # Window = 5 fits + 10 code-changed + 15 new + 16 + 4 = 50.
+        # ... continuing q5_local_supplier onward                        (2)
+        q5_local_supplier, q7_volume_shipping,
+        # Window = 5 fits + 10 code-changed + 17 new + 16 + 2 = 50.
         # --- the 50-entry truncation lands exactly here ---
         # next round's rotation slice starts here: the TPC-H mirror
         # twins and q5-block names the r9 new operators displaced
@@ -4065,6 +4119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oldest-verified-first (every name below carries an
         # ORACLE_SWEEP_r09 row recorded this round; late-r9 additions
         # are pinned by in-window driver rows + check_oracle runs)
+        q8_market_share, q9_profit_shape,
         q10_returned_items, q14_promo_share, q15_top_supplier,
         q17_small_quantity, q19_or_of_ands,
         q20_promo_suppliers, q4_priority, q13_custdist,
@@ -6091,6 +6146,37 @@ def oracle_sql() -> dict[str, str]:
                     THEN (2 * pos_out * 1000000 + n_out) // (2 * n_out)
                END AS enc_micro
         FROM t
+    """
+
+    # stream_dedup_events: the stream receives every event TWICE and
+    # must drain each once — the oracle is the batch per-type fold of
+    # the (already event_id-unique) events table, i.e. DISTINCT.
+    o["stream_dedup_events"] = """
+        SELECT event_type, count(*)::BIGINT AS n_events,
+               sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT
+                 AS sum_cents
+        FROM events GROUP BY 1
+    """
+
+    # events_hopping: each event lands in exactly two 60-min windows on
+    # the 30-min grid — replayed as a union of two offset tumbling
+    # grids in pure timestamp arithmetic (no epoch/timezone detour).
+    o["events_hopping"] = """
+        WITH g AS (
+          SELECT event_type, value,
+                 date_trunc('hour', ts)
+                 + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                        ELSE INTERVAL 0 MINUTE END AS s1
+          FROM events),
+        u AS (
+          SELECT event_type, value, s1 AS ws FROM g
+          UNION ALL
+          SELECT event_type, value, s1 - INTERVAL 30 MINUTE AS ws FROM g)
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*)::BIGINT AS n_events,
+               sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT
+                 AS sum_cents
+        FROM u GROUP BY 1, 2
     """
 
     # names_edit1: the deletion neighborhood is pure substr arithmetic

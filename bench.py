@@ -183,6 +183,9 @@ BENCH_QUERIES = [
     "events_salted_join",
     # round-9: K-fold leave-fold-out target encoding (one tiny aggregate)
     "orders_target_encode",
+    # round-9: bounded-state streaming dedup + hopping windows
+    "stream_dedup_events",
+    "events_hopping",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -311,6 +314,7 @@ ANCHOR_R08 = {
     "supplier_bfs": 17.5, "vocab_growth": 2.9, "events_isotonic": 1.5,
     "events_sessions_stream": 3.3, "price_deciles": 1.9,
     "events_salted_join": 1.0, "orders_target_encode": 0.7,
+    "stream_dedup_events": 5.6, "events_hopping": 0.5,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

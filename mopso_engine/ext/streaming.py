@@ -1130,3 +1130,30 @@ def stream_window_topk_update(
         counts, progress = res
         return _rank_at_read_topk(counts, k), progress
     return _rank_at_read_topk(res, k)
+
+
+def stream_dedup_events(
+    spark: SparkSession,
+    events_path: str,
+    *,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming EXACT dedup with bounded state
+    (``dropDuplicatesWithinWatermark``): the ingest-time twin of the
+    batch fingerprint dedup family — duplicate records arriving within
+    the watermark horizon are dropped while the dedup state EVICTS once
+    the watermark passes, so state is bounded by keys-per-horizon, not
+    by stream history (a bare ``dropDuplicates`` on a stream keeps every
+    key forever — the unbounded-state failure this operator exists to
+    avoid).
+
+    The declared query feeds a self-union of the source (every event
+    arrives exactly twice) and must drain to each event ONCE — equality
+    with the batch ``DISTINCT`` is the oracle. Append output mode:
+    deduped rows emit immediately; only the watermark bounds the state.
+    """
+    src = events_stream_source(spark, events_path)
+    doubled = src.union(events_stream_source(spark, events_path))
+    return doubled.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

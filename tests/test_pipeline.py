@@ -1621,3 +1621,35 @@ class TestTargetEncode:
         df = spark.createDataFrame([(1, "a", 1)], "id long, cat string, y int")
         with pytest.raises(ValueError):
             target_encode(df, "cat", "y", fold_key="id", folds=1)
+
+
+def test_stream_dedup_events_drains_each_duplicate_once(spark):
+    from mopso_engine.ext.streaming import (
+        read_events,
+        run_available_now,
+        stream_dedup_events,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = run_available_now(
+        stream_dedup_events(spark, f"{SF}/events.parquet"),
+        query_name="sdd_test",
+        output_mode="append",
+    )
+    batch = read_events(spark, f"{SF}/events.parquet")
+    # the self-union delivered every event twice; the drain must hold
+    # each exactly once — same ids, same cardinality as batch DISTINCT
+    assert out.count() == batch.count()
+    assert out.select("event_id").distinct().count() == batch.count()
+
+
+def test_hopping_windows_cover_each_event_twice(spark):
+    import __spark_entry__ as em
+
+    got = em.queries()["events_hopping"](spark, SF).collect()
+    import duckdb
+
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_events"] for r in got) == 2 * n_events

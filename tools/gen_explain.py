@@ -605,6 +605,19 @@ COMMENTS = {
     "integer sum differences and the rate is the house round-half-up "
     "micro division. A category confined to one fold yields NULL "
     "(no out-of-fold evidence), never a silent smooth.",
+    "stream_dedup_events": "Bounded-state streaming dedup: "
+    "dropDuplicatesWithinWatermark keeps dedup state only inside the "
+    "watermark horizon (a bare dropDuplicates on a stream keeps every "
+    "key forever); the declared query self-unions the source so every "
+    "event arrives twice and must drain once — append mode, equality "
+    "with the batch DISTINCT as the oracle. The ingest-time twin of "
+    "the batch fingerprint dedup family.",
+    "events_hopping": "Hopping windows: F.window with slideDuration "
+    "explodes each event into its two overlapping 60/30 windows "
+    "in-row (map-only), then ONE map-side-combined (window, type) "
+    "aggregate — output bounded by grid x types; the oracle replays "
+    "the overlap as a union of two offset tumbling grids in pure "
+    "timestamp arithmetic.",
     "events_cuped": "CUPED readout: ONE user-keyed combinable aggregate "
     "builds (user, x, y); the pooled moments are a tiny aggregate of "
     "it returned as a broadcast row (ReuseExchange shares the user "
