@@ -4112,13 +4112,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q5_local_supplier, q7_volume_shipping,
         # Window = 5 fits + 10 code-changed + 17 new + 16 + 2 = 50.
         # --- the 50-entry truncation lands exactly here ---
-        # next round's rotation slice starts here: the TPC-H mirror
-        # twins and q5-block names the r9 new operators displaced
-        # (lowest-risk per the policy above — literal SQL mirrors),
-        # then ann_ivf onward — the stale tail continues
-        # oldest-verified-first (every name below carries an
-        # ORACLE_SWEEP_r09 row recorded this round; late-r9 additions
-        # are pinned by in-window driver rows + check_oracle runs)
+        # next round's rotation slice starts here: the 12 TPC-H mirror
+        # twins (q8..q22) the r9 new operators displaced — lowest-risk
+        # per the policy above, literal SQL mirrors — then the
+        # orders/ann block and the stale tail oldest-verified-first.
+        # Every name below carries a row in the FINAL 208/208
+        # ORACLE_SWEEP_r09.txt recorded after the last r9 addition, so
+        # nothing out-of-window lacks round-fresh verification.
         q8_market_share, q9_profit_shape,
         q10_returned_items, q14_promo_share, q15_top_supplier,
         q17_small_quantity, q19_or_of_ands,
