@@ -1580,6 +1580,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def events_cusum(spark, sf):
+        """One-sided CUSUM drift detection over daily per-type volumes
+        (`ext.pipeline.cusum_days`): the sequential detector that
+        catches a SUSTAINED level shift the per-day MAD flag
+        (events_anomaly_days) misses. The textbook clamped recursion
+        S_t = max(0, S_{t−1} + x_t − k) is replayed with its closed
+        form S_t = P_t − min(0, running-min(P)) — two ordered windows
+        over the tiny (type, day) table, no recursion, no UDF; k and
+        the 3k alarm threshold are exact integer micro arithmetic.
+        ONE map-side-combined (type, day) count is the only
+        corpus-scale movement."""
+        from mopso_engine.ext.pipeline import cusum_days
+
+        return cusum_days(
+            read_table(spark, sf, "events"), slack_pct=110, alarm_mult=3
+        )
+
+    def events_srm(spark, sf):
+        """Sample-ratio-mismatch gate (`ext.pipeline.srm_check`): per
+        event_type 'experiment', distinct users hash-split 50/50 and
+        the 2-cell chi-square (a−b)²/(a+b) micro-quantized in pure
+        integer arithmetic — the FIRST check of any A/B readout (a
+        flagged imbalance means assignment/logging is broken and every
+        downstream metric is garbage). The 3.84 critical value is a
+        pinned data-independent constant; one map-side-combinable
+        distinct (type, user) pass is the only corpus movement."""
+        from mopso_engine.ext.pipeline import srm_check
+
+        return srm_check(
+            read_table(spark, sf, "events"), "event_type", "user_id"
+        )
+
+    def session_paths(spark, sf):
+        """Session path mining: top-20 most-common session-opening
+        event-type paths (first 5 events per gap-merged session, '>'
+        joined) — the navigation-pattern readout product analytics runs
+        after sessionization. Sessions are the same lag/cumsum gap
+        merge the sessionized family proves; the path is built from an
+        array_sort over (ts, event_id, type) structs — element order is
+        DATA order, deterministic, never partition order. ONE user-
+        keyed window exchange is shared by the session assignment and
+        the per-session fold; the path count table is bounded by
+        distinct paths."""
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # double cast keeps sub-second precision (matches epoch())
+        gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+        sess = (
+            ev.withColumn(
+                "new_sess",
+                F.when(gap.isNull() | (gap >= 1800), 1).otherwise(0),
+            )
+            .withColumn(
+                "sess_id",
+                F.sum("new_sess").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+        )
+        paths = sess.groupBy("user_id", "sess_id").agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda x: x["event_type"],
+                    ),
+                    1,
+                    5,
+                ),
+                ">",
+            ).alias("path")
+        )
+        wp = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+        return (
+            paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+            .withColumn("rk", F.row_number().over(wp))
+            .where(F.col("rk") <= 20)
+        )
+
     def events_cms_topk(spark, sf):
         """Count-Min Sketch frequency audit (`ext.sketch.cms_build` /
         `cms_estimate`, Cormode & Muthukrishnan 2005): a 4×1024 counter
@@ -4096,21 +4182,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact equi-depth deciles (the rank operator's 6M-row demo),
         # salted skew-breaking join (oracle = the plain join), K-fold
         # leave-fold-out target encoding, bounded-state streaming
-        # dedup, hopping windows                                       (17)
+        # dedup, hopping windows, CUSUM drift detection, SRM gate,
+        # session path mining                                          (20)
         docs_dsir_topk, events_cms_topk, events_cuped, prox_search,
         docs_quality_quantile, events_retention, customer_rfm,
         names_edit1, supplier_bfs, vocab_growth, events_isotonic,
         events_sessions_stream, price_deciles, events_salted_join,
         orders_target_encode, stream_dedup_events, events_hopping,
+        events_cusum, events_srm, session_paths,
         # rotation slice (VERDICT r8 #4): the stale tail oldest-first —
-        # dbi onward, exactly as the r8 registry comment scheduled      (16)
+        # dbi onward as the r8 registry comment scheduled; the last two
+        # scheduled names (ann_topk, q5_local_supplier) were displaced
+        # by the final session-3 operators and are covered by the
+        # 208/208 ORACLE_SWEEP_r09 record instead                      (15)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
         order_priorities, events_windowed, events_stream, dedup_exact,
-        ann_topk,
-        # ... continuing q5_local_supplier onward                        (2)
-        q5_local_supplier, q7_volume_shipping,
-        # Window = 5 fits + 10 code-changed + 17 new + 16 + 2 = 50.
+        # Window = 5 fits + 10 code-changed + 20 new + 15 = 50.
         # --- the 50-entry truncation lands exactly here ---
         # next round's rotation slice starts here: the 12 TPC-H mirror
         # twins (q8..q22) the r9 new operators displaced — lowest-risk
@@ -4119,7 +4207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Every name below carries a row in the FINAL 208/208
         # ORACLE_SWEEP_r09.txt recorded after the last r9 addition, so
         # nothing out-of-window lacks round-fresh verification.
-        q8_market_share, q9_profit_shape,
+        ann_topk, q5_local_supplier,
+        q7_volume_shipping, q8_market_share, q9_profit_shape,
         q10_returned_items, q14_promo_share, q15_top_supplier,
         q17_small_quantity, q19_or_of_ands,
         q20_promo_suppliers, q4_priority, q13_custdist,
@@ -6177,6 +6266,90 @@ def oracle_sql() -> dict[str, str]:
                sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT
                  AS sum_cents
         FROM u GROUP BY 1, 2
+    """
+
+    # events_cusum: the clamped CUSUM recursion's closed form is prefix
+    # sum minus running min — two ordered windows, all integer micro.
+    o["events_cusum"] = """
+        WITH daily AS (
+          SELECT event_type,
+                 strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                 count(*)::BIGINT AS n_events
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        k AS (
+          SELECT *,
+                 ((2 * sum(n_events * 1000000) OVER (PARTITION BY event_type)
+                   + count(1) OVER (PARTITION BY event_type))
+                  // (2 * count(1) OVER (PARTITION BY event_type)))
+                 * 110 // 100 AS k_micro
+          FROM daily),
+        p AS (
+          SELECT *,
+                 sum(n_events * 1000000 - k_micro) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS pp
+          FROM k),
+        s AS (
+          SELECT *,
+                 pp - least(0, min(pp) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING)) AS cusum_micro
+          FROM p)
+        SELECT event_type, day, n_events, cusum_micro::BIGINT AS cusum_micro,
+               cusum_micro > k_micro * 3 AS alarm
+        FROM s
+    """
+
+    # events_srm: md5 hash split, 2-cell chi-square in pure integer
+    # micro arithmetic, pinned 3.84 critical constant.
+    o["events_srm"] = """
+        WITH units AS (
+          SELECT DISTINCT event_type AS experiment, user_id AS unit,
+                 (('0x' || substr(md5(user_id::VARCHAR || '#srm'), 1, 8))::BIGINT
+                  % 2) AS variant
+          FROM events WHERE user_id IS NOT NULL),
+        c AS (
+          SELECT experiment,
+                 sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                 sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+          FROM units GROUP BY 1)
+        SELECT experiment, n_a, n_b,
+               ((2 * 1000000 * (n_a - n_b) * (n_a - n_b) + (n_a + n_b))
+                // (2 * (n_a + n_b)))::BIGINT AS chi2_micro,
+               ((2 * 1000000 * (n_a - n_b) * (n_a - n_b) + (n_a + n_b))
+                // (2 * (n_a + n_b))) > 3841459 AS srm_flag
+        FROM c
+    """
+
+    # session_paths: the same gap merge as events_sessionized, then the
+    # first-5-types path via an ORDER BY (ts, event_id) list aggregate.
+    o["session_paths"] = """
+        WITH g AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id, ts, event_id, event_type,
+                 sum(new_sess) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM g),
+        p AS (
+          SELECT user_id, sess_id,
+                 array_to_string(
+                   list_slice(
+                     list(event_type ORDER BY ts, event_id), 1, 5),
+                   '>') AS path
+          FROM s GROUP BY 1, 2),
+        c AS (SELECT path, count(*)::BIGINT AS n_sessions FROM p GROUP BY 1)
+        SELECT path, n_sessions, rk FROM (
+          SELECT path, n_sessions,
+                 row_number() OVER (ORDER BY n_sessions DESC, path) AS rk
+          FROM c) t
+        WHERE rk <= 20
     """
 
     # names_edit1: the deletion neighborhood is pure substr arithmetic

@@ -186,6 +186,11 @@ BENCH_QUERIES = [
     # round-9: bounded-state streaming dedup + hopping windows
     "stream_dedup_events",
     "events_hopping",
+    # round-9: CUSUM drift detection (windows over the tiny day table)
+    "events_cusum",
+    # round-9: SRM gate + session path mining
+    "events_srm",
+    "session_paths",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -315,6 +320,7 @@ ANCHOR_R08 = {
     "events_sessions_stream": 3.3, "price_deciles": 1.9,
     "events_salted_join": 1.0, "orders_target_encode": 0.7,
     "stream_dedup_events": 5.6, "events_hopping": 0.5,
+    "events_cusum": 1.3, "events_srm": 0.9, "session_paths": 1.3,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

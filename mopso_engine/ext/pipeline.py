@@ -1855,3 +1855,143 @@ def target_encode(
             ).alias("enc_micro"),
         )
     )
+
+
+def cusum_days(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    slack_pct: int = 110,
+    alarm_mult: int = 3,
+) -> DataFrame:
+    """One-sided CUSUM change-point detection over daily volumes — the
+    sequential drift detector that catches a SUSTAINED level shift the
+    per-day MAD anomaly flag (``daily_count_anomalies``) misses, because
+    CUSUM accumulates small persistent excesses instead of judging each
+    day alone.
+
+    The textbook recursion S_t = max(0, S_{t-1} + (x_t − k)) is not a
+    window prefix sum, but its closed form IS: with P_t = Σ_{j≤t}(x_j − k)
+    and P_0 = 0,  **S_t = P_t − min(0, P_1..P_t)** — so the whole
+    statistic is two ordered windows (prefix sum + running min) over the
+    tiny (group, day) table, no recursion, no UDF. Everything is exact
+    integer micro-units: the reference k is ``slack_pct``% of the
+    group's round-half-up mean daily count (micro), and the alarm
+    threshold is ``alarm_mult·k`` — both pure integer arithmetic, so
+    alarms replay bit-identically.
+
+    Shape (100 TB): ONE map-side-combined (group, day) count is the only
+    corpus-scale movement; the windows run over days × groups rows.
+    Returns (group, day, n_events, cusum_micro, alarm).
+    """
+    if slack_pct < 100:
+        raise ValueError(f"slack_pct must be >= 100, got {slack_pct}")
+    if alarm_mult < 1:
+        raise ValueError(f"alarm_mult must be >= 1, got {alarm_mult}")
+    daily = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    wg = Window.partitionBy("grp")
+    # k_micro = slack_pct% of the round-half-up mean daily count, micro
+    k = F.expr(
+        f"((2 * sum(n_events * 1000000) OVER (PARTITION BY grp)"
+        f" + count(1) OVER (PARTITION BY grp))"
+        f" div (2 * count(1) OVER (PARTITION BY grp)))"
+        f" * {int(slack_pct)} div 100"
+    )
+    wo = Window.partitionBy("grp").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = daily.withColumn("k_micro", k).withColumn(
+        "p", F.sum(F.col("n_events") * 1_000_000 - F.col("k_micro")).over(wo)
+    )
+    return (
+        d.withColumn(
+            "cusum_micro",
+            F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(wo)),
+        )
+        .withColumn(
+            "alarm",
+            F.col("cusum_micro") > F.col("k_micro") * F.lit(int(alarm_mult)),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "day",
+            "n_events",
+            "cusum_micro",
+            "alarm",
+        )
+    )
+
+
+#: chi-square(1 df) 95th percentile, micro-quantized — a DATA-INDEPENDENT
+#: mathematical constant (3.841459), pinned once so no engine's math
+#: library is ever consulted for it.
+CHI2_1DF_95_MICRO = 3_841_459
+
+
+def srm_check(
+    df: DataFrame,
+    experiment_col: str,
+    unit_col: str,
+    *,
+    salt: str = "srm",
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the FIRST gate of every A/B
+    readout: under a 50/50 hash split the two variants' unit counts
+    must match up to chance, and a significant imbalance means the
+    assignment or logging is broken (every downstream metric is then
+    garbage). The statistic is the 2-cell chi-square
+    ``(a−b)²/(a+b)``, micro-quantized with the house round-half-up
+    integer division — pure integer arithmetic, and the 3.84 critical
+    value is a pinned data-independent constant
+    (:data:`CHI2_1DF_95_MICRO`), so the verdict replays bit-identically
+    in any engine.
+
+    Shape (100 TB): one distinct (experiment, unit) pass — map-side
+    combinable — then a (experiment, variant) count whose output is
+    experiments × 2; everything after is arithmetic on that tiny table.
+    Returns (experiment, n_a, n_b, chi2_micro, srm_flag).
+    """
+    variant = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("#", F.col(unit_col).cast("string"), F.lit(salt))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    units = (
+        df.select(
+            F.col(experiment_col).alias("experiment"),
+            F.col(unit_col).alias("unit"),
+            variant.alias("variant"),
+        )
+        .where(F.col("unit").isNotNull())
+        .distinct()
+    )
+    counts = units.groupBy("experiment").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    return counts.select(
+        "experiment",
+        "n_a",
+        "n_b",
+        F.expr(
+            "(2 * 1000000 * (n_a - n_b) * (n_a - n_b) + (n_a + n_b))"
+            " div (2 * (n_a + n_b))"
+        ).alias("chi2_micro"),
+    ).withColumn("srm_flag", F.col("chi2_micro") > F.lit(CHI2_1DF_95_MICRO))

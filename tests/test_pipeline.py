@@ -1653,3 +1653,106 @@ def test_hopping_windows_cover_each_event_twice(spark):
         f"SELECT count(*) FROM '{SF}/events.parquet'"
     ).fetchone()[0]
     assert sum(r["n_events"] for r in got) == 2 * n_events
+
+
+class TestCusumDays:
+    def test_matches_textbook_recursion_and_alarms_on_big_shift(self, spark):
+        from collections import defaultdict
+        from datetime import datetime, timedelta
+
+        from mopso_engine.ext.pipeline import cusum_days
+
+        # 10 days of 10/day then a BIG sustained shift to 50/day
+        rows = []
+        base = datetime(2024, 1, 1)
+        for d in range(16):
+            for i in range(10 if d < 10 else 50):
+                rows.append((base + timedelta(days=d, hours=i % 24), "a"))
+        # a flat control group never alarms
+        for d in range(16):
+            for i in range(7):
+                rows.append((base + timedelta(days=d, hours=i), "b"))
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+        got = {
+            (r["event_type"], r["day"]): (r["cusum_micro"], r["alarm"])
+            for r in cusum_days(df, slack_pct=110, alarm_mult=3).collect()
+        }
+        # textbook recursion replay: S_t = max(0, S_{t-1} + x_t - k)
+        daily = defaultdict(lambda: defaultdict(int))
+        for ts, g in rows:
+            daily[g][ts.date().isoformat()] += 1
+        want = {}
+        for g, days in daily.items():
+            xs = sorted(days.items())
+            n = len(xs)
+            mean_micro = (2 * sum(v for _, v in xs) * 1_000_000 + n) // (2 * n)
+            k = mean_micro * 110 // 100
+            s = 0
+            for day, v in xs:
+                s = max(0, s + v * 1_000_000 - k)
+                want[(g, day)] = (s, s > 3 * k)
+        assert got == want
+        assert any(a for (g, _), (_, a) in got.items() if g == "a")
+        assert not any(a for (g, _), (_, a) in got.items() if g == "b")
+
+    def test_guards(self, spark):
+        from mopso_engine.ext.pipeline import cusum_days
+
+        df = spark.createDataFrame([("2024-01-01", "a")], "ts string, event_type string")
+        with pytest.raises(ValueError):
+            cusum_days(df, slack_pct=90)
+        with pytest.raises(ValueError):
+            cusum_days(df, alarm_mult=0)
+
+
+class TestSrmCheck:
+    def test_matches_hash_replay_and_flags_planted_imbalance(self, spark):
+        import hashlib
+
+        from mopso_engine.ext.pipeline import srm_check
+
+        def var(u):
+            return int(hashlib.md5(f"{u}#srm".encode()).hexdigest()[:8], 16) % 2
+
+        # exp "ok": balanced hash split over 400 units; exp "broken":
+        # only variant-0 units logged (the classic logging-loss SRM)
+        rows = [("ok", u) for u in range(400)]
+        rows += [("broken", u) for u in range(400, 1400) if var(u) == 0]
+        rows += rows[:50]  # duplicate (exp, unit) rows must not double-count
+        df = spark.createDataFrame(rows, "exp string, unit long")
+        got = {
+            r["experiment"]: (r["n_a"], r["n_b"], r["chi2_micro"], r["srm_flag"])
+            for r in srm_check(df, "exp", "unit").collect()
+        }
+        from collections import defaultdict
+
+        seen = defaultdict(set)
+        for e, u in rows:
+            seen[e].add(u)
+        want = {}
+        for e, us in seen.items():
+            a = sum(1 for u in us if var(u) == 0)
+            b = len(us) - a
+            chi = (2 * 1_000_000 * (a - b) * (a - b) + (a + b)) // (2 * (a + b))
+            want[e] = (a, b, chi, chi > 3_841_459)
+        assert got == want
+        assert got["broken"][3] is True
+        assert got["ok"][3] is False
+
+
+def test_session_paths_replay(spark):
+    import duckdb
+
+    import __spark_entry__ as em
+
+    got = [
+        (r["path"], r["n_sessions"], r["rk"])
+        for r in em.queries()["session_paths"](spark, SF).collect()
+    ]
+    con = duckdb.connect()
+    for t in ("events",):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    want = [tuple(r) for r in con.execute(em.oracle_sql()["session_paths"]).fetchall()]
+    assert sorted(got) == sorted(want) and len(got) == 20
+    # every path has at most 5 hops
+    assert all(p.count(">") <= 4 for p, _, _ in got)

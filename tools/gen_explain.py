@@ -618,6 +618,25 @@ COMMENTS = {
     "aggregate — output bounded by grid x types; the oracle replays "
     "the overlap as a union of two offset tumbling grids in pure "
     "timestamp arithmetic.",
+    "events_cusum": "CUSUM drift detection: the clamped textbook "
+    "recursion S_t = max(0, S_t-1 + x_t - k) is replayed by its "
+    "closed form — prefix sum minus running min, two ordered windows "
+    "over the tiny (type, day) table, no recursion and no UDF; ONE "
+    "map-side-combined daily count is the only corpus-scale movement, "
+    "and k / the 3k alarm threshold are exact integer micro "
+    "arithmetic so alarms replay bit-identically.",
+    "events_srm": "SRM gate: one map-side-combinable distinct "
+    "(experiment, unit) pass is the only corpus movement; the "
+    "(experiment, variant) count is experiments x 2, and the 2-cell "
+    "chi-square is pure integer micro arithmetic against the pinned "
+    "3.84 critical constant — no engine math library consulted, the "
+    "verdict replays bit-identically.",
+    "session_paths": "Session path mining: ONE user-keyed window "
+    "exchange is shared by the gap-merge session assignment and the "
+    "per-session fold; the path is built from an array_sort over "
+    "(ts, event_id, type) structs — element order is DATA order, "
+    "never partition order — and the path-count table is bounded by "
+    "distinct paths; top-20 via row_number over that tiny table.",
     "events_cuped": "CUPED readout: ONE user-keyed combinable aggregate "
     "builds (user, x, y); the pooled moments are a tiny aggregate of "
     "it returned as a broadcast row (ReuseExchange shares the user "
