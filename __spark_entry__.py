@@ -1666,6 +1666,121 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .where(F.col("rk") <= 20)
         )
 
+    def events_dau_wau(spark, sf):
+        """Rolling active users (`ext.pipeline.rolling_active_users`):
+        DAU, trailing-7-day WAU and the integer per-mille stickiness —
+        the growth dashboard readout. A sliding COUNT(DISTINCT) is not
+        a window function; the scalable rendering explodes each
+        distinct (user, day) into the 7 days it keeps the user active
+        (map-side, bounded ×7) then ONE distinct + count per day. One
+        (user, day) distinct touches the corpus; output restricted to
+        days with same-day activity."""
+        from mopso_engine.ext.pipeline import rolling_active_users
+
+        return rolling_active_users(
+            read_table(spark, sf, "events"), window_days=7
+        )
+
+    def part_rules(spark, sf):
+        """Directed association rules over co-purchase baskets: for
+        each frequent pair, BOTH directed rules a→b and b→a with
+        integer-micro confidence (round_half_up(1e6·pairs/count(a)))
+        and support — the actionable complement of part_copurchase's
+        symmetric lift (confidence is what a recommender thresholds).
+        Rides the same deduped (order, part) basket build: pair counts
+        from one basket self-join, item supports from one count, the
+        rule table = pairs × 2 rows joined to broadcast supports.
+        Top-50 by (confidence desc, antecedent, consequent)."""
+        li = read_table(spark, sf, "lineitem")
+        bi = li.select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
+        ).distinct()
+        a = bi.alias("a")
+        b = bi.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.basket") == F.col("b.basket"))
+                   & (F.col("a.item") < F.col("b.item")))
+            .groupBy(
+                F.col("a.item").alias("item_a"),
+                F.col("b.item").alias("item_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("pair_n"))
+        )
+        sup = bi.groupBy("item").agg(F.count(F.lit(1)).alias("n_sup"))
+        rules = pairs.select(
+            F.col("item_a").alias("antecedent"),
+            F.col("item_b").alias("consequent"),
+            "pair_n",
+        ).union(
+            pairs.select(
+                F.col("item_b").alias("antecedent"),
+                F.col("item_a").alias("consequent"),
+                "pair_n",
+            )
+        )
+        out = rules.join(
+            F.broadcast(sup.withColumnRenamed("item", "antecedent")),
+            "antecedent",
+        ).select(
+            "antecedent",
+            "consequent",
+            "pair_n",
+            F.col("n_sup").alias("antecedent_n"),
+            F.expr(
+                "(2 * pair_n * 1000000 + n_sup) div (2 * n_sup)"
+            ).alias("confidence_micro"),
+        )
+        w = Window.orderBy(
+            F.desc("confidence_micro"), F.asc("antecedent"), F.asc("consequent")
+        )
+        return out.withColumn("rk", F.row_number().over(w)).where(
+            F.col("rk") <= 50
+        )
+
+    def orders_gap_hist(spark, sf):
+        """Inter-purchase gap histogram: days between a customer's
+        consecutive orders, bucketed by the exact BIT-LENGTH of the gap
+        (the docs_length_hist trick — length(bin(n)) in both engines,
+        so boundaries cannot drift the way float log2 rounds), with
+        [lo, hi] day ranges derived by bit shifts. ONE customer-keyed
+        window exchange computes the lag gaps; the fold is map-side
+        combined and bounded by ~16 buckets. Same-day repeat orders
+        (gap 0) keep bucket 0."""
+        orders = read_table(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+        gaps = (
+            orders.select(
+                "o_custkey",
+                "o_orderkey",
+                F.col("o_orderdate").cast("date").alias("d"),
+            )
+            .withColumn("gap", F.datediff("d", F.lag("d").over(w)))
+            .where(F.col("gap").isNotNull())
+        )
+        b = gaps.select(
+            F.when(F.col("gap") == 0, F.lit(0))
+            .otherwise(F.length(F.bin("gap")))
+            .cast("int")
+            .alias("bucket")
+        )
+        return (
+            b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_gaps"))
+            .select(
+                "bucket",
+                F.expr(
+                    "CASE WHEN bucket = 0 THEN 0"
+                    " ELSE shiftleft(1, bucket - 1) END"
+                ).cast("long").alias("lo_days"),
+                F.expr(
+                    "CASE WHEN bucket = 0 THEN 0"
+                    " ELSE shiftleft(1, bucket) - 1 END"
+                ).cast("long").alias("hi_days"),
+                "n_gaps",
+            )
+        )
+
     def events_cms_topk(spark, sf):
         """Count-Min Sketch frequency audit (`ext.sketch.cms_build` /
         `cms_estimate`, Cormode & Muthukrishnan 2005): a 4×1024 counter
@@ -4183,22 +4298,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # salted skew-breaking join (oracle = the plain join), K-fold
         # leave-fold-out target encoding, bounded-state streaming
         # dedup, hopping windows, CUSUM drift detection, SRM gate,
-        # session path mining                                          (20)
+        # session path mining, DAU/WAU stickiness, directed
+        # association rules, inter-order gap histogram                 (23)
         docs_dsir_topk, events_cms_topk, events_cuped, prox_search,
         docs_quality_quantile, events_retention, customer_rfm,
         names_edit1, supplier_bfs, vocab_growth, events_isotonic,
         events_sessions_stream, price_deciles, events_salted_join,
         orders_target_encode, stream_dedup_events, events_hopping,
-        events_cusum, events_srm, session_paths,
+        events_cusum, events_srm, session_paths, events_dau_wau,
+        part_rules, orders_gap_hist,
         # rotation slice (VERDICT r8 #4): the stale tail oldest-first —
-        # dbi onward as the r8 registry comment scheduled; the last two
-        # scheduled names (ann_topk, q5_local_supplier) were displaced
-        # by the final session-3 operators and are covered by the
-        # 208/208 ORACLE_SWEEP_r09 record instead                      (15)
+        # dbi onward as the r8 registry comment scheduled; the last
+        # five scheduled names (events_windowed, events_stream,
+        # dedup_exact, ann_topk, q5_local_supplier) were displaced by
+        # the final session-3 operators and are covered by the
+        # 211/211 ORACLE_SWEEP_r09 record instead                      (12)
         dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
         minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
-        order_priorities, events_windowed, events_stream, dedup_exact,
-        # Window = 5 fits + 10 code-changed + 20 new + 15 = 50.
+        order_priorities,
+        # Window = 5 fits + 10 code-changed + 23 new + 12 = 50.
         # --- the 50-entry truncation lands exactly here ---
         # next round's rotation slice starts here: the 12 TPC-H mirror
         # twins (q8..q22) the r9 new operators displaced — lowest-risk
@@ -4207,6 +4325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Every name below carries a row in the FINAL 208/208
         # ORACLE_SWEEP_r09.txt recorded after the last r9 addition, so
         # nothing out-of-window lacks round-fresh verification.
+        events_windowed, events_stream, dedup_exact,
         ann_topk, q5_local_supplier,
         q7_volume_shipping, q8_market_share, q9_profit_shape,
         q10_returned_items, q14_promo_share, q15_top_supplier,
@@ -6350,6 +6469,78 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (ORDER BY n_sessions DESC, path) AS rk
           FROM c) t
         WHERE rk <= 20
+    """
+
+    # events_dau_wau: the coverage explode replays as a generate_series
+    # offset join; all integer counts + per-mille division.
+    o["events_dau_wau"] = """
+        WITH ud AS (
+          SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS d
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        days AS (SELECT DISTINCT d FROM ud),
+        dau AS (SELECT d, count(*)::BIGINT AS dau FROM ud GROUP BY 1),
+        cover AS (
+          SELECT d, count(*)::BIGINT AS wau FROM (
+            SELECT DISTINCT u, d + CAST(off AS INT) AS d
+            FROM ud CROSS JOIN range(0, 7) t(off))
+          GROUP BY 1)
+        SELECT strftime(days.d, '%Y-%m-%d') AS day,
+               coalesce(dau.dau, 0)::BIGINT AS dau,
+               coalesce(cover.wau, 0)::BIGINT AS wau,
+               ((1000 * coalesce(dau.dau, 0)) // coalesce(cover.wau, 1))::BIGINT
+                 AS stickiness_pm
+        FROM days LEFT JOIN dau USING (d) LEFT JOIN cover USING (d)
+    """
+
+    # part_rules: same basket build as part_copurchase, both directed
+    # rules, house round-half-up micro confidence.
+    o["part_rules"] = """
+        WITH bi AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                    FROM lineitem),
+        pairs AS (
+          SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS pair_n
+          FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+          GROUP BY 1, 2),
+        sup AS (SELECT item, count(*)::BIGINT AS n_sup FROM bi GROUP BY 1),
+        rules AS (
+          SELECT item_a AS antecedent, item_b AS consequent, pair_n FROM pairs
+          UNION ALL
+          SELECT item_b AS antecedent, item_a AS consequent, pair_n FROM pairs),
+        rc AS (
+          SELECT r.antecedent, r.consequent, r.pair_n,
+                 s.n_sup AS antecedent_n,
+                 (2 * r.pair_n * 1000000 + s.n_sup) // (2 * s.n_sup)
+                   AS confidence_micro
+          FROM rules r JOIN sup s ON s.item = r.antecedent)
+        SELECT antecedent, consequent, pair_n, antecedent_n,
+               confidence_micro::BIGINT AS confidence_micro, rk FROM (
+          SELECT rc.*, row_number() OVER (
+                   ORDER BY confidence_micro DESC, antecedent, consequent) AS rk
+          FROM rc) t
+        WHERE rk <= 50
+    """
+
+    # orders_gap_hist: exact bit-length buckets (length(bin(n)) both
+    # engines), bit-shift bounds — no float log2.
+    o["orders_gap_hist"] = """
+        WITH g AS (
+          SELECT date_diff('day',
+                   lag(CAST(o_orderdate AS DATE)) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap
+          FROM orders),
+        b AS (
+          SELECT (CASE WHEN gap = 0 THEN 0 ELSE length(bin(gap)) END)::INT
+                   AS bucket
+          FROM g WHERE gap IS NOT NULL)
+        SELECT bucket,
+               (CASE WHEN bucket = 0 THEN 0 ELSE 1 << (bucket - 1) END)::BIGINT
+                 AS lo_days,
+               (CASE WHEN bucket = 0 THEN 0 ELSE (1 << bucket) - 1 END)::BIGINT
+                 AS hi_days,
+               count(*)::BIGINT AS n_gaps
+        FROM b GROUP BY 1
     """
 
     # names_edit1: the deletion neighborhood is pure substr arithmetic

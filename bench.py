@@ -191,6 +191,10 @@ BENCH_QUERIES = [
     # round-9: SRM gate + session path mining
     "events_srm",
     "session_paths",
+    # round-9: DAU/WAU stickiness, directed rules, order-gap histogram
+    "events_dau_wau",
+    "part_rules",
+    "orders_gap_hist",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -321,6 +325,7 @@ ANCHOR_R08 = {
     "events_salted_join": 1.0, "orders_target_encode": 0.7,
     "stream_dedup_events": 5.6, "events_hopping": 0.5,
     "events_cusum": 1.3, "events_srm": 0.9, "session_paths": 1.3,
+    "events_dau_wau": 1.6, "part_rules": 2.8, "orders_gap_hist": 0.8,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

@@ -1995,3 +1995,71 @@ def srm_check(
             " div (2 * (n_a + n_b))"
         ).alias("chi2_micro"),
     ).withColumn("srm_flag", F.col("chi2_micro") > F.lit(CHI2_1DF_95_MICRO))
+
+
+def rolling_active_users(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU / WAU / stickiness — the growth dashboard's rolling
+    distinct-user counts. A distinct-count over a sliding window is NOT
+    a window function (COUNT(DISTINCT) OVER a range is unsupported and
+    a per-day re-scan is quadratic); the scalable rendering explodes
+    each distinct (user, day) into the ``window_days`` calendar days it
+    keeps the user "active" for — a map-side explode bounded by
+    window_days rows per active-day — then ONE distinct + count per
+    covered day.
+
+    Exactness: days are ISO strings, counts are integers, stickiness is
+    the house integer per-mille (1000·dau div wau). The output is
+    restricted to days with same-day activity (the coverage explode's
+    tail past the last active day is dropped, so the table never
+    invents trailing calendar days).
+
+    Shape (100 TB): ONE (user, day) distinct is the corpus-scale
+    movement; the explode multiplies that BOUNDED table by
+    window_days; both counts are map-side combinable. Returns
+    (day, dau, wau, stickiness_pm).
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    ud = (
+        events.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("u"),
+            F.date_trunc("day", F.col(ts_col)).cast("date").alias("d"),
+        )
+        .distinct()
+    )
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    cover = (
+        ud.select(
+            "u",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.lit(int(window_days) - 1)
+                )
+            ).alias("off"),
+            "d",
+        )
+        .select("u", F.date_add(F.col("d"), F.col("off")).alias("d"))
+        .distinct()
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        days.join(dau, "d", "left")
+        .join(cover, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            F.coalesce("wau", F.lit(0)).alias("wau"),
+            F.expr("(1000 * coalesce(dau, 0)) div coalesce(wau, 1)").alias(
+                "stickiness_pm"
+            ),
+        )
+    )

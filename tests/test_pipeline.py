@@ -1756,3 +1756,70 @@ def test_session_paths_replay(spark):
     assert sorted(got) == sorted(want) and len(got) == 20
     # every path has at most 5 hops
     assert all(p.count(">") <= 4 for p, _, _ in got)
+
+
+class TestRollingActiveUsers:
+    def test_matches_python_replay(self, spark):
+        from collections import defaultdict
+        from datetime import date, datetime, timedelta
+
+        from mopso_engine.ext.pipeline import rolling_active_users
+
+        # u1 daily, u2 every 3rd day, u3 one burst then churn, null user
+        rows = []
+        base = datetime(2024, 3, 1, 12)
+        for d in range(14):
+            rows.append((1, base + timedelta(days=d)))
+            if d % 3 == 0:
+                rows.append((2, base + timedelta(days=d)))
+            if d < 2:
+                rows.append((3, base + timedelta(days=d)))
+                rows.append((3, base + timedelta(days=d, hours=4)))  # dup day
+        rows.append((None, base))
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            r["day"]: (r["dau"], r["wau"], r["stickiness_pm"])
+            for r in rolling_active_users(df, window_days=7).collect()
+        }
+        act = defaultdict(set)
+        for u, ts in rows:
+            if u is not None:
+                act[ts.date()].add(u)
+        want = {}
+        for d, us in act.items():
+            wau = set()
+            for off in range(7):
+                wau |= act.get(d - timedelta(days=off), set())
+            want[d.isoformat()] = (
+                len(us), len(wau), (1000 * len(us)) // len(wau)
+            )
+        assert got == want
+        # churned u3 leaves WAU exactly 7 days after its last active day
+        assert got["2024-03-08"][1] == want["2024-03-08"][1]
+
+    def test_guard(self, spark):
+        from mopso_engine.ext.pipeline import rolling_active_users
+
+        df = spark.createDataFrame([(1, None)], "user_id long, ts timestamp")
+        with pytest.raises(ValueError):
+            rolling_active_users(df, window_days=0)
+
+
+def test_part_rules_and_gap_hist_replay(spark):
+    import duckdb
+
+    import __spark_entry__ as em
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    for name in ("part_rules", "orders_gap_hist"):
+        got = sorted(
+            tuple(r) for r in em.queries()[name](spark, SF).toPandas().itertuples(index=False)
+        )
+        want = sorted(tuple(r) for r in con.execute(em.oracle_sql()[name]).fetchall())
+        assert got == want, name
+    # directed-rule sanity: confidence of a->b uses a's support, so the
+    # two directions of one pair generally differ
+    rules = em.queries()["part_rules"](spark, SF).collect()
+    assert all(0 < r["confidence_micro"] <= 1_000_000 for r in rules)

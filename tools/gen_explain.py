@@ -637,6 +637,23 @@ COMMENTS = {
     "(ts, event_id, type) structs — element order is DATA order, "
     "never partition order — and the path-count table is bounded by "
     "distinct paths; top-20 via row_number over that tiny table.",
+    "events_dau_wau": "Rolling active users: a sliding COUNT(DISTINCT) "
+    "is not a window function — each distinct (user, day) explodes "
+    "map-side into the 7 days it covers (bounded x7 on the ALREADY "
+    "distinct table, never the raw events), then one distinct + "
+    "count per day; stickiness is integer per-mille. ONE (user, day) "
+    "distinct touches the corpus.",
+    "part_rules": "Directed association rules: the same deduped "
+    "basket self-join as part_copurchase produces pair counts; both "
+    "rule directions are a map-only union of that bounded pair "
+    "table; antecedent supports ride a BroadcastHashJoin; confidence "
+    "is the house round-half-up integer micro division and the "
+    "top-50 cut is a row_number over the tiny rule table.",
+    "orders_gap_hist": "Inter-order gap histogram: ONE customer-keyed "
+    "window exchange computes lag gaps; the bucket is the exact "
+    "bit-length of the gap (length(bin(n)) in both engines — no "
+    "float log2 boundary drift) with bit-shift [lo, hi] ranges; the "
+    "fold is map-side combined into ~16 buckets.",
     "events_cuped": "CUPED readout: ONE user-keyed combinable aggregate "
     "builds (user, x, y); the pooled moments are a tiny aggregate of "
     "it returned as a broadcast row (ReuseExchange shares the user "
