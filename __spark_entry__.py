@@ -1781,6 +1781,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def orders_pareto_share(spark, sf):
+        """Revenue-concentration (80/20) readout: customers quintiled
+        by exact lifetime revenue rank (`bucketed_global_rank` again —
+        its third consumer, never a single-partition sort) and each
+        quintile's integer per-mille share of total revenue; bucket 4
+        is the top 20% whose share IS the Pareto number. Money is
+        per-row integer cents before the order-free sum; the share is
+        cross-multiplied integer division, so the table replays
+        bit-identically."""
+        from mopso_engine.ext.pipeline import bucketed_global_rank
+
+        orders = read_table(spark, sf, "orders")
+        cust = orders.groupBy("o_custkey").agg(
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+            ).alias("cents")
+        )
+        r = bucketed_global_rank(
+            cust, "cents", tiebreak="o_custkey", bucket_shift=20
+        )
+        per_q = (
+            r.select(
+                F.expr(
+                    "CAST(((global_rank - 1) * 5) div n_total AS INT)"
+                ).alias("quintile"),
+                "cents",
+            )
+            .groupBy("quintile")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.sum("cents").alias("quintile_cents"),
+            )
+        )
+        return per_q.select(
+            "quintile",
+            "n_customers",
+            "quintile_cents",
+            F.expr(
+                "(1000 * quintile_cents) div "
+                "(sum(quintile_cents) OVER ())"
+            ).alias("share_pm"),
+        )
+
+    def vocab_zipf(spark, sf):
+        """Zipf rank-frequency table: the top-50 corpus tokens with
+        their global frequency and frequency rank — the corpus-shape
+        readout whose log-log slope a healthy natural corpus keeps
+        near −1 (a flat head means boilerplate, a truncated tail means
+        over-dedup). Tokens explode map-side; ONE (token) count is the
+        corpus-scale movement; ranks ride a row_number over the
+        vocabulary-bounded count table with (freq desc, token)
+        tiebreak. Pure integers."""
+        docs = read_table(spark, sf, "documents")
+        toks = docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+        ).where(F.col("tok") != "")
+        freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+        w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+        return (
+            freq.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 50)
+            .select("rank", "tok", "freq")
+        )
+
     def events_cms_topk(spark, sf):
         """Count-Min Sketch frequency audit (`ext.sketch.cms_build` /
         `cms_estimate`, Cormode & Muthukrishnan 2005): a 4×1024 counter
@@ -4324,7 +4388,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # orders/ann block and the stale tail oldest-verified-first.
         # Every name below carries a row in the FINAL 208/208
         # ORACLE_SWEEP_r09.txt recorded after the last r9 addition, so
-        # nothing out-of-window lacks round-fresh verification.
+        # nothing out-of-window lacks round-fresh verification. The two
+        # late session-3 additions lead (verified by targeted
+        # check_oracle runs + appended ORACLE_SWEEP_r09 rows; they
+        # rotate into the window first next round):
+        orders_pareto_share, vocab_zipf,
         events_windowed, events_stream, dedup_exact,
         ann_topk, q5_local_supplier,
         q7_volume_shipping, q8_market_share, q9_profit_shape,
@@ -6541,6 +6609,44 @@ def oracle_sql() -> dict[str, str]:
                  AS hi_days,
                count(*)::BIGINT AS n_gaps
         FROM b GROUP BY 1
+    """
+
+    # orders_pareto_share: rank decomposition == bare row_number by
+    # construction; integer cents, cross-multiplied per-mille share.
+    o["orders_pareto_share"] = """
+        WITH cust AS (
+          SELECT o_custkey,
+                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT
+                   AS cents
+          FROM orders GROUP BY 1),
+        rk AS (
+          SELECT cents,
+                 row_number() OVER (ORDER BY cents, o_custkey) AS r,
+                 count(*) OVER () AS n
+          FROM cust),
+        q AS (
+          SELECT (((r - 1) * 5) // n)::INT AS quintile,
+                 count(*)::BIGINT AS n_customers,
+                 sum(cents)::BIGINT AS quintile_cents
+          FROM rk GROUP BY 1)
+        SELECT quintile, n_customers, quintile_cents,
+               ((1000 * quintile_cents) // (sum(quintile_cents) OVER ()))::BIGINT
+                 AS share_pm
+        FROM q
+    """
+
+    # vocab_zipf: one token count + (freq desc, token) row_number.
+    o["vocab_zipf"] = r"""
+        WITH toks AS (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents),
+        freq AS (SELECT tok, count(*)::BIGINT AS freq
+                 FROM toks WHERE tok <> '' GROUP BY 1)
+        SELECT rank, tok, freq FROM (
+          SELECT tok, freq,
+                 row_number() OVER (ORDER BY freq DESC, tok) AS rank
+          FROM freq) t
+        WHERE rank <= 50
     """
 
     # names_edit1: the deletion neighborhood is pure substr arithmetic

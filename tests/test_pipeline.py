@@ -1823,3 +1823,28 @@ def test_part_rules_and_gap_hist_replay(spark):
     # two directions of one pair generally differ
     rules = em.queries()["part_rules"](spark, SF).collect()
     assert all(0 < r["confidence_micro"] <= 1_000_000 for r in rules)
+
+
+def test_pareto_share_and_zipf_replay(spark):
+    import duckdb
+
+    import __spark_entry__ as em
+
+    con = duckdb.connect()
+    for t in ("orders", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    for name in ("orders_pareto_share", "vocab_zipf"):
+        got = sorted(
+            tuple(r)
+            for r in em.queries()[name](spark, SF).toPandas().itertuples(index=False)
+        )
+        want = sorted(tuple(r) for r in con.execute(em.oracle_sql()[name]).fetchall())
+        assert got == want, name
+    # Pareto contract: shares sum to <= 1000 per-mille (floor division)
+    # and are non-decreasing in quintile (rank asc => bucket 4 richest)
+    rows = sorted(
+        (r["quintile"], r["share_pm"])
+        for r in em.queries()["orders_pareto_share"](spark, SF).collect()
+    )
+    shares = [s for _, s in rows]
+    assert shares == sorted(shares) and sum(shares) <= 1000

@@ -654,6 +654,15 @@ COMMENTS = {
     "bit-length of the gap (length(bin(n)) in both engines — no "
     "float log2 boundary drift) with bit-shift [lo, hi] ranges; the "
     "fold is map-side combined into ~16 buckets.",
+    "orders_pareto_share": "Revenue concentration: the exact customer "
+    "revenue rank comes from the bucketed decomposition (its third "
+    "consumer — never a single-partition sort); quintile fold is "
+    "map-side combined into 5 rows and the per-mille share is "
+    "cross-multiplied integer division over that tiny table.",
+    "vocab_zipf": "Zipf rank-frequency: tokens explode map-side, ONE "
+    "vocabulary-bounded token count is the only corpus movement, and "
+    "the top-50 ranks ride a row_number over that small table with a "
+    "(freq desc, token) deterministic tiebreak.",
     "events_cuped": "CUPED readout: ONE user-keyed combinable aggregate "
     "builds (user, x, y); the pooled moments are a tiny aggregate of "
     "it returned as a broadcast row (ReuseExchange shares the user "
