@@ -6068,7 +6068,8 @@ def oracle_sql() -> dict[str, str]:
                         + {_a3}::HUGEINT * {_bm_sdl}
                         + {_a4}::HUGEINT * t.dl * {_bm_n}) AS den
                 FROM tf t JOIN idfm i USING (term))),
-        sc AS (SELECT qp.query_id, c.doc_id, sum(c.c_micro) AS score_micro
+        sc AS (SELECT qp.query_id, c.doc_id,
+                      sum(c.c_micro)::BIGINT AS score_micro
                FROM contrib c JOIN qp USING (term) GROUP BY 1, 2),
         bmrk AS (SELECT query_id, doc_id, score_micro, row_number() OVER (
                    PARTITION BY query_id
@@ -6413,13 +6414,14 @@ def oracle_sql() -> dict[str, str]:
                    AS pos
           FROM orders GROUP BY 1, 2),
         t AS (SELECT o_orderpriority, fold,
-                     sum(n) OVER (PARTITION BY o_orderpriority) - n AS n_out,
-                     sum(pos) OVER (PARTITION BY o_orderpriority) - pos
+                     (sum(n) OVER (PARTITION BY o_orderpriority) - n)::BIGINT
+                       AS n_out,
+                     (sum(pos) OVER (PARTITION BY o_orderpriority) - pos)::BIGINT
                        AS pos_out
               FROM agg)
         SELECT o_orderpriority, fold, n_out, pos_out,
                CASE WHEN n_out > 0
-                    THEN (2 * pos_out * 1000000 + n_out) // (2 * n_out)
+                    THEN ((2 * pos_out * 1000000 + n_out) // (2 * n_out))::BIGINT
                END AS enc_micro
         FROM t
     """

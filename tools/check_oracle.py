@@ -65,6 +65,21 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> dict:
     if not (res["rows_match"] and res["cols_match"]):
         res["exact"] = res["tolerant"] = False
         return res
+    # Driver-sensitivity replica: the driver hashes FORMATTED values, so an
+    # int64 Spark column vs a float64 oracle column ("414213" vs "414213.0")
+    # is a red row even when every value compares equal under float().  The
+    # r9 bm25/target-encode reds were exactly this (uncast DuckDB sum() ->
+    # HUGEINT -> pandas float64).  Flag any column whose pandas dtype class
+    # differs int-vs-float between the two frames.
+    dtype_flags = [
+        (c, str(spark_pdf[c].dtype), str(duck_pdf[c].dtype))
+        for c in sorted(spark_pdf.columns)
+        if {spark_pdf[c].dtype.kind, duck_pdf[c].dtype.kind} in ({"i", "f"}, {"u", "f"})
+    ]
+    res["dtype_flags"] = dtype_flags
+    if dtype_flags:
+        res["exact"] = res["tolerant"] = False
+        return res
     a, b = canon(spark_pdf), canon(duck_pdf)
     exact = True
     tolerant = True
@@ -153,6 +168,20 @@ def main():
                 print(f"  WARNING: 0 rows")
             continue
         try:
+            # HUGEINT guard: DuckDB's sum(BIGINT) widens to HUGEINT, which
+            # pandas renders as float64 and flips the driver's formatted-value
+            # hash even when every value is equal (r9 red rows).  DESCRIBE
+            # binds without executing, so this is a cheap per-query contract.
+            desc = con.execute("DESCRIBE " + oracles[name]).df()
+            huge = [
+                (cn, ct)
+                for cn, ct in zip(desc["column_name"], desc["column_type"])
+                if "HUGEINT" in str(ct).upper()
+            ]
+            if huge:
+                print(f"✗ {name}: ORACLE HUGEINT OUTPUT {huge} — add ::BIGINT casts")
+                failures.append(name)
+                continue
             ddf = con.execute(oracles[name]).df()
         except Exception:
             print(f"✗ {name}: DUCKDB ERROR\n{traceback.format_exc()}")
@@ -166,6 +195,8 @@ def main():
             extra = f" rows {r['rows']}"
         elif not r["cols_match"]:
             extra = f" cols {r['cols']}"
+        elif r.get("dtype_flags"):
+            extra = f" DTYPE-CLASS MISMATCH {r['dtype_flags']}"
         elif not ok:
             extra = f" first_diff={r.get('first_diff')}"
         print(f"{mark} {name}: rows={len(sdf)} ({time.time()-t0:.1f}s){extra}")
