@@ -1426,13 +1426,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         comparisons, round-half-up micro rates — the BM25/DSIR
         driver-pinning treatment) and the fitted non-decreasing step
         function re-enters both engines as literals. PAVA state is
-        bounded by the bucket grid, never the event count."""
+        bounded by the bucket grid, never the event count. The bucket
+        expression uses Spark `div` (truncates toward zero) mirrored by
+        DuckDB `//` (floors) — identical only for non-negative micros,
+        so negative values raise in-plan (ADVICE r9) instead of silently
+        splitting buckets across engines on a regenerated corpus."""
         from mopso_engine.ext.calib import isotonic_calibrate
 
         ev = read_table(spark, sf, "events").select(
             F.expr(
-                "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"
-                " div 16000000"
+                "CASE WHEN value < 0 THEN raise_error("
+                "'events_isotonic: negative value breaks div-vs-floor"
+                " bucket parity') "
+                "ELSE CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"
+                " div 16000000 END"
             ).alias("vbucket"),
             (F.col("event_type") == "purchase").cast("int").alias("y"),
         )
@@ -1616,8 +1623,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Session path mining: top-20 most-common session-opening
         event-type paths (first 5 events per gap-merged session, '>'
         joined) — the navigation-pattern readout product analytics runs
-        after sessionization. Sessions are the same lag/cumsum gap
-        merge the sessionized family proves; the path is built from an
+        after sessionization. Sessions use the same lag/cumsum gap-merge
+        MECHANISM the sessionized family proves, but with the streaming
+        session_window boundary convention (`gap >= 1800` opens a new
+        session, i.e. a strict 30-minute timeout) rather than
+        events_sessionized's batch `gap > 1800` — an event exactly 30
+        minutes after its predecessor starts a new session here and
+        extends the old one there; each query matches its own oracle
+        (ADVICE r9 boundary note). The path is built from an
         array_sort over (ts, event_id, type) structs — element order is
         DATA order, deterministic, never partition order. ONE user-
         keyed window exchange is shared by the session assignment and
@@ -6654,7 +6667,10 @@ def oracle_sql() -> dict[str, str]:
     # names_edit1: the deletion neighborhood is pure substr arithmetic
     # and the verify is the exact integer levenshtein DP — both engines
     # define it identically; lateral generate_series is rendered as an
-    # uncorrelated range + length filter for DuckDB.
+    # uncorrelated range + length filter for DuckDB. The guard subquery
+    # mirrors the Spark side's in-plan max_len=64 raise (ADVICE r9): on
+    # violating data both engines now fail loudly instead of the oracle
+    # silently truncating positions past 64 into a confusing red row.
     o["names_edit1"] = """
         WITH names AS (
           SELECT DISTINCT c_name AS w FROM customer WHERE c_name IS NOT NULL),
@@ -6668,6 +6684,10 @@ def oracle_sql() -> dict[str, str]:
           FROM dels a JOIN dels b ON a.v = b.v AND a.w < b.w)
         SELECT name_a, name_b FROM cand
         WHERE levenshtein(name_a, name_b) <= 1
+          AND (SELECT max(CASE WHEN len(w) > 64 THEN error(
+                 'names_edit1 oracle: name longer than max_len=64 — '
+                 'mirrors the Spark in-plan guard') ELSE 0 END)
+               FROM names) = 0
     """
 
     # events_cms_topk: the sketch is pure integer md5-slice hashing, so
