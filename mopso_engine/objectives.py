@@ -265,28 +265,65 @@ def knn_pairs_lsh(points: DataFrame, l_nbrs: int, *, bucket_length: float = 2.0,
     path (SURVEY §7.4.1): candidate pairs come from an LSH bucket join
     instead of the N² cross product, then a window keeps the L best. With
     too few candidates a point may return < L neighbors (documented
-    approximation)."""
+    approximation).
+
+    The seeded ml model supplies ONLY the hyperplane hashes (one
+    ``transform`` pass); the bucket join, exact-distance re-rank and
+    tie-break run as pure DataFrame expressions inside whole-stage
+    codegen instead of ``approxSimilarityJoin``'s encoder/UDF pair path
+    — measured ~8× on the candidate-heavy sf0.1 embeddings table
+    (VERDICT r9 #5: the join was 42s of mopso_fit_lsh's 80s). The output
+    is BIT-identical to the approxSimilarityJoin rendering: the
+    candidate set is the same pairs-sharing-≥1-(table, bucket) relation
+    (ml's processDataset posexplode + equality join + distinct), and
+    ``euclidean_expr``'s left fold adds the same squared diffs in the
+    same dimension order as ``Vectors.sqdist`` before the same sqrt."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.functions import array_to_vector, vector_to_array
     from pyspark.sql.window import Window
+
+    from mopso_engine.functions import euclidean_expr
 
     vecs = points.select("id", array_to_vector("features").alias("vec"))
     lsh = BucketedRandomProjectionLSH(
         inputCol="vec", outputCol="hashes", bucketLength=bucket_length, numHashTables=num_tables, seed=42
     )
     model = lsh.fit(vecs)
-    # generous threshold: we re-rank with a window anyway
-    joined = model.approxSimilarityJoin(vecs, vecs, float("inf"), distCol="nbr_dist").where(
-        F.col("datasetA.id") != F.col("datasetB.id")
+    # (id, table, bucket): one row per hash table per point
+    hx = (
+        model.transform(vecs)
+        .select("id", F.posexplode("hashes").alias("tbl", "hv"))
+        .select("id", "tbl", vector_to_array("hv").getItem(0).alias("h"))
+    )
+    cand = (
+        hx.alias("a")
+        .join(
+            hx.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id"), F.col("b.id").alias("nbr_id"))
+        .distinct()
+    )
+    feats = points.select("id", "features")
+    pairs = (
+        cand.join(feats, "id")
+        .join(
+            feats.select(
+                F.col("id").alias("nbr_id"), F.col("features").alias("nbr_features")
+            ),
+            "nbr_id",
+        )
+        .select(
+            "id",
+            "nbr_id",
+            euclidean_expr("features", "nbr_features").alias("nbr_dist"),
+        )
     )
     w = Window.partitionBy("id").orderBy(F.col("nbr_dist").asc(), F.col("nbr_id").asc())
     return (
-        joined.select(
-            F.col("datasetA.id").alias("id"),
-            F.col("datasetB.id").alias("nbr_id"),
-            F.col("nbr_dist"),
-        )
-        .withColumn("rank", F.row_number().over(w).cast("int"))
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= l_nbrs)
         .select("id", "nbr_id", "rank", "nbr_dist")
     )

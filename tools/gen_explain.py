@@ -500,10 +500,17 @@ COMMENTS = {
     "index fingerprints once into <= m/62 words.",
     "mopso_fit_lsh": "The fit on the approximate-kNN Conn backend (plan "
     "shown is the archive rendering): the N² neighbor precompute is "
-    "replaced by BucketedRandomProjectionLSH bucket joins + a window "
-    "top-L, then each iteration is one map-only Arrow fitness pass over "
-    "the cached neighbor-augmented table — zero per-iteration shuffle, "
-    "the unbounded-N Conn path composed end-to-end.",
+    "replaced by an LSH bucket join + a window top-L, then each "
+    "iteration is one map-only Arrow fitness pass over the cached "
+    "neighbor-augmented table — zero per-iteration shuffle, the "
+    "unbounded-N Conn path composed end-to-end. Since r10 the seeded "
+    "ml model supplies only the hyperplane hashes (one transform pass); "
+    "the (table, bucket) equality self-join, exact euclidean re-rank "
+    "and tie-break are pure codegen expressions instead of "
+    "approxSimilarityJoin's encoder/UDF pair path — the neighbor "
+    "materialization fell 42s -> 9.5s at sf0.1 with bit-identical "
+    "archive output (verified against the recorded fit-oracle "
+    "positions).",
     "docs_dsir_topk": "DSIR data selection (r9): unigram+bigram "
     "featurization is a map-only in-row explode; ONE (doc, bucket) "
     "count HashAggregate is persisted and consumed by BOTH the "
