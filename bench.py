@@ -195,6 +195,10 @@ BENCH_QUERIES = [
     "events_dau_wau",
     "part_rules",
     "orders_gap_hist",
+    # round-9 past-cutoff pair, benched since r10 so the whole declared
+    # surface sits inside the >2× auto-retry adjudication net
+    "orders_pareto_share",
+    "vocab_zipf",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -311,9 +315,16 @@ ANCHOR_R08 = {
     "stream_window_topk": 4.122, "emb_threshold_curve": 0.832,
     "events_attribution": 0.605, "docs_length_hist": 0.318,
     "emb_centroid_matrix": 0.615, "stream_curate_docs_v3": 6.598,
-    "stream_source_drift": 2.97, "events_scd2_lookup": 0.584,
+    "stream_source_drift": 2.97,
+    # r10 re-anchor (VERDICT r9 #4): sub-second 0.584 never reproduced
+    # on the current host generation (driver best 1.31, clean-host
+    # re-measures 1.04/1.66); 1.3 is the honest sub-2s floor
+    "events_scd2_lookup": 1.3,
     "events_resampled_li": 4.367, "decontaminate_semantic": 0.664,
-    "mopso_fit_lsh": 70.863,
+    # r10 re-anchor after the knn_pairs_lsh codegen rewrite (the ml
+    # approxSimilarityJoin encoder path was 42s of the old 70.9s):
+    # measured 27.4s cold / 14.4s warm at sf0.1 on a settled host
+    "mopso_fit_lsh": 28.0,
     # r9-born operators, measured at build time (warm): dsir's cold
     # first attempt pays the explode codegen (~23s) and is EXPECTED to
     # trip the retry net down to its ~5s warm number
@@ -323,9 +334,17 @@ ANCHOR_R08 = {
     "supplier_bfs": 17.5, "vocab_growth": 2.9, "events_isotonic": 1.5,
     "events_sessions_stream": 3.3, "price_deciles": 1.9,
     "events_salted_join": 1.0, "orders_target_encode": 0.7,
-    "stream_dedup_events": 5.6, "events_hopping": 0.5,
+    # r10 re-anchor (VERDICT r9 #4): the isolated warm drain is 5.9s
+    # (2 AvailableNow batches: addBatch 2.5s + 1.1s, profiled 2026-08-15)
+    # so the operator floor is real — 7.0 adds the downstream batch agg
+    # and keeps the retry net armed without re-tripping on quiet-host
+    # runs the way the 5.6 build-window reading did two driver rounds
+    "stream_dedup_events": 7.0, "events_hopping": 0.5,
     "events_cusum": 1.3, "events_srm": 0.9, "session_paths": 1.3,
     "events_dau_wau": 1.6, "part_rules": 2.8, "orders_gap_hist": 0.8,
+    # r10-born bench entries (the r9 past-cutoff pair), measured warm at
+    # sf0.1 on a settled host (1.39s / 0.49s; cold first-run 6.3s/0.9s)
+    "orders_pareto_share": 2.0, "vocab_zipf": 0.8,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its
