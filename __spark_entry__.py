@@ -4351,60 +4351,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship: the full MOPSO fits with post-hoc relational oracles  (5)
         mopso_fit, mopso_fit_only, mopso_fit_full, mopso_fit_lineitem,
         mopso_fit_lineitem_only,
-        # round-9 code-changed, re-earning driver rows: the libm-proofed
-        # BM25 (pinned idf literals + exact-rational norm — VERDICT r8
-        # #1) and the hybrid fusion that consumes it; the FUSED v3
-        # curation ladder + per-source funnel (single corpus scan, zero
-        # doc_id joins — VERDICT r8 #2); the BPE kernel family and
-        # mojibake stages that gained keep= passthrough (fertility /
-        # token counts / packing / repair / the snapshot diff on the
-        # planted fixture); the update-mode streaming top-k twin        (10)
-        bm25_search, hybrid_search, corpus_curation_v3, curation_funnel,
-        docs_bpe_fertility, bpe_token_counts, docs_packed_bpe,
-        docs_fix_mojibake, docs_snapshot_diff, stream_window_topk,
-        # round-9 NEW operators: DSIR importance resampling (Xie et al.
-        # 2023 data selection, pinned log-ratio literals), Count-Min
-        # Sketch frequency audit, CUPED variance-reduced A/B readout,
-        # MinCover proximity retrieval, per-source quality deciles,
-        # weekly cohort retention triangle, RFM segmentation on exact
-        # bucket-decomposed global ranks, SymSpell edit-distance join,
-        # multi-source BFS hop distances, Heaps vocab-growth curve,
-        # isotonic (PAVA) calibration with driver-pinned step literals,
-        # streaming session windows (watermark-evicted session state),
-        # exact equi-depth deciles (the rank operator's 6M-row demo),
-        # salted skew-breaking join (oracle = the plain join), K-fold
-        # leave-fold-out target encoding, bounded-state streaming
-        # dedup, hopping windows, CUSUM drift detection, SRM gate,
-        # session path mining, DAU/WAU stickiness, directed
-        # association rules, inter-order gap histogram                 (23)
-        docs_dsir_topk, events_cms_topk, events_cuped, prox_search,
-        docs_quality_quantile, events_retention, customer_rfm,
-        names_edit1, supplier_bfs, vocab_growth, events_isotonic,
-        events_sessions_stream, price_deciles, events_salted_join,
-        orders_target_encode, stream_dedup_events, events_hopping,
-        events_cusum, events_srm, session_paths, events_dau_wau,
-        part_rules, orders_gap_hist,
-        # rotation slice (VERDICT r8 #4): the stale tail oldest-first —
-        # dbi onward as the r8 registry comment scheduled; the last
-        # five scheduled names (events_windowed, events_stream,
-        # dedup_exact, ann_topk, q5_local_supplier) were displaced by
-        # the final session-3 operators and are covered by the
-        # 211/211 ORACLE_SWEEP_r09 record instead                      (12)
-        dbi, silhouette, knn_top5, conn_objective, pareto_front, crowding,
-        minmax_norm, q1_pricing, q3_shipping, nation_revenue, top_parts,
-        order_priorities,
-        # Window = 5 fits + 10 code-changed + 23 new + 12 = 50.
-        # --- the 50-entry truncation lands exactly here ---
-        # next round's rotation slice starts here: the 12 TPC-H mirror
-        # twins (q8..q22) the r9 new operators displaced — lowest-risk
-        # per the policy above, literal SQL mirrors — then the
-        # orders/ann block and the stale tail oldest-verified-first.
-        # Every name below carries a row in the FINAL 208/208
-        # ORACLE_SWEEP_r09.txt recorded after the last r9 addition, so
-        # nothing out-of-window lacks round-fresh verification. The two
-        # late session-3 additions lead (verified by targeted
-        # check_oracle runs + appended ORACLE_SWEEP_r09 rows; they
-        # rotate into the window first next round):
+        # round-10 code-changed, re-earning driver rows: the two r9
+        # driver-red oracles fixed by the ::BIGINT casts (bm25_search,
+        # orders_target_encode — VERDICT r9 #1) plus hybrid_search which
+        # consumes the same rewritten bm25 CTE; mopso_fit_lsh after the
+        # knn_pairs_lsh codegen join rewrite (VERDICT r9 #5, output
+        # verified bit-identical); events_isotonic with the new in-plan
+        # negative-value guard and names_edit1 with the new oracle-side
+        # length guard (ADVICE r9)                                      (6)
+        bm25_search, orders_target_encode, hybrid_search, mopso_fit_lsh,
+        events_isotonic, names_edit1,
+        # rotation slice (the r9 registry comment's schedule, verbatim):
+        # the two r9 past-cutoff operators first, then the five names
+        # the session-3 operators displaced, then the TPC-H mirror
+        # twins, the orders/window suites, the ann/sketch block and the
+        # set-ops family — every entry here was green in the 214/214
+        # ORACLE_SWEEP_r09 and rotates back through a driver row now  (39)
         orders_pareto_share, vocab_zipf,
         events_windowed, events_stream, dedup_exact,
         ann_topk, q5_local_supplier,
@@ -4419,7 +4381,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tfidf_terms, pmi_collocations, sketch_distinct_check,
         sketch_quantile_check, big_orders, customers_without_orders,
         active_custkeys_diff, active_custkeys_both,
-        active_custkeys_diff_all, events_pivot, status_cube,
+        active_custkeys_diff_all, events_pivot,
+        # Window = 5 fits + 6 code-changed + 39 rotation = 50.
+        # --- the 50-entry truncation lands exactly here ---
+        # next round's rotation slice starts here: status_cube onward —
+        # the pivot/rollup/quantile readouts, the asof/scd2 family and
+        # the remaining dedup tail, oldest-verified-first. Every name
+        # below carries a green row in ORACLE_SWEEP_r09.txt (and the
+        # r10 sweep re-records them), so nothing out-of-window lacks
+        # round-fresh verification.
+        status_cube,
         value_quantiles, user_stats, q6_forecast, sales_rollup, events_asof,
         dedup_jaccard_skewed_uncapped, dedup_jaccard, weighted_docs_sample,
         events_interval_join_stream, hll_union_check, source_token_kl,
@@ -4432,7 +4403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_jaccard_capped, dedup_jaccard_skewed, corpus_curation,
         lsh_candidates, simhash_fp, dedup_verified, simhash_neardup,
         docs_sample, events_sessionized, text_stats, quality, lang_pred,
-        mopso_fit_lsh, dedup_components_star, para_dup_stats,
+        dedup_components_star, para_dup_stats,
         docs_para_dedup, events_key_skew, source_mixture_temp,
         docs_shuffled, heavy_hitters, stream_heavy_hitters, docs_pii,
         pii_report, dup_span_stats, docs_despan, docs_packed,
@@ -4458,6 +4429,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         part_kcore, part_communities, emb_threshold_curve,
         events_attribution, docs_length_hist, emb_centroid_matrix,
         decontaminate_semantic, docs_bigram_logppl, assets_packed,
+        # driver-green r09 (code unchanged since their rows, minus the
+        # six re-earning names moved back into the window) — rotated to
+        # the very back, same policy as the r08-green block above
+        corpus_curation_v3, curation_funnel, docs_bpe_fertility,
+        bpe_token_counts, docs_packed_bpe, docs_fix_mojibake,
+        docs_snapshot_diff, stream_window_topk, docs_dsir_topk,
+        events_cms_topk, events_cuped, prox_search,
+        docs_quality_quantile, events_retention, customer_rfm,
+        supplier_bfs, vocab_growth, events_sessions_stream,
+        price_deciles, events_salted_join, stream_dedup_events,
+        events_hopping, events_cusum, events_srm, session_paths,
+        events_dau_wau, part_rules, orders_gap_hist, dbi, silhouette,
+        knn_top5, conn_objective, pareto_front, crowding, minmax_norm,
+        q1_pricing, q3_shipping, nation_revenue, top_parts,
+        order_priorities,
     ):
         q[fn.__name__] = fn
     return q
