@@ -22,6 +22,7 @@ BASELINE.md's scale-smoke section.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import shutil
@@ -32,7 +33,9 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale10")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(_REPO, ".scale10")
+OUT100 = os.path.join(_REPO, ".scale100")
 REPLICAS = 10
 
 
@@ -66,6 +69,85 @@ def build_corpus(spark) -> None:
         ).withColumn("o_custkey", F.col("o_custkey") + F.lit(i * 10_000_000))
         scaled_o = d if scaled_o is None else scaled_o.unionByName(d)
     scaled_o.write.parquet(os.path.join(OUT, "orders.parquet"))
+
+
+def build_corpus_x100(spark, tables: set[str]) -> None:
+    """Two-decade corpus (VERDICT r9 #8): ×100 replicas of only the
+    tables the requested flagships read, same re-keying scheme as the
+    ×10 build (ids stay unique, dedup keys don't collapse). Written as
+    ONE distributed job per table (a 100-way union plans fine; the
+    writer parallelizes across partitions)."""
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(OUT100):
+        shutil.rmtree(OUT100)
+    if "documents" in tables:
+        docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+        scaled = None
+        for i in range(100):
+            d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+            scaled = d if scaled is None else scaled.unionByName(d)
+        scaled.write.parquet(os.path.join(OUT100, "documents.parquet"))
+    if "lineitem" in tables:
+        li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+        scaled = None
+        for i in range(100):
+            d = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000))
+            scaled = d if scaled is None else scaled.unionByName(d)
+        scaled.repartition(64).write.parquet(os.path.join(OUT100, "lineitem.parquet"))
+
+
+def main_x100(names: list[str]) -> None:
+    """x1 → x10 → x100 paired curve for the named flagship queries: the
+    two-decade datapoint VERDICT r9 #8 asked for. Reuses the standard
+    ×10 corpus and builds a ×100 one for just the tables needed."""
+    from mopso_engine.session import build_session
+
+    spark = build_session(master="local[32]", app_name="scale-smoke-100")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry_mod
+
+    from mopso_engine.ext.dedup import clear_shingle_caches
+    from mopso_engine.ext.graph import clear_pagerank_caches
+
+    TABLES_OF = {
+        "corpus_curation_v3": {"documents"},
+        "price_deciles": {"lineitem"},
+        "corpus_curation_v2": {"documents"},
+        "dedup_verified": {"documents"},
+    }
+    needed = set()
+    for n in names:
+        needed |= TABLES_OF[n]
+    build_corpus(spark)
+    build_corpus_x100(spark, needed)
+    qs = entry_mod.queries()
+    out: dict = {"metric": "scale100_smoke", "queries": names}
+    for name in names:
+        # warm pass eats codegen/JIT so no timed pass is charged for it
+        qs[name](spark, SRC).write.format("noop").mode("overwrite").save()
+        clear_shingle_caches()
+        clear_pagerank_caches()
+        rec = {}
+        for tag, d, mult in (("x1", SRC, 1), ("x10", OUT, 10), ("x100", OUT100, 100)):
+            snap0 = stage_writes(spark)
+            t0 = time.time()
+            qs[name](spark, d).write.format("noop").mode("overwrite").save()
+            t = round(time.time() - t0, 3)
+            clear_shingle_caches()
+            clear_pagerank_caches()
+            tot, peak, nst = window_stats(snap0, stage_writes(spark))
+            rec[tag] = {
+                "scale": mult, "wall_sec": t, "shuffle_write_bytes": tot,
+                "peak_stage_shuffle_bytes": peak, "stages": nst,
+            }
+            print(f"# {name} {tag}: {t}s shuffle={tot} stages={nst}", file=sys.stderr)
+        rec["ratio_x10_vs_x1"] = round(rec["x10"]["wall_sec"] / rec["x1"]["wall_sec"], 2)
+        rec["ratio_x100_vs_x10"] = round(rec["x100"]["wall_sec"] / rec["x10"]["wall_sec"], 2)
+        rec["ratio_x100_vs_x1"] = round(rec["x100"]["wall_sec"] / rec["x1"]["wall_sec"], 2)
+        out[name] = rec
+    print(json.dumps(out))
+    spark.stop()
 
 
 def stage_writes(spark) -> dict:
@@ -193,4 +275,15 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--x100",
+        default=None,
+        help="comma-list of flagship queries to run at x1/x10/x100 "
+        "(builds .scale100 for just their tables; skips the x10 suite)",
+    )
+    args = ap.parse_args()
+    if args.x100:
+        main_x100(args.x100.split(","))
+    else:
+        main()
