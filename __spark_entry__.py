@@ -1858,6 +1858,130 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("rank", "tok", "freq")
         )
 
+    def orders_woe_iv(spark, sf):
+        """Weight-of-Evidence / Information-Value readout
+        (`ext.calib.woe_iv_encode`): the credit-scoring categorical
+        encoding + feature-strength screen, over order priority vs the
+        'F' (fulfilled) outcome — the sibling of orders_target_encode
+        that reports log-odds separation instead of leave-fold-out
+        means. ONE map-side-combined (category, n, pos) aggregate is
+        persisted and feeds both the driver fit and the output join;
+        the only ln runs once in shared python (`ext.calib.woe_iv_fit`)
+        and re-enters BOTH engines as micro-nat literals (the
+        isotonic/BM25 driver-pinning treatment); iv_micro is exact
+        integer cross-multiplication against the already-quantized
+        woe. Zero-class categories raise (infinite WoE) rather than
+        clip."""
+        from mopso_engine.ext.calib import woe_iv_encode
+
+        orders = read_table(spark, sf, "orders").select(
+            "o_orderpriority",
+            (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+        )
+        return woe_iv_encode(orders, "o_orderpriority", "y")
+
+    def lineitem_benford(spark, sf):
+        """Benford leading-digit audit (`ext.pipeline.
+        benford_digit_audit`) over lineitem price cents — the
+        data-quality forensic screen: natural multi-decade magnitudes
+        follow P(d) = log10(1+1/d); a flat or spiked digit histogram
+        flags fabricated/truncated/unit-mixed feeds before they train
+        into a model. Leading digit = first char of the bigint string
+        (identical rendering both engines), ONE 9-row map-side-combined
+        aggregate, per-mille shares by exact cross-multiplication, the
+        expected table pinned at code-write time (`BENFORD_PM`, sums to
+        exactly 1000 — no runtime ln anywhere). Non-positive cents
+        raise in-plan in BOTH engines (guard parity)."""
+        from mopso_engine.ext.pipeline import benford_digit_audit
+
+        li = read_table(spark, sf, "lineitem").select(
+            F.expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").alias(
+                "cents"
+            )
+        )
+        return benford_digit_audit(li, "cents").orderBy("digit")
+
+    def docs_shard_manifest(spark, sf):
+        """Rendezvous-sharding manifest (`ext.pipeline.
+        rendezvous_shard`): every doc assigned to one of 16 shards by
+        highest-random-weight hashing — the stable-sharding primitive a
+        100 TB pipeline uses where `hash % N` would reshuffle nearly
+        everything on N → N+1 (HRW moves only ~1/(N+1) of keys, the
+        property the unit test pins). The argmax over (hash, shard)
+        structs is a zero-shuffle array_max expression; the manifest is
+        ONE 16-row aggregate with per-mille load balance by exact
+        cross-multiplication (1000 = perfectly even)."""
+        from mopso_engine.ext.pipeline import rendezvous_shard
+
+        docs = read_table(spark, sf, "documents")
+        sh = docs.select(
+            rendezvous_shard("doc_id", 16, salt="hrw0").alias("shard"), "n_chars"
+        )
+        agg = sh.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+        )
+        wtot = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        return (
+            agg.withColumn("_t", F.sum("n_docs").over(wtot))
+            .select(
+                "shard",
+                "n_docs",
+                "sum_chars",
+                F.expr("(2 * n_docs * 16000 + _t) div (2 * _t)").alias("load_pm"),
+            )
+        )
+
+    def docs_quality_qnorm(spark, sf):
+        """Cross-source quantile normalization (`ext.pipeline.
+        grouped_global_rank` — the rank family's GROUPED variant): each
+        doc's length score is mapped to the pooled corpus value at the
+        same within-source per-mille quantile, so heterogeneous sources
+        become score-comparable before mixing — the classic fix for
+        'source B's quality scores run hot'. A bare per-source
+        row_number would funnel each source through ONE task; the
+        grouped decomposition windows on (source, n_chars >> 8) and
+        broadcasts the per-group prefix offsets, so parallelism is
+        occupied-buckets-per-source at any scale. The pooled reference
+        reuses bucketed_global_rank; the lookup is one equi-join on the
+        integer target rank; the readout folds to (source, decile)
+        bounds. All-integer quantile arithmetic (cross-multiplied
+        per-mille, div-based target ranks)."""
+        from mopso_engine.ext.pipeline import (
+            bucketed_global_rank,
+            grouped_global_rank,
+        )
+
+        docs = read_table(spark, sf, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        s = grouped_global_rank(
+            docs, "source", "n_chars", tiebreak="doc_id", bucket_shift=8
+        ).withColumn("q_pm", F.expr("((group_rank - 1) * 1000) div n_group"))
+        p = bucketed_global_rank(
+            docs.select(
+                F.col("n_chars").alias("pooled_chars"), F.col("doc_id").alias("pid")
+            ),
+            "pooled_chars",
+            tiebreak="pid",
+            bucket_shift=8,
+        ).select("pooled_chars", "global_rank")
+        nt = docs.agg(F.count(F.lit(1)).alias("nt"))
+        q = s.crossJoin(F.broadcast(nt)).withColumn(
+            "tr", F.expr("(q_pm * (nt - 1)) div 1000 + 1")
+        )
+        j = q.join(p, q["tr"] == p["global_rank"]).select(
+            "source", "q_pm", F.col("pooled_chars").alias("qnorm_chars")
+        )
+        return j.groupBy(
+            "source", F.expr("CAST(q_pm div 100 AS INT)").alias("decile")
+        ).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("qnorm_chars").alias("lo_qnorm"),
+            F.max("qnorm_chars").alias("hi_qnorm"),
+        )
+
     def events_cms_topk(spark, sf):
         """Count-Min Sketch frequency audit (`ext.sketch.cms_build` /
         `cms_estimate`, Cormode & Muthukrishnan 2005): a 4×1024 counter
@@ -4384,12 +4508,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         active_custkeys_diff_all, events_pivot,
         # Window = 5 fits + 6 code-changed + 39 rotation = 50.
         # --- the 50-entry truncation lands exactly here ---
-        # next round's rotation slice starts here: status_cube onward —
-        # the pivot/rollup/quantile readouts, the asof/scd2 family and
-        # the remaining dedup tail, oldest-verified-first. Every name
-        # below carries a green row in ORACLE_SWEEP_r09.txt (and the
-        # r10 sweep re-records them), so nothing out-of-window lacks
-        # round-fresh verification.
+        # next round's rotation slice starts here: the four r10-NEW
+        # operators lead (verified by targeted check_oracle runs + the
+        # r10 sweep; they rotate into the window first next round),
+        # then status_cube onward — the pivot/rollup/quantile readouts,
+        # the asof/scd2 family and the remaining dedup tail,
+        # oldest-verified-first. Every name below carries a green row
+        # in ORACLE_SWEEP_r09.txt or ORACLE_SWEEP_r10.txt, so nothing
+        # out-of-window lacks round-fresh verification.
+        orders_woe_iv, lineitem_benford, docs_shard_manifest,
+        docs_quality_qnorm,
         status_cube,
         value_quantiles, user_stats, q6_forecast, sales_rollup, events_asof,
         dedup_jaccard_skewed_uncapped, dedup_jaccard, weighted_docs_sample,
@@ -6207,6 +6335,124 @@ def oracle_sql() -> dict[str, str]:
     """
     except Exception:
         pass
+
+    # orders_woe_iv: same driver-pinning movement as events_isotonic —
+    # the (category, n, pos) table is the identical aggregate in both
+    # engines; the ln runs ONCE in shared python (ext.calib.woe_iv_fit)
+    # on the DuckDB-computed table and is VALUES-injected as micro-nat
+    # literals. GUARDED: an unreadable orders.parquet omits the entry.
+    try:
+        from mopso_engine.ext.calib import woe_iv_fit as _wiv_fit
+
+        _wiv_src = os.path.join(
+            os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+            "orders.parquet",
+        )
+        if not os.path.exists(_wiv_src):
+            raise FileNotFoundError(_wiv_src)
+        import duckdb as _wiv_duck
+
+        _wiv_agg = """
+          SELECT o_orderpriority AS category, count(*)::BIGINT AS n,
+                 sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT
+                   AS pos
+          FROM {src} GROUP BY 1"""
+        _wiv_con = _wiv_duck.connect()
+        _wiv_rows = _wiv_con.execute(
+            _wiv_agg.format(src=f"read_parquet('{_wiv_src}')")
+        ).fetchall()
+        _wiv_con.close()
+        _wiv_map = _wiv_fit([(c, int(n), int(p)) for c, n, p in _wiv_rows])
+        _wiv_vals = ", ".join(
+            f"('{c}', {w}, {i})" for c, (w, i) in sorted(_wiv_map.items())
+        )
+        o["orders_woe_iv"] = f"""
+        WITH agg AS ({_wiv_agg.format(src="orders")}),
+        fit(category, woe_micro, iv_micro) AS (VALUES {_wiv_vals})
+        SELECT a.category, a.n, a.pos,
+               f.woe_micro::BIGINT AS woe_micro, f.iv_micro::BIGINT AS iv_micro
+        FROM agg a JOIN fit f USING (category)
+    """
+    except Exception:
+        pass
+
+    # lineitem_benford: leading digit = first char of the bigint string
+    # (identical rendering both engines); the expected table is the
+    # pinned BENFORD_PM constant; per-mille by exact cross-multiply.
+    # The guard subquery mirrors the Spark in-plan non-positive raise.
+    from mopso_engine.ext.pipeline import BENFORD_PM as _bf_pm
+
+    _bf_vals = ", ".join(f"({d}, {pm})" for d, pm in sorted(_bf_pm.items()))
+    o["lineitem_benford"] = f"""
+        WITH cents AS (
+          SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+          FROM lineitem),
+        agg AS (
+          SELECT substr(c::VARCHAR, 1, 1)::INT AS digit, count(*)::BIGINT AS n
+          FROM cents GROUP BY 1),
+        expd(digit, exp_pm) AS (VALUES {_bf_vals}),
+        t AS (SELECT digit, n, (SELECT sum(n) FROM agg) AS total FROM agg)
+        SELECT t.digit, t.n,
+               ((2 * t.n * 1000 + t.total) // (2 * t.total))::BIGINT AS obs_pm,
+               e.exp_pm::BIGINT AS exp_pm,
+               (((2 * t.n * 1000 + t.total) // (2 * t.total))
+                - e.exp_pm)::BIGINT AS dev_pm
+        FROM t JOIN expd e USING (digit)
+        WHERE (SELECT max(CASE WHEN c <= 0 THEN error(
+                 'lineitem_benford oracle: non-positive cents — mirrors the '
+                 'Spark in-plan guard') ELSE 0 END) FROM cents) = 0
+    """
+
+    # docs_shard_manifest: the HRW argmax replays as an unnest + one
+    # (doc) window; md5-slice arithmetic is the house integer hash.
+    o["docs_shard_manifest"] = """
+        WITH h AS (
+          SELECT doc_id, n_chars, s.range AS s,
+                 ('0x' || substr(md5(doc_id::VARCHAR || '#hrw0#'
+                                     || s.range::VARCHAR), 1, 8))::BIGINT AS hv
+          FROM documents CROSS JOIN range(0, 16) s),
+        pick AS (
+          SELECT doc_id, n_chars, s,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY hv DESC, s DESC) AS rn
+          FROM h),
+        agg AS (
+          SELECT s::INT AS shard, count(*)::BIGINT AS n_docs,
+                 sum(n_chars)::BIGINT AS sum_chars
+          FROM pick WHERE rn = 1 GROUP BY 1)
+        SELECT shard, n_docs, sum_chars,
+               ((2 * n_docs * 16000 + (SELECT sum(n_docs) FROM agg))
+                // (2 * (SELECT sum(n_docs) FROM agg)))::BIGINT AS load_pm
+        FROM agg
+    """
+
+    # docs_quality_qnorm: the grouped/global rank decompositions replay
+    # as plain window row_numbers (DuckDB is single-node); the quantile
+    # and target-rank arithmetic is the same integer div chain.
+    o["docs_quality_qnorm"] = """
+        WITH s AS (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS r,
+                 count(*) OVER (PARTITION BY source) AS ng
+          FROM documents),
+        p AS (
+          SELECT n_chars AS pooled_chars,
+                 row_number() OVER (ORDER BY n_chars, doc_id) AS gr
+          FROM documents),
+        nt AS (SELECT count(*)::BIGINT AS nt FROM documents),
+        q AS (
+          SELECT s.source, ((s.r - 1) * 1000) // s.ng AS q_pm,
+                 ((((s.r - 1) * 1000) // s.ng) * (nt.nt - 1)) // 1000 + 1 AS tr
+          FROM s, nt),
+        j AS (
+          SELECT q.source, q.q_pm, p.pooled_chars AS qnorm_chars
+          FROM q JOIN p ON p.gr = q.tr)
+        SELECT source, (q_pm // 100)::INT AS decile, count(*)::BIGINT AS n_docs,
+               min(qnorm_chars)::BIGINT AS lo_qnorm,
+               max(qnorm_chars)::BIGINT AS hi_qnorm
+        FROM j GROUP BY 1, 2
+    """
 
     # prox_search: pure integer window arithmetic — the running per-term
     # max frames and the min fold replay verbatim (the pinned query set

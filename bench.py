@@ -199,6 +199,14 @@ BENCH_QUERIES = [
     # surface sits inside the >2× auto-retry adjudication net
     "orders_pareto_share",
     "vocab_zipf",
+    # round-10: WoE/IV encoding (driver-pinned ln literals), Benford
+    # digit audit (pinned constants, one 9-row agg), rendezvous-shard
+    # manifest (zero-shuffle HRW argmax), cross-source quantile
+    # normalization (the rank family's grouped variant)
+    "orders_woe_iv",
+    "lineitem_benford",
+    "docs_shard_manifest",
+    "docs_quality_qnorm",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -345,6 +353,10 @@ ANCHOR_R08 = {
     # r10-born bench entries (the r9 past-cutoff pair), measured warm at
     # sf0.1 on a settled host (1.39s / 0.49s; cold first-run 6.3s/0.9s)
     "orders_pareto_share": 2.0, "vocab_zipf": 0.8,
+    # r10-new operators, measured at sf0.1 (cold/warm: 4.1/1.0, 1.5/1.0,
+    # 1.0/0.7, 2.3/1.4)
+    "orders_woe_iv": 1.5, "lineitem_benford": 1.2,
+    "docs_shard_manifest": 1.0, "docs_quality_qnorm": 1.8,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

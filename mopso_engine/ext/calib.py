@@ -88,6 +88,93 @@ def pava_fit(rows: list[tuple[int, int, int]]) -> dict[int, int]:
     return out
 
 
+def woe_iv_fit(rows: list[tuple[object, int, int]]) -> dict[object, tuple[int, int]]:
+    """Weight-of-Evidence / Information-Value fit in the driver-pinned
+    style of :func:`pava_fit` — the categorical-encoding readout credit
+    scoring and feature selection run before model training.
+
+    ``rows``: (category, n, positives) — categories distinct, n >= 1,
+    0 <= positives <= n. Returns {category: (woe_micro, iv_micro)}:
+
+    * ``woe = ln(dist_pos / dist_neg)`` where dist_pos = p/P and
+      dist_neg = (n−p)/N over the fitted totals — computed ONCE here
+      (the only ln anywhere; both engines receive the result as
+      literals, so no libm ever has to agree cross-engine) and
+      quantized to micro-nats with floor(x·1e6 + 0.5).
+    * ``iv_micro`` = the category's IV contribution
+      (dist_pos − dist_neg)·woe, derived from the ALREADY-quantized
+      woe_micro in exact integer arithmetic:
+      round_half_up((p·N − (n−p)·P)·woe_micro / (P·N)) via the house
+      (2a + b) div 2b fold — so iv is a pure function of integers and
+      bit-stable wherever woe_micro is.
+
+    A category with zero positives or zero negatives has infinite WoE —
+    that's a data problem (apply smoothing upstream), so it raises
+    rather than silently clipping.
+    """
+    import math
+
+    seen = set()
+    for c, n, p in rows:
+        if c in seen:
+            raise ValueError(f"woe_iv_fit: duplicate category {c!r}")
+        seen.add(c)
+        if n < 1 or p < 0 or p > n:
+            raise ValueError(f"woe_iv_fit: bad row ({c!r}, {n}, {p})")
+    P = sum(p for _, _, p in rows)
+    N = sum(n - p for _, n, p in rows)
+    if P == 0 or N == 0:
+        raise ValueError("woe_iv_fit: corpus has a single class")
+    out: dict[object, tuple[int, int]] = {}
+    for c, n, p in rows:
+        q = n - p
+        if p == 0 or q == 0:
+            raise ValueError(
+                f"woe_iv_fit: category {c!r} has a zero class (p={p}, neg={q}) "
+                "— infinite WoE; smooth upstream"
+            )
+        woe_micro = math.floor(math.log((p * N) / (q * P)) * _UNIT + 0.5)
+        num = (p * N - q * P) * woe_micro
+        den = P * N
+        iv_micro = (2 * num + den) // (2 * den)
+        out[c] = (woe_micro, iv_micro)
+    return out
+
+
+def woe_iv_encode(
+    df: DataFrame,
+    category_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Distributed category aggregation + driver-side WoE/IV fit +
+    literal re-join — the same movement as :func:`isotonic_calibrate`:
+    ONE map-side-combined (category, n, positives) aggregate is
+    persisted and feeds BOTH the collect (bounded by category
+    cardinality) and the output join; the ln runs once in
+    :func:`woe_iv_fit` and re-enters both engines as literals. Returns
+    one row per category: (category, n, pos, woe_micro, iv_micro).
+    """
+    agg = (
+        df.groupBy(F.col(category_col).alias("category"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(label_col).cast("long")).alias("pos"),
+        )
+        .persist()
+    )
+    _CALIB_CACHES.append(agg)
+    rows = [(r["category"], int(r["n"]), int(r["pos"])) for r in agg.collect()]
+    fit = woe_iv_fit(rows)
+    spark = df.sparkSession
+    lit = spark.createDataFrame(
+        sorted((c, w, i) for c, (w, i) in fit.items()),
+        "category string, woe_micro long, iv_micro long",
+    )
+    return agg.join(F.broadcast(lit), "category").select(
+        "category", "n", "pos", "woe_micro", "iv_micro"
+    )
+
+
 def isotonic_calibrate(
     df: DataFrame,
     bucket_col: str,

@@ -1726,6 +1726,178 @@ def bucketed_global_rank(
     )
 
 
+#: Benford expected leading-digit per-mille shares — floor(log10(1+1/d)
+#: ·1000 + 0.5) for d = 1..9, pinned at code-write time (data-independent
+#: constants; no runtime ln in either engine). They sum to exactly 1000.
+BENFORD_PM = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 9: 46}
+
+
+def benford_digit_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford leading-digit data-quality audit over a POSITIVE integer
+    column — the forensic screen for fabricated/truncated/unit-mixed
+    numeric feeds: natural multi-decade magnitudes follow
+    P(d) = log10(1+1/d); flat or spiked digit histograms flag upstream
+    corruption before it trains into a model.
+
+    Movement: the leading digit is pure string arithmetic on the integer
+    (both engines render bigint-to-string identically), so the audit is
+    ONE map-side-combined 9-row aggregate; per-mille shares are exact
+    cross-multiplied integers against the window total and the expected
+    table is the pinned :data:`BENFORD_PM` constant. Non-positive values
+    raise in-plan (their leading digit is undefined) — a corrupted feed
+    fails loudly, which is the operator's whole job.
+
+    Returns (digit, n, obs_pm, exp_pm, dev_pm) — 9 rows, dev in signed
+    per-mille.
+    """
+    checked = (
+        F.when(
+            F.col(value_col).isNull() | (F.col(value_col) <= 0),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"benford_digit_audit: non-positive {value_col}="),
+                    F.col(value_col).cast("string"),
+                )
+            ),
+        )
+        .otherwise(F.col(value_col).cast("long"))
+    )
+    agg = (
+        df.select(F.substring(checked.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    exp = spark.createDataFrame(
+        sorted(BENFORD_PM.items()), "digit int, exp_pm long"
+    )
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        agg.withColumn("_total", F.sum("n").over(wtot))
+        .join(F.broadcast(exp), "digit")
+        .select(
+            "digit",
+            "n",
+            F.expr("(2 * n * 1000 + _total) div (2 * _total)").alias("obs_pm"),
+            "exp_pm",
+            (
+                F.expr("(2 * n * 1000 + _total) div (2 * _total)") - F.col("exp_pm")
+            ).alias("dev_pm"),
+        )
+    )
+
+
+def rendezvous_shard(key: Column | str, n_shards: int, *, salt: str = "hrw0") -> Column:
+    """Rendezvous (highest-random-weight) shard assignment as a PURE
+    expression — the stable-sharding primitive a 100 TB pipeline uses
+    where plain ``hash(key) % N`` would reshuffle ~everything when N
+    changes: under HRW, growing N → N+1 moves only ~1/(N+1) of keys
+    (each key moves iff the NEW shard wins its argmax), because every
+    existing shard's weight is untouched.
+
+    shard(key) = argmax over s ∈ [0, N) of md5-slice(key ∥ salt ∥ s),
+    ties (impossible in practice, pinned anyway) broken toward the
+    larger s — rendered as ``array_max`` over a transform'd sequence of
+    (hash, s) structs, so the assignment is zero-shuffle map-side work
+    in both engines (the oracle replays it as an unnest + window).
+    """
+    if n_shards < 1:
+        raise ValueError(f"rendezvous_shard: n_shards must be >= 1, got {n_shards}")
+    k = F.col(key) if isinstance(key, str) else key
+    return F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(int(n_shards) - 1)),
+            lambda s: F.struct(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("#", k.cast("string"), F.lit(salt), s.cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("h"),
+                s.alias("s"),
+            ),
+        )
+    )["s"]
+
+
+def grouped_global_rank(
+    df: DataFrame,
+    group: str,
+    key: str,
+    *,
+    tiebreak: str,
+    bucket_shift: int = 16,
+    rank_col: str = "group_rank",
+    n_col: str = "n_group",
+) -> DataFrame:
+    """Exact PER-GROUP row-number without per-group single-partition
+    sorts — :func:`bucketed_global_rank` generalized to a group key: a
+    bare ``row_number() OVER (PARTITION BY group ORDER BY key)``
+    funnels each group through ONE task, so a 5-source corpus uses 5
+    cores no matter the cluster; here the window partitions by
+    (group, key >> bucket_shift) — parallelism is occupied buckets PER
+    GROUP — and the cross-bucket prefix offsets come from the tiny
+    per-group head table (local rank == 1 rows), broadcast back.
+    ``group_rank = offset + local_rank`` equals the plain per-group
+    row-number over (key asc, tiebreak asc) exactly.
+
+    Same contracts as the global variant: value-derived deterministic
+    buckets (never sampled boundaries), non-negative non-null keys
+    raise in-plan, ``n_col`` rides along so per-group quantile cuts are
+    pure integer arithmetic downstream.
+    """
+    if bucket_shift < 0:
+        raise ValueError(f"bucket_shift must be >= 0, got {bucket_shift}")
+    reserved = {rank_col, n_col, "_gg_bucket", "_gg_lrank", "_gg_bn", "_gg_off"}
+    if bad := reserved.intersection(df.columns):
+        raise ValueError(f"input columns collide with outputs: {sorted(bad)}")
+    checked = (
+        F.when(
+            F.col(key).isNull() | (F.col(key) < 0),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"grouped_global_rank: NULL or negative key {key}="),
+                    F.col(key).cast("string"),
+                )
+            ),
+        )
+        .otherwise(F.col(key).cast("long"))
+    )
+    b = df.withColumn("_gg_bucket", F.shiftrightunsigned(checked, int(bucket_shift)))
+    wloc = Window.partitionBy(group, "_gg_bucket").orderBy(
+        F.col(key).asc(), F.col(tiebreak).asc()
+    )
+    s1 = b.withColumn("_gg_lrank", F.row_number().over(wloc)).withColumn(
+        "_gg_bn", F.count(F.lit(1)).over(Window.partitionBy(group, "_gg_bucket"))
+    )
+    heads = s1.where(F.col("_gg_lrank") == 1).select(group, "_gg_bucket", "_gg_bn")
+    woff = Window.partitionBy(group).orderBy("_gg_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = heads.select(
+        group,
+        "_gg_bucket",
+        F.coalesce(F.sum("_gg_bn").over(woff), F.lit(0)).alias("_gg_off"),
+        F.sum("_gg_bn")
+        .over(
+            Window.partitionBy(group).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias(n_col),
+    )
+    return (
+        s1.join(F.broadcast(offs), [group, "_gg_bucket"])
+        .withColumn(rank_col, F.col("_gg_off") + F.col("_gg_lrank"))
+        .drop("_gg_bucket", "_gg_lrank", "_gg_bn", "_gg_off")
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -105,3 +105,76 @@ class TestIsotonicCalibrate:
         iso = [v[3] for _, v in sorted(out.items())]
         assert iso == sorted(iso)  # the monotone contract
         clear_calib_caches()
+
+
+class TestWoeIv:
+    def test_fit_matches_fraction_replay(self):
+        """woe_micro vs an independent Fraction/math replay; iv from the
+        quantized woe by exact rational round-half-up."""
+        import math
+        import random
+
+        from mopso_engine.ext.calib import woe_iv_fit
+
+        random.seed(23)
+        for _ in range(30):
+            cats = random.randint(2, 8)
+            rows = []
+            for c in range(cats):
+                n = random.randint(2, 500)
+                p = random.randint(1, n - 1)  # both classes present
+                rows.append((f"c{c}", n, p))
+            got = woe_iv_fit(rows)
+            P = sum(p for _, _, p in rows)
+            N = sum(n - p for _, n, p in rows)
+            for c, n, p in rows:
+                q = n - p
+                woe = math.floor(math.log((p * N) / (q * P)) * 1_000_000 + 0.5)
+                num = (p * N - q * P) * woe
+                den = P * N
+                iv = (2 * num + den) // (2 * den)
+                assert got[c] == (woe, iv), (c, n, p)
+            # IV contribution signs: a category with dist_pos > dist_neg
+            # has positive woe AND positive iv (both factors flip
+            # together), so iv >= 0 up to the one-microunit quantization
+            for c, n, p in rows:
+                assert got[c][1] >= -1
+
+    def test_fit_guards(self):
+        from mopso_engine.ext.calib import woe_iv_fit
+
+        with pytest.raises(ValueError, match="duplicate"):
+            woe_iv_fit([("a", 5, 1), ("a", 5, 2)])
+        with pytest.raises(ValueError, match="zero class"):
+            woe_iv_fit([("a", 5, 0), ("b", 5, 2)])
+        with pytest.raises(ValueError, match="zero class"):
+            woe_iv_fit([("a", 5, 5), ("b", 5, 2)])
+        with pytest.raises(ValueError, match="bad row"):
+            woe_iv_fit([("a", 0, 0)])
+
+    def test_encode_matches_python_replay(self, spark):
+        """The distributed aggregate + literal join equals a from-scratch
+        Counter replay through the same shared fit."""
+        import random
+        from collections import Counter
+
+        from mopso_engine.ext.calib import woe_iv_encode, woe_iv_fit
+
+        random.seed(31)
+        rows = [
+            (random.choice("abcd"), 1 if random.random() < 0.3 else 0)
+            for _ in range(2000)
+        ]
+        # ensure both classes per category for the fixture
+        rows += [(c, 0) for c in "abcd"] + [(c, 1) for c in "abcd"]
+        df = spark.createDataFrame(rows, "cat string, y int")
+        out = {
+            r["category"]: (r["n"], r["pos"], r["woe_micro"], r["iv_micro"])
+            for r in woe_iv_encode(df, "cat", "y").collect()
+        }
+        n = Counter(c for c, _ in rows)
+        p = Counter(c for c, y in rows if y)
+        fit = woe_iv_fit([(c, n[c], p[c]) for c in n])
+        want = {c: (n[c], p[c], fit[c][0], fit[c][1]) for c in n}
+        assert out == want
+        clear_calib_caches()

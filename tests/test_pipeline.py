@@ -1848,3 +1848,116 @@ def test_pareto_share_and_zipf_replay(spark):
     )
     shares = [s for _, s in rows]
     assert shares == sorted(shares) and sum(shares) <= 1000
+
+
+class TestBenfordAudit:
+    def test_matches_python_replay_and_pinned_table(self, spark):
+        """Replay: leading-digit counts via str() in python; the pinned
+        expected table must match a fresh log10 computation and sum to
+        exactly 1000."""
+        import math
+        import random
+        from collections import Counter
+
+        from mopso_engine.ext.pipeline import BENFORD_PM, benford_digit_audit
+
+        assert sum(BENFORD_PM.values()) == 1000
+        for d in range(1, 10):
+            assert BENFORD_PM[d] == math.floor(math.log10(1 + 1 / d) * 1000 + 0.5)
+
+        random.seed(7)
+        # multi-decade magnitudes (Benford-ish) + some uniform pollution
+        vals = [int(math.exp(random.uniform(0, 12))) + 1 for _ in range(3000)]
+        vals += [random.randint(40000, 49999) for _ in range(500)]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        out = {r["digit"]: (r["n"], r["obs_pm"], r["exp_pm"], r["dev_pm"])
+               for r in benford_digit_audit(df, "v").collect()}
+        cnt = Counter(int(str(v)[0]) for v in vals)
+        total = len(vals)
+        for d, n in cnt.items():
+            obs = (2 * n * 1000 + total) // (2 * total)
+            assert out[d] == (n, obs, BENFORD_PM[d], obs - BENFORD_PM[d])
+        # the planted 4xxxx pollution must spike digit 4's deviation
+        assert out[4][3] > 50
+
+    def test_guard(self, spark):
+        from mopso_engine.ext.pipeline import benford_digit_audit
+
+        df = spark.createDataFrame([(5,), (0,)], "v long")
+        with pytest.raises(Exception) as ei:
+            benford_digit_audit(df, "v").collect()
+        assert "non-positive" in str(ei.value)
+
+
+class TestRendezvousShard:
+    def test_matches_python_replay(self, spark):
+        """The array_max expression equals a from-scratch python HRW
+        (md5-slice argmax with (hash, shard) tie order)."""
+        import hashlib
+
+        from mopso_engine.ext.pipeline import rendezvous_shard
+
+        keys = list(range(500))
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        got = {
+            r["k"]: r["shard"]
+            for r in df.select("k", rendezvous_shard("k", 16, salt="t0").alias("shard")).collect()
+        }
+
+        def hrw(k):
+            best = max(
+                (int(hashlib.md5(f"{k}#t0#{s}".encode()).hexdigest()[:8], 16), s)
+                for s in range(16)
+            )
+            return best[1]
+
+        assert got == {k: hrw(k) for k in keys}
+
+    def test_minimal_movement_on_grow(self, spark):
+        """THE HRW property: growing 16 -> 17 shards moves only the keys
+        the NEW shard wins — ~1/17 of them — where hash%N moves ~16/17."""
+        from mopso_engine.ext.pipeline import rendezvous_shard
+
+        df = spark.createDataFrame([(k,) for k in range(2000)], "k long")
+        a = df.select("k", rendezvous_shard("k", 16, salt="t0").alias("s16"))
+        b = df.select("k", rendezvous_shard("k", 17, salt="t0").alias("s17"))
+        j = a.join(b, "k")
+        moved = j.where(F.col("s16") != F.col("s17")).count()
+        # expectation 2000/17 = 118; generous band, far below %N's ~1880
+        assert moved < 300, moved
+        # every moved key moved TO the new shard (17th, index 16)
+        assert j.where(
+            (F.col("s16") != F.col("s17")) & (F.col("s17") != 16)
+        ).count() == 0
+
+
+class TestGroupedGlobalRank:
+    def test_equals_plain_window_and_guards(self, spark):
+        import random
+
+        from pyspark.sql.window import Window as W
+
+        from mopso_engine.ext.pipeline import grouped_global_rank
+
+        random.seed(13)
+        rows = [
+            (i, random.choice("xyz"), random.randint(0, 4000))
+            for i in range(4000)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        got = grouped_global_rank(df, "g", "v", tiebreak="id", bucket_shift=8)
+        w = W.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+        want = df.withColumn("plain", F.row_number().over(w)).withColumn(
+            "ng", F.count(F.lit(1)).over(W.partitionBy("g"))
+        )
+        j = got.join(want, ["id", "g", "v"])
+        assert j.where(F.col("group_rank") != F.col("plain")).count() == 0
+        assert j.where(F.col("n_group") != F.col("ng")).count() == 0
+        # guards: negative key raises in-plan; column collision raises
+        neg = spark.createDataFrame([(1, "x", -3)], "id long, g string, v long")
+        with pytest.raises(Exception) as ei:
+            grouped_global_rank(neg, "g", "v", tiebreak="id").collect()
+        assert "negative" in str(ei.value)
+        bad = df.withColumn("group_rank", F.lit(1))
+        with pytest.raises(ValueError, match="collide"):
+            grouped_global_rank(bad, "g", "v", tiebreak="id")

@@ -661,6 +661,35 @@ COMMENTS = {
     "bit-length of the gap (length(bin(n)) in both engines — no "
     "float log2 boundary drift) with bit-shift [lo, hi] ranges; the "
     "fold is map-side combined into ~16 buckets.",
+    "orders_woe_iv": "WoE/IV categorical encoding (r10): ONE "
+    "map-side-combined (category, n, pos) HashAggregate is persisted "
+    "and feeds BOTH the bounded driver collect and the output join; "
+    "the only ln runs once in shared python (ext.calib.woe_iv_fit) and "
+    "re-enters the plan as a BroadcastHashJoin'd micro-nat literal "
+    "table (the isotonic/BM25 driver-pinning treatment); iv is exact "
+    "integer cross-multiplication against the quantized woe, so "
+    "neither engine computes a division the other must match.",
+    "lineitem_benford": "Benford leading-digit audit (r10): the digit "
+    "is pure string arithmetic on the integer cents (map-only, inside "
+    "codegen), so the whole audit is ONE 9-row map-side-combined "
+    "HashAggregate; per-mille shares are cross-multiplied integers "
+    "against the window total and the expected table is the pinned "
+    "BENFORD_PM constant riding a tiny broadcast — no runtime log10 "
+    "anywhere; non-positive values raise in-plan in both engines.",
+    "docs_shard_manifest": "Rendezvous (HRW) shard manifest (r10): "
+    "the per-doc argmax over (md5-slice hash, shard) structs is a "
+    "ZERO-shuffle array_max expression (16 hashes per row, map-side), "
+    "so the only exchange is the 16-row shard aggregate; load balance "
+    "is exact cross-multiplied per-mille. The HRW property — growing "
+    "N moves only ~1/(N+1) of keys — is pinned by the unit test.",
+    "docs_quality_qnorm": "Cross-source quantile normalization (r10): "
+    "the GROUPED rank decomposition (grouped_global_rank) windows on "
+    "(source, n_chars >> 8) instead of funneling each source through "
+    "one task, with per-group prefix offsets broadcast back; the "
+    "pooled reference reuses bucketed_global_rank; the qnorm lookup is "
+    "one equi-join on the integer target rank and the readout folds "
+    "to (source, decile) bounds — every quantile is integer div "
+    "arithmetic, no percentile sketches.",
     "orders_pareto_share": "Revenue concentration: the exact customer "
     "revenue rank comes from the bucketed decomposition (its third "
     "consumer — never a single-partition sort); quintile fold is "
