@@ -1982,6 +1982,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.max("qnorm_chars").alias("hi_qnorm"),
         )
 
+    def events_type_quantiles(spark, sf):
+        """EXACT per-type P50/P90/P99 value table — the latency-style
+        percentile readout, and `grouped_global_rank`'s second
+        consumer: a bare per-type percentile window funnels each event
+        type through ONE task at scale; the grouped decomposition
+        windows on (type, cents >> 8) with broadcast per-group offsets.
+        Quantile = the value at integer target rank
+        (q_pm·(n−1)) div 1000 + 1 over the exact (cents, event_id)
+        order — never an engine percentile function (the repo-wide
+        rule); the 3-row quantile grid rides a broadcast."""
+        from mopso_engine.ext.pipeline import grouped_global_rank
+
+        ev = read_table(spark, sf, "events").select(
+            "event_type",
+            F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+            "event_id",
+        )
+        r = grouped_global_rank(
+            ev, "event_type", "cents", tiebreak="event_id", bucket_shift=8
+        )
+        qt = spark.createDataFrame([(500,), (900,), (990,)], "q_pm int")
+        return (
+            r.crossJoin(F.broadcast(qt))
+            .where(
+                F.col("group_rank")
+                == F.expr("q_pm * (n_group - 1) div 1000 + 1")
+            )
+            .select(
+                "event_type", "q_pm", F.col("cents").alias("q_cents"), "n_group"
+            )
+        )
+
+    def docs_containment(spark, sf):
+        """Asymmetric shingle containment dedup (`ext.dedup.
+        containment_pairs`): pairs where the SMALLER shingle set is
+        ≥80% inside the larger — the quote/boilerplate-wrapper/
+        truncated-recrawl screen symmetric Jaccard dilutes toward
+        |small|/|big| and misses. Same inverted-index join as the
+        jaccard family (shingle equality prunes N²); score and
+        threshold are exact integers (cross-multiplied per-mille,
+        house round-half-up cont_pm) — no float boundary."""
+        from mopso_engine.ext.dedup import containment_pairs
+
+        docs = read_table(spark, sf, "documents")
+        return containment_pairs(docs, k=3, threshold_pm=800)
+
+    def customer_fs_match(spark, sf):
+        """Fellegi–Sunter record-linkage scoring (`ext.dedup.
+        fellegi_sunter_scores`, F-S 1969) over the SymSpell-blocked
+        candidate pairs: edit≤1 name pairs re-scored by field-agreement
+        log-likelihood weights (nation / market segment / account-
+        balance thousand-band)
+        in pinned integer centi-nats (`FS_WEIGHTS_CENTI` — the lns were
+        taken at code-write time, the BENFORD_PM treatment) and banded
+        link/possible/nonlink by pinned thresholds. The blocking join
+        is the proven edit1 neighborhood; scoring adds two keyed
+        attribute joins and one map-side expression; output = the
+        top-50 by the total (score desc, names) order."""
+        from mopso_engine.ext.dedup import edit1_pairs, fellegi_sunter_scores
+
+        cust = read_table(spark, sf, "customer")
+        pairs = edit1_pairs(cust.select("c_name"), "c_name")
+        recs = cust.select(
+            "c_name",
+            F.col("c_nationkey").cast("string").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").alias("bal_band"),
+        )
+        sc = fellegi_sunter_scores(
+            pairs, recs, "c_name", ["nation", "segment", "bal_band"]
+        )
+        w = Window.orderBy(
+            F.desc("score_centi"), F.asc("name_a"), F.asc("name_b")
+        )
+        return (
+            sc.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 50)
+            .select("name_a", "name_b", "score_centi", "band")
+        )
+
     def events_cms_topk(spark, sf):
         """Count-Min Sketch frequency audit (`ext.sketch.cms_build` /
         `cms_estimate`, Cormode & Muthukrishnan 2005): a 4×1024 counter
@@ -4517,7 +4597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in ORACLE_SWEEP_r09.txt or ORACLE_SWEEP_r10.txt, so nothing
         # out-of-window lacks round-fresh verification.
         orders_woe_iv, lineitem_benford, docs_shard_manifest,
-        docs_quality_qnorm,
+        docs_quality_qnorm, events_type_quantiles, docs_containment,
+        customer_fs_match,
         status_cube,
         value_quantiles, user_stats, q6_forecast, sales_rollup, events_asof,
         dedup_jaccard_skewed_uncapped, dedup_jaccard, weighted_docs_sample,
@@ -6452,6 +6533,83 @@ def oracle_sql() -> dict[str, str]:
                min(qnorm_chars)::BIGINT AS lo_qnorm,
                max(qnorm_chars)::BIGINT AS hi_qnorm
         FROM j GROUP BY 1, 2
+    """
+
+    # events_type_quantiles: plain per-type window row_number (DuckDB is
+    # single-node); identical integer target-rank arithmetic.
+    o["events_type_quantiles"] = """
+        WITH r AS (
+          SELECT event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(floor(value * 100.0 + 0.5) AS BIGINT),
+                            event_id) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS ng
+          FROM events),
+        q(q_pm) AS (VALUES (500), (900), (990))
+        SELECT event_type, q_pm, cents AS q_cents, ng::BIGINT AS n_group
+        FROM r CROSS JOIN q
+        WHERE rk = (q_pm * (ng - 1)) // 1000 + 1
+    """
+
+    # docs_containment: same shingle CTE as the jaccard family; the
+    # score and threshold are exact integer cross-multiplication.
+    o["docs_containment"] = f"""
+        WITH {_sh},
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_inter,
+               least(sa.n, sb.n)::BIGINT AS n_small,
+               ((2 * n_inter * 1000 + least(sa.n, sb.n))
+                // (2 * least(sa.n, sb.n)))::BIGINT AS cont_pm
+        FROM inter JOIN sz sa ON sa.doc_id = doc_a
+                    JOIN sz sb ON sb.doc_id = doc_b
+        WHERE 1000 * n_inter >= 800 * least(sa.n, sb.n)
+    """
+
+    # customer_fs_match: the names_edit1 neighborhood replay + two
+    # attribute joins + the pinned centi-nat agreement sums (constants
+    # rendered from ext.dedup.FS_WEIGHTS_CENTI so the engines can never
+    # drift) + the same total-order top-50.
+    from mopso_engine.ext.dedup import FS_THRESHOLDS_CENTI as _fs_t
+    from mopso_engine.ext.dedup import FS_WEIGHTS_CENTI as _fs_w
+
+    _fs_case = " + ".join(
+        f"CASE WHEN ra.{f} = rb.{f} THEN {_fs_w[f][0]} ELSE {_fs_w[f][1]} END"
+        for f in ("nation", "segment", "bal_band")
+    )
+    o["customer_fs_match"] = f"""
+        WITH names AS (
+          SELECT DISTINCT c_name AS w FROM customer WHERE c_name IS NOT NULL),
+        dels AS (
+          SELECT w, substr(w, 1, i - 1) || substr(w, i + 1) AS v
+          FROM names CROSS JOIN range(1, 65) t(i) WHERE i <= len(w)
+          UNION
+          SELECT w, w FROM names),
+        cand AS (
+          SELECT DISTINCT a.w AS name_a, b.w AS name_b
+          FROM dels a JOIN dels b ON a.v = b.v AND a.w < b.w),
+        prs AS (SELECT name_a, name_b FROM cand
+                WHERE levenshtein(name_a, name_b) <= 1),
+        att AS (SELECT c_name, c_nationkey::VARCHAR AS nation,
+                       c_mktsegment AS segment,
+                       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+                FROM customer),
+        sc AS (
+          SELECT p.name_a, p.name_b, ({_fs_case})::BIGINT AS score_centi
+          FROM prs p JOIN att ra ON ra.c_name = p.name_a
+                     JOIN att rb ON rb.c_name = p.name_b)
+        SELECT name_a, name_b, score_centi,
+               CASE WHEN score_centi >= {_fs_t[0]} THEN 'link'
+                    WHEN score_centi >= {_fs_t[1]} THEN 'possible'
+                    ELSE 'nonlink' END AS band
+        FROM (SELECT sc.*, row_number() OVER (
+                ORDER BY score_centi DESC, name_a, name_b) AS rn FROM sc) t
+        WHERE rn <= 50
     """
 
     # prox_search: pure integer window arithmetic — the running per-term

@@ -207,6 +207,11 @@ BENCH_QUERIES = [
     "lineitem_benford",
     "docs_shard_manifest",
     "docs_quality_qnorm",
+    # round-10: per-type exact quantiles (grouped rank consumer #2),
+    # asymmetric containment dedup, Fellegi-Sunter linkage scoring
+    "events_type_quantiles",
+    "docs_containment",
+    "customer_fs_match",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -357,6 +362,9 @@ ANCHOR_R08 = {
     # 1.0/0.7, 2.3/1.4)
     "orders_woe_iv": 1.5, "lineitem_benford": 1.2,
     "docs_shard_manifest": 1.0, "docs_quality_qnorm": 1.8,
+    # second r10 batch (cold/warm: 6.0/1.5, 5.7/2.0, 6.0/4.7)
+    "events_type_quantiles": 2.5, "docs_containment": 3.0,
+    "customer_fs_match": 5.0,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

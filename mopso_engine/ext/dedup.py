@@ -1448,3 +1448,138 @@ def edit1_pairs(
         .distinct()
     )
     return cand.where(F.levenshtein("name_a", "name_b") <= 1)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold_pm: int = 800,
+    *,
+    max_shingle_df: int | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT — |∩| / min(|A|, |B|) — the
+    subset-detection member of the dedup family: a short doc quoted or
+    embedded inside a long one scores near 1000 per-mille here while
+    symmetric Jaccard (|∩|/|∪|) dilutes it toward |small|/|big| and the
+    pair slips every Jaccard threshold. The standard screen for quote
+    farms, boilerplate wrappers and prefix-truncated re-crawls.
+
+    Same inverted-index movement as :func:`jaccard_pairs` (shingle
+    equality join prunes N² to co-shingled pairs; ``max_shingle_df`` is
+    the identical broadcast stop-shingle lever), but the score and the
+    threshold are EXACT integers: keep ⟺ 1000·|∩| ≥ threshold_pm·min
+    (cross-multiplied, no float boundary), and ``cont_pm`` is the house
+    round-half-up per-mille. Returns (doc_a, doc_b, n_inter, n_small,
+    cont_pm) with doc_a < doc_b.
+    """
+    sh = shingles if shingles is not None else word_shingles(docs, k)
+    join_side = sh
+    if max_shingle_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        stop_shingles = df_counts.where(F.col("df") > max_shingle_df).select("shingle")
+        join_side = sh.join(F.broadcast(stop_shingles), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = join_side.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = join_side.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.lit(1000) * F.col("n_inter")
+            >= F.lit(int(threshold_pm)) * F.least("n_a", "n_b")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.least("n_a", "n_b").alias("n_small"),
+            F.expr(
+                "(2 * n_inter * 1000 + least(n_a, n_b)) div (2 * least(n_a, n_b))"
+            ).alias("cont_pm"),
+        )
+    )
+
+
+#: Fellegi–Sunter agreement weights in CENTI-NATS, pinned at code-write
+#: time (data-independent linkage configuration, the BENFORD_PM
+#: treatment — no runtime ln in either engine). Derivation, from the
+#: classic (m, u) per field: w_agree = ln(m/u), w_disagree =
+#: ln((1−m)/(1−u)), ×100 rounded half-up:
+#:   nation   (25 values): m=.95, u=.04 → +317 / −295
+#:   segment   (5 values): m=.90, u=.20 → +150 / −208
+#:   bal_band (~11 bands): m=.88, u=.09 → +228 / −203
+FS_WEIGHTS_CENTI = {
+    "nation": (317, -295),
+    "segment": (150, -208),
+    "bal_band": (228, -203),
+}
+
+#: pinned decision thresholds (centi-nats): score ≥ link → 'link',
+#: ≥ possible → 'possible', else 'nonlink'
+FS_THRESHOLDS_CENTI = (300, 0)
+
+
+def fellegi_sunter_scores(
+    pairs: DataFrame,
+    records: DataFrame,
+    key: str,
+    fields: list[str],
+    *,
+    weights: dict[str, tuple[int, int]] | None = None,
+    thresholds: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage scoring (1969) over
+    an already-blocked candidate pair table — the decision layer on top
+    of the blocking members of this family (:func:`edit1_pairs`,
+    :func:`fixed_key_neardup_pairs`): each field agreement adds its
+    log-likelihood-ratio weight, each disagreement its (negative)
+    complement, and the summed score is banded link / possible /
+    nonlink by pinned thresholds.
+
+    ``pairs``: (name_a, name_b) candidate keys. ``records``: ``key`` +
+    ``fields`` (one row per key — duplicate keys raise via the
+    bounded-join contract below). Weights are INTEGER centi-nats
+    (:data:`FS_WEIGHTS_CENTI` — pinned constants, the only lns were
+    taken at code-write time), so both engines sum exact integers.
+
+    Shape: two broadcast-or-keyed equi-joins attach the field vectors,
+    then the score is one map-side expression — no new shuffles beyond
+    the joins. Returns (name_a, name_b, score_centi, band).
+    """
+    w = weights if weights is not None else FS_WEIGHTS_CENTI
+    t_link, t_poss = thresholds if thresholds is not None else FS_THRESHOLDS_CENTI
+    missing = [f for f in fields if f not in w]
+    if missing:
+        raise ValueError(f"fellegi_sunter_scores: no weights for {missing}")
+    ra = records.select(
+        F.col(key).alias("name_a"), *[F.col(f).alias(f"{f}_a") for f in fields]
+    )
+    rb = records.select(
+        F.col(key).alias("name_b"), *[F.col(f).alias(f"{f}_b") for f in fields]
+    )
+    j = pairs.join(ra, "name_a").join(rb, "name_b")
+    score = None
+    for f in fields:
+        agree_w, disagree_w = w[f]
+        c = F.when(
+            F.col(f"{f}_a").eqNullSafe(F.col(f"{f}_b")), F.lit(int(agree_w))
+        ).otherwise(F.lit(int(disagree_w)))
+        score = c if score is None else score + c
+    return j.select(
+        "name_a",
+        "name_b",
+        score.cast("long").alias("score_centi"),
+        F.when(score >= t_link, F.lit("link"))
+        .when(score >= t_poss, F.lit("possible"))
+        .otherwise(F.lit("nonlink"))
+        .alias("band"),
+    )

@@ -1961,3 +1961,126 @@ class TestGroupedGlobalRank:
         bad = df.withColumn("group_rank", F.lit(1))
         with pytest.raises(ValueError, match="collide"):
             grouped_global_rank(bad, "g", "v", tiebreak="id")
+
+
+def test_events_type_quantiles_python_replay(spark):
+    """Per-type exact quantiles: replay by sorting (cents, event_id) in
+    python and indexing the same integer target ranks."""
+    import random
+
+    from mopso_engine.ext.pipeline import grouped_global_rank
+
+    random.seed(41)
+    rows = [
+        (i, random.choice(["a", "b"]), random.randint(1, 500))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, t string, cents long")
+    r = grouped_global_rank(df, "t", "cents", tiebreak="event_id", bucket_shift=4)
+    got = {}
+    qt = spark.createDataFrame([(500,), (900,), (990,)], "q_pm int")
+    out = (
+        r.crossJoin(F.broadcast(qt))
+        .where(F.col("group_rank") == F.expr("q_pm * (n_group - 1) div 1000 + 1"))
+        .collect()
+    )
+    for row in out:
+        got[(row["t"], row["q_pm"])] = row["cents"]
+    by_t = {}
+    for i, t, c in rows:
+        by_t.setdefault(t, []).append((c, i))
+    for t, vals in by_t.items():
+        vals.sort()
+        n = len(vals)
+        for q in (500, 900, 990):
+            tr = (q * (n - 1)) // 1000 + 1
+            assert got[(t, q)] == vals[tr - 1][0], (t, q)
+
+
+class TestContainmentPairs:
+    def test_planted_subset_caught_where_jaccard_misses(self, spark):
+        """A short doc fully inside a long one: containment 1000pm, but
+        jaccard |small|/|big| is far below the 0.5 gate."""
+        from mopso_engine.ext.dedup import containment_pairs, jaccard_pairs
+
+        big_words = " ".join(f"w{i}" for i in range(60))
+        small_words = " ".join(f"w{i}" for i in range(10, 18))  # 8-word slice
+        other = " ".join(f"z{i}" for i in range(30))
+        docs = spark.createDataFrame(
+            [(1, big_words), (2, small_words), (3, other)], "doc_id long, text string"
+        )
+        cont = {
+            (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_small"], r["cont_pm"])
+            for r in containment_pairs(docs, k=3, threshold_pm=800).collect()
+        }
+        # small doc: 8 words -> 6 distinct 3-shingles, all inside big
+        assert cont == {(1, 2): (6, 6, 1000)}
+        jac = jaccard_pairs(docs, k=3, threshold=0.5).collect()
+        assert jac == []  # 6/58 ≈ 0.10 — symmetric jaccard misses it
+
+    def test_matches_python_replay_on_real_docs(self, spark):
+        """Exact shingle-set replay of every emitted pair over the tiny
+        corpus (and no pair below the cross-multiplied threshold)."""
+        from mopso_engine.ext.dedup import containment_pairs, word_shingles
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        sh = {}
+        for r in word_shingles(docs, 3).collect():
+            sh.setdefault(r["doc_id"], set()).add(r["shingle"])
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_small"], r["cont_pm"])
+            for r in containment_pairs(docs, k=3, threshold_pm=800).collect()
+        }
+        want = {}
+        ids = sorted(sh)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                ni = len(sh[a] & sh[b])
+                small = min(len(sh[a]), len(sh[b]))
+                if small and 1000 * ni >= 800 * small:
+                    want[(a, b)] = (ni, small, (2 * ni * 1000 + small) // (2 * small))
+        assert got == want
+
+
+class TestFellegiSunter:
+    def test_matches_python_replay_and_guard(self, spark):
+        from mopso_engine.ext.dedup import (
+            FS_THRESHOLDS_CENTI,
+            FS_WEIGHTS_CENTI,
+            fellegi_sunter_scores,
+        )
+
+        recs = spark.createDataFrame(
+            [
+                ("a", "7", "AUTO", 3),
+                ("b", "7", "AUTO", 3),   # agrees with a everywhere
+                ("c", "7", "HOME", 1),   # nation only
+                ("d", "2", "SHIP", -1),  # nothing
+            ],
+            "c_name string, nation string, segment string, bal_band long",
+        )
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("a", "d")], "name_a string, name_b string"
+        )
+        out = {
+            (r["name_a"], r["name_b"]): (r["score_centi"], r["band"])
+            for r in fellegi_sunter_scores(
+                pairs, recs, "c_name", ["nation", "segment", "bal_band"]
+            ).collect()
+        }
+        w = FS_WEIGHTS_CENTI
+        t_link, t_poss = FS_THRESHOLDS_CENTI
+
+        def score(av, bv):
+            s = sum(w[f][0] if av[i] == bv[i] else w[f][1]
+                    for i, f in enumerate(["nation", "segment", "bal_band"]))
+            band = "link" if s >= t_link else ("possible" if s >= t_poss else "nonlink")
+            return s, band
+
+        assert out[("a", "b")] == score(("7", "AUTO", 3), ("7", "AUTO", 3))
+        assert out[("a", "c")] == score(("7", "AUTO", 3), ("7", "HOME", 1))
+        assert out[("a", "d")] == score(("7", "AUTO", 3), ("2", "SHIP", -1))
+        assert out[("a", "b")][1] == "link"
+        assert out[("a", "d")][1] == "nonlink"
+        with pytest.raises(ValueError, match="no weights"):
+            fellegi_sunter_scores(pairs, recs, "c_name", ["nation", "zip"])

@@ -690,6 +690,28 @@ COMMENTS = {
     "one equi-join on the integer target rank and the readout folds "
     "to (source, decile) bounds — every quantile is integer div "
     "arithmetic, no percentile sketches.",
+    "events_type_quantiles": "Per-type exact P50/P90/P99 (r10, the "
+    "grouped rank family's second consumer): grouped_global_rank "
+    "windows on (type, cents >> 8) with broadcast per-group prefix "
+    "offsets instead of funneling each event type through one task; "
+    "the 3-row quantile grid rides a BroadcastNestedLoopJoin onto the "
+    "ranked rows and the integer target-rank filter keeps one row per "
+    "(type, quantile) — no percentile sketch, no single-partition "
+    "sort.",
+    "docs_containment": "Asymmetric containment dedup (r10): the same "
+    "inverted-index shingle equality join as the jaccard family prunes "
+    "N² to co-shingled pairs; the score is |∩|/min(|A|,|B|) with an "
+    "exact cross-multiplied integer threshold (1000·n_inter ≥ "
+    "800·min), so the quote/wrapper/truncated-recrawl pairs symmetric "
+    "jaccard dilutes below its gate survive here — no float boundary "
+    "anywhere.",
+    "customer_fs_match": "Fellegi–Sunter linkage scoring (r10): the "
+    "SymSpell edit≤1 blocking join supplies candidates; two keyed "
+    "attribute joins attach the field vectors and the centi-nat "
+    "agreement sum is one map-side expression over pinned integer "
+    "weights (the lns were taken at code-write time — BENFORD_PM "
+    "treatment); the top-50 is one WindowGroupLimit over the scored "
+    "pair table.",
     "orders_pareto_share": "Revenue concentration: the exact customer "
     "revenue rank comes from the bucketed decomposition (its third "
     "consumer — never a single-partition sort); quintile fold is "
