@@ -2062,6 +2062,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("name_a", "name_b", "score_centi", "band")
         )
 
+    def events_robust_z(spark, sf):
+        """Per-type robust (median/MAD) outlier screen (`ext.pipeline.
+        robust_outlier_stats`, Iglewicz–Hoaglin modified z > 3.5) — the
+        data-cleaning gate mean/stddev z-scores fail at, and the rank
+        family's THIRD consumer: both medians are exact lower medians
+        from `grouped_global_rank` (never a per-group one-task sort,
+        never an approximate percentile), the 3.5·1.4826 gate is the
+        pinned integer cross-multiplication ROBUST_Z_35_E4 — no float
+        boundary, no sqrt, no stddev."""
+        from mopso_engine.ext.pipeline import robust_outlier_stats
+
+        ev = read_table(spark, sf, "events").select(
+            "event_type",
+            F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+            "event_id",
+        )
+        return robust_outlier_stats(
+            ev, "event_type", "cents", tiebreak="event_id", bucket_shift=8
+        ).select(
+            "event_type",
+            F.col("med").alias("med_cents"),
+            F.col("mad").alias("mad_cents"),
+            "n",
+            "n_outliers",
+        )
+
+    def docs_lang_mix(spark, sf):
+        """Mixed-language confusion matrix (`ext.text.lang_mix_matrix`):
+        each doc's two HALVES language-ID'd independently and folded to
+        a (lang_first, lang_second) count table — off-diagonal mass is
+        concatenated/template-mixed documents, the corpus defect the
+        single-label lang_pred averages away. Halves split at the
+        size div 2 token boundary (identical both engines); pure
+        map-side expressions + ONE languages²-bounded aggregate."""
+        from mopso_engine.ext.text import lang_mix_matrix
+
+        docs = read_table(spark, sf, "documents")
+        return lang_mix_matrix(docs, min_tokens=8)
+
     def events_cms_topk(spark, sf):
         """Count-Min Sketch frequency audit (`ext.sketch.cms_build` /
         `cms_estimate`, Cormode & Muthukrishnan 2005): a 4×1024 counter
@@ -4598,7 +4637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # out-of-window lacks round-fresh verification.
         orders_woe_iv, lineitem_benford, docs_shard_manifest,
         docs_quality_qnorm, events_type_quantiles, docs_containment,
-        customer_fs_match,
+        customer_fs_match, events_robust_z, docs_lang_mix,
         status_cube,
         value_quantiles, user_stats, q6_forecast, sales_rollup, events_asof,
         dedup_jaccard_skewed_uncapped, dedup_jaccard, weighted_docs_sample,
@@ -6610,6 +6649,84 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT sc.*, row_number() OVER (
                 ORDER BY score_centi DESC, name_a, name_b) AS rn FROM sc) t
         WHERE rn <= 50
+    """
+
+    # events_robust_z: both exact lower medians replay as plain per-type
+    # windows; the 3.5-modified-z gate is the same pinned integer
+    # cross-multiplication (ROBUST_Z_35_E4 rendered from the constant).
+    from mopso_engine.ext.pipeline import ROBUST_Z_35_E4 as _rz
+
+    o["events_robust_z"] = f"""
+        WITH e AS (
+          SELECT event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents, event_id
+          FROM events),
+        r1 AS (
+          SELECT event_type, cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cents, event_id) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS ng
+          FROM e),
+        med AS (SELECT event_type, cents AS med_cents FROM r1
+                WHERE rk = (ng - 1) // 2 + 1),
+        d AS (
+          SELECT e.event_type, e.event_id, m.med_cents,
+                 abs(e.cents - m.med_cents) AS adev
+          FROM e JOIN med m USING (event_type)),
+        r2 AS (
+          SELECT event_type, adev,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY adev, event_id) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS ng
+          FROM d),
+        mad AS (SELECT event_type, adev AS mad_cents FROM r2
+                WHERE rk = (ng - 1) // 2 + 1)
+        SELECT d.event_type,
+               max(d.med_cents)::BIGINT AS med_cents,
+               max(mad.mad_cents)::BIGINT AS mad_cents,
+               count(*)::BIGINT AS n,
+               sum(CASE WHEN 10000 * d.adev > {_rz} * mad.mad_cents
+                        THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        FROM d JOIN mad USING (event_type) GROUP BY 1
+    """
+
+    # docs_lang_mix: the per-half stopword-ratio argmax replays as the
+    # lang_pred CASE chain over list slices; the half boundary is the
+    # same integer div.
+    def _lm_scores(tcol: str) -> str:
+        return (
+            f"len(list_intersect(list_distinct({tcol}), ['der','die','das','und','zu']))/5.0,\n"
+            f"                 len(list_intersect(list_distinct({tcol}), ['the','a','and','of','to']))/5.0,\n"
+            f"                 len(list_intersect(list_distinct({tcol}), ['el','la','los','y','de']))/5.0,\n"
+            f"                 len(list_intersect(list_distinct({tcol}), ['le','la','les','et','de']))/5.0,\n"
+            f"                 len(list_intersect(list_distinct({tcol}), ['的','是','了','在','和']))/5.0"
+        )
+
+    _lm_case = (
+        "CASE WHEN sde{i} >= sen{i} AND sde{i} >= ses{i} AND sde{i} >= sfr{i} AND sde{i} >= szh{i} THEN 'de' "
+        "WHEN sen{i} >= ses{i} AND sen{i} >= sfr{i} AND sen{i} >= szh{i} THEN 'en' "
+        "WHEN ses{i} >= sfr{i} AND ses{i} >= szh{i} THEN 'es' "
+        "WHEN sfr{i} >= szh{i} THEN 'fr' ELSE 'zh' END"
+    )
+    _lm_s1 = _lm_scores("ta").split(",\n")
+    _lm_s2 = _lm_scores("tb").split(",\n")
+    _lm_names = ["sde", "sen", "ses", "sfr", "szh"]
+    _lm_sel1 = ", ".join(
+        f"{expr.strip()} AS {n}1" for expr, n in zip(_lm_s1, _lm_names)
+    )
+    _lm_sel2 = ", ".join(
+        f"{expr.strip()} AS {n}2" for expr, n in zip(_lm_s2, _lm_names)
+    )
+    o["docs_lang_mix"] = f"""
+        WITH {_TOKS_CTE},
+        hh AS (SELECT doc_id, t, len(t) // 2 AS h FROM toks
+               WHERE len(t) >= 8),
+        sl AS (SELECT doc_id, t[1:h] AS ta, t[h+1:len(t)] AS tb FROM hh),
+        s AS (SELECT doc_id, {_lm_sel1}, {_lm_sel2} FROM sl)
+        SELECT {_lm_case.format(i=1)} AS lang_first,
+               {_lm_case.format(i=2)} AS lang_second,
+               count(*)::BIGINT AS n_docs
+        FROM s GROUP BY 1, 2
     """
 
     # prox_search: pure integer window arithmetic — the running per-term

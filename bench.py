@@ -212,6 +212,10 @@ BENCH_QUERIES = [
     "events_type_quantiles",
     "docs_containment",
     "customer_fs_match",
+    # round-10: robust median/MAD outlier screen (rank consumer #3),
+    # mixed-language confusion matrix
+    "events_robust_z",
+    "docs_lang_mix",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -365,6 +369,8 @@ ANCHOR_R08 = {
     # second r10 batch (cold/warm: 6.0/1.5, 5.7/2.0, 6.0/4.7)
     "events_type_quantiles": 2.5, "docs_containment": 3.0,
     "customer_fs_match": 5.0,
+    # third r10 batch (cold/warm: 6.3/3.1, 1.5/1.4)
+    "events_robust_z": 4.0, "docs_lang_mix": 1.6,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

@@ -1898,6 +1898,73 @@ def grouped_global_rank(
     )
 
 
+#: 3.5 · 1.4826 · 10⁴ — the modified-z outlier gate (Iglewicz–Hoaglin's
+#: 3.5σ with the MAD→σ consistency constant 1.4826) as an exact integer:
+#: flag ⟺ 10000·|x − median| > 51891·MAD. Pinned at code-write time.
+ROBUST_Z_35_E4 = 51891
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    *,
+    tiebreak: str,
+    bucket_shift: int = 8,
+) -> DataFrame:
+    """Median/MAD robust outlier screen per group — the data-cleaning
+    step mean/stddev z-scores fail at (the outliers inflate the stddev
+    that is supposed to catch them; the median and MAD have 50%
+    breakdown). Flags |modified z| > 3.5 (Iglewicz–Hoaglin) via the
+    exact integer cross-multiplication :data:`ROBUST_Z_35_E4` — no
+    float boundary, no sqrt.
+
+    Both medians are EXACT lower medians (rank (n−1) div 2 + 1 over the
+    (value, tiebreak) total order) computed by
+    :func:`grouped_global_rank` — never a per-group single-partition
+    sort, never an approximate percentile. Movement: two grouped-rank
+    exchanges + two tiny broadcast joins + ONE group aggregate.
+
+    Returns (group, med, mad, n, n_outliers) — one row per group.
+    """
+    base = df.select(group, value_col, tiebreak)
+    r1 = grouped_global_rank(
+        base, group, value_col, tiebreak=tiebreak, bucket_shift=bucket_shift
+    )
+    med = r1.where(
+        F.col("group_rank") == F.expr("(n_group - 1) div 2 + 1")
+    ).select(group, F.col(value_col).alias("med"))
+    d = base.join(F.broadcast(med), group).withColumn(
+        "adev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    r2 = grouped_global_rank(
+        d.select(group, "adev", tiebreak),
+        group,
+        "adev",
+        tiebreak=tiebreak,
+        bucket_shift=bucket_shift,
+    )
+    mad = r2.where(
+        F.col("group_rank") == F.expr("(n_group - 1) div 2 + 1")
+    ).select(group, F.col("adev").alias("mad"))
+    return (
+        d.join(F.broadcast(mad), group)
+        .groupBy(group)
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.lit(10000) * F.col("adev")
+                    > F.lit(ROBUST_Z_35_E4) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

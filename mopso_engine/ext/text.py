@@ -65,11 +65,11 @@ def quality_score(docs: DataFrame, *, keep: list[str] | None = None) -> DataFram
     )
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Stopword-ratio language ID: for each language, the fraction of its
-    stopword list found among the document's tokens; predict the argmax
-    (ties → lexicographically first language). Pure expressions."""
-    toks = F.array_distinct(tokens_col())
+def _lang_best(toks_col):
+    """(score, lang) struct of the argmax stopword-ratio language over a
+    token-array column — ties → lexicographically first language. Shared
+    by :func:`lang_id` (whole doc) and :func:`lang_mix_matrix` (halves)."""
+    toks = F.array_distinct(toks_col)
     scores = F.array(
         *[
             F.struct(
@@ -82,17 +82,47 @@ def lang_id(docs: DataFrame) -> DataFrame:
             for lang, words in sorted(STOPWORDS.items())
         ]
     )
-    best = F.array_sort(
+    return F.array_sort(
         scores,
         lambda a, b: F.when(a["score"] > b["score"], -1)
         .when(a["score"] < b["score"], 1)
         .otherwise(F.when(a["lang"] < b["lang"], -1).when(a["lang"] > b["lang"], 1).otherwise(0)),
     )[0]
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-ratio language ID: for each language, the fraction of its
+    stopword list found among the document's tokens; predict the argmax
+    (ties → lexicographically first language). Pure expressions."""
+    best = _lang_best(tokens_col())
     return docs.select(
         "doc_id",
         best["lang"].alias("pred_lang"),
         F.round(best["score"], 6).alias("lang_score"),
     )
+
+
+def lang_mix_matrix(docs: DataFrame, *, min_tokens: int = 8) -> DataFrame:
+    """Mixed-language document screen: language-ID each HALF of the doc
+    independently and fold to a (lang_first, lang_second) count matrix —
+    off-diagonal mass is concatenated/template-mixed documents, the
+    corpus defect single-label language ID silently averages away (a
+    50/50 en/de doc scores mediocre on both lists and lands on one of
+    them). Halves split at ``size div 2`` token boundary (identical in
+    both engines); docs under ``min_tokens`` are skipped (degenerate
+    halves). Pure map-side expressions + ONE languages²-bounded
+    aggregate."""
+    toks = tokens_col()
+    d = (
+        docs.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= int(min_tokens))
+        .withColumn("h", F.expr("size(t) div 2"))
+    )
+    best_a = _lang_best(F.expr("slice(t, 1, h)"))
+    best_b = _lang_best(F.expr("slice(t, h + 1, size(t) - h)"))
+    return d.groupBy(
+        best_a["lang"].alias("lang_first"), best_b["lang"].alias("lang_second")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
 
 
 def token_count(docs: DataFrame) -> DataFrame:

@@ -2084,3 +2084,58 @@ class TestFellegiSunter:
         assert out[("a", "d")][1] == "nonlink"
         with pytest.raises(ValueError, match="no weights"):
             fellegi_sunter_scores(pairs, recs, "c_name", ["nation", "zip"])
+
+
+def test_robust_outlier_stats_python_replay(spark):
+    """Exact lower-median/MAD replay + the pinned 3.5-modified-z gate;
+    planted far outliers must be flagged, the tight cluster must not."""
+    import random
+
+    from mopso_engine.ext.pipeline import ROBUST_Z_35_E4, robust_outlier_stats
+
+    random.seed(53)
+    rows = []
+    for g in ("a", "b"):
+        rows += [(i, g, random.randint(100, 120)) for i in range(500)]
+    rows += [(1000 + i, "a", 10_000 + i) for i in range(5)]  # planted spikes
+    df = spark.createDataFrame(rows, "event_id long, g string, v long")
+    out = {
+        r["g"]: (r["med"], r["mad"], r["n"], r["n_outliers"])
+        for r in robust_outlier_stats(df, "g", "v", tiebreak="event_id").collect()
+    }
+    by_g = {}
+    for i, g, v in rows:
+        by_g.setdefault(g, []).append((v, i))
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        med = vals[(n - 1) // 2][0]
+        adevs = sorted((abs(v - med), i) for v, i in vals)
+        mad = adevs[(n - 1) // 2][0]
+        n_out = sum(1 for v, _ in vals if 10000 * abs(v - med) > ROBUST_Z_35_E4 * mad)
+        assert out[g] == (med, mad, n, n_out), g
+    assert out["a"][3] >= 5  # the planted spikes are flagged
+    assert out["b"][3] < 30  # the tight cluster stays mostly quiet
+
+
+def test_lang_mix_matrix_planted_mixed_doc(spark):
+    """A half-en/half-de concatenation lands OFF-diagonal while pure
+    docs land on the diagonal; short docs are skipped."""
+    from mopso_engine.ext.text import lang_mix_matrix
+
+    en = "the cat and a dog of the town went to sleep"     # en stopwords
+    de = "der hund und die katze das haus zu klein und"    # de stopwords
+    docs = spark.createDataFrame(
+        [
+            (1, en + " " + en),   # pure en
+            (2, de + " " + de),   # pure de
+            (3, en + " " + de),   # MIXED: en first half, de second
+            (4, "too short"),     # skipped (< 8 tokens)
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["lang_first"], r["lang_second"]): r["n_docs"]
+        for r in lang_mix_matrix(docs, min_tokens=8).collect()
+    }
+    assert out == {("en", "en"): 1, ("de", "de"): 1, ("en", "de"): 1}

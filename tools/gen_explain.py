@@ -712,6 +712,20 @@ COMMENTS = {
     "weights (the lns were taken at code-write time — BENFORD_PM "
     "treatment); the top-50 is one WindowGroupLimit over the scored "
     "pair table.",
+    "events_robust_z": "Robust median/MAD outlier screen (r10, rank "
+    "consumer #3): both exact lower medians come from grouped_global_"
+    "rank's (type, value >> 8) bucket windows — never a per-group "
+    "one-task sort or an approximate percentile — and ride tiny "
+    "broadcast joins back onto the rows; the 3.5-modified-z gate is "
+    "the pinned integer cross-multiplication ROBUST_Z_35_E4 "
+    "(10000·|x−med| > 51891·MAD), so there is no float boundary, no "
+    "sqrt and no stddev anywhere in the plan.",
+    "docs_lang_mix": "Mixed-language confusion matrix (r10): each "
+    "half's stopword-ratio argmax is the same pure-expression chain "
+    "as lang_pred applied to two token-array slices (map-side, one "
+    "corpus scan), folded by ONE languages²-bounded aggregate — "
+    "off-diagonal mass is concatenated/template-mixed docs the "
+    "single-label language ID averages away.",
     "orders_pareto_share": "Revenue concentration: the exact customer "
     "revenue rank comes from the bucketed decomposition (its third "
     "consumer — never a single-partition sort); quintile fold is "
