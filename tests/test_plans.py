@@ -449,3 +449,42 @@ def test_curation_funnel_fused_single_corpus_scan(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_grouped_rank_offsets_broadcast_no_global_sort(spark):
+    """grouped_global_rank: the per-group prefix offsets ride a
+    BroadcastHashJoin and no full-data single-partition exchange exists
+    (the SinglePartition windows touch only the tiny head table)."""
+    from mopso_engine.ext.pipeline import grouped_global_rank
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "source", "n_chars")
+    r = grouped_global_rank(docs, "source", "n_chars", tiebreak="doc_id", bucket_shift=8)
+    plan = plan_of(r)
+    assert "BroadcastHashJoin" in plan
+    # the full-data window partitions by (source, bucket), never global
+    assert "hashpartitioning" in plan.replace("(", "").lower()
+
+
+def test_rendezvous_shard_assignment_is_map_only(spark):
+    """The HRW argmax is a pure expression: the manifest plan's only
+    exchanges belong to the 16-row aggregate + its window, and there is
+    no join anywhere."""
+    from mopso_engine.ext.pipeline import rendezvous_shard
+
+    docs = read_table(spark, SF, "documents")
+    sh = docs.select(rendezvous_shard("doc_id", 16).alias("shard"), "n_chars")
+    agg = sh.groupBy("shard").agg(F.count(F.lit(1)).alias("n_docs"))
+    plan = plan_of(agg)
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg only
+
+
+def test_benford_single_aggregate_and_broadcast_expected(spark):
+    from mopso_engine.ext.pipeline import benford_digit_audit
+
+    li = read_table(spark, SF, "lineitem").select(
+        F.expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").alias("cents")
+    )
+    plan = plan_of(benford_digit_audit(li, "cents"))
+    assert "BroadcastHashJoin" in plan   # the 9-row expected table
+    assert "SortMergeJoin" not in plan
