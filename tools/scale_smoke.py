@@ -205,11 +205,14 @@ def main() -> None:
         # r9: RFM chains three rank decompositions over 10x customers
         # (orders custkeys re-keyed per replica)
         "customer_rfm": (150_000, 1_500_000),
+        # r10: the GROUPED rank decomposition (per-source quantile
+        # normalization) — 10x docs per source, same source count
+        "docs_quality_qnorm": (5_000, 50_000),
     }
     for name in (
         "corpus_curation_v2", "corpus_curation_v3", "dedup_verified",
         "training_epoch_mix", "supplier_pagerank", "supplier_bfs",
-        "price_deciles", "customer_rfm",
+        "price_deciles", "customer_rfm", "docs_quality_qnorm",
     ):
         qs[name](spark, SRC).write.format("noop").mode("overwrite").save()
         clear_shingle_caches()
