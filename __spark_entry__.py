@@ -2101,6 +2101,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = read_table(spark, sf, "documents")
         return lang_mix_matrix(docs, min_tokens=8)
 
+    def docs_proportional_sample(spark, sf):
+        """Largest-remainder proportional sampling (`ext.pipeline.
+        proportional_quota_sample`): EXACTLY 500 docs overall with the
+        source mix preserved — the sampling family's third member
+        (fixed RATE → sample_by_hash, fixed PER-STRATUM count →
+        quota_sample, fixed TOTAL → this). Allocation = pure integer
+        Hare arithmetic over the tiny source-count table (base div +
+        largest remainders, ties → source asc; N > population raises
+        in-plan); selection = the family's deterministic smallest-md5
+        order. ONE tiny count aggregate + the per-source
+        WindowGroupLimit; quotas ride a broadcast."""
+        from mopso_engine.ext.pipeline import proportional_quota_sample
+
+        docs = read_table(spark, sf, "documents")
+        return proportional_quota_sample(
+            docs, "doc_id", "source", 500, salt="pq10"
+        ).select("doc_id", "source", "quota_src", "n_source")
+
+    def events_conversion_latency(spark, sf):
+        """First-view → first-subsequent-purchase latency quantiles
+        (P50/P90/P99 in exact milliseconds) — the funnel family's
+        TIME dimension ("converts" says the funnel; "in how long" says
+        this), and the rank family's fourth consumer. First view per
+        user = one row_number; first strictly-later purchase = the
+        funnel's (ts, event_id) total-order rule; the delta is the
+        proven engine-exact epoch-double subtraction, micro-quantized
+        to ms; quantiles = bucketed_global_rank target ranks over
+        (delta_ms, user_id) — never a percentile sketch."""
+        from mopso_engine.ext.pipeline import bucketed_global_rank
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        v = (
+            ev.where(F.col("event_type") == "view")
+            .withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select("user_id", F.col("ts").alias("vts"), F.col("event_id").alias("vid"))
+        )
+        p = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+        j = p.join(v, "user_id").where(
+            (F.col("ts") > F.col("vts"))
+            | ((F.col("ts") == F.col("vts")) & (F.col("event_id") > F.col("vid")))
+        )
+        first_p = (
+            j.withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.expr(
+                    "CAST(floor((CAST(ts AS DOUBLE) - CAST(vts AS DOUBLE))"
+                    " * 1000.0 + 0.5) AS BIGINT)"
+                ).alias("delta_ms"),
+            )
+        )
+        r = bucketed_global_rank(
+            first_p, "delta_ms", tiebreak="user_id", bucket_shift=20,
+            rank_col="global_rank", n_col="n_total",
+        )
+        qt = spark.createDataFrame([(500,), (900,), (990,)], "q_pm int")
+        return (
+            r.crossJoin(F.broadcast(qt))
+            .where(
+                F.col("global_rank") == F.expr("q_pm * (n_total - 1) div 1000 + 1")
+            )
+            .select("q_pm", F.col("delta_ms").alias("q_delta_ms"), "n_total")
+        )
+
+    def events_concurrency(spark, sf):
+        """Concurrent-sessions-per-hour series (`ext.pipeline.
+        session_concurrency`): each gap-merged session counts toward
+        every hour it overlaps — rendered as the bounded session→hour
+        coverage explode (the DAU/WAU trick), NEVER a global
+        time-ordered prefix sum (one task) or an event explode; the
+        movement is the proven ONE user-keyed session exchange + a
+        tiny hour count. Sessions spanning ≥48 hours raise in-plan in
+        BOTH engines (guard parity); hour_id is an integer epoch-hour,
+        so nothing timestamp-typed is hashed."""
+        from mopso_engine.ext.pipeline import session_concurrency
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        return session_concurrency(ev, gap_sec=1800, max_hours=48)
+
     def events_cms_topk(spark, sf):
         """Count-Min Sketch frequency audit (`ext.sketch.cms_build` /
         `cms_estimate`, Cormode & Muthukrishnan 2005): a 4×1024 counter
@@ -4638,6 +4724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         orders_woe_iv, lineitem_benford, docs_shard_manifest,
         docs_quality_qnorm, events_type_quantiles, docs_containment,
         customer_fs_match, events_robust_z, docs_lang_mix,
+        docs_proportional_sample, events_conversion_latency,
+        events_concurrency,
         status_cube,
         value_quantiles, user_stats, q6_forecast, sales_rollup, events_asof,
         dedup_jaccard_skewed_uncapped, dedup_jaccard, weighted_docs_sample,
@@ -6727,6 +6815,94 @@ def oracle_sql() -> dict[str, str]:
                {_lm_case.format(i=2)} AS lang_second,
                count(*)::BIGINT AS n_docs
         FROM s GROUP BY 1, 2
+    """
+
+    # docs_proportional_sample: the Hare allocation is pure integer
+    # arithmetic over the tiny source-count table; selection replays
+    # the family's md5-order row_number.
+    o["docs_proportional_sample"] = """
+        WITH cnt AS (SELECT source, count(*)::BIGINT AS n_source
+                     FROM documents GROUP BY 1),
+        c3 AS (SELECT source, n_source,
+                      (SELECT sum(n_source) FROM cnt) AS total,
+                      (500 * n_source) // (SELECT sum(n_source) FROM cnt) AS base
+               FROM cnt),
+        c4 AS (SELECT source, n_source, base,
+                      500 * n_source - base * total AS rem,
+                      500 - (SELECT sum(base) FROM c3) AS leftover
+               FROM c3),
+        q AS (SELECT source, n_source,
+                     (base + CASE WHEN row_number() OVER (
+                        ORDER BY rem DESC, source ASC) <= leftover
+                      THEN 1 ELSE 0 END)::BIGINT AS quota_src
+              FROM c4),
+        rk AS (SELECT d.doc_id, d.source,
+                      row_number() OVER (PARTITION BY d.source
+                        ORDER BY ('0x' || substr(md5(d.doc_id::VARCHAR
+                                  || '#pq10'), 1, 8))::BIGINT, d.doc_id) AS rn
+               FROM documents d)
+        SELECT rk.doc_id, rk.source, q.quota_src, q.n_source
+        FROM rk JOIN q USING (source)
+        WHERE rk.rn <= q.quota_src
+    """
+
+    # events_conversion_latency: the funnel s1/s2 total-order rule +
+    # engine-exact epoch-double delta + the bare global row_number the
+    # rank decomposition equals by construction.
+    o["events_conversion_latency"] = """
+        WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+                   WHERE event_type IN ('view', 'purchase')),
+        v AS (SELECT user_id, ts AS vts, event_id AS vid FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS rn
+                FROM e WHERE event_type = 'view') WHERE rn = 1),
+        p AS (SELECT user_id, delta_ms FROM (
+                SELECT e.user_id,
+                       CAST(floor((epoch(e.ts) - epoch(v.vts)) * 1000.0 + 0.5)
+                            AS BIGINT) AS delta_ms,
+                       row_number() OVER (PARTITION BY e.user_id
+                                          ORDER BY e.ts, e.event_id) AS rn
+                FROM e JOIN v USING (user_id)
+                WHERE e.event_type = 'purchase'
+                  AND (e.ts > v.vts OR (e.ts = v.vts AND e.event_id > v.vid)))
+              WHERE rn = 1),
+        r AS (SELECT delta_ms,
+                     row_number() OVER (ORDER BY delta_ms, user_id) AS rk,
+                     count(*) OVER () AS nt
+              FROM p),
+        q(q_pm) AS (VALUES (500), (900), (990))
+        SELECT q_pm, delta_ms AS q_delta_ms, nt::BIGINT AS n_total
+        FROM r CROSS JOIN q
+        WHERE rk = (q_pm * (nt - 1)) // 1000 + 1
+    """
+
+    # events_concurrency: same gap>1800 merge as the sessionized
+    # family; the hour coverage is an uncorrelated range bounded by the
+    # SAME 48-hour contract the Spark side enforces (error() mirror).
+    o["events_concurrency"] = """
+        WITH e AS (SELECT user_id, ts, event_id, epoch(ts) AS tsd FROM events),
+        s AS (SELECT user_id, ts, event_id, tsd,
+                     CASE WHEN lag(tsd) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) IS NULL
+                            OR tsd - lag(tsd) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id) > 1800
+                          THEN 1 ELSE 0 END AS nw
+              FROM e),
+        s2 AS (SELECT user_id, tsd,
+                      sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+               FROM s),
+        sp AS (SELECT user_id, sid,
+                      CAST(floor(min(tsd) / 3600.0) AS BIGINT) AS h0,
+                      CAST(floor(max(tsd) / 3600.0) AS BIGINT) AS h1
+               FROM s2 GROUP BY 1, 2)
+        SELECT h0 + t.i AS hour_id, count(*)::BIGINT AS n_sessions
+        FROM sp CROSS JOIN range(0, 48) t(i)
+        WHERE h0 + t.i <= h1
+          AND (SELECT max(CASE WHEN h1 - h0 >= 48 THEN error(
+                 'events_concurrency oracle: session spans >= 48 hours — '
+                 'mirrors the Spark in-plan guard') ELSE 0 END) FROM sp) = 0
+        GROUP BY 1
     """
 
     # prox_search: pure integer window arithmetic — the running per-term

@@ -216,6 +216,11 @@ BENCH_QUERIES = [
     # mixed-language confusion matrix
     "events_robust_z",
     "docs_lang_mix",
+    # round-10: Hare proportional sampling, conversion-latency
+    # quantiles (rank consumer #4), hourly session concurrency
+    "docs_proportional_sample",
+    "events_conversion_latency",
+    "events_concurrency",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -371,6 +376,9 @@ ANCHOR_R08 = {
     "customer_fs_match": 5.0,
     # third r10 batch (cold/warm: 6.3/3.1, 1.5/1.4)
     "events_robust_z": 4.0, "docs_lang_mix": 1.6,
+    # fourth r10 batch (cold/warm: 4.3/1.3, 5.2/2.1, 1.7/1.0)
+    "docs_proportional_sample": 1.8, "events_conversion_latency": 2.5,
+    "events_concurrency": 1.2,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

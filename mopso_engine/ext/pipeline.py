@@ -309,6 +309,77 @@ def quota_sample(
     )
 
 
+def proportional_quota_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    total_n: int,
+    *,
+    salt: str = "pq0",
+) -> DataFrame:
+    """EXACTLY ``total_n`` rows overall, allocated across strata by the
+    largest-remainder (Hare) method — the third member of the sampling
+    family: :func:`sample_by_hash` fixes a RATE, :func:`quota_sample`
+    fixes a PER-STRATUM count, this fixes the TOTAL while keeping the
+    mix proportional (the "exactly 500k docs, same source mix" ask).
+
+    Allocation is pure integer arithmetic over the TINY stratum-count
+    table: base = (N·n_s) div total, and the N − Σbase leftovers go to
+    the largest remainders (ties → stratum asc). Largest-remainder
+    never exceeds a stratum's population when N ≤ total (base+1 ≤ n_s
+    whenever the remainder is positive); N > total raises in-plan.
+    Selection within each stratum is the same deterministic smallest-
+    md5-hash order as :func:`quota_sample`, so the sample is replayable
+    on any layout. Movement: ONE stratum count aggregate (tiny) + the
+    per-stratum WindowGroupLimit — quotas ride a broadcast.
+
+    Returns the sampled rows + (``quota_src``, ``n_source``) columns.
+    """
+    n = int(total_n)
+    counts = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("n_source"))
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c = (
+        counts.withColumn("_total", F.sum("n_source").over(wtot))
+        .withColumn(
+            "_base",
+            F.when(
+                F.lit(n) > F.col("_total"),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"proportional_quota_sample: total_n={n} exceeds "
+                            "population "
+                        ),
+                        F.col("_total").cast("string"),
+                    )
+                ),
+            ).otherwise(F.expr(f"CAST({n} AS BIGINT) * n_source div _total")),
+        )
+        .withColumn("_rem", F.expr(f"CAST({n} AS BIGINT) * n_source - _base * _total"))
+        .withColumn("_left", F.lit(n) - F.sum("_base").over(wtot))
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.orderBy(F.desc("_rem"), F.asc(stratum))),
+        )
+        .withColumn(
+            "quota_src",
+            F.col("_base")
+            + F.when(F.col("_rk") <= F.col("_left"), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .select(stratum, "n_source", "quota_src")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("#", F.col(key), F.lit(salt))), 1, 8), 16, 10
+    ).cast("long")
+    w = Window.partitionBy(stratum).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.join(F.broadcast(c), stratum)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.col("quota_src"))
+        .drop("__rn")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     *,
@@ -1723,6 +1794,59 @@ def bucketed_global_rank(
         s1.join(F.broadcast(offs), "_gr_bucket")
         .withColumn(rank_col, F.col("_gr_off") + F.col("_gr_lrank"))
         .drop("_gr_bucket", "_gr_lrank", "_gr_bn", "_gr_off")
+    )
+
+
+def session_concurrency(
+    events: DataFrame,
+    *,
+    gap_sec: int = 1800,
+    max_hours: int = 48,
+) -> DataFrame:
+    """Concurrent-sessions-per-hour — the capacity-planning series
+    ("how many sessions were live at 14:00?"): each gap-merged session
+    counts toward every hour bucket it OVERLAPS. The naive rendering
+    explodes events or sweeps a single global time-ordered prefix sum
+    (one task); this explodes each SESSION into its covered hour ids —
+    bounded by session length, the DAU/WAU coverage-explode trick — so
+    the movement is the ONE user-keyed session exchange plus a tiny
+    (hour) count. A session spanning more than ``max_hours`` raises
+    in-plan (a gap-merged session that long means broken timestamps,
+    and the explode bound is the operator's scale contract).
+
+    Sessions use the batch convention (new session when gap > gap_sec,
+    the events_sessionized family's rule). Returns (hour_id, n_sessions)
+    with hour_id = floor(epoch_seconds / 3600) as BIGINT — integer in
+    both engines, no timestamp hashing.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    sess = events.withColumn(
+        "_new", F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
+    ).withColumn(
+        "_sid",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    spans = sess.groupBy("user_id", "_sid").agg(
+        F.expr("CAST(floor(min(CAST(ts AS DOUBLE)) / 3600.0) AS BIGINT)").alias("h0"),
+        F.expr("CAST(floor(max(CAST(ts AS DOUBLE)) / 3600.0) AS BIGINT)").alias("h1"),
+    )
+    checked = spans.withColumn(
+        "h1",
+        F.when(
+            F.col("h1") - F.col("h0") >= int(max_hours),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"session_concurrency: session spans >= {max_hours} hours: "),
+                    (F.col("h1") - F.col("h0")).cast("string"),
+                )
+            ),
+        ).otherwise(F.col("h1")),
+    )
+    return (
+        checked.select(F.explode(F.sequence("h0", "h1")).alias("hour_id"))
+        .groupBy("hour_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
     )
 
 

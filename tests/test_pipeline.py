@@ -2139,3 +2139,90 @@ def test_lang_mix_matrix_planted_mixed_doc(spark):
         for r in lang_mix_matrix(docs, min_tokens=8).collect()
     }
     assert out == {("en", "en"): 1, ("de", "de"): 1, ("en", "de"): 1}
+
+
+class TestProportionalQuotaSample:
+    def test_hare_allocation_and_exact_total(self, spark):
+        """Python largest-remainder replay: quotas match, the sampled
+        total is EXACTLY N, and selection is the smallest-md5 order."""
+        import hashlib
+
+        from mopso_engine.ext.pipeline import proportional_quota_sample
+
+        rows = (
+            [(i, "a") for i in range(101)]
+            + [(1000 + i, "b") for i in range(37)]
+            + [(2000 + i, "c") for i in range(62)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        n = 50
+        out = proportional_quota_sample(df, "doc_id", "source", n, salt="t1")
+        got = [(r["doc_id"], r["source"], r["quota_src"]) for r in out.collect()]
+        assert len(got) == n
+        # replay the Hare allocation
+        cnt = {"a": 101, "b": 37, "c": 62}
+        total = sum(cnt.values())
+        base = {s: n * c // total for s, c in cnt.items()}
+        rem = {s: n * cnt[s] - base[s] * total for s in cnt}
+        left = n - sum(base.values())
+        order = sorted(cnt, key=lambda s: (-rem[s], s))
+        quota = {s: base[s] + (1 if order.index(s) < left else 0) for s in cnt}
+        by_s = {}
+        for d, s, q in got:
+            assert q == quota[s], (s, q, quota[s])
+            by_s.setdefault(s, []).append(d)
+        # selection = smallest md5-slice hash per stratum
+        for s, ids in by_s.items():
+            pool = [d for d, s2 in rows if s2 == s]
+            key = lambda d: (  # noqa: E731
+                int(hashlib.md5(f"{d}#t1".encode()).hexdigest()[:8], 16), d
+            )
+            want = sorted(pool, key=key)[: quota[s]]
+            assert sorted(ids) == sorted(want), s
+
+    def test_overdraw_raises_in_plan(self, spark):
+        from mopso_engine.ext.pipeline import proportional_quota_sample
+
+        df = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, source string")
+        with pytest.raises(Exception) as ei:
+            proportional_quota_sample(df, "doc_id", "source", 5).collect()
+        assert "exceeds population" in str(ei.value)
+
+
+class TestSessionConcurrency:
+    def test_matches_python_replay_with_cross_hour_session(self, spark):
+        import datetime as dt
+
+        from mopso_engine.ext.pipeline import session_concurrency
+
+        t0 = dt.datetime(2024, 3, 1, 10, 50)
+        rows = [
+            # user 1: one session 10:50 -> 12:05 (covers hours 10,11,12)
+            (1, 1, t0),
+            (2, 1, t0 + dt.timedelta(minutes=20)),
+            (3, 1, t0 + dt.timedelta(minutes=45)),
+            (4, 1, t0 + dt.timedelta(minutes=75)),
+            # user 1: second session same day 15:00 (hour 15)
+            (5, 1, dt.datetime(2024, 3, 1, 15, 0)),
+            # user 2: one event 11:10 (hour 11)
+            (6, 2, dt.datetime(2024, 3, 1, 11, 10)),
+        ]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+        out = {r["hour_id"]: r["n_sessions"] for r in session_concurrency(df).collect()}
+        h = lambda d: int(d.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600  # noqa: E731
+        base = h(dt.datetime(2024, 3, 1, 10, 0))
+        assert out == {base: 1, base + 1: 2, base + 2: 1, base + 5: 1}
+
+    def test_marathon_session_raises(self, spark):
+        import datetime as dt
+
+        from mopso_engine.ext.pipeline import session_concurrency
+
+        t0 = dt.datetime(2024, 3, 1)
+        rows = [
+            (i, 1, t0 + dt.timedelta(minutes=20 * i)) for i in range(49 * 3 + 1)
+        ]  # one gap-merged session spanning 49 hours
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+        with pytest.raises(Exception) as ei:
+            session_concurrency(df, max_hours=48).collect()
+        assert "spans" in str(ei.value)

@@ -726,6 +726,26 @@ COMMENTS = {
     "corpus scan), folded by ONE languages²-bounded aggregate — "
     "off-diagonal mass is concatenated/template-mixed docs the "
     "single-label language ID averages away.",
+    "docs_proportional_sample": "Largest-remainder proportional "
+    "sampling (r10): the Hare allocation is pure integer arithmetic "
+    "over the TINY source-count aggregate (window sums + one "
+    "row_number over strata) broadcast back onto the corpus, and the "
+    "per-source selection is the family's smallest-md5 WindowGroupLimit "
+    "— exactly N rows overall, mix preserved, replayable on any "
+    "layout; N > population raises in-plan.",
+    "events_conversion_latency": "Conversion-latency quantiles (r10, "
+    "rank consumer #4): first view and first strictly-later purchase "
+    "are two row_number windows over the same user exchange; the delta "
+    "is the engine-exact epoch-double subtraction quantized to ms; "
+    "P50/P90/P99 come from bucketed_global_rank's value-bucketed "
+    "decomposition — no single-partition sort, no percentile sketch.",
+    "events_concurrency": "Hourly concurrent-sessions series (r10): "
+    "the proven gap>1800 session merge (ONE user-keyed exchange) then "
+    "each session explodes into the hour ids it covers — bounded by "
+    "the in-plan 48-hour span guard (mirrored by an oracle error()), "
+    "the DAU/WAU coverage-explode trick — so there is no global "
+    "time-ordered prefix sum (one task) and no per-event explode; the "
+    "readout is a tiny (hour) count.",
     "orders_pareto_share": "Revenue concentration: the exact customer "
     "revenue rank comes from the bucketed decomposition (its third "
     "consumer — never a single-partition sort); quintile fold is "
