@@ -90,3 +90,22 @@ def test_no_registered_oracle_emits_hugeint():
             if "HUGEINT" in str(ct).upper():
                 offenders.append((name, f"{cn}: {ct}"))
     assert offenders == [], offenders
+
+
+def test_driver_window_invariants():
+    """The driver's correctness sweep truncates at the first 50
+    registered queries — the registration order IS the window. Pin the
+    invariants the rotation discipline depends on: unique names, every
+    window entry oracle-backed, and every oracle key declared."""
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    names = list(qs)
+    assert len(names) == len(set(names)), "duplicate registered query names"
+    oracles = entry_mod.oracle_sql()
+    window = names[:50]
+    missing = [n for n in window if n not in oracles]
+    assert missing == [], f"window entries without oracles: {missing}"
+    stray = [n for n in oracles if n not in qs]
+    assert stray == [], f"oracles without declared queries: {stray}"
