@@ -6599,16 +6599,22 @@ def oracle_sql() -> dict[str, str]:
           SELECT substr(c::VARCHAR, 1, 1)::INT AS digit, count(*)::BIGINT AS n
           FROM cents GROUP BY 1),
         expd(digit, exp_pm) AS (VALUES {_bf_vals}),
-        t AS (SELECT digit, n, (SELECT sum(n) FROM agg) AS total FROM agg)
-        SELECT t.digit, t.n,
-               ((2 * t.n * 1000 + t.total) // (2 * t.total))::BIGINT AS obs_pm,
-               e.exp_pm::BIGINT AS exp_pm,
-               (((2 * t.n * 1000 + t.total) // (2 * t.total))
-                - e.exp_pm)::BIGINT AS dev_pm
-        FROM t JOIN expd e USING (digit)
-        WHERE (SELECT max(CASE WHEN c <= 0 THEN error(
-                 'lineitem_benford oracle: non-positive cents — mirrors the '
-                 'Spark in-plan guard') ELSE 0 END) FROM cents) = 0
+        j AS (
+          SELECT e.digit, coalesce(a.n, 0)::BIGINT AS n, e.exp_pm
+          FROM expd e LEFT JOIN agg a USING (digit)),
+        t AS (SELECT digit, n, exp_pm, (SELECT sum(n) FROM j) AS total FROM j)
+        SELECT digit, n,
+               (CASE WHEN total = 0 THEN 0
+                     ELSE (2 * n * 1000 + total) // (2 * total) END)::BIGINT
+                 AS obs_pm,
+               exp_pm::BIGINT AS exp_pm,
+               ((CASE WHEN total = 0 THEN 0
+                      ELSE (2 * n * 1000 + total) // (2 * total) END)
+                - exp_pm)::BIGINT AS dev_pm
+        FROM t
+        WHERE (SELECT max(CASE WHEN c IS NULL OR c <= 0 THEN error(
+                 'lineitem_benford oracle: NULL/non-positive cents — mirrors '
+                 'the Spark in-plan guard') ELSE 0 END) FROM cents) = 0
     """
 
     # docs_shard_manifest: the HRW argmax replays as an unnest + one
@@ -6659,7 +6665,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, (q_pm // 100)::INT AS decile, count(*)::BIGINT AS n_docs,
                min(qnorm_chars)::BIGINT AS lo_qnorm,
                max(qnorm_chars)::BIGINT AS hi_qnorm
-        FROM j GROUP BY 1, 2
+        FROM j
+        WHERE (SELECT max(CASE WHEN n_chars IS NULL OR n_chars < 0 THEN error(
+                 'docs_quality_qnorm oracle: NULL/negative n_chars — mirrors '
+                 'the grouped_global_rank in-plan raise') ELSE 0 END)
+               FROM documents) = 0
+        GROUP BY 1, 2
     """
 
     # events_type_quantiles: plain per-type window row_number (DuckDB is
@@ -6678,6 +6689,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, q_pm, cents AS q_cents, ng::BIGINT AS n_group
         FROM r CROSS JOIN q
         WHERE rk = (q_pm * (ng - 1)) // 1000 + 1
+          AND (SELECT max(CASE WHEN cents IS NULL OR cents < 0 THEN error(
+                 'events_type_quantiles oracle: NULL/negative cents — mirrors '
+                 'the grouped_global_rank in-plan raise') ELSE 0 END)
+               FROM r) = 0
     """
 
     # docs_containment: same shingle CTE as the jaccard family; the
@@ -6705,8 +6720,14 @@ def oracle_sql() -> dict[str, str]:
     from mopso_engine.ext.dedup import FS_THRESHOLDS_CENTI as _fs_t
     from mopso_engine.ext.dedup import FS_WEIGHTS_CENTI as _fs_w
 
+    # field agreement via IS NOT DISTINCT FROM — the SQL mirror of the
+    # Spark side's eqNullSafe (dedup.py fellegi_sunter_scores): a pair
+    # where BOTH records carry a NULL field scores +agree in both
+    # engines (ADVICE r10: plain `=` silently fell to the disagree
+    # weight on NULL-bearing data).
     _fs_case = " + ".join(
-        f"CASE WHEN ra.{f} = rb.{f} THEN {_fs_w[f][0]} ELSE {_fs_w[f][1]} END"
+        f"CASE WHEN ra.{f} IS NOT DISTINCT FROM rb.{f}"
+        f" THEN {_fs_w[f][0]} ELSE {_fs_w[f][1]} END"
         for f in ("nation", "segment", "bal_band")
     )
     o["customer_fs_match"] = f"""
@@ -6714,7 +6735,12 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT c_name AS w FROM customer WHERE c_name IS NOT NULL),
         dels AS (
           SELECT w, substr(w, 1, i - 1) || substr(w, i + 1) AS v
-          FROM names CROSS JOIN range(1, 65) t(i) WHERE i <= len(w)
+          FROM names CROSS JOIN range(1, 65) t(i)
+          WHERE i <= len(w)
+            AND (SELECT max(CASE WHEN len(w) > 64 THEN error(
+                   'customer_fs_match oracle: name longer than 64 chars — '
+                   'mirrors the Spark edit1_pairs in-plan raise')
+                   ELSE 0 END) FROM names) = 0
           UNION
           SELECT w, w FROM names),
         cand AS (
@@ -6775,7 +6801,12 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n,
                sum(CASE WHEN 10000 * d.adev > {_rz} * mad.mad_cents
                         THEN 1 ELSE 0 END)::BIGINT AS n_outliers
-        FROM d JOIN mad USING (event_type) GROUP BY 1
+        FROM d JOIN mad USING (event_type)
+        WHERE (SELECT max(CASE WHEN cents IS NULL OR cents < 0 THEN error(
+                 'events_robust_z oracle: NULL/negative cents — mirrors the '
+                 'grouped_global_rank in-plan raise') ELSE 0 END)
+               FROM e) = 0
+        GROUP BY 1
     """
 
     # docs_lang_mix: the per-half stopword-ratio argmax replays as the
@@ -6844,6 +6875,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT rk.doc_id, rk.source, q.quota_src, q.n_source
         FROM rk JOIN q USING (source)
         WHERE rk.rn <= q.quota_src
+          AND (SELECT CASE WHEN (SELECT count(*) FROM documents) < 500
+                 THEN error('docs_proportional_sample oracle: total_n=500 '
+                            'exceeds population — mirrors the Spark in-plan '
+                            'overdraw raise')
+                 ELSE 0 END) = 0
     """
 
     # events_conversion_latency: the funnel s1/s2 total-order rule +
@@ -6874,6 +6910,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT q_pm, delta_ms AS q_delta_ms, nt::BIGINT AS n_total
         FROM r CROSS JOIN q
         WHERE rk = (q_pm * (nt - 1)) // 1000 + 1
+          AND (SELECT max(CASE WHEN delta_ms IS NULL OR delta_ms < 0
+                 THEN error('events_conversion_latency oracle: NULL/negative '
+                            'delta_ms — mirrors the bucketed_global_rank '
+                            'in-plan raise') ELSE 0 END)
+               FROM p) = 0
     """
 
     # events_concurrency: same gap>1800 merge as the sessionized

@@ -1871,8 +1871,16 @@ def benford_digit_audit(df: DataFrame, value_col: str) -> DataFrame:
     raise in-plan (their leading digit is undefined) — a corrupted feed
     fails loudly, which is the operator's whole job.
 
-    Returns (digit, n, obs_pm, exp_pm, dev_pm) — 9 rows, dev in signed
-    per-mille.
+    The expected table DRIVES the join (observed counts outer-joined onto
+    it, ``coalesce(n, 0)``), so a completely absent leading digit — the
+    strongest Benford violation the audit exists to catch — is reported
+    as ``obs_pm = 0`` rather than silently dropped (ADVICE r10: the
+    previous inner join made the worst violation invisible). The 9-row
+    contract in the docstring is therefore unconditional.
+
+    Returns (digit, n, obs_pm, exp_pm, dev_pm) — ALWAYS 9 rows, dev in
+    signed per-mille; an empty input yields n=0 / obs_pm=0 for every
+    digit (dev_pm = -exp_pm), the "everything is missing" rendering.
     """
     checked = (
         F.when(
@@ -1896,17 +1904,23 @@ def benford_digit_audit(df: DataFrame, value_col: str) -> DataFrame:
         sorted(BENFORD_PM.items()), "digit int, exp_pm long"
     )
     wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # expected table drives: agg has <= 9 rows post-aggregation, so the
+    # outer join is broadcast-tiny regardless of input scale; the window
+    # total runs over the joined 9-row table (coalesced zeros contribute
+    # nothing), never over the corpus.
+    obs_pm = F.expr(
+        "CASE WHEN _total = 0 THEN 0 ELSE (2 * n * 1000 + _total) div (2 * _total) END"
+    )
     return (
-        agg.withColumn("_total", F.sum("n").over(wtot))
-        .join(F.broadcast(exp), "digit")
+        exp.join(agg.hint("broadcast"), "digit", "left_outer")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0).cast("long")))
+        .withColumn("_total", F.sum("n").over(wtot))
         .select(
             "digit",
             "n",
-            F.expr("(2 * n * 1000 + _total) div (2 * _total)").alias("obs_pm"),
+            obs_pm.alias("obs_pm"),
             "exp_pm",
-            (
-                F.expr("(2 * n * 1000 + _total) div (2 * _total)") - F.col("exp_pm")
-            ).alias("dev_pm"),
+            (obs_pm - F.col("exp_pm")).alias("dev_pm"),
         )
     )
 

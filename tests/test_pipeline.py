@@ -1888,6 +1888,24 @@ class TestBenfordAudit:
             benford_digit_audit(df, "v").collect()
         assert "non-positive" in str(ei.value)
 
+    def test_absent_digit_reported_as_zero(self, spark):
+        """ADVICE r10: a completely absent leading digit — the strongest
+        Benford violation — must appear as n=0/obs_pm=0, not vanish.
+        The 9-row contract is unconditional."""
+        from mopso_engine.ext.pipeline import BENFORD_PM, benford_digit_audit
+
+        # every value leads with 1 or 2: digits 3..9 are absent
+        df = spark.createDataFrame([(10,), (12,), (25,), (2999,)], "v long")
+        rows = {r["digit"]: r for r in benford_digit_audit(df, "v").collect()}
+        assert sorted(rows) == list(range(1, 10))
+        for d in range(3, 10):
+            assert rows[d]["n"] == 0
+            assert rows[d]["obs_pm"] == 0
+            assert rows[d]["dev_pm"] == -BENFORD_PM[d]
+        assert rows[1]["n"] == 2 and rows[2]["n"] == 2
+        # obs_pm of the present digits: round-half-up of 2/4 in per-mille
+        assert rows[1]["obs_pm"] == 500 and rows[2]["obs_pm"] == 500
+
 
 class TestRendezvousShard:
     def test_matches_python_replay(self, spark):
