@@ -4666,120 +4666,123 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Registration order IS the driver's correctness-sweep order, and the
     # sweep runs under a time budget (it truncates around the 50th
-    # entry). ROTATION POLICY (VERDICT r5 #4): flagships first, then the
-    # queries whose CODE changed this round, then — STILL INSIDE the ~50
-    # window — a 14-name slice of the stale tail (the queries longest
-    # without a driver row, oldest-verified-first), so every query
-    # re-earns a driver row within ~3 rounds of 130. To make room, the
-    # lowest-risk new entries (literal SQL mirror twins and operators
-    # pinned transitively by an in-window sibling) sit just past the
-    # cutoff; all 130 are verified locally by tools/check_oracle.py
-    # (same compare as the driver) before each round ends.
+    # entry). ROTATION POLICY (VERDICT r5 #4, schedule format VERDICT r10
+    # #6): flagships first, then the queries that have NEVER earned a
+    # driver row, then — STILL INSIDE the 50 window — the stale tail
+    # oldest-verified-first. Every name below is annotated with the
+    # round its row was last earned (from CORRECTNESS_r{N}.json, green
+    # rows only), so the future schedule is readable off this comment:
+    # the past-cutoff blocks are ALREADY in rotation order and each
+    # round's slice is simply the next ~39 names after the flagships
+    # and that round's code-changed re-earners. All 228 are verified
+    # locally by tools/check_oracle.py (same compare as the driver,
+    # default + hostile sessions) before each round ends.
     for fn in (
         # ---- the 50-entry driver window, counted EXACTLY ----
-        # flagship: the full MOPSO fits with post-hoc relational oracles  (5)
+        # flagship: the full MOPSO fits with post-hoc relational
+        # oracles (5) — last earned r10, re-earn every round by policy
         mopso_fit, mopso_fit_only, mopso_fit_full, mopso_fit_lineitem,
         mopso_fit_lineitem_only,
-        # round-10 code-changed, re-earning driver rows: the two r9
-        # driver-red oracles fixed by the ::BIGINT casts (bm25_search,
-        # orders_target_encode — VERDICT r9 #1) plus hybrid_search which
-        # consumes the same rewritten bm25 CTE; mopso_fit_lsh after the
-        # knn_pairs_lsh codegen join rewrite (VERDICT r9 #5, output
-        # verified bit-identical); events_isotonic with the new in-plan
-        # negative-value guard and names_edit1 with the new oracle-side
-        # length guard (ADVICE r9)                                      (6)
-        bm25_search, orders_target_encode, hybrid_search, mopso_fit_lsh,
-        events_isotonic, names_edit1,
-        # rotation slice (the r9 registry comment's schedule, verbatim):
-        # the two r9 past-cutoff operators first, then the five names
-        # the session-3 operators displaced, then the TPC-H mirror
-        # twins, the orders/window suites, the ann/sketch block and the
-        # set-ops family — every entry here was green in the 214/214
-        # ORACLE_SWEEP_r09 and rotates back through a driver row now  (39)
-        orders_pareto_share, vocab_zipf,
-        events_windowed, events_stream, dedup_exact,
-        ann_topk, q5_local_supplier,
-        q7_volume_shipping, q8_market_share, q9_profit_shape,
-        q10_returned_items, q14_promo_share, q15_top_supplier,
-        q17_small_quantity, q19_or_of_ands,
-        q20_promo_suppliers, q4_priority, q13_custdist,
-        q16_supplier_variety, q22_idle_customers,
-        orders_window_suite, orders_range_window, orders_ranking_suite,
-        events_interval_join, events_sessions_native,
-        ann_ivf, ann_ivf_unlabeled, emb_neardup, multimodal_stats,
-        tfidf_terms, pmi_collocations, sketch_distinct_check,
-        sketch_quantile_check, big_orders, customers_without_orders,
-        active_custkeys_diff, active_custkeys_both,
-        active_custkeys_diff_all, events_pivot,
-        # Window = 5 fits + 6 code-changed + 39 rotation = 50.
-        # --- the 50-entry truncation lands exactly here ---
-        # next round's rotation slice starts here: the four r10-NEW
-        # operators lead (verified by targeted check_oracle runs + the
-        # r10 sweep; they rotate into the window first next round),
-        # then status_cube onward — the pivot/rollup/quantile readouts,
-        # the asof/scd2 family and the remaining dedup tail,
-        # oldest-verified-first. Every name below carries a green row
-        # in ORACLE_SWEEP_r09.txt or ORACLE_SWEEP_r10.txt, so nothing
-        # out-of-window lacks round-fresh verification.
+        # NEVER driver-verified, front-loaded (VERDICT r10 #1): the 12
+        # r10-born operators + assets_packed (r8-born, never rotated
+        # in). Seven of these also carry this round's ADVICE-r10
+        # oracle/impl fixes (benford right-join + NULL guard,
+        # fs_match IS NOT DISTINCT FROM + length guard, proportional
+        # overdraw mirror, four grouped-rank negative-key mirrors) (13)
         orders_woe_iv, lineitem_benford, docs_shard_manifest,
         docs_quality_qnorm, events_type_quantiles, docs_containment,
         customer_fs_match, events_robust_z, docs_lang_mix,
         docs_proportional_sample, events_conversion_latency,
-        events_concurrency,
-        status_cube,
-        value_quantiles, user_stats, q6_forecast, sales_rollup, events_asof,
-        dedup_jaccard_skewed_uncapped, dedup_jaccard, weighted_docs_sample,
-        events_interval_join_stream, hll_union_check, source_token_kl,
-        topk_sketch_check, dedup_incremental, stream_curate_docs,
-        repetition_stats, decontaminate, semdedup, events_scd2,
-        events_zvalue, quality_model_scores, docs_logppl, emb_outliers,
-        split_leakage_audit, corpus_profile, asset_phash, dedup_components,
-        pca_project, corpus_curation_v2, pq_topk, ann_ivfpq, knn_lsh_recall,
-        lloyd_kmeans, emb_covariance, events_asof_stream,
-        dedup_jaccard_capped, dedup_jaccard_skewed, corpus_curation,
-        lsh_candidates, simhash_fp, dedup_verified, simhash_neardup,
-        docs_sample, events_sessionized, text_stats, quality, lang_pred,
-        dedup_components_star, para_dup_stats,
-        docs_para_dedup, events_key_skew, source_mixture_temp,
-        docs_shuffled, heavy_hitters, stream_heavy_hitters, docs_pii,
-        pii_report, dup_span_stats, docs_despan, docs_packed,
-        q18_large_volume, q2_min_cost_supplier, q11_important_stock,
-        q12_priority_lines, q21_waiting_suppliers, events_props_extract,
-        docs_quota_sample, docs_split, docs_negative_pairs, docs_chunked,
-        source_mixture, pq_codes, q3_shipping_sql, repetition_stats_expr,
-        token_counts, fingerprints, points_ingest, feature_minmax,
-        minhash_sigs, count_and_k, assign_nearest, cluster_sizes,
-        dev_inertia, avg_dist_per_cluster, purity, accuracy,
-        # driver-green r08 (code unchanged since their rows) — rotated
-        # to the very back
-        docs_chunked_bpe, docs_html_extract, docs_blocklist,
-        stream_curate_docs_v3, events_resampled, events_resampled_li,
-        events_scd2_lookup, dedup_bloom_prefilter, docs_ppl_buckets,
-        emb_balanced_sample, stream_source_drift, training_epoch_mix,
-        dedup_prefix_filter, cross_source_dups, events_winsorized,
-        events_funnel, docs_gopher_full, events_transitions,
-        dedup_incremental_fuzzy, dedup_keep_best, supplier_pagerank,
-        ann_int8_recall, events_value_trend, emb_rp_project,
-        part_copurchase, part_triangles, ann_matryoshka_recall,
-        supplier_ppr, events_trending, codes_neardup, events_anomaly_days,
-        part_kcore, part_communities, emb_threshold_curve,
-        events_attribution, docs_length_hist, emb_centroid_matrix,
-        decontaminate_semantic, docs_bigram_logppl, assets_packed,
-        # driver-green r09 (code unchanged since their rows, minus the
-        # six re-earning names moved back into the window) — rotated to
-        # the very back, same policy as the r08-green block above
-        corpus_curation_v3, curation_funnel, docs_bpe_fertility,
-        bpe_token_counts, docs_packed_bpe, docs_fix_mojibake,
-        docs_snapshot_diff, stream_window_topk, docs_dsir_topk,
-        events_cms_topk, events_cuped, prox_search,
-        docs_quality_quantile, events_retention, customer_rfm,
-        supplier_bfs, vocab_growth, events_sessions_stream,
-        price_deciles, events_salted_join, stream_dedup_events,
-        events_hopping, events_cusum, events_srm, session_paths,
-        events_dau_wau, part_rules, orders_gap_hist, dbi, silhouette,
-        knn_top5, conn_objective, pareto_front, crowding, minmax_norm,
-        q1_pricing, q3_shipping, nation_revenue, top_parts,
-        order_priorities,
+        events_concurrency, assets_packed,
+        # stale-tail rotation, oldest-verified-first (32):
+        events_asof,                                      # last r2
+        dedup_jaccard, dedup_jaccard_skewed_uncapped,     # last r5
+        q6_forecast, sales_rollup, status_cube,           # last r5
+        user_stats, value_quantiles,                      # last r5
+        ann_ivfpq, asset_phash, corpus_curation,          # last r6
+        corpus_curation_v2, corpus_profile, decontaminate,    # last r6
+        dedup_components, dedup_incremental,              # last r6
+        dedup_jaccard_capped, dedup_jaccard_skewed,       # last r6
+        dedup_verified, docs_logppl, docs_sample,         # last r6
+        emb_covariance, emb_outliers, events_asof_stream,     # last r6
+        events_interval_join_stream, events_scd2,         # last r6
+        events_sessionized, events_zvalue, hll_union_check,   # last r6
+        knn_lsh_recall, lang_pred, lloyd_kmeans,          # last r6
+        # Window = 5 fits + 13 never-verified + 32 rotation = 50.
+        # --- the 50-entry truncation lands exactly here ---
+        # r12's rotation slice starts here: the rest of the r6 block,
+        # then the r7 block — each block alphabetical (the deterministic
+        # tie order), blocks ordered by last-earned round ascending.
+        lsh_candidates, pca_project, pq_topk, quality,    # last r6
+        quality_model_scores, repetition_stats, semdedup,     # last r6
+        simhash_fp, simhash_neardup, source_token_kl,     # last r6
+        split_leakage_audit, stream_curate_docs,          # last r6
+        text_stats, topk_sketch_check, weighted_docs_sample,  # last r6
+        accuracy, assign_nearest, avg_dist_per_cluster,   # last r7
+        cluster_sizes, count_and_k, decontaminate_semantic,   # last r7
+        dedup_components_star, dev_inertia,               # last r7
+        docs_bigram_logppl, docs_chunked, docs_despan,    # last r7
+        docs_negative_pairs, docs_packed, docs_para_dedup,    # last r7
+        docs_pii, docs_quota_sample, docs_shuffled,       # last r7
+        docs_split, dup_span_stats, events_key_skew,      # last r7
+        events_props_extract, feature_minmax, fingerprints,   # last r7
+        heavy_hitters, minhash_sigs, para_dup_stats,      # last r7
+        pii_report, points_ingest, pq_codes, purity,      # last r7
+        q2_min_cost_supplier, q3_shipping_sql,            # last r7
+        q11_important_stock, q12_priority_lines,          # last r7
+        q18_large_volume, q21_waiting_suppliers,          # last r7
+        repetition_stats_expr, source_mixture,            # last r7
+        source_mixture_temp, stream_heavy_hitters,        # last r7
+        token_counts,                                     # last r7
+        ann_int8_recall, ann_matryoshka_recall,           # last r8
+        codes_neardup, cross_source_dups,                 # last r8
+        dedup_bloom_prefilter, dedup_incremental_fuzzy,   # last r8
+        dedup_keep_best, dedup_prefix_filter,             # last r8
+        docs_blocklist, docs_chunked_bpe, docs_gopher_full,   # last r8
+        docs_html_extract, docs_length_hist,              # last r8
+        docs_ppl_buckets, emb_balanced_sample,            # last r8
+        emb_centroid_matrix, emb_rp_project,              # last r8
+        emb_threshold_curve, events_anomaly_days,         # last r8
+        events_attribution, events_funnel, events_resampled,  # last r8
+        events_resampled_li, events_scd2_lookup,          # last r8
+        events_transitions, events_trending,              # last r8
+        events_value_trend, events_winsorized,            # last r8
+        part_communities, part_copurchase, part_kcore,    # last r8
+        part_triangles, stream_curate_docs_v3,            # last r8
+        stream_source_drift, supplier_pagerank,           # last r8
+        supplier_ppr, training_epoch_mix,                 # last r8
+        bpe_token_counts, conn_objective,                 # last r9
+        corpus_curation_v3, crowding, curation_funnel,    # last r9
+        customer_rfm, dbi, docs_bpe_fertility,            # last r9
+        docs_dsir_topk, docs_fix_mojibake, docs_packed_bpe,   # last r9
+        docs_quality_quantile, docs_snapshot_diff,        # last r9
+        events_cms_topk, events_cuped, events_cusum,      # last r9
+        events_dau_wau, events_hopping, events_retention,     # last r9
+        events_salted_join, events_sessions_stream,       # last r9
+        events_srm, knn_top5, minmax_norm, nation_revenue,    # last r9
+        order_priorities, orders_gap_hist, pareto_front,      # last r9
+        part_rules, price_deciles, prox_search, q1_pricing,   # last r9
+        q3_shipping, session_paths, silhouette,           # last r9
+        stream_dedup_events, stream_window_topk,          # last r9
+        supplier_bfs, top_parts, vocab_growth,            # last r9
+        active_custkeys_both, active_custkeys_diff,       # last r10
+        active_custkeys_diff_all, ann_ivf,                # last r10
+        ann_ivf_unlabeled, ann_topk, big_orders,          # last r10
+        bm25_search, customers_without_orders, dedup_exact,   # last r10
+        emb_neardup, events_interval_join, events_isotonic,   # last r10
+        events_pivot, events_sessions_native, events_stream,  # last r10
+        events_windowed, hybrid_search, mopso_fit_lsh,    # last r10
+        multimodal_stats, names_edit1, orders_pareto_share,   # last r10
+        orders_range_window, orders_ranking_suite,        # last r10
+        orders_target_encode, orders_window_suite,        # last r10
+        pmi_collocations, q4_priority, q5_local_supplier,     # last r10
+        q7_volume_shipping, q8_market_share, q9_profit_shape,  # last r10
+        q10_returned_items, q13_custdist, q14_promo_share,    # last r10
+        q15_top_supplier, q16_supplier_variety,           # last r10
+        q17_small_quantity, q19_or_of_ands,               # last r10
+        q20_promo_suppliers, q22_idle_customers,          # last r10
+        sketch_distinct_check, sketch_quantile_check,     # last r10
+        tfidf_terms, vocab_zipf,                          # last r10
     ):
         q[fn.__name__] = fn
     return q

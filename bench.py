@@ -511,6 +511,21 @@ def main() -> None:
     errors: dict[str, str] = {}
     retries: dict[str, dict] = {}
     calib_track: list[dict] = []
+    # setup/iter-loop decomposition of every fit attempt (VERDICT r10
+    # #3): lets the artifact self-adjudicate a slow fit entry — setup
+    # inflated while sec/iter stays flat = per-job fixed-cost (launch/
+    # IO) noise; sec/iter inflated = a real kernel regression. The
+    # engine-side walls exclude the query wrapper's own read/rescore
+    # work, so phases sum to slightly less than the entry timing.
+    from mopso_engine.engine import LAST_FIT_PHASES
+
+    fit_phase_attempts: dict[str, list] = {}
+
+    def note_fit_phases(name: str, t: float) -> None:
+        if name.startswith("mopso_fit") and LAST_FIT_PHASES:
+            fit_phase_attempts.setdefault(name, []).append(
+                (t, dict(LAST_FIT_PHASES))
+            )
 
     def run_once(name: str) -> float:
         t0 = time.time()
@@ -537,6 +552,7 @@ def main() -> None:
         # because the 11th query aborted the loop
         try:
             t = run_once(name)
+            note_fit_phases(name, t)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
@@ -582,6 +598,7 @@ def main() -> None:
             for _ in range(MAX_RETRIES):
                 try:
                     attempts.append(run_once(name))
+                    note_fit_phases(name, attempts[-1])
                 except Exception as exc:  # noqa: BLE001
                     # the FIRST attempt succeeded, so the entry keeps its
                     # best timing; the flaky retry is recorded HERE, not
@@ -654,6 +671,22 @@ def main() -> None:
         # per-iteration driver-loop cost of the reference-budget fit
         # (includes its one-off kNN precompute + post-hoc rescore)
         out["fit_full_sec_per_iter"] = round(timings["mopso_fit_full"] / FIT_FULL_ITERS, 3)
+    if fit_phase_attempts:
+        # best (= fastest) attempt's engine-side phase walls per fit
+        # entry, + the lineitem pair's headline decomposition (VERDICT
+        # r10 #3: this pair tripped the retry net three rounds running
+        # on setup-side host drift; now the artifact separates the
+        # verdict itself)
+        out["fit_phases"] = {
+            n2: min(lst, key=lambda x: x[0])[1]
+            for n2, lst in sorted(fit_phase_attempts.items())
+        }
+        ph = out["fit_phases"].get("mopso_fit_lineitem_only")
+        if ph and ph.get("n_iters_run"):
+            out["fit_lineitem_setup_sec"] = ph["setup"]
+            out["fit_lineitem_sec_per_iter"] = round(
+                ph["iter_loop"] / ph["n_iters_run"], 3
+            )
     # durable artifact (VERDICT r7 #1): two consecutive driver captures
     # kept only a 2000-char stdout tail (parsed: null), so the full JSON
     # is ALSO written to disk — atomic replace so a crashed run never

@@ -53,6 +53,14 @@ class MopsoResult:
     #: rescorer can rebuild the layout, and with it the partition-local
     #: neighbor sets, exactly; None = caller's layout was kept
     layout_partitions: int | None = None
+    #: wall-clock decomposition of the fit (VERDICT r10 #3): "setup" =
+    #: stats + sample + layout + kNN persist + init fitness (the one-off
+    #: per-job fixed costs), "iter_loop" = the driver-looped fitness
+    #: passes, "finalize" = best-selection + normalization, plus
+    #: "n_iters_run". Lets a bench artifact self-adjudicate a slow fit:
+    #: per-iteration flat + setup inflated = launch-overhead/IO noise,
+    #: per-iteration inflated = a real kernel regression.
+    phase_sec: dict = field(default_factory=dict)
 
     def archive_df(self, spark) -> DataFrame:
         """The Pareto front as a DataFrame(solution, dev, conn, dev_norm, conn_norm)."""
@@ -61,6 +69,13 @@ class MopsoResult:
             for i, (f, nf) in enumerate(zip(self.archive_fitness, self.archive_fitness_normalized))
         ]
         return spark.createDataFrame(rows, "solution int, dev double, conn double, dev_norm double, conn_norm double")
+
+
+# Phase telemetry of the most recent fit() in this process — read by
+# bench.py right after timing a fit entry so the artifact records the
+# setup/per-iteration decomposition without threading the MopsoResult
+# through the generic query interface (which returns DataFrames).
+LAST_FIT_PHASES: dict = {}
 
 
 class MopsoEngine:
@@ -308,6 +323,7 @@ class MopsoEngine:
         last_iter = cfg.iter_max if stop_after is None else min(int(stop_after), cfg.iter_max)
         if stop_after is not None and checkpoint_dir is None:
             raise ValueError("stop_after without checkpoint_dir would lose the fit state")
+        t_setup_end = time.time()
         prev_front: bytes | None = None
         stable_iters = 0
         if resume:
@@ -361,6 +377,7 @@ class MopsoEngine:
                 last_iter = iteration
                 break
 
+        t_loop_end = time.time()
         front = archive.fitness_matrix()
         norm = normalize_fitness(front)
         if cfg.select_best == "silhouette":
@@ -378,6 +395,15 @@ class MopsoEngine:
 
         nbr.unpersist()
         pts.unpersist()
+        t_end = time.time()
+        phases = {
+            "setup": round(t_setup_end - t0, 3),
+            "iter_loop": round(t_loop_end - t_setup_end, 3),
+            "finalize": round(t_end - t_loop_end, 3),
+            "n_iters_run": max(0, last_iter - start_iter + 1),
+        }
+        LAST_FIT_PHASES.clear()
+        LAST_FIT_PHASES.update(phases)
         return MopsoResult(
             archive_positions=[e.position for e in archive.entries],
             archive_fitness=front,
@@ -388,10 +414,11 @@ class MopsoEngine:
             n_features=d,
             k=k,
             iterations=last_iter,
-            wall_clock_sec=time.time() - t0,
+            wall_clock_sec=t_end - t0,
             history=history,
             knn_mode_used=knn_mode,
             layout_partitions=layout_partitions,
+            phase_sec=phases,
         )
 
     def evaluate(self, points: DataFrame, result: MopsoResult) -> dict:

@@ -1485,6 +1485,50 @@ class TestBucketedGlobalRank:
             got = {r["id"]: (r["global_rank"], r["n_total"]) for r in out.collect()}
             assert got == want, f"shift={shift}"
 
+    def test_bucket_shift_restores_balance_on_planted_skew(self, spark):
+        """VERDICT r10 #5: the docstring's skew contract, exercised.
+        Plant 90% of keys in [0, 256) — under bucket_shift=8 every hot
+        key lands in bucket 0, degenerating the bucket-keyed window into
+        the single-partition sort the operator exists to avoid. The
+        documented lever (drop the shift so the hot range fans out over
+        more buckets) must (a) restore balance on the EXACT expression
+        the exchange partitions by, and (b) leave values identical to
+        the plain global row_number in both configurations."""
+        import random
+
+        from mopso_engine.ext.pipeline import bucketed_global_rank
+
+        random.seed(11)
+        n = 4000
+        rows = [(i, random.randrange(0, 256)) for i in range(int(n * 0.9))]
+        rows += [
+            (len(rows) + j, random.randrange(256, 1 << 20))
+            for j in range(n - len(rows))
+        ]
+        df = spark.createDataFrame(rows, "id long, key long").repartition(16)
+
+        def hottest_share(shift: int) -> float:
+            occ = (
+                df.groupBy(F.shiftrightunsigned("key", shift).alias("b"))
+                .count()
+                .collect()
+            )
+            return max(r["count"] for r in occ) / n
+
+        # pathological: one bucket holds (at least) the whole hot range
+        assert hottest_share(8) >= 0.9
+        # the documented fix: shift=2 fans [0,256) over 64 buckets
+        assert hottest_share(2) <= 0.05
+
+        want = {
+            i: (rk + 1, len(rows))
+            for rk, (k, i) in enumerate(sorted((k, i) for i, k in rows))
+        }
+        for shift in (8, 2):
+            out = bucketed_global_rank(df, "key", tiebreak="id", bucket_shift=shift)
+            got = {r["id"]: (r["global_rank"], r["n_total"]) for r in out.collect()}
+            assert got == want, f"shift={shift}"
+
     def test_guards(self, spark):
         from py4j.protocol import Py4JJavaError
 
