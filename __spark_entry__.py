@@ -4544,6 +4544,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             assets_from_documents(read_table(spark, sf, "documents")), bits=16
         )
 
+    def docs_observed_quality(spark, sf):
+        """Zero-extra-scan pipeline telemetry (`ext.observe.observed`):
+        the curation counters (rows, null/empty texts, whitespace
+        tokens, short docs) ride the SAME action that evaluates the
+        keep-gate — `df.observe` attaches accumulator-backed
+        CollectMetrics to the plan, so a 100 TB curation job learns its
+        drop-rate numerator AND denominator for exactly one corpus
+        scan (no second pass, exact under task retries). The one
+        action here is the survivor count; the observation then reads
+        back driver-side and re-enters the engine as a 1-row literal —
+        the oracle recomputes every counter relationally, so the
+        accumulator path is VALUE-verified against plain SQL."""
+        from mopso_engine.ext.observe import observed
+
+        docs = read_table(spark, sf, "documents")
+        obs_df, obs = observed(docs)
+        t = F.col("text")
+        kept = obs_df.where(
+            t.isNotNull()
+            & (F.length(t) > 0)
+            & (F.size(F.split(F.trim(t), r"\s+")) >= 5)
+        )
+        n_kept = kept.count()  # the ONE action — counters fill as it runs
+        m = obs.get
+        return spark.createDataFrame(
+            [
+                (
+                    int(m["rows"]),
+                    int(m["null_or_empty"]),
+                    int(m["tokens"]),
+                    int(m["short_docs"]),
+                    int(n_kept),
+                )
+            ],
+            "n_rows long, null_or_empty long, tokens long, "
+            "short_docs long, n_kept long",
+        )
+
+    def lineitem_compact_roundtrip(spark, sf):
+        """Small-files compaction as a declared, oracle-verified
+        maintenance pass (`io.compact_parquet`): rewrites the lineitem
+        parquet into ⌈filesystem-bytes / target⌉ evenly-sized files (a
+        repartition(n) write — at 100 TB the task-per-file scheduling
+        + footer reads of a 100k-file streaming-sink table dominate
+        scan time, and FILESYSTEM bytes, not row estimates, are what
+        layout should balance). The query then reads the COMPACTED
+        copy back and folds it to the per-returnflag (count, exact
+        cents sum) table; the oracle computes the same from the
+        original — value equality proves the rewrite moved every row
+        and corrupted none. Writes under the system temp dir (mode
+        overwrite, idempotent), never the source."""
+        import tempfile
+
+        from mopso_engine.io import compact_parquet
+
+        dst = os.path.join(
+            tempfile.gettempdir(),
+            f"mopso_compact_lineitem_{os.path.basename(sf.rstrip('/'))}",
+        )
+        compact_parquet(
+            spark, os.path.join(sf, "lineitem.parquet"), dst, target_file_mb=64
+        )
+        return (
+            spark.read.parquet(dst)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)")
+                ).alias("cents"),
+            )
+        )
+
     # ---- the full algorithm + post-hoc relational oracle --------------------
     def mopso_fit(spark, sf):
         """End-to-end seeded MOPSO fit (tiny budget), post-hoc verified:
@@ -4707,12 +4780,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb_covariance, emb_outliers, events_asof_stream,     # last r6
         events_interval_join_stream, events_scd2,         # last r6
         events_sessionized, events_zvalue, hll_union_check,   # last r6
-        knn_lsh_recall, lang_pred, lloyd_kmeans,          # last r6
-        # Window = 5 fits + 13 never-verified + 32 rotation = 50.
+        knn_lsh_recall,                                   # last r6
+        # r11-NEW, in-window so they never join the never-verified debt
+        # (VERDICT r10 #7: the observe/compaction serving-ops seams)
+        docs_observed_quality, lineitem_compact_roundtrip,
+        # Window = 5 fits + 13 never-verified + 30 rotation + 2 new = 50.
         # --- the 50-entry truncation lands exactly here ---
-        # r12's rotation slice starts here: the rest of the r6 block,
-        # then the r7 block — each block alphabetical (the deterministic
-        # tie order), blocks ordered by last-earned round ascending.
+        # r12's rotation slice starts here: the two r6 names the new
+        # entries displaced, the rest of the r6 block, then the r7
+        # block — each block alphabetical (the deterministic tie
+        # order), blocks ordered by last-earned round ascending.
+        lang_pred, lloyd_kmeans,                          # last r6
         lsh_candidates, pca_project, pq_topk, quality,    # last r6
         quality_model_scores, repetition_stats, semdedup,     # last r6
         simhash_fp, simhash_neardup, source_token_kl,     # last r6
@@ -6714,6 +6792,35 @@ def oracle_sql() -> dict[str, str]:
         FROM inter JOIN sz sa ON sa.doc_id = doc_a
                     JOIN sz sb ON sb.doc_id = doc_b
         WHERE 1000 * n_inter >= 800 * least(sa.n, sb.n)
+    """
+
+    # docs_observed_quality: every accumulator-backed counter recomputed
+    # relationally — the observe/CollectMetrics path must equal plain
+    # aggregation over the same corpus scan.
+    o["docs_observed_quality"] = r"""
+        WITH toks AS (
+          SELECT text, string_split_regex(trim(text), '\s+') AS t
+          FROM documents)
+        SELECT count(*)::BIGINT AS n_rows,
+               sum(CASE WHEN text IS NULL OR len(text) = 0
+                        THEN 1 ELSE 0 END)::BIGINT AS null_or_empty,
+               sum(CASE WHEN text IS NOT NULL THEN len(t)
+                        ELSE 0 END)::BIGINT AS tokens,
+               sum(CASE WHEN text IS NOT NULL AND len(t) < 5
+                        THEN 1 ELSE 0 END)::BIGINT AS short_docs,
+               sum(CASE WHEN text IS NOT NULL AND len(text) > 0
+                             AND len(t) >= 5
+                        THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        FROM toks
+    """
+
+    # lineitem_compact_roundtrip: the oracle reads the ORIGINAL table —
+    # equality proves the compacted rewrite moved every row intact.
+    o["lineitem_compact_roundtrip"] = """
+        SELECT l_returnflag, count(*)::BIGINT AS n,
+               sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::BIGINT
+                 AS cents
+        FROM lineitem GROUP BY 1
     """
 
     # customer_fs_match: the names_edit1 neighborhood replay + two

@@ -221,6 +221,11 @@ BENCH_QUERIES = [
     "docs_proportional_sample",
     "events_conversion_latency",
     "events_concurrency",
+    # round-11: zero-extra-scan observe counters (CollectMetrics riding
+    # the gate's own action) and the small-files compaction roundtrip
+    # (filesystem-byte-sized repartition write + integrity read-back)
+    "docs_observed_quality",
+    "lineitem_compact_roundtrip",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -379,6 +384,9 @@ ANCHOR_R08 = {
     # fourth r10 batch (cold/warm: 4.3/1.3, 5.2/2.1, 1.7/1.0)
     "docs_proportional_sample": 1.8, "events_conversion_latency": 2.5,
     "events_concurrency": 1.2,
+    # r11-new (cold/warm: 4.4/1.4, 3.6/1.8 — the roundtrip rewrites the
+    # 170MB lineitem parquet every run, so its floor is a real write)
+    "docs_observed_quality": 2.0, "lineitem_compact_roundtrip": 2.5,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

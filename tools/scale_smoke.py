@@ -95,6 +95,21 @@ def build_corpus_x100(spark, tables: set[str]) -> None:
             d = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000))
             scaled = d if scaled is None else scaled.unionByName(d)
         scaled.repartition(64).write.parquet(os.path.join(OUT100, "lineitem.parquet"))
+    if "orders" in tables:
+        # same re-keying as the x10 build: orderkey offsets MATCH the
+        # lineitem replicas (the join keeps working) and custkeys get
+        # their own per-replica blocks, so the purchase graph really
+        # grows 100x nodes/edges (suppliers become 100x-degree hubs —
+        # the skew the per-iteration map-side combine must absorb).
+        # Custkey blocks stay under the +1e9 supplier offset.
+        orders = spark.read.parquet(os.path.join(SRC, "orders.parquet"))
+        scaled = None
+        for i in range(100):
+            d = orders.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * 100_000_000)
+            ).withColumn("o_custkey", F.col("o_custkey") + F.lit(i * 10_000_000))
+            scaled = d if scaled is None else scaled.unionByName(d)
+        scaled.repartition(16).write.parquet(os.path.join(OUT100, "orders.parquet"))
 
 
 def main_x100(names: list[str]) -> None:
@@ -115,6 +130,9 @@ def main_x100(names: list[str]) -> None:
         "price_deciles": {"lineitem"},
         "corpus_curation_v2": {"documents"},
         "dedup_verified": {"documents"},
+        # iterative-loop workload (VERDICT r10 #4): the claim is constant
+        # per-round stage count + linear shuffle through x100 edges
+        "supplier_pagerank": {"lineitem", "orders"},
     }
     needed = set()
     for n in names:
