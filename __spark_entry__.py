@@ -4617,6 +4617,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def docs_contract_audit(spark, sf):
+        """Row-level data-contract audit (`ext.audit.contract_audit`):
+        three declared invariants over documents (stored n_chars equals
+        len(text); lang inside the supported set; text non-empty) plus
+        the doc_id uniqueness contract, folded per source — the
+        Great-Expectations-style publish gate as ONE map-side-flag
+        aggregate (adding a contract adds a sum, never a pass; a
+        NULL-evaluating contract counts as VIOLATED, so the audit
+        fails loud instead of absolving by NULL)."""
+        from mopso_engine.ext.audit import contract_audit
+
+        docs = read_table(spark, sf, "documents")
+        return contract_audit(
+            docs,
+            "source",
+            [
+                ("chars", F.col("n_chars") != F.length("text")),
+                ("lang", ~F.col("lang").isin("de", "en", "es", "fr", "zh")),
+                ("empty", F.length("text") == 0),
+            ],
+            key_col="doc_id",
+        )
+
+    def tpch_ref_integrity(spark, sf):
+        """Referential-integrity audit (`ext.audit.referential_audit`)
+        over the warehouse's five foreign keys — orphan COUNTS per
+        constraint via left-anti joins (orphan rows never materialize;
+        small parents broadcast, NULL FKs counted as orphans since an
+        anti-join would silently pass them). The before-publish check
+        that catches silent join loss downstream."""
+        from mopso_engine.ext.audit import referential_audit
+
+        li = read_table(spark, sf, "lineitem")
+        orders = read_table(spark, sf, "orders")
+        return referential_audit(
+            [
+                ("customer_nation", read_table(spark, sf, "customer"),
+                 "c_nationkey", read_table(spark, sf, "nation"), "n_nationkey"),
+                ("lineitem_orders", li, "l_orderkey", orders, "o_orderkey"),
+                ("lineitem_part", li, "l_partkey",
+                 read_table(spark, sf, "part"), "p_partkey"),
+                ("lineitem_supplier", li, "l_suppkey",
+                 read_table(spark, sf, "supplier"), "s_suppkey"),
+                ("orders_customer", orders, "o_custkey",
+                 read_table(spark, sf, "customer"), "c_custkey"),
+            ]
+        ).withColumnRenamed("constraint", "fk")
+
+    def events_freshness(spark, sf):
+        """Per-stream freshness audit (`ext.audit.freshness_audit`):
+        each event type's newest epoch second, its lag behind the
+        corpus frontier, and its trailing-24h row count — the
+        stalled-source detector (dead feeds keep healthy TOTALS; lag +
+        an empty trailing window expose them). One broadcast of the
+        1-row frontier + ONE map-side-combined type aggregate; exact
+        integer epochs; NULL timestamps raise in-plan (oracle error()
+        mirror)."""
+        from mopso_engine.ext.audit import freshness_audit
+        from mopso_engine.ext.streaming import read_events
+
+        return freshness_audit(
+            read_events(spark, os.path.join(sf, "events.parquet")),
+            "event_type",
+            "ts",
+        )
+
     # ---- the full algorithm + post-hoc relational oracle --------------------
     def mopso_fit(spark, sf):
         """End-to-end seeded MOPSO fit (tiny budget), post-hoc verified:
@@ -4779,17 +4845,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_verified, docs_logppl, docs_sample,         # last r6
         emb_covariance, emb_outliers, events_asof_stream,     # last r6
         events_interval_join_stream, events_scd2,         # last r6
-        events_sessionized, events_zvalue, hll_union_check,   # last r6
-        knn_lsh_recall,                                   # last r6
+        events_sessionized,                               # last r6
         # r11-NEW, in-window so they never join the never-verified debt
-        # (VERDICT r10 #7: the observe/compaction serving-ops seams)
+        # (VERDICT r10 #7: the observe/compaction serving-ops seams +
+        # the pipeline-health audit trio they round out)
         docs_observed_quality, lineitem_compact_roundtrip,
-        # Window = 5 fits + 13 never-verified + 30 rotation + 2 new = 50.
+        docs_contract_audit, tpch_ref_integrity, events_freshness,
+        # Window = 5 fits + 13 never-verified + 27 rotation + 5 new = 50.
         # --- the 50-entry truncation lands exactly here ---
-        # r12's rotation slice starts here: the two r6 names the new
+        # r12's rotation slice starts here: the five r6 names the new
         # entries displaced, the rest of the r6 block, then the r7
         # block — each block alphabetical (the deterministic tie
         # order), blocks ordered by last-earned round ascending.
+        events_zvalue, hll_union_check, knn_lsh_recall,   # last r6
         lang_pred, lloyd_kmeans,                          # last r6
         lsh_candidates, pca_project, pq_topk, quality,    # last r6
         quality_model_scores, repetition_stats, semdedup,     # last r6
@@ -6821,6 +6889,68 @@ def oracle_sql() -> dict[str, str]:
                sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::BIGINT
                  AS cents
         FROM lineitem GROUP BY 1
+    """
+
+    # docs_contract_audit: every flag replays as the identical
+    # coalesce(cond, TRUE) CASE — NULL evaluations count as violations
+    # in both engines by construction.
+    o["docs_contract_audit"] = """
+        SELECT source, count(*)::BIGINT AS n_rows,
+               (count(*) - count(DISTINCT doc_id))::BIGINT AS n_dup_keys,
+               sum(CASE WHEN coalesce(n_chars <> len(text), TRUE)
+                        THEN 1 ELSE 0 END)::BIGINT AS viol_chars,
+               sum(CASE WHEN coalesce(lang NOT IN ('de','en','es','fr','zh'),
+                                      TRUE)
+                        THEN 1 ELSE 0 END)::BIGINT AS viol_lang,
+               sum(CASE WHEN coalesce(len(text) = 0, TRUE)
+                        THEN 1 ELSE 0 END)::BIGINT AS viol_empty
+        FROM documents GROUP BY 1
+    """
+
+    # tpch_ref_integrity: orphans = NULL FKs + non-null keys absent from
+    # the (non-null) parent key set — the NOT IN subqueries restrict
+    # both sides to non-null exactly as the Spark anti-join path does.
+    def _ri(name: str, child: str, ck: str, parent: str, pk: str) -> str:
+        return f"""
+        SELECT '{name}' AS fk,
+               (SELECT count(*) FROM {child})::BIGINT AS n_child,
+               ((SELECT count(*) FROM {child} WHERE {ck} IS NULL)
+                + (SELECT count(*) FROM {child}
+                   WHERE {ck} IS NOT NULL AND {ck} NOT IN
+                     (SELECT {pk} FROM {parent} WHERE {pk} IS NOT NULL))
+               )::BIGINT AS n_orphans"""
+
+    o["tpch_ref_integrity"] = (
+        " UNION ALL ".join(
+            [
+                _ri("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+                _ri("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+                _ri("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+                _ri("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+                _ri("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+            ]
+        )
+        + " ORDER BY fk"
+    )
+
+    # events_freshness: the broadcast frontier replays as a 1-row CTE;
+    # epochs are the exact integer floor both engines share; the NULL-ts
+    # error() mirrors the Spark in-plan raise.
+    o["events_freshness"] = """
+        WITH e AS (SELECT event_type AS stream,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS ep
+                   FROM events),
+        f AS (SELECT max(ep) AS front FROM e)
+        SELECT stream, count(*)::BIGINT AS n_rows,
+               max(ep)::BIGINT AS max_epoch_s,
+               (max(f.front) - max(ep))::BIGINT AS lag_s,
+               sum(CASE WHEN ep > f.front - 86400
+                        THEN 1 ELSE 0 END)::BIGINT AS n_trailing
+        FROM e CROSS JOIN f
+        WHERE (SELECT max(CASE WHEN ts IS NULL THEN error(
+                 'events_freshness oracle: NULL ts — mirrors the Spark '
+                 'in-plan raise') ELSE 0 END) FROM events) = 0
+        GROUP BY 1
     """
 
     # customer_fs_match: the names_edit1 neighborhood replay + two

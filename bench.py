@@ -226,6 +226,12 @@ BENCH_QUERIES = [
     # (filesystem-byte-sized repartition write + integrity read-back)
     "docs_observed_quality",
     "lineitem_compact_roundtrip",
+    # round-11: the pipeline-health audit trio — contract flags in one
+    # aggregate, FK orphan counts via anti-joins, frontier-broadcast
+    # freshness lags
+    "docs_contract_audit",
+    "tpch_ref_integrity",
+    "events_freshness",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -387,6 +393,9 @@ ANCHOR_R08 = {
     # r11-new (cold/warm: 4.4/1.4, 3.6/1.8 — the roundtrip rewrites the
     # 170MB lineitem parquet every run, so its floor is a real write)
     "docs_observed_quality": 2.0, "lineitem_compact_roundtrip": 2.5,
+    # r11 audit trio (cold/warm: 2.8/0.6, 4.2/1.8, 1.0/0.5)
+    "docs_contract_audit": 0.9, "tpch_ref_integrity": 2.2,
+    "events_freshness": 0.7,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

@@ -795,6 +795,27 @@ COMMENTS = {
     "map-side-combined returnflag aggregate); the oracle computes the "
     "same from the original, so value equality proves the rewrite "
     "moved every row intact.",
+    "docs_contract_audit": "Data-contract publish gate (r11): every "
+    "declared invariant (n_chars==len(text), lang in set, non-empty "
+    "text, doc_id uniqueness) compiles to a map-side flag inside ONE "
+    "per-source aggregate — no Join in the plan, adding a contract "
+    "adds a sum, never a pass; NULL evaluations count as violations "
+    "(coalesce(cond, TRUE)) so an unevaluable contract accuses "
+    "instead of absolving.",
+    "tpch_ref_integrity": "Referential-integrity audit (r11): five "
+    "(child → parent) foreign keys, each an anti-join COUNT — orphan "
+    "rows never materialize, parents are key-pruned + distinct'd and "
+    "broadcast where small, and NULL FKs are counted explicitly as "
+    "orphans (the anti-join alone would pass them silently). The "
+    "before-publish check that catches silent downstream join loss.",
+    "events_freshness": "Per-stream freshness audit (r11): the 1-row "
+    "corpus frontier broadcasts back onto the scan (the decayed_topk "
+    "pattern) so the trailing-24h flag is map-side, and everything — "
+    "count, newest epoch, trailing count — folds in ONE map-side-"
+    "combined per-type aggregate; lag is exact integer epoch "
+    "subtraction; NULL timestamps raise in-plan (oracle error() "
+    "mirror). Dead feeds keep healthy totals; lag + an empty trailing "
+    "window expose them.",
 }
 
 
