@@ -4643,10 +4643,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def tpch_ref_integrity(spark, sf):
         """Referential-integrity audit (`ext.audit.referential_audit`)
         over the warehouse's five foreign keys — orphan COUNTS per
-        constraint via left-anti joins (orphan rows never materialize;
-        small parents broadcast, NULL FKs counted as orphans since an
-        anti-join would silently pass them). The before-publish check
-        that catches silent join loss downstream."""
+        constraint, each ONE child pass: a left-outer probe against
+        the distinct'd parent keys folded straight into a (count,
+        orphan-flag sum) aggregate (orphan rows never materialize;
+        small parents broadcast; NULL FKs flag as orphans since a
+        match-based probe alone would pass them silently). The
+        before-publish check that catches silent join loss
+        downstream."""
         from mopso_engine.ext.audit import referential_audit
 
         li = read_table(spark, sf, "lineitem")

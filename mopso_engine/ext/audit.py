@@ -74,12 +74,14 @@ def referential_audit(
     detector a warehouse runs before every snapshot publish.
 
     Each entry is (name, child_df, child_key, parent_df, parent_key).
-    Movement per constraint: one left-anti join COUNT (orphans are
-    never materialized; Catalyst broadcasts small parents and AQE
-    handles the rest — the child side is scanned once per constraint,
-    column-pruned to the key). NULL child keys count as orphans (a
-    NULL FK references nothing; anti-join would pass it silently, so
-    it is counted explicitly via the same flag aggregate).
+    Movement per constraint: ONE pass over the child (column-pruned to
+    the key) — a left-outer probe against the distinct'd parent keys
+    (Catalyst broadcasts small parents, AQE handles the rest) folded
+    straight into a (count, orphan-flag sum) aggregate, so orphan rows
+    never materialize and the child is scanned exactly once. NULL
+    child keys count as orphans (a NULL FK references nothing; a
+    match-based probe alone would pass them silently, so the flag
+    counts no-hit OR null-key).
 
     Returns (constraint, n_child, n_orphans) — one row per entry, in
     the given order made deterministic by sorting on constraint name.
@@ -89,23 +91,26 @@ def referential_audit(
     outs = []
     for name, child, ckey, parent, pkey in pairs:
         keys = child.select(F.col(ckey).alias("_fk"))
-        pk = parent.select(F.col(pkey).alias("_pk")).distinct()
-        nulls_and_total = keys.agg(
-            F.count(F.lit(1)).alias("n_child"),
-            F.sum(F.when(F.col("_fk").isNull(), 1).otherwise(0)).alias("n_null"),
-        )
-        orphans = (
-            keys.where(F.col("_fk").isNotNull())
-            .join(pk, F.col("_fk") == F.col("_pk"), "left_anti")
-            .agg(F.count(F.lit(1)).alias("n_orphan_nonnull"))
+        pk = (
+            parent.select(F.col(pkey).alias("_pk"))
+            .where(F.col("_pk").isNotNull())
+            .distinct()
+            .withColumn("_hit", F.lit(1))
         )
         outs.append(
-            nulls_and_total.crossJoin(orphans).select(
+            keys.join(pk, F.col("_fk") == F.col("_pk"), "left_outer")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(
+                    F.when(
+                        F.col("_fk").isNull() | F.col("_hit").isNull(), 1
+                    ).otherwise(0)
+                ).alias("n_orphans"),
+            )
+            .select(
                 F.lit(name).alias("constraint"),
                 F.col("n_child").cast("long").alias("n_child"),
-                (F.col("n_orphan_nonnull") + F.col("n_null"))
-                .cast("long")
-                .alias("n_orphans"),
+                F.col("n_orphans").cast("long").alias("n_orphans"),
             )
         )
     res = outs[0]

@@ -803,11 +803,14 @@ COMMENTS = {
     "(coalesce(cond, TRUE)) so an unevaluable contract accuses "
     "instead of absolving.",
     "tpch_ref_integrity": "Referential-integrity audit (r11): five "
-    "(child → parent) foreign keys, each an anti-join COUNT — orphan "
-    "rows never materialize, parents are key-pruned + distinct'd and "
-    "broadcast where small, and NULL FKs are counted explicitly as "
-    "orphans (the anti-join alone would pass them silently). The "
-    "before-publish check that catches silent downstream join loss.",
+    "(child → parent) foreign keys, each ONE child pass — a "
+    "left-outer probe against the distinct'd parent keys folded "
+    "straight into a (count, orphan-flag sum) aggregate, so orphan "
+    "rows never materialize and the child is scanned exactly once; "
+    "parents are key-pruned and broadcast where small; NULL FKs flag "
+    "as orphans (a match-based probe alone would pass them "
+    "silently). The before-publish check that catches silent "
+    "downstream join loss.",
     "events_freshness": "Per-stream freshness audit (r11): the 1-row "
     "corpus frontier broadcasts back onto the scan (the decayed_topk "
     "pattern) so the trailing-24h flag is map-side, and everything — "
