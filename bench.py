@@ -232,6 +232,12 @@ BENCH_QUERIES = [
     "docs_contract_audit",
     "tpch_ref_integrity",
     "events_freshness",
+    # round-11 late batch: forward as-of (reversed-order same plan),
+    # incremental rollup maintenance (partial-agg merge == full
+    # recompute), native GROUPING SETS (one Expand pass)
+    "events_asof_forward",
+    "orders_incremental_rollup",
+    "orders_grouping_sets",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -396,6 +402,9 @@ ANCHOR_R08 = {
     # r11 audit trio (cold/warm: 2.8/0.6, 4.2/1.8, 1.0/0.5)
     "docs_contract_audit": 0.9, "tpch_ref_integrity": 2.2,
     "events_freshness": 0.7,
+    # r11 late batch (cold/warm: 2.8/0.8, 1.1/0.5, 0.7/0.4)
+    "events_asof_forward": 1.2, "orders_incremental_rollup": 0.7,
+    "orders_grouping_sets": 0.6,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

@@ -100,15 +100,25 @@ def asof_join(
     time: str,
     payload: list[str],
     strict: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, the payload of the LATEST right row with the
-    same ``key`` and right.time < left.time (≤ when ``strict=False``).
+    same ``key`` and right.time < left.time (≤ when ``strict=False``)
+    — or, with ``direction="forward"``, the EARLIEST right row with
+    right.time > left.time (≥ when ``strict=False``): the
+    "next event after" primitive (next maintenance after a reading,
+    next purchase after a click) that a naive range join explodes on.
 
     Union + ordered window rendering: one shuffle on ``key``, linear
     scan; right payloads travel as nullable columns filled by
-    last(..., ignorenulls). Output: left columns + ``asof_<payload>``
-    columns (null when no prior right row exists).
+    last(..., ignorenulls). The forward variant is the SAME plan with
+    the time order reversed — the preceding-rows frame then holds the
+    strictly-later rows, so both directions cost one exchange. Output:
+    left columns + ``asof_<payload>`` columns (null when no prior —
+    or, forward, no later — right row exists).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     if key not in lcols or time not in lcols:
         raise ValueError(f"left side must carry the {key!r} and {time!r} columns")
@@ -130,8 +140,13 @@ def asof_join(
     )
     u = tagged_l.unionByName(tagged_r)
     # right rows sort before left rows at equal timestamps iff strict:
-    # a strictly-prior right row is visible, a simultaneous one is not
-    order = [F.col(time).asc(), F.col("__is_l").asc() if not strict else F.col("__is_l").desc()]
+    # a strictly-prior right row is visible, a simultaneous one is not.
+    # Forward direction: reverse the time order — the preceding frame
+    # then holds strictly-LATER rows; the is_l tie rule transfers
+    # unchanged (at equal ts, left-first hides the simultaneous right
+    # row exactly when strict).
+    tcol = F.col(time).asc() if direction == "backward" else F.col(time).desc()
+    order = [tcol, F.col("__is_l").asc() if not strict else F.col("__is_l").desc()]
     # deterministic winner among right rows tied on (key, time): without
     # this, last(..., ignorenulls) resolves the tie by partition arrival
     # order — engine- and layout-dependent. Payload columns asc/nulls-last
@@ -150,6 +165,55 @@ def asof_join(
     return out.where(F.col("__is_l") == 1).select(
         *lcols, *[F.col(f"asof_{p}") for p in payload]
     )
+
+
+def merge_partial_aggs(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    *,
+    sum_cols: list[str] = [],
+    count_cols: list[str] = [],
+    min_cols: list[str] = [],
+    max_cols: list[str] = [],
+) -> DataFrame:
+    """Incremental maintenance of a keyed aggregate snapshot: merge the
+    BASE aggregate (the persisted rollup of everything already
+    ingested) with the DELTA batch's aggregate of the SAME shape,
+    producing exactly what a full recompute over base∪delta facts
+    would — without rescanning the base FACTS. This is how a 100 TB
+    warehouse keeps its rollups current: the nightly delta is the only
+    fact scan; the merge moves two key-count-sized agg tables.
+
+    Merge algebra per measure class: counts and sums add, mins take
+    ``least``, maxes take ``greatest`` — the standard decomposable-
+    aggregate laws, rendered as ONE unionByName + groupBy(keys) (a key
+    present on only one side contributes its row unchanged; avg/
+    quantiles are NOT mergeable from (key, avg) and are deliberately
+    not offered — carry (sum, n) instead).
+
+    Precondition (the snapshot contract): base and delta aggregate
+    DISJOINT fact sets — re-merging an already-folded batch double
+    counts, which is the caller's idempotence ledger to enforce (see
+    the SCD2/incremental-dedup family for batch-id ledgers).
+    """
+    measures = list(sum_cols) + list(count_cols) + list(min_cols) + list(max_cols)
+    if not measures:
+        raise ValueError("merge_partial_aggs: need at least one measure column")
+    if set(measures) & set(keys):
+        raise ValueError("merge_partial_aggs: keys and measures overlap")
+    for side, df in (("base", base), ("delta", delta)):
+        missing = [c for c in keys + measures if c not in df.columns]
+        if missing:
+            raise ValueError(f"merge_partial_aggs: {side} side lacks {missing}")
+    u = base.select(keys + measures).unionByName(delta.select(keys + measures))
+    aggs = (
+        [F.sum(c).alias(c) for c in sum_cols]
+        + [F.sum(c).alias(c) for c in count_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    return u.groupBy(*keys).agg(*aggs)
 
 
 def resample_forward_fill(

@@ -76,6 +76,112 @@ def test_asof_join_tied_right_rows_deterministic(spark):
         assert [r["asof_v"] for r in got] == [300.0]
 
 
+def test_asof_join_forward_direction(spark):
+    """Forward as-of: earliest STRICTLY-LATER right row; simultaneous
+    right rows visible only when strict=False; tie rule (payload-order
+    maximum) transfers from the backward variant; bad direction raises."""
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(5)), (1, 11, t(10)), (2, 20, t(3)), (3, 30, t(1))],
+        "k int, lid int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, 100.0, t(4)), (1, 200.0, t(10)), (2, 300.0, t(2)), (2, 400.0, t(9))],
+        "k int, v double, ts timestamp",
+    )
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(
+            left, right, key="k", time="ts", payload=["v"], direction="forward"
+        ).collect()
+    }
+    assert got[10] == 200.0  # t(10) is the earliest AFTER t(5)
+    assert got[11] is None  # the t(10) right row is simultaneous — excluded
+    assert got[20] == 400.0  # t(9) > t(3); t(2) is earlier
+    assert got[30] is None  # key 3 has no right rows at all
+    loose = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(
+            left, right, key="k", time="ts", payload=["v"],
+            direction="forward", strict=False,
+        ).collect()
+    }
+    assert loose[11] == 200.0  # simultaneous row visible when strict=False
+    # tied later rows: deterministic payload-order maximum, any layout
+    l1 = spark.createDataFrame([(1, 10, t(5))], "k int, lid int, ts timestamp")
+    dup = [(1, float(v), t(6)) for v in (300, 100, 200)]
+    for attempt in range(3):
+        r1 = spark.createDataFrame(dup, "k int, v double, ts timestamp").repartition(
+            attempt + 1
+        )
+        out = asof_join(
+            l1, r1, key="k", time="ts", payload=["v"], direction="forward"
+        ).collect()
+        assert [r["asof_v"] for r in out] == [300.0]
+    with pytest.raises(ValueError):
+        asof_join(left, right, key="k", time="ts", payload=["v"], direction="nearest")
+
+
+class TestMergePartialAggs:
+    def test_merge_equals_full_recompute(self, spark):
+        """The mergeability laws: base+delta partial aggs reconstruct
+        the full GROUP BY over the union of facts — including keys
+        present on only one side."""
+        from mopso_engine.ext.pipeline import merge_partial_aggs
+
+        facts = [
+            ("a", 1, 10), ("a", 1, 20), ("a", 2, 5),   # base-era facts
+            ("a", 1, 7), ("b", 9, 100), ("a", 2, 1),   # delta-era facts
+        ]
+        base_f = spark.createDataFrame(facts[:3], "k string, sub int, v long")
+        delta_f = spark.createDataFrame(facts[3:], "k string, sub int, v long")
+
+        def roll(df):
+            return df.groupBy("k", "sub").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+                F.min("v").alias("lo"), F.max("v").alias("hi"),
+            )
+
+        merged = {
+            (r["k"], r["sub"]): (r["n"], r["s"], r["lo"], r["hi"])
+            for r in merge_partial_aggs(
+                roll(base_f), roll(delta_f), ["k", "sub"],
+                sum_cols=["s"], count_cols=["n"], min_cols=["lo"], max_cols=["hi"],
+            ).collect()
+        }
+        full = {
+            (r["k"], r["sub"]): (r["n"], r["s"], r["lo"], r["hi"])
+            for r in roll(base_f.unionByName(delta_f)).collect()
+        }
+        assert merged == full
+        assert ("b", 9) in merged  # delta-only key survives unchanged
+
+    def test_guards(self, spark):
+        from mopso_engine.ext.pipeline import merge_partial_aggs
+
+        df = spark.createDataFrame([("a", 1)], "k string, n long")
+        with pytest.raises(ValueError):
+            merge_partial_aggs(df, df, ["k"])  # no measures
+        with pytest.raises(ValueError):
+            merge_partial_aggs(df, df, ["k"], sum_cols=["k"])  # overlap
+        with pytest.raises(ValueError):
+            merge_partial_aggs(df, df, ["k"], sum_cols=["missing"])
+
+
+def test_grouping_sets_single_pass_plan(spark):
+    """GROUPING SETS compiles to one Expand + one aggregate — never a
+    per-slice self-union of groupBys (the scan-per-slice anti-pattern
+    the operator exists to avoid)."""
+    df = spark.createDataFrame([("p", "s", 1)], "a string, b string, v long")
+    g = df.groupingSets(
+        [[F.col("a"), F.col("b")], [F.col("a")], [F.col("b")]],
+        F.col("a"), F.col("b"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
 def test_simhash_hamming_banding_has_exact_recall(spark, docs):
     """Pigeonhole guarantee: the 4-band blocked plan equals the O(N²)
     brute force EXACTLY for max_hamming < bands."""

@@ -819,6 +819,27 @@ COMMENTS = {
     "subtraction; NULL timestamps raise in-plan (oracle error() "
     "mirror). Dead feeds keep healthy totals; lag + an empty trailing "
     "window expose them.",
+    "events_asof_forward": "FORWARD as-of join (r11): the "
+    "next-event-after primitive as the SAME union + ordered-window "
+    "plan as the backward as-of — the time order reverses so the "
+    "preceding-rows frame holds the strictly-later rows — ONE shuffle "
+    "on user_id, no range-pair explosion; the strict/simultaneous and "
+    "tied-payload rules transfer verbatim and the oracle replays the "
+    "reversed window identically.",
+    "orders_incremental_rollup": "Incremental rollup maintenance "
+    "(r11): the base snapshot's partial aggregate merges with the "
+    "delta batch's via the decomposable-aggregate laws (counts/sums "
+    "add, mins least, maxes greatest) in one unionByName + "
+    "groupBy(keys) over two key-count-sized tables — at 100 TB the "
+    "delta is the only fact scan. The oracle is the FULL recompute "
+    "over all facts; value equality proves the merge reconstructs it "
+    "exactly.",
+    "orders_grouping_sets": "Native GROUPING SETS (r11, completing "
+    "the CUBE/ROLLUP readout family): the three slices compile to "
+    "ONE Expand + a single aggregate — never a scan-per-slice "
+    "self-union (plan-pinned by test); the grouping id is explicit "
+    "bit arithmetic (grouping(a)*2 + grouping(b)) so both engines "
+    "pin the same order, and grouped-out columns coalesce to 'ALL'.",
 }
 
 
