@@ -70,6 +70,20 @@ def build_corpus(spark) -> None:
         scaled_o = d if scaled_o is None else scaled_o.unionByName(d)
     scaled_o.write.parquet(os.path.join(OUT, "orders.parquet"))
 
+    # customer x10 re-keyed to MATCH the orders custkey blocks (keeps
+    # the scaled warehouse referentially consistent for the FK audit);
+    # small parents verbatim (part/supp/nation keys are never re-keyed)
+    cust = spark.read.parquet(os.path.join(SRC, "customer.parquet"))
+    scaled_c = None
+    for i in range(REPLICAS):
+        d = cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * 10_000_000))
+        scaled_c = d if scaled_c is None else scaled_c.unionByName(d)
+    scaled_c.write.parquet(os.path.join(OUT, "customer.parquet"))
+    for t in ("part", "supplier", "nation"):
+        spark.read.parquet(os.path.join(SRC, f"{t}.parquet")).write.parquet(
+            os.path.join(OUT, f"{t}.parquet")
+        )
+
 
 def build_corpus_x100(spark, tables: set[str]) -> None:
     """Two-decade corpus (VERDICT r9 #8): ×100 replicas of only the
@@ -110,6 +124,25 @@ def build_corpus_x100(spark, tables: set[str]) -> None:
             ).withColumn("o_custkey", F.col("o_custkey") + F.lit(i * 10_000_000))
             scaled = d if scaled is None else scaled.unionByName(d)
         scaled.repartition(16).write.parquet(os.path.join(OUT100, "orders.parquet"))
+    if "customer" in tables:
+        # custkey re-keyed with the SAME per-replica blocks as orders, so
+        # the x100 warehouse stays referentially CONSISTENT (zero
+        # orphans) — the FK audit then measures the probe's cost, not a
+        # degenerate everything-is-an-orphan path
+        cust = spark.read.parquet(os.path.join(SRC, "customer.parquet"))
+        scaled = None
+        for i in range(100):
+            d = cust.withColumn(
+                "c_custkey", F.col("c_custkey") + F.lit(i * 10_000_000)
+            )
+            scaled = d if scaled is None else scaled.unionByName(d)
+        scaled.repartition(8).write.parquet(os.path.join(OUT100, "customer.parquet"))
+    # small parents copied verbatim: lineitem part/supp keys and customer
+    # nationkeys are NOT re-keyed, so the original dimensions stay valid
+    for t in tables & {"part", "supplier", "nation"}:
+        spark.read.parquet(os.path.join(SRC, f"{t}.parquet")).write.parquet(
+            os.path.join(OUT100, f"{t}.parquet")
+        )
 
 
 def main_x100(names: list[str]) -> None:
@@ -133,6 +166,13 @@ def main_x100(names: list[str]) -> None:
         # iterative-loop workload (VERDICT r10 #4): the claim is constant
         # per-round stage count + linear shuffle through x100 edges
         "supplier_pagerank": {"lineitem", "orders"},
+        # r11 FK audit: a consistent x100 warehouse (customer re-keyed to
+        # match orders; part/supplier/nation verbatim) — the claim is
+        # per-constraint one-pass probes with constant stages and
+        # child-linear shuffle
+        "tpch_ref_integrity": {
+            "lineitem", "orders", "customer", "part", "supplier", "nation",
+        },
     }
     needed = set()
     for n in names:
