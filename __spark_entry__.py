@@ -4795,6 +4795,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sum_cents",
         )
 
+    def events_ctr_jackknife(spark, sf):
+        """Cluster-robust purchase-per-view ratio with a delete-one-
+        group jackknife SE (`ext.pipeline.ratio_jackknife`): per-event
+        rates are correlated within user, so the naive binomial SE is
+        wrong — the jackknife over 20 user-hash buckets is the
+        standard fix. ONE map-side-combined bucket aggregate is the
+        only corpus movement; leave-one-out estimates quantize to
+        integer micro-units so the spread statistic is an EXACT
+        integer and the SE is a single sqrt of an exact ratio — no
+        accumulation-order float drift."""
+        from mopso_engine.ext.pipeline import ratio_jackknife
+
+        ev = read_table(spark, sf, "events")
+        return ratio_jackknife(
+            ev,
+            "user_id",
+            F.col("event_type") == "purchase",
+            F.col("event_type") == "view",
+            n_buckets=20,
+            salt="jk11",
+        )
+
     # ---- the full algorithm + post-hoc relational oracle --------------------
     def mopso_fit(spark, sf):
         """End-to-end seeded MOPSO fit (tiny budget), post-hoc verified:
@@ -4973,7 +4995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the deterministic tie order), blocks ordered by last-earned
         # round ascending.
         events_asof_forward, orders_incremental_rollup,   # r11-new
-        orders_grouping_sets,                             # r11-new
+        orders_grouping_sets, events_ctr_jackknife,       # r11-new
         events_zvalue, hll_union_check, knn_lsh_recall,   # last r6
         lang_pred, lloyd_kmeans,                          # last r6
         lsh_candidates, pca_project, pq_topk, quality,    # last r6
@@ -7121,6 +7143,43 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                                 (o_orderpriority), (o_orderstatus))
+    """
+
+    # events_ctr_jackknife: bucket hash, integer micro leave-one-out
+    # estimates, exact-integer spread statistic, one final sqrt — every
+    # stage replays relationally; the error() mirrors the in-plan
+    # degenerate-bucket raise.
+    o["events_ctr_jackknife"] = """
+        WITH b AS (
+          SELECT (('0x' || substr(md5(user_id::VARCHAR || '#jk11'), 1, 8))
+                  ::BIGINT) % 20 AS g,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS n,
+                 CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS d
+          FROM events),
+        per AS (SELECT g, sum(n)::BIGINT AS n_g, sum(d)::BIGINT AS d_g
+                FROM b GROUP BY 1),
+        tot AS (SELECT sum(n_g)::BIGINT AS nt, sum(d_g)::BIGINT AS dt,
+                       count(*)::BIGINT AS gc FROM per),
+        th AS (
+          SELECT per.g,
+                 CASE WHEN tot.dt - per.d_g <= 0
+                      THEN error('events_ctr_jackknife oracle: leave-one-out '
+                                 'denominator is zero — mirrors the Spark '
+                                 'in-plan raise')
+                      ELSE ((tot.nt - per.n_g) * 1000000)
+                           // (tot.dt - per.d_g) END AS theta,
+                 tot.nt, tot.dt, tot.gc
+          FROM per, tot),
+        s AS (SELECT (SELECT sum(theta) FROM th)::BIGINT AS st)
+        SELECT max(gc)::BIGINT AS n_groups, max(nt)::BIGINT AS num_total,
+               max(dt)::BIGINT AS den_total,
+               max((nt * 1000000) // dt)::BIGINT AS ratio_micro,
+               round(sqrt(((max(gc) - 1)
+                           * sum((gc * theta - s.st) * (gc * theta - s.st)))
+                          ::DOUBLE)
+                     / (max(gc)::DOUBLE * sqrt(max(gc)::DOUBLE)), 4)
+                 AS se_micro
+        FROM th, s
     """
 
     # customer_fs_match: the names_edit1 neighborhood replay + two

@@ -238,6 +238,9 @@ BENCH_QUERIES = [
     "events_asof_forward",
     "orders_incremental_rollup",
     "orders_grouping_sets",
+    # round-11: cluster-robust jackknife SE (one bucket agg, exact
+    # integer spread statistic, single sqrt)
+    "events_ctr_jackknife",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -402,9 +405,9 @@ ANCHOR_R08 = {
     # r11 audit trio (cold/warm: 2.8/0.6, 4.2/1.8, 1.0/0.5)
     "docs_contract_audit": 0.9, "tpch_ref_integrity": 2.2,
     "events_freshness": 0.7,
-    # r11 late batch (cold/warm: 2.8/0.8, 1.1/0.5, 0.7/0.4)
+    # r11 late batch (cold/warm: 2.8/0.8, 1.1/0.5, 0.7/0.4, 3.5/0.9)
     "events_asof_forward": 1.2, "orders_incremental_rollup": 0.7,
-    "orders_grouping_sets": 0.6,
+    "orders_grouping_sets": 0.6, "events_ctr_jackknife": 1.2,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

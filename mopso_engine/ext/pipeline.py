@@ -2377,6 +2377,98 @@ def cusum_days(
 CHI2_1DF_95_MICRO = 3_841_459
 
 
+def ratio_jackknife(
+    df: DataFrame,
+    unit_col: str,
+    num_flag: Column,
+    den_flag: Column,
+    *,
+    n_buckets: int = 20,
+    salt: str = "jk0",
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Cluster-robust (delete-one-group jackknife) standard error for a
+    ratio metric — the experimentation family's variance estimator:
+    a per-event CTR's naive binomial SE is wrong whenever one unit
+    contributes many events (the rows are correlated within user), and
+    the grouped jackknife is the standard fix (Efron 1982, ch. 2;
+    delete-a-group over unit-hash buckets).
+
+    Exactness: units hash into ``n_buckets`` deterministic md5 groups;
+    the ONLY corpus movement is one map-side-combined bucket aggregate
+    (≤ n_buckets rows out). Every leave-one-out estimate is quantized
+    to integer micro-units — θ_g = (N−n_g)·unit div (D−d_g) — so the
+    spread statistic K = Σ(G·θ_g − S)² is an EXACT integer (S = Σθ_g,
+    G = occupied buckets) and the returned SE is one sqrt of an exact
+    ratio: sqrt((G−1)·K) / (G·sqrt(G)) — no accumulation-order float
+    drift for an oracle to trip on. A leave-one-out denominator of
+    zero raises in-plan (one bucket holding every denominator event
+    means the grouping is degenerate, and silence would return a
+    garbage SE).
+
+    Returns ONE row: (n_groups, num_total, den_total, ratio_micro,
+    se_micro).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"ratio_jackknife: n_buckets must be >= 2, got {n_buckets}")
+    bkt = F.conv(
+        F.substring(F.md5(F.concat_ws("#", F.col(unit_col), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long") % n_buckets
+    per = (
+        df.select(
+            bkt.alias("_g"),
+            F.when(num_flag, 1).otherwise(0).alias("_n"),
+            F.when(den_flag, 1).otherwise(0).alias("_d"),
+        )
+        .groupBy("_g")
+        .agg(F.sum("_n").alias("n_g"), F.sum("_d").alias("d_g"))
+    )
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    theta = (
+        per.withColumn("num_total", F.sum("n_g").over(wtot))
+        .withColumn("den_total", F.sum("d_g").over(wtot))
+        .withColumn("n_groups", F.count(F.lit(1)).over(wtot))
+        .withColumn(
+            "_theta",
+            F.when(
+                F.col("den_total") - F.col("d_g") <= 0,
+                F.raise_error(
+                    F.lit(
+                        "ratio_jackknife: leave-one-out denominator is zero "
+                        "— one bucket holds every denominator event"
+                    )
+                ),
+            ).otherwise(
+                F.expr(
+                    f"(num_total - n_g) * CAST({int(unit)} AS BIGINT)"
+                    " div (den_total - d_g)"
+                )
+            ),
+        )
+        .withColumn("_s", F.sum("_theta").over(wtot))
+    )
+    return theta.groupBy("n_groups", "num_total", "den_total").agg(
+        F.expr(f"max(num_total * CAST({int(unit)} AS BIGINT) div den_total)").alias(
+            "ratio_micro"
+        ),
+        F.round(
+            F.sqrt(
+                (F.col("n_groups") - F.lit(1)).cast("double")
+                * F.sum(
+                    F.expr("(n_groups * _theta - _s) * (n_groups * _theta - _s)")
+                ).cast("double")
+            )
+            / (
+                F.col("n_groups").cast("double")
+                * F.sqrt(F.col("n_groups").cast("double"))
+            ),
+            4,
+        ).alias("se_micro"),
+    ).select("n_groups", "num_total", "den_total", "ratio_micro", "se_micro")
+
+
 def srm_check(
     df: DataFrame,
     experiment_col: str,

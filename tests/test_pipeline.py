@@ -168,6 +168,83 @@ class TestMergePartialAggs:
             merge_partial_aggs(df, df, ["k"], sum_cols=["missing"])
 
 
+class TestRatioJackknife:
+    def test_matches_python_replay(self, spark):
+        """From-scratch python jackknife over the same md5 buckets must
+        reproduce every output field, including the exact-integer
+        micro quantization of the leave-one-out estimates."""
+        import hashlib
+        import math
+        import random
+
+        from mopso_engine.ext.pipeline import ratio_jackknife
+
+        random.seed(13)
+        rows = []
+        for uid in range(200):
+            # correlated within user: heavy users contribute many views
+            k = random.randrange(1, 12)
+            for _ in range(k):
+                rows.append((uid, "view"))
+                if random.random() < 0.2:
+                    rows.append((uid, "purchase"))
+        df = spark.createDataFrame(rows, "user_id long, event_type string")
+        out = ratio_jackknife(
+            df, "user_id",
+            F.col("event_type") == "purchase",
+            F.col("event_type") == "view",
+            n_buckets=10, salt="t",
+        ).collect()[0]
+
+        def bkt(uid):
+            return int(hashlib.md5(f"{uid}#t".encode()).hexdigest()[:8], 16) % 10
+
+        agg = {}
+        for uid, et in rows:
+            g = bkt(uid)
+            n, d = agg.get(g, (0, 0))
+            agg[g] = (n + (et == "purchase"), d + (et == "view"))
+        nt = sum(n for n, _ in agg.values())
+        dt = sum(d for _, d in agg.values())
+        gc = len(agg)
+        thetas = [((nt - n) * 1_000_000) // (dt - d) for n, d in agg.values()]
+        s = sum(thetas)
+        k2 = sum((gc * t - s) ** 2 for t in thetas)
+        se = round(math.sqrt((gc - 1) * k2) / (gc * math.sqrt(gc)), 4)
+        assert (
+            out["n_groups"], out["num_total"], out["den_total"],
+            out["ratio_micro"], out["se_micro"],
+        ) == (gc, nt, dt, (nt * 1_000_000) // dt, se)
+        # sanity: correlated data must yield a nonzero, finite SE
+        assert 0 < out["se_micro"] < 1_000_000
+
+    def test_degenerate_bucket_raises(self, spark):
+        """One bucket holding every denominator event (single unit) —
+        the leave-one-out denominator hits zero and must raise."""
+        from mopso_engine.ext.pipeline import ratio_jackknife
+
+        df = spark.createDataFrame(
+            [(7, "view"), (7, "view"), (7, "purchase")],
+            "user_id long, event_type string",
+        )
+        with pytest.raises(Exception) as ei:
+            ratio_jackknife(
+                df, "user_id",
+                F.col("event_type") == "purchase",
+                F.col("event_type") == "view",
+            ).collect()
+        assert "leave-one-out denominator" in str(ei.value)
+
+    def test_bucket_guard(self, spark):
+        from mopso_engine.ext.pipeline import ratio_jackknife
+
+        df = spark.createDataFrame([(1, "view")], "user_id long, event_type string")
+        with pytest.raises(ValueError):
+            ratio_jackknife(
+                df, "user_id", F.lit(True), F.lit(True), n_buckets=1
+            )
+
+
 def test_grouping_sets_single_pass_plan(spark):
     """GROUPING SETS compiles to one Expand + one aggregate — never a
     per-slice self-union of groupBys (the scan-per-slice anti-pattern

@@ -840,6 +840,16 @@ COMMENTS = {
     "self-union (plan-pinned by test); the grouping id is explicit "
     "bit arithmetic (grouping(a)*2 + grouping(b)) so both engines "
     "pin the same order, and grouped-out columns coalesce to 'ALL'.",
+    "events_ctr_jackknife": "Cluster-robust jackknife SE (r11): "
+    "per-event ratios are correlated within user, so the naive "
+    "binomial SE is wrong — the delete-one-group jackknife over 20 "
+    "md5 user buckets is the standard fix. ONE map-side-combined "
+    "bucket aggregate is the only corpus movement; leave-one-out "
+    "estimates quantize to integer micro-units so the spread "
+    "statistic is an EXACT integer and the SE is a single sqrt of an "
+    "exact ratio — no accumulation-order float drift; a degenerate "
+    "bucket (leave-one-out denominator zero) raises in-plan with an "
+    "oracle error() mirror.",
 }
 
 
