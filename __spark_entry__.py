@@ -4817,6 +4817,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             salt="jk11",
         )
 
+    def events_qte(spark, sf):
+        """Quantile treatment effect — the experimentation readout
+        means hide (a treatment that moves the P99 but not the median
+        is invisible to the mean-difference tests), and the rank
+        family's FIFTH consumer: users hash-split 50/50 (the
+        srm/cuped assignment pattern), per-variant EXACT P50/P90/P99
+        from `grouped_global_rank` (windows on (variant, cents >> 8),
+        broadcast per-group offsets — never a per-variant one-task
+        sort), effect = value difference at matched per-mille ranks.
+        All-integer quantile arithmetic; the 3-row grid and the tiny
+        per-variant hit tables move as broadcasts."""
+        from mopso_engine.ext.pipeline import grouped_global_rank
+
+        ev = read_table(spark, sf, "events").select(
+            "user_id",
+            F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+            "event_id",
+        )
+        variant = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.col("user_id"), F.lit("qte11"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).cast("int")
+        r = grouped_global_rank(
+            ev.withColumn("variant", variant),
+            "variant",
+            "cents",
+            tiebreak="event_id",
+            bucket_shift=8,
+        )
+        qt = spark.createDataFrame([(500,), (900,), (990,)], "q_pm int")
+        hits = (
+            r.crossJoin(F.broadcast(qt))
+            .where(
+                F.col("group_rank") == F.expr("q_pm * (n_group - 1) div 1000 + 1")
+            )
+            .select("variant", "q_pm", "cents", "n_group")
+        )
+        a = hits.where(F.col("variant") == 0).select(
+            "q_pm",
+            F.col("cents").alias("cents_control"),
+            F.col("n_group").alias("n_control"),
+        )
+        b = hits.where(F.col("variant") == 1).select(
+            "q_pm",
+            F.col("cents").alias("cents_treat"),
+            F.col("n_group").alias("n_treat"),
+        )
+        return a.join(b, "q_pm").select(
+            "q_pm",
+            "cents_control",
+            "cents_treat",
+            (F.col("cents_treat") - F.col("cents_control")).alias("qte_cents"),
+            "n_control",
+            "n_treat",
+        )
+
     # ---- the full algorithm + post-hoc relational oracle --------------------
     def mopso_fit(spark, sf):
         """End-to-end seeded MOPSO fit (tiny budget), post-hoc verified:
@@ -4996,6 +5058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round ascending.
         events_asof_forward, orders_incremental_rollup,   # r11-new
         orders_grouping_sets, events_ctr_jackknife,       # r11-new
+        events_qte,                                       # r11-new
         events_zvalue, hll_union_check, knn_lsh_recall,   # last r6
         lang_pred, lloyd_kmeans,                          # last r6
         lsh_candidates, pca_project, pq_topk, quality,    # last r6
@@ -7180,6 +7243,40 @@ def oracle_sql() -> dict[str, str]:
                      / (max(gc)::DOUBLE * sqrt(max(gc)::DOUBLE)), 4)
                  AS se_micro
         FROM th, s
+    """
+
+    # events_qte: the hash split replays as the md5 mod-2; per-variant
+    # quantiles as plain windows (DuckDB is single-node); identical
+    # integer target-rank arithmetic; negative-key error() mirror of
+    # the grouped_global_rank in-plan raise.
+    o["events_qte"] = """
+        WITH e AS (
+          SELECT (('0x' || substr(md5(user_id::VARCHAR || '#qte11'), 1, 8))
+                  ::BIGINT) % 2 AS variant,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+                 event_id
+          FROM events),
+        r AS (
+          SELECT variant, cents,
+                 row_number() OVER (PARTITION BY variant
+                                    ORDER BY cents, event_id) AS rk,
+                 count(*) OVER (PARTITION BY variant) AS ng
+          FROM e),
+        q(q_pm) AS (VALUES (500), (900), (990)),
+        hits AS (
+          SELECT variant, q_pm, cents, ng FROM r CROSS JOIN q
+          WHERE rk = (q_pm * (ng - 1)) // 1000 + 1
+            AND (SELECT max(CASE WHEN cents IS NULL OR cents < 0 THEN error(
+                   'events_qte oracle: NULL/negative cents — mirrors the '
+                   'grouped_global_rank in-plan raise') ELSE 0 END)
+                 FROM e) = 0)
+        SELECT a.q_pm,
+               a.cents::BIGINT AS cents_control,
+               b.cents::BIGINT AS cents_treat,
+               (b.cents - a.cents)::BIGINT AS qte_cents,
+               a.ng::BIGINT AS n_control, b.ng::BIGINT AS n_treat
+        FROM hits a JOIN hits b ON a.q_pm = b.q_pm
+        WHERE a.variant = 0 AND b.variant = 1
     """
 
     # customer_fs_match: the names_edit1 neighborhood replay + two

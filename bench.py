@@ -241,6 +241,8 @@ BENCH_QUERIES = [
     # round-11: cluster-robust jackknife SE (one bucket agg, exact
     # integer spread statistic, single sqrt)
     "events_ctr_jackknife",
+    # round-11: quantile treatment effect (rank consumer #5)
+    "events_qte",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -408,6 +410,8 @@ ANCHOR_R08 = {
     # r11 late batch (cold/warm: 2.8/0.8, 1.1/0.5, 0.7/0.4, 3.5/0.9)
     "events_asof_forward": 1.2, "orders_incremental_rollup": 0.7,
     "orders_grouping_sets": 0.6, "events_ctr_jackknife": 1.2,
+    # r11: QTE (cold/warm 6.2/1.4 — two grouped-rank passes)
+    "events_qte": 2.2,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

@@ -850,6 +850,15 @@ COMMENTS = {
     "exact ratio — no accumulation-order float drift; a degenerate "
     "bucket (leave-one-out denominator zero) raises in-plan with an "
     "oracle error() mirror.",
+    "events_qte": "Quantile treatment effect (r11, rank consumer #5): "
+    "mean-difference tests miss a treatment that moves the P99 but "
+    "not the median — per-variant EXACT P50/P90/P99 come from "
+    "grouped_global_rank (windows on (variant, cents >> 8) with "
+    "broadcast per-group offsets — never a per-variant one-task "
+    "sort), the 50/50 user hash split is the srm/cuped assignment "
+    "pattern, and the effect is the integer value difference at "
+    "matched per-mille target ranks; the tiny per-variant hit tables "
+    "join as broadcasts.",
 }
 
 
