@@ -4568,13 +4568,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         n_kept = kept.count()  # the ONE action — counters fill as it runs
         m = obs.get
+        # `or 0`: SUM metrics over an EMPTY corpus come back None from
+        # the observation; zero rows means zero of everything (the
+        # oracle's coalesced sums agree — review finding)
         return spark.createDataFrame(
             [
                 (
-                    int(m["rows"]),
-                    int(m["null_or_empty"]),
-                    int(m["tokens"]),
-                    int(m["short_docs"]),
+                    int(m["rows"] or 0),
+                    int(m["null_or_empty"] or 0),
+                    int(m["tokens"] or 0),
+                    int(m["short_docs"] or 0),
                     int(n_kept),
                 )
             ],
@@ -4727,10 +4730,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         unionByName + groupBy. Exact integer cents throughout."""
         from mopso_engine.ext.pipeline import merge_partial_aggs
 
+        # NULL order dates would fall into NEITHER side of the split (a
+        # non-partition of the facts, silently breaking merge == full
+        # recompute) — raise in-plan, with an oracle error() mirror
+        checked_date = F.when(
+            F.col("o_orderdate").isNull(),
+            F.raise_error(
+                F.lit("orders_incremental_rollup: NULL o_orderdate — the "
+                      "base/delta split must partition the facts")
+            ),
+        ).otherwise(F.col("o_orderdate"))
         orders = read_table(spark, sf, "orders").select(
             "o_orderpriority",
-            F.year("o_orderdate").alias("yr"),
-            "o_orderdate",
+            F.year(checked_date).alias("yr"),
+            checked_date.alias("o_orderdate"),
             F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias(
                 "cents"
             ),
@@ -4835,10 +4848,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
             "event_id",
         )
+        # NULL user_id raises in-plan (concat_ws would silently skip it,
+        # assigning a real variant while the oracle's || propagates
+        # NULL — the matched-failure convention); oracle error() mirror
+        checked_user = F.when(
+            F.col("user_id").isNull(),
+            F.raise_error(F.lit("events_qte: NULL user_id")),
+        ).otherwise(F.col("user_id"))
         variant = (
             F.conv(
                 F.substring(
-                    F.md5(F.concat_ws("#", F.col("user_id"), F.lit("qte11"))), 1, 8
+                    F.md5(F.concat_ws("#", checked_user, F.lit("qte11"))), 1, 8
                 ),
                 16,
                 10,
@@ -5029,7 +5049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         customer_fs_match, events_robust_z, docs_lang_mix,
         docs_proportional_sample, events_conversion_latency,
         events_concurrency, assets_packed,
-        # stale-tail rotation, oldest-verified-first (32):
+        # stale-tail rotation, oldest-verified-first (27 — the five
+        # r11-new in-window entries below displaced the last five r6
+        # names to the r12 slice):
         events_asof,                                      # last r2
         dedup_jaccard, dedup_jaccard_skewed_uncapped,     # last r5
         q6_forecast, sales_rollup, status_cube,           # last r5
@@ -7072,15 +7094,15 @@ def oracle_sql() -> dict[str, str]:
           SELECT text, string_split_regex(trim(text), '\s+') AS t
           FROM documents)
         SELECT count(*)::BIGINT AS n_rows,
-               sum(CASE WHEN text IS NULL OR len(text) = 0
-                        THEN 1 ELSE 0 END)::BIGINT AS null_or_empty,
-               sum(CASE WHEN text IS NOT NULL THEN len(t)
-                        ELSE 0 END)::BIGINT AS tokens,
-               sum(CASE WHEN text IS NOT NULL AND len(t) < 5
-                        THEN 1 ELSE 0 END)::BIGINT AS short_docs,
-               sum(CASE WHEN text IS NOT NULL AND len(text) > 0
+               coalesce(sum(CASE WHEN text IS NULL OR len(text) = 0
+                        THEN 1 ELSE 0 END), 0)::BIGINT AS null_or_empty,
+               coalesce(sum(CASE WHEN text IS NOT NULL THEN len(t)
+                        ELSE 0 END), 0)::BIGINT AS tokens,
+               coalesce(sum(CASE WHEN text IS NOT NULL AND len(t) < 5
+                        THEN 1 ELSE 0 END), 0)::BIGINT AS short_docs,
+               coalesce(sum(CASE WHEN text IS NOT NULL AND len(text) > 0
                              AND len(t) >= 5
-                        THEN 1 ELSE 0 END)::BIGINT AS n_kept
+                        THEN 1 ELSE 0 END), 0)::BIGINT AS n_kept
         FROM toks
     """
 
@@ -7190,7 +7212,12 @@ def oracle_sql() -> dict[str, str]:
                  AS min_cents,
                max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT
                  AS max_cents
-        FROM orders GROUP BY 1, 2
+        FROM orders
+        WHERE (SELECT max(CASE WHEN o_orderdate IS NULL THEN error(
+                 'orders_incremental_rollup oracle: NULL o_orderdate — '
+                 'mirrors the Spark in-plan raise') ELSE 0 END)
+               FROM orders) = 0
+        GROUP BY 1, 2
     """
 
     # orders_grouping_sets: identical sets, explicit grouping-bit
@@ -7220,7 +7247,12 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS d
           FROM events),
         per AS (SELECT g, sum(n)::BIGINT AS n_g, sum(d)::BIGINT AS d_g
-                FROM b GROUP BY 1),
+                FROM b
+                WHERE (SELECT max(CASE WHEN user_id IS NULL THEN error(
+                         'events_ctr_jackknife oracle: NULL user_id — '
+                         'mirrors the Spark in-plan raise') ELSE 0 END)
+                       FROM events) = 0
+                GROUP BY 1),
         tot AS (SELECT sum(n_g)::BIGINT AS nt, sum(d_g)::BIGINT AS dt,
                        count(*)::BIGINT AS gc FROM per),
         th AS (
@@ -7269,7 +7301,11 @@ def oracle_sql() -> dict[str, str]:
             AND (SELECT max(CASE WHEN cents IS NULL OR cents < 0 THEN error(
                    'events_qte oracle: NULL/negative cents — mirrors the '
                    'grouped_global_rank in-plan raise') ELSE 0 END)
-                 FROM e) = 0)
+                 FROM e) = 0
+            AND (SELECT max(CASE WHEN user_id IS NULL THEN error(
+                   'events_qte oracle: NULL user_id — mirrors the Spark '
+                   'in-plan raise') ELSE 0 END)
+                 FROM events) = 0)
         SELECT a.q_pm,
                a.cents::BIGINT AS cents_control,
                b.cents::BIGINT AS cents_treat,

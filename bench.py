@@ -726,7 +726,7 @@ def main() -> None:
     # leaves a truncated file — and stdout gets the compact rendering as
     # the single final line so even a tail capture holds more entries.
     artifact = os.environ.get("SPARK_GRAFT_BENCH_OUT", os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_r10.json"))
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_r11.json"))
     tmp = artifact + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(out, fh, indent=1)

@@ -101,10 +101,16 @@ def referential_audit(
             keys.join(pk, F.col("_fk") == F.col("_pk"), "left_outer")
             .agg(
                 F.count(F.lit(1)).alias("n_child"),
-                F.sum(
-                    F.when(
-                        F.col("_fk").isNull() | F.col("_hit").isNull(), 1
-                    ).otherwise(0)
+                # coalesce: SUM over zero rows is NULL, but an EMPTY
+                # child has zero orphans, not unknown-many (review
+                # finding — the oracle's COUNT subqueries say 0)
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("_fk").isNull() | F.col("_hit").isNull(), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias("n_orphans"),
             )
             .select(

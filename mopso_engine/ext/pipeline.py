@@ -172,10 +172,10 @@ def merge_partial_aggs(
     delta: DataFrame,
     keys: list[str],
     *,
-    sum_cols: list[str] = [],
-    count_cols: list[str] = [],
-    min_cols: list[str] = [],
-    max_cols: list[str] = [],
+    sum_cols: list[str] | None = None,
+    count_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
 ) -> DataFrame:
     """Incremental maintenance of a keyed aggregate snapshot: merge the
     BASE aggregate (the persisted rollup of everything already
@@ -197,7 +197,11 @@ def merge_partial_aggs(
     counts, which is the caller's idempotence ledger to enforce (see
     the SCD2/incremental-dedup family for batch-id ledgers).
     """
-    measures = list(sum_cols) + list(count_cols) + list(min_cols) + list(max_cols)
+    sum_cols = list(sum_cols or [])
+    count_cols = list(count_cols or [])
+    min_cols = list(min_cols or [])
+    max_cols = list(max_cols or [])
+    measures = sum_cols + count_cols + min_cols + max_cols
     if not measures:
         raise ValueError("merge_partial_aggs: need at least one measure column")
     if set(measures) & set(keys):
@@ -2411,8 +2415,17 @@ def ratio_jackknife(
     """
     if n_buckets < 2:
         raise ValueError(f"ratio_jackknife: n_buckets must be >= 2, got {n_buckets}")
+    # NULL unit keys raise: concat_ws silently SKIPS a NULL column, so a
+    # NULL unit would hash to the deterministic md5(salt) bucket in
+    # Spark while the oracle's `unit::VARCHAR || salt` propagates NULL —
+    # the exact cross-engine divergence class the repo's matched-failure
+    # convention exists to close (review finding)
+    unit_checked = F.when(
+        F.col(unit_col).isNull(),
+        F.raise_error(F.lit(f"ratio_jackknife: NULL unit key {unit_col}")),
+    ).otherwise(F.col(unit_col))
     bkt = F.conv(
-        F.substring(F.md5(F.concat_ws("#", F.col(unit_col), F.lit(salt))), 1, 8),
+        F.substring(F.md5(F.concat_ws("#", unit_checked, F.lit(salt))), 1, 8),
         16,
         10,
     ).cast("long") % n_buckets

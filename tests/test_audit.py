@@ -103,6 +103,17 @@ class TestReferentialAudit:
         with pytest.raises(ValueError):
             referential_audit([])
 
+    def test_empty_child_reports_zero_orphans(self, spark):
+        """Review finding: SUM over zero rows is NULL, but an empty
+        child (e.g. an empty delta batch audited before publish) has
+        ZERO orphans, not unknown-many."""
+        from mopso_engine.ext.audit import referential_audit
+
+        child = spark.createDataFrame([], "id long, fk long")
+        parent = spark.createDataFrame([(1,)], "pk long")
+        r = referential_audit([("c", child, "fk", parent, "pk")]).collect()[0]
+        assert (r["n_child"], r["n_orphans"]) == (0, 0)
+
 
 class TestFreshnessAudit:
     def test_planted_stale_stream(self, spark):

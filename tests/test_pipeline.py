@@ -244,6 +244,22 @@ class TestRatioJackknife:
                 df, "user_id", F.lit(True), F.lit(True), n_buckets=1
             )
 
+    def test_null_unit_raises(self, spark):
+        """Review finding: concat_ws silently SKIPS a NULL unit (it
+        would hash to the md5(salt) bucket) while the oracle's ||
+        propagates NULL — a NULL unit key must raise instead."""
+        from mopso_engine.ext.pipeline import ratio_jackknife
+
+        rows = [(1, "view"), (1, "purchase"), (2, "view"), (None, "view")]
+        df = spark.createDataFrame(rows, "user_id long, event_type string")
+        with pytest.raises(Exception) as ei:
+            ratio_jackknife(
+                df, "user_id",
+                F.col("event_type") == "purchase",
+                F.col("event_type") == "view",
+            ).collect()
+        assert "NULL unit key" in str(ei.value)
+
 
 def test_grouping_sets_single_pass_plan(spark):
     """GROUPING SETS compiles to one Expand + one aggregate — never a
