@@ -4597,14 +4597,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cents sum) table; the oracle computes the same from the
         original — value equality proves the rewrite moved every row
         and corrupted none. Writes under the system temp dir (mode
-        overwrite, idempotent), never the source."""
+        overwrite, idempotent within a process; the PID in the path
+        keeps two concurrent runs — a sweep and a bench on the same
+        host — from racing on the overwrite/read-back, ADVICE r11),
+        never the source."""
         import tempfile
 
         from mopso_engine.io import compact_parquet
 
         dst = os.path.join(
             tempfile.gettempdir(),
-            f"mopso_compact_lineitem_{os.path.basename(sf.rstrip('/'))}",
+            f"mopso_compact_lineitem_{os.path.basename(sf.rstrip('/'))}"
+            f"_{os.getpid()}",
         )
         compact_parquet(
             spark, os.path.join(sf, "lineitem.parquet"), dst, target_file_mb=64
@@ -7238,7 +7242,9 @@ def oracle_sql() -> dict[str, str]:
     # events_ctr_jackknife: bucket hash, integer micro leave-one-out
     # estimates, exact-integer spread statistic, one final sqrt — every
     # stage replays relationally; the error() mirrors the in-plan
-    # degenerate-bucket raise.
+    # degenerate-bucket raise. The squared spread is HUGEINT (Spark:
+    # DECIMAL(38,0) — same exact-integer range) so an extreme ratio
+    # can't overflow BIGINT on either engine (ADVICE r11).
     o["events_ctr_jackknife"] = """
         WITH b AS (
           SELECT (('0x' || substr(md5(user_id::VARCHAR || '#jk11'), 1, 8))
@@ -7270,7 +7276,8 @@ def oracle_sql() -> dict[str, str]:
                max(dt)::BIGINT AS den_total,
                max((nt * 1000000) // dt)::BIGINT AS ratio_micro,
                round(sqrt(((max(gc) - 1)
-                           * sum((gc * theta - s.st) * (gc * theta - s.st)))
+                           * sum(((gc * theta - s.st)::HUGEINT)
+                                 * ((gc * theta - s.st)::HUGEINT)))
                           ::DOUBLE)
                      / (max(gc)::DOUBLE * sqrt(max(gc)::DOUBLE)), 4)
                  AS se_micro

@@ -242,6 +242,7 @@ class MopsoEngine:
             # restored RNG state already reflects the init's draws
             import json
 
+            t_resume0 = time.time()
             if checkpoint_dir is None:
                 raise ValueError("resume=True requires checkpoint_dir")
             with open(self._checkpoint_path(checkpoint_dir)) as f:
@@ -283,6 +284,16 @@ class MopsoEngine:
                 if st.get("prev_front") is not None
                 else None
             )
+            # materialize the kNN cache NOW: a fresh fit pays the cache
+            # build inside its init fitness pass (i.e. inside setup);
+            # a resumed fit skips the init, so without this the FIRST
+            # iteration would absorb the build and the phase telemetry
+            # would charge one-off IO to iter_loop, inflating
+            # sec_per_iter — the exact misread the decomposition exists
+            # to prevent (ADVICE r11). The load+build wall is also
+            # reported as its own resume_load phase.
+            nbr.count()
+            resume_load_sec = round(time.time() - t_resume0, 3)
 
         def _dump_state(iteration: int) -> None:
             self._save_checkpoint(
@@ -402,6 +413,11 @@ class MopsoEngine:
             "finalize": round(t_end - t_loop_end, 3),
             "n_iters_run": max(0, last_iter - start_iter + 1),
         }
+        if resume:
+            # one-off checkpoint load + kNN cache build, reported
+            # separately (it is INSIDE setup, never iter_loop) so a
+            # resumed fit's sec_per_iter stays a pure kernel number
+            phases["resume_load"] = resume_load_sec
         LAST_FIT_PHASES.clear()
         LAST_FIT_PHASES.update(phases)
         return MopsoResult(

@@ -49,6 +49,20 @@ def contract_audit(
     """
     if not contracts:
         raise ValueError("contract_audit: need at least one contract")
+    # duplicate names would emit duplicate viol_<name> columns —
+    # silently breaking the deterministic-column contract and any
+    # name-based downstream comparison (ADVICE r11); names shadowing
+    # the fixed readout columns are rejected for the same reason
+    names = [name for name, _ in contracts]
+    dups = sorted({n for n in names if names.count(n) > 1})
+    if dups:
+        raise ValueError(f"contract_audit: duplicate contract names {dups}")
+    clash = sorted(set(names) & {"n_rows", "n_dup_keys"})
+    if clash:
+        raise ValueError(
+            f"contract_audit: contract names {clash} collide with the "
+            "fixed readout columns"
+        )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if key_col is not None:
         aggs.append(

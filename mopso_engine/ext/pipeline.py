@@ -2405,10 +2405,16 @@ def ratio_jackknife(
     spread statistic K = Σ(G·θ_g − S)² is an EXACT integer (S = Σθ_g,
     G = occupied buckets) and the returned SE is one sqrt of an exact
     ratio: sqrt((G−1)·K) / (G·sqrt(G)) — no accumulation-order float
-    drift for an oracle to trip on. A leave-one-out denominator of
-    zero raises in-plan (one bucket holding every denominator event
-    means the grouping is degenerate, and silence would return a
-    garbage SE).
+    drift for an oracle to trip on. The square is computed in
+    DECIMAL(38,0) (HUGEINT in the oracle): the centered term G·θ_g − S
+    fits BIGINT for any |θ| ≤ ~4.6e17 micro-units (num/den ≤ 4.6e11 —
+    far past any real ratio metric), but its SQUARE exceeds BIGINT
+    already at |G·θ−S| ≳ 3e9, where Spark (non-ANSI) would wrap
+    silently while DuckDB errors — the exact cross-engine divergence
+    class the house conventions close (ADVICE r11). A leave-one-out
+    denominator of zero raises in-plan (one bucket holding every
+    denominator event means the grouping is degenerate, and silence
+    would return a garbage SE).
 
     Returns ONE row: (n_groups, num_total, den_total, ratio_micro,
     se_micro).
@@ -2470,7 +2476,13 @@ def ratio_jackknife(
             F.sqrt(
                 (F.col("n_groups") - F.lit(1)).cast("double")
                 * F.sum(
-                    F.expr("(n_groups * _theta - _s) * (n_groups * _theta - _s)")
+                    # DECIMAL(19,0)×DECIMAL(19,0)→DECIMAL(38,0): the
+                    # linalg/CUPED exact-square pattern — the centered
+                    # term is BIGINT-exact, only its square needs width
+                    F.expr(
+                        "CAST(n_groups * _theta - _s AS DECIMAL(19,0))"
+                        " * CAST(n_groups * _theta - _s AS DECIMAL(19,0))"
+                    )
                 ).cast("double")
             )
             / (

@@ -56,6 +56,24 @@ class TestContractAudit:
         with pytest.raises(ValueError):
             contract_audit(df, "g", [])
 
+    def test_duplicate_and_reserved_contract_names_raise(self, spark):
+        """ADVICE r11: two contracts sharing a name would emit duplicate
+        viol_<name> columns (silently breaking name-based comparison);
+        names shadowing the fixed readout columns are rejected too."""
+        from mopso_engine.ext.audit import contract_audit
+
+        df = spark.createDataFrame([(1, "g", 1)], "id long, g string, v long")
+        with pytest.raises(ValueError, match="duplicate contract names"):
+            contract_audit(
+                df, "g",
+                [("pos", F.col("v") <= 0), ("pos", F.col("v") > 9)],
+            )
+        with pytest.raises(ValueError, match="collide with the fixed"):
+            contract_audit(
+                df, "g",
+                [("n_rows", F.col("v") <= 0)], key_col="id",
+            )
+
     def test_single_aggregate_no_join_plan(self, spark):
         from mopso_engine.ext.audit import contract_audit
 

@@ -197,6 +197,12 @@ class TestCheckpointResume:
         np.testing.assert_array_equal(straight.archive_fitness, resumed.archive_fitness)
         assert straight.history == resumed.history
         assert resumed.best_index == straight.best_index
+        # ADVICE r11: the one-off checkpoint load + kNN cache build is
+        # reported as its own resume_load phase INSIDE setup, so a
+        # resumed fit's sec_per_iter stays a pure kernel number
+        assert resumed.phase_sec.get("resume_load") is not None
+        assert resumed.phase_sec["resume_load"] <= resumed.phase_sec["setup"] + 1e-9
+        assert "resume_load" not in straight.phase_sec
 
     def test_resume_rejects_foreign_checkpoint(self, blobs_df, tmp_path):
         import os

@@ -218,6 +218,66 @@ class TestRatioJackknife:
         # sanity: correlated data must yield a nonzero, finite SE
         assert 0 < out["se_micro"] < 1_000_000
 
+    def test_extreme_ratio_exact_wide_spread(self, spark):
+        """ADVICE r11: a spread term whose SQUARE exceeds BIGINT must
+        stay exact — the DECIMAL(38,0) square (HUGEINT oracle-side)
+        replays the arbitrary-precision python jackknife where the old
+        BIGINT square would have wrapped silently in Spark (non-ANSI)
+        and errored in DuckDB."""
+        import hashlib
+        import math
+
+        from mopso_engine.ext.pipeline import ratio_jackknife
+
+        def bkt(uid):
+            return int(hashlib.md5(f"{uid}#x".encode()).hexdigest()[:8], 16) % 10
+
+        # first six unit ids landing in six DISTINCT buckets: one unit
+        # hoards the denominator (9 of 10 views), so its leave-one-out
+        # denominator is 1 view, its theta is enormous, and the
+        # centered square blows past 2^63
+        units, seen = [], set()
+        uid = 0
+        while len(units) < 6:
+            b = bkt(uid)
+            if b not in seen:
+                seen.add(b)
+                units.append(uid)
+            uid += 1
+        rows = [(units[0], "view")] * 9 + [(units[1], "view")]
+        for u in units[1:]:
+            rows += [(u, "purchase")] * 800
+        df = spark.createDataFrame(rows, "user_id long, event_type string")
+        out = ratio_jackknife(
+            df, "user_id",
+            F.col("event_type") == "purchase",
+            F.col("event_type") == "view",
+            n_buckets=10, salt="x",
+        ).collect()[0]
+
+        agg = {}
+        for u, et in rows:
+            g = bkt(u)
+            n, d = agg.get(g, (0, 0))
+            agg[g] = (n + (et == "purchase"), d + (et == "view"))
+        nt = sum(n for n, _ in agg.values())
+        dt = sum(d for _, d in agg.values())
+        gc = len(agg)
+        thetas = [((nt - n) * 1_000_000) // (dt - d) for n, d in agg.values()]
+        s = sum(thetas)
+        k2 = sum((gc * t - s) ** 2 for t in thetas)
+        # the test must actually exercise the past-BIGINT range
+        assert max((gc * t - s) ** 2 for t in thetas) > 2**63
+        # mirror Spark's evaluation order: exact-integer K cast to
+        # double FIRST, then the (G-1) multiply in double
+        se = round(
+            math.sqrt(float(gc - 1) * float(k2)) / (gc * math.sqrt(gc)), 4
+        )
+        assert (
+            out["n_groups"], out["num_total"], out["den_total"],
+            out["ratio_micro"], out["se_micro"],
+        ) == (gc, nt, dt, (nt * 1_000_000) // dt, se)
+
     def test_degenerate_bucket_raises(self, spark):
         """One bucket holding every denominator event (single unit) —
         the leave-one-out denominator hits zero and must raise."""
