@@ -243,6 +243,14 @@ BENCH_QUERIES = [
     "events_ctr_jackknife",
     # round-11: quantile treatment effect (rank consumer #5)
     "events_qte",
+    # round-12: bucketed co-located fact-fact join (pays BOTH bucketed
+    # writes + the no-exchange merge-join read — the write-amortization
+    # demo), continuous SCD2 maintenance (two AvailableNow merge
+    # batches + read-back), and the nightly delta-publish composition
+    # (incremental dedup -> rollup merge + freshness gate in ONE plan)
+    "orders_bucketed_join",
+    "events_scd2_stream",
+    "nightly_delta_publish",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -412,6 +420,11 @@ ANCHOR_R08 = {
     "orders_grouping_sets": 0.6, "events_ctr_jackknife": 1.2,
     # r11: QTE (cold/warm 6.2/1.4 — two grouped-rank passes)
     "events_qte": 2.2,
+    # r12-new (cold/warm: 6.4/2.7, 4.8/2.6, 3.8/1.6 — the bucketed
+    # join rewrites BOTH fact tables every run, the scd2 stream pays
+    # two real AvailableNow merge batches + ledger IO)
+    "orders_bucketed_join": 3.5, "events_scd2_stream": 3.2,
+    "nightly_delta_publish": 2.2,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its
@@ -726,7 +739,7 @@ def main() -> None:
     # leaves a truncated file — and stdout gets the compact rendering as
     # the single final line so even a tail capture holds more entries.
     artifact = os.environ.get("SPARK_GRAFT_BENCH_OUT", os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_r11.json"))
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_r12.json"))
     tmp = artifact + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(out, fh, indent=1)

@@ -109,3 +109,20 @@ def test_driver_window_invariants():
     assert missing == [], f"window entries without oracles: {missing}"
     stray = [n for n in oracles if n not in qs]
     assert stray == [], f"oracles without declared queries: {stray}"
+
+
+def test_registry_comment_count_matches_declared_queries():
+    """VERDICT r11 #4: the rotation-policy comment's 'All N are
+    verified locally' count drifted once (228 while len(queries())
+    was 238) — pin it to the registry so it can't drift again."""
+    import inspect
+    import re
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+    import __spark_entry__ as entry_mod
+
+    m = re.search(
+        r"All (\d+) are verified", inspect.getsource(entry_mod)
+    )
+    assert m is not None, "rotation-policy comment lost its count sentence"
+    assert int(m.group(1)) == len(entry_mod.queries())
