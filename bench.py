@@ -564,13 +564,26 @@ def main() -> None:
     # engine-side walls exclude the query wrapper's own read/rescore
     # work, so phases sum to slightly less than the entry timing.
     from mopso_engine.engine import LAST_FIT_PHASES
+    from mopso_engine.ext.graph import LAST_GRAPH_PHASES
 
     fit_phase_attempts: dict[str, list] = {}
+    graph_phase_attempts: dict[str, list] = {}
+    #: graph entries whose engine loop reports a setup/blocks
+    #: decomposition (VERDICT r11 #2: supplier_bfs swung 15→22s across
+    #: rounds on unchanged code — the artifact now separates the cache
+    #: build from the per-block expansion walls so a swing
+    #: self-adjudicates without a worktree A/B)
+    GRAPH_PHASE_QUERIES = {"supplier_bfs", "supplier_ppr", "supplier_pagerank"}
 
     def note_fit_phases(name: str, t: float) -> None:
         if name.startswith("mopso_fit") and LAST_FIT_PHASES:
             fit_phase_attempts.setdefault(name, []).append(
                 (t, dict(LAST_FIT_PHASES))
+            )
+        if name in GRAPH_PHASE_QUERIES and LAST_GRAPH_PHASES:
+            graph_phase_attempts.setdefault(name, []).append(
+                (t, {k: (list(v) if isinstance(v, list) else v)
+                     for k, v in LAST_GRAPH_PHASES.items()})
             )
 
     def run_once(name: str) -> float:
@@ -733,6 +746,15 @@ def main() -> None:
             out["fit_lineitem_sec_per_iter"] = round(
                 ph["iter_loop"] / ph["n_iters_run"], 3
             )
+    if graph_phase_attempts:
+        # best attempt's setup/per-block walls per graph entry (VERDICT
+        # r11 #2): a bfs/pagerank swing now adjudicates in-artifact —
+        # setup inflated with flat blocks = host/IO noise, a block
+        # inflated = kernel regression
+        out["graph_phases"] = {
+            n2: min(lst, key=lambda x: x[0])[1]
+            for n2, lst in sorted(graph_phase_attempts.items())
+        }
     # durable artifact (VERDICT r7 #1): two consecutive driver captures
     # kept only a 2000-char stdout tail (parsed: null), so the full JSON
     # is ALSO written to disk — atomic replace so a crashed run never

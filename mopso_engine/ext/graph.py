@@ -16,6 +16,8 @@ doubles anywhere, hence no summation-order hazard.
 """
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -27,7 +29,20 @@ __all__ = [
     "triangle_counts",
     "kcore",
     "label_propagation",
+    "LAST_GRAPH_PHASES",
 ]
+
+#: per-phase wall clocks of the LAST pagerank/bfs_levels call — read by
+#: bench.py right after timing a graph entry (the LAST_FIT_PHASES
+#: pattern, VERDICT r11 #2: supplier_bfs swung 15→22s across rounds on
+#: unchanged code with quiet calibs and had no in-artifact decomposition
+#: to adjudicate it). "setup" is the one-off edge/node cache build
+#: (forced eagerly so it can't leak into the first block); each entry of
+#: "blocks" is one materialization job covering the lazily-chained
+#: rounds since the previous one. A slow bench reading then
+#: self-adjudicates: setup inflated with flat blocks = per-job fixed
+#: cost (launch/IO) noise; a block inflated = a real kernel regression.
+LAST_GRAPH_PHASES: dict = {}
 
 #: final rank vectors persisted by :func:`pagerank` (callers iterate on
 #: them; the loop's INTERNAL caches are unpersisted before returning).
@@ -135,6 +150,7 @@ def pagerank(
         .distinct()
     )
 
+    t0 = time.time()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     esrc = e.join(deg, "src").repartition(shuffle_p, "src").persist()
     nodes = (
@@ -144,6 +160,17 @@ def pagerank(
         .repartition(shuffle_p, "node")
         .persist()
     )
+    # build both loop caches NOW so their cost lands in the "setup"
+    # phase, never inside the first materialization block — the same
+    # total work either way (the first block would build them lazily),
+    # but now the telemetry separates one-off IO from kernel time
+    esrc.count()
+    nodes.count()
+    phases: dict = {
+        "op": "pagerank",
+        "setup": round(time.time() - t0, 3),
+        "blocks": [],
+    }
 
     teleport = (100 - damping_pct) * unit // 100
     if seeds is not None:
@@ -158,6 +185,7 @@ def pagerank(
         init_col = F.lit(int(unit)).cast("long")
     ranks = nodes.select("node", init_col.alias("units"))
     prev: DataFrame | None = None
+    t_blk = time.time()
     for i in range(iters):
         inc = (
             ranks.join(esrc, ranks["node"] == esrc["src"])
@@ -183,11 +211,18 @@ def pagerank(
         if (i + 1) % materialize_every == 0 or i == iters - 1:
             ranks = ranks.persist()
             ranks.count()  # materialize so the predecessor can drop NOW
+            phases["blocks"].append(
+                {"through_iter": i + 1, "wall": round(time.time() - t_blk, 3)}
+            )
+            t_blk = time.time()
             if prev is not None:
                 prev.unpersist()
             prev = ranks
     esrc.unpersist()
     nodes.unpersist()
+    phases["n_iters_run"] = iters
+    LAST_GRAPH_PHASES.clear()
+    LAST_GRAPH_PHASES.update(phases)
     _PR_CACHES.append(ranks)
     return ranks
 
@@ -540,6 +575,7 @@ def bfs_levels(
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
+    t0 = time.time()
     esrc = e.repartition(shuffle_p, "src").persist()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -548,6 +584,14 @@ def bfs_levels(
         .repartition(shuffle_p, "node")
         .persist()
     )
+    # eager cache build: setup-vs-blocks telemetry (see pagerank above)
+    esrc.count()
+    nodes.count()
+    phases: dict = {
+        "op": "bfs_levels",
+        "setup": round(time.time() - t0, 3),
+        "blocks": [],
+    }
     seed_list = [int(s) for s in sources]
     dist = nodes.select(
         "node",
@@ -556,7 +600,10 @@ def bfs_levels(
         .alias("dist"),
     )
     prev: DataFrame | None = None
+    t_blk = time.time()
+    n_rounds_run = 0
     for i in range(1, iters + 1):
+        n_rounds_run = i
         reached = (
             dist.where(F.col("dist") == i - 1)
             .join(esrc, dist["node"] == esrc["src"])
@@ -574,6 +621,10 @@ def bfs_levels(
         if i % materialize_every == 0 or i == iters:
             dist = dist.persist()
             dist.count()
+            phases["blocks"].append(
+                {"through_round": i, "wall": round(time.time() - t_blk, 3)}
+            )
+            t_blk = time.time()
             if prev is not None:
                 prev.unpersist()
             prev = dist
@@ -586,5 +637,8 @@ def bfs_levels(
                 break
     esrc.unpersist()
     nodes.unpersist()
+    phases["n_rounds_run"] = n_rounds_run
+    LAST_GRAPH_PHASES.clear()
+    LAST_GRAPH_PHASES.update(phases)
     _PR_CACHES.append(dist)
     return dist

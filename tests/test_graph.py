@@ -473,3 +473,32 @@ class TestBfsLevels:
             bfs_levels(df, [1], iters=0)
         with pytest.raises(ValueError):
             bfs_levels(df, [1], materialize_every=0)
+
+
+def test_graph_phase_telemetry_covers_all_rounds(spark):
+    """VERDICT r11 #2: pagerank and bfs_levels report a setup/blocks
+    wall decomposition through LAST_GRAPH_PHASES so a slow bench entry
+    self-adjudicates. The blocks must tile the whole loop: one entry
+    per materialization, the last one at the final executed round."""
+    from mopso_engine.ext.graph import (
+        LAST_GRAPH_PHASES,
+        bfs_levels,
+        clear_pagerank_caches,
+        pagerank,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1)], "src long, dst long"
+    )
+    bfs_levels(df, [1], iters=6, materialize_every=3).collect()
+    ph = dict(LAST_GRAPH_PHASES)
+    assert ph["op"] == "bfs_levels" and ph["setup"] >= 0
+    assert [b["through_round"] for b in ph["blocks"]] == [3, 6]
+    assert ph["n_rounds_run"] == 6
+
+    pagerank(df, iters=6, materialize_every=3).collect()
+    ph = dict(LAST_GRAPH_PHASES)
+    assert ph["op"] == "pagerank"
+    assert [b["through_iter"] for b in ph["blocks"]] == [3, 6]
+    assert ph["n_iters_run"] == 6
+    clear_pagerank_caches()
