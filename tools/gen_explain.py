@@ -859,6 +859,35 @@ COMMENTS = {
     "pattern, and the effect is the integer value difference at "
     "matched per-mille target ranks; the tiny per-variant hit tables "
     "join as broadcasts.",
+    "orders_bucketed_join": "Bucketed co-located fact-fact join (r12): "
+    "orders and lineitem written bucketed+sorted by orderkey with "
+    "matching bucket counts, so the merge join reads bucket i against "
+    "bucket i with NO Exchange on either input — look for "
+    "SortMergeJoin whose children are bucketed FileScans with no "
+    "hashpartitioning(o_orderkey/l_orderkey) anywhere; the only "
+    "exchange belongs to the final groupBy(o_orderstatus). The shuffle "
+    "was paid ONCE at write time — the 100 TB layout lever when both "
+    "join sides are big (the query asserts the property in-plan and "
+    "raises if the layout is ever ignored).",
+    "events_scd2_stream": "Continuous SCD2 maintenance (r12): the plan "
+    "shown is the READ-BACK of the latest committed v=<batch_id> "
+    "history version — the interesting movement happened per "
+    "micro-batch inside scd2_maintain_stream (broadcast key-prune of "
+    "the history + the scd2 window over touched keys ONLY, versioned "
+    "replay-safe ledger), which a streaming foreachBatch sink cannot "
+    "render in one static EXPLAIN. Value contract: the drained stream "
+    "equals events_scd2's one-shot batch build exactly.",
+    "nightly_delta_publish": "Nightly delta-publish composition (r12): "
+    "three maintenance stages in ONE plan — the increment's "
+    "fingerprint anti-join dedup (left_anti on md5, then the keep-"
+    "first window), merge_partial_aggs folding the kept delta into "
+    "the per-source rollup (one unionByName + groupBy of two "
+    "key-count-sized agg tables), and the freshness gate (1-row "
+    "frontier broadcast + ONE map-side-combined type aggregate). "
+    "Look for: exactly one corpus-scale documents scan pair feeding "
+    "both dedup branches, no join wider than the fingerprint "
+    "equality, and the events scan folding straight to stream-count "
+    "rows.",
 }
 
 

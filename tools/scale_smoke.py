@@ -36,6 +36,14 @@ SRC = "/root/testdata/sf0.1"
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(_REPO, ".scale10")
 OUT100 = os.path.join(_REPO, ".scale100")
+#: decades for the MinHash-LSH smoke: replicas are TOKEN-SALTED (every
+#: token gets a per-replica suffix) so the scaled corpus models a real
+#: mostly-distinct crawl — a plain replication would make every replica
+#: a true duplicate of the base, bucket sizes would grow ×N, and
+#: Σ bucket² would degenerate to corpus², proving nothing about the
+#: banded join's scaling law
+OUT_LSH = os.path.join(_REPO, ".scale10lsh")
+OUT100_LSH = os.path.join(_REPO, ".scale100lsh")
 REPLICAS = 10
 
 
@@ -208,6 +216,100 @@ def main_x100(names: list[str]) -> None:
     spark.stop()
 
 
+def build_corpus_lsh(spark, n: int, dest: str) -> None:
+    """×n documents with DECORRELATED replicas for the banded-similarity
+    smoke: doc_ids re-keyed per replica AND every token suffixed with
+    the replica index, so cross-replica Jaccard is 0 and each replica
+    reproduces the base corpus's internal bucket structure — bucket
+    COUNT grows ×n while bucket SIZES stay flat, which is what a real
+    mostly-distinct 100 TB crawl looks like to the LSH join."""
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    scaled = None
+    for i in range(n):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000)).withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda t: F.concat(t, F.lit(f"_r{i}")),
+                ),
+                " ",
+            ),
+        )
+        scaled = d if scaled is None else scaled.unionByName(d)
+    scaled.repartition(max(8, n // 2)).write.parquet(
+        os.path.join(dest, "documents.parquet")
+    )
+
+
+def main_x100_lsh() -> None:
+    """×1/×10/×100 curve for the MinHash-LSH dedup path (VERDICT r11
+    #5): runs the declared ``dedup_verified`` composition (banding →
+    exact Jaccard verify) at each decade and, beside wall/shuffle/stage
+    counts, measures the banded join's WORK LAW directly — Σ over
+    (band, bucket) of C(bucket, 2) equals sum(n_bands) over the
+    candidate-pair output, so the artifact records candidate work ∝
+    Σ bucket² (linear in a mostly-distinct corpus), never corpus²."""
+    from mopso_engine.session import build_session
+
+    spark = build_session(master="local[32]", app_name="scale-smoke-lsh")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry_mod
+
+    from pyspark.sql import functions as F
+
+    from mopso_engine.ext import dedup as dd
+    from mopso_engine.ext.dedup import clear_shingle_caches
+
+    build_corpus_lsh(spark, 10, OUT_LSH)
+    build_corpus_lsh(spark, 100, OUT100_LSH)
+    qs = entry_mod.queries()
+    out: dict = {"metric": "scale100_lsh_smoke", "query": "dedup_verified"}
+    # warm pass eats codegen/JIT so no timed pass is charged for it
+    qs["dedup_verified"](spark, SRC).write.format("noop").mode("overwrite").save()
+    clear_shingle_caches()
+    for tag, d, mult in (("x1", SRC, 1), ("x10", OUT_LSH, 10), ("x100", OUT100_LSH, 100)):
+        snap0 = stage_writes(spark)
+        t0 = time.time()
+        qs["dedup_verified"](spark, d).write.format("noop").mode("overwrite").save()
+        t = round(time.time() - t0, 3)
+        clear_shingle_caches()
+        tot, peak, nst = window_stats(snap0, stage_writes(spark))
+        # the work-law readout (untimed second pass): sum(n_bands) over
+        # candidate pairs == Σ_{band,bucket} C(bucket_size, 2)
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        cands = dd.minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=4)
+        law = cands.agg(
+            F.coalesce(F.sum("n_bands"), F.lit(0)).alias("work"),
+            F.count(F.lit(1)).alias("pairs"),
+        ).collect()[0]
+        clear_shingle_caches()
+        rec = {
+            "scale": mult, "wall_sec": t, "shuffle_write_bytes": tot,
+            "peak_stage_shuffle_bytes": peak, "stages": nst,
+            "n_docs": docs.count(),
+            "candidate_pairs": int(law["pairs"]),
+            "bucket_pair_work": int(law["work"]),
+        }
+        out[tag] = rec
+        print(
+            f"# dedup_verified {tag}: {t}s shuffle={tot} stages={nst} "
+            f"pairs={rec['candidate_pairs']} work={rec['bucket_pair_work']}",
+            file=sys.stderr,
+        )
+    for a, b in (("x10", "x1"), ("x100", "x10"), ("x100", "x1")):
+        out[f"ratio_{a}_vs_{b}"] = round(out[a]["wall_sec"] / out[b]["wall_sec"], 2)
+        out[f"work_ratio_{a}_vs_{b}"] = round(
+            out[a]["bucket_pair_work"] / max(1, out[b]["bucket_pair_work"]), 2
+        )
+    print(json.dumps(out))
+    spark.stop()
+
+
 def stage_writes(spark) -> dict:
     """{(stageId, attemptId): shuffleWriteBytes} for completed stages via
     the REST API — callers diff two snapshots so totals AND peaks are
@@ -343,8 +445,16 @@ if __name__ == "__main__":
         help="comma-list of flagship queries to run at x1/x10/x100 "
         "(builds .scale100 for just their tables; skips the x10 suite)",
     )
+    ap.add_argument(
+        "--x100-lsh",
+        action="store_true",
+        help="run the MinHash-LSH dedup x1/x10/x100 curve on token-"
+        "salted decades (builds .scale10lsh/.scale100lsh)",
+    )
     args = ap.parse_args()
-    if args.x100:
+    if args.x100_lsh:
+        main_x100_lsh()
+    elif args.x100:
         main_x100(args.x100.split(","))
     else:
         main()
