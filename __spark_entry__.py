@@ -5111,6 +5111,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return merged.unionByName(dedup_row).unionByName(fresh)
 
+    def orders_partitioned_scan(spark, sf):
+        """Hive-style partitioned layout + partition pruning declared
+        end-to-end (`io.write_partitioned` — the scan-pruning member
+        of the layout family beside bucketing/compaction/z-order;
+        plan-tested since r5 but never oracle-declared, the same seam
+        class VERDICT r11 #3 closed for bucketing): orders rewritten
+        partitioned by order YEAR under a PID-keyed temp dir, then the
+        year-predicated read-back must prune at the DIRECTORY level —
+        asserted IN-QUERY via PartitionFilters on the physical plan (a
+        silent fall-back to a full scan + row filter raises). At
+        100 TB pruning is the first line of defense: a daily reader of
+        a date-partitioned fact touches 1/365th of the files. Oracle =
+        the same aggregate over the ORIGINAL parquet with the year
+        predicate as a row filter — layout, never semantics."""
+        import tempfile
+
+        from mopso_engine.io import write_partitioned
+
+        dst = os.path.join(
+            tempfile.gettempdir(),
+            f"mopso_part_orders_{os.path.basename(sf.rstrip('/'))}"
+            f"_{os.getpid()}",
+        )
+        o = read_table(spark, sf, "orders").select(
+            "o_orderpriority",
+            F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        write_partitioned(o, dst, partition_by="o_year")
+        q = (
+            spark.read.parquet(dst)
+            .where(F.col("o_year") == 1996)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("sum_cents"),
+            )
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        after = plan.split("PartitionFilters", 1)
+        if len(after) < 2 or "o_year" not in after[1][:200]:
+            raise RuntimeError(
+                "orders_partitioned_scan: the year predicate did not "
+                "prune partitions — the partitioned layout was not "
+                "picked up"
+            )
+        return q
+
     # ---- the full algorithm + post-hoc relational oracle --------------------
     def mopso_fit(spark, sf):
         """End-to-end seeded MOPSO fit (tiny budget), post-hoc verified:
@@ -5241,7 +5291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows only), so the future schedule is readable off this comment:
     # the past-cutoff blocks are ALREADY in rotation order and each
     # round's slice is simply the next ~39 names after the flagships
-    # and that round's code-changed re-earners. All 241 are verified
+    # and that round's code-changed re-earners. All 242 are verified
     # locally by tools/check_oracle.py (same compare as the driver,
     # default + hostile sessions) before each round ends — the count
     # in this sentence is pinned to len(queries()) by
@@ -5258,14 +5308,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_asof_forward, orders_incremental_rollup,
         orders_grouping_sets, events_ctr_jackknife, events_qte,
         # r12-NEW, in-window so they never join the never-verified
-        # debt (VERDICT r11 #3/#7: the bucketed co-located-join
-        # layout seam, the continuous SCD2 maintainer, the
-        # nightly-delta-publish composition) (3)
+        # debt (VERDICT r11 #3/#7 + the same seam class pre-empted:
+        # the bucketed co-located-join layout seam, the continuous
+        # SCD2 maintainer, the nightly-delta-publish composition, and
+        # the partition-pruning layout seam) (4)
         orders_bucketed_join, events_scd2_stream, nightly_delta_publish,
-        # stale-tail rotation, oldest-verified-first (37): the r6
-        # block (20), then the r7 block head (17) — the three r12-new
-        # in-window entries displaced the r7 tail from docs_split on
-        # to the r13 slice
+        orders_partitioned_scan,
+        # stale-tail rotation, oldest-verified-first (36): the r6
+        # block (20), then the r7 block head (16) — the four r12-new
+        # in-window entries displaced the r7 tail from docs_shuffled
+        # on to the r13 slice
         events_zvalue, hll_union_check, knn_lsh_recall,   # last r6
         lang_pred, lloyd_kmeans,                          # last r6
         lsh_candidates, pca_project, pq_topk, quality,    # last r6
@@ -5278,12 +5330,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_components_star, dev_inertia,               # last r7
         docs_bigram_logppl, docs_chunked, docs_despan,    # last r7
         docs_negative_pairs, docs_packed, docs_para_dedup,    # last r7
-        docs_pii, docs_quota_sample, docs_shuffled,       # last r7
-        # Window = 5 fits + 5 r11-leaders + 3 r12-new + 37 rotation = 50.
+        docs_pii, docs_quota_sample,                      # last r7
+        # Window = 5 fits + 5 r11-leaders + 4 r12-new + 36 rotation = 50.
         # --- the 50-entry truncation lands exactly here ---
         # r13's rotation slice starts here: the r7 block tail, then
         # the r8 block — each block alphabetical (the deterministic
         # tie order), blocks ordered by last-earned round ascending.
+        docs_shuffled,                                    # last r7
         docs_split, dup_span_stats, events_key_skew,      # last r7
         events_props_extract, feature_minmax, fingerprints,   # last r7
         heavy_hitters, minhash_sigs, para_dup_stats,      # last r7
@@ -7524,6 +7577,19 @@ def oracle_sql() -> dict[str, str]:
                a.ng::BIGINT AS n_control, b.ng::BIGINT AS n_treat
         FROM hits a JOIN hits b ON a.q_pm = b.q_pm
         WHERE a.variant = 0 AND b.variant = 1
+    """
+
+    # orders_partitioned_scan: partitioning is LAYOUT — the oracle runs
+    # the same aggregate with the year predicate as a plain row filter;
+    # the pruning claim itself is asserted in-query on the physical
+    # plan (DuckDB has no partition directories to replay).
+    o["orders_partitioned_scan"] = """
+        SELECT o_orderpriority,
+               count(*)::BIGINT AS n,
+               sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                 ::BIGINT AS sum_cents
+        FROM orders WHERE year(o_orderdate) = 1996
+        GROUP BY 1
     """
 
     # orders_bucketed_join: bucketing is LAYOUT, never semantics — the

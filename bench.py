@@ -251,6 +251,9 @@ BENCH_QUERIES = [
     "orders_bucketed_join",
     "events_scd2_stream",
     "nightly_delta_publish",
+    # round-12: the layout family's scan-pruning member (partitioned
+    # rewrite + directory-pruned read, PartitionFilters asserted)
+    "orders_partitioned_scan",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -425,6 +428,8 @@ ANCHOR_R08 = {
     # two real AvailableNow merge batches + ledger IO)
     "orders_bucketed_join": 3.5, "events_scd2_stream": 3.2,
     "nightly_delta_publish": 2.2,
+    # r12: partitioned rewrite + pruned read (cold/warm 3.0/1.0)
+    "orders_partitioned_scan": 1.4,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

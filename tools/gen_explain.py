@@ -888,6 +888,14 @@ COMMENTS = {
     "both dedup branches, no join wider than the fingerprint "
     "equality, and the events scan folding straight to stream-count "
     "rows.",
+    "orders_partitioned_scan": "Partition pruning declared end-to-end "
+    "(r12, the layout family's scan-pruning member): orders rewritten "
+    "partitioned by year, then the year predicate must appear under "
+    "PartitionFilters on the read-back scan — whole directories "
+    "skipped before any IO, with NO o_year filter in the row-level "
+    "Filter (the query raises if the pruning is ever lost). The rest "
+    "is one map-side-combined priority aggregate over the single "
+    "surviving partition.",
 }
 
 
