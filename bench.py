@@ -254,6 +254,16 @@ BENCH_QUERIES = [
     # round-12: the layout family's scan-pruning member (partitioned
     # rewrite + directory-pruned read, PartitionFilters asserted)
     "orders_partitioned_scan",
+    # round-12 second batch: retrieval-eval readout (BM25 top-10 +
+    # coverage qrels + pinned-weight nDCG/MRR/recall), per-type Poisson
+    # bootstrap CI (200 deterministic replicates over the unit-level
+    # table), CDC latest-wins snapshot (one WindowGroupLimit-pushed key
+    # exchange), schema-evolution mergeSchema read (two epoch rewrites
+    # + footer-union read-back)
+    "bm25_eval",
+    "events_bootstrap_ci",
+    "events_cdc_snapshot",
+    "orders_schema_evolution",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -430,6 +440,12 @@ ANCHOR_R08 = {
     "nightly_delta_publish": 2.2,
     # r12: partitioned rewrite + pruned read (cold/warm 3.0/1.0)
     "orders_partitioned_scan": 1.4,
+    # r12 second batch (cold/warm: 14.1/3.9, 0.8/0.6, 0.8/0.5,
+    # 1.4/0.8 — bm25_eval pays the full BM25 retriever AND the
+    # coverage labeler, each a corpus explode+prune pass; the
+    # schema-evolution entry rewrites both orders epochs every run)
+    "bm25_eval": 4.8, "events_bootstrap_ci": 0.8,
+    "events_cdc_snapshot": 0.7, "orders_schema_evolution": 1.1,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

@@ -2621,3 +2621,237 @@ def rolling_active_users(
             ),
         )
     )
+
+
+#: Poisson(1) cumulative distribution quantized to micro-units, round
+#: half up — the inverse-CDF table behind the deterministic bootstrap
+#: weights. Data-independent constants (the CHI2_1DF_95_MICRO
+#: treatment): w(u) = #{c in table : u >= c} for a uniform integer
+#: u in [0, 1e6). The tail is capped at w = 8 (residual mass ~1.1e-6 —
+#: one tick of the grid; the cap is part of the pinned definition, so
+#: both engines replay it identically).
+POISSON1_CUM_MICRO = (
+    367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990,
+)
+
+
+def poisson1_weight_sql(u_expr: str) -> str:
+    """The pinned Poisson(1) inverse-CDF as one engine-portable SQL
+    expression over an integer uniform ``u_expr`` in [0, 1e6): the count
+    of cumulative thresholds at or below u. Shared by the Spark plan and
+    the DuckDB oracle so the weight literals can never drift."""
+    terms = " + ".join(
+        f"(CASE WHEN ({u_expr}) >= {c} THEN 1 ELSE 0 END)"
+        for c in POISSON1_CUM_MICRO
+    )
+    return f"({terms})"
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+    value_micro: Column,
+    *,
+    replicates: int = 200,
+    salt: str = "boot0",
+) -> DataFrame:
+    """Cluster (per-unit) Poisson-bootstrap confidence interval for a
+    per-event mean — the experimentation family's interval estimator,
+    complementing :func:`ratio_jackknife`'s SE: the bootstrap reads the
+    whole sampling distribution (percentile CI, no normality assumption)
+    where the jackknife reads one number, and the POISSON form is the
+    bootstrap that distributes (Chamandy et al. 2012, "Estimating
+    uncertainty for massive data streams" — multinomial resampling needs
+    global coordination; independent per-(unit, replicate) Poisson(1)
+    weights need none).
+
+    Determinism: the weight for (group, unit, replicate r) is the pinned
+    inverse-CDF (:data:`POISSON1_CUM_MICRO`) of the md5 integer uniform —
+    no RNG state, replayable in any engine, join-stable across retries.
+    Resampling is BY UNIT (every event of a unit carries its unit's
+    weight), so within-unit correlation is respected — the same reason
+    the jackknife groups by unit.
+
+    Exactness: replicate estimates are round-half-up integer micro-means
+    ``θ_r = (2·Σ w·s_u + Σ w·n_u) div (2·Σ w·n_u)`` over per-unit
+    integer partials (s_u = Σ value_micro, n_u = events); the CI bounds
+    are EXACT order statistics of the R integer estimates — lo at rank
+    ceil(0.025·R), hi at rank R+1−ceil(0.025·R) (R=200 → ranks 5/196),
+    the pinned percentile rule. No float op touches any returned value.
+
+    Matched failure: a replicate whose weighted event count is zero
+    raises in-plan (≈(1/e)^units — only reachable when a group has a
+    handful of units, where a bootstrap is meaningless anyway); NULL
+    unit keys raise (concat_ws would silently skip them into a shared
+    md5(salt) bucket while an oracle's ``||`` propagates NULL — the
+    cross-engine divergence class the matched-failure convention
+    closes).
+
+    Shape (100 TB): ONE corpus-scale exchange — the map-side-combined
+    (group, unit) partial aggregate. Replicates explode the UNIT-level
+    table (units × R rows, bounded by units never events), the
+    per-replicate fold is map-side combinable to groups × R rows, and
+    the order-statistic window runs over R rows per group. Returns one
+    row per group: (group, n_units, n_events, theta_micro, lo_micro,
+    hi_micro, n_replicates).
+    """
+    if replicates < 40:
+        raise ValueError(
+            f"poisson_bootstrap_ci: replicates must be >= 40 for a 2.5% "
+            f"percentile rank to exist, got {replicates}"
+        )
+    r = int(replicates)
+    lo_rank = -((-25 * r) // 1000)  # ceil(0.025 R)
+    hi_rank = r + 1 - lo_rank
+    unit_checked = F.when(
+        F.col(unit_col).isNull(),
+        F.raise_error(F.lit(f"poisson_bootstrap_ci: NULL unit key {unit_col}")),
+    ).otherwise(F.col(unit_col).cast("string"))
+    # NULL groups raise for the same concat_ws-skips-NULL reason as units
+    group_checked = F.when(
+        F.col(group_col).isNull(),
+        F.raise_error(F.lit(f"poisson_bootstrap_ci: NULL group key {group_col}")),
+    ).otherwise(F.col(group_col).cast("string"))
+
+    per_unit = (
+        df.select(
+            group_checked.alias("g"),
+            unit_checked.alias("u"),
+            value_micro.alias("v"),
+        )
+        .groupBy("g", "u")
+        .agg(F.count(F.lit(1)).alias("n_u"), F.sum("v").alias("s_u"))
+    )
+
+    u_expr = (
+        "conv(substring(md5(concat_ws('#', g, u, CAST(rep AS STRING), "
+        f"'{salt}')), 1, 8), 16, 10) % 1000000"
+    )
+    reps = (
+        per_unit.select(
+            "g",
+            "u",
+            "n_u",
+            "s_u",
+            F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("rep"),
+        )
+        .withColumn("w", F.expr(poisson1_weight_sql(u_expr)).cast("long"))
+        .groupBy("g", "rep")
+        .agg(
+            # DECIMAL(38,0) sums (HUGEINT in the oracle): per-group
+            # weighted totals can exceed BIGINT at warehouse scale and
+            # Spark (non-ANSI) would wrap silently while DuckDB errors —
+            # the ADVICE-r11 cross-engine divergence class
+            F.expr("sum(CAST(w AS DECIMAL(19,0)) * n_u)").alias("den"),
+            F.expr("sum(CAST(w AS DECIMAL(19,0)) * s_u)").alias("num"),
+        )
+        .withColumn(
+            "theta",
+            F.when(
+                F.col("den") <= 0,
+                F.raise_error(
+                    F.lit(
+                        "poisson_bootstrap_ci: a replicate resampled zero "
+                        "events — too few units for a bootstrap"
+                    )
+                ),
+            ).otherwise(
+                F.expr("CAST((2 * num + den) div (2 * den) AS BIGINT)")
+            ),
+        )
+    )
+
+    ow = Window.partitionBy("g").orderBy(F.asc("theta"), F.asc("rep"))
+    ci = (
+        reps.withColumn("ork", F.row_number().over(ow))
+        .groupBy("g")
+        .agg(
+            F.max(F.when(F.col("ork") == lo_rank, F.col("theta"))).alias(
+                "lo_micro"
+            ),
+            F.max(F.when(F.col("ork") == hi_rank, F.col("theta"))).alias(
+                "hi_micro"
+            ),
+        )
+    )
+    point = per_unit.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("n_u").alias("n_events"),
+        F.expr(
+            "CAST((2 * sum(CAST(s_u AS DECIMAL(19,0)))"
+            " + sum(CAST(n_u AS DECIMAL(19,0))))"
+            " div (2 * sum(CAST(n_u AS DECIMAL(19,0)))) AS BIGINT)"
+        ).alias("theta_micro"),
+    )
+    return (
+        point.join(ci, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_units",
+            "n_events",
+            "theta_micro",
+            "lo_micro",
+            "hi_micro",
+            F.lit(r).alias("n_replicates"),
+        )
+    )
+
+
+def cdc_latest_snapshot(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    op_col: str,
+    payload_cols: list[str],
+    *,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Latest-wins change-data-capture snapshot — the MERGE-INTO
+    compaction every lakehouse ingest runs (Delta/Hudi/Iceberg CoW):
+    from a keyed change feed of upserts and deletes, materialize the
+    CURRENT state — each key's most recent non-delete payload; keys
+    whose latest change is a delete are absent. The point-in-time
+    complement of the SCD2 family: scd2_build keeps the full history,
+    this keeps only the head, which is what a serving table wants.
+
+    Ordering contract: changes are totally ordered per key by
+    ``(ts_col asc, seq_col asc)`` — the LAST row wins; equal timestamps
+    resolve by the sequence column (a log offset / event id), the rule
+    CDC consumers (Debezium/Kafka) define. A NULL timestamp or sequence
+    raises in-plan: an unordered change is a corrupt feed and silence
+    would pick an arbitrary winner (the oracle mirrors the raise).
+
+    Shape (100 TB): ONE key exchange. The rank window keeps exactly the
+    top-1 row per key, so WindowGroupLimit pushes a per-map-partition
+    1-row heap BELOW the exchange — the shuffle carries at most one
+    surviving change per key per map partition, never the raw feed.
+    No join against the existing snapshot is needed (latest-wins is
+    associative; at scale this runs per partition-of-keys).
+
+    Returns (key, ts, seq, *payload_cols) for live keys only.
+    """
+    ts_checked = F.when(
+        F.col(ts_col).isNull() | F.col(seq_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"cdc_latest_snapshot: NULL {ts_col}/{seq_col} — the "
+                "change feed ordering is undefined"
+            )
+        ),
+    ).otherwise(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc("_cdc_ts"), F.desc(seq_col)
+    )
+    return (
+        changes.withColumn("_cdc_ts", ts_checked)
+        .withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .select(
+            key_col,
+            F.col("_cdc_ts").alias(ts_col),
+            seq_col,
+            *payload_cols,
+        )
+    )

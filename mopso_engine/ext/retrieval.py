@@ -34,6 +34,9 @@ __all__ = [
     "idf_micro_table",
     "bm25_rational_constants",
     "clear_retrieval_caches",
+    "ndcg_weights_micro",
+    "coverage_qrels",
+    "retrieval_eval",
 ]
 
 # query-lifetime persisted tf tables (the pruned (doc_id, term) counts a
@@ -423,4 +426,209 @@ def proximity_topk(
         best.withColumn("rk", F.row_number().over(rk_w))
         .where(F.col("rk") <= int(top_k))
         .select("query_id", "doc_id", "min_window", "rk")
+    )
+
+
+def ndcg_weights_micro(k: int) -> dict[int, int]:
+    """Per-rank nDCG discount weights quantized to integer micro-units:
+    ``w[r] = round_half_up(1e6 / log2(r + 1))`` for r = 1..k.
+
+    ``log2`` is the ONE transcendental in nDCG and it is DATA-INDEPENDENT
+    (a function of the rank alone), so it gets the BM25-idf treatment:
+    quantized once by this shared python and injected as literals into
+    BOTH engines — whatever libm either engine links, the literals agree
+    by construction.
+    """
+    if k < 1:
+        raise ValueError(f"ndcg_weights_micro: k must be >= 1, got {k}")
+    return {
+        r: int(math.floor(1_000_000.0 / math.log2(r + 1) + 0.5))
+        for r in range(1, int(k) + 1)
+    }
+
+
+def coverage_qrels(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    full_rel: int = 2,
+    partial_rel: int = 1,
+) -> DataFrame:
+    """Deterministic graded relevance labels derived from query-term
+    coverage: a document containing EVERY distinct query term is graded
+    ``full_rel``; one containing all but one term is ``partial_rel``;
+    anything sparser is unlabeled (not relevant). The grade ladder a
+    retrieval-eval harness needs when no human qrels exist — fully
+    replayable from the corpus, which is what makes the eval metrics
+    oracle-checkable end to end.
+
+    Same broadcast-prune shape as :func:`term_coverage_topk`: the corpus
+    explode is semi-joined against the tiny distinct-term set BEFORE the
+    one (doc, term) distinct shuffle; per-query term counts are a
+    broadcast scalar join.
+
+    Returns (query_id, doc_id, rel) with rel >= 1.
+    """
+    if not (full_rel > partial_rel > 0):
+        raise ValueError(
+            f"coverage_qrels: need full_rel > partial_rel > 0, "
+            f"got {full_rel} / {partial_rel}"
+        )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    qtoks = F.split(F.lower(F.trim(F.col("qtext"))), r"\s+")
+    qpairs = (
+        queries.select("query_id", F.explode(qtoks).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    nq = qpairs.groupBy("query_id").agg(F.count(F.lit(1)).alias("nq"))
+    qterms = qpairs.select("term").distinct()
+    doc_terms = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .distinct()
+    )
+    cov = (
+        doc_terms.join(F.broadcast(qpairs), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .join(F.broadcast(nq), "query_id")
+    )
+    return cov.select(
+        "query_id",
+        "doc_id",
+        F.when(F.col("n_terms") >= F.col("nq"), F.lit(int(full_rel)))
+        .when(F.col("n_terms") == F.col("nq") - 1, F.lit(int(partial_rel)))
+        .alias("rel"),
+    ).where(F.col("rel").isNotNull())
+
+
+#: graded-relevance ceiling: gains are exact integers (1 << rel) - 1,
+#: so rel is bounded well inside BIGINT shift range
+MAX_QREL_GRADE = 30
+
+
+def retrieval_eval(
+    results: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Retrieval quality metrics — the eval step the retrieval family
+    (bm25 / coverage / RRF / proximity) feeds: per query, Recall@k,
+    MRR@k and graded nDCG@k of a ranked result list against a relevance-
+    labeled qrel set (the readout run on every probe/benchmark set
+    before an index or retriever change ships).
+
+    ``results``: (query_id, doc_id, rk) — rk 1-based, from any of the
+    family's retrievers. ``qrels``: (query_id, doc_id, rel) with integer
+    grades rel >= 1; unlabeled documents count as rel 0.
+
+    Value exactness (no float touches any compared value):
+
+    * gain(rel) = 2^rel − 1 as an exact integer shift; rel is bounded by
+      :data:`MAX_QREL_GRADE` with an in-plan raise beyond it.
+    * the rank discount 1/log2(r+1) enters as the pinned micro-unit
+      literals of :func:`ndcg_weights_micro` (the BM25-idf treatment for
+      the one transcendental).
+    * recall_pm  = round_half_up(1000 · n_hits / n_rel),
+      mrr_micro   = round_half_up(1e6 / first_hit_rank) (0 when no hit),
+      ndcg_pm     = round_half_up(1000 · DCG_micro / IDCG_micro) —
+      all house round-half-up integer divisions.
+
+    Matched failures: a query that appears in ``results`` but has NO
+    qrel row raises in-plan (its IDCG is undefined; silence would render
+    a garbage 0/0) — the oracle mirrors the raise. A query in ``qrels``
+    that the retriever returned nothing for scores 0/0/0 (that IS the
+    eval verdict, not an error).
+
+    Shape (100 TB): every input here is already tiny — |queries|·k
+    result rows and the labeled subset of the corpus; the corpus-scale
+    work happened inside the retriever that produced ``results`` and the
+    labeler that produced ``qrels``. Joins are broadcast; aggregates are
+    |queries|-bounded. Returns (query_id, n_rel, n_hits, recall_pm,
+    mrr_micro, ndcg_pm) sorted by nothing (callers order).
+    """
+    if k < 1:
+        raise ValueError(f"retrieval_eval: k must be >= 1, got {k}")
+    spark = results.sparkSession
+    w_micro = ndcg_weights_micro(k)
+    wdf = spark.createDataFrame(
+        sorted(w_micro.items()), "r int, w_micro long"
+    )
+
+    rel_checked = F.when(
+        (F.col("rel") < 1) | (F.col("rel") > MAX_QREL_GRADE),
+        F.raise_error(
+            F.lit(
+                f"retrieval_eval: rel grades must be in [1, {MAX_QREL_GRADE}]"
+            )
+        ),
+    ).otherwise(F.col("rel"))
+    qr = qrels.select("query_id", "doc_id", rel_checked.alias("rel"))
+
+    # ideal ranking: qrels ordered by (rel desc, doc_id asc) per query —
+    # the tie order is value-irrelevant (equal rel ⇒ equal gain) but
+    # pinned for determinism
+    iw = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    ideal = (
+        qr.withColumn("irk", F.row_number().over(iw))
+        .join(F.broadcast(wdf), F.col("irk") == F.col("r"), "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rel"),
+            F.sum(
+                F.when(
+                    F.col("irk") <= k,
+                    (F.expr("shiftleft(CAST(1 AS BIGINT), rel)") - 1)
+                    * F.col("w_micro"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("idcg_micro"),
+        )
+    )
+
+    hits = (
+        results.where(F.col("rk") <= k)
+        .join(qr, ["query_id", "doc_id"], "left")
+        .withColumn("rel0", F.coalesce(F.col("rel"), F.lit(0)))
+        .join(F.broadcast(wdf), F.col("rk") == F.col("r"))
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("rel0") > 0, 1).otherwise(0)).alias("n_hits"),
+            F.min(F.when(F.col("rel0") > 0, F.col("rk"))).alias("first_rk"),
+            F.sum(
+                (F.expr("shiftleft(CAST(1 AS BIGINT), rel0)") - 1)
+                * F.col("w_micro")
+            ).alias("dcg_micro"),
+        )
+    )
+
+    out = ideal.join(hits, "query_id", "full_outer")
+    # a retrieved query with no qrels has NULL n_rel after the full
+    # outer join — IDCG is undefined, raise (oracle mirrors)
+    n_rel_checked = F.when(
+        F.col("n_rel").isNull(),
+        F.raise_error(
+            F.lit("retrieval_eval: query in results has no qrel rows")
+        ),
+    ).otherwise(F.col("n_rel"))
+    return out.select(
+        "query_id",
+        n_rel_checked.alias("n_rel"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.expr(
+            "CAST((2 * 1000 * coalesce(n_hits, 0) + n_rel) div (2 * n_rel)"
+            " AS BIGINT)"
+        ).alias("recall_pm"),
+        F.when(
+            F.col("first_rk").isNull(), F.lit(0).cast("long")
+        )
+        .otherwise(
+            F.expr("CAST((2 * 1000000 + first_rk) div (2 * first_rk) AS BIGINT)")
+        )
+        .alias("mrr_micro"),
+        F.expr(
+            "CAST((2 * 1000 * coalesce(dcg_micro, 0) + idcg_micro)"
+            " div (2 * idcg_micro) AS BIGINT)"
+        ).alias("ndcg_pm"),
     )

@@ -216,3 +216,24 @@ def test_write_zordered_clusters_both_dims(spark, tmp_path):
     assert statistics.median(spans_x) <= 128
     assert statistics.median(spans_y) <= 128
     assert spark.read.parquet(dst).count() == n
+
+
+def test_merge_schema_read_unions_epoch_footers(spark, tmp_path):
+    """Schema-evolution seam (orders_schema_evolution's layout claim):
+    two parquet epochs whose schemas drift — epoch 2 adds a column —
+    must read back under mergeSchema as the footer UNION, with
+    pre-evolution rows surfacing the added column as NULL."""
+    e1 = str(tmp_path / "epoch1")
+    e2 = str(tmp_path / "epoch2")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "k long, v long"
+    ).write.parquet(e1)
+    spark.createDataFrame(
+        [(3, 30, "x")], "k long, v long, added string"
+    ).write.parquet(e2)
+    back = spark.read.option("mergeSchema", "true").parquet(e1, e2)
+    assert set(back.columns) == {"k", "v", "added"}
+    rows = {r["k"]: r for r in back.collect()}
+    assert rows[1]["added"] is None and rows[2]["added"] is None
+    assert rows[3]["added"] == "x"
+    assert back.count() == 3

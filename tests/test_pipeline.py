@@ -2547,3 +2547,172 @@ class TestSessionConcurrency:
         with pytest.raises(Exception) as ei:
             session_concurrency(df, max_hours=48).collect()
         assert "spans" in str(ei.value)
+
+
+class TestPoissonBootstrapCI:
+    """poisson_bootstrap_ci — exact python replay + matched failures."""
+
+    @staticmethod
+    def _replay(rows, replicates, salt):
+        """From-scratch replay: per-unit partials, md5 Poisson weights
+        via the pinned cumulative table, integer replicate means, exact
+        order-statistic CI."""
+        import hashlib
+        from bisect import bisect_right
+
+        from mopso_engine.ext.pipeline import POISSON1_CUM_MICRO
+
+        per = {}
+        for g, u, v in rows:
+            n, s = per.setdefault((g, str(u)), [0, 0])
+            per[(g, str(u))] = [n + 1, s + v]
+        lo_rank = -((-25 * replicates) // 1000)
+        hi_rank = replicates + 1 - lo_rank
+        out = {}
+        groups = {g for g, _ in per}
+        for g in groups:
+            units = {u: ns for (gg, u), ns in per.items() if gg == g}
+            thetas = []
+            for rep in range(replicates):
+                num = den = 0
+                for u, (n, s) in units.items():
+                    h = hashlib.md5(f"{g}#{u}#{rep}#{salt}".encode()).hexdigest()
+                    uu = int(h[:8], 16) % 1_000_000
+                    w = bisect_right(POISSON1_CUM_MICRO, uu)
+                    num += w * s
+                    den += w * n
+                assert den > 0
+                thetas.append(((2 * num + den) // (2 * den), rep))
+            thetas.sort()
+            n_ev = sum(n for n, _ in units.values())
+            s_tot = sum(s for _, s in units.values())
+            out[g] = dict(
+                n_units=len(units),
+                n_events=n_ev,
+                theta_micro=(2 * s_tot + n_ev) // (2 * n_ev),
+                lo_micro=thetas[lo_rank - 1][0],
+                hi_micro=thetas[hi_rank - 1][0],
+            )
+        return out
+
+    def test_exact_python_replay(self, spark):
+        from mopso_engine.ext.pipeline import poisson_bootstrap_ci
+
+        rows = [
+            (g, u, (u * 7 + i * 13 + (0 if g == "a" else 5)) * 1000)
+            for g in ("a", "b")
+            for u in range(1, 9)
+            for i in range(u % 3 + 1)
+        ]
+        df = spark.createDataFrame(rows, "g string, u long, v long")
+        got = {
+            r["g"]: r
+            for r in poisson_bootstrap_ci(
+                df, "g", "u", F.col("v"), replicates=40, salt="tb"
+            ).collect()
+        }
+        want = self._replay(rows, 40, "tb")
+        assert set(got) == set(want)
+        for g, w in want.items():
+            r = got[g]
+            assert r["n_units"] == w["n_units"]
+            assert r["n_events"] == w["n_events"]
+            assert r["theta_micro"] == w["theta_micro"]
+            assert r["lo_micro"] == w["lo_micro"]
+            assert r["hi_micro"] == w["hi_micro"]
+            assert r["n_replicates"] == 40
+            assert r["lo_micro"] <= r["hi_micro"]
+
+    def test_null_unit_raises_in_plan(self, spark):
+        from mopso_engine.ext.pipeline import poisson_bootstrap_ci
+
+        df = spark.createDataFrame(
+            [("a", 1, 10), ("a", None, 20)], "g string, u long, v long"
+        )
+        with pytest.raises(Exception) as ei:
+            poisson_bootstrap_ci(df, "g", "u", F.col("v"), replicates=40).collect()
+        assert "NULL unit" in str(ei.value)
+
+    def test_null_group_raises_in_plan(self, spark):
+        from mopso_engine.ext.pipeline import poisson_bootstrap_ci
+
+        df = spark.createDataFrame(
+            [("a", 1, 10), (None, 2, 20)], "g string, u long, v long"
+        )
+        with pytest.raises(Exception) as ei:
+            poisson_bootstrap_ci(df, "g", "u", F.col("v"), replicates=40).collect()
+        assert "NULL group" in str(ei.value)
+
+    def test_replicates_floor_guard(self, spark):
+        from mopso_engine.ext.pipeline import poisson_bootstrap_ci
+
+        df = spark.createDataFrame([("a", 1, 10)], "g string, u long, v long")
+        with pytest.raises(ValueError):
+            poisson_bootstrap_ci(df, "g", "u", F.col("v"), replicates=39)
+
+    def test_pinned_cdf_table_matches_math(self):
+        """The POISSON1_CUM_MICRO literals are round-half-up micro
+        quantizations of the Poisson(1) CDF — recompute from math.exp."""
+        import math
+
+        from mopso_engine.ext.pipeline import POISSON1_CUM_MICRO
+
+        tot, fact = 0.0, 1
+        for k, pinned in enumerate(POISSON1_CUM_MICRO):
+            if k > 0:
+                fact *= k
+            tot += math.exp(-1.0) / fact
+            assert pinned == int(math.floor(tot * 1e6 + 0.5))
+
+
+class TestCdcLatestSnapshot:
+    def _snap(self, spark, rows):
+        from mopso_engine.ext.pipeline import cdc_latest_snapshot
+
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 3, 1)
+        data = [
+            (k, t0 + dt.timedelta(minutes=m), seq, op, pay)
+            for (k, m, seq, op, pay) in rows
+        ]
+        df = spark.createDataFrame(
+            data, "k string, ts timestamp, seq long, op string, pay string"
+        )
+        return {
+            r["k"]: r
+            for r in cdc_latest_snapshot(
+                df, "k", "ts", "seq", "op", ["pay"]
+            ).collect()
+        }
+
+    def test_latest_wins_deletes_and_ties(self, spark):
+        out = self._snap(
+            spark,
+            [
+                ("upd", 0, 1, "U", "x"), ("upd", 5, 2, "U", "y"),
+                ("del", 0, 3, "U", "x"), ("del", 5, 4, "D", ""),
+                ("tie", 0, 5, "U", "x"), ("tie", 0, 6, "U", "y"),
+                ("res", 0, 7, "D", ""), ("res", 5, 8, "U", "z"),
+            ],
+        )
+        # latest upsert wins; a key whose LAST change is a delete is
+        # absent; equal timestamps resolve by seq desc; a delete that is
+        # not last does not tombstone
+        assert out["upd"]["pay"] == "y"
+        assert "del" not in out
+        assert out["tie"]["pay"] == "y" and out["tie"]["seq"] == 6
+        assert out["res"]["pay"] == "z"
+
+    def test_null_ts_or_seq_raises_in_plan(self, spark):
+        import datetime as dt
+
+        from mopso_engine.ext.pipeline import cdc_latest_snapshot
+
+        df = spark.createDataFrame(
+            [("a", dt.datetime(2024, 3, 1), None, "U", "x")],
+            "k string, ts timestamp, seq long, op string, pay string",
+        )
+        with pytest.raises(Exception) as ei:
+            cdc_latest_snapshot(df, "k", "ts", "seq", "op", ["pay"]).collect()
+        assert "ordering is undefined" in str(ei.value)

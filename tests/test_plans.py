@@ -488,3 +488,55 @@ def test_benford_single_aggregate_and_broadcast_expected(spark):
     plan = plan_of(benford_digit_audit(li, "cents"))
     assert "BroadcastHashJoin" in plan   # the 9-row expected table
     assert "SortMergeJoin" not in plan
+
+
+def test_cdc_snapshot_window_group_limit_pushed(spark):
+    """cdc_latest_snapshot's scale claim: the rank-1 window runs as
+    WindowGroupLimit on BOTH sides of the one key Exchange (partial
+    per-map-partition 1-row heaps below, final above), so the raw
+    change feed never shuffles wholesale."""
+    import datetime as dt
+
+    from mopso_engine.ext.pipeline import cdc_latest_snapshot
+
+    t0 = dt.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [(str(i % 7), t0 + dt.timedelta(minutes=i), i, "U", "p") for i in range(40)],
+        "k string, ts timestamp, seq long, op string, pay string",
+    )
+    plan = plan_of(cdc_latest_snapshot(df, "k", "ts", "seq", "op", ["pay"]))
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "Partial" in plan and "Final" in plan
+
+
+def test_bootstrap_replicates_explode_above_unit_aggregate(spark):
+    """poisson_bootstrap_ci's scale claim: ONE corpus scan; the
+    200-replicate Generate explodes the unit-level AGGREGATE, never the
+    raw event scan (the aggregate must appear below the Generate in the
+    operator tree)."""
+    from mopso_engine.ext.pipeline import poisson_bootstrap_ci
+
+    ev = read_table(spark, SF, "events")
+    q = poisson_bootstrap_ci(
+        ev,
+        "event_type",
+        "user_id",
+        F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"),
+        replicates=40,
+    )
+    plan = plan_of(q)
+    # static tree: the Generate must sit ABOVE a HashAggregate (its
+    # child in the indented tree), never directly on the raw scan
+    tree = plan.splitlines()
+    gen_line = next(
+        i for i, ln in enumerate(tree) if "Generate" in ln and "+-" in ln
+    )
+    agg_below = any(
+        "HashAggregate" in ln for ln in tree[gen_line + 1 : gen_line + 3]
+    )
+    assert agg_below, plan
+    # runtime: AQE reuses the identical per-unit Exchange, so the
+    # corpus is physically scanned ONCE
+    q.collect()
+    ep = q._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in ep, ep

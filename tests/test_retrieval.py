@@ -321,3 +321,112 @@ class TestProximity:
         assert "distinct terms" in str(ei.value)
         with pytest.raises(ValueError):
             proximity_topk(docs, qdf, top_k=0)
+
+
+class TestRetrievalEval:
+    """retrieval_eval / coverage_qrels / ndcg_weights_micro."""
+
+    def test_metrics_exact_python_replay(self, spark):
+        import math
+
+        from mopso_engine.ext.retrieval import retrieval_eval
+
+        results = spark.createDataFrame(
+            [("q1", 5, 1), ("q1", 1, 2), ("q1", 2, 3)],
+            "query_id string, doc_id long, rk int",
+        )
+        qrels = spark.createDataFrame(
+            [("q1", 1, 2), ("q1", 2, 1), ("q1", 3, 1)],
+            "query_id string, doc_id long, rel int",
+        )
+        row = retrieval_eval(results, qrels, k=10).collect()[0]
+
+        # from-scratch replay with independently computed weights
+        w = {r: int(math.floor(1e6 / math.log2(r + 1) + 0.5)) for r in range(1, 11)}
+        gain = lambda rel: (1 << rel) - 1  # noqa: E731
+        dcg = gain(2) * w[2] + gain(1) * w[3]  # doc1 at rk2, doc2 at rk3
+        idcg = gain(2) * w[1] + gain(1) * w[2] + gain(1) * w[3]
+        assert row["n_rel"] == 3 and row["n_hits"] == 2
+        assert row["recall_pm"] == (2 * 1000 * 2 + 3) // (2 * 3)
+        assert row["mrr_micro"] == (2 * 1_000_000 + 2) // (2 * 2)
+        assert row["ndcg_pm"] == (2 * 1000 * dcg + idcg) // (2 * idcg)
+
+    def test_unretrieved_query_scores_zero(self, spark):
+        from mopso_engine.ext.retrieval import retrieval_eval
+
+        results = spark.createDataFrame(
+            [("q1", 1, 1)], "query_id string, doc_id long, rk int"
+        )
+        qrels = spark.createDataFrame(
+            [("q1", 1, 1), ("q2", 7, 2)],
+            "query_id string, doc_id long, rel int",
+        )
+        out = {r["query_id"]: r for r in retrieval_eval(results, qrels).collect()}
+        assert out["q1"]["recall_pm"] == 1000
+        q2 = out["q2"]
+        assert (
+            q2["n_hits"] == 0
+            and q2["recall_pm"] == 0
+            and q2["mrr_micro"] == 0
+            and q2["ndcg_pm"] == 0
+        )
+
+    def test_query_without_qrels_raises_in_plan(self, spark):
+        from mopso_engine.ext.retrieval import retrieval_eval
+
+        results = spark.createDataFrame(
+            [("q1", 1, 1)], "query_id string, doc_id long, rk int"
+        )
+        qrels = spark.createDataFrame(
+            [("q2", 1, 1)], "query_id string, doc_id long, rel int"
+        )
+        with pytest.raises(Exception) as ei:
+            retrieval_eval(results, qrels).collect()
+        assert "no qrel rows" in str(ei.value)
+
+    def test_rel_grade_bounds_raise_in_plan(self, spark):
+        from mopso_engine.ext.retrieval import MAX_QREL_GRADE, retrieval_eval
+
+        results = spark.createDataFrame(
+            [("q1", 1, 1)], "query_id string, doc_id long, rk int"
+        )
+        qrels = spark.createDataFrame(
+            [("q1", 1, MAX_QREL_GRADE + 1)],
+            "query_id string, doc_id long, rel int",
+        )
+        with pytest.raises(Exception) as ei:
+            retrieval_eval(results, qrels).collect()
+        assert "rel grades" in str(ei.value)
+        with pytest.raises(ValueError):
+            retrieval_eval(results, qrels, k=0)
+
+    def test_coverage_qrels_grades(self, spark):
+        from mopso_engine.ext.retrieval import coverage_qrels
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma pad"),   # full coverage -> rel 2
+                (2, "alpha beta pad pad"),     # all but one  -> rel 1
+                (3, "alpha pad pad pad"),      # sparser      -> absent
+            ],
+            "doc_id long, text string",
+        )
+        qdf = spark.createDataFrame(
+            [("q", "alpha beta gamma")], "query_id string, qtext string"
+        )
+        out = {r["doc_id"]: r["rel"] for r in coverage_qrels(docs, qdf).collect()}
+        assert out == {1: 2, 2: 1}
+        with pytest.raises(ValueError):
+            coverage_qrels(docs, qdf, full_rel=1, partial_rel=1)
+
+    def test_ndcg_weights_pinned_vs_math(self):
+        import math
+
+        from mopso_engine.ext.retrieval import ndcg_weights_micro
+
+        w = ndcg_weights_micro(25)
+        assert w[1] == 1_000_000 and w[3] == 500_000 and w[7] == 333_333
+        for r, m in w.items():
+            assert m == int(math.floor(1e6 / math.log2(r + 1) + 0.5))
+        with pytest.raises(ValueError):
+            ndcg_weights_micro(0)

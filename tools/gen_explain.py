@@ -896,6 +896,38 @@ COMMENTS = {
     "Filter (the query raises if the pruning is ever lost). The rest "
     "is one map-side-combined priority aggregate over the single "
     "surviving partition.",
+    "bm25_eval": "Retrieval-eval readout (r12): the corpus-scale work "
+    "is the two proven broadcast-prune passes (the BM25 retriever's "
+    "pruned-tf reuse and the coverage labeler's distinct (doc, term) "
+    "pass — each one corpus explode semi-joined against the tiny "
+    "query-term set BEFORE its only shuffle); everything downstream "
+    "— ideal ranking, pinned log2-discount weight joins, the "
+    "recall/MRR/nDCG integer divisions — runs on |queries|-bounded "
+    "tables via broadcast joins. Look for: no corpus-side join "
+    "beyond the two term semi-joins, and the eval arithmetic riding "
+    "tiny exchanges.",
+    "events_bootstrap_ci": "Poisson bootstrap CI (r12): ONE corpus "
+    "exchange — the map-side-combined (type, user) partial aggregate "
+    "— then the 200-replicate explode runs over the UNIT-level table "
+    "(units×R rows, bounded by users never events), folds map-side "
+    "to types×R rows, and the CI order statistics window over R rows "
+    "per type. Look for: the explode sitting ABOVE the per-unit "
+    "aggregate, never against the raw event scan.",
+    "events_cdc_snapshot": "CDC latest-wins snapshot (r12): one key "
+    "exchange; the rank-1 window is WindowGroupLimit-pushed, so a "
+    "per-map-partition 1-row heap runs BELOW the exchange and the "
+    "shuffle carries at most one surviving change per key per map "
+    "partition — the raw change feed never moves. Look for: "
+    "WindowGroupLimit both below (Partial) and above (Final) the "
+    "user_id Exchange.",
+    "orders_schema_evolution": "Schema-evolution read (r12, the "
+    "layout family's fourth seam): two epoch rewrites whose footers "
+    "drift (epoch 2 adds the band column), then ONE mergeSchema "
+    "read-back whose scan carries the footer-UNION ReadSchema — "
+    "pre-evolution rows surface the added column as NULL (asserted "
+    "in-query: without mergeSchema Spark serves one footer's schema "
+    "and silently drops the column). Downstream is one "
+    "map-side-combined band aggregate.",
 }
 
 
