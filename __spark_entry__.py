@@ -5281,6 +5281,172 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "value_micro",
         )
 
+    def orders_table_fingerprint(spark, sf):
+        """Order-independent cross-engine table checksum
+        (`ext.pipeline.table_fingerprint`) — the "did ANY row change"
+        gate when the two table versions are NOT co-located (replica
+        audits, migration sign-off; the co-located case is
+        docs_snapshot_diff's join). Row digest = 60-bit md5 prefix of
+        a CANONICAL rendering (integers/cents/pre-rendered dates — no
+        engine-specific hash, no float); fingerprint = Σ digests mod
+        2^61−1, so the checksum is partition/order-proof and
+        BIGINT-exact in both engines. Map-only hashing + ONE
+        map-side-combined per-status aggregate; NULL columns raise
+        (concat_ws would silently collide them)."""
+        from mopso_engine.ext.pipeline import table_fingerprint
+
+        _utc(spark)
+        o = read_table(spark, sf, "orders").select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_custkey",
+            F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+            "o_orderpriority",
+        )
+        return table_fingerprint(
+            o,
+            ["o_orderkey", "o_custkey", "cents", "d", "o_orderpriority"],
+            group_by="o_orderstatus",
+        )
+
+    def lineitem_orc_roundtrip(spark, sf):
+        """ORC source/sink roundtrip — the layout family's FORMAT
+        member (bucketing/pruning/compaction/schema-drift cover the
+        parquet axes; a warehouse also owns ORC-era tables and a
+        migration needs both directions): the lineitem slice rewrites
+        as ORC under a PID-keyed temp dir, the read-back must
+        actually be the ORC reader (asserted IN-QUERY on the scan
+        node — a silent parquet fall-through would prove nothing),
+        and the per-returnflag (count, exact cents) fold must equal
+        the original parquet's — the oracle reads the parquet, so
+        value equality proves the format roundtrip moved every row
+        and corrupted none."""
+        import tempfile
+
+        dst = os.path.join(
+            tempfile.gettempdir(),
+            f"mopso_orc_lineitem_{os.path.basename(sf.rstrip('/'))}"
+            f"_{os.getpid()}",
+        )
+        li = read_table(spark, sf, "lineitem").select(
+            "l_returnflag",
+            F.expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        li.write.mode("overwrite").orc(dst)
+        back = spark.read.orc(dst)
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        if "orc" not in plan.lower():
+            raise RuntimeError(
+                "lineitem_orc_roundtrip: the read-back scan is not the "
+                "ORC reader — the format roundtrip was not exercised"
+            )
+        return back.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+
+    def events_cdc_stream(spark, sf):
+        """CONTINUOUS latest-wins CDC maintenance declared end-to-end
+        (`ext.streaming.cdc_maintain_stream` — the streaming twin of
+        events_cdc_snapshot, the way events_scd2_stream twins
+        events_scd2): the same derived change feed arrives as TWO
+        time-split micro-batches (early half's file mtimes pinned
+        strictly older so the file source's batch order is
+        deterministic); each batch folds into the latest committed
+        v=<batch_id> tombstone-retaining state version. Unlike SCD2,
+        latest-wins needs NO reorder machinery — the fold is
+        commutative/associative (max by (ts, seq) per key), so the
+        read-back equals the one-shot batch snapshot for any split.
+        The oracle is IDENTICAL to events_cdc_snapshot's. Temp dirs
+        PID-keyed and cleared up-front."""
+        import glob as _glob
+        import shutil
+        import tempfile
+        import time as _time
+
+        from mopso_engine.ext.streaming import (
+            cdc_maintain_stream,
+            cdc_snapshot_live,
+            read_events,
+        )
+
+        _utc(spark)
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"mopso_cdc_stream_{os.path.basename(sf.rstrip('/'))}"
+            f"_{os.getpid()}",
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        src = os.path.join(base, "changes")
+        ch = read_events(spark, os.path.join(sf, "events.parquet")).select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "#",
+                                F.col("event_id").cast("string"),
+                                F.lit("cdc12"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 20
+                == 0,
+                F.lit("D"),
+            )
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "event_type",
+            F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").alias(
+                "value_micro"
+            ),
+        )
+        cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        ch.where(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+        early_files = _glob.glob(os.path.join(src, "*.parquet"))
+        ch.where(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+        past = _time.time() - 3600
+        for f in early_files:
+            os.utime(f, (past, past))
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        cdc_maintain_stream(
+            stream,
+            os.path.join(base, "snap"),
+            os.path.join(base, "cp"),
+            key="user_id",
+            ts="ts",
+            seq="event_id",
+            op="op",
+            payload=["event_type", "value_micro"],
+            query_name=f"cdc_m_{uuid.uuid4().hex[:8]}",
+        )
+        live = cdc_snapshot_live(spark, os.path.join(base, "snap"))
+        return live.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "event_type",
+            "value_micro",
+        )
+
     def orders_schema_evolution(spark, sf):
         """Schema-evolution read declared end-to-end — the fourth
         physical-layout seam beside bucketing / partition pruning /
@@ -5469,7 +5635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows only), so the future schedule is readable off this comment:
     # the past-cutoff blocks are ALREADY in rotation order and each
     # round's slice is simply the next ~39 names after the flagships
-    # and that round's code-changed re-earners. All 246 are verified
+    # and that round's code-changed re-earners. All 249 are verified
     # locally by tools/check_oracle.py (same compare as the driver,
     # default + hostile sessions) before each round ends — the count
     # in this sentence is pinned to len(queries()) by
@@ -5490,14 +5656,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the bucketed co-located-join layout seam, the continuous
         # SCD2 maintainer, the nightly-delta-publish composition, the
         # partition-pruning layout seam, the retrieval-eval readout,
-        # the Poisson-bootstrap CI, the CDC latest-wins snapshot, and
-        # the schema-evolution layout seam) (8)
+        # the Poisson-bootstrap CI, the CDC latest-wins snapshot +
+        # its streaming maintainer twin, the schema-evolution and
+        # ORC-format layout seams, and the cross-engine table
+        # fingerprint) (11)
         orders_bucketed_join, events_scd2_stream, nightly_delta_publish,
         orders_partitioned_scan, bm25_eval, events_bootstrap_ci,
-        events_cdc_snapshot, orders_schema_evolution,
-        # stale-tail rotation, oldest-verified-first (32): the r6
-        # block (20), then the r7 block head (12) — the eight r12-new
-        # in-window entries displaced the r7 tail from docs_packed
+        events_cdc_snapshot, orders_schema_evolution, events_cdc_stream,
+        orders_table_fingerprint, lineitem_orc_roundtrip,
+        # stale-tail rotation, oldest-verified-first (29): the r6
+        # block (20), then the r7 block head (9) — the eleven r12-new
+        # in-window entries displaced the r7 tail from docs_chunked
         # on to the r13 slice
         events_zvalue, hll_union_check, knn_lsh_recall,   # last r6
         lang_pred, lloyd_kmeans,                          # last r6
@@ -5509,13 +5678,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         accuracy, assign_nearest, avg_dist_per_cluster,   # last r7
         cluster_sizes, count_and_k, decontaminate_semantic,   # last r7
         dedup_components_star, dev_inertia,               # last r7
-        docs_bigram_logppl, docs_chunked, docs_despan,    # last r7
-        docs_negative_pairs,                              # last r7
-        # Window = 5 fits + 5 r11-leaders + 8 r12-new + 32 rotation = 50.
+        docs_bigram_logppl,                               # last r7
+        # Window = 5 fits + 5 r11-leaders + 11 r12-new + 29 rotation = 50.
         # --- the 50-entry truncation lands exactly here ---
         # r13's rotation slice starts here: the r7 block tail, then
         # the r8 block — each block alphabetical (the deterministic
         # tie order), blocks ordered by last-earned round ascending.
+        docs_chunked, docs_despan, docs_negative_pairs,   # last r7
         docs_packed, docs_para_dedup, docs_pii,           # last r7
         docs_quota_sample, docs_shuffled,                 # last r7
         docs_split, dup_span_stats, events_key_skew,      # last r7
@@ -7924,6 +8093,53 @@ def oracle_sql() -> dict[str, str]:
                event_type, value_micro
         FROM rk WHERE rn = 1 AND op <> 'D'
     """
+
+    # orders_table_fingerprint: the row digest and Mersenne reduction
+    # replay exactly — same canonical rendering ('#'-joined integer/
+    # cents/strftime-date strings + salt), same 15-hex-digit (60-bit)
+    # md5 prefix via the 0x cast, same shared FINGERPRINT_MOD literal;
+    # the sum widens to HUGEINT where Spark used DECIMAL(38,0).
+    from mopso_engine.ext.pipeline import FINGERPRINT_MOD as _FP_MOD
+
+    o["orders_table_fingerprint"] = f"""
+        WITH r AS (
+          SELECT o_orderstatus,
+                 CAST(('0x' || substr(md5(
+                   o_orderkey::VARCHAR || '#' || o_custkey::VARCHAR || '#'
+                   || CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                      ::VARCHAR || '#'
+                   || strftime(o_orderdate, '%Y-%m-%d') || '#'
+                   || o_orderpriority || '#fp0'
+                 ), 1, 15))::BIGINT AS BIGINT) AS h
+          FROM orders
+          WHERE (SELECT max(CASE WHEN o_orderkey IS NULL
+                   OR o_custkey IS NULL OR o_totalprice IS NULL
+                   OR o_orderdate IS NULL OR o_orderpriority IS NULL
+                   THEN error('orders_table_fingerprint oracle: NULL in a '
+                              'fingerprinted column — mirrors the Spark '
+                              'in-plan raise')
+                   ELSE 0 END) FROM orders) = 0)
+        SELECT o_orderstatus, count(*)::BIGINT AS n_rows,
+               CAST(sum(h::HUGEINT) % {_FP_MOD} AS BIGINT) AS fp
+        FROM r GROUP BY 1
+    """
+
+    # lineitem_orc_roundtrip: the format roundtrip is LAYOUT — the
+    # oracle folds the ORIGINAL parquet; value equality proves the ORC
+    # rewrite moved every row (the ORC-reader claim is asserted
+    # in-query — DuckDB has no Spark scan node to replay).
+    o["lineitem_orc_roundtrip"] = """
+        SELECT l_returnflag, count(*)::BIGINT AS n,
+               sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                 ::BIGINT AS sum_cents
+        FROM lineitem GROUP BY 1
+    """
+
+    # events_cdc_stream: stream must equal batch — latest-wins is a
+    # commutative/associative fold, so the two-batch maintained state's
+    # live view is IDENTICAL to the one-shot snapshot (the oracle is
+    # events_cdc_snapshot's verbatim).
+    o["events_cdc_stream"] = o["events_cdc_snapshot"]
 
     # orders_schema_evolution: schema merge is LAYOUT — the oracle
     # replays the epoch split as row filters over the ORIGINAL parquet

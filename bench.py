@@ -264,6 +264,14 @@ BENCH_QUERIES = [
     "events_bootstrap_ci",
     "events_cdc_snapshot",
     "orders_schema_evolution",
+    # round-12 third batch: streaming CDC maintainer (two AvailableNow
+    # fold batches + tombstone-retaining versioned state + live
+    # read-back), cross-engine order-proof table fingerprint (map-only
+    # md5 + one Mersenne-reduced aggregate), ORC format roundtrip
+    # (rewrite + ORC-reader-asserted read-back)
+    "events_cdc_stream",
+    "orders_table_fingerprint",
+    "lineitem_orc_roundtrip",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -446,6 +454,11 @@ ANCHOR_R08 = {
     # schema-evolution entry rewrites both orders epochs every run)
     "bm25_eval": 4.8, "events_bootstrap_ci": 0.8,
     "events_cdc_snapshot": 0.7, "orders_schema_evolution": 1.1,
+    # r12 third batch (cold/warm: 4.6/2.4, 5.2/0.5, 1.6/0.9 — the cdc
+    # stream pays two real AvailableNow fold batches + ledger IO every
+    # run; the orc entry rewrites the lineitem slice every run)
+    "events_cdc_stream": 2.8, "orders_table_fingerprint": 0.9,
+    "lineitem_orc_roundtrip": 1.2,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

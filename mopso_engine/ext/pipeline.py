@@ -2725,8 +2725,8 @@ def poisson_bootstrap_ci(
     )
 
     u_expr = (
-        "conv(substring(md5(concat_ws('#', g, u, CAST(rep AS STRING), "
-        f"'{salt}')), 1, 8), 16, 10) % 1000000"
+        "CAST(conv(substring(md5(concat_ws('#', g, u, CAST(rep AS STRING), "
+        f"'{salt}')), 1, 8), 16, 10) AS BIGINT) % 1000000"
     )
     reps = (
         per_unit.select(
@@ -2807,6 +2807,7 @@ def cdc_latest_snapshot(
     payload_cols: list[str],
     *,
     delete_op: str = "D",
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Latest-wins change-data-capture snapshot — the MERGE-INTO
     compaction every lakehouse ingest runs (Delta/Hudi/Iceberg CoW):
@@ -2830,7 +2831,20 @@ def cdc_latest_snapshot(
     No join against the existing snapshot is needed (latest-wins is
     associative; at scale this runs per partition-of-keys).
 
-    Returns (key, ts, seq, *payload_cols) for live keys only.
+    ``keep_tombstones=True`` returns ONE row per key ever seen — the
+    latest change INCLUDING deletes, with the op column — which is the
+    mergeable STATE form: because latest-wins is a commutative/
+    associative fold (max by (ts, seq)), folding any partition of the
+    feed through this state form reproduces the one-shot snapshot for
+    ANY batch split and ANY arrival order — no watermark or reorder
+    buffer is needed (unlike SCD2, whose period stitching is
+    order-sensitive). :func:`mopso_engine.ext.streaming.
+    cdc_maintain_stream` builds on exactly this property; tombstones
+    must be retained in state or a late stale update would resurrect a
+    deleted key.
+
+    Returns (key, ts, seq, *payload_cols) for live keys only; with
+    ``keep_tombstones`` (key, ts, seq, op, *payload_cols) for all keys.
     """
     ts_checked = F.when(
         F.col(ts_col).isNull() | F.col(seq_col).isNull(),
@@ -2844,14 +2858,95 @@ def cdc_latest_snapshot(
     w = Window.partitionBy(key_col).orderBy(
         F.desc("_cdc_ts"), F.desc(seq_col)
     )
-    return (
+    ranked = (
         changes.withColumn("_cdc_ts", ts_checked)
         .withColumn("_rn", F.row_number().over(w))
-        .where((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
-        .select(
+        .where(F.col("_rn") == 1)
+    )
+    if keep_tombstones:
+        return ranked.select(
             key_col,
             F.col("_cdc_ts").alias(ts_col),
             seq_col,
+            op_col,
             *payload_cols,
         )
+    return ranked.where(F.col(op_col) != delete_op).select(
+        key_col,
+        F.col("_cdc_ts").alias(ts_col),
+        seq_col,
+        *payload_cols,
     )
+
+
+#: Mersenne prime 2^61 − 1: the pinned modulus that folds the
+#: order-independent fingerprint sum back into BIGINT range in BOTH
+#: engines (DuckDB's sum widens to HUGEINT, Spark's to DECIMAL(38,0) —
+#: neither output type survives the driver's pandas rendering, and an
+#: unreduced 60-bit-per-row sum overflows BIGINT beyond ~8 rows)
+FINGERPRINT_MOD = (1 << 61) - 1
+
+
+def table_fingerprint(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    group_by: str | None = None,
+    salt: str = "fp0",
+) -> DataFrame:
+    """Order-independent cross-engine table checksum — the "did this
+    migration/replica/refactor change ANY row" gate when the two table
+    versions do NOT sit in the same cluster (the co-located case is
+    `snapshot_diff`'s join; a checksum travels as one row per group).
+    Spark's builtin ``hash``/xxhash is engine-specific, so the row
+    digest is md5 over a CANONICAL rendering the caller controls
+    (``cols`` must be exactly renderable — integers/strings/pre-
+    rendered dates; floats must be quantized first, the house cents/
+    micro rule): h(row) = first 15 md5 hex digits (60 bits) of the
+    '#'-joined rendering, and the fingerprint is Σ h(row) mod 2^61−1
+    (:data:`FINGERPRINT_MOD`) — addition commutes, so the checksum is
+    partition- and order-proof, and the Mersenne reduction keeps it
+    BIGINT-exact in any engine.
+
+    NULL rendering: a NULL column raises in-plan — concat_ws silently
+    SKIPS NULLs, so 'a#NULL#b' and 'a#b' would collide across columns
+    (and diverge from any oracle whose ``||`` propagates NULL): the
+    caller must coalesce to an explicit sentinel first, making the
+    sentinel part of the audited contract rather than an accident.
+
+    Shape (100 TB): map-only row hashing + ONE map-side-combined
+    aggregate to |groups| rows (sum in DECIMAL(38,0), reduced once per
+    group — Σ of 60-bit terms stays far under 38 digits for any real
+    partition count). Returns (group?, n_rows, fp).
+    """
+    null_guard = F.when(
+        F.greatest(*[F.col(c).isNull() for c in cols])
+        if len(cols) > 1
+        else F.col(cols[0]).isNull(),
+        F.raise_error(
+            F.lit(
+                "table_fingerprint: NULL in a fingerprinted column — "
+                "coalesce to an explicit sentinel first (concat_ws "
+                "would silently skip it)"
+            )
+        ),
+    ).otherwise(F.lit(1))
+    h = F.expr(
+        "CAST(conv(substring(md5(concat_ws('#', "
+        + ", ".join(f"CAST(`{c}` AS STRING)" for c in cols)
+        + f", '{salt}')), 1, 15), 16, 10) AS BIGINT)"
+    )
+    rows = df.select(
+        *([F.col(group_by).alias("g")] if group_by else []),
+        (h * null_guard).alias("_h"),
+    )
+    agg = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            f"CAST(sum(CAST(_h AS DECIMAL(38,0))) % {FINGERPRINT_MOD} "
+            "AS BIGINT)"
+        ).alias("fp"),
+    ]
+    if group_by:
+        return rows.groupBy(F.col("g").alias(group_by)).agg(*agg)
+    return rows.agg(*agg)

@@ -930,6 +930,99 @@ def scd2_maintain_stream(
     q.awaitTermination()
 
 
+def cdc_maintain_stream(
+    stream_changes: DataFrame,
+    snapshot_path: str,
+    checkpoint: str,
+    *,
+    key: str,
+    ts: str,
+    seq: str,
+    op: str,
+    payload: list[str],
+    delete_op: str = "D",
+    keep_versions: int = 2,
+    query_name: str = "cdc_maintain",
+) -> None:
+    """CONTINUOUS latest-wins CDC snapshot maintenance — the streaming
+    twin of :func:`mopso_engine.ext.pipeline.cdc_latest_snapshot`, the
+    way :func:`scd2_maintain_stream` twins the SCD2 history build: each
+    micro-batch folds its change rows into the latest committed
+    ``v=<batch_id>`` STATE version (one row per key ever seen — the
+    latest change INCLUDING tombstones) and writes the result as a new
+    version; readers take the max version and filter live rows
+    (:func:`cdc_snapshot_live`).
+
+    Why no watermark/reorder machinery (which SCD2 needed): latest-wins
+    is a commutative, associative fold — max by (ts, seq) per key — so
+    state ∘ batch = one-shot over (state's feed ∪ batch) for ANY batch
+    split and ANY cross-batch arrival order. A late stale update simply
+    loses to the state row it meets (including a tombstone: deletes are
+    RETAINED in state precisely so a stale update cannot resurrect a
+    deleted key — the state is the fold's monoid carrier, the serving
+    view is a filter on it). Tombstones are kept forever here; a real
+    table format GCs them after a compaction horizon, which is a
+    retention policy, not a correctness requirement of the fold.
+
+    Exactly-once: versions are keyed by batch_id (the
+    scd2_maintain_stream ledger): a replayed batch OVERWRITES its own
+    version and folds against the latest version BELOW its id, so its
+    own partial output is invisible to the retry.
+
+    Scale: per micro-batch, ONE key exchange over state ∪ batch — and
+    since the state is one row per key, the WindowGroupLimit heap keeps
+    per-map-partition shuffle output at one row per key; the raw feed
+    history never re-shuffles. Drains with Trigger.AvailableNow.
+    """
+    from mopso_engine.ext.pipeline import cdc_latest_snapshot
+
+    if keep_versions < 2:
+        # same replay hole as scd2_maintain_stream: batch N's retention
+        # would delete v=N-1, and a replayed batch N (checkpoint not yet
+        # committed) would then re-seed from one micro-batch
+        raise ValueError("keep_versions must be ≥ 2: a replayed batch folds against v<N")
+
+    cols = [key, ts, seq, op, *payload]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state = scd2_history_latest(spark, snapshot_path, below=int(batch_id))
+        inc = batch_df.select(*cols)
+        src = inc if state is None else state.select(*cols).unionByName(inc)
+        out = cdc_latest_snapshot(
+            src, key, ts, seq, op, payload,
+            delete_op=delete_op, keep_tombstones=True,
+        )
+        out.write.mode("overwrite").parquet(f"{snapshot_path}/v={int(batch_id)}")
+        _retire_versions(spark, snapshot_path, keep_versions)
+
+    q = (
+        stream_changes.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def cdc_snapshot_live(
+    spark: SparkSession,
+    snapshot_path: str,
+    *,
+    op: str = "op",
+    delete_op: str = "D",
+):
+    """Serving view over :func:`cdc_maintain_stream`'s latest committed
+    state version: live rows only (tombstones filtered, op dropped —
+    the same shape the batch :func:`cdc_latest_snapshot` returns).
+    None when no version exists."""
+    st = scd2_history_latest(spark, snapshot_path)
+    if st is None:
+        return None
+    return st.where(F.col(op) != delete_op).drop(op)
+
+
 # ---------------------------------------------------------------------------
 # Streaming corpus-drift monitor: per-source unigram KL vs a pinned reference
 # ---------------------------------------------------------------------------

@@ -3268,3 +3268,101 @@ class TestVocabGrowth:
         df = spark.createDataFrame([(1, "a", "x")], "doc_id long, source string, text string")
         with pytest.raises(ValueError):
             vocab_growth(df, buckets=0)
+
+
+class TestCdcStream:
+    """cdc_maintain_stream — continuous latest-wins snapshot,
+    stream == batch for ANY split (the fold is commutative/associative,
+    unlike SCD2's order-sensitive period stitching)."""
+
+    @staticmethod
+    def _run(spark, tmp_path, batches, sub):
+        import time as _time
+
+        from mopso_engine.ext.streaming import cdc_maintain_stream
+
+        src = str(tmp_path / f"changes_{sub}")
+        for rows in batches:
+            df = spark.createDataFrame(
+                rows, "k long, ts string, seq long, op string, v double"
+            )
+            df.withColumn("ts", df.ts.cast("timestamp")).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            _time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        snap = str(tmp_path / f"snap_{sub}")
+        cdc_maintain_stream(
+            stream, snap, str(tmp_path / f"cp_{sub}"),
+            key="k", ts="ts", seq="seq", op="op", payload=["v"],
+        )
+        return src, snap
+
+    @staticmethod
+    def _canon(df):
+        return sorted(
+            (r["k"], str(r["ts"]), r["seq"], r["v"]) for r in df.collect()
+        )
+
+    def test_stream_matches_batch_snapshot(self, spark, tmp_path):
+        from mopso_engine.ext.pipeline import cdc_latest_snapshot
+        from mopso_engine.ext.streaming import cdc_snapshot_live
+
+        batches = [
+            [(1, "2024-01-01 00:00:00", 1, "U", 10.0),
+             (2, "2024-01-01 06:00:00", 2, "U", 5.0),
+             (3, "2024-01-01 07:00:00", 3, "U", 7.0)],
+            [(1, "2024-01-02 00:00:00", 4, "U", 20.0),
+             (3, "2024-01-02 12:00:00", 5, "D", 0.0)],
+        ]
+        src, snap = self._run(spark, tmp_path, batches, "eq")
+        live = cdc_snapshot_live(spark, snap)
+        batch = cdc_latest_snapshot(
+            spark.read.parquet(src), "k", "ts", "seq", "op", ["v"]
+        )
+        assert self._canon(live) == self._canon(batch)
+        assert {r[0] for r in self._canon(live)} == {1, 2}  # 3 tombstoned
+        import glob
+
+        assert len(glob.glob(f"{snap}/v=*")) <= 2  # retention
+
+    def test_out_of_order_split_still_matches_batch(self, spark, tmp_path):
+        """The associativity claim: batch 2 delivers EARLIER rows than
+        batch 1 — including a stale update to a key batch 1 deleted
+        (must NOT resurrect: the tombstone is retained in state) —
+        and the maintained snapshot still equals the one-shot."""
+        from mopso_engine.ext.pipeline import cdc_latest_snapshot
+        from mopso_engine.ext.streaming import cdc_snapshot_live
+
+        batches = [
+            [(1, "2024-01-05 00:00:00", 9, "U", 50.0),
+             (2, "2024-01-05 00:00:00", 10, "D", 0.0)],
+            # all older than batch 1; key 2's stale update must lose
+            # to the retained tombstone
+            [(1, "2024-01-01 00:00:00", 1, "U", 10.0),
+             (2, "2024-01-02 00:00:00", 2, "U", 99.0)],
+        ]
+        src, snap = self._run(spark, tmp_path, batches, "ooo")
+        live = cdc_snapshot_live(spark, snap)
+        batch = cdc_latest_snapshot(
+            spark.read.parquet(src), "k", "ts", "seq", "op", ["v"]
+        )
+        assert self._canon(live) == self._canon(batch)
+        got = {r[0]: r[3] for r in self._canon(live)}
+        assert got == {1: 50.0}  # key 2 stays deleted
+
+    def test_keep_versions_guard(self, spark, tmp_path):
+        import pytest as _pt
+
+        from mopso_engine.ext.streaming import cdc_maintain_stream
+
+        with _pt.raises(ValueError):
+            cdc_maintain_stream(
+                None, "x", "y", key="k", ts="ts", seq="s", op="op",
+                payload=[], keep_versions=1,
+            )

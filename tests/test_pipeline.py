@@ -2716,3 +2716,68 @@ class TestCdcLatestSnapshot:
         with pytest.raises(Exception) as ei:
             cdc_latest_snapshot(df, "k", "ts", "seq", "op", ["pay"]).collect()
         assert "ordering is undefined" in str(ei.value)
+
+
+class TestTableFingerprint:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "g string, a long, b string")
+
+    def test_order_and_partition_invariant(self, spark):
+        from mopso_engine.ext.pipeline import table_fingerprint
+
+        rows = [("x", i, f"s{i % 5}") for i in range(200)]
+        base = self._df(spark, rows)
+        shuffled = self._df(spark, rows[::-1]).repartition(7)
+        fp = lambda df: {  # noqa: E731
+            r["g"]: (r["n_rows"], r["fp"])
+            for r in table_fingerprint(df, ["a", "b"], group_by="g").collect()
+        }
+        assert fp(base) == fp(shuffled)
+
+    def test_single_row_change_flips_fingerprint(self, spark):
+        from mopso_engine.ext.pipeline import table_fingerprint
+
+        rows = [("x", i, "s") for i in range(50)]
+        changed = list(rows)
+        changed[17] = ("x", 17, "S")  # one cell, one row
+        fp = lambda df: table_fingerprint(df, ["a", "b"], group_by="g").collect()[0]["fp"]  # noqa: E731
+        assert fp(self._df(spark, rows)) != fp(self._df(spark, changed))
+
+    def test_exact_python_replay(self, spark):
+        import hashlib
+
+        from mopso_engine.ext.pipeline import FINGERPRINT_MOD, table_fingerprint
+
+        rows = [("x", i, f"s{i}") for i in range(20)] + [
+            ("y", i, "t") for i in range(3)
+        ]
+        got = {
+            r["g"]: (r["n_rows"], r["fp"])
+            for r in table_fingerprint(
+                self._df(spark, rows), ["a", "b"], group_by="g"
+            ).collect()
+        }
+        want = {}
+        for g, a, b in rows:
+            h = int(hashlib.md5(f"{a}#{b}#fp0".encode()).hexdigest()[:15], 16)
+            n, s = want.get(g, (0, 0))
+            want[g] = (n + 1, (s + h) % FINGERPRINT_MOD)
+        assert got == want
+
+    def test_null_column_raises_in_plan(self, spark):
+        import pytest as _pt
+
+        from mopso_engine.ext.pipeline import table_fingerprint
+
+        df = self._df(spark, [("x", 1, "s"), ("x", 2, None)])
+        with _pt.raises(Exception) as ei:
+            table_fingerprint(df, ["a", "b"], group_by="g").collect()
+        assert "NULL in a fingerprinted column" in str(ei.value)
+
+    def test_ungrouped_whole_table(self, spark):
+        from mopso_engine.ext.pipeline import table_fingerprint
+
+        out = table_fingerprint(
+            self._df(spark, [("x", 1, "s"), ("y", 2, "t")]), ["a", "b"]
+        ).collect()
+        assert len(out) == 1 and out[0]["n_rows"] == 2

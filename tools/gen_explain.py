@@ -928,6 +928,28 @@ COMMENTS = {
     "in-query: without mergeSchema Spark serves one footer's schema "
     "and silently drops the column). Downstream is one "
     "map-side-combined band aggregate.",
+    "events_cdc_stream": "Continuous CDC maintenance (r12): the shown "
+    "plan is the LIVE READ-BACK (state-version scan + tombstone "
+    "filter); the maintenance itself ran as two AvailableNow "
+    "micro-batches, each folding state ∪ batch through the same "
+    "WindowGroupLimit-pushed rank-1 window as the batch snapshot. "
+    "Latest-wins is a commutative/associative fold, so — unlike the "
+    "SCD2 maintainer — no watermark, reorder buffer, or dead-letter "
+    "ledger exists anywhere in this pipeline, and stream==batch holds "
+    "for any split.",
+    "orders_table_fingerprint": "Cross-engine table checksum (r12): "
+    "map-only md5 row digests inside codegen (the canonical rendering "
+    "is a concat_ws of integer/cents/date strings — no "
+    "engine-specific hash function), ONE map-side-combined per-status "
+    "aggregate, the Mersenne reduction folding the DECIMAL(38,0) sum "
+    "back to BIGINT. Look for: no join, no window, a single Exchange "
+    "carrying 3 group rows.",
+    "lineitem_orc_roundtrip": "ORC format roundtrip (r12): the "
+    "read-back plan must show the ORC scan node (asserted in-query — "
+    "a silent parquet fall-through would prove nothing); downstream "
+    "is the same map-side-combined returnflag fold as the compaction "
+    "roundtrip, so the oracle's parquet-side value equality isolates "
+    "the FORMAT as the only variable.",
 }
 
 
