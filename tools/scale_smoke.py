@@ -92,6 +92,19 @@ def build_corpus(spark) -> None:
             os.path.join(OUT, f"{t}.parquet")
         )
 
+    # events ×10: event_id re-keyed (the CDC sequence column must stay
+    # unique), user_id deliberately NOT re-keyed — the latest-wins
+    # snapshot's scale contract is that shuffle is bounded by KEYS ×
+    # map partitions (WindowGroupLimit partial heaps), so the smoke
+    # must grow the FEED while holding the key set fixed; a re-keyed
+    # build would only show the trivial linear-in-keys law
+    ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+    scaled_e = None
+    for i in range(REPLICAS):
+        d = ev.withColumn("event_id", F.col("event_id") + F.lit(i * 100_000_000))
+        scaled_e = d if scaled_e is None else scaled_e.unionByName(d)
+    scaled_e.write.parquet(os.path.join(OUT, "events.parquet"))
+
 
 def build_corpus_x100(spark, tables: set[str]) -> None:
     """Two-decade corpus (VERDICT r9 #8): ×100 replicas of only the
@@ -145,6 +158,17 @@ def build_corpus_x100(spark, tables: set[str]) -> None:
             )
             scaled = d if scaled is None else scaled.unionByName(d)
         scaled.repartition(8).write.parquet(os.path.join(OUT100, "customer.parquet"))
+    if "events" in tables:
+        # same fixed-key design as the ×10 build: event_id re-keyed,
+        # user_id held constant — 100× feed over the SAME key set
+        ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+        scaled = None
+        for i in range(100):
+            d = ev.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * 100_000_000)
+            )
+            scaled = d if scaled is None else scaled.unionByName(d)
+        scaled.repartition(16).write.parquet(os.path.join(OUT100, "events.parquet"))
     # small parents copied verbatim: lineitem part/supp keys and customer
     # nationkeys are NOT re-keyed, so the original dimensions stay valid
     for t in tables & {"part", "supplier", "nation"}:
@@ -181,6 +205,12 @@ def main_x100(names: list[str]) -> None:
         "tpch_ref_integrity": {
             "lineitem", "orders", "customer", "part", "supplier", "nation",
         },
+        # r12 CDC latest-wins snapshot: the claim is shuffle bounded by
+        # KEYS × map partitions (WindowGroupLimit partial heaps), so
+        # the scaled events hold the user set FIXED while the feed
+        # grows — expected: constant stages, near-flat shuffle bytes
+        # through ×100 input
+        "events_cdc_snapshot": {"events"},
     }
     needed = set()
     for n in names:
