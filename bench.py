@@ -451,8 +451,16 @@ ANCHOR_R08 = {
     # r12 second batch (cold/warm: 14.1/3.9, 0.8/0.6, 0.8/0.5,
     # 1.4/0.8 — bm25_eval pays the full BM25 retriever AND the
     # coverage labeler, each a corpus explode+prune pass; the
-    # schema-evolution entry rewrites both orders epochs every run)
-    "bm25_eval": 4.8, "events_bootstrap_ci": 0.8,
+    # schema-evolution entry rewrites both orders epochs every run).
+    # events_bootstrap_ci's anchor is its BENCH-CONTEXT reading, not
+    # its fresh-session floor: a clean best-of-5 protocol run reads
+    # 0.72s warm with quiet calibs, but inside a 170-entry session the
+    # 200-replicate md5 CASE codegen consistently reads 2.4-2.7s
+    # (quiet adjacent calibs — accumulated-session JIT/GC, the
+    # events_sessions_stream "floor is a property of the context"
+    # class), and an anchor below that floor would trip the retry net
+    # every round on healthy code
+    "bm25_eval": 4.8, "events_bootstrap_ci": 2.0,
     "events_cdc_snapshot": 0.7, "orders_schema_evolution": 1.1,
     # r12 third batch (cold/warm: 4.6/2.4, 5.2/0.5, 1.6/0.9 — the cdc
     # stream pays two real AvailableNow fold batches + ledger IO every
