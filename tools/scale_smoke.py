@@ -211,6 +211,16 @@ def main_x100(names: list[str]) -> None:
         # grows — expected: constant stages, near-flat shuffle bytes
         # through ×100 input
         "events_cdc_snapshot": {"events"},
+        # r12: the as-of join's union+ordered-window claim — ONE key
+        # exchange, linear running state, never a range-pair explosion;
+        # on the fixed-key events build the exchange carries the whole
+        # (filtered) feed, so expected: constant stages, shuffle LINEAR
+        # in events (the plan has no quadratic term to expose)
+        "events_asof": {"events"},
+        # r12: sessionization's one-user-exchange claim shared by both
+        # window functions and the session aggregate — constant stages,
+        # feed-linear shuffle
+        "events_sessionized": {"events"},
     }
     needed = set()
     for n in names:
