@@ -5172,12 +5172,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         literals (`ndcg_weights_micro`, the BM25-idf treatment); gains
         are exact integer shifts; recall/MRR/nDCG are house
         round-half-up integer divisions — no float touches any value.
-        The corpus-scale work is the retriever + labeler (both the
-        proven broadcast-prune shape); the eval itself is
-        |queries|-bounded arithmetic."""
+        The corpus-scale work is ONE shared pruned-tf pass
+        (`pruned_tf` — the retriever and the labeler both consume it,
+        so the corpus explode+prune is paid once, not per consumer;
+        self-review); the eval itself is |queries|-bounded
+        arithmetic."""
         from mopso_engine.ext.retrieval import (
             bm25_topk,
             coverage_qrels,
+            pruned_tf,
             retrieval_eval,
         )
 
@@ -5190,8 +5193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id string, qtext string",
         )
         docs = read_table(spark, sf, "documents")
-        res = bm25_topk(docs, qdf, k1=1.2, b=0.75, top_k=10)
-        qrels = coverage_qrels(docs, qdf)
+        tf = pruned_tf(docs, qdf)
+        res = bm25_topk(docs, qdf, k1=1.2, b=0.75, top_k=10, tf=tf)
+        qrels = coverage_qrels(docs, qdf, doc_terms=tf)
         return retrieval_eval(res, qrels, k=10)
 
     def events_bootstrap_ci(spark, sf):
@@ -5218,23 +5222,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             salt="boot12",
         )
 
-    def events_cdc_snapshot(spark, sf):
-        """Latest-wins CDC snapshot (`ext.pipeline.cdc_latest_snapshot`)
-        — the MERGE-INTO compaction every lakehouse ingest runs, the
-        point-in-time complement of the SCD2 history family: events
-        become a keyed change feed (op 'D' for the deterministic
-        md5(event_id)%20==0 slice, else upsert), and the snapshot keeps
-        each user's most recent non-delete payload under the
-        (ts desc, event_id desc) CDC ordering contract — users whose
-        LAST change is a delete are absent. ONE key exchange; the
-        rank-1 window is WindowGroupLimit-pushed so the shuffle carries
-        at most one surviving change per key per map partition. NULL
-        ts/seq raises in-plan (unordered feed = corrupt feed)."""
-        from mopso_engine.ext import pipeline as pl
+    def _cdc_changes(spark, sf):
+        """The derived CDC change feed SHARED by events_cdc_snapshot and
+        events_cdc_stream (their stream==batch contract depends on the
+        two feeds being byte-identical — one derivation, not a copy;
+        self-review): op 'D' for the deterministic md5(event_id)%20==0
+        slice, else upsert, payload (event_type, value_micro)."""
         from mopso_engine.ext.streaming import read_events
 
         ev = read_events(spark, os.path.join(sf, "events.parquet"))
-        changes = ev.select(
+        return ev.select(
             "user_id",
             "ts",
             "event_id",
@@ -5265,6 +5262,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "value_micro"
             ),
         )
+
+    def events_cdc_snapshot(spark, sf):
+        """Latest-wins CDC snapshot (`ext.pipeline.cdc_latest_snapshot`)
+        — the MERGE-INTO compaction every lakehouse ingest runs, the
+        point-in-time complement of the SCD2 history family: events
+        become a keyed change feed (op 'D' for the deterministic
+        md5(event_id)%20==0 slice, else upsert), and the snapshot keeps
+        each user's most recent non-delete payload under the
+        (ts desc, event_id desc) CDC ordering contract — users whose
+        LAST change is a delete are absent. ONE key exchange; the
+        rank-1 window is WindowGroupLimit-pushed so the shuffle carries
+        at most one surviving change per key per map partition. NULL
+        ts/seq/key/op raises in-plan (a corrupt feed must not pick a
+        silent arbitrary outcome)."""
+        from mopso_engine.ext import pipeline as pl
+
+        changes = _cdc_changes(spark, sf)
         snap = pl.cdc_latest_snapshot(
             changes,
             "user_id",
@@ -5340,7 +5354,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         li.write.mode("overwrite").orc(dst)
         back = spark.read.orc(dst)
         plan = back._jdf.queryExecution().executedPlan().toString()
-        if "orc" not in plan.lower():
+        # match the SCAN NODE, not the whole plan: the temp path itself
+        # contains 'orc', so a substring test over the plan text was
+        # vacuously true for a parquet fall-through too (self-review) —
+        # the scan line renders as 'FileScan orc [...] Format: ORC'
+        if "FileScan orc" not in plan and "Format: ORC" not in plan:
             raise RuntimeError(
                 "lineitem_orc_roundtrip: the read-back scan is not the "
                 "ORC reader — the format roundtrip was not exercised"
@@ -5372,7 +5390,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mopso_engine.ext.streaming import (
             cdc_maintain_stream,
             cdc_snapshot_live,
-            read_events,
         )
 
         _utc(spark)
@@ -5383,37 +5400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         shutil.rmtree(base, ignore_errors=True)
         src = os.path.join(base, "changes")
-        ch = read_events(spark, os.path.join(sf, "events.parquet")).select(
-            "user_id",
-            "ts",
-            "event_id",
-            F.when(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                "#",
-                                F.col("event_id").cast("string"),
-                                F.lit("cdc12"),
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % 20
-                == 0,
-                F.lit("D"),
-            )
-            .otherwise(F.lit("U"))
-            .alias("op"),
-            "event_type",
-            F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").alias(
-                "value_micro"
-            ),
-        )
+        # the ONE shared feed derivation (stream==batch depends on it)
+        ch = _cdc_changes(spark, sf)
         cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
         ch.where(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
         early_files = _glob.glob(os.path.join(src, "*.parquet"))
@@ -8081,9 +8069,13 @@ def oracle_sql() -> dict[str, str]:
                  CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
                    AS value_micro
           FROM events
+          -- op is derived (a CASE over md5 — never NULL), so only the
+          -- three source columns need the mirror
           WHERE (SELECT max(CASE WHEN ts IS NULL OR event_id IS NULL
-                   THEN error('events_cdc_snapshot oracle: NULL ts/seq — '
-                              'mirrors the Spark in-plan raise')
+                   OR user_id IS NULL
+                   THEN error('events_cdc_snapshot oracle: NULL '
+                              'ts/seq/key — mirrors the Spark in-plan '
+                              'raise')
                    ELSE 0 END) FROM events) = 0),
         rk AS (SELECT *, row_number() OVER (
                  PARTITION BY user_id

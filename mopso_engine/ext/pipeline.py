@@ -2820,9 +2820,12 @@ def cdc_latest_snapshot(
     Ordering contract: changes are totally ordered per key by
     ``(ts_col asc, seq_col asc)`` — the LAST row wins; equal timestamps
     resolve by the sequence column (a log offset / event id), the rule
-    CDC consumers (Debezium/Kafka) define. A NULL timestamp or sequence
-    raises in-plan: an unordered change is a corrupt feed and silence
-    would pick an arbitrary winner (the oracle mirrors the raise).
+    CDC consumers (Debezium/Kafka) define. A NULL timestamp, sequence,
+    KEY or OP raises in-plan: an unordered/unkeyed change is a corrupt
+    feed and silence would pick an arbitrary outcome — a NULL op in
+    particular would evaluate ``op != delete_op`` to NULL and silently
+    TOMBSTONE the key exactly as if its last change were a delete
+    (self-review; the oracle mirrors the raise).
 
     Shape (100 TB): ONE key exchange. The rank window keeps exactly the
     top-1 row per key, so WindowGroupLimit pushes a per-map-partition
@@ -2847,11 +2850,14 @@ def cdc_latest_snapshot(
     ``keep_tombstones`` (key, ts, seq, op, *payload_cols) for all keys.
     """
     ts_checked = F.when(
-        F.col(ts_col).isNull() | F.col(seq_col).isNull(),
+        F.col(ts_col).isNull()
+        | F.col(seq_col).isNull()
+        | F.col(key_col).isNull()
+        | F.col(op_col).isNull(),
         F.raise_error(
             F.lit(
-                f"cdc_latest_snapshot: NULL {ts_col}/{seq_col} — the "
-                "change feed ordering is undefined"
+                f"cdc_latest_snapshot: NULL {ts_col}/{seq_col}/"
+                f"{key_col}/{op_col} — the change feed is corrupt"
             )
         ),
     ).otherwise(F.col(ts_col))

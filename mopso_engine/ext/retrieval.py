@@ -37,6 +37,7 @@ __all__ = [
     "ndcg_weights_micro",
     "coverage_qrels",
     "retrieval_eval",
+    "pruned_tf",
 ]
 
 # query-lifetime persisted tf tables (the pruned (doc_id, term) counts a
@@ -95,6 +96,39 @@ def bm25_rational_constants(k1: float, b: float) -> tuple[int, int, int, int]:
     return ((k1n + k1d) * bd, k1d * bd, k1n * (bd - bn), k1n * bn)
 
 
+def pruned_tf(docs: DataFrame, queries: DataFrame) -> DataFrame:
+    """The pruned (doc_id, term, tf, dl) table every retriever/labeler
+    in this module feeds on: the corpus token explode semi-joined
+    against the tiny distinct query-term set BEFORE the one
+    (doc_id, term) count shuffle, PERSISTED and registered for
+    :func:`clear_retrieval_caches`. Build it ONCE and pass it to both
+    :func:`bm25_topk` and :func:`coverage_qrels` when composing them
+    (bm25_eval's shape) — the corpus-scale pass is then paid once
+    instead of per consumer (self-review)."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    qtoks = F.split(F.lower(F.trim(F.col("qtext"))), r"\s+")
+    qterms = (
+        queries.select(F.explode(qtoks).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("dl"),
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "term"
+            ),
+        )
+        .join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+        .persist()
+    )
+    _BM25_CACHES.append(tf)
+    return tf
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -102,6 +136,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     top_k: int = 10,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``top_k`` documents per query by BM25.
 
@@ -161,19 +196,10 @@ def bm25_topk(
 
     # explode → broadcast prune on query terms → ONE (doc_id, term)
     # shuffle; persisted because both the df collect and the scoring
-    # plan consume it
-    tf = (
-        lengths.select(
-            "doc_id",
-            "dl",
-            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
-        )
-        .join(F.broadcast(qterms), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
-        .persist()
-    )
-    _BM25_CACHES.append(tf)
+    # plan consume it (callers composing several consumers pass a
+    # shared :func:`pruned_tf` instead)
+    if tf is None:
+        tf = pruned_tf(docs, queries)
     df_by_term = {
         r["term"]: int(r["df"])
         for r in tf.groupBy("term").agg(F.count("*").alias("df")).collect()
@@ -453,6 +479,7 @@ def coverage_qrels(
     *,
     full_rel: int = 2,
     partial_rel: int = 1,
+    doc_terms: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic graded relevance labels derived from query-term
     coverage: a document containing EVERY distinct query term is graded
@@ -465,7 +492,10 @@ def coverage_qrels(
     Same broadcast-prune shape as :func:`term_coverage_topk`: the corpus
     explode is semi-joined against the tiny distinct-term set BEFORE the
     one (doc, term) distinct shuffle; per-query term counts are a
-    broadcast scalar join.
+    broadcast scalar join. Pass ``doc_terms`` — the distinct pruned
+    (doc_id, term) pairs, e.g. :func:`pruned_tf`'s key columns — to
+    reuse a pass another consumer already paid for (bm25_eval composes
+    this with bm25_topk over ONE shared pruned table; self-review).
 
     Returns (query_id, doc_id, rel) with rel >= 1.
     """
@@ -482,12 +512,15 @@ def coverage_qrels(
         .distinct()
     )
     nq = qpairs.groupBy("query_id").agg(F.count(F.lit(1)).alias("nq"))
-    qterms = qpairs.select("term").distinct()
-    doc_terms = (
-        docs.select("doc_id", F.explode(toks).alias("term"))
-        .join(F.broadcast(qterms), "term")
-        .distinct()
-    )
+    if doc_terms is None:
+        qterms = qpairs.select("term").distinct()
+        doc_terms = (
+            docs.select("doc_id", F.explode(toks).alias("term"))
+            .join(F.broadcast(qterms), "term")
+            .distinct()
+        )
+    else:
+        doc_terms = doc_terms.select("doc_id", "term")
     cov = (
         doc_terms.join(F.broadcast(qpairs), "term")
         .groupBy("query_id", "doc_id")

@@ -2715,7 +2715,7 @@ class TestCdcLatestSnapshot:
         )
         with pytest.raises(Exception) as ei:
             cdc_latest_snapshot(df, "k", "ts", "seq", "op", ["pay"]).collect()
-        assert "ordering is undefined" in str(ei.value)
+        assert "corrupt" in str(ei.value)
 
 
 class TestTableFingerprint:
@@ -2781,3 +2781,25 @@ class TestTableFingerprint:
             self._df(spark, [("x", 1, "s"), ("y", 2, "t")]), ["a", "b"]
         ).collect()
         assert len(out) == 1 and out[0]["n_rows"] == 2
+
+
+class TestCdcNullGuards:
+    def test_null_op_or_key_raises_in_plan(self, spark):
+        """Self-review regression: a NULL op used to evaluate
+        op != 'D' to NULL and silently TOMBSTONE the key; NULL keys and
+        ops now raise like NULL ts/seq."""
+        import datetime as dt
+
+        from mopso_engine.ext.pipeline import cdc_latest_snapshot
+
+        t = dt.datetime(2024, 3, 1)
+        for rows in (
+            [("a", t, 1, None, "x")],   # NULL op
+            [(None, t, 1, "U", "x")],   # NULL key
+        ):
+            df = spark.createDataFrame(
+                rows, "k string, ts timestamp, seq long, op string, pay string"
+            )
+            with pytest.raises(Exception) as ei:
+                cdc_latest_snapshot(df, "k", "ts", "seq", "op", ["pay"]).collect()
+            assert "corrupt" in str(ei.value)

@@ -540,3 +540,23 @@ def test_bootstrap_replicates_explode_above_unit_aggregate(spark):
     q.collect()
     ep = q._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in ep, ep
+
+
+def test_orc_scan_assertion_is_not_path_fooled(spark, tmp_path):
+    """Self-review regression: lineitem_orc_roundtrip's ORC-reader
+    assertion must match the SCAN NODE, not the plan text — a parquet
+    read of a path containing 'orc' used to satisfy the old substring
+    test vacuously."""
+    pq = str(tmp_path / "mopso_orc_decoy")  # 'orc' in the PATH
+    spark.range(5).write.parquet(pq)
+    plan = (
+        spark.read.parquet(pq)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "orc" in plan.lower()  # the old check would have passed
+    assert "FileScan orc" not in plan and "Format: ORC" not in plan
+    orc = str(tmp_path / "real")
+    spark.range(5).write.orc(orc)
+    oplan = (
+        spark.read.orc(orc)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FileScan orc" in oplan or "Format: ORC" in oplan

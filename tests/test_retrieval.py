@@ -430,3 +430,46 @@ class TestRetrievalEval:
             assert m == int(math.floor(1e6 / math.log2(r + 1) + 0.5))
         with pytest.raises(ValueError):
             ndcg_weights_micro(0)
+
+
+class TestSharedPrunedTf:
+    def test_coverage_qrels_with_shared_tf_is_identical(self, spark):
+        """Self-review: bm25_eval shares ONE pruned_tf pass between the
+        retriever and the labeler — the shared-input path must be
+        value-identical to the self-built path."""
+        from mopso_engine.ext.retrieval import coverage_qrels, pruned_tf
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma pad"),
+                (2, "alpha beta pad pad"),
+                (3, "alpha pad pad pad"),
+                (4, "beta gamma alpha alpha"),
+            ],
+            "doc_id long, text string",
+        )
+        qdf = spark.createDataFrame(
+            [("q", "alpha beta gamma")], "query_id string, qtext string"
+        )
+        plain = sorted(map(tuple, coverage_qrels(docs, qdf).collect()))
+        tf = pruned_tf(docs, qdf)
+        shared = sorted(
+            map(tuple, coverage_qrels(docs, qdf, doc_terms=tf).collect())
+        )
+        assert plain == shared
+
+    def test_bm25_with_shared_tf_is_identical(self, spark):
+        from mopso_engine.ext.retrieval import bm25_topk, pruned_tf
+
+        docs = spark.createDataFrame(
+            [(i, "alpha beta " + "pad " * (i % 4)) for i in range(8)],
+            "doc_id long, text string",
+        )
+        qdf = spark.createDataFrame(
+            [("q", "alpha beta")], "query_id string, qtext string"
+        )
+        plain = sorted(map(tuple, bm25_topk(docs, qdf).collect()))
+        shared = sorted(
+            map(tuple, bm25_topk(docs, qdf, tf=pruned_tf(docs, qdf)).collect())
+        )
+        assert plain == shared

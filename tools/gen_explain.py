@@ -897,15 +897,16 @@ COMMENTS = {
     "is one map-side-combined priority aggregate over the single "
     "surviving partition.",
     "bm25_eval": "Retrieval-eval readout (r12): the corpus-scale work "
-    "is the two proven broadcast-prune passes (the BM25 retriever's "
-    "pruned-tf reuse and the coverage labeler's distinct (doc, term) "
-    "pass — each one corpus explode semi-joined against the tiny "
-    "query-term set BEFORE its only shuffle); everything downstream "
-    "— ideal ranking, pinned log2-discount weight joins, the "
-    "recall/MRR/nDCG integer divisions — runs on |queries|-bounded "
-    "tables via broadcast joins. Look for: no corpus-side join "
-    "beyond the two term semi-joins, and the eval arithmetic riding "
-    "tiny exchanges.",
+    "is ONE shared pruned-tf pass (the corpus explode semi-joined "
+    "against the tiny query-term set BEFORE its only shuffle, "
+    "persisted — the BM25 retriever AND the coverage labeler both "
+    "consume the same cached table, so the corpus pays one "
+    "explode+prune, not one per consumer; self-review fix); "
+    "everything downstream — ideal ranking, pinned log2-discount "
+    "weight joins, the recall/MRR/nDCG integer divisions — runs on "
+    "|queries|-bounded tables via broadcast joins. Look for: "
+    "InMemoryTableScan feeding both the scoring branch and the qrels "
+    "branch, and the eval arithmetic riding tiny exchanges.",
     "events_bootstrap_ci": "Poisson bootstrap CI (r12): ONE corpus "
     "exchange — the map-side-combined (type, user) partial aggregate "
     "— then the 200-replicate explode runs over the UNIT-level table "
