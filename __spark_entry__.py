@@ -5295,6 +5295,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "value_micro",
         )
 
+    def events_did(spark, sf):
+        """Difference-in-differences readout
+        (`ext.pipeline.diff_in_diff`) — the causal estimator for
+        launches that could not be randomized per-event: the treated
+        group's pre→post movement minus the control group's, so shared
+        trends difference out. Deterministic md5 unit split, periods
+        cut at 2024-01-16; the four cell means are round-half-up
+        integer micro divisions over DECIMAL(38,0) sums and the
+        estimate is pure integer subtraction — ONE map-side-combined
+        4-row aggregate over the corpus. Empty cells and NULL unit/ts
+        raise with oracle mirrors."""
+        from mopso_engine.ext import pipeline as pl
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        return pl.diff_in_diff(
+            ev,
+            "user_id",
+            "ts",
+            F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"),
+            cut="2024-01-16 00:00:00",
+            salt="did12",
+        )
+
+    def events_ltv_curve(spark, sf):
+        """Cumulative cohort revenue curve (`ext.pipeline.ltv_curve`) —
+        the growth family's money twin of events_retention: each
+        first-activity weekly cohort's cumulative revenue per cohort
+        user at every later week offset (the payback/CAC readout).
+        Retention's exact calendar conventions + integer micro revenue;
+        the per-user value is the house round-half-up division of the
+        running DECIMAL(38,0) cohort total by the fixed cohort size.
+        Two bounded exchanges ((user, period) fold, then the user
+        window over that aggregate); the curve math runs on
+        cohorts × offsets rows."""
+        from mopso_engine.ext import pipeline as pl
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        return pl.ltv_curve(
+            ev, F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+        )
+
+    def events_uplift_deciles(spark, sf):
+        """Uplift by score decile (`ext.pipeline.uplift_deciles`) — the
+        targeting-decision readout mean treatment effects cannot give
+        (WHO to treat): users ranked by their pre-period activity count
+        (the classic targeting feature) through the rank family's
+        bucketed_global_rank (sixth consumer — never a single-partition
+        sort), exact integer decile cuts, each tile split into its
+        deterministic md5 treatment/control halves, per-tile conversion
+        (any post-period purchase) as round-half-up per-mille, uplift
+        as their integer difference. Empty tile arms and NULL unit/ts
+        raise with oracle mirrors."""
+        from mopso_engine.ext import pipeline as pl
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        return pl.uplift_deciles(
+            ev, cut="2024-01-16 00:00:00", salt="up12"
+        )
+
     def orders_table_fingerprint(spark, sf):
         """Order-independent cross-engine table checksum
         (`ext.pipeline.table_fingerprint`) — the "did ANY row change"
@@ -5623,7 +5685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows only), so the future schedule is readable off this comment:
     # the past-cutoff blocks are ALREADY in rotation order and each
     # round's slice is simply the next ~39 names after the flagships
-    # and that round's code-changed re-earners. All 249 are verified
+    # and that round's code-changed re-earners. All 252 are verified
     # locally by tools/check_oracle.py (same compare as the driver,
     # default + hostile sessions) before each round ends — the count
     # in this sentence is pinned to len(queries()) by
@@ -5669,7 +5731,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_bigram_logppl,                               # last r7
         # Window = 5 fits + 5 r11-leaders + 11 r12-new + 29 rotation = 50.
         # --- the 50-entry truncation lands exactly here ---
-        # r13's rotation slice starts here: the r7 block tail, then
+        # r13 WINDOW LEADERS (late-r12-born, never driver-verified —
+        # front-load them after the fit flagships, the r11→r12 leader
+        # pattern): the causal/growth additions events_did,
+        # events_ltv_curve, events_uplift_deciles (3)
+        events_did, events_ltv_curve, events_uplift_deciles,
+        # r13's rotation slice continues here: the r7 block tail, then
         # the r8 block — each block alphabetical (the deterministic
         # tie order), blocks ordered by last-earned round ascending.
         docs_chunked, docs_despan, docs_negative_pairs,   # last r7
@@ -8084,6 +8151,136 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id,
                event_type, value_micro
         FROM rk WHERE rn = 1 AND op <> 'D'
+    """
+
+    # events_did: the md5 unit split and the timestamp cut replay
+    # verbatim; cell means are the same round-half-up micro divisions
+    # in HUGEINT; the empty-cell and NULL-unit/ts error() mirrors match
+    # the Spark in-plan raises.
+    o["events_did"] = """
+        WITH e AS (
+          SELECT (('0x' || substr(md5(user_id::VARCHAR || '#did12'), 1, 8))
+                  ::BIGINT) % 2 AS v,
+                 CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN 0 ELSE 1 END AS p,
+                 CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS x
+          FROM events
+          WHERE (SELECT max(CASE WHEN user_id IS NULL OR ts IS NULL
+                   THEN error('events_did oracle: NULL user_id/ts — '
+                              'mirrors the Spark in-plan raise')
+                   ELSE 0 END) FROM events) = 0),
+        c AS (SELECT v, p, count(*)::BIGINT AS n,
+                     CAST((2 * sum(x::HUGEINT) + count(*))
+                          // (2 * count(*)) AS BIGINT) AS m
+              FROM e GROUP BY 1, 2),
+        g AS (SELECT
+                max(CASE WHEN v = 0 AND p = 0 THEN n END) AS n_c_pre,
+                max(CASE WHEN v = 0 AND p = 1 THEN n END) AS n_c_post,
+                max(CASE WHEN v = 1 AND p = 0 THEN n END) AS n_t_pre,
+                max(CASE WHEN v = 1 AND p = 1 THEN n END) AS n_t_post,
+                max(CASE WHEN v = 0 AND p = 0 THEN m END) AS m_c_pre_micro,
+                max(CASE WHEN v = 0 AND p = 1 THEN m END) AS m_c_post_micro,
+                max(CASE WHEN v = 1 AND p = 0 THEN m END) AS m_t_pre_micro,
+                max(CASE WHEN v = 1 AND p = 1 THEN m END) AS m_t_post_micro
+              FROM c)
+        SELECT (CASE WHEN n_c_pre IS NULL OR n_c_post IS NULL
+                  OR n_t_pre IS NULL OR n_t_post IS NULL
+                  THEN error('events_did oracle: empty cell — mirrors '
+                             'the Spark in-plan raise')
+                ELSE n_c_pre END)::BIGINT AS n_c_pre,
+               n_c_post, n_t_pre, n_t_post,
+               m_c_pre_micro, m_c_post_micro, m_t_pre_micro,
+               m_t_post_micro,
+               ((m_t_post_micro - m_t_pre_micro)
+                - (m_c_post_micro - m_c_pre_micro))::BIGINT AS did_micro
+        FROM g
+    """
+
+    # events_ltv_curve: retention's calendar conventions verbatim
+    # (Monday-truncated weeks, integer day-diff // grain offsets) +
+    # HUGEINT running revenue; same round-half-up per-user division.
+    o["events_ltv_curve"] = """
+        WITH per AS (
+          SELECT user_id AS u, date_trunc('week', ts) AS period,
+                 sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)::HUGEINT)
+                   AS s
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2),
+        uw AS (SELECT *, min(period) OVER (PARTITION BY u) AS cohort
+               FROM per),
+        cell AS (SELECT cohort,
+                        date_diff('day', cohort, period) // 7
+                          AS period_offset,
+                        sum(s) AS rev
+                 FROM uw GROUP BY 1, 2),
+        sizes AS (SELECT cohort, count(*)::BIGINT AS cohort_size
+                  FROM uw WHERE period = cohort GROUP BY 1),
+        cum AS (SELECT cell.cohort, period_offset, cohort_size, rev,
+                       sum(rev) OVER (PARTITION BY cell.cohort
+                                      ORDER BY period_offset
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                FROM cell JOIN sizes ON cell.cohort = sizes.cohort)
+        SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+               period_offset::INTEGER AS period_offset, cohort_size,
+               CAST(rev AS BIGINT) AS rev_micro,
+               CAST(cum AS BIGINT) AS cum_rev_micro,
+               CAST((2 * cum + cohort_size) // (2 * cohort_size) AS BIGINT)
+                 AS ltv_micro
+        FROM cum
+    """
+
+    # events_uplift_deciles: the bucketed rank is value-identical to
+    # the plain (score, u) row_number (the rank family's proven
+    # contract); same md5 split, integer tile cuts, round-half-up
+    # per-milles; empty-arm and NULL error() mirrors.
+    o["events_uplift_deciles"] = """
+        WITH u AS (
+          SELECT user_id::VARCHAR AS u,
+                 sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                          THEN 1 ELSE 0 END)::BIGINT AS score,
+                 max(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                          AND event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS converted
+          FROM events
+          WHERE (SELECT max(CASE WHEN user_id IS NULL OR ts IS NULL
+                   THEN error('events_uplift_deciles oracle: NULL '
+                              'user_id/ts — mirrors the Spark in-plan '
+                              'raise')
+                   ELSE 0 END) FROM events) = 0
+          GROUP BY 1),
+        r AS (SELECT u.*, row_number() OVER (ORDER BY score, u) AS rk,
+                     count(*) OVER () AS n
+              FROM u),
+        t AS (SELECT ((rk - 1) * 10) // n AS tile,
+                     (('0x' || substr(md5(u || '#up12'), 1, 8))
+                      ::BIGINT) % 2 AS v,
+                     converted
+              FROM r),
+        a AS (SELECT tile,
+                     sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_treat,
+                     sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_ctrl,
+                     sum(CASE WHEN v = 1 THEN converted ELSE 0 END)::BIGINT
+                       AS ct,
+                     sum(CASE WHEN v = 0 THEN converted ELSE 0 END)::BIGINT
+                       AS cc
+              FROM t GROUP BY 1)
+        SELECT tile::BIGINT AS tile,
+               (CASE WHEN n_treat = 0 OR n_ctrl = 0
+                  THEN error('events_uplift_deciles oracle: empty tile '
+                             'arm — mirrors the Spark in-plan raise')
+                ELSE n_treat END)::BIGINT AS n_treat,
+               n_ctrl,
+               ((2 * 1000 * ct + n_treat) // (2 * n_treat))::BIGINT
+                 AS conv_treat_pm,
+               ((2 * 1000 * cc + n_ctrl) // (2 * n_ctrl))::BIGINT
+                 AS conv_ctrl_pm,
+               ((2 * 1000 * ct + n_treat) // (2 * n_treat)
+                - (2 * 1000 * cc + n_ctrl) // (2 * n_ctrl))::BIGINT
+                 AS uplift_pm
+        FROM a
     """
 
     # orders_table_fingerprint: the row digest and Mersenne reduction

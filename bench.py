@@ -272,6 +272,12 @@ BENCH_QUERIES = [
     "events_cdc_stream",
     "orders_table_fingerprint",
     "lineitem_orc_roundtrip",
+    # round-12 fourth batch (documented r13 window leaders): DiD
+    # (one 4-row aggregate), cumulative cohort LTV curve (two bounded
+    # exchanges), uplift-by-decile (rank family's sixth consumer)
+    "events_did",
+    "events_ltv_curve",
+    "events_uplift_deciles",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -467,6 +473,9 @@ ANCHOR_R08 = {
     # run; the orc entry rewrites the lineitem slice every run)
     "events_cdc_stream": 2.8, "orders_table_fingerprint": 0.9,
     "lineitem_orc_roundtrip": 1.2,
+    # r12 fourth batch (cold/warm: 5.0/0.6, 2.1/1.0, 1.9/1.1)
+    "events_did": 0.9, "events_ltv_curve": 1.3,
+    "events_uplift_deciles": 1.4,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

@@ -2956,3 +2956,310 @@ def table_fingerprint(
     if group_by:
         return rows.groupBy(F.col("g").alias(group_by)).agg(*agg)
     return rows.agg(*agg)
+
+
+def diff_in_diff(
+    df: DataFrame,
+    unit_col: str,
+    ts_col: str,
+    value_micro: Column,
+    *,
+    cut: str,
+    salt: str = "did0",
+) -> DataFrame:
+    """Difference-in-differences readout — the quasi-experimental
+    estimator for launches that could NOT be randomized per-event (a
+    pricing change, a market rollout): compare the treated group's
+    pre→post movement against the control group's, so any shared trend
+    (seasonality, market drift) differences out and only the
+    treatment-correlated part of the shift remains. Completes the
+    experimentation family's causal ladder next to the randomized
+    readouts (srm / cuped / jackknife / qte / bootstrap).
+
+    Assignment is the family's deterministic md5 unit split; periods
+    split at the ``cut`` timestamp literal. Exactness: the four cell
+    means are house round-half-up integer micro divisions over exact
+    DECIMAL(38,0) cell sums, and the estimate is pure integer
+    subtraction of those rounded means —
+    ``did = (m_t_post − m_t_pre) − (m_c_post − m_c_pre)`` — so both
+    engines render it bit-identically. An EMPTY cell raises in-plan
+    (a DiD with a missing cell is undefined; silence would render a
+    NULL that an oracle's engine may fold differently); NULL unit/ts
+    raise for the concat_ws/ordering reasons the family documents.
+
+    Shape (100 TB): ONE map-side-combined 4-row aggregate over the
+    corpus — nothing else moves. Returns ONE row:
+    (n_c_pre, n_c_post, n_t_pre, n_t_post, m_c_pre_micro,
+    m_c_post_micro, m_t_pre_micro, m_t_post_micro, did_micro).
+    """
+    unit_checked = F.when(
+        F.col(unit_col).isNull() | F.col(ts_col).isNull(),
+        F.raise_error(
+            F.lit(f"diff_in_diff: NULL {unit_col}/{ts_col}")
+        ),
+    ).otherwise(F.col(unit_col).cast("string"))
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", unit_checked, F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    period = F.when(
+        F.col(ts_col) < F.lit(cut).cast("timestamp"), F.lit(0)
+    ).otherwise(F.lit(1))
+    cells = (
+        df.select(
+            variant.alias("_v"), period.alias("_p"), value_micro.alias("_x")
+        )
+        .groupBy("_v", "_p")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.expr("sum(CAST(_x AS DECIMAL(38,0)))").alias("_s"),
+        )
+        .withColumn(
+            "_m", F.expr("CAST((2 * _s + _n) div (2 * _n) AS BIGINT)")
+        )
+    )
+
+    def cell(v, p, col):
+        c = F.max(F.when((F.col("_v") == v) & (F.col("_p") == p), F.col(col)))
+        return F.when(
+            c.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"diff_in_diff: empty cell variant={v} period={p} — "
+                    "the estimator is undefined"
+                )
+            ),
+        ).otherwise(c)
+
+    return cells.agg(
+        cell(0, 0, "_n").alias("n_c_pre"),
+        cell(0, 1, "_n").alias("n_c_post"),
+        cell(1, 0, "_n").alias("n_t_pre"),
+        cell(1, 1, "_n").alias("n_t_post"),
+        cell(0, 0, "_m").alias("m_c_pre_micro"),
+        cell(0, 1, "_m").alias("m_c_post_micro"),
+        cell(1, 0, "_m").alias("m_t_pre_micro"),
+        cell(1, 1, "_m").alias("m_t_post_micro"),
+    ).select(
+        "*",
+        F.expr(
+            "(m_t_post_micro - m_t_pre_micro)"
+            " - (m_c_post_micro - m_c_pre_micro)"
+        ).alias("did_micro"),
+    )
+
+
+def ltv_curve(
+    events: DataFrame,
+    value_micro: Column,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    grain_days: int = 7,
+) -> DataFrame:
+    """Cumulative cohort revenue curve (the LTV triangle) — the growth
+    family's MONEY twin of :func:`retention_cohorts`: each first-
+    activity cohort's cumulative revenue per cohort user at every later
+    period offset. The curve every payback/CAC decision reads; the
+    retention triangle says who is still here, this says what they have
+    been worth so far.
+
+    Exactness: the retention family's calendar conventions verbatim
+    (date-trunc'd anchors, integer day-diff offsets floor-divided by
+    the grain) + exact integer micro revenue; the per-user value is
+    the house round-half-up division of the running cohort total by
+    the FIXED cohort size. NULL user/ts rows are filtered (the
+    retention convention); NULL values simply contribute nothing in
+    both engines.
+
+    Shape (100 TB): exchange 1 = the map-side-combined
+    (user, period) revenue fold (bounded by users × calendar length);
+    exchange 2 = the user window for the cohort anchor over that
+    already-aggregated table; the (cohort, offset) fold and the
+    running-total window act on cohorts × offsets rows. Offsets with
+    zero revenue simply do not appear — identical in both engines, and
+    the cumulative sum is over the offsets that do.
+
+    Returns (cohort, period_offset, cohort_size, rev_micro,
+    cum_rev_micro, ltv_micro) with cohort an ISO yyyy-MM-dd string.
+    """
+    if grain_days not in (1, 7):
+        raise ValueError(f"grain_days must be 1 or 7, got {grain_days}")
+    trunc = "week" if grain_days == 7 else "day"
+    per = (
+        events.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("u"),
+            F.date_trunc(trunc, F.col(ts_col)).alias("period"),
+            value_micro.alias("x"),
+        )
+        .groupBy("u", "period")
+        .agg(F.expr("sum(CAST(x AS DECIMAL(38,0)))").alias("s"))
+    )
+    wu = Window.partitionBy("u")
+    uw = per.withColumn("cohort", F.min("period").over(wu))
+    cell = uw.select(
+        "cohort",
+        F.expr(f"datediff(period, cohort) div {int(grain_days)}").alias(
+            "period_offset"
+        ),
+        "s",
+    ).groupBy("cohort", "period_offset").agg(
+        F.expr("CAST(sum(s) AS DECIMAL(38,0))").alias("rev")
+    )
+    sizes = (
+        uw.where(F.col("period") == F.col("cohort"))
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("cohort_size"))
+    )
+    wc = (
+        Window.partitionBy("cohort")
+        .orderBy("period_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cell.join(F.broadcast(sizes), "cohort")
+        .withColumn("cum", F.sum("rev").over(wc))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "period_offset",
+            "cohort_size",
+            F.expr("CAST(rev AS BIGINT)").alias("rev_micro"),
+            F.expr("CAST(cum AS BIGINT)").alias("cum_rev_micro"),
+            F.expr(
+                "CAST((2 * cum + cohort_size) div (2 * cohort_size)"
+                " AS BIGINT)"
+            ).alias("ltv_micro"),
+        )
+    )
+
+
+def uplift_deciles(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    cut: str,
+    convert_type: str = "purchase",
+    n_tiles: int = 10,
+    salt: str = "up0",
+    bucket_shift: int = 2,
+) -> DataFrame:
+    """Uplift by score decile (the Qini/uplift-curve point table) — the
+    eval readout for TARGETING decisions: rank units by a score, split
+    each tile into its randomized treatment/control halves, and read
+    the conversion LIFT per tile. A model (or heuristic) is worth
+    deploying where the top tiles' uplift beats the bottom's — mean
+    treatment effect alone (the QTE/DiD readouts) cannot say WHO to
+    treat. The rank family's sixth consumer (after deciles / RFM /
+    quantiles / qnorm / QTE): the score ranking runs through
+    :func:`bucketed_global_rank`, never a single-partition sort.
+
+    Deterministic everything: score = the unit's PRE-period activity
+    count (the classic targeting feature, derived from the data);
+    variant = the family's md5 unit split; response = any post-period
+    ``convert_type`` event. Tiles are exact integer rank cuts
+    ``((rank−1)·n_tiles) div n``; conversion rates are round-half-up
+    per-mille; uplift is their integer difference. A tile with an
+    EMPTY arm raises in-plan (its lift is 0/0; silence would render a
+    NULL row — with a deterministic split this is a data-size
+    contract, not a flake). NULL unit/ts raise.
+
+    Shape (100 TB): ONE map-side-combined user fold (pre-count,
+    post-conversions) over the corpus; the rank machinery's
+    bucket-keyed exchange over the USER-level table; one n_tiles-row
+    aggregate. Returns (tile, n_treat, n_ctrl, conv_treat_pm,
+    conv_ctrl_pm, uplift_pm) sorted by nothing (callers order).
+    """
+    if n_tiles < 2:
+        raise ValueError(f"uplift_deciles: n_tiles must be >= 2, got {n_tiles}")
+    unit_checked = F.when(
+        F.col(user_col).isNull() | F.col(ts_col).isNull(),
+        F.raise_error(F.lit(f"uplift_deciles: NULL {user_col}/{ts_col}")),
+    ).otherwise(F.col(user_col).cast("string"))
+    pre = F.col(ts_col) < F.lit(cut).cast("timestamp")
+    users = (
+        events.select(
+            unit_checked.alias("u"),
+            F.when(pre, 1).otherwise(0).alias("is_pre"),
+            F.when(
+                (~pre) & (F.col(type_col) == convert_type), 1
+            ).otherwise(0).alias("is_conv"),
+        )
+        .groupBy("u")
+        .agg(
+            F.sum("is_pre").cast("long").alias("score"),
+            F.max("is_conv").alias("converted"),
+        )
+    )
+    ranked = bucketed_global_rank(
+        users, "score", tiebreak="u", bucket_shift=int(bucket_shift)
+    )
+    variant = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", F.col("u"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    tiles = ranked.select(
+        F.expr(f"((global_rank - 1) * {int(n_tiles)}) div n_total").alias(
+            "tile"
+        ),
+        variant.alias("v"),
+        "converted",
+    ).groupBy("tile").agg(
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).alias("n_treat"),
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_ctrl"),
+        F.sum(F.when(F.col("v") == 1, F.col("converted")).otherwise(0)).alias(
+            "_ct"
+        ),
+        F.sum(F.when(F.col("v") == 0, F.col("converted")).otherwise(0)).alias(
+            "_cc"
+        ),
+    )
+    # the raise must live INSIDE the division operands: a separate
+    # guard column is not ordered before the other columns' divisions,
+    # so an empty arm would surface as DIVIDE_BY_ZERO instead of the
+    # contract message
+    def _arm(col):
+        return F.when(
+            (F.col("n_treat") == 0) | (F.col("n_ctrl") == 0),
+            F.raise_error(
+                F.lit(
+                    "uplift_deciles: a tile has an empty treatment/"
+                    "control arm — too few units for this n_tiles"
+                )
+            ),
+        ).otherwise(F.col(col))
+
+    checked = tiles.select(
+        "tile",
+        _arm("n_treat").alias("n_treat"),
+        _arm("n_ctrl").alias("n_ctrl"),
+        "_ct",
+        "_cc",
+    )
+    return checked.select(
+        "tile",
+        "n_treat",
+        "n_ctrl",
+        F.expr(
+            "CAST((2 * 1000 * _ct + n_treat) div (2 * n_treat) AS BIGINT)"
+        ).alias("conv_treat_pm"),
+        F.expr(
+            "CAST((2 * 1000 * _cc + n_ctrl) div (2 * n_ctrl) AS BIGINT)"
+        ).alias("conv_ctrl_pm"),
+        F.expr(
+            "CAST((2 * 1000 * _ct + n_treat) div (2 * n_treat)"
+            " - (2 * 1000 * _cc + n_ctrl) div (2 * n_ctrl) AS BIGINT)"
+        ).alias("uplift_pm"),
+    )

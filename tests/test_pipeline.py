@@ -2803,3 +2803,173 @@ class TestCdcNullGuards:
             with pytest.raises(Exception) as ei:
                 cdc_latest_snapshot(df, "k", "ts", "seq", "op", ["pay"]).collect()
             assert "corrupt" in str(ei.value)
+
+
+class TestDiffInDiff:
+    def test_exact_python_replay(self, spark):
+        import datetime as dt
+        import hashlib
+
+        from mopso_engine.ext.pipeline import diff_in_diff
+
+        cut = dt.datetime(2024, 3, 10)
+        rows = [
+            (u, cut + dt.timedelta(days=(i % 5) - 2), (u * 31 + i * 7) * 100)
+            for u in range(1, 13)
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, x long")
+        got = diff_in_diff(
+            df, "u", "ts", F.col("x"), cut="2024-03-10 00:00:00", salt="td"
+        ).collect()[0]
+        cells = {}
+        for u, ts, x in rows:
+            v = int(hashlib.md5(f"{u}#td".encode()).hexdigest()[:8], 16) % 2
+            p = 0 if ts < cut else 1
+            n, s = cells.get((v, p), (0, 0))
+            cells[(v, p)] = (n + 1, s + x)
+        m = {k: (2 * s + n) // (2 * n) for k, (n, s) in cells.items()}
+        assert got["n_c_pre"] == cells[(0, 0)][0]
+        assert got["m_t_post_micro"] == m[(1, 1)]
+        assert got["did_micro"] == (m[(1, 1)] - m[(1, 0)]) - (
+            m[(0, 1)] - m[(0, 0)]
+        )
+
+    def test_empty_cell_raises_in_plan(self, spark):
+        import datetime as dt
+
+        from mopso_engine.ext.pipeline import diff_in_diff
+
+        # every event pre-cut -> both post cells empty
+        rows = [(u, dt.datetime(2024, 1, 1), 100) for u in range(1, 9)]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, x long")
+        with pytest.raises(Exception) as ei:
+            diff_in_diff(
+                df, "u", "ts", F.col("x"), cut="2024-03-10 00:00:00"
+            ).collect()
+        assert "empty cell" in str(ei.value)
+
+    def test_null_unit_raises_in_plan(self, spark):
+        import datetime as dt
+
+        from mopso_engine.ext.pipeline import diff_in_diff
+
+        df = spark.createDataFrame(
+            [(None, dt.datetime(2024, 1, 1), 100)],
+            "u long, ts timestamp, x long",
+        )
+        with pytest.raises(Exception) as ei:
+            diff_in_diff(
+                df, "u", "ts", F.col("x"), cut="2024-03-10 00:00:00"
+            ).collect()
+        assert "NULL" in str(ei.value)
+
+
+class TestLtvCurve:
+    def test_exact_python_replay_with_offset_gaps(self, spark):
+        import datetime as dt
+
+        from mopso_engine.ext.pipeline import ltv_curve
+
+        mon = dt.datetime(2024, 1, 1)  # a Monday
+        rows = [
+            # cohort A (week 0): revenue weeks 0, 1, 3 (gap at 2)
+            (1, mon, 1000), (2, mon + dt.timedelta(days=2), 500),
+            (1, mon + dt.timedelta(days=8), 300),
+            (2, mon + dt.timedelta(days=22), 200),
+            # cohort B (week 1): one user, weeks 1 and 2
+            (3, mon + dt.timedelta(days=7), 700),
+            (3, mon + dt.timedelta(days=15), 100),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, x long")
+        out = {
+            (r["cohort"], r["period_offset"]): r
+            for r in ltv_curve(df, F.col("x")).collect()
+        }
+        a, b = "2024-01-01", "2024-01-08"
+        assert out[(a, 0)]["cohort_size"] == 2
+        assert out[(a, 0)]["rev_micro"] == 1500
+        assert out[(a, 1)]["cum_rev_micro"] == 1800
+        # the gap week does not emit a row; offset 3 carries the total
+        assert (a, 2) not in out
+        assert out[(a, 3)]["cum_rev_micro"] == 2000
+        assert out[(a, 3)]["ltv_micro"] == (2 * 2000 + 2) // (2 * 2)
+        assert out[(b, 0)]["cohort_size"] == 1
+        assert out[(b, 1)]["cum_rev_micro"] == 800
+        with pytest.raises(ValueError):
+            ltv_curve(df, F.col("x"), grain_days=3)
+
+
+class TestUpliftDeciles:
+    def test_exact_python_replay(self, spark):
+        import datetime as dt
+        import hashlib
+
+        from mopso_engine.ext.pipeline import uplift_deciles
+
+        cut = dt.datetime(2024, 3, 10)
+        rows = []
+        for u in range(1, 41):
+            for i in range(u % 7):  # score = pre count, varies by user
+                rows.append((u, cut - dt.timedelta(days=1 + i), "view"))
+            v = int(hashlib.md5(f"{u}#tu".encode()).hexdigest()[:8], 16) % 2
+            # treated high-score users convert
+            if v == 1 and u % 7 >= 4:
+                rows.append((u, cut + dt.timedelta(days=1), "purchase"))
+            else:
+                rows.append((u, cut + dt.timedelta(days=1), "view"))
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+        got = {
+            r["tile"]: r
+            for r in uplift_deciles(
+                df, cut="2024-03-10 00:00:00", salt="tu", n_tiles=2
+            ).collect()
+        }
+        # replay: score per user, rank by (score, str(u)), 2 tiles
+        import collections
+
+        per = {u: [0, 0] for u in range(1, 41)}  # EVERY user is a unit,
+        # including score-0 users whose only event is a post-cut view
+        for u, ts, t in rows:
+            if ts < cut:
+                per[u][0] += 1
+            elif t == "purchase":
+                per[u][1] = 1
+        order = sorted(per, key=lambda u: (per[u][0], str(u)))
+        n = len(order)
+        want = collections.defaultdict(lambda: [0, 0, 0, 0])
+        for rk, u in enumerate(order, 1):
+            tile = ((rk - 1) * 2) // n
+            v = int(hashlib.md5(f"{u}#tu".encode()).hexdigest()[:8], 16) % 2
+            w = want[tile]
+            if v == 1:
+                w[0] += 1
+                w[2] += per[u][1]
+            else:
+                w[1] += 1
+                w[3] += per[u][1]
+        for tile, (nt, nc, ct, cc) in want.items():
+            r = got[tile]
+            assert r["n_treat"] == nt and r["n_ctrl"] == nc
+            assert r["conv_treat_pm"] == (2 * 1000 * ct + nt) // (2 * nt)
+            assert r["conv_ctrl_pm"] == (2 * 1000 * cc + nc) // (2 * nc)
+            assert r["uplift_pm"] == r["conv_treat_pm"] - r["conv_ctrl_pm"]
+        # the planted signal: top tile's uplift beats the bottom's
+        assert got[1]["uplift_pm"] > got[0]["uplift_pm"]
+
+    def test_empty_arm_raises_in_plan(self, spark):
+        import datetime as dt
+
+        from mopso_engine.ext.pipeline import uplift_deciles
+
+        # 2 users, 2 tiles -> one unit per tile -> one arm empty
+        rows = [
+            (1, dt.datetime(2024, 1, 1), "view"),
+            (2, dt.datetime(2024, 5, 1), "view"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+        with pytest.raises(Exception) as ei:
+            uplift_deciles(df, cut="2024-03-10 00:00:00", n_tiles=2).collect()
+        assert "empty treatment/control arm" in str(ei.value)
+        with pytest.raises(ValueError):
+            uplift_deciles(df, cut="2024-03-10 00:00:00", n_tiles=1)

@@ -951,6 +951,26 @@ COMMENTS = {
     "is the same map-side-combined returnflag fold as the compaction "
     "roundtrip, so the oracle's parquet-side value equality isolates "
     "the FORMAT as the only variable.",
+    "events_did": "Difference-in-differences (r12): ONE map-side-"
+    "combined aggregate folds the corpus to four (variant, period) "
+    "cells; everything after — the cell means, the empty-cell guards, "
+    "the integer DiD subtraction — is arithmetic on a 4-row table. "
+    "Look for: a single Exchange after the partial HashAggregate and "
+    "no join anywhere.",
+    "events_ltv_curve": "Cohort LTV curve (r12): exchange 1 is the "
+    "map-side-combined (user, week) revenue fold (bounded by users × "
+    "calendar length, not events); exchange 2 is the user window for "
+    "the cohort anchor over that ALREADY-AGGREGATED table; the "
+    "(cohort, offset) fold, the broadcast cohort-size join and the "
+    "running-total window act on cohorts × offsets rows. Look for: "
+    "the Window's input being the aggregate, never the raw scan.",
+    "events_uplift_deciles": "Uplift deciles (r12): one map-side-"
+    "combined user fold (pre-count score, post conversions), then the "
+    "rank family's bucketed decomposition over the USER-level table — "
+    "bucket-keyed window exchange + broadcast prefix offsets, no "
+    "single-partition sort — and a 10-row tile aggregate. Look for: "
+    "no Exchange single-partition ordering anywhere in the rank "
+    "section.",
 }
 
 
