@@ -112,10 +112,14 @@ def pruned_tf(docs: DataFrame, queries: DataFrame) -> DataFrame:
         .where(F.col("term") != "")
         .distinct()
     )
+    # two-step projection: dl materializes in the projection BELOW the
+    # Generate, so the explode's output rows carry a precomputed dl
+    # instead of re-deriving it per generated row
+    lengths = docs.select("doc_id", F.size(toks).alias("dl"), F.col("text"))
     tf = (
-        docs.select(
+        lengths.select(
             "doc_id",
-            F.size(toks).alias("dl"),
+            "dl",
             F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
                 "term"
             ),
