@@ -8166,8 +8166,9 @@ def oracle_sql() -> dict[str, str]:
                  CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS x
           FROM events
           WHERE (SELECT max(CASE WHEN user_id IS NULL OR ts IS NULL
-                   THEN error('events_did oracle: NULL user_id/ts — '
-                              'mirrors the Spark in-plan raise')
+                   OR value IS NULL
+                   THEN error('events_did oracle: NULL user_id/ts/value '
+                              '— mirrors the Spark in-plan raise')
                    ELSE 0 END) FROM events) = 0),
         c AS (SELECT v, p, count(*)::BIGINT AS n,
                      CAST((2 * sum(x::HUGEINT) + count(*))

@@ -2998,6 +2998,14 @@ def diff_in_diff(
             F.lit(f"diff_in_diff: NULL {unit_col}/{ts_col}")
         ),
     ).otherwise(F.col(unit_col).cast("string"))
+    # NULL metric values raise: sum() would silently skip them while the
+    # row still counts in _n, skewing the mean — and a cell of ONLY
+    # NULLs would surface as a misleading 'empty cell' raise with no
+    # oracle mirror (review finding)
+    value_checked = F.when(
+        value_micro.isNull(),
+        F.raise_error(F.lit("diff_in_diff: NULL metric value")),
+    ).otherwise(value_micro)
     variant = (
         F.conv(
             F.substring(
@@ -3013,7 +3021,7 @@ def diff_in_diff(
     ).otherwise(F.lit(1))
     cells = (
         df.select(
-            variant.alias("_v"), period.alias("_p"), value_micro.alias("_x")
+            variant.alias("_v"), period.alias("_p"), value_checked.alias("_x")
         )
         .groupBy("_v", "_p")
         .agg(
@@ -3104,27 +3112,39 @@ def ltv_curve(
     )
     wu = Window.partitionBy("u")
     uw = per.withColumn("cohort", F.min("period").over(wu))
+    # the cohort size rides the SAME fold as the revenue cells: each
+    # user's first-period row lands at offset 0 by construction, so
+    # counting those rows per (cohort, offset) and reading the offset-0
+    # value back via a window over the TINY cell table (the
+    # retention_cohorts trick) avoids a second pass over uw — the
+    # double-pay pattern this round's pruned_tf fix closed for bm25
+    # (review finding)
     cell = uw.select(
         "cohort",
         F.expr(f"datediff(period, cohort) div {int(grain_days)}").alias(
             "period_offset"
         ),
         "s",
+        F.when(F.col("period") == F.col("cohort"), 1).otherwise(0).alias(
+            "_first"
+        ),
     ).groupBy("cohort", "period_offset").agg(
-        F.expr("CAST(sum(s) AS DECIMAL(38,0))").alias("rev")
+        F.expr("CAST(sum(s) AS DECIMAL(38,0))").alias("rev"),
+        F.sum("_first").alias("_n_first"),
     )
-    sizes = (
-        uw.where(F.col("period") == F.col("cohort"))
-        .groupBy("cohort")
-        .agg(F.count(F.lit(1)).alias("cohort_size"))
-    )
+    wcoh = Window.partitionBy("cohort")
     wc = (
         Window.partitionBy("cohort")
         .orderBy("period_offset")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        cell.join(F.broadcast(sizes), "cohort")
+        cell.withColumn(
+            "cohort_size",
+            F.max(
+                F.when(F.col("period_offset") == 0, F.col("_n_first"))
+            ).over(wcoh),
+        )
         .withColumn("cum", F.sum("rev").over(wc))
         .select(
             F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),

@@ -187,7 +187,6 @@ def bm25_topk(
         .where(F.col("term") != "")
         .distinct()
     )
-    qterms = qpairs.select("term").distinct()
 
     # corpus scalars: one 2-number column-pruned aggregate, collected
     # driver-side (two integers) so the norm rational can use them as

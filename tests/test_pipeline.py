@@ -2973,3 +2973,23 @@ class TestUpliftDeciles:
         assert "empty treatment/control arm" in str(ei.value)
         with pytest.raises(ValueError):
             uplift_deciles(df, cut="2024-03-10 00:00:00", n_tiles=1)
+
+
+def test_did_null_value_raises_in_plan(spark):
+    """Review regression: a cell with rows but only NULL metric values
+    used to surface as a misleading un-mirrored 'empty cell' raise —
+    NULL values now raise explicitly."""
+    import datetime as dt
+
+    from mopso_engine.ext.pipeline import diff_in_diff
+
+    rows = [
+        (u, dt.datetime(2024, 1, 1 + (u % 2) * 10), None if u == 3 else 100)
+        for u in range(1, 9)
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, x long")
+    with pytest.raises(Exception) as ei:
+        diff_in_diff(
+            df, "u", "ts", F.col("x"), cut="2024-01-05 00:00:00"
+        ).collect()
+    assert "NULL metric value" in str(ei.value)
