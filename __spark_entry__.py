@@ -8087,6 +8087,11 @@ def oracle_sql() -> dict[str, str]:
             AND (SELECT max(CASE WHEN event_type IS NULL THEN error(
                    'events_bootstrap_ci oracle: NULL event_type — mirrors '
                    'the Spark in-plan raise') ELSE 0 END) FROM events) = 0
+            AND (SELECT max(CASE WHEN value IS NULL THEN error(
+                   'events_bootstrap_ci oracle: NULL value — mirrors the '
+                   'Spark in-plan raise (sum would skip the NULL while '
+                   'the row still counts in n_u, skewing theta/CI) '
+                   ) ELSE 0 END) FROM events) = 0
           GROUP BY 1, 2),
         rp AS (SELECT pu.*, r.rep FROM pu, range(0, 200) r(rep)),
         wts AS (SELECT g, rep, n_u, s_u,

@@ -2686,7 +2686,11 @@ def poisson_bootstrap_ci(
     unit keys raise (concat_ws would silently skip them into a shared
     md5(salt) bucket while an oracle's ``||`` propagates NULL — the
     cross-engine divergence class the matched-failure convention
-    closes).
+    closes); a NULL ``value_micro`` raises too (``sum`` skips NULLs
+    while the row still counts in n_u and in every replicate's den,
+    silently deflating θ and the CI — the diff_in_diff silent-skew
+    class, and one BOTH engines share so no oracle could catch it;
+    ADVICE r12).
 
     Shape (100 TB): ONE corpus-scale exchange — the map-side-combined
     (group, unit) partial aggregate. Replicates explode the UNIT-level
@@ -2713,12 +2717,18 @@ def poisson_bootstrap_ci(
         F.col(group_col).isNull(),
         F.raise_error(F.lit(f"poisson_bootstrap_ci: NULL group key {group_col}")),
     ).otherwise(F.col(group_col).cast("string"))
+    # NULL values raise: sum() would skip the NULL while the row still
+    # counts in n_u (and in den), silently skewing theta and the CI
+    value_checked = F.when(
+        value_micro.isNull(),
+        F.raise_error(F.lit("poisson_bootstrap_ci: NULL value_micro")),
+    ).otherwise(value_micro)
 
     per_unit = (
         df.select(
             group_checked.alias("g"),
             unit_checked.alias("u"),
-            value_micro.alias("v"),
+            value_checked.alias("v"),
         )
         .groupBy("g", "u")
         .agg(F.count(F.lit(1)).alias("n_u"), F.sum("v").alias("s_u"))
@@ -2736,7 +2746,15 @@ def poisson_bootstrap_ci(
             "s_u",
             F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("rep"),
         )
-        .withColumn("w", F.expr(poisson1_weight_sql(u_expr)).cast("long"))
+        # materialize the md5 uniform ONCE per (unit, replicate) row:
+        # inlining u_expr into poisson1_weight_sql repeats the md5 call
+        # in all 8 CASE branches and Catalyst does not CSE across CASE
+        # arms — the 8x-duplicated codegen was the documented
+        # bench-context JIT floor of events_bootstrap_ci (VERDICT r12
+        # #5). Same pinned weight function, one md5, tiny codegen.
+        .withColumn("_boot_u", F.expr(u_expr))
+        .withColumn("w", F.expr(poisson1_weight_sql("_boot_u")).cast("long"))
+        .drop("_boot_u")
         .groupBy("g", "rep")
         .agg(
             # DECIMAL(38,0) sums (HUGEINT in the oracle): per-group
@@ -2849,6 +2867,16 @@ def cdc_latest_snapshot(
     Returns (key, ts, seq, *payload_cols) for live keys only; with
     ``keep_tombstones`` (key, ts, seq, op, *payload_cols) for all keys.
     """
+    # the internal withColumn names would silently REPLACE a same-named
+    # feed column, corrupting the ordering/output (ADVICE r12) — raise,
+    # matching the library's no-silent-outcome convention
+    for tmp in ("_cdc_ts", "_rn"):
+        if tmp in changes.columns:
+            raise ValueError(
+                f"cdc_latest_snapshot: input already has a column named "
+                f"{tmp!r}, which collides with an internal working column "
+                f"— rename it before calling"
+            )
     ts_checked = F.when(
         F.col(ts_col).isNull()
         | F.col(seq_col).isNull()

@@ -2650,6 +2650,21 @@ class TestPoissonBootstrapCI:
         with pytest.raises(ValueError):
             poisson_bootstrap_ci(df, "g", "u", F.col("v"), replicates=39)
 
+    def test_null_value_raises_in_plan(self, spark):
+        """ADVICE r12 regression: sum('v') silently skips a NULL value
+        while the row still counts in n_u (and in every replicate's
+        den), deflating theta and the CI — and both engines skip NULLs
+        in SUM identically, so no oracle could see it. NULL values must
+        raise like NULL keys."""
+        from mopso_engine.ext.pipeline import poisson_bootstrap_ci
+
+        df = spark.createDataFrame(
+            [("a", 1, 10), ("a", 2, None)], "g string, u long, v long"
+        )
+        with pytest.raises(Exception) as ei:
+            poisson_bootstrap_ci(df, "g", "u", F.col("v"), replicates=40).collect()
+        assert "NULL value_micro" in str(ei.value)
+
     def test_pinned_cdf_table_matches_math(self):
         """The POISSON1_CUM_MICRO literals are round-half-up micro
         quantizations of the Poisson(1) CDF — recompute from math.exp."""
@@ -2803,6 +2818,26 @@ class TestCdcNullGuards:
             with pytest.raises(Exception) as ei:
                 cdc_latest_snapshot(df, "k", "ts", "seq", "op", ["pay"]).collect()
             assert "corrupt" in str(ei.value)
+
+    def test_reserved_temp_column_collision_raises(self, spark):
+        """ADVICE r12 regression: a feed whose schema already contains
+        _cdc_ts or _rn used to be silently REPLACED by the internal
+        withColumn, corrupting the ordering/output. Now an immediate
+        ValueError, before any job runs."""
+        import datetime as dt
+
+        from mopso_engine.ext.pipeline import cdc_latest_snapshot
+
+        t = dt.datetime(2024, 3, 1)
+        for extra in ("_cdc_ts", "_rn"):
+            df = spark.createDataFrame(
+                [("a", t, 1, "U", "x", 9)],
+                f"k string, ts timestamp, seq long, op string, pay string, "
+                f"`{extra}` long",
+            )
+            with pytest.raises(ValueError) as ei:
+                cdc_latest_snapshot(df, "k", "ts", "seq", "op", ["pay"])
+            assert extra in str(ei.value)
 
 
 class TestDiffInDiff:

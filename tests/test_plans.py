@@ -542,6 +542,22 @@ def test_bootstrap_replicates_explode_above_unit_aggregate(spark):
     assert "ReusedExchange" in ep, ep
 
 
+def test_bootstrap_md5_materialized_once(spark):
+    """VERDICT r12 #5: the Poisson weight's md5 uniform must be
+    materialized in its own projection, not inlined into all 8 CASE
+    branches of the inverse-CDF (Catalyst does not CSE across CASE
+    arms; the 8x-duplicated md5 codegen was events_bootstrap_ci's
+    bench-context JIT floor). Exactly ONE md5 in the optimized plan."""
+    from mopso_engine.ext.pipeline import poisson_bootstrap_ci
+
+    df = spark.createDataFrame(
+        [("a", i % 5, i * 10) for i in range(20)], "g string, u long, v long"
+    )
+    q = poisson_bootstrap_ci(df, "g", "u", F.col("v"), replicates=40)
+    opt = q._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("md5") == 1, opt
+
+
 def test_orc_scan_assertion_is_not_path_fooled(spark, tmp_path):
     """Self-review regression: lineitem_orc_roundtrip's ORC-reader
     assertion must match the SCAN NODE, not the plan text — a parquet

@@ -473,3 +473,41 @@ class TestSharedPrunedTf:
             map(tuple, bm25_topk(docs, qdf, tf=pruned_tf(docs, qdf)).collect())
         )
         assert plain == shared
+
+    def test_generate_projection_materializes_dl_below(self, spark):
+        """VERDICT r12 #2 — the round's worst regression, pinned as a
+        plan shape: folding the doc-length projection into the explode
+        select made Spark re-derive size(split(text)) per GENERATED
+        row (bm25_search 2.7→4.3s). The fixed two-step projection must
+        show in the optimized plan as: the corpus Generate's required
+        child output carries the materialized ``dl`` attribute and NOT
+        the raw ``text`` column, and every ``size(split`` sits BELOW
+        the Generate (in its child projection), never above it.
+        Lesson comment: retrieval.py pruned_tf."""
+        import re
+
+        from mopso_engine.ext.retrieval import pruned_tf
+
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma delta") for i in range(30)],
+            "doc_id long, text string",
+        )
+        qdf = spark.createDataFrame(
+            [(1, "alpha beta")], "query_id long, qtext string"
+        )
+        opt = pruned_tf(docs, qdf)._jdf.queryExecution().optimizedPlan().toString()
+        lines = opt.splitlines()
+        # the corpus-side Generate is the one with a non-empty required
+        # child output list (the query-side one carries nothing)
+        gen_idx, req = None, None
+        for i, ln in enumerate(lines):
+            m = re.search(r"Generate explode\(.*?\), \[([^\]]+)\], false", ln)
+            if m:
+                gen_idx, req = i, m.group(1)
+                break
+        assert gen_idx is not None, opt
+        assert "dl#" in req, opt          # dl rides through the Generate
+        assert "text#" not in req, opt    # text does NOT — no per-row rederive
+        for i, ln in enumerate(lines):
+            if "size(split" in ln:
+                assert i > gen_idx, opt   # materialized BELOW the Generate
