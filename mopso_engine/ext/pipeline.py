@@ -840,6 +840,43 @@ def asof_lookup_scd2(
     )
 
 
+def scd2_asof_snapshot(history: DataFrame, asof: Column) -> DataFrame:
+    """Time-travel read over a materialized SCD2 history — the whole
+    table ``AS OF`` one instant: every key's row whose effective period
+    contains ``asof`` under the family's STRICT half-open convention
+    (``valid_from < t AND (valid_to IS NULL OR t <= valid_to)`` — the
+    same interval :func:`asof_lookup_scd2` resolves probes against, so
+    a per-key lookup at T and this whole-table read at T always agree;
+    a value effective exactly AT the instant is not yet visible).
+    Keys whose first period opens at or after T are absent — they did
+    not exist yet.
+
+    The missing read half of the SCD2 write machinery: scd2_history /
+    scd2_merge / scd2_maintain_stream keep the full versioned ledger,
+    and ANY past state of the dimension replays from it with this one
+    filter — the dimension-table twin of :func:`cdc_snapshot_asof`'s
+    fact-ledger time travel.
+
+    Shape (100 TB): map-only — a pushed-down range predicate on the
+    stored history scan, ZERO shuffles and ZERO joins; the half-open
+    period invariant (scd2_history construction) guarantees at most one
+    surviving row per key, so no dedup window is needed. On a history
+    partitioned by valid_from month, the ``valid_from < t`` half of the
+    predicate prunes partitions.
+
+    NULL asof raises in-plan (a NULL cut would silently return an
+    empty table).
+    """
+    asof_checked = F.when(
+        asof.isNull(),
+        F.raise_error(F.lit("scd2_asof_snapshot: NULL asof timestamp")),
+    ).otherwise(asof)
+    return history.where(
+        (F.col("valid_from") < asof_checked)
+        & (F.col("valid_to").isNull() | (asof_checked <= F.col("valid_to")))
+    )
+
+
 def key_skew_profile(df: DataFrame, key: str, *, top_k: int = 10) -> DataFrame:
     """Key-skew diagnostic — the MEASURE step before choosing a join or
     aggregation strategy at scale (salt? AQE skew split? broadcast?):
@@ -2910,6 +2947,72 @@ def cdc_latest_snapshot(
         F.col("_cdc_ts").alias(ts_col),
         seq_col,
         *payload_cols,
+    )
+
+
+def cdc_snapshot_asof(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    op_col: str,
+    payload_cols: list[str],
+    asof: Column,
+    *,
+    delete_op: str = "D",
+    keep_tombstones: bool = False,
+) -> DataFrame:
+    """Time-travel read over a CDC change ledger — ``SELECT ... AS OF
+    TIMESTAMP T``: the table state after applying every change with
+    ``ts_col <= asof`` (INCLUSIVE, the Delta/Iceberg ``TIMESTAMP AS OF``
+    convention — a change committed exactly at T is visible; note this
+    deliberately differs from :func:`asof_lookup_scd2`'s STRICT
+    convention, which matches asof_join's not-yet-visible probe
+    semantics — the two conventions are each pinned to the family they
+    read for). The read half of the write machinery: the ledger the
+    streaming maintainer (:func:`mopso_engine.ext.streaming.
+    cdc_maintain_stream`) and the batch compactor keep is append-only,
+    so ANY past state replays from it with a filter — no stored
+    per-version snapshots needed.
+
+    Shape (100 TB): the asof predicate is a plain pushed-down filter on
+    the ledger scan — on a date/batch-partitioned ledger it PRUNES
+    PARTITIONS (only files up to the cut are read), and everything
+    downstream is exactly :func:`cdc_latest_snapshot`'s bounded shape:
+    one key exchange with the rank-1 WindowGroupLimit heap below it.
+    Cost scales with the ledger prefix up to T, never with the full
+    ledger.
+
+    NULL asof raises in-plan (a NULL cut would silently compare to
+    NULL and return an EMPTY table — the silent-outcome class), and a
+    NULL ``ts_col`` raises HERE in the cut filter (``NULL <= T`` is
+    NULL, so the corrupt row would silently drop BEFORE
+    cdc_latest_snapshot's feed guard could see it); NULL key/seq/op
+    rows BEYOND the cut are legitimately never read — the guard only
+    governs the ledger prefix actually replayed.
+    """
+    asof_checked = F.when(
+        asof.isNull(),
+        F.raise_error(F.lit("cdc_snapshot_asof: NULL asof timestamp")),
+    ).otherwise(asof)
+    ts_guarded = F.when(
+        F.col(ts_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"cdc_snapshot_asof: NULL {ts_col} — the change feed "
+                f"is corrupt"
+            )
+        ),
+    ).otherwise(F.col(ts_col))
+    return cdc_latest_snapshot(
+        changes.where(ts_guarded <= asof_checked),
+        key_col,
+        ts_col,
+        seq_col,
+        op_col,
+        payload_cols,
+        delete_op=delete_op,
+        keep_tombstones=keep_tombstones,
     )
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "bm25_topk",
     "term_coverage_topk",
     "rrf_fuse",
+    "exact_rerank",
     "idf_micro_table",
     "bm25_rational_constants",
     "clear_retrieval_caches",
@@ -263,6 +264,7 @@ def term_coverage_topk(
     queries: DataFrame,
     *,
     top_k: int = 20,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``top_k`` documents per query by QUERY-TERM COVERAGE — how
     many distinct query terms the document contains. The blunt exact-
@@ -274,6 +276,11 @@ def term_coverage_topk(
     per-query top-k is a WindowGroupLimit rank window with the
     deterministic (n_terms desc, doc_id asc) tie-break.
 
+    Pass a shared :func:`pruned_tf` table as ``tf`` when composing with
+    other retrievers (hybrid_rerank's shape) — its (doc_id, term) rows
+    are already distinct per pair, so the corpus explode is paid once
+    across the stack instead of per retriever.
+
     Returns (query_id, doc_id, n_terms, rk).
     """
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
@@ -283,12 +290,15 @@ def term_coverage_topk(
         .where(F.col("term") != "")
         .distinct()
     )
-    qterms = qpairs.select("term").distinct()
-    doc_terms = (
-        docs.select("doc_id", F.explode(toks).alias("term"))
-        .join(F.broadcast(qterms), "term")
-        .distinct()
-    )
+    if tf is not None:
+        doc_terms = tf.select("doc_id", "term")
+    else:
+        qterms = qpairs.select("term").distinct()
+        doc_terms = (
+            docs.select("doc_id", F.explode(toks).alias("term"))
+            .join(F.broadcast(qterms), "term")
+            .distinct()
+        )
     scored = (
         doc_terms.join(F.broadcast(qpairs), "term")
         .groupBy("query_id", "doc_id")
@@ -346,6 +356,111 @@ def rrf_fuse(
         fused.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= int(top_k))
         .select("query_id", "doc_id", "rrf_micro", "n_systems", "rk")
+    )
+
+
+def exact_rerank(
+    docs: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    top_k: int = 10,
+    pos_cap: int = 50,
+) -> DataFrame:
+    """Cross-encoder-style EXACT rerank tier — the third stage of the
+    retrieve-then-rerank stack (candidate generation by BM25 / coverage
+    / ANN, fusion by RRF, then THIS: a joint query×document score
+    recomputed from the raw texts of ONLY the candidate pairs). The
+    production pattern (a learned cross-encoder over the top-k union)
+    is replaced by a deterministic integer interaction score so both
+    engines replay it bit-exactly; the Spark-side PLUMBING — prune the
+    corpus scan by the broadcast candidate set, compute joint features
+    in-row, never touch non-candidates — is the real deliverable.
+
+    ``candidates``: (query_id, doc_id) pairs from any upstream
+    retrievers (deduped here). Score, per pair, lexicographic by
+    construction:
+
+      cov    = # distinct query terms present in the doc
+      tf_sum = total occurrences of query terms in the doc (cap 999)
+      posbon = pos_cap·|q| − Σ_t min(first 1-based position of t,
+               pos_cap)   (absent terms pay the full cap)
+      rerank_score = (1000·cov + min(tf_sum, 999))·(pos_cap·|q| + 1)
+                     + posbon
+
+    The per-query base (pos_cap·|q| + 1) strictly dominates posbon, so
+    the order is exactly (cov, tf_sum, position bonus) — scores are
+    only ever compared WITHIN a query, where |q| is constant. All
+    integer; ties break doc_id asc.
+
+    Shape (100 TB): the candidate set is tiny (k·|queries| per
+    retriever), so the ONE corpus-scale operation is a map-only scan
+    pruned by a BROADCAST semi-join on the distinct candidate doc_ids
+    — no corpus shuffle, no explode; the joint features are
+    higher-order array expressions evaluated in-row (JVM codegen, zero
+    Python), and the final top-k is a WindowGroupLimit over ≤|cand|
+    rows. A NULL candidate text raises in-plan (silently scoring an
+    unreadable doc as cov=0 would bury a corrupt corpus row).
+
+    Returns (query_id, doc_id, cov, tf_sum, rerank_score, rk).
+    """
+    cap = int(pos_cap)
+    qtoks = F.split(F.lower(F.trim(F.col("qtext"))), r"\s+")
+    qarr = queries.select(
+        "query_id",
+        F.array_sort(
+            F.array_distinct(F.filter(qtoks, lambda t: t != F.lit("")))
+        ).alias("q_terms"),
+    )
+    cand = candidates.select("query_id", "doc_id").distinct()
+    text_checked = F.when(
+        F.col("text").isNull(),
+        F.raise_error(F.lit("exact_rerank: NULL text on a candidate doc")),
+    ).otherwise(F.col("text"))
+    cand_docs = docs.join(
+        F.broadcast(cand.select("doc_id").distinct()), "doc_id"
+    ).select(
+        "doc_id",
+        F.split(F.lower(F.trim(text_checked)), r"\s+").alias("d_toks"),
+    )
+    pairs = cand_docs.join(F.broadcast(cand), "doc_id").join(
+        F.broadcast(qarr), "query_id"
+    )
+    feat = pairs.select(
+        "query_id",
+        "doc_id",
+        F.expr(
+            "CAST(size(filter(q_terms, t -> array_contains(d_toks, t))) "
+            "AS BIGINT)"
+        ).alias("cov"),
+        F.expr(
+            "CAST(aggregate(q_terms, 0L, "
+            "(a, t) -> a + size(filter(d_toks, x -> x = t))) AS BIGINT)"
+        ).alias("tf_sum"),
+        F.expr(
+            f"CAST(aggregate(q_terms, 0L, (a, t) -> a + least(coalesce("
+            f"nullif(array_position(d_toks, t), 0), {cap}), {cap})) "
+            f"AS BIGINT)"
+        ).alias("possum"),
+        F.expr("CAST(size(q_terms) AS BIGINT)").alias("nq"),
+    )
+    scored = feat.select(
+        "query_id",
+        "doc_id",
+        "cov",
+        F.least(F.col("tf_sum"), F.lit(999).cast("long")).alias("tf_sum"),
+        F.expr(
+            f"(1000 * cov + least(tf_sum, 999)) * ({cap} * nq + 1) "
+            f"+ ({cap} * nq - possum)"
+        ).alias("rerank_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rerank_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= int(top_k))
+        .select("query_id", "doc_id", "cov", "tf_sum", "rerank_score", "rk")
     )
 
 

@@ -862,6 +862,77 @@ def test_asof_lookup_scd2_equals_asof_join(spark):
     assert len(served) == len(probes)
 
 
+def test_scd2_asof_snapshot_agrees_with_lookup(spark):
+    """The whole-dimension time-travel read at T must agree with the
+    per-key serving lookup at T for EVERY key (same strict half-open
+    interval), and yield at most one row per key; keys whose first
+    period opens at or after T are absent."""
+    import random
+
+    from mopso_engine.ext.pipeline import (
+        asof_lookup_scd2,
+        scd2_asof_snapshot,
+        scd2_history,
+    )
+
+    rng = random.Random(31)
+    upd_rows, seq = [], 0
+    for k in range(4):
+        for _ in range(6):
+            seq += 1
+            upd_rows.append(
+                (k, f"2024-01-0{rng.randint(2, 8)} 0{rng.randint(0, 9)}:00:00",
+                 seq, float(rng.randint(1, 3)))
+            )
+    upd = spark.createDataFrame(upd_rows, "k long, ts string, seq long, v double")
+    upd = upd.withColumn("ts", upd.ts.cast("timestamp"))
+    hist = scd2_history(upd, key="k", time="ts", payload=["v"], seq="seq")
+
+    for cut in ("2024-01-01 00:00:00",   # before every first update: empty
+                "2024-01-05 03:37:00",   # mid-history
+                "2024-01-09 23:59:59"):  # after every update: currents
+        asof = F.lit(cut).cast("timestamp")
+        snap = scd2_asof_snapshot(hist, asof).collect()
+        keys = [r["k"] for r in snap]
+        assert len(keys) == len(set(keys)), "more than one row for a key"
+        probes = spark.createDataFrame(
+            [(k, cut) for k in range(5)], "k long, ts string"  # key 4 unknown
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        looked = {
+            r["k"]: r["asof_v"]
+            for r in asof_lookup_scd2(
+                hist, probes, key="k", time="ts", payload=["v"]
+            ).collect()
+        }
+        got = {r["k"]: r["v"] for r in snap}
+        # snapshot row set == the non-NULL lookups
+        assert got == {k: v for k, v in looked.items() if v is not None}
+
+
+def test_scd2_asof_snapshot_strict_boundary_and_null_cut(spark):
+    """A period opening exactly AT the cut is NOT yet visible (the
+    family's strict convention, matching asof_join); a NULL cut raises
+    instead of silently returning an empty table."""
+    from mopso_engine.ext.pipeline import scd2_asof_snapshot, scd2_history
+
+    upd = spark.createDataFrame(
+        [(1, "2024-01-05 00:00:00", 1, 7.0)],
+        "k long, ts string, seq long, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    hist = scd2_history(upd, key="k", time="ts", payload=["v"], seq="seq")
+    at = scd2_asof_snapshot(
+        hist, F.lit("2024-01-05 00:00:00").cast("timestamp")
+    ).collect()
+    assert at == []  # valid_from < T is strict
+    after = scd2_asof_snapshot(
+        hist, F.lit("2024-01-05 00:00:01").cast("timestamp")
+    ).collect()
+    assert len(after) == 1 and after[0]["v"] == 7.0
+    with pytest.raises(Exception) as ei:
+        scd2_asof_snapshot(hist, F.lit(None).cast("timestamp")).collect()
+    assert "NULL asof" in str(ei.value)
+
+
 class TestKeySkewProfile:
     def test_planted_hot_key(self, spark):
         from mopso_engine.ext.pipeline import key_skew_profile
@@ -2818,6 +2889,90 @@ class TestCdcNullGuards:
             with pytest.raises(Exception) as ei:
                 cdc_latest_snapshot(df, "k", "ts", "seq", "op", ["pay"]).collect()
             assert "corrupt" in str(ei.value)
+
+    def test_asof_matches_prefix_snapshot_and_is_inclusive(self, spark):
+        """cdc_snapshot_asof == cdc_latest_snapshot over the ledger
+        prefix ts <= T, with the INCLUSIVE Delta/Iceberg convention: a
+        change committed exactly AT the cut is visible."""
+        import datetime as dt
+
+        from mopso_engine.ext.pipeline import (
+            cdc_latest_snapshot,
+            cdc_snapshot_asof,
+        )
+
+        t0 = dt.datetime(2024, 3, 1)
+        cut = t0 + dt.timedelta(minutes=10)
+        rows = [
+            ("a", t0, 1, "U", "x0"),
+            ("a", cut, 2, "U", "x_at_cut"),          # exactly AT T: visible
+            ("a", cut + dt.timedelta(minutes=1), 3, "U", "x_future"),
+            ("b", t0, 4, "U", "y0"),
+            ("b", t0 + dt.timedelta(minutes=5), 5, "D", "y_del"),
+            ("b", cut + dt.timedelta(minutes=9), 6, "U", "y_resurrect"),
+            ("c", cut + dt.timedelta(minutes=2), 7, "U", "z_future_only"),
+        ]
+        sch = "k string, ts timestamp, seq long, op string, pay string"
+        df = spark.createDataFrame(rows, sch)
+        got = {
+            r["k"]: r["pay"]
+            for r in cdc_snapshot_asof(
+                df, "k", "ts", "seq", "op", ["pay"], F.lit(cut)
+            ).collect()
+        }
+        # a: the at-cut change wins (inclusive); the future one invisible.
+        # b: latest change within the cut is a delete -> absent.
+        # c: did not exist yet -> absent.
+        assert got == {"a": "x_at_cut"}
+        want = {
+            r["k"]: tuple(r)
+            for r in cdc_latest_snapshot(
+                df.where(F.col("ts") <= F.lit(cut)),
+                "k", "ts", "seq", "op", ["pay"],
+            ).collect()
+        }
+        assert {r: want[r] for r in want} == {
+            r["k"]: tuple(r)
+            for r in cdc_snapshot_asof(
+                df, "k", "ts", "seq", "op", ["pay"], F.lit(cut)
+            ).collect()
+        }
+
+    def test_asof_null_ts_raises_even_beyond_cut_filter(self, spark):
+        """NULL <= T is NULL — without the guard the corrupt row would
+        silently drop in the cut filter before cdc_latest_snapshot's
+        feed guard could see it."""
+        import datetime as dt
+
+        from mopso_engine.ext.pipeline import cdc_snapshot_asof
+
+        t = dt.datetime(2024, 3, 1)
+        df = spark.createDataFrame(
+            [("a", t, 1, "U", "x"), ("b", None, 2, "U", "y")],
+            "k string, ts timestamp, seq long, op string, pay string",
+        )
+        with pytest.raises(Exception) as ei:
+            cdc_snapshot_asof(
+                df, "k", "ts", "seq", "op", ["pay"], F.lit(t)
+            ).collect()
+        assert "corrupt" in str(ei.value)
+
+    def test_asof_null_cut_raises(self, spark):
+        import datetime as dt
+
+        from mopso_engine.ext.pipeline import cdc_snapshot_asof
+
+        t = dt.datetime(2024, 3, 1)
+        df = spark.createDataFrame(
+            [("a", t, 1, "U", "x")],
+            "k string, ts timestamp, seq long, op string, pay string",
+        )
+        with pytest.raises(Exception) as ei:
+            cdc_snapshot_asof(
+                df, "k", "ts", "seq", "op", ["pay"],
+                F.lit(None).cast("timestamp"),
+            ).collect()
+        assert "NULL asof" in str(ei.value)
 
     def test_reserved_temp_column_collision_raises(self, spark):
         """ADVICE r12 regression: a feed whose schema already contains

@@ -474,6 +474,94 @@ class TestSharedPrunedTf:
         )
         assert plain == shared
 
+    def test_exact_rerank_python_replay(self, spark):
+        """From-scratch replay of the cross-encoder-style joint score:
+        cov / capped tf_sum / first-position bonus packed
+        lexicographically with the per-query (cap·|q|+1) base."""
+        from mopso_engine.ext.retrieval import exact_rerank
+
+        cap = 50
+        corpus = CORPUS
+        queries = QUERIES
+        cand_pairs = [(q, d) for q, _ in queries for d, _ in corpus]
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        qdf = spark.createDataFrame(queries, "query_id string, qtext string")
+        cand = spark.createDataFrame(
+            cand_pairs + cand_pairs[:5],  # dupes must dedup
+            "query_id string, doc_id long",
+        )
+        got = {
+            (r["query_id"], r["doc_id"]): (
+                r["cov"], r["tf_sum"], r["rerank_score"], r["rk"]
+            )
+            for r in exact_rerank(
+                docs, qdf, cand, top_k=10, pos_cap=cap
+            ).collect()
+        }
+        want = {}
+        toks = {d: t.lower().strip().split() for d, t in corpus}
+        for qid, qtext in queries:
+            qt = sorted(set(qtext.lower().strip().split()))
+            scored = []
+            for d, w in toks.items():
+                cov = sum(1 for t in qt if t in w)
+                tfsum = sum(w.count(t) for t in qt)
+                possum = sum(
+                    min(w.index(t) + 1, cap) if t in w else cap for t in qt
+                )
+                score = (1000 * cov + min(tfsum, 999)) * (cap * len(qt) + 1) + (
+                    cap * len(qt) - possum
+                )
+                scored.append((d, cov, min(tfsum, 999), score))
+            scored.sort(key=lambda x: (-x[3], x[0]))
+            for rk, (d, cov, tfs, score) in enumerate(scored[:10], 1):
+                want[(qid, d)] = (cov, tfs, score, rk)
+        assert got == want
+
+    def test_exact_rerank_null_text_raises(self, spark):
+        from mopso_engine.ext.retrieval import exact_rerank
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, None)], "doc_id long, text string"
+        )
+        qdf = spark.createDataFrame(
+            [("q", "alpha")], "query_id string, qtext string"
+        )
+        cand = spark.createDataFrame(
+            [("q", 1), ("q", 2)], "query_id string, doc_id long"
+        )
+        with pytest.raises(Exception) as ei:
+            exact_rerank(docs, qdf, cand).collect()
+        assert "NULL text" in str(ei.value)
+
+    def test_exact_rerank_plan_is_broadcast_map_only(self, spark):
+        """The 100 TB claim: the corpus scan is pruned by BROADCAST
+        joins only — no sort-merge join, no Generate/explode anywhere
+        in the rerank plan (features are in-row array expressions);
+        the single Exchange is the |cand|-bounded top-k window."""
+        import contextlib
+        import io
+
+        from mopso_engine.ext.retrieval import exact_rerank
+
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma") for i in range(40)],
+            "doc_id long, text string",
+        )
+        qdf = spark.createDataFrame(
+            [("q", "alpha beta")], "query_id string, qtext string"
+        )
+        cand = spark.createDataFrame(
+            [("q", i) for i in range(10)], "query_id string, doc_id long"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            exact_rerank(docs, qdf, cand).explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" not in plan, plan
+        assert "Generate" not in plan, plan
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+
     def test_generate_projection_materializes_dl_below(self, spark):
         """VERDICT r12 #2 — the round's worst regression, pinned as a
         plan shape: folding the doc-length projection into the explode
