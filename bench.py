@@ -278,6 +278,14 @@ BENCH_QUERIES = [
     "events_did",
     "events_ltv_curve",
     "events_uplift_deciles",
+    # round-13: time-travel reads (the CDC ledger AS OF cut re-runs the
+    # WindowGroupLimit compaction over the pruned prefix; the SCD2
+    # AS OF is one pushed-down filter over the history build) and the
+    # hybrid stack's exact rerank tier (shared pruned-tf candidate
+    # generation + broadcast-pruned map-only rerank pass)
+    "events_cdc_asof",
+    "events_scd2_asof",
+    "hybrid_rerank",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -458,15 +466,17 @@ ANCHOR_R08 = {
     # 1.4/0.8 — bm25_eval pays the full BM25 retriever AND the
     # coverage labeler, each a corpus explode+prune pass; the
     # schema-evolution entry rewrites both orders epochs every run).
-    # events_bootstrap_ci's anchor is its BENCH-CONTEXT reading, not
-    # its fresh-session floor: a clean best-of-5 protocol run reads
-    # 0.72s warm with quiet calibs, but inside a 170-entry session the
-    # 200-replicate md5 CASE codegen consistently reads 2.4-2.7s
-    # (quiet adjacent calibs — accumulated-session JIT/GC, the
-    # events_sessions_stream "floor is a property of the context"
-    # class), and an anchor below that floor would trip the retry net
-    # every round on healthy code
-    "bm25_eval": 4.8, "events_bootstrap_ci": 2.0,
+    # events_bootstrap_ci RE-ANCHORED r13 2.0 -> 1.2 after the plan
+    # restructure removed the true floor: the r12 "md5 CASE JIT"
+    # hypothesis was wrong — AQE was coalescing the tiny per-unit
+    # shuffle to ONE task and the 200x explode + md5 fold ran
+    # single-threaded in that stage (plus two stages of point-branch
+    # re-optimization latency). The r13 shape pins the explode stage's
+    # parallelism with an explicit-N round-robin repartition and rides
+    # the point estimate on the replicate fold (4 exchanges, no join):
+    # birth protocol best-of-5 read 0.73-1.15s warm, calibs 0.32-0.36
+    # vs the 0.5 session ref (BASELINE.md r13)
+    "bm25_eval": 4.8, "events_bootstrap_ci": 1.2,
     "events_cdc_snapshot": 0.7, "orders_schema_evolution": 1.1,
     # r12 third batch (cold/warm: 4.6/2.4, 5.2/0.5, 1.6/0.9 — the cdc
     # stream pays two real AvailableNow fold batches + ledger IO every
@@ -476,6 +486,12 @@ ANCHOR_R08 = {
     # r12 fourth batch (cold/warm: 5.0/0.6, 2.1/1.0, 1.9/1.1)
     "events_did": 0.9, "events_ltv_curve": 1.3,
     "events_uplift_deciles": 1.4,
+    # r13 births (cold/warm: 2.3/0.66, 0.9/0.42, 9.1/3.5 — the rerank
+    # pays the shared pruned-tf candidate generation (both retrievers)
+    # plus the broadcast-pruned rerank pass; birth-protocol best-of-5
+    # with quiet calibs, BASELINE.md r13)
+    "events_cdc_asof": 0.9, "events_scd2_asof": 0.6,
+    "hybrid_rerank": 4.5,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

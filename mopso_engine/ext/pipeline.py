@@ -2732,10 +2732,15 @@ def poisson_bootstrap_ci(
     Shape (100 TB): ONE corpus-scale exchange — the map-side-combined
     (group, unit) partial aggregate. Replicates explode the UNIT-level
     table (units × R rows, bounded by units never events), the
-    per-replicate fold is map-side combinable to groups × R rows, and
-    the order-statistic window runs over R rows per group. Returns one
-    row per group: (group, n_units, n_events, theta_micro, lo_micro,
-    hi_micro, n_replicates).
+    per-replicate fold is map-side combinable to groups × R rows AND
+    carries the point estimate's unweighted partials (every (g, rep)
+    cell sees every unit once, so no second pass over per_unit and no
+    point×ci join), and the CI bounds are exact order statistics via
+    one R-element array sort per group — three bounded exchanges
+    total, a shape chosen deliberately small because AQE pays real
+    re-optimization latency per query stage. Returns one row per
+    group: (group, n_units, n_events, theta_micro, lo_micro, hi_micro,
+    n_replicates).
     """
     if replicates < 40:
         raise ValueError(
@@ -2775,8 +2780,22 @@ def poisson_bootstrap_ci(
         "CAST(conv(substring(md5(concat_ws('#', g, u, CAST(rep AS STRING), "
         f"'{salt}')), 1, 8), 16, 10) AS BIGINT) % 1000000"
     )
+    # pin the explode stage's parallelism EXPLICITLY: AQE coalesces the
+    # per-unit shuffle by its byte size, which under-counts the R×
+    # explode + md5 work that runs in the SAME stage by 200× — measured
+    # single-task 1.5M-row md5 folds (2s) where 32-way takes 0.1s. An
+    # explicit-N ROUND-ROBIN repartition of the (tiny, already-combined)
+    # unit table is exempt from AQE coalescing and costs one
+    # units-bounded shuffle (hash-repartitioning by (g, u) again would
+    # be pruned as redundant — the agg output already satisfies it) —
+    # the generic explode-after-shuffle AQE pitfall, worth pinning.
+    n_parts = max(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+        1,
+    )
     reps = (
-        per_unit.select(
+        per_unit.repartition(n_parts)
+        .select(
             "g",
             "u",
             "n_u",
@@ -2800,6 +2819,19 @@ def poisson_bootstrap_ci(
             # the ADVICE-r11 cross-engine divergence class
             F.expr("sum(CAST(w AS DECIMAL(19,0)) * n_u)").alias("den"),
             F.expr("sum(CAST(w AS DECIMAL(19,0)) * s_u)").alias("num"),
+            # the POINT estimate's unweighted partials ride the SAME
+            # fold (every (g, rep) cell sees every unit exactly once,
+            # so the per-cell unweighted sums all equal the per-group
+            # totals) — the separate per_unit.groupBy(g) branch and the
+            # point×ci join it forced are gone, and with them two AQE
+            # query stages; the stage count, not the md5 codegen, was
+            # the real bench-context floor (measured: AQE off 1.2s vs
+            # on 2.9s on identical plans — ~250ms re-optimization +
+            # scheduling per stage). The ltv_curve/retention "ride the
+            # same fold" pattern.
+            F.count(F.lit(1)).alias("n_units"),
+            F.expr("sum(CAST(n_u AS DECIMAL(19,0)))").alias("n_ev"),
+            F.expr("sum(CAST(s_u AS DECIMAL(19,0)))").alias("s_tot"),
         )
         .withColumn(
             "theta",
@@ -2817,35 +2849,31 @@ def poisson_bootstrap_ci(
         )
     )
 
-    ow = Window.partitionBy("g").orderBy(F.asc("theta"), F.asc("rep"))
-    ci = (
-        reps.withColumn("ork", F.row_number().over(ow))
-        .groupBy("g")
-        .agg(
-            F.max(F.when(F.col("ork") == lo_rank, F.col("theta"))).alias(
-                "lo_micro"
-            ),
-            F.max(F.when(F.col("ork") == hi_rank, F.col("theta"))).alias(
-                "hi_micro"
-            ),
-        )
-    )
-    point = per_unit.groupBy("g").agg(
-        F.count(F.lit(1)).alias("n_units"),
-        F.sum("n_u").alias("n_events"),
-        F.expr(
-            "CAST((2 * sum(CAST(s_u AS DECIMAL(19,0)))"
-            " + sum(CAST(n_u AS DECIMAL(19,0))))"
-            " div (2 * sum(CAST(n_u AS DECIMAL(19,0)))) AS BIGINT)"
-        ).alias("theta_micro"),
-    )
+    # CI bounds as exact order statistics of the R per-group thetas via
+    # one bounded array sort (R elements per group — replaces the rank
+    # window's extra Sort+Window stage pair; ranks pick values only, so
+    # sorting theta alone is tie-equivalent to the old (theta, rep)
+    # rank order)
     return (
-        point.join(ci, "g")
+        reps.groupBy("g")
+        .agg(
+            F.expr(
+                f"element_at(array_sort(collect_list(theta)), {lo_rank})"
+            ).alias("lo_micro"),
+            F.expr(
+                f"element_at(array_sort(collect_list(theta)), {hi_rank})"
+            ).alias("hi_micro"),
+            F.max("n_units").alias("n_units"),
+            F.max("n_ev").alias("n_ev"),
+            F.max("s_tot").alias("s_tot"),
+        )
         .select(
             F.col("g").alias(group_col),
             "n_units",
-            "n_events",
-            "theta_micro",
+            F.col("n_ev").cast("long").alias("n_events"),
+            F.expr(
+                "CAST((2 * s_tot + n_ev) div (2 * n_ev) AS BIGINT)"
+            ).alias("theta_micro"),
             "lo_micro",
             "hi_micro",
             F.lit(r).alias("n_replicates"),

@@ -535,11 +535,21 @@ def test_bootstrap_replicates_explode_above_unit_aggregate(spark):
         "HashAggregate" in ln for ln in tree[gen_line + 1 : gen_line + 3]
     )
     assert agg_below, plan
-    # runtime: AQE reuses the identical per-unit Exchange, so the
-    # corpus is physically scanned ONCE
+    # the corpus is scanned ONCE by construction (r13: the point
+    # estimate rides the replicate fold, so per_unit has a single
+    # consumer — no ReusedExchange needed, no point×ci join), and the
+    # whole query is exactly three exchanges: (g,u), (g,rep), (g)
     q.collect()
     ep = q._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in ep, ep
+    final = ep.split("== Initial Plan ==")[0]  # AQE prints both plans
+    assert final.count("FileScan parquet") == 1, ep
+    assert "SortMergeJoin" not in final and "BroadcastHashJoin" not in final, ep
+    # 3 ENSURE exchanges ((g,u) corpus agg, (g,rep) fold, (g) final) +
+    # the explicit-N round-robin unit repartition that pins the explode
+    # stage's parallelism against AQE's pre-explode-byte coalescing
+    assert final.count("Exchange hashpartitioning") == 3, ep
+    assert final.count("Exchange RoundRobinPartitioning") == 1, ep
+    assert "REPARTITION_BY_NUM" in final, ep
 
 
 def test_bootstrap_md5_materialized_once(spark):
