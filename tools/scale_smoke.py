@@ -350,6 +350,104 @@ def main_x100_lsh() -> None:
     spark.stop()
 
 
+def build_docs_xn(spark, n: int, dest: str) -> None:
+    """×n documents with PLAIN re-keyed replication (the standard
+    x10/x100 scheme, text verbatim): per-term matching-doc counts then
+    grow linearly with the corpus, which is exactly what the BM25 work
+    law needs to be non-trivial — a token-salted build (the LSH smoke's
+    design) would pin every query term to replica 0 and the pruned tf
+    would stay flat by construction, proving nothing."""
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    scaled = None
+    for i in range(n):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        scaled = d if scaled is None else scaled.unionByName(d)
+    scaled.repartition(max(8, n // 2)).write.parquet(
+        os.path.join(dest, "documents.parquet")
+    )
+
+
+OUT_BM25 = os.path.join(_REPO, ".scale10bm25")
+OUT100_BM25 = os.path.join(_REPO, ".scale100bm25")
+
+
+def main_x100_bm25() -> None:
+    """×1/×10/×100 curve for the BM25/pruned_tf retrieval path (VERDICT
+    r12 #3 — the heaviest non-fit bench family and the last flagship
+    plan shape without two-decade evidence). Runs the declared
+    ``bm25_search`` at each decade and measures the WORK LAW directly:
+    the only corpus-scale shuffle is the (doc_id, term) count of the
+    PRUNED tf table, so shuffle ∝ pruned-tf rows = Σ over query terms
+    of (docs containing the term) — linear in the corpus for a fixed
+    query set, NEVER corpus × queries — while the stage count and the
+    driver-side df collect (one row per distinct query term) stay
+    CONSTANT at every decade."""
+    from mopso_engine.session import build_session
+
+    spark = build_session(master="local[32]", app_name="scale-smoke-bm25")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry_mod
+
+    from mopso_engine.ext.retrieval import clear_retrieval_caches, pruned_tf
+
+    build_docs_xn(spark, 10, OUT_BM25)
+    build_docs_xn(spark, 100, OUT100_BM25)
+    qs = entry_mod.queries()
+    out: dict = {"metric": "scale100_bm25_smoke", "query": "bm25_search"}
+    # warm pass eats codegen/JIT so no timed pass is charged for it
+    qs["bm25_search"](spark, SRC).write.format("noop").mode("overwrite").save()
+    clear_retrieval_caches()
+    for tag, d, mult in (
+        ("x1", SRC, 1), ("x10", OUT_BM25, 10), ("x100", OUT100_BM25, 100)
+    ):
+        snap0 = stage_writes(spark)
+        t0 = time.time()
+        qs["bm25_search"](spark, d).write.format("noop").mode("overwrite").save()
+        t = round(time.time() - t0, 3)
+        clear_retrieval_caches()
+        tot, peak, nst = window_stats(snap0, stage_writes(spark))
+        # the work-law readout (untimed second pass): pruned-tf rows =
+        # Σ_term docs-containing-term (the ONLY corpus-scale shuffle's
+        # input), and the df-collect bound = distinct query terms
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        qdf = spark.createDataFrame(
+            [
+                ("q_hashjoin", "hash join scan"),
+                ("q_stream", "stream window watermark"),
+                ("q_customer", "customer order value"),
+            ],
+            "query_id string, qtext string",
+        )
+        tf = pruned_tf(docs, qdf)
+        tf_rows = tf.count()
+        df_rows = tf.select("term").distinct().count()
+        clear_retrieval_caches()
+        rec = {
+            "scale": mult, "wall_sec": t, "shuffle_write_bytes": tot,
+            "peak_stage_shuffle_bytes": peak, "stages": nst,
+            "n_docs": docs.count(),
+            "pruned_tf_rows": int(tf_rows),
+            "df_collect_rows": int(df_rows),
+        }
+        out[tag] = rec
+        print(
+            f"# bm25_search {tag}: {t}s shuffle={tot} stages={nst} "
+            f"tf_rows={tf_rows} df_rows={df_rows}",
+            file=sys.stderr,
+        )
+    for a, b in (("x10", "x1"), ("x100", "x10"), ("x100", "x1")):
+        out[f"ratio_{a}_vs_{b}"] = round(out[a]["wall_sec"] / out[b]["wall_sec"], 2)
+        out[f"tf_ratio_{a}_vs_{b}"] = round(
+            out[a]["pruned_tf_rows"] / max(1, out[b]["pruned_tf_rows"]), 2
+        )
+    print(json.dumps(out))
+    spark.stop()
+
+
 def stage_writes(spark) -> dict:
     """{(stageId, attemptId): shuffleWriteBytes} for completed stages via
     the REST API — callers diff two snapshots so totals AND peaks are
@@ -491,9 +589,17 @@ if __name__ == "__main__":
         help="run the MinHash-LSH dedup x1/x10/x100 curve on token-"
         "salted decades (builds .scale10lsh/.scale100lsh)",
     )
+    ap.add_argument(
+        "--x100-bm25",
+        action="store_true",
+        help="run the BM25/pruned-tf x1/x10/x100 curve on plain "
+        "re-keyed decades (builds .scale10bm25/.scale100bm25)",
+    )
     args = ap.parse_args()
     if args.x100_lsh:
         main_x100_lsh()
+    elif args.x100_bm25:
+        main_x100_bm25()
     elif args.x100:
         main_x100(args.x100.split(","))
     else:
