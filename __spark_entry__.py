@@ -5237,6 +5237,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return exact_rerank(docs, qdf, cand, top_k=10, pos_cap=50)
 
+    def hybrid_rerank_eval(spark, sf):
+        """The rerank tier's own quality readout — retrieval_eval
+        (Recall@10 / MRR@10 / nDCG@10 vs the SAME coverage qrels
+        bm25_eval grades against) over the exact_rerank top-10, so a
+        rerank-stage change ships with a before/after metric exactly
+        like a retriever change does. One shared pruned-tf pass feeds
+        THREE consumers here (BM25 candidates, coverage candidates,
+        qrel labels — the family's deepest sharing); the rerank pass
+        and the eval arithmetic are candidate- and |queries|-bounded."""
+        from mopso_engine.ext.retrieval import (
+            bm25_topk,
+            coverage_qrels,
+            exact_rerank,
+            pruned_tf,
+            retrieval_eval,
+            term_coverage_topk,
+        )
+
+        qdf = spark.createDataFrame(
+            [
+                ("q_hashjoin", "hash join scan"),
+                ("q_stream", "stream window watermark"),
+                ("q_customer", "customer order value"),
+            ],
+            "query_id string, qtext string",
+        )
+        docs = read_table(spark, sf, "documents")
+        tf = pruned_tf(docs, qdf)
+        bm = bm25_topk(docs, qdf, k1=1.2, b=0.75, top_k=20, tf=tf)
+        cov = term_coverage_topk(docs, qdf, top_k=20, tf=tf)
+        cand = bm.select("query_id", "doc_id").unionByName(
+            cov.select("query_id", "doc_id")
+        )
+        rr = exact_rerank(docs, qdf, cand, top_k=10, pos_cap=50)
+        qrels = coverage_qrels(docs, qdf, doc_terms=tf)
+        return retrieval_eval(
+            rr.select("query_id", "doc_id", "rk"), qrels, k=10
+        )
+
     def events_bootstrap_ci(spark, sf):
         """Per-type Poisson-bootstrap 95% CI for the mean event value
         (`ext.pipeline.poisson_bootstrap_ci`): 200 deterministic
@@ -5366,6 +5405,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id",
             "event_type",
             "value_micro",
+        )
+
+    def events_cdc_diff(spark, sf):
+        """Two-cut CDC time-travel diff
+        (`ext.pipeline.cdc_snapshot_diff`) — what changed between
+        AS OF 2024-01-16 and AS OF 2024-01-24: one row per user whose
+        latest-wins winner differs, classified created/deleted/updated
+        (version identity defines change), with the live T1 state and
+        the T2 winner side by side — the audit/backfill readout
+        between two publication points, read purely from the ledger.
+        Deliberately TWO prefix-pruned scans (each snapshot's rank-1
+        window stays WindowGroupLimit-bounded — keys × map partitions
+        per shuffle) rather than one shared scan that would ship the
+        whole prefix through a double-ordered exchange; the final join
+        is key-bounded and co-partitioned. Inverted cuts raise."""
+        from mopso_engine.ext import pipeline as pl
+
+        changes = _cdc_changes(spark, sf)
+        d = pl.cdc_snapshot_diff(
+            changes,
+            "user_id",
+            "ts",
+            "event_id",
+            "op",
+            ["event_type", "value_micro"],
+            F.lit("2024-01-16 00:00:00").cast("timestamp"),
+            F.lit("2024-01-24 00:00:00").cast("timestamp"),
+        )
+        return d.select(
+            "user_id",
+            "change_type",
+            F.unix_micros("old_ts").alias("old_ts_us"),
+            "old_event_id",
+            F.unix_micros("new_ts").alias("new_ts_us"),
+            "new_event_id",
+            "old_event_type",
+            "old_value_micro",
+            "new_event_type",
+            "new_value_micro",
         )
 
     def events_scd2_asof(spark, sf):
@@ -5790,7 +5868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows only), so the future schedule is readable off this comment:
     # the past-cutoff blocks are ALREADY in rotation order and each
     # round's slice is simply the next ~39 names after the flagships
-    # and that round's code-changed re-earners. All 255 are verified
+    # and that round's code-changed re-earners. All 257 are verified
     # locally by tools/check_oracle.py (same compare as the driver,
     # default + hostile sessions) before each round ends — the count
     # in this sentence is pinned to len(queries()) by
@@ -5813,11 +5891,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_bootstrap_ci, events_cdc_snapshot, events_cdc_stream,
         # r13-NEW, in-window at birth (the r12 pattern, so they never
         # join the never-verified debt): the time-travel read halves
-        # of the CDC and SCD2 write machinery, and the hybrid stack's
-        # cross-encoder-style exact rerank tier (VERDICT r12 #8) (3)
-        events_cdc_asof, events_scd2_asof, hybrid_rerank,
-        # stale-tail rotation, oldest-verified-first (36): the r7
-        # block tail (32), then the r8 block head (4) — each block
+        # of the CDC and SCD2 write machinery, the two-cut CDC diff
+        # read, the hybrid stack's cross-encoder-style exact rerank
+        # tier, and the rerank tier's own eval readout (VERDICT r12
+        # #8) (5)
+        events_cdc_asof, events_scd2_asof, events_cdc_diff,
+        hybrid_rerank, hybrid_rerank_eval,
+        # stale-tail rotation, oldest-verified-first (34): the r7
+        # block tail (32), then the r8 block head (2) — each block
         # alphabetical (the deterministic tie order), blocks ordered
         # by last-earned round ascending
         docs_chunked, docs_despan, docs_negative_pairs,   # last r7
@@ -5834,12 +5915,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         source_mixture_temp, stream_heavy_hitters,        # last r7
         token_counts,                                     # last r7
         ann_int8_recall, ann_matryoshka_recall,           # last r8
-        codes_neardup, cross_source_dups,                 # last r8
-        # Window = 5 fits + 3 leaders + 3 re-earners + 3 new
-        # + 32 r7-tail + 4 r8-head = 50.
+        # Window = 5 fits + 3 leaders + 3 re-earners + 5 new
+        # + 32 r7-tail + 2 r8-head = 50.
         # --- the 50-entry truncation lands exactly here ---
         # r14's rotation slice continues here: the r8 block remainder,
         # then the r9/r10/r11/r12 blocks in last-earned order.
+        codes_neardup, cross_source_dups,                 # last r8
         dedup_bloom_prefilter, dedup_incremental_fuzzy,   # last r8
         dedup_keep_best, dedup_prefix_filter,             # last r8
         docs_blocklist, docs_chunked_bpe, docs_gopher_full,   # last r8
@@ -7707,6 +7788,102 @@ def oracle_sql() -> dict[str, str]:
         FROM ideal i FULL OUTER JOIN hits h ON i.query_id = h.query_id
     """
 
+        # hybrid_rerank_eval: the rerank tier graded against the SAME
+        # coverage qrels — the rerank CTE chain (candidates = BM25 ∪
+        # coverage top-20, joint integer features, top-10) feeding the
+        # bm25_eval readout verbatim (pinned log2-discount weights,
+        # integer shift gains, house round-half-up divisions).
+        o["hybrid_rerank_eval"] = rf"""
+        WITH {_bm25_ctes},
+        cov AS (SELECT qp.query_id, t.doc_id, count(*)::BIGINT AS n_terms
+                FROM tf t JOIN qp USING (term) GROUP BY 1, 2),
+        covrk AS (SELECT query_id, doc_id, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY n_terms DESC, doc_id) AS rk
+                  FROM cov),
+        cand AS (SELECT DISTINCT query_id, doc_id FROM (
+                   SELECT query_id, doc_id FROM bmrk WHERE rk <= 20
+                   UNION ALL
+                   SELECT query_id, doc_id FROM covrk WHERE rk <= 20)),
+        ql AS (SELECT query_id, list(term ORDER BY term) AS q_terms
+               FROM qp GROUP BY 1),
+        dtk AS (SELECT doc_id,
+                       string_split_regex(lower(trim(
+                         CASE WHEN text IS NULL THEN error(
+                           'hybrid_rerank_eval oracle: NULL text on a '
+                           'candidate doc — mirrors the Spark in-plan '
+                           'raise') ELSE text END)), '\s+') AS d_toks
+                FROM documents
+                WHERE doc_id IN (SELECT doc_id FROM cand)),
+        feat AS (
+          SELECT c.query_id, c.doc_id,
+                 len(list_filter(q.q_terms,
+                     t -> list_contains(d.d_toks, t)))::BIGINT AS fcov,
+                 list_sum(list_transform(q.q_terms,
+                     t -> len(list_filter(d.d_toks, x -> x = t))))
+                   ::BIGINT AS tfsum,
+                 list_sum(list_transform(q.q_terms,
+                     t -> least(coalesce(nullif(
+                            list_position(d.d_toks, t), 0), 50), 50)))
+                   ::BIGINT AS possum,
+                 len(q.q_terms)::BIGINT AS nq
+          FROM cand c JOIN ql q USING (query_id) JOIN dtk d USING (doc_id)),
+        rsc AS (SELECT query_id, doc_id,
+                      ((1000 * fcov + least(tfsum, 999)) * (50 * nq + 1)
+                       + (50 * nq - possum))::BIGINT AS rerank_score
+               FROM feat),
+        res AS (SELECT query_id, doc_id, rk FROM (
+                  SELECT rsc.*, row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY rerank_score DESC, doc_id) AS rk
+                  FROM rsc) t
+                WHERE rk <= 10),
+        nqt AS (SELECT query_id, count(*)::BIGINT AS nq FROM qp GROUP BY 1),
+        qr AS (SELECT c.query_id, c.doc_id,
+                      CASE WHEN c.n_terms >= n.nq THEN 2
+                           WHEN c.n_terms = n.nq - 1 THEN 1 END AS rel
+               FROM cov c JOIN nqt n USING (query_id)
+               WHERE c.n_terms >= n.nq - 1),
+        wt(r, w_micro) AS (VALUES {_bm_wvals}),
+        ideal AS (
+          SELECT query_id, count(*)::BIGINT AS n_rel,
+                 sum(CASE WHEN irk <= 10
+                          THEN ((1::BIGINT << rel) - 1) * w_micro
+                          ELSE 0 END)::BIGINT AS idcg_micro
+          FROM (SELECT query_id, rel, doc_id, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY rel DESC, doc_id) AS irk
+                FROM qr) i
+          LEFT JOIN wt ON i.irk = wt.r
+          GROUP BY 1),
+        hits AS (
+          SELECT r.query_id,
+                 sum(CASE WHEN coalesce(q.rel, 0) > 0 THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_hits,
+                 min(CASE WHEN coalesce(q.rel, 0) > 0 THEN r.rk END)
+                   AS first_rk,
+                 sum(((1::BIGINT << coalesce(q.rel, 0)) - 1) * wt.w_micro)
+                   ::BIGINT AS dcg_micro
+          FROM res r
+          LEFT JOIN qr q ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+          JOIN wt ON r.rk = wt.r
+          GROUP BY 1)
+        SELECT coalesce(i.query_id, h.query_id) AS query_id,
+               (CASE WHEN i.n_rel IS NULL THEN error(
+                  'hybrid_rerank_eval oracle: query in results has no '
+                  'qrel rows — mirrors the Spark in-plan raise')
+                ELSE i.n_rel END)::BIGINT AS n_rel,
+               coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+               ((2 * 1000 * coalesce(h.n_hits, 0) + i.n_rel)
+                // (2 * i.n_rel))::BIGINT AS recall_pm,
+               (CASE WHEN h.first_rk IS NULL THEN 0
+                     ELSE (2 * 1000000 + h.first_rk)
+                          // (2 * h.first_rk) END)::BIGINT AS mrr_micro,
+               ((2 * 1000 * coalesce(h.dcg_micro, 0) + i.idcg_micro)
+                // (2 * i.idcg_micro))::BIGINT AS ndcg_pm
+        FROM ideal i FULL OUTER JOIN hits h ON i.query_id = h.query_id
+    """
+
     # docs_dsir_topk: the per-bucket log ratio is pinned driver-side via
     # ext.dsir.dsir_log_ratio_micro on DuckDB-computed integer count
     # tables (the BM25 treatment — both engines consume the SAME python
@@ -8350,6 +8527,79 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id,
                event_type, value_micro
         FROM rk WHERE rn = 1 AND op <> 'D'
+    """
+
+    # events_cdc_diff: the two-cut diff — both cuts' keep-tombstones
+    # winners from the same derived feed, full-outer-joined and
+    # classified; version identity (ts, seq) defines "updated". Mirror
+    # scoping as in events_cdc_asof: ts global (both Spark cut filters
+    # see every row), key/seq scoped to the wider (T2) prefix.
+    o["events_cdc_diff"] = """
+        WITH ch AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN (('0x' || substr(md5(event_id::VARCHAR
+                             || '#cdc12'), 1, 8))::BIGINT % 20) = 0
+                      THEN 'D' ELSE 'U' END AS op,
+                 CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+                   AS value_micro
+          FROM events
+          WHERE ts <= TIMESTAMP '2024-01-24 00:00:00'
+            AND (SELECT max(CASE WHEN ts IS NULL
+                   THEN error('events_cdc_diff oracle: NULL ts — '
+                              'mirrors the Spark cut-filter raise')
+                   ELSE 0 END) FROM events) = 0
+            AND (SELECT max(CASE WHEN event_id IS NULL OR user_id IS NULL
+                   THEN error('events_cdc_diff oracle: NULL seq/key in '
+                              'the replayed prefix — mirrors the Spark '
+                              'in-plan raise')
+                   ELSE 0 END) FROM events
+                 WHERE ts <= TIMESTAMP '2024-01-24 00:00:00') = 0),
+        o1 AS (SELECT * FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM ch WHERE ts <= TIMESTAMP '2024-01-16 00:00:00')
+               WHERE rn = 1),
+        o2 AS (SELECT * FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM ch)
+               WHERE rn = 1),
+        d AS (SELECT coalesce(o1.user_id, o2.user_id) AS user_id,
+                     o1.op AS oop, o2.op AS nop,
+                     o1.ts AS ots, o1.event_id AS oid,
+                     o1.event_type AS oet, o1.value_micro AS ovm,
+                     o2.ts AS nts, o2.event_id AS nid,
+                     o2.event_type AS net, o2.value_micro AS nvm
+              FROM o1 FULL OUTER JOIN o2 ON o1.user_id = o2.user_id),
+        cls AS (SELECT *,
+                  CASE WHEN (oop IS NULL OR oop = 'D')
+                         AND nop IS NOT NULL AND nop <> 'D'
+                       THEN 'created'
+                       WHEN oop IS NOT NULL AND oop <> 'D'
+                         AND (nop IS NULL OR nop = 'D')
+                       THEN 'deleted'
+                       WHEN oop <> 'D' AND nop <> 'D'
+                         AND (ots IS DISTINCT FROM nts
+                              OR oid IS DISTINCT FROM nid)
+                       THEN 'updated'
+                  END AS change_type
+                FROM d)
+        SELECT user_id, change_type,
+               (CASE WHEN oop <> 'D' THEN epoch_us(ots) END)::BIGINT
+                 AS old_ts_us,
+               (CASE WHEN oop <> 'D' THEN oid END)::BIGINT
+                 AS old_event_id,
+               epoch_us(nts)::BIGINT AS new_ts_us,
+               nid AS new_event_id,
+               CASE WHEN oop <> 'D' THEN oet END AS old_event_type,
+               (CASE WHEN oop <> 'D' THEN ovm END)::BIGINT
+                 AS old_value_micro,
+               CASE WHEN nop <> 'D' THEN net END AS new_event_type,
+               (CASE WHEN nop <> 'D' THEN nvm END)::BIGINT
+                 AS new_value_micro
+        FROM cls WHERE change_type IS NOT NULL
     """
 
     # events_did: the md5 unit split and the timestamp cut replay

@@ -286,6 +286,11 @@ BENCH_QUERIES = [
     "events_cdc_asof",
     "events_scd2_asof",
     "hybrid_rerank",
+    # round-13 second batch: the two-cut CDC diff (two prefix-pruned
+    # WindowGroupLimit snapshots + key-bounded full outer join) and the
+    # rerank tier's eval readout (one pruned-tf pass, three consumers)
+    "events_cdc_diff",
+    "hybrid_rerank_eval",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)

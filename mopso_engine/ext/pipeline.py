@@ -2736,9 +2736,10 @@ def poisson_bootstrap_ci(
     carries the point estimate's unweighted partials (every (g, rep)
     cell sees every unit once, so no second pass over per_unit and no
     point×ci join), and the CI bounds are exact order statistics via
-    one R-element array sort per group — three bounded exchanges
-    total, a shape chosen deliberately small because AQE pays real
-    re-optimization latency per query stage. Returns one row per
+    one R-element array sort per group — four bounded exchanges total
+    (three hash + the explicit round-robin repartition that pins the
+    explode stage's parallelism), a shape chosen deliberately small
+    because AQE pays real re-optimization latency per query stage. Returns one row per
     group: (group, n_units, n_events, theta_micro, lo_micro, hi_micro,
     n_replicates).
     """
@@ -3041,6 +3042,122 @@ def cdc_snapshot_asof(
         payload_cols,
         delete_op=delete_op,
         keep_tombstones=keep_tombstones,
+    )
+
+
+def cdc_snapshot_diff(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    op_col: str,
+    payload_cols: list[str],
+    asof_old: Column,
+    asof_new: Column,
+    *,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Two-cut time-travel DIFF over the CDC ledger — "what changed
+    between AS OF T1 and AS OF T2": one row per key whose latest-wins
+    WINNER differs between the cuts, classified ``created`` (not live
+    at T1, live at T2), ``deleted`` (live at T1, tombstoned by T2) or
+    ``updated`` (live at both under different (ts, seq) versions —
+    version identity, not payload equality, defines "changed": a
+    same-value rewrite IS a change the audit must see). Untouched keys
+    — including keys tombstoned at both cuts — emit nothing. The
+    audit/backfill readout between two publication points, built
+    purely from the ledger the write machinery already keeps.
+
+    Composition: two :func:`cdc_snapshot_asof` reads
+    (``keep_tombstones=True`` — a tombstone at T1 vs live at T2 is a
+    re-creation, which an absent-row rendering could not distinguish
+    from first creation) full-outer-joined on the key. T1 > T2 raises
+    at plan time (constant-folded) or in-plan: an inverted window
+    would silently swap created/deleted.
+
+    Shape (100 TB): deliberately TWO prefix-pruned ledger scans rather
+    than one clever shared scan — each snapshot's rank-1 window is
+    WindowGroupLimit-pushed, so each shuffle carries at most one row
+    per key per map partition (keys × maps bound), whereas deriving
+    both cuts from one T2-prefix scan needs two differently-ordered
+    windows over the same exchange and ships the ENTIRE prefix through
+    it; scans are cheap columnar reads, shuffles are the bottleneck,
+    so two bounded shuffles beat one unbounded. The final join is
+    key-bounded and co-partitioned (both sides exit their windows
+    hash-partitioned on the key).
+
+    Returns (key, change_type, old_``ts``, old_``seq``, new_``ts``,
+    new_``seq``, old_*payload*, new_*payload*) — old columns NULL for
+    ``created`` rows' pre-state, new payload NULL for ``deleted``.
+    """
+    asof_new_checked = F.when(
+        asof_old > asof_new,
+        F.raise_error(
+            F.lit(
+                "cdc_snapshot_diff: asof_old is after asof_new — an "
+                "inverted window would silently swap created/deleted"
+            )
+        ),
+    ).otherwise(asof_new)
+    old = cdc_snapshot_asof(
+        changes, key_col, ts_col, seq_col, op_col, payload_cols,
+        asof_old, delete_op=delete_op, keep_tombstones=True,
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("old_" + ts_col),
+        F.col(seq_col).alias("old_" + seq_col),
+        F.col(op_col).alias("__old_op"),
+        *[F.col(p).alias("old_" + p) for p in payload_cols],
+    )
+    new = cdc_snapshot_asof(
+        changes, key_col, ts_col, seq_col, op_col, payload_cols,
+        asof_new_checked, delete_op=delete_op, keep_tombstones=True,
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("new_" + ts_col),
+        F.col(seq_col).alias("new_" + seq_col),
+        F.col(op_col).alias("__new_op"),
+        *[F.col(p).alias("new_" + p) for p in payload_cols],
+    )
+    j = old.join(new, "__k", "full_outer")
+    old_live = F.col("__old_op").isNotNull() & (
+        F.col("__old_op") != delete_op
+    )
+    new_live = F.col("__new_op").isNotNull() & (
+        F.col("__new_op") != delete_op
+    )
+    same_version = (
+        F.col("old_" + ts_col).eqNullSafe(F.col("new_" + ts_col))
+    ) & (F.col("old_" + seq_col).eqNullSafe(F.col("new_" + seq_col)))
+    change = (
+        F.when(~old_live & new_live, F.lit("created"))
+        .when(old_live & ~new_live, F.lit("deleted"))
+        .when(old_live & new_live & ~same_version, F.lit("updated"))
+    )
+    out = j.withColumn("change_type", change).where(
+        F.col("change_type").isNotNull()
+    )
+    # contract: old_* = the LIVE state at T1 (all NULL when none — a
+    # created-over-tombstone key must not leak the tombstone's stale
+    # version/payload as if it were prior state); new_ts/new_seq = the
+    # winning T2 version always (for deleted rows that is the
+    # tombstone's version — the traceable delete event), new payload
+    # NULL unless live (state after a delete has no value)
+    return out.select(
+        F.col("__k").alias(key_col),
+        "change_type",
+        F.when(old_live, F.col("old_" + ts_col)).alias("old_" + ts_col),
+        F.when(old_live, F.col("old_" + seq_col)).alias("old_" + seq_col),
+        "new_" + ts_col,
+        "new_" + seq_col,
+        *[
+            F.when(old_live, F.col("old_" + p)).alias("old_" + p)
+            for p in payload_cols
+        ],
+        *[
+            F.when(new_live, F.col("new_" + p)).alias("new_" + p)
+            for p in payload_cols
+        ],
     )
 
 

@@ -2974,6 +2974,72 @@ class TestCdcNullGuards:
             ).collect()
         assert "NULL asof" in str(ei.value)
 
+    def test_snapshot_diff_classification(self, spark):
+        """Two-cut diff: created / deleted / updated / untouched /
+        re-created-over-tombstone / tombstoned-at-both / same-version
+        — each key exercises one cell of the classification."""
+        import datetime as dt
+
+        from mopso_engine.ext.pipeline import cdc_snapshot_diff
+
+        t = lambda m: dt.datetime(2024, 3, 1) + dt.timedelta(minutes=m)  # noqa: E731
+        t1, t2 = t(10), t(20)
+        rows = [
+            # created: first row after T1
+            ("new", t(15), 1, "U", "n1"),
+            # deleted: live at T1, delete before T2
+            ("del", t(1), 2, "U", "d1"), ("del", t(12), 3, "D", "dx"),
+            # updated: live at T1, newer version by T2
+            ("upd", t(2), 4, "U", "u1"), ("upd", t(18), 5, "U", "u2"),
+            # untouched: only pre-T1 rows
+            ("same", t(3), 6, "U", "s1"),
+            # re-created: tombstone before T1, upsert between cuts —
+            # 'created' with NULL old_* (the tombstone's stale state
+            # must not leak as prior state)
+            ("rec", t(4), 7, "D", "rx"), ("rec", t(16), 8, "U", "r1"),
+            # dead at both cuts: absent from the diff
+            ("gone", t(5), 9, "D", "gx"),
+            # post-T2 rows are invisible to both cuts
+            ("upd", t(25), 10, "U", "u3"),
+        ]
+        df = spark.createDataFrame(
+            rows, "k string, ts timestamp, seq long, op string, pay string"
+        )
+        got = {
+            r["k"]: r
+            for r in cdc_snapshot_diff(
+                df, "k", "ts", "seq", "op", ["pay"], F.lit(t1), F.lit(t2)
+            ).collect()
+        }
+        assert set(got) == {"new", "del", "upd", "rec"}
+        assert got["new"]["change_type"] == "created"
+        assert got["new"]["old_pay"] is None and got["new"]["new_pay"] == "n1"
+        assert got["del"]["change_type"] == "deleted"
+        assert got["del"]["old_pay"] == "d1" and got["del"]["new_pay"] is None
+        assert got["del"]["new_seq"] == 3  # the tombstone version, traceable
+        assert got["upd"]["change_type"] == "updated"
+        assert got["upd"]["old_pay"] == "u1" and got["upd"]["new_pay"] == "u2"
+        assert got["rec"]["change_type"] == "created"
+        assert got["rec"]["old_pay"] is None and got["rec"]["old_seq"] is None
+        assert got["rec"]["new_pay"] == "r1"
+
+    def test_snapshot_diff_inverted_cuts_raise(self, spark):
+        import datetime as dt
+
+        from mopso_engine.ext.pipeline import cdc_snapshot_diff
+
+        t = dt.datetime(2024, 3, 1)
+        df = spark.createDataFrame(
+            [("a", t, 1, "U", "x")],
+            "k string, ts timestamp, seq long, op string, pay string",
+        )
+        with pytest.raises(Exception) as ei:
+            cdc_snapshot_diff(
+                df, "k", "ts", "seq", "op", ["pay"],
+                F.lit(t + dt.timedelta(days=1)), F.lit(t),
+            ).collect()
+        assert "inverted" in str(ei.value)
+
     def test_reserved_temp_column_collision_raises(self, spark):
         """ADVICE r12 regression: a feed whose schema already contains
         _cdc_ts or _rn used to be silently REPLACED by the internal

@@ -907,13 +907,17 @@ COMMENTS = {
     "|queries|-bounded tables via broadcast joins. Look for: "
     "InMemoryTableScan feeding both the scoring branch and the qrels "
     "branch, and the eval arithmetic riding tiny exchanges.",
-    "events_bootstrap_ci": "Poisson bootstrap CI (r12): ONE corpus "
-    "exchange — the map-side-combined (type, user) partial aggregate "
-    "— then the 200-replicate explode runs over the UNIT-level table "
-    "(units×R rows, bounded by users never events), folds map-side "
-    "to types×R rows, and the CI order statistics window over R rows "
-    "per type. Look for: the explode sitting ABOVE the per-unit "
-    "aggregate, never against the raw event scan.",
+    "events_bootstrap_ci": "Poisson bootstrap CI (r12, reshaped r13): "
+    "ONE corpus exchange — the map-side-combined (type, user) partial "
+    "aggregate — then an explicit-N round-robin repartition of the "
+    "tiny unit table (pins the explode stage's parallelism: AQE would "
+    "coalesce the shuffle by its pre-explode byte size and run the "
+    "200x md5 fold single-threaded), the replicate explode + fold "
+    "(which ALSO carries the point estimate's unweighted partials — "
+    "no second per_unit branch, no point x ci join), and CI bounds as "
+    "an R-element array_sort order statistic. Look for: exactly one "
+    "FileScan, 3 hash + 1 round-robin Exchange, zero joins, the "
+    "explode above the per-unit aggregate.",
     "events_cdc_snapshot": "CDC latest-wins snapshot (r12): one key "
     "exchange; the rank-1 window is WindowGroupLimit-pushed, so a "
     "per-map-partition 1-row heap runs BELOW the exchange and the "
@@ -971,6 +975,47 @@ COMMENTS = {
     "single-partition sort — and a 10-row tile aggregate. Look for: "
     "no Exchange single-partition ordering anywhere in the rank "
     "section.",
+    "events_cdc_asof": "CDC ledger time travel (r13): the AS OF cut "
+    "is a plain pushed-down filter on the ledger scan (on a "
+    "date-partitioned ledger at scale it prunes partitions — only "
+    "files up to the cut are read), then exactly the latest-wins "
+    "snapshot's bounded shape: one key Exchange with the rank-1 "
+    "window WindowGroupLimit-pushed below it. Look for: the ts "
+    "predicate inside the scan/filter (with the NULL-ts raise fused "
+    "into it) and WindowGroupLimit Partial+Final around the user_id "
+    "Exchange.",
+    "events_scd2_asof": "SCD2 whole-dimension time travel (r13): the "
+    "history build's one user exchange, then the AS OF read is a "
+    "pure map-side range Filter over the period table — zero "
+    "additional exchanges, zero joins, no dedup window (the "
+    "half-open period invariant guarantees at most one row per key). "
+    "Look for: a Filter on valid_from/valid_to directly above the "
+    "history's Window, nothing else added.",
+    "events_cdc_diff": "Two-cut CDC diff (r13): TWO prefix-pruned "
+    "ledger scans, each with its rank-1 window WindowGroupLimit-"
+    "pushed (keys x map-partitions per shuffle — deliberately chosen "
+    "over one shared scan that would ship the whole prefix through a "
+    "double-ordered exchange; scans are cheap, shuffles are the "
+    "bottleneck), then a key-bounded full outer join of the two "
+    "winners and the created/deleted/updated classification. Look "
+    "for: both ts cut predicates inside the scans/filters, "
+    "WindowGroupLimit on both branches, and the join reading two "
+    "already-key-partitioned sides.",
+    "hybrid_rerank_eval": "Rerank-tier eval (r13): the family's "
+    "deepest pruned-tf sharing — ONE persisted pruned pass feeds "
+    "THREE consumers (BM25 candidates, coverage candidates, qrel "
+    "labels; look for three InMemoryTableScan readers), the rerank's "
+    "broadcast-pruned map-only corpus pass, then the bm25_eval "
+    "readout arithmetic on |queries|-bounded tables.",
+    "hybrid_rerank": "Exact rerank tier (r13): ONE shared pruned-tf "
+    "pass (InMemoryTableScan) feeds BOTH candidate generators (BM25 "
+    "and coverage); the rerank pass reads the corpus once more "
+    "MAP-ONLY, pruned by a BroadcastHashJoin on the tiny candidate "
+    "doc_id set — no corpus shuffle, no Generate anywhere in the "
+    "rerank section (the joint features are in-row higher-order "
+    "array expressions inside codegen) — and the final top-k is a "
+    "WindowGroupLimit over candidate-bounded rows. Look for: "
+    "broadcast joins only below the rerank projection.",
 }
 
 
