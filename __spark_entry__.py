@@ -5613,34 +5613,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("cents").alias("sum_cents"),
         )
 
-    def events_cdc_stream(spark, sf):
-        """CONTINUOUS latest-wins CDC maintenance declared end-to-end
-        (`ext.streaming.cdc_maintain_stream` — the streaming twin of
-        events_cdc_snapshot, the way events_scd2_stream twins
-        events_scd2): the same derived change feed arrives as TWO
-        time-split micro-batches (early half's file mtimes pinned
-        strictly older so the file source's batch order is
-        deterministic); each batch folds into the latest committed
-        v=<batch_id> tombstone-retaining state version. Unlike SCD2,
-        latest-wins needs NO reorder machinery — the fold is
-        commutative/associative (max by (ts, seq) per key), so the
-        read-back equals the one-shot batch snapshot for any split.
-        The oracle is IDENTICAL to events_cdc_snapshot's. Temp dirs
-        PID-keyed and cleared up-front."""
+    def _cdc_stream_ledger(spark, sf, tag):
+        """Run the CDC streaming maintainer over the SHARED derived
+        feed as TWO deterministic time-split micro-batches (early
+        half's file mtimes pinned strictly older so the file source's
+        batch order is deterministic) and return the versioned ledger
+        path. ONE setup derivation shared by events_cdc_stream (latest
+        read) and events_cdc_version_read (AS OF batch 0) — their
+        contracts both hang off this exact split, so it must not be
+        copied. Temp dirs PID-and-tag-keyed and cleared up-front."""
         import glob as _glob
         import shutil
         import tempfile
         import time as _time
 
-        from mopso_engine.ext.streaming import (
-            cdc_maintain_stream,
-            cdc_snapshot_live,
-        )
+        from mopso_engine.ext.streaming import cdc_maintain_stream
 
         _utc(spark)
         base = os.path.join(
             tempfile.gettempdir(),
-            f"mopso_cdc_stream_{os.path.basename(sf.rstrip('/'))}"
+            f"mopso_cdc_{tag}_{os.path.basename(sf.rstrip('/'))}"
             f"_{os.getpid()}",
         )
         shutil.rmtree(base, ignore_errors=True)
@@ -5671,8 +5663,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             payload=["event_type", "value_micro"],
             query_name=f"cdc_m_{uuid.uuid4().hex[:8]}",
         )
-        live = cdc_snapshot_live(spark, os.path.join(base, "snap"))
+        return os.path.join(base, "snap")
+
+    def events_cdc_stream(spark, sf):
+        """CONTINUOUS latest-wins CDC maintenance declared end-to-end
+        (`ext.streaming.cdc_maintain_stream` — the streaming twin of
+        events_cdc_snapshot, the way events_scd2_stream twins
+        events_scd2): the derived change feed arrives as two
+        deterministic time-split micro-batches (see _cdc_stream_ledger)
+        and each folds into the latest committed v=<batch_id>
+        tombstone-retaining state version. Unlike SCD2, latest-wins
+        needs NO reorder machinery — the fold is commutative/
+        associative (max by (ts, seq) per key), so the read-back
+        equals the one-shot batch snapshot for any split. The oracle
+        is IDENTICAL to events_cdc_snapshot's."""
+        from mopso_engine.ext.streaming import cdc_snapshot_live
+
+        snap = _cdc_stream_ledger(spark, sf, "stream")
+        live = cdc_snapshot_live(spark, snap)
         return live.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "event_type",
+            "value_micro",
+        )
+
+    def events_cdc_version_read(spark, sf):
+        """Ledger time travel by BATCH VERSION
+        (`ext.streaming.cdc_snapshot_version`) — "the table AS OF
+        batch 0": the maintainer's v=0 committed state read back
+        directly (no window, no fold — the maintenance already paid
+        the bounded per-batch exchange), live rows only. The versioned
+        complement of events_cdc_asof's timestamp cut: batch 0 IS the
+        ts < 2024-01-16 half of the feed by the split's construction,
+        so the oracle is the one-shot latest-wins fold over exactly
+        that prefix — the version read and a timestamp read at the
+        batch boundary must agree. A retired or never-committed
+        version raises (silently serving the nearest surviving state
+        would be a wrong answer dressed as a right one)."""
+        from mopso_engine.ext.streaming import cdc_snapshot_version
+
+        snap = _cdc_stream_ledger(spark, sf, "vread")
+        v0 = cdc_snapshot_version(spark, snap, 0)
+        return v0.select(
             "user_id",
             F.unix_micros("ts").alias("ts_us"),
             "event_id",
@@ -5868,7 +5902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows only), so the future schedule is readable off this comment:
     # the past-cutoff blocks are ALREADY in rotation order and each
     # round's slice is simply the next ~39 names after the flagships
-    # and that round's code-changed re-earners. All 257 are verified
+    # and that round's code-changed re-earners. All 258 are verified
     # locally by tools/check_oracle.py (same compare as the driver,
     # default + hostile sessions) before each round ends — the count
     # in this sentence is pinned to len(queries()) by
@@ -5891,14 +5925,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_bootstrap_ci, events_cdc_snapshot, events_cdc_stream,
         # r13-NEW, in-window at birth (the r12 pattern, so they never
         # join the never-verified debt): the time-travel read halves
-        # of the CDC and SCD2 write machinery, the two-cut CDC diff
-        # read, the hybrid stack's cross-encoder-style exact rerank
-        # tier, and the rerank tier's own eval readout (VERDICT r12
-        # #8) (5)
+        # of the CDC and SCD2 write machinery (timestamp cut, batch
+        # version, and two-cut diff), the hybrid stack's cross-
+        # encoder-style exact rerank tier, and the rerank tier's own
+        # eval readout (VERDICT r12 #8) (6)
         events_cdc_asof, events_scd2_asof, events_cdc_diff,
-        hybrid_rerank, hybrid_rerank_eval,
-        # stale-tail rotation, oldest-verified-first (34): the r7
-        # block tail (32), then the r8 block head (2) — each block
+        events_cdc_version_read, hybrid_rerank, hybrid_rerank_eval,
+        # stale-tail rotation, oldest-verified-first (33): the r7
+        # block tail (32), then the r8 block head (1) — each block
         # alphabetical (the deterministic tie order), blocks ordered
         # by last-earned round ascending
         docs_chunked, docs_despan, docs_negative_pairs,   # last r7
@@ -5914,12 +5948,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         repetition_stats_expr, source_mixture,            # last r7
         source_mixture_temp, stream_heavy_hitters,        # last r7
         token_counts,                                     # last r7
-        ann_int8_recall, ann_matryoshka_recall,           # last r8
-        # Window = 5 fits + 3 leaders + 3 re-earners + 5 new
-        # + 32 r7-tail + 2 r8-head = 50.
+        ann_int8_recall,                                  # last r8
+        # Window = 5 fits + 3 leaders + 3 re-earners + 6 new
+        # + 32 r7-tail + 1 r8-head = 50.
         # --- the 50-entry truncation lands exactly here ---
         # r14's rotation slice continues here: the r8 block remainder,
         # then the r9/r10/r11/r12 blocks in last-earned order.
+        ann_matryoshka_recall,                            # last r8
         codes_neardup, cross_source_dups,                 # last r8
         dedup_bloom_prefilter, dedup_incremental_fuzzy,   # last r8
         dedup_keep_best, dedup_prefix_filter,             # last r8
@@ -8520,6 +8555,37 @@ def oracle_sql() -> dict[str, str]:
                               'in-plan raise')
                    ELSE 0 END) FROM events
                  WHERE ts <= TIMESTAMP '2024-01-16 00:00:00') = 0),
+        rk AS (SELECT *, row_number() OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+               FROM ch)
+        SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id,
+               event_type, value_micro
+        FROM rk WHERE rn = 1 AND op <> 'D'
+    """
+
+    # events_cdc_version_read: the ledger's v=0 state IS the one-shot
+    # latest-wins fold over the stream split's first micro-batch — the
+    # STRICT ts < cut half by construction (events_cdc_asof's
+    # INCLUSIVE <= is the timestamp-read convention; the batch
+    # boundary itself is strict). Same mirror structure as the
+    # snapshot family.
+    o["events_cdc_version_read"] = """
+        WITH ch AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN (('0x' || substr(md5(event_id::VARCHAR
+                             || '#cdc12'), 1, 8))::BIGINT % 20) = 0
+                      THEN 'D' ELSE 'U' END AS op,
+                 CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+                   AS value_micro
+          FROM events
+          WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+            AND (SELECT max(CASE WHEN ts IS NULL OR event_id IS NULL
+                   OR user_id IS NULL
+                   THEN error('events_cdc_version_read oracle: NULL '
+                              'ts/seq/key — mirrors the Spark in-plan '
+                              'raise')
+                   ELSE 0 END) FROM events) = 0),
         rk AS (SELECT *, row_number() OVER (
                  PARTITION BY user_id
                  ORDER BY ts DESC, event_id DESC) AS rn

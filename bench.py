@@ -291,6 +291,9 @@ BENCH_QUERIES = [
     # rerank tier's eval readout (one pruned-tf pass, three consumers)
     "events_cdc_diff",
     "hybrid_rerank_eval",
+    # round-13 third batch: ledger time travel by batch version (the
+    # full AvailableNow maintainer run + one direct version read)
+    "events_cdc_version_read",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -497,6 +500,15 @@ ANCHOR_R08 = {
     # with quiet calibs, BASELINE.md r13)
     "events_cdc_asof": 0.9, "events_scd2_asof": 0.6,
     "hybrid_rerank": 4.5,
+    # r13 second batch (cold/warm: 3.4/0.96, 10.2/5.6 — the diff pays
+    # two prefix snapshots + the key join; the rerank eval pays BOTH
+    # candidate generators, the rerank pass AND the qrel labeler over
+    # one shared pruned-tf; birth-protocol best-of-5, quiet calibs)
+    "events_cdc_diff": 1.3, "hybrid_rerank_eval": 7.0,
+    # r13 third batch (cold/warm: 5.5/2.2 — pays the full two-batch
+    # AvailableNow maintainer run, like events_cdc_stream, plus the
+    # direct v=0 read; birth-protocol best-of-5, quiet calibs)
+    "events_cdc_version_read": 3.0,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

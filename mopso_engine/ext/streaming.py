@@ -1023,6 +1023,42 @@ def cdc_snapshot_live(
     return st.where(F.col(op) != delete_op).drop(op)
 
 
+def cdc_snapshot_version(
+    spark: SparkSession,
+    snapshot_path: str,
+    version: int,
+    *,
+    op: str = "op",
+    delete_op: str = "D",
+):
+    """Time-travel read over the streaming CDC ledger by BATCH VERSION
+    — "the table AS OF batch N": the exact ``v=<version>`` state the
+    maintainer committed, filtered to live rows. The versioned
+    complement of :func:`mopso_engine.ext.pipeline.cdc_snapshot_asof`'s
+    timestamp cut: a version boundary IS a batch commit, so where a
+    commit coincides with a time cut the two reads agree (tested, and
+    pinned by the events_cdc_version_read oracle). Version reads are
+    bounded by the ledger's retention (``keep_versions``): a retired
+    or never-committed version RAISES — silently serving the nearest
+    surviving state would be a wrong answer dressed as a right one.
+
+    Shape: a direct path read of one committed version — no window, no
+    fold; the maintenance already paid the bounded per-batch exchange.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    vp = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/v={int(version)}")
+    fs = vp.getFileSystem(hconf)
+    if not fs.exists(vp):
+        raise ValueError(
+            f"cdc_snapshot_version: version {int(version)} is not in the "
+            f"ledger at {snapshot_path} (never committed, or retired by "
+            f"keep_versions) — refusing to serve a different state"
+        )
+    st = spark.read.parquet(f"{snapshot_path}/v={int(version)}")
+    return st.where(F.col(op) != delete_op).drop(op)
+
+
 # ---------------------------------------------------------------------------
 # Streaming corpus-drift monitor: per-source unigram KL vs a pinned reference
 # ---------------------------------------------------------------------------

@@ -3366,3 +3366,33 @@ class TestCdcStream:
                 None, "x", "y", key="k", ts="ts", seq="s", op="op",
                 payload=[], keep_versions=1,
             )
+
+    def test_version_read_equals_prefix_fold_and_retired_raises(
+        self, spark, tmp_path
+    ):
+        """AS OF batch N: the v=0 read must equal the one-shot
+        latest-wins fold over batch 0's rows alone; a never-committed
+        version raises instead of serving a different state."""
+        import pytest as _pt
+
+        from mopso_engine.ext.pipeline import cdc_latest_snapshot
+        from mopso_engine.ext.streaming import cdc_snapshot_version
+
+        batches = [
+            [(1, "2024-01-01 00:00:00", 1, "U", 10.0),
+             (2, "2024-01-01 06:00:00", 2, "U", 5.0),
+             (3, "2024-01-01 07:00:00", 3, "D", 0.0)],
+            [(1, "2024-01-02 00:00:00", 4, "U", 20.0),
+             (2, "2024-01-02 12:00:00", 5, "D", 0.0)],
+        ]
+        src, snap = self._run(spark, tmp_path, batches, "vr")
+        v0 = cdc_snapshot_version(spark, snap, 0)
+        rows0 = spark.createDataFrame(
+            batches[0], "k long, ts string, seq long, op string, v double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        batch0 = cdc_latest_snapshot(rows0, "k", "ts", "seq", "op", ["v"])
+        assert self._canon(v0) == self._canon(batch0)
+        assert {r[0] for r in self._canon(v0)} == {1, 2}  # 3's delete in batch 0
+        with _pt.raises(ValueError) as ei:
+            cdc_snapshot_version(spark, snap, 7)
+        assert "not in the ledger" in str(ei.value)
