@@ -7705,17 +7705,22 @@ def oracle_sql() -> dict[str, str]:
         WHERE rk <= 10
     """
 
-        # hybrid_rerank: candidates = BM25 top-20 ∪ coverage top-20
-        # (deduped), then the cross-encoder-style exact integer rerank —
-        # coverage, capped query-term tf, first-position bonus packed
-        # lexicographically with the per-query (50·|q|+1) base. The
-        # nullif(list_position, 0) chain is IDENTICAL to Spark's
-        # nullif(array_position, 0) (both return 0 for an absent
-        # element); the NULL-text error() mirrors the Spark in-plan
-        # raise.
-        o["hybrid_rerank"] = rf"""
-        WITH {_bm25_ctes},
-        cov AS (SELECT qp.query_id, t.doc_id, count(*)::BIGINT AS n_terms
+        # the rerank CTE chain SHARED by hybrid_rerank and
+        # hybrid_rerank_eval (one derivation, not a copy — a scoring
+        # fix must not be able to drift between the query oracle and
+        # its eval oracle; self-review r13): candidates = BM25 top-20
+        # ∪ coverage top-20 (deduped), then the cross-encoder-style
+        # exact integer rerank — coverage, capped query-term tf,
+        # first-position bonus packed lexicographically with the
+        # per-query (50·|q|+1) base. The nullif(list_position, 0)
+        # chain is IDENTICAL to Spark's nullif(array_position, 0)
+        # (both return 0 for an absent element); the NULL-text and
+        # NULL-or-empty-qtext error() mirrors match the Spark in-plan
+        # raises (the qtext guard closes the silent-garbage row class
+        # the r13 self-review found: least(NULL, 999) fabricated
+        # tf_sum for a corrupt query).
+        def _rerank_ctes(prefix: str) -> str:
+            return rf"""cov AS (SELECT qp.query_id, t.doc_id, count(*)::BIGINT AS n_terms
                 FROM tf t JOIN qp USING (term) GROUP BY 1, 2),
         covrk AS (SELECT query_id, doc_id, row_number() OVER (
                     PARTITION BY query_id
@@ -7725,12 +7730,16 @@ def oracle_sql() -> dict[str, str]:
                    SELECT query_id, doc_id FROM bmrk WHERE rk <= 20
                    UNION ALL
                    SELECT query_id, doc_id FROM covrk WHERE rk <= 20)),
+        qok AS (SELECT max(CASE WHEN qtext IS NULL OR trim(qtext) = ''
+                   THEN error('{prefix} oracle: NULL or empty qtext '
+                              '— mirrors the Spark in-plan raise')
+                   ELSE 0 END) AS ok FROM q),
         ql AS (SELECT query_id, list(term ORDER BY term) AS q_terms
                FROM qp GROUP BY 1),
         dtk AS (SELECT doc_id,
                        string_split_regex(lower(trim(
                          CASE WHEN text IS NULL THEN error(
-                           'hybrid_rerank oracle: NULL text on a '
+                           '{prefix} oracle: NULL text on a '
                            'candidate doc — mirrors the Spark in-plan '
                            'raise') ELSE text END)), '\s+') AS d_toks
                 FROM documents
@@ -7738,7 +7747,7 @@ def oracle_sql() -> dict[str, str]:
         feat AS (
           SELECT c.query_id, c.doc_id,
                  len(list_filter(q.q_terms,
-                     t -> list_contains(d.d_toks, t)))::BIGINT AS cov,
+                     t -> list_contains(d.d_toks, t)))::BIGINT AS fcov,
                  list_sum(list_transform(q.q_terms,
                      t -> len(list_filter(d.d_toks, x -> x = t))))
                    ::BIGINT AS tfsum,
@@ -7748,11 +7757,16 @@ def oracle_sql() -> dict[str, str]:
                    ::BIGINT AS possum,
                  len(q.q_terms)::BIGINT AS nq
           FROM cand c JOIN ql q USING (query_id) JOIN dtk d USING (doc_id)),
-        rsc AS (SELECT query_id, doc_id, cov,
+        rsc AS (SELECT query_id, doc_id, fcov AS cov,
                       least(tfsum, 999)::BIGINT AS tf_sum,
-                      ((1000 * cov + least(tfsum, 999)) * (50 * nq + 1)
+                      ((1000 * fcov + least(tfsum, 999)) * (50 * nq + 1)
                        + (50 * nq - possum))::BIGINT AS rerank_score
-               FROM feat)
+               FROM feat
+               WHERE (SELECT ok FROM qok) = 0)"""
+
+        o["hybrid_rerank"] = rf"""
+        WITH {_bm25_ctes},
+        {_rerank_ctes('hybrid_rerank')}
         SELECT query_id, doc_id, cov, tf_sum, rerank_score, rk FROM (
           SELECT rsc.*, row_number() OVER (
                    PARTITION BY query_id
@@ -7824,49 +7838,12 @@ def oracle_sql() -> dict[str, str]:
     """
 
         # hybrid_rerank_eval: the rerank tier graded against the SAME
-        # coverage qrels — the rerank CTE chain (candidates = BM25 ∪
-        # coverage top-20, joint integer features, top-10) feeding the
+        # coverage qrels — the SHARED rerank CTE chain feeding the
         # bm25_eval readout verbatim (pinned log2-discount weights,
         # integer shift gains, house round-half-up divisions).
         o["hybrid_rerank_eval"] = rf"""
         WITH {_bm25_ctes},
-        cov AS (SELECT qp.query_id, t.doc_id, count(*)::BIGINT AS n_terms
-                FROM tf t JOIN qp USING (term) GROUP BY 1, 2),
-        covrk AS (SELECT query_id, doc_id, row_number() OVER (
-                    PARTITION BY query_id
-                    ORDER BY n_terms DESC, doc_id) AS rk
-                  FROM cov),
-        cand AS (SELECT DISTINCT query_id, doc_id FROM (
-                   SELECT query_id, doc_id FROM bmrk WHERE rk <= 20
-                   UNION ALL
-                   SELECT query_id, doc_id FROM covrk WHERE rk <= 20)),
-        ql AS (SELECT query_id, list(term ORDER BY term) AS q_terms
-               FROM qp GROUP BY 1),
-        dtk AS (SELECT doc_id,
-                       string_split_regex(lower(trim(
-                         CASE WHEN text IS NULL THEN error(
-                           'hybrid_rerank_eval oracle: NULL text on a '
-                           'candidate doc — mirrors the Spark in-plan '
-                           'raise') ELSE text END)), '\s+') AS d_toks
-                FROM documents
-                WHERE doc_id IN (SELECT doc_id FROM cand)),
-        feat AS (
-          SELECT c.query_id, c.doc_id,
-                 len(list_filter(q.q_terms,
-                     t -> list_contains(d.d_toks, t)))::BIGINT AS fcov,
-                 list_sum(list_transform(q.q_terms,
-                     t -> len(list_filter(d.d_toks, x -> x = t))))
-                   ::BIGINT AS tfsum,
-                 list_sum(list_transform(q.q_terms,
-                     t -> least(coalesce(nullif(
-                            list_position(d.d_toks, t), 0), 50), 50)))
-                   ::BIGINT AS possum,
-                 len(q.q_terms)::BIGINT AS nq
-          FROM cand c JOIN ql q USING (query_id) JOIN dtk d USING (doc_id)),
-        rsc AS (SELECT query_id, doc_id,
-                      ((1000 * fcov + least(tfsum, 999)) * (50 * nq + 1)
-                       + (50 * nq - possum))::BIGINT AS rerank_score
-               FROM feat),
+        {_rerank_ctes('hybrid_rerank_eval')},
         res AS (SELECT query_id, doc_id, rk FROM (
                   SELECT rsc.*, row_number() OVER (
                            PARTITION BY query_id

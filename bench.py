@@ -844,8 +844,12 @@ def main() -> None:
     # is ALSO written to disk — atomic replace so a crashed run never
     # leaves a truncated file — and stdout gets the compact rendering as
     # the single final line so even a tail capture holds more entries.
+    # ROUND-STAMPED default (self-review r13: the hardcoded r12 name
+    # silently clobbered the committed round-12 closing artifact when
+    # the r13 passes ran — bump this constant at each round's first
+    # bench run, or set SPARK_GRAFT_BENCH_OUT)
     artifact = os.environ.get("SPARK_GRAFT_BENCH_OUT", os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_r12.json"))
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_r13.json"))
     tmp = artifact + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(out, fh, indent=1)

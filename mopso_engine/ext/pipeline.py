@@ -3072,8 +3072,11 @@ def cdc_snapshot_diff(
     (``keep_tombstones=True`` — a tombstone at T1 vs live at T2 is a
     re-creation, which an absent-row rendering could not distinguish
     from first creation) full-outer-joined on the key. T1 > T2 raises
-    at plan time (constant-folded) or in-plan: an inverted window
-    would silently swap created/deleted.
+    in-plan on the first ledger row read (an inverted window would
+    silently swap created/deleted); over an EMPTY ledger there is no
+    row to misclassify, so the inverted call returns empty like any
+    other read of an empty ledger — the guard protects outcomes, and
+    an empty ledger has only one.
 
     Shape (100 TB): deliberately TWO prefix-pruned ledger scans rather
     than one clever shared scan — each snapshot's rank-1 window is

@@ -400,17 +400,32 @@ def exact_rerank(
     higher-order array expressions evaluated in-row (JVM codegen, zero
     Python), and the final top-k is a WindowGroupLimit over ≤|cand|
     rows. A NULL candidate text raises in-plan (silently scoring an
-    unreadable doc as cov=0 would bury a corrupt corpus row).
+    unreadable doc as cov=0 would bury a corrupt corpus row), and so
+    does a NULL or term-less qtext (self-review r13: without the
+    guard, least(NULL, 999) fabricated tf_sum=999 and the NULL score
+    still earned rk=1 — silent-garbage rows for exactly the corrupt
+    queries an operator most needs to hear about).
 
     Returns (query_id, doc_id, cov, tf_sum, rerank_score, rk).
     """
     cap = int(pos_cap)
     qtoks = F.split(F.lower(F.trim(F.col("qtext"))), r"\s+")
+    q_terms_raw = F.array_sort(
+        F.array_distinct(F.filter(qtoks, lambda t: t != F.lit("")))
+    )
     qarr = queries.select(
         "query_id",
-        F.array_sort(
-            F.array_distinct(F.filter(qtoks, lambda t: t != F.lit("")))
-        ).alias("q_terms"),
+        F.when(
+            F.col("qtext").isNull() | (F.size(q_terms_raw) == 0),
+            F.raise_error(
+                F.lit(
+                    "exact_rerank: NULL or empty qtext — a query with "
+                    "no terms cannot be scored"
+                )
+            ),
+        )
+        .otherwise(q_terms_raw)
+        .alias("q_terms"),
     )
     cand = candidates.select("query_id", "doc_id").distinct()
     text_checked = F.when(

@@ -534,6 +534,28 @@ class TestSharedPrunedTf:
             exact_rerank(docs, qdf, cand).collect()
         assert "NULL text" in str(ei.value)
 
+    def test_exact_rerank_null_or_empty_qtext_raises(self, spark):
+        """Self-review r13 regression: a NULL qtext used to emit
+        (cov=NULL, tf_sum=999, score=NULL, rk=1) — least(NULL, 999)
+        fabricated the tf — and a whitespace-only qtext scored
+        everything 0; the oracle drops such queries, so the silent
+        rows were also a cross-engine divergence. Both now raise."""
+        from mopso_engine.ext.retrieval import exact_rerank
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta")], "doc_id long, text string"
+        )
+        cand = spark.createDataFrame(
+            [("q", 1)], "query_id string, doc_id long"
+        )
+        for qtext in (None, "   "):
+            qdf = spark.createDataFrame(
+                [("q", qtext)], "query_id string, qtext string"
+            )
+            with pytest.raises(Exception) as ei:
+                exact_rerank(docs, qdf, cand).collect()
+            assert "empty qtext" in str(ei.value)
+
     def test_exact_rerank_plan_is_broadcast_map_only(self, spark):
         """The 100 TB claim: the corpus scan is pruned by BROADCAST
         joins only — no sort-merge join, no Generate/explode anywhere
