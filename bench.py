@@ -474,7 +474,7 @@ ANCHOR_R08 = {
     # 1.4/0.8 — bm25_eval pays the full BM25 retriever AND the
     # coverage labeler, each a corpus explode+prune pass; the
     # schema-evolution entry rewrites both orders epochs every run).
-    # events_bootstrap_ci RE-ANCHORED r13 2.0 -> 1.2 after the plan
+    # events_bootstrap_ci RE-ANCHORED r13 2.0 -> 1.6 after the plan
     # restructure removed the true floor: the r12 "md5 CASE JIT"
     # hypothesis was wrong — AQE was coalescing the tiny per-unit
     # shuffle to ONE task and the 200x explode + md5 fold ran
@@ -483,8 +483,13 @@ ANCHOR_R08 = {
     # parallelism with an explicit-N round-robin repartition and rides
     # the point estimate on the replicate fold (4 exchanges, no join):
     # birth protocol best-of-5 read 0.73-1.15s warm, calibs 0.32-0.36
-    # vs the 0.5 session ref (BASELINE.md r13)
-    "bm25_eval": 4.8, "events_bootstrap_ci": 1.2,
+    # vs the 0.5 session ref. Like bm25_eval, the anchor is the
+    # BENCH-CONTEXT level, not the fresh-session floor: the three r13
+    # full passes read 1.64/2.38/2.35 inside the 179-entry session
+    # (accumulated-JIT/GC context, elevated host), and a 1.2 anchor
+    # would arm the retry net every round on healthy code
+    # (BASELINE.md r13)
+    "bm25_eval": 4.8, "events_bootstrap_ci": 1.6,
     "events_cdc_snapshot": 0.7, "orders_schema_evolution": 1.1,
     # r12 third batch (cold/warm: 4.6/2.4, 5.2/0.5, 1.6/0.9 — the cdc
     # stream pays two real AvailableNow fold batches + ledger IO every
