@@ -3005,12 +3005,16 @@ def cdc_snapshot_asof(
     per-version snapshots needed.
 
     Shape (100 TB): the asof predicate is a plain pushed-down filter on
-    the ledger scan — on a date/batch-partitioned ledger it PRUNES
-    PARTITIONS (only files up to the cut are read), and everything
-    downstream is exactly :func:`cdc_latest_snapshot`'s bounded shape:
-    one key exchange with the rank-1 WindowGroupLimit heap below it.
-    Cost scales with the ledger prefix up to T, never with the full
-    ledger.
+    the ledger scan, and everything downstream is exactly
+    :func:`cdc_latest_snapshot`'s bounded shape: one key exchange with
+    the rank-1 WindowGroupLimit heap below it. On a date/batch-
+    PARTITIONED ledger, ALSO pre-filter on the partition column
+    (``changes.where(col("day") <= to_date(asof))``) — Spark derives
+    no partition filter from a row-level timestamp predicate alone, so
+    the partition-column cut is what actually prunes directories
+    (measured: 5 of 10 day partitions read,
+    tests/test_plans.py::test_cdc_asof_prunes_ledger_partitions). Cost
+    then scales with the ledger prefix up to T, never the full ledger.
 
     NULL asof raises in-plan (a NULL cut would silently compare to
     NULL and return an EMPTY table — the silent-outcome class), and a
