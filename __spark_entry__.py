@@ -4965,9 +4965,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (broadcast key-prune of the history, window over touched keys
         only, replay-safe below-id version ledger). The LATEST
         version read back must equal the one-shot batch build — the
-        oracle is IDENTICAL to events_scd2's. Temp dirs are PID-keyed
-        and cleared up-front (a fresh run must never merge into a
-        previous run's ledger)."""
+        oracle is IDENTICAL to events_scd2's. Ledger setup shared with
+        events_scd2_version_read via _scd2_stream_ledger (one
+        derivation, not a copy)."""
+        from mopso_engine.ext.streaming import scd2_history_latest
+
+        hist = _scd2_stream_ledger(spark, sf, "stream")
+        h = scd2_history_latest(spark, hist)
+        return h.select(
+            "user_id",
+            F.round("value", 4).alias("value"),
+            "valid_from",
+            "valid_to",
+            "is_current",
+        )
+
+    def _scd2_stream_ledger(spark, sf, tag):
+        """Run the SCD2 streaming maintainer over the 'view' updates as
+        TWO deterministic time-split micro-batches (early half's file
+        mtimes pinned strictly older so the file source's batch order
+        is deterministic and collapse's per-key time-order contract
+        holds) and return the versioned history path. Shared by
+        events_scd2_stream and events_scd2_version_read. Temp dirs are
+        PID-and-tag-keyed and cleared up-front (a fresh run must never
+        merge into a previous run's ledger)."""
         import glob as _glob
         import shutil
         import tempfile
@@ -4975,14 +4996,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from mopso_engine.ext.streaming import (
             read_events,
-            scd2_history_latest,
             scd2_maintain_stream,
         )
 
         _utc(spark)
         base = os.path.join(
             tempfile.gettempdir(),
-            f"mopso_scd2_stream_{os.path.basename(sf.rstrip('/'))}"
+            f"mopso_scd2_{tag}_{os.path.basename(sf.rstrip('/'))}"
             f"_{os.getpid()}",
         )
         shutil.rmtree(base, ignore_errors=True)
@@ -5015,8 +5035,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             seq="event_id",
             query_name=f"scd2_m_{uuid.uuid4().hex[:8]}",
         )
-        h = scd2_history_latest(spark, os.path.join(base, "hist"))
-        return h.select(
+        return os.path.join(base, "hist")
+
+    def events_scd2_version_read(spark, sf):
+        """SCD2 ledger time travel by BATCH VERSION
+        (`ext.streaming.scd2_history_version`) — "the dimension
+        history AS OF batch 0": the maintainer's v=0 committed history
+        read straight off the ledger (no window, no merge — the
+        maintenance already paid it). Batch 0 IS the strict
+        ts < 2024-01-16 half of the update feed by the split's
+        construction, so the oracle is the one-shot scd2_history build
+        over exactly that prefix — including its OPEN periods
+        (valid_to NULL, is_current true): as of batch 0 those periods
+        had not yet been closed by the later updates, which is
+        precisely what a versioned read must show. A retired or
+        never-committed version raises (scd2_history_latest's below=N
+        fallback would silently serve an older survivor)."""
+        from mopso_engine.ext.streaming import scd2_history_version
+
+        hist = _scd2_stream_ledger(spark, sf, "vread")
+        v0 = scd2_history_version(spark, hist, 0)
+        return v0.select(
             "user_id",
             F.round("value", 4).alias("value"),
             "valid_from",
@@ -5902,7 +5941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows only), so the future schedule is readable off this comment:
     # the past-cutoff blocks are ALREADY in rotation order and each
     # round's slice is simply the next ~39 names after the flagships
-    # and that round's code-changed re-earners. All 258 are verified
+    # and that round's code-changed re-earners. All 259 are verified
     # locally by tools/check_oracle.py (same compare as the driver,
     # default + hostile sessions) before each round ends — the count
     # in this sentence is pinned to len(queries()) by
@@ -5930,11 +5969,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # encoder-style exact rerank tier, and the rerank tier's own
         # eval readout (VERDICT r12 #8) (6)
         events_cdc_asof, events_scd2_asof, events_cdc_diff,
-        events_cdc_version_read, hybrid_rerank, hybrid_rerank_eval,
-        # stale-tail rotation, oldest-verified-first (33): the r7
-        # block tail (32), then the r8 block head (1) — each block
-        # alphabetical (the deterministic tie order), blocks ordered
-        # by last-earned round ascending
+        events_cdc_version_read, events_scd2_version_read,
+        hybrid_rerank, hybrid_rerank_eval,
+        # stale-tail rotation, oldest-verified-first (32): the r7
+        # block tail — each block alphabetical (the deterministic tie
+        # order), blocks ordered by last-earned round ascending
         docs_chunked, docs_despan, docs_negative_pairs,   # last r7
         docs_packed, docs_para_dedup, docs_pii,           # last r7
         docs_quota_sample, docs_shuffled,                 # last r7
@@ -5948,13 +5987,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         repetition_stats_expr, source_mixture,            # last r7
         source_mixture_temp, stream_heavy_hitters,        # last r7
         token_counts,                                     # last r7
-        ann_int8_recall,                                  # last r8
-        # Window = 5 fits + 3 leaders + 3 re-earners + 6 new
-        # + 32 r7-tail + 1 r8-head = 50.
+        # Window = 5 fits + 3 leaders + 3 re-earners + 7 new
+        # + 32 r7-tail = 50.
         # --- the 50-entry truncation lands exactly here ---
-        # r14's rotation slice continues here: the r8 block remainder,
-        # then the r9/r10/r11/r12 blocks in last-earned order.
-        ann_matryoshka_recall,                            # last r8
+        # r14's rotation slice continues here: the r8 block, then the
+        # r9/r10/r11/r12 blocks in last-earned order.
+        ann_int8_recall, ann_matryoshka_recall,           # last r8
         codes_neardup, cross_source_dups,                 # last r8
         dedup_bloom_prefilter, dedup_incremental_fuzzy,   # last r8
         dedup_keep_best, dedup_prefix_filter,             # last r8
@@ -10390,6 +10428,30 @@ def oracle_sql() -> dict[str, str]:
     # events_scd2 history SQL filtered to the one period containing the
     # cut under the family's strict half-open convention (the same
     # interval predicate the lookup oracle uses per probe).
+    # events_scd2_version_read: the ledger's v=0 history IS the
+    # one-shot scd2_history build over the stream split's first
+    # micro-batch (the strict ts < cut half) — including its OPEN
+    # periods: as of batch 0 they had not yet been closed by later
+    # updates.
+    o["events_scd2_version_read"] = """
+        WITH upd AS (
+          SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'view'
+            AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+        chg AS (
+          SELECT user_id, ts, event_id, value FROM (
+            SELECT user_id, ts, event_id, value,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM upd)
+          WHERE rn = 1 OR pv IS DISTINCT FROM value)
+        SELECT user_id, round(value, 4) AS value, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+               (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+                 AS is_current
+        FROM chg
+    """
+
     o["events_scd2_asof"] = """
         WITH upd AS (
           SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'),

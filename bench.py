@@ -291,9 +291,11 @@ BENCH_QUERIES = [
     # rerank tier's eval readout (one pruned-tf pass, three consumers)
     "events_cdc_diff",
     "hybrid_rerank_eval",
-    # round-13 third batch: ledger time travel by batch version (the
-    # full AvailableNow maintainer run + one direct version read)
+    # round-13 third batch: ledger time travel by batch version (each
+    # pays its full AvailableNow maintainer run + one direct version
+    # read; CDC and SCD2 twins)
     "events_cdc_version_read",
+    "events_scd2_version_read",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -510,10 +512,12 @@ ANCHOR_R08 = {
     # candidate generators, the rerank pass AND the qrel labeler over
     # one shared pruned-tf; birth-protocol best-of-5, quiet calibs)
     "events_cdc_diff": 1.3, "hybrid_rerank_eval": 7.0,
-    # r13 third batch (cold/warm: 5.5/2.2 — pays the full two-batch
-    # AvailableNow maintainer run, like events_cdc_stream, plus the
-    # direct v=0 read; birth-protocol best-of-5, quiet calibs)
+    # r13 third batch (cold/warm: 5.5/2.2 and 5.0/2.2 — each pays its
+    # full two-batch AvailableNow maintainer run, like the stream
+    # twins, plus the direct v=0 read; birth-protocol best-of-5,
+    # quiet calibs)
     "events_cdc_version_read": 3.0,
+    "events_scd2_version_read": 3.0,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

@@ -713,6 +713,37 @@ def scd2_history_latest(spark: SparkSession, history_path: str, *, below: int | 
     return spark.read.parquet(f"{history_path}/v={max(versions)}")
 
 
+def scd2_history_version(
+    spark: SparkSession, history_path: str, version: int
+):
+    """Time-travel read over the streaming SCD2 ledger by BATCH
+    VERSION — "the dimension history AS OF batch N": the exact
+    ``v=<version>`` history the maintainer committed, read straight
+    off the ledger. The SCD2 twin of :func:`cdc_snapshot_version`
+    (and the versioned complement of
+    :func:`mopso_engine.ext.pipeline.scd2_asof_snapshot`'s timestamp
+    cut over a materialized history). Unlike
+    :func:`scd2_history_latest` ``below=N+1`` — which silently serves
+    the newest SURVIVING version under N+1 — a retired or
+    never-committed version RAISES: a reader asking for batch N's
+    state must not get batch N−3's dressed as an answer.
+
+    Shape: a direct path read of one committed version — the
+    maintenance already paid the merge; no window, no join.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    vp = jvm.org.apache.hadoop.fs.Path(f"{history_path}/v={int(version)}")
+    fs = vp.getFileSystem(hconf)
+    if not fs.exists(vp):
+        raise ValueError(
+            f"scd2_history_version: version {int(version)} is not in the "
+            f"ledger at {history_path} (never committed, or retired by "
+            f"keep_versions) — refusing to serve a different state"
+        )
+    return spark.read.parquet(f"{history_path}/v={int(version)}")
+
+
 def scd2_late_rows(spark: SparkSession, history_path: str):
     """All dead-lettered (too-late-to-reorder) update rows quarantined
     by :func:`scd2_maintain_stream`'s reorder buffer — the union of

@@ -3396,3 +3396,27 @@ class TestCdcStream:
         with _pt.raises(ValueError) as ei:
             cdc_snapshot_version(spark, snap, 7)
         assert "not in the ledger" in str(ei.value)
+
+    def test_scd2_history_version_reads_exact_and_retired_raises(
+        self, spark, tmp_path
+    ):
+        """The SCD2 ledger twin: scd2_history_version must serve the
+        EXACT requested version (scd2_history_latest's below=N+1
+        fallback would silently serve an older survivor) and raise on
+        a never-committed one."""
+        import pytest as _pt
+
+        from mopso_engine.ext.streaming import scd2_history_version
+
+        hist = str(tmp_path / "hist")
+        spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(
+            f"{hist}/v=0"
+        )
+        spark.createDataFrame([(1, "b")], "k long, v string").write.parquet(
+            f"{hist}/v=3"
+        )
+        assert scd2_history_version(spark, hist, 0).collect()[0]["v"] == "a"
+        assert scd2_history_version(spark, hist, 3).collect()[0]["v"] == "b"
+        with _pt.raises(ValueError) as ei:
+            scd2_history_version(spark, hist, 2)  # 0 and 3 exist; 2 never did
+        assert "not in the ledger" in str(ei.value)
