@@ -3478,6 +3478,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = read_events(spark, os.path.join(sf, "events.parquet"))
         return pl.attribution_report(ev, window_s=3600)
 
+    def events_attribution_multi(spark, sf):
+        """LINEAR multi-touch attribution
+        (`ext.pipeline.multi_touch_attribution`) — the credit model
+        last-touch cannot express: every strictly-prior click within 3
+        days of a purchase shares its value EQUALLY, with the exact
+        integer remainder rule (V div k everywhere, +1 micro to the
+        first V mod k touches in touch order) so per-conversion credit
+        sums EXACTLY to V in both engines. User-key equi-join with an
+        integer-microsecond range residual (bounded per-user fan-out,
+        never a range-pair explosion), per-conversion (k, rank)
+        windows over those bounded pairs, one tiny day rollup.
+        NULL key/ts/seq, NULL value and NEGATIVE value raise (div/mod
+        floor-vs-truncate is a cross-engine divergence for negatives
+        — and a refund cannot be credit-split by this rule)."""
+        from mopso_engine.ext import pipeline as pl
+        from mopso_engine.ext.streaming import read_events
+
+        _utc(spark)
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        return pl.multi_touch_attribution(
+            ev,
+            F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"),
+            window_s=259_200,
+        )
+
     def events_trending(spark, sf):
         """Recency-decayed trending users (`ext.pipeline.decayed_topk`):
         each event's weight halves per 3-day half-life via an integer
@@ -5941,7 +5966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows only), so the future schedule is readable off this comment:
     # the past-cutoff blocks are ALREADY in rotation order and each
     # round's slice is simply the next ~39 names after the flagships
-    # and that round's code-changed re-earners. All 259 are verified
+    # and that round's code-changed re-earners. All 260 are verified
     # locally by tools/check_oracle.py (same compare as the driver,
     # default + hostile sessions) before each round ends — the count
     # in this sentence is pinned to len(queries()) by
@@ -5990,6 +6015,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Window = 5 fits + 3 leaders + 3 re-earners + 7 new
         # + 32 r7-tail = 50.
         # --- the 50-entry truncation lands exactly here ---
+        # r14 WINDOW LEADER (late-r13-born, never driver-verified —
+        # front-load it after the fit flagships next round, the
+        # r12→r13 leader pattern): linear multi-touch attribution (1)
+        events_attribution_multi,
         # r14's rotation slice continues here: the r8 block, then the
         # r9/r10/r11/r12 blocks in last-earned order.
         ann_int8_recall, ann_matryoshka_recall,           # last r8
@@ -7162,6 +7191,56 @@ def oracle_sql() -> dict[str, str]:
                sum((bep IS NOT NULL AND epoch(ts) - bep <= 3600.0)::INT)::BIGINT
                  AS n_attributed
         FROM j GROUP BY 1
+    """
+
+    # events_attribution_multi: the linear credit split replays with
+    # integer-microsecond epoch arithmetic and DuckDB's //-on-
+    # non-negative == Spark's div; the NULL-feed mirror is GLOBAL (the
+    # Spark guard rides every event row before the type filters), the
+    # value mirrors scope to conversions and check the MICRO value's
+    # sign (floor(value*1e6+0.5) — a tiny negative raw value rounds to
+    # micro 0 and must NOT raise).
+    o["events_attribution_multi"] = """
+        WITH ev AS (
+          SELECT * FROM events
+          WHERE (SELECT max(CASE WHEN user_id IS NULL OR ts IS NULL
+                   OR event_id IS NULL
+                   THEN error('events_attribution_multi oracle: NULL '
+                              'user_id/ts/event_id — mirrors the Spark '
+                              'in-plan raise')
+                   ELSE 0 END) FROM events) = 0),
+        conv AS (
+          SELECT user_id, c_us, cid,
+                 CASE WHEN vnull THEN error(
+                        'events_attribution_multi oracle: NULL value — '
+                        'mirrors the Spark in-plan raise')
+                      WHEN m < 0 THEN error(
+                        'events_attribution_multi oracle: negative '
+                        'value — mirrors the Spark in-plan raise')
+                      ELSE m END AS v
+          FROM (SELECT user_id, epoch_us(ts) AS c_us, event_id AS cid,
+                       value IS NULL AS vnull,
+                       CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS m
+                FROM ev WHERE event_type = 'purchase')),
+        tch AS (
+          SELECT user_id, ts AS t_ts, epoch_us(ts) AS t_us,
+                 event_id AS tid
+          FROM ev WHERE event_type = 'click'),
+        pairs AS (
+          SELECT c.cid, c.v, t.t_ts, t.t_us, t.tid
+          FROM conv c JOIN tch t ON t.user_id = c.user_id
+           AND t.t_us < c.c_us
+           AND c.c_us - t.t_us <= 259200000000),
+        rk AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY cid ORDER BY t_us, tid) AS r,
+                 count(*) OVER (PARTITION BY cid) AS k
+          FROM pairs)
+        SELECT strftime(date_trunc('day', t_ts), '%Y-%m-%d') AS day,
+               count(*)::BIGINT AS n_touches,
+               sum(v // k + CASE WHEN r <= v % k THEN 1 ELSE 0 END)
+                 ::BIGINT AS credit_micro
+        FROM rk GROUP BY 1
     """
 
     # events_trending: the bit-shift decay replays verbatim (>> in

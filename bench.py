@@ -296,6 +296,10 @@ BENCH_QUERIES = [
     # read; CDC and SCD2 twins)
     "events_cdc_version_read",
     "events_scd2_version_read",
+    # round-13 fourth batch (documented r14 window leader): linear
+    # multi-touch attribution (user-key equi-join with a microsecond
+    # range residual + per-conversion credit-split windows)
+    "events_attribution_multi",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -518,6 +522,9 @@ ANCHOR_R08 = {
     # quiet calibs)
     "events_cdc_version_read": 3.0,
     "events_scd2_version_read": 3.0,
+    # r13 fourth batch (cold/warm: 2.5/0.79; birth-protocol best-of-5,
+    # quiet calibs)
+    "events_attribution_multi": 1.1,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

@@ -1593,6 +1593,123 @@ def attribution_report(
     )
 
 
+def multi_touch_attribution(
+    events: DataFrame,
+    value_micro: Column,
+    *,
+    convert_type: str = "purchase",
+    touch_type: str = "click",
+    window_s: int = 259_200,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """LINEAR multi-touch attribution — the credit model last-touch
+    (:func:`attribution_report`) cannot express: every strictly-prior
+    touch within ``window_s`` of a conversion shares that conversion's
+    value EQUALLY, so a campaign that opens journeys is visible, not
+    just the one that closes them. The daily credited-touch series is
+    the budget-allocation readout.
+
+    Exact integer credit: a conversion worth V micro with k in-window
+    touches pays ``V div k`` to every touch plus 1 extra micro to the
+    first ``V mod k`` touches in (touch ts asc, touch seq asc) order —
+    credits are engine-exact integers and SUM EXACTLY to V per
+    conversion (no float share, no lost remainder). Conversions with
+    zero in-window touches credit nothing (they are last-touch's
+    unattributed population; attribution_report counts them).
+
+    Matched failures: NULL key/ts/seq raise (the CDC corrupt-feed
+    class); NULL value raises (the bootstrap silent-skew class); a
+    NEGATIVE value raises — Spark's ``div``/``%`` truncate toward zero
+    while DuckDB's ``//``/``%`` floor, so negative remainder-splitting
+    is exactly the cross-engine divergence class the convention
+    forbids (a refund cannot be credit-split by this rule anyway).
+
+    Shape (100 TB): the conversion↔touch pairing is an equi-join on
+    the USER key with a residual integer-microsecond range predicate —
+    one exchange per side, per-user pair fan-out bounded by touches
+    inside the window, never a cross join; the per-conversion (k, r)
+    window runs partitioned by the conversion id over those bounded
+    pairs; the day rollup is one map-side-combined tiny aggregate.
+    """
+    if window_s <= 0:
+        raise ValueError(f"window_s must be positive, got {window_s}")
+    # the guard rides the KEY column (not ts): the user-key equi-join
+    # adds an isnotnull(key) filter that predicate-pushdown moves BELOW
+    # any projection it does not depend on — a ts-riding guard would be
+    # silently bypassed for exactly the corrupt rows it exists to catch
+    # (caught by the regression test); with the raise inside the key
+    # expression, evaluating the pushed null-filter IS the raise
+    key_checked = F.when(
+        F.col(key).isNull()
+        | F.col(ts_col).isNull()
+        | F.col(seq_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"multi_touch_attribution: NULL {key}/{ts_col}/{seq_col} "
+                f"— the event feed is corrupt"
+            )
+        ),
+    ).otherwise(F.col(key))
+    ev = events.withColumn(key, key_checked)
+    v_checked = (
+        F.when(
+            value_micro.isNull(),
+            F.raise_error(
+                F.lit("multi_touch_attribution: NULL conversion value")
+            ),
+        )
+        .when(
+            value_micro < 0,
+            F.raise_error(
+                F.lit(
+                    "multi_touch_attribution: negative conversion value — "
+                    "div/mod remainder-splitting is not defined for "
+                    "refunds (and floors vs truncates across engines)"
+                )
+            ),
+        )
+        .otherwise(value_micro)
+    )
+    conv = ev.where(F.col("event_type") == convert_type).select(
+        F.col(key).alias("__k"),
+        F.unix_micros(ts_col).alias("__c_us"),
+        F.col(seq_col).alias("__cid"),
+        v_checked.alias("__v"),
+    )
+    touch = ev.where(F.col("event_type") == touch_type).select(
+        F.col(key).alias("__k"),
+        F.col(ts_col).alias("__t_ts"),
+        F.unix_micros(ts_col).alias("__t_us"),
+        F.col(seq_col).alias("__tid"),
+    )
+    w_us = int(window_s) * 1_000_000
+    pairs = conv.join(touch, "__k").where(
+        (F.col("__t_us") < F.col("__c_us"))
+        & (F.col("__c_us") - F.col("__t_us") <= F.lit(w_us))
+    )
+    cw = Window.partitionBy("__cid")
+    rw = Window.partitionBy("__cid").orderBy(F.asc("__t_us"), F.asc("__tid"))
+    credited = (
+        pairs.withColumn("__k_n", F.count(F.lit(1)).over(cw))
+        .withColumn("__r", F.row_number().over(rw))
+        .select(
+            "__t_ts",
+            F.expr(
+                "CAST(__v div __k_n + CASE WHEN __r <= __v % __k_n "
+                "THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("__credit"),
+        )
+    )
+    return credited.groupBy(
+        F.date_format(F.to_date("__t_ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("__credit").alias("credit_micro"),
+    )
+
+
 def cuped_adjusted(
     events: DataFrame,
     *,

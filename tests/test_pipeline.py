@@ -3061,6 +3061,86 @@ class TestCdcNullGuards:
             assert extra in str(ei.value)
 
 
+class TestMultiTouchAttribution:
+    SCHEMA = "user_id long, ts timestamp, event_id long, event_type string, value double"
+
+    def _ev(self, spark, rows):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 3, 1)
+        return spark.createDataFrame(
+            [
+                (u, t0 + dt.timedelta(hours=h), i, et, v)
+                for u, h, i, et, v in rows
+            ],
+            self.SCHEMA,
+        )
+
+    def test_exact_remainder_split_replay(self, spark):
+        """V=1_000_001 micro over k=3 touches: 333333 each + 1 extra to
+        the FIRST two touches in (ts, seq) order — credits sum exactly
+        to V; a conversion with zero in-window touches credits nothing;
+        a touch outside the 3-day window is excluded."""
+        from mopso_engine.ext.pipeline import multi_touch_attribution
+
+        rows = [
+            # user 1: three touches (two same day, one next day), then
+            # a conversion worth 1.000001
+            (1, 0, 1, "click", 0.0),
+            (1, 1, 2, "click", 0.0),
+            (1, 30, 3, "click", 0.0),
+            (1, 40, 4, "purchase", 1.000001),
+            # user 2: touch OUTSIDE the 3-day window -> zero-touch
+            # conversion, credits nothing
+            (2, 0, 5, "click", 0.0),
+            (2, 100, 6, "purchase", 5.0),
+        ]
+        ev = self._ev(spark, rows)
+        out = {
+            r["day"]: (r["n_touches"], r["credit_micro"])
+            for r in multi_touch_attribution(
+                ev,
+                F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"),
+                window_s=259_200,
+            ).collect()
+        }
+        # touches 1, 2 on day 1 (+1 extra micro each: ranks 1, 2 get
+        # the V mod 3 = 2 remainder), touch 3 on day 2 (base share)
+        assert out == {
+            "2024-03-01": (2, 2 * 333_334),
+            "2024-03-02": (1, 333_333),
+        }
+        total = sum(c for _, c in out.values())
+        assert total == 1_000_001  # credit sums EXACTLY to V
+
+    def test_negative_and_null_value_raise(self, spark):
+        from mopso_engine.ext.pipeline import multi_touch_attribution
+
+        for v, msg in ((-1.0, "negative"), (None, "NULL conversion")):
+            rows = [(1, 0, 1, "click", 0.0), (1, 1, 2, "purchase", v)]
+            ev = self._ev(spark, rows)
+            with pytest.raises(Exception) as ei:
+                multi_touch_attribution(
+                    ev,
+                    F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"),
+                ).collect()
+            assert msg in str(ei.value)
+
+    def test_null_feed_key_raises(self, spark):
+        from mopso_engine.ext.pipeline import multi_touch_attribution
+
+        ev = self._ev(spark, [(1, 0, 1, "click", 0.0)]).unionByName(
+            self._ev(spark, [(1, 1, 2, "purchase", 1.0)]).withColumn(
+                "user_id", F.lit(None).cast("long")
+            )
+        )
+        with pytest.raises(Exception) as ei:
+            multi_touch_attribution(
+                ev, F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+            ).collect()
+        assert "corrupt" in str(ei.value)
+
+
 class TestDiffInDiff:
     def test_exact_python_replay(self, spark):
         import datetime as dt
