@@ -448,6 +448,87 @@ def main_x100_bm25() -> None:
     spark.stop()
 
 
+def main_x100_rerank() -> None:
+    """×1/×10/×100 curve for the exact rerank tier (r13-born —
+    two-decade evidence in its BIRTH round, pre-empting the
+    only-flagship-without-x100 debt class VERDICT r12 flagged for
+    BM25). Runs the declared ``hybrid_rerank`` on the same plain
+    re-keyed decades as the BM25 smoke and measures the tier's WORK
+    LAW directly: the candidate set is bounded by the retrievers'
+    top-k × |queries| — CONSTANT in the corpus — so the rerank stage's
+    own work (candidate docs scored) must stay FLAT through two
+    decades while only the shared candidate-generation pass (the
+    pruned-tf law already measured) grows linearly."""
+    from mopso_engine.session import build_session
+
+    spark = build_session(master="local[32]", app_name="scale-smoke-rerank")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry_mod
+
+    from mopso_engine.ext.retrieval import (
+        bm25_topk,
+        clear_retrieval_caches,
+        pruned_tf,
+        term_coverage_topk,
+    )
+
+    build_docs_xn(spark, 10, OUT_BM25)
+    build_docs_xn(spark, 100, OUT100_BM25)
+    qs = entry_mod.queries()
+    out: dict = {"metric": "scale100_rerank_smoke", "query": "hybrid_rerank"}
+    # warm pass eats codegen/JIT so no timed pass is charged for it
+    qs["hybrid_rerank"](spark, SRC).write.format("noop").mode("overwrite").save()
+    clear_retrieval_caches()
+    qdf_rows = [
+        ("q_hashjoin", "hash join scan"),
+        ("q_stream", "stream window watermark"),
+        ("q_customer", "customer order value"),
+    ]
+    for tag, d, mult in (
+        ("x1", SRC, 1), ("x10", OUT_BM25, 10), ("x100", OUT100_BM25, 100)
+    ):
+        snap0 = stage_writes(spark)
+        t0 = time.time()
+        qs["hybrid_rerank"](spark, d).write.format("noop").mode("overwrite").save()
+        t = round(time.time() - t0, 3)
+        clear_retrieval_caches()
+        tot, peak, nst = window_stats(snap0, stage_writes(spark))
+        # the work-law readout (untimed second pass): candidate pairs
+        # and distinct candidate docs — the rerank stage's own input,
+        # which must be top-k-bounded, never corpus-bounded
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        qdf = spark.createDataFrame(qdf_rows, "query_id string, qtext string")
+        tf = pruned_tf(docs, qdf)
+        bm = bm25_topk(docs, qdf, k1=1.2, b=0.75, top_k=20, tf=tf)
+        cov = term_coverage_topk(docs, qdf, top_k=20, tf=tf)
+        cand = bm.select("query_id", "doc_id").unionByName(
+            cov.select("query_id", "doc_id")
+        ).distinct()
+        n_pairs = cand.count()
+        n_docs_cand = cand.select("doc_id").distinct().count()
+        clear_retrieval_caches()
+        rec = {
+            "scale": mult, "wall_sec": t, "shuffle_write_bytes": tot,
+            "peak_stage_shuffle_bytes": peak, "stages": nst,
+            "n_docs": docs.count(),
+            "candidate_pairs": int(n_pairs),
+            "candidate_docs": int(n_docs_cand),
+        }
+        out[tag] = rec
+        print(
+            f"# hybrid_rerank {tag}: {t}s shuffle={tot} stages={nst} "
+            f"cand_pairs={n_pairs} cand_docs={n_docs_cand}",
+            file=sys.stderr,
+        )
+    for a, b in (("x10", "x1"), ("x100", "x10"), ("x100", "x1")):
+        out[f"ratio_{a}_vs_{b}"] = round(out[a]["wall_sec"] / out[b]["wall_sec"], 2)
+        out[f"cand_ratio_{a}_vs_{b}"] = round(
+            out[a]["candidate_pairs"] / max(1, out[b]["candidate_pairs"]), 2
+        )
+    print(json.dumps(out))
+    spark.stop()
+
+
 def stage_writes(spark) -> dict:
     """{(stageId, attemptId): shuffleWriteBytes} for completed stages via
     the REST API — callers diff two snapshots so totals AND peaks are
@@ -595,9 +676,17 @@ if __name__ == "__main__":
         help="run the BM25/pruned-tf x1/x10/x100 curve on plain "
         "re-keyed decades (builds .scale10bm25/.scale100bm25)",
     )
+    ap.add_argument(
+        "--x100-rerank",
+        action="store_true",
+        help="run the exact-rerank-tier x1/x10/x100 curve on plain "
+        "re-keyed decades (reuses .scale10bm25/.scale100bm25)",
+    )
     args = ap.parse_args()
     if args.x100_lsh:
         main_x100_lsh()
+    elif args.x100_rerank:
+        main_x100_rerank()
     elif args.x100_bm25:
         main_x100_bm25()
     elif args.x100:
