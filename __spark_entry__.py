@@ -7195,10 +7195,14 @@ def oracle_sql() -> dict[str, str]:
 
     # events_attribution_multi: the linear credit split replays with
     # integer-microsecond epoch arithmetic and DuckDB's //-on-
-    # non-negative == Spark's div; the NULL-feed mirror is GLOBAL (the
-    # Spark guard rides every event row before the type filters), the
-    # value mirrors scope to conversions and check the MICRO value's
-    # sign (floor(value*1e6+0.5) — a tiny negative raw value rounds to
+    # non-negative == Spark's div; the NULL-feed mirror is scoped to
+    # the PARTICIPATING event types ('purchase'/'click') — matching
+    # the real Spark raise placement, where Catalyst pushes the type
+    # filters below the guarded key projection so non-participating
+    # corrupt rows never evaluate the guard (ADVICE r13; the
+    # cdc_snapshot_asof prefix-scoped-mirror pattern); the value
+    # mirrors scope to conversions and check the MICRO value's sign
+    # (floor(value*1e6+0.5) — a tiny negative raw value rounds to
     # micro 0 and must NOT raise).
     o["events_attribution_multi"] = """
         WITH ev AS (
@@ -7208,7 +7212,8 @@ def oracle_sql() -> dict[str, str]:
                    THEN error('events_attribution_multi oracle: NULL '
                               'user_id/ts/event_id — mirrors the Spark '
                               'in-plan raise')
-                   ELSE 0 END) FROM events) = 0),
+                   ELSE 0 END) FROM events
+                 WHERE event_type IN ('purchase', 'click')) = 0),
         conv AS (
           SELECT user_id, c_us, cid,
                  CASE WHEN vnull THEN error(

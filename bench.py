@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -860,12 +861,25 @@ def main() -> None:
     # is ALSO written to disk — atomic replace so a crashed run never
     # leaves a truncated file — and stdout gets the compact rendering as
     # the single final line so even a tail capture holds more entries.
-    # ROUND-STAMPED default (self-review r13: the hardcoded r12 name
-    # silently clobbered the committed round-12 closing artifact when
-    # the r13 passes ran — bump this constant at each round's first
-    # bench run, or set SPARK_GRAFT_BENCH_OUT)
+    # ROUND-STAMPED default, now DERIVED, not hand-bumped (ADVICE r13:
+    # the r12-stamped constant silently clobbered the committed
+    # round-12 closing artifact when the r13 passes ran). The current
+    # round is 1 + the newest driver CORRECTNESS_r{N}.json in the repo
+    # dir — the driver writes that file at the END of round N, so its
+    # max is always last round; no constant to forget. Env override
+    # (SPARK_GRAFT_BENCH_OUT) still wins.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for m in (
+            re.match(r"CORRECTNESS_r(\d+)\.json$", f)
+            for f in os.listdir(repo_dir)
+        )
+        if m
+    ]
+    cur_round = (max(rounds) if rounds else 0) + 1
     artifact = os.environ.get("SPARK_GRAFT_BENCH_OUT", os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_r13.json"))
+        repo_dir, f"BENCH_local_r{cur_round:02d}.json"))
     tmp = artifact + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(out, fh, indent=1)

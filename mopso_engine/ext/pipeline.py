@@ -1619,12 +1619,20 @@ def multi_touch_attribution(
     zero in-window touches credit nothing (they are last-touch's
     unattributed population; attribution_report counts them).
 
-    Matched failures: NULL key/ts/seq raise (the CDC corrupt-feed
-    class); NULL value raises (the bootstrap silent-skew class); a
-    NEGATIVE value raises — Spark's ``div``/``%`` truncate toward zero
-    while DuckDB's ``//``/``%`` floor, so negative remainder-splitting
-    is exactly the cross-engine divergence class the convention
-    forbids (a refund cannot be credit-split by this rule anyway).
+    Matched failures: a NULL key/ts/seq on a PARTICIPATING row — one
+    whose ``event_type`` is the convert or touch type — raises (the
+    CDC corrupt-feed class); NULL value raises (the bootstrap
+    silent-skew class); a NEGATIVE value raises — Spark's
+    ``div``/``%`` truncate toward zero while DuckDB's ``//``/``%``
+    floor, so negative remainder-splitting is exactly the cross-engine
+    divergence class the convention forbids (a refund cannot be
+    credit-split by this rule anyway). The key guard's scope is the
+    participating types ONLY: Catalyst pushes the ``event_type``
+    filters below the guarded projection, so a corrupt row of any
+    other type (a 'view' with NULL user_id) never evaluates the guard
+    and is ignored — it cannot affect the result, and the DuckDB
+    oracle mirror is scoped to the same two types so both engines
+    agree (ADVICE r13; regression-tested both ways).
 
     Shape (100 TB): the conversion↔touch pairing is an equi-join on
     the USER key with a residual integer-microsecond range predicate —
@@ -1640,7 +1648,12 @@ def multi_touch_attribution(
     # any projection it does not depend on — a ts-riding guard would be
     # silently bypassed for exactly the corrupt rows it exists to catch
     # (caught by the regression test); with the raise inside the key
-    # expression, evaluating the pushed null-filter IS the raise
+    # expression, evaluating the pushed null-filter IS the raise.
+    # SCOPE (ADVICE r13): the guard is NOT global — Catalyst also
+    # pushes the event_type filters below this projection, so it only
+    # evaluates for convert/touch rows. That is the intended contract
+    # (a corrupt non-participating row cannot affect the result), and
+    # the oracle mirror is scoped to the same two types.
     key_checked = F.when(
         F.col(key).isNull()
         | F.col(ts_col).isNull()
@@ -2907,10 +2920,17 @@ def poisson_bootstrap_ci(
     # units-bounded shuffle (hash-repartitioning by (g, u) again would
     # be pruned as redundant — the agg output already satisfies it) —
     # the generic explode-after-shuffle AQE pitfall, worth pinning.
-    n_parts = max(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
-        1,
-    )
+    # ADVICE r13: the conf value may be non-numeric ('auto' on some
+    # runtimes, where AQE's initialPartitionNum governs the real shuffle
+    # width) — degrade to the cluster's default parallelism instead of
+    # raising ValueError at plan-build time.
+    try:
+        n_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except (TypeError, ValueError):
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+    n_parts = max(n_parts, 1)
     reps = (
         per_unit.repartition(n_parts)
         .select(

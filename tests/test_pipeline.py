@@ -2736,6 +2736,32 @@ class TestPoissonBootstrapCI:
             poisson_bootstrap_ci(df, "g", "u", F.col("v"), replicates=40).collect()
         assert "NULL value_micro" in str(ei.value)
 
+    def test_non_numeric_shuffle_partitions_degrades(self, spark, monkeypatch):
+        """ADVICE r13 regression: a non-integer
+        spark.sql.shuffle.partitions (e.g. 'auto' on runtimes where
+        AQE's initialPartitionNum governs — THIS build rejects it at
+        set-time, so simulate via the conf getter) must degrade to
+        defaultParallelism, not throw ValueError at plan-build time."""
+        from pyspark.sql.conf import RuntimeConfig
+
+        from mopso_engine.ext.pipeline import poisson_bootstrap_ci
+
+        df = spark.createDataFrame(
+            [("a", u, u * 10) for u in range(1, 21)], "g string, u long, v long"
+        )
+        real_get = RuntimeConfig.get
+
+        def fake_get(self, key, *args, **kwargs):
+            if key == "spark.sql.shuffle.partitions":
+                return "auto"
+            return real_get(self, key, *args, **kwargs)
+
+        monkeypatch.setattr(RuntimeConfig, "get", fake_get)
+        rows = poisson_bootstrap_ci(
+            df, "g", "u", F.col("v"), replicates=40
+        ).collect()
+        assert len(rows) == 1 and rows[0]["n_units"] == 20
+
     def test_pinned_cdf_table_matches_math(self):
         """The POISSON1_CUM_MICRO literals are round-half-up micro
         quantizations of the Poisson(1) CDF — recompute from math.exp."""
@@ -3139,6 +3165,71 @@ class TestMultiTouchAttribution:
                 ev, F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
             ).collect()
         assert "corrupt" in str(ei.value)
+
+    def test_null_key_on_non_participating_type_is_ignored(self, spark):
+        """ADVICE r13 regression: the key guard's scope is the
+        participating event types ONLY — Catalyst pushes the type
+        filters below the guarded projection, so a corrupt 'view' row
+        (NULL user_id) never evaluates the guard. That is the contract
+        (the row cannot affect the result); the oracle mirror is scoped
+        identically, so both engines return the same result here."""
+        from mopso_engine.ext.pipeline import multi_touch_attribution
+
+        clean = [
+            (1, 0, 1, "click", 0.0),
+            (1, 1, 2, "purchase", 1.0),
+        ]
+        corrupt_view = self._ev(spark, [(9, 2, 3, "view", 0.0)]).withColumn(
+            "user_id", F.lit(None).cast("long")
+        )
+        ev = self._ev(spark, clean).unionByName(corrupt_view)
+        out = {
+            r["day"]: (r["n_touches"], r["credit_micro"])
+            for r in multi_touch_attribution(
+                ev, F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+            ).collect()
+        }
+        assert out == {"2024-03-01": (1, 1_000_000)}
+
+    def test_oracle_mirror_scope_matches_spark(self):
+        """The DuckDB oracle's NULL-feed mirror must error on a corrupt
+        PARTICIPATING row and pass a corrupt non-participating one —
+        the exact scope of the Spark in-plan raise (ADVICE r13: the
+        pre-fix GLOBAL mirror errored where Spark did not)."""
+        import duckdb
+
+        import __spark_entry__ as entry_mod
+
+        sql = entry_mod.oracle_sql()["events_attribution_multi"]
+        base = (
+            "SELECT * FROM (VALUES "
+            "(1::BIGINT, TIMESTAMP '2024-03-01 00:00:00', 1::BIGINT, 'click', 0.0), "
+            "(1::BIGINT, TIMESTAMP '2024-03-01 01:00:00', 2::BIGINT, 'purchase', 1.0)"
+            "{extra}) t(user_id, ts, event_id, event_type, value)"
+        )
+        # corrupt 'view' row: scoped mirror passes, returns the result
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS "
+            + base.format(
+                extra=", (NULL, TIMESTAMP '2024-03-01 02:00:00', 3::BIGINT, "
+                "'view', 0.0)"
+            )
+        )
+        rows = con.execute(sql).fetchall()
+        assert rows == [("2024-03-01", 1, 1_000_000)]
+        # corrupt 'click' row: mirrors the Spark raise
+        con2 = duckdb.connect()
+        con2.execute(
+            "CREATE VIEW events AS "
+            + base.format(
+                extra=", (NULL, TIMESTAMP '2024-03-01 02:00:00', 3::BIGINT, "
+                "'click', 0.0)"
+            )
+        )
+        with pytest.raises(Exception) as ei:
+            con2.execute(sql).fetchall()
+        assert "NULL" in str(ei.value)
 
 
 class TestDiffInDiff:
