@@ -56,6 +56,23 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        # Let AQE right-size CACHED plan output too (SPARK-38918,
+        # default false): without it a persisted implicit-shuffle
+        # output (the pruned-tf table, any persisted groupBy result)
+        # is stored at the full shuffle width — 64 near-empty blocks
+        # for a 31k-row cache here — and EVERY consumer stage schedules
+        # that many tasks. Measured r14: flat on the explicit-N
+        # repartition caches (graph adjacency, shingle tables — AQE
+        # never touches user-specified partitioning, so their reported
+        # hash distribution and the per-iteration zero-exchange joins
+        # survive; pagerank/dedup/fit A/B flat) and 35-47% off the
+        # whole retrieval family (hybrid_rerank 8.4→4.4s). At cluster
+        # scale the same rule right-sizes cached intermediates instead
+        # of pinning them to the configured shuffle width.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.driver.memory", driver_memory)
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         # ContextCleaner only reclaims shuffle files / broadcasts after a
