@@ -1593,6 +1593,87 @@ def attribution_report(
     )
 
 
+def _attribution_pairs(
+    events: DataFrame,
+    value_micro: Column,
+    *,
+    convert_type: str,
+    touch_type: str,
+    window_s: int,
+    ts_col: str,
+    key: str,
+    seq_col: str,
+    caller: str,
+) -> DataFrame:
+    """The bounded conversion↔touch pair table every multi-touch credit
+    model splits over (linear / position / time-decay — the models
+    differ ONLY in the per-pair credit expression). Equi-join on the
+    USER key with a residual integer-microsecond range predicate — one
+    exchange per side, per-user pair fan-out bounded by touches inside
+    the window, never a cross join.
+
+    Matched failures (raised under ``caller``'s name so each model's
+    oracle mirrors its own raise): NULL key/ts/seq on a PARTICIPATING
+    row raises — the guard rides the KEY column so predicate pushdown
+    of the join's isnotnull(key) filter IS the raise, and its scope is
+    the convert/touch types only because Catalyst pushes the type
+    filters below the projection (ADVICE r13; every model's oracle is
+    scoped identically); NULL value raises; NEGATIVE value raises
+    (div/mod remainder-splitting floors vs truncates across engines,
+    and a refund cannot be credit-split).
+
+    Returns (__k, __c_us, __cid, __v, __t_ts, __t_us, __tid).
+    """
+    if window_s <= 0:
+        raise ValueError(f"window_s must be positive, got {window_s}")
+    key_checked = F.when(
+        F.col(key).isNull()
+        | F.col(ts_col).isNull()
+        | F.col(seq_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"{caller}: NULL {key}/{ts_col}/{seq_col} "
+                f"— the event feed is corrupt"
+            )
+        ),
+    ).otherwise(F.col(key))
+    ev = events.withColumn(key, key_checked)
+    v_checked = (
+        F.when(
+            value_micro.isNull(),
+            F.raise_error(F.lit(f"{caller}: NULL conversion value")),
+        )
+        .when(
+            value_micro < 0,
+            F.raise_error(
+                F.lit(
+                    f"{caller}: negative conversion value — "
+                    f"div/mod remainder-splitting is not defined for "
+                    f"refunds (and floors vs truncates across engines)"
+                )
+            ),
+        )
+        .otherwise(value_micro)
+    )
+    conv = ev.where(F.col("event_type") == convert_type).select(
+        F.col(key).alias("__k"),
+        F.unix_micros(ts_col).alias("__c_us"),
+        F.col(seq_col).alias("__cid"),
+        v_checked.alias("__v"),
+    )
+    touch = ev.where(F.col("event_type") == touch_type).select(
+        F.col(key).alias("__k"),
+        F.col(ts_col).alias("__t_ts"),
+        F.unix_micros(ts_col).alias("__t_us"),
+        F.col(seq_col).alias("__tid"),
+    )
+    w_us = int(window_s) * 1_000_000
+    return conv.join(touch, "__k").where(
+        (F.col("__t_us") < F.col("__c_us"))
+        & (F.col("__c_us") - F.col("__t_us") <= F.lit(w_us))
+    )
+
+
 def multi_touch_attribution(
     events: DataFrame,
     value_micro: Column,
@@ -1643,64 +1724,16 @@ def multi_touch_attribution(
     """
     if window_s <= 0:
         raise ValueError(f"window_s must be positive, got {window_s}")
-    # the guard rides the KEY column (not ts): the user-key equi-join
-    # adds an isnotnull(key) filter that predicate-pushdown moves BELOW
-    # any projection it does not depend on — a ts-riding guard would be
-    # silently bypassed for exactly the corrupt rows it exists to catch
-    # (caught by the regression test); with the raise inside the key
-    # expression, evaluating the pushed null-filter IS the raise.
-    # SCOPE (ADVICE r13): the guard is NOT global — Catalyst also
-    # pushes the event_type filters below this projection, so it only
-    # evaluates for convert/touch rows. That is the intended contract
-    # (a corrupt non-participating row cannot affect the result), and
-    # the oracle mirror is scoped to the same two types.
-    key_checked = F.when(
-        F.col(key).isNull()
-        | F.col(ts_col).isNull()
-        | F.col(seq_col).isNull(),
-        F.raise_error(
-            F.lit(
-                f"multi_touch_attribution: NULL {key}/{ts_col}/{seq_col} "
-                f"— the event feed is corrupt"
-            )
-        ),
-    ).otherwise(F.col(key))
-    ev = events.withColumn(key, key_checked)
-    v_checked = (
-        F.when(
-            value_micro.isNull(),
-            F.raise_error(
-                F.lit("multi_touch_attribution: NULL conversion value")
-            ),
-        )
-        .when(
-            value_micro < 0,
-            F.raise_error(
-                F.lit(
-                    "multi_touch_attribution: negative conversion value — "
-                    "div/mod remainder-splitting is not defined for "
-                    "refunds (and floors vs truncates across engines)"
-                )
-            ),
-        )
-        .otherwise(value_micro)
-    )
-    conv = ev.where(F.col("event_type") == convert_type).select(
-        F.col(key).alias("__k"),
-        F.unix_micros(ts_col).alias("__c_us"),
-        F.col(seq_col).alias("__cid"),
-        v_checked.alias("__v"),
-    )
-    touch = ev.where(F.col("event_type") == touch_type).select(
-        F.col(key).alias("__k"),
-        F.col(ts_col).alias("__t_ts"),
-        F.unix_micros(ts_col).alias("__t_us"),
-        F.col(seq_col).alias("__tid"),
-    )
-    w_us = int(window_s) * 1_000_000
-    pairs = conv.join(touch, "__k").where(
-        (F.col("__t_us") < F.col("__c_us"))
-        & (F.col("__c_us") - F.col("__t_us") <= F.lit(w_us))
+    pairs = _attribution_pairs(
+        events,
+        value_micro,
+        convert_type=convert_type,
+        touch_type=touch_type,
+        window_s=window_s,
+        ts_col=ts_col,
+        key=key,
+        seq_col=seq_col,
+        caller="multi_touch_attribution",
     )
     cw = Window.partitionBy("__cid")
     rw = Window.partitionBy("__cid").orderBy(F.asc("__t_us"), F.asc("__tid"))
@@ -1714,6 +1747,173 @@ def multi_touch_attribution(
                 "THEN 1 ELSE 0 END AS BIGINT)"
             ).alias("__credit"),
         )
+    )
+    return credited.groupBy(
+        F.date_format(F.to_date("__t_ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("__credit").alias("credit_micro"),
+    )
+
+
+def position_attribution(
+    events: DataFrame,
+    value_micro: Column,
+    *,
+    convert_type: str = "purchase",
+    touch_type: str = "click",
+    window_s: int = 259_200,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """POSITION-BASED (U-shape) multi-touch attribution — the 40/20/40
+    budget model: the FIRST touch (journey opener) and the LAST touch
+    (closer) each take 40% of a conversion's value, the middle touches
+    split the remaining 20% equally. Completes the attribution ladder
+    next to last-touch (:func:`attribution_report`) and linear
+    (:func:`multi_touch_attribution`); same bounded pair join
+    (:func:`_attribution_pairs`), different credit expression.
+
+    Exact integer credit (sums EXACTLY to V per conversion):
+
+    * k = 1: the single touch takes V.
+    * k = 2: ``V div 2`` each, remainder micro to the FIRST touch
+      (the empty middle pool renormalizes 40/40 to an exact half
+      split — the standard degenerate-U convention).
+    * k ≥ 3: first = last = ``(V*2) div 5`` (exactly 40% when V is
+      divisible by 5); the middle pool M = V − first − last absorbs
+      the 40%-rounding remainder, each middle takes ``M div (k−2)``
+      plus 1 extra micro to the earliest middles in (touch ts asc,
+      touch seq asc) order.
+
+    Matched failures and the guard's participating-type scope are
+    :func:`_attribution_pairs`'s, raised under this model's name.
+
+    Shape (100 TB): identical to the linear model — the pair join is
+    user-key-bounded, the rank/count windows partition by conversion
+    id over those bounded pairs, the day rollup is one tiny map-side-
+    combined aggregate. Returns (day, n_touches, credit_micro).
+    """
+    pairs = _attribution_pairs(
+        events,
+        value_micro,
+        convert_type=convert_type,
+        touch_type=touch_type,
+        window_s=window_s,
+        ts_col=ts_col,
+        key=key,
+        seq_col=seq_col,
+        caller="position_attribution",
+    )
+    cw = Window.partitionBy("__cid")
+    rw = Window.partitionBy("__cid").orderBy(F.asc("__t_us"), F.asc("__tid"))
+    credited = (
+        pairs.withColumn("__k_n", F.count(F.lit(1)).over(cw))
+        .withColumn("__r", F.row_number().over(rw))
+        .select(
+            "__t_ts",
+            F.expr(
+                "CAST(CASE "
+                "WHEN __k_n = 1 THEN __v "
+                "WHEN __k_n = 2 THEN __v div 2 "
+                "  + CASE WHEN __r = 1 THEN __v % 2 ELSE 0 END "
+                "WHEN __r = 1 OR __r = __k_n THEN (__v * 2) div 5 "
+                "ELSE (__v - 2 * ((__v * 2) div 5)) div (__k_n - 2) "
+                "  + CASE WHEN __r - 1 <= "
+                "      (__v - 2 * ((__v * 2) div 5)) % (__k_n - 2) "
+                "    THEN 1 ELSE 0 END "
+                "END AS BIGINT)"
+            ).alias("__credit"),
+        )
+    )
+    return credited.groupBy(
+        F.date_format(F.to_date("__t_ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("__credit").alias("credit_micro"),
+    )
+
+
+def time_decay_attribution(
+    events: DataFrame,
+    value_micro: Column,
+    *,
+    half_life_s: int = 86_400,
+    convert_type: str = "purchase",
+    touch_type: str = "click",
+    window_s: int = 259_200,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """TIME-DECAY multi-touch attribution — recent touches earn more:
+    each in-window touch weighs ``2^(−age/half_life)`` of a
+    conversion's value, normalized per conversion. The third credit
+    model on :func:`_attribution_pairs`'s bounded pair join.
+
+    Exact integer weights via the events_trending bit-shift pattern
+    (engine-exact: ``>>`` in DuckDB == ``shiftright`` in Spark on
+    non-negative BIGINTs): ``w = 1_000_000 >> least(age_us div
+    half_life_us, 19)`` — the STEPPED exponential (floor of elapsed
+    half-lives), one integer op, no transcendental. Credits are
+    ``V·w div W`` (W = Σw per conversion) in DECIMAL(38,0) — the
+    bm25 exact-rational pattern, so an over-BIGINT product cannot
+    silently wrap — plus 1 extra micro to the first ``V − Σ base``
+    touches in (touch ts DESC, touch seq asc) order (most-recent-first
+    — the model's own bias direction), so credit sums EXACTLY to V
+    per conversion.
+
+    Matched failures and the guard's participating-type scope are
+    :func:`_attribution_pairs`'s, raised under this model's name;
+    a non-positive half_life raises at plan-build time.
+
+    Shape (100 TB): identical to the linear model — user-key-bounded
+    pair join, two same-exchange windows over the conversion id, one
+    tiny day rollup. Returns (day, n_touches, credit_micro).
+    """
+    if half_life_s <= 0:
+        raise ValueError(f"half_life_s must be positive, got {half_life_s}")
+    pairs = _attribution_pairs(
+        events,
+        value_micro,
+        convert_type=convert_type,
+        touch_type=touch_type,
+        window_s=window_s,
+        ts_col=ts_col,
+        key=key,
+        seq_col=seq_col,
+        caller="time_decay_attribution",
+    )
+    hl_us = int(half_life_s) * 1_000_000
+    cw = Window.partitionBy("__cid")
+    rw = Window.partitionBy("__cid").orderBy(
+        F.desc("__t_us"), F.asc("__tid")
+    )
+    weighted = pairs.withColumn(
+        "__w",
+        F.expr(
+            f"shiftright(CAST(1000000 AS BIGINT), "
+            f"CAST(least((__c_us - __t_us) div {hl_us}, 19) AS INT))"
+        ),
+    )
+    based = (
+        weighted.withColumn("__wsum", F.sum("__w").over(cw))
+        .withColumn(
+            "__base",
+            F.expr(
+                "CAST(CAST(__v AS DECIMAL(38,0)) * __w div __wsum "
+                "AS BIGINT)"
+            ),
+        )
+        .withColumn("__rem", F.col("__v") - F.sum("__base").over(cw))
+        .withColumn("__rn", F.row_number().over(rw))
+    )
+    credited = based.select(
+        "__t_ts",
+        F.expr(
+            "__base + CASE WHEN __rn <= __rem THEN 1 ELSE 0 END"
+        ).alias("__credit"),
     )
     return credited.groupBy(
         F.date_format(F.to_date("__t_ts"), "yyyy-MM-dd").alias("day")

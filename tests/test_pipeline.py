@@ -3232,6 +3232,135 @@ class TestMultiTouchAttribution:
         assert "NULL" in str(ei.value)
 
 
+class TestPositionAttribution:
+    SCHEMA = TestMultiTouchAttribution.SCHEMA
+    _ev = TestMultiTouchAttribution._ev
+    VAL = "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"
+
+    def test_exact_u_shape_split_replay(self, spark):
+        """k=3: first/last take (V*2) div 5 = 400000 each of
+        V=1_000_001, the single middle absorbs the pool WITH the
+        40%-rounding remainder (200_001); k=2 renormalizes to an exact
+        half split, remainder micro to the FIRST touch; k=1 takes V;
+        a zero-touch conversion credits nothing. Credit sums EXACTLY
+        to ΣV."""
+        from mopso_engine.ext.pipeline import position_attribution
+
+        rows = [
+            # user 1: k=3 (touches h=0,1 on day 1; h=30 on day 2)
+            (1, 0, 1, "click", 0.0),
+            (1, 1, 2, "click", 0.0),
+            (1, 30, 3, "click", 0.0),
+            (1, 40, 4, "purchase", 1.000001),
+            # user 2: zero-touch conversion (touch outside window)
+            (2, 0, 5, "click", 0.0),
+            (2, 100, 6, "purchase", 5.0),
+            # user 3: k=2, V=3 micro -> first 2, last 1 (both day 1)
+            (3, 0, 7, "click", 0.0),
+            (3, 1, 8, "click", 0.0),
+            (3, 2, 9, "purchase", 0.000003),
+            # user 4: k=1 -> the single touch takes all of V (day 1)
+            (4, 0, 10, "click", 0.0),
+            (4, 1, 11, "purchase", 5.0),
+        ]
+        out = {
+            r["day"]: (r["n_touches"], r["credit_micro"])
+            for r in position_attribution(
+                self._ev(spark, rows), F.expr(self.VAL), window_s=259_200
+            ).collect()
+        }
+        # day1: u1 first(400000) + u1 middle(200001) + u3 both(2+1)
+        #       + u4 single(5_000_000); day2: u1 last(400000)
+        assert out == {
+            "2024-03-01": (5, 400_000 + 200_001 + 3 + 5_000_000),
+            "2024-03-02": (1, 400_000),
+        }
+        assert sum(c for _, c in out.values()) == 1_000_001 + 3 + 5_000_000
+
+    def test_matched_failures_raise_under_own_name(self, spark):
+        from mopso_engine.ext.pipeline import position_attribution
+
+        rows = [(1, 0, 1, "click", 0.0), (1, 1, 2, "purchase", -1.0)]
+        with pytest.raises(Exception) as ei:
+            position_attribution(
+                self._ev(spark, rows), F.expr(self.VAL)
+            ).collect()
+        assert "position_attribution: negative" in str(ei.value)
+
+
+class TestTimeDecayAttribution:
+    SCHEMA = TestMultiTouchAttribution.SCHEMA
+    _ev = TestMultiTouchAttribution._ev
+    VAL = "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"
+
+    def test_exact_bit_shift_decay_replay(self, spark):
+        """half_life=1 day; conversion at h=40 with touches at h=0/1/30:
+        ages 40h/39h/10h floor to 1/1/0 half-lives -> weights
+        500000/500000/1000000, W=2e6. base = V*w div W in exact
+        integers (250000/250000/500000 for V=1_000_001), the single
+        remainder micro goes to the MOST RECENT touch. Credit sums
+        EXACTLY to V; a zero-touch conversion credits nothing."""
+        from mopso_engine.ext.pipeline import time_decay_attribution
+
+        rows = [
+            (1, 0, 1, "click", 0.0),
+            (1, 1, 2, "click", 0.0),
+            (1, 30, 3, "click", 0.0),
+            (1, 40, 4, "purchase", 1.000001),
+            (2, 0, 5, "click", 0.0),
+            (2, 100, 6, "purchase", 5.0),
+        ]
+        out = {
+            r["day"]: (r["n_touches"], r["credit_micro"])
+            for r in time_decay_attribution(
+                self._ev(spark, rows),
+                F.expr(self.VAL),
+                half_life_s=86_400,
+                window_s=259_200,
+            ).collect()
+        }
+        assert out == {
+            "2024-03-01": (2, 500_000),
+            "2024-03-02": (1, 500_001),
+        }
+        assert sum(c for _, c in out.values()) == 1_000_001
+
+    def test_deep_age_shift_is_clamped(self, spark):
+        """A touch 25+ half-lives old would shift past the micro unit;
+        the shift clamps at 19 (weight 1 micro) exactly like
+        events_trending — and the touch still earns its base share."""
+        from mopso_engine.ext.pipeline import time_decay_attribution
+
+        rows = [
+            (1, 0, 1, "click", 0.0),
+            (1, 50, 2, "purchase", 1.0),
+        ]
+        out = time_decay_attribution(
+            self._ev(spark, rows),
+            F.expr(self.VAL),
+            half_life_s=3600,  # 50 half-lives -> clamped shift 19
+            window_s=259_200,
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["credit_micro"] == 1_000_000  # single touch: all V
+
+    def test_matched_failures_and_half_life_guard(self, spark):
+        from mopso_engine.ext.pipeline import time_decay_attribution
+
+        with pytest.raises(ValueError):
+            time_decay_attribution(
+                self._ev(spark, [(1, 0, 1, "click", 0.0)]),
+                F.expr(self.VAL),
+                half_life_s=0,
+            )
+        rows = [(1, 0, 1, "click", None), (1, 1, 2, "purchase", None)]
+        with pytest.raises(Exception) as ei:
+            time_decay_attribution(
+                self._ev(spark, rows), F.expr(self.VAL)
+            ).collect()
+        assert "time_decay_attribution: NULL conversion value" in str(ei.value)
+
+
 class TestDiffInDiff:
     def test_exact_python_replay(self, spark):
         import datetime as dt

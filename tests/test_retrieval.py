@@ -433,6 +433,31 @@ class TestRetrievalEval:
 
 
 class TestSharedPrunedTf:
+    def test_hybrid_entries_build_one_pruned_tf_pass(self, spark, monkeypatch):
+        """VERDICT r13 #3 guard: every hybrid-family entry must pay the
+        corpus explode ONCE — hybrid_search used to let the coverage
+        retriever re-explode the corpus itself (its identified level
+        drift vs the r10 birth). Counts real pruned_tf calls through
+        the entry path; a second call (either retriever building its
+        own) fails here before it can show up as a bench regression."""
+        import mopso_engine.ext.retrieval as rt
+
+        import __spark_entry__ as em
+
+        calls = {"n": 0}
+        real = rt.pruned_tf
+
+        def counted(docs, queries):
+            calls["n"] += 1
+            return real(docs, queries)
+
+        monkeypatch.setattr(rt, "pruned_tf", counted)
+        q = em.queries()
+        for name in ("hybrid_search", "hybrid_rerank", "hybrid_rerank_eval"):
+            calls["n"] = 0
+            q[name](spark, "/root/testdata/sf0.001").collect()
+            assert calls["n"] == 1, (name, calls["n"])
+
     def test_coverage_qrels_with_shared_tf_is_identical(self, spark):
         """Self-review: bm25_eval shares ONE pruned_tf pass between the
         retriever and the labeler — the shared-input path must be
