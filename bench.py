@@ -301,6 +301,11 @@ BENCH_QUERIES = [
     # multi-touch attribution (user-key equi-join with a microsecond
     # range residual + per-conversion credit-split windows)
     "events_attribution_multi",
+    # round-14: the ladder's position-based (U-shape) and time-decay
+    # credit models — same bounded pair join, different in-row credit
+    # expression (decay adds the bit-shift weight + a second window)
+    "events_attribution_position",
+    "events_attribution_decay",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -526,6 +531,12 @@ ANCHOR_R08 = {
     # r13 fourth batch (cold/warm: 2.5/0.79; birth-protocol best-of-5,
     # quiet calibs)
     "events_attribution_multi": 1.1,
+    # r14 births (birth-protocol best-of-5 on a ~1.7x-elevated host,
+    # calibs 0.53-0.92 vs the 0.35 quiet level: position 0.73, decay
+    # 0.73 — quiet-equivalent ~0.45-0.55; anchored at the linear
+    # model's level, same bounded pair join + one extra window)
+    "events_attribution_position": 1.0,
+    "events_attribution_decay": 1.0,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

@@ -529,6 +529,139 @@ def main_x100_rerank() -> None:
     spark.stop()
 
 
+OUT_ATTR = os.path.join(_REPO, ".scale10attr")
+OUT100_ATTR = os.path.join(_REPO, ".scale100attr")
+
+
+def build_events_users_xn(spark, n: int, dest: str) -> None:
+    """×n events with USER-REKEYED replicas (user_id AND event_id
+    offset per replica, timestamps/values verbatim): users grow ×n at
+    CONSTANT per-user journey density — the realistic 100× growth for
+    an attribution workload, and the only selection that can separate
+    the claimed pair law (pairs ∝ conversions × in-window touches,
+    linear here) from the users² / per-user cross-join anti-claims
+    (which would grow ×n² / stay ∝ conv_u×touch_u per user). The
+    CDC smoke's FIXED-key selection is deliberately not reused: with
+    shared keys and verbatim timestamps every conversion replica pairs
+    with every touch replica, so pairs grow ×n² BY THE LAW ITSELF —
+    correct but untenable at ×100 and unrepresentative (real growth
+    adds journeys, not 100×-denser ones)."""
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+    scaled = None
+    for i in range(n):
+        d = ev.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * 100_000_000)
+        ).withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
+        scaled = d if scaled is None else scaled.unionByName(d)
+    scaled.repartition(max(16, n // 4)).write.parquet(
+        os.path.join(dest, "events.parquet")
+    )
+
+
+def main_x100_attribution() -> None:
+    """×1/×10/×100 curve for the multi-touch attribution family
+    (VERDICT r13 #5 — the only r13-born family without two-decade
+    evidence). Runs the declared ``events_attribution_multi`` at each
+    decade over user-rekeyed events and measures the WORK LAW
+    directly: pair rows = Σ over conversions of in-window prior
+    touches (LINEAR in users at constant journey density — never the
+    per-user conv×touch cross-join bound, never users²), constant
+    stages, and per-decade credit that sums EXACTLY to the total value
+    of touched conversions (the integer remainder rule loses nothing
+    at any scale)."""
+    from mopso_engine.session import build_session
+
+    spark = build_session(master="local[32]", app_name="scale-smoke-attr")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from mopso_engine.ext.pipeline import _attribution_pairs
+
+    build_events_users_xn(spark, 10, OUT_ATTR)
+    build_events_users_xn(spark, 100, OUT100_ATTR)
+    qs = entry_mod.queries()
+    out: dict = {
+        "metric": "scale100_attribution_smoke",
+        "query": "events_attribution_multi",
+    }
+    # warm pass eats codegen/JIT so no timed pass is charged for it
+    qs["events_attribution_multi"](spark, SRC).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    vexpr = F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+    for tag, d, mult in (
+        ("x1", SRC, 1), ("x10", OUT_ATTR, 10), ("x100", OUT100_ATTR, 100)
+    ):
+        snap0 = stage_writes(spark)
+        t0 = time.time()
+        res = qs["events_attribution_multi"](spark, d).collect()
+        t = round(time.time() - t0, 3)
+        tot, peak, nst = window_stats(snap0, stage_writes(spark))
+        # work-law readouts (untimed second pass): the actual pair-join
+        # cardinality vs the per-user cross-join bound it must stay
+        # under, and the exact-credit invariant
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(d, "events.parquet"))
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        pairs = _attribution_pairs(
+            ev, vexpr, convert_type="purchase", touch_type="click",
+            window_s=259_200, ts_col="ts", key="user_id",
+            seq_col="event_id", caller="smoke",
+        )
+        n_pairs = pairs.count()
+        touched_v = (
+            pairs.select("__cid", "__v").distinct()
+            .agg(F.sum("__v")).first()[0]
+        )
+        per_user = (
+            ev.where(F.col("event_type").isin("purchase", "click"))
+            .groupBy(
+                "user_id",
+                (F.col("event_type") == "purchase").alias("is_c"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("user_id")
+            .agg(
+                F.max(F.when(F.col("is_c"), F.col("n"))).alias("nc"),
+                F.max(F.when(~F.col("is_c"), F.col("n"))).alias("nt"),
+            )
+            .agg(F.sum(F.col("nc") * F.col("nt"))).first()[0]
+        )
+        credit = sum(r["credit_micro"] for r in res)
+        rec = {
+            "scale": mult, "wall_sec": t, "shuffle_write_bytes": tot,
+            "peak_stage_shuffle_bytes": peak, "stages": nst,
+            "n_events": ev.count(),
+            "pair_rows": int(n_pairs),
+            "per_user_crossjoin_bound": int(per_user or 0),
+            "credit_micro_total": int(credit),
+            "touched_conversion_value_micro": int(touched_v or 0),
+            "credit_exact": int(credit) == int(touched_v or 0),
+        }
+        out[tag] = rec
+        print(
+            f"# events_attribution_multi {tag}: {t}s shuffle={tot} "
+            f"stages={nst} pairs={n_pairs} xbound={per_user} "
+            f"credit_exact={rec['credit_exact']}",
+            file=sys.stderr,
+        )
+    for a, b in (("x10", "x1"), ("x100", "x10"), ("x100", "x1")):
+        out[f"ratio_{a}_vs_{b}"] = round(
+            out[a]["wall_sec"] / out[b]["wall_sec"], 2
+        )
+        out[f"pair_ratio_{a}_vs_{b}"] = round(
+            out[a]["pair_rows"] / max(1, out[b]["pair_rows"]), 2
+        )
+    print(json.dumps(out))
+    spark.stop()
+
+
 def stage_writes(spark) -> dict:
     """{(stageId, attemptId): shuffleWriteBytes} for completed stages via
     the REST API — callers diff two snapshots so totals AND peaks are
@@ -682,8 +815,16 @@ if __name__ == "__main__":
         help="run the exact-rerank-tier x1/x10/x100 curve on plain "
         "re-keyed decades (reuses .scale10bm25/.scale100bm25)",
     )
+    ap.add_argument(
+        "--x100-attribution",
+        action="store_true",
+        help="run the multi-touch attribution x1/x10/x100 curve on "
+        "user-rekeyed decades (builds .scale10attr/.scale100attr)",
+    )
     args = ap.parse_args()
-    if args.x100_lsh:
+    if args.x100_attribution:
+        main_x100_attribution()
+    elif args.x100_lsh:
         main_x100_lsh()
     elif args.x100_rerank:
         main_x100_rerank()
