@@ -5834,6 +5834,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "value_micro",
         )
 
+    def events_ledger_vacuum(spark, sf):
+        """VACUUM-style retention/compaction audit
+        (`ext.streaming.ledger_vacuum_audit`) over the SAME two-batch
+        CDC ledger the version reads time-travel (VERDICT r13 #8b):
+        per committed ``v=<batch_id>`` state version, its row count,
+        live rows, and retained tombstones (the compaction-GC pressure
+        latest-wins deliberately accrues — deletes are kept so stale
+        updates cannot resurrect keys), plus the DRY-RUN action the
+        keep_versions=2 policy would take (here: both versions keep —
+        the ledger is already at its floor; the retire path and the
+        keep<2 replay-floor raise are unit-pinned on a synthetic
+        3-version ledger). Versions are listed driver-side (retention
+        bounds them by construction); counts are per-version bounded
+        metadata aggregates, never a feed rescan."""
+        from mopso_engine.ext.streaming import ledger_vacuum_audit
+
+        snap = _cdc_stream_ledger(spark, sf, "vacuum")
+        return ledger_vacuum_audit(spark, snap, keep_versions=2)
+
     def orders_schema_evolution(spark, sf):
         """Schema-evolution read declared end-to-end — the fourth
         physical-layout seam beside bucketing / partition pruning /
@@ -6022,7 +6041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows only), so the future schedule is readable off this comment:
     # the past-cutoff blocks are ALREADY in rotation order and each
     # round's slice is simply the next ~39 names after the flagships
-    # and that round's code-changed re-earners. All 262 are verified
+    # and that round's code-changed re-earners. All 263 are verified
     # locally by tools/check_oracle.py (same compare as the driver,
     # default + hostile sessions) before each round ends — the count
     # in this sentence is pinned to len(queries()) by
@@ -6045,11 +6064,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_bootstrap_ci, hybrid_search,
         # r14-NEW, in-window at birth (the r12/r13 pattern): the
         # position-based (U-shape) and time-decay credit models
-        # completing the attribution ladder (VERDICT r13 #8) (2)
+        # completing the attribution ladder, and the ledger family's
+        # VACUUM-style retention/compaction audit (VERDICT r13 #8) (3)
         events_attribution_position, events_attribution_decay,
-        # stale-tail rotation, oldest-verified-first (37+3): the full
+        events_ledger_vacuum,
+        # stale-tail rotation, oldest-verified-first (37+2): the full
         # r8 block — the rotation's oldest now that r7 re-earned in
-        # r13 — then the first 3 of the r9 block
+        # r13 — then the first 2 of the r9 block
         ann_int8_recall, ann_matryoshka_recall,           # last r8
         codes_neardup, cross_source_dups,                 # last r8
         dedup_bloom_prefilter, dedup_incremental_fuzzy,   # last r8
@@ -6068,12 +6089,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream_source_drift, supplier_pagerank,           # last r8
         supplier_ppr, training_epoch_mix,                 # last r8
         bpe_token_counts, conn_objective,                 # last r9
-        corpus_curation_v3,                               # last r9
-        # Window = 5 fits + 1 leader + 2 re-earners + 2 new
-        # + 37 r8 block + 3 r9 head = 50.
+        # Window = 5 fits + 1 leader + 2 re-earners + 3 new
+        # + 37 r8 block + 2 r9 head = 50.
         # --- the 50-entry truncation lands exactly here ---
         # r15's rotation slice continues here: the rest of the r9
         # block, then the r10/r11/r12/r13 blocks in last-earned order.
+        corpus_curation_v3,                                 # last r9
         crowding, curation_funnel, customer_rfm, dbi,       # last r9
         docs_bpe_fertility, docs_dsir_topk, docs_fix_mojibake, # last r9
         docs_packed_bpe, docs_quality_quantile,             # last r9
@@ -8848,6 +8869,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id,
                event_type, value_micro
         FROM rk WHERE rn = 1 AND op <> 'D'
+    """
+
+    # events_ledger_vacuum: the audit's per-version counts replay
+    # relationally — v=0 is the latest-wins keep-tombstones fold over
+    # the ts<cut batch-0 prefix, v=1 over the whole feed (the split's
+    # construction); with keep_versions=2 over a 2-version ledger both
+    # actions are 'keep' (the retire path is unit-pinned on a
+    # synthetic 3-version ledger). Same derived op rule and global
+    # NULL mirror as the version reads.
+    o["events_ledger_vacuum"] = """
+        WITH ch AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN (('0x' || substr(md5(event_id::VARCHAR
+                             || '#cdc12'), 1, 8))::BIGINT % 20) = 0
+                      THEN 'D' ELSE 'U' END AS op
+          FROM events
+          WHERE (SELECT max(CASE WHEN ts IS NULL OR event_id IS NULL
+                   OR user_id IS NULL
+                   THEN error('events_ledger_vacuum oracle: NULL '
+                              'ts/seq/key — mirrors the Spark in-plan '
+                              'raise')
+                   ELSE 0 END) FROM events) = 0),
+        s0 AS (SELECT op, row_number() OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+               FROM ch WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        a0 AS (SELECT count(*)::BIGINT AS n,
+                      sum((op = 'D')::INT)::BIGINT AS d
+               FROM s0 WHERE rn = 1),
+        s1 AS (SELECT op, row_number() OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+               FROM ch),
+        a1 AS (SELECT count(*)::BIGINT AS n,
+                      sum((op = 'D')::INT)::BIGINT AS d
+               FROM s1 WHERE rn = 1)
+        SELECT 'history' AS kind, 0::BIGINT AS version, n AS n_rows,
+               (n - d)::BIGINT AS n_live, d AS n_tombstones,
+               'keep' AS action
+        FROM a0
+        UNION ALL
+        SELECT 'history', 1::BIGINT, n, (n - d)::BIGINT, d, 'keep'
+        FROM a1
     """
 
     # events_cdc_diff: the two-cut diff — both cuts' keep-tombstones

@@ -306,6 +306,10 @@ BENCH_QUERIES = [
     # expression (decay adds the bit-shift weight + a second window)
     "events_attribution_position",
     "events_attribution_decay",
+    # round-14: the ledger family's VACUUM-style retention audit (pays
+    # its full two-batch AvailableNow maintainer run like the version
+    # reads, plus two bounded per-version metadata aggregates)
+    "events_ledger_vacuum",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -537,6 +541,9 @@ ANCHOR_R08 = {
     # model's level, same bounded pair join + one extra window)
     "events_attribution_position": 1.0,
     "events_attribution_decay": 1.0,
+    # r14 third birth: the vacuum audit pays the same maintainer run
+    # as the version reads (their 3.0 anchors) + two tiny aggregates
+    "events_ledger_vacuum": 3.0,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

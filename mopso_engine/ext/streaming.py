@@ -783,6 +783,92 @@ def _retire_versions(spark: SparkSession, path: str, keep: int) -> None:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/v={v}"), True)
 
 
+def ledger_vacuum_audit(
+    spark: SparkSession,
+    ledger_path: str,
+    *,
+    keep_versions: int = 2,
+    op: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """VACUUM-style DRY-RUN audit over a version ledger
+    (:func:`cdc_maintain_stream` / :func:`scd2_maintain_stream`
+    ``v=<batch_id>`` directories, plus any ``late/v=*`` quarantine) —
+    the retention/compaction readout a maintainer reviews BEFORE
+    letting a retention policy loose: per version, how many state rows,
+    how many live, how many retained tombstones (the compaction-GC
+    pressure), and what ``keep_versions`` WOULD do to it. Reads only;
+    never deletes (the maintainer's own `_retire_versions` is the
+    write path, and its replay-safety floor is enforced here too:
+    auditing ``keep_versions < 2`` raises for the same reason the
+    maintainer refuses it — batch N's retention would delete v=N−1 and
+    a replayed batch N would re-seed from one micro-batch).
+
+    Shape (100 TB): version directories are LISTED driver-side (the
+    ledger holds a handful of versions by construction — retention is
+    why this audit exists); per-version row counts are parquet
+    footer/metadata aggregates over one bounded state version each,
+    never a feed rescan. Late-quarantine versions are audit trail, not
+    retention candidates: always ``keep``.
+
+    Returns (kind, version, n_rows, n_live, n_tombstones, action),
+    ordered by (kind, version).
+    """
+    if keep_versions < 2:
+        raise ValueError(
+            "ledger_vacuum_audit: keep_versions must be ≥ 2 (the "
+            "maintainer's replay-safety floor — a replayed batch folds "
+            "against v<N)"
+        )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _versions(path: str) -> list[int]:
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(hconf)
+        if not fs.exists(p):
+            return []
+        return sorted(
+            int(st.getPath().getName()[2:])
+            for st in fs.listStatus(p)
+            if st.getPath().getName().startswith("v=")
+        )
+    hist = _versions(ledger_path)
+    late = _versions(f"{ledger_path}/late")
+    rows = []
+    retire_cut = len(hist) - keep_versions
+    for i, v in enumerate(hist):
+        st = spark.read.parquet(f"{ledger_path}/v={v}")
+        has_op = op in st.columns
+        agg = st.agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum((F.col(op) == delete_op).cast("long"))
+                if has_op
+                else F.lit(0).cast("long")
+            ).alias("d"),
+        ).first()
+        n, d = int(agg["n"]), int(agg["d"] or 0)
+        rows.append(
+            (
+                "history",
+                v,
+                n,
+                n - d,
+                d,
+                "retire" if i < retire_cut else "keep",
+            )
+        )
+    for v in late:
+        n = spark.read.parquet(f"{ledger_path}/late/v={v}").count()
+        rows.append(("late", v, n, n, 0, "keep"))
+    return spark.createDataFrame(
+        rows,
+        "kind string, version bigint, n_rows bigint, n_live bigint, "
+        "n_tombstones bigint, action string",
+    ).orderBy("kind", "version")
+
+
 def _reorder_release(
     spark: SparkSession,
     batch_df: DataFrame,

@@ -3397,6 +3397,74 @@ class TestCdcStream:
             cdc_snapshot_version(spark, snap, 7)
         assert "not in the ledger" in str(ei.value)
 
+    def test_ledger_vacuum_audit_dry_run(self, spark, tmp_path):
+        """r14 (VERDICT r13 #8b): the VACUUM-style retention audit —
+        per-version row/live/tombstone counts with the dry-run action a
+        keep policy WOULD take; reads only (all versions still on disk
+        after), late quarantine always 'keep', and the maintainer's
+        keep≥2 replay floor enforced on the audit itself."""
+        import glob
+        import time as _time
+
+        import pytest as _pt
+
+        from mopso_engine.ext.streaming import (
+            cdc_maintain_stream,
+            ledger_vacuum_audit,
+        )
+
+        src = str(tmp_path / "changes_vac")
+        batches = [
+            [(1, "2024-01-01 00:00:00", 1, "U", 10.0),
+             (2, "2024-01-01 06:00:00", 2, "U", 5.0)],
+            [(3, "2024-01-02 00:00:00", 3, "D", 0.0),
+             (1, "2024-01-02 06:00:00", 4, "U", 20.0)],
+            [(2, "2024-01-03 00:00:00", 5, "D", 0.0)],
+        ]
+        for rows in batches:
+            df = spark.createDataFrame(
+                rows, "k long, ts string, seq long, op string, v double"
+            )
+            df.withColumn("ts", df.ts.cast("timestamp")).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            _time.sleep(1.1)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        snap = str(tmp_path / "snap_vac")
+        cdc_maintain_stream(
+            stream, snap, str(tmp_path / "cp_vac"),
+            key="k", ts="ts", seq="seq", op="op", payload=["v"],
+            keep_versions=3,
+        )
+        # a synthetic late-quarantine version rides along in the audit
+        spark.createDataFrame(
+            [(9, "x"), (10, "y")], "k long, pay string"
+        ).write.parquet(f"{snap}/late/v=5")
+        got = [
+            (r["kind"], r["version"], r["n_rows"], r["n_live"],
+             r["n_tombstones"], r["action"])
+            for r in ledger_vacuum_audit(
+                spark, snap, keep_versions=2
+            ).collect()
+        ]
+        assert got == [
+            ("history", 0, 2, 2, 0, "retire"),
+            ("history", 1, 3, 2, 1, "keep"),
+            ("history", 2, 3, 1, 2, "keep"),
+            ("late", 5, 2, 2, 0, "keep"),
+        ]
+        # DRY RUN: nothing was deleted
+        assert len(glob.glob(f"{snap}/v=*")) == 3
+        assert len(glob.glob(f"{snap}/late/v=*")) == 1
+        with _pt.raises(ValueError) as ei:
+            ledger_vacuum_audit(spark, snap, keep_versions=1)
+        assert "replay-safety floor" in str(ei.value)
+
     def test_scd2_history_version_reads_exact_and_retired_raises(
         self, spark, tmp_path
     ):
