@@ -105,7 +105,18 @@ def pruned_tf(docs: DataFrame, queries: DataFrame) -> DataFrame:
     :func:`clear_retrieval_caches`. Build it ONCE and pass it to both
     :func:`bm25_topk` and :func:`coverage_qrels` when composing them
     (bm25_eval's shape) — the corpus-scale pass is then paid once
-    instead of per consumer (self-review)."""
+    instead of per consumer (self-review).
+
+    The corpus scalars (N docs, Σdl) ride the SAME scan as an
+    ``observe()`` metric on the pre-explode projection (r14): every doc
+    row flows through it exactly once, so the CollectMetrics count/sum
+    ARE the corpus stats — :func:`bm25_topk` reads them off the
+    materializing job's observation instead of paying a second full
+    corpus scan (at 100 TB that second scan was half the retriever's
+    corpus cost). Exposed as ``tf._corpus_stats_obs``; consumers fall
+    back to the explicit aggregate when handed a tf without it."""
+    from pyspark.sql import Observation
+
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     qtoks = F.split(F.lower(F.trim(F.col("qtext"))), r"\s+")
     qterms = (
@@ -116,7 +127,14 @@ def pruned_tf(docs: DataFrame, queries: DataFrame) -> DataFrame:
     # two-step projection: dl materializes in the projection BELOW the
     # Generate, so the explode's output rows carry a precomputed dl
     # instead of re-deriving it per generated row
-    lengths = docs.select("doc_id", F.size(toks).alias("dl"), F.col("text"))
+    obs = Observation()
+    lengths = docs.select(
+        "doc_id", F.size(toks).alias("dl"), F.col("text")
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
     tf = (
         lengths.select(
             "doc_id",
@@ -130,6 +148,7 @@ def pruned_tf(docs: DataFrame, queries: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
         .persist()
     )
+    tf._corpus_stats_obs = obs
     _BM25_CACHES.append(tf)
     return tf
 
@@ -189,25 +208,35 @@ def bm25_topk(
         .distinct()
     )
 
-    # corpus scalars: one 2-number column-pruned aggregate, collected
-    # driver-side (two integers) so the norm rational can use them as
-    # exact literals
-    lengths = docs.select("doc_id", F.size(toks).alias("dl"), F.col("text"))
-    stats = lengths.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).first()
-    n_docs, sum_dl = int(stats["n_docs"]), int(stats["sum_dl"] or 0)
-
     # explode → broadcast prune on query terms → ONE (doc_id, term)
     # shuffle; persisted because both the df collect and the scoring
     # plan consume it (callers composing several consumers pass a
     # shared :func:`pruned_tf` instead)
     if tf is None:
         tf = pruned_tf(docs, queries)
+    # the df collect runs FIRST: it materializes the tf cache, and that
+    # one job also fires pruned_tf's observe() metric — so the corpus
+    # scalars (N, Σdl) cost ZERO extra scans (r14; they were a second
+    # full corpus aggregate before). Fallback for a caller-built tf
+    # without the observation: the explicit 2-number aggregate.
     df_by_term = {
         r["term"]: int(r["df"])
         for r in tf.groupBy("term").agg(F.count("*").alias("df")).collect()
     }
+    obs = getattr(tf, "_corpus_stats_obs", None)
+    if obs is not None and df_by_term:
+        # df_by_term non-empty proves rows flowed through the observed
+        # scan, so the metric fired; on an EMPTY tf, AQE's
+        # empty-relation propagation may have skipped the scan stage
+        # entirely (obs.get would block forever) — take the fallback
+        got = obs.get
+        n_docs, sum_dl = int(got["n_docs"]), int(got["sum_dl"] or 0)
+    else:
+        lengths = docs.select(F.size(toks).alias("dl"))
+        stats = lengths.agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+        ).first()
+        n_docs, sum_dl = int(stats["n_docs"]), int(stats["sum_dl"] or 0)
     idf_micro = idf_micro_table(df_by_term, n_docs)
 
     spark = docs.sparkSession

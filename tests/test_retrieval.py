@@ -458,6 +458,38 @@ class TestSharedPrunedTf:
             q[name](spark, "/root/testdata/sf0.001").collect()
             assert calls["n"] == 1, (name, calls["n"])
 
+    def test_observed_stats_equal_explicit_aggregate(self, spark):
+        """r14: pruned_tf rides the corpus scalars (N, Σdl) on the SAME
+        scan via observe() and bm25_topk reads them off the
+        materializing job — a tf WITHOUT the observation (a caller-
+        built table) must fall back to the explicit aggregate and
+        produce IDENTICAL scores; and an all-unmatched query set
+        (empty tf — AQE may skip the observed scan stage) must not
+        hang on the observation."""
+        from mopso_engine.ext.retrieval import bm25_topk, pruned_tf
+
+        docs = spark.createDataFrame(
+            [(i, "alpha beta " + "pad " * (i % 4)) for i in range(8)],
+            "doc_id long, text string",
+        )
+        qdf = spark.createDataFrame(
+            [("q", "alpha beta")], "query_id string, qtext string"
+        )
+        tf = pruned_tf(docs, qdf)
+        assert getattr(tf, "_corpus_stats_obs", None) is not None
+        observed = sorted(map(tuple, bm25_topk(docs, qdf, tf=tf).collect()))
+        bare = pruned_tf(docs, qdf)
+        del bare._corpus_stats_obs
+        fallback = sorted(
+            map(tuple, bm25_topk(docs, qdf, tf=bare).collect())
+        )
+        assert observed == fallback and observed
+        # all-unmatched terms: empty tf, no hang, empty result
+        q_none = spark.createDataFrame(
+            [("q", "zzzz qqqq")], "query_id string, qtext string"
+        )
+        assert bm25_topk(docs, q_none).collect() == []
+
     def test_coverage_qrels_with_shared_tf_is_identical(self, spark):
         """Self-review: bm25_eval shares ONE pruned_tf pass between the
         retriever and the labeler — the shared-input path must be
