@@ -6060,17 +6060,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r14 code-changed re-earners: poisson_bootstrap_ci gained the
         # non-numeric shuffle-partitions fallback (ADVICE r13);
         # hybrid_search now shares ONE pruned-tf pass with its
-        # coverage retriever (VERDICT r13 #3) (2)
-        events_bootstrap_ci, hybrid_search,
+        # coverage retriever (VERDICT r13 #3); bm25_search/bm25_eval
+        # re-earn for the one-scan observe() stats change in
+        # bm25_topk (values oracle-identical, plan one scan lighter)
+        # (4)
+        events_bootstrap_ci, hybrid_search, bm25_search, bm25_eval,
         # r14-NEW, in-window at birth (the r12/r13 pattern): the
         # position-based (U-shape) and time-decay credit models
         # completing the attribution ladder, and the ledger family's
         # VACUUM-style retention/compaction audit (VERDICT r13 #8) (3)
         events_attribution_position, events_attribution_decay,
         events_ledger_vacuum,
-        # stale-tail rotation, oldest-verified-first (37+2): the full
+        # stale-tail rotation, oldest-verified-first (37): the full
         # r8 block — the rotation's oldest now that r7 re-earned in
-        # r13 — then the first 2 of the r9 block
+        # r13
         ann_int8_recall, ann_matryoshka_recall,           # last r8
         codes_neardup, cross_source_dups,                 # last r8
         dedup_bloom_prefilter, dedup_incremental_fuzzy,   # last r8
@@ -6088,12 +6091,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         part_triangles, stream_curate_docs_v3,            # last r8
         stream_source_drift, supplier_pagerank,           # last r8
         supplier_ppr, training_epoch_mix,                 # last r8
-        bpe_token_counts, conn_objective,                 # last r9
-        # Window = 5 fits + 1 leader + 2 re-earners + 3 new
-        # + 37 r8 block + 2 r9 head = 50.
+        # Window = 5 fits + 1 leader + 4 re-earners + 3 new
+        # + 37 r8 block = 50.
         # --- the 50-entry truncation lands exactly here ---
         # r15's rotation slice continues here: the rest of the r9
         # block, then the r10/r11/r12/r13 blocks in last-earned order.
+        bpe_token_counts, conn_objective,                   # last r9
         corpus_curation_v3,                                 # last r9
         crowding, curation_funnel, customer_rfm, dbi,       # last r9
         docs_bpe_fertility, docs_dsir_topk, docs_fix_mojibake, # last r9
