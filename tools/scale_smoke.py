@@ -634,6 +634,30 @@ def main_x100_attribution() -> None:
             .agg(F.sum(F.col("nc") * F.col("nt"))).first()[0]
         )
         credit = sum(r["credit_micro"] for r in res)
+        # the ladder's other credit models share the pair law by
+        # construction (same join); what is distinct per model is the
+        # integer remainder rule — verify EACH sums exactly to the
+        # touched-conversion value at every decade (untimed walls
+        # recorded for context)
+        from mopso_engine.ext.pipeline import (
+            position_attribution,
+            time_decay_attribution,
+        )
+
+        models = {}
+        for mname, fn, kw in (
+            ("position", position_attribution, {}),
+            ("decay", time_decay_attribution, {"half_life_s": 86_400}),
+        ):
+            t1 = time.time()
+            mres = fn(ev, vexpr, window_s=259_200, **kw).collect()
+            mwall = round(time.time() - t1, 3)
+            mcredit = sum(r["credit_micro"] for r in mres)
+            models[mname] = {
+                "wall_sec": mwall,
+                "credit_micro_total": int(mcredit),
+                "credit_exact": int(mcredit) == int(touched_v or 0),
+            }
         rec = {
             "scale": mult, "wall_sec": t, "shuffle_write_bytes": tot,
             "peak_stage_shuffle_bytes": peak, "stages": nst,
@@ -643,6 +667,7 @@ def main_x100_attribution() -> None:
             "credit_micro_total": int(credit),
             "touched_conversion_value_micro": int(touched_v or 0),
             "credit_exact": int(credit) == int(touched_v or 0),
+            "models": models,
         }
         out[tag] = rec
         print(
