@@ -531,6 +531,101 @@ def main_x100_rerank() -> None:
 
 OUT_ATTR = os.path.join(_REPO, ".scale10attr")
 OUT100_ATTR = os.path.join(_REPO, ".scale100attr")
+OUT_BOOT = os.path.join(_REPO, ".scale10boot")
+OUT100_BOOT = os.path.join(_REPO, ".scale100boot")
+
+
+def build_events_fixedkey_xn(spark, n: int, dest: str) -> None:
+    """×n events with the CDC smoke's FIXED-KEY selection (event_id
+    re-keyed, user_id held constant): the feed grows ×n over a CONSTANT
+    key set — the only selection that can separate a units-bounded work
+    term from a feed-bounded one."""
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+    scaled = None
+    for i in range(n):
+        d = ev.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * 100_000_000)
+        )
+        scaled = d if scaled is None else scaled.unionByName(d)
+    scaled.repartition(max(16, n // 4)).write.parquet(
+        os.path.join(dest, "events.parquet")
+    )
+
+
+def main_x100_bootstrap() -> None:
+    """×1/×10/×100 curve for the Poisson-bootstrap CI (the causal
+    family's heaviest plan): the docstring claim under test is "ONE
+    corpus exchange (the (type, user) partial aggregate); replicates
+    explode the UNIT-LEVEL table only". On the fixed-key decades the
+    unit table is CONSTANT while the feed grows 100×, so the R×200
+    explode+md5 work — the stage the r13 restructure pinned to
+    explicit-N parallelism — must stay FLAT through two decades; only
+    the one partial-aggregate exchange may grow, and it combines
+    map-side so its shuffle is units-bounded too (near-flat bytes,
+    feed-linear scan)."""
+    from mopso_engine.session import build_session
+
+    spark = build_session(master="local[32]", app_name="scale-smoke-boot")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    build_events_fixedkey_xn(spark, 10, OUT_BOOT)
+    build_events_fixedkey_xn(spark, 100, OUT100_BOOT)
+    qs = entry_mod.queries()
+    out: dict = {
+        "metric": "scale100_bootstrap_smoke",
+        "query": "events_bootstrap_ci",
+        "replicates": 200,
+    }
+    qs["events_bootstrap_ci"](spark, SRC).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    for tag, d, mult in (
+        ("x1", SRC, 1), ("x10", OUT_BOOT, 10), ("x100", OUT100_BOOT, 100)
+    ):
+        snap0 = stage_writes(spark)
+        t0 = time.time()
+        qs["events_bootstrap_ci"](spark, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t = round(time.time() - t0, 3)
+        tot, peak, nst = window_stats(snap0, stage_writes(spark))
+        # work-law readout (untimed): the unit table the explode runs
+        # over — constant by the fixed-key construction — and the
+        # explode's own row count (units × R)
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(d, "events.parquet"))
+        n_units = (
+            ev.select("event_type", "user_id").distinct().count()
+        )
+        rec = {
+            "scale": mult, "wall_sec": t, "shuffle_write_bytes": tot,
+            "peak_stage_shuffle_bytes": peak, "stages": nst,
+            "n_events": ev.count(),
+            "n_units": int(n_units),
+            "explode_rows": int(n_units) * 200,
+        }
+        out[tag] = rec
+        print(
+            f"# events_bootstrap_ci {tag}: {t}s shuffle={tot} "
+            f"stages={nst} units={n_units}",
+            file=sys.stderr,
+        )
+    for a, b in (("x10", "x1"), ("x100", "x10"), ("x100", "x1")):
+        out[f"ratio_{a}_vs_{b}"] = round(
+            out[a]["wall_sec"] / out[b]["wall_sec"], 2
+        )
+        out[f"unit_ratio_{a}_vs_{b}"] = round(
+            out[a]["n_units"] / max(1, out[b]["n_units"]), 2
+        )
+    print(json.dumps(out))
+    spark.stop()
 
 
 def build_events_users_xn(spark, n: int, dest: str) -> None:
@@ -841,13 +936,21 @@ if __name__ == "__main__":
         "re-keyed decades (reuses .scale10bm25/.scale100bm25)",
     )
     ap.add_argument(
+        "--x100-bootstrap",
+        action="store_true",
+        help="run the Poisson-bootstrap x1/x10/x100 curve on fixed-key "
+        "decades (builds .scale10boot/.scale100boot)",
+    )
+    ap.add_argument(
         "--x100-attribution",
         action="store_true",
         help="run the multi-touch attribution x1/x10/x100 curve on "
         "user-rekeyed decades (builds .scale10attr/.scale100attr)",
     )
     args = ap.parse_args()
-    if args.x100_attribution:
+    if args.x100_bootstrap:
+        main_x100_bootstrap()
+    elif args.x100_attribution:
         main_x100_attribution()
     elif args.x100_lsh:
         main_x100_lsh()
