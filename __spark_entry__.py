@@ -3489,6 +3489,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = read_events(spark, os.path.join(sf, "events.parquet"))
         return pl.attribution_report(ev, window_s=3600)
 
+    def events_attribution_stream(spark, sf):
+        """STREAMING twin of events_attribution: purchases arrive as a
+        stream and each resolves its latest strictly-prior click
+        against the static touch history via the stateless merge_asof
+        kernel (`ext.streaming.asof_join_stream_static` — the
+        events_asof_stream shape: timeline arrays per key, pure
+        Catalyst, zero streaming state), then the 1-hour staleness
+        bound and the tiny day rollup run over the drained append
+        output. Drained with Trigger.AvailableNow; the oracle is
+        IDENTICAL to events_attribution's — stream must equal batch."""
+        from mopso_engine.ext.streaming import (
+            asof_join_stream_static,
+            events_stream_source,
+            read_events,
+            run_available_now,
+        )
+
+        _utc(spark)
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        touches = ev.where(F.col("event_type") == "click").select(
+            "user_id",
+            "ts",
+            F.col("ts").cast("double").alias("touch_epoch"),
+        )
+        conv_stream = (
+            events_stream_source(spark, os.path.join(sf, "events.parquet"))
+            .where(F.col("event_type") == "purchase")
+            .select("user_id", "ts")
+        )
+        j = asof_join_stream_static(
+            conv_stream, touches, key="user_id", time="ts",
+            payload=["touch_epoch"],
+        )
+        res = run_available_now(
+            j,
+            query_name=f"attr_ss_{uuid.uuid4().hex[:8]}",
+            output_mode="append",
+        )
+        attributed = F.col("asof_touch_epoch").isNotNull() & (
+            (F.col("ts").cast("double") - F.col("asof_touch_epoch"))
+            <= F.lit(3600.0)
+        )
+        return res.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(attributed.cast("long")).alias("n_attributed"),
+        )
+
     def events_attribution_multi(spark, sf):
         """LINEAR multi-touch attribution
         (`ext.pipeline.multi_touch_attribution`) — the credit model
@@ -6041,7 +6090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows only), so the future schedule is readable off this comment:
     # the past-cutoff blocks are ALREADY in rotation order and each
     # round's slice is simply the next ~39 names after the flagships
-    # and that round's code-changed re-earners. All 263 are verified
+    # and that round's code-changed re-earners. All 264 are verified
     # locally by tools/check_oracle.py (same compare as the driver,
     # default + hostile sessions) before each round ends — the count
     # in this sentence is pinned to len(queries()) by
@@ -6067,13 +6116,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_bootstrap_ci, hybrid_search, bm25_search, bm25_eval,
         # r14-NEW, in-window at birth (the r12/r13 pattern): the
         # position-based (U-shape) and time-decay credit models
-        # completing the attribution ladder, and the ledger family's
-        # VACUUM-style retention/compaction audit (VERDICT r13 #8) (3)
+        # completing the attribution ladder, the ledger family's
+        # VACUUM-style retention/compaction audit (VERDICT r13 #8),
+        # and the streaming twin of last-touch attribution (4)
         events_attribution_position, events_attribution_decay,
-        events_ledger_vacuum,
-        # stale-tail rotation, oldest-verified-first (37): the full
-        # r8 block — the rotation's oldest now that r7 re-earned in
-        # r13
+        events_ledger_vacuum, events_attribution_stream,
+        # stale-tail rotation, oldest-verified-first (36): the r8
+        # block — the rotation's oldest now that r7 re-earned in r13 —
+        # minus its alphabetically-last name (training_epoch_mix, the
+        # one slot the 4th birth displaced; it leads the r15 slice)
         ann_int8_recall, ann_matryoshka_recall,           # last r8
         codes_neardup, cross_source_dups,                 # last r8
         dedup_bloom_prefilter, dedup_incremental_fuzzy,   # last r8
@@ -6090,12 +6141,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         part_communities, part_copurchase, part_kcore,    # last r8
         part_triangles, stream_curate_docs_v3,            # last r8
         stream_source_drift, supplier_pagerank,           # last r8
-        supplier_ppr, training_epoch_mix,                 # last r8
-        # Window = 5 fits + 1 leader + 4 re-earners + 3 new
-        # + 37 r8 block = 50.
+        supplier_ppr,                                     # last r8
+        # Window = 5 fits + 1 leader + 4 re-earners + 4 new
+        # + 36 r8 block = 50.
         # --- the 50-entry truncation lands exactly here ---
-        # r15's rotation slice continues here: the rest of the r9
-        # block, then the r10/r11/r12/r13 blocks in last-earned order.
+        # r15's rotation slice continues here: the r8 remainder, the
+        # rest of the r9 block, then the r10/r11/r12/r13 blocks in
+        # last-earned order.
+        training_epoch_mix,                                 # last r8
         bpe_token_counts, conn_objective,                   # last r9
         corpus_curation_v3,                                 # last r9
         crowding, curation_funnel, customer_rfm, dbi,       # last r9
@@ -10483,6 +10536,10 @@ def oracle_sql() -> dict[str, str]:
     """
     # the streaming twin must produce the SAME rows as the batch as-of
     o["events_asof_stream"] = o["events_asof"]
+
+    # events_attribution_stream: stream must equal batch — the oracle
+    # IS events_attribution's (the same last-touch lookup + day rollup).
+    o["events_attribution_stream"] = o["events_attribution"]
 
     # 32-term Morton interleave generated to mirror io.zvalue exactly
     _z_terms = " | ".join(

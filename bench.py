@@ -310,6 +310,11 @@ BENCH_QUERIES = [
     # its full two-batch AvailableNow maintainer run like the version
     # reads, plus two bounded per-version metadata aggregates)
     "events_ledger_vacuum",
+    # round-14: the streaming twin of last-touch attribution (stateless
+    # merge_asof against the static click timeline + one AvailableNow
+    # drain; the sibling events_asof_stream is unbenched, this one
+    # anchors the attribution family's streaming path)
+    "events_attribution_stream",
     # round-8: SCD2 serving-path lookup (interval join over the history)
     "events_scd2_lookup",
     # round-8: linear-interp resampling (second frame, same sort)
@@ -544,6 +549,8 @@ ANCHOR_R08 = {
     # r14 third birth: the vacuum audit pays the same maintainer run
     # as the version reads (their 3.0 anchors) + two tiny aggregates
     "events_ledger_vacuum": 3.0,
+    # r14 fourth birth (birth-protocol best-of-5 on the elevated host)
+    "events_attribution_stream": 2.0,
 }
 
 #: auto-retry threshold: a timing above ``RETRY_FACTOR ×`` its

@@ -452,6 +452,25 @@ class TestStreaming:
             sv = stream[eid]
             assert (v is None and (sv is None or sv != sv)) or sv == pytest.approx(v)
 
+    def test_attribution_stream_equals_batch(self, spark):
+        """r14: the streaming last-touch attribution twin (purchases
+        stream against the static click timeline, then the staleness
+        bound + day rollup over the drained output) must equal the
+        batch attribution_report row-for-row — the same stream==batch
+        contract every other twin carries."""
+        import __spark_entry__ as em
+
+        qs = em.queries()
+        batch = {
+            r["day"]: (r["n_conversions"], r["n_attributed"])
+            for r in qs["events_attribution"](spark, SF).collect()
+        }
+        stream = {
+            r["day"]: (r["n_conversions"], r["n_attributed"])
+            for r in qs["events_attribution_stream"](spark, SF).collect()
+        }
+        assert stream == batch and batch
+
     def test_asof_stream_static_null_payload_matches_batch(self, spark, tmp_path):
         """A static right row with a NULL payload must be invisible to
         that payload column (batch last(..., ignorenulls=True) semantics)
