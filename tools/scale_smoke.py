@@ -782,6 +782,126 @@ def main_x100_attribution() -> None:
     spark.stop()
 
 
+OUT_ANN = os.path.join(_REPO, ".scale10ann")
+OUT100_ANN = os.path.join(_REPO, ".scale100ann")
+
+
+def build_embeddings_xn(spark, n: int, dest: str) -> None:
+    """×n embeddings (vec_id re-keyed per replica, vectors VERBATIM):
+    every replica lands in the same coarse cells, so the corpus grows
+    ×n with stable codebook geometry — the selection that lets the
+    probe law (probed rows ∝ corpus/|cells| × nprobe × |queries|) be
+    read directly off linear growth."""
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    scaled = None
+    for i in range(n):
+        d = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        scaled = d if scaled is None else scaled.unionByName(d)
+    scaled.repartition(max(16, n // 2)).write.parquet(
+        os.path.join(dest, "embeddings.parquet")
+    )
+
+
+def main_x100_ann() -> None:
+    """×1/×10/×100 curve for the IVF ANN serving path
+    (`ann_ivf_unlabeled` — train a sampled-k-means codebook, assign
+    cells in ONE kernel scan, probe nprobe cells per query): the law
+    under test is that the scored candidate set is the PROBED-cell
+    rows — ∝ corpus/|cells| × nprobe × |queries|, linear in the corpus
+    at fixed settings — never the corpus × |queries| full-scan bound
+    the cell join exists to avoid; stages constant (training included:
+    the trainer is a fixed number of sampled Lloyd iterations)."""
+    from mopso_engine.session import build_session
+
+    spark = build_session(master="local[32]", app_name="scale-smoke-ann")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from mopso_engine.ext import simsearch as ss
+
+    build_embeddings_xn(spark, 10, OUT_ANN)
+    build_embeddings_xn(spark, 100, OUT100_ANN)
+    qs = entry_mod.queries()
+    out: dict = {
+        "metric": "scale100_ann_smoke",
+        "query": "ann_ivf_unlabeled",
+        "k": 5, "nprobe": 3, "cells": 8, "n_queries": 5,
+    }
+    qs["ann_ivf_unlabeled"](spark, SRC).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    for tag, d, mult in (
+        ("x1", SRC, 1), ("x10", OUT_ANN, 10), ("x100", OUT100_ANN, 100)
+    ):
+        snap0 = stage_writes(spark)
+        t0 = time.time()
+        qs["ann_ivf_unlabeled"](spark, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t = round(time.time() - t0, 3)
+        tot, peak, nst = window_stats(snap0, stage_writes(spark))
+        # work-law readout (untimed): the probed candidate rows the
+        # rank window actually scores, vs the full-scan anti-claim
+        emb = spark.read.parquet(os.path.join(d, "embeddings.parquet")).drop(
+            "label"
+        )
+        n_corpus = emb.count()
+        cb = ss.train_codebook(
+            emb, k=8, iters=2, sample_fraction=0.5, seed=11
+        )
+        import numpy as np
+
+        C = np.asarray(cb, dtype=np.float64)
+        vecs = ss.as_double_vecs(
+            emb.withColumn("label", F.lit(0))
+        ).select("vec_id", "vec")
+        cells = vecs.withColumn("cell", ss._argmax_cell_kernel(C)("vec"))
+        cell_rows = {
+            r["cell"]: r["n"]
+            for r in cells.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        # probe selection replay: per query, the nprobe most-similar
+        # cells (cosine vs the codebook literals, driver-side)
+        qv = {
+            r["vec_id"]: np.asarray(r["vec"], dtype=np.float64)
+            for r in vecs.where(F.col("vec_id").isin([0, 1, 2, 3, 4])).collect()
+        }
+        probed = 0
+        for _, v in qv.items():
+            sims = (C @ v) / (np.linalg.norm(C, axis=1) * np.linalg.norm(v))
+            order = sorted(range(len(sims)), key=lambda c: (-sims[c], c))
+            probed += sum(cell_rows.get(c, 0) for c in order[:3])
+        rec = {
+            "scale": mult, "wall_sec": t, "shuffle_write_bytes": tot,
+            "peak_stage_shuffle_bytes": peak, "stages": nst,
+            "n_corpus": int(n_corpus),
+            "probed_rows": int(probed),
+            "full_scan_bound": int(n_corpus) * 5,
+        }
+        out[tag] = rec
+        print(
+            f"# ann_ivf_unlabeled {tag}: {t}s shuffle={tot} stages={nst} "
+            f"probed={probed} full_bound={n_corpus*5}",
+            file=sys.stderr,
+        )
+    for a, b in (("x10", "x1"), ("x100", "x10"), ("x100", "x1")):
+        out[f"ratio_{a}_vs_{b}"] = round(
+            out[a]["wall_sec"] / out[b]["wall_sec"], 2
+        )
+        out[f"probe_ratio_{a}_vs_{b}"] = round(
+            out[a]["probed_rows"] / max(1, out[b]["probed_rows"]), 2
+        )
+    print(json.dumps(out))
+    spark.stop()
+
+
 def stage_writes(spark) -> dict:
     """{(stageId, attemptId): shuffleWriteBytes} for completed stages via
     the REST API — callers diff two snapshots so totals AND peaks are
@@ -936,6 +1056,12 @@ if __name__ == "__main__":
         "re-keyed decades (reuses .scale10bm25/.scale100bm25)",
     )
     ap.add_argument(
+        "--x100-ann",
+        action="store_true",
+        help="run the IVF ANN x1/x10/x100 curve on re-keyed embedding "
+        "decades (builds .scale10ann/.scale100ann)",
+    )
+    ap.add_argument(
         "--x100-bootstrap",
         action="store_true",
         help="run the Poisson-bootstrap x1/x10/x100 curve on fixed-key "
@@ -948,7 +1074,9 @@ if __name__ == "__main__":
         "user-rekeyed decades (builds .scale10attr/.scale100attr)",
     )
     args = ap.parse_args()
-    if args.x100_bootstrap:
+    if args.x100_ann:
+        main_x100_ann()
+    elif args.x100_bootstrap:
         main_x100_bootstrap()
     elif args.x100_attribution:
         main_x100_attribution()
