@@ -162,3 +162,82 @@ def test_pca_fit_is_input_order_invariant_after_sort(seed, m):
     m1 = _pca_fit_exact(x, m)
     m2 = _pca_fit_exact(x.copy(), m)
     assert (m1[0] == m2[0]).all() and (m1[1] == m2[1]).all()
+
+
+# --- r14: the attribution ladder's integer credit rules -----------------
+# Pure-python mirrors of the EXACT SQL credit expressions (the Spark
+# plans and DuckDB oracles both evaluate these formulas verbatim; the
+# unit replays in test_pipeline pin engine == formula, these pin the
+# formulas' invariants over the whole input space).
+
+
+def _linear_credits(v, k):
+    return [v // k + (1 if r <= v % k else 0) for r in range(1, k + 1)]
+
+
+def _position_credits(v, k):
+    if k == 1:
+        return [v]
+    if k == 2:
+        return [v // 2 + v % 2, v // 2]
+    f = (v * 2) // 5
+    m = v - 2 * f
+    mids = [
+        m // (k - 2) + (1 if i <= m % (k - 2) else 0)
+        for i in range(1, k - 1)
+    ]
+    return [f] + mids + [f]
+
+
+def _decay_credits(v, weights):
+    """weights in MOST-RECENT-FIRST order (the remainder rank order)."""
+    w_sum = sum(weights)
+    base = [v * w // w_sum for w in weights]
+    rem = v - sum(base)
+    return [b + (1 if i < rem else 0) for i, b in enumerate(base)]
+
+
+@given(st.integers(0, 10**13), st.integers(1, 200))
+@settings(max_examples=300, deadline=None)
+def test_linear_credit_rule_invariants(v, k):
+    c = _linear_credits(v, k)
+    assert sum(c) == v and len(c) == k
+    assert all(x >= 0 for x in c)
+    assert max(c) - min(c) <= 1  # equal split, remainder micros only
+    assert sorted(c, reverse=True) == c  # extras go to the EARLIEST
+
+
+@given(st.integers(0, 10**13), st.integers(1, 200))
+@settings(max_examples=300, deadline=None)
+def test_position_credit_rule_invariants(v, k):
+    c = _position_credits(v, k)
+    assert sum(c) == v and len(c) == k
+    assert all(x >= 0 for x in c)
+    if k >= 3:
+        assert c[0] == c[-1]  # first and last take the same 40% share
+        # the middle pool absorbs the 40%-rounding remainder: middles
+        # are an equal split of exactly v - 2*((v*2) div 5)
+        m = v - 2 * ((v * 2) // 5)
+        assert sum(c[1:-1]) == m
+        assert max(c[1:-1]) - min(c[1:-1]) <= 1
+    if k == 2:
+        assert abs(c[0] - c[1]) <= 1 and c[0] >= c[1]
+
+
+@given(
+    st.integers(0, 10**13),
+    st.lists(st.integers(0, 19), min_size=1, max_size=200),
+)
+@settings(max_examples=300, deadline=None)
+def test_decay_credit_rule_invariants(v, shifts):
+    # weights from the actual bit-shift set, most-recent-first means
+    # non-increasing shift is NOT guaranteed per conversion ordering by
+    # tid — sort shifts ascending = weights non-increasing (recency)
+    weights = [1_000_000 >> s for s in sorted(shifts)]
+    c = _decay_credits(v, weights)
+    assert sum(c) == v and len(c) == len(weights)
+    assert all(x >= 0 for x in c)
+    # proportionality: a strictly larger weight never earns LESS than
+    # a smaller one by more than the single remainder micro
+    for i in range(len(c) - 1):
+        assert c[i] >= c[i + 1] - 1
