@@ -308,6 +308,57 @@ def test_join_strategy_hints_control_physical_join(spark):
     assert "BroadcastHashJoin" in plan_of(j_bhj)
 
 
+def test_attribution_windows_share_one_conversion_exchange(spark):
+    """r14: every multi-touch credit model's per-conversion windows
+    (count/rank for linear+position; weight-sum, base-sum and
+    remainder-rank for decay) must all run above ONE Exchange on the
+    conversion id — a second shuffle between the windows would double
+    the pair table's exchange cost for no semantic reason. Pinned as
+    cross-model EQUALITY of non-broadcast exchange counts (decay's
+    extra window must add zero), because the join-side exchange count
+    varies with statistics and AQE."""
+    import datetime as dt
+
+    from mopso_engine.ext.pipeline import (
+        multi_touch_attribution,
+        position_attribution,
+        time_decay_attribution,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (u, t0 + dt.timedelta(hours=h), u * 10 + h, et, v)
+        for u in range(1, 5)
+        for h, et, v in ((0, "click", 0.0), (1, "click", 0.0), (2, "purchase", 1.0))
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double",
+    )
+    vexpr = F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+    counts, windows = {}, {}
+    for fn in (
+        multi_touch_attribution,
+        position_attribution,
+        time_decay_attribution,
+    ):
+        plan = (
+            fn(ev, vexpr)._jdf.queryExecution().executedPlan().toString()
+        )
+        counts[fn.__name__] = plan.count("Exchange") - plan.count(
+            "BroadcastExchange"
+        )
+        windows[fn.__name__] = plan.count("Window")
+    # decay runs THREE windows (weight-sum, base-sum, remainder rank)
+    # where linear/position run two — yet its exchange count must be
+    # IDENTICAL: every window rides the one conversion-id exchange
+    # (the join-strategy exchanges vary with stats, so equality across
+    # models — not an absolute count — is the partition-independent pin)
+    assert windows["time_decay_attribution"] > windows["multi_touch_attribution"]
+    assert len(set(counts.values())) == 1, counts
+
+
 def test_cached_plan_coalesces_but_explicit_repartition_survives(spark):
     """r14 (VERDICT r13 #3 root cause): session.py now enables
     canChangeCachedPlanOutputPartitioning (SPARK-38918, default false)
