@@ -7372,6 +7372,9 @@ def oracle_sql() -> dict[str, str]:
     # same scoped-guard pair table; // on non-negative == Spark's div,
     # and the 40%-rounding remainder folds into the middle pool in both
     # engines (k=2 renormalizes to the exact half split, k=1 takes V).
+    # The 40% endpoint share v*2 multiplies in HUGEINT — mirroring
+    # Spark's DECIMAL(38,0) routing (ADVICE r14) — so an over-BIGINT
+    # product raises in NEITHER engine instead of wrapping in one.
     o["events_attribution_position"] = """
         WITH ev AS (
           SELECT * FROM events
@@ -7407,17 +7410,18 @@ def oracle_sql() -> dict[str, str]:
         rk AS (
           SELECT *, row_number() OVER (
                    PARTITION BY cid ORDER BY t_us, tid) AS r,
-                 count(*) OVER (PARTITION BY cid) AS k
+                 count(*) OVER (PARTITION BY cid) AS k,
+                 CAST((CAST(v AS HUGEINT) * 2) // 5 AS BIGINT) AS u40
           FROM pairs)
         SELECT strftime(date_trunc('day', t_ts), '%Y-%m-%d') AS day,
                count(*)::BIGINT AS n_touches,
                sum(CASE WHEN k = 1 THEN v
                         WHEN k = 2 THEN v // 2
                           + CASE WHEN r = 1 THEN v % 2 ELSE 0 END
-                        WHEN r = 1 OR r = k THEN (v * 2) // 5
-                        ELSE (v - 2 * ((v * 2) // 5)) // (k - 2)
+                        WHEN r = 1 OR r = k THEN u40
+                        ELSE (v - 2 * u40) // (k - 2)
                           + CASE WHEN r - 1 <=
-                              (v - 2 * ((v * 2) // 5)) % (k - 2)
+                              (v - 2 * u40) % (k - 2)
                             THEN 1 ELSE 0 END
                    END)::BIGINT AS credit_micro
         FROM rk GROUP BY 1

@@ -1622,6 +1622,17 @@ def _attribution_pairs(
     (div/mod remainder-splitting floors vs truncates across engines,
     and a refund cannot be credit-split).
 
+    SPARK-VERSION DEPENDENCY (ADVICE r14): the guard's participating-
+    type scope relies on the optimizer evaluating the pushed
+    ``event_type`` filters before the pushed ``isnotnull(key)``
+    conjunct of the guarded projection — current-Catalyst behavior
+    pinned ONLY by the both-ways regression tests
+    (tests/test_pipeline.py, the corrupt-participating-row raises /
+    corrupt-non-participating-row passes pair). A Spark engine bump
+    must re-run those tests deliberately: if a future optimizer
+    reorders the conjuncts, non-participating corrupt rows would raise
+    here while the DuckDB oracle (scoped to the two types) does not.
+
     Returns (__k, __c_us, __cid, __v, __t_ts, __t_us, __tid).
     """
     if window_s <= 0:
@@ -1785,7 +1796,12 @@ def position_attribution(
       divisible by 5); the middle pool M = V − first − last absorbs
       the 40%-rounding remainder, each middle takes ``M div (k−2)``
       plus 1 extra micro to the earliest middles in (touch ts asc,
-      touch seq asc) order.
+      touch seq asc) order. The ``V*2`` product routes through
+      DECIMAL(38,0) (ADVICE r14 — the time-decay/bm25 exact-rational
+      pattern): a V above 2⁶² micro would silently wrap in non-ANSI
+      BIGINT while the DuckDB oracle raises, the exact cross-engine
+      divergence class the convention forbids. (M = V − 2·share stays
+      BIGINT: share ≤ 2V/5, so the subtraction is in-range.)
 
     Matched failures and the guard's participating-type scope are
     :func:`_attribution_pairs`'s, raised under this model's name.
@@ -1811,6 +1827,11 @@ def position_attribution(
     credited = (
         pairs.withColumn("__k_n", F.count(F.lit(1)).over(cw))
         .withColumn("__r", F.row_number().over(rw))
+        # the 40% endpoint share: V*2 in DECIMAL(38,0), never BIGINT
+        .withColumn(
+            "__u40",
+            F.expr("CAST(CAST(__v AS DECIMAL(38,0)) * 2 div 5 AS BIGINT)"),
+        )
         .select(
             "__t_ts",
             F.expr(
@@ -1818,10 +1839,10 @@ def position_attribution(
                 "WHEN __k_n = 1 THEN __v "
                 "WHEN __k_n = 2 THEN __v div 2 "
                 "  + CASE WHEN __r = 1 THEN __v % 2 ELSE 0 END "
-                "WHEN __r = 1 OR __r = __k_n THEN (__v * 2) div 5 "
-                "ELSE (__v - 2 * ((__v * 2) div 5)) div (__k_n - 2) "
+                "WHEN __r = 1 OR __r = __k_n THEN __u40 "
+                "ELSE (__v - 2 * __u40) div (__k_n - 2) "
                 "  + CASE WHEN __r - 1 <= "
-                "      (__v - 2 * ((__v * 2) div 5)) % (__k_n - 2) "
+                "      (__v - 2 * __u40) % (__k_n - 2) "
                 "    THEN 1 ELSE 0 END "
                 "END AS BIGINT)"
             ).alias("__credit"),

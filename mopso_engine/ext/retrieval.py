@@ -22,12 +22,13 @@ from __future__ import annotations
 
 import math
 from fractions import Fraction
-from typing import Mapping
+from typing import Mapping, NamedTuple, Optional, Union
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "PrunedTf",
     "bm25_topk",
     "term_coverage_topk",
     "rrf_fuse",
@@ -45,6 +46,32 @@ __all__ = [
 # bm25_topk plan consumes twice: once collected for the driver-side idf
 # pinning, once in the scoring plan). Mirrors ext.graph._PR_CACHES.
 _BM25_CACHES: list[DataFrame] = []
+
+
+class PrunedTf(NamedTuple):
+    """:func:`pruned_tf`'s paired return: the persisted pruned
+    (doc_id, term, tf, dl) table plus the ``Observation`` carrying the
+    corpus scalars (N docs, Σdl) that ride its materializing scan.
+
+    An explicit pair rather than an attribute stapled onto the
+    DataFrame (ADVICE r14): any transformation or copy of a DataFrame
+    silently drops dynamic attributes, reverting consumers to the
+    second corpus scan with no signal. Consumers accept either this
+    pair or a bare tf DataFrame (:func:`_tf_frame`); a bare frame
+    simply takes the explicit corpus-stats fallback aggregate.
+    """
+
+    df: DataFrame
+    corpus_stats: Observation
+
+
+def _tf_frame(
+    tf: Union[DataFrame, "PrunedTf"],
+) -> tuple[DataFrame, Optional[Observation]]:
+    """Unwrap a :class:`PrunedTf` (or pass through a bare tf frame)."""
+    if isinstance(tf, PrunedTf):
+        return tf.df, tf.corpus_stats
+    return tf, None
 
 
 def clear_retrieval_caches() -> int:
@@ -97,7 +124,7 @@ def bm25_rational_constants(k1: float, b: float) -> tuple[int, int, int, int]:
     return ((k1n + k1d) * bd, k1d * bd, k1n * (bd - bn), k1n * bn)
 
 
-def pruned_tf(docs: DataFrame, queries: DataFrame) -> DataFrame:
+def pruned_tf(docs: DataFrame, queries: DataFrame) -> PrunedTf:
     """The pruned (doc_id, term, tf, dl) table every retriever/labeler
     in this module feeds on: the corpus token explode semi-joined
     against the tiny distinct query-term set BEFORE the one
@@ -113,10 +140,9 @@ def pruned_tf(docs: DataFrame, queries: DataFrame) -> DataFrame:
     ARE the corpus stats — :func:`bm25_topk` reads them off the
     materializing job's observation instead of paying a second full
     corpus scan (at 100 TB that second scan was half the retriever's
-    corpus cost). Exposed as ``tf._corpus_stats_obs``; consumers fall
-    back to the explicit aggregate when handed a tf without it."""
-    from pyspark.sql import Observation
-
+    corpus cost). Returned EXPLICITLY as the :class:`PrunedTf` pair
+    (ADVICE r14 — no dynamic attribute to drop); consumers fall back
+    to the explicit aggregate when handed a bare tf frame."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     qtoks = F.split(F.lower(F.trim(F.col("qtext"))), r"\s+")
     qterms = (
@@ -148,9 +174,8 @@ def pruned_tf(docs: DataFrame, queries: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
         .persist()
     )
-    tf._corpus_stats_obs = obs
     _BM25_CACHES.append(tf)
-    return tf
+    return PrunedTf(df=tf, corpus_stats=obs)
 
 
 def bm25_topk(
@@ -160,7 +185,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     top_k: int = 10,
-    tf: DataFrame | None = None,
+    tf: DataFrame | PrunedTf | None = None,
 ) -> DataFrame:
     """Top-``top_k`` documents per query by BM25.
 
@@ -214,21 +239,25 @@ def bm25_topk(
     # shared :func:`pruned_tf` instead)
     if tf is None:
         tf = pruned_tf(docs, queries)
+    tf, obs = _tf_frame(tf)
     # the df collect runs FIRST: it materializes the tf cache, and that
     # one job also fires pruned_tf's observe() metric — so the corpus
     # scalars (N, Σdl) cost ZERO extra scans (r14; they were a second
-    # full corpus aggregate before). Fallback for a caller-built tf
-    # without the observation: the explicit 2-number aggregate.
+    # full corpus aggregate before). Fallback for a caller-built bare
+    # tf frame (no PrunedTf pair): the explicit 2-number aggregate.
     df_by_term = {
         r["term"]: int(r["df"])
         for r in tf.groupBy("term").agg(F.count("*").alias("df")).collect()
     }
-    obs = getattr(tf, "_corpus_stats_obs", None)
     if obs is not None and df_by_term:
-        # df_by_term non-empty proves rows flowed through the observed
-        # scan, so the metric fired; on an EMPTY tf, AQE's
-        # empty-relation propagation may have skipped the scan stage
-        # entirely (obs.get would block forever) — take the fallback
+        # BLOCKING CONTRACT: Observation.get blocks until the observed
+        # plan has executed an action — it must only be read AFTER a
+        # job has materialized the observed scan. The df collect above
+        # is that job, and df_by_term non-empty proves rows flowed
+        # through the observed scan, so the metric fired; on an EMPTY
+        # tf, AQE's empty-relation propagation may have skipped the
+        # scan stage entirely (obs.get would block forever) — take the
+        # fallback aggregate instead.
         got = obs.get
         n_docs, sum_dl = int(got["n_docs"]), int(got["sum_dl"] or 0)
     else:
@@ -293,7 +322,7 @@ def term_coverage_topk(
     queries: DataFrame,
     *,
     top_k: int = 20,
-    tf: DataFrame | None = None,
+    tf: DataFrame | PrunedTf | None = None,
 ) -> DataFrame:
     """Top-``top_k`` documents per query by QUERY-TERM COVERAGE — how
     many distinct query terms the document contains. The blunt exact-
@@ -320,7 +349,7 @@ def term_coverage_topk(
         .distinct()
     )
     if tf is not None:
-        doc_terms = tf.select("doc_id", "term")
+        doc_terms = _tf_frame(tf)[0].select("doc_id", "term")
     else:
         qterms = qpairs.select("term").distinct()
         doc_terms = (
@@ -641,7 +670,7 @@ def coverage_qrels(
     *,
     full_rel: int = 2,
     partial_rel: int = 1,
-    doc_terms: DataFrame | None = None,
+    doc_terms: DataFrame | PrunedTf | None = None,
 ) -> DataFrame:
     """Deterministic graded relevance labels derived from query-term
     coverage: a document containing EVERY distinct query term is graded
@@ -682,7 +711,7 @@ def coverage_qrels(
             .distinct()
         )
     else:
-        doc_terms = doc_terms.select("doc_id", "term")
+        doc_terms = _tf_frame(doc_terms)[0].select("doc_id", "term")
     cov = (
         doc_terms.join(F.broadcast(qpairs), "term")
         .groupBy("query_id", "doc_id")

@@ -466,7 +466,7 @@ class TestSharedPrunedTf:
         produce IDENTICAL scores; and an all-unmatched query set
         (empty tf — AQE may skip the observed scan stage) must not
         hang on the observation."""
-        from mopso_engine.ext.retrieval import bm25_topk, pruned_tf
+        from mopso_engine.ext.retrieval import PrunedTf, bm25_topk, pruned_tf
 
         docs = spark.createDataFrame(
             [(i, "alpha beta " + "pad " * (i % 4)) for i in range(8)],
@@ -476,10 +476,11 @@ class TestSharedPrunedTf:
             [("q", "alpha beta")], "query_id string, qtext string"
         )
         tf = pruned_tf(docs, qdf)
-        assert getattr(tf, "_corpus_stats_obs", None) is not None
+        assert isinstance(tf, PrunedTf) and tf.corpus_stats is not None
         observed = sorted(map(tuple, bm25_topk(docs, qdf, tf=tf).collect()))
-        bare = pruned_tf(docs, qdf)
-        del bare._corpus_stats_obs
+        # a bare tf FRAME (no PrunedTf pair) takes the explicit
+        # corpus-stats fallback aggregate (ADVICE r14 contract)
+        bare = pruned_tf(docs, qdf).df
         fallback = sorted(
             map(tuple, bm25_topk(docs, qdf, tf=bare).collect())
         )
@@ -662,7 +663,9 @@ class TestSharedPrunedTf:
         qdf = spark.createDataFrame(
             [(1, "alpha beta")], "query_id long, qtext string"
         )
-        opt = pruned_tf(docs, qdf)._jdf.queryExecution().optimizedPlan().toString()
+        opt = (
+            pruned_tf(docs, qdf).df._jdf.queryExecution().optimizedPlan().toString()
+        )
         lines = opt.splitlines()
         # the corpus-side Generate is the one with a non-empty required
         # child output list (the query-side one carries nothing)

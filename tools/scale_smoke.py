@@ -422,7 +422,7 @@ def main_x100_bm25() -> None:
             ],
             "query_id string, qtext string",
         )
-        tf = pruned_tf(docs, qdf)
+        tf = pruned_tf(docs, qdf).df
         tf_rows = tf.count()
         df_rows = tf.select("term").distinct().count()
         clear_retrieval_caches()
