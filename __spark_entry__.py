@@ -5894,9 +5894,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         keep_versions=2 policy would take (here: both versions keep —
         the ledger is already at its floor; the retire path and the
         keep<2 replay-floor raise are unit-pinned on a synthetic
-        3-version ledger). Versions are listed driver-side (retention
-        bounds them by construction); counts are per-version bounded
-        metadata aggregates, never a feed rescan."""
+        3-version ledger). Version NAMES are listed driver-side, but
+        the counts are ONE grouped job over all history versions at
+        once (VERDICT r14 #6 — constant job count even for a ledger
+        drifted to hundreds of versions, the failure the audit
+        catches; job-count-pinned at 50 versions in test_ext)."""
         from mopso_engine.ext.streaming import ledger_vacuum_audit
 
         snap = _cdc_stream_ledger(spark, sf, "vacuum")

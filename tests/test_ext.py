@@ -3484,6 +3484,67 @@ class TestCdcStream:
             ledger_vacuum_audit(spark, snap, keep_versions=1)
         assert "replay-safety floor" in str(ei.value)
 
+    def test_ledger_vacuum_audit_hostile_version_count_constant_jobs(
+        self, spark, tmp_path
+    ):
+        """r15 (VERDICT r14 #6): a ledger drifted to ~50 versions — the
+        exact failure the audit exists to catch — must be reported in a
+        CONSTANT number of Spark jobs (one grouped read over all
+        history versions + one over late + the result collect), not one
+        sequential job per version. Also pins the two seams the single
+        read must survive: a payload column literally named ``v`` (the
+        version id parses from input_file_name, partition discovery
+        would collide) and early epochs that PREDATE the ``op`` column
+        (footer-merged; counted tombstone-free)."""
+        from mopso_engine.ext.streaming import ledger_vacuum_audit
+
+        snap = str(tmp_path / "snap_vac50")
+        n_versions = 50
+        for v in range(n_versions):
+            if v < 3:  # pre-op epochs: schema without the op column
+                df = spark.createDataFrame(
+                    [(v, 1.0), (v, 2.0)], "k long, v double"
+                )
+            else:
+                df = spark.createDataFrame(
+                    [(v, "U", 1.0), (v, "D", 0.0)]
+                    + ([(v, "D", 0.0)] if v % 2 else []),
+                    "k long, op string, v double",
+                )
+            df.coalesce(1).write.parquet(f"{snap}/v={v}")
+        spark.createDataFrame(
+            [(9, "x"), (10, "y")], "k long, pay string"
+        ).write.parquet(f"{snap}/late/v=7")
+
+        sc = spark.sparkContext
+        sc.setJobGroup("vac50", "hostile-version-count audit")
+        try:
+            got = {
+                (r["kind"], r["version"]): (
+                    r["n_rows"], r["n_live"], r["n_tombstones"], r["action"]
+                )
+                for r in ledger_vacuum_audit(
+                    spark, snap, keep_versions=2
+                ).collect()
+            }
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        jobs = sc.statusTracker().getJobIdsForGroup("vac50")
+        assert 1 <= len(jobs) <= 10, (
+            f"{len(jobs)} jobs for {n_versions} versions — the audit "
+            f"must be constant-job, not one job per version"
+        )
+
+        assert len(got) == n_versions + 1
+        for v in range(3):
+            assert got[("history", v)] == (2, 2, 0, "retire")
+        for v in range(3, n_versions):
+            d = 2 if v % 2 else 1
+            n = 2 + (1 if v % 2 else 0)
+            action = "keep" if v >= n_versions - 2 else "retire"
+            assert got[("history", v)] == (n, n - d, d, action), v
+        assert got[("late", 7)] == (2, 2, 0, "keep")
+
     def test_scd2_history_version_reads_exact_and_retired_raises(
         self, spark, tmp_path
     ):
