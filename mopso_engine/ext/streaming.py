@@ -330,18 +330,28 @@ DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars lon
 
 
 def docs_stream_source(
-    spark: SparkSession, docs_path: str, *, schema: str | None = None
+    spark: SparkSession,
+    docs_path: str,
+    *,
+    schema: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Single-file docs stream source (pathGlobFilter pins the stream to
-    one parquet file inside its directory). One definition so a future
-    schema adaptation lands in one place — the events reader needed
-    exactly that (normalize_event_ts)."""
+    """Docs stream source (pathGlobFilter pins the stream to the
+    matching parquet file(s) inside the directory — the basename may be
+    a glob, e.g. ``docs_*.parquet`` for a multi-file feed). One
+    definition so a future schema adaptation lands in one place — the
+    events reader needed exactly that (normalize_event_ts).
+    ``max_files_per_trigger`` is the file source's standard rate-limit
+    knob: it bounds each micro-batch to that many files, which is how a
+    backfill drain (Trigger.AvailableNow) is paced into bounded
+    micro-batches instead of one corpus-sized batch."""
     base, fname = os.path.dirname(docs_path), os.path.basename(docs_path)
-    return (
-        spark.readStream.schema(schema or DOCS_SCHEMA)
-        .option("pathGlobFilter", fname)
-        .parquet(base)
+    reader = spark.readStream.schema(schema or DOCS_SCHEMA).option(
+        "pathGlobFilter", fname
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return reader.parquet(base)
 
 
 def stream_dedup(spark: SparkSession, docs_path: str) -> DataFrame:
@@ -656,6 +666,7 @@ def stream_curate_v3(
     max_top_word_frac: float = 0.10,
     max_top_2gram_frac: float = 0.08,
     min_tokens: int = 5,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """:func:`stream_curate` extended with the round-8 extraction-era
     gates — mojibake repair then the blocklist — BEFORE the repetition
@@ -669,7 +680,9 @@ def stream_curate_v3(
     from mopso_engine.ext.extract import fix_mojibake
     from mopso_engine.ext.text import blocklist_filter, repetition_stats_expr
 
-    src = docs_stream_source(spark, docs_path)
+    src = docs_stream_source(
+        spark, docs_path, max_files_per_trigger=max_files_per_trigger
+    )
     fixed = fix_mojibake(src).select(
         "doc_id", F.col("text_fixed").alias("text")
     )

@@ -902,6 +902,287 @@ def main_x100_ann() -> None:
     spark.stop()
 
 
+def main_x100_bloom() -> None:
+    """×1/×10/×100 curve for the Bloom-prefilter incremental dedup
+    (VERDICT r14 #4 — `dedup_bloom_prefilter`, the most expensive
+    non-fit non-graph bench entry, whose prefilter claims were
+    docstring-only). Decades are the TOKEN-SALTED builds (the LSH
+    smoke's design): verbatim replicas would share fingerprints and the
+    known index would collapse to the base size, proving nothing.
+
+    The filter is sized like a DEPLOYMENT sizes it — bits-per-key held
+    CONSTANT as the index grows (m_bits × the decade; the declared
+    entry's default is the x1 point's family) at ~8 bits/key so the
+    false-positive rate is measurable instead of vanishing. The laws
+    under test, each recorded per decade:
+
+    * FP RATE BOUNDED: fp_rate (maybe & !known over genuinely-new
+      rows) stays FLAT across decades at constant bits-per-key.
+    * CANDIDATE REDUCTION HOLDS: the exact semi-join's probe side is
+      maybe_rows = true dups + fp_rate × new — a small fraction of the
+      increment at every decade, never the increment itself.
+    * PROBE COST LINEAR + BROADCAST-SIZED FILTER: the probe is
+      map-only (no join against the index for proven-new rows); filter
+      words grow ∝ index (KB→MB), crossing from the plan-literal
+      rendering to the broadcast Arrow kernel at
+      LITERAL_BLOOM_WORDS_MAX (the x100 decade exercises the kernel).
+    """
+    from mopso_engine.session import build_session
+
+    spark = build_session(master="local[32]", app_name="scale-smoke-bloom")
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    from mopso_engine.ext import dedup as dd
+
+    for n, dest in ((10, OUT_LSH), (100, OUT100_LSH)):
+        if not os.path.isdir(dest):
+            build_corpus_lsh(spark, n, dest)
+    out: dict = {
+        "metric": "scale100_bloom_smoke",
+        "query": "dedup_bloom_prefilter",
+        "bits_per_key_target": 7.94,
+        "literal_words_max": dd.LITERAL_BLOOM_WORDS_MAX,
+    }
+
+    def run(d: str, m_bits: int):
+        """The declared entry's planted fixture (__spark_entry__
+        dedup_bloom_prefilter) at the given filter size."""
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        is_new = F.col("doc_id") % 5 == 0
+        known = docs.where(~is_new)
+        new = (
+            docs.where(is_new)
+            .unionByName(
+                docs.where(~is_new & (F.col("doc_id") < 50)).withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(100000)
+                )
+            )
+            .unionByName(
+                docs.where(is_new & (F.col("doc_id") < 50)).withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(200000)
+                )
+            )
+        )
+        known_fps = known.select(
+            F.md5(dd.normalized_text()).alias("fp")
+        ).distinct()
+        return dd.incremental_dedup_bloom(new, known_fps, m_bits=m_bits), known_fps
+
+    # warm pass eats codegen/JIT so no timed pass is charged for it
+    run(SRC, 62 * 512)[0].write.format("noop").mode("overwrite").save()
+    for tag, d, mult in (
+        ("x1", SRC, 1), ("x10", OUT_LSH, 10), ("x100", OUT100_LSH, 100)
+    ):
+        m_bits = 62 * 512 * mult
+        snap0 = stage_writes(spark)
+        t0 = time.time()
+        res, known_fps = run(d, m_bits)
+        res.write.format("noop").mode("overwrite").save()
+        t = round(time.time() - t0, 3)
+        tot, peak, nst = window_stats(snap0, stage_writes(spark))
+        # work-law readout (untimed second pass): the decision table's
+        # own counters ARE the law — maybe rows (the semi-join's probe
+        # side), true dups, false positives over genuinely-new rows
+        res2, known_fps2 = run(d, m_bits)
+        law = res2.agg(
+            F.count(F.lit(1)).alias("increment"),
+            F.sum(F.col("maybe_known").cast("long")).alias("maybe"),
+            F.sum(F.col("is_known").cast("long")).alias("dups"),
+            F.sum(
+                (F.col("maybe_known") & ~F.col("is_known")).cast("long")
+            ).alias("fp"),
+        ).collect()[0]
+        n_index = known_fps2.count()
+        genuinely_new = int(law["increment"]) - int(law["dups"])
+        rec = {
+            "scale": mult, "wall_sec": t, "shuffle_write_bytes": tot,
+            "peak_stage_shuffle_bytes": peak, "stages": nst,
+            "m_bits": m_bits,
+            "filter_words": m_bits // dd.BLOOM_WORD_BITS,
+            "probe_rendering": (
+                "kernel"
+                if m_bits // dd.BLOOM_WORD_BITS > dd.LITERAL_BLOOM_WORDS_MAX
+                else "literal"
+            ),
+            "n_index_fps": int(n_index),
+            "n_increment": int(law["increment"]),
+            "maybe_rows": int(law["maybe"]),
+            "true_dups": int(law["dups"]),
+            "false_positives": int(law["fp"]),
+            "fp_rate": round(int(law["fp"]) / max(1, genuinely_new), 5),
+            "maybe_frac_of_increment": round(
+                int(law["maybe"]) / max(1, int(law["increment"])), 5
+            ),
+        }
+        out[tag] = rec
+        print(
+            f"# bloom {tag}: {t}s shuffle={tot} stages={nst} "
+            f"index={n_index} maybe={rec['maybe_rows']} "
+            f"fp_rate={rec['fp_rate']} via {rec['probe_rendering']}",
+            file=sys.stderr,
+        )
+    for a, b in (("x10", "x1"), ("x100", "x10"), ("x100", "x1")):
+        out[f"ratio_{a}_vs_{b}"] = round(
+            out[a]["wall_sec"] / out[b]["wall_sec"], 2
+        )
+        out[f"fp_rate_ratio_{a}_vs_{b}"] = round(
+            out[a]["fp_rate"] / max(1e-9, out[b]["fp_rate"]), 2
+        )
+    print(json.dumps(out))
+    spark.stop()
+
+
+OUT_CURATE = os.path.join(_REPO, ".scale10curate")
+OUT100_CURATE = os.path.join(_REPO, ".scale100curate")
+
+
+def build_curate_feed_xn(spark, n: int, dest: str) -> None:
+    """×n documents as a streaming FEED: n token-salted replica FILES of
+    base-corpus size (flat ``docs_NNN.parquet`` files, the testdata
+    layout the file stream source reads) — a crawler at ×n scale
+    delivers ×n files of the same size, so micro-batch COUNT grows with
+    the decade while per-batch size stays constant. Token-salting keeps
+    cross-replica fingerprints distinct (the dedup state must really
+    grow ∝ feed; verbatim replicas would collapse onto replica 0)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    os.makedirs(dest)
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    for i in range(n):
+        d = docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+        ).withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda t: F.concat(t, F.lit(f"_r{i}")),
+                ),
+                " ",
+            ),
+        )
+        tmp = os.path.join(dest, f"_tmp_{i}")
+        d.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.rename(part, os.path.join(dest, f"docs_{i:03d}.parquet"))
+        shutil.rmtree(tmp)
+
+
+def main_x100_curate() -> None:
+    """×1/×10/×100 curve for the streaming curation flagship
+    (VERDICT r14 #5 — `stream_curate_docs_v3`, the largest benched
+    streaming entry; stream==batch parity is oracled but the
+    per-micro-batch law was claimed, not measured). The feed is paced
+    at ONE file per micro-batch (maxFilesPerTrigger — the file source's
+    standard rate limit), so the decades deliver 1/10/100 micro-batches
+    of CONSTANT size. The laws under test, from the query's own
+    StreamingQueryProgress:
+
+    * PER-BATCH WORK FLAT: mean per-micro-batch input rows and the
+      peak stage shuffle stay constant across decades (the gates are
+      stateless codegen; the only exchange is the dedup state's
+      fp-hash partitioning of one batch at a time).
+    * STATE = FINGERPRINT SET: state numRowsTotal after the drain
+      equals the cumulative distinct fingerprints (feed-linear — the
+      DOCUMENTED posture; unbounded production streams swap the tail
+      for the watermark-TTL dedup).
+    * STAGES ∝ BATCHES: constant stages per micro-batch, so total
+      stages grow with the batch count, not the corpus size.
+    """
+    from mopso_engine.session import build_session
+
+    spark = build_session(master="local[32]", app_name="scale-smoke-curate")
+    spark.sparkContext.setLogLevel("ERROR")
+    from mopso_engine.ext.streaming import stream_curate_v3
+
+    build_curate_feed_xn(spark, 1, OUT_CURATE + "1")
+    build_curate_feed_xn(spark, 10, OUT_CURATE)
+    build_curate_feed_xn(spark, 100, OUT100_CURATE)
+    out: dict = {
+        "metric": "scale100_curate_smoke",
+        "query": "stream_curate_docs_v3",
+        "max_files_per_trigger": 1,
+    }
+
+    def drain(d: str, name: str):
+        sdf = stream_curate_v3(
+            spark,
+            os.path.join(d, "docs_*.parquet"),
+            max_files_per_trigger=1,
+        )
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = [json.loads(p.json) for p in q.recentProgress]
+        return spark.table(name), progress
+
+    # warm pass eats codegen/JIT so no timed pass is charged for it
+    drain(OUT_CURATE + "1", "curate_warm")
+    for tag, d, mult in (
+        ("x1", OUT_CURATE + "1", 1),
+        ("x10", OUT_CURATE, 10),
+        ("x100", OUT100_CURATE, 100),
+    ):
+        snap0 = stage_writes(spark)
+        t0 = time.time()
+        res, progress = drain(d, f"curate_{tag}")
+        n_out = res.count()
+        t = round(time.time() - t0, 3)
+        tot, peak, nst = window_stats(snap0, stage_writes(spark))
+        batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+        state_rows = 0
+        rows_per_batch = []
+        for p in batches:
+            rows_per_batch.append(p["numInputRows"])
+            ops = p.get("stateOperators") or []
+            if ops:
+                state_rows = max(state_rows, ops[0].get("numRowsTotal", 0))
+        rec = {
+            "scale": mult, "wall_sec": t, "shuffle_write_bytes": tot,
+            "peak_stage_shuffle_bytes": peak, "stages": nst,
+            "micro_batches": len(batches),
+            "mean_rows_per_batch": round(
+                sum(rows_per_batch) / max(1, len(rows_per_batch)), 1
+            ),
+            "state_rows_final": int(state_rows),
+            "survivors": int(n_out),
+            "stages_per_batch": round(nst / max(1, len(batches)), 1),
+        }
+        out[tag] = rec
+        print(
+            f"# curate {tag}: {t}s batches={rec['micro_batches']} "
+            f"rows/batch={rec['mean_rows_per_batch']} "
+            f"state={rec['state_rows_final']} stages/batch="
+            f"{rec['stages_per_batch']} peak_shuffle={peak}",
+            file=sys.stderr,
+        )
+    for a, b in (("x10", "x1"), ("x100", "x10"), ("x100", "x1")):
+        out[f"ratio_{a}_vs_{b}"] = round(
+            out[a]["wall_sec"] / out[b]["wall_sec"], 2
+        )
+        out[f"peak_shuffle_ratio_{a}_vs_{b}"] = round(
+            out[a]["peak_stage_shuffle_bytes"]
+            / max(1, out[b]["peak_stage_shuffle_bytes"]),
+            2,
+        )
+        out[f"stages_per_batch_ratio_{a}_vs_{b}"] = round(
+            out[a]["stages_per_batch"] / max(0.1, out[b]["stages_per_batch"]),
+            2,
+        )
+    print(json.dumps(out))
+    spark.stop()
+
+
 def stage_writes(spark) -> dict:
     """{(stageId, attemptId): shuffleWriteBytes} for completed stages via
     the REST API — callers diff two snapshots so totals AND peaks are
@@ -1073,8 +1354,25 @@ if __name__ == "__main__":
         help="run the multi-touch attribution x1/x10/x100 curve on "
         "user-rekeyed decades (builds .scale10attr/.scale100attr)",
     )
+    ap.add_argument(
+        "--x100-bloom",
+        action="store_true",
+        help="run the Bloom-prefilter dedup x1/x10/x100 curve on "
+        "token-salted decades (reuses .scale10lsh/.scale100lsh; "
+        "bits-per-key held constant)",
+    )
+    ap.add_argument(
+        "--x100-curate",
+        action="store_true",
+        help="run the streaming-curation x1/x10/x100 curve on a "
+        "file-paced salted feed (builds .scale10curate/.scale100curate)",
+    )
     args = ap.parse_args()
-    if args.x100_ann:
+    if args.x100_bloom:
+        main_x100_bloom()
+    elif args.x100_curate:
+        main_x100_curate()
+    elif args.x100_ann:
         main_x100_ann()
     elif args.x100_bootstrap:
         main_x100_bootstrap()
