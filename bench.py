@@ -306,6 +306,11 @@ BENCH_QUERIES = [
     # expression (decay adds the bit-shift weight + a second window)
     "events_attribution_position",
     "events_attribution_decay",
+    # round-15: the Markov-chain removal-effect model — one user-keyed
+    # journey window, a states²-bounded transition aggregate feeding
+    # the driver-side exact-Fraction absorbing-chain solve, broadcast
+    # literal re-join
+    "events_attribution_markov",
     # round-14: the ledger family's VACUUM-style retention audit (pays
     # its full two-batch AvailableNow maintainer run like the version
     # reads, plus two bounded per-version metadata aggregates)
@@ -546,6 +551,9 @@ ANCHOR_R08 = {
     # model's level, same bounded pair join + one extra window)
     "events_attribution_position": 1.0,
     "events_attribution_decay": 1.0,
+    # r15 birth (warm 1.6-1.8 beside a running smoke; floor + headroom
+    # — the trans collect + v_total scan cost more than the pair models)
+    "events_attribution_markov": 2.5,
     # r14 third birth: the vacuum audit pays the same maintainer run
     # as the version reads (their 3.0 anchors) + two tiny aggregates
     "events_ledger_vacuum": 3.0,

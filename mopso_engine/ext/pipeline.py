@@ -1944,6 +1944,290 @@ def time_decay_attribution(
     )
 
 
+def markov_removal_fit(
+    transitions: list[tuple[str, str, int]],
+    total_value_micro: int,
+) -> dict[str, tuple[int, int]]:
+    """Absorbing-chain REMOVAL-EFFECT solve (Anderl et al. 2014,
+    "Mapping the Customer Journey") — the pure-python fitter both
+    engines share (the PAVA/WoE/DSIR driver-pinning treatment): exact
+    ``Fraction`` arithmetic end to end, so the pinned literals agree by
+    construction regardless of either engine's float stack.
+
+    ``transitions``: (src, dst, n) counts with src ∈ {'START'} ∪
+    channels and dst ∈ channels ∪ {'CONV', 'NULL'} (CONV/NULL are the
+    absorbing conversion / journey-abandoned states). For each channel
+    c, the removal effect is ``1 − P(conv | c's inbound mass redirected
+    to NULL) / P(conv)`` — how much of the conversion probability dies
+    with the channel. Redirection keeps every row-total intact, so
+    removal can only LOSE conversion mass (effects are non-negative by
+    construction).
+
+    Credits: ``total_value_micro`` splits ∝ removal effect — base =
+    ``V·re_c div Σre`` (floored in exact rationals), the remainder
+    micros going to the largest effects first (effect desc, channel
+    asc), so credit sums EXACTLY to V whenever any effect is positive.
+
+    Returns {channel: (removal_ppm, credit_micro)} for every channel
+    seen in the transitions (removal_ppm = round-half-up parts-per-
+    million of the removal effect).
+    """
+    from fractions import Fraction
+
+    counts: dict[tuple[str, str], int] = {}
+    for src, dst, n in transitions:
+        counts[(src, dst)] = counts.get((src, dst), 0) + int(n)
+    channels = sorted(
+        {s for s, _ in counts if s != "START"}
+        | {d for _, d in counts if d not in ("CONV", "NULL")}
+    )
+    row_tot = {
+        s: sum(n for (src, _), n in counts.items() if src == s)
+        for s in ["START"] + channels
+    }
+
+    def p_conv(removed: str | None) -> Fraction:
+        """P(absorb in CONV | start at START) with ``removed``'s inbound
+        mass redirected to NULL: solve (I − Q)x = b over the transient
+        states by exact-Fraction Gaussian elimination (≤ channels+1
+        unknowns — driver-trivial)."""
+        sts = ["START"] + [c for c in channels if c != removed]
+        idx = {s: i for i, s in enumerate(sts)}
+        n = len(sts)
+        A = [[Fraction(0)] * n for _ in range(n)]
+        b = [Fraction(0)] * n
+        for s, i in idx.items():
+            A[i][i] = Fraction(1)
+            tot = row_tot.get(s, 0)
+            if tot == 0:
+                continue  # no outgoing mass: absorbs to NULL, x_s = 0
+            for (src, dst), cnt in counts.items():
+                if src != s:
+                    continue
+                p = Fraction(cnt, tot)
+                if dst == "CONV":
+                    b[i] += p
+                elif dst in idx:  # transient and not removed
+                    A[i][idx[dst]] -= p
+                # dst == NULL or == removed: mass dies, contributes 0
+        # Gaussian elimination, exact fractions, pivot on any non-zero
+        for col in range(n):
+            piv = next(
+                (r for r in range(col, n) if A[r][col] != 0), None
+            )
+            if piv is None:
+                raise ValueError(
+                    "markov_removal_fit: singular transient system — "
+                    "the observed chain is not absorbing"
+                )
+            A[col], A[piv] = A[piv], A[col]
+            b[col], b[piv] = b[piv], b[col]
+            inv = A[col][col]
+            for r in range(n):
+                if r == col or A[r][col] == 0:
+                    continue
+                f = A[r][col] / inv
+                for c2 in range(col, n):
+                    A[r][c2] -= f * A[col][c2]
+                b[r] -= f * b[col]
+        return b[idx["START"]] / A[idx["START"]][idx["START"]]
+
+    base_p = p_conv(None)
+    effects = {}
+    for c in channels:
+        if base_p == 0:
+            effects[c] = Fraction(0)
+        else:
+            effects[c] = max(Fraction(0), 1 - p_conv(c) / base_p)
+    tot_e = sum(effects.values(), Fraction(0))
+    v = int(total_value_micro)
+    out: dict[str, tuple[int, int]] = {}
+    base_credit = {}
+    for c in channels:
+        ppm = (2 * effects[c].numerator * 1_000_000 + effects[c].denominator) // (
+            2 * effects[c].denominator
+        )
+        if tot_e == 0:
+            base_credit[c] = 0
+        else:
+            share = effects[c] / tot_e
+            base_credit[c] = (v * share.numerator) // share.denominator
+        out[c] = (int(ppm), int(base_credit[c]))
+    if tot_e != 0:
+        rem = v - sum(base_credit.values())
+        for c in sorted(channels, key=lambda c: (-effects[c], c)):
+            if rem <= 0:
+                break
+            out[c] = (out[c][0], out[c][1] + 1)
+            rem -= 1
+    return out
+
+
+def removal_effect_attribution(
+    events: DataFrame,
+    value_micro: Column,
+    *,
+    convert_type: str = "purchase",
+    ts_col: str = "ts",
+    key: str = "user_id",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """MARKOV-CHAIN (removal-effect) attribution — the data-driven rung
+    above the heuristic ladder (last-touch → linear → position → decay):
+    instead of ASSERTING a credit curve, measure each channel's causal
+    weight as the conversion probability that dies when the channel is
+    removed from the observed first-order journey chain, then split the
+    total conversion value ∝ those removal effects.
+
+    Journey construction (both engines replay it identically): per
+    user, events order by (event-time µs, ``seq_col``); a journey ends
+    at each ``convert_type`` row (absorbing CONV — the running count of
+    PRIOR conversions is the journey id) or at the user's last event
+    (absorbing NULL); every non-conversion event is a channel state;
+    START opens every journey. Transition counts are a
+    (channels+1)×(channels+2)-bounded table.
+
+    Engine-exactness: the chain solve runs ONCE driver-side in exact
+    ``Fraction`` arithmetic (:func:`markov_removal_fit` — the
+    PAVA/WoE/DSIR driver-pinning treatment) on the Spark-computed
+    integer transition counts, and the fitted (removal_ppm,
+    credit_micro) re-enter the plan as literals; credits sum EXACTLY
+    to the guarded ΣV. No float touches any hashed value.
+
+    Matched failures: NULL ``key``/``ts_col``/``seq_col`` on ANY row
+    raises (every event participates in the chain — unlike the
+    windowed pair models there is no non-participating type); NULL or
+    NEGATIVE conversion value raises (credit splitting is undefined
+    for refunds, and div-vs-floor diverges across engines).
+
+    Shape (100 TB): ONE user-keyed exchange carries every window (the
+    journey id is a running conversion count over the same (key →
+    ts, seq) sort the lag/lead transitions read — lag/lead null out at
+    journey boundaries instead of repartitioning by (key, journey));
+    the transition aggregate is map-side combined into a states²
+    table; the solve is driver-side over that tiny table; the output
+    join is a broadcast of |channels| fitted literals against the
+    per-channel touch counts. Returns (channel, n_touches,
+    removal_ppm, credit_micro) — one row per channel.
+    """
+    key_checked = F.when(
+        F.col(key).isNull()
+        | F.col(ts_col).isNull()
+        | F.col(seq_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"removal_effect_attribution: NULL {key}/{ts_col}/"
+                f"{seq_col} — the event feed is corrupt"
+            )
+        ),
+    ).otherwise(F.col(key))
+    v_checked = (
+        F.when(
+            value_micro.isNull(),
+            F.raise_error(
+                F.lit("removal_effect_attribution: NULL conversion value")
+            ),
+        )
+        .when(
+            value_micro < 0,
+            F.raise_error(
+                F.lit(
+                    "removal_effect_attribution: negative conversion "
+                    "value — removal-effect credit cannot split refunds"
+                )
+            ),
+        )
+        .otherwise(value_micro)
+    )
+    is_conv = F.col("event_type") == convert_type
+    ev = events.select(
+        key_checked.alias("__k"),
+        F.unix_micros(ts_col).alias("__us"),
+        F.col(seq_col).alias("__seq"),
+        F.col("event_type").alias("__et"),
+        F.when(is_conv, v_checked).otherwise(F.lit(0)).alias("__v"),
+        is_conv.cast("int").alias("__c"),
+    )
+    w = Window.partitionBy("__k").orderBy(F.asc("__us"), F.asc("__seq"))
+    # journey id = # prior conversions (exclusive): a conversion row is
+    # the LAST row of its own journey. Two-step projection (a window
+    # function cannot nest inside lag/lead): __jid materializes first,
+    # then lag/lead read it over the SAME (key → us, seq) window spec —
+    # Catalyst stacks the Window operators on one exchange+sort.
+    base = ev.withColumn("__jid", F.sum("__c").over(w) - F.col("__c"))
+    rows = base.select(
+        "__et",
+        "__c",
+        "__v",
+        "__jid",
+        F.lag("__et").over(w).alias("__pet"),
+        F.lag("__jid").over(w).alias("__pjid"),
+        F.lead("__jid").over(w).alias("__njid"),
+    )
+    src = F.when(
+        F.col("__pet").isNull() | (F.col("__pjid") != F.col("__jid")),
+        F.lit("START"),
+    ).otherwise(F.col("__pet"))
+    dst = F.when(F.col("__c") == 1, F.lit("CONV")).otherwise(F.col("__et"))
+    step = F.struct(src.alias("src"), dst.alias("dst"))
+    # terminal NULL: a non-conversion row with no successor in its
+    # journey abandons there — emitted as a SECOND element of the same
+    # row's transition array (one explode, one branch, so the window's
+    # user-key exchange is paid exactly once; a steps/tails self-union
+    # would plan the window twice and lean on ReusedExchange)
+    tail = F.struct(
+        F.col("__et").alias("src"), F.lit("NULL").alias("dst")
+    )
+    is_tail = (F.col("__c") == 0) & (
+        F.col("__njid").isNull() | (F.col("__njid") != F.col("__jid"))
+    )
+    pairs = rows.select(
+        F.explode(
+            F.when(is_tail, F.array(step, tail)).otherwise(F.array(step))
+        ).alias("__t")
+    ).select(
+        F.col("__t.src").alias("__src"), F.col("__t.dst").alias("__dst")
+    )
+    # ONE persisted tiny table feeds the driver-side fit AND the output
+    # join (the isotonic_calibrate sharing shape; registered with the
+    # calib cache registry bench already clears)
+    from mopso_engine.ext.calib import _CALIB_CACHES
+
+    trans = (
+        pairs.groupBy("__src", "__dst")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .persist()
+    )
+    _CALIB_CACHES.append(trans)
+    t_rows = [(r["__src"], r["__dst"], int(r["__n"])) for r in trans.collect()]
+    v_total = int(
+        ev.agg(F.coalesce(F.sum("__v"), F.lit(0)).alias("v")).collect()[0]["v"]
+    )
+    fit = markov_removal_fit(t_rows, v_total)
+    spark = events.sparkSession
+    if fit:
+        lit = spark.createDataFrame(
+            [(c, ppm, cr) for c, (ppm, cr) in sorted(fit.items())],
+            "channel string, removal_ppm long, credit_micro long",
+        )
+    else:
+        lit = spark.createDataFrame(
+            [], "channel string, removal_ppm long, credit_micro long"
+        )
+    # n_touches(channel) = Σ step transitions INTO the channel (every
+    # non-conversion row contributes exactly one such step; tails carry
+    # dst = NULL so they never count) — read off the persisted table,
+    # never a second events scan
+    touches = (
+        trans.where(~F.col("__dst").isin("CONV", "NULL"))
+        .groupBy(F.col("__dst").alias("channel"))
+        .agg(F.sum("__n").alias("n_touches"))
+    )
+    return touches.join(F.broadcast(lit), "channel").select(
+        "channel", "n_touches", "removal_ppm", "credit_micro"
+    )
+
+
 def cuped_adjusted(
     events: DataFrame,
     *,

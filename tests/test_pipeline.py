@@ -3361,6 +3361,135 @@ class TestTimeDecayAttribution:
         assert "time_decay_attribution: NULL conversion value" in str(ei.value)
 
 
+class TestRemovalEffectAttribution:
+    SCHEMA = TestMultiTouchAttribution.SCHEMA
+    _ev = TestMultiTouchAttribution._ev
+    VAL = "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"
+
+    def test_fit_matches_hand_solved_chain(self):
+        """Hand-solved absorbing chain: journeys A→B→CONV, A→NULL,
+        B→CONV give P(conv)=2/3; removing A: 1/3 (effect 1/2);
+        removing B: 0 (effect 1) — credits split 50/100 of V=150 and
+        sum exactly."""
+        from mopso_engine.ext.pipeline import markov_removal_fit
+
+        fit = markov_removal_fit(
+            [
+                ("START", "A", 2),
+                ("A", "B", 1),
+                ("A", "NULL", 1),
+                ("START", "B", 1),
+                ("B", "CONV", 2),
+            ],
+            150,
+        )
+        assert fit == {"A": (500_000, 50), "B": (1_000_000, 100)}
+
+    def test_fit_remainder_rule_and_zero_conversion_feed(self):
+        from mopso_engine.ext.pipeline import markov_removal_fit
+
+        # equal effects, V=101: base 50 each, the odd micro goes to the
+        # alphabetically-first channel (effect desc, channel asc)
+        fit = markov_removal_fit(
+            [
+                ("START", "A", 1),
+                ("A", "CONV", 1),
+                ("START", "B", 1),
+                ("B", "CONV", 1),
+            ],
+            101,
+        )
+        assert fit == {"A": (500_000, 51), "B": (500_000, 50)}
+        assert sum(c for _, c in fit.values()) == 101
+        # no conversions anywhere: every effect and credit is 0
+        fit0 = markov_removal_fit(
+            [("START", "A", 2), ("A", "NULL", 2)], 0
+        )
+        assert fit0 == {"A": (0, 0)}
+
+    def test_operator_replays_hand_solved_chain(self, spark):
+        """End-to-end: journeys u1 A→B→purchase(100µ), u2 A(abandon),
+        u3 B→purchase(50µ) — the distributed transition build must feed
+        the same fit, and n_touches counts channel occurrences."""
+        from mopso_engine.ext.pipeline import removal_effect_attribution
+
+        rows = [
+            (1, 0, 1, "A", 0.0),
+            (1, 1, 2, "B", 0.0),
+            (1, 2, 3, "purchase", 0.0001),
+            (2, 0, 4, "A", 0.0),
+            (3, 0, 5, "B", 0.0),
+            (3, 1, 6, "purchase", 0.00005),
+        ]
+        got = sorted(
+            map(
+                tuple,
+                removal_effect_attribution(
+                    self._ev(spark, rows), F.expr(self.VAL)
+                ).collect(),
+            )
+        )
+        assert got == [
+            ("A", 2, 500_000, 50),
+            ("B", 2, 1_000_000, 100),
+        ]
+
+    def test_journey_splits_at_each_conversion(self, spark):
+        """A multi-purchase user restarts at START after every
+        conversion; the tail after the last purchase absorbs to NULL.
+        u1: A→CONV | B→CONV | A(abandon) ⇒ transitions START→A:1(+1
+        tail journey), A→CONV:1, START→B:1, B→CONV:1, A→NULL:1 —
+        symmetric effects, so V splits equally with the remainder
+        micro to 'A'."""
+        from mopso_engine.ext.pipeline import removal_effect_attribution
+
+        rows = [
+            (1, 0, 1, "A", 0.0),
+            (1, 1, 2, "purchase", 0.0001),
+            (1, 2, 3, "B", 0.0),
+            (1, 3, 4, "purchase", 0.0001),
+            (1, 4, 5, "A", 0.0),
+        ]
+        got = {
+            r["channel"]: (r["n_touches"], r["removal_ppm"], r["credit_micro"])
+            for r in removal_effect_attribution(
+                self._ev(spark, rows), F.expr(self.VAL)
+            ).collect()
+        }
+        # chain: START→A 2/3, START→B 1/3; A→CONV 1/2, A→NULL 1/2,
+        # B→CONV 1. P(conv) = 2/3·1/2 + 1/3·1 = 2/3.
+        # remove A: 1/3 ⇒ effect 1/2; remove B: 1/3 ⇒ effect 1/2.
+        assert got == {
+            "A": (2, 500_000, 100),
+            "B": (1, 500_000, 100),
+        }
+        assert sum(c for _, _, c in got.values()) == 200  # = ΣV micro
+
+    def test_matched_failures(self, spark):
+        from mopso_engine.ext.pipeline import removal_effect_attribution
+
+        # NULL value on a conversion raises
+        rows = [(1, 0, 1, "A", 0.0), (1, 1, 2, "purchase", None)]
+        with pytest.raises(Exception) as ei:
+            removal_effect_attribution(
+                self._ev(spark, rows), F.expr(self.VAL)
+            ).collect()
+        assert "removal_effect_attribution: NULL conversion value" in str(
+            ei.value
+        )
+        # NULL key on ANY row raises — every event participates in the
+        # chain (no non-participating type, unlike the pair models)
+        rows2 = [
+            (None, 0, 1, "A", 0.0),
+            (1, 1, 2, "purchase", 1.0),
+        ]
+        with pytest.raises(Exception) as ei2:
+            removal_effect_attribution(
+                self._ev(spark, rows2), F.expr(self.VAL)
+            ).collect()
+        assert "the event feed is corrupt" in str(ei2.value)
+
+
 class TestDiffInDiff:
     def test_exact_python_replay(self, spark):
         import datetime as dt

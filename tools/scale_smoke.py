@@ -1038,13 +1038,22 @@ OUT100_CURATE = os.path.join(_REPO, ".scale100curate")
 
 
 def build_curate_feed_xn(spark, n: int, dest: str) -> None:
-    """×n documents as a streaming FEED: n token-salted replica FILES of
-    base-corpus size (flat ``docs_NNN.parquet`` files, the testdata
-    layout the file stream source reads) — a crawler at ×n scale
-    delivers ×n files of the same size, so micro-batch COUNT grows with
-    the decade while per-batch size stays constant. Token-salting keeps
-    cross-replica fingerprints distinct (the dedup state must really
-    grow ∝ feed; verbatim replicas would collapse onto replica 0)."""
+    """×n documents as a streaming FEED: n replica FILES of base-corpus
+    size (flat ``docs_NNN.parquet`` files, the testdata layout the file
+    stream source reads) — a crawler at ×n scale delivers ×n files of
+    the same size, so micro-batch COUNT grows with the decade while
+    per-batch size stays constant.
+
+    Replicas are decorrelated by ONE appended per-replica nonce token
+    (``zqr<i>``), NOT the LSH smoke's full token-salting: fingerprints
+    must be distinct across replicas (the dedup state really grows ∝
+    feed) but the GATES must see the base corpus's content — full
+    salting un-matches every blocklist term, so the cheap blocklist
+    stage stops shielding the expensive per-doc repetition expressions
+    and per-batch cost balloons ~10× (measured: 65 s/batch salted vs
+    ~6 s/batch nonce'd), which would measure the fixture, not the
+    operator. Every decade (including ×1) carries the nonce so the
+    per-batch work is comparable across decades."""
     import glob as _glob
 
     from pyspark.sql import functions as F
@@ -1057,14 +1066,7 @@ def build_curate_feed_xn(spark, n: int, dest: str) -> None:
         d = docs.withColumn(
             "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
         ).withColumn(
-            "text",
-            F.array_join(
-                F.transform(
-                    F.split(F.col("text"), r"\s+"),
-                    lambda t: F.concat(t, F.lit(f"_r{i}")),
-                ),
-                " ",
-            ),
+            "text", F.concat(F.col("text"), F.lit(f" zqr{i}"))
         )
         tmp = os.path.join(dest, f"_tmp_{i}")
         d.coalesce(1).write.parquet(tmp)
