@@ -311,6 +311,10 @@ BENCH_QUERIES = [
     # the driver-side exact-Fraction absorbing-chain solve, broadcast
     # literal re-join
     "events_attribution_markov",
+    # round-15: cross-modal retrieval — the IVF serving shape with the
+    # corpus side decoded by the multimodal Arrow kernel and the text
+    # queries encoded driver-side by the same joint-encoder stub
+    "crossmodal_ann",
     # round-14: the ledger family's VACUUM-style retention audit (pays
     # its full two-batch AvailableNow maintainer run like the version
     # reads, plus two bounded per-version metadata aggregates)
@@ -554,6 +558,9 @@ ANCHOR_R08 = {
     # r15 birth (warm 1.6-1.8 beside a running smoke; floor + headroom
     # — the trans collect + v_total scan cost more than the pair models)
     "events_attribution_markov": 2.5,
+    # r15 second birth (warm 1.7-2.3 beside a running smoke; the decode
+    # kernel + codebook-sample collect dominate at sf0.1)
+    "crossmodal_ann": 3.0,
     # r14 third birth: the vacuum audit pays the same maintainer run
     # as the version reads (their 3.0 anchors) + two tiny aggregates
     "events_ledger_vacuum": 3.0,

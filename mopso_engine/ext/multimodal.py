@@ -86,6 +86,15 @@ def _fake_decode(payload: bytes, dim: int = 8) -> tuple[int, int, np.ndarray]:
     return w, h, feats
 
 
+def fake_features_local(payload: bytes, dim: int = 8) -> list[float]:
+    """The fake decoder's feature vector alone — the shared
+    'joint-embedding encoder' stub: the cross-modal entry encodes its
+    (literal) text queries with THIS function driver-side, and the
+    oracle replays the same bytes-to-features map, so both modalities
+    land in one space by construction."""
+    return [float(x) for x in _fake_decode(payload, dim)[2]]
+
+
 def pil_available() -> bool:
     """True iff Pillow imports (driver-side probe; executors share the
     environment in local mode — on a real cluster, ship PIL in the

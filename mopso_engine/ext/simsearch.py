@@ -356,6 +356,76 @@ def cosine_topk_ivf_codebook(
     )
 
 
+def crossmodal_topk_ivf(
+    corpus: DataFrame,
+    codebook,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """CROSS-MODAL IVF top-k — queries from ONE modality retrieve items
+    of ANOTHER through a shared joint-embedding space (the CLIP-style
+    serving shape): ``corpus`` is (item_id, vec) — e.g. image features
+    out of the multimodal decode kernel — and ``queries`` is
+    (query_id, qvec) — e.g. text queries pushed through the SAME joint
+    encoder driver-side (they are literals; a query never scans).
+
+    Identical physical shape to :func:`cosine_topk_ivf_codebook`: one
+    kernel scan assigns corpus cells, queries probe their ``nprobe``
+    most-similar cells via pure expressions on the codebook literals,
+    and the equality join ``corpus ⋈ probes ON cell`` replaces the full
+    scan. No self-exclusion — the two id spaces are disjoint by
+    construction (an item cannot be its own query across modalities).
+
+    Returns (query_id, item_id, rank, cos_sim) with the deterministic
+    (cos desc, item_id asc) tie-break, cos rounded to 6.
+    """
+    import numpy as np
+
+    C = np.asarray(codebook, dtype=np.float64)
+    vecs = corpus.select("item_id", "vec")
+    cells = vecs.withColumn("cell", _argmax_cell_kernel(C)("vec"))
+    cent_lits = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cell"),
+                F.array(*[F.lit(float(v)) for v in C[c]]).alias("cv"),
+            )
+            for c in range(C.shape[0])
+        ]
+    )
+    qc = queries.select(
+        "query_id", "qvec", F.explode(cent_lits).alias("p")
+    ).select(
+        "query_id",
+        "qvec",
+        F.col("p.cell").alias("cell"),
+        (
+            _dot("qvec", F.col("p.cv"))
+            / (_norm("qvec") * _norm(F.col("p.cv")))
+        ).alias("cell_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cell_sim").desc(), F.col("cell").asc()
+    )
+    probes = (
+        qc.withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+    cand = cells.join(F.broadcast(probes), "cell")
+    cos = _cosine_kernel()("vec", "qvec")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("item_id").asc()
+    )
+    return (
+        cand.select("query_id", "item_id", F.round(cos, 6).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", "rank", "cos_sim")
+    )
+
+
 def lsh_planes(dim: int, n_bits: int, seed: int = 7):
     """Deterministic random-hyperplane set for sign-LSH: (n_bits, dim)
     standard normals from a seeded numpy generator. The SAME constants are
