@@ -241,3 +241,62 @@ def test_decay_credit_rule_invariants(v, shifts):
     # a smaller one by more than the single remainder micro
     for i in range(len(c) - 1):
         assert c[i] >= c[i + 1] - 1
+
+
+# --- r15: the Markov removal-effect solve's invariants -------------------
+
+@given(
+    st.integers(0, 10**13),
+    st.lists(
+        st.tuples(
+            st.lists(st.integers(1, 3), min_size=0, max_size=8),
+            st.booleans(),  # converts?
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_markov_removal_fit_invariants(v, journeys):
+    """For any OPERATOR-SHAPED input — transition counts derived from
+    terminating journeys (every path ends in CONV or NULL, exactly what
+    removal_effect_attribution emits) — the exact-Fraction solve keeps
+    three invariants: every removal effect lies in [0, 1] (redirection
+    only LOSES conversion mass), credits are non-negative and sum
+    EXACTLY to V whenever any effect is positive, and a channel with a
+    larger effect never earns less credit (monotone, up to the
+    remainder micro). Journeys with no touches (START→CONV/NULL
+    directly) are legal and contribute no channel."""
+    from mopso_engine.ext.pipeline import markov_removal_fit
+
+    names = {1: "A", 2: "B", 3: "C"}
+    counts: dict[tuple[str, str], int] = {}
+
+    def bump(s, d):
+        counts[(s, d)] = counts.get((s, d), 0) + 1
+
+    for chans, converts in journeys:
+        prev = "START"
+        for c in chans:
+            bump(prev, names[c])
+            prev = names[c]
+        bump(prev, "CONV" if converts else "NULL")
+    trans = [(s, d, n) for (s, d), n in counts.items()]
+    fit = markov_removal_fit(trans, v)
+    channels = sorted(
+        {s for s, _, _ in trans if s != "START"}
+        | {d for _, d, _ in trans if d not in ("CONV", "NULL")}
+    )
+    assert sorted(fit) == channels
+    effects = {c: ppm for c, (ppm, _) in fit.items()}
+    credits = {c: cr for c, (_, cr) in fit.items()}
+    assert all(0 <= e <= 1_000_000 for e in effects.values())
+    assert all(cr >= 0 for cr in credits.values())
+    if any(effects.values()):
+        assert sum(credits.values()) == v
+    else:
+        assert all(cr == 0 for cr in credits.values())
+    ranked = sorted(channels, key=lambda c: (-effects[c], c))
+    for a, b in zip(ranked, ranked[1:]):
+        if effects[a] > effects[b]:
+            assert credits[a] >= credits[b] - 1
