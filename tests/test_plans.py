@@ -769,3 +769,88 @@ def test_orc_scan_assertion_is_not_path_fooled(spark, tmp_path):
         spark.read.orc(orc)._jdf.queryExecution().executedPlan().toString()
     )
     assert "FileScan orc" in oplan or "Format: ORC" in oplan
+
+
+def test_crossmodal_ivf_plan_is_cell_join_not_cross(spark):
+    """r15 (VERDICT r14 #8a): the cross-modal serving plan must be the
+    IVF cell equality join — broadcast probes against the kernel-
+    assigned corpus cells, NO CartesianProduct / BroadcastNestedLoop
+    anywhere, and every hash exchange keyed on query_id over
+    query-bounded rows (the probe-selection and top-k rank windows);
+    the corpus side reaches the join map-only — it never hashes."""
+    from mopso_engine.ext import simsearch as ss
+
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 13) for d in range(8)]) for i in range(60)],
+        "item_id long, vec array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0] * 8), (101, [0.5] * 8)],
+        "query_id long, qvec array<double>",
+    )
+    cb = [[float((c + d) % 5) for d in range(8)] for c in range(4)]
+    plan = (
+        ss.crossmodal_topk_ivf(corpus, cb, queries, k=3, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex == 2 and plan.count(
+        "Exchange hashpartitioning(query_id"
+    ) == n_ex, plan
+
+
+def test_markov_attribution_single_user_exchange_and_literal_join(spark):
+    """r15 (VERDICT r14 #8b): the removal-effect plan's journey
+    windows (running conversion count, lag, lead) must all ride ONE
+    user-key exchange with the transitions exploding IN-ROW (exactly
+    one Generate, no steps/tails self-union re-planning the window),
+    and the output must be the broadcast literal join against the
+    per-channel counts read off the PERSISTED transition table (an
+    InMemoryTableScan, never a second events scan)."""
+    import datetime as dt
+
+    from mopso_engine.ext.pipeline import removal_effect_attribution
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (u, t0 + dt.timedelta(hours=h), u * 10 + h, et, v)
+        for u in range(1, 6)
+        for h, et, v in (
+            (0, "A", 0.0),
+            (1, "B", 0.0),
+            (2, "purchase", 1.0),
+        )
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double",
+    )
+    out = removal_effect_attribution(
+        ev, F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the output side reads the cached transition table + the literal
+    # fit — no events scan may appear above the cache
+    assert "Scan ExistingRDD" not in plan.split("InMemoryTableScan")[0], plan
+    # the cached TRANS plan itself: one user-key exchange under the
+    # windows, one Generate for the in-row transition explode
+    from mopso_engine.ext.calib import _CALIB_CACHES
+
+    trans_plan = (
+        _CALIB_CACHES[-1]._jdf.queryExecution().executedPlan().toString()
+    )
+    # AQE prints Final AND Initial plans — count inside the final one
+    final_seg = trans_plan.split("== Initial Plan ==")[0]
+    assert final_seg.count("Generate explode") == 1, trans_plan
+    assert final_seg.count("Exchange hashpartitioning(__k#") == 1, trans_plan
+    assert (
+        final_seg.count("Exchange hashpartitioning(__src") == 1
+    ), trans_plan  # the tiny states² aggregate — the ONLY other exchange
