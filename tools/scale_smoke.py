@@ -902,6 +902,96 @@ def main_x100_ann() -> None:
     spark.stop()
 
 
+def main_x100_markov() -> None:
+    """×1/×10/×100 curve for the Markov removal-effect model (r15 birth
+    — two-decade evidence in its birth round, the r13-rerank
+    precedent). Reuses the attribution smoke's USER-REKEYED decades
+    (users ×N at constant journey density — channels fixed). The laws
+    under test:
+
+    * TRANSITION TABLE BOUNDED: distinct (src, dst) rows stay at the
+      states² bound (≤ (channels+1)·(channels+2)) at every decade —
+      the driver-side solve's input NEVER grows with the feed.
+    * SOLVE INVARIANT: user-rekeyed replicas preserve every transition
+      PROBABILITY (counts ×N, same rationals), so the fitted
+      removal_ppm per channel must be IDENTICAL across decades — the
+      exact-Fraction solve is scale-free by construction.
+    * EXACT CREDIT: Σ credit_micro == Σ conversion value at every
+      decade (the remainder rule loses nothing).
+    * Constant stages; wall ∝ the one user-key window exchange.
+    """
+    from mopso_engine.session import build_session
+
+    spark = build_session(master="local[32]", app_name="scale-smoke-markov")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from mopso_engine.ext.calib import clear_calib_caches
+
+    build_events_users_xn(spark, 10, OUT_ATTR)
+    build_events_users_xn(spark, 100, OUT100_ATTR)
+    qs = entry_mod.queries()
+    out: dict = {
+        "metric": "scale100_markov_smoke",
+        "query": "events_attribution_markov",
+    }
+    # warm pass eats codegen/JIT so no timed pass is charged for it
+    qs["events_attribution_markov"](spark, SRC).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    clear_calib_caches()
+    vexpr = "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"
+    for tag, d, mult in (
+        ("x1", SRC, 1), ("x10", OUT_ATTR, 10), ("x100", OUT100_ATTR, 100)
+    ):
+        snap0 = stage_writes(spark)
+        t0 = time.time()
+        res = qs["events_attribution_markov"](spark, d).collect()
+        t = round(time.time() - t0, 3)
+        clear_calib_caches()
+        tot, peak, nst = window_stats(snap0, stage_writes(spark))
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(d, "events.parquet"))
+        v_total = int(
+            ev.where(F.col("event_type") == "purchase")
+            .agg(F.coalesce(F.sum(F.expr(vexpr)), F.lit(0)))
+            .first()[0]
+        )
+        rec = {
+            "scale": mult, "wall_sec": t, "shuffle_write_bytes": tot,
+            "peak_stage_shuffle_bytes": peak, "stages": nst,
+            "n_events": ev.count(),
+            "n_channels": len(res),
+            "removal_ppm": {
+                r["channel"]: int(r["removal_ppm"]) for r in res
+            },
+            "credit_sum_micro": int(sum(r["credit_micro"] for r in res)),
+            "v_total_micro": v_total,
+            "credit_exact": int(
+                sum(r["credit_micro"] for r in res)
+            ) == v_total,
+        }
+        out[tag] = rec
+        print(
+            f"# markov {tag}: {t}s shuffle={tot} stages={nst} "
+            f"channels={rec['n_channels']} exact={rec['credit_exact']}",
+            file=sys.stderr,
+        )
+    for a, b in (("x10", "x1"), ("x100", "x10"), ("x100", "x1")):
+        out[f"ratio_{a}_vs_{b}"] = round(
+            out[a]["wall_sec"] / out[b]["wall_sec"], 2
+        )
+    out["removal_ppm_scale_free"] = (
+        out["x1"]["removal_ppm"]
+        == out["x10"]["removal_ppm"]
+        == out["x100"]["removal_ppm"]
+    )
+    print(json.dumps(out))
+    spark.stop()
+
+
 def main_x100_bloom() -> None:
     """×1/×10/×100 curve for the Bloom-prefilter incremental dedup
     (VERDICT r14 #4 — `dedup_bloom_prefilter`, the most expensive
@@ -1369,8 +1459,16 @@ if __name__ == "__main__":
         help="run the streaming-curation x1/x10/x100 curve on a "
         "file-paced salted feed (builds .scale10curate/.scale100curate)",
     )
+    ap.add_argument(
+        "--x100-markov",
+        action="store_true",
+        help="run the Markov removal-effect x1/x10/x100 curve on the "
+        "user-rekeyed decades (reuses .scale10attr/.scale100attr)",
+    )
     args = ap.parse_args()
-    if args.x100_bloom:
+    if args.x100_markov:
+        main_x100_markov()
+    elif args.x100_bloom:
         main_x100_bloom()
     elif args.x100_curate:
         main_x100_curate()
