@@ -992,6 +992,119 @@ def main_x100_markov() -> None:
     spark.stop()
 
 
+def main_x100_crossmodal() -> None:
+    """×1/×10/×100 curve for cross-modal retrieval (r15 birth — birth-
+    round two-decade evidence, the r13-rerank precedent). Decades are
+    the plain re-keyed document builds (text verbatim → the decode
+    features duplicate across replicas — a corpus full of identical
+    images, which only makes the cell join's law HARDER: every probed
+    cell is ×N bigger). The laws under test:
+
+    * PROBED-ROWS LAW: the scored candidate set is the probed-cell
+      membership — ∝ corpus × (nprobe/cells) × |queries|, measured
+      against the corpus × |queries| full-scan bound it must stay
+      under at every decade.
+    * DECODE MAP-ONLY: the corpus reaches the cell join through ONE
+      Arrow kernel scan — constant stages, no corpus-side exchange
+      (plan-pinned in tests; here the stage count carries it).
+    """
+    from mopso_engine.session import build_session
+
+    spark = build_session(master="local[32]", app_name="scale-smoke-xmodal")
+    spark.sparkContext.setLogLevel("ERROR")
+    import numpy as np
+
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from mopso_engine.ext import simsearch as ss
+    from mopso_engine.ext.multimodal import (
+        assets_from_documents,
+        decode_and_featurize,
+        fake_features_local,
+    )
+
+    for n, dest in ((10, OUT_BM25), (100, OUT100_BM25)):
+        if not os.path.isdir(dest):
+            build_docs_xn(spark, n, dest)
+    qs = entry_mod.queries()
+    out: dict = {
+        "metric": "scale100_crossmodal_smoke",
+        "query": "crossmodal_ann",
+        "k": 5, "nprobe": 3, "cells": 8, "n_queries": 3,
+    }
+    qs["crossmodal_ann"](spark, SRC).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    for tag, d, mult in (
+        ("x1", SRC, 1), ("x10", OUT_BM25, 10), ("x100", OUT100_BM25, 100)
+    ):
+        snap0 = stage_writes(spark)
+        t0 = time.time()
+        qs["crossmodal_ann"](spark, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t = round(time.time() - t0, 3)
+        tot, peak, nst = window_stats(snap0, stage_writes(spark))
+        # work-law readout (untimed): probed-cell membership per query
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        feats = decode_and_featurize(
+            assets_from_documents(docs), decode="fake", dim=8
+        ).select(
+            F.col("asset_id").alias("vec_id"),
+            F.col("features").alias("embedding"),
+        )
+        cb = ss.train_codebook(
+            feats, k=8, iters=2, sample_fraction=0.5, seed=11
+        )
+        C = np.asarray(cb, dtype=np.float64)
+        cells = feats.select("embedding").withColumn(
+            "cell", ss._argmax_cell_kernel(C)(F.col("embedding"))
+        )
+        cell_rows = {
+            r["cell"]: r["n"]
+            for r in cells.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_corpus = docs.count()
+        probed = 0
+        for _, qt in (
+            ("q_hashjoin", "hash join scan"),
+            ("q_stream", "stream window watermark"),
+            ("q_customer", "customer order value"),
+        ):
+            v = np.asarray(fake_features_local(qt.encode("utf-8")))
+            sims = (C @ v) / (
+                np.linalg.norm(C, axis=1) * np.linalg.norm(v)
+            )
+            order = sorted(range(len(sims)), key=lambda c: (-sims[c], c))
+            probed += sum(cell_rows.get(c, 0) for c in order[:3])
+        rec = {
+            "scale": mult, "wall_sec": t, "shuffle_write_bytes": tot,
+            "peak_stage_shuffle_bytes": peak, "stages": nst,
+            "n_corpus": int(n_corpus),
+            "probed_rows": int(probed),
+            "full_scan_bound": int(n_corpus) * 3,
+            "probed_frac": round(probed / (n_corpus * 3), 3),
+        }
+        out[tag] = rec
+        print(
+            f"# crossmodal {tag}: {t}s shuffle={tot} stages={nst} "
+            f"probed={probed} frac={rec['probed_frac']}",
+            file=sys.stderr,
+        )
+    for a, b in (("x10", "x1"), ("x100", "x10"), ("x100", "x1")):
+        out[f"ratio_{a}_vs_{b}"] = round(
+            out[a]["wall_sec"] / out[b]["wall_sec"], 2
+        )
+        out[f"probe_ratio_{a}_vs_{b}"] = round(
+            out[a]["probed_rows"] / max(1, out[b]["probed_rows"]), 2
+        )
+    print(json.dumps(out))
+    spark.stop()
+
+
 def main_x100_bloom() -> None:
     """×1/×10/×100 curve for the Bloom-prefilter incremental dedup
     (VERDICT r14 #4 — `dedup_bloom_prefilter`, the most expensive
@@ -1465,8 +1578,16 @@ if __name__ == "__main__":
         help="run the Markov removal-effect x1/x10/x100 curve on the "
         "user-rekeyed decades (reuses .scale10attr/.scale100attr)",
     )
+    ap.add_argument(
+        "--x100-crossmodal",
+        action="store_true",
+        help="run the cross-modal retrieval x1/x10/x100 curve on plain "
+        "re-keyed decades (reuses .scale10bm25/.scale100bm25)",
+    )
     args = ap.parse_args()
-    if args.x100_markov:
+    if args.x100_crossmodal:
+        main_x100_crossmodal()
+    elif args.x100_markov:
         main_x100_markov()
     elif args.x100_bloom:
         main_x100_bloom()
