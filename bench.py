@@ -416,7 +416,12 @@ ANCHOR_R06_CLEAN = {
 #: come from ANCHOR_R01.
 ANCHOR_R08 = {
     "docs_para_dedup": 3.82, "dedup_keep_best": 3.664,
-    "dedup_bloom_prefilter": 18.853, "dedup_incremental_fuzzy": 10.342,
+    # r15 re-anchor: the probe's broadcast-Arrow-kernel crossover
+    # removed ~7.5s of plan-literal py4j per run (18.853 → bench-context
+    # 2.26-3.95 across three r15 passes, quiet-protocol best-of 1.96 on
+    # a ~1.8x-elevated window); floor + headroom so a kernel regression
+    # is detectable
+    "dedup_bloom_prefilter": 4.0, "dedup_incremental_fuzzy": 10.342,
     "dedup_prefix_filter": 7.476, "cross_source_dups": 0.722,
     "emb_balanced_sample": 0.885, "docs_ppl_buckets": 1.148,
     "docs_bigram_logppl": 2.472, "docs_chunked_bpe": 0.496,
