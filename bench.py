@@ -683,7 +683,7 @@ def main() -> None:
     nbr_small = with_neighbors(pts_small.repartition(4, "id"), 3, mode="partition_local")
     evaluate_solutions(nbr_small, np.zeros((2, 3, 64)))
 
-    from mopso_engine.ext.dedup import clear_shingle_caches
+    from mopso_engine.ext.dedup import clear_bloom_broadcasts, clear_shingle_caches
     from mopso_engine.ext.calib import clear_calib_caches
     from mopso_engine.ext.dsir import clear_dsir_caches
     from mopso_engine.ext.graph import clear_pagerank_caches
@@ -749,6 +749,7 @@ def main() -> None:
             clear_retrieval_caches()
             clear_dsir_caches()
             clear_calib_caches()
+            clear_bloom_broadcasts()
 
     for qi, name in enumerate(BENCH_QUERIES):
         if qi % CALIB_EVERY == 0:

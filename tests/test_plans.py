@@ -804,17 +804,23 @@ def test_crossmodal_ivf_plan_is_cell_join_not_cross(spark):
     ) == n_ex, plan
 
 
-def test_markov_attribution_single_user_exchange_and_literal_join(spark):
-    """r15 (VERDICT r14 #8b): the removal-effect plan's journey
-    windows (running conversion count, lag, lead) must all ride ONE
-    user-key exchange with the transitions exploding IN-ROW (exactly
-    one Generate, no steps/tails self-union re-planning the window),
-    and the output must be the broadcast literal join against the
-    per-channel counts read off the PERSISTED transition table (an
-    InMemoryTableScan, never a second events scan)."""
+def test_markov_attribution_single_user_exchange_and_literal_output(spark):
+    """r15 (VERDICT r14 #8b), reshaped r16 (ADVICE r15): the
+    removal-effect TRANSITION plan's journey windows (running
+    conversion count, lag, lead) must all ride ONE user-key exchange
+    with the transitions exploding IN-ROW (exactly one Generate, no
+    steps/tails self-union re-planning the window) — asserted directly
+    on the split `_markov_event_chain` helper now that the production
+    path unpersists the table eagerly. The OUTPUT DataFrame must be
+    pure literals: no exchange, no window, no generate, no join, no
+    cache read — so no clear_*_caches() timing can ever recompute the
+    feed lineage under it."""
     import datetime as dt
 
-    from mopso_engine.ext.pipeline import removal_effect_attribution
+    from mopso_engine.ext.pipeline import (
+        _markov_event_chain,
+        removal_effect_attribution,
+    )
 
     t0 = dt.datetime(2024, 3, 1)
     rows = [
@@ -831,22 +837,22 @@ def test_markov_attribution_single_user_exchange_and_literal_join(spark):
         "user_id long, ts timestamp, event_id long, event_type string, "
         "value double",
     )
-    out = removal_effect_attribution(
-        ev, F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
-    )
+    vcol = F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+    out = removal_effect_attribution(ev, vcol)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
-    # the output side reads the cached transition table + the literal
-    # fit — no events scan may appear above the cache
-    assert "Scan ExistingRDD" not in plan.split("InMemoryTableScan")[0], plan
-    # the cached TRANS plan itself: one user-key exchange under the
-    # windows, one Generate for the in-row transition explode
-    from mopso_engine.ext.calib import _CALIB_CACHES
-
-    trans_plan = (
-        _CALIB_CACHES[-1]._jdf.queryExecution().executedPlan().toString()
+    for op in ("Exchange", "Window", "Generate", "Join", "InMemoryTableScan"):
+        assert op not in plan, (op, plan)
+    # the TRANS plan itself: one user-key exchange under the windows,
+    # one Generate for the in-row transition explode
+    _, trans = _markov_event_chain(
+        ev,
+        vcol,
+        convert_type="purchase",
+        ts_col="ts",
+        key="user_id",
+        seq_col="event_id",
     )
+    trans_plan = trans._jdf.queryExecution().executedPlan().toString()
     # AQE prints Final AND Initial plans — count inside the final one
     final_seg = trans_plan.split("== Initial Plan ==")[0]
     assert final_seg.count("Generate explode") == 1, trans_plan

@@ -142,6 +142,7 @@ def main():
 
     failures = []
     from mopso_engine.ext.calib import clear_calib_caches
+    from mopso_engine.ext.dedup import clear_bloom_broadcasts
     from mopso_engine.ext.dsir import clear_dsir_caches
     from mopso_engine.ext.graph import clear_pagerank_caches
     from mopso_engine.ext.retrieval import clear_retrieval_caches
@@ -162,6 +163,7 @@ def main():
             clear_retrieval_caches()
             clear_dsir_caches()
             clear_calib_caches()
+            clear_bloom_broadcasts()
         if name not in oracles:
             print(f"~ {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             if len(sdf) == 0:

@@ -46,7 +46,7 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     from mopso_engine.ext.calib import clear_calib_caches
-    from mopso_engine.ext.dedup import clear_shingle_caches
+    from mopso_engine.ext.dedup import clear_bloom_broadcasts, clear_shingle_caches
     from mopso_engine.ext.dsir import clear_dsir_caches
     from mopso_engine.ext.graph import clear_pagerank_caches
     from mopso_engine.ext.retrieval import clear_retrieval_caches
@@ -75,6 +75,7 @@ def main() -> None:
                 clear_retrieval_caches()
                 clear_dsir_caches()
                 clear_calib_caches()
+                clear_bloom_broadcasts()
         calibs.append(_micro_spark_calibration(spark))
         res["queries"][name] = {
             "attempts": attempts,

@@ -1197,6 +1197,9 @@ def main_x100_bloom() -> None:
             ).alias("fp"),
         ).collect()[0]
         n_index = known_fps2.count()
+        # both probing DataFrames are consumed — release the decade's
+        # broadcast word arrays (the ADVICE r15 lifecycle contract)
+        dd.clear_bloom_broadcasts()
         genuinely_new = int(law["increment"]) - int(law["dups"])
         rec = {
             "scale": mult, "wall_sec": t, "shuffle_write_bytes": tot,
