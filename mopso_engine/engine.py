@@ -173,6 +173,7 @@ class MopsoEngine:
         # see init.corpus_stats — three fewer full scans than r5's fit
         n, d, k, bounds = init_mod.corpus_stats(pts, cfg.k)
         sample = init_mod.sample_features(pts, cfg.init_sample_size, cfg.seed)
+        t_stats_end = time.time()
 
         # Own the parallelism instead of inheriting the session default:
         # in exact mode results are partition-invariant, so size partitions
@@ -229,13 +230,27 @@ class MopsoEngine:
         )
         history: list[dict] = []
         start_iter = 1
+        setup_sub: dict = {"stats": round(t_stats_end - t0, 3)}
         if not resume:
+            # materialize the kNN cache as its OWN timed step (VERDICT
+            # r15 #6): the hash-repartition + in-partition sort +
+            # neighbor build + persist used to hide inside the init
+            # fitness pass, leaving "setup" a single opaque wall that
+            # elevated-host readings re-litigated every round. An extra
+            # count() over the freshly-cached table costs milliseconds
+            # and buys the decomposition (the resume path has done the
+            # same materialize-first step since ADVICE r11).
+            t_cache0 = time.time()
+            nbr.count()
+            t_cache_end = time.time()
+            setup_sub["knn_cache"] = round(t_cache_end - t_cache0, 3)
             positions = init_mod.init_swarm(sample, bounds, k, cfg.n_particles, rng, method=cfg.init)
             velocities = init_velocity(rng, positions.shape, cfg.v_min, cfg.v_max)
             fitness = evaluate_solutions(nbr, positions, partition_weighted=part_weighted, n_total=n)
             pbest_pos = positions.copy()
             pbest_fit = fitness.copy()
             archive.update([ArchiveEntry(positions[i].copy(), fitness[i].copy()) for i in range(cfg.n_particles)])
+            setup_sub["init_fitness"] = round(time.time() - t_cache_end, 3)
         else:
             # skip the init entirely (including its distributed fitness
             # job): every array below comes from the checkpoint, and the
@@ -409,6 +424,16 @@ class MopsoEngine:
         t_end = time.time()
         phases = {
             "setup": round(t_setup_end - t0, 3),
+            # named setup sub-walls (VERDICT r15 #6): stats = the fused
+            # read+stats job on the persisted corpus; knn_cache = the
+            # layout repartition/sort + neighbor build + persist;
+            # init_fitness = swarm init + the first distributed fitness
+            # pass on the warm cache. Sub-walls sum slightly under
+            # "setup" (driver glue) — an elevated setup reading is now
+            # diagnosable: stats inflated = input IO, knn_cache
+            # inflated = shuffle/layout, init_fitness inflated = the
+            # kernel itself (compare sec/iter).
+            "setup_phases": setup_sub,
             "iter_loop": round(t_loop_end - t_setup_end, 3),
             "finalize": round(t_end - t_loop_end, 3),
             "n_iters_run": max(0, last_iter - start_iter + 1),
@@ -418,6 +443,7 @@ class MopsoEngine:
             # separately (it is INSIDE setup, never iter_loop) so a
             # resumed fit's sec_per_iter stays a pure kernel number
             phases["resume_load"] = resume_load_sec
+            setup_sub["resume_load"] = resume_load_sec
         LAST_FIT_PHASES.clear()
         LAST_FIT_PHASES.update(phases)
         return MopsoResult(
