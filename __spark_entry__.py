@@ -4761,6 +4761,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             nprobe=3,
         )
 
+    def crossmodal_eval(spark, sf):
+        """The cross-modal family's quality readout (VERDICT r15 #3) —
+        the `bm25_eval` / `hybrid_rerank_eval` pattern closed over the
+        IVF serving path: `retrieval_eval` (Recall@5 / MRR@5 / graded
+        nDCG@5; pinned 1/log2(r+1) micro-literal discounts, exact
+        integer shift gains, house round-half-up divisions) grades
+        `crossmodal_ann`'s IVF top-5 against qrels derived from the
+        EXACT brute-force twin (`ext.simsearch.crossmodal_topk_exact`)
+        in the same fake-encoder space: the true top-3 per query, rank
+        1 → rel 2, ranks 2-3 → rel 1. Deterministic end to end (the
+        encoder is the md5 stub, the exact twin's tie-break is pinned),
+        which is what makes an APPROXIMATE index's recall
+        oracle-checkable — a cross-modal index change now ships with a
+        before/after metric like every other retriever. Corpus-scale
+        work: the one decode scan feeds codebook training, cell
+        assignment AND the exact twin's broadcast-scored scan; the eval
+        arithmetic is |queries|-bounded."""
+        from mopso_engine.ext.multimodal import (
+            assets_from_documents,
+            decode_and_featurize,
+            fake_features_local,
+        )
+        from mopso_engine.ext.retrieval import retrieval_eval
+
+        docs = read_table(spark, sf, "documents")
+        feats = decode_and_featurize(
+            assets_from_documents(docs), decode="fake", dim=8
+        ).select(
+            F.col("asset_id").alias("vec_id"),
+            F.col("features").alias("embedding"),
+        )
+        cb = ss.train_codebook(
+            feats, k=8, iters=2, sample_fraction=0.5, seed=11
+        )
+        qdf = spark.createDataFrame(
+            [
+                (qid, fake_features_local(qt.encode("utf-8")))
+                for qid, qt in (
+                    ("q_hashjoin", "hash join scan"),
+                    ("q_stream", "stream window watermark"),
+                    ("q_customer", "customer order value"),
+                )
+            ],
+            "query_id string, qvec array<double>",
+        )
+        items = feats.select(
+            F.col("vec_id").alias("item_id"),
+            F.col("embedding").alias("vec"),
+        )
+        ivf = ss.crossmodal_topk_ivf(items, cb, qdf, k=5, nprobe=3)
+        exact = ss.crossmodal_topk_exact(items, qdf, k=3)
+        qrels = exact.select(
+            "query_id",
+            F.col("item_id").alias("doc_id"),
+            F.when(F.col("rank") == 1, F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("rel"),
+        )
+        return retrieval_eval(
+            ivf.select(
+                "query_id",
+                F.col("item_id").alias("doc_id"),
+                F.col("rank").alias("rk"),
+            ),
+            qrels,
+            k=5,
+        )
+
     def docs_observed_quality(spark, sf):
         """Zero-extra-scan pipeline telemetry (`ext.observe.observed`):
         the curation counters (rows, null/empty texts, whitespace
@@ -6210,7 +6278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-modal retrieval (VERDICT r14 #8a — text queries
         # retrieve image assets through the stubbed joint encoder on
         # the IVF serving path) (2)
-        events_attribution_markov, crossmodal_ann,
+        events_attribution_markov, crossmodal_ann, crossmodal_eval,
         # stale-tail rotation, oldest-verified-first (38): the r8
         # remainder (training_epoch_mix — VERDICT r14 #1's named
         # leader), then the r9 block through stream_window_topk
@@ -12332,6 +12400,122 @@ def oracle_sql() -> dict[str, str]:
           FROM dots)
         SELECT query_id, item_id, rank::INT AS rank, round(c, 6) AS cos_sim
         FROM rk WHERE rank <= 5
+    """
+
+        # crossmodal_eval: the IVF top-5 (the crossmodal_ann chain
+        # verbatim) graded against qrels from the EXACT brute-force
+        # top-3 in the same stubbed joint-encoder space (rank 1 → rel
+        # 2, ranks 2-3 → rel 1), through the bm25_eval readout
+        # arithmetic verbatim (pinned log2-discount micro literals,
+        # integer shift gains, house round-half-up divisions).
+        from mopso_engine.ext.retrieval import (
+            ndcg_weights_micro as _cm_ndcg,
+        )
+
+        _cm_wvals = ", ".join(
+            f"({r}, {m}::BIGINT)" for r, m in sorted(_cm_ndcg(5).items())
+        )
+        o["crossmodal_eval"] = f"""
+        WITH cb(cell, cv) AS (VALUES
+          {_cm_cb_rows}),
+        q(qid, qv) AS (VALUES
+          {_cm_q_rows}),
+        a AS (SELECT doc_id AS item_id, md5(text) AS h FROM documents),
+        p AS (SELECT item_id, [{_cm_feats_sql}] AS v FROM a),
+        pc AS (
+          SELECT p.item_id, cb.cell,
+                 list_sum(list_transform(list_zip(p.v, cb.cv), x -> x[1]*x[2])) /
+                 (sqrt(list_sum(list_transform(p.v, x -> x*x))) *
+                  sqrt(list_sum(list_transform(cb.cv, x -> x*x)))) AS cs
+          FROM p, cb),
+        cells AS (
+          SELECT item_id, cell FROM (
+            SELECT item_id, cell,
+                   row_number() OVER (PARTITION BY item_id
+                                      ORDER BY cs DESC, cell ASC) AS rn
+            FROM pc) WHERE rn = 1),
+        qc AS (
+          SELECT q.qid, cb.cell,
+                 list_sum(list_transform(list_zip(q.qv, cb.cv), x -> x[1]*x[2])) /
+                 (sqrt(list_sum(list_transform(q.qv, x -> x*x))) *
+                  sqrt(list_sum(list_transform(cb.cv, x -> x*x)))) AS cs
+          FROM q, cb),
+        probes AS (
+          SELECT qid, cell FROM (
+            SELECT qid, cell, row_number() OVER (PARTITION BY qid
+                     ORDER BY cs DESC, cell ASC) AS pr
+            FROM qc) WHERE pr <= 3),
+        pr2 AS (
+          SELECT pb.qid AS query_id, p.item_id,
+                 unnest(p.v) AS x, unnest(q2.qv) AS y
+          FROM probes pb JOIN cells cl ON cl.cell = pb.cell
+          JOIN p ON p.item_id = cl.item_id
+          JOIN q q2 ON q2.qid = pb.qid),
+        dots AS (
+          SELECT query_id, item_id, sum(x*y) AS dp,
+                 sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+          FROM pr2 GROUP BY 1, 2),
+        res AS (
+          SELECT query_id, item_id AS doc_id, rank AS rk FROM (
+            SELECT query_id, item_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY dp/(na*nb) DESC, item_id ASC) AS rank
+            FROM dots) t
+          WHERE rank <= 5),
+        expr2 AS (
+          SELECT q.qid AS query_id, p.item_id,
+                 unnest(p.v) AS x, unnest(q.qv) AS y
+          FROM p, q),
+        edots AS (
+          SELECT query_id, item_id, sum(x*y) AS dp,
+                 sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+          FROM expr2 GROUP BY 1, 2),
+        qr AS (
+          SELECT query_id, item_id AS doc_id,
+                 CASE WHEN rank = 1 THEN 2 ELSE 1 END AS rel FROM (
+            SELECT query_id, item_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY dp/(na*nb) DESC, item_id ASC) AS rank
+            FROM edots) t
+          WHERE rank <= 3),
+        wt(r, w_micro) AS (VALUES {_cm_wvals}),
+        ideal AS (
+          SELECT query_id, count(*)::BIGINT AS n_rel,
+                 sum(CASE WHEN irk <= 5
+                          THEN ((1::BIGINT << rel) - 1) * w_micro
+                          ELSE 0 END)::BIGINT AS idcg_micro
+          FROM (SELECT query_id, rel, doc_id, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY rel DESC, doc_id) AS irk
+                FROM qr) i
+          LEFT JOIN wt ON i.irk = wt.r
+          GROUP BY 1),
+        hits AS (
+          SELECT r.query_id,
+                 sum(CASE WHEN coalesce(q3.rel, 0) > 0 THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_hits,
+                 min(CASE WHEN coalesce(q3.rel, 0) > 0 THEN r.rk END)
+                   AS first_rk,
+                 sum(((1::BIGINT << coalesce(q3.rel, 0)) - 1) * wt.w_micro)
+                   ::BIGINT AS dcg_micro
+          FROM res r
+          LEFT JOIN qr q3 ON r.query_id = q3.query_id AND r.doc_id = q3.doc_id
+          JOIN wt ON r.rk = wt.r
+          GROUP BY 1)
+        SELECT coalesce(i.query_id, h.query_id) AS query_id,
+               (CASE WHEN i.n_rel IS NULL THEN error(
+                  'crossmodal_eval oracle: query in results has no qrel '
+                  'rows — mirrors the Spark in-plan raise')
+                ELSE i.n_rel END)::BIGINT AS n_rel,
+               coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+               ((2 * 1000 * coalesce(h.n_hits, 0) + i.n_rel)
+                // (2 * i.n_rel))::BIGINT AS recall_pm,
+               (CASE WHEN h.first_rk IS NULL THEN 0
+                     ELSE (2 * 1000000 + h.first_rk)
+                          // (2 * h.first_rk) END)::BIGINT AS mrr_micro,
+               ((2 * 1000 * coalesce(h.dcg_micro, 0) + i.idcg_micro)
+                // (2 * i.idcg_micro))::BIGINT AS ndcg_pm
+        FROM ideal i FULL OUTER JOIN hits h ON i.query_id = h.query_id
     """
     except Exception:
         pass

@@ -426,6 +426,58 @@ def crossmodal_topk_ivf(
     )
 
 
+#: driver-bounded query-set guard for the brute-force cross-modal twin
+MAX_CROSSMODAL_QUERIES = 1_000
+
+
+def crossmodal_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cross-modal cosine top-k — the EXACT twin of
+    :func:`crossmodal_topk_ivf` (no codebook, no cell probe: every
+    query scores the FULL corpus). Two roles: the honest serving
+    fallback at tiny |queries|, and the ground truth the IVF path's
+    recall is graded against (the `crossmodal_eval` ship gate — a
+    cross-modal index change ships with a before/after metric like
+    every other retriever, VERDICT r15 #3).
+
+    Shape (100 TB): ``queries`` is a driver-bounded literal set
+    (guarded at :data:`MAX_CROSSMODAL_QUERIES`) BROADCAST against the
+    corpus, so the scoring join is map-only over the one corpus scan
+    (corpus side never shuffles against itself); the only exchange is
+    the |queries|-keyed rank window over corpus×|queries| scored rows
+    — which is exactly why this is the baseline and IVF (probed
+    fraction of the corpus, KB-scale shuffle) is the scale path.
+
+    Returns (query_id, item_id, rank, cos_sim) with the same
+    deterministic (cos desc, item_id asc) tie-break and 6dp rounding
+    as the IVF twin, so the two result sets are directly comparable.
+    """
+    n_q = queries.count()
+    if n_q > MAX_CROSSMODAL_QUERIES:
+        raise ValueError(
+            f"crossmodal_topk_exact: {n_q} queries exceed "
+            f"MAX_CROSSMODAL_QUERIES ({MAX_CROSSMODAL_QUERIES}) — the "
+            "brute-force twin scores corpus×queries rows; a query set "
+            "this big belongs on the IVF path (crossmodal_topk_ivf)"
+        )
+    cand = corpus.select("item_id", "vec").crossJoin(
+        F.broadcast(queries.select("query_id", "qvec"))
+    )
+    cos = _cosine_kernel()("vec", "qvec")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("item_id").asc()
+    )
+    return (
+        cand.select("query_id", "item_id", F.round(cos, 6).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", "rank", "cos_sim")
+    )
+
+
 def lsh_planes(dim: int, n_bits: int, seed: int = 7):
     """Deterministic random-hyperplane set for sign-LSH: (n_bits, dim)
     standard normals from a seeded numpy generator. The SAME constants are

@@ -365,6 +365,56 @@ class TestCodebook:
         top = [r for r in got_rows if r["query_id"] == 100 and r["rank"] == 1]
         assert top[0]["item_id"] == ids[0] and top[0]["cos_sim"] == 1.0
 
+    def test_crossmodal_exact_twin_and_guard(self, spark, emb):
+        """r16 (VERDICT r15 #3): the brute-force cross-modal twin must
+        equal the full numpy ranking on every query (it IS the qrel
+        ground truth crossmodal_eval grades the IVF path against), an
+        identical-vector query must self-retrieve at rank 1 / cos 1.0,
+        and an over-bound query set must raise at the
+        MAX_CROSSMODAL_QUERIES guard instead of planning a
+        corpus-times-queries scoring job."""
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = [r["vec_id"] for r in rows]
+        X = np.stack(
+            [np.array(r["embedding"], dtype=np.float64) for r in rows]
+        )
+        corpus = spark.createDataFrame(
+            [(int(i), [float(v) for v in x]) for i, x in zip(ids, X)],
+            "item_id long, vec array<double>",
+        )
+        qvecs = {100: X[0], 101: (X[1] + X[2]) / 2.0}
+        queries = spark.createDataFrame(
+            [(q, [float(v) for v in x]) for q, x in qvecs.items()],
+            "query_id long, qvec array<double>",
+        )
+        got = ss.crossmodal_topk_exact(corpus, queries, k=4).collect()
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        for q, xq in qvecs.items():
+            xqn = xq / np.linalg.norm(xq)
+            cand = [(ids[i], float(Xn[i] @ xqn)) for i in range(len(ids))]
+            cand.sort(key=lambda t: (-round(t[1], 6), t[0]))
+            expect = [
+                (q, item, rk + 1, round(cs, 6))
+                for rk, (item, cs) in enumerate(cand[:4])
+            ]
+            assert [
+                (r["query_id"], r["item_id"], r["rank"], r["cos_sim"])
+                for r in sorted(
+                    (r for r in got if r["query_id"] == q),
+                    key=lambda r: r["rank"],
+                )
+            ] == expect
+        top = [r for r in got if r["query_id"] == 100 and r["rank"] == 1]
+        assert top[0]["item_id"] == ids[0] and top[0]["cos_sim"] == 1.0
+        import pyspark.sql.functions as _F
+
+        big_q = spark.range(ss.MAX_CROSSMODAL_QUERIES + 1).select(
+            F.col("id").alias("query_id"),
+            F.array(_F.lit(1.0), _F.lit(0.0)).alias("qvec"),
+        )
+        with pytest.raises(ValueError, match="MAX_CROSSMODAL_QUERIES"):
+            ss.crossmodal_topk_exact(corpus, big_q, k=1)
+
     def test_fake_features_local_matches_kernel(self, spark, docs):
         """The driver-side joint-encoder stub must equal the Arrow decode
         kernel's features byte-for-byte (same md5-digest map) — the

@@ -804,6 +804,38 @@ def test_crossmodal_ivf_plan_is_cell_join_not_cross(spark):
     ) == n_ex, plan
 
 
+def test_crossmodal_exact_plan_is_broadcast_map_only(spark):
+    """r16 (VERDICT r15 #3): the brute-force twin's scoring join must
+    BROADCAST the driver-bounded query set against the corpus scan
+    (BroadcastNestedLoopJoin is CORRECT here — it is map-only over the
+    corpus when the small side is broadcast) and pay exactly ONE hash
+    exchange: the query-keyed rank window. The corpus never hashes
+    against itself — that distinction is why this path is the recall
+    baseline and IVF is the scale path."""
+    from mopso_engine.ext import simsearch as ss
+
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 13) for d in range(8)]) for i in range(60)],
+        "item_id long, vec array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0] * 8), (101, [0.5] * 8)],
+        "query_id long, qvec array<double>",
+    )
+    plan = (
+        ss.crossmodal_topk_exact(corpus, queries, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin BuildRight" in plan, plan
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex == 1 and plan.count(
+        "Exchange hashpartitioning(query_id"
+    ) == 1, plan
+
+
 def test_markov_attribution_single_user_exchange_and_literal_output(spark):
     """r15 (VERDICT r14 #8b), reshaped r16 (ADVICE r15): the
     removal-effect TRANSITION plan's journey windows (running
