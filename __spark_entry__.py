@@ -3638,6 +3638,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"),
         )
 
+    def events_attribution_shapley(spark, sf):
+        """SHAPLEY-VALUE attribution (`ext.pipeline.
+        shapley_attribution`, VERDICT r15 #4) — the credit ladder's
+        theoretical top rung above Markov removal-effect: each
+        channel's credit is its exact Shapley value in the cooperative
+        game over per-journey channel SETS (v(S) = value of converting
+        journeys whose set ⊆ S — monotone, so credits are
+        non-negative, and efficient, so credits sum EXACTLY to the
+        attributable ΣV). The 2^channels-bounded lattice solves ONCE
+        driver-side in exact Fractions (`shapley_fit` — the
+        markov/PAVA/WoE driver-pinning treatment; the oracle runs the
+        SAME python on its own DuckDB-computed set table and
+        VALUES-injects the fit). One user-keyed window exchange builds
+        journeys; the per-journey set fold rides that same
+        partitioning (no second big exchange); the set aggregate is
+        ≤ 2^channels rows; output is pure literals. NULL key/ts/seq
+        raises; NULL/negative purchase value raises."""
+        from mopso_engine.ext import pipeline as pl
+        from mopso_engine.ext.streaming import read_events
+
+        _utc(spark)
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        return pl.shapley_attribution(
+            ev,
+            F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"),
+        )
+
     def events_trending(spark, sf):
         """Recency-decayed trending users (`ext.pipeline.decayed_topk`):
         each event's weight halves per 3-day half-life via an integer
@@ -6279,6 +6306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retrieve image assets through the stubbed joint encoder on
         # the IVF serving path) (2)
         events_attribution_markov, crossmodal_ann, crossmodal_eval,
+        events_attribution_shapley,
         # stale-tail rotation, oldest-verified-first (38): the r8
         # remainder (training_epoch_mix — VERDICT r14 #1's named
         # leader), then the r9 block through stream_window_topk
@@ -8604,6 +8632,102 @@ def oracle_sql() -> dict[str, str]:
                f.removal_ppm::BIGINT AS removal_ppm,
                f.credit_micro::BIGINT AS credit_micro
         FROM touches t JOIN fit f USING (channel)
+    """
+        )
+    except Exception:
+        pass
+
+    # events_attribution_shapley: the journey/channel-set construction
+    # is the identical window SQL in both engines (running conversion
+    # count = journey id; per-journey sorted distinct non-conversion
+    # channel set); the exact-Fraction coalition-lattice solve runs
+    # ONCE in shared python (ext.pipeline.shapley_fit) on the
+    # DuckDB-computed set table and is VALUES-injected (the
+    # markov/PAVA/WoE driver-pinning treatment). GUARDED: an
+    # unreadable events.parquet omits the entry.
+    try:
+        from mopso_engine.ext.pipeline import shapley_fit as _shp_fit
+
+        _shp_ev = os.path.join(
+            os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+            "events.parquet",
+        )
+        if not os.path.exists(_shp_ev):
+            raise FileNotFoundError(_shp_ev)
+        import duckdb as _shp_duck
+
+        _shp_cte = """
+        base AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id AS seq,
+                 event_type AS et,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c,
+                 {v_expr} AS v
+          FROM {src}),
+        jr AS (
+          SELECT *, sum(c) OVER (PARTITION BY user_id
+                                 ORDER BY us, seq) - c AS jid
+          FROM base),
+        j AS (
+          SELECT user_id, jid,
+                 list_sort(list_distinct(list(et) FILTER (c = 0))) AS chs,
+                 coalesce(sum(v) FILTER (c = 1), 0) AS v,
+                 max(c) AS conv
+          FROM jr GROUP BY 1, 2),
+        sets AS (
+          SELECT chs, count(*)::BIGINT AS n, sum(v)::BIGINT AS w
+          FROM j WHERE conv = 1 AND len(chs) > 0 GROUP BY 1)"""
+        _shp_v_plain = (
+            "CASE WHEN event_type = 'purchase' THEN "
+            "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END"
+        )
+        _shp_con = _shp_duck.connect()
+        _shp_sets = _shp_con.execute(
+            "WITH "
+            + _shp_cte.format(
+                src=f"read_parquet('{_shp_ev}')", v_expr=_shp_v_plain
+            )
+            + " SELECT chs, n, w FROM sets"
+        ).fetchall()
+        _shp_con.close()
+        _shp_map = _shp_fit(
+            [(tuple(t), int(n), int(w)) for t, n, w in _shp_sets]
+        )
+        _shp_vals = ", ".join(
+            f"('{c}', {ppm}, {cr})"
+            for c, (ppm, cr) in sorted(_shp_map.items())
+        ) or "('__none__', 0, 0)"
+        _shp_v_guard = (
+            "CASE WHEN event_type = 'purchase' THEN "
+            "CASE WHEN value IS NULL THEN error("
+            "'events_attribution_shapley oracle: NULL conversion value "
+            "— mirrors the Spark in-plan raise') "
+            "WHEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) < 0 "
+            "THEN error('events_attribution_shapley oracle: negative "
+            "conversion value — mirrors the Spark in-plan raise') "
+            "ELSE CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) END "
+            "ELSE 0 END"
+        )
+        o["events_attribution_shapley"] = (
+            """
+        WITH evg AS (
+          SELECT * FROM events
+          WHERE (SELECT max(CASE WHEN user_id IS NULL OR ts IS NULL
+                   OR event_id IS NULL
+                   THEN error('events_attribution_shapley oracle: NULL '
+                              'user_id/ts/event_id — mirrors the Spark '
+                              'in-plan raise')
+                   ELSE 0 END) FROM events) = 0),
+        """
+            + _shp_cte.format(src="evg", v_expr=_shp_v_guard)
+            + f""",
+        fit(channel, share_ppm, credit_micro) AS (VALUES {_shp_vals}),
+        tch AS (SELECT unnest(chs) AS channel, n FROM sets),
+        nj AS (SELECT channel, sum(n)::BIGINT AS n_journeys
+               FROM tch GROUP BY 1)
+        SELECT nj.channel, nj.n_journeys,
+               f.share_ppm::BIGINT AS share_ppm,
+               f.credit_micro::BIGINT AS credit_micro
+        FROM nj JOIN fit f USING (channel)
     """
         )
     except Exception:

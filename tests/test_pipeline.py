@@ -3490,6 +3490,170 @@ class TestRemovalEffectAttribution:
         assert "the event feed is corrupt" in str(ei2.value)
 
 
+class TestShapleyAttribution:
+    SCHEMA = TestMultiTouchAttribution.SCHEMA
+    _ev = TestMultiTouchAttribution._ev
+    VAL = "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"
+
+    def test_fit_matches_hand_solved_games(self):
+        """Hand-solved: sets {A}:60, {A,B}:40 — dividends give
+        φ_A = 60 + 20 = 80, φ_B = 20; and the pure-3-way set splits
+        100 as 34/33/33 with the remainder micro to the
+        alphabetically-first channel (φ desc, channel asc)."""
+        from mopso_engine.ext.pipeline import shapley_fit
+
+        fit = shapley_fit([(("A",), 1, 60), (("A", "B"), 1, 40)])
+        assert fit == {"A": (800_000, 80), "B": (200_000, 20)}
+        fit3 = shapley_fit([(("A", "B", "C"), 1, 100)])
+        assert fit3 == {
+            "A": (333_333, 34),
+            "B": (333_333, 33),
+            "C": (333_333, 33),
+        }
+        assert sum(c for _, c in fit3.values()) == 100
+
+    def test_general_lattice_solve_equals_dividend_closed_form(self):
+        """The coalition-lattice formula must reproduce the unanimity-
+        dividend closed form (φ_i = Σ_{T∋i} w_T/|T|) on seeded random
+        games — a full cross-check of the zeta transform and the
+        |S|!(n−|S|−1)!/n! weights."""
+        import random
+        from fractions import Fraction
+
+        from mopso_engine.ext.pipeline import shapley_fit
+
+        rng = random.Random(7)
+        chs = ["A", "B", "C", "D", "E"]
+        for _ in range(10):
+            n_sets = rng.randint(1, 12)
+            seen = set()
+            sets = []
+            for _ in range(n_sets):
+                t = tuple(
+                    sorted(rng.sample(chs, rng.randint(1, len(chs))))
+                )
+                if t in seen:
+                    continue
+                seen.add(t)
+                sets.append((t, rng.randint(1, 5), rng.randint(0, 500)))
+            got = shapley_fit(sets)
+            phi = {c: Fraction(0) for c in chs}
+            for t, _, w in sets:
+                for c in t:
+                    phi[c] += Fraction(w, len(t))
+            total = sum(w for _, _, w in sets)
+            live = sorted(c for c in chs if any(c in t for t, _, _ in sets))
+            base = {c: phi[c].numerator // phi[c].denominator for c in live}
+            exp = {}
+            for c in live:
+                if total == 0:
+                    exp[c] = (0, 0)
+                else:
+                    sh = phi[c] / total
+                    ppm = (
+                        2 * sh.numerator * 1_000_000 + sh.denominator
+                    ) // (2 * sh.denominator)
+                    exp[c] = (int(ppm), base[c])
+            rem = total - sum(base.values())
+            for c in sorted(live, key=lambda c: (-phi[c], c)):
+                if rem <= 0:
+                    break
+                exp[c] = (exp[c][0], exp[c][1] + 1)
+                rem -= 1
+            assert got == exp
+            assert sum(cr for _, cr in got.values()) == total
+
+    def test_fit_guards(self):
+        from mopso_engine.ext.pipeline import (
+            MAX_SHAPLEY_CHANNELS,
+            shapley_fit,
+        )
+
+        with pytest.raises(ValueError, match="duplicate set"):
+            shapley_fit([(("A",), 1, 10), (("A",), 2, 20)])
+        with pytest.raises(ValueError, match="sorted nonempty"):
+            shapley_fit([(("B", "A"), 1, 10)])
+        with pytest.raises(ValueError, match="sorted nonempty"):
+            shapley_fit([((), 1, 10)])
+        with pytest.raises(ValueError, match="bad set row"):
+            shapley_fit([(("A",), 0, 10)])
+        with pytest.raises(ValueError, match="MAX_SHAPLEY_CHANNELS"):
+            shapley_fit(
+                [
+                    ((f"c{i:02d}",), 1, 1)
+                    for i in range(MAX_SHAPLEY_CHANNELS + 1)
+                ]
+            )
+        assert shapley_fit([]) == {}
+
+    def test_operator_replays_hand_solved_game(self, spark):
+        """End-to-end: u1 A→B→purchase(100µ), u2 A→purchase(60µ),
+        u3 B(abandon) ⇒ sets {A,B}:100, {A}:60; φ_A = 110, φ_B = 50;
+        the abandoned journey enters no game and B's n_journeys
+        counts only the converting one."""
+        from mopso_engine.ext.pipeline import shapley_attribution
+
+        rows = [
+            (1, 0, 1, "A", 0.0),
+            (1, 1, 2, "B", 0.0),
+            (1, 2, 3, "purchase", 0.0001),
+            (2, 0, 4, "A", 0.0),
+            (2, 1, 5, "purchase", 0.00006),
+            (3, 0, 6, "B", 0.0),
+        ]
+        got = sorted(
+            map(
+                tuple,
+                shapley_attribution(
+                    self._ev(spark, rows), F.expr(self.VAL)
+                ).collect(),
+            )
+        )
+        assert got == [
+            ("A", 2, 687_500, 110),
+            ("B", 1, 312_500, 50),
+        ]
+
+    def test_direct_conversion_excluded_and_repeat_channel_dedup(self, spark):
+        """A direct conversion (empty channel set) is structurally
+        unattributable and enters no game; repeated touches of one
+        channel inside a journey dedup to ONE set member (the set
+        game, not the touch count)."""
+        from mopso_engine.ext.pipeline import shapley_attribution
+
+        rows = [
+            (1, 0, 1, "purchase", 0.00004),  # direct — excluded
+            (1, 1, 2, "A", 0.0),
+            (1, 2, 3, "A", 0.0),
+            (1, 3, 4, "purchase", 0.00006),
+        ]
+        got = sorted(
+            map(
+                tuple,
+                shapley_attribution(
+                    self._ev(spark, rows), F.expr(self.VAL)
+                ).collect(),
+            )
+        )
+        assert got == [("A", 1, 1_000_000, 60)]
+
+    def test_matched_failures(self, spark):
+        from mopso_engine.ext.pipeline import shapley_attribution
+
+        rows = [(1, 0, 1, "A", 0.0), (1, 1, 2, "purchase", None)]
+        with pytest.raises(Exception) as ei:
+            shapley_attribution(
+                self._ev(spark, rows), F.expr(self.VAL)
+            ).collect()
+        assert "shapley_attribution: NULL conversion value" in str(ei.value)
+        rows2 = [(None, 0, 1, "A", 0.0), (1, 1, 2, "purchase", 1.0)]
+        with pytest.raises(Exception) as ei2:
+            shapley_attribution(
+                self._ev(spark, rows2), F.expr(self.VAL)
+            ).collect()
+        assert "the event feed is corrupt" in str(ei2.value)
+
+
 class TestDiffInDiff:
     def test_exact_python_replay(self, spark):
         import datetime as dt

@@ -892,3 +892,57 @@ def test_markov_attribution_single_user_exchange_and_literal_output(spark):
     assert (
         final_seg.count("Exchange hashpartitioning(__src") == 1
     ), trans_plan  # the tiny states² aggregate — the ONLY other exchange
+
+
+def test_shapley_attribution_one_user_exchange_and_literal_output(spark):
+    """r16 (VERDICT r15 #4): the Shapley set table's journey window
+    AND the per-(user, journey) fold must ride ONE user-key exchange —
+    partitioning by __k satisfies the (__k, __jid) clustered
+    distribution, so the groupBy adds NO exchange — with the only
+    other exchange the ≤ 2^channels set aggregate. The OUTPUT must be
+    pure literals (the markov ADVICE r15 posture)."""
+    import datetime as dt
+
+    from mopso_engine.ext.pipeline import (
+        _checked_journey_events,
+        _shapley_journey_sets,
+        shapley_attribution,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (u, t0 + dt.timedelta(hours=h), u * 10 + h, et, v)
+        for u in range(1, 6)
+        for h, et, v in (
+            (0, "A", 0.0),
+            (1, "B", 0.0),
+            (2, "purchase", 1.0),
+        )
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double",
+    )
+    vcol = F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+    out = shapley_attribution(ev, vcol)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for op in ("Exchange", "Window", "Generate", "Join", "InMemoryTableScan"):
+        assert op not in plan, (op, plan)
+    sets_df = _shapley_journey_sets(
+        _checked_journey_events(
+            ev,
+            vcol,
+            model="shapley_attribution",
+            convert_type="purchase",
+            ts_col="ts",
+            key="user_id",
+            seq_col="event_id",
+        )
+    )
+    sets_plan = sets_df._jdf.queryExecution().executedPlan().toString()
+    final_seg = sets_plan.split("== Initial Plan ==")[0]
+    assert final_seg.count("Exchange hashpartitioning(__k#") == 1, sets_plan
+    assert final_seg.count("Exchange hashpartitioning(__chs") == 1, sets_plan
+    assert final_seg.count("Exchange hashpartitioning") == 2, sets_plan
+    assert "Generate" not in final_seg, sets_plan
