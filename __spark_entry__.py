@@ -6274,7 +6274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows only), so the future schedule is readable off this comment:
     # the past-cutoff blocks are ALREADY in rotation order and each
     # round's slice is simply the next ~39 names after the flagships
-    # and that round's code-changed re-earners. All 266 are verified
+    # and that round's code-changed re-earners. All 268 are verified
     # locally by tools/check_oracle.py (same compare as the driver,
     # default + hostile sessions) before each round ends — the count
     # in this sentence is pinned to len(queries()) by
@@ -6282,67 +6282,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for fn in (
         # ---- the 50-entry driver window, counted EXACTLY ----
         # flagship: the full MOPSO fits with post-hoc relational
-        # oracles (5) — re-earn every round by policy
+        # oracles (5) — re-earn every round by policy (the r16 engine
+        # change — setup_phases sub-walls + the explicit knn-cache
+        # materialize, VERDICT r15 #6 — also makes them this round's
+        # engine-path re-earners)
         mopso_fit, mopso_fit_only, mopso_fit_full, mopso_fit_lineitem,
         mopso_fit_lineitem_only,
-        # r15 code-changed re-earners (6): events_attribution_position
-        # (the 40% endpoint share now routes through DECIMAL(38,0) —
-        # ADVICE r14); events_ledger_vacuum (the audit reads all
-        # versions in ONE grouped job — VERDICT r14 #6);
-        # dedup_bloom_prefilter (the probe crosses to the broadcast
-        # Arrow kernel past 512 words — VERDICT r14 #4);
-        # bm25_search / bm25_eval / hybrid_search (pruned_tf returns
-        # the explicit PrunedTf pair — ADVICE r14; these three cover
-        # every changed consumer path: bm25_topk's observe() read,
-        # coverage_qrels' doc_terms unwrap, term_coverage_topk's tf
-        # unwrap; hybrid_rerank/_eval compose the same paths and stay
-        # on the sweep)
-        events_attribution_position, events_ledger_vacuum,
-        dedup_bloom_prefilter, bm25_search, bm25_eval, hybrid_search,
-        # r15-NEW, in-window at birth (the r12/r13/r14 pattern): the
-        # Markov-chain removal-effect credit model (VERDICT r14 #8b —
-        # the data-driven rung above the heuristic ladder) and
-        # cross-modal retrieval (VERDICT r14 #8a — text queries
-        # retrieve image assets through the stubbed joint encoder on
-        # the IVF serving path) (2)
-        events_attribution_markov, crossmodal_ann, crossmodal_eval,
-        events_attribution_shapley,
-        # stale-tail rotation, oldest-verified-first (38): the r8
-        # remainder (training_epoch_mix — VERDICT r14 #1's named
-        # leader), then the r9 block through stream_window_topk
-        training_epoch_mix,                                 # last r8
-        bpe_token_counts, conn_objective,                   # last r9
-        corpus_curation_v3,                                 # last r9
-        crowding, curation_funnel, customer_rfm, dbi,       # last r9
-        docs_bpe_fertility, docs_dsir_topk, docs_fix_mojibake, # last r9
-        docs_packed_bpe, docs_quality_quantile,             # last r9
-        docs_snapshot_diff, events_cms_topk, events_cuped,  # last r9
-        events_cusum, events_dau_wau, events_hopping,       # last r9
-        events_retention, events_salted_join,               # last r9
-        events_sessions_stream, events_srm, knn_top5, minmax_norm, # last r9
-        nation_revenue, order_priorities, orders_gap_hist,  # last r9
-        pareto_front, part_rules, price_deciles, prox_search, # last r9
-        q1_pricing, q3_shipping, session_paths, silhouette, # last r9
-        stream_dedup_events,                                # last r9
-        # Window = 5 fits + 6 re-earners + 2 births + 1 r8 + 36 r9 = 50.
-        # --- the 50-entry truncation lands exactly here ---
-        # r16's rotation slice continues here: the r9 remainder, then
-        # the r10/r11/r12/r13/r14 blocks in last-earned order.
+        # r16 code-changed re-earners (4): dedup_bloom_prefilter (the
+        # kernel probe now case-folds hex, raises on malformed
+        # fingerprints, and registers its broadcast — ADVICE r15);
+        # events_attribution_markov (output rebuilt as pure literals
+        # off the one collected states² table, transition persist
+        # released eagerly — ADVICE r15); events_isotonic /
+        # orders_woe_iv (their persisted tiny tables moved to the
+        # renamed _SHARED_TINY_CACHES registry — VERDICT r15 #5)
+        dedup_bloom_prefilter, events_attribution_markov,
+        events_isotonic, orders_woe_iv,
+        # r16-NEW, in-window at birth (the r12-r15 pattern): the
+        # cross-modal eval readout (VERDICT r15 #3 — IVF top-5 graded
+        # against the exact brute-force twin's qrels) and Shapley
+        # attribution (VERDICT r15 #4 — the credit ladder's top rung,
+        # exact coalition-lattice solve) (2)
+        crossmodal_eval, events_attribution_shapley,
+        # stale-tail rotation, oldest-verified-first (39): the r9
+        # remainder (the four names past r15's cutoff), then the r10
+        # block through q17_small_quantity
         stream_window_topk, supplier_bfs, top_parts, vocab_growth, # last r9
         active_custkeys_both, active_custkeys_diff,         # last r10
         active_custkeys_diff_all, ann_ivf, ann_ivf_unlabeled, # last r10
-        ann_topk, big_orders, bm25_search,                  # last r10
-        customers_without_orders, dedup_exact, emb_neardup, # last r10
-        events_interval_join, events_isotonic, events_pivot, # last r10
-        events_sessions_native, events_stream, events_windowed, # last r10
-        mopso_fit_lsh, multimodal_stats, names_edit1,       # last r10
-        orders_pareto_share, orders_range_window,           # last r10
+        ann_topk, big_orders, customers_without_orders,     # last r10
+        dedup_exact, emb_neardup, events_interval_join,     # last r10
+        events_pivot, events_sessions_native, events_stream, # last r10
+        events_windowed, mopso_fit_lsh, multimodal_stats,   # last r10
+        names_edit1, orders_pareto_share, orders_range_window, # last r10
         orders_ranking_suite, orders_target_encode,         # last r10
         orders_window_suite, pmi_collocations, q4_priority, # last r10
         q5_local_supplier, q7_volume_shipping, q8_market_share, # last r10
         q9_profit_shape, q10_returned_items, q13_custdist,  # last r10
         q14_promo_share, q15_top_supplier, q16_supplier_variety, # last r10
-        q17_small_quantity, q19_or_of_ands, q20_promo_suppliers, # last r10
+        q17_small_quantity,                                 # last r10
+        # Window = 5 fits + 4 re-earners + 2 births + 4 r9 + 35 r10 = 50.
+        # --- the 50-entry truncation lands exactly here ---
+        # r17's rotation slice continues here: the r10 remainder, then
+        # the r11/r12/r13/r14 blocks, then the r15-earned cohort.
+        q19_or_of_ands, q20_promo_suppliers,                # last r10
         q22_idle_customers, sketch_distinct_check,          # last r10
         sketch_quantile_check, tfidf_terms, vocab_zipf,     # last r10
         ann_ivfpq, asset_phash, assets_packed, corpus_curation, # last r11
@@ -6359,9 +6342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_interval_join_stream, events_robust_z, events_scd2, # last r11
         events_sessionized, events_type_quantiles,          # last r11
         lineitem_benford, lineitem_compact_roundtrip,       # last r11
-        orders_woe_iv, q6_forecast, sales_rollup, status_cube, # last r11
+        q6_forecast, sales_rollup, status_cube,             # last r11
         tpch_ref_integrity, user_stats, value_quantiles,    # last r11
-        accuracy, assign_nearest, avg_dist_per_cluster, bm25_eval, # last r12
+        accuracy, assign_nearest, avg_dist_per_cluster,     # last r12
         cluster_sizes, count_and_k, decontaminate_semantic, # last r12
         dedup_components_star, dev_inertia, docs_bigram_logppl, # last r12
         events_asof_forward, events_ctr_jackknife, events_qte, # last r12
@@ -6405,6 +6388,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream_source_drift, supplier_pagerank, supplier_ppr, # last r14
         events_attribution_multi, events_bootstrap_ci,      # last r14
         events_attribution_decay, events_attribution_stream, # last r14
+        # the r15-earned cohort — freshest, rotates last: the r8/r9
+        # names the r15 window re-earned, then the r15 re-earners and
+        # births
+        training_epoch_mix,                                 # last r15
+        bpe_token_counts, conn_objective, corpus_curation_v3, # last r15
+        crowding, curation_funnel, customer_rfm, dbi,       # last r15
+        docs_bpe_fertility, docs_dsir_topk, docs_fix_mojibake, # last r15
+        docs_packed_bpe, docs_quality_quantile,             # last r15
+        docs_snapshot_diff, events_cms_topk, events_cuped,  # last r15
+        events_cusum, events_dau_wau, events_hopping,       # last r15
+        events_retention, events_salted_join,               # last r15
+        events_sessions_stream, events_srm, knn_top5, minmax_norm, # last r15
+        nation_revenue, order_priorities, orders_gap_hist,  # last r15
+        pareto_front, part_rules, price_deciles, prox_search, # last r15
+        q1_pricing, q3_shipping, session_paths, silhouette, # last r15
+        stream_dedup_events,                                # last r15
+        events_attribution_position, events_ledger_vacuum,  # last r15
+        bm25_search, bm25_eval, hybrid_search,              # last r15
+        crossmodal_ann,                                     # last r15
     ):
         q[fn.__name__] = fn
     return q

@@ -992,6 +992,108 @@ def main_x100_markov() -> None:
     spark.stop()
 
 
+def main_x100_funnel() -> None:
+    """×1/×10/×100 curve for the funnel/session family (VERDICT r15
+    #7): `events_funnel`, `session_paths` and `events_concurrency` all
+    ride the proven ONE-user-exchange gap-merge/greedy-fold shape, but
+    the family had no two-decade law row — the attribution smoke
+    covers the pair JOIN, not the per-user in-row FOLD. Over the
+    user-rekeyed decades (users ×n at CONSTANT per-user journey
+    density — replicas are verbatim timelines under offset ids) the
+    family's laws are BIT-EXACT, not just bounded:
+
+    * per-user state is CONSTANT: the greedy fold's in-row list and
+      the session fold's struct list are bounded by one user's events,
+      which do not grow — measured as max events/user per decade.
+    * funnel step counts, session-path counts and per-hour concurrent
+      sessions scale EXACTLY ×n (each replica user walks the identical
+      journey), with the path set, ranks and hour grid IDENTICAL.
+    * constant stages; the one user-key exchange carries ×n rows.
+    """
+    from mopso_engine.session import build_session
+
+    spark = build_session(master="local[32]", app_name="scale-smoke-funnel")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    for dest, n in ((OUT_ATTR, 10), (OUT100_ATTR, 100)):
+        if not os.path.isdir(dest):
+            build_events_users_xn(spark, n, dest)
+    qs = entry_mod.queries()
+    FAMILY = ("events_funnel", "session_paths", "events_concurrency")
+    out: dict = {"metric": "scale100_funnel_smoke", "queries": list(FAMILY)}
+    # warm pass eats codegen/JIT so no timed pass is charged for it
+    for qname in FAMILY:
+        qs[qname](spark, SRC).write.format("noop").mode("overwrite").save()
+    base: dict = {}
+    for tag, d, mult in (
+        ("x1", SRC, 1), ("x10", OUT_ATTR, 10), ("x100", OUT100_ATTR, 100)
+    ):
+        rec: dict = {"scale": mult}
+        for qname in FAMILY:
+            snap0 = stage_writes(spark)
+            t0 = time.time()
+            rows = qs[qname](spark, d).collect()
+            t = round(time.time() - t0, 3)
+            tot, peak, nst = window_stats(snap0, stage_writes(spark))
+            qrec = {
+                "wall_sec": t, "shuffle_write_bytes": tot,
+                "peak_stage_shuffle_bytes": peak, "stages": nst,
+                "rows": len(rows),
+            }
+            if qname == "events_funnel":
+                vals = {r["step"]: int(r["n_users"]) for r in rows}
+            elif qname == "session_paths":
+                vals = {(r["path"], int(r["rk"])): int(r["n_sessions"])
+                        for r in rows}
+            else:
+                vals = {int(r["hour_id"]): int(r["n_sessions"])
+                        for r in rows}
+            if tag == "x1":
+                base[qname] = vals
+            else:
+                # the bit-exact family law: identical key set, every
+                # count exactly ×mult the x1 reading
+                qrec["keys_identical"] = set(vals) == set(base[qname])
+                qrec["counts_exact_xn"] = qrec["keys_identical"] and all(
+                    vals[k] == mult * base[qname][k] for k in vals
+                )
+            if qname == "events_funnel":
+                qrec["step_n_users"] = {
+                    str(k): v for k, v in sorted(vals.items())
+                }
+            rec[qname] = qrec
+            print(
+                f"# {qname} {tag}: {t}s shuffle={tot} stages={nst} "
+                f"rows={len(rows)}"
+                + (
+                    f" exact_xn={rec[qname].get('counts_exact_xn')}"
+                    if tag != "x1" else ""
+                ),
+                file=sys.stderr,
+            )
+        # per-user state boundedness: the fold's in-row list is capped
+        # by one user's event count, which must NOT grow with the decade
+        ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+        rec["max_events_per_user"] = int(
+            ev.groupBy("user_id").count().agg(F.max("count")).first()[0]
+        )
+        out[tag] = rec
+    for a, b in (("x10", "x1"), ("x100", "x10"), ("x100", "x1")):
+        for qname in FAMILY:
+            out[f"{qname}_ratio_{a}_vs_{b}"] = round(
+                out[a][qname]["wall_sec"] / out[b][qname]["wall_sec"], 2
+            )
+    out["per_user_state_flat"] = (
+        out["x1"]["max_events_per_user"]
+        == out["x10"]["max_events_per_user"]
+        == out["x100"]["max_events_per_user"]
+    )
+    print(json.dumps(out))
+    spark.stop()
+
+
 def main_x100_crossmodal() -> None:
     """×1/×10/×100 curve for cross-modal retrieval (r15 birth — birth-
     round two-decade evidence, the r13-rerank precedent). Decades are
@@ -1582,13 +1684,21 @@ if __name__ == "__main__":
         "user-rekeyed decades (reuses .scale10attr/.scale100attr)",
     )
     ap.add_argument(
+        "--x100-funnel",
+        action="store_true",
+        help="run the funnel/session family x1/x10/x100 curve on "
+        "user-rekeyed decades (reuses .scale10attr/.scale100attr)",
+    )
+    ap.add_argument(
         "--x100-crossmodal",
         action="store_true",
         help="run the cross-modal retrieval x1/x10/x100 curve on plain "
         "re-keyed decades (reuses .scale10bm25/.scale100bm25)",
     )
     args = ap.parse_args()
-    if args.x100_crossmodal:
+    if args.x100_funnel:
+        main_x100_funnel()
+    elif args.x100_crossmodal:
         main_x100_crossmodal()
     elif args.x100_markov:
         main_x100_markov()
