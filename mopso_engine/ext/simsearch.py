@@ -383,8 +383,34 @@ def crossmodal_topk_ivf(
     import numpy as np
 
     C = np.asarray(codebook, dtype=np.float64)
-    vecs = corpus.select("item_id", "vec")
-    cells = vecs.withColumn("cell", _argmax_cell_kernel(C)("vec"))
+    cells = corpus.select("item_id", "vec").withColumn(
+        "cell", _argmax_cell_kernel(C)("vec")
+    )
+    return crossmodal_topk_ivf_indexed(cells, codebook, queries, k=k, nprobe=nprobe)
+
+
+def crossmodal_topk_ivf_indexed(
+    index: DataFrame,
+    codebook,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Serve cross-modal top-k from a MAINTAINED cell-assignment index
+    — ``index`` is (item_id, vec, cell), e.g. the latest version of the
+    ledger :func:`mopso_engine.ext.streaming.ivf_index_maintain_stream`
+    keeps fresh (VERDICT r15 #8a). The cell assignment was paid at
+    INGEST (one Arrow kernel over each increment, not the corpus), so
+    the serve plan is pure probe-selection expressions on the codebook
+    literals + the cell equality join + the top-k window — the corpus
+    side is map-only and never re-encodes. :func:`crossmodal_topk_ivf`
+    is this function behind an inline assignment (per-run rebuild);
+    results are identical by construction on the same codebook.
+    """
+    import numpy as np
+
+    C = np.asarray(codebook, dtype=np.float64)
+    cells = index.select("item_id", "vec", "cell")
     cent_lits = F.array(
         *[
             F.struct(

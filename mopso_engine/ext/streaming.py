@@ -1453,3 +1453,140 @@ def stream_dedup_events(
     return doubled.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+# --------------------------------------------------------------------------
+# incremental IVF index maintenance (VERDICT r15 #8a)
+# --------------------------------------------------------------------------
+
+def ivf_index_latest(
+    spark: SparkSession, index_path: str, *, below: int | None = None
+):
+    """Read the newest committed IVF cell-assignment index version
+    under ``index_path`` (``v=<batch_id>`` directories written by
+    :func:`ivf_index_maintain_stream`); None when no version exists.
+    ``below`` restricts to versions < it — a REPLAYED micro-batch must
+    merge against the state that preceded its first attempt, never its
+    own partial output (the scd2_history_latest contract)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return None
+    versions = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("v="):
+            v = int(name[2:])
+            if below is None or v < below:
+                versions.append(v)
+    if not versions:
+        return None
+    return spark.read.parquet(f"{index_path}/v={max(versions)}")
+
+
+def ivf_index_maintain_stream(
+    stream_items: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    *,
+    codebook,
+    keep_versions: int = 2,
+    query_name: str = "ivf_index_maintain",
+) -> None:
+    """CONTINUOUS ANN index maintenance (VERDICT r15 #8a — the
+    serving-side freshness story the ANN family's queries previously
+    rebuilt per run): maintain the (item_id, vec, cell)
+    cell-assignment table under ``index_path`` from a stream of new or
+    RE-EMBEDDED items (item_id, vec) — the foreachBatch-upsert /
+    versioned-ledger movement of :func:`scd2_maintain_stream` applied
+    to the IVF serving table :func:`mopso_engine.ext.simsearch.
+    crossmodal_topk_ivf_indexed` reads.
+
+    Per micro-batch: ONE map-only Arrow kernel assigns cells to the
+    INCREMENT only (never the corpus — that is the whole point: decode
+    plus assignment are paid at ingest, a query never re-encodes);
+    the increment upserts latest-wins on item_id against the latest
+    committed version below this batch id (history anti-joined by the
+    increment's broadcast-size key set, so existing rows never
+    re-assign); the result commits as ``v=<batch_id>`` with the last
+    ``keep_versions`` retained for time travel / concurrent readers.
+    Exactly-once: versions are keyed by batch_id, so a replayed batch
+    OVERWRITES its own version and merges against the state below its
+    id (the ledger idempotence every maintainer here shares).
+
+    The codebook is a PINNED model artifact: cells stay fresh per
+    increment under the codebook that built the index; retraining is a
+    REBUILD into a fresh index path, never an in-place mutation — an
+    index mixing two codebooks' cell ids would silently mis-probe.
+
+    Matched failure: duplicate item_id WITHIN one micro-batch raises —
+    an ingest feed must be keyed, and "which duplicate wins" would be
+    partition-order nondeterminism.
+
+    Scale: the per-batch cost is kernel-over-increment + the
+    anti-join + one version write. The version write is bounded by
+    index size (plain parquet standing in for a table format's
+    snapshot — with the index stored bucketed/partitioned BY cell, a
+    real table format's MERGE rewrites only the cell partitions the
+    increment touches, and the serve-side cell equality join becomes
+    shuffle-free on the big side). Drains with Trigger.AvailableNow.
+    """
+    import numpy as np
+
+    from mopso_engine.ext.simsearch import _argmax_cell_kernel
+
+    if keep_versions < 2:
+        # same invariant as scd2_maintain_stream: batch N's retention
+        # must leave v<N alive until N's commit is checkpointed, or a
+        # replay re-seeds the index from one micro-batch
+        raise ValueError(
+            "keep_versions must be ≥ 2: a replayed batch merges against v<N"
+        )
+    C = np.asarray(codebook, dtype=np.float64)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.select("item_id", "vec")
+        n, n_d = batch_df.agg(
+            F.count(F.lit(1)), F.count_distinct("item_id")
+        ).first()
+        if int(n) != int(n_d):
+            raise ValueError(
+                f"ivf_index_maintain_stream: batch {int(batch_id)} has "
+                f"{int(n) - int(n_d)} duplicate item_id rows — the feed "
+                "must be keyed (which duplicate wins would be "
+                "partition-order nondeterminism)"
+            )
+        inc = batch_df.withColumn("cell", _argmax_cell_kernel(C)("vec"))
+        hist = ivf_index_latest(spark, index_path, below=int(batch_id))
+        if hist is None:
+            out = inc
+        else:
+            out = hist.join(
+                F.broadcast(inc.select("item_id")), "item_id", "left_anti"
+            ).unionByName(inc)
+        out.write.mode("overwrite").parquet(f"{index_path}/v={int(batch_id)}")
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(index_path)
+        fs = p.getFileSystem(hconf)
+        vs = sorted(
+            int(st.getPath().getName()[2:])
+            for st in fs.listStatus(p)
+            if st.getPath().getName().startswith("v=")
+        )
+        for v in vs[:-keep_versions]:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{index_path}/v={v}"), True
+            )
+
+    q = (
+        stream_items.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

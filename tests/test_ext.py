@@ -3,6 +3,7 @@ multimodal/streaming) against python/numpy oracles and the sf0.001
 testdata."""
 
 import hashlib
+import os
 import re
 
 import numpy as np
@@ -445,6 +446,136 @@ class TestCodebook:
         C = np.asarray(cb)
         assert C.shape == (3, 64)
         assert np.array_equal(C, C[np.lexsort(C.T[::-1])])
+
+
+class TestIvfIndexMaintain:
+    """r16 (VERDICT r15 #8a): the incremental IVF index maintainer —
+    foreachBatch upsert into a versioned cell-assignment ledger, served
+    through the indexed probe."""
+
+    def _write_batches(self, spark, tmp_path, batches):
+        """Write each batch as one mtime-ordered parquet file so the
+        file source's micro-batch order is deterministic."""
+        import glob as _glob
+        import time as _time
+
+        src = str(tmp_path / "feed")
+        written = []
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(
+                rows, "item_id long, vec array<double>"
+            ).coalesce(1).write.mode("append").parquet(src)
+            files = sorted(set(_glob.glob(src + "/*.parquet")) - set(written))
+            past = _time.time() - 3600 + i * 60
+            for f in files:
+                os.utime(f, (past, past))
+            written.extend(files)
+        return src
+
+    def _stream(self, spark, src):
+        return (
+            spark.readStream.schema("item_id long, vec array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    def test_upsert_retention_and_serve_parity(self, spark, tmp_path):
+        """Two increments with overlapping ids: the re-embedded items
+        must carry batch-2's vectors (latest-wins), only keep_versions
+        ledger versions survive, and serving the latest index through
+        crossmodal_topk_ivf_indexed must equal the per-run rebuild
+        (crossmodal_topk_ivf) on the merged corpus row-for-row."""
+        import uuid as _uuid
+
+        from mopso_engine.ext.streaming import (
+            ivf_index_latest,
+            ivf_index_maintain_stream,
+        )
+
+        def vec(i, salt):
+            return [float((i * 7 + d * 3 + salt) % 13) + 0.5 for d in range(8)]
+
+        b1 = [(i, vec(i, 0)) for i in range(30)]
+        b2 = [(i, vec(i, 5)) for i in range(20, 40)]  # 20-29 re-embedded
+        src = self._write_batches(spark, tmp_path, [b1, b2])
+        cb = [[float((c + d) % 5) + 0.25 for d in range(8)] for c in range(4)]
+        idx_path = str(tmp_path / "index")
+        ivf_index_maintain_stream(
+            self._stream(spark, src),
+            idx_path,
+            str(tmp_path / "cp"),
+            codebook=cb,
+            query_name=f"ivfidx_t_{_uuid.uuid4().hex[:8]}",
+        )
+        # ledger: exactly keep_versions=2 versions survive (v=0, v=1)
+        vs = sorted(
+            d for d in os.listdir(idx_path) if d.startswith("v=")
+        )
+        assert vs == ["v=0", "v=1"]
+        idx = ivf_index_latest(spark, idx_path)
+        got = {r["item_id"]: (list(r["vec"]), r["cell"]) for r in idx.collect()}
+        assert len(got) == 40
+        merged = {i: vec(i, 0) for i in range(30)}
+        merged.update({i: vec(i, 5) for i in range(20, 40)})
+        assert {i: v for i, (v, _) in got.items()} == merged
+        # a replay of the LAST batch merges against v<1 — v=0 must
+        # still exist (the keep_versions >= 2 invariant)
+        assert (
+            ivf_index_latest(spark, idx_path, below=1)
+            .where(F.col("item_id") == 25)
+            .first()["vec"]
+            == vec(25, 0)
+        )
+        # serve parity vs the per-run rebuild on the merged corpus
+        corpus = spark.createDataFrame(
+            sorted(merged.items()), "item_id long, vec array<double>"
+        )
+        queries = spark.createDataFrame(
+            [(100, vec(3, 0)), (101, vec(25, 5))],
+            "query_id long, qvec array<double>",
+        )
+        a = sorted(
+            map(
+                tuple,
+                ss.crossmodal_topk_ivf_indexed(
+                    idx, cb, queries, k=5, nprobe=2
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                ss.crossmodal_topk_ivf(
+                    corpus, cb, queries, k=5, nprobe=2
+                ).collect(),
+            )
+        )
+        assert a == b and len(a) == 10
+
+    def test_duplicate_item_in_batch_raises(self, spark, tmp_path):
+        import uuid as _uuid
+
+        from mopso_engine.ext.streaming import ivf_index_maintain_stream
+
+        rows = [(1, [1.0] * 8), (1, [2.0] * 8), (2, [3.0] * 8)]
+        src = self._write_batches(spark, tmp_path, [rows])
+        cb = [[1.0] * 8, [2.0] * 8]
+        with pytest.raises(Exception, match="duplicate item_id"):
+            ivf_index_maintain_stream(
+                self._stream(spark, src),
+                str(tmp_path / "index"),
+                str(tmp_path / "cp"),
+                codebook=cb,
+                query_name=f"ivfidx_d_{_uuid.uuid4().hex[:8]}",
+            )
+
+    def test_keep_versions_guard(self, spark):
+        from mopso_engine.ext.streaming import ivf_index_maintain_stream
+
+        with pytest.raises(ValueError, match="keep_versions"):
+            ivf_index_maintain_stream(
+                None, "/tmp/x", "/tmp/y", codebook=[[1.0]], keep_versions=1
+            )
 
 
 class TestMultimodal:
