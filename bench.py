@@ -311,10 +311,23 @@ BENCH_QUERIES = [
     # the driver-side exact-Fraction absorbing-chain solve, broadcast
     # literal re-join
     "events_attribution_markov",
+    # round-16: the ladder's Shapley top rung — the same one-user-keyed
+    # journey window, a 2^channels-bounded set aggregate feeding the
+    # driver-side exact-Fraction coalition-lattice solve, literal output
+    "events_attribution_shapley",
     # round-15: cross-modal retrieval — the IVF serving shape with the
     # corpus side decoded by the multimodal Arrow kernel and the text
     # queries encoded driver-side by the same joint-encoder stub
     "crossmodal_ann",
+    # round-16: the cross-modal ship gate — the IVF top-5 graded against
+    # the exact brute-force twin's qrels through retrieval_eval (pays
+    # the decode scan for codebook + cells + the broadcast exact pass)
+    "crossmodal_eval",
+    # round-16: incremental IVF index maintenance — two file-paced
+    # AvailableNow increments upsert the cell-assignment ledger, then
+    # the indexed probe serves the same three queries (pays the
+    # maintainer drain like the other streaming ledger entries)
+    "crossmodal_index_stream",
     # round-14: the ledger family's VACUUM-style retention audit (pays
     # its full two-batch AvailableNow maintainer run like the version
     # reads, plus two bounded per-version metadata aggregates)
@@ -563,9 +576,22 @@ ANCHOR_R08 = {
     # r15 birth (warm 1.6-1.8 beside a running smoke; floor + headroom
     # — the trans collect + v_total scan cost more than the pair models)
     "events_attribution_markov": 2.5,
+    # r16 birth (quiet_bestof_r16_births.json: warm 0.77-0.88, best
+    # 0.769, cpu_calib 0.20 — ~1.7x the quiet floor, so 1.2 carries
+    # honest headroom): the same journey window as markov plus the
+    # tiny set aggregate + driver lattice solve
+    "events_attribution_shapley": 1.2,
     # r15 second birth (warm 1.7-2.3 beside a running smoke; the decode
     # kernel + codebook-sample collect dominate at sf0.1)
     "crossmodal_ann": 3.0,
+    # r16 birth (warm 2.8-3.1, best 2.833 on the same protocol run):
+    # crossmodal_ann's decode + codebook + probe plus the broadcast
+    # exact-twin pass and the |queries|-bounded eval arithmetic
+    "crossmodal_eval": 3.5,
+    # r16 birth (warm 3.3-3.5, best 3.297): pays the two-increment
+    # AvailableNow maintainer drain (kernel-per-increment + versioned
+    # ledger writes) before the indexed serve
+    "crossmodal_index_stream": 4.0,
     # r14 third birth: the vacuum audit pays the same maintainer run
     # as the version reads (their 3.0 anchors) + two tiny aggregates
     "events_ledger_vacuum": 3.0,
