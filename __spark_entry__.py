@@ -1630,6 +1630,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             read_table(spark, sf, "events"), "event_type", "user_id"
         )
 
+    def events_ab_sessions(spark, sf):
+        """Sessionized A/B exposure analysis (`ext.pipeline.
+        session_exposure_outcome`, VERDICT r15 #8b) — the experiment
+        family joined to the session family: users hash-split by the
+        srm/cuped md5 assignment (same salt, so the SAME split
+        replays), and the metric is exposure-to-outcome WITHIN SESSION
+        BOUNDS — a session converts iff a purchase lands STRICTLY
+        AFTER its first view inside the same gap-merged session
+        (strict 30-minute timeout, gap in exact integer microseconds;
+        'after' is native struct comparison on (µs, event_id) in both
+        engines). The hygiene a raw per-user rate cannot express: a
+        later-session or pre-exposure outcome is never credited. ONE
+        user-keyed window exchange carries sessionization AND the
+        per-session fold (the shapley/markov partitioning-rides
+        movement); the per-variant rollup is 2 rows. NULL
+        user/ts/event_id raises."""
+        from mopso_engine.ext.pipeline import session_exposure_outcome
+
+        _utc(spark)
+        from mopso_engine.ext.streaming import read_events
+
+        ev = read_events(spark, os.path.join(sf, "events.parquet"))
+        return session_exposure_outcome(ev)
+
     def session_paths(spark, sf):
         """Session path mining: top-20 most-common session-opening
         event-type paths (first 5 events per gap-merged session, '>'
@@ -6368,7 +6392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows only), so the future schedule is readable off this comment:
     # the past-cutoff blocks are ALREADY in rotation order and each
     # round's slice is simply the next ~39 names after the flagships
-    # and that round's code-changed re-earners. All 269 are verified
+    # and that round's code-changed re-earners. All 270 are verified
     # locally by tools/check_oracle.py (same compare as the driver,
     # default + hostile sessions) before each round ends — the count
     # in this sentence is pinned to len(queries()) by
@@ -6396,12 +6420,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-modal eval readout (VERDICT r15 #3 — IVF top-5 graded
         # against the exact brute-force twin's qrels), Shapley
         # attribution (VERDICT r15 #4 — the credit ladder's top rung,
-        # exact coalition-lattice solve), and incremental IVF index
+        # exact coalition-lattice solve), incremental IVF index
         # maintenance (VERDICT r15 #8a — the foreachBatch-upsert
         # cell-assignment ledger, served through the indexed probe;
-        # stream==batch oracle) (3)
+        # stream==batch oracle), and sessionized A/B exposure analysis
+        # (VERDICT r15 #8b — exposure-to-outcome within session
+        # bounds, the experiment⋈session join) (4)
         crossmodal_eval, events_attribution_shapley,
-        crossmodal_index_stream,
+        crossmodal_index_stream, events_ab_sessions,
         # stale-tail rotation, oldest-verified-first (39): the r9
         # remainder (the four names past r15's cutoff), then the r10
         # block through q17_small_quantity
@@ -6417,11 +6443,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         orders_window_suite, pmi_collocations, q4_priority, # last r10
         q5_local_supplier, q7_volume_shipping, q8_market_share, # last r10
         q9_profit_shape, q10_returned_items, q13_custdist,  # last r10
-        q14_promo_share, q15_top_supplier, q16_supplier_variety, # last r10
-        # Window = 5 fits + 4 re-earners + 3 births + 4 r9 + 34 r10 = 50.
+        q14_promo_share, q15_top_supplier,                  # last r10
+        # Window = 5 fits + 4 re-earners + 4 births + 4 r9 + 33 r10 = 50.
         # --- the 50-entry truncation lands exactly here ---
         # r17's rotation slice continues here: the r10 remainder, then
         # the r11/r12/r13/r14 blocks, then the r15-earned cohort.
+        q16_supplier_variety,                               # last r10
         q17_small_quantity, q19_or_of_ands, q20_promo_suppliers, # last r10
         q22_idle_customers, sketch_distinct_check,          # last r10
         sketch_quantile_check, tfidf_terms, vocab_zipf,     # last r10
@@ -10346,6 +10373,55 @@ def oracle_sql() -> dict[str, str]:
                ((2 * 1000000 * (n_a - n_b) * (n_a - n_b) + (n_a + n_b))
                 // (2 * (n_a + n_b))) > 3841459 AS srm_flag
         FROM c
+    """
+
+    # events_ab_sessions: the same integer-µs gap merge as the session
+    # family (strict >= 1800s timeout), first-exposure / last-outcome
+    # per session as struct min/max on (µs, event_id), the srm md5
+    # variant split, house round-half-up per-mille.
+    o["events_ab_sessions"] = """
+        WITH evg AS (
+          SELECT * FROM events
+          WHERE (SELECT max(CASE WHEN user_id IS NULL OR ts IS NULL
+                   OR event_id IS NULL
+                   THEN error('events_ab_sessions oracle: NULL '
+                              'user_id/ts/event_id — mirrors the Spark '
+                              'in-plan raise')
+                   ELSE 0 END) FROM events) = 0),
+        base AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id AS seq,
+                 event_type AS et
+          FROM evg),
+        g AS (
+          SELECT *, us - lag(us) OVER
+                   (PARTITION BY user_id ORDER BY us, seq) AS gap
+          FROM base),
+        s AS (
+          SELECT *, sum(CASE WHEN gap IS NULL OR gap >= 1800000000
+                             THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us, seq
+                         ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g),
+        ps AS (
+          SELECT user_id, sid,
+                 min(CASE WHEN et = 'view'
+                          THEN struct_pack(us := us, seq := seq) END) AS e,
+                 max(CASE WHEN et = 'purchase'
+                          THEN struct_pack(us := us, seq := seq) END) AS o
+          FROM s GROUP BY 1, 2),
+        f AS (
+          SELECT (('0x' || substr(md5(user_id::VARCHAR || '#srm'), 1, 8))
+                  ::BIGINT % 2) AS variant,
+                 (e IS NOT NULL)::BIGINT AS ex,
+                 (e IS NOT NULL AND o IS NOT NULL AND o > e)::BIGINT AS cv
+          FROM ps)
+        SELECT variant, count(*)::BIGINT AS n_sessions,
+               sum(ex)::BIGINT AS n_exposed,
+               sum(cv)::BIGINT AS n_converted,
+               (CASE WHEN sum(ex) = 0 THEN 0
+                     ELSE (2 * 1000 * sum(cv) + sum(ex))
+                          // (2 * sum(ex)) END)::BIGINT AS conv_pm
+        FROM f GROUP BY 1
     """
 
     # session_paths: the same gap merge as events_sessionized, then the

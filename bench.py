@@ -315,6 +315,10 @@ BENCH_QUERIES = [
     # journey window, a 2^channels-bounded set aggregate feeding the
     # driver-side exact-Fraction coalition-lattice solve, literal output
     "events_attribution_shapley",
+    # round-16: sessionized A/B exposure analysis — one user-keyed
+    # session window + the in-partition exposure/outcome fold + a
+    # 2-row variant rollup
+    "events_ab_sessions",
     # round-15: cross-modal retrieval — the IVF serving shape with the
     # corpus side decoded by the multimodal Arrow kernel and the text
     # queries encoded driver-side by the same joint-encoder stub
@@ -581,6 +585,10 @@ ANCHOR_R08 = {
     # honest headroom): the same journey window as markov plus the
     # tiny set aggregate + driver lattice solve
     "events_attribution_shapley": 1.2,
+    # r16 birth (quiet_bestof_r16_births2.json: warm 0.92-1.07, best
+    # 0.922 at cpu_calib 0.118 — an actually-quiet window): the session
+    # window + in-partition fold + 2-row rollup
+    "events_ab_sessions": 1.3,
     # r15 second birth (warm 1.7-2.3 beside a running smoke; the decode
     # kernel + codebook-sample collect dominate at sf0.1)
     "crossmodal_ann": 3.0,

@@ -2504,6 +2504,121 @@ def _shapley_journey_sets(ev: DataFrame) -> DataFrame:
     )
 
 
+def session_exposure_outcome(
+    events: DataFrame,
+    *,
+    exposure_type: str = "view",
+    outcome_type: str = "purchase",
+    gap_sec: int = 1800,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    salt: str = "srm",
+) -> DataFrame:
+    """SESSIONIZED A/B exposure analysis (VERDICT r15 #8b) — the join
+    of the experiment family to the session family: units hash-split
+    into variants by the repo's deterministic md5 assignment (the
+    srm/cuped split, same salt default so the SAME split replays), and
+    the metric is EXPOSURE-TO-OUTCOME WITHIN SESSION BOUNDS — a
+    session converts iff it contains an ``outcome_type`` event
+    STRICTLY AFTER its first ``exposure_type`` event, both inside the
+    same gap-merged session. This is the attribution-hygiene readout a
+    raw per-user conversion rate cannot express: an outcome in a later
+    session (or before the exposure) is not credited to the exposure.
+
+    Session rule: ``gap >= gap_sec`` opens a new session (the
+    session_paths / streaming session_window convention — a strict
+    timeout), with the gap measured in exact integer MICROSECONDS
+    (``unix_micros``), so no double arithmetic touches the boundary.
+    Event order inside a session is (event-time µs, ``seq_col``) via
+    native struct comparison — "strictly after" is exact
+    lexicographic integer comparison in both engines.
+
+    Matched failures: NULL ``key``/``ts_col``/``seq_col`` on ANY row
+    raises (every event participates in sessionization).
+
+    Shape (100 TB): ONE user-keyed window exchange carries the session
+    assignment AND the per-(user, session) fold (the groupBy rides the
+    window's hash partitioning — the shapley/markov movement); the
+    per-variant rollup is a 2-row aggregate. Returns (variant,
+    n_sessions, n_exposed, n_converted, conv_pm) where conv_pm =
+    round_half_up(1000 · converted / exposed) (0 when no exposed
+    sessions).
+    """
+    key_checked = F.when(
+        F.col(key).isNull() | F.col(ts_col).isNull() | F.col(seq_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"session_exposure_outcome: NULL {key}/{ts_col}/{seq_col} "
+                "— the event feed is corrupt"
+            )
+        ),
+    ).otherwise(F.col(key))
+    ev = events.select(
+        key_checked.alias("__k"),
+        F.unix_micros(ts_col).alias("__us"),
+        F.col(seq_col).alias("__seq"),
+        F.col("event_type").alias("__et"),
+    )
+    w = Window.partitionBy("__k").orderBy(F.asc("__us"), F.asc("__seq"))
+    gap = F.col("__us") - F.lag("__us").over(w)
+    sess = ev.withColumn(
+        "__new", F.when(gap.isNull() | (gap >= gap_sec * 1_000_000), 1).otherwise(0)
+    ).withColumn(
+        "__sid",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    pos = F.struct(F.col("__us").alias("us"), F.col("__seq").alias("seq"))
+    per_sess = sess.groupBy("__k", "__sid").agg(
+        F.min(F.when(F.col("__et") == exposure_type, pos)).alias("__exp"),
+        F.max(F.when(F.col("__et") == outcome_type, pos)).alias("__out"),
+    )
+    variant = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("#", F.col("__k").cast("string"), F.lit(salt))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    flagged = per_sess.select(
+        variant.alias("variant"),
+        F.col("__exp").isNotNull().cast("long").alias("__e"),
+        (
+            F.col("__exp").isNotNull()
+            & F.col("__out").isNotNull()
+            & (F.col("__out") > F.col("__exp"))
+        ).cast("long").alias("__c"),
+    )
+    agg = flagged.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("__e").alias("n_exposed"),
+        F.sum("__c").alias("n_converted"),
+    )
+    return agg.select(
+        "variant",
+        "n_sessions",
+        "n_exposed",
+        "n_converted",
+        F.when(F.col("n_exposed") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST((2 * 1000 * n_converted + n_exposed)"
+                " div (2 * n_exposed) AS BIGINT)"
+            )
+        )
+        .alias("conv_pm"),
+    )
+
+
 def cuped_adjusted(
     events: DataFrame,
     *,

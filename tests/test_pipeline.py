@@ -2114,6 +2114,98 @@ class TestSrmCheck:
         assert got["ok"][3] is False
 
 
+class TestSessionExposureOutcome:
+    SCHEMA = "user_id long, ts timestamp, event_id long, event_type string"
+
+    def _ev(self, spark, rows):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 3, 1)
+        return spark.createDataFrame(
+            [
+                (u, t0 + dt.timedelta(seconds=s), eid, et)
+                for u, s, eid, et in rows
+            ],
+            self.SCHEMA,
+        )
+
+    def test_session_bounds_and_direction(self, spark):
+        """r16 (VERDICT r15 #8b): a session converts ONLY when a
+        purchase lands strictly after its first view inside the same
+        session. u1: view→purchase same session (converted); the same
+        user's LATER session (31-min gap) purchase without a view is
+        neither exposed nor converted. u2: purchase BEFORE the view —
+        exposed, not converted. u3: view in session 1, purchase in
+        session 2 — session 1 exposed-unconverted, session 2
+        unexposed. u4: no view at all."""
+        import hashlib
+
+        from mopso_engine.ext.pipeline import session_exposure_outcome
+
+        rows = [
+            (1, 0, 1, "view"), (1, 60, 2, "purchase"),        # converts
+            (1, 60 + 31 * 60, 3, "purchase"),                 # new sess, no view
+            (2, 0, 4, "purchase"), (2, 60, 5, "view"),        # wrong order
+            (3, 0, 6, "view"), (3, 31 * 60, 7, "purchase"),   # later sess
+            (4, 0, 8, "click"),                               # never exposed
+        ]
+        got = {
+            r["variant"]: (
+                r["n_sessions"], r["n_exposed"], r["n_converted"],
+                r["conv_pm"],
+            )
+            for r in session_exposure_outcome(
+                self._ev(spark, rows)
+            ).collect()
+        }
+
+        def var(u):
+            return (
+                int(hashlib.md5(f"{u}#srm".encode()).hexdigest()[:8], 16) % 2
+            )
+
+        # per-user session verdicts: (n_sessions, exposed, converted)
+        per_user = {1: (2, 1, 1), 2: (1, 1, 0), 3: (2, 1, 0), 4: (1, 0, 0)}
+        want: dict = {}
+        for u, (ns, ne, nc) in per_user.items():
+            v = var(u)
+            s, e, c = want.get(v, (0, 0, 0))
+            want[v] = (s + ns, e + ne, c + nc)
+        want_pm = {
+            v: (s, e, c, 0 if e == 0 else (2 * 1000 * c + e) // (2 * e))
+            for v, (s, e, c) in want.items()
+        }
+        assert got == want_pm
+        # the fixture must actually exercise both a conversion and a
+        # non-conversion, or the test proves nothing
+        assert sum(c for _, _, c, _ in got.values()) == 1
+        assert sum(e for _, e, _, _ in got.values()) == 3
+
+    def test_gap_boundary_is_strict_timeout(self, spark):
+        """gap == exactly 1800s opens a NEW session (the streaming
+        session_window convention session_paths documents): the
+        purchase exactly 30 minutes after the view is in the next
+        session, so nothing converts."""
+        from mopso_engine.ext.pipeline import session_exposure_outcome
+
+        rows = [(1, 0, 1, "view"), (1, 1800, 2, "purchase")]
+        out = session_exposure_outcome(self._ev(spark, rows)).collect()
+        assert sum(r["n_converted"] for r in out) == 0
+        assert sum(r["n_sessions"] for r in out) == 2
+
+    def test_null_key_raises(self, spark):
+        import datetime as dt
+
+        from mopso_engine.ext.pipeline import session_exposure_outcome
+
+        df = spark.createDataFrame(
+            [(None, dt.datetime(2024, 3, 1), 1, "view")], self.SCHEMA
+        )
+        with pytest.raises(Exception) as ei:
+            session_exposure_outcome(df).collect()
+        assert "the event feed is corrupt" in str(ei.value)
+
+
 def test_session_paths_replay(spark):
     import duckdb
 

@@ -836,6 +836,37 @@ def test_crossmodal_exact_plan_is_broadcast_map_only(spark):
     ) == 1, plan
 
 
+def test_ab_sessions_one_user_exchange(spark):
+    """r16 (VERDICT r15 #8b): sessionization AND the per-(user,
+    session) exposure/outcome fold must ride ONE user-key exchange
+    (partitioning by __k satisfies the (__k, __sid) clustered
+    distribution); the only other exchange is the 2-row variant
+    rollup."""
+    import datetime as dt
+
+    from mopso_engine.ext.pipeline import session_exposure_outcome
+
+    t0 = dt.datetime(2024, 3, 1)
+    ev = spark.createDataFrame(
+        [
+            (u, t0 + dt.timedelta(seconds=s), u * 10 + s, et)
+            for u in range(1, 6)
+            for s, et in ((0, "view"), (60, "purchase"))
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    plan = (
+        session_exposure_outcome(ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    final_seg = plan.split("== Initial Plan ==")[0]
+    assert final_seg.count("Exchange hashpartitioning(__k#") == 1, plan
+    assert final_seg.count("Exchange hashpartitioning(variant") == 1, plan
+    assert final_seg.count("Exchange hashpartitioning") == 2, plan
+
+
 def test_markov_attribution_single_user_exchange_and_literal_output(spark):
     """r15 (VERDICT r14 #8b), reshaped r16 (ADVICE r15): the
     removal-effect TRANSITION plan's journey windows (running
