@@ -43,9 +43,24 @@ from pyspark.sql.types import (
 
 from mopso_engine.assign import _distances
 
-#: cap on the scratch distance-matrix cells per block (~32 MB of float64)
-#: — bounds executor memory regardless of partition size.
-_BLOCK_CELLS = 4_000_000
+#: cap on the scratch distance-matrix cells per block for the BLAS/gemm
+#: path (262_144 cells = 2 MB of float64): sized to stay CACHE-resident
+#: per worker, not merely to bound memory. The old 4M-cell (32 MB) block
+#: streamed every distance matrix through RAM; with 32 concurrent Python
+#: workers the aggregate traffic saturated memory bandwidth — measured on
+#: the 600k-row lineitem fit layout (64 partitions × 9.4k rows, d=4):
+#: 32 MB blocks → 22.7s wall / 558 task-core-s; 2 MB → 6.8s / 155; the
+#: same kernel single-task isolated runs 2.0s either way, so the delta
+#: is pure concurrent cache/bandwidth contention, and block size does not
+#: change any value (per-row distances and top-L are row-independent).
+_BLOCK_CELLS = 262_144
+#: block cap for the exact Σ(x−y)² path (dist_fn given): that formula
+#: materializes a (block, n_ref, d) DIFFERENCE tensor, so cells here are
+#: divided by n_ref·d — keeping the old 4M (32 MB tensor) avoids
+#: degenerating to 1-row blocks (per-block Python overhead × n rows) on
+#: wide-d reference sets; the tensor is touched once, so the bandwidth
+#: argument above does not apply to it.
+_BLOCK_CELLS_EXACT = 4_000_000
 
 
 def _topl_blocked(
@@ -72,7 +87,7 @@ def _topl_blocked(
         # the exact Σ(x−y)² formula materializes a (block, n_ref, d)
         # difference tensor — size the block so THAT stays ~32 MB, not
         # just the (block, n_ref) output matrix
-        block = max(1, _BLOCK_CELLS // max(1, n_ref * ref.shape[1]))
+        block = max(1, _BLOCK_CELLS_EXACT // max(1, n_ref * ref.shape[1]))
     out_pos = np.empty((len(x), l_eff), dtype=np.int64)
     out_d = np.empty((len(x), l_eff), dtype=np.float64)
     for s in range(0, len(x), block):
