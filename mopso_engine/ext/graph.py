@@ -50,6 +50,22 @@ LAST_GRAPH_PHASES: dict = {}
 #: :func:`clear_pagerank_caches` to drop them.
 _PR_CACHES: list[DataFrame] = []
 
+#: edge rows per shuffle partition for the iterative loops — ~24 B/row
+#: keeps partitions in the tens-of-MB range (guide: size partitions by
+#: bytes, not by a fixed count). The width is derived from the MEASURED
+#: edge count at runtime, so the same code picks a handful of partitions
+#: for a 1M-edge local graph and thousands for a 100 TB edge table,
+#: instead of inheriting a constant tuned for either.
+_EDGE_ROWS_PER_PARTITION = 500_000
+
+
+def _iter_width(n_edges: int, session_sp: int) -> int:
+    """Scale-adaptive partition width for an iterative graph loop: edge
+    count over :data:`_EDGE_ROWS_PER_PARTITION`, never wider than the
+    session's shuffle-partition upper bound (so a cluster session's
+    tuning still caps it)."""
+    return max(1, min(int(session_sp), -(-int(n_edges) // _EDGE_ROWS_PER_PARTITION)))
+
 
 def clear_pagerank_caches() -> int:
     """Unpersist every rank vector retained by :func:`pagerank`."""
@@ -137,9 +153,7 @@ def pagerank(
         )
 
     spark = edges.sparkSession
-    shuffle_p = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    session_sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     e = (
         edges.select(
@@ -151,6 +165,16 @@ def pagerank(
     )
 
     t0 = time.time()
+    # Materialize the deduped edge table ONCE: esrc, outdeg and the node
+    # list are all derived from it, and without the persist each of
+    # those materializations re-ran the caller's whole upstream plan
+    # (join + distinct) — 2-3 full input passes inside setup (measured
+    # ~40% of the supplier_* setup wall at sf0.1). The count doubles as
+    # the edge-count probe the adaptive width needs; the cache is
+    # dropped as soon as the loop caches are built.
+    e = e.persist()
+    n_edges = e.count()
+    shuffle_p = num_partitions or _iter_width(n_edges, session_sp)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     esrc = e.join(deg, "src").repartition(shuffle_p, "src").persist()
     nodes = (
@@ -166,6 +190,7 @@ def pagerank(
     # but now the telemetry separates one-off IO from kernel time
     esrc.count()
     nodes.count()
+    e.unpersist()
     phases: dict = {
         "op": "pagerank",
         "setup": round(time.time() - t0, 3),
@@ -186,38 +211,51 @@ def pagerank(
     ranks = nodes.select("node", init_col.alias("units"))
     prev: DataFrame | None = None
     t_blk = time.time()
-    for i in range(iters):
-        inc = (
-            ranks.join(esrc, ranks["node"] == esrc["src"])
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("units div outdeg").alias("contrib"),
+    # Pin the session shuffle width to the loop's adaptive width while
+    # the blocks materialize: the per-iteration groupBy("node") exchange
+    # takes its width from the session conf at execution time, and the
+    # zero-extra-exchange property of the loop (the rank⋈edges probe and
+    # the nodes⋈incoming patch reusing the cached partitionings) holds
+    # only when that width MATCHES the caches'. Restored in the finally;
+    # every block materializes inside this function, so nothing outside
+    # runs under the pinned value.
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_p))
+    try:
+        for i in range(iters):
+            inc = (
+                ranks.join(esrc, ranks["node"] == esrc["src"])
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("units div outdeg").alias("contrib"),
+                )
+                .groupBy("node")
+                .agg(F.sum("contrib").alias("inc"))
             )
-            .groupBy("node")
-            .agg(F.sum("contrib").alias("inc"))
-        )
-        ranks = (
-            nodes.join(inc, "node", "left")
-            .select(
-                "node",
-                (
-                    tele_col
-                    + F.expr(
-                        f"({int(damping_pct)} * coalesce(inc, 0L)) div 100"
-                    )
-                ).cast("long").alias("units"),
+            ranks = (
+                nodes.join(inc, "node", "left")
+                .select(
+                    "node",
+                    (
+                        tele_col
+                        + F.expr(
+                            f"({int(damping_pct)} * coalesce(inc, 0L)) div 100"
+                        )
+                    ).cast("long").alias("units"),
+                )
             )
-        )
-        if (i + 1) % materialize_every == 0 or i == iters - 1:
-            ranks = ranks.persist()
-            ranks.count()  # materialize so the predecessor can drop NOW
-            phases["blocks"].append(
-                {"through_iter": i + 1, "wall": round(time.time() - t_blk, 3)}
-            )
-            t_blk = time.time()
-            if prev is not None:
-                prev.unpersist()
-            prev = ranks
+            if (i + 1) % materialize_every == 0 or i == iters - 1:
+                ranks = ranks.persist()
+                ranks.count()  # materialize so the predecessor can drop NOW
+                phases["blocks"].append(
+                    {"through_iter": i + 1, "wall": round(time.time() - t_blk, 3)}
+                )
+                t_blk = time.time()
+                if prev is not None:
+                    prev.unpersist()
+                prev = ranks
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     esrc.unpersist()
     nodes.unpersist()
     phases["n_iters_run"] = iters
@@ -564,9 +602,7 @@ def bfs_levels(
             f"materialize_every must be >= 1, got {materialize_every}"
         )
     spark = edges.sparkSession
-    shuffle_p = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    session_sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = (
         edges.select(
             F.col(src_col).cast("long").alias("src"),
@@ -576,6 +612,11 @@ def bfs_levels(
         .distinct()
     )
     t0 = time.time()
+    # one upstream pass for both loop caches + the adaptive-width probe
+    # (see pagerank above)
+    e = e.persist()
+    n_edges = e.count()
+    shuffle_p = num_partitions or _iter_width(n_edges, session_sp)
     esrc = e.repartition(shuffle_p, "src").persist()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -587,6 +628,7 @@ def bfs_levels(
     # eager cache build: setup-vs-blocks telemetry (see pagerank above)
     esrc.count()
     nodes.count()
+    e.unpersist()
     phases: dict = {
         "op": "bfs_levels",
         "setup": round(time.time() - t0, 3),
@@ -602,39 +644,48 @@ def bfs_levels(
     prev: DataFrame | None = None
     t_blk = time.time()
     n_rounds_run = 0
-    for i in range(1, iters + 1):
-        n_rounds_run = i
-        reached = (
-            dist.where(F.col("dist") == i - 1)
-            .join(esrc, dist["node"] == esrc["src"])
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .withColumn("hit", F.lit(1))
-        )
-        dist = dist.join(reached, "node", "left").select(
-            "node",
-            F.coalesce(
-                F.col("dist"),
-                F.when(F.col("hit") == 1, F.lit(i)).cast("int"),
-            ).alias("dist"),
-        )
-        if i % materialize_every == 0 or i == iters:
-            dist = dist.persist()
-            dist.count()
-            phases["blocks"].append(
-                {"through_round": i, "wall": round(time.time() - t_blk, 3)}
+    # pin the session shuffle width to the loop's adaptive width while
+    # the blocks materialize (see pagerank above): the per-round
+    # distinct-destinations exchange must match the caches' width for
+    # the round's joins to stay exchange-free
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_p))
+    try:
+        for i in range(1, iters + 1):
+            n_rounds_run = i
+            reached = (
+                dist.where(F.col("dist") == i - 1)
+                .join(esrc, dist["node"] == esrc["src"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .withColumn("hit", F.lit(1))
             )
-            t_blk = time.time()
-            if prev is not None:
-                prev.unpersist()
-            prev = dist
-            # Early exit: once the newest frontier is empty every later
-            # round is a no-op (distances are final on first reach), so
-            # breaking here returns a vector BIT-IDENTICAL to the full
-            # ``iters`` unroll — the fixed-round oracle still matches.
-            # The probe is one cheap job on the just-persisted vector.
-            if i < iters and dist.where(F.col("dist") == i).limit(1).count() == 0:
-                break
+            dist = dist.join(reached, "node", "left").select(
+                "node",
+                F.coalesce(
+                    F.col("dist"),
+                    F.when(F.col("hit") == 1, F.lit(i)).cast("int"),
+                ).alias("dist"),
+            )
+            if i % materialize_every == 0 or i == iters:
+                dist = dist.persist()
+                dist.count()
+                phases["blocks"].append(
+                    {"through_round": i, "wall": round(time.time() - t_blk, 3)}
+                )
+                t_blk = time.time()
+                if prev is not None:
+                    prev.unpersist()
+                prev = dist
+                # Early exit: once the newest frontier is empty every later
+                # round is a no-op (distances are final on first reach), so
+                # breaking here returns a vector BIT-IDENTICAL to the full
+                # ``iters`` unroll — the fixed-round oracle still matches.
+                # The probe is one cheap job on the just-persisted vector.
+                if i < iters and dist.where(F.col("dist") == i).limit(1).count() == 0:
+                    break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     esrc.unpersist()
     nodes.unpersist()
     phases["n_rounds_run"] = n_rounds_run
