@@ -253,15 +253,16 @@ def knn_pairs_crossjoin(points: DataFrame, l_nbrs: int) -> DataFrame:
     samples/small N."""
     from pyspark.sql.window import Window
 
+    from mopso_engine.functions import euclidean_expr
+
     a = points.select(F.col("id"), F.col("features"))
     b = points.select(F.col("id").alias("nbr_id"), F.col("features").alias("nbr_features"))
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with("features", "nbr_features", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
+    # unrolled distance when the width is known (bit-identical to the HOF
+    # fold — see functions.euclidean_expr): the N² pair set makes the
+    # per-pair expression the whole stage here, same as the LSH re-rank
+    first = points.select(F.size("features").alias("d")).first()
+    dim = int(first["d"]) if first is not None else None
+    dist = euclidean_expr("features", "nbr_features", dim=dim)
     pairs = (
         a.crossJoin(F.broadcast(b))
         .where(F.col("id") != F.col("nbr_id"))
