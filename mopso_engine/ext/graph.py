@@ -508,15 +508,26 @@ def label_propagation(
     order-dependent; the synchronous min-tie variant trades a little
     convergence speed for exact replayability.)
 
-    Physical shape (100 TB): the symmetric edge list is built once;
-    each round is one neighbor-label join (edge-keyed), one
-    (node, label) count aggregate, one WindowGroupLimit argmax, and a
-    node-keyed patch join — all equality-keyed; lineage cut per round.
+    Physical shape (100 TB): the symmetric edge list is deduped,
+    hash-partitioned ONCE on the neighbor key and persisted (the count
+    doubles as the adaptive-width probe, the pagerank pattern); each
+    round is the neighbor-label join against that cache, a
+    (node, label) count aggregate and a per-node ``max_by`` argmax over
+    the deterministic (c, −label) order — partial-aggregable both
+    levels, NO window sort and NO patch join (every node of the derived
+    node set has ≥1 symmetric neighbor, so the argmax row set already
+    covers it; the old left-join + coalesce was a per-round no-op).
+    Rounds chain lazily and materialize every few rounds (persist —
+    which REPORTS the node partitioning to Catalyst, where a
+    localCheckpoint would hide it — then drop the predecessor), the
+    measured pagerank trade between job overhead and plan length.
 
     Returns (node, label) after ``rounds`` rounds.
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
+    spark = edges.sparkSession
+    session_sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = (
         edges.select(
             F.col(src_col).cast("long").alias("a"),
@@ -531,29 +542,52 @@ def label_propagation(
         e.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .union(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .distinct()
-        .localCheckpoint()
+        .persist()
     )
-    nodes = sym.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    n_sym = sym.count()
+    shuffle_p = _iter_width(n_sym, session_sp)
+    symp = sym.repartition(shuffle_p, "v").persist()
+    nodes = (
+        symp.select(F.col("u").alias("node"))
+        .distinct()
+        .repartition(shuffle_p, "node")
+        .persist()
+    )
+    symp.count()
+    nodes.count()
+    sym.unpersist()
     labels = nodes.select("node", F.col("node").alias("label"))
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
-    for _ in range(rounds):
-        neigh = (
-            sym.join(labels.select(F.col("node").alias("v"), "label"), "v")
-            .groupBy(F.col("u").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        winners = (
-            neigh.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("node", F.col("label").alias("new_label"))
-        )
-        labels = (
-            labels.join(winners, "node", "left")
-            .select(
-                "node", F.coalesce("new_label", "label").alias("label")
+    # the argmax order: highest count wins, ties to the SMALLEST label —
+    # struct comparison is lexicographic, so max(struct(c, −label))
+    # picks exactly the (count desc, label asc) winner, deterministically
+    # (label is unique within a (node, label) count group)
+    prev: DataFrame | None = None
+    materialize_every = 3
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_p))
+    try:
+        for i in range(rounds):
+            neigh = (
+                symp.join(labels.select(F.col("node").alias("v"), "label"), "v")
+                .groupBy(F.col("u").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("c"))
             )
-            .localCheckpoint()
-        )
+            labels = neigh.groupBy("node").agg(
+                F.max_by("label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias(
+                    "label"
+                )
+            )
+            if (i + 1) % materialize_every == 0 or i == rounds - 1:
+                labels = labels.persist()
+                labels.count()
+                if prev is not None:
+                    prev.unpersist()
+                prev = labels
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    symp.unpersist()
+    nodes.unpersist()
+    _PR_CACHES.append(labels)
     return labels
 
 
