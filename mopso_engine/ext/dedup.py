@@ -297,6 +297,51 @@ def minhash_signatures(
     )
 
 
+def band_signatures(
+    docs: DataFrame, k: int = 3, num_hashes: int = 16, bands: int = 4,
+    *, shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, band, band_sig): the LSH band-signature table, built in
+    ONE doc-keyed shuffle. The historical rendering unpivoted the wide
+    per-doc minhash row to (doc_id, hash_idx, minhash) and RE-grouped by
+    (doc_id, band) with collect_list + array_sort — a second full
+    doc-keyed exchange plus a sort-aggregate, for a string whose
+    element order is in fact FIXED: the sorted order of distinct
+    "hash_idx:minhash" strings is decided inside the "hash_idx:" prefix
+    (digits < ':'), so it never depends on the minhash values. The band
+    signature is therefore a plan-time concat of the wide row's columns
+    in that fixed permutation — identical strings, one less shuffle,
+    no per-doc sort. The same argument lets the DuckDB oracle's
+    collect+sort rendering keep matching byte-for-byte."""
+    rows_per_band = num_hashes // bands
+    consts = minhash_constants(num_hashes)
+    sh = shingles if shingles is not None else word_shingles(docs, k, distinct=False)
+    h32 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    aggs = [
+        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(MERSENNE61)).alias(f"h{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    wide = sh.select("doc_id", h32.alias("h32")).groupBy("doc_id").agg(*aggs)
+
+    def sig_expr(band: int):
+        idxs = range(band * rows_per_band, (band + 1) * rows_per_band)
+        # the value-independent sort order of "idx:..." strings
+        ordered = sorted(idxs, key=lambda i: f"{i}:")
+        return F.concat_ws(
+            "|", *[F.concat_ws(":", F.lit(i), F.col(f"h{i}")) for i in ordered]
+        )
+
+    per_band = F.array(
+        *[
+            F.struct(F.lit(j).alias("band"), sig_expr(j).alias("band_sig"))
+            for j in range(bands)
+        ]
+    )
+    return wide.select("doc_id", F.explode(per_band).alias("p")).select(
+        "doc_id", F.col("p.band").cast("int").alias("band"), F.col("p.band_sig").alias("band_sig")
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame, k: int = 3, num_hashes: int = 16, bands: int = 4,
     *, shingles: DataFrame | None = None,
@@ -304,16 +349,10 @@ def minhash_lsh_candidates(
     """LSH banding: band signature = concat of the band's minhashes; docs
     sharing a band signature are candidate near-dups. Returns
     (doc_a, doc_b, n_bands) with doc_a < doc_b — equality joins only,
-    never a cross product (the 100 TB path)."""
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, k, num_hashes, shingles=shingles).withColumn(
-        "band", (F.col("hash_idx") / rows_per_band).cast("int")
-    )
-    band_sig = sig.groupBy("doc_id", "band").agg(
-        F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", "hash_idx", "minhash")))).alias(
-            "band_sig"
-        )
-    )
+    never a cross product (the 100 TB path). Band signatures come from
+    :func:`band_signatures` (one doc-keyed shuffle, fixed-permutation
+    concat of the wide minhash row)."""
+    band_sig = band_signatures(docs, k, num_hashes, bands, shingles=shingles)
     a = band_sig.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     b = band_sig.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
     return (
@@ -1387,22 +1426,10 @@ def incremental_neardup(
     over the union corpus. Returns (new_id, known_id, n_bands,
     jaccard) for verified pairs with jaccard >= threshold.
     """
-    rows_per_band = num_hashes // bands
-
-    def band_sigs(docs):
-        sig = minhash_signatures(docs, k, num_hashes).withColumn(
-            "band", (F.col("hash_idx") / rows_per_band).cast("int")
-        )
-        return sig.groupBy("doc_id", "band").agg(
-            F.concat_ws(
-                "|",
-                F.array_sort(F.collect_list(F.concat_ws(":", "hash_idx", "minhash"))),
-            ).alias("band_sig")
-        )
-    a = band_sigs(new_docs).select(
+    a = band_signatures(new_docs, k, num_hashes, bands).select(
         F.col("doc_id").alias("new_id"), "band", "band_sig"
     )
-    b = band_sigs(known_docs).select(
+    b = band_signatures(known_docs, k, num_hashes, bands).select(
         F.col("doc_id").alias("known_id"), "band", "band_sig"
     )
     cand = (
