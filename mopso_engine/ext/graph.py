@@ -44,11 +44,14 @@ __all__ = [
 #: cost (launch/IO) noise; a block inflated = a real kernel regression.
 LAST_GRAPH_PHASES: dict = {}
 
-#: final rank vectors persisted by :func:`pagerank` (callers iterate on
-#: them; the loop's INTERNAL caches are unpersisted before returning).
-#: Long sessions (the oracle sweep runs ~170 queries in one JVM) call
-#: :func:`clear_pagerank_caches` to drop them.
-_PR_CACHES: list[DataFrame] = []
+#: every query-lifetime cache the graph operators retain: final
+#: rank/label/level vectors (callers iterate on them; loop INTERNAL
+#: caches are unpersisted before returning) plus triangle_counts' edge
+#: and orientation tables (consumed by several joins of one output
+#: plan). Long sessions (the oracle sweep runs ~270 queries in one JVM)
+#: and the bench's per-attempt reset call :func:`clear_pagerank_caches`
+#: to drop them all.
+_GRAPH_CACHES: list[DataFrame] = []
 
 #: edge rows per shuffle partition for the iterative loops — ~24 B/row
 #: keeps partitions in the tens-of-MB range (guide: size partitions by
@@ -68,10 +71,12 @@ def _iter_width(n_edges: int, session_sp: int) -> int:
 
 
 def clear_pagerank_caches() -> int:
-    """Unpersist every rank vector retained by :func:`pagerank`."""
+    """Unpersist every cache in the graph registry (rank/label/level
+    vectors, triangle edge/orientation tables). Name kept for the
+    established bench/sweep hook wiring."""
     n = 0
-    while _PR_CACHES:
-        df = _PR_CACHES.pop()
+    while _GRAPH_CACHES:
+        df = _GRAPH_CACHES.pop()
         try:
             df.unpersist()
         except Exception:
@@ -261,7 +266,7 @@ def pagerank(
     phases["n_iters_run"] = iters
     LAST_GRAPH_PHASES.clear()
     LAST_GRAPH_PHASES.update(phases)
-    _PR_CACHES.append(ranks)
+    _GRAPH_CACHES.append(ranks)
     return ranks
 
 
@@ -357,7 +362,16 @@ def triangle_counts(
     two degree joins; wedges = a self-join keyed on the wedge apex
     (fan-out ≤ outdeg² ≤ m per apex by the √m bound); closing = an
     equality join on the (lesser, greater) pair key. Every shuffle is an
-    equality key shuffle; nothing quadratic in |V|.
+    equality key shuffle; nothing quadratic in |V|. The deduped edge
+    table and the oriented edge table are persisted once (registered in
+    the module cache registry, cleared by :func:`clear_pagerank_caches`)
+    — without that, the 3 consumers of the oriented table times the 2
+    degree-side consumers times the 3 per-role projections of the
+    triangle list re-ran the upstream edge derivation ~45× (the
+    pre-r16 part_triangles plan held 90 parquet scans and 229
+    exchanges; now 2 scans); the per-role union is likewise folded into
+    a single-pass explode of (u, v, w) — one evaluation of the wedge
+    join instead of three.
 
     Exactness: pure integer counting end-to-end.
 
@@ -370,10 +384,13 @@ def triangle_counts(
         )
         .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
         .distinct()
+        .persist()
     )
+    _GRAPH_CACHES.append(e)
+    # same (node ← a, node ← b) multiset as the historical two-branch
+    # union, in one pass over e
     deg = (
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b").alias("node")))
+        e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -388,7 +405,8 @@ def triangle_counts(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
-    )
+    ).persist()
+    _GRAPH_CACHES.append(o)
     o1 = o.select("src", F.col("dst").alias("v"), F.col("deg_dst").alias("deg_v"))
     o2 = o.select("src", F.col("dst").alias("w"), F.col("deg_dst").alias("deg_w"))
     v_first = (F.col("deg_v") < F.col("deg_w")) | (
@@ -405,10 +423,11 @@ def triangle_counts(
         ["v", "w"],
         "leftsemi",
     )
+    # one triangle contributes 1 to each of its three corners: explode
+    # replaces the historical 3-way union (which re-evaluated the wedge
+    # join per role)
     return (
-        tris.select(F.col("u").alias("node"))
-        .union(tris.select(F.col("v").alias("node")))
-        .union(tris.select(F.col("w").alias("node")))
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
@@ -587,7 +606,7 @@ def label_propagation(
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     symp.unpersist()
     nodes.unpersist()
-    _PR_CACHES.append(labels)
+    _GRAPH_CACHES.append(labels)
     return labels
 
 
@@ -725,5 +744,5 @@ def bfs_levels(
     phases["n_rounds_run"] = n_rounds_run
     LAST_GRAPH_PHASES.clear()
     LAST_GRAPH_PHASES.update(phases)
-    _PR_CACHES.append(dist)
+    _GRAPH_CACHES.append(dist)
     return dist
