@@ -310,14 +310,26 @@ def resample_forward_fill(
         return filled.where(F.col("_g") == 1).select(
             F.col(key), F.col("_ts").alias("grid_ts"), "value_ff", "last_obs_ts"
         )
-    # interpolate: backward neighbor via a second frame over the SAME
-    # sort — an obs at exactly the grid instant sorts before the grid
-    # row, so it lands on the prev side and the formula degenerates to
-    # exactly v_prev (frac = 0)
+    # interpolate: the backward neighbor is "first non-null at-or-after
+    # the current row" — an obs at exactly the grid instant sorts before
+    # the grid row, so it lands on the prev side and the formula
+    # degenerates to exactly v_prev (frac = 0). Spark evaluates a
+    # (currentRow, unboundedFollowing) frame by RE-AGGREGATING the whole
+    # remaining frame per row — O(rows²) per key (measured 3.0s vs the
+    # locf twin's 0.6s on the same union). first-non-null over that
+    # frame under the ascending sort is EXACTLY last-non-null over a
+    # running (unboundedPreceding, currentRow) frame under the fully
+    # REVERSED sort (asc_nulls_last reverses to desc_nulls_first; the
+    # frame covers the identical row set and "last" walks toward the
+    # same boundary), so the backward fill runs as a second O(rows)
+    # running frame — one extra in-partition sort, no extra exchange,
+    # bit-identical values.
     wb = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts").asc(), F.col("_g").asc(), F.col("_tie").asc_nulls_last())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(
+            F.col("_ts").desc(), F.col("_g").desc(), F.col("_tie").desc_nulls_first()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
         F.col(key),
@@ -325,8 +337,8 @@ def resample_forward_fill(
         "_g",
         F.last("_v", ignorenulls=True).over(w).alias("_pv"),
         F.last(obs_ts, ignorenulls=True).over(w).alias("prev_obs_ts"),
-        F.first("_v", ignorenulls=True).over(wb).alias("_nv"),
-        F.first(obs_ts, ignorenulls=True).over(wb).alias("next_obs_ts"),
+        F.last("_v", ignorenulls=True).over(wb).alias("_nv"),
+        F.last(obs_ts, ignorenulls=True).over(wb).alias("next_obs_ts"),
     ).where(F.col("_g") == 1)
     t = F.col("_ts").cast("double")
     pt = F.col("prev_obs_ts").cast("double")
