@@ -681,13 +681,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         canonicalization (min doc_id per fingerprint) → EXACT
         per-language quota (25/lang, smallest hash). Every stage is an
         already-oracle-checked primitive; the oracle composes their SQL
-        twins. Movement at 100 TB: two (doc_id, gram) count shuffles,
-        the broadcast gram probe, one fingerprint window shuffle, and
-        the WindowGroupLimit-bounded quota — nothing quadratic."""
+        twins. Movement at 100 TB: the repetition gate rides the
+        ZERO-shuffle expression twin (`repetition_stats_expr` — pinned
+        hash-identical to the relational rendering by the shared oracle
+        and the exact-equality test, and 2 corpus-keyed gram shuffles
+        cheaper; r16), the broadcast gram probe, one fingerprint window
+        shuffle, and the WindowGroupLimit-bounded quota — nothing
+        quadratic."""
         from mopso_engine.ext import pipeline as pl
 
         docs = _docs_with_dups(read_table(spark, sf, "documents"))
-        rep = tx.repetition_stats(docs)
+        rep = tx.repetition_stats_expr(docs)
         dec = dd.ngram_decontaminate(docs, k=5)
         fp = docs.select("doc_id", F.md5(dd.normalized_text()).alias("fp"), "lang")
         w = Window.partitionBy("fp")
