@@ -968,6 +968,14 @@ def canonical_by_score(
             ).cast("double"),
         ).otherwise(F.col("_score").cast("double")),
     )
+    # joined feeds the winner aggregate AND the final member rejoin —
+    # sequential consumers, so unlike the shingle subtrees (see the
+    # registry note: persist there serializes SIBLING broadcasts and
+    # loses) caching the tiny member×score table costs nothing and
+    # saves the second evaluation of the scores lineage, which is
+    # typically a full corpus pass (quality_score in dedup_keep_best)
+    joined = joined.persist()
+    _SHINGLE_CACHES.append(joined)
     # winner per component: min over the (negated-score, id) ordering
     # struct — min of -score is max score, ties break to min id — with
     # min_by carrying the (type-agnostic) id payload, so string ids
