@@ -1572,21 +1572,29 @@ def edit1_pairs(
     substitution, insertion, deletion — found WITHOUT the all-pairs
     crossJoin a naive fuzzy match compiles to.
 
-    Completeness: two strings at distance ≤ 1 always share an element
-    of {key} ∪ deletions(key) (equal → the key itself; deletion → the
-    shorter IS a deletion of the longer; substitution → deleting the
-    differing position from both). Sharing is NOT sufficient ("ab"/"ba"
-    share "b" at distance 2), so candidates are verified with the exact
+    Completeness, split by edit type (the position-keyed SymSpell
+    refinement): a SUBSTITUTION pair differs at exactly one position i,
+    so deleting i from BOTH keys yields the same variant — the pair
+    shares a (variant, position) key; an INSERTION/DELETION pair's
+    shorter key IS a deletion variant of the longer — caught by joining
+    deletion variants against the keys themselves. Keying the del×del
+    join on (v, i) instead of v alone is what keeps ID-like
+    vocabularies from exploding: without the position, every pair of
+    keys whose deletions at DIFFERENT positions collide (zero-runs,
+    shared prefixes — "…00123" vs "…01230") becomes a false candidate;
+    with it, a (v, i) bucket is exactly the keys that agree everywhere
+    but position i. Sharing is still not sufficient (a bucket of
+    single-char keys, say), so candidates are verified with the exact
     integer ``levenshtein`` DP — identical in every engine, no float.
 
-    Shape (100 TB): the neighborhood is a map-only posexplode bounded
-    by ``len+2`` rows per key; candidates come from ONE variant-keyed
-    equality self-join whose cost follows Σ bucket² over variant
-    buckets (the banded-dedup contract — buckets are keys that agree
-    everywhere but one position, small for ID-like vocabularies);
-    pairs are deduped before the cheap verify. Keys longer than
-    ``max_len`` raise in-plan — for long strings use the n-gram/
-    MinHash family, not character edits.
+    Shape (100 TB): the deletion table is a map-only posexplode bounded
+    by ``len`` rows per key; candidates come from two equality joins —
+    del×del on (v, i) (buckets = same-length keys differing at one
+    position) and del×key on the variant (buckets bounded by key
+    multiplicity ≤ 1 after the distinct) — then the cheap verify and a
+    tiny distinct over true pairs only. Keys longer than ``max_len``
+    raise in-plan — for long strings use the n-gram/MinHash family,
+    not character edits.
 
     Returns (name_a, name_b) with name_a < name_b, distance ≤ 1.
     """
@@ -1609,20 +1617,30 @@ def edit1_pairs(
         F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"),
     ).select(
         "w",
+        "i",
         F.concat(
             F.expr("substr(w, 1, i - 1)"), F.expr("substr(w, i + 1)")
         ).alias("v"),
     )
-    nbhd = dels.union(names.select("w", F.col("w").alias("v"))).distinct()
-    a = nbhd.select(F.col("w").alias("name_a"), "v")
-    b = nbhd.select(F.col("w").alias("name_b"), "v")
-    cand = (
-        a.join(b, "v")
+    # substitution candidates: same deleted position, same remainder
+    dd = (
+        dels.select(F.col("w").alias("name_a"), "v", "i")
+        .join(dels.select(F.col("w").alias("name_b"), "v", "i"), ["v", "i"])
         .where(F.col("name_a") < F.col("name_b"))
         .select("name_a", "name_b")
-        .distinct()
     )
-    return cand.where(F.levenshtein("name_a", "name_b") <= 1)
+    # insertion/deletion candidates: one key is a deletion of the other
+    ds = (
+        dels.select(F.col("w").alias("wa"), "v")
+        .join(names.select(F.col("w").alias("wb")), F.col("v") == F.col("wb"))
+        .select(
+            F.least("wa", "wb").alias("name_a"),
+            F.greatest("wa", "wb").alias("name_b"),
+        )
+        .where(F.col("name_a") < F.col("name_b"))
+    )
+    cand = dd.unionByName(ds)
+    return cand.where(F.levenshtein("name_a", "name_b") <= 1).distinct()
 
 
 def containment_pairs(
