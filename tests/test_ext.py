@@ -160,6 +160,35 @@ class TestDedup:
         for i in range(5):
             assert pairs[(i, i + 5000)] == 1.0
 
+    def test_band_signatures_match_collect_sort_formulation(self, spark, docs):
+        """The r16 fixed-permutation band concat must reproduce the
+        historical collect_list+array_sort strings byte-for-byte —
+        including band 2 of the 16/4 default, whose indices [8,9,10,11]
+        sort lexicographically as 10,11,8,9 (digits < ':')."""
+        sub = docs.where(F.col("doc_id") < 40)
+        got = {
+            (r["doc_id"], r["band"]): r["band_sig"]
+            for r in dd.band_signatures(sub, k=3, num_hashes=16, bands=4).collect()
+        }
+        rows_per_band = 4
+        sig = dd.minhash_signatures(sub, k=3, num_hashes=16).withColumn(
+            "band", (F.col("hash_idx") / rows_per_band).cast("int")
+        )
+        want = {
+            (r["doc_id"], r["band"]): r["band_sig"]
+            for r in sig.groupBy("doc_id", "band")
+            .agg(
+                F.concat_ws(
+                    "|",
+                    F.array_sort(
+                        F.collect_list(F.concat_ws(":", "hash_idx", "minhash"))
+                    ),
+                ).alias("band_sig")
+            )
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
     def test_minhash_identical_docs_same_signature(self, spark, docs):
         dup = docs.where(F.col("doc_id") < 3).withColumn("doc_id", F.col("doc_id") + 5000)
         sigs = dd.minhash_signatures(docs.unionByName(dup), k=3, num_hashes=8).collect()
@@ -3618,6 +3647,32 @@ class TestEdit1Pairs:
         with pytest.raises(Exception) as ei:
             edit1_pairs(df, "c_name", max_len=64).collect()
         assert "longer than max_len" in str(ei.value)
+
+    def test_cross_position_collisions_on_id_vocab(self, spark):
+        """The r16 position-keyed refinement's correctness boundary:
+        zero-run ID keys whose deletions at DIFFERENT positions collide
+        ("C#000123" del a leading zero == "C#001230" del the trailing
+        zero) are distance 2 and must not pair, while same-position
+        substitutions and insert/delete neighbors in the same vocabulary
+        must all still be found."""
+        from mopso_engine.ext.dedup import edit1_pairs
+
+        vocab = [
+            "C#000123", "C#001230",   # cross-position collision, dist 2
+            "C#000124",               # substitution of C#000123
+            "C#00123",                # one deletion from BOTH collision keys
+            "C#0001234",              # insertion on C#000123
+        ]
+        df = spark.createDataFrame([(w,) for w in vocab], "c_name string")
+        got = {
+            (r["name_a"], r["name_b"])
+            for r in edit1_pairs(df, "c_name").collect()
+        }
+        assert ("C#000123", "C#001230") not in got
+        assert ("C#000123", "C#000124") in got        # substitution
+        assert ("C#000123", "C#00123") in got         # deletion
+        assert ("C#000123", "C#0001234") in got       # insertion
+        assert ("C#00123", "C#001230") in got         # trailing-0 insertion
 
 
 class TestVocabGrowth:
