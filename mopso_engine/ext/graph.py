@@ -457,10 +457,16 @@ def kcore(
     comparing against one more round.
 
     Physical shape (100 TB): each round is one degree count on the
-    canonical edge list + two semi-joins filtering edges to surviving
-    endpoints; lineage is cut per round (localCheckpoint — the
-    components pattern; partitioning reuse matters less here because
-    the edge list SHRINKS each round). Pure integer counting.
+    canonical edge list (a single-pass explode over both endpoints —
+    same multiset as the historical two-branch union) + two semi-joins
+    filtering edges to surviving endpoints; lineage is cut per round
+    (localCheckpoint — the components pattern; partitioning reuse
+    matters less here because the edge list SHRINKS each round). Pure
+    integer counting. Peeling is monotone, so the loop EXITS EARLY once
+    a round removes no edge (every later round is a provable no-op on
+    identical data — the fixed-budget result is unchanged); the edge
+    count that detects it is read off the just-checkpointed table, one
+    cheap cached count per round.
 
     Returns (node, deg) for k-core members with their in-core degree.
     """
@@ -479,11 +485,10 @@ def kcore(
         .distinct()
         .localCheckpoint()
     )
-    deg = None
+    n_edges = e.count()
     for _ in range(rounds):
         deg = (
-            e.select(F.col("a").alias("node"))
-            .union(e.select(F.col("b").alias("node")))
+            e.select(F.explode(F.array("a", "b")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
@@ -494,9 +499,13 @@ def kcore(
             .select("a", "b")
             .localCheckpoint()
         )
+        n_next = e.count()
+        if n_next == n_edges:
+            # no edge died ⇒ no degree changed ⇒ converged
+            break
+        n_edges = n_next
     final_deg = (
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b").alias("node")))
+        e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
         .where(F.col("deg") >= int(k))
