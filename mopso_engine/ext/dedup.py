@@ -1433,11 +1433,26 @@ def incremental_neardup(
     known×known — then the exact Jaccard verify on the candidate pairs
     over the union corpus. Returns (new_id, known_id, n_bands,
     jaccard) for verified pairs with jaccard >= threshold.
+
+    Each side is shingled ONCE: the per-side DISTINCT (doc_id, shingle)
+    table feeds both its band signatures (min over the distinct set ==
+    min over the multiset) and, unioned, the exact verify — so the
+    banding's scan subtree and the verify's are the SAME subplan and
+    dedupe via ReusedExchange instead of re-scanning/re-shingling each
+    side per stage (executed plan: 38 → 34 scan nodes, 9 → 14 reused
+    exchanges at sf0.1; at production scale this is one less full pass
+    over the KNOWN corpus). The union-of-per-side-distincts equals the
+    distinct over the union because increment and corpus doc_ids are
+    disjoint — the new×known contract this operator already requires
+    (a doc_id on both sides would conflate two documents' shingles in
+    any rendering).
     """
-    a = band_signatures(new_docs, k, num_hashes, bands).select(
+    sh_new = word_shingles(new_docs, k)
+    sh_known = word_shingles(known_docs, k)
+    a = band_signatures(new_docs, k, num_hashes, bands, shingles=sh_new).select(
         F.col("doc_id").alias("new_id"), "band", "band_sig"
     )
-    b = band_signatures(known_docs, k, num_hashes, bands).select(
+    b = band_signatures(known_docs, k, num_hashes, bands, shingles=sh_known).select(
         F.col("doc_id").alias("known_id"), "band", "band_sig"
     )
     cand = (
@@ -1450,6 +1465,7 @@ def incremental_neardup(
         union,
         cand.select(F.col("new_id").alias("doc_a"), F.col("known_id").alias("doc_b")),
         k,
+        shingles=sh_new.unionByName(sh_known),
     )
     return (
         cand.join(

@@ -3128,6 +3128,60 @@ class TestIncrementalNeardup:
         known_ids = {r["doc_id"] for r in known.select("doc_id").collect()}
         assert all(a in new_ids and b in known_ids for a, b in pairs)
 
+    def test_shared_shingle_rendering_matches_per_stage_composition(self, spark, docs):
+        """r16 internals pin: incremental_neardup shingles each side ONCE
+        (distinct table feeds banding AND verify). Must equal the
+        historical composition — raw-shingle banding per side + verify
+        over distinct-of-union — value for value: min over the distinct
+        shingle set == min over the multiset, and per-side-distinct
+        union == distinct of union when doc_ids are disjoint."""
+        known = docs.where(F.col("doc_id") % 5 != 0)
+        near = (
+            known.where(F.col("doc_id") < 30)
+            .withColumn("doc_id", F.col("doc_id") + 5000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zz9x")))
+        )
+        new = docs.where(F.col("doc_id") % 5 == 0).unionByName(near)
+        got = sorted(
+            map(tuple, dd.incremental_neardup(new, known, threshold=0.5).collect())
+        )
+        # historical composition, inlined
+        a = dd.band_signatures(new, 3, 16, 4).select(
+            F.col("doc_id").alias("new_id"), "band", "band_sig"
+        )
+        b = dd.band_signatures(known, 3, 16, 4).select(
+            F.col("doc_id").alias("known_id"), "band", "band_sig"
+        )
+        cand = (
+            a.join(b, ["band", "band_sig"])
+            .groupBy("new_id", "known_id")
+            .agg(F.count("*").alias("n_bands"))
+        )
+        verified = dd.jaccard_on_candidates(
+            new.unionByName(known),
+            cand.select(
+                F.col("new_id").alias("doc_a"), F.col("known_id").alias("doc_b")
+            ),
+            3,
+        )
+        want = sorted(
+            map(
+                tuple,
+                cand.join(
+                    verified.select(
+                        F.col("doc_a").alias("new_id"),
+                        F.col("doc_b").alias("known_id"),
+                        "jaccard",
+                    ),
+                    ["new_id", "known_id"],
+                )
+                .where(F.col("jaccard") >= F.lit(0.5))
+                .select("new_id", "known_id", "n_bands", "jaccard")
+                .collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+
 
 class TestInt8Recall:
     @staticmethod
