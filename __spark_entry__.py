@@ -2841,6 +2841,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             stream_heavy_hitter_candidates(src, m=128, buckets=8),
             query_name=f"hh_stream_{uuid.uuid4().hex[:8]}",
             output_mode="update",
+            # state = buckets·m counters in exactly 8 group keys — the
+            # state shuffle needs no more shards than buckets
+            state_partitions=8,
         )
         items = plant(read_events(spark, os.path.join(sf, "events.parquet")))
         return sk.verify_candidates(
