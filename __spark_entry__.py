@@ -529,9 +529,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (AvailableNow drain of the parquet source) — hash-matches the
         batch oracle. SURVEY §2.9 extension."""
         _utc(spark)
+        from mopso_engine.ext.streaming import BOUNDED_STATE_PARTITIONS
+
         out = run_available_now(
             windowed_counts_stream(spark, os.path.join(sf, "events.parquet"), minutes=60),
             query_name=f"evw_{uuid.uuid4().hex[:8]}",
+            # state = windows × types, bounded (the stream_window_topk
+            # argument; see streaming.BOUNDED_STATE_PARTITIONS)
+            state_partitions=BOUNDED_STATE_PARTITIONS,
         )
         return out.select(
             F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
