@@ -765,7 +765,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = pairs.select(
             F.col("cust").alias("src"), F.col("supp").alias("dst")
         ).union(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
-        pr = pagerank(edges, iters=6, damping_pct=85)
+        # edges_distinct: each union side is a projection of the DISTINCT
+        # pair set, and the sides live in disjoint keyspaces (src<1e9 in
+        # one, >=1e9 in the other) — the union is provably duplicate-free,
+        # so the engine's dedup exchange would be a no-op
+        pr = pagerank(edges, iters=6, damping_pct=85, edges_distinct=True)
         return (
             pr.where(F.col("node") >= 1_000_000_000)
             .select(
@@ -845,11 +849,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = pairs.select(
             F.col("cust").alias("src"), F.col("supp").alias("dst")
         ).union(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+        # edges_distinct: same disjoint-keyspace union-of-distincts proof
+        # as supplier_pagerank
         pr = pagerank(
             edges,
             iters=6,
             damping_pct=85,
             seeds=[1_000_000_001, 1_000_000_002, 1_000_000_003],
+            edges_distinct=True,
         )
         return (
             pr.where(F.col("node") < 1_000_000_000)
@@ -1403,8 +1410,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = pairs.select(
             F.col("cust").alias("src"), F.col("supp").alias("dst")
         ).union(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+        # edges_distinct: same disjoint-keyspace union-of-distincts proof
+        # as supplier_pagerank
         d = bfs_levels(
-            edges, [1_000_000_001, 1_000_000_002, 1_000_000_003], iters=6
+            edges,
+            [1_000_000_001, 1_000_000_002, 1_000_000_003],
+            iters=6,
+            edges_distinct=True,
         )
         return (
             d.select(
@@ -1563,13 +1575,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Drained append-mode, then folded to per-type counts and exact
         integer cent sums; the oracle is the batch DISTINCT — the
         ingest-time twin of the fingerprint dedup family."""
+        from mopso_engine.ext.streaming import state_width_for_keys
         from mopso_engine.ext.streaming import stream_dedup_events as _sde
 
         _utc(spark)
+        # key-scale state (one row per event_id within the watermark):
+        # derive the shard count from the MEASURED key upper bound — a
+        # parquet metadata-only count job — instead of inheriting the
+        # session's corpus shuffle width (VERDICT r16 #5: 64 shards ×
+        # per-trigger task overhead dominated this drain locally; the
+        # derived width scales with the actual key volume at 100 TB)
+        n_keys = spark.read.parquet(os.path.join(sf, "events.parquet")).count()
+        width = state_width_for_keys(
+            n_keys, int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        )
         out = run_available_now(
             _sde(spark, os.path.join(sf, "events.parquet")),
             query_name=f"sdd_{uuid.uuid4().hex[:8]}",
             output_mode="append",
+            state_partitions=width,
         )
         return out.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -2842,13 +2866,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return ev.unionByName(hot).select(F.col("props").alias("item"))
 
         src = plant(events_stream_source(spark, os.path.join(sf, "events.parquet")))
+        # ADVICE r16: hoist buckets into ONE variable so the state shard
+        # count can never drift from the group-key count it mirrors
+        hh_buckets = 8
         emissions = run_available_now(
-            stream_heavy_hitter_candidates(src, m=128, buckets=8),
+            stream_heavy_hitter_candidates(src, m=128, buckets=hh_buckets),
             query_name=f"hh_stream_{uuid.uuid4().hex[:8]}",
             output_mode="update",
-            # state = buckets·m counters in exactly 8 group keys — the
-            # state shuffle needs no more shards than buckets
-            state_partitions=8,
+            # state = buckets·m counters in exactly `hh_buckets` group
+            # keys — the state shuffle needs no more shards than buckets
+            state_partitions=hh_buckets,
         )
         items = plant(read_events(spark, os.path.join(sf, "events.parquet")))
         return sk.verify_candidates(
@@ -3892,7 +3919,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pts = points_from_embeddings(spark, sf)
         sample = F.col("id") % 17 == 0
         lsh = knn_pairs_lsh(pts, 5).where(sample)
-        exact = knn_pairs_crossjoin(pts, 5).where(sample)
+        # the exact arm's ~1.5M sample×corpus pairs DO pay for the
+        # unrolled distance (unlike the sample-sized knn_top5 twin —
+        # see knn_pairs_crossjoin); one width probe buys the unroll
+        first = pts.select(F.size("features").alias("d")).first()
+        exact = knn_pairs_crossjoin(
+            pts, 5, dim=int(first["d"]) if first is not None else None
+        ).where(sample)
         hits = lsh.join(exact.select("id", "nbr_id"), ["id", "nbr_id"]).agg(
             F.count("*").alias("hits")
         )

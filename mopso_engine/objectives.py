@@ -246,22 +246,29 @@ def knn_pairs_partition_local(points: DataFrame, l_nbrs: int) -> DataFrame:
     return points.select("id", "features").mapInPandas(kernel, schema=PAIRS_SCHEMA)
 
 
-def knn_pairs_crossjoin(points: DataFrame, l_nbrs: int) -> DataFrame:
+def knn_pairs_crossjoin(
+    points: DataFrame, l_nbrs: int, *, dim: int | None = None
+) -> DataFrame:
     """Exact top-L pairs, pure DataFrame rendering (J2 + O4): broadcast
     self-cross-join + windowed row_number ≤ L. The declarative twin of
     :func:`knn_pairs_exact`, oracle-checkable in SQL; quadratic, so use on
-    samples/small N."""
+    samples/small N.
+
+    ``dim``: pass the feature width to UNROLL the distance into codegen'd
+    scalar arithmetic (bit-identical to the fold — see
+    functions.euclidean_expr) when the pair volume is large enough to pay
+    for it (the recall gate's ~1.5M-pair exact arm). The default keeps
+    the HOF fold WITHOUT any width probe: r16 unconditionally probed +
+    unrolled here and the driver's knn_top5/conn_objective entries (≈10-20k
+    pairs of mostly fixed cost) ran 2-2.6× their anchors — the probe job
+    plus the 64-term expression's per-query codegen cost more than the
+    fold saves at sample size (settled r17 with an interleaved A/B)."""
     from pyspark.sql.window import Window
 
     from mopso_engine.functions import euclidean_expr
 
     a = points.select(F.col("id"), F.col("features"))
     b = points.select(F.col("id").alias("nbr_id"), F.col("features").alias("nbr_features"))
-    # unrolled distance when the width is known (bit-identical to the HOF
-    # fold — see functions.euclidean_expr): the N² pair set makes the
-    # per-pair expression the whole stage here, same as the LSH re-rank
-    first = points.select(F.size("features").alias("d")).first()
-    dim = int(first["d"]) if first is not None else None
     dist = euclidean_expr("features", "nbr_features", dim=dim)
     pairs = (
         a.crossJoin(F.broadcast(b))
