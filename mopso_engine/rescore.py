@@ -82,6 +82,12 @@ def rescore_archive(
         pairs = knn_pairs_exact(pts, knn_l, n_rows=n_rows, exact_math=True)
     else:
         raise ValueError(f"unknown rescore knn_mode: {knn_mode}")
+    # the laid-out points feed THREE jobs (the kNN collect, the
+    # assignment kernel and the pair kernel) — persist the layout once
+    # so each consumer reads the cache instead of re-running the parquet
+    # scan + repartition (2 scans + 2 exchanges removed; kernel rows are
+    # row-independent, so values are unchanged). Released below.
+    pts = pts.persist()
     asg = assign_all_solutions(pts, stack, exact_math=True).persist()
     try:
         dev_rows = asg.groupBy("solution").agg(F.sum("dist").alias("dev")).collect()
@@ -104,6 +110,7 @@ def rescore_archive(
         )
     finally:
         asg.unpersist()
+        pts.unpersist()
     _note_rescore_phase(time.time() - t0)
     dev = {r["solution"]: r["dev"] for r in dev_rows}
     conn = {r["solution"]: r["conn"] for r in conn_rows}
