@@ -789,6 +789,17 @@ def retrieval_eval(
             )
         ),
     ).otherwise(F.col("rel"))
+    # qr is consumed by BOTH the ideal window and the hits join. Leave
+    # the duplication to plan reuse deliberately: persist and the
+    # union-collect driver pin both measured WORSE in r16 (they
+    # serialize the concurrent broadcast siblings), and the r17 shared-
+    # repartition experiment (one explicit query_id exchange for both
+    # consumers) could not fire ReusedExchange either — the consumers
+    # push DIFFERENT filters into the subtree (the join side adds
+    # isnotnull(doc_id)), so the exchanges are never canonically equal.
+    # Third recorded refutation (VERDICT r16 #4); the corpus itself is
+    # scanned once (executed plan: every corpus read is an
+    # InMemoryTableScan of the shared pruned-tf cache).
     qr = qrels.select("query_id", "doc_id", rel_checked.alias("rel"))
 
     # ideal ranking: qrels ordered by (rel desc, doc_id asc) per query —
