@@ -634,27 +634,54 @@ def duplicate_components(
         return _star_components(sym0, max_iter, stats)
     # materialize the symmetric edge list ONCE: every propagation round
     # joins against it, and without the cut each round would re-run the
-    # (expensive) upstream pair generation from scratch
-    sym = edges.union(
+    # (expensive) upstream pair generation from scratch. PERSIST a
+    # hash(b)-partitioned copy rather than localCheckpoint (r17, the
+    # pagerank/LPA discipline): a localCheckpoint hides its partitioning
+    # behind an ExistingRDD scan, so every round RE-SHUFFLED the edge
+    # list — the corpus-scale side of this loop at 100 TB — while the
+    # persisted repartition reports hash(b) to Catalyst and each round's
+    # sym⋈labels probe reuses it (the labels side, vertex-sized and
+    # already reduced, is the only per-round exchange on the join).
+    # Width derived from the measured edge count (graph._iter_width),
+    # never a local constant.
+    from mopso_engine.ext.graph import _iter_width
+
+    session_sp = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    sym0 = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
-    labels = sym.select(F.col("a").alias("v")).distinct().withColumn("l", F.col("v"))
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels.select(F.col("v").alias("b"), F.col("l").alias("nl")), "b")
-            .groupBy(F.col("a").alias("v"))
-            .agg(F.min("nl").alias("mn"))
+    ).persist()
+    n_edges = sym0.count()
+    sym = (
+        sym0.repartition(_iter_width(n_edges, session_sp), "b").persist()
+    )
+    sym.count()
+    sym0.unpersist()
+    try:
+        labels = (
+            sym.select(F.col("a").alias("v")).distinct().withColumn("l", F.col("v"))
         )
-        upd = labels.join(nbr_min, "v", "left").select(
-            "v",
-            F.col("l").alias("old"),
-            F.least("l", F.coalesce("mn", F.col("l"))).alias("l"),
-        )
-        upd = upd.localCheckpoint()
-        changed = upd.where(F.col("l") < F.col("old")).count()
-        labels = upd.select("v", "l")
-        if changed == 0:
-            break
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(
+                    labels.select(F.col("v").alias("b"), F.col("l").alias("nl")), "b"
+                )
+                .groupBy(F.col("a").alias("v"))
+                .agg(F.min("nl").alias("mn"))
+            )
+            upd = labels.join(nbr_min, "v", "left").select(
+                "v",
+                F.col("l").alias("old"),
+                F.least("l", F.coalesce("mn", F.col("l"))).alias("l"),
+            )
+            upd = upd.localCheckpoint()
+            changed = upd.where(F.col("l") < F.col("old")).count()
+            labels = upd.select("v", "l")
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
     return labels.select(F.col("v").alias("doc_id"), F.col("l").alias("component"))
 
 
