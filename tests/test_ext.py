@@ -4061,3 +4061,18 @@ class TestCdcStream:
         with _pt.raises(ValueError) as ei:
             scd2_history_version(spark, hist, 2)  # 0 and 3 exist; 2 never did
         assert "not in the ledger" in str(ei.value)
+
+
+def test_state_width_for_keys_bounds():
+    """The key-scale stream shard derivation (r17): 1 at the floor,
+    proportional in the middle, capped at the session width."""
+    from mopso_engine.ext.streaming import (
+        _STATE_ROWS_PER_PARTITION,
+        state_width_for_keys,
+    )
+
+    assert state_width_for_keys(0, 64) == 1
+    assert state_width_for_keys(1, 64) == 1
+    assert state_width_for_keys(_STATE_ROWS_PER_PARTITION, 64) == 1
+    assert state_width_for_keys(_STATE_ROWS_PER_PARTITION + 1, 64) == 2
+    assert state_width_for_keys(10**12, 64) == 64  # session cap holds

@@ -132,3 +132,22 @@ def test_knn_pairs_exact_refuses_oversized_collect(blobs_df):
     direct call on a big table must fail fast, not OOM the driver."""
     with pytest.raises(ValueError, match="partition_local"):
         knn_pairs_exact(blobs_df, 5, n_rows=10**9)
+
+
+def test_crossjoin_unroll_matches_fold_bitexact(blobs_df):
+    """knn_pairs_crossjoin's opt-in unrolled distance (dim=) must be
+    BIT-identical to the default HOF fold — the r17 settle keeps the
+    fold on sample-sized callers and the unroll on the recall gate's
+    big-pair arm, so the two renderings must never diverge."""
+    from pyspark.sql import functions as F
+
+    from mopso_engine.objectives import knn_pairs_crossjoin
+
+    pts = blobs_df.where(F.col("id") < 60)
+    dim = len(pts.select("features").first()["features"])
+    fold = knn_pairs_crossjoin(pts, 5).collect()
+    unroll = knn_pairs_crossjoin(pts, 5, dim=dim).collect()
+    key = lambda r: (r["id"], r["rank"])  # noqa: E731
+    fold_m = {key(r): (r["nbr_id"], r["nbr_dist"]) for r in fold}
+    unroll_m = {key(r): (r["nbr_id"], r["nbr_dist"]) for r in unroll}
+    assert fold_m == unroll_m  # exact equality, doubles included
