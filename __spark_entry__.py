@@ -2696,12 +2696,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (the corpus has no duplicate fingerprints, so first-arrival
         dedup is deterministic here — dup-handling semantics are pinned
         by the unit test instead)."""
-        from mopso_engine.ext.streaming import run_available_now, stream_curate
+        from mopso_engine.ext.streaming import (
+            run_available_now,
+            state_width_for_keys,
+            stream_curate,
+        )
 
+        # key-scale state (the dedup fingerprint set): derived shard
+        # count, as in stream_dedup_events (VERDICT r16 #5)
+        n_keys = spark.read.parquet(
+            os.path.join(sf, "documents.parquet")
+        ).count()
         res = run_available_now(
             stream_curate(spark, os.path.join(sf, "documents.parquet")),
             query_name=f"curate_{uuid.uuid4().hex[:8]}",
             output_mode="append",
+            state_partitions=state_width_for_keys(
+                n_keys,
+                int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            ),
         )
         return res
 
@@ -2715,12 +2728,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         composition (this corpus is artifact-free, so repair is an
         identity here — repair semantics are pinned by
         docs_fix_mojibake and the stream==batch unit test)."""
-        from mopso_engine.ext.streaming import run_available_now, stream_curate_v3
+        from mopso_engine.ext.streaming import (
+            run_available_now,
+            state_width_for_keys,
+            stream_curate_v3,
+        )
 
+        # key-scale dedup-fingerprint state: derived shard count, as in
+        # stream_dedup_events (VERDICT r16 #5)
+        n_keys = spark.read.parquet(
+            os.path.join(sf, "documents.parquet")
+        ).count()
         return run_available_now(
             stream_curate_v3(spark, os.path.join(sf, "documents.parquet")),
             query_name=f"curate3_{uuid.uuid4().hex[:8]}",
             output_mode="append",
+            state_partitions=state_width_for_keys(
+                n_keys,
+                int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            ),
         )
 
     def dup_span_stats(spark, sf):
@@ -3964,11 +3990,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mopso_engine.ext.streaming import session_window_stream
 
         _utc(spark)
+        from mopso_engine.ext.streaming import state_width_for_keys
+
+        # key-scale state (open sessions per user in the watermark):
+        # derive the shard count from the measured row upper bound —
+        # the stream_dedup_events discipline (VERDICT r16 #5)
+        n_keys = spark.read.parquet(os.path.join(sf, "events.parquet")).count()
         out = run_available_now(
             session_window_stream(
                 spark, os.path.join(sf, "events.parquet"), gap_minutes=30
             ),
             query_name=f"sessw_{uuid.uuid4().hex[:8]}",
+            state_partitions=state_width_for_keys(
+                n_keys,
+                int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            ),
         )
         return out.select(
             "user_id",
