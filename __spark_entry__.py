@@ -927,7 +927,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mopso_engine.ext.graph import label_propagation
 
         pairs = _copurchase_edges(spark, sf)
-        labels = label_propagation(pairs, rounds=6, src_col="x", dst_col="y")
+        # edges_canonical: _copurchase_edges is a groupBy(x, y) output
+        # with x < y — duplicate-free and one-directional by
+        # construction, so the engine's dedup exchanges are no-ops
+        labels = label_propagation(
+            pairs, rounds=6, src_col="x", dst_col="y", edges_canonical=True
+        )
         return labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
 
     def tfidf_terms(spark, sf):

@@ -540,6 +540,7 @@ def label_propagation(
     rounds: int = 6,
     src_col: str = "src",
     dst_col: str = "dst",
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (LPA,
     Raghavan et al. 2007): every node starts as its own label and each
@@ -577,29 +578,33 @@ def label_propagation(
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     spark = edges.sparkSession
     session_sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = (
-        edges.select(
-            F.col(src_col).cast("long").alias("a"),
-            F.col(dst_col).cast("long").alias("b"),
-        )
-        .where(
-            F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
-        )
-        .distinct()
+    e = edges.select(
+        F.col(src_col).cast("long").alias("a"),
+        F.col(dst_col).cast("long").alias("b"),
+    ).where(
+        F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
     )
-    sym = (
-        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .union(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .distinct()
-        .persist()
+    if not edges_canonical:
+        e = e.distinct()
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
+    if not edges_canonical:
+        # ``edges_canonical=True`` is the caller asserting the edge table
+        # is duplicate-free AND one-directional (e.g. grouped pairs with
+        # a < b): both dedup exchanges above/here are then provable
+        # no-ops — the union's sides live in disjoint orientations.
+        sym = sym.distinct()
+    sym = sym.persist()
     n_sym = sym.count()
     shuffle_p = _iter_width(n_sym, session_sp)
     symp = sym.repartition(shuffle_p, "v").persist()
     nodes = (
         symp.select(F.col("u").alias("node"))
-        .distinct()
+        # repartition BEFORE the dedup (the pagerank/bfs discipline):
+        # hash(node) satisfies the distinct's clustering — one exchange
         .repartition(shuffle_p, "node")
+        .distinct()
         .persist()
     )
     symp.count()
