@@ -824,7 +824,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mopso_engine.ext.graph import cooccurrence_affinity, triangle_counts
 
         pairs = _copurchase_edges(spark, sf)
-        return triangle_counts(pairs, src_col="x", dst_col="y")
+        # edges_canonical: _copurchase_edges is a groupBy(x, y) output
+        # with x < y — duplicate-free and already canonical
+        return triangle_counts(
+            pairs, src_col="x", dst_col="y", edges_canonical=True
+        )
 
     def supplier_ppr(spark, sf):
         """Personalized PageRank from suppliers 1-3
@@ -877,7 +881,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mopso_engine.ext.graph import kcore
 
         pairs = _copurchase_edges(spark, sf)
-        return kcore(pairs, k=3, rounds=8, src_col="x", dst_col="y")
+        # edges_canonical: same groupBy(x, y), x < y proof as part_triangles
+        return kcore(
+            pairs, k=3, rounds=8, src_col="x", dst_col="y",
+            edges_canonical=True,
+        )
 
     def hybrid_search(spark, sf):
         """Hybrid retrieval via Reciprocal Rank Fusion

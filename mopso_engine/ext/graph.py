@@ -366,6 +366,7 @@ def triangle_counts(
     *,
     src_col: str = "src",
     dst_col: str = "dst",
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts via the degree-ordered wedge join — the
     clustering-coefficient / community-density primitive (and the third
@@ -398,15 +399,17 @@ def triangle_counts(
 
     Returns (node, n_tri) for every node in at least one triangle.
     """
-    e = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
-        )
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
-        .distinct()
-        .persist()
-    )
+    e = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+    ).where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+    if not edges_canonical:
+        # ``edges_canonical=True``: caller asserts the edge table is
+        # duplicate-free with src < dst (e.g. a groupBy(x,y) output) —
+        # the canonicalize+dedup exchange is then a provable no-op and
+        # the cache build skips one full edge-table shuffle.
+        e = e.distinct()
+    e = e.persist()
     _GRAPH_CACHES.append(e)
     # same (node ← a, node ← b) multiset as the historical two-branch
     # union, in one pass over e
@@ -461,6 +464,7 @@ def kcore(
     rounds: int = 8,
     src_col: str = "src",
     dst_col: str = "dst",
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """k-core decomposition by iterative degree peeling — the graph
     cleaner behind community mining and spam-farm pruning: repeatedly
@@ -495,17 +499,18 @@ def kcore(
         raise ValueError(f"k must be >= 1, got {k}")
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    e = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
-        )
-        .where(
-            F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
-        )
-        .distinct()
-        .localCheckpoint()
+    e = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+    ).where(
+        F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
     )
+    if not edges_canonical:
+        # caller-asserted canonical (duplicate-free, src < dst) edge
+        # tables skip this provably-no-op dedup exchange — see
+        # :func:`triangle_counts`
+        e = e.distinct()
+    e = e.localCheckpoint()
     n_edges = e.count()
     for _ in range(rounds):
         deg = (
