@@ -1785,11 +1785,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from one basket self-join, item supports from one count, the
         rule table = pairs × 2 rows joined to broadcast supports.
         Top-50 by (confidence desc, antecedent, consequent)."""
+        from mopso_engine.ext.graph import _GRAPH_CACHES
+
         li = read_table(spark, sf, "lineitem")
+        # persist the deduped basket table for its three consumers (both
+        # self-join sides + supports) — the r17 audit showed 5 parquet
+        # scans here; registered in the graph cache registry the bench
+        # clears per query
         bi = li.select(
             F.col("l_orderkey").alias("basket"),
             F.col("l_partkey").alias("item"),
-        ).distinct()
+        ).distinct().persist()
+        _GRAPH_CACHES.append(bi)
         a = bi.alias("a")
         b = bi.alias("b")
         pairs = (
@@ -1802,17 +1809,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).alias("pair_n"))
         )
         sup = bi.groupBy("item").agg(F.count(F.lit(1)).alias("n_sup"))
+        # both directed rules from ONE evaluation of the pair subtree:
+        # the former two-branch union re-ran the basket self-join per
+        # direction (no exchange reuse — differing projections); a
+        # 2-element explode emits the same row multiset in one pass
+        # (the r16 triangle-counting union→explode pattern)
         rules = pairs.select(
-            F.col("item_a").alias("antecedent"),
-            F.col("item_b").alias("consequent"),
-            "pair_n",
-        ).union(
-            pairs.select(
-                F.col("item_b").alias("antecedent"),
-                F.col("item_a").alias("consequent"),
-                "pair_n",
-            )
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("item_a").alias("antecedent"),
+                        F.col("item_b").alias("consequent"),
+                        F.col("pair_n"),
+                    ),
+                    F.struct(
+                        F.col("item_b").alias("antecedent"),
+                        F.col("item_a").alias("consequent"),
+                        F.col("pair_n"),
+                    ),
+                )
+            ).alias("r")
+        ).select("r.antecedent", "r.consequent", "r.pair_n")
         out = rules.join(
             F.broadcast(sup.withColumnRenamed("item", "antecedent")),
             "antecedent",

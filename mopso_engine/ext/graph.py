@@ -322,9 +322,20 @@ def cooccurrence_affinity(
     Returns top-``top_k`` rows (item_a, item_b, cnt, lift_micro) with
     item_a < item_b.
     """
-    bi = baskets.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+    # the deduped (basket, item) table feeds FIVE consumers (both pair
+    # sides, two support broadcasts, the N scalar) — persist it once
+    # (registered for clear_pagerank_caches) instead of re-running the
+    # upstream scan + dedup per consumer: the executed plan held 5
+    # parquet scans and zero ReusedExchange before (r17 audit; the
+    # consumers' differing projections defeat exchange reuse)
+    bi = (
+        baskets.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .persist()
+    )
+    _GRAPH_CACHES.append(bi)
     left = bi.select("basket", F.col("item").alias("item_a"))
     right = bi.select("basket", F.col("item").alias("item_b"))
     pairs = (
