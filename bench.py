@@ -722,6 +722,7 @@ def main() -> None:
     from mopso_engine.ext.dsir import clear_dsir_caches
     from mopso_engine.ext.graph import clear_pagerank_caches
     from mopso_engine.ext.retrieval import clear_retrieval_caches
+    from mopso_engine.ext.simsearch import clear_sim_caches
 
     # warm the calibration workloads themselves (BLAS thread pool, the
     # calib job's codegen) so pre vs post measures HOST drift, not the
@@ -784,6 +785,7 @@ def main() -> None:
             clear_dsir_caches()
             clear_calib_caches()
             clear_bloom_broadcasts()
+            clear_sim_caches()
 
     for qi, name in enumerate(BENCH_QUERIES):
         if qi % CALIB_EVERY == 0:

@@ -146,6 +146,7 @@ def main():
     from mopso_engine.ext.dsir import clear_dsir_caches
     from mopso_engine.ext.graph import clear_pagerank_caches
     from mopso_engine.ext.retrieval import clear_retrieval_caches
+    from mopso_engine.ext.simsearch import clear_sim_caches
 
     for name in names:
         t0 = time.time()
@@ -164,6 +165,7 @@ def main():
             clear_dsir_caches()
             clear_calib_caches()
             clear_bloom_broadcasts()
+            clear_sim_caches()
         if name not in oracles:
             print(f"~ {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             if len(sdf) == 0:

@@ -50,6 +50,7 @@ def main() -> None:
     from mopso_engine.ext.dsir import clear_dsir_caches
     from mopso_engine.ext.graph import clear_pagerank_caches
     from mopso_engine.ext.retrieval import clear_retrieval_caches
+    from mopso_engine.ext.simsearch import clear_sim_caches
 
     _cpu_calibration(), _spark_calibration(spark), _micro_spark_calibration(spark)
     res: dict = {
@@ -76,6 +77,7 @@ def main() -> None:
                 clear_dsir_caches()
                 clear_calib_caches()
                 clear_bloom_broadcasts()
+                clear_sim_caches()
         calibs.append(_micro_spark_calibration(spark))
         res["queries"][name] = {
             "attempts": attempts,
