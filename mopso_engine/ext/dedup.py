@@ -1314,7 +1314,14 @@ def incremental_dedup_bloom(
         maybe = bloom_maybe_col(
             F.col("fp"), words, m_bits=m_bits, k_hashes=k_hashes
         )
-    probed = new_fp.withColumn("maybe_known", maybe)
+    # the probed increment feeds TWO consumers (the maybe subset's exact
+    # check and the final decision join) — persist the narrow
+    # (doc_id, fp, maybe_known) table once (registered for
+    # clear_shingle_caches) instead of re-running the increment scan +
+    # fingerprint + probe per consumer (r17 audit: the increment's union
+    # branches and the probe kernel each appeared twice in the executed
+    # plan before)
+    probed = persist_shingles(new_fp.withColumn("maybe_known", maybe))
     maybe = probed.where(F.col("maybe_known"))
     confirmed = maybe.join(known_fps.select("fp").distinct(), "fp", "left_semi").select(
         "doc_id", F.lit(True).alias("is_known")
