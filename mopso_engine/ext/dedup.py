@@ -1382,6 +1382,9 @@ def jaccard_prefix_pairs(
     if not (0 < frac < 1):
         raise ValueError("threshold must be in (0, 1)")
     num, den = frac.numerator, frac.denominator
+    # the RAW shingle table stays unpersisted deliberately: persisting it
+    # measured WORSE here (r17 A/B best-of-5: 6.44 vs 5.53/5.49 — the
+    # same broadcast-sibling serialization the module registry documents)
     sh = word_shingles(docs, k)
     dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = (
@@ -1396,12 +1399,20 @@ def jaccard_prefix_pairs(
         )
     )
     # exact integer ceil(t*n) = (n*num + den - 1) DIV den
-    prefix = ranked.where(
-        F.col("r")
-        <= F.col("n_sh")
-        - F.expr(f"CAST((n_sh * {num} + {den - 1}) DIV {den} AS BIGINT)")
-        + F.lit(1)
-    ).select("doc_id", "shingle")
+    # the prefix table feeds BOTH candidate-join sides; persist it once
+    # (registered for clear_shingle_caches) — without it each side
+    # re-ran the whole shingle + df-count + double-window lineage
+    # (r17 audit: 40 parquet scans / 60 exchanges / 0 ReusedExchange in
+    # the executed plan; the sides' differing projections defeat
+    # exchange reuse exactly as in the retrieval-eval refutation)
+    prefix = persist_shingles(
+        ranked.where(
+            F.col("r")
+            <= F.col("n_sh")
+            - F.expr(f"CAST((n_sh * {num} + {den - 1}) DIV {den} AS BIGINT)")
+            + F.lit(1)
+        ).select("doc_id", "shingle")
+    )
     cand = (
         prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
         .join(prefix.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
