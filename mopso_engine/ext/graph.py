@@ -306,8 +306,10 @@ def cooccurrence_affinity(
 
     Physical shape (100 TB): pair generation is a SELF-JOIN ON THE
     BASKET KEY — fan-out is bounded by basket size (pairs per basket =
-    |basket|², never corpus²), and both sides are the same deduped
-    (basket, item) table so the exchange is reused. One (a, b) count
+    |basket|², never corpus²), and both sides read the same deduped
+    (basket, item) table, PERSISTED once for its five consumers (r17:
+    the consumers' differing projections defeat exchange reuse — the
+    executed plan held five corpus scans before). One (a, b) count
     shuffle aggregates pairs, per-item supports are one more key count,
     N is a broadcast scalar, and the final top-k is a TakeOrdered — no
     global sort. Degenerate mega-baskets should be capped upstream
