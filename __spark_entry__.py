@@ -4892,11 +4892,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         docs = read_table(spark, sf, "documents")
-        feats = decode_and_featurize(
-            assets_from_documents(docs), decode="fake", dim=8
-        ).select(
-            F.col("asset_id").alias("vec_id"),
-            F.col("features").alias("embedding"),
+        # persist the decoded feature table for its several consumers
+        # (codebook training + the serving/exact arms) — the decode scan
+        # then really runs once (r17 audit: it re-ran per consumer);
+        # registered for clear_sim_caches
+        feats = ss.persist_sim(
+            decode_and_featurize(
+                assets_from_documents(docs), decode="fake", dim=8
+            ).select(
+                F.col("asset_id").alias("vec_id"),
+                F.col("features").alias("embedding"),
+            )
         )
         cb = ss.train_codebook(
             feats, k=8, iters=2, sample_fraction=0.5, seed=11
@@ -4948,11 +4954,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mopso_engine.ext.retrieval import retrieval_eval
 
         docs = read_table(spark, sf, "documents")
-        feats = decode_and_featurize(
-            assets_from_documents(docs), decode="fake", dim=8
-        ).select(
-            F.col("asset_id").alias("vec_id"),
-            F.col("features").alias("embedding"),
+        # persist the decoded feature table for its several consumers
+        # (codebook training + the serving/exact arms) — the decode scan
+        # then really runs once (r17 audit: it re-ran per consumer);
+        # registered for clear_sim_caches
+        feats = ss.persist_sim(
+            decode_and_featurize(
+                assets_from_documents(docs), decode="fake", dim=8
+            ).select(
+                F.col("asset_id").alias("vec_id"),
+                F.col("features").alias("embedding"),
+            )
         )
         cb = ss.train_codebook(
             feats, k=8, iters=2, sample_fraction=0.5, seed=11

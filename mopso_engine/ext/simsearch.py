@@ -30,6 +30,15 @@ from pyspark.sql.window import Window
 _SIM_CACHES: list[DataFrame] = []
 
 
+def persist_sim(df: DataFrame) -> DataFrame:
+    """Persist a vector/assignment table and register it for
+    :func:`clear_sim_caches` — for caller compositions whose decoded
+    feature table feeds several consumers (the crossmodal_eval shape)."""
+    df = df.persist()
+    _SIM_CACHES.append(df)
+    return df
+
+
 def clear_sim_caches() -> int:
     """Unpersist every table retained by this module's operators."""
     n = 0
