@@ -716,6 +716,14 @@ def main() -> None:
     pts_small = points_from_embeddings(spark, sf_dir).limit(300)
     nbr_small = with_neighbors(pts_small.repartition(4, "id"), 3, mode="partition_local")
     evaluate_solutions(nbr_small, np.zeros((2, 3, 64)))
+    # NOT warmed: the rescore family. A bounded 300-row rescore warmup
+    # was TRIED in r17 and did not move the first in-session exact
+    # rescore's elevation (mopso_fit's rescore phase read 5.01s with the
+    # warmup vs 4.86 without, while its identical-path twin
+    # mopso_fit_full right after reads 1.2-1.6s) — the cost is
+    # first-run-at-full-scale session state, not bounded-input janino,
+    # and the per-entry `rescore` phase in fit_phases now adjudicates it
+    # in-artifact.
 
     from mopso_engine.ext.dedup import clear_bloom_broadcasts, clear_shingle_caches
     from mopso_engine.ext.calib import clear_calib_caches
